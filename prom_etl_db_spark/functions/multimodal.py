@@ -1,0 +1,122 @@
+"""Multimodal column plumbing (SURVEY.md §2.E E4).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side machinery — schema, partition-preserving
+``mapInPandas``, Arrow batch shapes, deterministic outputs — is real and
+tested; the actual codec step is STUBBED (this container ships no
+image/audio libraries): ``decode_image_batch`` computes deterministic fake
+features from the raw bytes, and ``real_decode`` raises
+``NotImplementedError`` as the clearly-marked integration point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["MEDIA_SCHEMA", "as_media", "decode_features", "sample_frames", "real_decode"]
+
+# media table: payload + typed metadata (SURVEY.md §1.2 driver extension)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", IntegerType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), False),
+    ]
+)
+
+
+def real_decode(payload: bytes, kind: str):
+    """The real codec hook. STUB — image/audio libs are not in this
+    container; wire Pillow/torchaudio/pyav here on a real cluster."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; decode_features uses a deterministic fake instead"
+    )
+
+
+def as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Fabricate a media table from the documents fixture: UTF-8 bytes of
+    the text play the payload role (deterministic; exercises BinaryType
+    end-to-end)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("int").alias("n_bytes"),
+    )
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """'Decode' each payload into typed features via ``mapInPandas`` —
+    Arrow-batched, partition-preserving (no shuffle). The fake decode is
+    deterministic: checksum = Σ bytes mod 2^31, width/height derived from
+    length, so tests can assert exact values. Swap the body for
+    ``real_decode`` on a real cluster."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n = payloads.map(len)
+            checksum = payloads.map(lambda b: sum(b) % (2**31))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n.astype("int32"),
+                    "checksum": checksum.astype("int64"),
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for 'video' payloads: emit ≤ max_frames fixed-stride
+    byte slices per payload (the real frame decoder would slot into the
+    same mapInPandas shape). 1→N row fan-out without a shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frame_nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    frames.append(bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame_bytes": frames}
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -1,0 +1,100 @@
+"""Text analysis operators (SURVEY.md §2.E E5).
+
+Language-ID, quality scoring, token counting, and document fingerprinting —
+all as pure Column expressions (JVM-side, whole-stage codegen) so the hot
+path has zero Python. Deterministic by construction: integer arithmetic for
+the fingerprint, fixed stopword lists for language-ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "quality_features",
+    "language_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language function-word lists — the classic n-gram/stopword
+# heuristic. Order matters: ties resolve to the first language listed.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "für"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "por", "con"],
+    "zh": ["的", "是", "在", "和", "了", "有", "我", "不", "这", "中"],
+}
+
+_WORD_SEP = r"\s+"
+_FP_MOD = 1_000_000_007  # h*31+c stays < 2^35 — exact in int64 everywhere
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), _WORD_SEP)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.trim(text) == "", 0).otherwise(F.size(tokens(text)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality signals per document (the standard pre-training filters)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stop, w)))
+    return docs.withColumns(
+        {
+            "n_tokens": n_toks,
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+            "stopword_ratio": F.round(n_stop / F.greatest(n_toks, F.lit(1)), 6),
+            "mean_word_len": F.round(
+                (F.length(F.regexp_replace(t, _WORD_SEP, ""))) / F.greatest(n_toks, F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits per language;
+    ties → first language in STOPWORDS order; no hits → 'und'."""
+    toks = tokens(text)
+
+    def hit_count(words: list[str]) -> Column:
+        arr = F.array([F.lit(x) for x in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    scores = [
+        F.struct(
+            hit_count(words).alias("score"),
+            F.lit(len(STOPWORDS) - i).alias("prio"),  # earlier lang wins ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, words) in enumerate(STOPWORDS.items())
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic rolling polynomial hash over the UTF-8 code points:
+    h ← (h·31 + ascii(char)) mod 1e9+7. A strict left fold in index order —
+    exact int64 arithmetic, reproducible across engines."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(31) + F.ascii(c)) % F.lit(_FP_MOD),
+    )

@@ -1,0 +1,157 @@
+"""Downstream SQL analytics surface (SURVEY.md §2.C, rows C1-C13).
+
+The reference documents this consumption layer as raw MySQL queries
+(`/root/reference/docs/user-guide.md:219-347`,
+`/root/reference/scripts/query_gpu_daily.sql:1-28`); here each becomes a
+DataFrame builder over the engine's tables. Everything stays declarative so
+Catalyst pushes filters/pruning into the scans and whole-stage codegen
+covers the aggregations (SURVEY.md §4.2 — none of this surface needs custom
+rules).
+
+Functions take the source DataFrame(s) and return an un-collected result
+DataFrame. Computed columns are aliased explicitly (driver contract: names
+must match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- C1/C10: JSON label extraction & filtering -----------------------------
+
+
+def label_extract(events: DataFrame) -> DataFrame:
+    """C1: pull one key out of the JSON props/labels per row
+    (`JSON_UNQUOTE(JSON_EXTRACT(labels,'$.node'))` — query_gpu_daily.sql:14).
+    """
+    return events.select(
+        F.col("event_id"),
+        F.col("event_type"),
+        F.get_json_object(F.col("props"), "$.k").alias("label_k"),
+        F.col("value"),
+    )
+
+
+def label_filter_slice(events: DataFrame, key: str, val: str) -> DataFrame:
+    """C10: equality filter on an extracted JSON label
+    (user-guide.md:262-272)."""
+    return (
+        events.where(F.get_json_object(F.col("props"), f"$.{key}") == val)
+        .select("event_id", "event_type", "ts", "value")
+    )
+
+
+# -- C2: string split / prefix ---------------------------------------------
+
+
+def substring_index_prefix(parts: DataFrame) -> DataFrame:
+    """C2: ``SUBSTRING_INDEX(name, ' ', 2)`` — first two tokens of a name
+    (query_gpu_daily.sql:9-13 uses '-' on node names; the fixture's
+    part-name is space-delimited)."""
+    return parts.select(
+        F.col("p_partkey"),
+        F.substring_index(F.col("p_name"), " ", 2).alias("name_prefix"),
+    )
+
+
+# -- C3/C4: grouped aggregates & date bucketing ----------------------------
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """C3+C4: per-hour per-type count/avg/min/max (user-guide.md:248-257)."""
+    return (
+        events.groupBy(
+            F.date_trunc("HOUR", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# -- C5: time-range predicates ---------------------------------------------
+
+
+def time_window_scan(events: DataFrame, now: datetime, hours: int = 24) -> DataFrame:
+    """C5: last-N-hours scan relative to an explicit ``now``
+    (`timestamp >= NOW() - INTERVAL 24 HOUR`, user-guide.md:236-243; the
+    fixture is static so ``now`` is frozen, never the wall clock)."""
+    lo = F.lit(now) - F.expr(f"INTERVAL {hours} HOURS")
+    return events.where(F.col("ts") >= lo).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+# -- C6: top-N --------------------------------------------------------------
+
+
+def latest_n(events: DataFrame, event_type: str, n: int = 100) -> DataFrame:
+    """C6 (and A17): ``WHERE query_id=? ORDER BY timestamp DESC LIMIT n``
+    (`/root/reference/internal/database/mysql.go:166-213`). event_id breaks
+    timestamp ties so the limit is deterministic."""
+    return (
+        events.where(F.col("event_type") == event_type)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(n)
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+# -- C7/C9/C11: the GPU-daily report shape ---------------------------------
+
+
+def daily_report(events: DataFrame) -> DataFrame:
+    """C7+C9+C11: the parameterized daily report
+    (query_gpu_daily.sql:1-28): inner per-(label,day) SUM subquery, outer
+    projection with ROUND, multi-key ordering. Expressed as DataFrame
+    chaining (the derived table is just composition)."""
+    inner = (
+        events.select(
+            F.get_json_object(F.col("props"), "$.k").alias("k"),
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("value"),
+        )
+        .groupBy("k", "day")
+        .agg(F.sum("value").alias("total_value"))
+    )
+    return inner.select(
+        F.col("k"),
+        F.col("day"),
+        F.round(F.col("total_value"), 3).alias("total_value"),
+    )
+
+
+# -- C8: conditional aggregation -------------------------------------------
+
+
+def success_rate(events: DataFrame) -> DataFrame:
+    """C8: ``COUNT(CASE WHEN status='success' THEN 1 END)`` + percentage
+    (user-guide.md:333-346) — 'error' events play the failure role."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("value") > 10.0, 1)).alias("high_value"),
+        F.round(
+            100.0 * F.count(F.when(F.col("value") > 10.0, 1)) / F.count(F.lit(1)), 2
+        ).alias("high_value_pct"),
+    )
+
+
+# -- C12/C13: freshness & per-key stats ------------------------------------
+
+
+def per_key_stats(events: DataFrame) -> DataFrame:
+    """C12+C13 (and A19/A22): records/earliest/latest/avg per key
+    (user-guide.md:277-285)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("records"),
+        F.min("ts").alias("earliest"),
+        F.max("ts").alias("latest"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

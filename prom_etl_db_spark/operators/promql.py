@@ -1,0 +1,265 @@
+"""The PromQL subset as DataFrame combinators (SURVEY.md §2.B, rows B1-B8).
+
+The reference delegates these to Prometheus as query strings; its flagship
+production query (`/root/reference/scripts/migrate.sql:105`):
+
+    sum(sum_over_time(max without(exported_namespace, exported_pod, ...)
+        (kpanda_gpu_pod_utilization != bool 999999)[24h:1m]))
+    by (cluster_name, node, UUID) * 60 / 3600
+
+We evaluate the same semantics natively over a stored-samples DataFrame.
+No PromQL parser — queries are built by composing these functions
+(SURVEY.md §2.B: "DataFrame combinators, not a PromQL parser").
+
+Working shape: ``(labels: map<string,string>, timestamp, value, ...)`` —
+one row per sample. Series identity = canonical sorted-JSON of the label
+map (``schema.series_key``), because MapType is not directly groupable
+(SURVEY.md §7.3 risk #1).
+
+Scale notes (100 TB):
+- every regrouping is ONE shuffle on a string key; AQE handles skewed
+  label-cardinality (hot series) via skew-join/partition splitting.
+- ``resample`` + ``*_over_time`` are groupBy aggregations, not
+  self-joins — partial aggregation (map-side combine) applies.
+- selectors filter on metric_name/timestamp FIRST so predicate pushdown
+  reaches the parquet scan before any shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prom_etl_db_spark.schema import series_key
+
+__all__ = [
+    "instant_selector",
+    "group_by_labels",
+    "sum_by",
+    "avg_by",
+    "max_without",
+    "bool_cmp",
+    "resample",
+    "agg_over_time",
+    "sum_over_time",
+    "gapfill_locf",
+]
+
+
+# -- B1: instant vector selector ------------------------------------------
+
+
+def instant_selector(
+    samples: DataFrame,
+    metric_name: str | None,
+    at: datetime,
+    staleness: str = "5 minutes",
+    label_filters: dict[str, str] | None = None,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Latest sample per series at ``at`` within the staleness window.
+
+    PromQL instant-selector semantics (B1): a series contributes its most
+    recent point in ``[at - staleness, at]``. Equality label matchers are
+    applied pre-shuffle so they push into the scan. ``tiebreakers`` order
+    equal-timestamp samples deterministically (descending).
+    """
+    df = samples
+    if metric_name is not None:
+        df = df.where(F.col("metric_name") == metric_name)
+    for k, v in (label_filters or {}).items():
+        df = df.where(F.element_at(F.col("labels"), k) == v)
+    df = df.where(
+        (F.col("timestamp") <= F.lit(at))
+        & (F.col("timestamp") >= F.lit(at) - F.expr(f"INTERVAL {staleness}"))
+    ).withColumn("series_key", series_key(F.col("labels")))
+    w = Window.partitionBy("series_key").orderBy(
+        F.desc("timestamp"), *[F.desc(t) for t in tiebreakers]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -- B2/B3/B4: by / without regrouping ------------------------------------
+
+
+def _project_labels_by(labels: Column, keys: Sequence[str]) -> Column:
+    """New label map keeping only ``keys`` (PromQL ``by`` clause)."""
+    entries = F.filter(F.map_entries(labels), lambda e: e["key"].isin(*keys))
+    return F.map_from_entries(entries)
+
+
+def _project_labels_without(labels: Column, drop: Sequence[str]) -> Column:
+    """New label map dropping ``drop`` (PromQL ``without`` clause)."""
+    return F.map_filter(labels, lambda k, _: ~k.isin(*drop))
+
+
+def group_by_labels(
+    df: DataFrame,
+    agg: Column,
+    *,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Aggregate ``value`` across series regrouped onto a label subset.
+
+    Exactly one of ``by`` / ``without``; ``by=[]`` collapses everything
+    (PromQL ``sum(...)`` with no grouping). ``extra_keys`` keeps additional
+    non-label columns (e.g. a time bucket) in the group.
+
+    One shuffle on (canonical-key, extra_keys); the output keeps the
+    regrouped ``labels`` map so combinators compose.
+    """
+    if (by is None) == (without is None):
+        raise ValueError("exactly one of by= / without= is required")
+    if by is not None:
+        new_labels = (
+            _project_labels_by(F.col("labels"), by)
+            if by
+            else F.create_map().cast("map<string,string>")
+        )
+    else:
+        new_labels = _project_labels_without(F.col("labels"), without)
+
+    keyed = df.withColumn("labels", new_labels).withColumn(
+        "series_key", series_key(F.col("labels"))
+    )
+    grouped = keyed.groupBy("series_key", *extra_keys).agg(
+        F.first("labels").alias("labels"), agg.alias("value")
+    )
+    return grouped
+
+
+def sum_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
+    """B2: ``sum by (keys) (df)``."""
+    return group_by_labels(df, F.sum("value"), by=list(keys), **kw)
+
+
+def avg_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
+    """B4: ``avg by (keys) (df)``."""
+    return group_by_labels(df, F.avg("value"), by=list(keys), **kw)
+
+
+def max_without(df: DataFrame, drop: Sequence[str], **kw) -> DataFrame:
+    """B3: ``max without (drop) (df)``."""
+    return group_by_labels(df, F.max("value"), without=list(drop), **kw)
+
+
+# -- B6/B7: comparison with bool modifier; scalar arithmetic ---------------
+
+_CMP = {
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+def bool_cmp(df: DataFrame, op: str, threshold: float) -> DataFrame:
+    """B6: ``value <op> bool <threshold>`` — returns 1.0/0.0 instead of
+    filtering (the PromQL ``bool`` modifier)."""
+    pred = _CMP[op](F.col("value"), F.lit(threshold))
+    return df.withColumn("value", F.when(pred, 1.0).otherwise(0.0))
+
+
+# B7 is plain Column arithmetic: df.withColumn("value", col*60/3600).
+
+
+# -- B5/B8: subquery resampling & over-time aggregation --------------------
+
+
+def resample(df: DataFrame, step: str, *, tiebreakers: Sequence[str] = ()) -> DataFrame:
+    """Step-align samples: per (series, step-bucket), the LAST point wins —
+    PromQL subquery evaluation takes each step's most recent value.
+
+    Output: (series_key, labels, bucket_start: timestamp, value). One
+    shuffle; ``max_by`` keeps it a hash aggregation (no sort, no window).
+    ``tiebreakers`` break exact-timestamp ties deterministically.
+    """
+    keyed = (
+        df.withColumn("series_key", series_key(F.col("labels")))
+        if "series_key" not in df.columns
+        else df
+    )
+    bucket = F.window(F.col("timestamp"), step)["start"].alias("bucket_start")
+    order = F.struct(F.col("timestamp"), *[F.col(t) for t in tiebreakers])
+    return keyed.groupBy("series_key", bucket).agg(
+        F.first("labels").alias("labels"),
+        F.max_by(F.col("value"), order).alias("value"),
+    )
+
+
+def agg_over_time(
+    resampled: DataFrame,
+    agg: Column,
+    *,
+    frame_start: datetime | None = None,
+    frame_end: datetime | None = None,
+) -> DataFrame:
+    """Aggregate each series' step-aligned values over one frame
+    (``<agg>_over_time(x[frame:step])`` with the frame = [start, end]).
+
+    The reference's flagship evaluates the subquery ONCE per day over a
+    24 h frame (`migrate.sql:105-106`), so the frame is a plain groupBy —
+    no sliding window needed. For sliding frames see ``sliding_over_time``.
+    """
+    df = resampled
+    if frame_start is not None:
+        df = df.where(F.col("bucket_start") >= F.lit(frame_start))
+    if frame_end is not None:
+        df = df.where(F.col("bucket_start") < F.lit(frame_end))
+    return df.groupBy("series_key").agg(
+        F.first("labels").alias("labels"), agg.alias("value")
+    )
+
+
+def sum_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """B5: ``sum_over_time`` over a step-aligned frame."""
+    return agg_over_time(resampled, F.sum("value"), **kw)
+
+
+def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = None) -> DataFrame:
+    """B8: densify the step grid per series and forward-fill gaps
+    (last-observation-carried-forward), PromQL staleness-style.
+
+    Grid generation is `sequence()` + explode per series (distributed — no
+    driver loop); the fill is one ordered window per series with
+    ``last(value, ignorenulls=True)``.
+    """
+    keyed = (
+        resampled.withColumn("series_key", series_key(F.col("labels")))
+        if "series_key" not in resampled.columns
+        else resampled
+    )
+    step_expr = F.expr(f"INTERVAL {step.replace('minute', 'minute').strip()}")
+    bounds = keyed.groupBy("series_key").agg(
+        F.first("labels").alias("labels"),
+        F.min("bucket_start").alias("lo"),
+        (F.lit(until) if until is not None else F.max("bucket_start")).alias("hi"),
+    )
+    grid = bounds.select(
+        "series_key",
+        "labels",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), step_expr)).alias("bucket_start"),
+    )
+    joined = grid.join(
+        keyed.select("series_key", "bucket_start", "value"),
+        ["series_key", "bucket_start"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("series_key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn("value", F.last("value", ignorenulls=True).over(w))

@@ -1,0 +1,1014 @@
+"""The engine's query registry — the correctness-gated surface.
+
+One entry per implemented operator from SURVEY.md §2 (A/B/C rows, T1, and
+the §2.E extensions). Each registered query is a ``(spark, sf_dir) →
+DataFrame`` callable plus (where SQL-expressible) an equivalent ANSI-SQL
+oracle that DuckDB runs over the same parquet tables; the driver hash-
+compares the two (row count + schema + order-insensitive value hash).
+
+Conventions keeping the hash comparison honest:
+
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are ``round(x, 4)`` (ratios: 6) on BOTH sides —
+  engines sum partitions in different orders, so raw doubles can differ in
+  the last ulp;
+- all orderings that feed a LIMIT carry an explicit unique tiebreaker;
+- "now" is FROZEN (the fixture is static; and the reference's mutable-now
+  design is precisely what froze its production ingestion —
+  /root/reference/REPAIR.md:5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions import dedup, multimodal, similarity, text
+from prom_etl_db_spark.operators import analytics, promql
+from prom_etl_db_spark.sources.tables import load_table
+from prom_etl_db_spark.timeparse import RelativeTimeParser
+
+# Frozen evaluation time for the events fixture (data spans 2024-01-01 ..
+# 2024-01-30; "now" = the morning after the last sample).
+NOW = datetime(2024, 1, 31, 0, 0, 0)
+FLAGSHIP_DAY = datetime(2024, 1, 30, 0, 0, 0)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events")
+
+
+def _event_samples(spark: SparkSession, sf_dir: str, keys=("name", "k", "user_id")) -> DataFrame:
+    """events → PromQL-shaped samples: (metric_name, labels, value,
+    timestamp, event_id). Label map contents are chosen per query — 'name'
+    carries the metric name so `by`/`without` regrouping can keep it."""
+    parts = []
+    if "name" in keys:
+        parts += [F.lit("name"), F.col("event_type")]
+    if "k" in keys:
+        parts += [F.lit("k"), F.get_json_object(F.col("props"), "$.k")]
+    if "user_id" in keys:
+        parts += [F.lit("user_id"), F.col("user_id").cast("string")]
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric_name"),
+        F.create_map(*parts).alias("labels"),
+        F.col("value"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+    )
+
+
+# =========================================================================
+# Flagship (entry smoke): the reference's production GPU-utilization query
+# re-expressed natively (migrate.sql:105 — sum by(sum_over_time(max
+# without(...)(m != bool T)[24h:1m])) * 60 / 3600).
+# =========================================================================
+
+
+@register(
+    "flagship_gpu_utilization",
+    oracle=f"""
+WITH samples AS (
+  SELECT json_extract_string(props, '$.k') AS k, user_id,
+         date_trunc('minute', ts) AS bucket_start,
+         CASE WHEN value != 20.0 THEN 1.0 ELSE 0.0 END AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+    AND ts < TIMESTAMP '2024-01-31 00:00:00'
+), stepmax AS (
+  SELECT k, bucket_start, max(v) AS v FROM samples GROUP BY k, bucket_start
+), sot AS (
+  SELECT k, sum(v) AS v FROM stepmax GROUP BY k
+)
+SELECT k, v * 60 / 3600 AS utilization_hours FROM sot
+""",
+)
+def flagship_gpu_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+B3+B5+B6+B7 composite over one day at 1-minute steps.
+
+    'purchase' plays kpanda_gpu_pod_utilization; `!= bool 20` plays the
+    sentinel filter; `max without (user_id)` collapses the per-user series;
+    sum_over_time over the [24h:1m] frame; regroup by k; * 60 / 3600.
+    """
+    day0, day1 = FLAGSHIP_DAY, FLAGSHIP_DAY + timedelta(days=1)
+    samples = _event_samples(spark, sf_dir, keys=("k", "user_id")).where(
+        (F.col("metric_name") == "purchase")
+        & (F.col("timestamp") >= F.lit(day0))
+        & (F.col("timestamp") < F.lit(day1))
+    )
+    flagged = promql.bool_cmp(samples, "!=", 20.0)
+    bucketed = flagged.withColumn(
+        "bucket_start", F.window(F.col("timestamp"), "1 minute")["start"]
+    )
+    stepmax = promql.max_without(bucketed, ["user_id"], extra_keys=["bucket_start"])
+    sot = promql.sum_over_time(stepmax)
+    total = promql.sum_by(sot, ["k"])
+    return total.select(
+        F.element_at("labels", "k").alias("k"),
+        (F.col("value") * 60 / 3600).alias("utilization_hours"),
+    )
+
+
+# =========================================================================
+# B — PromQL combinators
+# =========================================================================
+
+
+@register(
+    "promql_instant_vector",
+    oracle="""
+WITH windowed AS (
+  SELECT event_type AS metric_name, user_id, json_extract_string(props,'$.k') AS k,
+         value, ts,
+         row_number() OVER (
+           PARTITION BY event_type, user_id, json_extract_string(props,'$.k')
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
+    AND ts >= TIMESTAMP '2024-01-30 06:00:00'
+)
+SELECT metric_name, user_id, k, value, CAST(ts AS TIMESTAMP) AS ts FROM windowed WHERE rn = 1
+""",
+)
+def promql_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: latest point per series within the staleness window (6 h here —
+    the fixture is sparser than real Prometheus's 5 m)."""
+    samples = _event_samples(spark, sf_dir)
+    sel = promql.instant_selector(
+        samples,
+        None,
+        datetime(2024, 1, 30, 12, 0, 0),
+        staleness="6 hours",
+        tiebreakers=["event_id"],
+    )
+    return sel.select(
+        F.col("metric_name"),
+        F.element_at("labels", "user_id").cast("long").alias("user_id"),
+        F.element_at("labels", "k").alias("k"),
+        F.col("value"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+@register(
+    "promql_sum_by",
+    oracle="""
+SELECT json_extract_string(props,'$.k') AS k, round(sum(value), 4) AS sum_value
+FROM events GROUP BY json_extract_string(props,'$.k')
+""",
+)
+def promql_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: ``sum by (k)`` across all series."""
+    samples = _event_samples(spark, sf_dir)
+    out = promql.sum_by(samples, ["k"])
+    return out.select(
+        F.element_at("labels", "k").alias("k"), F.round("value", 4).alias("sum_value")
+    )
+
+
+@register(
+    "promql_max_without",
+    oracle="""
+SELECT event_type AS name, json_extract_string(props,'$.k') AS k, max(value) AS max_value
+FROM events GROUP BY event_type, json_extract_string(props,'$.k')
+""",
+)
+def promql_max_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: ``max without (user_id)`` — collapse the user dimension."""
+    samples = _event_samples(spark, sf_dir)
+    out = promql.max_without(samples, ["user_id"])
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.col("value").alias("max_value"),
+    )
+
+
+@register(
+    "promql_avg_by",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS user_id, round(avg(value), 4) AS avg_value
+FROM events GROUP BY CAST(user_id AS VARCHAR)
+""",
+)
+def promql_avg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: ``avg by (user_id)``."""
+    samples = _event_samples(spark, sf_dir)
+    out = promql.avg_by(samples, ["user_id"])
+    return out.select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.round("value", 4).alias("avg_value"),
+    )
+
+
+@register(
+    "promql_sum_over_time",
+    oracle="""
+WITH resampled AS (
+  SELECT event_type AS name, json_extract_string(props,'$.k') AS k,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket_start, value,
+         row_number() OVER (
+           PARTITION BY event_type, json_extract_string(props,'$.k'),
+                        time_bucket(INTERVAL '1 hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT name, k, round(sum(value), 4) AS sot_value
+FROM resampled WHERE rn = 1 GROUP BY name, k
+""",
+)
+def promql_sum_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: step-align to 1 h (last value per bucket), then sum the aligned
+    series — ``sum_over_time(x[<frame>:1h])`` with the frame = full range."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    out = promql.sum_over_time(stepped)
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 4).alias("sot_value"),
+    )
+
+
+@register(
+    "promql_bool_scalar_arith",
+    oracle="""
+SELECT event_type AS name,
+       sum(CASE WHEN value > 15.0 THEN 1.0 ELSE 0.0 END) * 60 / 3600 AS busy_hours
+FROM events GROUP BY event_type
+""",
+)
+def promql_bool_scalar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6+B7: ``sum by (name) (value > bool 15) * 60 / 3600``."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    flagged = promql.bool_cmp(samples, ">", 15.0)
+    out = promql.sum_by(flagged, ["name"])
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        (F.col("value") * 60 / 3600).alias("busy_hours"),
+    )
+
+
+@register(
+    "promql_gapfill_locf",
+    oracle="""
+WITH buckets AS (
+  SELECT event_type AS name,
+         time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket_start,
+         value,
+         row_number() OVER (
+           PARTITION BY event_type, time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('error', 'signup')
+), stepped AS (
+  SELECT name, bucket_start, value FROM buckets WHERE rn = 1
+), bounds AS (
+  SELECT name, min(bucket_start) AS lo, max(bucket_start) AS hi FROM stepped GROUP BY name
+), grid AS (
+  SELECT name, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket_start
+  FROM bounds
+)
+SELECT g.name, g.bucket_start,
+       last_value(s.value IGNORE NULLS) OVER (
+         PARTITION BY g.name ORDER BY g.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN stepped s ON s.name = g.name AND s.bucket_start = g.bucket_start
+""",
+)
+def promql_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: densify a 6 h step grid per series and forward-fill gaps
+    (PromQL staleness / last-observation-carried-forward)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",)).where(
+        F.col("metric_name").isin("error", "signup")
+    )
+    stepped = promql.resample(samples, "6 hours", tiebreakers=["event_id"])
+    filled = promql.gapfill_locf(stepped, "6 hours")
+    return filled.select(
+        F.element_at("labels", "name").alias("name"),
+        F.col("bucket_start"),
+        F.col("value"),
+    )
+
+
+# =========================================================================
+# A — pipeline operators (ingest normalization, scans, idempotency)
+# =========================================================================
+
+
+@register(
+    "ingest_normalize_events",
+    oracle="""
+SELECT 'events_ingest' AS query_id, event_type AS metric_name,
+       json_extract_string(props,'$.k') AS label_k,
+       CAST(user_id AS VARCHAR) AS label_user,
+       value, CAST(ts AS TIMESTAMP) AS timestamp, 'instant' AS result_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS collected_at,
+       CAST(date_trunc('day', ts) AS DATE) AS collected_date
+FROM events
+""",
+)
+def ingest_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-A13 composite: events → MetricRecord shape (label map exploded to
+    scalar columns for the hash compare — maps aren't hash-stable across
+    engines)."""
+    from prom_etl_db_spark.ingest import events_as_metric_records
+
+    rec = events_as_metric_records(_events(spark, sf_dir))
+    return rec.select(
+        "query_id",
+        "metric_name",
+        F.element_at("labels", "k").alias("label_k"),
+        F.element_at("labels", "user_id").alias("label_user"),
+        "value",
+        "timestamp",
+        "result_type",
+        "collected_at",
+        "collected_date",
+    )
+
+
+@register(
+    "collected_at_sameday_range",
+    oracle="""
+SELECT TIMESTAMP '2024-01-30 00:00:00' AS collected_at, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+""",
+)
+def collected_at_sameday_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: a same-day range query (yesterday → yesterday_end, now frozen at
+    2024-01-31) buckets every point to that day's start
+    (`calculateCollectedAt`, executor.go:414-436)."""
+    from prom_etl_db_spark.ingest import collected_at_col
+
+    day0, day1 = FLAGSHIP_DAY, FLAGSHIP_DAY + timedelta(days=1)
+    ev = _events(spark, sf_dir).where(
+        (F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1))
+    )
+    tagged = ev.withColumn(
+        "collected_at",
+        collected_at_col(
+            F.col("ts"),
+            "range",
+            now=NOW,
+            start_expr="yesterday",
+            end_expr="yesterday_end",
+        ),
+    )
+    return tagged.groupBy("collected_at").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "latest_n_scan",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+WHERE event_type = 'click'
+ORDER BY ts DESC, event_id DESC LIMIT 100
+""",
+)
+def latest_n_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17/C6: WHERE key ORDER BY timestamp DESC LIMIT n (mysql.go:166-213)."""
+    return analytics.latest_n(_events(spark, sf_dir), "click", 100)
+
+
+@register(
+    "metrics_count",
+    oracle="SELECT count(*) AS records FROM events WHERE event_type = 'view'",
+)
+def metrics_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: COUNT(*) per key (mysql.go:262-272)."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .agg(F.count(F.lit(1)).alias("records"))
+    )
+
+
+@register(
+    "table_stats",
+    oracle="""
+SELECT 'events' AS table_name, count(*) AS n FROM events
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+""",
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: whitelisted per-table row counts (mysql.go:317-349)."""
+    parts = [
+        _events(spark, sf_dir).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("events").alias("table_name"), "n"
+        ),
+        _t(spark, sf_dir, "orders").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit("orders").alias("table_name"), "n"),
+        _t(spark, sf_dir, "lineitem").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit("lineitem").alias("table_name"), "n"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "retention_horizon",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY CAST(date_trunc('day', ts) AS DATE)
+""",
+)
+def retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 semantics: rows surviving `collected_at >= cutoff` per day
+    (CleanupOldMetrics keeps the complement, mysql.go:275-289)."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("ts") >= F.lit(datetime(2024, 1, 15)))
+        .groupBy(F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "backfill_skip_existing",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.ts < TIMESTAMP '2024-01-15 00:00:00'
+    AND x.event_type = e.event_type
+    AND date_trunc('day', x.ts) = date_trunc('day', e.ts)
+)
+GROUP BY CAST(date_trunc('day', ts) AS DATE)
+""",
+)
+def backfill_skip_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: idempotent backfill — incoming (key, day) slices already present
+    are skipped via a broadcast left_anti join (repair/main.go:557-576)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.date_trunc("DAY", F.col("ts")))
+    )
+    existing = (
+        ev.where(F.col("ts") < F.lit(datetime(2024, 1, 15)))
+        .select("event_type", "day")
+        .distinct()
+    )
+    surviving = ev.join(F.broadcast(existing), ["event_type", "day"], "left_anti")
+    return surviving.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "timeparse_grid",
+    oracle="""
+SELECT * FROM (VALUES
+  ('now',            TIMESTAMP '2024-01-31 00:00:00'),
+  ('today',          TIMESTAMP '2024-01-31 00:00:00'),
+  ('today_end',      TIMESTAMP '2024-01-31 23:59:59.999999'),
+  ('yesterday',      TIMESTAMP '2024-01-30 00:00:00'),
+  ('yesterday_end',  TIMESTAMP '2024-01-30 23:59:59.999999'),
+  ('last_week',      TIMESTAMP '2024-01-21 00:00:00'),
+  ('last_week_end',  TIMESTAMP '2024-01-27 23:59:59.999999'),
+  ('last_month',     TIMESTAMP '2023-12-01 00:00:00'),
+  ('last_month_end', TIMESTAMP '2023-12-31 23:59:59.999999'),
+  ('last_quarter',   TIMESTAMP '2023-10-01 00:00:00'),
+  ('last_year',      TIMESTAMP '2023-01-01 00:00:00'),
+  ('today@06:30',    TIMESTAMP '2024-01-31 06:30:00'),
+  ('yesterday@23:59:59', TIMESTAMP '2024-01-30 23:59:59'),
+  ('-1d',            TIMESTAMP '2024-01-30 00:00:00'),
+  ('-1h30m',         TIMESTAMP '2024-01-30 22:30:00'),
+  ('+2h',            TIMESTAMP '2024-01-31 02:00:00'),
+  ('now-1h',         TIMESTAMP '2024-01-30 23:00:00'),
+  ('-1w',            TIMESTAMP '2024-01-24 00:00:00')
+) AS t(expr, resolved)
+""",
+)
+def timeparse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the documented relative-time grammar resolved against a frozen
+    now (2024-01-31 00:00, a Wednesday) — oracle rows are hand-computed
+    expectations (parser.go:58-247 + user-guide.md:132-167 superset)."""
+    parser = RelativeTimeParser(NOW)
+    exprs = [
+        "now", "today", "today_end", "yesterday", "yesterday_end",
+        "last_week", "last_week_end", "last_month", "last_month_end",
+        "last_quarter", "last_year", "today@06:30", "yesterday@23:59:59",
+        "-1d", "-1h30m", "+2h", "now-1h", "-1w",
+    ]
+    rows = [(e, parser.parse(e)) for e in exprs]
+    return spark.createDataFrame(rows, "expr string, resolved timestamp")
+
+
+# =========================================================================
+# C — downstream SQL surface
+# =========================================================================
+
+
+@register(
+    "label_extract",
+    oracle="""
+SELECT event_id, event_type, json_extract_string(props,'$.k') AS label_k, value
+FROM events
+""",
+)
+def label_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: JSON_UNQUOTE(JSON_EXTRACT(labels,'$.k'))."""
+    return analytics.label_extract(_events(spark, sf_dir))
+
+
+@register(
+    "label_filter_slice",
+    oracle="""
+SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+WHERE json_extract_string(props,'$.k') = '42'
+""",
+)
+def label_filter_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: equality filter on an extracted JSON label."""
+    return analytics.label_filter_slice(_events(spark, sf_dir), "k", "42")
+
+
+@register(
+    "substring_prefix",
+    oracle="""
+SELECT p_partkey,
+       array_to_string((string_split(p_name, ' '))[1:2], ' ') AS name_prefix
+FROM part
+""",
+)
+def substring_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: SUBSTRING_INDEX(name, ' ', 2)."""
+    return analytics.substring_index_prefix(_t(spark, sf_dir, "part"))
+
+
+@register(
+    "hourly_rollup",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
+""",
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+C4: hourly per-type rollup (user-guide.md:248-257)."""
+    return analytics.hourly_rollup(_events(spark, sf_dir))
+
+
+@register(
+    "time_window_scan",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 24 HOUR
+""",
+)
+def time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: timestamp >= now() - INTERVAL 24 HOUR (frozen now)."""
+    return analytics.time_window_scan(_events(spark, sf_dir), NOW, 24)
+
+
+@register(
+    "daily_report",
+    oracle="""
+SELECT k, day, round(total_value, 3) AS total_value FROM (
+  SELECT json_extract_string(props,'$.k') AS k,
+         CAST(ts AS DATE) AS day, sum(value) AS total_value
+  FROM events GROUP BY json_extract_string(props,'$.k'), CAST(ts AS DATE)
+) aaa
+""",
+)
+def daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7+C9+C11: the GPU-daily report shape (query_gpu_daily.sql:1-28) —
+    derived-table subquery, SUM, ROUND."""
+    return analytics.daily_report(_events(spark, sf_dir))
+
+
+@register(
+    "success_rate",
+    oracle="""
+SELECT event_type, count(*) AS total,
+       count(CASE WHEN value > 10.0 THEN 1 END) AS high_value,
+       round(100.0 * count(CASE WHEN value > 10.0 THEN 1 END) / count(*), 2)
+         AS high_value_pct
+FROM events GROUP BY event_type
+""",
+)
+def success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: conditional aggregation + percentage (user-guide.md:333-346)."""
+    return analytics.success_rate(_events(spark, sf_dir))
+
+
+@register(
+    "per_key_stats",
+    oracle="""
+SELECT event_type, count(*) AS records, CAST(min(ts) AS TIMESTAMP) AS earliest,
+       CAST(max(ts) AS TIMESTAMP) AS latest,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def per_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12+C13: per-key freshness & stats (user-guide.md:277-285)."""
+    return analytics.per_key_stats(_events(spark, sf_dir))
+
+
+# =========================================================================
+# SQL-surface depth on the star schema (grouped aggs, joins, top-N at
+# bench scale)
+# =========================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the synthetic lineitem — the bench workhorse:
+    wide aggregation, 6 aggregates, 2 group keys, filter pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(datetime(2000, 12, 1)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spend,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey ASC LIMIT 10
+""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join surface: fact⋈dim with the dim broadcast (no fact shuffle for
+    the join), then top-N."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_count",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count with a pushed-down date-range filter (TPC-H Q4 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(datetime(1996, 4, 1)))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dim chain (orders→customer→nation→region), every dim
+    broadcast — the fact table never shuffles until the final group-by."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# =========================================================================
+# E — LLM-data-pipeline extensions
+# =========================================================================
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT lang, source, min(doc_id) AS doc_id FROM documents GROUP BY lang, source
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact dedup on (lang, source) keeping the lowest doc_id —
+    deterministic survivor via min_by, single hash aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(
+        docs.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id"
+    )
+    return out.select("lang", "source", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+), tok AS (
+  SELECT id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), sizes AS (
+  SELECT id, len(shingles) AS n_sh FROM sh
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.3
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (exact variant): all document pairs with 3-gram Jaccard ≥ 0.3,
+    computed via shingle equi-join (never a crossJoin)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
+
+
+@register("minhash_lsh_pairs")  # no SQL oracle: crc32-minhash isn't DuckDB-expressible
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (scale variant): MinHash+LSH banding candidates verified by exact
+    Jaccard. Rows-only driver check; unit tests cross-validate against
+    ngram_jaccard_pairs ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dup_pairs(
+        docs, shingle_n=3, num_hashes=32, bands=16, threshold=0.3
+    )
+
+
+@register("simhash_signatures")  # no SQL oracle: pandas-UDF bit votes
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (SimHash): 64-bit signatures via Arrow-batched pandas UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_signature(docs)
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv)+1)])
+           / (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv)+1)]))
+              * sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv)+1)])))
+           AS sim
+  FROM q, c WHERE q.query_id != c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: exact top-5 cosine neighbors for the first 10 vectors —
+    broadcast query set, JVM-side fold for the dot product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
+@register("similarity_topk_ivf")  # approximate by design → rows-only check
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: IVF-bucketed ANN (16 centroids, nprobe=4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: whitespace token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             w -> list_contains(['the','and','of','to','a','in','is','that','with','for'], w)))
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_toks, 1), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / greatest(n_toks, 1), 6) AS mean_word_len
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: punctuation/stopword/word-length quality signals."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.quality_features(docs)
+    return out.select("doc_id", "punct_ratio", "stopword_ratio", "mean_word_len")
+
+
+@register(
+    "text_language_id",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> list_contains(['the','and','of','to','a','in','is','that','with','for'], w))) AS s_en,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> list_contains(['der','die','das','und','ist','von','mit','ein','nicht','für'], w))) AS s_de,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> list_contains(['le','la','les','et','est','de','un','une','pour','dans'], w))) AS s_fr,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> list_contains(['el','la','los','y','es','de','un','una','por','con'], w))) AS s_es,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> list_contains(['的','是','在','和','了','有','我','不','这','中'], w))) AS s_zh
+  FROM documents
+), guessed AS (
+  SELECT doc_id, lang,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         WHEN s_es >= s_zh THEN 'es'
+         ELSE 'zh' END AS guess_lang
+  FROM scored
+)
+SELECT lang, guess_lang, count(*) AS n FROM guessed GROUP BY lang, guess_lang
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: stopword-heuristic language ID, confusion counts vs fixture
+    ground truth (ties resolve to STOPWORDS declaration order)."""
+    docs = _t(spark, sf_dir, "documents")
+    guessed = docs.select(
+        "lang", text.language_id(F.col("text")).alias("guess_lang")
+    )
+    return guessed.groupBy("lang", "guess_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text)+1)]),
+         (h, c) -> (h * 31 + c) % 1000000007) AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: rolling polynomial hash (h·31+cp mod 1e9+7) — exact int64 fold,
+    bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 AS width,
+       octet_length(encode(text)) % 480 AS height
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: binary media plumbing — payload → mapInPandas feature extraction
+    (deterministic fake decode; codec stubbed, Spark plumbing real)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs)
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+@register(
+    "media_frame_counts",
+    oracle="""
+SELECT doc_id AS media_id,
+       least(8, greatest(1, octet_length(encode(text)) // 64)) AS n_frames
+FROM documents
+""",
+)
+def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: frame sampling fan-out (≤8 fixed-stride slices per payload)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs, kind="video")
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))

@@ -1,0 +1,162 @@
+"""Scheduling & retry (SURVEY.md §2.A rows A28-A31, §2.D).
+
+The reference registers one 6-field-cron closure per enabled query
+(`/root/reference/cmd/server/main.go:114-155`) and retries failures at a
+fixed interval (`internal/executor/executor.go:366-402`). Here:
+
+- ``CronSchedule`` parses the same 6-field (seconds-first) grammar and
+  computes next-fire times — used to drive ``Trigger.AvailableNow``-style
+  batch runs from an external scheduler, or mapped to a processing-time
+  trigger for `*/N * * * * *` shapes (see ``as_processing_time_interval``).
+- ``with_retry`` is the driver-side retry decorator (count × interval,
+  like ExecuteQueryWithRetry — including its "attempts = retries + 1"
+  accounting).
+- ``run_query_audited`` wraps one execution with the audit record protocol
+  (running → success/failed, duration, records_count — A16,
+  executor.go:41-47,207-218).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Any
+
+from prom_etl_db_spark.timeparse import parse_duration
+
+_FIELD_RANGES = [(0, 59), (0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]  # sec..dow
+
+
+def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
+    vals: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+        if part in ("*", ""):
+            rng = range(lo, hi + 1)
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            rng = range(int(a), int(b) + 1)
+        else:
+            rng = range(int(part), int(part) + 1)
+        vals.update(v for v in rng if (v - lo) % step == 0 or step == 1)
+        if step > 1 and "-" not in part and part not in ("*", ""):
+            vals.update(v for v in range(int(part), hi + 1, step))
+    return {v for v in vals if lo <= v <= hi}
+
+
+@dataclass
+class CronSchedule:
+    """6-field cron (seconds minutes hours dom month dow) — the
+    robfig/cron ``WithSeconds`` grammar the reference uses
+    (`cmd/server/main.go:117`; examples `docs/user-guide.md:203-217`)."""
+
+    expr: str
+
+    def __post_init__(self) -> None:
+        fields = self.expr.split()
+        if len(fields) != 6:
+            raise ValueError(f"expected 6 cron fields, got {len(fields)}: {self.expr!r}")
+        self.fields = [
+            _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+        ]
+
+    def matches(self, t: datetime) -> bool:
+        sec, minute, hour, dom, month, dow = self.fields
+        return (
+            t.second in sec
+            and t.minute in minute
+            and t.hour in hour
+            and t.day in dom
+            and t.month in month
+            and (t.weekday() + 1) % 7 in dow  # cron: 0=Sunday
+        )
+
+    def next_fire(self, after: datetime, limit_days: int = 366) -> datetime:
+        """First matching second strictly after ``after``."""
+        t = after.replace(microsecond=0) + timedelta(seconds=1)
+        end = after + timedelta(days=limit_days)
+        while t <= end:
+            if self.matches(t):
+                return t
+            t += timedelta(seconds=1)
+        raise ValueError(f"no fire time within {limit_days} days for {self.expr!r}")
+
+    def as_processing_time_interval(self) -> str | None:
+        """If the schedule is a pure `*/N`-seconds shape, return the
+        equivalent Structured Streaming processing-time trigger interval
+        (SURVEY.md §2.D); else None (calendar cron → external scheduler)."""
+        fields = self.expr.split()
+        if fields[1:] == ["*"] * 5 and fields[0].startswith("*/"):
+            return f"{int(fields[0][2:])} seconds"
+        return None
+
+
+def with_retry(
+    fn: Callable[[], Any],
+    *,
+    retry_count: int = 0,
+    retry_interval: str = "5s",
+    sleep: Callable[[float], None] = time.sleep,
+) -> Any:
+    """A29: up to retry_count re-executions after the first attempt,
+    sleeping the fixed interval between (executor.go:366-402; the 5s code
+    fallback is executor.go:372-375)."""
+    interval = parse_duration(retry_interval).total_seconds()
+    last_err: Exception | None = None
+    for attempt in range(retry_count + 1):
+        if attempt > 0:
+            sleep(interval)
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — parity: reference retries any error
+            last_err = e
+    raise RuntimeError(
+        f"query failed after {retry_count + 1} attempts"
+    ) from last_err
+
+
+def run_query_audited(
+    spark,
+    *,
+    query_id: str,
+    query_name: str,
+    run: Callable[[], int],
+    audit_path: str,
+    now: Callable[[], datetime] = datetime.utcnow,
+):
+    """A16/A31 protocol: audit running→success/failed with duration and
+    records_count; errors are recorded then re-raised (executor.go:73-92)."""
+    from prom_etl_db_spark.store import append_execution, execution_record
+
+    start = now()
+    try:
+        count = run()
+    except Exception as e:
+        rec = execution_record(
+            spark,
+            query_id=query_id,
+            query_name=query_name,
+            status="failed",
+            start_time=start,
+            end_time=now(),
+            records_count=0,
+            error_message=str(e)[:2000],
+        )
+        append_execution(rec, audit_path)
+        raise
+    rec = execution_record(
+        spark,
+        query_id=query_id,
+        query_name=query_name,
+        status="success",
+        start_time=start,
+        end_time=now(),
+        records_count=count,
+    )
+    append_execution(rec, audit_path)
+    return count

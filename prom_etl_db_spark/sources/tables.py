@@ -1,0 +1,71 @@
+"""Parquet table loaders for the driver's synthetic star schema (TESTDATA.md).
+
+The scan path is where 100 TB lives or dies: loaders return the raw
+``spark.read.parquet`` DataFrame and let callers project/filter so Catalyst
+pushes predicates and prunes columns into the scan (verify with
+``df.explain``: ``PushedFilters`` / ``ReadSchema`` — SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects them by
+    default, so they're read as long (nanosAsLong) and converted."""
+    import pyarrow.parquet as pq
+
+    return tuple(
+        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Plain parquet scan — no caching, no
+    collect; Catalyst prunes from here.
+
+    Nanosecond-timestamp columns (the events fixture) are normalized to
+    TimestampType (µs): integer DIV keeps the conversion exact, and the
+    projection still allows pushdown on every other column.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the Spark-SQL surface
+    (SURVEY.md §3.3: downstream analytics run as ``spark.sql`` over views)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,127 @@
+"""Storage sinks: append / idempotent overwrite / retention / audit
+(SURVEY.md §2.A rows A14-A26).
+
+The reference writes row-at-a-time inside one MySQL transaction per
+execution (`/root/reference/internal/database/mysql.go:85-136`); here a
+batch append to a ``collected_date``-partitioned parquet table is the
+atomic unit, and the repair tool's idempotency matrix
+(`/root/reference/cmd/repair/main.go:317-374`) maps to:
+
+- skip-if-exists  → left_anti join against existing (query_id, day) keys
+- force-recompute → dynamic partition overwrite (replaceWhere analogue)
+- retention       → partition drop on collected_date < cutoff
+
+Partitioning by day bucket is the reference's one deliberate physical
+design decision (day-truncated ``collected_at``, SURVEY.md §4.1) and is
+what makes day-level idempotent rewrite O(day) instead of O(table) — the
+property that still holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import date, datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.schema import EXECUTION_SCHEMA
+
+PARTITION_COLS = ("collected_date",)
+
+
+def append_records(df: DataFrame, path: str) -> None:
+    """A14: atomic batch append, partitioned by day."""
+    df.write.partitionBy(*PARTITION_COLS).mode("append").parquet(path)
+
+
+def read_records(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def overwrite_days(df: DataFrame, path: str) -> None:
+    """A21/A26 force-recompute: rewrite exactly the day partitions present
+    in ``df`` (dynamic partition overwrite = Delta ``replaceWhere``), leaving
+    sibling days untouched."""
+    (
+        df.write.partitionBy(*PARTITION_COLS)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def backfill_skip_existing(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """A26 default branch: drop incoming rows whose (query_id, day) slice
+    already exists (`checkExistingData`, repair/main.go:557-576). Returns
+    the surviving rows (caller appends). The existing-keys side is tiny
+    (distinct day keys) → broadcast, no big shuffle."""
+    try:
+        existing = (
+            read_records(spark, path).select("query_id", "collected_date").distinct()
+        )
+    except Exception:
+        return df
+    return df.join(F.broadcast(existing), ["query_id", "collected_date"], "left_anti")
+
+
+def delete_day(spark: SparkSession, path: str, day: date) -> None:
+    """A21: drop one day partition (physical partition delete — O(1) at any
+    scale, like `DeleteMetricsByDate`, mysql.go:292-314)."""
+    part = Path(path) / f"collected_date={day.isoformat()}"
+    if part.exists():
+        shutil.rmtree(part)
+
+
+def retention_cleanup(spark: SparkSession, path: str, older_than: date) -> int:
+    """A20: drop every partition with collected_date < cutoff
+    (`CleanupOldMetrics`, mysql.go:275-289). Partition-level delete —
+    no data rewrite. Returns number of partitions dropped."""
+    root = Path(path)
+    dropped = 0
+    for part in root.glob("collected_date=*"):
+        day = date.fromisoformat(part.name.split("=", 1)[1])
+        if day < older_than:
+            shutil.rmtree(part)
+            dropped += 1
+    return dropped
+
+
+# -- audit (A16/A18) ---------------------------------------------------------
+
+
+def execution_record(
+    spark: SparkSession,
+    *,
+    query_id: str,
+    query_name: str,
+    status: str,
+    start_time: datetime,
+    end_time: datetime | None = None,
+    records_count: int | None = None,
+    error_message: str | None = None,
+) -> DataFrame:
+    """A16: build one audit row (status/duration/count/error —
+    `InsertQueryExecution`, mysql.go:139-163)."""
+    duration_ms = (
+        int((end_time - start_time).total_seconds() * 1000) if end_time else None
+    )
+    row = [
+        (
+            query_id,
+            query_name,
+            status,
+            start_time,
+            end_time,
+            duration_ms,
+            records_count,
+            error_message,
+            start_time,
+        )
+    ]
+    return spark.createDataFrame(row, EXECUTION_SCHEMA)
+
+
+def append_execution(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)

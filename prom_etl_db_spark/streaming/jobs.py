@@ -1,0 +1,102 @@
+"""Structured Streaming jobs (SURVEY.md §2.D).
+
+The reference's "stream" is cron re-executing queries forever
+(`/root/reference/cmd/server/main.go:114-155`) with no watermark, no dedup
+across re-runs, and lateness repaired offline by a CLI
+(`cmd/repair/main.go`). The Spark mapping is strictly stronger:
+
+- file-source ``readStream`` over the events directory → the same ingest
+  normalization chain → partitioned parquet sink with checkpointing
+  (exactly-once per batch via the sink's batchId transaction log).
+- windowed aggregation with a watermark handles late data online instead
+  of via offline repair.
+
+Tests drive these with ``Trigger.AvailableNow`` so they run as bounded
+batches — the same code deploys with a processing-time trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from prom_etl_db_spark.ingest import events_as_metric_records
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_to_metrics(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    query_id: str = "events_stream",
+) -> StreamingQuery:
+    """Ingest stream: events parquet files → metric records → day-partitioned
+    parquet, checkpointed. ``maxFilesPerTrigger`` bounds batch size in
+    continuous mode (the reference's pacing knob, §2.D backpressure row)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    records = events_as_metric_records(raw, query_id=query_id)
+    writer = (
+        records.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("collected_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def windowed_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming per-(type, window) rollup with a watermark for late data —
+    the online replacement for the reference's offline repair-by-day story
+    (§2.D watermark row). Append mode emits each window once it's final."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+            F.col("sum_value"),
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()
