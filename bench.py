@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. The driver runs this per-round at
+sf0.1 and compares against BASELINE.md; run locally at sf0.01 while
+iterating.
+
+Each query is timed to full materialization (count of the result — forces
+every stage; avoids driver-side collect cost dominating small results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from prom_etl_db_spark.queries import QUERIES  # noqa: E402
+from prom_etl_db_spark.session import get_spark  # noqa: E402
+
+# Representative, scale-stressing subset of the registry: the flagship
+# composite, wide aggregation, broadcast joins, shuffle-heavy dedup, the
+# pandas-UDF path, and the similarity search.
+HEADLINE = [
+    "flagship_gpu_utilization",
+    "ingest_normalize_events",
+    "promql_sum_over_time",
+    "promql_gapfill_locf",
+    "hourly_rollup",
+    "tpch_q1_pricing_summary",
+    "top_customers",
+    "regional_revenue",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "similarity_topk",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("prom-etl-db-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job so query 1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

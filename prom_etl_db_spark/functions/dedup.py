@@ -3,18 +3,21 @@
 All four strategies are shuffle-architected for 100 TB:
 
 - exact:        one hash-partitioned groupBy on the dedup key — no sort.
-- minhash-LSH:  shingle → k min-hashes → b band-keys → groupBy band key →
+- minhash-LSH:  shingle → one xxhash64 per shingle → k min-hashes via
+                affine transforms of that base hash (cheap JVM arithmetic,
+                not k string hashes) → b band-keys → groupBy band key →
                 candidate pairs only WITHIN buckets → exact-Jaccard verify.
-                Never a crossJoin; candidate generation is linear + one
-                shuffle per band set.
-- simhash:      64-bit signature via Arrow-batched pandas UDF, then
-                bucket-join on rotated prefixes (here: signature bands).
-- n-gram Jaccard: explode shingles → self-equi-join on shingle → pair
-                aggregation. The join key is the shingle, so co-occurrence
-                is computed by the shuffle — no pairwise loop.
+                Never a crossJoin; the band join carries only (id, band,
+                hash) — shingle sets are re-joined by id afterwards so the
+                wide arrays never ride the candidate shuffle.
+- simhash:      64-bit signature via Arrow-batched pandas UDF.
+- n-gram Jaccard: explode hashed shingles → self-equi-join on the 8-byte
+                hash → pair aggregation. Co-occurrence is computed by the
+                shuffle — no pairwise loop, and the shuffle rows are
+                (id, int64), not strings.
 
-Hash functions are engine-built-ins (crc32/xxhash64) evaluated JVM-side —
-the Python layer only composes Columns.
+Shingle identity is an xxhash64 — at any realistic corpus size the
+collision contribution to a Jaccard estimate is ≪ the thresholds used.
 """
 
 from __future__ import annotations
@@ -29,12 +32,26 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "word_shingles",
+    "hashed_shingles",
     "minhash_signature",
     "minhash_lsh_dup_pairs",
     "minhash_dedup",
     "simhash_signature",
     "ngram_jaccard_dup_pairs",
 ]
+
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1; a*h+b stays < 2^62 — exact in int64
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k hash families (Knuth-style
+    multiplicative constants; a must be non-zero mod p)."""
+    params = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1) + 104_729) % _MERSENNE31 or 1
+        b = (40_503 * (i + 1) * (i + 1) + 7_919) % _MERSENNE31
+        params.append((a, b))
+    return params
 
 
 # -- E1: exact dedup --------------------------------------------------------
@@ -43,8 +60,7 @@ __all__ = [
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Exact dedup keeping the row with MIN(order_col) per key group —
     deterministic, unlike ``dropDuplicates`` whose survivor is arbitrary
-    under parallelism. One hash aggregation when ``order_col`` selection is
-    via ``min_by``; no window sort needed."""
+    under parallelism. One hash aggregation (min_by); no window sort."""
     others = [c for c in df.columns if c not in keys and c != order_col]
     return df.groupBy(*keys).agg(
         F.min(order_col).alias(order_col),
@@ -57,35 +73,53 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a lowercased, whitespace-normalized text.
-    Pure Column expression (JVM-side): split → sliding join via transform
-    over an index sequence."""
+
+    Pure Column expression built as a zip_with chain: gram i = words[i..i+n)
+    joined — O(words·n) instead of the O(words²) slice-in-transform
+    formulation, which measurably dominates at corpus scale."""
     words = F.split(F.trim(F.lower(text)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(words) - F.lit(n))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    # guard: sequence(0, negative) would count DOWN in Spark — short texts
-    # must yield an empty shingle set, not garbage
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, F.lit(j + 1), F.size(words))
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # so the trailing j entries are short grams — sliced off below.
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)))
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Shingle set as distinct int64 hashes — 8 bytes per shingle through
+    every downstream shuffle instead of a string."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
     )
 
 
 # -- E2a: MinHash + LSH -----------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """k min-hash values per row: h_i(S) = min over shingles of
-    crc32(i || shingle). crc32 is JVM-built-in and stable across engines;
-    the i-prefix gives k independent-enough hash families."""
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """k min-hash values from pre-hashed shingles: h_i(S) = min over s of
+    (a_i·(s mod p) + b_i) mod p. One xxhash64 per shingle total; the k
+    families are integer multiply-adds — whole-stage-codegen arithmetic."""
+    base = F.transform(shingle_hashes, lambda s: F.pmod(s, F.lit(_MERSENNE31)))
+
+    def affine(a: int, b: int):
+        # closure factory: PySpark treats extra lambda params (even with
+        # defaults) as higher-order-function variables
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+
     sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.crc32(F.concat(F.lit(f"{i}_"), s)))
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(base, affine(a, b)))
+        for a, b in _affine_params(num_hashes)
     ]
     return F.array(*sigs)
 
 
-def _jaccard(a: Column, b: Column) -> Column:
+def _jaccard_hashed(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -103,20 +137,28 @@ def minhash_lsh_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
 
-    shingle → signature (linear) → explode b band keys → self-join on
-    (band, band_hash) — candidates only share a bucket → verify true
-    Jaccard on shingle sets. Output: (id_a, id_b, jaccard) with id_a<id_b.
+    Pipeline: hashed shingles (linear) → signature (linear) → explode b
+    band keys → self-join on (band, band_hash) — candidates only share a
+    bucket → re-join shingle sets by id → verify true Jaccard.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    At 100 TB the only shuffles are the band-key join and final distinct;
-    bucket sizes are bounded by banding probability, and AQE splits skewed
+    At 100 TB the candidate shuffle carries (id, band, hash) triples only;
+    bucket sizes are bounded by banding probability and AQE splits skewed
     buckets (boilerplate-heavy corpora).
     """
     rows = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        # multi-pass algorithm: the shingle sets feed the signature pass AND
+        # both sides of the verify join — persist instead of recomputing the
+        # (expensive) shingling per branch. MEMORY_AND_DISK spills at scale.
+        .persist()
+    )
+    sig = base.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
 
     band_entries = F.array(
         *[
@@ -135,29 +177,33 @@ def minhash_lsh_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        "id", "shingles", F.explode(band_entries).alias("bk")
-    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    banded = (
+        sig.select("id", F.explode(band_entries).alias("bk"))
+        .select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+        )
+        # both sides of the candidate self-join read this — persist the
+        # narrow (id, band, hash) triples, not the signature computation
+        .persist()
+    )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", _jaccard_hashed(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -168,7 +214,8 @@ def minhash_dedup(
 ) -> DataFrame:
     """Drop near-duplicates: connected-by-pair docs keep the smallest id.
     (Single-link within direct pairs; full transitive closure is an
-    iterative connected-components job — out of scope for one pass.)"""
+    iterative connected-components job — see SURVEY.md §7.2 later phases.)
+    """
     pairs = minhash_lsh_dup_pairs(docs, id_col, text_col, **kw)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
@@ -219,20 +266,26 @@ def ngram_jaccard_dup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold, computed by exploding
-    shingles and equi-joining on the shingle — co-occurrence counting rides
-    the shuffle, so cost is Σ|bucket|² over shared shingles, not |docs|².
-    Output: (id_a, id_b, jaccard)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    tokens = sh.select("id", F.explode("shingles").alias("shingle"))
+    hashed shingles and equi-joining on the int64 hash — co-occurrence
+    counting rides the shuffle, so cost is Σ|bucket|² over shared
+    shingles, not |docs|². Output: (id_a, id_b, jaccard)."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist()  # read by sizes + both sides of the token self-join
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    tokens = sh.select("id", F.explode("sh").alias("shingle"))
 
-    a = tokens.alias("a")
-    b = tokens.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        tokens.alias("a")
+        .join(
+            tokens.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
