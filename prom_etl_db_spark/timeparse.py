@@ -42,8 +42,8 @@ _END_US = 999999  # µs analogue of jinzhu/now's .999999999 ns end-of-period
 
 # Go-duration style: one or more <number><unit> groups. Units extended with
 # d (reference's custom fallback, parser.go:210) and w (docs user-guide.md:166).
-_DUR_GROUP = re.compile(r"(\d+(?:\.\d+)?)(w|d|h|m|s|ms|us|µs|ns)")
-_DUR_FULL = re.compile(r"^(?:\d+(?:\.\d+)?(?:w|d|h|m|s|ms|us|µs|ns))+$")
+_DUR_GROUP = re.compile(r"(\d+(?:\.\d+)?)(ms|us|µs|ns|w|d|h|m|s)")
+_DUR_FULL = re.compile(r"^(?:\d+(?:\.\d+)?(?:ms|us|µs|ns|w|d|h|m|s))+$")
 
 _UNIT_SECONDS = {
     "w": 7 * 86400.0,
