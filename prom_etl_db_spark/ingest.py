@@ -50,11 +50,13 @@ def quarantine_malformed(pairs_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     ts/value (`executor.go:305-342`); we keep the rejects as a DataFrame so
     the audit record can count them (parity with its warn-log visibility).
     """
+    # try_cast: ANSI-mode cast of a malformed string throws; the reference
+    # warn-logs and skips instead, which is exactly try_cast-to-null + filter.
     ok = (
-        F.size(F.col("pair")) == 2
-    ) & F.col("pair")[1].cast("double").isNotNull() & F.col("pair")[0].cast(
-        "double"
-    ).isNotNull()
+        (F.size(F.col("pair")) == 2)
+        & F.col("pair")[1].try_cast("double").isNotNull()
+        & F.col("pair")[0].try_cast("double").isNotNull()
+    )
     return pairs_df.where(ok), pairs_df.where(~ok)
 
 
@@ -113,7 +115,7 @@ def normalize_matrix(
     exploded = explode_matrix(matrix_df)
     valid, bad = quarantine_malformed(exploded)
 
-    ts = F.timestamp_seconds(F.col("pair")[0].cast("double"))  # A11
+    ts = F.timestamp_seconds(F.col("pair")[0].try_cast("double"))  # A11
     records = valid.select(
         F.lit(query_id).alias("query_id"),
         # A8: __name__ fallback to query_id (executor.go:232-235)
@@ -121,7 +123,7 @@ def normalize_matrix(
             "metric_name"
         ),
         drop_internal_labels(F.col("metric")).alias("labels"),  # A9
-        F.col("pair")[1].cast("double").alias("value"),  # A10
+        F.col("pair")[1].try_cast("double").alias("value"),  # A10
         ts.alias("timestamp"),
         F.lit("range" if time_range_type == "range" else "instant").alias("result_type"),
         collected_at_col(
@@ -148,14 +150,14 @@ def normalize_vector(
     `executor.go:122-129`). Scalar results are a 1-row vector with
     ``result_type='scalar'`` (A4, `client.go:287-298`)."""
     ts = F.timestamp_seconds(F.col("ts"))
-    valid = vector_df.where(F.col("value").cast("double").isNotNull())  # A12
+    valid = vector_df.where(F.col("value").try_cast("double").isNotNull())  # A12
     return valid.select(
         F.lit(query_id).alias("query_id"),
         F.coalesce(F.element_at(F.col("metric"), "__name__"), F.lit(query_id)).alias(
             "metric_name"
         ),
         drop_internal_labels(F.col("metric")).alias("labels"),
-        F.col("value").cast("double").alias("value"),
+        F.col("value").try_cast("double").alias("value"),
         ts.alias("timestamp"),
         F.lit(result_type).alias("result_type"),
         collected_at_col(ts, "instant", now=now, time_expr=time_expr).alias(
@@ -169,15 +171,16 @@ def events_as_metric_records(events_df: DataFrame, query_id: str = "events_inges
     (FIXTURES.md §2): event_type→metric_name, props JSON + user_id→labels,
     value→value, ts→timestamp; collected_at = each point's day start (the
     A13 default branch — no time-range config)."""
+    # null props would null the whole map_concat — treat missing props as {}
     labels = F.map_concat(
-        F.from_json(F.col("props"), "map<string,string>"),
+        F.from_json(F.coalesce(F.col("props"), F.lit("{}")), "map<string,string>"),
         F.create_map(F.lit("user_id"), F.col("user_id").cast("string")),
     )
     return events_df.select(
         F.lit(query_id).alias("query_id"),
         F.col("event_type").alias("metric_name"),
         labels.alias("labels"),
-        F.col("value").cast("double").alias("value"),
+        F.col("value").try_cast("double").alias("value"),
         F.col("ts").alias("timestamp"),
         F.lit("instant").alias("result_type"),
         F.date_trunc("DAY", F.col("ts")).alias("collected_at"),

@@ -1,0 +1,103 @@
+"""Dedup / similarity / text-function tests (SURVEY.md §2.E).
+
+Planted-duplicate fixtures: near-dup pairs the pipeline MUST find, and
+disjoint documents it must NOT pair (no false positives at these sizes).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_dup_pairs,
+    simhash_signature,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "as morning light fills the quiet house with a gentle golden glow"
+)
+NEAR = BASE.replace("golden glow", "silver glow")  # one-word edit → near-dup
+OTHER = (
+    "completely different subject matter entirely about distributed query "
+    "engines shuffling partitioned columnar data across executor nodes "
+    "with adaptive optimization and broadcast hash join strategies enabled"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, "tiny"), (5, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "x", 30.0), (1, "x", 10.0), (2, "y", 20.0)],
+        "doc_id long, k string, v double",
+    )
+    out = exact_dedup(df, ["k"], "doc_id")
+    got = {r["k"]: (r["doc_id"], r["v"]) for r in out.collect()}
+    # min(doc_id) row survives, with ITS OWN other-column values
+    assert got == {"x": (1, 10.0), "y": (2, 20.0)}
+
+
+def test_word_shingles_values(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []  # shorter than n → empty, not partial grams
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # the one-word edit
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0  # the exact copy
+    assert not any(3 in p or 4 in p for p in pairs)  # no false pairs
+
+
+def test_minhash_dedup_keeps_smallest_id(docs):
+    kept = {r["doc_id"] for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert kept == {1, 3, 4}  # 2 and 5 deduped into 1
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: grams {a b c, b c d} ; doc2: grams {a b c, b c e}
+    # intersection 1, union 3 → jaccard 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_dup_pairs(df, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_ngram_jaccard_respects_threshold(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_dup_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_deterministic_and_close_for_near_dups(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
+    assert sig == sig2  # deterministic across runs
+    assert sig[1] == sig[5]  # identical text → identical signature
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(sig[1], sig[2]) <= 6  # one-word edit → few bits flip
+    assert hamming(sig[1], sig[3]) > 10  # unrelated text → far apart

@@ -1,0 +1,136 @@
+"""Ingest normalization chain tests (SURVEY.md §2.A rows A7-A13).
+
+Covers the matrix explode, malformed-row quarantine, __name__ fallback and
+label drop, string→double / epoch→timestamp casts, and the A13
+day-truncation special-case matrix (instant/range × same-day/cross-day ×
+yesterday/yesterday_end) from SURVEY.md §5.2 item 1.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from prom_etl_db_spark.ingest import normalize_matrix, normalize_vector
+from prom_etl_db_spark.schema import WIRE_MATRIX_SCHEMA, WIRE_VECTOR_SCHEMA
+
+NOW = datetime(2024, 3, 15, 10, 30, 0)
+
+
+def _matrix_df(spark, rows):
+    return spark.createDataFrame(rows, WIRE_MATRIX_SCHEMA)
+
+
+def _vector_df(spark, rows):
+    return spark.createDataFrame(rows, WIRE_VECTOR_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def wire_matrix(spark):
+    # two series; series B carries one malformed pair (arity 1) and one
+    # unparseable value — both must be quarantined, not crash (A12).
+    ts0 = datetime(2024, 3, 14, 0, 0).timestamp()
+    return _matrix_df(
+        spark,
+        [
+            (
+                {"__name__": "cpu", "host": "a"},
+                [[str(ts0), "1.5"], [str(ts0 + 60), "2.5"]],
+            ),
+            (
+                {"host": "b"},  # no __name__ → metric_name falls back to query_id
+                [[str(ts0)], [str(ts0 + 60), "oops"], [str(ts0 + 120), "7"]],
+            ),
+        ],
+    )
+
+
+def test_matrix_explode_and_quarantine(spark, wire_matrix):
+    records, bad = normalize_matrix(wire_matrix, "q1", now=NOW)
+    assert records.count() == 3  # 2 good + 1 good
+    assert bad.count() == 2  # arity-1 pair + unparseable value
+
+
+def test_name_fallback_and_label_drop(spark, wire_matrix):
+    records, _ = normalize_matrix(wire_matrix, "q1", now=NOW)
+    rows = {r["metric_name"]: r for r in records.collect()}
+    assert set(rows) == {"cpu", "q1"}  # fallback to query_id (executor.go:232)
+    # __name__ never appears in stored labels (A9, executor.go:259-264)
+    for r in records.collect():
+        assert "__name__" not in r["labels"]
+    assert rows["cpu"]["labels"] == {"host": "a"}
+
+
+def test_casts(spark, wire_matrix):
+    records, _ = normalize_matrix(wire_matrix, "q1", now=NOW)
+    r = records.where("metric_name = 'cpu'").orderBy("timestamp").first()
+    assert isinstance(r["value"], float) and r["value"] == 1.5  # A10
+    assert r["timestamp"] == datetime(2024, 3, 14, 0, 0)  # A11
+
+
+# -- A13 day-truncation matrix (executor.go:404-461) ------------------------
+
+
+def _one_point_matrix(spark, ts: datetime):
+    return _matrix_df(
+        spark, [({"host": "a"}, [[str(ts.timestamp()), "1"]])]
+    )
+
+
+def test_collected_at_range_same_day(spark):
+    # same-day range window → every point buckets to that day's start
+    df = _one_point_matrix(spark, datetime(2024, 3, 14, 17, 45))
+    records, _ = normalize_matrix(
+        df, "q", now=NOW, time_range_type="range",
+        start_expr="yesterday", end_expr="yesterday_end",
+    )
+    r = records.first()
+    assert r["collected_at"] == datetime(2024, 3, 14, 0, 0)
+    assert r["result_type"] == "range"
+
+
+def test_collected_at_range_cross_day(spark):
+    # cross-day range → each point keeps its own day start
+    df = _one_point_matrix(spark, datetime(2024, 3, 10, 23, 59))
+    records, _ = normalize_matrix(
+        df, "q", now=NOW, time_range_type="range",
+        start_expr="-3d", end_expr="now",
+    )
+    assert records.first()["collected_at"] == datetime(2024, 3, 10, 0, 0)
+
+
+@pytest.mark.parametrize("expr", ["yesterday", "yesterday_end"])
+def test_collected_at_instant_yesterday(spark, expr):
+    # instant query at yesterday[_end] → bucket to yesterday's day start
+    # even if the data point's own timestamp drifts (executor.go:441-453)
+    df = _vector_df(spark, [({"host": "a"}, NOW.timestamp(), "3.0")])
+    records = normalize_vector(df, "q", now=NOW, time_expr=expr)
+    assert records.first()["collected_at"] == datetime(2024, 3, 14, 0, 0)
+
+
+def test_collected_at_instant_default(spark):
+    # plain instant ('now') → point's own day
+    df = _vector_df(spark, [({"h": "x"}, datetime(2024, 3, 15, 9, 0).timestamp(), "2")])
+    records = normalize_vector(df, "q", now=NOW, time_expr="now")
+    r = records.first()
+    assert r["collected_at"] == datetime(2024, 3, 15, 0, 0)
+    assert r["collected_date"] == datetime(2024, 3, 15, 0, 0).date()
+
+
+def test_vector_malformed_value_skipped(spark):
+    df = _vector_df(spark, [({"h": "x"}, NOW.timestamp(), "NaN-ish-garbage")])
+    assert normalize_vector(df, "q", now=NOW).count() == 0
+
+
+def test_nan_inf_survive(spark):
+    # Prometheus emits NaN/±Inf; unlike MySQL double we store them
+    # (SURVEY.md §4.3 NaN policy — documented divergence).
+    df = _vector_df(
+        spark,
+        [({"h": "a"}, NOW.timestamp(), "NaN"), ({"h": "b"}, NOW.timestamp(), "+Inf")],
+    )
+    vals = [r["value"] for r in normalize_vector(df, "q", now=NOW).collect()]
+    assert len(vals) == 2
+    assert any(v != v for v in vals)  # NaN
+    assert any(v == float("inf") for v in vals)

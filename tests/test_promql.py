@@ -1,0 +1,170 @@
+"""PromQL combinator tests against hand-computed values (SURVEY.md §2.B).
+
+Small fixed fixtures where every expected number is computable by eye —
+the per-operator unit layer under the sf0.01 DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from prom_etl_db_spark.operators.promql import (
+    bool_cmp,
+    gapfill_locf,
+    instant_selector,
+    max_without,
+    resample,
+    sum_by,
+    sum_over_time,
+)
+from prom_etl_db_spark.schema import METRICS_SCHEMA
+
+T0 = datetime(2024, 3, 15, 12, 0, 0)
+
+
+def _samples(spark, rows):
+    """rows: (labels, value, ts_offset_seconds)"""
+    data = [
+        ("q", "m", labels, float(v), T0 + timedelta(seconds=off), "instant", T0)
+        for labels, v, off in rows
+    ]
+    return spark.createDataFrame(data, METRICS_SCHEMA)
+
+
+def test_instant_selector_staleness_and_latest_wins(spark):
+    df = _samples(
+        spark,
+        [
+            ({"host": "a"}, 1, -600),  # 10 min old → outside 5m staleness
+            ({"host": "a"}, 2, -120),
+            ({"host": "a"}, 3, -60),  # latest in window → wins
+            ({"host": "b"}, 9, -240),
+            ({"host": "c"}, 5, 30),  # after eval time → excluded
+        ],
+    )
+    out = instant_selector(df, "m", at=T0)
+    got = {r["labels"]["host"]: r["value"] for r in out.collect()}
+    assert got == {"a": 3.0, "b": 9.0}
+
+
+def test_instant_selector_label_filter_pushdown(spark):
+    df = _samples(spark, [({"host": "a"}, 1, -60), ({"host": "b"}, 2, -60)])
+    out = instant_selector(df, "m", at=T0, label_filters={"host": "b"})
+    assert [r["value"] for r in out.collect()] == [2.0]
+
+
+def test_sum_by_regroups_label_subsets(spark):
+    df = _samples(
+        spark,
+        [
+            ({"job": "x", "host": "a"}, 1, 0),
+            ({"job": "x", "host": "b"}, 2, 0),
+            ({"job": "y", "host": "a"}, 10, 0),
+        ],
+    )
+    out = sum_by(df, ["job"])
+    got = {r["labels"]["job"]: r["value"] for r in out.collect()}
+    assert got == {"x": 3.0, "y": 10.0}
+    # grouped labels carry ONLY the by-keys (PromQL `by` projection)
+    assert all(set(r["labels"].keys()) == {"job"} for r in out.collect())
+
+
+def test_sum_by_empty_collapses_all(spark):
+    df = _samples(spark, [({"a": "1"}, 1, 0), ({"a": "2"}, 2, 0)])
+    out = sum_by(df, [])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 3.0
+
+
+def test_max_without_drops_and_collapses(spark):
+    df = _samples(
+        spark,
+        [
+            ({"pod": "p1", "node": "n1"}, 4, 0),
+            ({"pod": "p2", "node": "n1"}, 7, 0),  # same node after dropping pod
+            ({"pod": "p1", "node": "n2"}, 5, 0),
+        ],
+    )
+    out = max_without(df, ["pod"])
+    got = {r["labels"]["node"]: r["value"] for r in out.collect()}
+    assert got == {"n1": 7.0, "n2": 5.0}
+
+
+def test_bool_cmp_is_arithmetic_not_filter(spark):
+    df = _samples(spark, [({"h": "a"}, 999999, 0), ({"h": "b"}, 3, 0)])
+    out = bool_cmp(df, "!=", 999999)
+    got = {r["labels"]["h"]: r["value"] for r in out.collect()}
+    assert got == {"a": 0.0, "b": 1.0}  # rows kept, values 0/1
+
+
+def test_resample_last_point_per_step_wins(spark):
+    df = _samples(
+        spark,
+        [
+            ({"h": "a"}, 1, 0),
+            ({"h": "a"}, 2, 30),  # same 1-minute bucket → last wins
+            ({"h": "a"}, 5, 60),
+        ],
+    )
+    out = resample(df, "1 minute")
+    got = sorted((r["bucket_start"], r["value"]) for r in out.collect())
+    assert got == [(T0, 2.0), (T0 + timedelta(minutes=1), 5.0)]
+
+
+def test_sum_over_time_frame(spark):
+    df = _samples(
+        spark,
+        [
+            ({"h": "a"}, 1, 0),
+            ({"h": "a"}, 2, 60),
+            ({"h": "a"}, 4, 120),  # outside frame end → excluded
+            ({"h": "b"}, 10, 0),
+        ],
+    )
+    out = sum_over_time(
+        resample(df, "1 minute"),
+        frame_start=T0,
+        frame_end=T0 + timedelta(minutes=2),
+    )
+    got = {r["labels"]["h"]: r["value"] for r in out.collect()}
+    assert got == {"a": 3.0, "b": 10.0}
+
+
+def test_gapfill_locf_fills_interior_gaps(spark):
+    df = _samples(
+        spark,
+        [({"h": "a"}, 1, 0), ({"h": "a"}, 7, 180)],  # minutes 1,2 missing
+    )
+    out = gapfill_locf(resample(df, "1 minute"), "1 minute")
+    vals = [
+        r["value"]
+        for r in out.orderBy("bucket_start").collect()
+    ]
+    assert vals == [1.0, 1.0, 1.0, 7.0]  # carried forward across the gap
+
+
+def test_flagship_composition_small(spark):
+    """The full flagship pipeline (B3→B6→B5→B2→B7) on a 2-series fixture:
+    max without(pod) (m != bool 999999)[frame:1m] → sum_over_time → sum by
+    (node) → *60/3600 (migrate.sql:105)."""
+    from pyspark.sql import functions as F
+
+    df = _samples(
+        spark,
+        [
+            # node n1: two pods; sentinel 999999 on one pod at min 0
+            ({"node": "n1", "pod": "p1"}, 999999, 0),
+            ({"node": "n1", "pod": "p2"}, 50, 0),
+            ({"node": "n1", "pod": "p1"}, 60, 60),
+        ],
+    )
+    flagged = bool_cmp(df, "!=", 999999)
+    collapsed = max_without(flagged, ["pod"], extra_keys=("timestamp",))
+    # per-minute: min0 max(0,1)=1, min1 max(1)=1 → sum_over_time = 2
+    stepped = resample(collapsed, "1 minute")
+    total = sum_over_time(stepped)
+    out = sum_by(total, ["node"]).withColumn("value", F.col("value") * 60 / 3600)
+    got = {r["labels"]["node"]: r["value"] for r in out.collect()}
+    assert got == {"n1": pytest.approx(2 * 60 / 3600)}

@@ -1,0 +1,96 @@
+"""Scheduler / retry tests (SURVEY.md §2.A rows A28-A31, §2.D).
+
+Cron grammar cases come from the reference's own corpus: the flagship
+`0 0 1 * * *` (migrate.sql:106), the docs' `*/30 * * * * *` and
+`0 */5 * * * *` (user-guide.md:203-217).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from prom_etl_db_spark.scheduler import CronSchedule, with_retry
+
+
+def test_cron_flagship_daily_1am():
+    c = CronSchedule("0 0 1 * * *")
+    assert c.matches(datetime(2024, 3, 15, 1, 0, 0))
+    assert not c.matches(datetime(2024, 3, 15, 1, 0, 30))
+    assert not c.matches(datetime(2024, 3, 15, 2, 0, 0))
+    assert c.next_fire(datetime(2024, 3, 15, 1, 0, 0)) == datetime(2024, 3, 16, 1, 0, 0)
+
+
+def test_cron_every_30s():
+    c = CronSchedule("*/30 * * * * *")
+    assert c.matches(datetime(2024, 3, 15, 9, 10, 0))
+    assert c.matches(datetime(2024, 3, 15, 9, 10, 30))
+    assert not c.matches(datetime(2024, 3, 15, 9, 10, 31))
+    assert c.as_processing_time_interval() == "30 seconds"
+
+
+def test_cron_every_5min():
+    c = CronSchedule("0 */5 * * * *")
+    assert c.matches(datetime(2024, 3, 15, 9, 5, 0))
+    assert not c.matches(datetime(2024, 3, 15, 9, 5, 1))
+    assert not c.matches(datetime(2024, 3, 15, 9, 4, 0))
+    assert c.as_processing_time_interval() is None  # calendar shape
+
+
+def test_cron_dow_sunday_zero():
+    c = CronSchedule("0 0 0 * * 0")  # midnight Sundays
+    assert c.matches(datetime(2024, 3, 17, 0, 0, 0))  # 2024-03-17 is a Sunday
+    assert not c.matches(datetime(2024, 3, 18, 0, 0, 0))
+
+
+def test_cron_field_count_validated():
+    with pytest.raises(ValueError):
+        CronSchedule("* * * * *")  # 5-field (no seconds) is rejected
+
+
+def test_retry_counts_attempts():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    slept = []
+    out = with_retry(flaky, retry_count=3, retry_interval="10s", sleep=slept.append)
+    assert out == "ok"
+    assert len(calls) == 3  # first attempt + 2 retries
+    assert slept == [10.0, 10.0]  # fixed interval between attempts
+
+
+def test_retry_exhaustion_raises():
+    def always_fails():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        with_retry(always_fails, retry_count=2, retry_interval="1s", sleep=lambda _: None)
+
+
+def test_audited_run_writes_success_and_failure(spark, tmp_path):
+    from prom_etl_db_spark.scheduler import run_query_audited
+
+    audit = str(tmp_path / "audit")
+    n = run_query_audited(
+        spark, query_id="q1", query_name="good", run=lambda: 7, audit_path=audit
+    )
+    assert n == 7
+    with pytest.raises(ValueError):
+        run_query_audited(
+            spark,
+            query_id="q1",
+            query_name="bad",
+            run=lambda: (_ for _ in ()).throw(ValueError("x")),
+            audit_path=audit,
+        )
+    rows = {r["query_name"]: r for r in spark.read.parquet(audit).collect()}
+    assert rows["good"]["status"] == "success"
+    assert rows["good"]["records_count"] == 7
+    assert rows["bad"]["status"] == "failed"
+    assert rows["bad"]["error_message"] == "x"

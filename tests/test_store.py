@@ -1,0 +1,118 @@
+"""Sink & idempotency property tests (SURVEY.md §2.A A14-A26, §5.2 item 3).
+
+The key properties from the reference's repair-tool idempotency matrix
+(`cmd/repair/main.go:317-374`):
+- re-running ingest for an existing day is a no-op (skip-if-exists),
+- force-recompute (day overwrite) equals a fresh compute,
+- retention/delete-day only touch the targeted partitions.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+
+from prom_etl_db_spark.schema import METRICS_STORED_SCHEMA
+from prom_etl_db_spark.store import (
+    append_records,
+    backfill_skip_existing,
+    delete_day,
+    execution_record,
+    overwrite_days,
+    read_records,
+    retention_cleanup,
+)
+
+
+def _records(spark, day: date, value: float, n: int = 3):
+    rows = [
+        (
+            "q1",
+            "m",
+            {"host": f"h{i}"},
+            value,
+            datetime(day.year, day.month, day.day, 12, 0),
+            "instant",
+            datetime(day.year, day.month, day.day),
+            day,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, METRICS_STORED_SCHEMA)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "metrics")
+
+
+def test_append_partitions_by_day(spark, table):
+    append_records(_records(spark, date(2024, 3, 1), 1.0), table)
+    append_records(_records(spark, date(2024, 3, 2), 2.0), table)
+    df = read_records(spark, table)
+    assert df.count() == 6
+    # physical layout: one directory per day (the O(day) delete property)
+    assert df.select("collected_date").distinct().count() == 2
+
+
+def test_backfill_skip_existing_is_noop_on_rerun(spark, table):
+    day = date(2024, 3, 1)
+    append_records(_records(spark, day, 1.0), table)
+    # identical re-ingest → all rows dropped by the left_anti gate (A26)
+    surviving = backfill_skip_existing(_records(spark, day, 1.0), spark, table)
+    assert surviving.count() == 0
+    # a new day passes through untouched
+    fresh = backfill_skip_existing(_records(spark, date(2024, 3, 2), 2.0), spark, table)
+    assert fresh.count() == 3
+
+
+def test_backfill_against_empty_table_passes_through(spark, tmp_path):
+    df = _records(spark, date(2024, 3, 1), 1.0)
+    assert backfill_skip_existing(df, spark, str(tmp_path / "nope")).count() == 3
+
+
+def test_force_recompute_equals_fresh_compute(spark, table):
+    day = date(2024, 3, 1)
+    append_records(_records(spark, day, 1.0), table)
+    append_records(_records(spark, date(2024, 3, 2), 5.0), table)
+    # force-recompute day 1 with corrected values (A21/A26 --force-recompute)
+    overwrite_days(_records(spark, day, 9.0), table)
+    df = read_records(spark, table)
+    assert df.count() == 6
+    d1 = df.where("collected_date = '2024-03-01'")
+    assert {r["value"] for r in d1.collect()} == {9.0}  # old rows gone
+    # sibling day untouched (dynamic partition overwrite, not truncate)
+    assert df.where("collected_date = '2024-03-02'").count() == 3
+
+
+def test_delete_day_is_partition_scoped(spark, table):
+    append_records(_records(spark, date(2024, 3, 1), 1.0), table)
+    append_records(_records(spark, date(2024, 3, 2), 2.0), table)
+    delete_day(spark, table, date(2024, 3, 1))
+    df = read_records(spark, table)
+    assert df.count() == 3
+    assert df.select("collected_date").distinct().first()[0] == date(2024, 3, 2)
+
+
+def test_retention_cleanup(spark, table):
+    for d in (date(2024, 1, 1), date(2024, 2, 1), date(2024, 3, 1)):
+        append_records(_records(spark, d, 1.0), table)
+    dropped = retention_cleanup(spark, table, older_than=date(2024, 2, 15))
+    assert dropped == 2
+    assert read_records(spark, table).select("collected_date").distinct().count() == 1
+
+
+def test_execution_record_duration(spark):
+    rec = execution_record(
+        spark,
+        query_id="q1",
+        query_name="n",
+        status="success",
+        start_time=datetime(2024, 3, 1, 0, 0, 0),
+        end_time=datetime(2024, 3, 1, 0, 0, 2, 500000),
+        records_count=42,
+    ).first()
+    assert rec["duration_ms"] == 2500
+    assert rec["records_count"] == 42
+    assert rec["status"] == "success"
