@@ -54,6 +54,10 @@ def main() -> None:
 
     # JVM/codegen warmup on a trivial job so query 1 isn't charged for it.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Python-worker warmup: fork + pandas/Arrow import on every core, so the
+    # first pandas-UDF query isn't charged for process startup either.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prom_etl_db_spark.parallel import balance
+
 __all__ = [
     "exact_dedup",
     "word_shingles",
@@ -148,7 +150,8 @@ def minhash_lsh_dup_pairs(
     """
     rows = num_hashes // bands
     base = (
-        docs.select(
+        balance(docs, id_col)  # shingling is the CPU-dense stage — use every core
+        .select(
             F.col(id_col).alias("id"),
             hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
@@ -251,7 +254,9 @@ def simhash_signature(
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    return docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    return balance(docs, id_col).select(
+        F.col(id_col), simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 # -- E2c: n-gram Jaccard via shingle equi-join ------------------------------
@@ -270,7 +275,8 @@ def ngram_jaccard_dup_pairs(
     counting rides the shuffle, so cost is Σ|bucket|² over shared
     shingles, not |docs|². Output: (id_a, id_b, jaccard)."""
     sh = (
-        docs.select(
+        balance(docs, id_col)  # shingling is the CPU-dense stage — use every core
+        .select(
             F.col(id_col).alias("id"),
             hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
         )

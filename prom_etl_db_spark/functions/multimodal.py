@@ -16,6 +16,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from prom_etl_db_spark.parallel import balance
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -99,7 +101,7 @@ def decode_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    return balance(media, "media_id").mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
@@ -119,4 +121,4 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
                 {"media_id": ids, "frame_no": frame_nos, "frame_bytes": frames}
             )
 
-    return media.mapInPandas(batches, FRAME_SCHEMA)
+    return balance(media, "media_id").mapInPandas(batches, FRAME_SCHEMA)

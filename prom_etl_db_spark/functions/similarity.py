@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prom_etl_db_spark.parallel import balance
+
 __all__ = ["cosine", "cosine_topk_bruteforce", "cosine_topk_ivf"]
 
 
@@ -67,7 +69,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = balance(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -116,7 +118,9 @@ def cosine_topk_ivf(
         .drop("_tmp")
     )
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = balance(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     # assign: argmax cosine over broadcast centroids — one pass, no shuffle
     assigned = (
         c.join(F.broadcast(cent))
