@@ -24,7 +24,13 @@ from pyspark.sql.window import Window
 
 from prom_etl_db_spark.parallel import balance
 
-__all__ = ["cosine", "cosine_topk_bruteforce", "cosine_topk_ivf"]
+__all__ = [
+    "cosine",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "cosine_neardup_pairs",
+    "cosine_neardup_lsh",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -86,6 +92,119 @@ def cosine_topk_bruteforce(
             F.round("cos_sim", 6).alias("cos_sim"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E2 (embedding near-dup, exact): all unordered pairs with cosine ≥
+    threshold. One side broadcast, the other streams — the correctness
+    baseline for ``cosine_neardup_lsh``; use the LSH path when neither side
+    fits in a broadcast. Output: (id_a, id_b, cos_sim), id_a < id_b."""
+    a = balance(vectors, id_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, n: int, seed: int = 42):
+    """Deterministic random hyperplanes (fixed seed) for sign-LSH."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n, dim)).astype(float)
+
+
+def cosine_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """E2 (embedding near-dup, scale path): random-hyperplane (SimHash)
+    LSH. Per vector, ``bands×bits`` sign bits of dot products against fixed
+    hyperplanes; vectors sharing one band's bit-pattern become candidates;
+    candidates are verified with the exact cosine. Approximate by design —
+    recall 1-(1-p^bits)^bands with p = 1 - θ/π; tune bands/bits to the
+    target threshold. Never an all-pairs join: the candidate shuffle
+    carries (id, band, key) only, like the MinHash banding in
+    ``functions.dedup`` (same plan shape at 100 TB).
+    """
+    planes = _hyperplanes(dim, bands * bits, seed)
+    v = balance(vectors, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+
+    def plane_dot(p) -> Column:
+        # dot(vec, p) with the plane folded in as literals — JVM arithmetic
+        return F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[
+                        F.when(plane_dot(planes[b * bits + j]) >= 0, F.lit("1")).otherwise(
+                            F.lit("0")
+                        )
+                        for j in range(bits)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    v = v.persist()  # read by the signature pass and both verify joins
+    sig = v.select("id", F.explode(band_keys).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # candidate shuffle carries (id, band, key) triples only — the wide
+    # vectors re-join by id AFTER pair dedup, exactly like the MinHash
+    # banding path (shingle sets never ride the candidate shuffle).
+    cand = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
 
 

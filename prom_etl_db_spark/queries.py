@@ -1012,3 +1012,58 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.as_media(docs, kind="video")
     frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                   for i in range(1, len(a.embedding)+1)])
+         / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                           for i in range(1, len(a.embedding)+1)]))
+            * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                             for i in range(1, len(b.embedding)+1)]))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM scored WHERE sim >= 0.4
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (embedding near-dup, exact): all pairs with cosine ≥ 0.4 —
+    broadcast small side, JVM-side fold; the correctness baseline for the
+    LSH scale path below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+@register("embedding_neardup_lsh")  # approximate (sign-LSH) → rows-only check
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (embedding near-dup, scale path): random-hyperplane LSH banding +
+    exact-cosine verify; candidate shuffle carries (id, band, key) only.
+    Unit tests measure recall against the exact variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=24, bits=4)
+
+
+@register(
+    "metric_name_discovery",
+    oracle="""
+SELECT event_type AS metric_name,
+       count(DISTINCT user_id) AS n_series,
+       count(*) AS n_samples
+FROM events GROUP BY event_type
+""",
+)
+def metric_name_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: metric-name discovery (`/root/reference/internal/prometheus/
+    client.go:310-326` label-values for __name__) over stored samples:
+    distinct names with series/sample cardinality. At scale the exact
+    distinct is one shuffle; swap count_distinct for
+    approx_count_distinct when cardinality estimates suffice."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.col("event_type").alias("metric_name")).agg(
+        F.count_distinct(F.col("user_id")).alias("n_series"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )

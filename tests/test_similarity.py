@@ -1,0 +1,93 @@
+"""Embedding similarity / near-dup tests (SURVEY.md §2.E E2/E3).
+
+Planted-vector fixtures with hand-computable cosines; the LSH path is
+checked for (a) subset-of-exact at the same threshold — verify step makes
+false positives impossible — and (b) full recall on true near-duplicates
+(cosine ≈ 1 collides in every band)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions.similarity import (
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    cosine_topk_bruteforce,
+)
+
+DIM = 8
+
+
+def _vec(*nonzero: tuple[int, float]) -> list[float]:
+    v = [0.0] * DIM
+    for i, x in nonzero:
+        v[i] = x
+    return v
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 0 and 1: identical direction (cos=1). 2: cos(0,2)=1/√2.
+    # 3: orthogonal to all. 4: near-dup of 3 (cos≈0.995).
+    rows = [
+        (0, _vec((0, 1.0))),
+        (1, _vec((0, 2.0))),
+        (2, _vec((0, 1.0), (1, 1.0))),
+        (3, _vec((2, 1.0))),
+        (4, _vec((2, 1.0), (3, 0.1))),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_neardup_pairs(spark, vectors):
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_neardup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert set(got) == {(0, 1), (3, 4)}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(3, 4)] == pytest.approx(1 / math.sqrt(1.01), abs=1e-6)
+
+
+def test_exact_neardup_threshold_boundary(spark, vectors):
+    # at 0.7, the 45° pairs (0,2) and (1,2) (cos=1/√2≈0.7071) join the set
+    got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vectors, 0.7).collect()}
+    assert got == {(0, 1), (3, 4), (0, 2), (1, 2)}
+
+
+def test_lsh_subset_and_recall(spark, vectors):
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vectors, 0.9).collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_lsh(
+            vectors, threshold=0.9, dim=DIM, bands=16, bits=4
+        ).collect()
+    }
+    # verify step ⇒ no false positives
+    assert lsh <= exact
+    # identical-direction pair collides in EVERY band — guaranteed found
+    assert (0, 1) in lsh
+    # cos≈0.995 pair: collision prob per 4-bit band ≈ (1-θ/π)^4 ≈ 0.89,
+    # miss prob over 16 bands ≈ 3e-16 — deterministic planes, so stable
+    assert (3, 4) in lsh
+
+
+def test_lsh_verify_drops_band_collisions(spark):
+    # two orthogonal vectors (cos=0) that may still share a band by chance
+    # must be filtered out by the exact-cosine verify
+    df = spark.createDataFrame(
+        [(0, _vec((0, 1.0))), (1, _vec((1, 1.0)))],
+        "vec_id long, embedding array<float>",
+    )
+    assert cosine_neardup_lsh(df, threshold=0.5, dim=DIM, bands=4, bits=1).count() == 0
+
+
+def test_topk_matches_neardup_scores(spark, vectors):
+    # brute-force top-1 neighbor of vec 0 is vec 1 at cos 1.0
+    top = cosine_topk_bruteforce(vectors, vectors.where(F.col("vec_id") == 0), k=1)
+    r = top.first()
+    assert (r["query_id"], r["neighbor_id"]) == (0, 1)
+    assert r["cos_sim"] == pytest.approx(1.0)
