@@ -12,12 +12,16 @@ No PromQL parser — queries are built by composing these functions
 (SURVEY.md §2.B: "DataFrame combinators, not a PromQL parser").
 
 Working shape: ``(labels: map<string,string>, timestamp, value, ...)`` —
-one row per sample. Series identity = canonical sorted-JSON of the label
-map (``schema.series_key``), because MapType is not directly groupable
-(SURVEY.md §7.3 risk #1).
+one row per sample. Series identity = ``array_sort(map_entries(labels))``
+(MapType itself is not groupable — SURVEY.md §7.3 risk #1). The sorted
+entries array IS the group key: it hashes and compares as an UnsafeRow,
+so every regrouping stays a **HashAggregate** (a string key + a
+``first(labels)`` map buffer would force SortAggregate + an extra Sort
+per aggregation — measurably slower and heavier at scale), and the label
+map is rebuilt losslessly with ``map_from_entries`` on the way out.
 
 Scale notes (100 TB):
-- every regrouping is ONE shuffle on a string key; AQE handles skewed
+- every regrouping is ONE shuffle on the entries key; AQE handles skewed
   label-cardinality (hot series) via skew-join/partition splitting.
 - ``resample`` + ``*_over_time`` are groupBy aggregations, not
   self-joins — partial aggregation (map-side combine) applies.
@@ -34,7 +38,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from prom_etl_db_spark.schema import series_key
+def _series(labels: Column) -> Column:
+    """Canonical, groupable series identity: label map → sorted entries
+    array. Hash-aggregable and equi-joinable (unlike MapType); inverted
+    exactly by ``map_from_entries``."""
+    return F.array_sort(F.map_entries(labels))
 
 __all__ = [
     "instant_selector",
@@ -76,14 +84,14 @@ def instant_selector(
     df = df.where(
         (F.col("timestamp") <= F.lit(at))
         & (F.col("timestamp") >= F.lit(at) - F.expr(f"INTERVAL {staleness}"))
-    ).withColumn("series_key", series_key(F.col("labels")))
-    w = Window.partitionBy("series_key").orderBy(
+    ).withColumn("__series", _series(F.col("labels")))
+    w = Window.partitionBy("__series").orderBy(
         F.desc("timestamp"), *[F.desc(t) for t in tiebreakers]
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__series")
     )
 
 
@@ -115,8 +123,10 @@ def group_by_labels(
     (PromQL ``sum(...)`` with no grouping). ``extra_keys`` keeps additional
     non-label columns (e.g. a time bucket) in the group.
 
-    One shuffle on (canonical-key, extra_keys); the output keeps the
-    regrouped ``labels`` map so combinators compose.
+    One shuffle on (entries-key, extra_keys); grouping on the sorted
+    entries array keeps it a HashAggregate (no map-typed ``first()``
+    buffer, no sort), and the output rebuilds the regrouped ``labels``
+    map so combinators compose.
     """
     if (by is None) == (without is None):
         raise ValueError("exactly one of by= / without= is required")
@@ -129,13 +139,15 @@ def group_by_labels(
     else:
         new_labels = _project_labels_without(F.col("labels"), without)
 
-    keyed = df.withColumn("labels", new_labels).withColumn(
-        "series_key", series_key(F.col("labels"))
+    keyed = df.withColumn("labels", new_labels)
+    grouped = keyed.groupBy(
+        _series(F.col("labels")).alias("__series"), *extra_keys
+    ).agg(agg.alias("value"))
+    return grouped.select(
+        F.map_from_entries("__series").alias("labels"),
+        *[F.col(k) for k in extra_keys],
+        "value",
     )
-    grouped = keyed.groupBy("series_key", *extra_keys).agg(
-        F.first("labels").alias("labels"), agg.alias("value")
-    )
-    return grouped
 
 
 def sum_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
@@ -182,20 +194,28 @@ def resample(df: DataFrame, step: str, *, tiebreakers: Sequence[str] = ()) -> Da
     """Step-align samples: per (series, step-bucket), the LAST point wins —
     PromQL subquery evaluation takes each step's most recent value.
 
-    Output: (series_key, labels, bucket_start: timestamp, value). One
+    Output: (__series, labels, bucket_start: timestamp, value). One
     shuffle; ``max_by`` keeps it a hash aggregation (no sort, no window).
-    ``tiebreakers`` break exact-timestamp ties deterministically.
+    The ``__series`` entries key is kept so downstream ``*_over_time``
+    regroups without recomputing it. ``tiebreakers`` break
+    exact-timestamp ties deterministically.
     """
     keyed = (
-        df.withColumn("series_key", series_key(F.col("labels")))
-        if "series_key" not in df.columns
+        df.withColumn("__series", _series(F.col("labels")))
+        if "__series" not in df.columns
         else df
     )
     bucket = F.window(F.col("timestamp"), step)["start"].alias("bucket_start")
     order = F.struct(F.col("timestamp"), *[F.col(t) for t in tiebreakers])
-    return keyed.groupBy("series_key", bucket).agg(
-        F.first("labels").alias("labels"),
-        F.max_by(F.col("value"), order).alias("value"),
+    return (
+        keyed.groupBy("__series", bucket)
+        .agg(F.max_by(F.col("value"), order).alias("value"))
+        .select(
+            "__series",
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            "value",
+        )
     )
 
 
@@ -218,8 +238,12 @@ def agg_over_time(
         df = df.where(F.col("bucket_start") >= F.lit(frame_start))
     if frame_end is not None:
         df = df.where(F.col("bucket_start") < F.lit(frame_end))
-    return df.groupBy("series_key").agg(
-        F.first("labels").alias("labels"), agg.alias("value")
+    if "__series" not in df.columns:
+        df = df.withColumn("__series", _series(F.col("labels")))
+    return (
+        df.groupBy("__series")
+        .agg(agg.alias("value"))
+        .select(F.map_from_entries("__series").alias("labels"), "value")
     )
 
 
@@ -237,29 +261,29 @@ def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = No
     ``last(value, ignorenulls=True)``.
     """
     keyed = (
-        resampled.withColumn("series_key", series_key(F.col("labels")))
-        if "series_key" not in resampled.columns
+        resampled.withColumn("__series", _series(F.col("labels")))
+        if "__series" not in resampled.columns
         else resampled
     )
     step_expr = F.expr(f"INTERVAL {step.replace('minute', 'minute').strip()}")
-    bounds = keyed.groupBy("series_key").agg(
-        F.first("labels").alias("labels"),
+    bounds = keyed.groupBy("__series").agg(
         F.min("bucket_start").alias("lo"),
         (F.lit(until) if until is not None else F.max("bucket_start")).alias("hi"),
     )
     grid = bounds.select(
-        "series_key",
-        "labels",
+        "__series",
         F.explode(F.sequence(F.col("lo"), F.col("hi"), step_expr)).alias("bucket_start"),
     )
     joined = grid.join(
-        keyed.select("series_key", "bucket_start", "value"),
-        ["series_key", "bucket_start"],
+        keyed.select("__series", "bucket_start", "value"),
+        ["__series", "bucket_start"],
         "left",
     )
     w = (
-        Window.partitionBy("series_key")
+        Window.partitionBy("__series")
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return joined.withColumn("value", F.last("value", ignorenulls=True).over(w))
+    return joined.withColumn(
+        "value", F.last("value", ignorenulls=True).over(w)
+    ).withColumn("labels", F.map_from_entries("__series"))
