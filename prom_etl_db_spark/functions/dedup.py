@@ -273,7 +273,10 @@ def ngram_jaccard_dup_pairs(
     """Exact all-pairs n-gram Jaccard ≥ threshold, computed by exploding
     hashed shingles and equi-joining on the int64 hash — co-occurrence
     counting rides the shuffle, so cost is Σ|bucket|² over shared
-    shingles, not |docs|². Output: (id_a, id_b, jaccard)."""
+    shingles, not |docs|². Each token row carries its doc's shingle-set
+    size (one extra int64 on the shuffle) so the union size falls out of
+    the same aggregation — no second pass over the shingles, no persist,
+    no size re-join. Output: (id_a, id_b, jaccard)."""
     sh = (
         balance(docs, id_col)  # shingling is the CPU-dense stage — use every core
         .select(
@@ -281,25 +284,24 @@ def ngram_jaccard_dup_pairs(
             hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
         .where(F.size("sh") > 0)
-        .persist()  # read by sizes + both sides of the token self-join
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    tokens = sh.select("id", F.explode("sh").alias("shingle"))
-
-    inter = (
+    tokens = sh.select(
+        "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    return (
         tokens.alias("a")
         .join(
             tokens.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            # n_a/n_b are functionally dependent on the ids — free key cols
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
