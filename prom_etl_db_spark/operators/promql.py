@@ -194,11 +194,17 @@ def resample(df: DataFrame, step: str, *, tiebreakers: Sequence[str] = ()) -> Da
     """Step-align samples: per (series, step-bucket), the LAST point wins —
     PromQL subquery evaluation takes each step's most recent value.
 
-    Output: (__series, labels, bucket_start: timestamp, value). One
-    shuffle; ``max_by`` keeps it a hash aggregation (no sort, no window).
-    The ``__series`` entries key is kept so downstream ``*_over_time``
-    regroups without recomputing it. ``tiebreakers`` break
-    exact-timestamp ties deterministically.
+    Output: (__series, labels, bucket_start: timestamp, value). The
+    ``__series`` entries key is kept so downstream ``*_over_time``
+    regroups without recomputing it.
+
+    ``max_by`` ordered by a single primitive stays a **HashAggregate**;
+    a struct ordering key would force SortAggregate (non-mutable buffer)
+    — so ``tiebreakers`` (needed only when one series carries duplicate
+    timestamps, which real scraped metrics don't) are resolved in their
+    own hash phase first: argmax by tiebreaker within (series, ts), then
+    argmax by ts within (series, bucket). Two hash aggregations, both
+    with map-side partial combine, zero sorts.
     """
     keyed = (
         df.withColumn("__series", _series(F.col("labels")))
@@ -206,10 +212,18 @@ def resample(df: DataFrame, step: str, *, tiebreakers: Sequence[str] = ()) -> Da
         else df
     )
     bucket = F.window(F.col("timestamp"), step)["start"].alias("bucket_start")
-    order = F.struct(F.col("timestamp"), *[F.col(t) for t in tiebreakers])
+    if tiebreakers:
+        order = (
+            F.col(tiebreakers[0])
+            if len(tiebreakers) == 1
+            else F.struct(*[F.col(t) for t in tiebreakers])
+        )
+        keyed = keyed.groupBy("__series", "timestamp").agg(
+            F.max_by(F.col("value"), order).alias("value")
+        )
     return (
         keyed.groupBy("__series", bucket)
-        .agg(F.max_by(F.col("value"), order).alias("value"))
+        .agg(F.max_by(F.col("value"), F.col("timestamp")).alias("value"))
         .select(
             "__series",
             F.map_from_entries("__series").alias("labels"),

@@ -1,0 +1,77 @@
+"""Physical-plan quality gates (SURVEY.md §4.2; the brief's scale
+checklist). These assert — not eyeball — that Catalyst produced the plan
+we want: filters pushed into the parquet scan, columns pruned, small dims
+broadcast, aggregations hash-based (no map-typed ``first()`` buffers
+forcing SortAggregate), and no accidental cartesian products."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from prom_etl_db_spark.plans.explain import explain_str, pushed_filters, scan_columns
+from prom_etl_db_spark.queries import QUERIES
+
+
+def _ops(df) -> set[str]:
+    s = explain_str(df, "simple")
+    return set(
+        re.findall(
+            r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct"
+            r"|BroadcastNestedLoopJoin|HashAggregate|SortAggregate"
+            r"|ObjectHashAggregate)\b",
+            s,
+        )
+    )
+
+
+def test_flagship_pushdown_and_hash_agg(spark, sf_dir):
+    df = QUERIES["flagship_gpu_utilization"](spark, sf_dir)
+    # metric-name equality reaches the scan
+    assert any("event_type" in f and "purchase" in f for f in pushed_filters(df))
+    # every aggregation is hash-based — the entries-array series key keeps
+    # map regrouping out of SortAggregate territory
+    ops = _ops(df)
+    assert "HashAggregate" in ops
+    assert "SortAggregate" not in ops
+    assert "CartesianProduct" not in ops
+
+
+def test_flagship_column_pruning(spark, sf_dir):
+    df = QUERIES["flagship_gpu_utilization"](spark, sf_dir)
+    (cols,) = scan_columns(df)
+    # event_id is never referenced — a scan reading it isn't pruned
+    assert "event_id" not in cols
+    assert set(cols) <= {"ts", "user_id", "event_type", "value", "props"}
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    # region/nation/customer dims must broadcast — a shuffle join of a
+    # 5-row dim against lineitem is the classic 100 TB mistake
+    for name in ("regional_revenue", "top_customers"):
+        ops = _ops(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in ops, name
+        assert "SortMergeJoin" not in ops, name
+        assert "CartesianProduct" not in ops, name
+
+
+def test_selector_filter_pushdown(spark, sf_dir):
+    df = QUERIES["time_window_scan"](spark, sf_dir)
+    # at least one scan filter pushed (timestamp bound or type equality)
+    assert any(f.strip() for f in pushed_filters(df))
+
+
+def test_dedup_no_cartesian(spark, sf_dir):
+    # candidate generation must never degrade to an all-pairs product
+    for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs", "embedding_neardup_lsh"):
+        ops = _ops(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in ops, name
+        assert "BroadcastNestedLoopJoin" not in ops, name
+
+
+def test_promql_regrouping_stays_hash(spark, sf_dir):
+    for name in ("promql_sum_by", "promql_max_without", "promql_sum_over_time"):
+        ops = _ops(QUERIES[name](spark, sf_dir))
+        assert "SortAggregate" not in ops, name
+        assert "HashAggregate" in ops, name
