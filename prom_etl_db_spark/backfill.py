@@ -1,0 +1,128 @@
+"""Per-day backfill / repair driver (SURVEY.md §2.A rows A26-A28).
+
+The reference's repair CLI iterates [start, end] one day at a time,
+queries the source at ``day@23:59:59``, and applies an idempotency matrix
+— skip if data exists, or delete-day + reinsert under
+``--force-recompute``, with a ``--dry-run`` preview
+(`/root/reference/cmd/repair/main.go:164-412`). Here each day is one
+batch job over the day's partition; the idempotency matrix maps to
+`store.backfill_skip_existing` (left-anti against existing day keys) and
+`store.overwrite_days` (dynamic partition overwrite). Retention-window
+errors from the source are classified and skipped, not fatal (A27,
+repair/main.go:583-588).
+
+The loop itself is driver-side control flow over *days* (tiny), never
+over rows — each iteration submits one distributed batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import date, datetime, time as dtime, timedelta
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.store import append_records, overwrite_days, read_records
+
+
+class RetentionError(RuntimeError):
+    """A27: the source no longer holds this day (outside retention)."""
+
+
+def is_retention_error(err: Exception) -> bool:
+    """A27 classification — substring match like isRetentionError
+    (repair/main.go:583-588), plus the typed exception."""
+    if isinstance(err, RetentionError):
+        return True
+    msg = str(err).lower()
+    return any(s in msg for s in ("out of bounds", "too old", "retention"))
+
+
+@dataclass
+class BackfillSummary:
+    """Per-run counters (repair/main.go:384-411)."""
+
+    processed: int = 0
+    inserted_days: int = 0
+    skipped_existing: int = 0
+    skipped_retention: int = 0
+    failed: list[str] = field(default_factory=list)
+    dry_run_days: list[str] = field(default_factory=list)
+
+
+def day_end(day: date) -> datetime:
+    """Query evaluation instant for a backfilled day: day@23:59:59
+    (repair/main.go:175-181)."""
+    return datetime.combine(day, dtime(23, 59, 59))
+
+
+def existing_day_counts(spark: SparkSession, path: str, query_id: str) -> dict[date, int]:
+    """A26 existence probe, one scan for the whole range instead of one
+    COUNT per day (checkExistingData, repair/main.go:557-576)."""
+    try:
+        df = read_records(spark, path)
+    except Exception:
+        return {}
+    rows = (
+        df.where(F.col("query_id") == query_id)
+        .groupBy("collected_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["collected_date"]: r["n"] for r in rows}
+
+
+def backfill_days(
+    spark: SparkSession,
+    *,
+    query_id: str,
+    start: date,
+    end: date,
+    fetch_day: Callable[[datetime], DataFrame],
+    table_path: str,
+    force_recompute: bool = False,
+    dry_run: bool = False,
+) -> BackfillSummary:
+    """A28: the per-day loop. ``fetch_day(at)`` returns that day's records
+    (already normalized to METRICS_SCHEMA + collected_date) — the source
+    boundary, so tests inject a fixture and production injects a real
+    fetcher. Decision matrix per day (repair/main.go:317-374):
+
+    - data exists, not force → skip
+    - data exists, force     → overwrite exactly that day partition
+    - no data                → append
+    - retention-classified fetch error → count + continue (A27)
+    - dry run → record the would-be action, write nothing
+    """
+    summary = BackfillSummary()
+    existing = existing_day_counts(spark, table_path, query_id)
+    day = start
+    while day <= end:
+        summary.processed += 1
+        has_data = existing.get(day, 0) > 0
+        if has_data and not force_recompute:
+            summary.skipped_existing += 1
+            day += timedelta(days=1)
+            continue
+        try:
+            records = fetch_day(day_end(day))
+        except Exception as e:  # noqa: BLE001 — classify, don't crash the loop
+            if is_retention_error(e):
+                summary.skipped_retention += 1
+            else:
+                summary.failed.append(f"{day.isoformat()}: {e}")
+            day += timedelta(days=1)
+            continue
+        if dry_run:
+            action = "overwrite" if has_data else "insert"
+            summary.dry_run_days.append(f"{day.isoformat()}:{action}")
+        elif has_data:
+            overwrite_days(records, table_path)
+            summary.inserted_days += 1
+        else:
+            append_records(records, table_path)
+            summary.inserted_days += 1
+        day += timedelta(days=1)
+    return summary

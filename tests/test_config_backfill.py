@@ -1,0 +1,169 @@
+"""Config catalog (A23-A25) and per-day backfill loop (A26-A28) tests."""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.backfill import (
+    RetentionError,
+    backfill_days,
+    day_end,
+    is_retention_error,
+)
+from prom_etl_db_spark.config import (
+    QueryConfig,
+    delete_config,
+    load_enabled,
+    toggle_enabled,
+    upsert_config,
+)
+from prom_etl_db_spark.ingest import normalize_vector
+from prom_etl_db_spark.schema import WIRE_VECTOR_SCHEMA
+
+# -- A23-A25 config catalog --------------------------------------------------
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return str(tmp_path / "configs")
+
+
+def _cfg(qid: str, **kw) -> QueryConfig:
+    return QueryConfig(query_id=qid, name=f"name-{qid}", query="up", **kw)
+
+
+def test_config_upsert_insert_and_update(spark, catalog):
+    upsert_config(spark, catalog, _cfg("q1"))
+    upsert_config(spark, catalog, _cfg("q2", enabled=False))
+    assert [c.query_id for c in load_enabled(spark, catalog)] == ["q1"]
+
+    # upsert same key updates in place (ON DUPLICATE KEY UPDATE parity)
+    created = load_enabled(spark, catalog)[0].created_at
+    updated = _cfg("q1")
+    updated.query = "up == bool 1"
+    upsert_config(spark, catalog, updated)
+    cfgs = load_enabled(spark, catalog)
+    assert len(cfgs) == 1 and cfgs[0].query == "up == bool 1"
+    assert cfgs[0].created_at == created  # created_at survives update
+
+
+def test_config_toggle_and_delete(spark, catalog):
+    upsert_config(spark, catalog, _cfg("q1"))
+    upsert_config(spark, catalog, _cfg("q2"))
+    toggle_enabled(spark, catalog, "q1", False)
+    assert [c.query_id for c in load_enabled(spark, catalog)] == ["q2"]
+    toggle_enabled(spark, catalog, "q1", True)
+    delete_config(spark, catalog, "q2")
+    assert [c.query_id for c in load_enabled(spark, catalog)] == ["q1"]
+
+
+def test_config_ordered_by_created_at(spark, catalog):
+    upsert_config(spark, catalog, _cfg("b", created_at=datetime(2024, 1, 2)))
+    upsert_config(spark, catalog, _cfg("a", created_at=datetime(2024, 1, 1)))
+    assert [c.query_id for c in load_enabled(spark, catalog)] == ["a", "b"]
+
+
+def test_config_validation_rejects_bad_cron(spark, catalog):
+    with pytest.raises(ValueError):
+        upsert_config(spark, catalog, _cfg("q1", schedule="not a cron"))
+    with pytest.raises(ValueError):
+        upsert_config(spark, catalog, QueryConfig(query_id="", name="n", query="q"))
+
+
+# -- A26-A28 backfill loop ---------------------------------------------------
+
+
+def _fetch_day_factory(spark, fail_days=()):
+    """fetch_day returning one record at the queried instant; raises a
+    retention-style error for configured days."""
+
+    def fetch(at: datetime):
+        if at.date() in fail_days:
+            raise RetentionError(f"query data is out of bounds for {at.date()}")
+        df = spark.createDataFrame(
+            [({"host": "a"}, at.timestamp(), "1.0")], WIRE_VECTOR_SCHEMA
+        )
+        # repair parity: pin "now" to targetDate+24h so yesterday_end
+        # buckets onto the target day itself (repair/main.go:530-534)
+        pinned_now = datetime.combine(at.date(), datetime.min.time()) + timedelta(days=1)
+        return normalize_vector(df, "q1", now=pinned_now, time_expr="yesterday_end")
+
+    return fetch
+
+
+def test_backfill_inserts_then_skips(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    args = dict(
+        query_id="q1",
+        start=date(2024, 3, 1),
+        end=date(2024, 3, 3),
+        fetch_day=_fetch_day_factory(spark),
+        table_path=path,
+    )
+    s1 = backfill_days(spark, **args)
+    assert (s1.processed, s1.inserted_days, s1.skipped_existing) == (3, 3, 0)
+
+    # second run is a no-op — the A26 idempotency gate
+    s2 = backfill_days(spark, **args)
+    assert (s2.processed, s2.inserted_days, s2.skipped_existing) == (3, 0, 3)
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_backfill_force_recompute_rewrites_day_only(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    args = dict(
+        query_id="q1",
+        start=date(2024, 3, 1),
+        end=date(2024, 3, 2),
+        fetch_day=_fetch_day_factory(spark),
+        table_path=path,
+    )
+    backfill_days(spark, **args)
+    s = backfill_days(spark, force_recompute=True, **args)
+    assert s.inserted_days == 2
+    out = spark.read.parquet(path)
+    assert out.count() == 2  # rewritten, not duplicated
+    assert out.select("collected_date").distinct().count() == 2
+
+
+def test_backfill_retention_errors_skipped(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    s = backfill_days(
+        spark,
+        query_id="q1",
+        start=date(2024, 3, 1),
+        end=date(2024, 3, 3),
+        fetch_day=_fetch_day_factory(spark, fail_days={date(2024, 3, 1)}),
+        table_path=path,
+    )
+    assert s.skipped_retention == 1 and s.inserted_days == 2
+    assert not s.failed
+
+
+def test_backfill_dry_run_writes_nothing(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    s = backfill_days(
+        spark,
+        query_id="q1",
+        start=date(2024, 3, 1),
+        end=date(2024, 3, 2),
+        fetch_day=_fetch_day_factory(spark),
+        table_path=path,
+        dry_run=True,
+    )
+    assert s.dry_run_days == ["2024-03-01:insert", "2024-03-02:insert"]
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+
+
+def test_retention_classifier():
+    assert is_retention_error(RuntimeError("samples too old for ingestion"))
+    assert is_retention_error(RetentionError("x"))
+    assert not is_retention_error(RuntimeError("connection refused"))
+
+
+def test_day_end():
+    assert day_end(date(2024, 3, 1)) == datetime(2024, 3, 1, 23, 59, 59)
