@@ -54,6 +54,12 @@ __all__ = [
     "resample",
     "agg_over_time",
     "sum_over_time",
+    "avg_over_time",
+    "max_over_time",
+    "min_over_time",
+    "count_over_time",
+    "increase",
+    "rate",
     "gapfill_locf",
 ]
 
@@ -264,6 +270,84 @@ def agg_over_time(
 def sum_over_time(resampled: DataFrame, **kw) -> DataFrame:
     """B5: ``sum_over_time`` over a step-aligned frame."""
     return agg_over_time(resampled, F.sum("value"), **kw)
+
+
+def avg_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    return agg_over_time(resampled, F.avg("value"), **kw)
+
+
+def max_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    return agg_over_time(resampled, F.max("value"), **kw)
+
+
+def min_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    return agg_over_time(resampled, F.min("value"), **kw)
+
+
+def count_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    return agg_over_time(resampled, F.count(F.lit(1)).cast("double"), **kw)
+
+
+# -- rate / increase (counter semantics) -----------------------------------
+
+
+def increase(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Counter increase over [frame_start, frame_end) per series, with
+    PromQL counter-reset correction: a drop means the counter restarted,
+    so the post-reset absolute value is the contribution
+    (prometheus.io/docs/prometheus/latest/querying/functions/#increase).
+
+    Σ over adjacent sample pairs of (cur - prev if cur ≥ prev else cur).
+    One ordered window per series (the lag needs order — the per-series
+    sort is inherent to the semantics), then one hash aggregation.
+
+    Divergence, documented: Prometheus extrapolates the increase to the
+    full window; we return the observed increase between the first and
+    last samples in the frame — exact over stored data, no estimation.
+    """
+    w_order = [F.col("timestamp")] + [F.col(t) for t in tiebreakers]
+    df = (
+        samples.where(
+            (F.col("timestamp") >= F.lit(frame_start))
+            & (F.col("timestamp") < F.lit(frame_end))
+        )
+        .withColumn("__series", _series(F.col("labels")))
+    )
+    w = Window.partitionBy("__series").orderBy(*w_order)
+    delta = F.col("value") - F.lag("value").over(w)
+    contrib = F.when(delta.isNull(), F.lit(0.0)).otherwise(
+        F.when(delta < 0, F.col("value")).otherwise(delta)
+    )
+    return (
+        df.withColumn("__contrib", contrib)
+        .groupBy("__series")
+        .agg(F.sum("__contrib").alias("value"))
+        .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def rate(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Per-second ``rate(x[frame])``: increase / frame seconds."""
+    seconds = (frame_end - frame_start).total_seconds()
+    inc = increase(
+        samples,
+        frame_start=frame_start,
+        frame_end=frame_end,
+        tiebreakers=tiebreakers,
+    )
+    return inc.withColumn("value", F.col("value") / F.lit(seconds))
 
 
 def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = None) -> DataFrame:

@@ -1067,3 +1067,83 @@ def metric_name_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_series"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+@register(
+    "promql_rate",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k, value, ts, event_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+), d AS (
+  SELECT name, k, value,
+         value - lag(value) OVER (PARTITION BY name, k ORDER BY ts, event_id) AS delta
+  FROM s
+)
+SELECT name, k,
+       round(sum(CASE WHEN delta IS NULL THEN 0
+                      WHEN delta < 0 THEN value ELSE delta END)
+             / 864000.0, 6) AS value
+FROM d GROUP BY name, k
+""",
+)
+def promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate(x[10d]) with counter-reset correction — per-second increase per
+    series. (Beyond the reference's delegated subset: the most-used PromQL
+    function, natively over stored samples. Non-extrapolated — see
+    ``promql.increase`` docstring for the documented divergence.)"""
+    out = promql.rate(
+        _event_samples(spark, sf_dir, keys=("name", "k")),
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 20),
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "promql_avg_over_time",
+    oracle="""
+WITH resampled AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, json_extract_string(props, '$.k'),
+                        date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT name, k,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(*) AS n_buckets
+FROM resampled WHERE rn = 1 GROUP BY name, k
+""",
+)
+def promql_avg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg_over_time over the 1h step grid (same resample spine as B5 with
+    a different frame aggregate). The hash-compared columns are the exact
+    decimal sum and bucket count (avg = sum/n): a rounded double average
+    can land on an exact round-half boundary where Spark (HALF_UP on the
+    decimal repr) and DuckDB (exact binary) round apart — e.g. the fixture
+    produces a group averaging exactly 39.69875. Exact pieces, exact hash;
+    the avg itself is unit-tested in test_promql.py."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    out = promql.agg_over_time(
+        stepped,
+        F.struct(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.col("value.s").alias("sum_value"),
+        F.col("value.n").alias("n_buckets"),
+    )

@@ -168,3 +168,55 @@ def test_flagship_composition_small(spark):
     out = sum_by(total, ["node"]).withColumn("value", F.col("value") * 60 / 3600)
     got = {r["labels"]["node"]: r["value"] for r in out.collect()}
     assert got == {"n1": pytest.approx(2 * 60 / 3600)}
+
+
+def test_increase_with_counter_reset(spark):
+    from prom_etl_db_spark.operators.promql import increase, rate
+
+    # counter: 10 → 25 → 3 (reset!) → 8. increase = 15 + 3 + 5 = 23.
+    df = _samples(
+        spark,
+        [
+            ({"job": "x"}, 10, 0),
+            ({"job": "x"}, 25, 60),
+            ({"job": "x"}, 3, 120),
+            ({"job": "x"}, 8, 180),
+            ({"job": "y"}, 100, 0),  # single sample → increase 0
+        ],
+    )
+    out = increase(df, frame_start=T0, frame_end=T0 + timedelta(seconds=300))
+    got = {r["labels"]["job"]: r["value"] for r in out.collect()}
+    assert got == {"x": 23.0, "y": 0.0}
+
+    # rate = increase / frame seconds
+    r = rate(df, frame_start=T0, frame_end=T0 + timedelta(seconds=300))
+    got = {row["labels"]["job"]: row["value"] for row in r.collect()}
+    assert got["x"] == pytest.approx(23.0 / 300)
+
+
+def test_increase_frame_bounds_are_half_open(spark):
+    from prom_etl_db_spark.operators.promql import increase
+
+    df = _samples(spark, [({"j": "a"}, 1, 0), ({"j": "a"}, 5, 60), ({"j": "a"}, 9, 120)])
+    # frame [T0, T0+120) excludes the third sample
+    out = increase(df, frame_start=T0, frame_end=T0 + timedelta(seconds=120))
+    assert out.first()["value"] == 4.0
+
+
+def test_avg_max_count_over_time(spark):
+    from prom_etl_db_spark.operators.promql import (
+        avg_over_time,
+        count_over_time,
+        max_over_time,
+        min_over_time,
+    )
+
+    df = _samples(
+        spark,
+        [({"h": "a"}, 2, 0), ({"h": "a"}, 4, 3600), ({"h": "a"}, 9, 7200)],
+    )
+    stepped = resample(df, "1 hour")
+    assert avg_over_time(stepped).first()["value"] == 5.0
+    assert max_over_time(stepped).first()["value"] == 9.0
+    assert min_over_time(stepped).first()["value"] == 2.0
+    assert count_over_time(stepped).first()["value"] == 3.0
