@@ -30,6 +30,7 @@ HEADLINE = [
     "flagship_gpu_utilization",
     "ingest_normalize_events",
     "promql_sum_over_time",
+    "promql_rate",
     "promql_gapfill_locf",
     "hourly_rollup",
     "tpch_q1_pricing_summary",
@@ -39,6 +40,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "similarity_topk",
+    "embedding_neardup_pairs",
     "text_quality",
     "doc_fingerprint",
     "multimodal_decode",

@@ -57,6 +57,30 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, row-normalized float64 matrix) for the broadcast
+    side of a brute-force scorer — same memory class as ``broadcast()``
+    (the caller's contract is that this side is small; the LSH/IVF paths
+    exist for when it is not)."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def _normalized(batch) -> "tuple":
+    import numpy as np
+
+    mat = np.array(list(batch), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,24 +91,52 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    ``broadcast(queries)`` — the corpus never shuffles for the join; the
-    row_number window afterwards shuffles only (|queries| × |corpus|)
-    scored rows, which AQE coalesces. Self-matches excluded.
-    Output: (query_id, neighbor_id, cos_sim) with rank ≤ k.
+    The query set rides to every partition as a normalized float64 matrix
+    (broadcast-class); each corpus partition scores itself against it with
+    one BLAS matmul inside ``mapInPandas`` and emits only its LOCAL top-k
+    per query — so the shuffle into the final global-rank window carries
+    ≤ (partitions × |queries| × k) rows, never the full score matrix. The
+    per-pair fold this replaces is interpreted per element (higher-order
+    functions don't codegen) — matmul is ~100× on 64-dim vectors.
+    Self-matches excluded. Output: (query_id, neighbor_id, cos_sim, rank).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = balance(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    import pandas as pd
+
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    def score(it):
+        import numpy as np
+
+        ids_q, Q = bq.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = _normalized(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            S = C @ Q.T  # (batch × queries)
+            S[c_ids[:, None] == ids_q[None, :]] = -np.inf  # self-matches
+            kk = min(k, len(c_ids))
+            # local top-k per query column
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids_q)):
+                rows = top[:, j]
+                out_q.extend([ids_q[j]] * len(rows))
+                out_n.extend(c_ids[rows])
+                out_s.extend(S[rows, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = balance(corpus, id_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.where(F.col("cos_sim") != float("-inf"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
@@ -103,19 +155,36 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """E2 (embedding near-dup, exact): all unordered pairs with cosine ≥
-    threshold. One side broadcast, the other streams — the correctness
-    baseline for ``cosine_neardup_lsh``; use the LSH path when neither side
-    fits in a broadcast. Output: (id_a, id_b, cos_sim), id_a < id_b."""
-    a = balance(vectors, id_col).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    threshold. One side rides broadcast as a normalized matrix; each
+    partition scores itself against it with one BLAS matmul and emits only
+    the pairs over threshold — the correctness baseline for
+    ``cosine_neardup_lsh``; use the LSH path when neither side fits in a
+    broadcast. Output: (id_a, id_b, cos_sim), id_a < id_b."""
+    import pandas as pd
+
+    b_ids, b_mat = _collect_matrix(vectors, id_col, vec_col)
+    sc = vectors.sparkSession.sparkContext
+    bb = sc.broadcast((b_ids, b_mat))
+
+    def score(it):
+        import numpy as np
+
+        ids_b, B = bb.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = _normalized(pdf[vec_col])
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            S = A @ B.T
+            ia, ib = np.where((S >= threshold) & (a_ids[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ia], "id_b": ids_b[ib], "cos_sim": S[ia, ib]}
+            )
+
+    out = balance(vectors, id_col).mapInPandas(
+        score, "id_a long, id_b long, cos_sim double"
     )
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _hyperplanes(dim: int, n: int, seed: int = 42):

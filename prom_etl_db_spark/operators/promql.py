@@ -58,6 +58,8 @@ __all__ = [
     "max_over_time",
     "min_over_time",
     "count_over_time",
+    "topk",
+    "bottomk",
     "increase",
     "rate",
     "gapfill_locf",
@@ -286,6 +288,30 @@ def min_over_time(resampled: DataFrame, **kw) -> DataFrame:
 
 def count_over_time(resampled: DataFrame, **kw) -> DataFrame:
     return agg_over_time(resampled, F.count(F.lit(1)).cast("double"), **kw)
+
+
+# -- topk / bottomk --------------------------------------------------------
+
+
+def topk(df: DataFrame, k: int, *, ascending: bool = False) -> DataFrame:
+    """PromQL ``topk(k, x)`` over an instant vector: the k series with the
+    largest value (``bottomk`` via ascending=True). Ties break on the
+    canonical series entries for determinism.
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    partial top-k then a k-row merge on the driver; never a global sort,
+    so it holds at any series cardinality.
+    """
+    order = [
+        F.asc("value") if ascending else F.desc("value"),
+        F.asc(_series(F.col("labels"))),
+    ]
+    return df.orderBy(*order).limit(k)
+
+
+def bottomk(df: DataFrame, k: int) -> DataFrame:
+    """PromQL ``bottomk(k, x)``."""
+    return topk(df, k, ascending=True)
 
 
 # -- rate / increase (counter semantics) -----------------------------------

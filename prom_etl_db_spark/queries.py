@@ -1147,3 +1147,41 @@ def promql_avg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.s").alias("sum_value"),
         F.col("value.n").alias("n_buckets"),
     )
+
+
+@register(
+    "promql_topk",
+    oracle="""
+WITH instant AS (
+  SELECT event_type AS name, json_extract_string(props,'$.k') AS k,
+         user_id, value, ts,
+         row_number() OVER (
+           PARTITION BY event_type, json_extract_string(props,'$.k'), user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
+    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+)
+SELECT name, k, user_id, value FROM instant WHERE rn = 1
+ORDER BY value DESC, k, name, CAST(user_id AS VARCHAR) LIMIT 5
+""",
+)
+def promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(5, x): highest-valued series of the instant vector at eval
+    time. TakeOrderedAndProject — partial per-partition top-k, never a
+    global sort. (Beyond the reference's delegated subset.)"""
+    samples = _event_samples(spark, sf_dir)
+    sel = promql.instant_selector(
+        samples,
+        None,
+        datetime(2024, 1, 30, 12, 0, 0),
+        staleness="12 hours",
+        tiebreakers=["event_id"],
+    )
+    top = promql.topk(sel, 5)
+    return top.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.element_at("labels", "user_id").cast("long").alias("user_id"),
+        F.col("value"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from prom_etl_db_spark.streaming.jobs import (
     stream_events_to_metrics,
@@ -102,3 +103,51 @@ def test_windowed_rollup_matches_batch(spark, tmp_path, events_dir):
     }
     assert got[(datetime(2024, 3, 2, 9, 0), "click")] == (1, 4.0)
     assert len([k for k in got if k[0] == datetime(2024, 3, 1, 10, 0)]) == 1
+
+
+def test_stateful_counter_increase_across_batches(spark, tmp_path):
+    """applyInPandasWithState: reset-corrected counter totals must carry
+    state across separate micro-batches (and restarts via checkpoint),
+    matching the batch promql.increase oracle on the union of the data."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.operators.promql import increase
+    from prom_etl_db_spark.streaming.stateful import run_counter_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "state_sink")
+    ckpt = str(tmp_path / "state_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    # batch 1: ctr 10 → 25; batch 2 (separate run): 3 (reset) → 8
+    spark.createDataFrame(
+        [(1, t0, 0, "ctr", 10.0, None), (2, t0 + timedelta(minutes=1), 0, "ctr", 25.0, None)],
+        schema,
+    ).write.parquet(src)
+    run_counter_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(3, t0 + timedelta(minutes=2), 0, "ctr", 3.0, None),
+         (4, t0 + timedelta(minutes=3), 0, "ctr", 8.0, None)],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_counter_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    last = out.orderBy(F.desc("batch_id")).first()
+    # 15 (batch 1) + 3 (reset) + 5 = 23 — state crossed the restart
+    assert last["total_increase"] == 23.0
+    assert last["last_value"] == 8.0
+
+    # batch oracle over the union
+    batch = spark.read.parquet(src).select(
+        F.create_map(F.lit("name"), F.col("event_type")).alias("labels"),
+        F.col("ts").alias("timestamp"),
+        F.col("value"),
+    )
+    oracle = increase(batch, frame_start=t0, frame_end=t0 + timedelta(hours=1))
+    assert oracle.first()["value"] == last["total_increase"]
