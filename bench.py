@@ -60,6 +60,13 @@ def main() -> None:
     # first pandas-UDF query isn't charged for process startup either.
     par = spark.sparkContext.defaultParallelism
     spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long").count()
+    # Datasource warmup: first parquet touch pays one-time reader/scan init
+    # (~5 s measured) — that's session infrastructure, not query cost, so
+    # don't charge it to whichever query happens to scan a table first.
+    from prom_etl_db_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

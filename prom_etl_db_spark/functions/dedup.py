@@ -100,25 +100,42 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def has_min_words(text: Column, n: int) -> Column:
+    """Cheap pushable equivalent of ``size(shingles) > 0``: at least n
+    whitespace tokens. Filtering on the shingle expression itself is a
+    trap — Catalyst inlines the alias into the pushed-down Filter and the
+    (expensive) shingling evaluates 2-3× per row BELOW the balance
+    repartition, i.e. serially on the narrow scan partition."""
+    return F.size(F.split(F.trim(F.lower(text)), r"\s+")) >= n
+
+
 # -- E2a: MinHash + LSH -----------------------------------------------------
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     """k min-hash values from pre-hashed shingles: h_i(S) = min over s of
     (a_i·(s mod p) + b_i) mod p. One xxhash64 per shingle total; the k
-    families are integer multiply-adds — whole-stage-codegen arithmetic."""
+    families are integer multiply-adds.
+
+    The (a,b) families ride as ONE literal array<struct> driven by a
+    nested lambda — k unrolled copies of the transform would generate k×
+    the code and janino-compile for seconds per fresh JVM (a fixed cost,
+    but it dominates short benches and slows every new executor)."""
     base = F.transform(shingle_hashes, lambda s: F.pmod(s, F.lit(_MERSENNE31)))
-
-    def affine(a: int, b: int):
-        # closure factory: PySpark treats extra lambda params (even with
-        # defaults) as higher-order-function variables
-        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
-
-    sigs = [
-        F.array_min(F.transform(base, affine(a, b)))
-        for a, b in _affine_params(num_hashes)
-    ]
-    return F.array(*sigs)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _affine_params(num_hashes)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                base, lambda x: F.pmod(x * p["a"] + p["b"], F.lit(_MERSENNE31))
+            )
+        ),
+    )
 
 
 def _jaccard_hashed(a: Column, b: Column) -> Column:
@@ -150,12 +167,11 @@ def minhash_lsh_dup_pairs(
     """
     rows = num_hashes // bands
     base = (
-        balance(docs, id_col)  # shingling is the CPU-dense stage — use every core
+        balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col)
         .select(
             F.col(id_col).alias("id"),
             hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .where(F.size("sh") > 0)
         # multi-pass algorithm: the shingle sets feed the signature pass AND
         # both sides of the verify join — persist instead of recomputing the
         # (expensive) shingling per branch. MEMORY_AND_DISK spills at scale.
@@ -163,22 +179,22 @@ def minhash_lsh_dup_pairs(
     )
     sig = base.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
 
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+    # one lambda over a band-index sequence, not `bands` unrolled structs
+    # (same codegen-size rationale as minhash_signature)
+    band_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        ),
     )
     banded = (
         sig.select("id", F.explode(band_entries).alias("bk"))
@@ -277,19 +293,26 @@ def ngram_jaccard_dup_pairs(
     size (one extra int64 on the shuffle) so the union size falls out of
     the same aggregation — no second pass over the shingles, no persist,
     no size re-join. Output: (id_a, id_b, jaccard)."""
-    sh = (
-        balance(docs, id_col)  # shingling is the CPU-dense stage — use every core
-        .select(
-            F.col(id_col).alias("id"),
-            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
+    sh = balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col).select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    # explode_outer: plain explode triggers InferFiltersFromGenerate,
+    # which re-derives size(sh)>0 and pushes the whole shingle expression
+    # into a pre-shuffle Filter (evaluated serially on the narrow scan).
+    # has_min_words already guarantees non-empty arrays, and a null
+    # shingle key can never equi-join anyway.
     tokens = sh.select(
-        "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+        "id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
     return (
-        tokens.alias("a")
+        # shuffle_hash, not broadcast: the token side is mid-sized (falls
+        # under the broadcast threshold locally but never would at scale),
+        # and building its HashedRelation serially on the driver is both a
+        # bottleneck and a variance source. Shuffled hash join keeps the
+        # whole pair-generation path executor-parallel — the same plan
+        # shape a 100 TB run needs.
+        tokens.alias("a").hint("shuffle_hash")
         .join(
             tokens.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
