@@ -58,6 +58,7 @@ __all__ = [
     "max_over_time",
     "min_over_time",
     "count_over_time",
+    "sliding_over_time",
     "topk",
     "bottomk",
     "increase",
@@ -288,6 +289,46 @@ def min_over_time(resampled: DataFrame, **kw) -> DataFrame:
 
 def count_over_time(resampled: DataFrame, **kw) -> DataFrame:
     return agg_over_time(resampled, F.count(F.lit(1)).cast("double"), **kw)
+
+
+def sliding_over_time(
+    resampled: DataFrame,
+    agg: str,
+    frame: str,
+) -> DataFrame:
+    """Continuous ``<agg>_over_time(x[frame:step])``: evaluate the frame
+    aggregate at EVERY step of the grid, each step looking back ``frame``
+    (e.g. a 24 h rolling sum recomputed per minute) — the sliding
+    counterpart of ``agg_over_time``'s single-frame evaluation.
+
+    One RANGE window per series ordered by bucket time: Spark computes it
+    in a single pass after the (inherent) per-series sort; no self-join,
+    no step explosion. ``agg`` ∈ {sum, avg, max, min, count}.
+
+    Output: (labels, bucket_start, value) — one row per (series, step).
+    """
+    fns = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min,
+           "count": lambda c: F.count(c).cast("double")}
+    if agg not in fns:
+        raise ValueError(f"unsupported agg {agg!r}; one of {sorted(fns)}")
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_sec = int(parse_duration(frame).total_seconds())
+    keyed = (
+        resampled.withColumn("__series", _series(F.col("labels")))
+        if "__series" not in resampled.columns
+        else resampled
+    )
+    w = (
+        Window.partitionBy("__series")
+        .orderBy(F.col("bucket_start").cast("long"))
+        .rangeBetween(-(frame_sec - 1), 0)
+    )
+    return keyed.select(
+        F.map_from_entries("__series").alias("labels"),
+        "bucket_start",
+        fns[agg](F.col("value")).over(w).alias("value"),
+    )
 
 
 # -- topk / bottomk --------------------------------------------------------

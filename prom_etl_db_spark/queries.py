@@ -1185,3 +1185,35 @@ def promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("labels", "user_id").cast("long").alias("user_id"),
         F.col("value"),
     )
+
+
+@register(
+    "promql_sliding_sum",
+    oracle="""
+WITH stepped AS (
+  SELECT name, bucket, value FROM (
+    SELECT event_type AS name, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT name, bucket AS bucket_start,
+       round(sum(value) OVER (
+         PARTITION BY name ORDER BY epoch(bucket)
+         RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW), 4) AS value
+FROM stepped
+""",
+)
+def promql_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum_over_time(x[6h:1h]) evaluated at EVERY step — the sliding
+    subquery variant (one RANGE window per series, single pass, no
+    self-join)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    out = promql.sliding_over_time(stepped, "sum", "6h")
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.col("bucket_start"),
+        F.round("value", 4).alias("value"),
+    )

@@ -220,3 +220,19 @@ def test_avg_max_count_over_time(spark):
     assert max_over_time(stepped).first()["value"] == 9.0
     assert min_over_time(stepped).first()["value"] == 2.0
     assert count_over_time(stepped).first()["value"] == 3.0
+
+
+def test_sliding_over_time_window(spark):
+    from prom_etl_db_spark.operators.promql import sliding_over_time
+
+    # hourly samples 1,2,3,4 — sliding 2h sum = [1, 3, 5, 7]
+    df = _samples(
+        spark,
+        [({"h": "a"}, v, i * 3600) for i, v in enumerate([1, 2, 3, 4])],
+    )
+    stepped = resample(df, "1 hour")
+    out = sliding_over_time(stepped, "sum", "2h")
+    vals = [r["value"] for r in out.orderBy("bucket_start").collect()]
+    assert vals == [1.0, 3.0, 5.0, 7.0]
+    with pytest.raises(ValueError):
+        sliding_over_time(stepped, "median", "2h")
