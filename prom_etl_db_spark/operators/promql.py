@@ -44,6 +44,13 @@ def _series(labels: Column) -> Column:
     exactly by ``map_from_entries``."""
     return F.array_sort(F.map_entries(labels))
 
+
+def _ensure_series(df: DataFrame) -> DataFrame:
+    """Attach the ``__series`` entries key unless already present."""
+    if "__series" in df.columns:
+        return df
+    return df.withColumn("__series", _series(F.col("labels")))
+
 __all__ = [
     "instant_selector",
     "group_by_labels",
@@ -215,11 +222,7 @@ def resample(df: DataFrame, step: str, *, tiebreakers: Sequence[str] = ()) -> Da
     argmax by ts within (series, bucket). Two hash aggregations, both
     with map-side partial combine, zero sorts.
     """
-    keyed = (
-        df.withColumn("__series", _series(F.col("labels")))
-        if "__series" not in df.columns
-        else df
-    )
+    keyed = _ensure_series(df)
     bucket = F.window(F.col("timestamp"), step)["start"].alias("bucket_start")
     if tiebreakers:
         order = (
@@ -261,8 +264,7 @@ def agg_over_time(
         df = df.where(F.col("bucket_start") >= F.lit(frame_start))
     if frame_end is not None:
         df = df.where(F.col("bucket_start") < F.lit(frame_end))
-    if "__series" not in df.columns:
-        df = df.withColumn("__series", _series(F.col("labels")))
+    df = _ensure_series(df)
     return (
         df.groupBy("__series")
         .agg(agg.alias("value"))
@@ -293,32 +295,29 @@ def count_over_time(resampled: DataFrame, **kw) -> DataFrame:
 
 def sliding_over_time(
     resampled: DataFrame,
-    agg: str,
+    agg: Column,
     frame: str,
 ) -> DataFrame:
     """Continuous ``<agg>_over_time(x[frame:step])``: evaluate the frame
     aggregate at EVERY step of the grid, each step looking back ``frame``
     (e.g. a 24 h rolling sum recomputed per minute) — the sliding
-    counterpart of ``agg_over_time``'s single-frame evaluation.
+    counterpart of ``agg_over_time``'s single-frame evaluation, with the
+    same Column-aggregate contract (``F.sum("value")``, ``F.avg(...)``, …).
 
     One RANGE window per series ordered by bucket time: Spark computes it
     in a single pass after the (inherent) per-series sort; no self-join,
-    no step explosion. ``agg`` ∈ {sum, avg, max, min, count}.
+    no step explosion.
 
     Output: (labels, bucket_start, value) — one row per (series, step).
     """
-    fns = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min,
-           "count": lambda c: F.count(c).cast("double")}
-    if agg not in fns:
-        raise ValueError(f"unsupported agg {agg!r}; one of {sorted(fns)}")
     from prom_etl_db_spark.timeparse import parse_duration
 
     frame_sec = int(parse_duration(frame).total_seconds())
-    keyed = (
-        resampled.withColumn("__series", _series(F.col("labels")))
-        if "__series" not in resampled.columns
-        else resampled
-    )
+    if frame_sec < 1:
+        # a zero/sub-second frame builds an inverted RANGE bound, which
+        # Spark silently evaluates to NULL for every row — reject instead
+        raise ValueError(f"frame must be >= 1s, got {frame!r}")
+    keyed = _ensure_series(resampled)
     w = (
         Window.partitionBy("__series")
         .orderBy(F.col("bucket_start").cast("long"))
@@ -327,7 +326,7 @@ def sliding_over_time(
     return keyed.select(
         F.map_from_entries("__series").alias("labels"),
         "bucket_start",
-        fns[agg](F.col("value")).over(w).alias("value"),
+        agg.over(w).alias("value"),
     )
 
 
@@ -425,11 +424,7 @@ def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = No
     driver loop); the fill is one ordered window per series with
     ``last(value, ignorenulls=True)``.
     """
-    keyed = (
-        resampled.withColumn("__series", _series(F.col("labels")))
-        if "__series" not in resampled.columns
-        else resampled
-    )
+    keyed = _ensure_series(resampled)
     step_expr = F.expr(f"INTERVAL {step.replace('minute', 'minute').strip()}")
     bounds = keyed.groupBy("__series").agg(
         F.min("bucket_start").alias("lo"),

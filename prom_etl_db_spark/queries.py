@@ -1211,7 +1211,7 @@ def promql_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join)."""
     samples = _event_samples(spark, sf_dir, keys=("name",))
     stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
-    out = promql.sliding_over_time(stepped, "sum", "6h")
+    out = promql.sliding_over_time(stepped, F.sum("value"), "6h")
     return out.select(
         F.element_at("labels", "name").alias("name"),
         F.col("bucket_start"),

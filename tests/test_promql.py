@@ -231,8 +231,9 @@ def test_sliding_over_time_window(spark):
         [({"h": "a"}, v, i * 3600) for i, v in enumerate([1, 2, 3, 4])],
     )
     stepped = resample(df, "1 hour")
-    out = sliding_over_time(stepped, "sum", "2h")
+    from pyspark.sql import functions as F
+    out = sliding_over_time(stepped, F.sum("value"), "2h")
     vals = [r["value"] for r in out.orderBy("bucket_start").collect()]
     assert vals == [1.0, 3.0, 5.0, 7.0]
     with pytest.raises(ValueError):
-        sliding_over_time(stepped, "median", "2h")
+        sliding_over_time(stepped, F.sum("value"), "500ms")
