@@ -58,6 +58,7 @@ __all__ = [
     "avg_by",
     "max_without",
     "bool_cmp",
+    "vector_binop",
     "resample",
     "agg_over_time",
     "sum_over_time",
@@ -179,6 +180,60 @@ def avg_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
 def max_without(df: DataFrame, drop: Sequence[str], **kw) -> DataFrame:
     """B3: ``max without (drop) (df)``."""
     return group_by_labels(df, F.max("value"), without=list(drop), **kw)
+
+
+# -- vector-vector binary operators (on/ignoring matching) -----------------
+
+_VEC_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: F.pmod(a, b),
+    "^": lambda a, b: F.pow(a, b),
+}
+
+
+def vector_binop(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    op: str,
+    *,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] = (),
+) -> DataFrame:
+    """One-to-one vector matching: ``lhs <op> rhs`` joining series whose
+    label sets agree after projection by ``on`` (keep only those keys) or
+    ``ignoring`` (drop those keys) — PromQL binary-operator semantics
+    (prometheus.io/docs/prometheus/latest/querying/operators/#vector-matching).
+    Result carries the matched label set, PromQL-style.
+
+    One equi-join on the projected entries key (hash/broadcast per
+    Catalyst's choice); series missing from either side drop out, like
+    PromQL. Output: (labels, value).
+    """
+    if on is not None and ignoring:
+        raise ValueError("use only one of on= / ignoring=")
+    if op not in _VEC_OPS:
+        raise ValueError(f"unsupported op {op!r}; one of {sorted(_VEC_OPS)}")
+
+    def key(labels: Column) -> Column:
+        if on is not None:
+            projected = (
+                _project_labels_by(labels, on)
+                if on
+                else F.create_map().cast("map<string,string>")
+            )
+        else:
+            projected = _project_labels_without(labels, ignoring) if ignoring else labels
+        return _series(projected)
+
+    left = lhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__l"))
+    right = rhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__r"))
+    return left.join(right, "__series").select(
+        F.map_from_entries("__series").alias("labels"),
+        _VEC_OPS[op](F.col("__l"), F.col("__r")).alias("value"),
+    )
 
 
 # -- B6/B7: comparison with bool modifier; scalar arithmetic ---------------

@@ -1217,3 +1217,33 @@ def promql_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_start"),
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "promql_vector_ratio",
+    oracle="""
+WITH p AS (
+  SELECT json_extract_string(props,'$.k') AS k, sum(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), c AS (
+  SELECT json_extract_string(props,'$.k') AS k, sum(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT p.k AS k, round(p.v / c.v, 6) AS ratio
+FROM p JOIN c ON p.k IS NOT DISTINCT FROM c.k
+""",
+)
+def promql_vector_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector / vector with on(k) matching: per-k purchase value over
+    per-k click value — ``sum by (k)(purchase) / on(k) sum by (k)(click)``.
+    One equi-join on the projected entries key."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    purchases = promql.sum_by(
+        samples.where(F.col("metric_name") == "purchase"), ["k"]
+    )
+    clicks = promql.sum_by(samples.where(F.col("metric_name") == "click"), ["k"])
+    out = promql.vector_binop(purchases, clicks, "/", on=["k"])
+    return out.select(
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 6).alias("ratio"),
+    )

@@ -237,3 +237,28 @@ def test_sliding_over_time_window(spark):
     assert vals == [1.0, 3.0, 5.0, 7.0]
     with pytest.raises(ValueError):
         sliding_over_time(stepped, F.sum("value"), "500ms")
+
+
+def test_vector_binop_matching(spark):
+    from prom_etl_db_spark.operators.promql import vector_binop
+
+    a = _samples(spark, [({"job": "x", "inst": "1"}, 10, 0), ({"job": "y", "inst": "2"}, 6, 0)])
+    b = _samples(spark, [({"job": "x", "inst": "1"}, 2, 0), ({"job": "z", "inst": "3"}, 7, 0)])
+    # full-label match: only job=x pairs up
+    out = vector_binop(a, b, "/")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 5.0
+    assert rows[0]["labels"] == {"job": "x", "inst": "1"}
+
+    # on(job): match by job only, result labels = {job}
+    out = vector_binop(a, b, "-", on=["job"])
+    assert {(r["labels"]["job"], r["value"]) for r in out.collect()} == {("x", 8.0)}
+
+    # ignoring(inst): same match set as on(job) here
+    out = vector_binop(a, b, "+", ignoring=["inst"])
+    assert [r["value"] for r in out.collect()] == [12.0]
+
+    with pytest.raises(ValueError):
+        vector_binop(a, b, "**")
+    with pytest.raises(ValueError):
+        vector_binop(a, b, "/", on=["job"], ignoring=["inst"])
