@@ -18,6 +18,8 @@ fixed corpus rows (no RNG, no ``Date.now``-style nondeterminism).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -72,13 +74,26 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat / norms
 
 
-def _normalized(batch) -> "tuple":
-    import numpy as np
-
+def _normalized(batch):
     mat = np.array(list(batch), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+def _pairwise_cos_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
+    A = _normalized(va)
+    B = _normalized(vb)
+    return pd.Series(np.einsum("ij,ij->i", A, B))
+
+
+def pairwise_cosine_udf(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two vector columns as an Arrow-batched pandas
+    UDF (vectorized einsum). The Column-expression ``cosine()`` fold is
+    interpreted per element — fine for a handful of pairs, ~100× slower
+    when an LSH verify stage has millions of candidates. (Registered
+    lazily: pandas_udf needs an active session.)"""
+    return F.pandas_udf(_pairwise_cos_fn, "double")(a, b)
 
 
 def cosine_topk_bruteforce(
@@ -202,7 +217,7 @@ def cosine_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bands: int = 16,
+    bands: int = 48,
     bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -214,43 +229,37 @@ def cosine_neardup_lsh(
     target threshold. Never an all-pairs join: the candidate shuffle
     carries (id, band, key) only, like the MinHash banding in
     ``functions.dedup`` (same plan shape at 100 TB).
+
+    Sizing rule: RANDOM pairs collide per band at ~2^-bits, so candidate
+    volume scales O(n² · bands / 2^bits) — ``bits`` must grow with corpus
+    size (8 bits ⇒ 1/256 of pairs; 16 ⇒ 1/65k). High recall at moderate
+    thresholds (~0.4) then needs many bands; for true near-dup thresholds
+    (≥0.9, p_bit ≳ 0.85) a handful of bands suffices and collisions
+    concentrate on real duplicates.
     """
     planes = _hyperplanes(dim, bands * bits, seed)
     v = balance(vectors, id_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
 
-    def plane_dot(p) -> Column:
-        # dot(vec, p) with the plane folded in as literals — JVM arithmetic
-        return F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # all bands×bits sign bits in ONE BLAS matmul per Arrow batch, packed
+    # into an int64 key per band — 96 interpreted per-element fold
+    # expressions would cost more than the candidate join itself
+    weights = (2 ** np.arange(bits, dtype=np.int64)).reshape(1, bits)
 
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[
-                        F.when(plane_dot(planes[b * bits + j]) >= 0, F.lit("1")).otherwise(
-                            F.lit("0")
-                        )
-                        for j in range(bits)
-                    ]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    def band_keys_fn(vs: pd.Series) -> pd.Series:
+        V = np.array(list(vs), dtype=np.float64)
+        signs = (V @ planes.T) >= 0  # (batch × bands*bits)
+        keys = (
+            signs.reshape(len(V), bands, bits).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(keys))
+
+    band_keys = F.pandas_udf(band_keys_fn, "array<long>")
+
     v = v.persist()  # read by the signature pass and both verify joins
-    sig = v.select("id", F.explode(band_keys).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    sig = v.select(
+        "id", F.posexplode(band_keys(F.col("vec"))).alias("band", "key")
     )
     # candidate shuffle carries (id, band, key) triples only — the wide
     # vectors re-join by id AFTER pair dedup, exactly like the MinHash
@@ -271,7 +280,7 @@ def cosine_neardup_lsh(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", pairwise_cosine_udf(F.col("va"), F.col("vb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

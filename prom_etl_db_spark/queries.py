@@ -1044,7 +1044,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verify; candidate shuffle carries (id, band, key) only.
     Unit tests measure recall against the exact variant."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=24, bits=4)
+    return similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=48, bits=8)
 
 
 @register(

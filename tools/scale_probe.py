@@ -1,0 +1,133 @@
+"""Scale probe: run the heavy operators at synthetic 1x/4x/10x of an sf
+dir and report wall time + scaling ratio vs linear.
+
+Usage: python tools/scale_probe.py [sf_dir] [factors...]
+
+Scaling is synthesized IN MEMORY (no files written): events replicate
+with day-shifted timestamps and offset ids (distinct series/time — clean
+throughput growth); documents replicate with a per-copy vowel rotation
+(disjoint shingle sets — dedup candidate volume grows linearly, matching
+a corpus that grows with mostly-new content); embeddings replicate with
+offset ids (near-dup pair count grows quadratically in copies by
+construction, noted in output).
+
+A sub-linear or ~linear time ratio at 10x is the evidence the per-op
+docstrings claim: no driver-side loops, no quadratic shuffles hiding at
+small N.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from prom_etl_db_spark.functions import dedup, similarity
+from prom_etl_db_spark.operators import promql
+from prom_etl_db_spark.queries import _event_samples
+from prom_etl_db_spark.session import get_spark
+from prom_etl_db_spark.sources.tables import load_table
+
+ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+
+
+def scaled_events(spark, sf_dir: str, k: int) -> DataFrame:
+    base = load_table(spark, sf_dir, "events")
+    parts = [
+        base.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 35} DAYS"))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_docs(spark, sf_dir: str, k: int) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents")
+    parts = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        .withColumn("text", F.translate(F.col("text"), "aeiou", ROTS[i % len(ROTS)]))
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(spark, sf_dir: str, k: int) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings")
+    parts = [
+        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe(spark, sf_dir: str, k: int) -> dict[str, float]:
+    times: dict[str, float] = {}
+
+    def run(name, df):
+        t0 = time.perf_counter()
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {k}x {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    ev = scaled_events(spark, sf_dir, k)
+    samples = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.create_map(
+            F.lit("name"), F.col("event_type"),
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+        ).alias("labels"),
+        F.col("value"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+    )
+    stepped = promql.resample(
+        samples.drop("event_id"), "1 hour"
+    )
+    run("promql_resample_sum", promql.sum_over_time(stepped))
+    run("promql_sum_by", promql.sum_by(samples, ["k"]))
+
+    docs = scaled_docs(spark, sf_dir, k)
+    run("ngram_jaccard", dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3))
+    run("minhash_lsh", dedup.minhash_lsh_dup_pairs(docs, bands=16, threshold=0.3))
+
+    emb = scaled_embeddings(spark, sf_dir, k)
+    run("neardup_lsh", similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=48, bits=8))
+    return times
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[2:]] or [1, 4, 10]
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    results = {k: probe(spark, sf_dir, k) for k in factors}
+    base = factors[0]
+    print(f"\n{'op':24s} " + " ".join(f"{k:>7d}x" for k in factors) + "   time-ratio vs linear")
+    for op in results[base]:
+        row = [results[k][op] for k in factors]
+        ratio = (row[-1] / row[0]) / (factors[-1] / base) if row[0] else float("nan")
+        flag = "OK" if ratio <= 1.5 else "SUPERLINEAR"
+        print(f"{op:24s} " + " ".join(f"{t:7.2f}" for t in row) + f"   {ratio:.2f} {flag}")
+
+
+if __name__ == "__main__":
+    main()
