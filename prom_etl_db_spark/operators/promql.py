@@ -57,6 +57,10 @@ __all__ = [
     "sum_by",
     "avg_by",
     "max_without",
+    "stddev_by",
+    "stdvar_by",
+    "quantile_by",
+    "count_values",
     "bool_cmp",
     "vector_binop",
     "resample",
@@ -66,11 +70,26 @@ __all__ = [
     "max_over_time",
     "min_over_time",
     "count_over_time",
+    "last_over_time",
+    "stddev_over_time",
+    "quantile_over_time",
+    "present_over_time",
     "sliding_over_time",
     "topk",
     "bottomk",
     "increase",
     "rate",
+    "delta",
+    "deriv",
+    "predict_linear",
+    "label_replace",
+    "label_join",
+    "offset",
+    "clamp",
+    "clamp_min",
+    "clamp_max",
+    "absent",
+    "histogram_quantile",
     "gapfill_locf",
 ]
 
@@ -180,6 +199,48 @@ def avg_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
 def max_without(df: DataFrame, drop: Sequence[str], **kw) -> DataFrame:
     """B3: ``max without (drop) (df)``."""
     return group_by_labels(df, F.max("value"), without=list(drop), **kw)
+
+
+def stddev_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
+    """``stddev by (keys)`` — PromQL's stddev is the POPULATION standard
+    deviation (prometheus.io aggregation operators), not the sample one."""
+    return group_by_labels(df, F.stddev_pop("value"), by=list(keys), **kw)
+
+
+def stdvar_by(df: DataFrame, keys: Sequence[str], **kw) -> DataFrame:
+    """``stdvar by (keys)`` — population variance."""
+    return group_by_labels(df, F.var_pop("value"), by=list(keys), **kw)
+
+
+def quantile_by(df: DataFrame, q: float, keys: Sequence[str], **kw) -> DataFrame:
+    """``quantile(q, x) by (keys)`` — exact φ-quantile with linear
+    interpolation (PromQL semantics = ``percentile``, not the t-digest
+    approximation). For a 100 TB cardinality-bounded group-by this is an
+    exact sort-based agg per group; swap in ``percentile_approx`` when
+    per-group value counts are unbounded."""
+    return group_by_labels(df, F.percentile("value", q), by=list(keys), **kw)
+
+
+def count_values(df: DataFrame, dst: str = "value") -> DataFrame:
+    """PromQL ``count_values("dst", x)``: count samples per distinct value,
+    the value itself becoming a new label. One hash aggregation on
+    (series-key, value); the value's canonical string drops a trailing
+    ``.0`` so integers read like PromQL's repr.
+    """
+    keyed = _ensure_series(df)
+    grouped = keyed.groupBy("__series", "value").agg(
+        F.count(F.lit(1)).cast("double").alias("__count")
+    )
+    value_str = F.regexp_replace(
+        F.col("value").cast("string"), r"\.0$", ""
+    )
+    return grouped.select(
+        F.map_concat(
+            F.map_from_entries("__series"),
+            F.create_map(F.lit(dst), value_str),
+        ).alias("labels"),
+        F.col("__count").alias("value"),
+    )
 
 
 # -- vector-vector binary operators (on/ignoring matching) -----------------
@@ -348,6 +409,28 @@ def count_over_time(resampled: DataFrame, **kw) -> DataFrame:
     return agg_over_time(resampled, F.count(F.lit(1)).cast("double"), **kw)
 
 
+def last_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """``last_over_time``: the frame's most recent step value — ``max_by``
+    on the single-primitive bucket time (stays a HashAggregate)."""
+    return agg_over_time(resampled, F.max_by("value", "bucket_start"), **kw)
+
+
+def stddev_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """Population stddev over the frame (PromQL semantics)."""
+    return agg_over_time(resampled, F.stddev_pop("value"), **kw)
+
+
+def quantile_over_time(resampled: DataFrame, q: float, **kw) -> DataFrame:
+    """``quantile_over_time(q, x[frame:step])`` — exact linear-interpolated
+    quantile of the step-aligned values."""
+    return agg_over_time(resampled, F.percentile("value", q), **kw)
+
+
+def present_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """1.0 for every series with any point in the frame."""
+    return agg_over_time(resampled, F.lit(1.0), **kw)
+
+
 def sliding_over_time(
     resampled: DataFrame,
     agg: Column,
@@ -469,6 +552,234 @@ def rate(
         tiebreakers=tiebreakers,
     )
     return inc.withColumn("value", F.col("value") / F.lit(seconds))
+
+
+def _frame(samples: DataFrame, frame_start: datetime, frame_end: datetime) -> DataFrame:
+    """[frame_start, frame_end) filter + series key; the time predicate
+    sits before any shuffle so it pushes into the scan."""
+    return samples.where(
+        (F.col("timestamp") >= F.lit(frame_start))
+        & (F.col("timestamp") < F.lit(frame_end))
+    ).withColumn("__series", _series(F.col("labels")))
+
+
+def delta(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+) -> DataFrame:
+    """Gauge ``delta(x[frame])``: last value minus first value per series.
+    ``max_by``/``min_by`` on the single-primitive timestamp — one
+    HashAggregate, no window sort.
+
+    Divergence, documented (same policy as ``increase``): Prometheus
+    extrapolates to the window boundaries; we return the observed
+    difference — exact over stored data, no estimation.
+    """
+    df = _frame(samples, frame_start, frame_end)
+    return (
+        df.groupBy("__series")
+        .agg(
+            (
+                F.max_by("value", "timestamp") - F.min_by("value", "timestamp")
+            ).alias("value")
+        )
+        .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def _regression(df: DataFrame, t0: datetime) -> DataFrame:
+    """Per-series least-squares fit of value against time: slope =
+    covar_pop(t, v) / var_pop(t), intercept via the means. Times are
+    centered on ``t0`` before aggregating — epoch seconds are ~1.7e9 and
+    uncentered second moments lose the digits the slope lives in.
+    All four moments ride ONE hash aggregation."""
+    t = F.col("timestamp").cast("double") - F.lit(t0.timestamp())
+    return df.groupBy("__series").agg(
+        F.covar_pop(t, F.col("value")).alias("__cov"),
+        F.var_pop(t).alias("__var"),
+        F.avg(t).alias("__t_mean"),
+        F.avg("value").alias("__v_mean"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
+def deriv(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+) -> DataFrame:
+    """``deriv(x[frame])``: per-second least-squares slope of each series
+    (PromQL uses simple linear regression, not first/last). Series with
+    fewer than two points drop out, like PromQL."""
+    reg = _regression(_frame(samples, frame_start, frame_end), frame_start)
+    return (
+        reg.where((F.col("__n") >= 2) & (F.col("__var") > 0))
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            (F.col("__cov") / F.col("__var")).alias("value"),
+        )
+    )
+
+
+def predict_linear(
+    samples: DataFrame,
+    horizon_seconds: float,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+) -> DataFrame:
+    """``predict_linear(x[frame], t)``: extrapolate each series'
+    least-squares line to ``frame_end + horizon_seconds``. Prediction =
+    v̄ + slope · (t_pred − t̄) — same single-pass moments as ``deriv``."""
+    reg = _regression(_frame(samples, frame_start, frame_end), frame_start)
+    t_pred = (frame_end - frame_start).total_seconds() + horizon_seconds
+    slope = F.col("__cov") / F.col("__var")
+    return (
+        reg.where((F.col("__n") >= 2) & (F.col("__var") > 0))
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            (F.col("__v_mean") + slope * (F.lit(t_pred) - F.col("__t_mean"))).alias(
+                "value"
+            ),
+        )
+    )
+
+
+# -- label manipulation / offset / math ------------------------------------
+
+
+def label_replace(
+    df: DataFrame, dst: str, replacement: str, src: str, regex: str
+) -> DataFrame:
+    """PromQL ``label_replace(v, dst, replacement, src, regex)``: when
+    ``regex`` matches the ENTIRE value of label ``src`` (missing label =
+    ""), set ``dst`` to the expanded replacement ($1-style backrefs);
+    an empty expansion removes ``dst``; on no match the series is
+    unchanged. Pure map expressions — no shuffle, no UDF."""
+    anchored = f"^(?:{regex})$"
+    src_val = F.coalesce(F.element_at(F.col("labels"), src), F.lit(""))
+    new_val = F.regexp_replace(src_val, anchored, replacement)
+    without_dst = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst))
+    replaced = F.when(
+        new_val == "", without_dst
+    ).otherwise(F.map_concat(without_dst, F.create_map(F.lit(dst), new_val)))
+    return df.withColumn(
+        "labels", F.when(src_val.rlike(anchored), replaced).otherwise(F.col("labels"))
+    )
+
+
+def label_join(
+    df: DataFrame, dst: str, sep: str, srcs: Sequence[str]
+) -> DataFrame:
+    """PromQL ``label_join(v, dst, sep, src...)``: ``dst`` = source label
+    values joined by ``sep`` (missing labels contribute ""); an all-empty
+    result removes ``dst``."""
+    vals = [
+        F.coalesce(F.element_at(F.col("labels"), s), F.lit("")) for s in srcs
+    ]
+    joined = F.concat_ws(sep, *vals)
+    without_dst = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst))
+    return df.withColumn(
+        "labels",
+        F.when(joined == "", without_dst).otherwise(
+            F.map_concat(without_dst, F.create_map(F.lit(dst), joined))
+        ),
+    )
+
+
+def offset(df: DataFrame, duration: str) -> DataFrame:
+    """PromQL ``offset`` modifier: a selector at eval time *t* reads data
+    from *t − offset*. Shifting every sample's timestamp FORWARD by the
+    offset makes all downstream selectors/frames see the past — a pure
+    projection, pushdown-friendly (the shifted predicate still prunes)."""
+    return df.withColumn(
+        "timestamp", F.col("timestamp") + F.expr(f"INTERVAL {duration}")
+    )
+
+
+def clamp(df: DataFrame, lo: float, hi: float) -> DataFrame:
+    """``clamp(v, lo, hi)`` — elementwise, no shuffle."""
+    return df.withColumn(
+        "value", F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+    )
+
+
+def clamp_min(df: DataFrame, lo: float) -> DataFrame:
+    return df.withColumn("value", F.greatest(F.col("value"), F.lit(lo)))
+
+
+def clamp_max(df: DataFrame, hi: float) -> DataFrame:
+    return df.withColumn("value", F.least(F.col("value"), F.lit(hi)))
+
+
+def absent(df: DataFrame) -> DataFrame:
+    """PromQL ``absent(v)``: one ``{value: 1.0}`` row iff the vector is
+    empty, else no rows. A single global count-aggregate (partial combine,
+    one 1-row shuffle) — never a ``collect()``."""
+    return (
+        df.agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 0)
+        .select(
+            F.create_map().cast("map<string,string>").alias("labels"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+
+
+# -- histogram_quantile ----------------------------------------------------
+
+
+def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") -> DataFrame:
+    """PromQL ``histogram_quantile(q, x)`` over classic cumulative
+    ``le``-bucket series: group buckets on the series-minus-``le`` labels,
+    find the bucket where the cumulative count crosses q·total, linearly
+    interpolate inside it (lower bound 0 for the first bucket; the
+    quantile landing in the ``+Inf`` bucket returns the highest finite
+    bound — Prometheus's behavior).
+
+    One window per histogram (ordered by ``le``) for the neighbor
+    cumulative counts + one unordered max for the total: a single
+    shuffle on the histogram key, sort only within each histogram's
+    handful of buckets.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    le_str = F.element_at(F.col("labels"), le_label)
+    le = F.when(
+        F.lower(le_str).isin("+inf", "inf", "infinity"), F.lit(float("inf"))
+    ).otherwise(le_str.cast("double"))
+    grp = _series(_project_labels_without(F.col("labels"), [le_label]))
+    df = buckets.select(
+        grp.alias("__grp"), le.alias("__le"), F.col("value").alias("__cum")
+    )
+    w = Window.partitionBy("__grp").orderBy("__le")
+    w_all = Window.partitionBy("__grp")
+    df = df.select(
+        "__grp",
+        "__le",
+        "__cum",
+        F.lag("__cum").over(w).alias("__prev_cum"),
+        F.lag("__le").over(w).alias("__prev_le"),
+        (F.max("__cum").over(w_all) * F.lit(q)).alias("__target"),
+    )
+    crossing = df.where(
+        (F.col("__cum") >= F.col("__target"))
+        & (F.col("__prev_cum").isNull() | (F.col("__prev_cum") < F.col("__target")))
+    )
+    lower = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+    prev_cum = F.coalesce(F.col("__prev_cum"), F.lit(0.0))
+    interpolated = lower + (F.col("__le") - lower) * (
+        F.col("__target") - prev_cum
+    ) / (F.col("__cum") - prev_cum)
+    return crossing.select(
+        F.map_from_entries("__grp").alias("labels"),
+        F.when(F.col("__le") == float("inf"), F.col("__prev_le"))
+        .otherwise(interpolated)
+        .alias("value"),
+    )
 
 
 def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = None) -> DataFrame:

@@ -1247,3 +1247,357 @@ def promql_vector_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("labels", "k").alias("k"),
         F.round("value", 6).alias("ratio"),
     )
+
+
+# -- extended PromQL function surface (beyond the reference's delegated
+# subset; each natively evaluated over stored samples) ---------------------
+
+
+@register(
+    "promql_stddev_by",
+    oracle="""
+SELECT event_type AS name, round(stddev_pop(value), 4) AS sd_value
+FROM events GROUP BY event_type
+""",
+)
+def promql_stddev_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev by (name) — population stddev, PromQL semantics."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.stddev_by(samples, ["name"])
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 4).alias("sd_value"),
+    )
+
+
+@register(
+    "promql_quantile_by",
+    oracle="""
+SELECT event_type AS name, round(quantile_cont(value, 0.9), 4) AS q90
+FROM events GROUP BY event_type
+""",
+)
+def promql_quantile_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile(0.9, x) by (name) — exact linear-interpolated quantile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.quantile_by(samples, 0.9, ["name"])
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 4).alias("q90"),
+    )
+
+
+@register(
+    "promql_count_values",
+    oracle="""
+SELECT event_type AS name,
+       CAST(CAST(floor(value / 50) * 50 AS BIGINT) AS VARCHAR) AS vbucket,
+       CAST(count(*) AS DOUBLE) AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_values("vbucket", floor(x/50)*50): sample count per distinct
+    (bucketed) value, the value becoming a label."""
+    samples = _event_samples(spark, sf_dir, keys=("name",)).withColumn(
+        "value", (F.floor(F.col("value") / 50) * 50).cast("double")
+    )
+    out = promql.count_values(samples, "vbucket")
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "vbucket").alias("vbucket"),
+        F.col("value").alias("cnt"),
+    )
+
+
+@register(
+    "promql_over_time_stats",
+    oracle="""
+WITH resampled AS (
+  SELECT event_type AS name, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT name,
+       round(arg_max(value, bucket), 4) AS last_value,
+       round(stddev_pop(value), 4) AS sd_value,
+       round(quantile_cont(value, 0.9), 4) AS q90_value
+FROM resampled WHERE rn = 1 GROUP BY name
+""",
+)
+def promql_over_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last/stddev/quantile_over_time in ONE frame aggregation over the 1h
+    step grid (struct agg — single shuffle for all three)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    out = promql.agg_over_time(
+        stepped,
+        F.struct(
+            F.max_by("value", "bucket_start").alias("last"),
+            F.stddev_pop("value").alias("sd"),
+            F.percentile("value", 0.9).alias("q90"),
+        ),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value.last", 4).alias("last_value"),
+        F.round("value.sd", 4).alias("sd_value"),
+        F.round("value.q90", 4).alias("q90_value"),
+    )
+
+
+@register(
+    "promql_label_replace",
+    oracle="""
+SELECT 'd' || substr(json_extract_string(props, '$.k'), 1, 1) AS k_dec,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace(x, "k_dec", "d$1", "k", "(\\d)\\d*") then
+    sum by (k_dec) — regex-derived label, pure map expressions."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    replaced = promql.label_replace(samples, "k_dec", "d$1", "k", r"(\d)\d*")
+    out = promql.sum_by(replaced, ["k_dec"])
+    return out.select(
+        F.element_at("labels", "k_dec").alias("k_dec"),
+        F.round("value", 4).alias("sum_value"),
+    )
+
+
+@register(
+    "promql_label_join",
+    oracle="""
+SELECT event_type || '-' || json_extract_string(props, '$.k') AS nk,
+       CAST(count(*) AS DOUBLE) AS cnt
+FROM events GROUP BY 1
+""",
+)
+def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_join(x, "nk", "-", name, k) then count by (nk)."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    joined = promql.label_join(samples, "nk", "-", ["name", "k"])
+    out = promql.group_by_labels(
+        joined, F.count(F.lit(1)).cast("double"), by=["nk"]
+    )
+    return out.select(
+        F.element_at("labels", "nk").alias("nk"),
+        F.col("value").alias("cnt"),
+    )
+
+
+@register(
+    "promql_offset",
+    oracle="""
+SELECT event_type AS name, round(sum(value), 4) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-19 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+)
+def promql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum by (name) (x offset 1d) evaluated over [2024-01-20, 01-21):
+    the offset shifts the read window one day back."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    shifted = promql.offset(samples, "1 DAY")
+    windowed = shifted.where(
+        (F.col("timestamp") >= F.lit(datetime(2024, 1, 20)))
+        & (F.col("timestamp") < F.lit(datetime(2024, 1, 21)))
+    )
+    out = promql.sum_by(windowed, ["name"])
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 4).alias("sum_value"),
+    )
+
+
+@register(
+    "promql_delta",
+    oracle="""
+SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+       round(arg_max(value, ts) - arg_min(value, ts), 4) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def promql_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge delta(x[10d]): last minus first per series — max_by/min_by on
+    the primitive timestamp, one HashAggregate (non-extrapolated; see
+    ``promql.delta``)."""
+    out = promql.delta(
+        _event_samples(spark, sf_dir, keys=("name", "k")),
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 20),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@register(
+    "promql_deriv",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         epoch(ts) - epoch(TIMESTAMP '2024-01-10 00:00:00') AS t, value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT name, k,
+       round(covar_pop(t, value) / var_pop(t) * 3600, 4) AS slope_per_hour
+FROM s GROUP BY name, k
+HAVING count(*) >= 2 AND var_pop(t) > 0
+""",
+)
+def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deriv(x[10d]): per-series least-squares slope (×3600 → per-hour,
+    keeping the rounded magnitude meaningful). Four moments, one hash
+    aggregation; times centered on the frame start for conditioning."""
+    out = promql.deriv(
+        _event_samples(spark, sf_dir, keys=("name", "k")),
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 20),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round(F.col("value") * 3600, 4).alias("slope_per_hour"),
+    )
+
+
+@register(
+    "promql_predict_linear",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         epoch(ts) - epoch(TIMESTAMP '2024-01-10 00:00:00') AS t, value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT name, k,
+       round(avg(value) + covar_pop(t, value) / var_pop(t)
+             * (864000.0 + 21600.0 - avg(t)), 4) AS predicted
+FROM s GROUP BY name, k
+HAVING count(*) >= 2 AND var_pop(t) > 0
+""",
+)
+def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_linear(x[10d], 6h): extrapolate each series' least-squares
+    line 6 hours past the frame end."""
+    out = promql.predict_linear(
+        _event_samples(spark, sf_dir, keys=("name", "k")),
+        21600.0,
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 20),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 4).alias("predicted"),
+    )
+
+
+HISTOGRAM_BOUNDS = [25.0, 50.0, 100.0, 200.0, float("inf")]
+
+
+@register(
+    "promql_histogram_quantile",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS name, t.le AS le, CAST(count(*) AS DOUBLE) AS cum
+  FROM events,
+       (SELECT unnest([25.0, 50.0, 100.0, 200.0, CAST('inf' AS DOUBLE)]) AS le) t
+  WHERE value <= t.le
+  GROUP BY 1, 2
+), w AS (
+  SELECT name, le, cum,
+         lag(cum) OVER (PARTITION BY name ORDER BY le) AS prev_cum,
+         lag(le) OVER (PARTITION BY name ORDER BY le) AS prev_le,
+         0.9 * max(cum) OVER (PARTITION BY name) AS target
+  FROM b
+)
+SELECT name,
+       round(CASE WHEN isinf(le) THEN prev_le
+             ELSE coalesce(prev_le, 0) + (le - coalesce(prev_le, 0))
+                  * (target - coalesce(prev_cum, 0))
+                  / (cum - coalesce(prev_cum, 0)) END, 4) AS q90
+FROM w
+WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+""",
+)
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9, x): classic cumulative le-bucket
+    interpolation. The bucket series are built from raw events in-query
+    (explode of the bound list + a cumulative count per (name, le)) so
+    Spark and the oracle derive identical histograms, then the crossing
+    bucket is found and interpolated per histogram."""
+    ev = _events(spark, sf_dir)
+    buckets = (
+        ev.select(
+            F.col("event_type").alias("name"),
+            F.explode(
+                F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])
+            ).alias("le"),
+            "value",
+        )
+        .where(F.col("value") <= F.col("le"))
+        .groupBy("name", "le")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.create_map(
+                F.lit("name"), F.col("name"),
+                F.lit("le"), F.col("le").cast("string"),
+            ).alias("labels"),
+            "value",
+        )
+    )
+    out = promql.histogram_quantile(buckets, 0.9)
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 4).alias("q90"),
+    )
+
+
+@register(
+    "promql_clamp",
+    oracle="""
+SELECT event_type AS name,
+       round(sum(least(greatest(value, 10.0), 100.0)), 4) AS clamped_sum
+FROM events GROUP BY event_type
+""",
+)
+def promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum by (name) (clamp(x, 10, 100)) — elementwise clamp, no extra
+    shuffle."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.sum_by(promql.clamp(samples, 10.0, 100.0), ["name"])
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 4).alias("clamped_sum"),
+    )
+
+
+@register(
+    "promql_absent",
+    oracle="""
+SELECT 1.0 AS value
+WHERE (SELECT count(*) FROM events WHERE event_type = 'heartbeat') = 0
+""",
+)
+def promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent(heartbeat): one {1.0} row because no such metric exists —
+    a single global count aggregate, never a collect."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    missing = samples.where(F.col("metric_name") == "heartbeat")
+    return promql.absent(missing).select("value")

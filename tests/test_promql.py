@@ -262,3 +262,151 @@ def test_vector_binop_matching(spark):
         vector_binop(a, b, "**")
     with pytest.raises(ValueError):
         vector_binop(a, b, "/", on=["job"], ignoring=["inst"])
+
+
+# -- extended function surface ---------------------------------------------
+
+
+def test_label_replace_full_match_and_backref(spark):
+    from prom_etl_db_spark.operators.promql import label_replace
+
+    df = _samples(spark, [({"k": "69"}, 1, 0), ({"k": "x"}, 2, 0)])
+    out = label_replace(df, "dec", "d$1", "k", r"(\d)\d*")
+    got = {r["value"]: dict(r["labels"]) for r in out.collect()}
+    assert got[1.0] == {"k": "69", "dec": "d6"}
+    assert got[2.0] == {"k": "x"}  # regex must match ENTIRE value → unchanged
+
+
+def test_label_replace_empty_expansion_removes_dst(spark):
+    from prom_etl_db_spark.operators.promql import label_replace
+
+    df = _samples(spark, [({"k": "a", "dec": "stale"}, 1, 0)])
+    out = label_replace(df, "dec", "", "k", r"a")
+    assert dict(out.collect()[0]["labels"]) == {"k": "a"}
+
+
+def test_label_join_missing_sources_contribute_empty(spark):
+    from prom_etl_db_spark.operators.promql import label_join
+
+    df = _samples(spark, [({"a": "x", "b": "y"}, 1, 0), ({"a": "only"}, 2, 0)])
+    out = label_join(df, "j", "-", ["a", "b"])
+    got = {r["value"]: r["labels"]["j"] for r in out.collect()}
+    assert got == {1.0: "x-y", 2.0: "only-"}
+
+
+def test_count_values_counts_per_distinct_value(spark):
+    from prom_etl_db_spark.operators.promql import count_values
+
+    df = _samples(
+        spark,
+        [({"h": "a"}, 5, 0), ({"h": "a"}, 5, 1), ({"h": "a"}, 7, 2), ({"h": "b"}, 5, 3)],
+    )
+    out = count_values(df, "v")
+    got = {(r["labels"]["h"], r["labels"]["v"]): r["value"] for r in out.collect()}
+    # integer-valued doubles drop the trailing .0, PromQL-repr style
+    assert got == {("a", "5"): 2.0, ("a", "7"): 1.0, ("b", "5"): 1.0}
+
+
+def test_delta_last_minus_first(spark):
+    from prom_etl_db_spark.operators.promql import delta
+
+    df = _samples(spark, [({"h": "a"}, 10, 0), ({"h": "a"}, 4, 60), ({"h": "a"}, 7, 120)])
+    out = delta(df, frame_start=T0, frame_end=T0 + timedelta(hours=1))
+    assert out.collect()[0]["value"] == -3.0  # 7 - 10; dips don't reset gauges
+
+
+def test_deriv_exact_slope_on_a_line(spark):
+    from prom_etl_db_spark.operators.promql import deriv
+
+    # value = 2·t_seconds + 5 → slope exactly 2/s
+    df = _samples(spark, [({"h": "a"}, 5 + 2 * t, t) for t in (0, 30, 60, 90)])
+    out = deriv(df, frame_start=T0, frame_end=T0 + timedelta(hours=1))
+    assert out.collect()[0]["value"] == pytest.approx(2.0)
+
+
+def test_deriv_drops_single_point_series(spark):
+    from prom_etl_db_spark.operators.promql import deriv
+
+    df = _samples(spark, [({"h": "solo"}, 5, 0)])
+    out = deriv(df, frame_start=T0, frame_end=T0 + timedelta(hours=1))
+    assert out.count() == 0
+
+
+def test_predict_linear_extrapolates_the_line(spark):
+    from prom_etl_db_spark.operators.promql import predict_linear
+
+    df = _samples(spark, [({"h": "a"}, 5 + 2 * t, t) for t in (0, 30, 60, 90)])
+    # frame ends at +600s; predict 60s past it → value at t=660 is 5+2·660
+    out = predict_linear(
+        df, 60.0, frame_start=T0, frame_end=T0 + timedelta(seconds=600)
+    )
+    assert out.collect()[0]["value"] == pytest.approx(5 + 2 * 660)
+
+
+def test_histogram_quantile_interpolates_crossing_bucket(spark):
+    from prom_etl_db_spark.operators.promql import histogram_quantile
+
+    # one histogram: cum counts 10/60/100 at le 1/2/+Inf; q=0.5 → target 50,
+    # crosses in (1,2]: 1 + (2-1)·(50-10)/(60-10) = 1.8
+    df = _samples(
+        spark,
+        [
+            ({"h": "a", "le": "1"}, 10, 0),
+            ({"h": "a", "le": "2"}, 60, 0),
+            ({"h": "a", "le": "+Inf"}, 100, 0),
+        ],
+    )
+    out = histogram_quantile(df, 0.5)
+    row = out.collect()[0]
+    assert dict(row["labels"]) == {"h": "a"}
+    assert row["value"] == pytest.approx(1.8)
+
+
+def test_histogram_quantile_first_and_inf_buckets(spark):
+    from prom_etl_db_spark.operators.promql import histogram_quantile
+
+    df = _samples(
+        spark,
+        [
+            ({"h": "a", "le": "4"}, 80, 0),
+            ({"h": "a", "le": "8"}, 90, 0),
+            ({"h": "a", "le": "+Inf"}, 100, 0),
+        ],
+    )
+    # q=0.4 → target 40, lands in the FIRST bucket: 0 + 4·40/80 = 2.0
+    assert histogram_quantile(df, 0.4).collect()[0]["value"] == pytest.approx(2.0)
+    # q=0.99 → target 99, lands in +Inf → highest finite bound
+    assert histogram_quantile(df, 0.99).collect()[0]["value"] == pytest.approx(8.0)
+
+
+def test_absent_emits_one_row_only_when_empty(spark):
+    from prom_etl_db_spark.operators.promql import absent
+
+    df = _samples(spark, [({"h": "a"}, 1, 0)])
+    assert absent(df.where("value > 999")).collect()[0]["value"] == 1.0
+    assert absent(df).count() == 0
+
+
+def test_clamp_and_offset(spark):
+    from prom_etl_db_spark.operators.promql import clamp, offset
+
+    df = _samples(spark, [({"h": "a"}, 5, 0), ({"h": "a"}, 50, 1)])
+    assert sorted(r["value"] for r in clamp(df, 10, 20).collect()) == [10.0, 20.0]
+    shifted = offset(df, "1 HOUR").collect()
+    assert all(r["timestamp"] >= T0 + timedelta(hours=1) for r in shifted)
+
+
+def test_quantile_and_last_over_time(spark):
+    from prom_etl_db_spark.operators.promql import (
+        last_over_time,
+        quantile_over_time,
+        resample,
+    )
+
+    df = _samples(
+        spark, [({"h": "a"}, v, i * 60) for i, v in enumerate([1, 2, 3, 4])]
+    )
+    stepped = resample(df, "1 minute")
+    assert last_over_time(stepped).collect()[0]["value"] == 4.0
+    # exact linear interpolation: q=0.5 of [1,2,3,4] → 2.5
+    assert quantile_over_time(stepped, 0.5).collect()[0]["value"] == pytest.approx(2.5)
