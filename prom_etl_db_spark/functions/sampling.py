@@ -1,0 +1,147 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus can't use RNG-based sampling: `df.sample()` draws change
+with partitioning, retries, and cluster size, so a re-run of one failed
+stage silently changes the training set. Every operator here keys off a
+content hash instead — the SAME row always lands in the SAME split/sample
+regardless of cluster layout, which also makes the ops expressible as a
+DuckDB oracle (md5 agrees everywhere, unlike engine-private hash64s).
+
+The trick that keeps it oracle-able and codegen-friendly: a row's
+position in [0, 1) is the first 8 hex chars of ``md5(key || salt)``, and
+the threshold for fraction *f* is the hex string of ``floor(f · 16^8)``.
+Lowercase hex compares lexicographically exactly like the number it
+encodes, so the assignment is a plain STRING comparison — no hex→int
+conversion on either engine, no UDF, whole-stage codegen all the way.
+
+Reference scope note: the reference (samzong/prom-etl-db) has no sampling
+surface at all — these are driver-mandated extensions (SURVEY.md §2.E)
+for the LLM-pipeline role of this engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_position",
+    "hex_threshold",
+    "hash_split",
+    "stratified_sample",
+    "deterministic_topn",
+    "global_shuffle",
+]
+
+_HEX_SPAN = 16**8  # first 8 md5 hex chars span [0, 16^8)
+
+
+def hash_position(key: Column, salt: str) -> Column:
+    """First 8 hex chars of ``md5(key || salt)`` — the row's permanent
+    position on the unit interval, encoded as a comparable hex string.
+    Changing ``salt`` draws a fresh independent assignment (e.g. one salt
+    for the split, another for a subsample)."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hex_threshold(fraction: float) -> str:
+    """``fraction`` of the unit interval as an 8-hex-char upper bound.
+    fraction=1.0 returns "g" — lexicographically above every hex string,
+    so ``pos < threshold`` keeps everything (a 9-char "100000000" would
+    compare per-character and keep almost nothing)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    value = int(fraction * _HEX_SPAN)
+    return "g" if value >= _HEX_SPAN else format(value, "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: Mapping[str, float],
+    *,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash.
+
+    ``fractions`` maps split name → share; shares must sum to 1. The
+    assignment is a pure projection (no shuffle, no sample()): stable
+    under re-runs, repartitioning, and incremental appends — a new row
+    joins a split without moving any existing row.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    pos = hash_position(F.col(key), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = pos < hex_threshold(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return df.withColumn(
+        split_col, last if expr is None else expr.otherwise(last)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    fraction: float | Mapping[str, float],
+    *,
+    strata: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically, optionally with a
+    per-stratum fraction map (e.g. downsample English, keep all Swahili —
+    the usual language-rebalancing move in corpus curation).
+
+    Unlike ``df.sampleBy`` this needs no driver-side fraction broadcast
+    per seed and survives re-runs bit-identically; it is one codegen'd
+    filter, so it pushes down past joins like any other predicate.
+    """
+    pos = hash_position(F.col(key), salt)
+    if isinstance(fraction, Mapping):
+        if strata is None:
+            raise ValueError("strata= column required with per-stratum fractions")
+        expr = None
+        for value, frac in fraction.items():
+            cond = (F.col(strata) == value) & (pos < hex_threshold(frac))
+            expr = cond if expr is None else expr | cond
+        return df.where(expr)
+    return df.where(pos < hex_threshold(fraction))
+
+
+def deterministic_topn(df: DataFrame, key: str, n: int, *, salt: str = "topn") -> DataFrame:
+    """A fixed-size uniform sample: the *n* rows with the smallest hash
+    position (reservoir-sampling semantics without the sequential state).
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    partial top-n, a tiny merge, never a global sort."""
+    return (
+        df.withColumn("__pos", hash_position(F.col(key), salt))
+        .orderBy("__pos", key)
+        .limit(n)
+        .drop("__pos")
+    )
+
+
+def global_shuffle(
+    df: DataFrame, key: str, *, salt: str = "shuffle", partitions: int | None = None
+) -> DataFrame:
+    """Deterministically permute rows for training export: range-partition
+    + sort by the full md5 of (key, salt). Epoch *k* uses salt=f"epoch{k}"
+    for an independent permutation of the same data. Range partitioning
+    keeps output files balanced (md5 is uniform) and the within-file order
+    reproducible — rerunning a failed export writes identical files."""
+    order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    shuffled = df.withColumn("__ord", order)
+    if partitions is not None:
+        shuffled = shuffled.repartitionByRange(partitions, "__ord")
+    return shuffled.sortWithinPartitions("__ord").drop("__ord") if partitions else (
+        shuffled.orderBy("__ord").drop("__ord")
+    )

@@ -26,7 +26,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, multimodal, similarity, text
+from prom_etl_db_spark.functions import dedup, multimodal, sampling, similarity, text
 from prom_etl_db_spark.operators import analytics, promql
 from prom_etl_db_spark.sources.tables import load_table
 from prom_etl_db_spark.timeparse import RelativeTimeParser
@@ -1601,3 +1601,75 @@ def promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = _event_samples(spark, sf_dir, keys=("name",))
     missing = samples.where(F.col("metric_name") == "heartbeat")
     return promql.absent(missing).select("value")
+
+
+# -- deterministic sampling / splits (training-data pipeline, §2.E) --------
+
+
+@register(
+    "doc_hash_split_counts",
+    oracle="""
+SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) < 'cccccccc'
+           THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) < 'e6666666'
+           THEN 'val'
+         ELSE 'test'
+       END AS split,
+       count(*) AS cnt
+FROM documents GROUP BY 1
+""",
+)
+def doc_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by content hash — a pure projection
+    (no RNG, no shuffle): every doc keeps its split across re-runs,
+    repartitioning, and incremental appends. The oracle re-derives the
+    assignment from the same md5-hex comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "doc_stratified_sample",
+    oracle="""
+SELECT lang, count(*) AS cnt
+FROM documents
+WHERE (lang = 'en'
+       AND substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8) < '40000000')
+   OR lang IN ('fr', 'es', 'zh', 'de')
+GROUP BY lang
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: keep 25% of English, all of everything else —
+    one deterministic codegen'd filter (pushes into the scan), counted per
+    stratum."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = sampling.stratified_sample(
+        docs,
+        "doc_id",
+        {"en": 0.25, "fr": 1.0, "es": 1.0, "zh": 1.0, "de": 1.0},
+        strata="lang",
+        salt="sample",
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "doc_deterministic_topn",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'topn'), 1, 8), doc_id
+LIMIT 20
+""",
+)
+def doc_deterministic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample: the 20 smallest hash positions —
+    reservoir semantics without sequential state; TakeOrderedAndProject,
+    never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.deterministic_topn(docs, "doc_id", 20).select("doc_id", "lang")

@@ -1,0 +1,82 @@
+"""Deterministic sampling/split operators (functions/sampling.py).
+
+The load-bearing property everywhere: assignments depend ONLY on
+(key, salt) — not on partitioning, row order, or cluster size.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions import sampling
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(2000).withColumnRenamed("id", "k")
+
+
+def test_hash_split_partitions_everything_once(spark, keys):
+    out = sampling.hash_split(keys, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == 2000
+    # binomial(2000, .8) is within ±5σ of these bounds
+    assert 1510 <= counts["train"] <= 1690
+    assert 120 <= counts["val"] <= 280
+    assert 120 <= counts["test"] <= 280
+
+
+def test_hash_split_stable_under_repartition(spark, keys):
+    a = sampling.hash_split(keys, "k", {"train": 0.5, "test": 0.5})
+    b = sampling.hash_split(keys.repartition(13), "k", {"train": 0.5, "test": 0.5})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_split_salt_draws_fresh_assignment(spark, keys):
+    a = dict(sampling.hash_split(keys, "k", {"x": 0.5, "y": 0.5}, salt="s1").collect())
+    b = dict(sampling.hash_split(keys, "k", {"x": 0.5, "y": 0.5}, salt="s2").collect())
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 300  # ~50% expected to move between independent draws
+
+
+def test_hash_split_validates_fractions(spark, keys):
+    with pytest.raises(ValueError):
+        sampling.hash_split(keys, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_full_fraction_keeps_everything(spark, keys):
+    assert sampling.stratified_sample(keys, "k", 1.0).count() == 2000
+    assert sampling.hex_threshold(1.0) == "g"
+
+
+def test_stratified_per_stratum_fractions(spark):
+    df = (
+        spark.range(1000)
+        .withColumnRenamed("id", "k")
+        .withColumn("lang", F.when(F.col("k") % 2 == 0, "en").otherwise("sw"))
+    )
+    out = sampling.stratified_sample(
+        df, "k", {"en": 0.2, "sw": 1.0}, strata="lang"
+    )
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["sw"] == 500  # fraction 1.0 keeps every row
+    assert 50 <= counts["en"] <= 150
+
+
+def test_deterministic_topn_stable_and_sized(spark, keys):
+    a = [r["k"] for r in sampling.deterministic_topn(keys, "k", 25).collect()]
+    b = [r["k"] for r in
+         sampling.deterministic_topn(keys.repartition(7), "k", 25).collect()]
+    assert len(a) == 25 and a == b
+
+
+def test_global_shuffle_is_a_deterministic_permutation(spark, keys):
+    a = [r["k"] for r in sampling.global_shuffle(keys, "k").collect()]
+    b = [r["k"] for r in sampling.global_shuffle(keys.repartition(11), "k").collect()]
+    assert a == b  # same permutation regardless of input layout
+    assert sorted(a) == list(range(2000))  # content preserved
+    c = [r["k"] for r in sampling.global_shuffle(keys, "k", salt="epoch2").collect()]
+    assert a != c  # a different salt is an independent permutation

@@ -80,8 +80,8 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, float]:
     def run(name, df):
         t0 = time.perf_counter()
         n = df.count()
-        times[name] = round(time.perf_counter() - t0, 2)
-        print(f"  {k}x {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+        times[name] = (round(time.perf_counter() - t0, 2), n)
+        print(f"  {k}x {name}: {times[name][0]:.2f}s ({n} rows)", file=sys.stderr)
 
     ev = scaled_events(spark, sf_dir, k)
     samples = ev.select(
@@ -121,12 +121,26 @@ def main() -> None:
 
     results = {k: probe(spark, sf_dir, k) for k in factors}
     base = factors[0]
-    print(f"\n{'op':24s} " + " ".join(f"{k:>7d}x" for k in factors) + "   time-ratio vs linear")
+    print(
+        f"\n{'op':24s} "
+        + " ".join(f"{k:>7d}x" for k in factors)
+        + "   time-ratio vs work growth"
+    )
     for op in results[base]:
         row = [results[k][op] for k in factors]
-        ratio = (row[-1] / row[0]) / (factors[-1] / base) if row[0] else float("nan")
+        t0, n0 = row[0]
+        tN, nN = row[-1]
+        # legitimate work grows with the larger of input (linear scale-up)
+        # and output (ops whose result set itself grows, e.g. replicated
+        # embeddings produce quadratically more TRUE dup pairs)
+        work = max(factors[-1] / base, (nN / n0) if n0 else 1.0)
+        ratio = (tN / t0) / work if t0 else float("nan")
         flag = "OK" if ratio <= 1.5 else "SUPERLINEAR"
-        print(f"{op:24s} " + " ".join(f"{t:7.2f}" for t in row) + f"   {ratio:.2f} {flag}")
+        print(
+            f"{op:24s} "
+            + " ".join(f"{t:7.2f}" for t, _ in row)
+            + f"   {ratio:.2f} {flag} (work {work:.0f}x)"
+        )
 
 
 if __name__ == "__main__":
