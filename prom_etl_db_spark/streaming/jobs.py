@@ -100,3 +100,65 @@ def windowed_rollup_stream(
     else:
         writer = writer.trigger(processingTime="1 minute")
     return writer.start()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup on event identity: the online counterpart of
+    the reference's repair-tool idempotency check (§2.A row A26 — it only
+    dedups offline, per whole day). ``dropDuplicatesWithinWatermark``
+    keys state by event_id and EXPIRES it once the watermark passes — the
+    unbounded-state trap of plain ``dropDuplicates`` on a stream (state
+    grows forever at 100 TB/day; with the watermark it's bounded by the
+    lateness horizon)."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    deduped = raw.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def enriched_stream(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-static enrichment: each micro-batch joins the event stream
+    against a static dimension (e.g. the query-config catalog, A23). The
+    static side re-resolves per batch — config edits apply to the NEXT
+    batch without restarting the stream. Catalyst broadcasts the small
+    dim per batch; no stream-stream state is involved."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    joined = raw.join(F.broadcast(dim), "event_type", "left")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

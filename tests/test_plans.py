@@ -75,3 +75,37 @@ def test_promql_regrouping_stays_hash(spark, sf_dir):
         ops = _ops(QUERIES[name](spark, sf_dir))
         assert "SortAggregate" not in ops, name
         assert "HashAggregate" in ops, name
+
+
+def test_gauge_regression_single_hash_agg_no_window(spark, sf_dir):
+    # delta/deriv/predict_linear are one-pass moment aggregations — a
+    # window (per-series sort) or SortAggregate here would be a regression
+    for name in ("promql_delta", "promql_deriv", "promql_predict_linear"):
+        df = QUERIES[name](spark, sf_dir)
+        ops = _ops(df)
+        assert "HashAggregate" in ops, name
+        assert "SortAggregate" not in ops, name
+        assert "Window" not in explain_str(df, "simple"), name
+        # the frame predicate reaches the scan
+        assert any("ts" in f for f in pushed_filters(df)), name
+
+
+def test_histogram_quantile_exchange_budget(spark, sf_dir):
+    # one shuffle for the bucket agg + one for the (shared) windows
+    df = QUERIES["promql_histogram_quantile"](spark, sf_dir)
+    s = explain_str(df, "formatted")
+    assert s.count("Exchange") <= 4  # 2 logical, each listed ≤2× in formatted refs
+    assert "SortAggregate" not in s
+
+
+def test_sampling_is_pure_projection(spark, sf_dir):
+    # split/sample assignment must not shuffle before the counting agg —
+    # and the stratified filter's md5 comparison stays out of the scan
+    # pushdown (not a scan-able predicate) but the plan has no join/sort
+    for name in ("doc_hash_split_counts", "doc_stratified_sample"):
+        s = explain_str(QUERIES[name](spark, sf_dir), "simple")
+        assert "Join" not in s, name
+        assert "SortAggregate" not in s, name
+    # deterministic_topn compiles to TakeOrderedAndProject, not a global Sort
+    s = explain_str(QUERIES["doc_deterministic_topn"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in s

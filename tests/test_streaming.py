@@ -151,3 +151,38 @@ def test_stateful_counter_increase_across_batches(spark, tmp_path):
     )
     oracle = increase(batch, frame_start=t0, frame_end=t0 + timedelta(hours=1))
     assert oracle.first()["value"] == last["total_increase"]
+
+
+def test_dedup_stream_drops_replayed_events(spark, tmp_path, events_dir):
+    from prom_etl_db_spark.streaming.jobs import dedup_stream
+
+    # replay file 1's events (same event_ids, same batch-window) into a
+    # second file — the at-least-once delivery case the reference's cron
+    # re-runs create (§2.D: "re-execution double-inserts")
+    src = str(tmp_path / "dedup_src")
+    base = spark.read.parquet(events_dir)
+    base.write.parquet(src)
+    base.limit(2).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "dedup_sink")
+    q = dedup_stream(spark, src, sink, str(tmp_path / "dedup_ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 4  # 6 input rows, 2 are replayed dups
+    assert out.select("event_id").distinct().count() == 4
+
+
+def test_enriched_stream_joins_static_dim(spark, tmp_path, events_dir):
+    from prom_etl_db_spark.streaming.jobs import enriched_stream
+
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "passive")],
+        "event_type string, category string",
+    )
+    sink = str(tmp_path / "enrich_sink")
+    q = enriched_stream(spark, events_dir, dim, sink, str(tmp_path / "enrich_ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 4
+    got = {r["event_id"]: r["category"] for r in out.collect()}
+    assert got[1] == "interaction" and got[3] == "passive"
