@@ -40,6 +40,8 @@ __all__ = [
     "minhash_dedup",
     "simhash_signature",
     "ngram_jaccard_dup_pairs",
+    "connected_components",
+    "keep_canonical",
 ]
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1; a*h+b stays < 2^62 — exact in int64
@@ -331,4 +333,92 @@ def ngram_jaccard_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-pair graph → cluster assignment: every node labeled with
+    the smallest id reachable from it (the step that turns a pair list
+    into actual KEEP/DROP decisions — near-dup clusters are equivalence
+    classes, and pairs alone over-drop via A~B, B~C chains).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels — one equi-join plus one hash aggregation
+    per round, all hash-partitioned on node id (the same loop GraphX's
+    ConnectedComponents runs). Rounds needed = the eccentricity of each
+    cluster's min node; near-dup clusters are shallow (pairs share most
+    content), so this converges in a handful of rounds. The loop is
+    driver-side CONTROL only — per-round data never leaves executors; the
+    convergence check is a count aggregate.
+
+    Output: (id, cluster_id) for every node that appears in ``pairs``.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels.select(F.col("id").alias("src"), "cluster_id"), "src"
+        ).select(F.col("dst").alias("id"), "cluster_id")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            # cut lineage each round: without this, round k's plan replays
+            # rounds 1..k-1 and the convergence count goes quadratic
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("cluster_id").alias("__old")), "id"
+            )
+            .where(F.col("cluster_id") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Near-dup dedup decision: keep each cluster's canonical (min-id)
+    member plus every unpaired doc. A left join against the (small)
+    cluster assignment — Catalyst broadcasts it; the corpus never
+    shuffles."""
+    clusters = connected_components(pairs, **cc_kwargs)
+    return (
+        docs.join(
+            F.broadcast(clusters.withColumnRenamed("id", id_col)),
+            id_col,
+            "left",
+        )
+        .where(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col))
+        )
+        .drop("cluster_id")
     )

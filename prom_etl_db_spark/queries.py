@@ -783,10 +783,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "source", "doc_id")
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=r"""
-WITH sh AS (
+# 3-gram Jaccard ≥ 0.3 pairs as a reusable CTE chain (shared by the pair
+# query and the cluster/canonical queries built on top of it)
+_NGRAM_PAIRS_CTES = r"""
+sh AS (
   SELECT doc_id AS id,
          list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
@@ -799,11 +799,19 @@ WITH sh AS (
   GROUP BY a.id, b.id
 ), sizes AS (
   SELECT id, len(shingles) AS n_sh FROM sh
-)
-SELECT i.id_a, i.id_b,
-       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
-FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
-WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.3
+), pairs AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.3
+)"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,3 +1681,62 @@ def doc_deterministic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort."""
     docs = _t(spark, sf_dir, "documents")
     return sampling.deterministic_topn(docs, "doc_id", 20).select("doc_id", "lang")
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges GROUP BY src
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact 3-gram
+    Jaccard pair graph — every paired doc labeled with its cluster's min
+    doc_id (min-label propagation; the oracle proves the fixpoint via a
+    recursive transitive-closure CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
+    out = dedup.connected_components(pairs)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "neardup_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges GROUP BY src
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+SELECT d.lang, count(*) AS kept
+FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+GROUP BY d.lang
+""",
+)
+def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION: keep each near-dup cluster's min-id
+    member plus all unpaired docs, counted per language. The cluster
+    assignment broadcasts; the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
+    kept = dedup.keep_canonical(docs, pairs)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from prom_etl_db_spark.functions import dedup
 from prom_etl_db_spark.functions.dedup import (
     exact_dedup,
     minhash_dedup,
@@ -101,3 +102,30 @@ def test_simhash_deterministic_and_close_for_near_dups(docs):
 
     assert hamming(sig[1], sig[2]) <= 6  # one-word edit → few bits flip
     assert hamming(sig[1], sig[3]) > 10  # unrelated text → far apart
+
+
+def test_connected_components_chain_propagates_past_diameter_one(spark):
+    # 1-2, 2-3, 3-4, 4-5: min label must travel 4 hops, not 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(pairs, max_iterations=1)
+
+
+def test_keep_canonical_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup.keep_canonical(docs, pairs).collect())
+    assert kept == [1, 9]  # cluster {1,2,3} → keep 1; 9 unpaired → kept
