@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "deterministic_topn",
     "global_shuffle",
+    "pack_documents",
 ]
 
 _HEX_SPAN = 16**8  # first 8 md5 hex chars span [0, 16^8)
@@ -144,4 +145,59 @@ def global_shuffle(
         shuffled = shuffled.repartitionByRange(partitions, "__ord")
     return shuffled.sortWithinPartitions("__ord").drop("__ord") if partitions else (
         shuffled.orderBy("__ord").drop("__ord")
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int,
+    *,
+    key: str = "doc_id",
+    tokens_col: Column | None = None,
+    buckets: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for training export: lay the
+    corpus out in a deterministic (hashed) order and cut it into
+    fixed-``budget`` token windows — the standard LLM-pretraining packing
+    (documents may straddle a window boundary; the window a doc STARTS in
+    is its pack).
+
+    Distribution: docs hash into ``buckets`` independent streams (first
+    md5 hex char → 16ⁿ buckets), each packed by one running-sum window —
+    so parallelism = buckets and no global sort exists. Within a bucket
+    the order is the md5 position, so re-runs, repartitioning, and
+    cluster size cannot reorder a stream. Output adds (pack_bucket,
+    pack_id, pack_offset): pack_id counts windows within the bucket,
+    pack_offset is the doc's token offset inside its window.
+
+    Requires a per-doc token count ≤ budget only if downstream forbids
+    straddling; this operator itself allows any sizes.
+    """
+    if buckets not in (16, 256):
+        raise ValueError("buckets must be 16 or 256 (1 or 2 md5 hex chars)")
+    n_chars = 1 if buckets == 16 else 2
+    from prom_etl_db_spark.functions.text import token_count
+
+    n_tok = tokens_col if tokens_col is not None else token_count(F.col("text"))
+    pos = hash_position(F.col(key), salt)
+    df = docs.withColumn("__pos", pos).withColumn(
+        "__bucket", F.substring(F.col("__pos"), 1, n_chars)
+    ).withColumn("__tok", n_tok.cast("long"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__pos", key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("__tok").over(w), F.lit(0))
+    return (
+        df.withColumn("__start", start)
+        .select(
+            *docs.columns,
+            F.col("__bucket").alias("pack_bucket"),
+            (F.col("__start") / budget).cast("long").alias("pack_id"),
+            (F.col("__start") % budget).alias("pack_offset"),
+        )
     )

@@ -1740,3 +1740,35 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
     kept = dedup.keep_canonical(docs, pairs)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS tok,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8) AS pos
+  FROM documents
+), s AS (
+  SELECT doc_id, substr(pos, 1, 1) AS pack_bucket,
+         coalesce(sum(tok) OVER (
+           PARTITION BY substr(pos, 1, 1) ORDER BY pos, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT doc_id, pack_bucket,
+       CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+       start % 512 AS pack_offset
+FROM s
+""",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token windows across 16
+    hash-bucketed streams — deterministic training-export layout; the
+    running-sum window runs per bucket, so parallelism = buckets and
+    there is no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.pack_documents(docs, 512)
+    return out.select("doc_id", "pack_bucket", "pack_id", "pack_offset")

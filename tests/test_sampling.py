@@ -80,3 +80,34 @@ def test_global_shuffle_is_a_deterministic_permutation(spark, keys):
     assert sorted(a) == list(range(2000))  # content preserved
     c = [r["k"] for r in sampling.global_shuffle(keys, "k", salt="epoch2").collect()]
     assert a != c  # a different salt is an independent permutation
+
+
+def test_pack_documents_layout_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = sampling.pack_documents(docs, 64).collect()
+    # every doc placed exactly once; offsets live inside the window
+    assert len(out) == 300
+    assert all(0 <= r["pack_offset"] < 64 for r in out)
+    # within a bucket, concatenation is gapless: sum of tokens equals
+    # final start+tok, i.e. windows are packed with no holes
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in out:
+        by_bucket[r["pack_bucket"]].append(r)
+    for rows in by_bucket.values():
+        total = sum(10 + r["doc_id"] % 7 for r in rows)
+        last = max(r["pack_id"] * 64 + r["pack_offset"] for r in rows)
+        assert last < total  # the last doc STARTS before the stream's end
+
+
+def test_pack_documents_stable_under_repartition(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 5)) for i in range(200)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, sampling.pack_documents(docs, 32).collect()))
+    b = sorted(map(tuple, sampling.pack_documents(docs.repartition(17), 32).collect()))
+    assert a == b
