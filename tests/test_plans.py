@@ -109,3 +109,12 @@ def test_sampling_is_pure_projection(spark, sf_dir):
     # deterministic_topn compiles to TakeOrderedAndProject, not a global Sort
     s = explain_str(QUERIES["doc_deterministic_topn"](spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in s
+
+
+def test_sequence_packing_single_bucket_window(spark, sf_dir):
+    # one hash-partition exchange on the bucket + one Window — a global
+    # Sort (single-stream packing) would serialize the whole corpus
+    s = explain_str(QUERIES["doc_sequence_packing"](spark, sf_dir), "simple")
+    assert s.count("Window") == 1
+    assert "hashpartitioning" in s
+    assert "rangepartitioning" not in s

@@ -410,3 +410,17 @@ def test_quantile_and_last_over_time(spark):
     assert last_over_time(stepped).collect()[0]["value"] == 4.0
     # exact linear interpolation: q=0.5 of [1,2,3,4] → 2.5
     assert quantile_over_time(stepped, 0.5).collect()[0]["value"] == pytest.approx(2.5)
+
+
+def test_stdvar_by_and_present_over_time(spark):
+    from prom_etl_db_spark.operators.promql import (
+        present_over_time,
+        resample,
+        stdvar_by,
+    )
+
+    df = _samples(spark, [({"h": "a"}, v, i) for i, v in enumerate([2, 4, 6])])
+    # population variance of [2,4,6] = 8/3
+    assert stdvar_by(df, ["h"]).collect()[0]["value"] == pytest.approx(8 / 3)
+    stepped = resample(df, "1 minute")
+    assert present_over_time(stepped).collect()[0]["value"] == 1.0
