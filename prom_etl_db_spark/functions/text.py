@@ -14,10 +14,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_like_tokens",
+    "bpe_like_token_count",
     "quality_features",
     "language_id",
     "fingerprint",
     "STOPWORDS",
+    "BPE_SPLIT_RE",
 ]
 
 # Tiny per-language function-word lists — the classic n-gram/stopword
@@ -42,6 +45,26 @@ def tokens(text: Column) -> Column:
 def token_count(text: Column) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     return F.when(F.trim(text) == "", 0).otherwise(F.size(tokens(text)))
+
+
+# GPT-2-style pre-tokenizer split: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Restricted
+# to syntax BOTH Java regex (Spark) and RE2 (DuckDB) accept — i.e. no
+# lookahead — so the count is oracle-checkable; that one `\s+(?!\S)` branch
+# of the original GPT-2 pattern only changes how trailing spaces attach.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_like_tokens(text: Column) -> Column:
+    """Pre-tokenizer pieces under ``BPE_SPLIT_RE`` — the unit a byte-pair
+    vocabulary would merge within. Proper BPE needs the merges table; the
+    piece count is the standard cheap proxy for budgeting/packing."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0))
+
+
+def bpe_like_token_count(text: Column) -> Column:
+    """Piece count under the BPE-ish split; 0 for empty/blank text."""
+    return F.when(F.trim(text) == "", 0).otherwise(F.size(bpe_like_tokens(text)))
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:

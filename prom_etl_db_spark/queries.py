@@ -1772,3 +1772,28 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = sampling.pack_documents(docs, 512)
     return out.select("doc_id", "pack_bucket", "pack_id", "pack_offset")
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS ws_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_extract_all(text,
+              '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+       END AS bpe_tokens
+FROM documents
+""",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under both tokenizations: whitespace and the
+    GPT-2-style pre-tokenizer split (the budgeting unit for packing) —
+    both pure JVM regex, validated piece-for-piece against RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_like_token_count(F.col("text")).alias("bpe_tokens"),
+    )

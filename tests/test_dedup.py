@@ -129,3 +129,21 @@ def test_keep_canonical_keeps_min_and_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in dedup.keep_canonical(docs, pairs).collect())
     assert kept == [1, 9]  # cluster {1,2,3} → keep 1; 9 unpaired → kept
+
+
+def test_bpe_like_token_count_hand_examples(spark):
+    from prom_etl_db_spark.functions.text import bpe_like_token_count
+
+    rows = [
+        ("Hello, world!", 4),   # Hello | , | _world | !
+        ("It's fine", 3),       # It | 's | _fine
+        ("a1b2", 4),            # a | 1 | b | 2 (letter/digit runs split)
+        ("   ", 0),             # blank → 0 by definition
+        ("x  y", 3),            # x | one residual space | _y
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [
+        r["n"]
+        for r in df.select(bpe_like_token_count(F.col("text")).alias("n")).collect()
+    ]
+    assert got == [n for _, n in rows]
