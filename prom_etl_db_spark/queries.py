@@ -1797,3 +1797,76 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count(F.col("text")).alias("ws_tokens"),
         text.bpe_like_token_count(F.col("text")).alias("bpe_tokens"),
     )
+
+
+# -- time-series joins (as-of, interval) -----------------------------------
+
+
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+SELECT p.event_id, p.user_id, p.value AS purchase_value, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the user's most recent click value
+    at purchase time (left-outer; inclusive). Union + per-user ordered
+    window — never an inequality BroadcastNestedLoop. The oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from prom_etl_db_spark.operators import joins
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = joins.asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select("event_id", "user_id", "purchase_value", "click_value")
+
+
+@register(
+    "interval_click_attribution",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts AS s_start,
+         ts + INTERVAL 3 DAY AS s_end
+  FROM events WHERE event_type = 'signup'
+), c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT s.signup_id, count(*) AS n_clicks,
+       round(sum(c.value), 4) AS click_value_sum
+FROM s JOIN c ON c.user_id = s.user_id
+             AND c.ts >= s.s_start AND c.ts < s.s_end
+GROUP BY s.signup_id
+""",
+)
+def interval_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks attributed to the 3-day window after
+    each signup by the same user, then counted per signup. Intervals
+    replicate onto day chunks and the containment predicate filters after
+    an equi-join — no nested-loop join at any size."""
+    from prom_etl_db_spark.operators import joins
+
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = joins.interval_join(
+        clicks, signups, point_ts="ts", by=["user_id"], chunk_seconds=86_400
+    )
+    return pairs.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value_sum"),
+    )

@@ -118,3 +118,12 @@ def test_sequence_packing_single_bucket_window(spark, sf_dir):
     assert s.count("Window") == 1
     assert "hashpartitioning" in s
     assert "rangepartitioning" not in s
+
+
+def test_time_joins_never_nested_loop(spark, sf_dir):
+    # the whole point of both operators: inequality semantics WITHOUT the
+    # BroadcastNestedLoopJoin Catalyst gives a naive range predicate
+    for name in ("asof_click_before_purchase", "interval_click_attribution"):
+        ops = _ops(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in ops, name
+        assert "CartesianProduct" not in ops, name
