@@ -61,7 +61,12 @@ def substring_index_prefix(parts: DataFrame) -> DataFrame:
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
-    """C3+C4: per-hour per-type count/avg/min/max (user-guide.md:248-257)."""
+    """C3+C4: per-hour per-type count/avg/min/max (user-guide.md:248-257).
+
+    The avg ships as its exact pieces (decimal sum + count): a rounded
+    double average can land exactly on a round-half boundary where Spark
+    (HALF_UP on the decimal repr) and a binary-exact engine round apart —
+    sf0.1 produces such a group (avg exactly 51.51125)."""
     return (
         events.groupBy(
             F.date_trunc("HOUR", F.col("ts")).alias("hour"),
@@ -69,7 +74,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )

@@ -1,0 +1,634 @@
+"""PromQL string → DataFrame evaluation over the combinator library.
+
+The reference never evaluates PromQL itself — it ships query STRINGS to
+Prometheus (`/root/reference/internal/prometheus/client.go:63-161`) and
+its users author configs as strings (`/root/reference/scripts/
+migrate.sql:105`, `docs/user-guide.md:63,88`). "Same query capability"
+therefore includes accepting those strings: this module parses the
+PromQL subset the reference's production surface exercises (plus the
+extended functions in ``operators/promql.py``) and lowers it onto the
+DataFrame combinators — the parser builds LOGICAL PLANS only; Catalyst
+still owns optimization and execution.
+
+Supported grammar (superset of every query string in the reference):
+
+- selectors: ``metric``, ``metric{l="v", l2!="v", l3=~"re", l4!~"re"}``,
+  range ``[24h]``, subquery ``[24h:1m]``, ``offset 1d``
+- aggregations (prefix or postfix grouping): ``sum by (a,b) (x)``,
+  ``max without (c) (x)``, avg/min/count/stddev/stdvar/group,
+  ``quantile(0.9, x)``, ``count_values("lbl", x)``, ``topk(5, x)``,
+  ``bottomk(5, x)``
+- over-time: sum/avg/max/min/count/last/stddev/present_over_time over a
+  subquery frame, ``quantile_over_time(q, x[f:s])``
+- range functions: rate, increase, delta, deriv,
+  ``predict_linear(x[f], t)``
+- functions: histogram_quantile, label_replace, label_join, clamp,
+  clamp_min, clamp_max, absent, abs, ceil, floor, exp, ln, sqrt
+- binary ops with precedence: ``^``, ``* / %``, ``+ -``, comparisons
+  (filtering or with ``bool``); vector-vector matching via ``on(...)``
+  / ``ignoring(...)``; scalar-vector in both orders
+
+Documented divergences (same policies as the combinators, tested):
+- subquery inner expressions evaluate in "stream mode": point-wise ops
+  map raw samples, cross-series aggregations regroup per exact step
+  bucket, then last-per-bucket step alignment — no staleness LOCF
+  across empty buckets (Prometheus would carry values ≤5 m forward).
+- rate/increase are exact over stored samples, not extrapolated.
+- no ``and/or/unless``, ``group_left/right``, ``@`` modifier, or
+  negative offsets (nothing in the reference's surface uses them).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.operators import promql
+from prom_etl_db_spark.timeparse import parse_duration
+
+__all__ = ["parse", "evaluate", "eval_promql", "EvalContext", "PromQLError"]
+
+
+class PromQLError(ValueError):
+    pass
+
+
+# -- lexer ------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<DURATION>\d+(?:\.\d+)?(?:ms|[smhdwy])(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))*)
+  | (?P<NUM>\d+\.\d+|\d+|\.\d+)
+  | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<OP>=~|!~|==|!=|<=|>=|[-+*/%^<>=])
+  | (?P<PUNCT>[(){}\[\],:])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"by", "without", "bool", "offset", "on", "ignoring"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _lex(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise PromQLError(f"lex error at {i}: {s[i:i+20]!r}")
+        kind = m.lastgroup
+        text = m.group()
+        if kind != "WS":
+            if kind == "IDENT" and text in _KEYWORDS:
+                kind = "KEYWORD"
+            out.append(Tok(kind, text, i))
+        i = m.end()
+    out.append(Tok("EOF", "", len(s)))
+    return out
+
+
+# -- AST --------------------------------------------------------------------
+
+
+@dataclass
+class Num:
+    value: float
+
+
+@dataclass
+class Selector:
+    name: str | None
+    matchers: list[tuple[str, str, str]]  # (label, op, value)
+    range_: str | None = None       # "24h" for x[24h]
+    step: str | None = None         # "1m" for x[24h:1m]
+    offset: str | None = None
+
+
+@dataclass
+class Agg:
+    op: str
+    expr: "Node"
+    by: list[str] | None = None
+    without: list[str] | None = None
+    param: "Node | str | None" = None
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list["Node | str"] = field(default_factory=list)
+
+
+@dataclass
+class BinOp:
+    op: str
+    lhs: "Node"
+    rhs: "Node"
+    bool_mod: bool = False
+    on: list[str] | None = None
+    ignoring: list[str] | None = None
+
+
+Node = Num | Selector | Agg | Call | BinOp
+
+_AGG_OPS = {
+    "sum", "avg", "max", "min", "count", "stddev", "stdvar", "group",
+    "quantile", "count_values", "topk", "bottomk",
+}
+_CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
+_PRECEDENCE = [["==", "!=", "<=", ">=", "<", ">"], ["+", "-"], ["*", "/", "%"], ["^"]]
+
+
+class _Parser:
+    def __init__(self, tokens: list[Tok]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise PromQLError(f"expected {text!r} at {t.pos}, got {t.text!r}")
+        return t
+
+    # expression with precedence climbing (level 0 = loosest)
+    def parse_expr(self, level: int = 0) -> Node:
+        if level >= len(_PRECEDENCE):
+            return self.parse_unary()
+        # ^ is right-associative in PromQL; the rest left
+        ops = _PRECEDENCE[level]
+        lhs = self.parse_expr(level + 1)
+        while self.peek().text in ops:
+            op = self.next().text
+            bool_mod = False
+            on = ignoring = None
+            if op in _CMP_OPS and self.peek().text == "bool":
+                self.next()
+                bool_mod = True
+            if self.peek().text in ("on", "ignoring"):
+                which = self.next().text
+                labels = self.parse_label_list()
+                if which == "on":
+                    on = labels
+                else:
+                    ignoring = labels
+            right_level = level if op == "^" else level + 1
+            rhs = self.parse_expr(right_level)
+            lhs = BinOp(op, lhs, rhs, bool_mod, on, ignoring)
+        return lhs
+
+    def parse_label_list(self) -> list[str]:
+        self.expect("(")
+        labels = []
+        while self.peek().text != ")":
+            t = self.next()
+            if t.kind not in ("IDENT", "KEYWORD"):
+                raise PromQLError(f"bad label {t.text!r} at {t.pos}")
+            labels.append(t.text)
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return labels
+
+    def parse_unary(self) -> Node:
+        t = self.peek()
+        if t.text == "-":
+            self.next()
+            inner = self.parse_unary()
+            return BinOp("-", Num(0.0), inner)
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return self.maybe_range(e)
+        if t.kind == "NUM":
+            self.next()
+            return Num(float(t.text))
+        if t.kind == "IDENT":
+            if t.text in _AGG_OPS:
+                # the whole aggregation can be a subquery: agg(...)[f:s]
+                return self.maybe_range(self.parse_agg())
+            if self.toks[self.i + 1].text == "(":
+                return self.parse_call()
+            return self.parse_selector()
+        raise PromQLError(f"unexpected {t.text!r} at {t.pos}")
+
+    def parse_agg(self) -> Node:
+        op = self.next().text
+        by = without = None
+        if self.peek().text in ("by", "without"):
+            which = self.next().text
+            labels = self.parse_label_list()
+            by, without = (labels, None) if which == "by" else (None, labels)
+        self.expect("(")
+        param: Node | str | None = None
+        if op in ("quantile", "topk", "bottomk"):
+            param = self.parse_expr()
+            self.expect(",")
+        elif op == "count_values":
+            s = self.next()
+            if s.kind != "STRING":
+                raise PromQLError(f"count_values needs a string label at {s.pos}")
+            param = s.text[1:-1]
+            self.expect(",")
+        expr = self.parse_expr()
+        self.expect(")")
+        if by is None and without is None and self.peek().text in ("by", "without"):
+            which = self.next().text
+            labels = self.parse_label_list()
+            by, without = (labels, None) if which == "by" else (None, labels)
+        return Agg(op, expr, by, without, param)
+
+    def parse_call(self) -> Node:
+        name = self.next().text
+        self.expect("(")
+        args: list[Node | str] = []
+        while self.peek().text != ")":
+            if self.peek().kind == "STRING":
+                args.append(self.next().text[1:-1])
+            else:
+                args.append(self.parse_expr())
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return self.maybe_range(Call(name, args))
+
+    def parse_selector(self) -> Node:
+        name = self.next().text
+        matchers: list[tuple[str, str, str]] = []
+        if self.peek().text == "{":
+            self.next()
+            while self.peek().text != "}":
+                lbl = self.next()
+                op = self.next()
+                val = self.next()
+                if lbl.kind not in ("IDENT", "KEYWORD") or val.kind != "STRING":
+                    raise PromQLError(f"bad matcher near {lbl.pos}")
+                if op.text not in ("=", "!=", "=~", "!~"):
+                    raise PromQLError(f"bad matcher op {op.text!r}")
+                matchers.append((lbl.text, op.text, val.text[1:-1]))
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("}")
+        return self.maybe_range(Selector(name, matchers))
+
+    def maybe_range(self, node: Node) -> Node:
+        if self.peek().text == "[":
+            self.next()
+            rng = self.next()
+            if rng.kind != "DURATION":
+                raise PromQLError(f"bad range duration {rng.text!r}")
+            step = None
+            if self.peek().text == ":":
+                self.next()
+                st = self.next()
+                if st.kind != "DURATION":
+                    raise PromQLError(f"bad step duration {st.text!r}")
+                step = st.text
+            self.expect("]")
+            if isinstance(node, Selector):
+                node.range_, node.step = rng.text, step
+            else:
+                # subquery over a computed expression: wrap
+                node = Call("__subquery__", [node, rng.text, step or ""])
+        if self.peek().text == "offset":
+            self.next()
+            off = self.next()
+            if off.kind != "DURATION":
+                raise PromQLError(f"bad offset {off.text!r}")
+            if isinstance(node, Selector):
+                node.offset = off.text
+            else:
+                raise PromQLError("offset only supported directly on selectors")
+        return node
+
+
+def parse(query: str) -> Node:
+    p = _Parser(_lex(query))
+    node = p.parse_expr()
+    if p.peek().kind != "EOF":
+        t = p.peek()
+        raise PromQLError(f"trailing input at {t.pos}: {t.text!r}")
+    return node
+
+
+# -- evaluation -------------------------------------------------------------
+
+
+@dataclass
+class EvalContext:
+    """samples: (metric_name, labels: map<string,string>, value, timestamp).
+    ``at`` is the frozen evaluation time; instant selectors look back
+    ``staleness``."""
+
+    samples: DataFrame
+    at: datetime
+    staleness: str = "5 minutes"
+
+
+def _dur(text: str) -> timedelta:
+    return parse_duration(text)
+
+
+_MATH_FNS = {
+    "abs": F.abs, "ceil": F.ceil, "floor": F.floor,
+    "exp": F.exp, "ln": F.log, "sqrt": F.sqrt,
+}
+
+_OVER_TIME = {
+    "sum_over_time": promql.sum_over_time,
+    "avg_over_time": promql.avg_over_time,
+    "max_over_time": promql.max_over_time,
+    "min_over_time": promql.min_over_time,
+    "count_over_time": promql.count_over_time,
+    "last_over_time": promql.last_over_time,
+    "stddev_over_time": promql.stddev_over_time,
+    "present_over_time": promql.present_over_time,
+}
+
+_RANGE_FNS = {"rate", "increase", "delta", "deriv", "predict_linear"}
+
+
+def _apply_matchers(df: DataFrame, sel: Selector) -> DataFrame:
+    if sel.name is not None:
+        df = df.where(F.col("metric_name") == sel.name)
+    for lbl, op, val in sel.matchers:
+        c = F.element_at(F.col("labels"), lbl)
+        if op == "=":
+            df = df.where(c == val)
+        elif op == "!=":
+            df = df.where(c.isNull() | (c != val))
+        elif op == "=~":
+            df = df.where(c.rlike(f"^(?:{val})$"))
+        else:
+            df = df.where(c.isNull() | ~c.rlike(f"^(?:{val})$"))
+    return df
+
+
+def _selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
+    """Raw matched sample stream, offset applied (shift samples forward =
+    selectors read the past)."""
+    df = _apply_matchers(ctx.samples, sel)
+    if sel.offset:
+        df = promql.offset(df, f"{int(_dur(sel.offset).total_seconds())} SECONDS")
+    return df
+
+
+def _frame_bounds(ctx: EvalContext, rng: str) -> tuple[datetime, datetime]:
+    return ctx.at - _dur(rng), ctx.at
+
+
+def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
+    """Subquery "stream mode": return a step-aligned (labels, __series,
+    bucket_start, value) frame for ``node`` (see module docstring for the
+    divergence from per-step re-evaluation)."""
+    step_str = f"{int(_dur(step).total_seconds())} seconds"
+    if isinstance(node, Selector):
+        if node.range_ is not None:
+            raise PromQLError("nested ranges inside a subquery are unsupported")
+        return promql.resample(_selector_stream(ctx, node), step_str)
+    if isinstance(node, BinOp):
+        # scalar arithmetic / comparisons apply point-wise on the stream
+        if isinstance(node.rhs, Num) and not isinstance(node.lhs, Num):
+            stream = _eval_stream(ctx, node.lhs, step)
+            return _scalar_binop_stream(stream, node, node.rhs.value, flipped=False)
+        if isinstance(node.lhs, Num) and not isinstance(node.rhs, Num):
+            stream = _eval_stream(ctx, node.rhs, step)
+            return _scalar_binop_stream(stream, node, node.lhs.value, flipped=True)
+        raise PromQLError("vector-vector ops inside subqueries are unsupported")
+    if isinstance(node, Agg):
+        if node.op not in ("sum", "avg", "max", "min", "count", "stddev", "stdvar"):
+            raise PromQLError(f"{node.op} inside a subquery is unsupported")
+        inner = _eval_stream(ctx, node.expr, step)
+        agg = {
+            "sum": F.sum("value"), "avg": F.avg("value"),
+            "max": F.max("value"), "min": F.min("value"),
+            "count": F.count(F.lit(1)).cast("double"),
+            "stddev": F.stddev_pop("value"), "stdvar": F.var_pop("value"),
+        }[node.op]
+        by, without = node.by, node.without
+        if by is None and without is None:
+            by = []  # bare agg collapses every label, PromQL-style
+        out = promql.group_by_labels(
+            inner, agg, by=by, without=without, extra_keys=["bucket_start"]
+        )
+        return out.withColumn(
+            "__series", F.array_sort(F.map_entries(F.col("labels")))
+        )
+    if isinstance(node, Call) and node.fn in _MATH_FNS:
+        stream = _eval_stream(ctx, node.args[0], step)
+        return stream.withColumn("value", _MATH_FNS[node.fn](F.col("value")).cast("double"))
+    raise PromQLError(f"unsupported subquery expression: {type(node).__name__}")
+
+
+def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipped: bool) -> DataFrame:
+    col = F.col("value")
+    lhs, rhs = (F.lit(scalar), col) if flipped else (col, F.lit(scalar))
+    if node.op in _CMP_OPS:
+        cmp = {"==": lhs == rhs, "!=": lhs != rhs, ">": lhs > rhs,
+               ">=": lhs >= rhs, "<": lhs < rhs, "<=": lhs <= rhs}[node.op]
+        if node.bool_mod:
+            return stream.withColumn("value", F.when(cmp, 1.0).otherwise(0.0))
+        return stream.where(cmp)
+    arith = {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
+             "/": lhs / rhs, "%": F.pmod(lhs, rhs), "^": F.pow(lhs, rhs)}[node.op]
+    return stream.withColumn("value", arith.cast("double"))
+
+
+def _subquery_parts(node: Node) -> tuple[Node, str, str]:
+    """(inner expr, range, step) from a selector[f:s] or __subquery__."""
+    if isinstance(node, Selector) and node.step is not None:
+        inner = Selector(node.name, node.matchers, offset=node.offset)
+        return inner, node.range_, node.step
+    if isinstance(node, Call) and node.fn == "__subquery__":
+        inner, rng, step = node.args
+        if not step:
+            raise PromQLError("subquery over an expression needs an explicit step")
+        return inner, rng, step
+    raise PromQLError("expected a subquery ( expr[frame:step] )")
+
+
+def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
+    """Instant evaluation at ``ctx.at`` → (labels, value) DataFrame, or a
+    Python float for scalar expressions."""
+    if isinstance(node, Num):
+        return node.value
+
+    if isinstance(node, Selector):
+        if node.range_ is not None:
+            raise PromQLError(
+                f"range selector {node.name}[{node.range_}] needs a range function"
+            )
+        sel = promql.instant_selector(
+            _selector_stream(ctx, node), None, ctx.at, staleness=ctx.staleness
+        )
+        return sel.select("labels", "value")
+
+    if isinstance(node, Agg):
+        return _eval_agg(ctx, node)
+
+    if isinstance(node, Call):
+        return _eval_call(ctx, node)
+
+    if isinstance(node, BinOp):
+        lhs = evaluate(ctx, node.lhs)
+        rhs = evaluate(ctx, node.rhs)
+        if isinstance(lhs, float) and isinstance(rhs, float):
+            return _scalar_scalar(node, lhs, rhs)
+        if isinstance(rhs, float):
+            return _scalar_binop_stream(lhs, node, rhs, flipped=False)
+        if isinstance(lhs, float):
+            return _scalar_binop_stream(rhs, node, lhs, flipped=True)
+        if node.op in _CMP_OPS:
+            raise PromQLError("vector-vector comparisons are unsupported")
+        return promql.vector_binop(
+            lhs, rhs, node.op, on=node.on, ignoring=node.ignoring or ()
+        )
+
+    raise PromQLError(f"cannot evaluate {type(node).__name__}")
+
+
+def _scalar_scalar(node: BinOp, a: float, b: float) -> float:
+    import math
+
+    ops = {"+": a + b, "-": a - b, "*": a * b, "/": a / b if b else math.nan,
+           "%": math.fmod(a, b) if b else math.nan, "^": a ** b}
+    if node.op in ops:
+        return ops[node.op]
+    cmp = {"==": a == b, "!=": a != b, ">": a > b, ">=": a >= b,
+           "<": a < b, "<=": a <= b}[node.op]
+    if node.bool_mod:
+        return 1.0 if cmp else 0.0
+    raise PromQLError("scalar comparison without bool is unsupported")
+
+
+def _const(ctx: EvalContext, node: "Node | str") -> float:
+    """Fold a constant parameter (handles unary minus: -2 parses as 0-2)."""
+    v = evaluate(ctx, node) if not isinstance(node, str) else node
+    if not isinstance(v, float):
+        raise PromQLError("expected a scalar constant parameter")
+    return v
+
+
+def _eval_agg(ctx: EvalContext, node: Agg) -> DataFrame:
+    if node.op in ("topk", "bottomk"):
+        k = int(_const(ctx, node.param))
+        vec = evaluate(ctx, node.expr)
+        return promql.topk(vec, k, ascending=node.op == "bottomk")
+    if node.op == "count_values":
+        vec = evaluate(ctx, node.expr)
+        return promql.count_values(vec, str(node.param))
+
+    vec = evaluate(ctx, node.expr)
+    if not isinstance(vec, DataFrame):
+        raise PromQLError(f"{node.op} needs a vector argument")
+    aggs = {
+        "sum": F.sum("value"), "avg": F.avg("value"), "max": F.max("value"),
+        "min": F.min("value"), "count": F.count(F.lit(1)).cast("double"),
+        "stddev": F.stddev_pop("value"), "stdvar": F.var_pop("value"),
+        "group": F.lit(1.0),
+    }
+    if node.op == "quantile":
+        agg = F.percentile("value", _const(ctx, node.param))
+    else:
+        agg = aggs[node.op]
+    by, without = node.by, node.without
+    if by is None and without is None:
+        by = []
+    return promql.group_by_labels(vec, agg, by=by, without=without)
+
+
+def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
+    fn = node.fn
+
+    if fn in _OVER_TIME or fn == "quantile_over_time":
+        arg = node.args[-1]
+        inner, rng, step = _subquery_parts(arg)
+        lo, hi = _frame_bounds(ctx, rng)
+        frame_ctx = EvalContext(
+            ctx.samples.where(
+                (F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi))
+            ),
+            ctx.at,
+            ctx.staleness,
+        )
+        stream = _eval_stream(frame_ctx, inner, step)
+        if fn == "quantile_over_time":
+            return promql.quantile_over_time(stream, _const(ctx, node.args[0]))
+        return _OVER_TIME[fn](stream)
+
+    if fn in _RANGE_FNS:
+        sel = node.args[0]
+        if not isinstance(sel, Selector) or sel.range_ is None or sel.step:
+            raise PromQLError(f"{fn} needs a range selector like x[5m]")
+        lo, hi = _frame_bounds(ctx, sel.range_)
+        stream = _selector_stream(ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
+        if fn == "rate":
+            return promql.rate(stream, frame_start=lo, frame_end=hi)
+        if fn == "increase":
+            return promql.increase(stream, frame_start=lo, frame_end=hi)
+        if fn == "delta":
+            return promql.delta(stream, frame_start=lo, frame_end=hi)
+        if fn == "deriv":
+            return promql.deriv(stream, frame_start=lo, frame_end=hi)
+        horizon = _const(ctx, node.args[1])
+        return promql.predict_linear(stream, horizon, frame_start=lo, frame_end=hi)
+
+    if fn == "histogram_quantile":
+        vec = evaluate(ctx, node.args[1])
+        return promql.histogram_quantile(vec, _const(ctx, node.args[0]))
+    if fn == "label_replace":
+        vec = evaluate(ctx, node.args[0])
+        dst, repl, src, regex = (str(a) for a in node.args[1:5])
+        return promql.label_replace(vec, dst, repl, src, regex)
+    if fn == "label_join":
+        vec = evaluate(ctx, node.args[0])
+        dst, sep = str(node.args[1]), str(node.args[2])
+        srcs = [str(a) for a in node.args[3:]]
+        return promql.label_join(vec, dst, sep, srcs)
+    if fn == "clamp":
+        vec = evaluate(ctx, node.args[0])
+        return promql.clamp(vec, _const(ctx, node.args[1]), _const(ctx, node.args[2]))
+    if fn == "clamp_min":
+        return promql.clamp_min(evaluate(ctx, node.args[0]), _const(ctx, node.args[1]))
+    if fn == "clamp_max":
+        return promql.clamp_max(evaluate(ctx, node.args[0]), _const(ctx, node.args[1]))
+    if fn == "absent":
+        return promql.absent(evaluate(ctx, node.args[0]))
+    if fn in _MATH_FNS:
+        vec = evaluate(ctx, node.args[0])
+        return vec.withColumn("value", _MATH_FNS[fn](F.col("value")).cast("double"))
+
+    raise PromQLError(f"unsupported function {fn!r}")
+
+
+def eval_promql(
+    samples: DataFrame,
+    query: str,
+    at: datetime,
+    *,
+    staleness: str = "5 minutes",
+) -> DataFrame | float:
+    """Parse and evaluate ``query`` against a stored-samples DataFrame at
+    the frozen instant ``at``. Returns (labels, value) — or a float for
+    scalar-only expressions."""
+    return evaluate(EvalContext(samples, at, staleness), parse(query))

@@ -208,17 +208,31 @@ def promql_max_without(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promql_avg_by",
     oracle="""
-SELECT CAST(user_id AS VARCHAR) AS user_id, round(avg(value), 4) AS avg_value
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(*) AS n
 FROM events GROUP BY CAST(user_id AS VARCHAR)
 """,
 )
 def promql_avg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4: ``avg by (user_id)``."""
+    """B4: ``avg by (user_id)`` — hash-compared as exact decimal sum +
+    count (avg = sum/n): a rounded double avg can land on a round-half
+    boundary where the engines round apart (sf0.1 hits avg exactly
+    56.20875; same policy as promql_avg_over_time). The avg itself is
+    unit-tested in test_promql.py."""
     samples = _event_samples(spark, sf_dir)
-    out = promql.avg_by(samples, ["user_id"])
+    out = promql.group_by_labels(
+        samples,
+        F.struct(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        by=["user_id"],
+    )
     return out.select(
         F.element_at("labels", "user_id").alias("user_id"),
-        F.round("value", 4).alias("avg_value"),
+        F.col("value.s").alias("sum_value"),
+        F.col("value.n").alias("n"),
     )
 
 
@@ -566,7 +580,8 @@ def substring_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_rollup",
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-       count(*) AS n, round(avg(value), 4) AS avg_value,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
 """,
@@ -1869,4 +1884,112 @@ def interval_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("signup_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.round(F.sum("value"), 4).alias("click_value_sum"),
+    )
+
+
+@register("cardinality_sketches")  # no SQL oracle: sketch internals are
+# engine-specific (HLL++/GK); unit tests bound the error vs exact instead
+def cardinality_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path: HLL++ distinct-user cardinality and
+    GK approximate quantiles per metric — what A33 discovery and
+    quantile_by switch to when per-group exact state stops fitting
+    (both are mergeable fixed-size sketches: map-side partial combine,
+    one tiny shuffle, no sort)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.9, 1000).alias("approx_q90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- PromQL string evaluation (parser → combinators) -----------------------
+
+
+@register(
+    "promql_parsed_flagship",
+    oracle="""
+WITH resampled AS (
+  SELECT k, bucket, value FROM (
+    SELECT json_extract_string(props, '$.k') AS k, user_id,
+           date_trunc('minute', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY json_extract_string(props, '$.k'), user_id,
+                          date_trunc('minute', ts)
+             ORDER BY ts DESC) AS rn
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+  ) WHERE rn = 1
+), flagged AS (
+  SELECT k, bucket, CASE WHEN value != 20.0 THEN 1.0 ELSE 0.0 END AS v
+  FROM resampled
+), stepmax AS (
+  SELECT k, bucket, max(v) AS v FROM flagged GROUP BY k, bucket
+), sot AS (
+  SELECT k, sum(v) AS v FROM stepmax GROUP BY k
+)
+SELECT k, round(v * 60 / 3600, 6) AS value FROM sot
+""",
+)
+def promql_parsed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship QUERY STRING (migrate.sql:105 shape),
+    parsed and evaluated end-to-end: subquery in stream mode (per-series
+    last-per-step, then bool flag, then max without, then sum_over_time,
+    regroup, scalar arithmetic). Same operator spine as
+    flagship_gpu_utilization but entered as PromQL text."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    out = eval_promql(
+        _event_samples(spark, sf_dir, keys=("k", "user_id")),
+        'sum(sum_over_time(max without(user_id)(purchase != bool 20)[24h:1m]))'
+        " by (k) * 60 / 3600",
+        NOW,
+    )
+    return out.select(
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "promql_parsed_selector_agg",
+    oracle="""
+WITH resampled AS (
+  SELECT k, bucket, value FROM (
+    SELECT json_extract_string(props, '$.k') AS k,
+           date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY json_extract_string(props, '$.k'),
+                          date_trunc('hour', ts)
+             ORDER BY ts DESC) AS rn
+    FROM events
+    WHERE event_type = 'click'
+      AND json_extract_string(props, '$.k') NOT LIKE '1%'
+      AND ts >= TIMESTAMP '2023-12-31 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+  ) WHERE rn = 1
+)
+SELECT k, round(sum(value), 4) AS value FROM resampled GROUP BY k
+""",
+)
+def promql_parsed_selector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed regex-matcher selector through an hourly subquery grid:
+    ``sum by (k) (sum_over_time(click{k!~"1.*"}[31d:1h]))`` — the
+    matcher's anchored regex drops every k starting with 1, the step grid
+    takes each hour's last sample per series."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    out = eval_promql(
+        _event_samples(spark, sf_dir, keys=("k",)),
+        'sum(sum_over_time(click{k!~"1.*"}[31d:1h])) by (k)',
+        NOW,
+    )
+    return out.select(
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 4).alias("value"),
     )

@@ -424,3 +424,26 @@ def test_stdvar_by_and_present_over_time(spark):
     assert stdvar_by(df, ["h"]).collect()[0]["value"] == pytest.approx(8 / 3)
     stepped = resample(df, "1 minute")
     assert present_over_time(stepped).collect()[0]["value"] == 1.0
+
+
+def test_cardinality_sketches_bounded_error(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.queries import QUERIES
+    from prom_etl_db_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: (r["users"], r["q90"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", 0.9).alias("q90"),
+        )
+        .collect()
+    }
+    for r in QUERIES["cardinality_sketches"](spark, sf_dir).collect():
+        users, q90 = exact[r["event_type"]]
+        assert abs(r["approx_users"] - users) <= max(3, 0.05 * users)
+        # GK sketch: rank error ≤ 1/accuracy — value stays near the true q90
+        assert abs(r["approx_q90"] - q90) <= 0.15 * max(abs(q90), 1.0)

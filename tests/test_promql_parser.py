@@ -1,0 +1,169 @@
+"""PromQL string parser + evaluator (operators/promql_parser.py).
+
+Parse-structure tests are pure Python; evaluation tests run tiny sample
+fixtures where every expected value is computable by eye. The flagship
+string's end-to-end value correctness is oracle-gated in the registry
+(promql_parsed_flagship)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from prom_etl_db_spark.operators.promql_parser import (
+    Agg,
+    BinOp,
+    Call,
+    EvalContext,
+    Num,
+    PromQLError,
+    Selector,
+    eval_promql,
+    evaluate,
+    parse,
+)
+from prom_etl_db_spark.schema import METRICS_SCHEMA
+
+T0 = datetime(2024, 3, 15, 12, 0, 0)
+
+
+def _samples(spark, rows):
+    """rows: (metric, labels, value, ts_offset_seconds)"""
+    data = [
+        ("q", m, labels, float(v), T0 + timedelta(seconds=off), "instant", T0)
+        for m, labels, v, off in rows
+    ]
+    return spark.createDataFrame(data, METRICS_SCHEMA)
+
+
+# -- parsing ---------------------------------------------------------------
+
+
+def test_parse_selector_matchers_range_offset():
+    n = parse('http_requests{job="api", code!="500", path=~"/v1/.*"}[5m] offset 1h')
+    assert isinstance(n, Selector)
+    assert n.name == "http_requests"
+    assert n.matchers == [
+        ("job", "=", "api"), ("code", "!=", "500"), ("path", "=~", "/v1/.*"),
+    ]
+    assert n.range_ == "5m" and n.step is None and n.offset == "1h"
+
+
+def test_parse_recording_rule_names_keep_colons():
+    n = parse("job:http_inprogress:sum")
+    assert isinstance(n, Selector) and n.name == "job:http_inprogress:sum"
+
+
+def test_parse_agg_prefix_and_postfix_grouping_equal():
+    a = parse("sum by (k) (x)")
+    b = parse("sum(x) by (k)")
+    assert isinstance(a, Agg) and isinstance(b, Agg)
+    assert a.by == b.by == ["k"] and a.op == b.op == "sum"
+
+
+def test_parse_precedence_arithmetic_before_comparison():
+    n = parse("a + b * c > 4")
+    assert isinstance(n, BinOp) and n.op == ">"
+    assert isinstance(n.lhs, BinOp) and n.lhs.op == "+"
+    assert isinstance(n.lhs.rhs, BinOp) and n.lhs.rhs.op == "*"
+
+
+def test_parse_subquery_over_expression():
+    n = parse("max without(u)(x != bool 20)[24h:1m]")
+    assert isinstance(n, Call) and n.fn == "__subquery__"
+    assert n.args[1:] == ["24h", "1m"]
+    assert isinstance(n.args[0], Agg) and n.args[0].without == ["u"]
+
+
+def test_parse_errors_are_loud():
+    for bad in ("sum(", "x[5m", "x{k=}", "x offset", "1 +"):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+
+# -- evaluation ------------------------------------------------------------
+
+
+def test_eval_instant_selector_with_matchers(spark):
+    df = _samples(
+        spark,
+        [
+            ("m", {"h": "a"}, 1, -60),
+            ("m", {"h": "a"}, 3, -30),   # latest for h=a
+            ("m", {"h": "b"}, 9, -30),
+            ("other", {"h": "a"}, 7, -30),
+        ],
+    )
+    out = eval_promql(df, 'm{h="a"}', T0)
+    assert [r["value"] for r in out.collect()] == [3.0]
+
+
+def test_eval_scalar_expression_folds_to_float():
+    assert eval_promql(None, "2 * 3 + 4", T0) == 10.0
+    assert eval_promql(None, "2 ^ 3 ^ 2", T0) == 512.0  # right-assoc
+
+
+def test_eval_agg_and_arith(spark):
+    df = _samples(
+        spark,
+        [("m", {"k": "x", "u": "1"}, 2, -10), ("m", {"k": "x", "u": "2"}, 3, -10),
+         ("m", {"k": "y", "u": "1"}, 5, -10)],
+    )
+    out = eval_promql(df, "sum(m) by (k) * 10", T0)
+    got = {r["labels"]["k"]: r["value"] for r in out.collect()}
+    assert got == {"x": 50.0, "y": 50.0}
+
+
+def test_eval_comparison_filters_without_bool(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 2, -10), ("m", {"h": "b"}, 9, -10)])
+    out = eval_promql(df, "m > 5", T0)
+    assert [r["labels"]["h"] for r in out.collect()] == ["b"]
+    flagged = eval_promql(df, "m > bool 5", T0)
+    got = {r["labels"]["h"]: r["value"] for r in flagged.collect()}
+    assert got == {"a": 0.0, "b": 1.0}
+
+
+def test_eval_vector_binop_on_matching(spark):
+    df = _samples(
+        spark,
+        [("num", {"k": "x", "side": "n"}, 10, -10),
+         ("den", {"k": "x", "side": "d"}, 4, -10)],
+    )
+    out = eval_promql(df, "sum(num) by (k) / on(k) sum(den) by (k)", T0)
+    assert out.collect()[0]["value"] == pytest.approx(2.5)
+
+
+def test_eval_rate_string_matches_combinator(spark):
+    from prom_etl_db_spark.operators import promql
+
+    df = _samples(
+        spark, [("c", {"h": "a"}, v, off) for v, off in [(0, -300), (60, -200), (30, -100)]]
+    )
+    via_string = eval_promql(df, "rate(c[10m])", T0).collect()[0]["value"]
+    via_api = promql.rate(
+        df, frame_start=T0 - timedelta(minutes=10), frame_end=T0
+    ).collect()[0]["value"]
+    assert via_string == pytest.approx(via_api)
+    # reset-corrected increase 60+30=90 over 600s
+    assert via_string == pytest.approx(90 / 600)
+
+
+def test_eval_offset_shifts_the_read_window(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 5, -7200)])  # 2h ago
+    assert eval_promql(df, "m", T0).count() == 0  # outside 5m staleness
+    assert eval_promql(df, "m offset 2h", T0).collect()[0]["value"] == 5.0
+
+
+def test_eval_math_and_clamp_functions(spark):
+    df = _samples(spark, [("m", {"h": "a"}, -9, -10)])
+    assert eval_promql(df, "abs(m)", T0).collect()[0]["value"] == 9.0
+    assert eval_promql(df, "clamp(m, -2, 2)", T0).collect()[0]["value"] == -2.0
+
+
+def test_eval_unsupported_constructs_raise(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
+    with pytest.raises(PromQLError):
+        eval_promql(df, "m[5m]", T0)  # bare range selector is not a vector
+    with pytest.raises(PromQLError):
+        eval_promql(df, "m and m", T0)  # set ops unsupported (documented)
