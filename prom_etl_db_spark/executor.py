@@ -1,0 +1,146 @@
+"""Native query-config execution: the reference's per-execution lifecycle
+(`/root/reference/internal/executor/executor.go:36-227`) with the remote
+Prometheus hop replaced by in-engine PromQL evaluation.
+
+Reference flow: resolve the config's relative-time expressions (T1) →
+HTTP the query string to Prometheus → flatten the wire result → insert.
+Here the same config (`query` = PromQL text, `time_range_*` = T1
+expressions, `scripts/migrate.sql:59-83`) drives:
+
+1. T1 resolution with an EXPLICIT ``now`` (the reference's mutable-now
+   design froze its production ingestion — REPAIR.md:5).
+2. ``operators/promql_parser`` evaluation over the stored samples table —
+   instant at the resolved time, or a step-aligned matrix over the
+   resolved [start, end] for ``time_range_type='range'`` (A2's
+   step-resolution semantics, `client.go:164-203`).
+3. MetricRecord projection with A13 day-truncated ``collected_at`` and
+   the A14 day-partitioned append — plus the A16 audit protocol via
+   ``scheduler.run_query_audited``.
+
+A reference user's config rows therefore run unchanged: same query
+string, same time grammar, same stored shape.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.config import QueryConfig
+from prom_etl_db_spark.ingest import collected_at_col
+from prom_etl_db_spark.operators.promql_parser import (
+    EvalContext,
+    _eval_stream,
+    evaluate,
+    parse,
+)
+from prom_etl_db_spark.timeparse import RelativeTimeParser, parse_duration
+
+__all__ = ["evaluate_config_query", "execute_config_query"]
+
+
+def evaluate_config_query(
+    samples: DataFrame, cfg: QueryConfig, *, now: datetime
+) -> tuple[DataFrame, str]:
+    """Resolve the config's time range and evaluate its PromQL text.
+
+    Returns (result, result_type): instant/scalar → one row per series
+    with ``timestamp`` = the resolved evaluation time; range → one row
+    per (series, step) with ``timestamp`` = the step bucket (A2's matrix
+    shape after the A7 explode — we never materialize the nested wire
+    form at all).
+    """
+    parser = RelativeTimeParser(now)
+    node = parse(cfg.query)
+
+    if cfg.time_range_type == "range" and cfg.time_range_start and cfg.time_range_end:
+        start, end = parser.resolve_range(cfg.time_range_start, cfg.time_range_end)
+        step = cfg.time_range_step or "1m"
+        parse_duration(step)  # validate before any Spark work
+        framed = samples.where(
+            (F.col("timestamp") >= F.lit(start)) & (F.col("timestamp") <= F.lit(end))
+        )
+        stream = _eval_stream(EvalContext(framed, end), node, step)
+        return (
+            stream.select(
+                "labels",
+                F.col("bucket_start").alias("timestamp"),
+                "value",
+            ),
+            "range",
+        )
+
+    at = parser.parse(cfg.time_range_time or "now")
+    out = evaluate(EvalContext(samples, at), node)
+    if isinstance(out, float):
+        one = samples.sparkSession.createDataFrame(
+            [(out,)], "value double"
+        ).select(
+            F.create_map().cast("map<string,string>").alias("labels"),
+            F.lit(at).alias("timestamp"),
+            "value",
+        )
+        return one, "scalar"
+    return (
+        out.select("labels", F.lit(at).alias("timestamp"), "value"),
+        "instant",
+    )
+
+
+def execute_config_query(
+    spark: SparkSession,
+    samples: DataFrame,
+    cfg: QueryConfig,
+    *,
+    now: datetime,
+    store_path: str | None = None,
+    audit_path: str | None = None,
+) -> DataFrame:
+    """Full per-execution lifecycle: evaluate → MetricRecord projection →
+    (optionally) day-partitioned append + audit record. Returns the
+    record DataFrame either way (dry-run = don't pass paths — the repair
+    tool's ``--dry-run``, A28)."""
+    result, result_type = evaluate_config_query(samples, cfg, now=now)
+    records = result.select(
+        F.lit(cfg.query_id).alias("query_id"),
+        F.lit(cfg.query_id).alias("metric_name"),  # A8 fallback: computed
+        # vectors carry no __name__
+        F.col("labels"),
+        F.col("value").cast("double").alias("value"),
+        F.col("timestamp"),
+        F.lit(result_type).alias("result_type"),
+        collected_at_col(
+            F.col("timestamp"),
+            cfg.time_range_type,
+            now=now,
+            time_expr=cfg.time_range_time,
+            start_expr=cfg.time_range_start,
+            end_expr=cfg.time_range_end,
+        ).alias("collected_at"),
+    ).withColumn("collected_date", F.to_date(F.col("collected_at")))
+
+    if store_path is None:
+        return records
+
+    from prom_etl_db_spark.scheduler import run_query_audited
+    from prom_etl_db_spark.store import append_records
+
+    def _run() -> int:
+        count = records.count()
+        append_records(records, store_path)
+        return count
+
+    if audit_path is not None:
+        run_query_audited(
+            spark,
+            query_id=cfg.query_id,
+            query_name=cfg.name,
+            run=_run,
+            audit_path=audit_path,
+            now=lambda: now,
+        )
+    else:
+        _run()
+    return records

@@ -1993,3 +1993,53 @@ def promql_parsed_selector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("labels", "k").alias("k"),
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "config_executed_range",
+    oracle="""
+WITH resampled AS (
+  SELECT k, bucket, value FROM (
+    SELECT json_extract_string(props, '$.k') AS k,
+           date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY json_extract_string(props, '$.k'),
+                          date_trunc('hour', ts)
+             ORDER BY ts DESC) AS rn
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+  ) WHERE rn = 1
+)
+SELECT k, CAST(bucket AS TIMESTAMP) AS timestamp,
+       round(value, 4) AS value,
+       CAST(bucket AS DATE) AS collected_date
+FROM resampled
+""",
+)
+def config_executed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A reference-shaped config row (PromQL text + T1 time expressions +
+    step) executed natively end-to-end: time resolution, range-mode
+    stream evaluation, MetricRecord projection with A13 day truncation —
+    the full §3.1 lifecycle in dry-run (no write)."""
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import execute_config_query
+
+    cfg = QueryConfig(
+        query_id="cfg_range",
+        name="hourly click matrix",
+        query="sum(click) by (k)",
+        time_range_type="range",
+        time_range_start="-1d",
+        time_range_end="now",
+        time_range_step="1h",
+    )
+    samples = _event_samples(spark, sf_dir, keys=("k",))
+    records = execute_config_query(spark, samples, cfg, now=NOW)
+    return records.select(
+        F.element_at("labels", "k").alias("k"),
+        F.col("timestamp"),
+        F.round("value", 4).alias("value"),
+        F.col("collected_date"),
+    )
