@@ -55,7 +55,14 @@ def evaluate_config_query(
     parser = RelativeTimeParser(now)
     node = parse(cfg.query)
 
-    if cfg.time_range_type == "range" and cfg.time_range_start and cfg.time_range_end:
+    if cfg.time_range_type == "range":
+        if not (cfg.time_range_start and cfg.time_range_end):
+            # silently degrading to an instant query would store
+            # wrong-shaped data for a misconfigured row — fail loudly
+            raise ValueError(
+                f"config {cfg.query_id!r}: time_range_type='range' requires "
+                "both time_range_start and time_range_end"
+            )
         start, end = parser.resolve_range(cfg.time_range_start, cfg.time_range_end)
         step = cfg.time_range_step or "1m"
         parse_duration(step)  # validate before any Spark work
@@ -127,20 +134,27 @@ def execute_config_query(
     from prom_etl_db_spark.scheduler import run_query_audited
     from prom_etl_db_spark.store import append_records
 
-    def _run() -> int:
-        count = records.count()
-        append_records(records, store_path)
-        return count
-
     if audit_path is not None:
-        run_query_audited(
-            spark,
-            query_id=cfg.query_id,
-            query_name=cfg.name,
-            run=_run,
-            audit_path=audit_path,
-            now=lambda: now,
-        )
+        # the audit record needs the count — persist so count + write is
+        # one evaluation, not two full runs of the query
+        records.persist()
+
+        def _run() -> int:
+            count = records.count()
+            append_records(records, store_path)
+            return count
+
+        try:
+            run_query_audited(
+                spark,
+                query_id=cfg.query_id,
+                query_name=cfg.name,
+                run=_run,
+                audit_path=audit_path,
+                now=lambda: now,
+            )
+        finally:
+            records.unpersist()
     else:
-        _run()
+        append_records(records, store_path)
     return records

@@ -250,7 +250,9 @@ _VEC_OPS = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
-    "%": lambda a, b: F.pmod(a, b),
+    # PromQL % is Go math.Mod — sign of the DIVIDEND (fmod), not pmod:
+    # -5 % 3 = -2, where pmod(-5, 3) = 1
+    "%": lambda a, b: a % b,
     "^": lambda a, b: F.pow(a, b),
 }
 

@@ -213,7 +213,8 @@ class _Parser:
         t = self.peek()
         if t.text == "-":
             self.next()
-            inner = self.parse_unary()
+            # unary minus binds LOOSER than ^ in PromQL: -2^2 == -(2^2)
+            inner = self.parse_expr(len(_PRECEDENCE) - 1)
             return BinOp("-", Num(0.0), inner)
         if t.text == "(":
             self.next()
@@ -338,11 +339,14 @@ def parse(query: str) -> Node:
 class EvalContext:
     """samples: (metric_name, labels: map<string,string>, value, timestamp).
     ``at`` is the frozen evaluation time; instant selectors look back
-    ``staleness``."""
+    ``staleness``. ``frame`` bounds selector reads to [lo, hi] — applied
+    inside ``_selector_stream`` AFTER any offset shift, never to the raw
+    table up front."""
 
     samples: DataFrame
     at: datetime
     staleness: str = "5 minutes"
+    frame: tuple[datetime, datetime] | None = None
 
 
 def _dur(text: str) -> timedelta:
@@ -368,28 +372,46 @@ _OVER_TIME = {
 _RANGE_FNS = {"rate", "increase", "delta", "deriv", "predict_linear"}
 
 
+def _interval_str(text: str) -> str:
+    """Duration text → a Spark interval string, millisecond-exact (plain
+    int(total_seconds()) would silently truncate '500ms' to zero)."""
+    ms = round(_dur(text).total_seconds() * 1000)
+    if ms <= 0:
+        raise PromQLError(f"duration must be positive, got {text!r}")
+    return f"{ms} milliseconds" if ms % 1000 else f"{ms // 1000} seconds"
+
+
 def _apply_matchers(df: DataFrame, sel: Selector) -> DataFrame:
     if sel.name is not None:
         df = df.where(F.col("metric_name") == sel.name)
     for lbl, op, val in sel.matchers:
-        c = F.element_at(F.col("labels"), lbl)
+        # PromQL: a missing label IS the empty string — {k=""} matches
+        # series without k, {k!=""} excludes them, {k=~".*"} keeps them
+        c = F.coalesce(F.element_at(F.col("labels"), lbl), F.lit(""))
         if op == "=":
             df = df.where(c == val)
         elif op == "!=":
-            df = df.where(c.isNull() | (c != val))
+            df = df.where(c != val)
         elif op == "=~":
             df = df.where(c.rlike(f"^(?:{val})$"))
         else:
-            df = df.where(c.isNull() | ~c.rlike(f"^(?:{val})$"))
+            df = df.where(~c.rlike(f"^(?:{val})$"))
     return df
 
 
 def _selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
-    """Raw matched sample stream, offset applied (shift samples forward =
-    selectors read the past)."""
+    """Raw matched sample stream: matchers → offset shift → frame clip.
+    Order matters: the offset shifts samples forward (selectors read the
+    past), so any frame filter must apply AFTER the shift — clipping raw
+    timestamps first would read the un-offset window."""
     df = _apply_matchers(ctx.samples, sel)
     if sel.offset:
-        df = promql.offset(df, f"{int(_dur(sel.offset).total_seconds())} SECONDS")
+        df = promql.offset(df, _interval_str(sel.offset))
+    if ctx.frame is not None:
+        lo, hi = ctx.frame
+        df = df.where(
+            (F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi))
+        )
     return df
 
 
@@ -401,7 +423,7 @@ def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
     """Subquery "stream mode": return a step-aligned (labels, __series,
     bucket_start, value) frame for ``node`` (see module docstring for the
     divergence from per-step re-evaluation)."""
-    step_str = f"{int(_dur(step).total_seconds())} seconds"
+    step_str = _interval_str(step)
     if isinstance(node, Selector):
         if node.range_ is not None:
             raise PromQLError("nested ranges inside a subquery are unsupported")
@@ -449,8 +471,10 @@ def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipp
         if node.bool_mod:
             return stream.withColumn("value", F.when(cmp, 1.0).otherwise(0.0))
         return stream.where(cmp)
+    # % is Spark's own modulo (sign of dividend — Go math.Mod/PromQL),
+    # NOT pmod: fmod(-5, 3) = -2, pmod gives 1
     arith = {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
-             "/": lhs / rhs, "%": F.pmod(lhs, rhs), "^": F.pow(lhs, rhs)}[node.op]
+             "/": lhs / rhs, "%": lhs % rhs, "^": F.pow(lhs, rhs)}[node.op]
     return stream.withColumn("value", arith.cast("double"))
 
 
@@ -508,12 +532,21 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
 
 
 def _scalar_scalar(node: BinOp, a: float, b: float) -> float:
-    import math
+    # IEEE-754 semantics via numpy (x/0 → ±Inf, 0/0 → NaN, 1000^2000 →
+    # +Inf, fmod keeps the dividend's sign) — Python's operators raise
+    # where PromQL/Go return Inf/NaN, and a dict literal would evaluate
+    # every operator eagerly
+    import numpy as np
 
-    ops = {"+": a + b, "-": a - b, "*": a * b, "/": a / b if b else math.nan,
-           "%": math.fmod(a, b) if b else math.nan, "^": a ** b}
-    if node.op in ops:
-        return ops[node.op]
+    fa, fb = np.float64(a), np.float64(b)
+    with np.errstate(all="ignore"):
+        ops = {
+            "+": lambda: fa + fb, "-": lambda: fa - fb, "*": lambda: fa * fb,
+            "/": lambda: fa / fb, "%": lambda: np.fmod(fa, fb),
+            "^": lambda: np.power(fa, fb),
+        }
+        if node.op in ops:
+            return float(ops[node.op]())
     cmp = {"==": a == b, "!=": a != b, ">": a > b, ">=": a >= b,
            "<": a < b, "<=": a <= b}[node.op]
     if node.bool_mod:
@@ -563,13 +596,11 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
     if fn in _OVER_TIME or fn == "quantile_over_time":
         arg = node.args[-1]
         inner, rng, step = _subquery_parts(arg)
-        lo, hi = _frame_bounds(ctx, rng)
+        # the frame rides the context and clips inside _selector_stream,
+        # AFTER any offset shift (clipping raw ts first would make
+        # `m[1h:1m] offset 2h` read the un-offset hour)
         frame_ctx = EvalContext(
-            ctx.samples.where(
-                (F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi))
-            ),
-            ctx.at,
-            ctx.staleness,
+            ctx.samples, ctx.at, ctx.staleness, frame=_frame_bounds(ctx, rng)
         )
         stream = _eval_stream(frame_ctx, inner, step)
         if fn == "quantile_over_time":

@@ -167,3 +167,52 @@ def test_eval_unsupported_constructs_raise(spark):
         eval_promql(df, "m[5m]", T0)  # bare range selector is not a vector
     with pytest.raises(PromQLError):
         eval_promql(df, "m and m", T0)  # set ops unsupported (documented)
+
+
+# -- regressions from review findings --------------------------------------
+
+
+def test_scalar_arithmetic_is_lazy_and_ieee():
+    assert eval_promql(None, "1000 + 2000", T0) == 3000.0  # no eager ^ overflow
+    assert eval_promql(None, "10 ^ 400", T0) == float("inf")
+    assert eval_promql(None, "1 / 0", T0) == float("inf")
+    import math
+
+    assert math.isnan(eval_promql(None, "0 / 0", T0))
+    assert eval_promql(None, "(0 - 5) % 3", T0) == -2.0  # fmod, not pmod
+
+
+def test_unary_minus_binds_looser_than_pow():
+    assert eval_promql(None, "-2 ^ 2", T0) == -4.0
+
+
+def test_missing_label_is_empty_string_for_matchers(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10), ("m", {"h": "b", "k": "x"}, 2, -10)])
+    assert eval_promql(df, 'm{k=""}', T0).collect()[0]["value"] == 1.0
+    got = {r["value"] for r in eval_promql(df, 'm{k=~".*"}', T0).collect()}
+    assert got == {1.0, 2.0}  # empty-matching regex keeps label-less series
+    assert eval_promql(df, 'm{k!=""}', T0).collect()[0]["value"] == 2.0
+
+
+def test_vector_modulo_keeps_dividend_sign(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 5, -10)])
+    assert eval_promql(df, "(0 - m) % 3", T0).collect()[0]["value"] == -2.0
+
+
+def test_offset_inside_subquery_shifts_the_frame(spark):
+    # samples 2-3h back; a 1h frame offset by 2h must read them
+    df = _samples(
+        spark,
+        [("m", {"h": "a"}, v, -7200 - i * 600) for i, v in enumerate([1, 2, 3])],
+    )
+    out = eval_promql(df, "sum_over_time(m[1h:10m] offset 2h)", T0)
+    assert out.collect()[0]["value"] == 6.0
+    assert eval_promql(df, "sum_over_time(m[1h:10m])", T0).count() == 0
+
+
+def test_subsecond_durations_are_exact_not_truncated(spark):
+    from prom_etl_db_spark.operators.promql_parser import _interval_str
+
+    assert _interval_str("500ms") == "500 milliseconds"
+    assert _interval_str("1s500ms") == "1500 milliseconds"
+    assert _interval_str("2m") == "120 seconds"
