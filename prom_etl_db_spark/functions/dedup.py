@@ -369,34 +369,41 @@ def connected_components(
         .select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
         .persist()
     )
-    for _ in range(max_iterations):
-        msgs = edges.join(
-            labels.select(F.col("id").alias("src"), "cluster_id"), "src"
-        ).select(F.col("dst").alias("id"), "cluster_id")
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            # cut lineage each round: without this, round k's plan replays
-            # rounds 1..k-1 and the convergence count goes quadratic
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("cluster_id").alias("__old")), "id"
+    try:
+        for _ in range(max_iterations):
+            msgs = edges.join(
+                labels.select(F.col("id").alias("src"), "cluster_id"), "src"
+            ).select(F.col("dst").alias("id"), "cluster_id")
+            new_labels = (
+                labels.union(msgs)
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                # cut lineage each round: without this, round k's plan
+                # replays rounds 1..k-1 and the convergence count goes
+                # quadratic
+                .localCheckpoint(eager=True)
             )
-            .where(F.col("cluster_id") != F.col("__old"))
-            .count()
-        )
+            changed = (
+                new_labels.join(
+                    labels.select("id", F.col("cluster_id").alias("__old")), "id"
+                )
+                .where(F.col("cluster_id") != F.col("__old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    finally:
+        # release caches on every exit path — a non-convergence raise in a
+        # retry loop must not accumulate pinned partitions (unpersist on
+        # an already-released frame is a no-op)
+        edges.unpersist()
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
-    edges.unpersist()
     return labels
 
 
@@ -407,13 +414,15 @@ def keep_canonical(
     **cc_kwargs,
 ) -> DataFrame:
     """Near-dup dedup decision: keep each cluster's canonical (min-id)
-    member plus every unpaired doc. A left join against the (small)
-    cluster assignment — Catalyst broadcasts it; the corpus never
-    shuffles."""
+    member plus every unpaired doc. A left join against the cluster
+    assignment; Catalyst/AQE picks broadcast when the assignment is
+    actually small — NOT forced, because at web scale the paired-doc set
+    is a large fraction of the corpus and a forced broadcast would
+    collect it onto the driver."""
     clusters = connected_components(pairs, **cc_kwargs)
     return (
         docs.join(
-            F.broadcast(clusters.withColumnRenamed("id", id_col)),
+            clusters.withColumnRenamed("id", id_col),
             id_col,
             "left",
         )

@@ -134,18 +134,28 @@ def deterministic_topn(df: DataFrame, key: str, n: int, *, salt: str = "topn") -
 def global_shuffle(
     df: DataFrame, key: str, *, salt: str = "shuffle", partitions: int | None = None
 ) -> DataFrame:
-    """Deterministically permute rows for training export: range-partition
-    + sort by the full md5 of (key, salt). Epoch *k* uses salt=f"epoch{k}"
-    for an independent permutation of the same data. Range partitioning
-    keeps output files balanced (md5 is uniform) and the within-file order
-    reproducible — rerunning a failed export writes identical files."""
+    """Deterministically permute rows for training export, ordered by the
+    md5 of (key, salt). Epoch *k* uses salt=f"epoch{k}" for an
+    independent permutation of the same data.
+
+    With ``partitions``, rows HASH-partition on an md5 prefix and sort
+    within each shard: shard membership and within-shard order depend
+    only on (key, salt) — rerunning a failed export reproduces the same
+    shards. (``repartitionByRange`` would look prettier but samples its
+    bounds with an RDD-id-dependent seed, so re-runs could split files
+    differently.) Shards are not a single global order; omit
+    ``partitions`` for one totally-ordered output."""
     order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
     shuffled = df.withColumn("__ord", order)
     if partitions is not None:
-        shuffled = shuffled.repartitionByRange(partitions, "__ord")
-    return shuffled.sortWithinPartitions("__ord").drop("__ord") if partitions else (
-        shuffled.orderBy("__ord").drop("__ord")
-    )
+        if partitions <= 0:
+            raise ValueError(f"partitions must be positive, got {partitions}")
+        return (
+            shuffled.repartition(partitions, F.substring("__ord", 1, 8))
+            .sortWithinPartitions("__ord")
+            .drop("__ord")
+        )
+    return shuffled.orderBy("__ord").drop("__ord")
 
 
 def pack_documents(

@@ -223,20 +223,25 @@ def quantile_by(df: DataFrame, q: float, keys: Sequence[str], **kw) -> DataFrame
 
 def count_values(df: DataFrame, dst: str = "value") -> DataFrame:
     """PromQL ``count_values("dst", x)``: count samples per distinct value,
-    the value itself becoming a new label. One hash aggregation on
-    (series-key, value); the value's canonical string drops a trailing
-    ``.0`` so integers read like PromQL's repr.
+    the value itself becoming a new label (an existing ``dst`` label is
+    overwritten — ``map_concat`` with a duplicate key would otherwise
+    throw under Spark's default EXCEPTION dedup policy). One hash
+    aggregation on (series-key, value); integer-valued doubles render as
+    plain integers at any magnitude (a bare ``cast("string")`` emits
+    ``1.0E7`` once past 1e7).
     """
     keyed = _ensure_series(df)
     grouped = keyed.groupBy("__series", "value").agg(
         F.count(F.lit(1)).cast("double").alias("__count")
     )
-    value_str = F.regexp_replace(
-        F.col("value").cast("string"), r"\.0$", ""
-    )
+    v = F.col("value")
+    value_str = F.when(
+        v == F.floor(v), v.cast("long").cast("string")
+    ).otherwise(v.cast("string"))
+    without_dst = F.filter(F.col("__series"), lambda e: e["key"] != F.lit(dst))
     return grouped.select(
         F.map_concat(
-            F.map_from_entries("__series"),
+            F.map_from_entries(without_dst),
             F.create_map(F.lit(dst), value_str),
         ).alias("labels"),
         F.col("__count").alias("value"),
@@ -518,13 +523,7 @@ def increase(
     last samples in the frame — exact over stored data, no estimation.
     """
     w_order = [F.col("timestamp")] + [F.col(t) for t in tiebreakers]
-    df = (
-        samples.where(
-            (F.col("timestamp") >= F.lit(frame_start))
-            & (F.col("timestamp") < F.lit(frame_end))
-        )
-        .withColumn("__series", _series(F.col("labels")))
-    )
+    df = _frame(samples, frame_start, frame_end)
     w = Window.partitionBy("__series").orderBy(*w_order)
     delta = F.col("value") - F.lag("value").over(w)
     contrib = F.when(delta.isNull(), F.lit(0.0)).otherwise(
@@ -565,21 +564,41 @@ def _frame(samples: DataFrame, frame_start: datetime, frame_end: datetime) -> Da
     ).withColumn("__series", _series(F.col("labels")))
 
 
+def _dedup_ts(keyed: DataFrame, tiebreakers: Sequence[str]) -> DataFrame:
+    """Resolve duplicate (series, timestamp) samples deterministically —
+    argmax by the tiebreakers, in their own hash phase (same pattern and
+    rationale as ``resample``). No-op cost when ``tiebreakers`` is empty
+    is avoided by the caller checking first."""
+    order = (
+        F.col(tiebreakers[0])
+        if len(tiebreakers) == 1
+        else F.struct(*[F.col(t) for t in tiebreakers])
+    )
+    return keyed.groupBy("__series", "timestamp").agg(
+        F.max_by(F.col("value"), order).alias("value")
+    )
+
+
 def delta(
     samples: DataFrame,
     *,
     frame_start: datetime,
     frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """Gauge ``delta(x[frame])``: last value minus first value per series.
     ``max_by``/``min_by`` on the single-primitive timestamp — one
-    HashAggregate, no window sort.
+    HashAggregate, no window sort. ``tiebreakers`` make duplicate-
+    timestamp samples deterministic (same contract as ``resample`` /
+    ``increase`` — without them Spark's max_by picks arbitrarily).
 
     Divergence, documented (same policy as ``increase``): Prometheus
     extrapolates to the window boundaries; we return the observed
     difference — exact over stored data, no estimation.
     """
     df = _frame(samples, frame_start, frame_end)
+    if tiebreakers:
+        df = _dedup_ts(df, tiebreakers)
     return (
         df.groupBy("__series")
         .agg(
@@ -750,13 +769,16 @@ def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") ->
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile must be in [0, 1], got {q}")
     le_str = F.element_at(F.col("labels"), le_label)
+    # try_cast, not cast: ANSI mode is on, and one malformed le value
+    # (e.g. "0.5s" from a broken exporter) must drop that bucket row,
+    # not abort the whole query
     le = F.when(
         F.lower(le_str).isin("+inf", "inf", "infinity"), F.lit(float("inf"))
-    ).otherwise(le_str.cast("double"))
+    ).otherwise(le_str.try_cast("double"))
     grp = _series(_project_labels_without(F.col("labels"), [le_label]))
     df = buckets.select(
         grp.alias("__grp"), le.alias("__le"), F.col("value").alias("__cum")
-    )
+    ).where(F.col("__le").isNotNull())  # malformed le → skip the bucket
     w = Window.partitionBy("__grp").orderBy("__le")
     w_all = Window.partitionBy("__grp")
     df = df.select(

@@ -91,3 +91,24 @@ def test_topk_matches_neardup_scores(spark, vectors):
     r = top.first()
     assert (r["query_id"], r["neighbor_id"]) == (0, 1)
     assert r["cos_sim"] == pytest.approx(1.0)
+
+
+def test_lsh_recall_at_query_parameters(spark, sf_dir):
+    # the registry query's exact configuration (threshold 0.4, 120x8) must
+    # hold >= 0.9 aggregate recall against the exact pair set — this is
+    # the gate the rows-only driver check can't provide
+    from prom_etl_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_lsh(emb, threshold=0.4, bands=120, bits=8).collect()
+    }
+    assert lsh <= exact  # exact verify ⇒ never a false positive
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} below 0.9"

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from prom_etl_db_spark.functions import dedup, similarity
 from prom_etl_db_spark.operators import promql
-from prom_etl_db_spark.queries import _event_samples
 from prom_etl_db_spark.session import get_spark
 from prom_etl_db_spark.sources.tables import load_table
 
@@ -74,8 +73,8 @@ def scaled_embeddings(spark, sf_dir: str, k: int) -> DataFrame:
     return out
 
 
-def probe(spark, sf_dir: str, k: int) -> dict[str, float]:
-    times: dict[str, float] = {}
+def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
+    times: dict[str, tuple[float, int]] = {}  # op -> (seconds, result rows)
 
     def run(name, df):
         t0 = time.perf_counter()
@@ -106,7 +105,7 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, float]:
     run("minhash_lsh", dedup.minhash_lsh_dup_pairs(docs, bands=16, threshold=0.3))
 
     emb = scaled_embeddings(spark, sf_dir, k)
-    run("neardup_lsh", similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=48, bits=8))
+    run("neardup_lsh", similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=120, bits=8))
     return times
 
 
