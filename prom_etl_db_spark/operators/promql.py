@@ -63,6 +63,7 @@ __all__ = [
     "count_values",
     "bool_cmp",
     "vector_binop",
+    "vector_setop",
     "resample",
     "agg_over_time",
     "sum_over_time",
@@ -284,6 +285,18 @@ def vector_binop(
         raise ValueError("use only one of on= / ignoring=")
     if op not in _VEC_OPS:
         raise ValueError(f"unsupported op {op!r}; one of {sorted(_VEC_OPS)}")
+    key = _match_key(on, ignoring)
+    left = lhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__l"))
+    right = rhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__r"))
+    return left.join(right, "__series").select(
+        F.map_from_entries("__series").alias("labels"),
+        _VEC_OPS[op](F.col("__l"), F.col("__r")).alias("value"),
+    )
+
+
+def _match_key(on: Sequence[str] | None, ignoring: Sequence[str]):
+    """Label-projection key for vector matching (shared by binops and set
+    ops)."""
 
     def key(labels: Column) -> Column:
         if on is not None:
@@ -296,12 +309,46 @@ def vector_binop(
             projected = _project_labels_without(labels, ignoring) if ignoring else labels
         return _series(projected)
 
-    left = lhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__l"))
-    right = rhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__r"))
-    return left.join(right, "__series").select(
-        F.map_from_entries("__series").alias("labels"),
-        _VEC_OPS[op](F.col("__l"), F.col("__r")).alias("value"),
+    return key
+
+
+def vector_setop(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    op: str,
+    *,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL set operators over instant vectors — pure join shapes:
+
+    - ``and``:    lhs series whose match key exists in rhs (left-semi)
+    - ``unless``: lhs series whose match key does NOT exist (left-anti)
+    - ``or``:     all lhs series plus rhs series with no lhs match (union)
+
+    Results keep the LHS rows' full labels and values (PromQL semantics);
+    the rhs side contributes only its key set — a distinct projection of
+    (key) only, so the join never carries rhs payloads. One shuffle per
+    side on the projected entries key; Catalyst broadcasts a small key
+    set on its own.
+    """
+    if op not in ("and", "or", "unless"):
+        raise ValueError(f"unsupported set op {op!r}")
+    if on is not None and ignoring:
+        raise ValueError("use only one of on= / ignoring=")
+    key = _match_key(on, ignoring)
+    l_keyed = lhs.withColumn("__key", key(F.col("labels")))
+    if op in ("and", "unless"):
+        r_keys = rhs.select(key(F.col("labels")).alias("__key")).distinct()
+        how = "left_semi" if op == "and" else "left_anti"
+        return l_keyed.join(r_keys, "__key", how).select("labels", "value")
+    l_keys = lhs.select(key(F.col("labels")).alias("__key")).distinct()
+    extra = (
+        rhs.withColumn("__key", key(F.col("labels")))
+        .join(l_keys, "__key", "left_anti")
+        .select("labels", "value")
     )
+    return lhs.select("labels", "value").unionByName(extra)
 
 
 # -- B6/B7: comparison with bool modifier; scalar arithmetic ---------------

@@ -25,8 +25,9 @@ Supported grammar (superset of every query string in the reference):
 - functions: histogram_quantile, label_replace, label_join, clamp,
   clamp_min, clamp_max, absent, abs, ceil, floor, exp, ln, sqrt
 - binary ops with precedence: ``^``, ``* / %``, ``+ -``, comparisons
-  (filtering or with ``bool``); vector-vector matching via ``on(...)``
-  / ``ignoring(...)``; scalar-vector in both orders
+  (filtering or with ``bool``), set ops ``and`` / ``unless`` / ``or``
+  (semi/anti/union joins on the match key); vector-vector matching via
+  ``on(...)`` / ``ignoring(...)``; scalar-vector in both orders
 
 Documented divergences (same policies as the combinators, tested):
 - subquery inner expressions evaluate in "stream mode": point-wise ops
@@ -34,7 +35,7 @@ Documented divergences (same policies as the combinators, tested):
   bucket, then last-per-bucket step alignment — no staleness LOCF
   across empty buckets (Prometheus would carry values ≤5 m forward).
 - rate/increase are exact over stored samples, not extrapolated.
-- no ``and/or/unless``, ``group_left/right``, ``@`` modifier, or
+- no ``group_left/right`` (many-to-one matching), ``@`` modifier, or
   negative offsets (nothing in the reference's surface uses them).
 """
 
@@ -72,7 +73,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"by", "without", "bool", "offset", "on", "ignoring"}
+_KEYWORDS = {"by", "without", "bool", "offset", "on", "ignoring", "and", "or", "unless"}
 
 
 @dataclass
@@ -148,7 +149,16 @@ _AGG_OPS = {
     "quantile", "count_values", "topk", "bottomk",
 }
 _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
-_PRECEDENCE = [["==", "!=", "<=", ">=", "<", ">"], ["+", "-"], ["*", "/", "%"], ["^"]]
+_SET_OPS = {"and", "or", "unless"}
+# loosest → tightest, PromQL order: or < and/unless < comparisons < +- < */% < ^
+_PRECEDENCE = [
+    ["or"],
+    ["and", "unless"],
+    ["==", "!=", "<=", ">=", "<", ">"],
+    ["+", "-"],
+    ["*", "/", "%"],
+    ["^"],
+]
 
 
 class _Parser:
@@ -516,6 +526,14 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
     if isinstance(node, BinOp):
         lhs = evaluate(ctx, node.lhs)
         rhs = evaluate(ctx, node.rhs)
+        if node.op in _SET_OPS:
+            # must precede the scalar branches: `m and 2` is a type error,
+            # not scalar arithmetic
+            if isinstance(lhs, float) or isinstance(rhs, float):
+                raise PromQLError(f"{node.op} requires vector operands")
+            return promql.vector_setop(
+                lhs, rhs, node.op, on=node.on, ignoring=node.ignoring or ()
+            )
         if isinstance(lhs, float) and isinstance(rhs, float):
             return _scalar_scalar(node, lhs, rhs)
         if isinstance(rhs, float):

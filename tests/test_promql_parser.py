@@ -166,7 +166,8 @@ def test_eval_unsupported_constructs_raise(spark):
     with pytest.raises(PromQLError):
         eval_promql(df, "m[5m]", T0)  # bare range selector is not a vector
     with pytest.raises(PromQLError):
-        eval_promql(df, "m and m", T0)  # set ops unsupported (documented)
+        # many-to-one matching unsupported (documented divergence)
+        eval_promql(df, "m / on(h) group_left m", T0)
 
 
 # -- regressions from review findings --------------------------------------
@@ -216,3 +217,38 @@ def test_subsecond_durations_are_exact_not_truncated(spark):
     assert _interval_str("500ms") == "500 milliseconds"
     assert _interval_str("1s500ms") == "1500 milliseconds"
     assert _interval_str("2m") == "120 seconds"
+
+
+def test_set_operator_precedence():
+    # or < and < comparisons: "a > 1 and b or c" == ((a > 1) and b) or c
+    n = parse("a > 1 and b or c")
+    assert isinstance(n, BinOp) and n.op == "or"
+    assert isinstance(n.lhs, BinOp) and n.lhs.op == "and"
+    assert isinstance(n.lhs.lhs, BinOp) and n.lhs.lhs.op == ">"
+
+
+def test_eval_set_operators(spark):
+    df = _samples(
+        spark,
+        [("up", {"job": "api"}, 1, -10), ("up", {"job": "db"}, 1, -10),
+         ("errs", {"job": "api"}, 7, -10)],
+    )
+    # and: up series whose (job) key also has errors
+    got = [r["labels"]["job"] for r in
+           eval_promql(df, "up and on(job) errs", T0).collect()]
+    assert got == ["api"]
+    # unless: up series with NO errors
+    got = [r["labels"]["job"] for r in
+           eval_promql(df, "up unless on(job) errs", T0).collect()]
+    assert got == ["db"]
+    # or: all up series plus err series not matching any up key
+    assert eval_promql(df, "up or on(job) errs", T0).count() == 2
+    only = eval_promql(df, 'up{job="db"} or on(job) errs', T0)
+    vals = {(r["labels"]["job"], r["value"]) for r in only.collect()}
+    assert vals == {("db", 1.0), ("api", 7.0)}  # rhs fills the missing key
+
+
+def test_set_operator_rejects_scalars(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
+    with pytest.raises(PromQLError, match="vector operands"):
+        eval_promql(df, "m and 2", T0)
