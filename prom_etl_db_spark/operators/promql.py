@@ -270,12 +270,22 @@ def vector_binop(
     *,
     on: Sequence[str] | None = None,
     ignoring: Sequence[str] = (),
+    group: str | None = None,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
-    """One-to-one vector matching: ``lhs <op> rhs`` joining series whose
-    label sets agree after projection by ``on`` (keep only those keys) or
+    """Vector matching: ``lhs <op> rhs`` joining series whose label sets
+    agree after projection by ``on`` (keep only those keys) or
     ``ignoring`` (drop those keys) — PromQL binary-operator semantics
     (prometheus.io/docs/prometheus/latest/querying/operators/#vector-matching).
-    Result carries the matched label set, PromQL-style.
+
+    One-to-one (default): result carries the matched label set.
+    Many-to-one via ``group="left"`` (lhs is the many side) or
+    ``group="right"``: each many-side row keeps its FULL label set, and
+    ``carry`` lists labels copied over from the one side (PromQL
+    ``group_left(carry...)``) — the info-metric join pattern. Divergence,
+    documented: Prometheus errors when the "one" side has duplicate match
+    keys; we don't pre-validate (that's an extra aggregation per call) —
+    a duplicated key fans out like any join.
 
     One equi-join on the projected entries key (hash/broadcast per
     Catalyst's choice); series missing from either side drop out, like
@@ -285,12 +295,52 @@ def vector_binop(
         raise ValueError("use only one of on= / ignoring=")
     if op not in _VEC_OPS:
         raise ValueError(f"unsupported op {op!r}; one of {sorted(_VEC_OPS)}")
+    if group not in (None, "left", "right"):
+        raise ValueError(f"group must be 'left'/'right'/None, got {group!r}")
     key = _match_key(on, ignoring)
-    left = lhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__l"))
-    right = rhs.select(key(F.col("labels")).alias("__series"), F.col("value").alias("__r"))
-    return left.join(right, "__series").select(
-        F.map_from_entries("__series").alias("labels"),
-        _VEC_OPS[op](F.col("__l"), F.col("__r")).alias("value"),
+
+    if group is None:
+        left = lhs.select(
+            key(F.col("labels")).alias("__series"), F.col("value").alias("__l")
+        )
+        right = rhs.select(
+            key(F.col("labels")).alias("__series"), F.col("value").alias("__r")
+        )
+        return left.join(right, "__series").select(
+            F.map_from_entries("__series").alias("labels"),
+            _VEC_OPS[op](F.col("__l"), F.col("__r")).alias("value"),
+        )
+
+    many, one = (lhs, rhs) if group == "left" else (rhs, lhs)
+    m = many.select(
+        key(F.col("labels")).alias("__key"), "labels", F.col("value").alias("__m")
+    )
+    one_cols = [F.element_at(F.col("labels"), c).alias(f"__c_{i}") for i, c in enumerate(carry)]
+    o = one.select(
+        key(F.col("labels")).alias("__key"), F.col("value").alias("__o"), *one_cols
+    )
+    joined = m.join(o, "__key")
+    # operand ORDER follows the query, not the many/one roles
+    l_val, r_val = (
+        (F.col("__m"), F.col("__o")) if group == "left" else (F.col("__o"), F.col("__m"))
+    )
+    labels = F.col("labels")
+    if carry:
+        labels = F.map_filter(labels, lambda k, _: ~k.isin(*carry))
+        entries = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key"), F.col(f"__c_{i}").alias("value")
+                    )
+                    for i, c in enumerate(carry)
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),  # absent one-side labels don't copy
+        )
+        labels = F.map_concat(labels, F.map_from_entries(entries))
+    return joined.select(
+        labels.alias("labels"), _VEC_OPS[op](l_val, r_val).alias("value")
     )
 
 

@@ -35,8 +35,10 @@ Documented divergences (same policies as the combinators, tested):
   bucket, then last-per-bucket step alignment — no staleness LOCF
   across empty buckets (Prometheus would carry values ≤5 m forward).
 - rate/increase are exact over stored samples, not extrapolated.
-- no ``group_left/right`` (many-to-one matching), ``@`` modifier, or
-  negative offsets (nothing in the reference's surface uses them).
+- no ``@`` modifier or negative offsets (nothing in the reference's
+  surface uses them). ``group_left/right`` don't pre-validate one-side
+  key uniqueness (Prometheus errors; we fan out like a join — see
+  ``promql.vector_binop``).
 """
 
 from __future__ import annotations
@@ -140,6 +142,8 @@ class BinOp:
     bool_mod: bool = False
     on: list[str] | None = None
     ignoring: list[str] | None = None
+    group: str | None = None        # "left"/"right" for many-to-one matching
+    carry: list[str] | None = None  # labels copied from the one side
 
 
 Node = Num | Selector | Agg | Call | BinOp
@@ -194,6 +198,7 @@ class _Parser:
             if op in _CMP_OPS and self.peek().text == "bool":
                 self.next()
                 bool_mod = True
+            group = carry = None
             if self.peek().text in ("on", "ignoring"):
                 which = self.next().text
                 labels = self.parse_label_list()
@@ -201,9 +206,15 @@ class _Parser:
                     on = labels
                 else:
                     ignoring = labels
+                if self.peek().text in ("group_left", "group_right"):
+                    group = self.next().text.removeprefix("group_")
+                    # the carry list is optional: group_left or group_left(v)
+                    carry = (
+                        self.parse_label_list() if self.peek().text == "(" else []
+                    )
             right_level = level if op == "^" else level + 1
             rhs = self.parse_expr(right_level)
-            lhs = BinOp(op, lhs, rhs, bool_mod, on, ignoring)
+            lhs = BinOp(op, lhs, rhs, bool_mod, on, ignoring, group, carry)
         return lhs
 
     def parse_label_list(self) -> list[str]:
@@ -531,6 +542,8 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
             # not scalar arithmetic
             if isinstance(lhs, float) or isinstance(rhs, float):
                 raise PromQLError(f"{node.op} requires vector operands")
+            if node.group:
+                raise PromQLError(f"group_{node.group} is invalid with {node.op}")
             return promql.vector_setop(
                 lhs, rhs, node.op, on=node.on, ignoring=node.ignoring or ()
             )
@@ -543,7 +556,13 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
         if node.op in _CMP_OPS:
             raise PromQLError("vector-vector comparisons are unsupported")
         return promql.vector_binop(
-            lhs, rhs, node.op, on=node.on, ignoring=node.ignoring or ()
+            lhs,
+            rhs,
+            node.op,
+            on=node.on,
+            ignoring=node.ignoring or (),
+            group=node.group,
+            carry=node.carry or (),
         )
 
     raise PromQLError(f"cannot evaluate {type(node).__name__}")

@@ -166,8 +166,7 @@ def test_eval_unsupported_constructs_raise(spark):
     with pytest.raises(PromQLError):
         eval_promql(df, "m[5m]", T0)  # bare range selector is not a vector
     with pytest.raises(PromQLError):
-        # many-to-one matching unsupported (documented divergence)
-        eval_promql(df, "m / on(h) group_left m", T0)
+        eval_promql(df, "m @ 1609746000", T0)  # @ modifier unsupported
 
 
 # -- regressions from review findings --------------------------------------
@@ -252,3 +251,38 @@ def test_set_operator_rejects_scalars(spark):
     df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
     with pytest.raises(PromQLError, match="vector operands"):
         eval_promql(df, "m and 2", T0)
+
+
+def test_group_left_info_metric_join(spark):
+    # the canonical info-metric pattern: copy `version` onto every task
+    # series of the same instance; many (tasks) x one (info)
+    df = _samples(
+        spark,
+        [("tasks", {"instance": "i1", "task": "a"}, 10, -10),
+         ("tasks", {"instance": "i1", "task": "b"}, 20, -10),
+         ("info", {"instance": "i1", "version": "v7"}, 1, -10)],
+    )
+    out = eval_promql(df, "tasks * on(instance) group_left(version) info", T0)
+    rows = {(r["labels"]["task"], r["labels"]["version"], r["value"])
+            for r in out.collect()}
+    assert rows == {("a", "v7", 10.0), ("b", "v7", 20.0)}
+
+
+def test_group_right_operand_order(spark):
+    # one (limit) op many (usage), with the many side on the RIGHT:
+    # limit / on(pod) group_right usage — value must be limit/usage
+    df = _samples(
+        spark,
+        [("limit", {"pod": "p"}, 100, -10),
+         ("usage", {"pod": "p", "ctr": "c1"}, 20, -10),
+         ("usage", {"pod": "p", "ctr": "c2"}, 50, -10)],
+    )
+    out = eval_promql(df, "limit / on(pod) group_right usage", T0)
+    got = {r["labels"]["ctr"]: r["value"] for r in out.collect()}
+    assert got == {"c1": 5.0, "c2": 2.0}
+
+
+def test_group_left_invalid_with_set_ops(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
+    with pytest.raises(PromQLError, match="invalid"):
+        eval_promql(df, "m and on(h) group_left m", T0)
