@@ -51,6 +51,13 @@ def evaluate_config_query(
     per (series, step) with ``timestamp`` = the step bucket (A2's matrix
     shape after the A7 explode — we never materialize the nested wire
     form at all).
+
+    Range-mode scope (stream-mode evaluation, see promql_parser): the
+    query may be a selector, point-wise arithmetic/comparisons/math
+    functions, and simple by/without aggregations — the shapes the
+    reference's configs use. A range query OF a range function
+    (``rate(x[5m])`` re-evaluated per step) is not supported and raises
+    ``PromQLError``; run it as repeated instant executions instead.
     """
     parser = RelativeTimeParser(now)
     node = parse(cfg.query)
@@ -66,10 +73,12 @@ def evaluate_config_query(
         start, end = parser.resolve_range(cfg.time_range_start, cfg.time_range_end)
         step = cfg.time_range_step or "1m"
         parse_duration(step)  # validate before any Spark work
-        framed = samples.where(
-            (F.col("timestamp") >= F.lit(start)) & (F.col("timestamp") <= F.lit(end))
+        # the frame rides the context so it clips AFTER any offset shift
+        # in the query (pre-filtering raw timestamps would make
+        # `cpu offset 2h` read the un-offset window)
+        stream = _eval_stream(
+            EvalContext(samples, end, frame=(start, end)), node, step
         )
-        stream = _eval_stream(EvalContext(framed, end), node, step)
         return (
             stream.select(
                 "labels",
@@ -109,6 +118,11 @@ def execute_config_query(
     (optionally) day-partitioned append + audit record. Returns the
     record DataFrame either way (dry-run = don't pass paths — the repair
     tool's ``--dry-run``, A28)."""
+    if audit_path is not None and store_path is None:
+        # the audit record carries records_count of the PERSISTED batch;
+        # silently dropping it on a dry-run would hide executions from
+        # the A16 trail
+        raise ValueError("audit_path requires store_path (audits record writes)")
     result, result_type = evaluate_config_query(samples, cfg, now=now)
     records = result.select(
         F.lit(cfg.query_id).alias("query_id"),

@@ -228,8 +228,9 @@ def count_values(df: DataFrame, dst: str = "value") -> DataFrame:
     overwritten — ``map_concat`` with a duplicate key would otherwise
     throw under Spark's default EXCEPTION dedup policy). One hash
     aggregation on (series-key, value); integer-valued doubles render as
-    plain integers at any magnitude (a bare ``cast("string")`` emits
-    ``1.0E7`` once past 1e7).
+    plain integers across the int64 range (a bare ``cast("string")``
+    emits ``1.0E7`` once past 1e7) — past 2^63 and for ±Inf the double
+    repr shows through, a documented divergence from PromQL's formatter.
     """
     keyed = _ensure_series(df)
     grouped = keyed.groupBy("__series", "value").agg(
@@ -445,14 +446,7 @@ def resample(df: DataFrame, step: str, *, tiebreakers: Sequence[str] = ()) -> Da
     keyed = _ensure_series(df)
     bucket = F.window(F.col("timestamp"), step)["start"].alias("bucket_start")
     if tiebreakers:
-        order = (
-            F.col(tiebreakers[0])
-            if len(tiebreakers) == 1
-            else F.struct(*[F.col(t) for t in tiebreakers])
-        )
-        keyed = keyed.groupBy("__series", "timestamp").agg(
-            F.max_by(F.col("value"), order).alias("value")
-        )
+        keyed = _dedup_ts(keyed, tiebreakers)
     return (
         keyed.groupBy("__series", bucket)
         .agg(F.max_by(F.col("value"), F.col("timestamp")).alias("value"))

@@ -450,6 +450,9 @@ def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
             raise PromQLError("nested ranges inside a subquery are unsupported")
         return promql.resample(_selector_stream(ctx, node), step_str)
     if isinstance(node, BinOp):
+        if node.op in _SET_OPS:
+            # would otherwise fall into the scalar-op dict as a KeyError
+            raise PromQLError(f"{node.op} inside a subquery is unsupported")
         # scalar arithmetic / comparisons apply point-wise on the stream
         if isinstance(node.rhs, Num) and not isinstance(node.lhs, Num):
             stream = _eval_stream(ctx, node.lhs, step)
@@ -494,9 +497,11 @@ def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipp
         return stream.where(cmp)
     # % is Spark's own modulo (sign of dividend — Go math.Mod/PromQL),
     # NOT pmod: fmod(-5, 3) = -2, pmod gives 1
-    arith = {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
-             "/": lhs / rhs, "%": lhs % rhs, "^": F.pow(lhs, rhs)}[node.op]
-    return stream.withColumn("value", arith.cast("double"))
+    ariths = {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
+              "/": lhs / rhs, "%": lhs % rhs, "^": F.pow(lhs, rhs)}
+    if node.op not in ariths:
+        raise PromQLError(f"{node.op} is not a scalar-vector operator")
+    return stream.withColumn("value", ariths[node.op].cast("double"))
 
 
 def _subquery_parts(node: Node) -> tuple[Node, str, str]:

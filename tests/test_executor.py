@@ -92,3 +92,37 @@ def test_dry_run_writes_nothing(spark, samples, tmp_path):
     out = execute_config_query(spark, samples, cfg, now=NOW)
     assert out.count() == 2
     assert not (tmp_path / "metrics").exists()
+
+
+def test_range_config_offset_reads_the_shifted_window(spark, samples):
+    # samples live in [NOW-6h, NOW-1h]; a 3h window offset by 6h reads raw
+    # [NOW-9h, NOW-6h] — only the oldest point. Clipping before the shift
+    # would instead return the un-offset window's points (13/14/15).
+    cfg = QueryConfig(
+        query_id="g6", name="cpu offset", query="cpu offset 6h",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now", time_range_step="1h",
+    )
+    out, _ = evaluate_config_query(samples, cfg, now=NOW)
+    a = out.where(F.col("labels")["host"] == "a").collect()
+    assert [r["value"] for r in a] == [10.0]
+
+
+def test_range_config_requires_both_bounds(spark, samples):
+    cfg = QueryConfig(
+        query_id="g7", name="bad", query="cpu",
+        time_range_type="range", time_range_start="-1d",
+    )
+    with pytest.raises(ValueError, match="requires both"):
+        evaluate_config_query(samples, cfg, now=NOW)
+
+
+def test_audit_without_store_is_rejected(spark, samples, tmp_path):
+    cfg = QueryConfig(
+        query_id="g8", name="n", query="sum(cpu) by (host)",
+        time_range_type="instant", time_range_time="now-1h",
+    )
+    with pytest.raises(ValueError, match="audit_path requires store_path"):
+        execute_config_query(
+            spark, samples, cfg, now=NOW, audit_path=str(tmp_path / "a")
+        )

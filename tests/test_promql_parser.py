@@ -286,3 +286,9 @@ def test_group_left_invalid_with_set_ops(spark):
     df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
     with pytest.raises(PromQLError, match="invalid"):
         eval_promql(df, "m and on(h) group_left m", T0)
+
+
+def test_set_op_inside_subquery_raises_promql_error(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
+    with pytest.raises(PromQLError, match="subquery"):
+        eval_promql(df, "sum_over_time((m and 2)[5m:1m])", T0)
