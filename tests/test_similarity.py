@@ -16,6 +16,7 @@ from prom_etl_db_spark.functions.similarity import (
     cosine_neardup_lsh,
     cosine_neardup_pairs,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
 )
 
 DIM = 8
@@ -112,3 +113,27 @@ def test_lsh_recall_at_query_parameters(spark, sf_dir):
     assert exact, "fixture must contain near-dup pairs"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} below 0.9"
+
+
+def test_ivf_recall_at_query_parameters(spark, sf_dir):
+    # IVF at the registry's configuration (16 centroids, nprobe=4, k=5)
+    # vs brute-force ground truth on the fixture — aggregate recall@5
+    from prom_etl_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, k=5, num_centroids=16, nprobe=4
+        ).collect()
+    }
+    assert truth, "fixture must produce neighbors"
+    recall = len(approx & truth) / len(truth)
+    # 4 of 16 probes scans ~25% of the corpus; near neighbors concentrate
+    # in the probed buckets, so recall should be far above that floor
+    assert recall >= 0.6, f"recall@5 {recall:.3f} below 0.6"
