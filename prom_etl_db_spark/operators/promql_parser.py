@@ -23,7 +23,9 @@ Supported grammar (superset of every query string in the reference):
 - range functions: rate, increase, delta, deriv,
   ``predict_linear(x[f], t)``
 - functions: histogram_quantile, label_replace, label_join, clamp,
-  clamp_min, clamp_max, absent, abs, ceil, floor, exp, ln, sqrt
+  clamp_min, clamp_max, absent, round (to-nearest-multiple semantics),
+  sort/sort_desc, time, abs, ceil, floor, exp, ln, sqrt, sgn, log2,
+  log10
 - binary ops with precedence: ``^``, ``* / %``, ``+ -``, comparisons
   (filtering or with ``bool``), set ops ``and`` / ``unless`` / ``or``
   (semi/anti/union joins on the match key); vector-vector matching via
@@ -377,6 +379,7 @@ def _dur(text: str) -> timedelta:
 _MATH_FNS = {
     "abs": F.abs, "ceil": F.ceil, "floor": F.floor,
     "exp": F.exp, "ln": F.log, "sqrt": F.sqrt,
+    "sgn": F.signum, "log2": F.log2, "log10": F.log10,
 }
 
 _OVER_TIME = {
@@ -687,6 +690,23 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         return promql.clamp_max(evaluate(ctx, node.args[0]), _const(ctx, node.args[1]))
     if fn == "absent":
         return promql.absent(evaluate(ctx, node.args[0]))
+    if fn == "round":
+        # PromQL round(v, to_nearest=1): nearest MULTIPLE of to_nearest,
+        # ties rounding up — floor(v/to + 0.5) * to, not decimal places
+        vec = evaluate(ctx, node.args[0])
+        to = _const(ctx, node.args[1]) if len(node.args) > 1 else 1.0
+        if to <= 0:
+            raise PromQLError("round() to_nearest must be positive")
+        rounded = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
+        return vec.withColumn("value", rounded.cast("double"))
+    if fn in ("sort", "sort_desc"):
+        # presentation-order only in PromQL; here a real ORDER BY with the
+        # series key as tiebreaker so output order is deterministic
+        vec = evaluate(ctx, node.args[0])
+        order = F.asc("value") if fn == "sort" else F.desc("value")
+        return vec.orderBy(order, F.asc(F.array_sort(F.map_entries("labels"))))
+    if fn == "time":
+        return float(ctx.at.timestamp())
     if fn in _MATH_FNS:
         vec = evaluate(ctx, node.args[0])
         return vec.withColumn("value", _MATH_FNS[fn](F.col("value")).cast("double"))

@@ -292,3 +292,23 @@ def test_set_op_inside_subquery_raises_promql_error(spark):
     df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
     with pytest.raises(PromQLError, match="subquery"):
         eval_promql(df, "sum_over_time((m and 2)[5m:1m])", T0)
+
+
+def test_round_is_to_nearest_multiple_not_decimals(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1.3, -10), ("m", {"h": "b"}, 2.5, -10)])
+    got = {r["labels"]["h"]: r["value"]
+           for r in eval_promql(df, "round(m, 0.5)", T0).collect()}
+    assert got == {"a": 1.5, "b": 2.5}
+    got = {r["labels"]["h"]: r["value"]
+           for r in eval_promql(df, "round(m)", T0).collect()}
+    assert got == {"a": 1.0, "b": 3.0}  # ties round up, PromQL-style
+
+
+def test_sgn_time_and_sort(spark):
+    df = _samples(spark, [("m", {"h": "a"}, -9, -10), ("m", {"h": "b"}, 4, -10)])
+    got = {r["labels"]["h"]: r["value"]
+           for r in eval_promql(df, "sgn(m)", T0).collect()}
+    assert got == {"a": -1.0, "b": 1.0}
+    assert eval_promql(df, "time()", T0) == T0.timestamp()
+    ordered = [r["value"] for r in eval_promql(df, "sort_desc(m)", T0).collect()]
+    assert ordered == [4.0, -9.0]
