@@ -122,3 +122,106 @@ class FixturePrometheusSource:
         if at is None:
             raise ValueError("instant query requires `at`")
         return self.query_instant(metric_name, at)
+
+
+def parse_api_response(
+    spark: SparkSession, payload: "str | dict"
+) -> tuple[DataFrame, str]:
+    """A4: the REAL Prometheus HTTP-API envelope → wire DataFrame.
+
+    Accepts the exact JSON shape ``GET /api/v1/query[_range]`` returns
+    (``{"status": "success", "data": {"resultType": ..., "result":
+    [...]}}``) and normalizes every result type onto the two wire
+    schemas, mirroring ``convertToPrometheusResponse``
+    (`/root/reference/internal/prometheus/client.go:233-298`):
+
+    - ``vector`` → one row per series (metric, ts, string value)
+    - ``matrix`` → one row per series with its [[ts, "v"], ...] pairs
+    - ``scalar`` / ``string`` → a 1-row vector with empty labels
+      (`client.go:287-298`; the string form survives to the A12
+      quarantine, exactly like a malformed sample)
+
+    Returns (df, result_type). Error envelopes raise with the server's
+    errorType/error fields, like the reference's non-2xx handling.
+    """
+    import json
+
+    data = json.loads(payload) if isinstance(payload, str) else payload
+    if data.get("status") != "success":
+        raise ValueError(
+            f"prometheus error ({data.get('errorType', 'unknown')}): "
+            f"{data.get('error', 'no detail')}"
+        )
+    rt = data["data"]["resultType"]
+    result = data["data"]["result"]
+
+    if rt == "vector":
+        rows = [
+            (dict(r.get("metric", {})), float(r["value"][0]), str(r["value"][1]))
+            for r in result
+        ]
+        return spark.createDataFrame(rows, WIRE_VECTOR_SCHEMA), "vector"
+    if rt == "matrix":
+        rows = [
+            (
+                dict(r.get("metric", {})),
+                [[str(ts), str(v)] for ts, v in r.get("values", [])],
+            )
+            for r in result
+        ]
+        return spark.createDataFrame(rows, WIRE_MATRIX_SCHEMA), "matrix"
+    if rt in ("scalar", "string"):
+        ts, v = result
+        return (
+            spark.createDataFrame([({}, float(ts), str(v))], WIRE_VECTOR_SCHEMA),
+            rt,
+        )
+    raise ValueError(f"unknown resultType {rt!r}")
+
+
+class PrometheusHTTPSource:
+    """A1/A2 over a live server: builds the same ``/api/v1/query`` and
+    ``/api/v1/query_range`` requests as the reference client
+    (`client.go:63-161`) and parses responses via ``parse_api_response``.
+    URL construction is pure (offline-testable); the fetch itself uses
+    urllib at call time — this container has no network, so tests cover
+    the request/parse halves and ``FixturePrometheusSource`` stands in
+    for the transport."""
+
+    def __init__(self, spark: SparkSession, base_url: str, timeout_s: float = 30.0):
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s  # PROMETHEUS_TIMEOUT default, config.go:56
+
+    def instant_url(self, query: str, at: datetime) -> str:
+        from urllib.parse import urlencode
+
+        q = urlencode({"query": query, "time": f"{at.timestamp():.3f}"})
+        return f"{self.base_url}/api/v1/query?{q}"
+
+    def range_url(self, query: str, start: datetime, end: datetime, step: str) -> str:
+        from urllib.parse import urlencode
+
+        q = urlencode(
+            {
+                "query": query,
+                "start": f"{start.timestamp():.3f}",
+                "end": f"{end.timestamp():.3f}",
+                "step": step,
+            }
+        )
+        return f"{self.base_url}/api/v1/query_range?{q}"
+
+    def _fetch(self, url: str) -> tuple[DataFrame, str]:
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=self.timeout_s) as resp:  # noqa: S310
+            return parse_api_response(self.spark, resp.read().decode())
+
+    def query_instant(self, query: str, at: datetime) -> tuple[DataFrame, str]:
+        return self._fetch(self.instant_url(query, at))
+
+    def query_range(
+        self, query: str, start: datetime, end: datetime, step: str
+    ) -> tuple[DataFrame, str]:
+        return self._fetch(self.range_url(query, start, end, step))

@@ -134,3 +134,69 @@ def test_nan_inf_survive(spark):
     assert len(vals) == 2
     assert any(v != v for v in vals)  # NaN
     assert any(v == float("inf") for v in vals)
+
+
+def test_parse_real_prometheus_api_shapes(spark):
+    # the exact JSON the HTTP API returns (prometheus.io/docs/prometheus/
+    # latest/querying/api/#expression-query-result-formats)
+    from prom_etl_db_spark.sources.prometheus import parse_api_response
+
+    vec = {
+        "status": "success",
+        "data": {
+            "resultType": "vector",
+            "result": [
+                {"metric": {"__name__": "up", "job": "api"},
+                 "value": [1704067200.123, "1"]},
+                {"metric": {"__name__": "up", "job": "db"},
+                 "value": [1704067200.123, "0"]},
+            ],
+        },
+    }
+    df, rt = parse_api_response(spark, vec)
+    assert rt == "vector" and df.count() == 2
+    assert df.where("metric['job'] = 'api'").first()["value"] == "1"
+
+    mat = {
+        "status": "success",
+        "data": {
+            "resultType": "matrix",
+            "result": [
+                {"metric": {"job": "api"},
+                 "values": [[1704067200, "10"], [1704067260, "11.5"]]},
+            ],
+        },
+    }
+    df, rt = parse_api_response(spark, mat)
+    assert rt == "matrix"
+    assert df.first()["values"] == [["1704067200", "10"], ["1704067260", "11.5"]]
+
+    sca = {"status": "success",
+           "data": {"resultType": "scalar", "result": [1704067200.5, "42"]}}
+    df, rt = parse_api_response(spark, sca)
+    assert rt == "scalar" and df.first()["value"] == "42"
+
+
+def test_parse_api_error_envelope_raises(spark):
+    import pytest as _pytest
+
+    from prom_etl_db_spark.sources.prometheus import parse_api_response
+
+    bad = {"status": "error", "errorType": "bad_data",
+           "error": "invalid parameter"}
+    with _pytest.raises(ValueError, match="bad_data"):
+        parse_api_response(spark, bad)
+
+
+def test_http_source_builds_reference_shaped_urls(spark):
+    from datetime import datetime
+
+    from prom_etl_db_spark.sources.prometheus import PrometheusHTTPSource
+
+    src = PrometheusHTTPSource(spark, "http://prom:9090/")
+    u = src.instant_url("up", datetime(2024, 1, 1))
+    assert u.startswith("http://prom:9090/api/v1/query?")
+    assert "query=up" in u and "time=" in u
+    r = src.range_url("rate(x[5m])", datetime(2024, 1, 1), datetime(2024, 1, 2), "60s")
+    assert r.startswith("http://prom:9090/api/v1/query_range?")
+    assert "step=60s" in r and "start=" in r and "end=" in r
