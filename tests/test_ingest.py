@@ -200,3 +200,36 @@ def test_http_source_builds_reference_shaped_urls(spark):
     r = src.range_url("rate(x[5m])", datetime(2024, 1, 1), datetime(2024, 1, 2), "60s")
     assert r.startswith("http://prom:9090/api/v1/query_range?")
     assert "step=60s" in r and "start=" in r and "end=" in r
+
+
+def test_api_payload_through_full_normalize_chain(spark):
+    # real wire JSON → parse (A4) → normalize (A7-A13) → MetricRecords:
+    # the complete reference ingest path with no Prometheus server
+    from datetime import datetime
+
+    from prom_etl_db_spark.ingest import normalize_matrix
+    from prom_etl_db_spark.sources.prometheus import parse_api_response
+
+    payload = {
+        "status": "success",
+        "data": {
+            "resultType": "matrix",
+            "result": [
+                {"metric": {"__name__": "cpu", "host": "a"},
+                 "values": [[1704067200, "1.5"], [1704070800, "oops"],
+                            [1704074400, "2.5"]]},
+            ],
+        },
+    }
+    wire, rt = parse_api_response(spark, payload)
+    assert rt == "matrix"
+    records, quarantined = normalize_matrix(
+        wire, "q1", now=datetime(2024, 1, 2), time_range_type="range",
+        start_expr="-1d", end_expr="now",
+    )
+    rows = records.orderBy("timestamp").collect()
+    assert [r["value"] for r in rows] == [1.5, 2.5]  # "oops" quarantined
+    assert quarantined.count() == 1
+    assert all(r["metric_name"] == "cpu" for r in rows)
+    assert all("__name__" not in r["labels"] for r in rows)  # A9 drop
+    assert rows[0]["collected_date"] == rows[0]["timestamp"].date()  # A13
