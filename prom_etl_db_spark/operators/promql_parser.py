@@ -376,10 +376,26 @@ def _dur(text: str) -> timedelta:
     return parse_duration(text)
 
 
+def _log_like(base_fn):
+    """PromQL log semantics: log(0) = -Inf, log(<0) = NaN — Spark's log
+    functions return SQL NULL for both, and a NULL then silently vanishes
+    from downstream aggregates instead of poisoning them like Prometheus.
+    (NaN input falls to the NaN branch: NaN > 0 is false in SQL.)"""
+
+    def f(c: Column) -> Column:
+        return (
+            F.when(c > 0, base_fn(c))
+            .when(c == 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        )
+
+    return f
+
+
 _MATH_FNS = {
     "abs": F.abs, "ceil": F.ceil, "floor": F.floor,
-    "exp": F.exp, "ln": F.log, "sqrt": F.sqrt,
-    "sgn": F.signum, "log2": F.log2, "log10": F.log10,
+    "exp": F.exp, "ln": _log_like(F.log), "sqrt": F.sqrt,
+    "sgn": F.signum, "log2": _log_like(F.log2), "log10": _log_like(F.log10),
 }
 
 _OVER_TIME = {
@@ -599,6 +615,18 @@ def _scalar_scalar(node: BinOp, a: float, b: float) -> float:
     raise PromQLError("scalar comparison without bool is unsupported")
 
 
+def _vec_arg(ctx: EvalContext, node: "Node | str", fn: str) -> DataFrame:
+    """Evaluate a function argument that must be an instant vector —
+    ``abs(time())`` should be a typed PromQLError, not an AttributeError
+    on a float."""
+    if isinstance(node, str):
+        raise PromQLError(f"{fn} needs a vector argument, got a string")
+    v = evaluate(ctx, node)
+    if not isinstance(v, DataFrame):
+        raise PromQLError(f"{fn} needs a vector argument, got a scalar")
+    return v
+
+
 def _const(ctx: EvalContext, node: "Node | str") -> float:
     """Fold a constant parameter (handles unary minus: -2 parses as 0-2)."""
     v = evaluate(ctx, node) if not isinstance(node, str) else node
@@ -670,45 +698,52 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         return promql.predict_linear(stream, horizon, frame_start=lo, frame_end=hi)
 
     if fn == "histogram_quantile":
-        vec = evaluate(ctx, node.args[1])
+        vec = _vec_arg(ctx, node.args[1], fn)
         return promql.histogram_quantile(vec, _const(ctx, node.args[0]))
     if fn == "label_replace":
-        vec = evaluate(ctx, node.args[0])
+        vec = _vec_arg(ctx, node.args[0], fn)
         dst, repl, src, regex = (str(a) for a in node.args[1:5])
         return promql.label_replace(vec, dst, repl, src, regex)
     if fn == "label_join":
-        vec = evaluate(ctx, node.args[0])
+        vec = _vec_arg(ctx, node.args[0], fn)
         dst, sep = str(node.args[1]), str(node.args[2])
         srcs = [str(a) for a in node.args[3:]]
         return promql.label_join(vec, dst, sep, srcs)
     if fn == "clamp":
-        vec = evaluate(ctx, node.args[0])
+        vec = _vec_arg(ctx, node.args[0], fn)
         return promql.clamp(vec, _const(ctx, node.args[1]), _const(ctx, node.args[2]))
     if fn == "clamp_min":
-        return promql.clamp_min(evaluate(ctx, node.args[0]), _const(ctx, node.args[1]))
+        return promql.clamp_min(_vec_arg(ctx, node.args[0], fn), _const(ctx, node.args[1]))
     if fn == "clamp_max":
-        return promql.clamp_max(evaluate(ctx, node.args[0]), _const(ctx, node.args[1]))
+        return promql.clamp_max(_vec_arg(ctx, node.args[0], fn), _const(ctx, node.args[1]))
     if fn == "absent":
-        return promql.absent(evaluate(ctx, node.args[0]))
+        return promql.absent(_vec_arg(ctx, node.args[0], fn))
     if fn == "round":
         # PromQL round(v, to_nearest=1): nearest MULTIPLE of to_nearest,
         # ties rounding up — floor(v/to + 0.5) * to, not decimal places
-        vec = evaluate(ctx, node.args[0])
+        vec = _vec_arg(ctx, node.args[0], fn)
         to = _const(ctx, node.args[1]) if len(node.args) > 1 else 1.0
         if to <= 0:
             raise PromQLError("round() to_nearest must be positive")
-        rounded = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
-        return vec.withColumn("value", rounded.cast("double"))
+        v = F.col("value")
+        rounded = F.floor(v / F.lit(to) + F.lit(0.5)) * F.lit(to)
+        # F.floor returns BIGINT: NaN would become 0 and ±Inf / huge
+        # finite values would saturate at 2^63 — pass them through (a
+        # value whose ulp exceeds to_nearest IS its own nearest multiple)
+        passthrough = F.isnan(v) | (F.abs(v) >= F.lit(2.0**62))
+        return vec.withColumn(
+            "value", F.when(passthrough, v).otherwise(rounded.cast("double"))
+        )
     if fn in ("sort", "sort_desc"):
         # presentation-order only in PromQL; here a real ORDER BY with the
         # series key as tiebreaker so output order is deterministic
-        vec = evaluate(ctx, node.args[0])
+        vec = _vec_arg(ctx, node.args[0], fn)
         order = F.asc("value") if fn == "sort" else F.desc("value")
         return vec.orderBy(order, F.asc(F.array_sort(F.map_entries("labels"))))
     if fn == "time":
         return float(ctx.at.timestamp())
     if fn in _MATH_FNS:
-        vec = evaluate(ctx, node.args[0])
+        vec = _vec_arg(ctx, node.args[0], fn)
         return vec.withColumn("value", _MATH_FNS[fn](F.col("value")).cast("double"))
 
     raise PromQLError(f"unsupported function {fn!r}")

@@ -156,26 +156,31 @@ def parse_api_response(
     result = data["data"]["result"]
 
     if rt == "vector":
-        rows = [
-            (dict(r.get("metric", {})), float(r["value"][0]), str(r["value"][1]))
-            for r in result
-        ]
-        return spark.createDataFrame(rows, WIRE_VECTOR_SCHEMA), "vector"
+        # lenient per-row: a malformed timestamp or short value pair drops
+        # that series; the batch survives (the same stance A12 takes for
+        # values — one bad scrape must not fail the whole response)
+        rows = []
+        for r in result:
+            pair = r.get("value", [])
+            try:
+                rows.append((dict(r.get("metric", {})), float(pair[0]), str(pair[1])))
+            except (TypeError, ValueError, IndexError):
+                continue
+        return vector_response_df(spark, rows), "vector"
     if rt == "matrix":
+        # pairs stay loose string lists at WHATEVER arity arrived — the
+        # A12 quarantine filter judges them, not the parser
         rows = [
             (
                 dict(r.get("metric", {})),
-                [[str(ts), str(v)] for ts, v in r.get("values", [])],
+                [[str(x) for x in pair] for pair in r.get("values", [])],
             )
             for r in result
         ]
-        return spark.createDataFrame(rows, WIRE_MATRIX_SCHEMA), "matrix"
+        return matrix_response_df(spark, rows), "matrix"
     if rt in ("scalar", "string"):
         ts, v = result
-        return (
-            spark.createDataFrame([({}, float(ts), str(v))], WIRE_VECTOR_SCHEMA),
-            rt,
-        )
+        return vector_response_df(spark, [({}, float(ts), str(v))]), rt
     raise ValueError(f"unknown resultType {rt!r}")
 
 
@@ -213,10 +218,23 @@ class PrometheusHTTPSource:
         return f"{self.base_url}/api/v1/query_range?{q}"
 
     def _fetch(self, url: str) -> tuple[DataFrame, str]:
+        from urllib.error import HTTPError
         from urllib.request import urlopen
 
-        with urlopen(url, timeout=self.timeout_s) as resp:  # noqa: S310
-            return parse_api_response(self.spark, resp.read().decode())
+        try:
+            with urlopen(url, timeout=self.timeout_s) as resp:  # noqa: S310
+                return parse_api_response(self.spark, resp.read().decode())
+        except HTTPError as e:
+            # Prometheus returns errors with non-2xx status AND a JSON
+            # error envelope in the body — surface errorType/error rather
+            # than a bare "Bad Request"
+            body = e.read().decode(errors="replace")
+            try:
+                return parse_api_response(self.spark, body)
+            except ValueError as parsed:
+                raise ValueError(str(parsed)) from e
+            except Exception:
+                raise ValueError(f"HTTP {e.code} from {url}: {body[:500]}") from e
 
     def query_instant(self, query: str, at: datetime) -> tuple[DataFrame, str]:
         return self._fetch(self.instant_url(query, at))

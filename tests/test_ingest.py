@@ -233,3 +233,24 @@ def test_api_payload_through_full_normalize_chain(spark):
     assert all(r["metric_name"] == "cpu" for r in rows)
     assert all("__name__" not in r["labels"] for r in rows)  # A9 drop
     assert rows[0]["collected_date"] == rows[0]["timestamp"].date()  # A13
+
+
+def test_parse_api_lenient_on_malformed_rows(spark):
+    from prom_etl_db_spark.sources.prometheus import parse_api_response
+
+    # vector: a bad timestamp drops only that series
+    vec = {"status": "success", "data": {"resultType": "vector", "result": [
+        {"metric": {"j": "ok"}, "value": [1704067200, "1"]},
+        {"metric": {"j": "bad"}, "value": ["not-a-ts", "2"]},
+        {"metric": {"j": "short"}, "value": []},
+    ]}}
+    df, _ = parse_api_response(spark, vec)
+    assert [r["metric"]["j"] for r in df.collect()] == ["ok"]
+
+    # matrix: a wrong-arity pair survives the parse and is judged by the
+    # A12 quarantine downstream, not by the parser
+    mat = {"status": "success", "data": {"resultType": "matrix", "result": [
+        {"metric": {}, "values": [[1704067200, "1", "extra"], [1704067260, "2"]]},
+    ]}}
+    df, _ = parse_api_response(spark, mat)
+    assert df.first()["values"] == [["1704067200", "1", "extra"], ["1704067260", "2"]]

@@ -312,3 +312,33 @@ def test_sgn_time_and_sort(spark):
     assert eval_promql(df, "time()", T0) == T0.timestamp()
     ordered = [r["value"] for r in eval_promql(df, "sort_desc(m)", T0).collect()]
     assert ordered == [4.0, -9.0]
+
+
+def test_vector_functions_reject_scalar_arguments(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
+    with pytest.raises(PromQLError, match="vector argument"):
+        eval_promql(df, "abs(time())", T0)
+
+
+def test_round_passes_nan_and_inf_through(spark):
+    df = _samples(spark, [("m", {"h": "a"}, float("nan"), -10),
+                          ("m", {"h": "b"}, float("inf"), -10)])
+    got = {r["labels"]["h"]: r["value"]
+           for r in eval_promql(df, "round(m)", T0).collect()}
+    import math
+
+    assert math.isnan(got["a"])  # floor's BIGINT would have made this 0
+    assert got["b"] == float("inf")
+
+
+def test_log_functions_follow_promql_not_sql_null(spark):
+    df = _samples(spark, [("m", {"h": "zero"}, 0, -10),
+                          ("m", {"h": "neg"}, -4, -10),
+                          ("m", {"h": "pos"}, 8, -10)])
+    got = {r["labels"]["h"]: r["value"]
+           for r in eval_promql(df, "log2(m)", T0).collect()}
+    import math
+
+    assert got["zero"] == float("-inf")  # SQL NULL would vanish from aggs
+    assert math.isnan(got["neg"])
+    assert got["pos"] == 3.0
