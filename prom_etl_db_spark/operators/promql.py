@@ -80,6 +80,9 @@ __all__ = [
     "bottomk",
     "increase",
     "rate",
+    "raw_agg_over_time",
+    "changes",
+    "resets",
     "delta",
     "deriv",
     "predict_linear",
@@ -624,6 +627,71 @@ def increase(
         df.withColumn("__contrib", contrib)
         .groupBy("__series")
         .agg(F.sum("__contrib").alias("value"))
+        .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def raw_agg_over_time(
+    samples: DataFrame,
+    agg: Column,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+) -> DataFrame:
+    """``<agg>_over_time(x[frame])`` over a RAW range selector — PromQL's
+    range-vector form aggregates every raw sample in the window (no step
+    grid; that's the subquery form). One frame filter + one hash
+    aggregation per series."""
+    df = _frame(samples, frame_start, frame_end)
+    return (
+        df.groupBy("__series")
+        .agg(agg.alias("value"))
+        .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def changes(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL ``changes(x[frame])``: how many times each series' value
+    changed between consecutive samples. One ordered lag window per
+    series (inherent to the semantics) + one hash aggregation."""
+    w_order = [F.col("timestamp")] + [F.col(t) for t in tiebreakers]
+    df = _frame(samples, frame_start, frame_end)
+    w = Window.partitionBy("__series").orderBy(*w_order)
+    prev = F.lag("value").over(w)
+    changed = F.when(prev.isNull(), 0).when(F.col("value") != prev, 1).otherwise(0)
+    return (
+        df.withColumn("__chg", changed)
+        .groupBy("__series")
+        .agg(F.sum("__chg").cast("double").alias("value"))
+        .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def resets(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL ``resets(x[frame])``: count of counter resets (value drops
+    between consecutive samples) per series — the diagnostic companion to
+    ``increase``'s reset correction."""
+    w_order = [F.col("timestamp")] + [F.col(t) for t in tiebreakers]
+    df = _frame(samples, frame_start, frame_end)
+    w = Window.partitionBy("__series").orderBy(*w_order)
+    prev = F.lag("value").over(w)
+    reset = F.when(prev.isNotNull() & (F.col("value") < prev), 1).otherwise(0)
+    return (
+        df.withColumn("__rst", reset)
+        .groupBy("__series")
+        .agg(F.sum("__rst").cast("double").alias("value"))
         .select(F.map_from_entries("__series").alias("labels"), "value")
     )
 

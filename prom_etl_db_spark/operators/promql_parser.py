@@ -409,7 +409,21 @@ _OVER_TIME = {
     "present_over_time": promql.present_over_time,
 }
 
-_RANGE_FNS = {"rate", "increase", "delta", "deriv", "predict_linear"}
+_RANGE_FNS = {"rate", "increase", "delta", "deriv", "predict_linear", "changes", "resets"}
+
+# raw range-vector aggregates (x[1h] with no step — see _eval_call).
+# Factories, not Columns: building a Column at import time needs an
+# active session in classic mode
+_RAW_OVER_TIME = {
+    "sum_over_time": lambda: F.sum("value"),
+    "avg_over_time": lambda: F.avg("value"),
+    "max_over_time": lambda: F.max("value"),
+    "min_over_time": lambda: F.min("value"),
+    "count_over_time": lambda: F.count(F.lit(1)).cast("double"),
+    "last_over_time": lambda: F.max_by("value", "timestamp"),
+    "stddev_over_time": lambda: F.stddev_pop("value"),
+    "present_over_time": lambda: F.lit(1.0),
+}
 
 
 def _interval_str(text: str) -> str:
@@ -668,6 +682,20 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
 
     if fn in _OVER_TIME or fn == "quantile_over_time":
         arg = node.args[-1]
+        if isinstance(arg, Selector) and arg.range_ and not arg.step:
+            # RANGE-VECTOR form (x[1h], no step): aggregate the raw
+            # samples in the window — Prometheus's common spelling; the
+            # subquery form below step-aligns first
+            lo, hi = _frame_bounds(ctx, arg.range_)
+            raw = _selector_stream(
+                ctx, Selector(arg.name, arg.matchers, offset=arg.offset)
+            )
+            agg = (
+                F.percentile("value", _const(ctx, node.args[0]))
+                if fn == "quantile_over_time"
+                else _RAW_OVER_TIME[fn]()
+            )
+            return promql.raw_agg_over_time(raw, agg, frame_start=lo, frame_end=hi)
         inner, rng, step = _subquery_parts(arg)
         # the frame rides the context and clips inside _selector_stream,
         # AFTER any offset shift (clipping raw ts first would make
@@ -694,6 +722,10 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             return promql.delta(stream, frame_start=lo, frame_end=hi)
         if fn == "deriv":
             return promql.deriv(stream, frame_start=lo, frame_end=hi)
+        if fn == "changes":
+            return promql.changes(stream, frame_start=lo, frame_end=hi)
+        if fn == "resets":
+            return promql.resets(stream, frame_start=lo, frame_end=hi)
         horizon = _const(ctx, node.args[1])
         return promql.predict_linear(stream, horizon, frame_start=lo, frame_end=hi)
 

@@ -2047,3 +2047,89 @@ def config_executed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.col("collected_date"),
     )
+
+
+@register(
+    "promql_changes_resets",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k, value,
+         lag(value) OVER (
+           PARTITION BY event_type, json_extract_string(props, '$.k')
+           ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT name, k,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value != prev THEN 1 ELSE 0 END)
+            AS DOUBLE) AS n_changes,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
+            AS DOUBLE) AS n_resets
+FROM s GROUP BY name, k
+""",
+)
+def promql_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changes(x[10d]) and resets(x[10d]) per series — consecutive-sample
+    lag comparisons, one ordered window + one hash aggregation."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    frame = dict(frame_start=datetime(2024, 1, 10), frame_end=datetime(2024, 1, 20))
+    ch = promql.changes(samples, tiebreakers=["event_id"], **frame)
+    rs = promql.resets(samples, tiebreakers=["event_id"], **frame)
+    return ch.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.col("value").alias("n_changes"),
+    ).join(
+        rs.select(
+            F.element_at("labels", "name").alias("name"),
+            F.element_at("labels", "k").alias("k"),
+            F.col("value").alias("n_resets"),
+        ),
+        ["name", "k"],
+    )
+
+
+@register(
+    "promql_raw_over_time",
+    oracle="""
+SELECT event_type AS name,
+       round(sum(value), 4) AS sot,
+       CAST(count(*) AS DOUBLE) AS cot,
+       round(max(value), 4) AS mot
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY event_type
+""",
+)
+def promql_raw_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/count/max_over_time over a RAW range vector (``x[6d]``, no
+    step) — every raw sample in the frame aggregates, the PromQL
+    range-selector form (vs the subquery form's step grid). Evaluated
+    from query text end to end."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    at = datetime(2024, 1, 31)
+
+    def run(q, alias):
+        # one series per metric here (labels = {name}), so each eval is a
+        # 1-row vector — crossJoin composes the three aggregates
+        return eval_promql(samples, q, at).select(F.col("value").alias(alias))
+
+    out = None
+    for metric in ("click", "signup", "error", "view", "purchase"):
+        df = (
+            run(f"sum_over_time({metric}[6d])", "sot")
+            .crossJoin(run(f"count_over_time({metric}[6d])", "cot"))
+            .crossJoin(run(f"max_over_time({metric}[6d])", "mot"))
+            .select(
+                F.lit(metric).alias("name"),
+                F.round("sot", 4).alias("sot"),
+                F.col("cot"),
+                F.round("mot", 4).alias("mot"),
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

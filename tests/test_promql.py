@@ -447,3 +447,28 @@ def test_cardinality_sketches_bounded_error(spark, sf_dir):
         assert abs(r["approx_users"] - users) <= max(3, 0.05 * users)
         # GK sketch: rank error ≤ 1/accuracy — value stays near the true q90
         assert abs(r["approx_q90"] - q90) <= 0.15 * max(abs(q90), 1.0)
+
+
+def test_changes_and_resets(spark):
+    from prom_etl_db_spark.operators.promql import changes, resets
+
+    # values 1,1,3,2,2,5 → changes at 3,2,5 = 3; resets (drops) at 2 = 1
+    df = _samples(
+        spark, [({"h": "a"}, v, i * 10) for i, v in enumerate([1, 1, 3, 2, 2, 5])]
+    )
+    frame = dict(frame_start=T0, frame_end=T0 + timedelta(hours=1))
+    assert changes(df, **frame).collect()[0]["value"] == 3.0
+    assert resets(df, **frame).collect()[0]["value"] == 1.0
+
+
+def test_raw_over_time_aggregates_every_sample(spark):
+    from prom_etl_db_spark.operators.promql import raw_agg_over_time
+    from pyspark.sql import functions as F
+
+    # two samples in the SAME minute — the subquery form would collapse
+    # them to one step; the raw range-vector form must sum both
+    df = _samples(spark, [({"h": "a"}, 5, 0), ({"h": "a"}, 7, 10)])
+    out = raw_agg_over_time(
+        df, F.sum("value"), frame_start=T0, frame_end=T0 + timedelta(hours=1)
+    )
+    assert out.collect()[0]["value"] == 12.0

@@ -342,3 +342,21 @@ def test_log_functions_follow_promql_not_sql_null(spark):
     assert got["zero"] == float("-inf")  # SQL NULL would vanish from aggs
     assert math.isnan(got["neg"])
     assert got["pos"] == 3.0
+
+
+def test_raw_range_vector_over_time_vs_subquery_form(spark):
+    # two samples within one step bucket: raw form sums both, the
+    # subquery form keeps the bucket's last value only
+    df = _samples(spark, [("m", {"h": "a"}, 5, -90), ("m", {"h": "a"}, 7, -80)])
+    raw = eval_promql(df, "sum_over_time(m[1h])", T0).collect()[0]["value"]
+    stepped = eval_promql(df, "sum_over_time(m[1h:1h])", T0).collect()[0]["value"]
+    assert raw == 12.0 and stepped == 7.0
+
+
+def test_changes_resets_from_query_text(spark):
+    df = _samples(
+        spark, [("c", {"h": "a"}, v, -600 + i * 10)
+                for i, v in enumerate([1, 2, 2, 1])]
+    )
+    assert eval_promql(df, "changes(c[1h])", T0).collect()[0]["value"] == 2.0
+    assert eval_promql(df, "resets(c[1h])", T0).collect()[0]["value"] == 1.0
