@@ -83,6 +83,8 @@ __all__ = [
     "raw_agg_over_time",
     "changes",
     "resets",
+    "idelta",
+    "irate",
     "delta",
     "deriv",
     "predict_linear",
@@ -693,6 +695,70 @@ def resets(
         .groupBy("__series")
         .agg(F.sum("__rst").cast("double").alias("value"))
         .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def _last_two(
+    samples: DataFrame,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str],
+) -> DataFrame:
+    """Per series: the frame's two most recent samples as (labels, t1/v1
+    = latest, t0/v0 = previous). Series with fewer than two points drop
+    out (like PromQL's instant variants). One ordered window + one hash
+    aggregation."""
+    w_order = [F.desc("timestamp")] + [F.desc(t) for t in tiebreakers]
+    df = _frame(samples, frame_start, frame_end)
+    w = Window.partitionBy("__series").orderBy(*w_order)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 2)
+    return (
+        ranked.groupBy("__series")
+        .agg(
+            F.max_by("value", -F.col("__rn")).alias("v1"),  # rn=1 → latest
+            F.max_by("timestamp", -F.col("__rn")).alias("t1"),
+            F.min_by("value", -F.col("__rn")).alias("v0"),
+            F.min_by("timestamp", -F.col("__rn")).alias("t0"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") == 2)
+    )
+
+
+def idelta(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL ``idelta(x[frame])``: difference of each series' LAST TWO
+    samples (the instant variant of delta)."""
+    pairs = _last_two(samples, frame_start, frame_end, tiebreakers)
+    return pairs.select(
+        F.map_from_entries("__series").alias("labels"),
+        (F.col("v1") - F.col("v0")).alias("value"),
+    )
+
+
+def irate(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL ``irate(x[frame])``: per-second rate from the last two
+    samples, with counter-reset correction (a drop contributes the
+    post-reset absolute value, like ``increase``)."""
+    pairs = _last_two(samples, frame_start, frame_end, tiebreakers)
+    inc = F.when(F.col("v1") >= F.col("v0"), F.col("v1") - F.col("v0")).otherwise(
+        F.col("v1")
+    )
+    dt = F.col("t1").cast("double") - F.col("t0").cast("double")
+    return pairs.where(dt > 0).select(
+        F.map_from_entries("__series").alias("labels"),
+        (inc / dt).alias("value"),
     )
 
 

@@ -18,10 +18,12 @@ Supported grammar (superset of every query string in the reference):
   ``max without (c) (x)``, avg/min/count/stddev/stdvar/group,
   ``quantile(0.9, x)``, ``count_values("lbl", x)``, ``topk(5, x)``,
   ``bottomk(5, x)``
-- over-time: sum/avg/max/min/count/last/stddev/present_over_time over a
-  subquery frame, ``quantile_over_time(q, x[f:s])``
-- range functions: rate, increase, delta, deriv,
-  ``predict_linear(x[f], t)``
+- over-time: sum/avg/max/min/count/last/stddev/present_over_time and
+  ``quantile_over_time(q, ...)`` over BOTH forms — a raw range vector
+  (``x[1h]``: every raw sample aggregates) or a subquery
+  (``x[1h:1m]``: step-aligned first)
+- range functions: rate, increase, irate, idelta, delta, deriv,
+  changes, resets, ``predict_linear(x[f], t)``
 - functions: histogram_quantile, label_replace, label_join, clamp,
   clamp_min, clamp_max, absent, round (to-nearest-multiple semantics),
   sort/sort_desc, time, abs, ceil, floor, exp, ln, sqrt, sgn, log2,
@@ -409,7 +411,10 @@ _OVER_TIME = {
     "present_over_time": promql.present_over_time,
 }
 
-_RANGE_FNS = {"rate", "increase", "delta", "deriv", "predict_linear", "changes", "resets"}
+_RANGE_FNS = {
+    "rate", "increase", "delta", "deriv", "predict_linear",
+    "changes", "resets", "irate", "idelta",
+}
 
 # raw range-vector aggregates (x[1h] with no step — see _eval_call).
 # Factories, not Columns: building a Column at import time needs an
@@ -726,6 +731,10 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             return promql.changes(stream, frame_start=lo, frame_end=hi)
         if fn == "resets":
             return promql.resets(stream, frame_start=lo, frame_end=hi)
+        if fn == "irate":
+            return promql.irate(stream, frame_start=lo, frame_end=hi)
+        if fn == "idelta":
+            return promql.idelta(stream, frame_start=lo, frame_end=hi)
         horizon = _const(ctx, node.args[1])
         return promql.predict_linear(stream, horizon, frame_start=lo, frame_end=hi)
 

@@ -2133,3 +2133,52 @@ def promql_raw_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = df if out is None else out.unionByName(df)
     return out
+
+
+@register(
+    "promql_irate_idelta",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         value, ts,
+         row_number() OVER (
+           PARTITION BY event_type, json_extract_string(props, '$.k')
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+), p AS (
+  SELECT name, k,
+         max(CASE WHEN rn = 1 THEN value END) AS v1,
+         max(CASE WHEN rn = 2 THEN value END) AS v0,
+         max(CASE WHEN rn = 1 THEN epoch(ts) END) AS t1,
+         max(CASE WHEN rn = 2 THEN epoch(ts) END) AS t0
+  FROM s WHERE rn <= 2 GROUP BY name, k HAVING count(*) = 2
+)
+SELECT name, k,
+       round(v1 - v0, 4) AS idelta,
+       round(CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v1 END / (t1 - t0), 6)
+         AS irate
+FROM p WHERE t1 > t0
+""",
+)
+def promql_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """irate/idelta over a 10d frame: each series' LAST TWO samples —
+    the instant variants (one ordered window, then max_by/min_by on the
+    primitive rank, staying hash-aggregated)."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    frame = dict(frame_start=datetime(2024, 1, 10), frame_end=datetime(2024, 1, 20))
+    idl = promql.idelta(samples, tiebreakers=["event_id"], **frame)
+    irt = promql.irate(samples, tiebreakers=["event_id"], **frame)
+    return idl.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 4).alias("idelta"),
+    ).join(
+        irt.select(
+            F.element_at("labels", "name").alias("name"),
+            F.element_at("labels", "k").alias("k"),
+            F.round("value", 6).alias("irate"),
+        ),
+        ["name", "k"],
+    )

@@ -472,3 +472,19 @@ def test_raw_over_time_aggregates_every_sample(spark):
         df, F.sum("value"), frame_start=T0, frame_end=T0 + timedelta(hours=1)
     )
     assert out.collect()[0]["value"] == 12.0
+
+
+def test_irate_idelta_last_two_samples(spark):
+    from prom_etl_db_spark.operators.promql import idelta, irate
+
+    # series: 10@0s, 40@60s, 25@90s — last two are 40→25 (a reset)
+    df = _samples(
+        spark, [({"h": "a"}, 10, 0), ({"h": "a"}, 40, 60), ({"h": "a"}, 25, 90)]
+    )
+    frame = dict(frame_start=T0, frame_end=T0 + timedelta(hours=1))
+    assert idelta(df, **frame).collect()[0]["value"] == -15.0  # gauge: raw diff
+    # counter: reset → post-reset value 25 over 30s
+    assert irate(df, **frame).collect()[0]["value"] == pytest.approx(25 / 30)
+    # single-sample series drop out
+    solo = _samples(spark, [({"h": "s"}, 5, 0)])
+    assert irate(solo, **frame).count() == 0
