@@ -25,9 +25,11 @@ Supported grammar (superset of every query string in the reference):
 - range functions: rate, increase, irate, idelta, delta, deriv,
   changes, resets, ``predict_linear(x[f], t)``
 - functions: histogram_quantile, label_replace, label_join, clamp,
-  clamp_min, clamp_max, absent, round (to-nearest-multiple semantics),
-  sort/sort_desc, time, abs, ceil, floor, exp, ln, sqrt, sgn, log2,
-  log10
+  clamp_min, clamp_max, absent, absent_over_time, round
+  (to-nearest-multiple semantics), sort/sort_desc, time, timestamp,
+  minute/hour/day_of_week/day_of_month/days_in_month/month/year (UTC,
+  session-timezone independent), abs, ceil, floor, exp, ln, sqrt, sgn,
+  log2, log10
 - binary ops with precedence: ``^``, ``* / %``, ``+ -``, comparisons
   (filtering or with ``bool``), set ops ``and`` / ``unless`` / ``or``
   (semi/anti/union joins on the match key); vector-vector matching via
@@ -416,6 +418,22 @@ _RANGE_FNS = {
     "changes", "resets", "irate", "idelta",
 }
 
+# PromQL time-component functions: (Column form over epoch-second sample
+# values, Python form over the eval instant). day_of_week is 0=Sunday in
+# PromQL; Spark's dayofweek is 1=Sunday.
+_TIME_COMPONENT_FNS = {
+    "minute": (F.minute, lambda t: t.minute),
+    "hour": (F.hour, lambda t: t.hour),
+    "day_of_month": (F.dayofmonth, lambda t: t.day),
+    "day_of_week": (lambda c: F.dayofweek(c) - 1, lambda t: (t.weekday() + 1) % 7),
+    "days_in_month": (
+        lambda c: F.dayofmonth(F.last_day(c)),
+        lambda t: __import__("calendar").monthrange(t.year, t.month)[1],
+    ),
+    "month": (F.month, lambda t: t.month),
+    "year": (F.year, lambda t: t.year),
+}
+
 # raw range-vector aggregates (x[1h] with no step — see _eval_call).
 # Factories, not Columns: building a Column at import time needs an
 # active session in classic mode
@@ -569,7 +587,9 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
         sel = promql.instant_selector(
             _selector_stream(ctx, node), None, ctx.at, staleness=ctx.staleness
         )
-        return sel.select("labels", "value")
+        # the sample timestamp rides along so timestamp() can read it;
+        # every consumer selects its columns explicitly, so it's inert
+        return sel.select("labels", "value", "timestamp")
 
     if isinstance(node, Agg):
         return _eval_agg(ctx, node)
@@ -783,6 +803,38 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         return vec.orderBy(order, F.asc(F.array_sort(F.map_entries("labels"))))
     if fn == "time":
         return float(ctx.at.timestamp())
+    if fn == "timestamp":
+        vec = _vec_arg(ctx, node.args[0], fn)
+        if "timestamp" not in vec.columns:
+            raise PromQLError(
+                "timestamp() needs a plain selector argument (computed "
+                "vectors carry no sample timestamps)"
+            )
+        return vec.select(
+            "labels", F.col("timestamp").cast("double").alias("value")
+        )
+    if fn == "absent_over_time":
+        arg = node.args[0]
+        if not isinstance(arg, Selector) or not arg.range_ or arg.step:
+            raise PromQLError("absent_over_time needs a range selector")
+        lo, hi = _frame_bounds(ctx, arg.range_)
+        raw = _selector_stream(
+            ctx, Selector(arg.name, arg.matchers, offset=arg.offset)
+        ).where((F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi)))
+        return promql.absent(raw)
+    if fn in _TIME_COMPONENT_FNS:
+        if not node.args:
+            # no-arg form: the component of the (frozen) evaluation time
+            return float(_TIME_COMPONENT_FNS[fn][1](ctx.at))
+        vec = _vec_arg(ctx, node.args[0], fn)
+        col_fn = _TIME_COMPONENT_FNS[fn][0]
+        # PromQL components are UTC, but Spark's extractors read the
+        # session-timezone wall clock — shift the instant by the session
+        # offset so the rendered wall clock IS the UTC one
+        ts = F.to_utc_timestamp(
+            F.timestamp_seconds(F.col("value")), F.current_timezone()
+        )
+        return vec.select("labels", col_fn(ts).cast("double").alias("value"))
     if fn in _MATH_FNS:
         vec = _vec_arg(ctx, node.args[0], fn)
         return vec.withColumn("value", _MATH_FNS[fn](F.col("value")).cast("double"))

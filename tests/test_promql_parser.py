@@ -360,3 +360,29 @@ def test_changes_resets_from_query_text(spark):
     )
     assert eval_promql(df, "changes(c[1h])", T0).collect()[0]["value"] == 2.0
     assert eval_promql(df, "resets(c[1h])", T0).collect()[0]["value"] == 1.0
+
+
+def test_timestamp_and_time_components(spark):
+    # sample at a known instant; value column carries an epoch too
+    epoch = (T0 - timedelta(seconds=30)).timestamp()
+    df = _samples(spark, [("m", {"h": "a"}, epoch, -30)])
+    ts_out = eval_promql(df, "timestamp(m)", T0).collect()[0]["value"]
+    assert ts_out == epoch  # the SAMPLE's own timestamp
+    # component functions read the VALUE as an epoch (UTC)
+    assert eval_promql(df, "hour(m)", T0).collect()[0]["value"] == float(
+        (T0 - timedelta(seconds=30)).hour
+    )
+    # 2024-03-15 is a Friday → PromQL day_of_week 5 (0=Sunday)
+    assert eval_promql(df, "day_of_week(m)", T0).collect()[0]["value"] == 5.0
+    assert eval_promql(df, "days_in_month(m)", T0).collect()[0]["value"] == 31.0
+    # no-arg form folds from the frozen eval time
+    assert eval_promql(df, "hour()", T0) == float(T0.hour)
+    with pytest.raises(PromQLError, match="plain selector"):
+        eval_promql(df, "timestamp(sum(m))", T0)
+
+
+def test_absent_over_time(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -7200)])  # 2h old
+    # nothing in the last hour → one {1.0} row; widen to 3h → empty
+    assert eval_promql(df, "absent_over_time(m[1h])", T0).collect()[0]["value"] == 1.0
+    assert eval_promql(df, "absent_over_time(m[3h])", T0).count() == 0
