@@ -144,15 +144,23 @@ def image_dimensions(payload: bytes) -> "tuple[str, int, int] | None":
     Returns None for anything else — unknown payloads are data, not
     errors (the A12 stance).
     """
+    def _dims(fmt: str, w: int, h: int) -> "tuple[str, int, int] | None":
+        # sanity-bound: a header CLAIMING dimensions outside int32 (or
+        # zero) is malformed/adversarial — 33 crafted bytes must yield
+        # None, not crash the Arrow batch downstream
+        if 0 < w < 2**31 and 0 < h < 2**31:
+            return (fmt, w, h)
+        return None
+
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
-            return (
+            return _dims(
                 "png",
                 int.from_bytes(payload[16:20], "big"),
                 int.from_bytes(payload[20:24], "big"),
             )
         if payload[:6] in (b"GIF87a", b"GIF89a"):
-            return (
+            return _dims(
                 "gif",
                 int.from_bytes(payload[6:8], "little"),
                 int.from_bytes(payload[8:10], "little"),
@@ -163,6 +171,9 @@ def image_dimensions(payload: bytes) -> "tuple[str, int, int] | None":
                 if payload[i] != 0xFF:
                     return None  # marker desync — corrupt stream
                 marker = payload[i + 1]
+                if marker == 0xFF:
+                    i += 1  # ITU T.81 allows 0xFF fill bytes before markers
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue
@@ -170,7 +181,7 @@ def image_dimensions(payload: bytes) -> "tuple[str, int, int] | None":
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     height = int.from_bytes(payload[i + 5 : i + 7], "big")
                     width = int.from_bytes(payload[i + 7 : i + 9], "big")
-                    return ("jpeg", width, height)
+                    return _dims("jpeg", width, height)
                 i += 2 + seg_len
     except (IndexError, ValueError):
         return None

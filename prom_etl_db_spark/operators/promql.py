@@ -83,8 +83,10 @@ __all__ = [
     "raw_agg_over_time",
     "changes",
     "resets",
+    "changes_and_resets",
     "idelta",
     "irate",
+    "idelta_and_irate",
     "delta",
     "deriv",
     "predict_linear",
@@ -652,49 +654,53 @@ def raw_agg_over_time(
     )
 
 
-def changes(
+def changes_and_resets(
     samples: DataFrame,
     *,
     frame_start: datetime,
     frame_end: datetime,
     tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
-    """PromQL ``changes(x[frame])``: how many times each series' value
-    changed between consecutive samples. One ordered lag window per
-    series (inherent to the semantics) + one hash aggregation."""
+    """Both consecutive-sample counters from ONE lag window + ONE hash
+    aggregation: (labels, n_changes, n_resets). ``changes``/``resets``
+    select from this — computing the pair separately would run the
+    identical scan/sort twice."""
     w_order = [F.col("timestamp")] + [F.col(t) for t in tiebreakers]
     df = _frame(samples, frame_start, frame_end)
     w = Window.partitionBy("__series").orderBy(*w_order)
     prev = F.lag("value").over(w)
     changed = F.when(prev.isNull(), 0).when(F.col("value") != prev, 1).otherwise(0)
+    reset = F.when(prev.isNotNull() & (F.col("value") < prev), 1).otherwise(0)
     return (
         df.withColumn("__chg", changed)
+        .withColumn("__rst", reset)
         .groupBy("__series")
-        .agg(F.sum("__chg").cast("double").alias("value"))
-        .select(F.map_from_entries("__series").alias("labels"), "value")
+        .agg(
+            F.sum("__chg").cast("double").alias("n_changes"),
+            F.sum("__rst").cast("double").alias("n_resets"),
+        )
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "n_changes",
+            "n_resets",
+        )
     )
 
 
-def resets(
-    samples: DataFrame,
-    *,
-    frame_start: datetime,
-    frame_end: datetime,
-    tiebreakers: Sequence[str] = (),
-) -> DataFrame:
+def changes(samples: DataFrame, **kw) -> DataFrame:
+    """PromQL ``changes(x[frame])``: how many times each series' value
+    changed between consecutive samples."""
+    return changes_and_resets(samples, **kw).select(
+        "labels", F.col("n_changes").alias("value")
+    )
+
+
+def resets(samples: DataFrame, **kw) -> DataFrame:
     """PromQL ``resets(x[frame])``: count of counter resets (value drops
-    between consecutive samples) per series — the diagnostic companion to
+    between consecutive samples) — the diagnostic companion to
     ``increase``'s reset correction."""
-    w_order = [F.col("timestamp")] + [F.col(t) for t in tiebreakers]
-    df = _frame(samples, frame_start, frame_end)
-    w = Window.partitionBy("__series").orderBy(*w_order)
-    prev = F.lag("value").over(w)
-    reset = F.when(prev.isNotNull() & (F.col("value") < prev), 1).otherwise(0)
-    return (
-        df.withColumn("__rst", reset)
-        .groupBy("__series")
-        .agg(F.sum("__rst").cast("double").alias("value"))
-        .select(F.map_from_entries("__series").alias("labels"), "value")
+    return changes_and_resets(samples, **kw).select(
+        "labels", F.col("n_resets").alias("value")
     )
 
 
@@ -725,32 +731,15 @@ def _last_two(
     )
 
 
-def idelta(
+def idelta_and_irate(
     samples: DataFrame,
     *,
     frame_start: datetime,
     frame_end: datetime,
     tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
-    """PromQL ``idelta(x[frame])``: difference of each series' LAST TWO
-    samples (the instant variant of delta)."""
-    pairs = _last_two(samples, frame_start, frame_end, tiebreakers)
-    return pairs.select(
-        F.map_from_entries("__series").alias("labels"),
-        (F.col("v1") - F.col("v0")).alias("value"),
-    )
-
-
-def irate(
-    samples: DataFrame,
-    *,
-    frame_start: datetime,
-    frame_end: datetime,
-    tiebreakers: Sequence[str] = (),
-) -> DataFrame:
-    """PromQL ``irate(x[frame])``: per-second rate from the last two
-    samples, with counter-reset correction (a drop contributes the
-    post-reset absolute value, like ``increase``)."""
+    """Both instant variants from ONE last-two-samples pass: (labels,
+    idelta, irate). ``idelta``/``irate`` select from this."""
     pairs = _last_two(samples, frame_start, frame_end, tiebreakers)
     inc = F.when(F.col("v1") >= F.col("v0"), F.col("v1") - F.col("v0")).otherwise(
         F.col("v1")
@@ -758,7 +747,25 @@ def irate(
     dt = F.col("t1").cast("double") - F.col("t0").cast("double")
     return pairs.where(dt > 0).select(
         F.map_from_entries("__series").alias("labels"),
-        (inc / dt).alias("value"),
+        (F.col("v1") - F.col("v0")).alias("idelta"),
+        (inc / dt).alias("irate"),
+    )
+
+
+def idelta(samples: DataFrame, **kw) -> DataFrame:
+    """PromQL ``idelta(x[frame])``: difference of each series' LAST TWO
+    samples (the instant variant of delta)."""
+    return idelta_and_irate(samples, **kw).select(
+        "labels", F.col("idelta").alias("value")
+    )
+
+
+def irate(samples: DataFrame, **kw) -> DataFrame:
+    """PromQL ``irate(x[frame])``: per-second rate from the last two
+    samples, with counter-reset correction (a drop contributes the
+    post-reset absolute value, like ``increase``)."""
+    return idelta_and_irate(samples, **kw).select(
+        "labels", F.col("irate").alias("value")
     )
 
 

@@ -49,6 +49,7 @@ Documented divergences (same policies as the combinators, tested):
 
 from __future__ import annotations
 
+import calendar
 import re
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
@@ -428,7 +429,7 @@ _TIME_COMPONENT_FNS = {
     "day_of_week": (lambda c: F.dayofweek(c) - 1, lambda t: (t.weekday() + 1) % 7),
     "days_in_month": (
         lambda c: F.dayofmonth(F.last_day(c)),
-        lambda t: __import__("calendar").monthrange(t.year, t.month)[1],
+        lambda t: calendar.monthrange(t.year, t.month)[1],
     ),
     "month": (F.month, lambda t: t.month),
     "year": (F.year, lambda t: t.year),
@@ -587,9 +588,9 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
         sel = promql.instant_selector(
             _selector_stream(ctx, node), None, ctx.at, staleness=ctx.staleness
         )
-        # the sample timestamp rides along so timestamp() can read it;
-        # every consumer selects its columns explicitly, so it's inert
-        return sel.select("labels", "value", "timestamp")
+        # the sample timestamp rides along (reserved name) so
+        # timestamp() can read it; eval_promql strips it at the boundary
+        return sel.select("labels", "value", F.col("timestamp").alias("__ts"))
 
     if isinstance(node, Agg):
         return _eval_agg(ctx, node)
@@ -804,14 +805,15 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
     if fn == "time":
         return float(ctx.at.timestamp())
     if fn == "timestamp":
-        vec = _vec_arg(ctx, node.args[0], fn)
-        if "timestamp" not in vec.columns:
-            raise PromQLError(
-                "timestamp() needs a plain selector argument (computed "
-                "vectors carry no sample timestamps)"
-            )
+        arg = node.args[0]
+        if not isinstance(arg, Selector) or arg.range_ is not None:
+            # computed vectors may still CARRY a ride-along __ts column,
+            # but PromQL's timestamp() over them means the eval time, not
+            # the source sample's — be explicit rather than wrong
+            raise PromQLError("timestamp() needs a plain instant selector")
+        vec = _vec_arg(ctx, arg, fn)
         return vec.select(
-            "labels", F.col("timestamp").cast("double").alias("value")
+            "labels", F.col("__ts").cast("double").alias("value")
         )
     if fn == "absent_over_time":
         arg = node.args[0]
@@ -820,12 +822,19 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         lo, hi = _frame_bounds(ctx, arg.range_)
         raw = _selector_stream(
             ctx, Selector(arg.name, arg.matchers, offset=arg.offset)
-        ).where((F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi)))
+        ).where((F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") < F.lit(hi)))
+        # half-open like _frame: absent must be the exact dual of
+        # present/count_over_time on the same window
         return promql.absent(raw)
     if fn in _TIME_COMPONENT_FNS:
         if not node.args:
-            # no-arg form: the component of the (frozen) evaluation time
-            return float(_TIME_COMPONENT_FNS[fn][1](ctx.at))
+            # no-arg form = component of vector(time()): derive from the
+            # SAME epoch time() returns, read as UTC — component-of-naive
+            # ctx.at would disagree with the vector path off-UTC hosts
+            from datetime import timezone
+
+            utc_at = datetime.fromtimestamp(ctx.at.timestamp(), tz=timezone.utc)
+            return float(_TIME_COMPONENT_FNS[fn][1](utc_at))
         vec = _vec_arg(ctx, node.args[0], fn)
         col_fn = _TIME_COMPONENT_FNS[fn][0]
         # PromQL components are UTC, but Spark's extractors read the
@@ -852,4 +861,9 @@ def eval_promql(
     """Parse and evaluate ``query`` against a stored-samples DataFrame at
     the frozen instant ``at``. Returns (labels, value) — or a float for
     scalar-only expressions."""
-    return evaluate(EvalContext(samples, at, staleness), parse(query))
+    out = evaluate(EvalContext(samples, at, staleness), parse(query))
+    if isinstance(out, DataFrame) and "__ts" in out.columns:
+        # the ride-along sample timestamp is internal (timestamp() reads
+        # it); the public contract is (labels, value)
+        out = out.drop("__ts")
+    return out

@@ -2073,20 +2073,17 @@ def promql_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """changes(x[10d]) and resets(x[10d]) per series — consecutive-sample
     lag comparisons, one ordered window + one hash aggregation."""
     samples = _event_samples(spark, sf_dir, keys=("name", "k"))
-    frame = dict(frame_start=datetime(2024, 1, 10), frame_end=datetime(2024, 1, 20))
-    ch = promql.changes(samples, tiebreakers=["event_id"], **frame)
-    rs = promql.resets(samples, tiebreakers=["event_id"], **frame)
-    return ch.select(
+    both = promql.changes_and_resets(
+        samples,
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 20),
+        tiebreakers=["event_id"],
+    )
+    return both.select(
         F.element_at("labels", "name").alias("name"),
         F.element_at("labels", "k").alias("k"),
-        F.col("value").alias("n_changes"),
-    ).join(
-        rs.select(
-            F.element_at("labels", "name").alias("name"),
-            F.element_at("labels", "k").alias("k"),
-            F.col("value").alias("n_resets"),
-        ),
-        ["name", "k"],
+        "n_changes",
+        "n_resets",
     )
 
 
@@ -2167,18 +2164,15 @@ def promql_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the instant variants (one ordered window, then max_by/min_by on the
     primitive rank, staying hash-aggregated)."""
     samples = _event_samples(spark, sf_dir, keys=("name", "k"))
-    frame = dict(frame_start=datetime(2024, 1, 10), frame_end=datetime(2024, 1, 20))
-    idl = promql.idelta(samples, tiebreakers=["event_id"], **frame)
-    irt = promql.irate(samples, tiebreakers=["event_id"], **frame)
-    return idl.select(
+    both = promql.idelta_and_irate(
+        samples,
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 20),
+        tiebreakers=["event_id"],
+    )
+    return both.select(
         F.element_at("labels", "name").alias("name"),
         F.element_at("labels", "k").alias("k"),
-        F.round("value", 4).alias("idelta"),
-    ).join(
-        irt.select(
-            F.element_at("labels", "name").alias("name"),
-            F.element_at("labels", "k").alias("k"),
-            F.round("value", 6).alias("irate"),
-        ),
-        ["name", "k"],
+        F.round("idelta", 4).alias("idelta"),
+        F.round("irate", 6).alias("irate"),
     )

@@ -184,3 +184,34 @@ def test_image_header_parsing_real_formats(spark):
     assert got[2] == ("gif", 320, 200)
     assert got[3] == ("jpeg", 640, 480)
     assert got[4] == (None, None, None)
+
+
+def test_image_header_adversarial_and_fill_bytes(spark):
+    from prom_etl_db_spark.functions.multimodal import (
+        image_dimensions,
+        image_header_features,
+    )
+
+    # PNG header CLAIMING width 2^31 — must be None, and must not crash
+    # the Arrow batch (Int32 cast) when it flows through the feature fn
+    evil = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (2**31).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x00" * 9
+    )
+    assert image_dimensions(evil) is None
+    media = spark.createDataFrame(
+        [(1, "image", evil, len(evil))],
+        "media_id long, kind string, payload binary, n_bytes int",
+    )
+    row = image_header_features(media).collect()[0]
+    assert (row["format"], row["width"], row["height"]) == (None, None, None)
+
+    # ITU T.81 fill bytes (0xFF padding before a marker) must not desync
+    jpeg_fill = (
+        b"\xff\xd8\xff"                                  # SOI + fill byte
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03"
+        + b"\x00" * 9
+    )
+    assert image_dimensions(jpeg_fill) == ("jpeg", 640, 480)

@@ -377,7 +377,7 @@ def test_timestamp_and_time_components(spark):
     assert eval_promql(df, "days_in_month(m)", T0).collect()[0]["value"] == 31.0
     # no-arg form folds from the frozen eval time
     assert eval_promql(df, "hour()", T0) == float(T0.hour)
-    with pytest.raises(PromQLError, match="plain selector"):
+    with pytest.raises(PromQLError, match="plain instant selector"):
         eval_promql(df, "timestamp(sum(m))", T0)
 
 
