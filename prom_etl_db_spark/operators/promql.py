@@ -87,6 +87,7 @@ __all__ = [
     "idelta",
     "irate",
     "idelta_and_irate",
+    "double_exponential_smoothing",
     "delta",
     "deriv",
     "predict_linear",
@@ -1035,6 +1036,54 @@ def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") ->
         F.when(F.col("__le") == float("inf"), F.col("__prev_le"))
         .otherwise(interpolated)
         .alias("value"),
+    )
+
+
+def double_exponential_smoothing(
+    samples: DataFrame,
+    smoothing: float,
+    trend: float,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+) -> DataFrame:
+    """PromQL ``double_exponential_smoothing(x[frame], sf, tf)`` (named
+    ``holt_winters`` before Prometheus 3): per series, the Holt linear
+    recurrence over the frame's samples in time order, returning the
+    final smoothed level. Series with fewer than two points drop out.
+
+    This is THE genuinely sequential operator (each step needs the
+    previous state), so it runs as ``applyInPandas`` — one Arrow batch
+    per series, the tight loop in numpy-backed pandas, parallelism =
+    series cardinality (case (b) of the custom-operator hierarchy:
+    composition can't express a data-dependent recurrence). The group
+    key is the canonical sorted-entries JSON so the label map survives
+    the pandas round-trip losslessly.
+    """
+    if not (0 < smoothing < 1 and 0 < trend < 1):
+        raise ValueError("smoothing and trend factors must be in (0, 1)")
+    keyed = _frame(samples, frame_start, frame_end).withColumn(
+        "__sk",
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col("labels"))))),
+    )
+
+    def smooth(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("timestamp")
+        v = pdf["value"].to_numpy()
+        if len(v) < 2:
+            return pd.DataFrame({"__sk": [], "value": []})
+        s, b = v[0], v[1] - v[0]
+        for x in v[1:]:
+            s_prev = s
+            s = smoothing * x + (1 - smoothing) * (s + b)
+            b = trend * (s - s_prev) + (1 - trend) * b
+        return pd.DataFrame({"__sk": [pdf["__sk"].iloc[0]], "value": [float(s)]})
+
+    out = keyed.groupBy("__sk").applyInPandas(smooth, "__sk string, value double")
+    return out.select(
+        F.from_json("__sk", "map<string,string>").alias("labels"), "value"
     )
 
 

@@ -417,6 +417,7 @@ _OVER_TIME = {
 _RANGE_FNS = {
     "rate", "increase", "delta", "deriv", "predict_linear",
     "changes", "resets", "irate", "idelta",
+    "double_exponential_smoothing", "holt_winters",
 }
 
 # PromQL time-component functions: (Column form over epoch-second sample
@@ -756,6 +757,12 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             return promql.irate(stream, frame_start=lo, frame_end=hi)
         if fn == "idelta":
             return promql.idelta(stream, frame_start=lo, frame_end=hi)
+        if fn in ("double_exponential_smoothing", "holt_winters"):
+            sf_ = _const(ctx, node.args[1])
+            tf_ = _const(ctx, node.args[2])
+            return promql.double_exponential_smoothing(
+                stream, sf_, tf_, frame_start=lo, frame_end=hi
+            )
         horizon = _const(ctx, node.args[1])
         return promql.predict_linear(stream, horizon, frame_start=lo, frame_end=hi)
 

@@ -2176,3 +2176,23 @@ def promql_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idelta", 4).alias("idelta"),
         F.round("irate", 6).alias("irate"),
     )
+
+
+@register("promql_smoothing")  # no SQL oracle: a data-dependent sequential
+# recurrence (Holt) isn't SQL-expressible; unit tests pin analytic cases
+def promql_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """double_exponential_smoothing(x[20d], 0.4, 0.2) per (name, k)
+    series — the sequential-recurrence custom operator via applyInPandas
+    (parallelism = series cardinality)."""
+    out = promql.double_exponential_smoothing(
+        _event_samples(spark, sf_dir, keys=("name", "k")),
+        0.4,
+        0.2,
+        frame_start=datetime(2024, 1, 10),
+        frame_end=datetime(2024, 1, 30),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 4).alias("smoothed"),
+    )

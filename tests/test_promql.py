@@ -488,3 +488,30 @@ def test_irate_idelta_last_two_samples(spark):
     # single-sample series drop out
     solo = _samples(spark, [({"h": "s"}, 5, 0)])
     assert irate(solo, **frame).count() == 0
+
+
+def test_double_exponential_smoothing(spark):
+    from prom_etl_db_spark.operators.promql import double_exponential_smoothing
+
+    frame = dict(frame_start=T0, frame_end=T0 + timedelta(hours=1))
+    # analytic invariant: on perfectly linear data the Holt recurrence
+    # tracks exactly (s_i = v_i by induction), for ANY factors
+    lin = _samples(spark, [({"h": "lin"}, 5 + 3 * i, i * 10) for i in range(6)])
+    out = double_exponential_smoothing(lin, 0.37, 0.21, **frame)
+    assert out.collect()[0]["value"] == pytest.approx(5 + 3 * 5)
+    # constant series → the constant
+    const = _samples(spark, [({"h": "c"}, 7, i * 10) for i in range(4)])
+    assert double_exponential_smoothing(const, 0.5, 0.5, **frame).collect()[0][
+        "value"
+    ] == pytest.approx(7.0)
+    # hand calc: v=[0,10,0], sf=tf=0.5 → s1=10·.5+.5·10=10, b1=.5·10+.5·10=10
+    # s2=0·.5+.5·20=10, final s=10
+    three = _samples(spark, [({"h": "t"}, v, i * 10) for i, v in enumerate([0, 10, 0])])
+    assert double_exponential_smoothing(three, 0.5, 0.5, **frame).collect()[0][
+        "value"
+    ] == pytest.approx(10.0)
+    # <2 points drops out; bad factors raise
+    solo = _samples(spark, [({"h": "s"}, 1, 0)])
+    assert double_exponential_smoothing(solo, 0.5, 0.5, **frame).count() == 0
+    with pytest.raises(ValueError):
+        double_exponential_smoothing(lin, 1.5, 0.5, **frame)

@@ -386,3 +386,15 @@ def test_absent_over_time(spark):
     # nothing in the last hour → one {1.0} row; widen to 3h → empty
     assert eval_promql(df, "absent_over_time(m[1h])", T0).collect()[0]["value"] == 1.0
     assert eval_promql(df, "absent_over_time(m[3h])", T0).count() == 0
+
+
+def test_double_exponential_smoothing_from_text(spark):
+    df = _samples(
+        spark, [("m", {"h": "a"}, 5 + 3 * i, -600 + i * 10) for i in range(6)]
+    )
+    got = eval_promql(
+        df, "double_exponential_smoothing(m[1h], 0.4, 0.2)", T0
+    ).collect()[0]["value"]
+    assert got == pytest.approx(20.0)  # linear data → last value
+    alias = eval_promql(df, "holt_winters(m[1h], 0.4, 0.2)", T0).collect()[0]["value"]
+    assert alias == got
