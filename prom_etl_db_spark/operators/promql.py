@@ -755,7 +755,9 @@ def idelta_and_irate(
 
 def idelta(samples: DataFrame, **kw) -> DataFrame:
     """PromQL ``idelta(x[frame])``: difference of each series' LAST TWO
-    samples (the instant variant of delta)."""
+    samples (the instant variant of delta). Like ``irate`` — and like
+    Prometheus's instantValue — the pair must have distinct timestamps;
+    equal-timestamp pairs drop out."""
     return idelta_and_irate(samples, **kw).select(
         "labels", F.col("idelta").alias("value")
     )
@@ -1046,11 +1048,14 @@ def double_exponential_smoothing(
     *,
     frame_start: datetime,
     frame_end: datetime,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """PromQL ``double_exponential_smoothing(x[frame], sf, tf)`` (named
     ``holt_winters`` before Prometheus 3): per series, the Holt linear
     recurrence over the frame's samples in time order, returning the
     final smoothed level. Series with fewer than two points drop out.
+    The recurrence is order-sensitive, so duplicate timestamps need
+    ``tiebreakers`` for determinism (same contract as ``resample``).
 
     This is THE genuinely sequential operator (each step needs the
     previous state), so it runs as ``applyInPandas`` — one Arrow batch
@@ -1062,15 +1067,19 @@ def double_exponential_smoothing(
     """
     if not (0 < smoothing < 1 and 0 < trend < 1):
         raise ValueError("smoothing and trend factors must be in (0, 1)")
-    keyed = _frame(samples, frame_start, frame_end).withColumn(
-        "__sk",
-        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col("labels"))))),
+    framed = _frame(samples, frame_start, frame_end)
+    if tiebreakers:
+        framed = _dedup_ts(framed, tiebreakers)
+    keyed = framed.select(
+        F.to_json(F.map_from_entries(F.col("__series"))).alias("__sk"),
+        "timestamp",
+        "value",
     )
 
     def smooth(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("timestamp")
+        pdf = pdf.sort_values("timestamp", kind="stable")
         v = pdf["value"].to_numpy()
         if len(v) < 2:
             return pd.DataFrame({"__sk": [], "value": []})

@@ -758,8 +758,12 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         if fn == "idelta":
             return promql.idelta(stream, frame_start=lo, frame_end=hi)
         if fn in ("double_exponential_smoothing", "holt_winters"):
+            if len(node.args) != 3:
+                raise PromQLError(f"{fn} takes (range-vector, sf, tf)")
             sf_ = _const(ctx, node.args[1])
             tf_ = _const(ctx, node.args[2])
+            if not (0 < sf_ < 1 and 0 < tf_ < 1):
+                raise PromQLError(f"{fn} factors must be in (0, 1)")
             return promql.double_exponential_smoothing(
                 stream, sf_, tf_, frame_start=lo, frame_end=hi
             )

@@ -2190,6 +2190,7 @@ def promql_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.2,
         frame_start=datetime(2024, 1, 10),
         frame_end=datetime(2024, 1, 30),
+        tiebreakers=["event_id"],
     )
     return out.select(
         F.element_at("labels", "name").alias("name"),

@@ -375,8 +375,12 @@ def test_timestamp_and_time_components(spark):
     # 2024-03-15 is a Friday → PromQL day_of_week 5 (0=Sunday)
     assert eval_promql(df, "day_of_week(m)", T0).collect()[0]["value"] == 5.0
     assert eval_promql(df, "days_in_month(m)", T0).collect()[0]["value"] == 31.0
-    # no-arg form folds from the frozen eval time
-    assert eval_promql(df, "hour()", T0) == float(T0.hour)
+    # no-arg form = component of time(), read as UTC — derive the
+    # expectation the same way so the test passes on non-UTC hosts
+    from datetime import timezone
+
+    utc_t0 = datetime.fromtimestamp(T0.timestamp(), tz=timezone.utc)
+    assert eval_promql(df, "hour()", T0) == float(utc_t0.hour)
     with pytest.raises(PromQLError, match="plain instant selector"):
         eval_promql(df, "timestamp(sum(m))", T0)
 
@@ -398,3 +402,11 @@ def test_double_exponential_smoothing_from_text(spark):
     assert got == pytest.approx(20.0)  # linear data → last value
     alias = eval_promql(df, "holt_winters(m[1h], 0.4, 0.2)", T0).collect()[0]["value"]
     assert alias == got
+
+
+def test_smoothing_bad_args_raise_promql_error(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10), ("m", {"h": "a"}, 2, -5)])
+    with pytest.raises(PromQLError, match="takes"):
+        eval_promql(df, "holt_winters(m[5m], 0.5)", T0)
+    with pytest.raises(PromQLError, match="factors"):
+        eval_promql(df, "double_exponential_smoothing(m[5m], 1.5, 0.5)", T0)
