@@ -13,7 +13,8 @@ still owns optimization and execution.
 Supported grammar (superset of every query string in the reference):
 
 - selectors: ``metric``, ``metric{l="v", l2!="v", l3=~"re", l4!~"re"}``,
-  range ``[24h]``, subquery ``[24h:1m]``, ``offset 1d``
+  range ``[24h]``, subquery ``[24h:1m]``, ``offset 1d`` (negative
+  allowed), ``@ <epoch>`` pinning (either order with offset)
 - aggregations (prefix or postfix grouping): ``sum by (a,b) (x)``,
   ``max without (c) (x)``, avg/min/count/stddev/stdvar/group,
   ``quantile(0.9, x)``, ``count_values("lbl", x)``, ``topk(5, x)``,
@@ -41,10 +42,10 @@ Documented divergences (same policies as the combinators, tested):
   bucket, then last-per-bucket step alignment — no staleness LOCF
   across empty buckets (Prometheus would carry values ≤5 m forward).
 - rate/increase are exact over stored samples, not extrapolated.
-- no ``@`` modifier or negative offsets (nothing in the reference's
-  surface uses them). ``group_left/right`` don't pre-validate one-side
-  key uniqueness (Prometheus errors; we fan out like a join — see
-  ``promql.vector_binop``).
+- ``@ start()`` / ``@ end()`` forms are unsupported (no query_range API
+  surface here — only numeric epochs). ``group_left/right`` don't
+  pre-validate one-side key uniqueness (Prometheus errors; we fan out
+  like a join — see ``promql.vector_binop``).
 """
 
 from __future__ import annotations
@@ -77,7 +78,7 @@ _TOKEN_RE = re.compile(
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)*)
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<OP>=~|!~|==|!=|<=|>=|[-+*/%^<>=])
-  | (?P<PUNCT>[(){}\[\],:])
+  | (?P<PUNCT>[(){}\[\],:@])
     """,
     re.VERBOSE,
 )
@@ -123,7 +124,8 @@ class Selector:
     matchers: list[tuple[str, str, str]]  # (label, op, value)
     range_: str | None = None       # "24h" for x[24h]
     step: str | None = None         # "1m" for x[24h:1m]
-    offset: str | None = None
+    offset: str | None = None       # may be sign-prefixed: "-1h"
+    at_: float | None = None        # epoch seconds from the @ modifier
 
 
 @dataclass
@@ -339,15 +341,25 @@ class _Parser:
             else:
                 # subquery over a computed expression: wrap
                 node = Call("__subquery__", [node, rng.text, step or ""])
-        if self.peek().text == "offset":
-            self.next()
-            off = self.next()
-            if off.kind != "DURATION":
-                raise PromQLError(f"bad offset {off.text!r}")
-            if isinstance(node, Selector):
-                node.offset = off.text
+        # offset and @ may follow in either order, like PromQL
+        while self.peek().text in ("offset", "@"):
+            which = self.next().text
+            if not isinstance(node, Selector):
+                raise PromQLError(f"{which} only supported directly on selectors")
+            if which == "offset":
+                sign = ""
+                if self.peek().text == "-":
+                    self.next()
+                    sign = "-"
+                off = self.next()
+                if off.kind != "DURATION":
+                    raise PromQLError(f"bad offset {off.text!r}")
+                node.offset = sign + off.text
             else:
-                raise PromQLError("offset only supported directly on selectors")
+                t = self.next()
+                if t.kind != "NUM":
+                    raise PromQLError(f"@ needs an epoch timestamp, got {t.text!r}")
+                node.at_ = float(t.text)
         return node
 
 
@@ -451,12 +463,15 @@ _RAW_OVER_TIME = {
 }
 
 
-def _interval_str(text: str) -> str:
+def _interval_str(text: str, *, allow_negative: bool = False) -> str:
     """Duration text → a Spark interval string, millisecond-exact (plain
-    int(total_seconds()) would silently truncate '500ms' to zero)."""
-    ms = round(_dur(text).total_seconds() * 1000)
-    if ms <= 0:
-        raise PromQLError(f"duration must be positive, got {text!r}")
+    int(total_seconds()) would silently truncate '500ms' to zero).
+    A leading ``-`` (negative offset: read the FUTURE relative to eval
+    time, typically paired with @) is honored only where it makes sense."""
+    sign = -1 if text.startswith("-") else 1
+    ms = sign * round(_dur(text.lstrip("-")).total_seconds() * 1000)
+    if ms == 0 or (ms < 0 and not allow_negative):
+        raise PromQLError(f"invalid duration here: {text!r}")
     return f"{ms} milliseconds" if ms % 1000 else f"{ms // 1000} seconds"
 
 
@@ -485,7 +500,7 @@ def _selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
     timestamps first would read the un-offset window."""
     df = _apply_matchers(ctx.samples, sel)
     if sel.offset:
-        df = promql.offset(df, _interval_str(sel.offset))
+        df = promql.offset(df, _interval_str(sel.offset, allow_negative=True))
     if ctx.frame is not None:
         lo, hi = ctx.frame
         df = df.where(
@@ -494,8 +509,17 @@ def _selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
     return df
 
 
-def _frame_bounds(ctx: EvalContext, rng: str) -> tuple[datetime, datetime]:
-    return ctx.at - _dur(rng), ctx.at
+def _at_of(ctx: EvalContext, node: "Node | str") -> datetime:
+    """A selector's @ modifier pins ITS evaluation instant; everything
+    else uses the context's frozen time. (Naive datetime via the same
+    fromtimestamp convention .timestamp() round-trips.)"""
+    if isinstance(node, Selector) and node.at_ is not None:
+        return datetime.fromtimestamp(node.at_)
+    return ctx.at
+
+
+def _frame_bounds(at: datetime, rng: str) -> tuple[datetime, datetime]:
+    return at - _dur(rng), at
 
 
 def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
@@ -587,7 +611,8 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
                 f"range selector {node.name}[{node.range_}] needs a range function"
             )
         sel = promql.instant_selector(
-            _selector_stream(ctx, node), None, ctx.at, staleness=ctx.staleness
+            _selector_stream(ctx, node), None, _at_of(ctx, node),
+            staleness=ctx.staleness,
         )
         # the sample timestamp rides along (reserved name) so
         # timestamp() can read it; eval_promql strips it at the boundary
@@ -713,7 +738,7 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             # RANGE-VECTOR form (x[1h], no step): aggregate the raw
             # samples in the window — Prometheus's common spelling; the
             # subquery form below step-aligns first
-            lo, hi = _frame_bounds(ctx, arg.range_)
+            lo, hi = _frame_bounds(_at_of(ctx, arg), arg.range_)
             raw = _selector_stream(
                 ctx, Selector(arg.name, arg.matchers, offset=arg.offset)
             )
@@ -728,7 +753,8 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         # AFTER any offset shift (clipping raw ts first would make
         # `m[1h:1m] offset 2h` read the un-offset hour)
         frame_ctx = EvalContext(
-            ctx.samples, ctx.at, ctx.staleness, frame=_frame_bounds(ctx, rng)
+            ctx.samples, ctx.at, ctx.staleness,
+            frame=_frame_bounds(_at_of(ctx, arg), rng),
         )
         stream = _eval_stream(frame_ctx, inner, step)
         if fn == "quantile_over_time":
@@ -739,7 +765,7 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         sel = node.args[0]
         if not isinstance(sel, Selector) or sel.range_ is None or sel.step:
             raise PromQLError(f"{fn} needs a range selector like x[5m]")
-        lo, hi = _frame_bounds(ctx, sel.range_)
+        lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
         stream = _selector_stream(ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
         if fn == "rate":
             return promql.rate(stream, frame_start=lo, frame_end=hi)
@@ -830,7 +856,7 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         arg = node.args[0]
         if not isinstance(arg, Selector) or not arg.range_ or arg.step:
             raise PromQLError("absent_over_time needs a range selector")
-        lo, hi = _frame_bounds(ctx, arg.range_)
+        lo, hi = _frame_bounds(_at_of(ctx, arg), arg.range_)
         raw = _selector_stream(
             ctx, Selector(arg.name, arg.matchers, offset=arg.offset)
         ).where((F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") < F.lit(hi)))

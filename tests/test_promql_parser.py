@@ -166,7 +166,7 @@ def test_eval_unsupported_constructs_raise(spark):
     with pytest.raises(PromQLError):
         eval_promql(df, "m[5m]", T0)  # bare range selector is not a vector
     with pytest.raises(PromQLError):
-        eval_promql(df, "m @ 1609746000", T0)  # @ modifier unsupported
+        eval_promql(df, "m @ start()", T0)  # only numeric @ epochs
 
 
 # -- regressions from review findings --------------------------------------
@@ -410,3 +410,32 @@ def test_smoothing_bad_args_raise_promql_error(spark):
         eval_promql(df, "holt_winters(m[5m], 0.5)", T0)
     with pytest.raises(PromQLError, match="factors"):
         eval_promql(df, "double_exponential_smoothing(m[5m], 1.5, 0.5)", T0)
+
+
+def test_at_modifier_pins_evaluation_time(spark):
+    pinned = T0 - timedelta(hours=3)
+    df = _samples(spark, [("m", {"h": "a"}, 42, -3 * 3600 - 30)])  # near pinned
+    # at T0 the sample is hours stale → empty; @ pins the selector there
+    assert eval_promql(df, "m", T0).count() == 0
+    got = eval_promql(df, f"m @ {pinned.timestamp():.0f}", T0).collect()
+    assert got[0]["value"] == 42.0
+    # range function with @: the frame ends at the pinned instant
+    cdf = _samples(
+        spark, [("c", {"h": "a"}, v, -3 * 3600 - 300 + i * 100)
+                for i, v in enumerate([0, 10, 30])]
+    )
+    r = eval_promql(cdf, f"increase(c[10m] @ {pinned.timestamp():.0f})", T0)
+    assert r.collect()[0]["value"] == 30.0
+
+
+def test_negative_offset_reads_forward(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 7, 3600 - 30)])  # 1h in the future
+    assert eval_promql(df, "m", T0).count() == 0
+    assert eval_promql(df, "m offset -1h", T0).collect()[0]["value"] == 7.0
+
+
+def test_offset_and_at_combine_in_either_order(spark):
+    a = parse("m @ 1700000000 offset 1h")
+    b = parse("m offset 1h @ 1700000000")
+    assert a.at_ == b.at_ == 1700000000.0
+    assert a.offset == b.offset == "1h"
