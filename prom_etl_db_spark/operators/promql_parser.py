@@ -841,6 +841,18 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         return vec.orderBy(order, F.asc(F.array_sort(F.map_entries("labels"))))
     if fn == "time":
         return float(ctx.at.timestamp())
+    if fn == "vector":
+        # scalar → one-row label-less vector (PromQL vector(s));
+        # scalar() is NOT offered: extracting a scalar from a vector
+        # forces an eager driver action mid-plan
+        v = _const(ctx, node.args[0])
+        if ctx.samples is None:
+            raise PromQLError("vector() needs a session (no samples bound)")
+        return ctx.samples.sparkSession.createDataFrame(
+            [(v,)], "value double"
+        ).select(
+            F.create_map().cast("map<string,string>").alias("labels"), "value"
+        )
     if fn == "timestamp":
         arg = node.args[0]
         if not isinstance(arg, Selector) or arg.range_ is not None:

@@ -439,3 +439,13 @@ def test_offset_and_at_combine_in_either_order(spark):
     b = parse("m offset 1h @ 1700000000")
     assert a.at_ == b.at_ == 1700000000.0
     assert a.offset == b.offset == "1h"
+
+
+def test_vector_lifts_scalars(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 5, -10)])
+    row = eval_promql(df, "vector(3 * 4)", T0).collect()[0]
+    assert row["value"] == 12.0 and dict(row["labels"]) == {}
+    # the lifted vector participates in binops (empty label set matches
+    # on an empty on() key)
+    out = eval_promql(df, "sum(m) / on() vector(2)", T0)
+    assert out.collect()[0]["value"] == 2.5
