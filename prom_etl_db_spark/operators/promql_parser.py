@@ -341,12 +341,16 @@ class _Parser:
             else:
                 # subquery over a computed expression: wrap
                 node = Call("__subquery__", [node, rng.text, step or ""])
-        # offset and @ may follow in either order, like PromQL
+        # offset and @ may follow in either order, like PromQL — but at
+        # most once each (Prometheus rejects duplicates; silently keeping
+        # the last one would compute a window the user did not write)
         while self.peek().text in ("offset", "@"):
             which = self.next().text
             if not isinstance(node, Selector):
                 raise PromQLError(f"{which} only supported directly on selectors")
             if which == "offset":
+                if node.offset is not None:
+                    raise PromQLError("duplicate offset modifier")
                 sign = ""
                 if self.peek().text == "-":
                     self.next()
@@ -356,10 +360,16 @@ class _Parser:
                     raise PromQLError(f"bad offset {off.text!r}")
                 node.offset = sign + off.text
             else:
+                if node.at_ is not None:
+                    raise PromQLError("duplicate @ modifier")
+                sign = 1.0
+                if self.peek().text == "-":
+                    self.next()
+                    sign = -1.0  # pre-1970 pins are legal PromQL
                 t = self.next()
                 if t.kind != "NUM":
                     raise PromQLError(f"@ needs an epoch timestamp, got {t.text!r}")
-                node.at_ = float(t.text)
+                node.at_ = sign * float(t.text)
         return node
 
 
@@ -514,7 +524,10 @@ def _at_of(ctx: EvalContext, node: "Node | str") -> datetime:
     else uses the context's frozen time. (Naive datetime via the same
     fromtimestamp convention .timestamp() round-trips.)"""
     if isinstance(node, Selector) and node.at_ is not None:
-        return datetime.fromtimestamp(node.at_)
+        try:
+            return datetime.fromtimestamp(node.at_)
+        except (OverflowError, ValueError, OSError) as e:
+            raise PromQLError(f"@ timestamp out of range: {node.at_}") from e
     return ctx.at
 
 
@@ -530,6 +543,11 @@ def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
     if isinstance(node, Selector):
         if node.range_ is not None:
             raise PromQLError("nested ranges inside a subquery are unsupported")
+        if node.at_ is not None:
+            # the stream's frame is pinned by the OUTER range — silently
+            # reading it at a different instant would be wrong, so refuse
+            raise PromQLError("@ on a selector inside a subquery/range "
+                              "evaluation is unsupported")
         return promql.resample(_selector_stream(ctx, node), step_str)
     if isinstance(node, BinOp):
         if node.op in _SET_OPS:
@@ -845,6 +863,8 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         # scalar → one-row label-less vector (PromQL vector(s));
         # scalar() is NOT offered: extracting a scalar from a vector
         # forces an eager driver action mid-plan
+        if len(node.args) != 1:
+            raise PromQLError("vector() takes exactly one scalar argument")
         v = _const(ctx, node.args[0])
         if ctx.samples is None:
             raise PromQLError("vector() needs a session (no samples bound)")

@@ -449,3 +449,26 @@ def test_vector_lifts_scalars(spark):
     # on an empty on() key)
     out = eval_promql(df, "sum(m) / on() vector(2)", T0)
     assert out.collect()[0]["value"] == 2.5
+
+
+def test_modifier_edge_hardening(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
+    with pytest.raises(PromQLError, match="duplicate offset"):
+        parse("m offset 1h offset 2h")
+    with pytest.raises(PromQLError, match="duplicate @"):
+        parse("m @ 1 @ 2")
+    with pytest.raises(PromQLError, match="out of range"):
+        eval_promql(df, "m @ 99999999999999999", T0)
+    with pytest.raises(PromQLError, match="exactly one"):
+        eval_promql(df, "vector()", T0)
+    # @ on the subquery's own selector pins the FRAME (supported)...
+    pinned = (T0 - timedelta(hours=2)).timestamp()
+    df2 = _samples(spark, [("m", {"h": "a"}, 4, -2 * 3600 - 60)])
+    out = eval_promql(df2, f"sum_over_time((m @ {pinned:.0f})[1h:1m])", T0)
+    assert out.collect()[0]["value"] == 4.0
+    # ...but @ buried inside a COMPUTED subquery expression is refused
+    # (the frame can't carry a per-selector pin there)
+    with pytest.raises(PromQLError, match="subquery"):
+        eval_promql(df, "sum_over_time((sum(m @ 1700000000))[1h:1m])", T0)
+    # negative epochs parse (pre-1970 pins are legal PromQL)
+    assert parse("m @ -100").at_ == -100.0
