@@ -23,8 +23,21 @@ import sys
 from datetime import date, datetime
 
 
-def _parse_now(s: str) -> datetime:
-    return datetime.fromisoformat(s)
+def _sample_stream(spark, sf_dir: str):
+    """The fixture-backed samples stream both subcommands read (one place
+    to swap in a real source)."""
+    from prom_etl_db_spark.queries import _event_samples
+
+    return _event_samples(spark, sf_dir)
+
+
+def _all_configs(spark, path: str):
+    from prom_etl_db_spark.config import CONFIG_SCHEMA, QueryConfig, read_configs
+
+    rows = read_configs(spark, path).collect()
+    return [
+        QueryConfig(**{f.name: r[f.name] for f in CONFIG_SCHEMA.fields}) for r in rows
+    ]
 
 
 def _cmd_run_once(args: argparse.Namespace) -> int:
@@ -34,22 +47,23 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
     from prom_etl_db_spark.session import get_spark
 
     spark = get_spark("run-once")
-    now = _parse_now(args.now)
-    from prom_etl_db_spark.queries import _event_samples
-
-    stream = _event_samples(spark, args.sf_dir)
+    stream = _sample_stream(spark, args.sf_dir)
     configs = load_enabled(spark, args.configs)
     print(f"{len(configs)} enabled config(s)", file=sys.stderr)
     failures = 0
     for cfg in configs:
         def run_one(cfg=cfg):
+            # skip_existing: a re-fired scheduler run or a retry after a
+            # partial failure must not double-insert (A26 — the server-path
+            # dup risk the reference never fixed)
             execute_config_query(
                 spark,
                 stream,
                 cfg,
-                now=now,
+                now=args.now,
                 store_path=args.store,
                 audit_path=args.audit,
+                mode="skip_existing",
             )
 
         try:
@@ -67,38 +81,41 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
 
 def _cmd_repair(args: argparse.Namespace) -> int:
     from prom_etl_db_spark.backfill import backfill_days
-    from prom_etl_db_spark.config import load_enabled
     from prom_etl_db_spark.executor import execute_config_query
     from prom_etl_db_spark.session import get_spark
 
     spark = get_spark("repair")
-    cfgs = [
-        c for c in load_enabled(spark, args.configs) if c.query_id == args.query_id
-    ]
+    # deliberately NOT filtered to enabled: disabling a broken config and
+    # then repairing its history is the tool's whole use case
+    cfgs = [c for c in _all_configs(spark, args.configs) if c.query_id == args.query_id]
     if not cfgs:
-        print(f"no enabled config {args.query_id!r}", file=sys.stderr)
+        print(f"no config {args.query_id!r} in catalog", file=sys.stderr)
         return 2
     cfg = cfgs[0]
-    from prom_etl_db_spark.queries import _event_samples
-
-    stream = _event_samples(spark, args.sf_dir)
+    stream = _sample_stream(spark, args.sf_dir)
 
     def fetch_day(at: datetime):
-        # repair pins "now" per target day (repair/main.go:530-534)
-        return execute_config_query(spark, stream, cfg, now=at)
+        # repair pins "now" per target day (repair/main.go:530-534); the
+        # result is clipped to THAT day — a cross-midnight config window
+        # would otherwise hand backfill_days rows outside its per-day
+        # contract (duplicate interior days / sibling-day overwrites)
+        from pyspark.sql import functions as F
+
+        records = execute_config_query(spark, stream, cfg, now=at)
+        return records.where(F.col("collected_date") == F.lit(at.date()))
 
     summary = backfill_days(
         spark,
         query_id=cfg.query_id,
-        start=date.fromisoformat(args.start),
-        end=date.fromisoformat(args.end),
+        start=args.start,
+        end=args.end,
         fetch_day=fetch_day,
         table_path=args.store,
         force_recompute=args.force_recompute,
         dry_run=args.dry_run,
     )
     print(summary, file=sys.stderr)
-    return 0
+    return 1 if summary.failed else 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -110,7 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--store", required=True, help="metrics table path")
     r.add_argument("--audit", required=True, help="query_executions path")
     r.add_argument("--sf-dir", required=True, help="samples fixture dir")
-    r.add_argument("--now", required=True, help="frozen eval time (ISO)")
+    r.add_argument(
+        "--now", required=True, type=datetime.fromisoformat,
+        help="frozen eval time (ISO)",
+    )
     r.add_argument("--no-sleep", action="store_true", help="skip retry sleeps")
     r.set_defaults(fn=_cmd_run_once)
 
@@ -119,8 +139,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--query-id", required=True)
     b.add_argument("--store", required=True)
     b.add_argument("--sf-dir", required=True)
-    b.add_argument("--start", required=True, help="first day (ISO date)")
-    b.add_argument("--end", required=True, help="last day (ISO date)")
+    b.add_argument("--start", required=True, type=date.fromisoformat,
+                   help="first day (ISO date)")
+    b.add_argument("--end", required=True, type=date.fromisoformat,
+                   help="last day (ISO date)")
     b.add_argument("--force-recompute", action="store_true")
     b.add_argument("--dry-run", action="store_true")
     b.set_defaults(fn=_cmd_repair)

@@ -113,11 +113,20 @@ def execute_config_query(
     now: datetime,
     store_path: str | None = None,
     audit_path: str | None = None,
+    mode: str = "append",
 ) -> DataFrame:
     """Full per-execution lifecycle: evaluate → MetricRecord projection →
     (optionally) day-partitioned append + audit record. Returns the
     record DataFrame either way (dry-run = don't pass paths — the repair
-    tool's ``--dry-run``, A28)."""
+    tool's ``--dry-run``, A28).
+
+    ``mode``: "append" (reference server behavior — re-runs double-insert,
+    §2.D exactly-once row) or "skip_existing" (A26: drop rows whose
+    (query_id, day) slice already exists — re-runs and retries after a
+    partial failure become no-ops; the audit records the SURVIVING
+    count)."""
+    if mode not in ("append", "skip_existing"):
+        raise ValueError(f"mode must be 'append' or 'skip_existing', got {mode!r}")
     if audit_path is not None and store_path is None:
         # the audit record carries records_count of the PERSISTED batch;
         # silently dropping it on a dry-run would hide executions from
@@ -146,16 +155,21 @@ def execute_config_query(
         return records
 
     from prom_etl_db_spark.scheduler import run_query_audited
-    from prom_etl_db_spark.store import append_records
+    from prom_etl_db_spark.store import append_records, backfill_skip_existing
+
+    to_write = records
+    if mode == "skip_existing":
+        to_write = backfill_skip_existing(records, spark, store_path)
 
     if audit_path is not None:
         # the audit record needs the count — persist so count + write is
         # one evaluation, not two full runs of the query
-        records.persist()
+        to_write.persist()
 
         def _run() -> int:
-            count = records.count()
-            append_records(records, store_path)
+            count = to_write.count()
+            if count:
+                append_records(to_write, store_path)
             return count
 
         try:
@@ -168,7 +182,7 @@ def execute_config_query(
                 now=lambda: now,
             )
         finally:
-            records.unpersist()
+            to_write.unpersist()
     else:
-        append_records(records, store_path)
+        append_records(to_write, store_path)
     return records

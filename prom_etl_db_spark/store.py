@@ -41,11 +41,32 @@ def read_records(spark: SparkSession, path: str) -> DataFrame:
 
 
 def overwrite_days(df: DataFrame, path: str) -> None:
-    """A21/A26 force-recompute: rewrite exactly the day partitions present
-    in ``df`` (dynamic partition overwrite = Delta ``replaceWhere``), leaving
-    sibling days untouched."""
+    """A21/A26 force-recompute: replace exactly the (query_id, day)
+    slices present in ``df`` — the reference's DeleteMetricsByDate is
+    scoped to BOTH keys (mysql.go:292-314). Day partitions are shared by
+    every query_id, so a bare dynamic partition overwrite would wipe
+    sibling queries' rows in the rewritten days; the affected days'
+    OTHER-query rows are read back and rewritten alongside the new data
+    (the equivalent of Delta ``replaceWhere collected_date = d AND
+    query_id = q``). Only the affected day partitions are touched."""
+    spark = df.sparkSession
+    days = [r["collected_date"] for r in df.select("collected_date").distinct().collect()]
+    qids = [r["query_id"] for r in df.select("query_id").distinct().collect()]
+    out = df
+    try:
+        survivors = (
+            read_records(spark, path)
+            .where(F.col("collected_date").isin(days))
+            .where(~F.col("query_id").isin(qids))
+        )
+        if survivors.limit(1).count():
+            # materialize executor-side (localCheckpoint, never a driver
+            # collect) BEFORE the overwrite clobbers the files being read
+            out = survivors.unionByName(df).localCheckpoint(eager=True)
+    except Exception:
+        pass  # first write: nothing to preserve
     (
-        df.write.partitionBy(*PARTITION_COLS)
+        out.write.partitionBy(*PARTITION_COLS)
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)

@@ -70,3 +70,47 @@ def test_repair_backfills_and_is_idempotent(spark, tmp_path, catalog, monkeypatc
     # second run skips existing days — the A26 idempotency gate
     assert cli.main(argv) == 0
     assert spark.read.parquet(store).count() == n1
+
+
+def test_run_once_rerun_is_idempotent(spark, tmp_path, catalog, monkeypatch):
+    import prom_etl_db_spark.__main__ as cli
+    import prom_etl_db_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda name=None: spark)
+    store, audit = str(tmp_path / "metrics"), str(tmp_path / "audit")
+    argv = [
+        "run-once", "--configs", catalog, "--store", store, "--audit", audit,
+        "--sf-dir", "/root/testdata/sf0.001", "--now", "2024-01-31T00:00:00",
+        "--no-sleep",
+    ]
+    assert cli.main(argv) == 0
+    n1 = spark.read.parquet(store).count()
+    assert cli.main(argv) == 0  # re-fired scheduler run
+    assert spark.read.parquet(store).count() == n1  # no double-insert
+    # the second audit records 0 surviving rows, not a failure (both runs
+    # share the frozen now, so start_time can't order them)
+    audits = spark.read.parquet(audit).collect()
+    assert sorted(a["records_count"] for a in audits) == [0, n1]
+    assert all(a["status"] == "success" for a in audits)
+
+
+def test_overwrite_days_preserves_sibling_queries(spark, tmp_path):
+    from datetime import date, datetime
+
+    from prom_etl_db_spark.store import append_records, overwrite_days
+
+    def recs(qid, day, value):
+        return spark.createDataFrame(
+            [(qid, "m", {"h": "a"}, value, datetime(2024, 1, day, 12), "instant",
+              datetime(2024, 1, day), date(2024, 1, day))],
+            "query_id string, metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp, result_type string, "
+            "collected_at timestamp, collected_date date",
+        )
+
+    path = str(tmp_path / "t")
+    append_records(recs("q_a", 5, 1.0), path)
+    append_records(recs("q_b", 5, 2.0), path)  # sibling query, SAME day
+    overwrite_days(recs("q_a", 5, 9.0), path)  # force-recompute q_a only
+    rows = {r["query_id"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"q_a": 9.0, "q_b": 2.0}  # q_b survived the rewrite
