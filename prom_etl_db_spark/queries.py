@@ -2197,3 +2197,47 @@ def promql_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("labels", "k").alias("k"),
         F.round("value", 4).alias("smoothed"),
     )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: three-way join with selective filters on every
+    side, grouped revenue, top-10. The customer dim broadcasts; the
+    orders-lineitem join shuffles on the order key; both date predicates
+    push into the parquet scans — the plan a 100 TB run needs."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < datetime(1996, 1, 1)
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > datetime(1996, 1, 1)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

@@ -127,3 +127,13 @@ def test_time_joins_never_nested_loop(spark, sf_dir):
         ops = _ops(QUERIES[name](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in ops, name
         assert "CartesianProduct" not in ops, name
+
+
+def test_tpch_q3_broadcast_and_pushdown(spark, sf_dir):
+    df = QUERIES["tpch_q3_shipping_priority"](spark, sf_dir)
+    ops = _ops(df)
+    assert "BroadcastHashJoin" in ops  # customer dim broadcasts
+    assert "CartesianProduct" not in ops
+    # both date predicates reach the scans
+    assert any("orderdate" in f.lower() for f in pushed_filters(df))
+    assert any("shipdate" in f.lower() for f in pushed_filters(df))
