@@ -31,15 +31,6 @@ def _sample_stream(spark, sf_dir: str):
     return _event_samples(spark, sf_dir)
 
 
-def _all_configs(spark, path: str):
-    from prom_etl_db_spark.config import CONFIG_SCHEMA, QueryConfig, read_configs
-
-    rows = read_configs(spark, path).collect()
-    return [
-        QueryConfig(**{f.name: r[f.name] for f in CONFIG_SCHEMA.fields}) for r in rows
-    ]
-
-
 def _cmd_run_once(args: argparse.Namespace) -> int:
     from prom_etl_db_spark.config import load_enabled
     from prom_etl_db_spark.executor import execute_config_query
@@ -53,9 +44,6 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
     failures = 0
     for cfg in configs:
         def run_one(cfg=cfg):
-            # skip_existing: a re-fired scheduler run or a retry after a
-            # partial failure must not double-insert (A26 — the server-path
-            # dup risk the reference never fixed)
             execute_config_query(
                 spark,
                 stream,
@@ -63,7 +51,7 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
                 now=args.now,
                 store_path=args.store,
                 audit_path=args.audit,
-                mode="skip_existing",
+                mode=args.mode.replace("-", "_"),
             )
 
         try:
@@ -85,9 +73,11 @@ def _cmd_repair(args: argparse.Namespace) -> int:
     from prom_etl_db_spark.session import get_spark
 
     spark = get_spark("repair")
+    from prom_etl_db_spark.config import load_all
+
     # deliberately NOT filtered to enabled: disabling a broken config and
     # then repairing its history is the tool's whole use case
-    cfgs = [c for c in _all_configs(spark, args.configs) if c.query_id == args.query_id]
+    cfgs = [c for c in load_all(spark, args.configs) if c.query_id == args.query_id]
     if not cfgs:
         print(f"no config {args.query_id!r} in catalog", file=sys.stderr)
         return 2
@@ -95,14 +85,20 @@ def _cmd_repair(args: argparse.Namespace) -> int:
     stream = _sample_stream(spark, args.sf_dir)
 
     def fetch_day(at: datetime):
-        # repair pins "now" per target day (repair/main.go:530-534); the
-        # result is clipped to THAT day — a cross-midnight config window
-        # would otherwise hand backfill_days rows outside its per-day
-        # contract (duplicate interior days / sibling-day overwrites)
+        # the reference pins resolver "now" to target_day + 24h
+        # (repair/main.go:530-534) so yesterday-anchored expressions —
+        # the standard daily-report shape — resolve to the TARGET day,
+        # and "now"-anchored ranges like [-1d, now] cover exactly it.
+        # The clip then only trims cross-midnight stragglers; it cannot
+        # discard a whole day's rows.
+        from datetime import timedelta
+
         from pyspark.sql import functions as F
 
-        records = execute_config_query(spark, stream, cfg, now=at)
-        return records.where(F.col("collected_date") == F.lit(at.date()))
+        target = at.date()
+        pinned_now = datetime(target.year, target.month, target.day) + timedelta(days=1)
+        records = execute_config_query(spark, stream, cfg, now=pinned_now)
+        return records.where(F.col("collected_date") == F.lit(target))
 
     summary = backfill_days(
         spark,
@@ -132,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
         help="frozen eval time (ISO)",
     )
     r.add_argument("--no-sleep", action="store_true", help="skip retry sleeps")
+    r.add_argument(
+        "--mode", choices=("append", "skip-existing"), default="append",
+        help="append = reference server parity (every execution inserts); "
+        "skip-existing = day-granular dedup — re-fires of DAILY configs "
+        "become no-ops, but it also drops later intra-day executions, so "
+        "only use it for configs that run at most once per day",
+    )
     r.set_defaults(fn=_cmd_run_once)
 
     b = sub.add_parser("repair", help="per-day idempotent backfill")

@@ -96,6 +96,12 @@ def read_configs(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], CONFIG_SCHEMA)
 
 
+def _to_configs(rows) -> list[QueryConfig]:
+    return [
+        QueryConfig(**{f.name: r[f.name] for f in CONFIG_SCHEMA.fields}) for r in rows
+    ]
+
+
 def load_enabled(spark: SparkSession, path: str) -> list[QueryConfig]:
     """A23: ``WHERE enabled ORDER BY created_at``
     (database_config.go:11-91); returns typed configs for the scheduler."""
@@ -105,7 +111,13 @@ def load_enabled(spark: SparkSession, path: str) -> list[QueryConfig]:
         .orderBy("created_at")
         .collect()
     )
-    return [QueryConfig(**{f.name: r[f.name] for f in CONFIG_SCHEMA.fields}) for r in rows]
+    return _to_configs(rows)
+
+
+def load_all(spark: SparkSession, path: str) -> list[QueryConfig]:
+    """Every catalog row, enabled or not — the repair tool's view
+    (a disabled config's history is exactly what gets repaired)."""
+    return _to_configs(read_configs(spark, path).orderBy("created_at").collect())
 
 
 def upsert_config(spark: SparkSession, path: str, cfg: QueryConfig) -> None:

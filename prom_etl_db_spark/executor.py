@@ -120,11 +120,15 @@ def execute_config_query(
     record DataFrame either way (dry-run = don't pass paths — the repair
     tool's ``--dry-run``, A28).
 
-    ``mode``: "append" (reference server behavior — re-runs double-insert,
-    §2.D exactly-once row) or "skip_existing" (A26: drop rows whose
-    (query_id, day) slice already exists — re-runs and retries after a
-    partial failure become no-ops; the audit records the SURVIVING
-    count)."""
+    ``mode``: "append" (reference server behavior — every execution
+    inserts; re-runs double-insert, §2.D exactly-once row) or
+    "skip_existing" (A26 day-granular dedup: rows whose (query_id, day)
+    slice already exists are dropped and the audit records the SURVIVING
+    count). skip_existing makes whole-day re-runs no-ops but is NOT a
+    partial-write recovery — a half-written day suppresses the rest;
+    recover those with repair's force-recompute day overwrite. It also
+    drops later intra-day executions of the same config, so use it only
+    for configs that run at most once per day."""
     if mode not in ("append", "skip_existing"):
         raise ValueError(f"mode must be 'append' or 'skip_existing', got {mode!r}")
     if audit_path is not None and store_path is None:

@@ -50,40 +50,62 @@ def overwrite_days(df: DataFrame, path: str) -> None:
     (the equivalent of Delta ``replaceWhere collected_date = d AND
     query_id = q``). Only the affected day partitions are touched."""
     spark = df.sparkSession
-    days = [r["collected_date"] for r in df.select("collected_date").distinct().collect()]
-    qids = [r["query_id"] for r in df.select("query_id").distinct().collect()]
-    out = df
+    df = df.persist()  # keys pass + write pass: one evaluation, not three
     try:
-        survivors = (
-            read_records(spark, path)
-            .where(F.col("collected_date").isin(days))
-            .where(~F.col("query_id").isin(qids))
+        keys = df.select("query_id", "collected_date").distinct().collect()
+        days = sorted({r["collected_date"] for r in keys})
+        qids = sorted({r["query_id"] for r in keys})
+        out = df
+        if Path(path).exists():
+            # only a genuinely-missing store may be skipped — swallowing a
+            # transient read failure here would let the dynamic overwrite
+            # silently DELETE sibling queries' rows in the affected days
+            survivors = (
+                read_records(spark, path)
+                .where(F.col("collected_date").isin(days))
+                .where(~F.col("query_id").isin(qids))
+            )
+            if survivors.limit(1).count():
+                # materialize executor-side (localCheckpoint, never a
+                # driver collect) BEFORE the overwrite clobbers the files
+                # being read
+                out = survivors.unionByName(df).localCheckpoint(eager=True)
+        (
+            out.write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
         )
-        if survivors.limit(1).count():
-            # materialize executor-side (localCheckpoint, never a driver
-            # collect) BEFORE the overwrite clobbers the files being read
-            out = survivors.unionByName(df).localCheckpoint(eager=True)
-    except Exception:
-        pass  # first write: nothing to preserve
-    (
-        out.write.partitionBy(*PARTITION_COLS)
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(path)
-    )
+    finally:
+        df.unpersist()
 
 
 def backfill_skip_existing(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     """A26 default branch: drop incoming rows whose (query_id, day) slice
     already exists (`checkExistingData`, repair/main.go:557-576). Returns
-    the surviving rows (caller appends). The existing-keys side is tiny
-    (distinct day keys) → broadcast, no big shuffle."""
-    try:
-        existing = (
-            read_records(spark, path).select("query_id", "collected_date").distinct()
-        )
-    except Exception:
+    the surviving rows (caller appends).
+
+    Day-granular by design: a slice that exists AT ALL suppresses the
+    incoming rows for it — after a PARTIAL write failure, re-run via
+    repair ``--force-recompute`` (day overwrite), not this path.
+
+    The existing side prunes to the incoming batch's own (query_id, day)
+    keys before the distinct — O(affected partitions), never a full-store
+    scan; the tiny key set then broadcasts."""
+    if not Path(path).exists():
         return df
+    keys = df.select("query_id", "collected_date").distinct().collect()
+    if not keys:
+        return df
+    days = sorted({r["collected_date"] for r in keys})
+    qids = sorted({r["query_id"] for r in keys})
+    existing = (
+        read_records(spark, path)
+        .where(F.col("collected_date").isin(days))  # partition-pruned
+        .where(F.col("query_id").isin(qids))
+        .select("query_id", "collected_date")
+        .distinct()
+    )
     return df.join(F.broadcast(existing), ["query_id", "collected_date"], "left_anti")
 
 

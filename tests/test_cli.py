@@ -81,7 +81,7 @@ def test_run_once_rerun_is_idempotent(spark, tmp_path, catalog, monkeypatch):
     argv = [
         "run-once", "--configs", catalog, "--store", store, "--audit", audit,
         "--sf-dir", "/root/testdata/sf0.001", "--now", "2024-01-31T00:00:00",
-        "--no-sleep",
+        "--no-sleep", "--mode", "skip-existing",
     ]
     assert cli.main(argv) == 0
     n1 = spark.read.parquet(store).count()
@@ -114,3 +114,35 @@ def test_overwrite_days_preserves_sibling_queries(spark, tmp_path):
     overwrite_days(recs("q_a", 5, 9.0), path)  # force-recompute q_a only
     rows = {r["query_id"]: r["value"] for r in spark.read.parquet(path).collect()}
     assert rows == {"q_a": 9.0, "q_b": 2.0}  # q_b survived the rewrite
+
+
+def test_repair_handles_yesterday_anchored_configs(spark, tmp_path, monkeypatch):
+    # the standard daily-report shape: yesterday..yesterday_end — the
+    # resolver "now" must pin to target_day+24h (reference repair
+    # behavior) or every repaired day comes back empty
+    import prom_etl_db_spark.__main__ as cli
+    import prom_etl_db_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda name=None: spark)
+    path = str(tmp_path / "configs")
+    upsert_config(
+        spark, path,
+        QueryConfig(
+            query_id="daily", name="daily", query="sum(click) by (k)",
+            time_range_type="range",
+            time_range_start="yesterday", time_range_end="yesterday_end",
+            time_range_step="1h", enabled=False,  # disabled configs repair too
+        ),
+    )
+    store = str(tmp_path / "metrics")
+    rc = cli.main([
+        "repair", "--configs", path, "--query-id", "daily",
+        "--store", store, "--sf-dir", "/root/testdata/sf0.001",
+        "--start", "2024-01-10", "--end", "2024-01-11",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(store)
+    assert out.count() > 0  # the clip must not have emptied the days
+    days = {r["collected_date"].isoformat() for r in
+            out.select("collected_date").distinct().collect()}
+    assert days == {"2024-01-10", "2024-01-11"}
