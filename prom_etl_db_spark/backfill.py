@@ -24,7 +24,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.store import append_records, overwrite_days, read_records
+from prom_etl_db_spark.store import (
+    append_records,
+    delete_query_day,
+    overwrite_days,
+    read_records,
+)
 
 
 class RetentionError(RuntimeError):
@@ -46,7 +51,9 @@ class BackfillSummary:
 
     processed: int = 0
     inserted_days: int = 0
+    deleted_days: int = 0
     skipped_existing: int = 0
+    skipped_no_data: int = 0
     skipped_retention: int = 0
     failed: list[str] = field(default_factory=list)
     dry_run_days: list[str] = field(default_factory=list)
@@ -83,16 +90,22 @@ def backfill_days(
     fetch_day: Callable[[datetime], DataFrame],
     table_path: str,
     force_recompute: bool = False,
+    skip_if_no_data: bool = False,
     dry_run: bool = False,
 ) -> BackfillSummary:
     """A28: the per-day loop. ``fetch_day(at)`` returns that day's records
     (already normalized to METRICS_SCHEMA + collected_date) — the source
     boundary, so tests inject a fixture and production injects a real
-    fetcher. Decision matrix per day (repair/main.go:317-374):
+    fetcher. Decision matrix per day (repair/main.go:272-374):
 
-    - data exists, not force → skip
-    - data exists, force     → overwrite exactly that day partition
-    - no data                → append
+    - data exists, not force → skip (without fetching — unlike the
+      reference, which fetches then discards; same outcome, one less
+      source round-trip)
+    - fetch returns NO rows → never insert; under force, the stale
+      (query_id, day) slice is DELETED (DeleteMetricsByDate,
+      main.go:296-306) unless ``skip_if_no_data`` keeps it
+    - data exists, force, rows fetched → overwrite exactly that day slice
+    - no data, rows fetched → append
     - retention-classified fetch error → count + continue (A27)
     - dry run → record the would-be action, write nothing
     """
@@ -115,9 +128,21 @@ def backfill_days(
                 summary.failed.append(f"{day.isoformat()}: {e}")
             day += timedelta(days=1)
             continue
-        if dry_run:
+        if records.isEmpty():
+            would_delete = force_recompute and has_data and not skip_if_no_data
+            if dry_run:
+                action = "delete" if would_delete else "skip_no_data"
+                summary.dry_run_days.append(f"{day.isoformat()}:{action}")
+            elif would_delete:
+                delete_query_day(spark, table_path, query_id, day)
+            if would_delete:
+                summary.deleted_days += 1
+            else:
+                summary.skipped_no_data += 1
+        elif dry_run:
             action = "overwrite" if has_data else "insert"
             summary.dry_run_days.append(f"{day.isoformat()}:{action}")
+            summary.inserted_days += 1
         elif has_data:
             overwrite_days(records, table_path)
             summary.inserted_days += 1

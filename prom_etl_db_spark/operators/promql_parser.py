@@ -397,6 +397,11 @@ class EvalContext:
     at: datetime
     staleness: str = "5 minutes"
     frame: tuple[datetime, datetime] | None = None
+    # Executor range-mode pins frame=[start, end] INCLUSIVE (both ends are
+    # requested eval instants). Frames derived from _frame_bounds (subquery
+    # / over-time windows) are half-open [lo, hi) to match _frame's
+    # convention everywhere else — those paths set this False.
+    frame_right_closed: bool = True
 
 
 def _dur(text: str) -> timedelta:
@@ -513,9 +518,12 @@ def _selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
         df = promql.offset(df, _interval_str(sel.offset, allow_negative=True))
     if ctx.frame is not None:
         lo, hi = ctx.frame
-        df = df.where(
-            (F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi))
+        upper = (
+            F.col("timestamp") <= F.lit(hi)
+            if ctx.frame_right_closed
+            else F.col("timestamp") < F.lit(hi)
         )
+        df = df.where((F.col("timestamp") >= F.lit(lo)) & upper)
     return df
 
 
@@ -773,6 +781,7 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         frame_ctx = EvalContext(
             ctx.samples, ctx.at, ctx.staleness,
             frame=_frame_bounds(_at_of(ctx, arg), rng),
+            frame_right_closed=False,  # _frame duality: [lo, hi) like x[1h]
         )
         stream = _eval_stream(frame_ctx, inner, step)
         if fn == "quantile_over_time":

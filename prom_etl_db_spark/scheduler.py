@@ -30,22 +30,27 @@ _FIELD_RANGES = [(0, 59), (0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]  # sec..do
 
 
 def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
+    """robfig/cron field grammar: steps anchor at the RANGE start, not the
+    field minimum — ``3-59/15`` fires at {3,18,33,48}; a bare ``v/step``
+    means ``v-hi/step`` (vixie semantics robfig inherits)."""
     vals: set[int] = set()
     for part in spec.split(","):
         step = 1
         if "/" in part:
             part, step_s = part.split("/", 1)
             step = int(step_s)
+            if step < 1:
+                raise ValueError(f"cron step must be >= 1: {spec!r}")
         if part in ("*", ""):
-            rng = range(lo, hi + 1)
+            start, end = lo, hi
         elif "-" in part:
             a, b = part.split("-", 1)
-            rng = range(int(a), int(b) + 1)
+            start, end = int(a), int(b)
+        elif step > 1:
+            start, end = int(part), hi
         else:
-            rng = range(int(part), int(part) + 1)
-        vals.update(v for v in rng if (v - lo) % step == 0 or step == 1)
-        if step > 1 and "-" not in part and part not in ("*", ""):
-            vals.update(v for v in range(int(part), hi + 1, step))
+            start = end = int(part)
+        vals.update(range(start, end + 1, step))
     return {v for v in vals if lo <= v <= hi}
 
 
@@ -64,6 +69,21 @@ class CronSchedule:
         self.fields = [
             _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELD_RANGES)
         ]
+        # robfig/cron sets a "star bit" on any field whose spec begins with
+        # '*' (so `*` and `*/n` count as unrestricted for the dom/dow rule).
+        self._dom_star = fields[3].startswith("*")
+        self._dow_star = fields[5].startswith("*")
+
+    def _day_matches(self, t: datetime) -> bool:
+        """robfig/cron dayMatches: when BOTH dom and dow are restricted
+        (neither spec starts with '*'), the day matches if EITHER does;
+        otherwise both must match (vixie semantics)."""
+        sec, minute, hour, dom, month, dow = self.fields
+        dom_ok = t.day in dom
+        dow_ok = (t.weekday() + 1) % 7 in dow  # cron: 0=Sunday
+        if self._dom_star or self._dow_star:
+            return dom_ok and dow_ok
+        return dom_ok or dow_ok
 
     def matches(self, t: datetime) -> bool:
         sec, minute, hour, dom, month, dow = self.fields
@@ -71,9 +91,8 @@ class CronSchedule:
             t.second in sec
             and t.minute in minute
             and t.hour in hour
-            and t.day in dom
             and t.month in month
-            and (t.weekday() + 1) % 7 in dow  # cron: 0=Sunday
+            and self._day_matches(t)
         )
 
     def next_fire(self, after: datetime, limit_days: int = 366) -> datetime:

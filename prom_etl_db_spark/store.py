@@ -109,6 +109,39 @@ def backfill_skip_existing(df: DataFrame, spark: SparkSession, path: str) -> Dat
     return df.join(F.broadcast(existing), ["query_id", "collected_date"], "left_anti")
 
 
+def delete_query_day(spark: SparkSession, path: str, query_id: str, day: date) -> int:
+    """A21 (query_id, day)-scoped delete — the exact semantics of the
+    reference's ``DeleteMetricsByDate(queryID, date)`` (mysql.go:292-314):
+    drop one query's rows in one day partition, leaving sibling queries'
+    rows in that partition untouched. Returns the number of rows deleted.
+
+    The day partition is rewritten from its survivors (materialized
+    executor-side via localCheckpoint BEFORE the overwrite clobbers the
+    files being read); a partition left with no survivors is removed
+    outright. Only the one partition is touched — O(partition), not
+    O(store)."""
+    part = Path(path) / f"collected_date={day.isoformat()}"
+    if not part.exists():
+        return 0
+    day_df = read_records(spark, path).where(F.col("collected_date") == F.lit(day))
+    deleted = day_df.where(F.col("query_id") == query_id).count()
+    if deleted == 0:
+        return 0
+    survivors = (
+        day_df.where(F.col("query_id") != query_id).localCheckpoint(eager=True)
+    )
+    if survivors.limit(1).count():
+        (
+            survivors.write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    else:
+        shutil.rmtree(part)
+    return deleted
+
+
 def delete_day(spark: SparkSession, path: str, day: date) -> None:
     """A21: drop one day partition (physical partition delete — O(1) at any
     scale, like `DeleteMetricsByDate`, mysql.go:292-314)."""

@@ -22,6 +22,7 @@ from prom_etl_db_spark.config import (
 )
 from prom_etl_db_spark.ingest import normalize_vector
 from prom_etl_db_spark.schema import WIRE_VECTOR_SCHEMA
+from prom_etl_db_spark.store import append_records
 
 # -- A23-A25 config catalog --------------------------------------------------
 
@@ -157,6 +158,95 @@ def test_backfill_dry_run_writes_nothing(spark, tmp_path):
     assert s.dry_run_days == ["2024-03-01:insert", "2024-03-02:insert"]
     with pytest.raises(Exception):
         spark.read.parquet(path).count()
+
+
+def _empty_fetch_factory(spark):
+    """fetch_day that finds no source data for any day."""
+
+    def fetch(at: datetime):
+        df = spark.createDataFrame([], WIRE_VECTOR_SCHEMA)
+        return normalize_vector(df, "q1", now=at, time_expr="yesterday_end")
+
+    return fetch
+
+
+def test_backfill_force_empty_fetch_deletes_stale_slice(spark, tmp_path):
+    # repair/main.go:296-306: force + Prometheus returns no data + no
+    # skip-if-no-data -> DeleteMetricsByDate. The stale slice must NOT
+    # silently survive, and sibling query_ids sharing the day must.
+    path = str(tmp_path / "metrics")
+    day = date(2024, 3, 1)
+    backfill_days(
+        spark,
+        query_id="q1",
+        start=day,
+        end=day,
+        fetch_day=_fetch_day_factory(spark),
+        table_path=path,
+    )
+    # a sibling query's rows in the same day partition
+    sibling = _fetch_day_factory(spark)(datetime(2024, 3, 1, 23, 59, 59))
+    sibling = sibling.withColumn("query_id", F.lit("q2"))
+    append_records(sibling, path)
+
+    s = backfill_days(
+        spark,
+        query_id="q1",
+        start=day,
+        end=day,
+        fetch_day=_empty_fetch_factory(spark),
+        table_path=path,
+        force_recompute=True,
+    )
+    assert (s.deleted_days, s.inserted_days, s.skipped_no_data) == (1, 0, 0)
+    out = spark.read.parquet(path)
+    assert out.count() == 1  # only the sibling survives
+    assert out.select("query_id").first()["query_id"] == "q2"
+
+
+def test_backfill_force_empty_fetch_skip_if_no_data_keeps_old(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    day = date(2024, 3, 1)
+    backfill_days(
+        spark, query_id="q1", start=day, end=day,
+        fetch_day=_fetch_day_factory(spark), table_path=path,
+    )
+    s = backfill_days(
+        spark, query_id="q1", start=day, end=day,
+        fetch_day=_empty_fetch_factory(spark), table_path=path,
+        force_recompute=True, skip_if_no_data=True,
+    )
+    assert (s.deleted_days, s.skipped_no_data) == (0, 1)
+    assert spark.read.parquet(path).count() == 1  # old data kept
+
+
+def test_backfill_empty_fetch_without_force_skips(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    day = date(2024, 3, 1)
+    s = backfill_days(
+        spark, query_id="q1", start=day, end=day,
+        fetch_day=_empty_fetch_factory(spark), table_path=path,
+    )
+    assert (s.inserted_days, s.skipped_no_data, s.deleted_days) == (0, 1, 0)
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()  # nothing was written
+
+
+def test_backfill_dry_run_reports_delete_for_force_empty(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    day = date(2024, 3, 1)
+    backfill_days(
+        spark, query_id="q1", start=day, end=day,
+        fetch_day=_fetch_day_factory(spark), table_path=path,
+    )
+    s = backfill_days(
+        spark, query_id="q1", start=day, end=day,
+        fetch_day=_empty_fetch_factory(spark), table_path=path,
+        force_recompute=True, dry_run=True,
+    )
+    assert s.dry_run_days == ["2024-03-01:delete"]
+    assert s.deleted_days == 1
+    assert spark.read.parquet(path).count() == 1  # dry run wrote nothing
 
 
 def test_retention_classifier():

@@ -200,10 +200,13 @@ def test_vector_modulo_keeps_dividend_sign(spark):
 
 
 def test_offset_inside_subquery_shifts_the_frame(spark):
-    # samples 2-3h back; a 1h frame offset by 2h must read them
+    # samples 2-3h back; a 1h frame offset by 2h must read them. (Samples
+    # sit strictly inside the shifted frame — one exactly at the shifted
+    # frame's end would be excluded by the half-open [lo, hi) convention,
+    # see test_subquery_frame_is_half_open_like_raw_range.)
     df = _samples(
         spark,
-        [("m", {"h": "a"}, v, -7200 - i * 600) for i, v in enumerate([1, 2, 3])],
+        [("m", {"h": "a"}, v, -7800 - i * 600) for i, v in enumerate([1, 2, 3])],
     )
     out = eval_promql(df, "sum_over_time(m[1h:10m] offset 2h)", T0)
     assert out.collect()[0]["value"] == 6.0
@@ -351,6 +354,18 @@ def test_raw_range_vector_over_time_vs_subquery_form(spark):
     raw = eval_promql(df, "sum_over_time(m[1h])", T0).collect()[0]["value"]
     stepped = eval_promql(df, "sum_over_time(m[1h:1h])", T0).collect()[0]["value"]
     assert raw == 12.0 and stepped == 7.0
+
+
+def test_subquery_frame_is_half_open_like_raw_range(spark):
+    # DIVERGENCES.md: frames are half-open [t-f, t) EVERYWHERE. A sample
+    # exactly at the eval instant must be excluded by BOTH the raw-range
+    # form m[1h] and the subquery form m[1h:1m] (regression: the subquery
+    # frame used an inclusive clip and disagreed with its raw dual).
+    df = _samples(spark, [("m", {"h": "a"}, 3, -120), ("m", {"h": "a"}, 9, 0)])
+    raw = eval_promql(df, "sum_over_time(m[1h])", T0).collect()[0]["value"]
+    sub = eval_promql(df, "sum_over_time(m[1h:1m])", T0).collect()[0]["value"]
+    assert raw == 3.0
+    assert sub == 3.0
 
 
 def test_changes_resets_from_query_text(spark):

@@ -49,6 +49,48 @@ def test_cron_field_count_validated():
         CronSchedule("* * * * *")  # 5-field (no seconds) is rejected
 
 
+def test_cron_range_with_step_anchors_at_range_start():
+    # robfig/cron: 3-59/15 fires at {3,18,33,48}, not {15,30,45}
+    c = CronSchedule("3-59/15 * * * * *")
+    assert c.fields[0] == {3, 18, 33, 48}
+    assert c.matches(datetime(2024, 3, 15, 9, 10, 3))
+    assert c.matches(datetime(2024, 3, 15, 9, 10, 48))
+    assert not c.matches(datetime(2024, 3, 15, 9, 10, 15))
+    assert c.next_fire(datetime(2024, 3, 15, 9, 10, 3)) == datetime(
+        2024, 3, 15, 9, 10, 18
+    )
+
+
+def test_cron_bare_value_with_step_runs_to_field_max():
+    # vixie/robfig: "5/20" in the hours field == "5-23/20" -> {5}
+    c = CronSchedule("0 0 5/20 * * *")
+    assert c.fields[2] == {5}
+    c2 = CronSchedule("10/20 * * * * *")
+    assert c2.fields[0] == {10, 30, 50}
+
+
+def test_cron_dom_dow_or_when_both_restricted():
+    # vixie/robfig: restricted dom AND restricted dow -> fire on EITHER.
+    # 2024-03-15 is a Friday; 2024-03-18 is a Monday.
+    c = CronSchedule("0 0 0 15 * 1")  # the 15th OR Mondays
+    assert c.matches(datetime(2024, 3, 15, 0, 0, 0))  # 15th (a Friday)
+    assert c.matches(datetime(2024, 3, 18, 0, 0, 0))  # a Monday (the 18th)
+    assert not c.matches(datetime(2024, 3, 19, 0, 0, 0))  # Tuesday the 19th
+
+
+def test_cron_dom_dow_and_when_either_is_star():
+    c = CronSchedule("0 0 0 * * 1")  # every Monday
+    assert c.matches(datetime(2024, 3, 18, 0, 0, 0))
+    assert not c.matches(datetime(2024, 3, 15, 0, 0, 0))
+    c2 = CronSchedule("0 0 0 15 * *")  # every 15th
+    assert c2.matches(datetime(2024, 3, 15, 0, 0, 0))
+    assert not c2.matches(datetime(2024, 3, 18, 0, 0, 0))
+    # a */n dow still counts as "star" for the OR rule (robfig star bit):
+    # Sunday the 17th matches dow */2 but not dom 15 -> AND semantics -> no fire
+    c3 = CronSchedule("0 0 0 15 * */2")
+    assert not c3.matches(datetime(2024, 3, 17, 0, 0, 0))
+
+
 def test_retry_counts_attempts():
     calls = []
 
