@@ -3,10 +3,14 @@
 ``python -m prom_etl_db_spark run-once ...`` plays ``cmd/server``'s
 startup pass (`/root/reference/cmd/server/main.go:157-189`): load every
 enabled config from the catalog and execute each once, with the A16
-audit protocol and the A29 retry decorator. (The cron DAEMON loop is
-deliberately not reproduced in-process: on a cluster the per-config
-``CronSchedule.next_fire`` drives an external scheduler invoking this
-same one-shot — SURVEY.md §2.D trigger row.)
+audit protocol and the A29 retry decorator.
+
+``python -m prom_etl_db_spark serve ...`` plays the full service mode
+(`cmd/server/main.go:108-212`): immediate first run, then the cron loop
+over ``CronSchedule.next_fire``, SIGINT/SIGTERM graceful shutdown that
+drains the in-flight execution. On a cluster the same one-shot can
+instead be driven by an external scheduler — both paths share
+``executor.execute_config_query``.
 
 ``python -m prom_etl_db_spark repair ...`` plays ``cmd/repair``
 (`cmd/repair/main.go:28-84` flag surface): per-day idempotent backfill
@@ -65,6 +69,83 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
             failures += 1
             print(f"FAIL  {cfg.query_id}: {e}", file=sys.stderr)
     return 1 if failures else 0
+
+
+def _cmd_serve(args: argparse.Namespace) -> int:
+    """The reference's service mode (cmd/server/main.go:108-212): cron
+    loop over the enabled catalog, immediate first run, graceful stop."""
+    import sys as _sys
+    import threading
+
+    from prom_etl_db_spark.config import load_enabled
+    from prom_etl_db_spark.executor import execute_config_query
+    from prom_etl_db_spark.scheduler import with_retry
+    from prom_etl_db_spark.serve import (
+        advance_clock,
+        install_signal_handlers,
+        serve_loop,
+    )
+    from prom_etl_db_spark.session import get_spark
+
+    if args.virtual_clock and (args.now_start is None or args.max_ticks is None):
+        print(
+            "--virtual-clock requires --now-start and --max-ticks "
+            "(a virtual clock with no tick bound would spin forever)",
+            file=_sys.stderr,
+        )
+        return 2
+
+    spark = get_spark("serve")
+    stream = _sample_stream(spark, args.sf_dir)
+    configs = load_enabled(spark, args.configs)
+    print(f"{len(configs)} enabled config(s) scheduled", file=_sys.stderr)
+
+    def run_config(cfg, now):
+        with_retry(
+            lambda: execute_config_query(
+                spark, stream, cfg,
+                now=now,
+                store_path=args.store,
+                audit_path=args.audit,
+                mode=args.mode.replace("-", "_"),
+            ),
+            retry_count=cfg.retry_count,
+            retry_interval="0s" if args.no_sleep else cfg.retry_interval,
+        )
+
+    stop = threading.Event()
+    install_signal_handlers(stop)
+    start = args.now_start or datetime.now()
+    if args.virtual_clock:
+        clock, sleep = advance_clock(start)
+    else:
+        import time as _time
+
+        clock, sleep = datetime.now, _time.sleep
+
+    def on_tick(tick):
+        status = f"fired {len(tick.query_ids)} config(s)"
+        if tick.failures:
+            status += f", {len(tick.failures)} failed"
+        print(f"{tick.fired_at.isoformat()} {status}", file=_sys.stderr)
+
+    summary = serve_loop(
+        configs,
+        run_config,
+        start=start,
+        stop=stop,
+        clock=clock,
+        sleep=sleep,
+        poll_interval=args.poll_interval,
+        max_ticks=args.max_ticks,
+        on_tick=on_tick,
+    )
+    print(
+        f"served {len(summary.ticks)} tick(s), {summary.executions} execution(s)"
+        + (", stopped by request" if summary.stopped_by_request else ""),
+        file=_sys.stderr,
+    )
+    return 1 if any(t.failures for t in summary.ticks) else 0
 
 
 def _cmd_repair(args: argparse.Namespace) -> int:
@@ -136,6 +217,38 @@ def main(argv: list[str] | None = None) -> int:
         "only use it for configs that run at most once per day",
     )
     r.set_defaults(fn=_cmd_run_once)
+
+    s = sub.add_parser(
+        "serve", help="run forever, firing enabled configs on their cron schedules"
+    )
+    s.add_argument("--configs", required=True, help="config catalog parquet path")
+    s.add_argument("--store", required=True, help="metrics table path")
+    s.add_argument("--audit", required=True, help="query_executions path")
+    s.add_argument("--sf-dir", required=True, help="samples fixture dir")
+    s.add_argument(
+        "--now-start", type=datetime.fromisoformat, default=None,
+        help="daemon epoch (ISO; default: wall clock). The immediate first "
+        "run executes at this instant; cron matching begins after it.",
+    )
+    s.add_argument(
+        "--max-ticks", type=int, default=None,
+        help="stop after N scheduled firings (default: run forever)",
+    )
+    s.add_argument(
+        "--poll-interval", type=float, default=1.0,
+        help="stop-request check cadence while waiting, seconds",
+    )
+    s.add_argument(
+        "--virtual-clock", action="store_true",
+        help="sleep advances a simulated clock instead of blocking — "
+        "offline smoke runs (requires --now-start and --max-ticks)",
+    )
+    s.add_argument("--no-sleep", action="store_true", help="skip retry sleeps")
+    s.add_argument(
+        "--mode", choices=("append", "skip-existing"), default="append",
+        help="same semantics as run-once",
+    )
+    s.set_defaults(fn=_cmd_serve)
 
     b = sub.add_parser("repair", help="per-day idempotent backfill")
     b.add_argument("--configs", required=True)

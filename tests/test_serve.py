@@ -1,0 +1,186 @@
+"""Serve-forever daemon loop (serve.py) — the reference's service mode
+(`cmd/server/main.go:108-212`): immediate first run, cron-scheduled
+firings, failure isolation, graceful stop that drains in-flight work.
+
+The e2e tests drive the REAL loop through a simulated clock (sleep
+advances virtual time), and the CLI test runs the actual ``serve``
+subcommand end-to-end over a parquet catalog + store + audit trail.
+"""
+
+from __future__ import annotations
+
+import threading
+from datetime import datetime, timedelta
+
+from prom_etl_db_spark.config import QueryConfig
+from prom_etl_db_spark.serve import advance_clock, serve_loop
+
+START = datetime(2024, 3, 15, 12, 0, 0)
+
+
+def _cfg(qid: str, schedule: str) -> QueryConfig:
+    return QueryConfig(query_id=qid, name=qid, query="cpu", schedule=schedule)
+
+
+def _run_recorder(calls):
+    def run_config(cfg, now):
+        calls.append((cfg.query_id, now))
+
+    return run_config
+
+
+def test_two_tick_simulated_clock_fires_right_configs_twice():
+    # e30: every 30s; e60: every minute. Two scheduled ticks after the
+    # immediate first run: 12:00:30 fires only e30, 12:01:00 fires both.
+    configs = [_cfg("e30", "*/30 * * * * *"), _cfg("e60", "0 * * * * *")]
+    clock, sleep = advance_clock(START)
+    calls: list[tuple[str, datetime]] = []
+    summary = serve_loop(
+        configs,
+        _run_recorder(calls),
+        start=START,
+        stop=threading.Event(),
+        clock=clock,
+        sleep=sleep,
+        max_ticks=2,
+    )
+    assert [t.fired_at for t in summary.ticks] == [
+        START,  # immediate first run (main.go:157-189)
+        START + timedelta(seconds=30),
+        START + timedelta(minutes=1),
+    ]
+    assert summary.ticks[0].query_ids == ["e30", "e60"]
+    assert summary.ticks[1].query_ids == ["e30"]
+    assert summary.ticks[2].query_ids == ["e30", "e60"]
+    # each execution's "now" is its scheduled fire instant, never wall clock
+    assert calls == [
+        ("e30", START), ("e60", START),
+        ("e30", START + timedelta(seconds=30)),
+        ("e30", START + timedelta(minutes=1)),
+        ("e60", START + timedelta(minutes=1)),
+    ]
+    assert not summary.stopped_by_request
+
+
+def test_failure_is_recorded_and_loop_keeps_serving():
+    configs = [_cfg("bad", "*/30 * * * * *"), _cfg("good", "*/30 * * * * *")]
+    clock, sleep = advance_clock(START)
+
+    def run_config(cfg, now):
+        if cfg.query_id == "bad":
+            raise RuntimeError("boom")
+
+    summary = serve_loop(
+        configs, run_config, start=START, stop=threading.Event(),
+        clock=clock, sleep=sleep, max_ticks=1,
+    )
+    # both ticks ran despite the failure; failures are per-tick records
+    assert len(summary.ticks) == 2
+    for tick in summary.ticks:
+        assert tick.query_ids == ["bad", "good"]
+        assert tick.failures == ["bad: boom"]
+
+
+def test_stop_request_drains_current_tick_and_exits():
+    # stop fires DURING the first scheduled tick's execution: the tick's
+    # remaining configs still run (drain), then the loop exits without
+    # waiting for the next fire time.
+    stop = threading.Event()
+    configs = [_cfg("a", "*/30 * * * * *"), _cfg("b", "*/30 * * * * *")]
+    clock, sleep = advance_clock(START)
+    calls: list[tuple[str, datetime]] = []
+
+    def run_config(cfg, now):
+        calls.append((cfg.query_id, now))
+        if cfg.query_id == "a" and now != START:
+            stop.set()  # shutdown request lands mid-tick
+
+    summary = serve_loop(
+        configs, run_config, start=START, stop=stop,
+        clock=clock, sleep=sleep, max_ticks=100,
+    )
+    t1 = START + timedelta(seconds=30)
+    # tick 1 (immediate) ran fully; tick 2 drained both configs; no tick 3
+    assert calls == [("a", START), ("b", START), ("a", t1), ("b", t1)]
+    assert summary.stopped_by_request
+
+
+def test_stop_request_mid_wait_exits_without_firing():
+    stop = threading.Event()
+    clock, sleep_virtual = advance_clock(START)
+    sleeps = {"n": 0}
+
+    def sleep(seconds):
+        sleeps["n"] += 1
+        if sleeps["n"] == 3:
+            stop.set()
+        sleep_virtual(seconds)
+
+    summary = serve_loop(
+        [_cfg("a", "0 0 * * * *")],  # next fire a full hour away
+        _run_recorder([]),
+        start=START, stop=stop, clock=clock, sleep=sleep,
+        poll_interval=1.0, max_ticks=5,
+    )
+    # only the immediate run happened; the hour-long wait was abandoned
+    # after ~3 poll intervals, not slept through
+    assert len(summary.ticks) == 1
+    assert summary.stopped_by_request
+    assert sleeps["n"] == 3
+
+
+def test_serve_cli_end_to_end(spark, tmp_path, monkeypatch):
+    """The actual subcommand over parquet catalog/store/audit: two virtual
+    ticks write records and audit rows for the enabled config only."""
+    import prom_etl_db_spark.session as sess
+    from prom_etl_db_spark.__main__ import main
+    from prom_etl_db_spark.config import upsert_config
+
+    monkeypatch.setattr(sess, "get_spark", lambda name=None: spark)
+    catalog = str(tmp_path / "catalog")
+    store = str(tmp_path / "store")
+    audit = str(tmp_path / "audit")
+    upsert_config(
+        spark, catalog,
+        QueryConfig(
+            query_id="gpu", name="gpu util", query="sum(click) by (k)",
+            schedule="*/30 * * * * *",
+            time_range_type="range",
+            time_range_start="-1d", time_range_end="now", time_range_step="1h",
+        ),
+    )
+    upsert_config(
+        spark, catalog,
+        QueryConfig(query_id="off", name="disabled", query="click",
+                    enabled=False),
+    )
+    rc = main([
+        "serve",
+        "--configs", catalog,
+        "--store", store,
+        "--audit", audit,
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--now-start", "2024-01-30T00:00:00",
+        "--max-ticks", "2",
+        "--virtual-clock",
+        "--no-sleep",
+    ])
+    assert rc == 0
+    audits = spark.read.parquet(audit)
+    # immediate run + 2 scheduled ticks, enabled config only, all success
+    assert audits.count() == 3
+    assert audits.where("status = 'success'").count() == 3
+    assert audits.select("query_id").distinct().collect()[0]["query_id"] == "gpu"
+    records = spark.read.parquet(store)
+    assert records.count() > 0
+    assert records.select("query_id").distinct().count() == 1
+
+
+def test_serve_cli_virtual_clock_requires_bounds(tmp_path):
+    from prom_etl_db_spark.__main__ import main
+
+    rc = main([
+        "serve", "--configs", "x", "--store", "y", "--audit", "z",
+        "--sf-dir", "w", "--virtual-clock",
+    ])
+    assert rc == 2
