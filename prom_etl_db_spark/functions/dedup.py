@@ -287,6 +287,7 @@ def ngram_jaccard_dup_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold, computed by exploding
     hashed shingles and equi-joining on the int64 hash — co-occurrence
@@ -294,7 +295,19 @@ def ngram_jaccard_dup_pairs(
     shingles, not |docs|². Each token row carries its doc's shingle-set
     size (one extra int64 on the shuffle) so the union size falls out of
     the same aggregation — no second pass over the shingles, no persist,
-    no size re-join. Output: (id_a, id_b, jaccard)."""
+    no size re-join. Output: (id_a, id_b, jaccard).
+
+    ``max_shingle_df`` is the hot-shingle defense: a stop-word-like
+    shingle appearing in df documents contributes df² join rows, so ONE
+    shingle in 1% of a 100 TB corpus makes its bucket quadratic. Shingles
+    with document frequency > the cap are dropped from the join (standard
+    df-capping); denominators keep the FULL shingle-set sizes, so the
+    computed Jaccard only ever UNDERestimates — precision is exact, and
+    the recall bound is quantifiable: a true-positive pair is missed only
+    if its capped Jaccard (shared hot shingles removed from the
+    intersection, none from the union) falls below the threshold. The
+    hot set is provably small — ≤ total_tokens / cap shingles — so it
+    broadcasts; the big token stream is never extra-shuffled for it."""
     sh = balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col).select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -307,6 +320,14 @@ def ngram_jaccard_dup_pairs(
     tokens = sh.select(
         "id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
+    if max_shingle_df is not None:
+        hot = (
+            tokens.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        tokens = tokens.join(F.broadcast(hot), "shingle", "left_anti")
     return (
         # shuffle_hash, not broadcast: the token side is mid-sized (falls
         # under the broadcast threshold locally but never would at scale),

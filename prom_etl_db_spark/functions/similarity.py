@@ -210,6 +210,29 @@ def _hyperplanes(dim: int, n: int, seed: int = 42):
     return rng.standard_normal((n, dim)).astype(float)
 
 
+def lsh_auto_size(
+    n_vectors: int, threshold: float, *, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """(bands, bits) for sign-LSH sized to the corpus: ``bits`` grows with
+    log₂(n) so RANDOM-pair candidate volume stays ~linear (random pairs
+    collide per band at ~2^-bits, so n²·bands/2^bits stays O(n·bands) when
+    2^bits ≈ n), then ``bands`` is the smallest count reaching the target
+    recall at the threshold: recall = 1-(1-p^bits)^bands, p = 1-θ/π.
+
+    The bits floor is 8 (tiny corpora don't need fewer) and the cap 24
+    (beyond that, band-count growth for recall outpaces the collision
+    savings at moderate thresholds — shard the corpus instead)."""
+    import math
+
+    bits = max(8, min(24, math.ceil(math.log2(max(2, n_vectors))) - 8))
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p_bit**bits
+    if p_band >= 1.0:
+        return 1, bits
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return max(1, bands), bits
+
+
 def cosine_neardup_lsh(
     vectors: DataFrame,
     threshold: float,
@@ -217,9 +240,10 @@ def cosine_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bands: int = 48,
-    bits: int = 8,
+    bands: int | None = None,
+    bits: int | None = None,
     seed: int = 42,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """E2 (embedding near-dup, scale path): random-hyperplane (SimHash)
     LSH. Per vector, ``bands×bits`` sign bits of dot products against fixed
@@ -230,17 +254,28 @@ def cosine_neardup_lsh(
     carries (id, band, key) only, like the MinHash banding in
     ``functions.dedup`` (same plan shape at 100 TB).
 
-    Sizing rule: RANDOM pairs collide per band at ~2^-bits, so candidate
-    volume scales O(n² · bands / 2^bits) — ``bits`` must grow with corpus
-    size (8 bits ⇒ 1/256 of pairs; 16 ⇒ 1/65k). High recall at moderate
-    thresholds (~0.4) then needs many bands; for true near-dup thresholds
-    (≥0.9, p_bit ≳ 0.85) a handful of bands suffices and collisions
-    concentrate on real duplicates.
+    Sizing: when ``bands``/``bits`` are None (the default), they are
+    AUTO-SIZED from the corpus count via ``lsh_auto_size`` — ``bits``
+    grows with log₂(corpus) so candidate volume stays near-linear, and
+    ``bands`` is then chosen to hit ``target_recall`` at the threshold.
+    (A static bits would silently go superlinear at 100× the corpus; a
+    static bands at larger bits would silently lose recall.) The count is
+    one cheap job over the already-persisted id+vec projection. Explicit
+    values override — for true near-dup thresholds (≥0.9, p_bit ≳ 0.85) a
+    handful of bands suffices and collisions concentrate on real dups.
     """
-    planes = _hyperplanes(dim, bands * bits, seed)
     v = balance(vectors, id_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    v = v.persist()  # read by the count, the signature pass, both verify joins
+    if bands is None or bits is None:
+        # the sizing count doubles as cache materialization
+        auto_bands, auto_bits = lsh_auto_size(
+            v.count(), threshold, target_recall=target_recall
+        )
+        bands = auto_bands if bands is None else bands
+        bits = auto_bits if bits is None else bits
+    planes = _hyperplanes(dim, bands * bits, seed)
 
     # all bands×bits sign bits in ONE BLAS matmul per Arrow batch, packed
     # into an int64 key per band — 96 interpreted per-element fold
@@ -257,7 +292,6 @@ def cosine_neardup_lsh(
 
     band_keys = F.pandas_udf(band_keys_fn, "array<long>")
 
-    v = v.persist()  # read by the signature pass and both verify joins
     sig = v.select(
         "id", F.posexplode(band_keys(F.col("vec"))).alias("band", "key")
     )

@@ -799,15 +799,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 3-gram Jaccard ≥ 0.3 pairs as a reusable CTE chain (shared by the pair
-# query and the cluster/canonical queries built on top of it)
-_NGRAM_PAIRS_CTES = r"""
+# query and the cluster/canonical queries built on top of it). The
+# hot-shingle df-cap (document frequency > _NGRAM_MAX_DF drops the shingle
+# from the join; set sizes stay FULL, so Jaccard only underestimates)
+# mirrors dedup.ngram_jaccard_dup_pairs(max_shingle_df=...) exactly — at
+# fixture scale no shingle reaches the cap (max df is 25 at sf0.1), so the
+# oracle also proves the capped path is result-identical where no bucket
+# is hot.
+_NGRAM_MAX_DF = 100
+_NGRAM_PAIRS_CTES = rf"""
 sh AS (
   SELECT doc_id AS id,
          list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
   WHERE len(w) >= 3
-), tok AS (
+), tok_all AS (
   SELECT id, unnest(shingles) AS shingle FROM sh
+), tok AS (
+  SELECT id, shingle FROM tok_all
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {_NGRAM_MAX_DF}
 ), inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
   FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.id < b.id
@@ -833,7 +843,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 (exact variant): all document pairs with 3-gram Jaccard ≥ 0.3,
     computed via shingle equi-join (never a crossJoin)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
+    return dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3, max_shingle_df=_NGRAM_MAX_DF)
 
 
 @register("minhash_lsh_pairs")  # no SQL oracle: crc32-minhash isn't DuckDB-expressible
@@ -1065,13 +1075,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 (embedding near-dup, scale path): random-hyperplane LSH banding +
     exact-cosine verify; candidate shuffle carries (id, band, key) only.
-    Sizing for threshold 0.4: p_band = (1 - acos(0.4)/pi)^8 ~ 0.025, so
-    120 bands give ~95% recall AT the threshold (48 bands would drop to
-    ~71%) while random pairs still collide 3x less than a 24x4 config.
-    Unit tests cross-validate recall against the exact variant at these
-    parameters."""
+    bands/bits AUTO-SIZE from the corpus count (lsh_auto_size): bits grows
+    with log2(corpus) so random-pair candidate volume stays near-linear,
+    bands then sized for 95% recall at the threshold — at fixture scale
+    this resolves to bits=8, bands=118 (p_band = (1-acos(0.4)/pi)^8 ~
+    0.025), matching the hand-sized round-1 values; at 100x the corpus it
+    grows bits instead of going quadratic. Unit tests cross-validate
+    recall against the exact variant."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=120, bits=8)
+    return similarity.cosine_neardup_lsh(emb, threshold=0.4)
 
 
 @register(
@@ -1725,7 +1737,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id (min-label propagation; the oracle proves the fixpoint via a
     recursive transitive-closure CTE)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
+    pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3, max_shingle_df=_NGRAM_MAX_DF)
     out = dedup.connected_components(pairs)
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -1756,7 +1768,7 @@ def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     member plus all unpaired docs, counted per language. The cluster
     assignment broadcasts; the corpus never shuffles."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3)
+    pairs = dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3, max_shingle_df=_NGRAM_MAX_DF)
     kept = dedup.keep_canonical(docs, pairs)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
 

@@ -17,6 +17,9 @@ batches — the same code deploys with a processing-time trigger.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -53,6 +56,91 @@ def stream_events_to_metrics(
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("collected_date")
         .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def idempotent_batch_committer(store_path: str, query_id: str):
+    """foreachBatch commit protocol making replayed micro-batches no-ops
+    when writing into the DAY STORE layout (store.py), which is not a
+    streaming file sink and so gets no exactly-once from the checkpoint
+    alone (§2.D exactly-once row — the batch path has
+    ``backfill_skip_existing``; this is the streaming counterpart).
+
+    Per (query_id, batchId):
+
+    1. committed marker exists → return (replay after a completed commit);
+    2. stage the batch under ``_stream_staging/<qid>/batch=<id>``
+       (mode=overwrite — a half-written staging dir from a crashed
+       attempt is simply rewritten);
+    3. publish each staged day-partition file into the store under a
+       DETERMINISTIC name ``stream-<qid>-<batchId>-<partition>-<i>``,
+       deleting any same-prefix files first — so a crash between publish
+       and marker replays into the SAME filenames instead of
+       double-appending (Spark file sources replay a batch with
+       identical data, hence identical day partitions);
+    4. write the marker (atomic create), drop staging.
+
+    Driver-side work is O(files in one micro-batch), never O(store).
+    Local-FS copy here; on an object store step 3 is the same put-by-
+    deterministic-key."""
+    root = Path(store_path)
+    commits = root / "_stream_commits" / query_id
+    staging_root = root / "_stream_staging" / query_id
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        marker = commits / f"{batch_id}"
+        if marker.exists():
+            return
+        stage = staging_root / f"batch={batch_id}"
+        (
+            batch_df.write.partitionBy("collected_date")
+            .mode("overwrite")
+            .parquet(str(stage))
+        )
+        prefix = f"stream-{query_id}-{batch_id}-"
+        for part_dir in sorted(stage.glob("collected_date=*")):
+            dst_dir = root / part_dir.name
+            dst_dir.mkdir(parents=True, exist_ok=True)
+            # clear a previous crashed attempt's files for THIS batch only
+            for stale in dst_dir.glob(f"{prefix}*"):
+                stale.unlink()
+            for i, f in enumerate(sorted(part_dir.glob("*.parquet"))):
+                shutil.copyfile(f, dst_dir / f"{prefix}{i}.parquet")
+        commits.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return commit
+
+
+def stream_events_to_store(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    query_id: str = "events_stream",
+) -> StreamingQuery:
+    """Ingest stream writing into the day-partitioned STORE (the same
+    layout the batch path, repair tool, and retention operate on) via the
+    idempotent foreachBatch committer — a replayed micro-batch after a
+    mid-batch kill cannot double-append."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    records = events_as_metric_records(raw, query_id=query_id)
+    writer = (
+        records.writeStream.foreachBatch(
+            idempotent_batch_committer(store_path, query_id)
+        ).option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

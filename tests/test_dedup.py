@@ -91,6 +91,49 @@ def test_ngram_jaccard_respects_threshold(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_ngram_df_cap_drops_hot_shingles_conservatively(spark):
+    # "x y z" appears in ALL four docs (the stop-shingle); with cap=3 it
+    # leaves the join, so pairs related ONLY through it vanish and the
+    # surviving pair's jaccard is an UNDERestimate (full-size denominator).
+    df = spark.createDataFrame(
+        [
+            (1, "x y z a b c d"),   # grams: xyz, yza, zab, abc, bcd
+            (2, "x y z a b c e"),   # grams: xyz, yza, zab, abc, bce
+            (3, "x y z p q r"),     # grams: xyz, yzp, zpq, pqr
+            (4, "x y z s t u"),     # grams: xyz, yzs, zst, stu
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_dup_pairs(df, threshold=0.05).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_dup_pairs(
+            df, threshold=0.05, max_shingle_df=3
+        ).collect()
+    }
+    # uncapped: every pair shares at least the hot shingle
+    assert set(uncapped) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # capped: pairs held together only by the hot shingle are gone
+    assert set(capped) == {(1, 2)}
+    # (1,2): inter drops 4→3, union stays 5+5-3=7 → 3/7, strictly below
+    # the uncapped 4/6 — never an overestimate
+    assert capped[(1, 2)] == pytest.approx(3 / 7, abs=1e-6)
+    assert capped[(1, 2)] < uncapped[(1, 2)]
+
+
+def test_ngram_df_cap_noop_when_no_bucket_is_hot(docs):
+    # cap far above any fixture df → byte-identical results (the
+    # registry runs the capped path; this pins its no-hot-bucket parity)
+    base = sorted(map(tuple, ngram_jaccard_dup_pairs(docs, threshold=0.5).collect()))
+    capped = sorted(map(tuple, ngram_jaccard_dup_pairs(
+        docs, threshold=0.5, max_shingle_df=100
+    ).collect()))
+    assert base == capped
+
+
 def test_simhash_deterministic_and_close_for_near_dups(docs):
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
     sig2 = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}

@@ -95,9 +95,9 @@ def test_topk_matches_neardup_scores(spark, vectors):
 
 
 def test_lsh_recall_at_query_parameters(spark, sf_dir):
-    # the registry query's exact configuration (threshold 0.4, 120x8) must
-    # hold >= 0.9 aggregate recall against the exact pair set — this is
-    # the gate the rows-only driver check can't provide
+    # the registry query's configuration (threshold 0.4, AUTO-sized
+    # bands/bits) must hold >= 0.9 aggregate recall against the exact
+    # pair set — this is the gate the rows-only driver check can't provide
     from prom_etl_db_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -107,12 +107,44 @@ def test_lsh_recall_at_query_parameters(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in cosine_neardup_lsh(emb, threshold=0.4, bands=120, bits=8).collect()
+        for r in cosine_neardup_lsh(emb, threshold=0.4).collect()
     }
     assert lsh <= exact  # exact verify ⇒ never a false positive
     assert exact, "fixture must contain near-dup pairs"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} below 0.9"
+
+
+def test_lsh_auto_size_grows_bits_with_corpus():
+    from prom_etl_db_spark.functions.similarity import lsh_auto_size
+
+    # small corpora stay at the 8-bit floor; bits then track log2(n)-8,
+    # so 100x the corpus adds ~log2(100) ~ 7 bits instead of 100x the
+    # random-pair candidate volume
+    b_small = lsh_auto_size(500, 0.4)
+    b_mid = lsh_auto_size(100_000, 0.4)
+    b_big = lsh_auto_size(10_000_000, 0.4)
+    assert b_small[1] == 8
+    assert b_mid[1] == 9
+    assert b_big[1] == 16
+    assert b_small[0] < b_mid[0] < b_big[0]  # recall costs bands as bits grow
+
+    # the sizing reproduces round 1's hand-derived numbers at threshold
+    # 0.4 / 8 bits: p_band ~ 0.025 -> ~118 bands for 95% recall
+    bands, bits = lsh_auto_size(500, 0.4, target_recall=0.95)
+    assert (bands, bits) == (118, 8)
+
+    # high thresholds collapse to few bands: p_bit ~ 0.856 at 0.9
+    bands_hi, _ = lsh_auto_size(500, 0.9)
+    assert bands_hi <= 15
+
+    # candidate-volume sanity: expected random collisions n^2*bands/2^bits
+    # grow near-linearly, not quadratically, across a 100x corpus jump
+    def volume(n):
+        bands_, bits_ = lsh_auto_size(n, 0.4)
+        return (n * n / 2**bits_) * bands_
+
+    assert volume(10_000_000) / volume(100_000) < 100 * 25
 
 
 def test_ivf_recall_at_query_parameters(spark, sf_dir):

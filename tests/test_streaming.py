@@ -14,7 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.streaming.jobs import (
+    idempotent_batch_committer,
     stream_events_to_metrics,
+    stream_events_to_store,
     windowed_rollup_stream,
 )
 
@@ -70,6 +72,86 @@ def test_stream_picks_up_new_files_only(spark, tmp_path, events_dir):
     out = spark.read.parquet(sink)
     assert out.count() == 5
     assert out.where("value = 9.0").count() == 1
+
+
+def test_stream_to_store_matches_batch_oracle(spark, tmp_path, events_dir):
+    from prom_etl_db_spark.ingest import events_as_metric_records
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_events_to_store(spark, events_dir, store, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(store)
+    oracle = events_as_metric_records(
+        spark.read.parquet(events_dir), query_id="events_stream"
+    )
+    assert got.count() == oracle.count() == 4
+    assert sorted(map(tuple, got.select("metric_name", "value").collect())) == sorted(
+        map(tuple, oracle.select("metric_name", "value").collect())
+    )
+
+
+def test_stream_to_store_survives_checkpoint_loss_without_duplicates(
+    spark, tmp_path, events_dir
+):
+    # the hard exactly-once case: the CHECKPOINT is lost (or a mid-batch
+    # kill rewinds it), so Spark replays everything from scratch — the
+    # commit markers must make the full replay a no-op on the store
+    import shutil as sh
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream_events_to_store(spark, events_dir, store, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(store).count()
+    assert n1 == 4
+
+    sh.rmtree(ckpt)  # total checkpoint loss → batch 0 replays wholesale
+    stream_events_to_store(spark, events_dir, store, ckpt).awaitTermination(120)
+    assert spark.read.parquet(store).count() == n1
+
+
+def test_committer_replay_paths_are_idempotent(spark, tmp_path, events_dir):
+    from pathlib import Path
+
+    from prom_etl_db_spark.ingest import events_as_metric_records
+
+    store = tmp_path / "store"
+    batch = events_as_metric_records(
+        spark.read.parquet(events_dir), query_id="q_s"
+    )
+    commit = idempotent_batch_committer(str(store), "q_s")
+
+    commit(batch, 7)
+    n1 = spark.read.parquet(str(store)).count()
+    assert n1 == 4
+
+    # replay after completed commit (marker present) → no-op
+    commit(batch, 7)
+    assert spark.read.parquet(str(store)).count() == n1
+
+    # crash BETWEEN publish and marker: marker gone, data files present —
+    # the replay must land in the same deterministic filenames, not append
+    marker = store / "_stream_commits" / "q_s" / "7"
+    marker.unlink()
+    commit(batch, 7)
+    assert spark.read.parquet(str(store)).count() == n1
+
+    # crash MID-publish: marker gone AND one published file missing — the
+    # replay completes the publish without duplicating the surviving files
+    marker.unlink()
+    published = sorted(store.glob("collected_date=*/stream-q_s-7-*.parquet"))
+    assert published
+    published[0].unlink()
+    commit(batch, 7)
+    assert spark.read.parquet(str(store)).count() == n1
+
+    # a DIFFERENT batch id appends normally
+    commit(batch, 8)
+    assert spark.read.parquet(str(store)).count() == 2 * n1
+    assert (store / "_stream_commits" / "q_s" / "8").exists()
+    assert Path(store / "_stream_staging" / "q_s").exists() is False or not any(
+        (store / "_stream_staging" / "q_s").iterdir()
+    )
 
 
 def test_windowed_rollup_matches_batch(spark, tmp_path, events_dir):
