@@ -199,11 +199,23 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="prom_etl_db_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    r = sub.add_parser("run-once", help="execute every enabled config once")
-    r.add_argument("--configs", required=True, help="config catalog parquet path")
-    r.add_argument("--store", required=True, help="metrics table path")
-    r.add_argument("--audit", required=True, help="query_executions path")
-    r.add_argument("--sf-dir", required=True, help="samples fixture dir")
+    # A35: shared path settings resolve flag > environment > .env (the
+    # reference's loadEnvFile precedence, cmd/repair/main.go:591-630)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--env-file", default=".env",
+        help="KEY=VALUE file merged BENEATH the real environment "
+        "(missing file is fine). Env keys: PROM_ETL_SPARK_CONFIGS/"
+        "STORE/AUDIT/SF_DIR.",
+    )
+    common.add_argument("--configs", default=None, help="config catalog parquet path")
+    common.add_argument("--store", default=None, help="metrics table path")
+    common.add_argument("--sf-dir", default=None, help="samples fixture dir")
+
+    r = sub.add_parser(
+        "run-once", parents=[common], help="execute every enabled config once"
+    )
+    r.add_argument("--audit", default=None, help="query_executions path")
     r.add_argument(
         "--now", required=True, type=datetime.fromisoformat,
         help="frozen eval time (ISO)",
@@ -219,12 +231,10 @@ def main(argv: list[str] | None = None) -> int:
     r.set_defaults(fn=_cmd_run_once)
 
     s = sub.add_parser(
-        "serve", help="run forever, firing enabled configs on their cron schedules"
+        "serve", parents=[common],
+        help="run forever, firing enabled configs on their cron schedules",
     )
-    s.add_argument("--configs", required=True, help="config catalog parquet path")
-    s.add_argument("--store", required=True, help="metrics table path")
-    s.add_argument("--audit", required=True, help="query_executions path")
-    s.add_argument("--sf-dir", required=True, help="samples fixture dir")
+    s.add_argument("--audit", default=None, help="query_executions path")
     s.add_argument(
         "--now-start", type=datetime.fromisoformat, default=None,
         help="daemon epoch (ISO; default: wall clock). The immediate first "
@@ -250,11 +260,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.set_defaults(fn=_cmd_serve)
 
-    b = sub.add_parser("repair", help="per-day idempotent backfill")
-    b.add_argument("--configs", required=True)
+    b = sub.add_parser("repair", parents=[common], help="per-day idempotent backfill")
     b.add_argument("--query-id", required=True)
-    b.add_argument("--store", required=True)
-    b.add_argument("--sf-dir", required=True)
     b.add_argument("--start", required=True, type=date.fromisoformat,
                    help="first day (ISO date)")
     b.add_argument("--end", required=True, type=date.fromisoformat,
@@ -264,6 +271,17 @@ def main(argv: list[str] | None = None) -> int:
     b.set_defaults(fn=_cmd_repair)
 
     args = p.parse_args(argv)
+
+    from prom_etl_db_spark.envfile import ENV_KEYS, load_env_file, resolve_setting
+
+    load_env_file(args.env_file)
+    for attr, env_key in ENV_KEYS.items():
+        if not hasattr(args, attr):
+            continue
+        val = resolve_setting(getattr(args, attr), env_key)
+        if val is None:
+            p.error(f"--{attr.replace('_', '-')} (or ${env_key}) is required")
+        setattr(args, attr, val)
     return args.fn(args)
 
 

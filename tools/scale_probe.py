@@ -3,13 +3,25 @@ dir and report wall time + scaling ratio vs linear.
 
 Usage: python tools/scale_probe.py [sf_dir] [factors...]
 
-Scaling is synthesized IN MEMORY (no files written): events replicate
-with day-shifted timestamps and offset ids (distinct series/time — clean
-throughput growth); documents replicate with a per-copy vowel rotation
-(disjoint shingle sets — dedup candidate volume grows linearly, matching
-a corpus that grows with mostly-new content); embeddings replicate with
-offset ids (near-dup pair count grows quadratically in copies by
-construction, noted in output).
+Scaling is synthesized IN MEMORY (no files written), and replicas are
+CONTENT-DISJOINT so legitimate output grows ~linearly with input — a
+probe whose own fixture makes dup output quadratic can't tell a quadratic
+operator from a quadratic fixture:
+
+- events replicate with day-shifted timestamps and offset ids (distinct
+  series/time — clean throughput growth);
+- documents replicate under a per-copy Caesar shift of the alphabet
+  (shingle sets disjoint BETWEEN copies for any k <= 26, while every
+  within-copy dup relationship is preserved exactly — a bijective char
+  map leaves Jaccard invariant), so dup pairs grow k-linearly;
+- embeddings replicate under a per-copy deterministic sign-flip
+  (cos(s∘x, s∘y) = cos(x, y): within-copy structure exact; cross-copy
+  sims concentrate near 0), plus a 2% planted exact-dup sample per copy
+  so the measured threshold (0.9 — 7+ sigma above the cross-copy noise
+  tail) has k-linear ground truth. The base fixture's pairs at 0.4 are
+  noise-tail (920 of 2M pairs at ~3.2 sigma), which REALLY grows
+  quadratically in corpus size — an honest probe measures where truth is
+  linear.
 
 A sub-linear or ~linear time ratio at 10x is the evidence the per-op
 docstrings claim: no driver-side loops, no quadratic shuffles hiding at
@@ -18,20 +30,20 @@ small N.
 
 from __future__ import annotations
 
+import string
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from prom_etl_db_spark.functions import dedup, similarity
 from prom_etl_db_spark.operators import promql
 from prom_etl_db_spark.session import get_spark
 from prom_etl_db_spark.sources.tables import load_table
-
-ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
 
 
 def scaled_events(spark, sf_dir: str, k: int) -> DataFrame:
@@ -49,24 +61,49 @@ def scaled_events(spark, sf_dir: str, k: int) -> DataFrame:
 
 
 def scaled_docs(spark, sf_dir: str, k: int) -> DataFrame:
+    """Copy i rewrites letters under alphabet rotation i: shingles are
+    disjoint across copies (letters all differ; only all-digit/punct
+    shingles could collide), identical within a copy — dup output grows
+    k-linearly with a fixed dup fraction."""
+    if k > 26:
+        raise ValueError("Caesar-shift replicas support k <= 26")
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
     base = load_table(spark, sf_dir, "documents")
-    parts = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-        .withColumn("text", F.translate(F.col("text"), "aeiou", ROTS[i % len(ROTS)]))
-        for i in range(k)
-    ]
+    parts = []
+    for i in range(k):
+        rot = lower[i:] + lower[:i] + upper[i:] + upper[:i]
+        parts.append(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn("text", F.translate(F.col("text"), lower + upper, rot))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
-def scaled_embeddings(spark, sf_dir: str, k: int) -> DataFrame:
+def scaled_embeddings(spark, sf_dir: str, k: int, *, dup_every: int = 50) -> DataFrame:
+    """Copy i multiplies every vector elementwise by a deterministic ±1
+    pattern (cosines within a copy unchanged, cross-copy sims pushed to
+    the noise floor), then adds an exact duplicate of every ``dup_every``-th
+    vector — so pairs at high thresholds have k-linear ground truth."""
     base = load_table(spark, sf_dir, "embeddings")
-    parts = [
-        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
-        for i in range(k)
-    ]
+    dim = len(base.select("embedding").first()["embedding"])
+    parts = []
+    for i in range(k):
+        signs = np.random.RandomState(1000 + i).choice([-1.0, 1.0], size=dim)
+        s = F.array(*[F.lit(float(x)) for x in signs])
+        flipped = base.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+        ).withColumn(
+            "embedding",
+            F.zip_with(F.col("embedding"), s, lambda x, sg: (x * sg).cast("float")),
+        )
+        planted = flipped.where(F.col("vec_id") % dup_every == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(5_000_000)
+        )
+        parts += [flipped, planted]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -101,11 +138,17 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("promql_sum_by", promql.sum_by(samples, ["k"]))
 
     docs = scaled_docs(spark, sf_dir, k)
-    run("ngram_jaccard", dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3))
+    run(
+        "ngram_jaccard",
+        dedup.ngram_jaccard_dup_pairs(docs, threshold=0.3, max_shingle_df=100),
+    )
     run("minhash_lsh", dedup.minhash_lsh_dup_pairs(docs, bands=16, threshold=0.3))
 
     emb = scaled_embeddings(spark, sf_dir, k)
-    run("neardup_lsh", similarity.cosine_neardup_lsh(emb, threshold=0.4, bands=120, bits=8))
+    # auto-sized bands/bits (the registry path); threshold 0.9 sits 7+
+    # sigma above the cross-copy noise floor so ground truth is the
+    # k-linear planted exact dups
+    run("neardup_lsh", similarity.cosine_neardup_lsh(emb, threshold=0.9))
     return times
 
 
