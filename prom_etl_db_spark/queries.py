@@ -1048,6 +1048,48 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_pixels",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 8 + 1 AS INT) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+FROM documents
+""",
+)
+def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL pixel decode): per document, synthesize a valid 24-bit
+    BMP from closed-form id functions, then fully decode it — headers,
+    padded bottom-up pixel rows, per-channel means over every pixel — in
+    mapInPandas. The oracle recomputes the closed forms, so the driver
+    hash-checks the encode→decode roundtrip byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.bmp_roundtrip_features(docs)
+
+
+@register(
+    "multimodal_wav_samples",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(1 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST((doc_id % 50 + 1) * 100 AS INT) AS n_samples,
+       round(CAST((doc_id % 50 + 1) * 100 AS DOUBLE) / 8000, 6) AS duration_s,
+       round(CAST(doc_id % 1000 AS DOUBLE), 6) AS rms
+FROM documents
+""",
+)
+def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL sample decode): a valid PCM-16 WAV per document
+    (alternating ±amplitude → RMS exactly |amplitude|), decoded
+    sample-by-sample through the RIFF chunk walk."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.wav_roundtrip_features(docs)
+
+
+@register(
     "embedding_neardup_pairs",
     oracle="""
 WITH scored AS (
@@ -2298,6 +2340,9 @@ _GATE_PRIORITY = [
     "promql_irate_idelta",
     "promql_smoothing",
     "tpch_q3_shipping_priority",
+    # New in round 2 (never had a driver row):
+    "multimodal_bmp_pixels",
+    "multimodal_wav_samples",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -258,3 +258,91 @@ def test_image_header_adversarial_and_fill_bytes(spark):
         + b"\x00" * 9
     )
     assert image_dimensions(jpeg_fill) == ("jpeg", 640, 480)
+
+
+def test_bmp_roundtrip_decodes_real_pixels():
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import decode_bmp, synth_bmp
+
+    f = decode_bmp(synth_bmp(5, 3, 200, 100, 50))
+    assert (f["width"], f["height"]) == (5, 3)
+    assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (200.0, 100.0, 50.0)
+
+    # a NON-solid BMP proves the decoder reads actual pixels, not headers:
+    # hand-build 2x2 with distinct corner colors (stride pads 6 -> 8)
+    px_rows = [
+        bytes((10, 20, 30)) + bytes((40, 50, 60)) + b"\x00\x00",   # bottom row
+        bytes((70, 80, 90)) + bytes((100, 110, 120)) + b"\x00\x00",
+    ]
+    base = synth_bmp(2, 2, 0, 0, 0)
+    img = base[: 14 + 40] + b"".join(px_rows)
+    f2 = decode_bmp(img)
+    # means over the four BGR pixels
+    assert f2["mean_b"] == np.mean([10, 40, 70, 100])
+    assert f2["mean_g"] == np.mean([20, 50, 80, 110])
+    assert f2["mean_r"] == np.mean([30, 60, 90, 120])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG pretending")
+    with _pytest.raises(ValueError):
+        decode_bmp(synth_bmp(4, 4, 1, 2, 3)[:30])  # truncated pixel array
+
+
+def test_wav_roundtrip_decodes_real_samples():
+    from prom_etl_db_spark.functions.multimodal import decode_wav, synth_wav
+
+    f = decode_wav(synth_wav(400, 123))
+    assert f["n_samples"] == 400
+    assert f["sample_rate"] == 8000
+    assert f["channels"] == 1
+    assert f["rms"] == 123.0  # alternating +/-123 -> RMS exactly 123
+    assert f["duration_s"] == 400 / 8000
+
+    # an extra chunk BEFORE data must not desync the RIFF walk
+    wav = synth_wav(10, 7)
+    fmt_end = 12 + 8 + 16
+    padded = wav[:fmt_end] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + wav[fmt_end:]
+    padded = padded[:4] + (len(padded) - 8).to_bytes(4, "little") + padded[8:]
+    assert decode_wav(padded)["n_samples"] == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_real_decode_dispatches_bmp_wav_and_stubs_compressed():
+    import pytest as _pytest
+
+    from prom_etl_db_spark.functions.multimodal import (
+        real_decode,
+        synth_bmp,
+        synth_wav,
+    )
+
+    assert real_decode(synth_bmp(2, 2, 9, 9, 9), "image")["format"] == "bmp"
+    assert real_decode(synth_wav(10, 5), "audio")["format"] == "wav"
+    with _pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG\r\n\x1a\n...", "image")  # compressed: still stubbed
+
+
+def test_media_roundtrip_operators_match_closed_forms(spark):
+    from prom_etl_db_spark.functions.multimodal import (
+        bmp_roundtrip_features,
+        wav_roundtrip_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (0, 1, 17, 255, 511, 999)], "doc_id long, text string"
+    )
+    bmp = {r["media_id"]: r for r in bmp_roundtrip_features(docs).collect()}
+    assert bmp[17]["width"] == 17 % 16 + 1 and bmp[17]["height"] == 17 % 8 + 1
+    assert bmp[511]["mean_r"] == float(511 % 256)
+    assert bmp[999]["mean_g"] == float((999 * 7) % 256)
+    wav = {r["media_id"]: r for r in wav_roundtrip_features(docs).collect()}
+    assert wav[999]["rms"] == float(999 % 1000)
+    assert wav[0]["rms"] == 0.0
+    assert wav[17]["n_samples"] == (17 % 50 + 1) * 100
