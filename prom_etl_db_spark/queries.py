@@ -26,7 +26,14 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, multimodal, sampling, similarity, text
+from prom_etl_db_spark.functions import (
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from prom_etl_db_spark.operators import analytics, promql
 from prom_etl_db_spark.sources.tables import load_table
 from prom_etl_db_spark.timeparse import RelativeTimeParser
@@ -1006,6 +1013,73 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# Decontamination fixture split: every 20th doc plays the benchmark/eval
+# set; the rest are the training corpus. 5-grams (not the papers' 13) fit
+# the fixture's ~54-word documents.
+_DECON_CTES = r"""
+base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5
+              THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])
+              ELSE [] END AS grams
+  FROM base
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 20 = 0
+), tr AS (
+  SELECT doc_id, grams FROM sh WHERE doc_id % 20 <> 0
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+  JOIN ev ON t.gram = ev.gram
+  GROUP BY t.doc_id
+)"""
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+WITH {_DECON_CTES}
+SELECT tr.doc_id, CAST(len(tr.grams) AS INT) AS n_ngrams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(CASE WHEN len(tr.grams) > 0
+                  THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(tr.grams)
+                  ELSE 0.0 END, 6) AS hit_frac,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination stats: per training doc, how many of its
+    distinct 5-grams appear in the (broadcast) eval split. Map-side
+    broadcast join on the gram; one doc-id-keyed count shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    eval_set = docs.where(F.col("doc_id") % 20 == 0)
+    return decontam.ngram_overlap(train, eval_set, n=5)
+
+
+@register(
+    "decontam_clean_corpus",
+    oracle=f"""
+WITH {_DECON_CTES}
+SELECT tr.doc_id, d.n_chars
+FROM tr JOIN documents d ON d.doc_id = tr.doc_id
+LEFT JOIN hits h ON h.doc_id = tr.doc_id
+WHERE coalesce(h.n_hits, 0) = 0
+""",
+)
+def decontam_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter form: training docs surviving a zero-tolerance
+    decontamination pass (left-anti join against the contaminated-id
+    sliver — AQE broadcasts it)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    eval_set = docs.where(F.col("doc_id") % 20 == 0)
+    return decontam.decontaminate(train, eval_set, n=5).select("doc_id", "n_chars")
 
 
 @register(
@@ -2343,6 +2417,8 @@ _GATE_PRIORITY = [
     # New in round 2 (never had a driver row):
     "multimodal_bmp_pixels",
     "multimodal_wav_samples",
+    "decontam_ngram_overlap",
+    "decontam_clean_corpus",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",
