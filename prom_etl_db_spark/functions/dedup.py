@@ -33,6 +33,7 @@ from prom_etl_db_spark.parallel import balance
 
 __all__ = [
     "exact_dedup",
+    "word_ngrams",
     "word_shingles",
     "hashed_shingles",
     "minhash_signature",
@@ -75,8 +76,9 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 # -- shingling --------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a lowercased, whitespace-normalized text.
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams (in order, duplicates kept) of a lowercased,
+    whitespace-normalized text — the multiset the repetition signals need.
 
     Pure Column expression built as a zip_with chain: gram i = words[i..i+n)
     joined — O(words·n) instead of the O(words²) slice-in-transform
@@ -89,9 +91,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         # so the trailing j entries are short grams — sliced off below.
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
     grams = F.slice(grams, F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)))
-    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(words) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams — the SET form used by every dedup join."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def hashed_shingles(text: Column, n: int = 3) -> Column:

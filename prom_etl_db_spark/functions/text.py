@@ -17,6 +17,7 @@ __all__ = [
     "bpe_like_tokens",
     "bpe_like_token_count",
     "quality_features",
+    "repetition_features",
     "language_id",
     "fingerprint",
     "STOPWORDS",
@@ -86,6 +87,86 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 (F.length(F.regexp_replace(t, _WORD_SEP, ""))) / F.greatest(n_toks, F.lit(1)),
                 6,
             ),
+        }
+    )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Largest number of times any single element repeats in ``arr``,
+    computed per row as a sorted-run fold — array_sort + one O(n) pass,
+    entirely inside the row, so the signal costs ZERO shuffles at any
+    corpus size (the explode→groupBy alternative shuffles every gram).
+    0 for an empty array."""
+    run_of = lambda a, x: (  # noqa: E731 — shared by run and best below
+        F.when(a["prev"].eqNullSafe(x), a["run"] + 1).otherwise(F.lit(1))
+    )
+    acc = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run_of(a, x).alias("run"),
+            F.greatest(a["best"], run_of(a, x)).alias("best"),
+        ),
+    )
+    return acc["best"]
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, as adopted
+    by Dolma/RedPajama-style pipelines): duplicate-word, duplicate-line,
+    top-bigram and duplicate-trigram statistics per document.
+
+    Every signal is a pure Column expression over in-row arrays — no
+    shuffle, no UDF; the whole feature set rides the scan. Exact integer
+    counts come first (engine-portable, hash-stable); the conventional
+    fractions are derived from them, rounded to 6 places for human use —
+    oracle comparisons should hash the counts, not the rounded ratios
+    (rounding-tie boundaries differ across engines).
+    """
+    from prom_etl_db_spark.functions.dedup import word_ngrams
+
+    t = F.col(text_col)
+    blank = F.trim(t) == ""
+    words = tokens(t)
+    bi = word_ngrams(t, 2)
+    tri = word_ngrams(t, 3)
+    lines = F.filter(F.split(t, r"\n"), lambda ln: F.trim(ln) != "")
+
+    def guard(c: Column) -> Column:
+        return F.when(blank, F.lit(0)).otherwise(c)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    n_words = guard(F.size(words))
+    n_distinct_words = guard(F.size(F.array_distinct(words)))
+    n_bigrams = guard(F.size(bi))
+    top_bigram_n = guard(_max_multiplicity(bi))
+    n_trigrams = guard(F.size(tri))
+    n_distinct_trigrams = guard(F.size(F.array_distinct(tri)))
+    n_lines = guard(F.size(lines))
+    n_distinct_lines = guard(F.size(F.array_distinct(lines)))
+    return docs.withColumns(
+        {
+            "n_words": n_words,
+            "n_distinct_words": n_distinct_words,
+            "n_bigrams": n_bigrams,
+            "top_bigram_n": top_bigram_n,
+            "n_trigrams": n_trigrams,
+            "n_distinct_trigrams": n_distinct_trigrams,
+            "n_lines": n_lines,
+            "n_distinct_lines": n_distinct_lines,
+            "dup_word_frac": frac(n_words - n_distinct_words, n_words),
+            "top_bigram_frac": frac(top_bigram_n, n_bigrams),
+            "dup_trigram_frac": frac(n_trigrams - n_distinct_trigrams, n_trigrams),
+            "dup_line_frac": frac(n_lines - n_distinct_lines, n_lines),
         }
     )
 

@@ -1015,6 +1015,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+), bi AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+              ELSE [] END AS grams
+  FROM base
+), tri AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              ELSE [] END AS grams
+  FROM base
+), topbi AS (
+  SELECT doc_id, max(c) AS top_n FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS g FROM bi) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS INT) AS n_words,
+       CAST(len(list_distinct(b.w)) AS INT) AS n_distinct_words,
+       CAST(len(bi.grams) AS INT) AS n_bigrams,
+       CAST(coalesce(t.top_n, 0) AS INT) AS top_bigram_n,
+       CAST(len(tr.grams) AS INT) AS n_trigrams,
+       CAST(len(list_distinct(tr.grams)) AS INT) AS n_distinct_trigrams,
+       CAST(len(list_filter(string_split(b.text, chr(10)), x -> trim(x) <> '')) AS INT) AS n_lines,
+       CAST(CASE WHEN len(b.w) > 0
+                 THEN floor((1000000.0 * (len(b.w) - len(list_distinct(b.w)))) / len(b.w))
+                 ELSE 0 END AS BIGINT) AS dup_word_ppm,
+       CAST(CASE WHEN len(bi.grams) > 0
+                 THEN floor((1000000.0 * coalesce(t.top_n, 0)) / len(bi.grams))
+                 ELSE 0 END AS BIGINT) AS top_bigram_ppm,
+       CAST(CASE WHEN len(tr.grams) > 0
+                 THEN floor((1000000.0 * (len(tr.grams) - len(list_distinct(tr.grams)))) / len(tr.grams))
+                 ELSE 0 END AS BIGINT) AS dup_trigram_ppm
+FROM base b
+JOIN bi ON bi.doc_id = b.doc_id
+JOIN tri tr ON tr.doc_id = b.doc_id
+LEFT JOIN topbi t ON t.doc_id = b.doc_id
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (Gopher-style repetition): duplicate-word/trigram and top-bigram
+    statistics per document, computed entirely in-row (array folds — zero
+    shuffles; the DuckDB oracle recomputes top-bigram multiplicity the
+    opposite way, via unnest+groupBy, making the check non-circular).
+    Fractions ship as floor-ppm integers: floor on bit-identical IEEE
+    doubles is engine-portable where round-half ties are not."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = text.repetition_features(docs)
+
+    def ppm(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(
+            den > 0, F.floor((F.lit(1000000.0) * num) / den)
+        ).otherwise(F.lit(0).cast("long"))
+
+    return rep.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_bigrams",
+        "top_bigram_n",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        "n_lines",
+        ppm(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")).alias(
+            "dup_word_ppm"
+        ),
+        ppm(F.col("top_bigram_n"), F.col("n_bigrams")).alias("top_bigram_ppm"),
+        ppm(
+            F.col("n_trigrams") - F.col("n_distinct_trigrams"), F.col("n_trigrams")
+        ).alias("dup_trigram_ppm"),
+    )
+
+
 # Decontamination fixture split: every 20th doc plays the benchmark/eval
 # set; the rest are the training corpus. 5-grams (not the papers' 13) fit
 # the fixture's ~54-word documents.
@@ -2419,6 +2499,7 @@ _GATE_PRIORITY = [
     "multimodal_wav_samples",
     "decontam_ngram_overlap",
     "decontam_clean_corpus",
+    "text_repetition_signals",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",
