@@ -31,6 +31,7 @@ __all__ = [
     "hex_threshold",
     "hash_split",
     "stratified_sample",
+    "mix_by_column",
     "deterministic_topn",
     "global_shuffle",
     "pack_documents",
@@ -116,6 +117,55 @@ def stratified_sample(
             expr = cond if expr is None else expr | cond
         return df.where(expr)
     return df.where(pos < hex_threshold(fraction))
+
+
+def mix_by_column(
+    df: DataFrame,
+    strata: str,
+    weights: Mapping[str, float],
+    key: str,
+    *,
+    salt: str = "mix",
+    counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample each stratum (source,
+    language, domain...) so the OUTPUT composition matches ``weights``,
+    keeping as much data as feasible without upsampling.
+
+    The max total under the weights is T = min_i(n_i / w_i) — the binding
+    stratum survives whole (fraction exactly 1.0) and every other stratum
+    keeps w_i·T/n_i of its rows via the same md5-position trick as
+    ``hash_split``: stable under re-runs, repartitioning, and appends.
+
+    Scale shape: one tiny groupBy-count over the strata column (skippable
+    at 100 TB by passing catalog-known ``counts``), then ONE codegen'd
+    filter — a CASE over at most |strata| hex thresholds — that pushes
+    down to the scan. No shuffle of the data, no sample(), no UDF.
+    Strata absent from ``weights`` are dropped (weight 0); weights for
+    absent strata are rejected loudly rather than silently renormalized.
+    """
+    for name, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {name!r} must be > 0, got {w}")
+    if counts is None:
+        counts = {
+            r[strata]: r["n"]
+            for r in df.groupBy(strata).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    missing = [name for name in weights if name not in counts]
+    if missing:
+        raise ValueError(f"weights name strata absent from data: {missing}")
+    # T = min over strata of n/w; fraction_i = (w_i * T) / n_i — written
+    # with this exact association on both engines so the IEEE doubles
+    # (and therefore the floor'd hex thresholds) are bit-identical.
+    total = min(counts[name] / w for name, w in weights.items())
+    pos = hash_position(F.col(key), salt)
+    expr = None
+    for name, w in weights.items():
+        frac = min(1.0, (w * total) / counts[name])
+        cond = (F.col(strata) == name) & (pos < hex_threshold(frac))
+        expr = cond if expr is None else expr | cond
+    return df.where(expr)
 
 
 def deterministic_topn(df: DataFrame, key: str, n: int, *, salt: str = "topn") -> DataFrame:

@@ -1894,6 +1894,42 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_by_lang",
+    oracle="""
+WITH wt(lang, w) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)),
+n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT min(n.n / wt.w) AS total FROM n JOIN wt ON wt.lang = n.lang),
+thr AS (
+  SELECT n.lang,
+         CASE WHEN least(1.0, (wt.w * t.total) / n.n) >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(floor(least(1.0, (wt.w * t.total) / n.n) * 4294967296) AS BIGINT))
+         END AS thr
+  FROM n JOIN wt ON wt.lang = n.lang CROSS JOIN t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) < thr.thr
+""",
+)
+def corpus_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: downsample each language so the output
+    matches target weights (en .4 / de .2 / es .2 / fr .1 / zh .1),
+    keeping the max feasible total — the binding stratum survives whole.
+    The oracle recomputes T = min(n/w) and the per-stratum md5 thresholds
+    with the identical IEEE association, so the hash check covers the
+    float math as well as the membership."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = sampling.mix_by_column(
+        docs,
+        "lang",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        key="doc_id",
+        salt="mix",
+    )
+    return mixed.select("doc_id", "lang")
+
+
+@register(
     "doc_deterministic_topn",
     oracle="""
 SELECT doc_id, lang
@@ -2500,6 +2536,7 @@ _GATE_PRIORITY = [
     "decontam_ngram_overlap",
     "decontam_clean_corpus",
     "text_repetition_signals",
+    "corpus_mix_by_lang",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -111,3 +111,72 @@ def test_pack_documents_stable_under_repartition(spark):
     a = sorted(map(tuple, sampling.pack_documents(docs, 32).collect()))
     b = sorted(map(tuple, sampling.pack_documents(docs.repartition(17), 32).collect()))
     assert a == b
+
+
+def _mix_corpus(spark):
+    # skewed strata: 200 en, 50 de, 30 fr
+    rows = (
+        [(i, "en") for i in range(200)]
+        + [(1000 + i, "de") for i in range(50)]
+        + [(2000 + i, "fr") for i in range(30)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mix_by_column_hits_target_composition(spark):
+    docs = _mix_corpus(spark)
+    out = sampling.mix_by_column(
+        docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, key="doc_id"
+    )
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # T = min(200/.5, 50/.3, 30/.2) = 150 (fr binding): fr keeps all 30,
+    # en targets 75, de targets 45 (hash sampling is approximate +-)
+    assert by["fr"] == 30
+    assert abs(by["en"] - 75) <= 15 and abs(by["de"] - 45) <= 10
+    # output composition is closer to the target than the input's
+    total = sum(by.values())
+    assert abs(by["en"] / total - 0.5) < abs(200 / 280 - 0.5)
+
+
+def test_mix_by_column_determinism_and_counts_bypass(spark):
+    docs = _mix_corpus(spark)
+    w = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    a = sorted(r["doc_id"] for r in sampling.mix_by_column(docs, "lang", w, key="doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.mix_by_column(docs.repartition(13), "lang", w, key="doc_id").collect()
+    )
+    assert a == b
+    # precomputed counts skip the counting scan and give identical output
+    c = sorted(
+        r["doc_id"]
+        for r in sampling.mix_by_column(
+            docs, "lang", w, key="doc_id", counts={"en": 200, "de": 50, "fr": 30}
+        ).collect()
+    )
+    assert a == c
+
+
+def test_mix_by_column_validation(spark):
+    docs = _mix_corpus(spark)
+    with pytest.raises(ValueError, match="must be > 0"):
+        sampling.mix_by_column(docs, "lang", {"en": 0.0}, key="doc_id")
+    with pytest.raises(ValueError, match="absent from data"):
+        sampling.mix_by_column(docs, "lang", {"xx": 1.0}, key="doc_id")
+    # strata without weights are dropped entirely
+    out = sampling.mix_by_column(docs, "lang", {"fr": 1.0}, key="doc_id")
+    assert {r["lang"] for r in out.collect()} == {"fr"}
+
+
+def test_mix_by_column_filter_pushes_down(spark, tmp_path):
+    from prom_etl_db_spark.plans.explain import explain_str
+
+    p = str(tmp_path / "docs.parquet")
+    _mix_corpus(spark).write.parquet(p)
+    docs = spark.read.parquet(p)
+    out = sampling.mix_by_column(
+        docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, key="doc_id"
+    )
+    plan = explain_str(out, "simple")
+    assert "Exchange" not in plan  # pure filter: no shuffle of the data
