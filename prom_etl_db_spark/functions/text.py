@@ -18,6 +18,8 @@ __all__ = [
     "bpe_like_token_count",
     "quality_features",
     "repetition_features",
+    "redact_pii",
+    "PII_PATTERNS",
     "language_id",
     "fingerprint",
     "STOPWORDS",
@@ -89,6 +91,36 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+# PII patterns, restricted (like BPE_SPLIT_RE) to syntax BOTH Java regex
+# and RE2 accept — no lookarounds, no backrefs — so redaction is
+# oracle-checkable. Order matters and is the dict order: emails first
+# (their local parts contain digits a later pass must not see), then
+# ipv4, then phones.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d\s().-]{6,}\d", "<PHONE>"),
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers, adding per-category match
+    counts and the redacted text. Counts are taken BEFORE any replacement
+    (on the original text) so categories don't see each other's tokens;
+    replacements are then applied in PII_PATTERNS order. Pure codegen'd
+    expressions — no UDF, no shuffle; at 100 TB this is a map over the
+    scan like any other projection."""
+    t = F.col(text_col)
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    red = t
+    for pat, token in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, token)
+    return docs.withColumns({**counts, f"{text_col}_redacted": red})
 
 
 def _max_multiplicity(arr: Column) -> Column:

@@ -1095,6 +1095,83 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pii_redaction",
+    oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\+\d[\d\s().-]{6,}\d')) AS INT) AS n_phone,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d\s().-]{6,}\d', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (PII scrub): emails/IPv4s/phones counted then redacted with
+    Java-regex/RE2-common patterns. The fixture has no PII, so the query
+    seeds deterministic synthetic PII per doc_id residue class on BOTH
+    engines; the oracle hash covers counts AND the md5 of the redacted
+    text, i.e. the byte-exact replacement behavior."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" tel +1 555-000-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 3) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = text.redact_pii(seeded)
+    return red.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_ipv4"),
+        F.col("n_phone"),
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
 # Decontamination fixture split: every 20th doc plays the benchmark/eval
 # set; the rest are the training corpus. 5-grams (not the papers' 13) fit
 # the fixture's ~54-word documents.
