@@ -21,6 +21,10 @@ __all__ = [
     "redact_pii",
     "PII_PATTERNS",
     "language_id",
+    "term_frequencies",
+    "document_frequencies",
+    "tfidf_topk_terms",
+    "bm25_scores",
     "fingerprint",
     "STOPWORDS",
     "BPE_SPLIT_RE",
@@ -222,6 +226,128 @@ def language_id(text: Column) -> Column:
     ]
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def term_frequencies(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document term frequencies: (id, term, tf, dl).
+
+    ``dl`` (document length in whitespace tokens) rides the groupBy key —
+    it is functionally determined by the id, so carrying it costs nothing
+    and saves a later join against the documents table.
+
+    Scale: explode is narrow; the one shuffle is the (id, term) hash
+    aggregation with map-side partial counts. No window, no join.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    return tok.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def document_frequencies(tf: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(term, df) from a ``term_frequencies`` output — one hash agg on
+    term (each (id, term) row counts once, so count(*) IS the doc freq)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf (smooth
+    idf = ln(n_docs / df); ties by term asc) — the standard keyword /
+    topic-proxy extraction over a corpus.
+
+    Scale: two hash aggs (tf, df) + one shuffle join on term (vocabulary
+    is corpus-sized at 100 TB — NOT broadcastable; AQE picks the
+    strategy) + a per-document window for the top-k. The window
+    partitions by document id, so state is one doc's vocabulary, never
+    global. n_docs is a 1-row aggregate crossJoined in (broadcast-class).
+    """
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    dfreq = document_frequencies(tf, id_col=id_col)
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed query-term set:
+    Σ_q idf(q) · tf/(tf + k1·(1 − b + b·dl/avgdl)), with the
+    probabilistic idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Output: (id, score) for documents matching ≥1 query term.
+
+    Scale: the query-term filter lands BEFORE both aggregations (isin is
+    a pushable predicate on the exploded stream), so the (id, term)
+    shuffle carries only matching terms. The per-term df table is ≤ |Q|
+    rows → broadcast join. N and avgdl are a 1-row aggregate. The only
+    data-proportional shuffle is the final per-document sum.
+    """
+    qset = [t.lower() for t in query_terms]
+    tok = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term").isin(qset))
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(token_count(F.col(text_col))).alias("__avgdl"),
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * F.col("tf") / denom).alias("__s"))
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("score")
+    )
 
 
 def fingerprint(text: Column) -> Column:

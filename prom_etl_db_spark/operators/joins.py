@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from prom_etl_db_spark.schema import epoch_seconds
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "interval_join"]
@@ -73,7 +75,7 @@ def asof_join(
     matched = u.withColumn("__r", carried).where(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
         fresh = (
-            F.col("__t").cast("double") - F.col("__r.__rts").cast("double")
+            epoch_seconds(F.col("__t")) - epoch_seconds(F.col("__r.__rts"))
         ) <= tolerance_seconds
         matched = matched.withColumn(
             "__r", F.when(fresh, F.col("__r"))  # stale → NULL struct → null cols
@@ -107,7 +109,7 @@ def interval_join(
     clash = (set(points.columns) & set(intervals.columns)) - set(by)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
-    chunk_of = lambda c: F.floor(c.cast("double") / chunk_seconds).cast("long")  # noqa: E731
+    chunk_of = lambda c: F.floor(epoch_seconds(c) / chunk_seconds).cast("long")  # noqa: E731
     p = points.withColumn("__chunk", chunk_of(F.col(point_ts)))
     i = intervals.withColumn(
         "__chunk",

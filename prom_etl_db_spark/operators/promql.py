@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prom_etl_db_spark.schema import epoch_seconds
+
 def _series(labels: Column) -> Column:
     """Canonical, groupable series identity: label map → sorted entries
     array. Hash-aggregable and equi-joinable (unlike MapType); inverted
@@ -564,7 +566,7 @@ def sliding_over_time(
     keyed = _ensure_series(resampled)
     w = (
         Window.partitionBy("__series")
-        .orderBy(F.col("bucket_start").cast("long"))
+        .orderBy(epoch_seconds(F.col("bucket_start")).cast("long"))
         .rangeBetween(-(frame_sec - 1), 0)
     )
     return keyed.select(
@@ -745,7 +747,7 @@ def idelta_and_irate(
     inc = F.when(F.col("v1") >= F.col("v0"), F.col("v1") - F.col("v0")).otherwise(
         F.col("v1")
     )
-    dt = F.col("t1").cast("double") - F.col("t0").cast("double")
+    dt = epoch_seconds(F.col("t1")) - epoch_seconds(F.col("t0"))
     return pairs.where(dt > 0).select(
         F.map_from_entries("__series").alias("labels"),
         (F.col("v1") - F.col("v0")).alias("idelta"),
@@ -851,7 +853,7 @@ def _regression(df: DataFrame, t0: datetime) -> DataFrame:
     centered on ``t0`` before aggregating — epoch seconds are ~1.7e9 and
     uncentered second moments lose the digits the slope lives in.
     All four moments ride ONE hash aggregation."""
-    t = F.col("timestamp").cast("double") - F.lit(t0.timestamp())
+    t = epoch_seconds(F.col("timestamp")) - F.lit(t0.timestamp())
     return df.groupBy("__series").agg(
         F.covar_pop(t, F.col("value")).alias("__cov"),
         F.var_pop(t).alias("__var"),

@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.operators import promql
+from prom_etl_db_spark.schema import epoch_seconds
 from prom_etl_db_spark.timeparse import parse_duration
 
 __all__ = ["parse", "evaluate", "eval_promql", "EvalContext", "PromQLError"]
@@ -891,7 +892,7 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             raise PromQLError("timestamp() needs a plain instant selector")
         vec = _vec_arg(ctx, arg, fn)
         return vec.select(
-            "labels", F.col("__ts").cast("double").alias("value")
+            "labels", epoch_seconds(F.col("__ts")).alias("value")
         )
     if fn == "absent_over_time":
         arg = node.args[0]

@@ -2139,6 +2139,79 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/ranking: top-3 characteristic terms per document by tf·idf —
+    keyword extraction / topic proxy over the corpus. Two hash aggs +
+    one term join + a per-doc window; no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.tfidf_topk_terms(docs, 3)
+    return out.select("doc_id", "term", "tf", "df", "score", "rank")
+
+
+@register(
+    "bm25_query_scores",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ('spark', 'query', 'stream') GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n,
+         avg(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS avgdl
+  FROM documents
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+       ), 6) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+)
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/ranking: Okapi BM25 of every document against a fixed query-term
+    set. The isin filter lands before the first shuffle; the df side is
+    ≤|Q| rows and broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, ["spark", "query", "stream"])
+
+
 # -- time-series joins (as-of, interval) -----------------------------------
 
 
@@ -2614,6 +2687,9 @@ _GATE_PRIORITY = [
     "decontam_clean_corpus",
     "text_repetition_signals",
     "corpus_mix_by_lang",
+    "pii_redaction",
+    "tfidf_top_terms",
+    "bm25_query_scores",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -112,6 +112,20 @@ WIRE_MATRIX_SCHEMA = StructType(
 )
 
 
+def epoch_seconds(ts: Column) -> Column:
+    """Fractional epoch seconds of a timestamp column of EITHER flavor.
+
+    Parquet written by pandas/pyarrow without a timezone reads back as
+    TIMESTAMP_NTZ, which Spark 4.1 refuses to cast straight to double
+    (DATATYPE_MISMATCH); TIMESTAMP (ltz) casts fine. Bridging through an
+    explicit ``timestamp`` cast handles both: an LTZ input is untouched and
+    an NTZ input is interpreted in the session timezone — pinned to UTC in
+    ``session.get_spark``, so the value is deterministic and matches what
+    DuckDB's ``epoch()`` computes for the same naive timestamps.
+    """
+    return ts.cast("timestamp").cast("double")
+
+
 def series_key(labels: Column) -> Column:
     """Canonical series identity for a label map (SURVEY.md §7.3 risk #1).
 

@@ -71,3 +71,61 @@ def test_repetition_is_pure_column_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = explain_str(repetition_features(df), "simple")
     assert "Exchange" not in plan
+
+
+# -- tf-idf / BM25 ranking -------------------------------------------------
+
+
+def _ranking_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark query"),
+            (2, "spark stream"),
+            (3, "query plan cost"),
+            (4, "sort merge join"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from prom_etl_db_spark.functions.text import tfidf_topk_terms
+
+    out = tfidf_topk_terms(_ranking_corpus(spark), 2)
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in out.collect()
+    }
+    # doc 1: tf(spark)=2, df(spark)=2, n=4 -> 2*ln(2); tf(query)=1,
+    # df(query)=2 -> ln(2). spark outranks query.
+    assert rows[(1, 1)] == ("spark", round(2 * math.log(2), 6))
+    assert rows[(1, 2)] == ("query", round(math.log(2), 6))
+    # doc 4: all three terms unique (df=1, score=ln 4); ties break term-asc
+    assert rows[(4, 1)][0] == "join" and rows[(4, 2)][0] == "merge"
+    assert all(r[1] <= 2 for r in rows if r[0] == 4)
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from prom_etl_db_spark.functions.text import bm25_scores
+
+    out = bm25_scores(_ranking_corpus(spark), ["spark"], k1=1.2, b=0.75)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    # Only docs 1, 2 contain 'spark'; df=2, n=4; avgdl=(3+2+3+3)/4=2.75
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return round(idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.75)), 6)
+
+    assert set(got) == {1, 2}
+    assert got[1] == s(2, 3) and got[2] == s(1, 2)
+
+
+def test_bm25_empty_query_match_is_empty(spark):
+    from prom_etl_db_spark.functions.text import bm25_scores
+
+    out = bm25_scores(_ranking_corpus(spark), ["nonexistent"])
+    assert out.count() == 0
