@@ -1,0 +1,257 @@
+"""Embedding clustering: distributed Lloyd's k-means and SemDeDup-style
+semantic dedup (SURVEY.md §2.E — dedup/similarity family).
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540) prunes semantic duplicates
+by clustering embeddings first and comparing pairs only WITHIN a cluster —
+the cluster bound is what makes semantic dedup tractable at corpus scale
+(Σ|cluster|² ≪ n²; with k ≈ √n and balanced clusters the candidate volume
+stays ~n^1.5 instead of n²).
+
+Scale posture of each step:
+  - the driver holds only the k×d centroid matrix (broadcast-class); all
+    per-vector work happens executor-side in Arrow-batched pandas UDFs
+    (one BLAS matmul per batch, never per-row Python);
+  - the centroid update is a (cluster, dim) hash aggregation with
+    map-side partial sums — no window, no driver data path;
+  - iteration control flow is driver-side Python over a k×d array, like
+    the connected-components loop in ``functions.dedup``.
+
+Determinism contract (what makes the DuckDB oracle hash-match): the
+init picks the k vectors with the smallest md5(id‖salt) (same rule as
+``sampling.hash_position``); centroids are rounded to ``round_decimals``
+after init and after every update, so both engines iterate over BITWISE
+IDENTICAL centroids and float-summation-order noise (~1e-12, vs
+inter-centroid distance gaps ~1e-1) cannot flip an argmin; assignment
+ties break to the lowest cluster index in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions.similarity import pairwise_cosine_udf
+from prom_etl_db_spark.parallel import balance
+
+__all__ = [
+    "kmeans_init",
+    "kmeans_init_spread",
+    "assign_clusters",
+    "kmeans",
+    "semantic_neardup_pairs",
+]
+
+
+def kmeans_init(
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans-init",
+    round_decimals: int = 6,
+):
+    """Deterministic seeding: the k vectors with the smallest
+    md5(id‖salt), as a k×d float64 numpy array (rounded). A sort-limit-k
+    over (hash, id) — Spark plans it as a TakeOrderedAndProject, so no
+    global sort materializes."""
+    import numpy as np
+
+    rows = (
+        vectors.select(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("__h"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    return np.round(np.array([r["__v"] for r in rows], dtype=np.float64), round_decimals)
+
+
+def kmeans_init_spread(
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans-init",
+    round_decimals: int = 6,
+):
+    """Deterministic farthest-point (greedy k-center) seeding: start from
+    the min-hash vector, then repeatedly take the vector farthest from the
+    chosen set (ties → smallest id). Immune to the all-seeds-in-one-blob
+    failure of hash seeding, at the cost of k−1 extra passes over the
+    corpus (each a narrow pandas-UDF max-reduce; fine for the small k this
+    is meant for — k ≈ √n sharding wants the hash init instead)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    first = (
+        vectors.select(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("__h"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__h", "__id")
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [np.asarray(first["__v"], dtype=np.float64)]
+    for _ in range(k - 1):
+        C = np.round(np.array(chosen), round_decimals)
+        c_sq = (C * C).sum(axis=1)
+
+        def min_dist(v):
+            M = np.array(list(v), dtype=np.float64)
+            d2 = (M * M).sum(axis=1, keepdims=True) - 2.0 * (M @ C.T) + c_sq
+            return pd.Series(d2.min(axis=1))
+
+        min_dist_udf = F.pandas_udf(min_dist, "double")
+        far = (
+            vectors.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                min_dist_udf(F.col(vec_col)).alias("__d"),
+            )
+            .orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(np.asarray(far["__v"], dtype=np.float64))
+    return np.round(np.array(chosen), round_decimals)
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_ids=None,
+) -> DataFrame:
+    """(id, vec, cluster): nearest centroid by squared euclidean distance,
+    ties to the lowest cluster id (numpy argmin's first-minimum rule over
+    rows sorted by id). ``cluster_ids`` maps centroid-matrix rows back to
+    stable cluster labels (defaults to 0..k−1) — after an empty-cluster
+    drop the surviving labels keep their original numbers. One BLAS
+    matmul per Arrow batch against the closure-captured k×d matrix — the
+    pandas-UDF equivalent of a broadcast join."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — worker-side dependency of the UDF
+
+    C = centroids  # k×d float64
+    labels = np.arange(len(C)) if cluster_ids is None else np.asarray(cluster_ids)
+    c_sq = (C * C).sum(axis=1)  # |c|² per centroid
+
+    # no type hints: pandas_udf would try (and fail) to infer the eval type
+    # from them because pd is only in scope inside this function
+    def nearest(v):
+        M = np.array(list(v), dtype=np.float64)  # b×d
+        # argmin over |v|² − 2v·c + |c|²; |v|² is constant per row → drop
+        d2 = -2.0 * (M @ C.T) + c_sq  # b×k
+        return pd.Series(labels[np.argmin(d2, axis=1)].astype(np.int64))
+
+    nearest_udf = F.pandas_udf(nearest, "long")
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), nearest_udf(F.col(vec_col)).alias("cluster")
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int,
+    *,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans-init",
+    round_decimals: int = 6,
+    init: str = "hash",
+) -> DataFrame:
+    """Lloyd's k-means for a FIXED iteration count: hash-seeded init, then
+    ``n_iter`` assign→update rounds; returns the final (id, vec, cluster)
+    assignment. Fixed-count (rather than tol-based) iteration keeps the
+    computation SQL-expressible, so the registry entry gets a hash-match
+    oracle instead of a rows-only check — at pipeline scale 2-5 rounds is
+    also simply what one runs (SemDeDup uses few, coarse iterations).
+
+    ``init``: "hash" (default) is the single-pass SQL-expressible seeding
+    the oracle mirrors; "spread" is deterministic farthest-point — better
+    separation on clumpy data, k−1 extra passes, not SQL-mirrored.
+
+    Empty-cluster rule: a centroid that attracts no members drops out of
+    the next round (both engines); k can only shrink.
+
+    Per round: one narrow pandas-UDF pass (assign) + one posexplode and a
+    (cluster, dim) hash agg with partial sums (update) + a k×d collect.
+    The input is re-read each round — persist() upstream if the source
+    scan is expensive.
+    """
+    import numpy as np
+
+    v = balance(vectors.select(id_col, vec_col), id_col)
+    init_fn = {"hash": kmeans_init, "spread": kmeans_init_spread}[init]
+    C = init_fn(
+        v, k, id_col=id_col, vec_col=vec_col, salt=salt, round_decimals=round_decimals
+    )
+    assigned = assign_clusters(v, C, id_col=id_col, vec_col=vec_col)
+    for _ in range(n_iter - 1):
+        means = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        clusters = sorted({r["cluster"] for r in means})
+        dim = max(r["pos"] for r in means) + 1
+        C = np.zeros((len(clusters), dim))
+        index_of = {c: i for i, c in enumerate(clusters)}
+        for r in means:
+            C[index_of[r["cluster"]], r["pos"]] = r["m"]
+        C = np.round(C, round_decimals)
+        assigned = assign_clusters(
+            v, C, id_col=id_col, vec_col=vec_col, cluster_ids=clusters
+        )
+    return assigned
+
+
+def semantic_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> DataFrame:
+    """SemDeDup candidate pairs: (id_a, id_b, cluster, cos_sim) for pairs
+    in the SAME k-means cluster with round(cosine, 6) ≥ threshold, id_a <
+    id_b. The equi-join on cluster is what bounds the pair count —
+    Σ|cluster|² work instead of n² (choose k ≈ √n at scale so clusters
+    stay ~√n wide); the cosine verify is one Arrow-batched einsum.
+    Recall is bounded by clustering quality — a true near-dup pair split
+    across clusters is missed (the SemDeDup trade; the exact
+    ``cosine_neardup_pairs`` is the small-corpus baseline)."""
+    assigned = kmeans(
+        vectors, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, init=init
+    ).persist()
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(pairwise_cosine_udf(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cluster", "cos_sim")
+    )

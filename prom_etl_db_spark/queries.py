@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.functions import (
+    clustering,
     decontam,
     dedup,
     multimodal,
@@ -1357,6 +1358,91 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against the exact variant."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_lsh(emb, threshold=0.4)
+
+
+_KMEANS_CTE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || 'kmeans-init'), vec_id
+         ) - 1 AS cluster,
+         list_transform(vec, x -> round(x, 6)) AS centroid
+  FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'kmeans-init'), vec_id
+  LIMIT 8
+), a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c0.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c0.centroid), c0.cluster) AS rn
+    FROM v CROSS JOIN c0)
+  WHERE rn = 1
+), c1 AS (
+  SELECT cluster, list(m ORDER BY i) AS centroid FROM (
+    SELECT a0.cluster, t.i, round(avg(v.vec[t.i]), 6) AS m
+    FROM a0 JOIN v USING (vec_id) CROSS JOIN (SELECT range + 1 AS i FROM range(64)) t
+    GROUP BY a0.cluster, t.i)
+  GROUP BY cluster
+), a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c1.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c1.centroid), c1.cluster) AS rn
+    FROM v CROSS JOIN c1)
+  WHERE rn = 1
+)
+"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=_KMEANS_CTE
+    + """
+SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
+FROM a1
+""",
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3: distributed Lloyd's k-means over the embedding corpus (k=8,
+    2 fixed rounds, hash-seeded init). Driver holds only the k x d centroid
+    matrix; assignment is one BLAS matmul per Arrow batch; the update is a
+    (cluster, dim) hash agg. Fixed iterations + 6-dp centroid rounding
+    make the full iteration SQL-expressible - a hash-match oracle for an
+    iterative algorithm."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = clustering.kmeans(emb, 8, n_iter=2)
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("cluster_size"),
+    )
+
+
+@register(
+    "semantic_neardup_pairs",
+    oracle=_KMEANS_CTE
+    + """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       round(list_cosine_similarity(av.vec, bv.vec), 6) AS cos_sim
+FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN v av ON av.vec_id = a.vec_id
+JOIN v bv ON bv.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(av.vec, bv.vec), 6) >= 0.4
+""",
+)
+def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (SemDeDup, arXiv:2303.09540): semantic near-dup pairs via
+    cluster-then-compare - the equi-join on the k-means cluster bounds
+    candidates to sum(|cluster|^2) instead of n^2 (choose k ~ sqrt(n) at
+    scale); exact cosine verifies within the bucket. Recall vs the exact
+    all-pairs baseline is bounded by clustering quality - pairs split
+    across clusters are the SemDeDup trade."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.semantic_neardup_pairs(emb, 0.4, k=8, n_iter=2)
 
 
 @register(
@@ -2690,6 +2776,8 @@ _GATE_PRIORITY = [
     "pii_redaction",
     "tfidf_top_terms",
     "bm25_query_scores",
+    "embedding_kmeans_assign",
+    "semantic_neardup_pairs",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",
