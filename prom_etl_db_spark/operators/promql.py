@@ -539,6 +539,53 @@ def present_over_time(resampled: DataFrame, **kw) -> DataFrame:
     return agg_over_time(resampled, F.lit(1.0), **kw)
 
 
+def stdvar_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """Population variance over the frame (PromQL semantics)."""
+    return agg_over_time(resampled, F.var_pop("value"), **kw)
+
+
+def _mad(df: DataFrame) -> DataFrame:
+    """Median absolute deviation per ``__series`` over ``value`` — the
+    two-phase shape MAD forces (medians don't nest in one aggregate):
+    per-series median, join back, median of |x − m|. Both phases are hash
+    aggs keyed on the series; the join is series-co-partitioned, so the
+    whole thing reuses one shuffle partitioning."""
+    med = df.groupBy("__series").agg(F.median("value").alias("__med"))
+    return (
+        df.join(med, "__series")
+        .groupBy("__series")
+        .agg(F.median(F.abs(F.col("value") - F.col("__med"))).alias("value"))
+        .select(F.map_from_entries("__series").alias("labels"), "value")
+    )
+
+
+def mad_over_time(
+    resampled: DataFrame,
+    *,
+    frame_start: datetime | None = None,
+    frame_end: datetime | None = None,
+) -> DataFrame:
+    """``mad_over_time(x[frame:step])`` (PromQL experimental): median
+    absolute deviation of the step-aligned values — the robust outlier
+    signal (|x − median| spikes flag anomalies the stddev hides)."""
+    df = resampled
+    if frame_start is not None:
+        df = df.where(F.col("bucket_start") >= F.lit(frame_start))
+    if frame_end is not None:
+        df = df.where(F.col("bucket_start") < F.lit(frame_end))
+    return _mad(_ensure_series(df))
+
+
+def raw_mad_over_time(
+    samples: DataFrame,
+    *,
+    frame_start: datetime,
+    frame_end: datetime,
+) -> DataFrame:
+    """``mad_over_time(x[frame])`` over a raw range selector."""
+    return _mad(_frame(samples, frame_start, frame_end))
+
+
 def sliding_over_time(
     resampled: DataFrame,
     agg: Column,

@@ -19,8 +19,9 @@ Supported grammar (superset of every query string in the reference):
   ``max without (c) (x)``, avg/min/count/stddev/stdvar/group,
   ``quantile(0.9, x)``, ``count_values("lbl", x)``, ``topk(5, x)``,
   ``bottomk(5, x)``
-- over-time: sum/avg/max/min/count/last/stddev/present_over_time and
-  ``quantile_over_time(q, ...)`` over BOTH forms — a raw range vector
+- over-time: sum/avg/max/min/count/last/stddev/stdvar/mad/
+  present_over_time and ``quantile_over_time(q, ...)`` over BOTH forms
+  — a raw range vector
   (``x[1h]``: every raw sample aggregates) or a subquery
   (``x[1h:1m]``: step-aligned first)
 - range functions: rate, increase, irate, idelta, delta, deriv,
@@ -439,6 +440,8 @@ _OVER_TIME = {
     "count_over_time": promql.count_over_time,
     "last_over_time": promql.last_over_time,
     "stddev_over_time": promql.stddev_over_time,
+    "stdvar_over_time": promql.stdvar_over_time,
+    "mad_over_time": promql.mad_over_time,
     "present_over_time": promql.present_over_time,
 }
 
@@ -475,6 +478,7 @@ _RAW_OVER_TIME = {
     "count_over_time": lambda: F.count(F.lit(1)).cast("double"),
     "last_over_time": lambda: F.max_by("value", "timestamp"),
     "stddev_over_time": lambda: F.stddev_pop("value"),
+    "stdvar_over_time": lambda: F.var_pop("value"),
     "present_over_time": lambda: F.lit(1.0),
 }
 
@@ -769,6 +773,9 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             raw = _selector_stream(
                 ctx, Selector(arg.name, arg.matchers, offset=arg.offset)
             )
+            if fn == "mad_over_time":
+                # two-phase (medians don't nest) — not a single aggregate
+                return promql.raw_mad_over_time(raw, frame_start=lo, frame_end=hi)
             agg = (
                 F.percentile("value", _const(ctx, node.args[0]))
                 if fn == "quantile_over_time"

@@ -1748,6 +1748,38 @@ def promql_over_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_mad_over_time",
+    oracle="""
+WITH resampled AS (
+  SELECT event_type AS name, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), stepped AS (
+  SELECT name, bucket, value FROM resampled WHERE rn = 1
+), med AS (
+  SELECT name, median(value) AS m FROM stepped GROUP BY name
+)
+SELECT s.name, round(median(abs(s.value - med.m)), 4) AS mad_value
+FROM stepped s JOIN med USING (name)
+GROUP BY s.name
+""",
+)
+def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mad_over_time (PromQL experimental): median absolute deviation of
+    the step-aligned frame — the robust anomaly signal. Two hash aggs +
+    a series-co-partitioned join (one shuffle partitioning reused)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    out = promql.mad_over_time(stepped)
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 4).alias("mad_value"),
+    )
+
+
+@register(
     "promql_label_replace",
     oracle="""
 SELECT 'd' || substr(json_extract_string(props, '$.k'), 1, 1) AS k_dec,
@@ -2778,6 +2810,7 @@ _GATE_PRIORITY = [
     "bm25_query_scores",
     "embedding_kmeans_assign",
     "semantic_neardup_pairs",
+    "promql_mad_over_time",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -223,6 +223,57 @@ def dedup_stream(
     return writer.start()
 
 
+def session_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("user_id",),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Per-key SESSION windows: events closer than ``gap`` merge into one
+    session; a session closes once the watermark passes its end. The
+    activity-sessionization primitive (user journeys, burst detection)
+    that fixed windows can't express — Spark's ``session_window`` keeps
+    per-key open-session state bounded by the watermark horizon, the same
+    state posture as the windowed rollup above.
+
+    Output per closed session: key, start/end, event count, value sum."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()
+
+
 def enriched_stream(
     spark: SparkSession,
     source_dir: str,

@@ -487,3 +487,22 @@ def test_modifier_edge_hardening(spark):
         eval_promql(df, "sum_over_time((sum(m @ 1700000000))[1h:1m])", T0)
     # negative epochs parse (pre-1970 pins are legal PromQL)
     assert parse("m @ -100").at_ == -100.0
+
+
+def test_mad_and_stdvar_over_time_both_forms(spark):
+    # one series, values 1..5 in the last hour: median 3, |x-3| = [2,1,0,1,2]
+    # -> MAD 1; var_pop = 2.0
+    df = _samples(
+        spark, [("m", {"k": "a"}, v, -60 * (6 - v)) for v in (1, 2, 3, 4, 5)]
+    )
+    assert eval_promql(df, "mad_over_time(m[1h])", T0).collect()[0]["value"] == 1.0
+    assert (
+        eval_promql(df, "mad_over_time(m[1h:1m])", T0).collect()[0]["value"] == 1.0
+    )
+    assert (
+        eval_promql(df, "stdvar_over_time(m[1h])", T0).collect()[0]["value"] == 2.0
+    )
+    assert (
+        eval_promql(df, "stdvar_over_time(m[1h:1m])", T0).collect()[0]["value"]
+        == 2.0
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from prom_etl_db_spark.streaming.jobs import (
     idempotent_batch_committer,
+    session_rollup_stream,
     stream_events_to_metrics,
     stream_events_to_store,
     windowed_rollup_stream,
@@ -268,3 +269,25 @@ def test_enriched_stream_joins_static_dim(spark, tmp_path, events_dir):
     assert out.count() == 4
     got = {r["event_id"]: r["category"] for r in out.collect()}
     assert got[1] == "interaction" and got[3] == "passive"
+
+
+def test_session_rollup_merges_by_gap(spark, tmp_path, events_dir):
+    """30-min gap: user 100's 10:15 click and 11:05 view are 50 min apart
+    -> TWO sessions; with a 60-min gap they merge into ONE. Only sessions
+    whose end precedes the watermark (max ts - 2h = Mar 2 07:00) emit."""
+    for gap, expect in (("30 minutes", 2), ("60 minutes", 1)):
+        sink = str(tmp_path / f"sess_{gap.split()[0]}")
+        ckpt = str(tmp_path / f"sess_ckpt_{gap.split()[0]}")
+        q = session_rollup_stream(spark, events_dir, sink, ckpt, gap=gap)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        u100 = [r for r in rows if r["user_id"] == 100]
+        assert len(u100) == expect, (gap, rows)
+        if expect == 1:
+            merged = u100[0]
+            assert merged["n_events"] == 2 and merged["sum_value"] == 4.0
+            assert merged["session_start"] == datetime(2024, 3, 1, 10, 15)
+            # session end = last event + gap
+            assert merged["session_end"] == datetime(2024, 3, 1, 12, 5)
+        # user 102's Mar-2 09:00 session ends after the watermark -> withheld
+        assert all(r["user_id"] != 102 for r in rows)
