@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "mix_by_column",
     "deterministic_topn",
+    "weighted_sample",
     "global_shuffle",
     "pack_documents",
 ]
@@ -178,6 +179,46 @@ def deterministic_topn(df: DataFrame, key: str, n: int, *, salt: str = "topn") -
         .orderBy("__pos", key)
         .limit(n)
         .drop("__pos")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    n: int,
+    *,
+    salt: str = "wsample",
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    per row draw u from its hash position and keep the n largest
+    u^(1/w) — equivalently the largest ln(u)/w, computed in log space to
+    dodge underflow. Inclusion probability is proportional to weight
+    (quality-weighted corpus selection: sample by quality score, recency,
+    token budget, ...), yet the draw is DETERMINISTIC — same salt, same
+    result, on any partitioning, any engine.
+
+    u = (int(md5(key‖salt)[:13 hex]) + 1) / (16¹³ + 1) ∈ (0, 1] — 52
+    bits of hash, never zero. Weights must be > 0 (rows with w ≤ 0 or
+    NULL are excluded — they'd otherwise win with certainty).
+
+    Scale: the score is a pure projection; top-n is an orderBy+limit —
+    Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    merge of n), no global sort materializes. n is driver-bounded by
+    construction (it's a sample).
+    """
+    span = 16**13
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 13), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(float(span + 1))
+    score = F.log(u) / weight
+    return (
+        df.where(weight > 0)
+        .withColumn(score_col, F.round(score, 10))
+        .orderBy(F.col(score_col).desc(), F.col(key).asc())
+        .limit(n)
     )
 
 

@@ -2142,6 +2142,33 @@ def doc_deterministic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         round(
+           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 13)) AS BIGINT) + 1)
+              / CAST(16::HUGEINT ** 13 + 1 AS DOUBLE))
+           / n_chars, 10) AS sample_score
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, sample_score
+FROM scored
+ORDER BY sample_score DESC, doc_id ASC
+LIMIT 50
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling without replacement (Efraimidis-Spirakis):
+    inclusion probability proportional to document length (stand-in for
+    any quality/recency weight), deterministic via the hash-u draw. The
+    score is a pure projection; top-n is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, "doc_id", F.col("n_chars"), 50)
+    return out.select("doc_id", "lang", "n_chars", "sample_score")
+
+
+@register(
     "neardup_clusters",
     oracle=f"""
 WITH RECURSIVE {_NGRAM_PAIRS_CTES},
@@ -2811,6 +2838,7 @@ _GATE_PRIORITY = [
     "embedding_kmeans_assign",
     "semantic_neardup_pairs",
     "promql_mad_over_time",
+    "doc_weighted_sample",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

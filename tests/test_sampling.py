@@ -180,3 +180,35 @@ def test_mix_by_column_filter_pushes_down(spark, tmp_path):
     )
     plan = explain_str(out, "simple")
     assert "Exchange" not in plan  # pure filter: no shuffle of the data
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    from prom_etl_db_spark.functions.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 10 heavy rows (w=100): a 20-row sample should
+    # include most heavy rows — each heavy row's inclusion odds dominate.
+    rows = [(i, 1.0) for i in range(100)] + [(100 + i, 100.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = {
+        r["doc_id"] for r in weighted_sample(df, "doc_id", F.col("w"), 20).collect()
+    }
+    assert len(picked) == 20
+    assert len([d for d in picked if d >= 100]) >= 8
+
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7), "doc_id", F.col("w"), 20
+        ).collect()
+    }
+    assert picked == again
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from prom_etl_db_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)], "doc_id long, w double"
+    )
+    out = weighted_sample(df, "doc_id", F.col("w"), 10).collect()
+    assert [r["doc_id"] for r in out] == [4]
