@@ -2168,6 +2168,103 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "sample_score")
 
 
+_PIPE_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+@register(
+    "curation_pipeline",
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id, text, lang, n_chars
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 20
+    AND round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+              / greatest(length(text), 1), 6) <= 0.2
+), ded AS (
+  SELECT doc_id, text, lang, n_chars
+  FROM q
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), sh_ev AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) >= 5
+         THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])
+         ELSE [] END) AS gram
+  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents WHERE doc_id % 20 = 0)
+), tr AS (
+  SELECT *, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM ded WHERE doc_id % 20 <> 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(
+          CASE WHEN len(w) >= 5
+               THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])
+               ELSE [] END) AS gram
+        FROM tr) t
+  JOIN sh_ev ON t.gram = sh_ev.gram
+), clean AS (
+  SELECT doc_id, lang, n_chars FROM tr
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), wt(lang, wgt) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)),
+n AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+t AS (SELECT min(n.n / wt.wgt) AS total FROM n JOIN wt ON wt.lang = n.lang),
+thr AS (
+  SELECT n.lang,
+         CASE WHEN least(1.0, (wt.wgt * t.total) / n.n) >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(floor(least(1.0, (wt.wgt * t.total) / n.n) * 4294967296) AS BIGINT))
+         END AS thr
+  FROM n JOIN wt ON wt.lang = n.lang CROSS JOIN t
+), mixed AS (
+  SELECT c.doc_id, c.lang, c.n_chars
+  FROM clean c JOIN thr ON thr.lang = c.lang
+  WHERE substr(md5(CAST(c.doc_id AS VARCHAR) || 'pipe-mix'), 1, 8) < thr.thr
+), split AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'pipe-split'), 1, 8) < 'e6666666' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'pipe-split'), 1, 8) < 'f3333333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM split GROUP BY split, lang
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E-family FLAGSHIP: the full corpus-curation pipeline as ONE
+    composed plan — quality filter -> exact content dedup -> benchmark
+    decontamination -> language mixing -> train/val/test split -> per-
+    (split, lang) accounting. Every stage is the registry operator it
+    reuses; the single SQL oracle verifies the COMPOSITION, not just the
+    parts (stage-boundary bugs like filter-after-dedup vs before show up
+    only here).
+
+    Scale: quality filter is a codegen'd projection at the scan; dedup
+    one min_by hash agg on md5(text); decontam a broadcast anti-join;
+    mix/split pure hash predicates. Two data-proportional shuffles total
+    (dedup key, final rollup) on a 100 TB input."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_features(docs).where(
+        (F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2)
+    )
+    q = q.select("doc_id", "text", "lang", "n_chars").withColumn(
+        "__th", F.md5("text")
+    )
+    ded = dedup.exact_dedup(q, ["__th"], "doc_id")
+    train = ded.where(F.col("doc_id") % 20 != 0)
+    eval_set = docs.where(F.col("doc_id") % 20 == 0)
+    clean = decontam.decontaminate(train, eval_set, n=5)
+    mixed = sampling.mix_by_column(
+        clean, "lang", _PIPE_WEIGHTS, key="doc_id", salt="pipe-mix"
+    )
+    split = sampling.hash_split(
+        mixed, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="pipe-split"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 @register(
     "neardup_clusters",
     oracle=f"""
@@ -2839,6 +2936,7 @@ _GATE_PRIORITY = [
     "semantic_neardup_pairs",
     "promql_mad_over_time",
     "doc_weighted_sample",
+    "curation_pipeline",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

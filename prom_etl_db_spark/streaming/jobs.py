@@ -274,6 +274,76 @@ def session_rollup_stream(
     return writer.start()
 
 
+def stream_stream_attribution(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-STREAM join: each purchase joins the same user's clicks from
+    the preceding ``horizon`` — online click-attribution (the streaming
+    dual of the batch as-of/interval joins in ``operators/joins.py``).
+
+    Both sides carry a watermark and the join has an explicit time-range
+    predicate, so Spark buffers each side's state only up to watermark +
+    horizon and then drops it — the bounded-state contract every
+    stream-stream join needs (without the range predicate, state grows
+    forever). Inner join: a purchase with no prior click emits nothing
+    (its rows could otherwise never finalize under append mode).
+    """
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    clicks = (
+        raw.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+        "click_value",
+    )
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
 def enriched_stream(
     spark: SparkSession,
     source_dir: str,

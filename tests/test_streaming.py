@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from prom_etl_db_spark.streaming.jobs import (
     idempotent_batch_committer,
     session_rollup_stream,
+    stream_stream_attribution,
     stream_events_to_metrics,
     stream_events_to_store,
     windowed_rollup_stream,
@@ -291,3 +292,32 @@ def test_session_rollup_merges_by_gap(spark, tmp_path, events_dir):
             assert merged["session_end"] == datetime(2024, 3, 1, 12, 5)
         # user 102's Mar-2 09:00 session ends after the watermark -> withheld
         assert all(r["user_id"] != 102 for r in rows)
+
+
+def test_stream_stream_attribution_window_and_horizon(spark, tmp_path):
+    """Purchases pair with same-user clicks within the 1h horizon; clicks
+    after the purchase or older than the horizon don't attribute."""
+    src = str(tmp_path / "attr_src")
+    rows = [
+        (1, datetime(2024, 3, 1, 10, 0), 100, "click", 1.0, None),
+        (2, datetime(2024, 3, 1, 10, 40), 100, "purchase", 9.0, None),  # <- 1
+        (3, datetime(2024, 3, 1, 12, 0), 100, "purchase", 7.0, None),  # no click in [11,12]
+        (4, datetime(2024, 3, 1, 9, 0), 101, "purchase", 5.0, None),  # click is later
+        (5, datetime(2024, 3, 1, 9, 30), 101, "click", 2.0, None),
+        (6, datetime(2024, 3, 1, 23, 0), 102, "view", 0.0, None),  # advances watermark
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(src)
+    sink = str(tmp_path / "attr_sink")
+    q = stream_stream_attribution(
+        spark, src, sink, str(tmp_path / "attr_ckpt"), horizon="1 hour"
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert got == [(2, 1)]
