@@ -95,10 +95,13 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         )
         return 2
 
+    from prom_etl_db_spark.logger import new_logger, with_component, with_count
+
+    log = with_component(new_logger(args.log_level, stream=_sys.stderr), "server")
     spark = get_spark("serve")
     stream = _sample_stream(spark, args.sf_dir)
     configs = load_enabled(spark, args.configs)
-    print(f"{len(configs)} enabled config(s) scheduled", file=_sys.stderr)
+    with_count(log, len(configs)).info("enabled configs scheduled")
 
     def run_config(cfg, now):
         with_retry(
@@ -124,10 +127,15 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         clock, sleep = datetime.now, _time.sleep
 
     def on_tick(tick):
-        status = f"fired {len(tick.query_ids)} config(s)"
+        bound = log.bind(
+            fired_at=tick.fired_at.isoformat(),
+            n_configs=len(tick.query_ids),
+            n_failed=len(tick.failures),
+        )
         if tick.failures:
-            status += f", {len(tick.failures)} failed"
-        print(f"{tick.fired_at.isoformat()} {status}", file=_sys.stderr)
+            bound.bind(failures=tick.failures).error("tick completed with failures")
+        else:
+            bound.info("tick completed")
 
     summary = serve_loop(
         configs,
@@ -140,11 +148,11 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         max_ticks=args.max_ticks,
         on_tick=on_tick,
     )
-    print(
-        f"served {len(summary.ticks)} tick(s), {summary.executions} execution(s)"
-        + (", stopped by request" if summary.stopped_by_request else ""),
-        file=_sys.stderr,
-    )
+    log.bind(
+        n_ticks=len(summary.ticks),
+        n_executions=summary.executions,
+        stopped_by_request=summary.stopped_by_request,
+    ).info("serve loop exited")
     return 1 if any(t.failures for t in summary.ticks) else 0
 
 
@@ -257,6 +265,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--mode", choices=("append", "skip-existing"), default="append",
         help="same semantics as run-once",
+    )
+    s.add_argument(
+        "--log-level", default="info",
+        choices=("debug", "info", "warn", "error"),
+        help="structured-log level (reference internal/logger parity)",
     )
     s.set_defaults(fn=_cmd_serve)
 
