@@ -2239,9 +2239,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     only here).
 
     Scale: quality filter is a codegen'd projection at the scan; dedup
-    one min_by hash agg on md5(text); decontam a broadcast anti-join;
-    mix/split pure hash predicates. Two data-proportional shuffles total
-    (dedup key, final rollup) on a 100 TB input."""
+    one min_by agg on md5(text) (SortAggregate pair - string min_by has
+    an immutable buffer); decontam a broadcast anti-join; mix/split pure
+    hash predicates. The dedup subtree evaluates twice (both sides of
+    the anti-join derive from it with different pruning); persist() it
+    at deployment - the registry keeps the pure DAG the oracle mirrors."""
     docs = _t(spark, sf_dir, "documents")
     q = text.quality_features(docs).where(
         (F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2)

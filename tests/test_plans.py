@@ -137,3 +137,69 @@ def test_tpch_q3_broadcast_and_pushdown(spark, sf_dir):
     # both date predicates reach the scans
     assert any("orderdate" in f.lower() for f in pushed_filters(df))
     assert any("shipdate" in f.lower() for f in pushed_filters(df))
+
+
+def test_curation_pipeline_composition_plan(spark, sf_dir):
+    """The composed pipeline must not degrade stage shapes: no cartesian,
+    no nested loop, and the only sort-based aggregation is the dedup
+    min_by (string-valued min_by has an immutable buffer — Spark can't
+    hash-aggregate it; one partial + one final SortAggregate pair is the
+    expected plan for that single stage, everything else stays hash)."""
+    df = QUERIES["curation_pipeline"](spark, sf_dir)
+    ops = _ops(df)
+    assert "CartesianProduct" not in ops
+    assert "BroadcastNestedLoopJoin" not in ops
+    assert "HashAggregate" in ops
+    s = explain_str(df, "simple")
+    # the dedup subtree appears TWICE (the decontam anti-join derives both
+    # its probe and build sides from it, with different column pruning, so
+    # the exchanges can't be reused) -> 2 logical stages x partial+final.
+    # A cluster deployment persists the dedup output; the registry query
+    # keeps the pure-DAG form the oracle can mirror.
+    assert s.count("SortAggregate") <= 4, s
+    # the decontam eval side must be the broadcast build side
+    assert "BroadcastHashJoin" in ops
+
+
+def test_tfidf_and_bm25_plan_shapes(spark, sf_dir):
+    # The ONLY nested-loop join allowed is the deliberate crossJoin of
+    # the broadcast 1-ROW stats aggregate (the scalar-subquery plan);
+    # a second one would mean a real join degraded.
+    tf = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    s = explain_str(tf, "simple")
+    assert "CartesianProduct" not in s
+    assert s.count("BroadcastNestedLoopJoin") <= 1
+    # bm25: the fixed-query df side is broadcast; the term filter reaches
+    # the exploded stream BEFORE the first aggregation
+    bm = QUERIES["bm25_query_scores"](spark, sf_dir)
+    ops = _ops(bm)
+    assert "BroadcastHashJoin" in ops
+    assert "CartesianProduct" not in ops
+    assert explain_str(bm, "simple").count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_takeordered_no_global_sort(spark, sf_dir):
+    from prom_etl_db_spark.plans.explain import explain_str
+
+    df = QUERIES["doc_weighted_sample"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in s
+    # a global Sort node outside TakeOrdered would mean the limit didn't
+    # fuse with the ordering
+    assert "Exchange rangepartitioning" not in s
+
+
+def test_kmeans_assign_is_narrow_after_init(spark, sf_dir):
+    """The assignment pass must be a pure projection over the vectors —
+    one ArrowEvalPython/mapInPandas stage, no join, no shuffle of the
+    corpus (the centroid matrix rides the closure, not an Exchange)."""
+    from prom_etl_db_spark.functions import clustering
+    from prom_etl_db_spark.plans.explain import explain_str
+    from prom_etl_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = clustering.kmeans_init(emb, 8)
+    assigned = clustering.assign_clusters(emb, C)
+    s = explain_str(assigned, "simple")
+    for bad in ("Join", "Exchange hashpartitioning", "CartesianProduct"):
+        assert bad not in s, s
