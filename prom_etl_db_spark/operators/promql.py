@@ -80,6 +80,11 @@ __all__ = [
     "sliding_over_time",
     "topk",
     "bottomk",
+    "limitk",
+    "limit_ratio",
+    "stdvar_over_time",
+    "mad_over_time",
+    "raw_mad_over_time",
     "increase",
     "rate",
     "raw_agg_over_time",
@@ -645,6 +650,36 @@ def topk(df: DataFrame, k: int, *, ascending: bool = False) -> DataFrame:
 def bottomk(df: DataFrame, k: int) -> DataFrame:
     """PromQL ``bottomk(k, x)``."""
     return topk(df, k, ascending=True)
+
+
+def limitk(df: DataFrame, k: int) -> DataFrame:
+    """PromQL (experimental) ``limitk(k, x)``: k series of the vector.
+    Prometheus's pick is arbitrary-but-stable; ours is DOCUMENTED
+    deterministic — the k smallest canonical series keys — so results
+    reproduce across runs, partitionings, and engines (DIVERGENCES.md).
+    Same TakeOrderedAndProject shape as topk."""
+    from prom_etl_db_spark.schema import series_key
+
+    return df.orderBy(F.asc(series_key(F.col("labels")))).limit(k)
+
+
+def limit_ratio(df: DataFrame, r: float) -> DataFrame:
+    """PromQL (experimental) ``limit_ratio(r, x)``: a deterministic
+    ~r-fraction sample of SERIES. Prometheus hashes the label set with a
+    fixed salt so the same series is kept consistently and r + (-(1-r))
+    partitions the vector; we keep both properties via the md5-position
+    trick from ``functions.sampling`` (negative r = the complement).
+    Pure codegen'd filter — no shuffle, no sample()."""
+    if not -1.0 <= r <= 1.0:
+        raise ValueError(f"limit_ratio wants r in [-1, 1], got {r}")
+    from prom_etl_db_spark.functions.sampling import hex_threshold
+    from prom_etl_db_spark.schema import series_key
+
+    pos = F.substring(F.md5(series_key(F.col("labels"))), 1, 8)
+
+    if r >= 0:
+        return df.where(pos < hex_threshold(r))
+    return df.where(pos >= hex_threshold(1.0 + r))
 
 
 # -- rate / increase (counter semantics) -----------------------------------

@@ -18,7 +18,8 @@ Supported grammar (superset of every query string in the reference):
 - aggregations (prefix or postfix grouping): ``sum by (a,b) (x)``,
   ``max without (c) (x)``, avg/min/count/stddev/stdvar/group,
   ``quantile(0.9, x)``, ``count_values("lbl", x)``, ``topk(5, x)``,
-  ``bottomk(5, x)``
+  ``bottomk(5, x)``, ``limitk(5, x)``, ``limit_ratio(0.3, x)``
+  (deterministic pick/sample — DIVERGENCES.md)
 - over-time: sum/avg/max/min/count/last/stddev/stdvar/mad/
   present_over_time and ``quantile_over_time(q, ...)`` over BOTH forms
   — a raw range vector
@@ -161,7 +162,7 @@ Node = Num | Selector | Agg | Call | BinOp
 
 _AGG_OPS = {
     "sum", "avg", "max", "min", "count", "stddev", "stdvar", "group",
-    "quantile", "count_values", "topk", "bottomk",
+    "quantile", "count_values", "topk", "bottomk", "limitk", "limit_ratio",
 }
 _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 _SET_OPS = {"and", "or", "unless"}
@@ -274,7 +275,7 @@ class _Parser:
             by, without = (labels, None) if which == "by" else (None, labels)
         self.expect("(")
         param: Node | str | None = None
-        if op in ("quantile", "topk", "bottomk"):
+        if op in ("quantile", "topk", "bottomk", "limitk", "limit_ratio"):
             param = self.parse_expr()
             self.expect(",")
         elif op == "count_values":
@@ -737,6 +738,12 @@ def _eval_agg(ctx: EvalContext, node: Agg) -> DataFrame:
         k = int(_const(ctx, node.param))
         vec = evaluate(ctx, node.expr)
         return promql.topk(vec, k, ascending=node.op == "bottomk")
+    if node.op == "limitk":
+        vec = evaluate(ctx, node.expr)
+        return promql.limitk(vec, int(_const(ctx, node.param)))
+    if node.op == "limit_ratio":
+        vec = evaluate(ctx, node.expr)
+        return promql.limit_ratio(vec, float(_const(ctx, node.param)))
     if node.op == "count_values":
         vec = evaluate(ctx, node.expr)
         return promql.count_values(vec, str(node.param))

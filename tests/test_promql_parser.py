@@ -506,3 +506,23 @@ def test_mad_and_stdvar_over_time_both_forms(spark):
         eval_promql(df, "stdvar_over_time(m[1h:1m])", T0).collect()[0]["value"]
         == 2.0
     )
+
+
+def test_limitk_and_limit_ratio(spark):
+    df = _samples(
+        spark, [("m", {"k": str(i)}, float(i), -60) for i in range(10)]
+    )
+    # limitk: deterministic k series (smallest canonical series keys:
+    # k="0" and k="1" sort first)
+    out = eval_promql(df, "limitk(2, m)", T0).collect()
+    assert sorted(r["labels"]["k"] for r in out) == ["0", "1"]
+    # limit_ratio partitions: r and -(1-r) together cover every series
+    keep = eval_promql(df, "limit_ratio(0.3, m)", T0).collect()
+    rest = eval_promql(df, "limit_ratio(-0.7, m)", T0).collect()
+    assert len(keep) + len(rest) == 10
+    assert {r["labels"]["k"] for r in keep}.isdisjoint(
+        {r["labels"]["k"] for r in rest}
+    )
+    # determinism: same ratio, same series
+    again = eval_promql(df, "limit_ratio(0.3, m)", T0).collect()
+    assert {r["labels"]["k"] for r in again} == {r["labels"]["k"] for r in keep}

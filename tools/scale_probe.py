@@ -40,7 +40,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from prom_etl_db_spark.functions import dedup, similarity
+from prom_etl_db_spark.functions import clustering, dedup, similarity
+from prom_etl_db_spark.functions import text as textfn
 from prom_etl_db_spark.operators import promql
 from prom_etl_db_spark.session import get_spark
 from prom_etl_db_spark.sources.tables import load_table
@@ -144,11 +145,21 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     )
     run("minhash_lsh", dedup.minhash_lsh_dup_pairs(docs, bands=16, threshold=0.3))
 
+    run("tfidf_topk", textfn.tfidf_topk_terms(docs, 3))
+
     emb = scaled_embeddings(spark, sf_dir, k)
     # auto-sized bands/bits (the registry path); threshold 0.9 sits 7+
     # sigma above the cross-copy noise floor so ground truth is the
     # k-linear planted exact dups
     run("neardup_lsh", similarity.cosine_neardup_lsh(emb, threshold=0.9))
+    # cluster count scales WITH the corpus (the k ~ sqrt(n)-ish rule the
+    # operator documents): per-cluster width stays ~constant, so the
+    # within-cluster pair join stays ~linear. A fixed k at 10x the data
+    # would make sum(|cluster|^2) grow quadratically BY CONFIGURATION.
+    run(
+        "semantic_neardup",
+        clustering.semantic_neardup_pairs(emb, 0.9, k=8 * k, n_iter=2),
+    )
     return times
 
 
