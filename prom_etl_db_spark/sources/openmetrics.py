@@ -1,0 +1,105 @@
+"""OpenMetrics / Prometheus text-exposition parser as a Spark source.
+
+The reference consumes Prometheus through the query API, but the metrics
+themselves are born in the text exposition format (`metric{l="v"} 1.5
+1708300800`). Ingesting scrape dumps / federation snapshots directly is
+the natural extension of the A-family sources: this module parses the
+text format DISTRIBUTEDLY — `spark.read.text` → one JVM-regex projection
+per line — into the same (metric_name, labels, value, timestamp) sample
+shape every downstream operator consumes.
+
+Scale posture: the line parse is pure Column expressions (regexp_extract
++ a from_json-free label-pair parse via regexp_extract_all), so the whole
+parse rides whole-stage codegen — no Python in the scrape path; malformed
+lines quarantine via the same try_cast discipline as A12 rather than
+failing the batch.
+
+Format subset: `# HELP` / `# TYPE` / `# EOF` comments are dropped; sample
+lines support quoted label values with escaped quotes, an optional
+timestamp (seconds or milliseconds — OpenMetrics uses seconds, classic
+Prometheus exposition milliseconds; auto-detected by magnitude), and
++Inf/-Inf/NaN values. Exemplars (`# {...}`) are stripped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_exposition_lines", "read_exposition_text"]
+
+# metric{labels} value [timestamp]  — labels optional; value may be
+# +Inf/-Inf/NaN; exemplar suffix (" # {...} v t") stripped first.
+_LINE_RE = r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(\S+))?\s*$'
+# one label pair: name="value" with \" escapes inside the value
+_PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+
+
+def parse_exposition_lines(lines: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """(value: string) lines → (metric_name, labels, value, timestamp).
+
+    Comment/blank/malformed lines drop out (A12 quarantine posture: the
+    scrape keeps flowing); a missing timestamp yields NULL — the caller
+    stamps scrape time, exactly like Prometheus does.
+    """
+    line = F.regexp_replace(F.col(value_col), r"\s+#\s+\{.*$", "")  # exemplar
+    name = F.regexp_extract(line, _LINE_RE, 1)
+    labels_blob = F.regexp_extract(line, _LINE_RE, 2)
+    raw_val = F.regexp_extract(line, _LINE_RE, 3)
+    raw_ts = F.regexp_extract(line, _LINE_RE, 4)
+
+    # +Inf/-Inf/NaN are valid exposition values try_cast already accepts
+    # ("Infinity"/"NaN" spellings are not used on the wire)
+    val = (
+        F.when(raw_val == "+Inf", F.lit(float("inf")))
+        .when(raw_val == "-Inf", F.lit(float("-inf")))
+        .when(raw_val == "NaN", F.lit(float("nan")))
+        .otherwise(raw_val.try_cast("double"))
+    )
+    # seconds vs milliseconds by magnitude: epoch-ms for any plausible
+    # date is >= 1e12; epoch-s stays < 1e11 until year 5138
+    ts_num = raw_ts.try_cast("double")
+    ts = F.when(
+        ts_num.isNotNull(),
+        F.timestamp_seconds(
+            F.when(F.abs(ts_num) >= 1e12, ts_num / 1000.0).otherwise(ts_num)
+        ),
+    )
+
+    pairs = F.regexp_extract_all(labels_blob, F.lit(_PAIR_RE), F.lit(0))
+    labels = F.map_from_arrays(
+        F.transform(pairs, lambda p: F.regexp_extract(p, _PAIR_RE, 1)),
+        F.transform(
+            pairs,
+            # unescape \" \\ \n — the three escapes the format defines
+            lambda p: F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(p, _PAIR_RE, 2), r'\\"', '"'
+                    ),
+                    r"\\n",
+                    "\n",
+                ),
+                r"\\\\",
+                "\\\\",
+            ),
+        ),
+    )
+
+    parsed = lines.select(
+        name.alias("metric_name"),
+        labels.alias("labels"),
+        val.alias("value"),
+        ts.alias("timestamp"),
+    )
+    # quarantine: no metric name (comments, blanks, garbage) or no value
+    return parsed.where(
+        (F.col("metric_name") != "") & F.col("value").isNotNull()
+    )
+
+
+def read_exposition_text(spark, path: str) -> DataFrame:
+    """Parse exposition-format files under ``path`` (one scrape per file
+    or concatenated) — `spark.read.text` keeps the read distributed and
+    the parse is the codegen'd projection above."""
+    return parse_exposition_lines(spark.read.text(path))

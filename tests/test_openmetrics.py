@@ -1,0 +1,77 @@
+"""OpenMetrics / text-exposition parsing (sources/openmetrics.py)."""
+
+import math
+from datetime import datetime, timezone
+
+from prom_etl_db_spark.sources.openmetrics import (
+    parse_exposition_lines,
+    read_exposition_text,
+)
+
+SCRAPE = """\
+# HELP http_requests_total The total number of HTTP requests.
+# TYPE http_requests_total counter
+http_requests_total{method="post",code="200"} 1027 1395066363000
+http_requests_total{method="post",code="400"}    3 1395066363000
+
+# escaping and exotic values
+msdos_file_access_time_seconds{path="C:\\\\DIR\\\\FILE.TXT",error="Cannot find file:\\n\\"FILE.TXT\\""} 1.458255915e9
+metric_without_timestamp_and_labels 12.47
+something_weird{problem="division by zero"} +Inf -3982045
+malformed_line_no_value{x="y"}
+not a metric at all
+# EOF
+"""
+
+
+def _parse(spark, text=SCRAPE):
+    df = spark.createDataFrame([(x,) for x in text.splitlines()], "value string")
+    return {r["metric_name"]: r for r in parse_exposition_lines(df).collect()}
+
+
+def test_counter_lines_with_ms_timestamps(spark):
+    rows = _parse(spark)
+    r = rows["http_requests_total"]  # dict keeps last; check via full scan
+    df = spark.createDataFrame([(x,) for x in SCRAPE.splitlines()], "value string")
+    out = parse_exposition_lines(df).collect()
+    reqs = [x for x in out if x["metric_name"] == "http_requests_total"]
+    assert len(reqs) == 2
+    by_code = {x["labels"]["code"]: x for x in reqs}
+    assert by_code["200"]["value"] == 1027.0 and by_code["400"]["value"] == 3.0
+    # 1395066363000 is epoch-MILLIS -> 2014-03-17T14:26:03Z
+    assert by_code["200"]["timestamp"] == datetime.fromtimestamp(
+        1395066363, tz=timezone.utc
+    ).replace(tzinfo=None)
+    assert r["labels"]["method"] == "post"
+
+
+def test_escaped_label_values(spark):
+    r = _parse(spark)["msdos_file_access_time_seconds"]
+    assert r["labels"]["path"] == "C:\\DIR\\FILE.TXT"
+    assert r["labels"]["error"] == 'Cannot find file:\n"FILE.TXT"'
+    assert r["value"] == 1.458255915e9
+
+
+def test_no_labels_no_timestamp_and_inf(spark):
+    rows = _parse(spark)
+    bare = rows["metric_without_timestamp_and_labels"]
+    assert bare["labels"] == {} and bare["value"] == 12.47
+    assert bare["timestamp"] is None
+    weird = rows["something_weird"]
+    assert math.isinf(weird["value"]) and weird["value"] > 0
+    # negative epoch-seconds timestamp parses (pre-1970 is legal)
+    assert weird["timestamp"].year == 1969
+
+
+def test_comments_blank_and_malformed_are_quarantined(spark):
+    rows = _parse(spark)
+    assert "malformed_line_no_value" not in rows
+    assert all(not k.startswith("#") for k in rows)
+    assert len(rows) == 4  # the four well-formed metric names
+
+
+def test_read_exposition_text_roundtrip(spark, tmp_path):
+    p = tmp_path / "scrape.txt"
+    p.write_text(SCRAPE)
+    out = read_exposition_text(spark, str(p))
+    assert out.count() == 5  # 2 + 1 + 1 + 1 well-formed sample lines
