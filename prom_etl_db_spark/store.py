@@ -164,6 +164,66 @@ def retention_cleanup(spark: SparkSession, path: str, older_than: date) -> int:
     return dropped
 
 
+def compact_days(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    days: list[date] | None = None,
+) -> dict[date, tuple[int, int]]:
+    """Small-file compaction per day partition — the maintenance pass a
+    streaming/per-execution append store needs at scale (every serve tick
+    and micro-batch appends files; a year of 5-minute appends is ~100k
+    files per partition and scan planning dies before the data does).
+
+    Per selected partition: if it holds more files than its bytes justify
+    at ``target_file_bytes``, rewrite it to ceil(bytes/target) files via
+    an atomic write-to-staging + swap (readers of the OLD listing keep
+    working; a crash mid-swap leaves either the old or the new directory,
+    never a mix). Content is byte-identical — compaction never reorders
+    semantics, only file layout.
+
+    Returns {day: (files_before, files_after)} for the compacted days.
+
+    Scale: one partition at a time (bounded memory/temp footprint), each
+    rewrite a single repartition(n) job over just that partition — never
+    a full-store shuffle.
+    """
+    import math
+
+    root = Path(path)
+    out: dict[date, tuple[int, int]] = {}
+    parts = (
+        [root / f"collected_date={d.isoformat()}" for d in days]
+        if days is not None
+        else sorted(root.glob("collected_date=*"))
+    )
+    for part in parts:
+        if not part.exists():
+            continue
+        files = [f for f in part.glob("*.parquet") if f.is_file()]
+        total = sum(f.stat().st_size for f in files)
+        want = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= want:
+            continue
+        day = date.fromisoformat(part.name.split("=", 1)[1])
+        staging = root / f".compact-{part.name}"
+        if staging.exists():
+            shutil.rmtree(staging)  # leftover from a crashed run
+        (
+            spark.read.parquet(str(part))
+            .repartition(want)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        old = root / f".old-{part.name}"
+        part.rename(old)
+        staging.rename(part)
+        shutil.rmtree(old)
+        out[day] = (len(files), len([f for f in part.glob("*.parquet")]))
+    return out
+
+
 # -- audit (A16/A18) ---------------------------------------------------------
 
 

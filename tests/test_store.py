@@ -19,6 +19,7 @@ from prom_etl_db_spark.store import (
     backfill_skip_existing,
     delete_day,
     execution_record,
+    compact_days,
     overwrite_days,
     read_records,
     retention_cleanup,
@@ -116,3 +117,38 @@ def test_execution_record_duration(spark):
     assert rec["duration_ms"] == 2500
     assert rec["records_count"] == 42
     assert rec["status"] == "success"
+
+
+def test_compact_days_merges_small_files_content_identical(spark, table):
+    day = date(2024, 3, 1)
+    # 8 tiny appends -> 8+ files in one day partition
+    for i in range(8):
+        append_records(_records(spark, day, float(i)), table)
+    before = read_records(spark, table).orderBy("value", "labels.host").collect()
+    from pathlib import Path
+
+    part = Path(table) / f"collected_date={day.isoformat()}"
+    n_before = len(list(part.glob("*.parquet")))
+    assert n_before >= 8
+
+    out = compact_days(spark, table)
+    assert out[day][0] == n_before and out[day][1] == 1
+    after = read_records(spark, table).orderBy("value", "labels.host").collect()
+    assert after == before  # byte-identical content, new layout
+    # idempotent: already-compact partitions are untouched
+    assert compact_days(spark, table) == {}
+
+
+def test_compact_days_respects_day_selection_and_siblings(spark, table):
+    d1, d2 = date(2024, 3, 1), date(2024, 3, 2)
+    for i in range(5):
+        append_records(_records(spark, d1, float(i)), table)
+        append_records(_records(spark, d2, float(i)), table)
+    out = compact_days(spark, table, days=[d1])
+    assert list(out) == [d1]
+    from pathlib import Path
+
+    # d2 untouched: still many files
+    part2 = Path(table) / f"collected_date={d2.isoformat()}"
+    assert len(list(part2.glob("*.parquet"))) >= 5
+    assert read_records(spark, table).count() == 30
