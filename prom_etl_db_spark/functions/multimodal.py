@@ -474,6 +474,40 @@ def bmp_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+BMP_RESIZE_SCHEMA = "media_id long, width int, height int, mean_px double"
+
+
+def bmp_resize_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 transform path, driver-gated: per document synthesize a REAL
+    8-row vertical-gradient BMP (pixel value 30·row in every channel),
+    nearest-neighbor-resize it to (2, id%4+1), then fully re-decode. The
+    resized mean is the closed form 30·avg(⌊i·8/h'⌋), so the DuckDB
+    oracle hash-checks encode→resize→decode — pixel selection arithmetic
+    included — not just that some bytes moved."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grad = np.repeat(
+            (np.arange(8, dtype=np.uint8) * 30)[:, None, None], 4 * 3, axis=1
+        ).reshape(8, 4, 3)
+        src = encode_bmp(grad)
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "width", "height", "mean_px")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                h2 = mid % 4 + 1
+                px = bmp_pixels(resize_bmp(src, 2, h2))
+                out["media_id"].append(mid)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean_px"].append(round(float(px.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, BMP_RESIZE_SCHEMA
+    )
+
+
 def wav_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """E4 audio dual of ``bmp_roundtrip_features``: a valid PCM-16 WAV per
     document (alternating ±amplitude — RMS is exactly |amplitude|), fully

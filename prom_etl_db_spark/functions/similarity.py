@@ -18,6 +18,8 @@ fixed corpus rows (no RNG, no ``Date.now``-style nondeterminism).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -320,6 +322,24 @@ def cosine_neardup_lsh(
     )
 
 
+def _nearest_centroids_udf(cent_ids, cent_mat, nprobe: int):
+    """array<long> of the ``nprobe`` nearest centroid ids by cosine, as
+    one BLAS matmul per Arrow batch against the closure-captured (and
+    row-normalized) centroid matrix. ``cent_ids`` must be ASCENDING so
+    the stable argsort's tie order is ascending-id — the same (desc sim,
+    asc centroid_id) order the join formulation produced."""
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    Cn = cent_mat / np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30)
+
+    def fn(v):
+        M = _normalized(v)
+        S = M @ Cn.T
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([ids[row].tolist() for row in idx])
+
+    return F.pandas_udf(fn, "array<long>")
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -327,59 +347,50 @@ def cosine_topk_ivf(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | None = 16,
+    nprobe: int | None = 4,
 ) -> DataFrame:
     """Approximate top-k via inverted-file (IVF) bucketing.
 
-    Centroids = the ``num_centroids`` lowest-id corpus vectors (fixed seed
-    rows — deterministic; a k-means refinement would slot in here without
-    changing the plan shape). Corpus rows are assigned to their nearest
-    centroid (broadcast pass); each query searches its ``nprobe`` nearest
-    centroid buckets only. Same output shape as brute force.
+    Centroids = the ``num_centroids`` lowest-id corpus vectors (fixed
+    seed rows — deterministic; ``clustering.kmeans`` refinement slots in
+    here without changing the plan shape). ``num_centroids=None``
+    auto-sizes to ~√n (the standard IVF rule: bucket width ≈ centroid
+    count ≈ √n balances probe cost against scan cost), with nprobe then
+    ~√centroids.
+
+    Assignment/probing is one BLAS matmul per Arrow batch against the
+    closure-broadcast centroid matrix — NOT a corpus × centroids join:
+    at √n centroids that join is ~n^1.5 rows with a per-row fold, while
+    the matmul stays one narrow pass. Each query then searches only its
+    ``nprobe`` buckets via the (centroid_id) equi-join.
     """
-    cent = (
+    if num_centroids is None:
+        n = corpus.count()
+        num_centroids = max(4, int(math.isqrt(n)))
+    if nprobe is None:
+        nprobe = max(2, int(math.isqrt(num_centroids)))
+    cent_rows = (
         corpus.orderBy(F.asc(id_col))
         .limit(num_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("_tmp"),  # not used as key
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("cent_vec"),
-        )
-        .drop("_tmp")
-    )
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )  # num_centroids × d — broadcast-class, like _collect_matrix
+    cent_ids = [r[0] for r in cent_rows]
+    cent_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
 
     c = balance(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    # assign: argmax cosine over broadcast centroids — one pass, no shuffle
-    assigned = (
-        c.join(F.broadcast(cent))
-        .withColumn("c_sim", cosine(F.col("c_vec"), F.col("cent_vec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.desc("c_sim"), F.asc("centroid_id")
-                )
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("neighbor_id", "c_vec", "centroid_id")
-    )
+    assign1 = _nearest_centroids_udf(cent_ids, cent_mat, 1)
+    assigned = c.withColumn("centroid_id", assign1(F.col("c_vec"))[0])
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    probes = (
-        q.join(F.broadcast(cent))
-        .withColumn("c_sim", cosine(F.col("q_vec"), F.col("cent_vec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-            ),
-        )
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+    probe_n = _nearest_centroids_udf(cent_ids, cent_mat, nprobe)
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(probe_n(F.col("q_vec"))).alias("centroid_id"),
     )
 
     scored = (

@@ -1302,6 +1302,28 @@ def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_roundtrip",
+    oracle="""
+WITH hmean AS (
+  SELECT h, round(30.0 * avg(CAST(floor(i.range * 8.0 / hs.h) AS DOUBLE)), 6) AS mean_v
+  FROM (SELECT range + 1 AS h FROM range(4)) hs
+  JOIN range(4) i ON i.range < hs.h
+  GROUP BY h
+)
+SELECT d.doc_id AS media_id, CAST(2 AS INT) AS width,
+       CAST(d.doc_id % 4 + 1 AS INT) AS height, hmean.mean_v AS mean_px
+FROM documents d JOIN hmean ON hmean.h = d.doc_id % 4 + 1
+""",
+)
+def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 transform: encode -> nearest-neighbor resize -> decode over a
+    gradient BMP, with the resized mean's closed form recomputed by the
+    oracle - the pixel-selection arithmetic is what's being gated."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.bmp_resize_roundtrip_features(docs)
+
+
+@register(
     "multimodal_wav_samples",
     oracle="""
 SELECT doc_id AS media_id,
@@ -2939,6 +2961,7 @@ _GATE_PRIORITY = [
     "promql_mad_over_time",
     "doc_weighted_sample",
     "curation_pipeline",
+    "multimodal_resize_roundtrip",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

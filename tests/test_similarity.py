@@ -169,3 +169,37 @@ def test_ivf_recall_at_query_parameters(spark, sf_dir):
     # 4 of 16 probes scans ~25% of the corpus; near neighbors concentrate
     # in the probed buckets, so recall should be far above that floor
     assert recall >= 0.6, f"recall@5 {recall:.3f} below 0.6"
+
+
+def test_ivf_auto_sizing_and_blas_path(spark):
+    """num_centroids=None sizes to ~sqrt(n); results still rank real
+    neighbors first (the BLAS assignment must agree with the cosine-join
+    formulation it replaced)."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(144)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(df, qs, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(
+            df, qs, k=3, num_centroids=None, nprobe=None
+        ).collect()
+    }
+    # sqrt(144) = 12 centroids, nprobe ~ 3; rank-1 recall should be high
+    hits = sum(
+        1 for q in range(5) if approx.get((q, 1)) == exact.get((q, 1))
+    )
+    assert hits >= 3
