@@ -203,3 +203,13 @@ def test_kmeans_assign_is_narrow_after_init(spark, sf_dir):
     s = explain_str(assigned, "simple")
     for bad in ("Join", "Exchange hashpartitioning", "CartesianProduct"):
         assert bad not in s, s
+
+
+def test_tpch_q5_broadcast_dims_single_fact_shuffle(spark, sf_dir):
+    df = QUERIES["tpch_q5_local_revenue"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    # all four dims broadcast; the only shuffle join is orders-lineitem
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # the one-year slice reaches the orders scan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
