@@ -25,6 +25,7 @@ __all__ = [
     "document_frequencies",
     "tfidf_topk_terms",
     "bm25_scores",
+    "chunk_documents",
     "fingerprint",
     "STOPWORDS",
     "BPE_SPLIT_RE",
@@ -347,6 +348,63 @@ def bm25_scores(
     )
     return per_term.groupBy(id_col).agg(
         F.round(F.sum("__s"), 6).alias("score")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    *,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking — the context-window prep step every
+    embedding/RAG pipeline runs before encoding: each document becomes
+    ⌈(n − overlap)/(chunk − overlap)⌉ chunks of ``chunk_tokens``
+    whitespace tokens, consecutive chunks sharing ``overlap_tokens``.
+
+    Output: (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text) —
+    chunk_id counts from 0 per document, chunk_start is the 0-based token
+    offset (= chunk_id·stride), and the final chunk may run short rather
+    than re-reading earlier tokens (deterministic layout: a document's
+    chunking never depends on partitioning).
+
+    Scale: tokenize once, generate starts with ``sequence`` and explode —
+    a narrow per-row expansion (output rows ≈ input tokens / stride), no
+    shuffle at all; chunk text is a ``slice`` + ``array_join`` over the
+    carried token array.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    # drop a trailing start that would chunk ONLY overlap tokens already
+    # seen (possible when overlap > 0 and n % stride <= overlap)
+    exploded = exploded.where(
+        (F.col("chunk_start") == 0)
+        | (F.col("chunk_start") + F.lit(overlap_tokens) < F.size("__toks"))
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 

@@ -2904,6 +2904,35 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunking",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, w, n,
+         CAST(i.range AS INT) AS chunk_id,
+         CAST(i.range * 24 AS INT) AS chunk_start
+  FROM t JOIN range(1000) i ON i.range * 24 < n
+)
+SELECT doc_id, chunk_id, chunk_start,
+       CAST(len(w[chunk_start + 1 : chunk_start + 32]) AS INT) AS n_chunk_tokens,
+       array_to_string(w[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+FROM starts
+WHERE chunk_start = 0 OR chunk_start + 8 < n
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: sliding token-window chunking (32-token chunks, 8-token
+    overlap) - the context-window prep before embedding. Tokenize once,
+    sequence+posexplode the starts: a narrow expansion, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, 32, overlap_tokens=8)
+
+
+@register(
     "tpch_q5_local_revenue",
     oracle="""
 SELECT n.n_name,
@@ -3018,6 +3047,7 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "multimodal_resize_roundtrip",
     "tpch_q5_local_revenue",
+    "doc_chunking",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -129,3 +129,42 @@ def test_bm25_empty_query_match_is_empty(spark):
 
     out = bm25_scores(_ranking_corpus(spark), ["nonexistent"])
     assert out.count() == 0
+
+
+# -- chunking ---------------------------------------------------------------
+
+
+def test_chunk_documents_layout_and_overlap(spark):
+    from prom_etl_db_spark.functions.text import chunk_documents
+
+    doc = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, doc), (2, ""), (3, "solo")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, 4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 3, starts 0,3,6,9; start 9 chunks only w9 (1 new token
+    # = start+overlap=10 >= n -> kept? 9+1 < 10 false -> dropped)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [0, 3, 6]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(r["n_chunk_tokens"] == 4 for r in c1)
+    # empty doc -> no chunks; short doc -> one short chunk
+    assert 2 not in by_doc
+    assert by_doc[3][0]["chunk_text"] == "solo"
+    assert by_doc[3][0]["n_chunk_tokens"] == 1
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from prom_etl_db_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 4, overlap_tokens=4)
