@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "mix_by_column",
     "deterministic_topn",
+    "cap_per_key",
     "weighted_sample",
     "global_shuffle",
     "pack_documents",
@@ -179,6 +180,40 @@ def deterministic_topn(df: DataFrame, key: str, n: int, *, salt: str = "topn") -
         .orderBy("__pos", key)
         .limit(n)
         .drop("__pos")
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    strata: str,
+    n: int,
+    *,
+    key: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-stratum cap: keep at most ``n`` rows per ``strata`` value
+    (domain caps à la RefinedWeb — no single source may dominate the
+    corpus), chosen uniformly-deterministically by hash position so the
+    survivors are a stable random sample, not "whatever sorted first".
+
+    Scale: one shuffle on the strata key + a per-group row_number window
+    ordered by the 8-hex position — window state is one counter per
+    group. A HOT stratum (one domain = 5% of the corpus) makes that
+    partition wide; since output ≤ n per group, pre-filtering each MAP
+    partition to its local top-n first (groupBy strata with a bounded
+    heap) would cut the shuffle — at fixture scale the plain window is
+    the clearer plan and AQE skew-split handles moderate imbalance.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
+    pos = hash_position(F.col(key), salt)
+    w = Window.partitionBy(strata).orderBy(pos, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
     )
 
 

@@ -2164,6 +2164,29 @@ def doc_deterministic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_cap_per_source",
+    oracle="""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8), doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= 10
+""",
+)
+def doc_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: per-source caps (RefinedWeb-style domain caps) - at most 10
+    docs per source, survivors a stable hash-uniform sample. One shuffle
+    on source + a counter-per-group window."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.cap_per_key(docs, "source", 10).select(
+        "doc_id", "source", "lang"
+    )
+
+
+@register(
     "doc_weighted_sample",
     oracle="""
 WITH scored AS (
@@ -3048,6 +3071,7 @@ _GATE_PRIORITY = [
     "multimodal_resize_roundtrip",
     "tpch_q5_local_revenue",
     "doc_chunking",
+    "doc_cap_per_source",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -212,3 +212,24 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     out = weighted_sample(df, "doc_id", F.col("w"), 10).collect()
     assert [r["doc_id"] for r in out] == [4]
+
+
+def test_cap_per_key_limits_and_stability(spark):
+    from prom_etl_db_spark.functions.sampling import cap_per_key
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]  # 20 per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, "source", 5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 3
+    # survivors stable under repartitioning
+    again = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_key(df.repartition(11), "source", 5).collect()
+    }
+    assert again == {(s, d) for s, v in per.items() for d in v}
+    # a stratum smaller than the cap survives whole
+    small = cap_per_key(df.where("doc_id < 4"), "source", 5).count()
+    assert small == 4
