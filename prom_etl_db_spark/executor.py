@@ -77,7 +77,8 @@ def evaluate_config_query(
         # in the query (pre-filtering raw timestamps would make
         # `cpu offset 2h` read the un-offset window)
         stream = _eval_stream(
-            EvalContext(samples, end, frame=(start, end)), node, step
+            EvalContext(samples, end, frame=(start, end), range_bounds=(start, end)),
+            node, step
         )
         return (
             stream.select(

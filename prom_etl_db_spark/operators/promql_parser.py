@@ -44,8 +44,8 @@ Documented divergences (same policies as the combinators, tested):
   bucket, then last-per-bucket step alignment — no staleness LOCF
   across empty buckets (Prometheus would carry values ≤5 m forward).
 - rate/increase are exact over stored samples, not extrapolated.
-- ``@ start()`` / ``@ end()`` forms are unsupported (no query_range API
-  surface here — only numeric epochs). ``group_left/right`` don't
+- ``@ start()`` / ``@ end()`` resolve to the executor range-mode
+  [start, end] (both equal the eval instant on instant queries). ``group_left/right`` don't
   pre-validate one-side key uniqueness (Prometheus errors; we fan out
   like a join — see ``promql.vector_binop``).
 """
@@ -128,7 +128,7 @@ class Selector:
     range_: str | None = None       # "24h" for x[24h]
     step: str | None = None         # "1m" for x[24h:1m]
     offset: str | None = None       # may be sign-prefixed: "-1h"
-    at_: float | None = None        # epoch seconds from the @ modifier
+    at_: "float | str | None" = None  # epoch seconds, or "start"/"end"
 
 
 @dataclass
@@ -370,9 +370,16 @@ class _Parser:
                     self.next()
                     sign = -1.0  # pre-1970 pins are legal PromQL
                 t = self.next()
-                if t.kind != "NUM":
+                if t.kind == "IDENT" and t.text in ("start", "end") and sign > 0:
+                    # @ start() / @ end(): pin to the RANGE QUERY bounds
+                    # (executor range mode); = the eval instant otherwise
+                    self.expect("(")
+                    self.expect(")")
+                    node.at_ = t.text
+                elif t.kind != "NUM":
                     raise PromQLError(f"@ needs an epoch timestamp, got {t.text!r}")
-                node.at_ = sign * float(t.text)
+                else:
+                    node.at_ = sign * float(t.text)
         return node
 
 
@@ -400,6 +407,10 @@ class EvalContext:
     at: datetime
     staleness: str = "5 minutes"
     frame: tuple[datetime, datetime] | None = None
+    # the RANGE QUERY's [start, end] for @ start()/@ end() resolution —
+    # distinct from ``frame``, which subquery evaluation overwrites; on
+    # an instant query both resolve to the eval instant (PromQL rule)
+    range_bounds: tuple[datetime, datetime] | None = None
     # Executor range-mode pins frame=[start, end] INCLUSIVE (both ends are
     # requested eval instants). Frames derived from _frame_bounds (subquery
     # / over-time windows) are half-open [lo, hi) to match _frame's
@@ -538,6 +549,10 @@ def _at_of(ctx: EvalContext, node: "Node | str") -> datetime:
     else uses the context's frozen time. (Naive datetime via the same
     fromtimestamp convention .timestamp() round-trips.)"""
     if isinstance(node, Selector) and node.at_ is not None:
+        if node.at_ == "start":
+            return ctx.range_bounds[0] if ctx.range_bounds else ctx.at
+        if node.at_ == "end":
+            return ctx.range_bounds[1] if ctx.range_bounds else ctx.at
         try:
             return datetime.fromtimestamp(node.at_)
         except (OverflowError, ValueError, OSError) as e:
@@ -797,6 +812,7 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             ctx.samples, ctx.at, ctx.staleness,
             frame=_frame_bounds(_at_of(ctx, arg), rng),
             frame_right_closed=False,  # _frame duality: [lo, hi) like x[1h]
+            range_bounds=ctx.range_bounds,
         )
         stream = _eval_stream(frame_ctx, inner, step)
         if fn == "quantile_over_time":

@@ -165,8 +165,8 @@ def test_eval_unsupported_constructs_raise(spark):
     df = _samples(spark, [("m", {"h": "a"}, 1, -10)])
     with pytest.raises(PromQLError):
         eval_promql(df, "m[5m]", T0)  # bare range selector is not a vector
-    with pytest.raises(PromQLError):
-        eval_promql(df, "m @ start()", T0)  # only numeric @ epochs
+    # (m @ start() is supported now — resolves to the eval instant on an
+    # instant query; see test_at_start_end_resolve_range_bounds)
 
 
 # -- regressions from review findings --------------------------------------
@@ -526,3 +526,31 @@ def test_limitk_and_limit_ratio(spark):
     # determinism: same ratio, same series
     again = eval_promql(df, "limit_ratio(0.3, m)", T0).collect()
     assert {r["labels"]["k"] for r in again} == {r["labels"]["k"] for r in keep}
+
+
+def test_at_start_end_resolve_range_bounds(spark):
+    from prom_etl_db_spark.operators.promql_parser import EvalContext, evaluate, parse
+
+    # samples at T0-2h (value 5) and T0-30s (value 9)
+    df = _samples(
+        spark,
+        [("m", {"k": "a"}, 5.0, -7200), ("m", {"k": "a"}, 9.0, -30)],
+    )
+    ctx = EvalContext(
+        df, T0, range_bounds=(T0 - timedelta(hours=2), T0)
+    )
+    # @ start(): instant read at T0-2h sees the old sample
+    got = evaluate(ctx, parse("m @ start()")).collect()[0]["value"]
+    assert got == 5.0
+    # @ end(): reads at T0 -> the fresh sample
+    assert evaluate(ctx, parse("m @ end()")).collect()[0]["value"] == 9.0
+    # instant query (no range_bounds): both collapse to the eval instant
+    ctx2 = EvalContext(df, T0)
+    assert evaluate(ctx2, parse("m @ start()")).collect()[0]["value"] == 9.0
+
+
+def test_at_start_requires_parens():
+    from prom_etl_db_spark.operators.promql_parser import PromQLError, parse
+
+    with pytest.raises(PromQLError):
+        parse("m @ start")
