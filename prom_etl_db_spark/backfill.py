@@ -151,3 +151,57 @@ def backfill_days(
             summary.inserted_days += 1
         day += timedelta(days=1)
     return summary
+
+
+def backfill_range_bulk(
+    spark: SparkSession,
+    *,
+    query_id: str,
+    start: date,
+    end: date,
+    fetch_range: Callable[[datetime, datetime], DataFrame],
+    table_path: str,
+) -> BackfillSummary:
+    """The Spark-first BULK path for the common repair case (fill missing
+    days, no force): ONE ``fetch_range(start, end)`` DataFrame, missing
+    days selected with a filter against the existing-day set, one
+    partitioned append — a single distributed job instead of D sequential
+    fetch→write round-trips (the reference's loop costs a driver
+    round-trip per day plus its deliberate 100 ms sleep,
+    repair/main.go:380; at a year of backfill that's the wall-clock).
+
+    Scope: insert-missing only — force-recompute/delete semantics need
+    the per-day decision matrix and stay in ``backfill_days``. Existing
+    days are skipped atomically (the filter is computed from the store
+    BEFORE the append, and appends never touch existing files, so a
+    concurrent reader never sees a partial day replaced).
+
+    ``fetch_range`` must return METRICS_SCHEMA + collected_date rows for
+    [start, end] inclusive; rows outside are filtered defensively.
+    """
+    summary = BackfillSummary()
+    n_days = (end - start).days + 1
+    summary.processed = n_days
+    existing = existing_day_counts(spark, table_path, query_id)
+    have = sorted(d for d, n in existing.items() if n > 0 and start <= d <= end)
+    summary.skipped_existing = len(have)
+    if summary.skipped_existing == n_days:
+        return summary
+    records = fetch_range(day_end(start), day_end(end)).where(
+        (F.col("collected_date") >= F.lit(start))
+        & (F.col("collected_date") <= F.lit(end))
+        & ~F.col("collected_date").isin(have)
+    )
+    records = records.persist()  # day-list pass + append: one source read
+    try:
+        inserted = [
+            r["collected_date"]
+            for r in records.select("collected_date").distinct().collect()
+        ]
+        if inserted:
+            append_records(records, table_path)
+    finally:
+        records.unpersist()
+    summary.inserted_days = len(inserted)
+    summary.skipped_no_data = n_days - summary.skipped_existing - len(inserted)
+    return summary

@@ -257,3 +257,51 @@ def test_retention_classifier():
 
 def test_day_end():
     assert day_end(date(2024, 3, 1)) == datetime(2024, 3, 1, 23, 59, 59)
+
+
+def test_backfill_range_bulk_matches_per_day_loop(spark, tmp_path):
+    """The one-job bulk path must land exactly what the per-day loop
+    would for the insert-missing case, skip existing days, and re-run as
+    a no-op."""
+    from prom_etl_db_spark.backfill import backfill_range_bulk
+
+    fetch_day = _fetch_day_factory(spark)
+
+    def fetch_range(start_at, end_at):
+        dfs, at = [], start_at
+        while at.date() <= end_at.date():
+            dfs.append(fetch_day(at))
+            at = at + timedelta(days=1)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    loop_path = str(tmp_path / "loop")
+    bulk_path = str(tmp_path / "bulk")
+    args = dict(query_id="q1", start=date(2024, 3, 1), end=date(2024, 3, 4))
+    backfill_days(spark, fetch_day=fetch_day, table_path=loop_path, **args)
+
+    # pre-seed one day so the bulk run must skip it
+    backfill_days(
+        spark, fetch_day=fetch_day, table_path=bulk_path,
+        query_id="q1", start=date(2024, 3, 2), end=date(2024, 3, 2),
+    )
+    s = backfill_range_bulk(
+        spark, fetch_range=fetch_range, table_path=bulk_path, **args
+    )
+    assert (s.processed, s.inserted_days, s.skipped_existing) == (4, 3, 1)
+
+    def rows(p):
+        return sorted(
+            (str(sorted(r["labels"].items())),) + tuple(r)[1:]
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(loop_path) == rows(bulk_path)
+
+    # idempotent re-run
+    s2 = backfill_range_bulk(
+        spark, fetch_range=fetch_range, table_path=bulk_path, **args
+    )
+    assert (s2.inserted_days, s2.skipped_existing) == (0, 4)
