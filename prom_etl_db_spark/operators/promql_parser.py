@@ -29,7 +29,8 @@ Supported grammar (superset of every query string in the reference):
   changes, resets, ``predict_linear(x[f], t)``
 - functions: histogram_quantile, label_replace, label_join, clamp,
   clamp_min, clamp_max, absent, absent_over_time, round
-  (to-nearest-multiple semantics), sort/sort_desc, time, timestamp,
+  (to-nearest-multiple semantics), sort/sort_desc,
+  sort_by_label(_desc), time, timestamp,
   minute/hour/day_of_week/day_of_month/days_in_month/month/year (UTC,
   session-timezone independent), abs, ceil, floor, exp, ln, sqrt, sgn,
   log2, log10
@@ -897,6 +898,21 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         vec = _vec_arg(ctx, node.args[0], fn)
         order = F.asc("value") if fn == "sort" else F.desc("value")
         return vec.orderBy(order, F.asc(F.array_sort(F.map_entries("labels"))))
+    if fn in ("sort_by_label", "sort_by_label_desc"):
+        # experimental PromQL: order by label VALUES (missing label = "",
+        # like matchers), value+series as deterministic tiebreakers
+        vec = _vec_arg(ctx, node.args[0], fn)
+        labels = node.args[1:]
+        if not labels or not all(isinstance(a, str) for a in labels):
+            raise PromQLError(f"{fn} needs string label arguments")
+        cols = [
+            F.coalesce(F.element_at(F.col("labels"), lbl), F.lit(""))
+            for lbl in labels
+        ]
+        cols = [c.asc() if fn == "sort_by_label" else c.desc() for c in cols]
+        return vec.orderBy(
+            *cols, F.asc("value"), F.asc(F.array_sort(F.map_entries("labels")))
+        )
     if fn == "time":
         return float(ctx.at.timestamp())
     if fn == "vector":

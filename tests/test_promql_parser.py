@@ -554,3 +554,22 @@ def test_at_start_requires_parens():
 
     with pytest.raises(PromQLError):
         parse("m @ start")
+
+
+def test_sort_by_label_orders_output(spark):
+    df = _samples(
+        spark,
+        [
+            ("m", {"env": "prod", "k": "2"}, 1.0, -30),
+            ("m", {"env": "dev", "k": "1"}, 2.0, -30),
+            ("m", {"env": "prod", "k": "1"}, 3.0, -30),
+        ],
+    )
+    out = eval_promql(df, 'sort_by_label(m, "env", "k")', T0).collect()
+    assert [(r["labels"]["env"], r["labels"]["k"]) for r in out] == [
+        ("dev", "1"), ("prod", "1"), ("prod", "2"),
+    ]
+    out_d = eval_promql(df, 'sort_by_label_desc(m, "env")', T0).collect()
+    assert [r["labels"]["env"] for r in out_d][0] == "prod"
+    with pytest.raises(PromQLError):
+        eval_promql(df, "sort_by_label(m)", T0)
