@@ -26,6 +26,7 @@ __all__ = [
     "tfidf_topk_terms",
     "bm25_scores",
     "chunk_documents",
+    "hashed_bow_score",
     "fingerprint",
     "STOPWORDS",
     "BPE_SPLIT_RE",
@@ -349,6 +350,53 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(
         F.round(F.sum("__s"), 6).alias("score")
     )
+
+
+def hashed_bow_score(
+    text: Column,
+    *,
+    dim: int = 1024,
+    salt: str = "bow",
+    weight_fn=None,
+) -> Column:
+    """Linear-model score over the hashed bag-of-words — the fastText-
+    style quality-classifier scoring shape: each token hashes into one of
+    ``dim`` buckets and contributes that bucket's weight; the document
+    score is the sum. This is exactly how learned filter models (CCNet /
+    DCLM-style quality classifiers) apply at corpus scale — the weights
+    come from offline training; HERE the weight function is an injected
+    Column expression over the bucket id.
+
+    Default weights are the closed form (bucket % 7 − 3)/10 — a fixed
+    pseudo-model that exercises the full scoring path and keeps the
+    operator DuckDB-oracle-checkable; real deployments pass
+    ``weight_fn``, a ``bucket Column → weight Column`` mapping (e.g.
+    ``lambda b: F.element_at(weights_array, b + 1)`` over a broadcast
+    array literal of trained weights).
+
+    Pure Column expression (md5 → bucket → weight → sum fold): no UDF, no
+    shuffle — scoring rides the scan like any projection.
+    """
+    toks = tokens(text)
+
+    def bucket_of(tok: Column) -> Column:
+        # 8 hex chars = unsigned 32-bit, so the % dim is never negative
+        h = F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(salt))), 1, 8), 16, 10
+        ).cast("long")
+        return h % F.lit(dim)
+
+    if weight_fn is None:
+        weight_fn = lambda b: ((b % 7) - 3).cast("double") / 10.0  # noqa: E731
+
+    total = F.aggregate(
+        F.filter(toks, lambda t: t != ""),  # blank text → [""] → score 0
+        F.lit(0.0),
+        lambda acc, tok: acc + weight_fn(bucket_of(tok)),
+    )
+    # + 0.0 normalizes the negative zero a ±w cancellation can leave
+    # (repr(-0.0) != repr(0.0) breaks cross-engine value hashing)
+    return F.round(total, 6) + F.lit(0.0)
 
 
 def chunk_documents(

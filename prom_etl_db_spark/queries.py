@@ -2927,6 +2927,28 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_classifier_scores",
+    oracle=r"""
+SELECT doc_id,
+       round(coalesce(list_sum(list_transform(
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+         t -> ((CAST(('0x' || substr(md5(t || 'bow'), 1, 8)) AS BIGINT) % 1024) % 7 - 3)
+              / 10.0
+       )), 0.0), 6) + 0.0 AS bow_score
+FROM documents
+""",
+)
+def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 model-scoring shape: fastText-style linear score over the
+    hashed bag-of-words (fixed pseudo-weights; trained weights slot in
+    via weight_fn). Pure Column fold - scoring rides the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.hashed_bow_score(F.col("text")).alias("bow_score")
+    )
+
+
+@register(
     "doc_chunking",
     oracle=r"""
 WITH t AS (
@@ -3072,6 +3094,7 @@ _GATE_PRIORITY = [
     "tpch_q5_local_revenue",
     "doc_chunking",
     "doc_cap_per_source",
+    "doc_classifier_scores",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

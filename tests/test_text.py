@@ -168,3 +168,35 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, 0)
     with _pytest.raises(ValueError):
         chunk_documents(df, 4, overlap_tokens=4)
+
+
+def test_hashed_bow_score_hand_computed_and_custom_weights(spark):
+    import hashlib
+
+    from prom_etl_db_spark.functions.text import hashed_bow_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hashed_bow_score(F.col("text")).alias("s")
+        ).collect()
+    }
+
+    def w(tok):
+        h = int(hashlib.md5((tok + "bow").encode()).hexdigest()[:8], 16)
+        return ((h % 1024) % 7 - 3) / 10.0
+
+    assert out[1] == round(2 * w("alpha") + w("beta"), 6)
+    # blank text -> empty token stream -> score 0 (the "" token the split
+    # produces is filtered, matching the oracle's t <> '' filter)
+    assert out[2] == 0.0
+
+    # custom weight_fn: constant 1.0 turns the score into a token count
+    ones = df.select(
+        "doc_id",
+        hashed_bow_score(F.col("text"), weight_fn=lambda b: F.lit(1.0)).alias("s"),
+    ).collect()
+    assert {r["doc_id"]: r["s"] for r in ones}[1] == 3.0
