@@ -164,6 +164,33 @@ def retention_cleanup(spark: SparkSession, path: str, older_than: date) -> int:
     return dropped
 
 
+def append_records_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str] | None = None,
+    *,
+    num_files: int | None = None,
+) -> None:
+    """A14 append with a DATA-SKIPPING layout: range-partition then sort
+    within partitions on ``cluster_cols`` (default: the series-selective
+    columns) before writing. Parquet footers store per-row-group min/max;
+    after clustering, each file covers a NARROW slice of the cluster key,
+    so a selective filter (one metric, one label value) skips whole files
+    at planning time instead of scanning the day. This is the poor-man's
+    Z-ORDER — the single highest-leverage layout move for a 100 TB store
+    where queries are metric-selective but partitions are day-wide.
+
+    Same atomic append semantics as ``append_records``; only the file
+    layout differs. The extra cost is one range shuffle per batch."""
+    cols = cluster_cols or ["metric_name"]
+    # num_files pins the range-shuffle width (AQE otherwise coalesces a
+    # small batch into one file, losing the layout); default lets AQE
+    # size the files to the batch
+    args = ([num_files] if num_files else []) + cols
+    clustered = df.repartitionByRange(*args).sortWithinPartitions(*cols)
+    clustered.write.partitionBy(*PARTITION_COLS).mode("append").parquet(path)
+
+
 def compact_days(
     spark: SparkSession,
     path: str,

@@ -152,3 +152,55 @@ def test_compact_days_respects_day_selection_and_siblings(spark, table):
     part2 = Path(table) / f"collected_date={d2.isoformat()}"
     assert len(list(part2.glob("*.parquet"))) >= 5
     assert read_records(spark, table).count() == 30
+
+
+def test_clustered_append_produces_disjoint_file_ranges(spark, table):
+    """The data-skipping property, asserted on the actual parquet footers:
+    after clustering on metric_name, each file's (min, max) metric range
+    is narrow and files barely overlap — a metric-selective filter can
+    skip most files. The unclustered layout interleaves every metric into
+    every file."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from prom_etl_db_spark.store import append_records_clustered
+
+    day = date(2024, 3, 1)
+    rows = [
+        (
+            "q1",
+            f"metric_{m:02d}",
+            {"host": "h"},
+            1.0,
+            datetime(2024, 3, 1, 12, 0),
+            "instant",
+            datetime(2024, 3, 1),
+            day,
+        )
+        for m in range(8)
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, METRICS_STORED_SCHEMA).repartition(8)
+    append_records_clustered(df, table, num_files=4)
+
+    part = Path(table) / f"collected_date={day.isoformat()}"
+    spans = []
+    for f in part.glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "metric_name"
+        )
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        spans.append((min(los), max(his)))
+    assert len(spans) >= 2
+    # every file covers at most 2 of the 8 metrics — narrow, skippable
+    width = [int(hi[-2:]) - int(lo[-2:]) for lo, hi in spans]
+    assert all(w <= 1 for w in width), spans
+    # and the data is intact
+    assert spark.read.parquet(table).count() == 400
