@@ -865,9 +865,41 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_signatures")  # no SQL oracle: pandas-UDF bit votes
+@register(
+    "simhash_signatures",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+), votes AS (
+  SELECT doc_id, b.range AS j,
+         sum(CASE WHEN (h >> CAST(b.range AS UBIGINT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN range(64) b
+  GROUP BY doc_id, b.range
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0
+                  THEN CAST(1 AS HUGEINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS total
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(sig.total, 0) >= CAST(1 AS HUGEINT) << 63
+                 THEN coalesce(sig.total, 0) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE coalesce(sig.total, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+""",
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 (SimHash): 64-bit signatures via Arrow-batched pandas UDF."""
+    """E2 (SimHash): 64-bit signatures via Arrow-batched pandas UDF. The
+    md5-derived token bits make even the UDF path oracle-checkable: the
+    DuckDB dual recomputes every bit vote with UBIGINT shifts and folds
+    the sign bits back through two's complement - the signature
+    hash-matches bit for bit (upgraded from a rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_signature(docs)
 
@@ -3095,10 +3127,10 @@ _GATE_PRIORITY = [
     "doc_chunking",
     "doc_cap_per_source",
     "doc_classifier_scores",
+    "simhash_signatures",  # upgraded round 2: md5-bit oracle, hash-match
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",
-    "simhash_signatures",
     "similarity_topk_ivf",
     "embedding_neardup_lsh",
     # Highest-value round-1-green entries fill the remaining window slots:
