@@ -2893,12 +2893,54 @@ def promql_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("promql_smoothing")  # no SQL oracle: a data-dependent sequential
-# recurrence (Holt) isn't SQL-expressible; unit tests pin analytic cases
+@register(
+    "promql_smoothing",
+    oracle="""
+WITH RECURSIVE samples AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         value, ts, event_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), dedup AS (
+  SELECT name, k, value, ts FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY name, k, ts ORDER BY event_id DESC) AS rn
+    FROM samples) WHERE rn = 1
+), idx AS (
+  SELECT name, k, value,
+         row_number() OVER (PARTITION BY name, k ORDER BY ts) AS i,
+         count(*) OVER (PARTITION BY name, k) AS n
+  FROM dedup
+), rec(name, k, i, n, s, b) AS (
+  -- seed AFTER x1: s = x1, b = x2 - x1 (series with <2 points drop out)
+  SELECT a.name, a.k, 1, a.n, a.value, nxt.value - a.value
+  FROM idx a JOIN idx nxt
+    ON nxt.name = a.name AND nxt.k IS NOT DISTINCT FROM a.k AND nxt.i = 2
+  WHERE a.i = 1
+  UNION ALL
+  -- (1 - 0.4) / (1 - 0.2) spelled as subtractions: the IEEE doubles the
+  -- Python recurrence computes, NOT the decimal literals 0.6 / 0.8
+  SELECT r.name, r.k, r.i + 1, r.n,
+         0.4 * x.value + (1 - 0.4) * (r.s + r.b),
+         0.2 * ((0.4 * x.value + (1 - 0.4) * (r.s + r.b)) - r.s)
+           + (1 - 0.2) * r.b
+  FROM rec r JOIN idx x
+    ON x.name = r.name AND x.k IS NOT DISTINCT FROM r.k AND x.i = r.i + 1
+  WHERE r.i < r.n
+)
+SELECT name, k, round(s, 4) AS smoothed
+FROM rec WHERE i = n
+""",
+)
 def promql_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """double_exponential_smoothing(x[20d], 0.4, 0.2) per (name, k)
     series — the sequential-recurrence custom operator via applyInPandas
-    (parallelism = series cardinality)."""
+    (parallelism = series cardinality). The oracle replays the exact Holt
+    recurrence as a recursive CTE (one level per sample, all series
+    advancing together), with the smoothing complements spelled as
+    (1 − sf)/(1 − tf) so both engines iterate the same IEEE doubles —
+    upgraded from a rows-only check."""
     out = promql.double_exponential_smoothing(
         _event_samples(spark, sf_dir, keys=("name", "k")),
         0.4,
