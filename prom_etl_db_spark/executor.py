@@ -166,16 +166,35 @@ def execute_config_query(
     if mode == "skip_existing":
         to_write = backfill_skip_existing(records, spark, store_path)
 
+    # the config's timeout bounds the ACTION phase (evaluation is lazy
+    # plan-building; the reference's context.WithTimeout equally guards
+    # only the remote execution, cmd/server/main.go:170-172)
+    budget = (
+        parse_duration(cfg.timeout).total_seconds() if cfg.timeout else None
+    )
+
+    def _act(fn):
+        if budget is None:
+            return fn()
+        from prom_etl_db_spark.parallel import run_with_job_timeout
+
+        return run_with_job_timeout(
+            spark, fn, budget, group=f"cfg-{cfg.query_id}"
+        )
+
     if audit_path is not None:
         # the audit record needs the count — persist so count + write is
         # one evaluation, not two full runs of the query
         to_write.persist()
 
         def _run() -> int:
-            count = to_write.count()
-            if count:
-                append_records(to_write, store_path)
-            return count
+            def inner() -> int:
+                count = to_write.count()
+                if count:
+                    append_records(to_write, store_path)
+                return count
+
+            return _act(inner)
 
         try:
             run_query_audited(
@@ -189,5 +208,5 @@ def execute_config_query(
         finally:
             to_write.unpersist()
     else:
-        append_records(to_write, store_path)
+        _act(lambda: append_records(to_write, store_path))
     return records

@@ -31,3 +31,50 @@ def balance(df: DataFrame, *keys: str, target: int | None = None) -> DataFrame:
         return df
     cols = [F.col(k) for k in keys]
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+class QueryTimeout(RuntimeError):
+    """A Spark action group exceeded its wall-clock budget and was
+    cancelled (the reference's per-query context.WithTimeout,
+    cmd/server/main.go:170-172)."""
+
+
+def run_with_job_timeout(spark, fn, seconds: float, *, group: str | None = None):
+    """Run ``fn()`` (which submits Spark actions) under a job group and
+    CANCEL the group if it exceeds ``seconds`` — raising QueryTimeout
+    instead of letting one runaway query wedge the serve loop forever.
+
+    Spark's job-group is thread-local, so ``fn`` runs in a worker thread
+    that sets the group before submitting; the caller thread enforces the
+    deadline with ``cancelJobGroup`` (interruptOnCancel, so executors
+    stop burning CPU too — not just the driver giving up). A cancelled
+    action raises inside ``fn``; that exception is swallowed in favor of
+    QueryTimeout, while ordinary failures re-raise as themselves.
+    """
+    import threading
+    import uuid
+
+    gid = group or f"timeout-{uuid.uuid4().hex[:12]}"
+    sc = spark.sparkContext
+    done: list = []  # [("ok", result)] | [("err", exc)]
+
+    def target():
+        sc.setJobGroup(gid, f"budget {seconds}s", interruptOnCancel=True)
+        try:
+            done.append(("ok", fn()))
+        except Exception as e:  # noqa: BLE001 — relayed to the caller
+            done.append(("err", e))
+        finally:
+            sc.setJobGroup(None, None)
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        sc.cancelJobGroup(gid)
+        t.join(30)  # drain the cancellation; daemon thread if it hangs
+        raise QueryTimeout(f"query exceeded {seconds}s budget (group {gid})")
+    kind, payload = done[0]
+    if kind == "err":
+        raise payload
+    return payload

@@ -152,6 +152,8 @@ def run_query_audited(
     records_count; errors are recorded then re-raised (executor.go:73-92)."""
     from prom_etl_db_spark.store import append_execution, execution_record
 
+    from prom_etl_db_spark.parallel import QueryTimeout
+
     start = now()
     try:
         count = run()
@@ -160,7 +162,7 @@ def run_query_audited(
             spark,
             query_id=query_id,
             query_name=query_name,
-            status="failed",
+            status="timeout" if isinstance(e, QueryTimeout) else "failed",
             start_time=start,
             end_time=now(),
             records_count=0,

@@ -146,3 +146,43 @@ def test_repair_handles_yesterday_anchored_configs(spark, tmp_path, monkeypatch)
     days = {r["collected_date"].isoformat() for r in
             out.select("collected_date").distinct().collect()}
     assert days == {"2024-01-10", "2024-01-11"}
+
+
+def test_config_timeout_records_timeout_status(spark, tmp_path):
+    """A config whose write phase exceeds its timeout budget is cancelled
+    and audited with status='timeout' (EXECUTION_STATUSES row the
+    reference's context.WithTimeout produces)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.executor import execute_config_query
+    from prom_etl_db_spark.parallel import QueryTimeout
+    from prom_etl_db_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    samples = events.select(
+        F.col("event_type").alias("metric_name"),
+        F.create_map(F.lit("name"), F.col("event_type")).alias("labels"),
+        "value",
+        F.col("ts").alias("timestamp"),
+    )
+    # sleep-per-row UDF makes the action phase exceed the 2s budget
+    import time as _time
+
+    slow = F.udf(lambda v: _time.sleep(0.5) or float(v), "double")
+    slow_samples = samples.withColumn("value", slow(F.col("value")))
+    cfg = QueryConfig(
+        query_id="slowq", name="slow", query="click", timeout="2s",
+        time_range_type="instant", time_range_time="now",
+    )
+    store = str(tmp_path / "store")
+    audit = str(tmp_path / "audit")
+    from datetime import datetime as _dt
+
+    with _pytest.raises(QueryTimeout):
+        execute_config_query(
+            spark, slow_samples, cfg,
+            now=_dt(2024, 1, 30), store_path=store, audit_path=audit,
+        )
+    audits = spark.read.parquet(audit).collect()
+    assert len(audits) == 1 and audits[0]["status"] == "timeout"

@@ -136,3 +136,34 @@ def test_audited_run_writes_success_and_failure(spark, tmp_path):
     assert rows["good"]["records_count"] == 7
     assert rows["bad"]["status"] == "failed"
     assert rows["bad"]["error_message"] == "x"
+
+
+def test_run_with_job_timeout_cancels_runaway_and_passes_results(spark):
+    import time
+
+    from prom_etl_db_spark.parallel import QueryTimeout, run_with_job_timeout
+
+    # fast action completes and returns its value
+    assert run_with_job_timeout(spark, lambda: spark.range(10).count(), 30) == 10
+
+    # ordinary failures re-raise as themselves
+    def boom():
+        raise ValueError("no")
+
+    with pytest.raises(ValueError):
+        run_with_job_timeout(spark, boom, 30)
+
+    # a runaway job is cancelled within the budget (a per-partition sleep
+    # that would take ~100s at full parallelism)
+    def slow():
+        return (
+            spark.range(1000)
+            .repartition(10)
+            .rdd.map(lambda x: time.sleep(1) or x)
+            .count()
+        )
+
+    t0 = time.time()
+    with pytest.raises(QueryTimeout):
+        run_with_job_timeout(spark, slow, 3)
+    assert time.time() - t0 < 40  # cancelled, not run to completion
