@@ -31,8 +31,11 @@ from pyspark.sql import functions as F
 from prom_etl_db_spark.config import QueryConfig
 from prom_etl_db_spark.ingest import collected_at_col
 from prom_etl_db_spark.operators.promql_parser import (
+    Call,
     EvalContext,
+    Selector,
     _eval_stream,
+    _selector_stream,
     evaluate,
     parse,
 )
@@ -55,9 +58,10 @@ def evaluate_config_query(
     Range-mode scope (stream-mode evaluation, see promql_parser): the
     query may be a selector, point-wise arithmetic/comparisons/math
     functions, and simple by/without aggregations — the shapes the
-    reference's configs use. A range query OF a range function
-    (``rate(x[5m])`` re-evaluated per step) is not supported and raises
-    ``PromQLError``; run it as repeated instant executions instead.
+    reference's configs use — plus ``rate(x[f])`` / ``increase(x[f])``,
+    which evaluate as true sliding-window range functions at every step
+    (``promql.rate_range``). Other range-fns-in-range-mode raise
+    ``PromQLError``; run those as repeated instant executions.
     """
     parser = RelativeTimeParser(now)
     node = parse(cfg.query)
@@ -73,13 +77,41 @@ def evaluate_config_query(
         start, end = parser.resolve_range(cfg.time_range_start, cfg.time_range_end)
         step = cfg.time_range_step or "1m"
         parse_duration(step)  # validate before any Spark work
-        # the frame rides the context so it clips AFTER any offset shift
-        # in the query (pre-filtering raw timestamps would make
-        # `cpu offset 2h` read the un-offset window)
-        stream = _eval_stream(
-            EvalContext(samples, end, frame=(start, end), range_bounds=(start, end)),
-            node, step
-        )
+        # rate(x[5m]) / increase(x[5m]) as a RANGE query: the sliding
+        # [t − frame, t) window evaluated at every grid step — the
+        # range-function form _eval_stream's stream mode can't express
+        if (
+            isinstance(node, Call)
+            and node.fn in ("rate", "increase")
+            and len(node.args) == 1
+            and isinstance(node.args[0], Selector)
+            and node.args[0].range_
+            and not node.args[0].step
+        ):
+            sel = node.args[0]
+            raw = _selector_stream(  # frame-less ctx: the sliding window
+                # reads back frame seconds BEFORE range start
+                EvalContext(samples, end, range_bounds=(start, end)),
+                Selector(sel.name, sel.matchers, offset=sel.offset),
+            )
+            from prom_etl_db_spark.operators import promql as _promql
+
+            range_fn = (
+                _promql.rate_range if node.fn == "rate" else _promql.increase_range
+            )
+            stream = range_fn(
+                raw, frame=sel.range_, step=step, start=start, end=end
+            )
+        else:
+            # the frame rides the context so it clips AFTER any offset
+            # shift in the query (pre-filtering raw timestamps would make
+            # `cpu offset 2h` read the un-offset window)
+            stream = _eval_stream(
+                EvalContext(
+                    samples, end, frame=(start, end), range_bounds=(start, end)
+                ),
+                node, step
+            )
         return (
             stream.select(
                 "labels",

@@ -874,6 +874,93 @@ def rate(
     return inc.withColumn("value", F.col("value") / F.lit(seconds))
 
 
+def increase_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """RANGE-QUERY form of ``increase``: the counter increase over a
+    sliding ``[t − frame, t)`` window evaluated at every step instant t
+    of the grid start, start+step, …, ≤ end — the Grafana
+    ``rate()``-per-step pattern the instant form can't express.
+
+    Shape: each sample explodes onto the grid instants whose window
+    contains it (≤ frame/step copies — the inherent cost of exact
+    sliding-window semantics; choose step accordingly), then ONE ordered
+    window per (series, t) applies the reset correction and one hash agg
+    sums contributions. Grid instants with < 2 samples in the window drop
+    out (no pair, no increase — matching ``increase``'s empty result on
+    such frames).
+
+    Output: (labels, bucket_start, value) — bucket_start = the step
+    instant t.
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s = frame_td.total_seconds()
+    step_s = step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    # smallest grid instant STRICTLY after ts (window is [t−frame, t)):
+    # start + (floor((ts − start)/step) + 1)·step, clamped into the grid
+    first = t0 + (F.floor((ts - t0) / step_s) + 1) * step_s
+    first = F.greatest(first, t0)
+    # largest grid instant with t − frame ≤ ts: start + floor((ts+frame−start)/step)·step
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    exploded = df.where(first <= last).select(
+        "__series",
+        "value",
+        "timestamp",
+        *[F.col(t) for t in tiebreakers],
+        F.explode(
+            F.sequence(
+                F.timestamp_seconds(first),
+                F.timestamp_seconds(last),
+                F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+            )
+        ).alias("bucket_start"),
+    )
+    w = Window.partitionBy("__series", "bucket_start").orderBy(
+        F.col("timestamp"), *[F.col(t) for t in tiebreakers]
+    )
+    delta = F.col("value") - F.lag("value").over(w)
+    contrib = F.when(delta < 0, F.col("value")).otherwise(delta)  # NULL first row
+    return (
+        exploded.withColumn("__contrib", contrib)
+        .groupBy("__series", "bucket_start")
+        .agg(
+            F.sum(F.coalesce(F.col("__contrib"), F.lit(0.0))).alias("value"),
+            F.count("__contrib").alias("__pairs"),
+        )
+        .where(F.col("__pairs") >= 1)
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            "value",
+        )
+    )
+
+
+def rate_range(samples: DataFrame, *, frame: str, **kw) -> DataFrame:
+    """RANGE-QUERY ``rate``: per-second increase at every step instant —
+    increase_range / frame seconds (same exact-over-stored-data
+    convention as ``rate``)."""
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    seconds = parse_duration(frame).total_seconds()
+    out = increase_range(samples, frame=frame, **kw)
+    return out.withColumn("value", F.col("value") / F.lit(seconds))
+
+
 def _frame(samples: DataFrame, frame_start: datetime, frame_end: datetime) -> DataFrame:
     """[frame_start, frame_end) filter + series key; the time predicate
     sits before any shuffle so it pushes into the scan."""

@@ -1802,6 +1802,57 @@ def promql_over_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_rate_range",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
+  FROM range(0, 21)
+), joined AS (
+  SELECT s.name, g.t, s.value, s.ts, s.event_id
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+), contrib AS (
+  SELECT name, t, value,
+         value - lag(value) OVER (
+           PARTITION BY name, t ORDER BY ts, event_id) AS d
+  FROM joined
+)
+SELECT name, t AS bucket_start,
+       round(sum(CASE WHEN d IS NULL THEN 0
+                      WHEN d < 0 THEN value ELSE d END) / 43200, 6)
+         AS rate_value
+FROM contrib
+GROUP BY name, t
+HAVING count(d) >= 1
+""",
+)
+def promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY rate: rate(m[12h]) at every 6h grid step over five
+    days - the Grafana pattern. Each sample explodes onto <= frame/step
+    grid instants; one ordered window per (series, step) applies the
+    reset correction; one hash agg. The oracle replays the same sliding
+    windows via a time-range join."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.rate_range(
+        samples,
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.round("value", 6).alias("rate_value"),
+    )
+
+
+@register(
     "promql_mad_over_time",
     oracle="""
 WITH resampled AS (
@@ -3161,6 +3212,7 @@ _GATE_PRIORITY = [
     "bm25_query_scores",
     "embedding_kmeans_assign",
     "semantic_neardup_pairs",
+    "promql_rate_range",
     "promql_mad_over_time",
     "doc_weighted_sample",
     "curation_pipeline",

@@ -573,3 +573,60 @@ def test_sort_by_label_orders_output(spark):
     assert [r["labels"]["env"] for r in out_d][0] == "prod"
     with pytest.raises(PromQLError):
         eval_promql(df, "sort_by_label(m)", T0)
+
+
+def test_increase_range_sliding_windows_hand_computed(spark):
+    from prom_etl_db_spark.operators.promql import increase_range
+
+    # counter 0,10,4,6 at :00,:20,:40,:60 past T0-1h; reset at :40.
+    df = _samples(
+        spark,
+        [
+            ("m", {"k": "a"}, 0.0, -3600),
+            ("m", {"k": "a"}, 10.0, -2400),
+            ("m", {"k": "a"}, 4.0, -1200),  # reset: contributes 4
+            ("m", {"k": "a"}, 6.0, 0),
+        ],
+    )
+    out = increase_range(
+        df,
+        frame="40m",
+        step="20m",
+        start=T0 - timedelta(minutes=40),
+        end=T0 + timedelta(minutes=20),
+    )
+    got = {
+        r["bucket_start"]: r["value"]
+        for r in out.collect()
+    }
+    # window (T0-80m, T0-40m]... i.e. [t-40m, t):
+    # t=T0-40m: samples at -3600(-60m),-2400(-40m is EXCLUDED? window
+    #   [t-40m, t) = [-80m, -40m): contains only -60m -> 1 sample, drops
+    # t=T0-20m: [-60m, -20m): samples -60m,-40m -> increase 10
+    # t=T0:     [-40m, 0): samples -40m,-20m -> reset -> 4
+    # t=T0+20m: [-20m, +20m): samples -20m, 0 -> 6-4=2
+    assert got[T0 - timedelta(minutes=20)] == 10.0
+    assert got[T0] == 4.0
+    assert got[T0 + timedelta(minutes=20)] == 2.0
+    assert (T0 - timedelta(minutes=40)) not in got
+
+
+def test_executor_range_mode_rate(spark):
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import evaluate_config_query
+
+    df = _samples(
+        spark,
+        [("m", {"k": "a"}, float(v), -3600 + 600 * i) for i, v in enumerate([0, 6, 12, 18, 24, 30])],
+    )
+    cfg = QueryConfig(
+        query_id="r", name="r", query="rate(m[30m])",
+        time_range_type="range",
+        time_range_start="now-1h", time_range_end="now",
+        time_range_step="30m",
+    )
+    out, rtype = evaluate_config_query(df, cfg, now=T0)
+    assert rtype == "range"
+    rows = {r["timestamp"]: r["value"] for r in out.collect()}
+    # steady +6 per 10m = 0.01/s; windows with 3 samples see +12 over 1800s
+    assert rows and all(abs(v - 12.0 / 1800) < 1e-9 for v in rows.values())
