@@ -157,19 +157,24 @@ def test_config_timeout_records_timeout_status(spark, tmp_path):
 
     from prom_etl_db_spark.executor import execute_config_query
     from prom_etl_db_spark.parallel import QueryTimeout
-    from prom_etl_db_spark.sources.tables import load_table
 
-    events = load_table(spark, "/root/testdata/sf0.001", "events")
-    samples = events.select(
-        F.col("event_type").alias("metric_name"),
-        F.create_map(F.lit("name"), F.col("event_type")).alias("labels"),
-        "value",
-        F.col("ts").alias("timestamp"),
+    # four in-staleness samples; a 5s-per-row UDF guarantees the action
+    # phase blows the 2s budget regardless of worker warmth/parallelism
+    from datetime import timedelta as _td
+
+    now_ts = datetime(2024, 1, 30)
+    rows = [
+        ("click", {"name": "click"}, float(i), now_ts - _td(seconds=30 * i))
+        for i in range(4)
+    ]
+    samples = spark.createDataFrame(
+        rows,
+        "metric_name string, labels map<string,string>, value double, "
+        "timestamp timestamp",
     )
-    # sleep-per-row UDF makes the action phase exceed the 2s budget
     import time as _time
 
-    slow = F.udf(lambda v: _time.sleep(0.5) or float(v), "double")
+    slow = F.udf(lambda v: _time.sleep(5) or float(v), "double")
     slow_samples = samples.withColumn("value", slow(F.col("value")))
     cfg = QueryConfig(
         query_id="slowq", name="slow", query="click", timeout="2s",
@@ -177,12 +182,10 @@ def test_config_timeout_records_timeout_status(spark, tmp_path):
     )
     store = str(tmp_path / "store")
     audit = str(tmp_path / "audit")
-    from datetime import datetime as _dt
-
     with _pytest.raises(QueryTimeout):
         execute_config_query(
             spark, slow_samples, cfg,
-            now=_dt(2024, 1, 30), store_path=store, audit_path=audit,
+            now=now_ts, store_path=store, audit_path=audit,
         )
     audits = spark.read.parquet(audit).collect()
     assert len(audits) == 1 and audits[0]["status"] == "timeout"
