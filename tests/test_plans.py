@@ -213,3 +213,11 @@ def test_tpch_q5_broadcast_dims_single_fact_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     # the one-year slice reaches the orders scan
     assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_rate_range_no_cartesian_pushdown(spark, sf_dir):
+    df = QUERIES["promql_rate_range"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # the lookback clip reaches the scan
+    assert any("ts" in f for f in pushed_filters(df))
