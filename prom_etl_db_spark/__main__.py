@@ -147,6 +147,7 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         poll_interval=args.poll_interval,
         max_ticks=args.max_ticks,
         on_tick=on_tick,
+        max_parallel=args.max_parallel,
     )
     log.bind(
         n_ticks=len(summary.ticks),
@@ -265,6 +266,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--mode", choices=("append", "skip-existing"), default="append",
         help="same semantics as run-once",
+    )
+    s.add_argument(
+        "--max-parallel", type=int, default=1,
+        help="configs fired concurrently within a tick (Spark interleaves "
+        "the jobs; 1 = reference-sequential)",
     )
     s.add_argument(
         "--log-level", default="info",

@@ -63,6 +63,7 @@ def serve_loop(
     max_ticks: int | None = None,
     immediate_first_run: bool = True,
     on_tick: Callable[[TickResult], None] | None = None,
+    max_parallel: int = 1,
 ) -> ServeSummary:
     """Run the service loop (runService, main.go:109-212).
 
@@ -85,11 +86,30 @@ def serve_loop(
 
     def fire(at: datetime, due: list[QueryConfig]) -> None:
         tick = TickResult(fired_at=at, query_ids=[c.query_id for c in due])
-        for cfg in due:
+
+        def one(cfg: QueryConfig) -> str | None:
             try:
                 run_config(cfg, at)
-            except Exception as e:  # noqa: BLE001 — parity: log and keep serving
-                tick.failures.append(f"{cfg.query_id}: {e}")
+                return None
+            except Exception as e:  # noqa: BLE001 — parity: log, keep serving
+                return f"{cfg.query_id}: {e}"
+
+        if max_parallel > 1 and len(due) > 1:
+            # Spark's scheduler interleaves concurrent jobs from separate
+            # threads, so a long config no longer head-of-line-blocks the
+            # tick (the reference fires sequentially, main.go:157-189 —
+            # this is the Spark-first improvement, bounded by the pool).
+            # Failures keep per-config attribution, ordered like `due`.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+                results = list(pool.map(one, due))
+            tick.failures.extend(r for r in results if r is not None)
+        else:
+            for cfg in due:
+                r = one(cfg)
+                if r is not None:
+                    tick.failures.append(r)
         summary.ticks.append(tick)
         if on_tick is not None:
             on_tick(tick)

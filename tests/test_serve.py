@@ -184,3 +184,45 @@ def test_serve_cli_virtual_clock_requires_bounds(tmp_path):
         "--sf-dir", "w", "--virtual-clock",
     ])
     assert rc == 2
+
+
+def test_parallel_tick_runs_all_configs_and_attributes_failures():
+    """max_parallel fires a tick's configs concurrently: every config
+    runs exactly once, failures keep per-config attribution, and the
+    overlap is real (two 0.3s configs finish in well under 0.6s)."""
+    import threading
+    import time as _time
+
+    cfgs = [
+        QueryConfig(query_id=f"q{i}", name=f"q{i}", query="m",
+                    schedule="0 * * * * *")
+        for i in range(4)
+    ]
+    ran, lock = [], threading.Lock()
+    active = [0]
+    peak = [0]
+
+    def run_config(cfg, at):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        _time.sleep(0.3)
+        with lock:
+            ran.append(cfg.query_id)
+            active[0] -= 1
+        if cfg.query_id == "q2":
+            raise RuntimeError("boom")
+
+    stop = threading.Event()
+    t0 = _time.monotonic()
+    summary = serve_loop(
+        cfgs, run_config,
+        start=datetime(2024, 3, 1), stop=stop,
+        clock=lambda: datetime(2024, 3, 1), sleep=lambda s: None,
+        max_ticks=0, immediate_first_run=True, max_parallel=4,
+    )
+    elapsed = _time.monotonic() - t0
+    assert sorted(ran) == ["q0", "q1", "q2", "q3"]
+    assert peak[0] >= 2 and elapsed < 1.0  # genuinely concurrent
+    (tick,) = summary.ticks
+    assert tick.failures == ["q2: boom"]
