@@ -1853,6 +1853,55 @@ def promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_limit_ops",
+    oracle="""
+WITH windowed AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         value, ts,
+         row_number() OVER (
+           PARTITION BY event_type, json_extract_string(props, '$.k')
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
+    AND ts >= TIMESTAMP '2024-01-30 06:00:00'
+), vec AS (
+  SELECT name, k, value,
+         'k' || chr(31) || k || chr(30) || 'name' || chr(31) || name AS skey
+  FROM windowed WHERE rn = 1
+), kept AS (
+  SELECT name, k, value, 'limitk' AS op FROM vec
+  ORDER BY skey LIMIT 7
+), ratio AS (
+  SELECT name, k, value, 'ratio' AS op FROM vec
+  WHERE substr(md5(skey), 1, 8) < printf('%08x', CAST(floor(0.25 * 4294967296) AS BIGINT))
+)
+SELECT * FROM kept UNION ALL SELECT * FROM ratio
+""",
+)
+def promql_limit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limitk + limit_ratio (experimental PromQL, DOCUMENTED-deterministic
+    semantics): k smallest canonical series keys / md5-position series
+    sample. The oracle rebuilds the exact series-key string (sorted
+    entries joined with the unit/record separators) so both the pick and
+    the hash sampling are verified, not just row counts."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    vec = promql.instant_selector(
+        samples, None, datetime(2024, 1, 30, 12, 0, 0),
+        staleness="6 hours", tiebreakers=["event_id"],
+    )
+    def shape(df, op):
+        return df.select(
+            F.element_at("labels", "name").alias("name"),
+            F.element_at("labels", "k").alias("k"),
+            "value",
+            F.lit(op).alias("op"),
+        )
+    return shape(promql.limitk(vec, 7), "limitk").unionByName(
+        shape(promql.limit_ratio(vec, 0.25), "ratio")
+    )
+
+
+@register(
     "promql_mad_over_time",
     oracle="""
 WITH resampled AS (
@@ -3213,6 +3262,7 @@ _GATE_PRIORITY = [
     "embedding_kmeans_assign",
     "semantic_neardup_pairs",
     "promql_rate_range",
+    "promql_limit_ops",
     "promql_mad_over_time",
     "doc_weighted_sample",
     "curation_pipeline",
