@@ -137,6 +137,20 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     )
     run("promql_resample_sum", promql.sum_over_time(stepped))
     run("promql_sum_by", promql.sum_by(samples, ["k"]))
+    # range-mode rate: frame/step = 4x sample explosion by construction;
+    # day-shifted replicas widen the grid so work tracks input
+    from datetime import datetime as _dt, timedelta as _td
+
+    run(
+        "promql_rate_range",
+        promql.rate_range(
+            samples.drop("event_id"),
+            frame="12h",
+            step="3h",
+            start=_dt(2024, 1, 2),
+            end=_dt(2024, 1, 30) + _td(days=35 * (k - 1)),
+        ),
+    )
 
     docs = scaled_docs(spark, sf_dir, k)
     run(
