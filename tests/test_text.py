@@ -200,3 +200,36 @@ def test_hashed_bow_score_hand_computed_and_custom_weights(spark):
         hashed_bow_score(F.col("text"), weight_fn=lambda b: F.lit(1.0)).alias("s"),
     ).collect()
     assert {r["doc_id"]: r["s"] for r in ones}[1] == 3.0
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Dropping each chunk's leading overlap and concatenating must
+    reproduce the exact token stream — for a grid of (n_tokens, chunk,
+    overlap) shapes including ragged tails."""
+    from prom_etl_db_spark.functions.text import chunk_documents
+
+    cases = [
+        (1, 4, 0), (4, 4, 0), (5, 4, 0), (12, 5, 2), (13, 5, 2),
+        (7, 3, 1), (9, 3, 2), (10, 10, 9),
+    ]
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, (n, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for i, (n, chunk, overlap) in enumerate(cases):
+        out = sorted(
+            (
+                r["chunk_id"],
+                r["chunk_start"],
+                r["chunk_text"],
+            )
+            for r in chunk_documents(
+                df.where(F.col("doc_id") == i), chunk, overlap_tokens=overlap
+            ).collect()
+        )
+        rebuilt = []
+        for cid, start, text_piece in out:
+            toks = text_piece.split()
+            rebuilt.extend(toks if cid == 0 else toks[overlap:])
+        assert rebuilt == [f"t{i}x{j}" for j in range(n)], (n, chunk, overlap, out)
