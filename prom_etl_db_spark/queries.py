@@ -2175,7 +2175,7 @@ def promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promql_absent",
     oracle="""
-SELECT 1.0 AS value
+SELECT CAST(1.0 AS DOUBLE) AS value
 WHERE (SELECT count(*) FROM events WHERE event_type = 'heartbeat') = 0
 """,
 )
@@ -2402,7 +2402,7 @@ thr AS (
               ELSE 'test' END AS split
   FROM mixed
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM split GROUP BY split, lang
 """,
 )
@@ -2514,9 +2514,9 @@ WITH d AS (
   FROM documents
 ), s AS (
   SELECT doc_id, substr(pos, 1, 1) AS pack_bucket,
-         coalesce(sum(tok) OVER (
+         CAST(coalesce(sum(tok) OVER (
            PARTITION BY substr(pos, 1, 1) ORDER BY pos, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
   FROM d
 )
 SELECT doc_id, pack_bucket,
@@ -3219,65 +3219,19 @@ def tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # Locally green in round 1, outside the round-1 gate window:
-    "promql_count_values",
-    "promql_over_time_stats",
-    "promql_label_replace",
-    "promql_label_join",
-    "promql_offset",
-    "promql_delta",
-    "promql_deriv",
-    "promql_predict_linear",
-    "promql_histogram_quantile",
-    "promql_clamp",
-    "promql_absent",
-    "doc_hash_split_counts",
-    "doc_stratified_sample",
-    "doc_deterministic_topn",
-    "neardup_clusters",
-    "neardup_keep_canonical",
-    "doc_sequence_packing",
-    "text_bpe_token_counts",
-    "asof_click_before_purchase",
-    "interval_click_attribution",
-    "cardinality_sketches",
-    "promql_parsed_flagship",
-    "promql_parsed_selector_agg",
-    "config_executed_range",
-    "promql_changes_resets",
-    "promql_raw_over_time",
-    "promql_irate_idelta",
-    "promql_smoothing",
-    "tpch_q3_shipping_priority",
-    # New in round 2 (never had a driver row):
-    "multimodal_bmp_pixels",
-    "multimodal_wav_samples",
-    "decontam_ngram_overlap",
-    "decontam_clean_corpus",
-    "text_repetition_signals",
-    "corpus_mix_by_lang",
-    "pii_redaction",
-    "tfidf_top_terms",
-    "bm25_query_scores",
-    "embedding_kmeans_assign",
-    "semantic_neardup_pairs",
-    "promql_rate_range",
-    "promql_limit_ops",
-    "promql_mad_over_time",
-    "doc_weighted_sample",
-    "curation_pipeline",
-    "multimodal_resize_roundtrip",
-    "tpch_q5_local_revenue",
-    "doc_chunking",
-    "doc_cap_per_source",
-    "doc_classifier_scores",
-    "simhash_signatures",  # upgraded round 2: md5-bit oracle, hash-match
+    # Round-3 must-verify block — oracles fixed or never driver-checked:
+    "doc_sequence_packing",  # r2 RED (oracle HUGEINT), CAST-fixed this round
+    "curation_pipeline",  # r2 RED (oracle HUGEINT), CAST-fixed this round
+    "promql_absent",  # oracle literal re-cast DECIMAL->DOUBLE this round
+    "simhash_signatures",  # bit-exact oracle (r2) was at slot 51 — never gated
+    # New in round 3 (never had a driver row) — uncommented as each lands:
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",
     "similarity_topk_ivf",
     "embedding_neardup_lsh",
-    # Highest-value round-1-green entries fill the remaining window slots:
+    "cardinality_sketches",
+    # Round-1-green entries never re-checked since r1 — regression slots:
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_over_time",
@@ -3295,6 +3249,23 @@ _GATE_PRIORITY = [
     "table_stats",
     "retention_horizon",
     "backfill_skip_existing",
+    "collected_at_sameday_range",
+    "latest_n_scan",
+    "metrics_count",
+    "metric_name_discovery",
+    "promql_sum_by",
+    "promql_max_without",
+    "promql_avg_by",
+    "promql_bool_scalar_arith",
+    "promql_rate",
+    "promql_topk",
+    "promql_stddev_by",
+    "promql_quantile_by",
+    "promql_avg_over_time",
+    "promql_sliding_sum",
+    "promql_vector_ratio",
+    # r2-green entries rotate to the tail (driver evidence recorded in
+    # CORRECTNESS_r02.json; definition order after this list).
 ]
 
 

@@ -4,7 +4,15 @@ Runs every registered query on Spark and its oracle on DuckDB over the same
 sf dir, compares row count, column names, and an order-insensitive value
 hash (values canonicalized to strings, rows sorted). Usage:
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [--pandas-canon] [sf_dir] [query ...]
+
+``--pandas-canon`` fetches DuckDB results through pandas (``.df()``) instead
+of ``fetchall()``, reproducing the driver's fetch path: DuckDB HUGEINT (the
+result type of ``sum()`` over INTEGER columns) canonicalizes as float64
+there, so ``409`` hashes as ``409.0`` and mismatches Spark's BIGINT even
+when values are identical. Independent of the flag, every oracle's result
+types are checked and any HUGEINT/UHUGEINT/DECIMAL output column is a hard
+failure — oracles must CAST to BIGINT/DOUBLE so both fetch paths agree.
 """
 
 from __future__ import annotations
@@ -47,9 +55,45 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def fetch_pandas_canon(res) -> list[tuple]:
+    """Fetch a DuckDB relation the way the driver does: through pandas.
+
+    ``.df()`` maps HUGEINT to float64 — exactly the canonicalization drift
+    the gate must reproduce locally. Benign pandas-isms that the driver's
+    two-sided canon absorbs (DATE -> midnight Timestamp, NULL BIGINT ->
+    NaN-in-float64) are normalized back using the relation's declared types
+    so only genuine type drift (HUGEINT and friends) surfaces.
+    """
+    types = [str(t).upper() for t in res.types]
+    is_date = [t == "DATE" for t in types]
+    is_int = [("INT" in t and "HUGEINT" not in t) or t == "BOOLEAN" for t in types]
+    pdf = res.df()
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        vals = []
+        for i, v in enumerate(row):
+            if hasattr(v, "item"):
+                v = v.item()
+            if v is not None and isinstance(v, float) and is_int[i]:
+                # A nullable int column comes back as float64 wholesale:
+                # NaN was NULL, integral floats were ints. HUGEINT columns
+                # are deliberately NOT mapped back — that drift must fail.
+                v = None if v != v else int(v)
+            elif is_date[i] and isinstance(v, datetime):
+                v = v.date()
+            vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--pandas-canon"]
+    pandas_canon = "--pandas-canon" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -77,13 +121,24 @@ def main() -> int:
         try:
             res = con.sql(ORACLES[name])
             dcols = res.columns
-            drows = res.fetchall()
+            dtypes = [str(t).upper() for t in res.types]
+            drows = fetch_pandas_canon(res) if pandas_canon else res.fetchall()
         except Exception:
             print(f"FAIL  {name}: DUCKDB ERROR")
             traceback.print_exc()
             failures.append(name)
             continue
         problems = []
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if any(b in t for b in _BANNED_ORACLE_TYPES)
+        ]
+        if bad_types:
+            problems.append(
+                "oracle emits driver-unsafe types (CAST them): "
+                + ", ".join(bad_types)
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
