@@ -147,6 +147,37 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def minhash_signature_md5(shingles: Column, num_hashes: int = 16) -> Column:
+    """Oracle-checkable MinHash signature: h_i(S) = min over grams g of the
+    first 16 hex chars of md5(g || '#' || i).
+
+    Same estimator as :func:`minhash_signature` (min over a hash family;
+    collision probability = Jaccard) but every value is recomputable in
+    ANSI SQL — ``min(substr(md5(gram || '#' || i), 1, 16))`` in DuckDB —
+    so the gate hash-matches the SIGNATURE itself, not just downstream
+    candidate rows. This is the md5-permutation trick that converted
+    SimHash from rows-only to bit-exact in round 2.
+
+    Cost: num_hashes md5 evaluations per gram, all inside whole-stage
+    codegen (no Python). The xxhash64 affine family stays the production
+    fast path for banding; this family is the verification surface.
+    Reference parity: near-dup detection the reference's MySQL layer
+    cannot express at all (SURVEY §2 E2).
+    """
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        idx,
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda g: F.substring(
+                    F.md5(F.concat(g, F.lit("#"), i.cast("string"))), 1, 16
+                ),
+            )
+        ),
+    )
+
+
 def _jaccard_hashed(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter

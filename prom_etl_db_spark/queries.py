@@ -866,6 +866,41 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_signatures",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+), g AS (
+  SELECT doc_id, unnest(shingles) AS gram FROM sh
+)
+SELECT doc_id, CAST(b.range AS BIGINT) AS h_idx,
+       min(substr(md5(gram || '#' || CAST(b.range AS VARCHAR)), 1, 16)) AS minhash16
+FROM g CROSS JOIN range(16) b
+GROUP BY doc_id, b.range
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (MinHash, deterministic): the 16-value md5-permutation signature
+    per document, value-exact against the DuckDB dual — the same trick
+    that made SimHash bit-exact in r2, upgrading MinHash from rows-only.
+    The banding/verify pipeline (minhash_lsh_pairs) consumes signatures of
+    exactly this shape; hashing family is the only difference."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.where(dedup.has_min_words(F.col("text"), 3)).select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    return sh.select(
+        "doc_id",
+        F.posexplode(dedup.minhash_signature_md5(F.col("sh"), 16)).alias(
+            "h_idx", "minhash16"
+        ),
+    ).withColumn("h_idx", F.col("h_idx").cast("bigint"))
+
+
+@register(
     "simhash_signatures",
     oracle=r"""
 WITH tok AS (
@@ -1331,6 +1366,37 @@ def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the encode→decode roundtrip byte-for-byte."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.bmp_roundtrip_features(docs)
+
+
+@register(
+    "multimodal_png_pixels",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         d.doc_id % 16 + 1 AS w, d.doc_id % 8 + 1 AS h
+  FROM documents d CROSS JOIN range(16) x CROSS JOIN range(8) y
+  WHERE x.range < d.doc_id % 16 + 1 AND y.range < d.doc_id % 8 + 1
+)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       round(avg(CAST((doc_id + 3 * x + 5 * y) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((doc_id * 7 + x) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((doc_id * 13 + y) % 256 AS DOUBLE)), 6) AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL PNG decode, stdlib only — closes r2's last stub): per
+    document, encode a real 8-bit truecolor PNG of a closed-form gradient
+    with row filters cycling through all five PNG filter types, then
+    fully decode it back (zlib inflate + Sub/Up/Average/Paeth
+    reconstruction) in mapInPandas. The oracle recomputes the gradient
+    means per pixel, so the driver hash-checks the entire compress→
+    inflate→defilter algebra; a single wrong Paeth branch shifts a
+    channel mean and breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.png_roundtrip_features(docs)
 
 
 @register(
@@ -3225,6 +3291,8 @@ _GATE_PRIORITY = [
     "promql_absent",  # oracle literal re-cast DECIMAL->DOUBLE this round
     "simhash_signatures",  # bit-exact oracle (r2) was at slot 51 — never gated
     # New in round 3 (never had a driver row) — uncommented as each lands:
+    "minhash_signatures",
+    "multimodal_png_pixels",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -314,10 +314,12 @@ def test_wav_roundtrip_decodes_real_samples():
         decode_wav(b"RIFFxxxxNOPE")
 
 
-def test_real_decode_dispatches_bmp_wav_and_stubs_compressed():
+def test_real_decode_dispatches_bmp_png_wav_and_stubs_lossy():
+    import numpy as _np
     import pytest as _pytest
 
     from prom_etl_db_spark.functions.multimodal import (
+        encode_png,
         real_decode,
         synth_bmp,
         synth_wav,
@@ -325,8 +327,44 @@ def test_real_decode_dispatches_bmp_wav_and_stubs_compressed():
 
     assert real_decode(synth_bmp(2, 2, 9, 9, 9), "image")["format"] == "bmp"
     assert real_decode(synth_wav(10, 5), "audio")["format"] == "wav"
+    png = encode_png(_np.full((3, 2, 3), 42, dtype=_np.uint8))
+    assert real_decode(png, "image") == {
+        "format": "png", "width": 2, "height": 3,
+        "mean_r": 42.0, "mean_g": 42.0, "mean_b": 42.0,
+    }
     with _pytest.raises(NotImplementedError):
-        real_decode(b"\x89PNG\r\n\x1a\n...", "image")  # compressed: still stubbed
+        real_decode(b"\xff\xd8\xff\xe0...", "image")  # JPEG: still stubbed
+
+
+def test_png_codec_reconstructs_every_filter_type():
+    """The encoder cycles filters None/Sub/Up/Average/Paeth by row, so a
+    ≥5-row roundtrip exercises every reconstruction branch; random pixel
+    content makes a wrong branch certain to corrupt some byte."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from prom_etl_db_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+        png_pixels,
+    )
+
+    rng = _np.random.default_rng(123)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=_np.uint8)
+    assert (png_pixels(encode_png(px)) == px).all()
+    f = decode_png(encode_png(px))
+    assert f["width"] == 7 and f["height"] == 9
+    assert f["mean_r"] == _pytest.approx(px[:, :, 0].mean())
+
+    with _pytest.raises(ValueError):
+        png_pixels(b"BM not a png")
+    with _pytest.raises(ValueError):
+        png_pixels(encode_png(px)[:40])  # truncated: no IDAT
+    # unsupported bit depth must refuse, not garble
+    bad = bytearray(encode_png(px))
+    bad[24] = 16  # IHDR depth byte
+    with _pytest.raises(ValueError):
+        png_pixels(bytes(bad))
 
 
 def test_media_roundtrip_operators_match_closed_forms(spark):
@@ -346,3 +384,28 @@ def test_media_roundtrip_operators_match_closed_forms(spark):
     assert wav[999]["rms"] == float(999 % 1000)
     assert wav[0]["rms"] == 0.0
     assert wav[17]["n_samples"] == (17 % 50 + 1) * 100
+
+
+def test_minhash_md5_signature_estimates_jaccard(docs, spark):
+    """The md5-permutation signature is (a) deterministic, (b) identical
+    for identical texts, and (c) an unbiased Jaccard estimator: equal
+    signature positions / k approximates the exact shingle Jaccard."""
+    sig_df = docs.where(dedup.has_min_words(F.col("text"), 3)).select(
+        "doc_id",
+        dedup.minhash_signature_md5(word_shingles(F.col("text"), 3), 32).alias("sig"),
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in sig_df.collect()}
+    assert sigs[1] == sigs[5]  # identical text, identical signature
+    assert sig_df.collect() == sig_df.collect()  # deterministic re-eval
+
+    est = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 32
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    true_j = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    assert abs(est - true_j) < 0.25  # k=32 -> sigma ~ sqrt(j(1-j)/32) ~ 0.09
+    disjoint = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+    assert disjoint == 0.0  # no shared shingles -> no collisions at 64 bits
