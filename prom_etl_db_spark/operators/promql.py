@@ -874,6 +874,12 @@ def rate(
     return inc.withColumn("value", F.col("value") / F.lit(seconds))
 
 
+# Above this frame/step ratio the per-sample grid explode (ratio× row
+# amplification) loses to the two-phase event path; 32 keeps the simple
+# plan for dashboard-ish ratios (12h/6h, 1h/5m) and caps amplification.
+_RANGE_EXPLODE_MAX_RATIO = 32
+
+
 def increase_range(
     samples: DataFrame,
     *,
@@ -882,19 +888,45 @@ def increase_range(
     start: datetime,
     end: datetime,
     tiebreakers: Sequence[str] = (),
+    method: str = "auto",
+    quantize: "float | None" = None,
 ) -> DataFrame:
     """RANGE-QUERY form of ``increase``: the counter increase over a
     sliding ``[t − frame, t)`` window evaluated at every step instant t
     of the grid start, start+step, …, ≤ end — the Grafana
     ``rate()``-per-step pattern the instant form can't express.
 
-    Shape: each sample explodes onto the grid instants whose window
-    contains it (≤ frame/step copies — the inherent cost of exact
-    sliding-window semantics; choose step accordingly), then ONE ordered
-    window per (series, t) applies the reset correction and one hash agg
-    sums contributions. Grid instants with < 2 samples in the window drop
-    out (no pair, no increase — matching ``increase``'s empty result on
-    such frames).
+    ``quantize`` (e.g. 1e-6) rounds each pair contribution to that unit
+    BEFORE summation, making every window sum an exactly-representable
+    integer multiple — bit-identical across summation orders, physical
+    strategies, and engines. This is the determinism knob for
+    cross-engine verification and reproducible exports; None (default)
+    keeps full double precision.
+
+    Two physical strategies, same exact semantics (unit-tested equal):
+
+    - ``explode`` — each sample explodes onto the ≤ frame/step grid
+      instants whose window contains it, one ordered window per
+      (series, t), one hash agg. Simple plan, but row amplification =
+      frame/step (1,440× at the flagship's 24h/1m!).
+    - ``events`` — the difference-array form. Consecutive-pair
+      contributions are computed ONCE per series (no explode), and each
+      pair covers a CONTIGUOUS run of grid instants [t_min, t_max], so
+      it becomes two signed events (+contrib at t_min, −contrib after
+      t_max); a per-series running sum over event instants yields every
+      window's value, and a final explode fills only the OUTPUT grid
+      segments. Intermediate volume is O(pairs + output rows) —
+      independent of frame/step — so a 24h/1m query costs the same
+      shuffle as 24h/1h.
+    - ``auto`` (default) — ``events`` when frame/step > 32.
+
+    Float note: ``events`` accumulates +x then −x in a running sum, so
+    values can differ from per-window summation by ~1e-13 relative —
+    far below the round-6 output convention; the unit suite asserts
+    equality at 1e-9.
+
+    Grid instants with < 2 samples in the window drop out (no pair, no
+    increase — matching ``increase``'s empty result on such frames).
 
     Output: (labels, bucket_start, value) — bucket_start = the step
     instant t.
@@ -906,10 +938,18 @@ def increase_range(
     step_s = step_td.total_seconds()
     if step_s <= 0 or frame_s <= 0:
         raise ValueError("frame and step must be positive durations")
+    if method == "auto":
+        method = "events" if frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO else "explode"
+    if method not in ("explode", "events"):
+        raise ValueError(f"unknown increase_range method {method!r}")
     df = _frame(samples, start - frame_td, end)
     ts = epoch_seconds(F.col("timestamp"))
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
+    if method == "events":
+        return _increase_range_events(
+            df, ts, t0, tN, frame_s, step_s, tiebreakers, quantize
+        )
     # smallest grid instant STRICTLY after ts (window is [t−frame, t)):
     # start + (floor((ts − start)/step) + 1)·step, clamped into the grid
     first = t0 + (F.floor((ts - t0) / step_s) + 1) * step_s
@@ -934,11 +974,20 @@ def increase_range(
     )
     delta = F.col("value") - F.lag("value").over(w)
     contrib = F.when(delta < 0, F.col("value")).otherwise(delta)  # NULL first row
+    scale = None if quantize is None else round(1.0 / quantize)
+    if scale is not None:
+        # multiply by the exact reciprocal (1e6, not /1e-6): the oracle
+        # multiplies, and the two differ in the last ulp — enough to flip
+        # a round() half-case
+        contrib = F.round(contrib * F.lit(scale), 0)
+    agg_value = F.sum(F.coalesce(F.col("__contrib"), F.lit(0.0)))
+    if scale is not None:
+        agg_value = agg_value / F.lit(scale)
     return (
         exploded.withColumn("__contrib", contrib)
         .groupBy("__series", "bucket_start")
         .agg(
-            F.sum(F.coalesce(F.col("__contrib"), F.lit(0.0))).alias("value"),
+            agg_value.alias("value"),
             F.count("__contrib").alias("__pairs"),
         )
         .where(F.col("__pairs") >= 1)
@@ -946,6 +995,120 @@ def increase_range(
             F.map_from_entries("__series").alias("labels"),
             "bucket_start",
             "value",
+        )
+    )
+
+
+def _increase_range_events(
+    df: DataFrame,
+    ts,
+    t0,
+    tN,
+    frame_s: float,
+    step_s: float,
+    tiebreakers: Sequence[str],
+    quantize: "float | None" = None,
+) -> DataFrame:
+    """Difference-array evaluation of the sliding-window increase.
+
+    A consecutive pair (prev @ p, cur @ c) is inside window [t−frame, t)
+    exactly when c < t AND p ≥ t−frame — a contiguous grid-instant run
+    [t_min, t_max]. Emit (+contrib, +1 pair) at t_min and the negation
+    one step past t_max, hash-aggregate coincident events, running-sum
+    per series, then materialize each constant segment's grid instants.
+    Three shuffles total (pair window, event agg reuses its partitioning,
+    running-sum window), none wider than the series count × events —
+    never frame/step-amplified.
+    """
+    order = [F.col("timestamp"), *[F.col(t) for t in tiebreakers]]
+    w = Window.partitionBy("__series").orderBy(*order)
+    pairs = (
+        df.select(
+            "__series",
+            "value",
+            ts.alias("__ts"),
+            F.lag("value").over(w).alias("__prev_v"),
+            F.lag(ts).over(w).alias("__prev_ts"),
+        )
+        .where(F.col("__prev_v").isNotNull())
+    )
+    contrib = F.when(
+        F.col("value") < F.col("__prev_v"), F.col("value")
+    ).otherwise(F.col("value") - F.col("__prev_v"))
+    scale = None if quantize is None else round(1.0 / quantize)
+    if scale is not None:
+        # integer-multiple contributions -> exact, order-independent sums
+        # (multiply by the exact reciprocal; see the explode path note)
+        contrib = F.round(contrib * F.lit(scale), 0)
+    # first grid instant strictly after cur; last with prev still in frame
+    t_min = F.greatest(
+        t0 + (F.floor((F.col("__ts") - t0) / step_s) + 1) * step_s, t0
+    )
+    t_max = F.least(
+        t0 + F.floor((F.col("__prev_ts") + frame_s - t0) / step_s) * step_s, tN
+    )
+    events = (
+        pairs.select(
+            "__series",
+            contrib.alias("__c"),
+            t_min.alias("__tmin"),
+            t_max.alias("__tmax"),
+        )
+        .where(F.col("__tmin") <= F.col("__tmax"))
+        .select(
+            "__series",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__tmin").alias("t"),
+                        F.col("__c").alias("dv"),
+                        F.lit(1).cast("long").alias("dc"),
+                    ),
+                    F.struct(
+                        (F.col("__tmax") + step_s).alias("t"),
+                        (-F.col("__c")).alias("dv"),
+                        F.lit(-1).cast("long").alias("dc"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("__series", "e.t", "e.dv", "e.dc")
+        .groupBy("__series", "t")
+        .agg(F.sum("dv").alias("dv"), F.sum("dc").alias("dc"))
+    )
+    w2 = Window.partitionBy("__series").orderBy("t")
+    cum = Window.partitionBy("__series").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = events.select(
+        "__series",
+        "t",
+        F.sum("dv").over(cum).alias("__v"),
+        F.sum("dc").over(cum).alias("__n"),
+        F.lead("t").over(w2).alias("__next_t"),
+    )
+    seg_end = F.least(F.coalesce(F.col("__next_t") - step_s, tN), tN)
+    return (
+        run.where((F.col("__n") >= 1) & (F.col("t") <= seg_end))
+        .select(
+            "__series",
+            "__v",
+            F.explode(
+                F.sequence(
+                    F.col("t").cast("long"),
+                    seg_end.cast("long"),
+                    F.lit(int(step_s)),
+                )
+            ).alias("__g"),
+        )
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            F.timestamp_seconds("__g").alias("bucket_start"),
+            (
+                F.col("__v") / F.lit(round(1.0 / quantize))
+                if quantize is not None
+                else F.col("__v")
+            ).alias("value"),
         )
     )
 

@@ -1919,6 +1919,65 @@ def promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_rate_range_wide",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-27 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-26 00:00:00' + range * INTERVAL 5 MINUTE AS t
+  FROM range(0, 289)
+), joined AS (
+  SELECT s.name, g.t, s.value, s.ts, s.event_id
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 24 HOUR AND s.ts < g.t
+), contrib AS (
+  SELECT name, t, value,
+         value - lag(value) OVER (
+           PARTITION BY name, t ORDER BY ts, event_id) AS d
+  FROM joined
+)
+SELECT name, t AS bucket_start,
+       round(sum(round(CASE WHEN d IS NULL THEN 0
+                            WHEN d < 0 THEN value ELSE d END * 1000000))
+             / 1000000.0 / 86400, 6) AS rate_value
+FROM contrib
+GROUP BY name, t
+HAVING count(d) >= 1
+""",
+)
+def promql_rate_range_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY rate at a WIDE frame/step ratio — rate(m[24h]) every
+    5 minutes (ratio 288, the flagship's 24h/1m shape at 1/5 density).
+    Auto-dispatches to the difference-array ``events`` strategy: pair
+    contributions computed once per series, ± events at each pair's
+    contiguous grid-run edges, per-series running sum, segment fill —
+    intermediate volume O(pairs + output), NOT samples × 288. The oracle
+    replays the naive sliding windows via a time-range join (DuckDB can
+    afford the amplification at gate scale; the engine must not).
+    quantize=1e-6 makes window sums exact integer multiples, so the
+    running-sum strategy, the naive windows, and DuckDB agree bit-for-
+    bit regardless of summation order (a raw double cumsum sat within
+    1e-9 of a round-6 boundary at sf0.01 and flipped the hash)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.rate_range(
+        samples,
+        frame="24h",
+        step="5m",
+        start=datetime(2024, 1, 26),
+        end=datetime(2024, 1, 27),
+        tiebreakers=["event_id"],
+        quantize=1e-6,
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.round("value", 6).alias("rate_value"),
+    )
+
+
+@register(
     "promql_limit_ops",
     oracle="""
 WITH windowed AS (
@@ -3293,6 +3352,7 @@ _GATE_PRIORITY = [
     # New in round 3 (never had a driver row) — uncommented as each lands:
     "minhash_signatures",
     "multimodal_png_pixels",
+    "promql_rate_range_wide",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

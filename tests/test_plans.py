@@ -221,3 +221,27 @@ def test_rate_range_no_cartesian_pushdown(spark, sf_dir):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     # the lookback clip reaches the scan
     assert any("ts" in f for f in pushed_filters(df))
+
+
+def test_rate_range_wide_uses_event_path_not_grid_explode(spark, sf_dir):
+    """At frame/step = 288 the plan must be the difference-array shape:
+    TWO ordered Window phases (global pair lag; per-series running sum)
+    and the Generate (explode) sitting ABOVE both — filling output
+    segments — never below a per-(series, step) window, which would mean
+    the 288x per-sample grid explode feeds the shuffle."""
+    df = QUERIES["promql_rate_range_wide"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert s.count("Window") >= 2  # pair-lag window + running-sum window
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert any("ts" in f for f in pushed_filters(df))
+    # the explode path's signature operator order: Generate BELOW the first
+    # Window (explode -> window). In the events plan every Generate comes
+    # after (above) a Window in the tree, i.e. the text dump shows a Window
+    # deeper than every Generate.
+    lines = s.splitlines()
+    gen_depths = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    win_depths = [i for i, ln in enumerate(lines) if "Window" in ln]
+    # simple-mode dump is top-down: a child prints after its parent, so
+    # "window feeds generate" = some Window line BELOW every Generate line
+    assert gen_depths and win_depths
+    assert max(win_depths) > min(gen_depths)

@@ -515,3 +515,111 @@ def test_double_exponential_smoothing(spark):
     assert double_exponential_smoothing(solo, 0.5, 0.5, **frame).count() == 0
     with pytest.raises(ValueError):
         double_exponential_smoothing(lin, 1.5, 0.5, **frame)
+
+
+def test_increase_range_events_equals_explode_and_hand_values(spark):
+    """The difference-array strategy must be value-identical to the grid
+    explode on a fixture with resets, gaps, multiple series, off-grid
+    timestamps and window-boundary pairs — and match hand-computed
+    windows."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import increase_range
+
+    rng = random.Random(42)
+    rows = []
+    for host in ("a", "b", "c"):
+        v = 0.0
+        for i in range(120):
+            v += rng.uniform(0, 5)
+            if rng.random() < 0.05:
+                v = rng.uniform(0, 2)  # counter reset
+            # off-grid, jittered, with occasional gaps
+            off = -7200 + i * 60 + rng.randint(-11, 11)
+            if rng.random() < 0.1:
+                continue
+            rows.append(({"host": host}, round(v, 3), off))
+    df = _samples(spark, rows)
+    kw = dict(
+        frame="30m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+    )
+    a = increase_range(df, method="explode", **kw)
+    b = increase_range(df, method="events", **kw)
+
+    def key(r):
+        return (r["labels"]["host"], r["bucket_start"])
+
+    ra = {key(r): r["value"] for r in a.collect()}
+    rb = {key(r): r["value"] for r in b.collect()}
+    assert set(ra) == set(rb) and ra
+    assert all(abs(ra[k] - rb[k]) <= 1e-9 * max(1.0, abs(ra[k])) for k in ra)
+
+    # hand-check one window per series against a pure-python replay
+    frame_s, step_s = 1800, 300
+    t0 = (T0 - timedelta(seconds=3600)).timestamp()
+    by_host = {}
+    for labels, v, off in rows:
+        by_host.setdefault(labels["host"], []).append((T0.timestamp() + off, v))
+    for host, pts in by_host.items():
+        pts.sort()
+        t = t0 + 4 * step_s
+        inside = [(ts, v) for ts, v in pts if t - frame_s <= ts < t]
+        expect = sum(
+            (cur if cur < prev else cur - prev)
+            for (_, prev), (_, cur) in zip(inside, inside[1:])
+        )
+        if len(inside) >= 2:
+            got = ra[(host, datetime.fromtimestamp(t))]
+            assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_increase_range_quantize_makes_strategies_bit_identical(spark):
+    """quantize=1e-6 must make both strategies agree EXACTLY (integer-
+    multiple sums are associative), not just to float tolerance."""
+    from prom_etl_db_spark.operators.promql import increase_range
+
+    rows = [
+        ({"host": h}, 0.1 + i * 0.37 + (0.0 if i % 7 else -i * 0.2), -3000 + i * 45)
+        for h in ("a", "b")
+        for i in range(80)
+    ]
+    df = _samples(spark, rows)
+    kw = dict(
+        frame="40m",
+        step="1m",  # ratio 40 > threshold -> auto would pick events
+        start=T0 - timedelta(seconds=1800),
+        end=T0,
+        quantize=1e-6,
+    )
+    a = increase_range(df, method="explode", **kw)
+    b = increase_range(df, method="events", **kw)
+
+    def vals(out):
+        return {
+            (r["labels"]["host"], r["bucket_start"]): r["value"]
+            for r in out.collect()
+        }
+
+    ra, rb = vals(a), vals(b)
+    assert ra == rb and ra  # exact equality, not approx
+
+
+def test_increase_range_auto_dispatch_and_bad_method(spark):
+    from prom_etl_db_spark.operators.promql import (
+        _RANGE_EXPLODE_MAX_RATIO,
+        increase_range,
+    )
+
+    df = _samples(spark, [({"h": "a"}, 1.0, -60), ({"h": "a"}, 2.0, -30)])
+    kw = dict(start=T0 - timedelta(seconds=600), end=T0)
+    wide = increase_range(df, frame="600s", step="10s", **kw)  # ratio 60
+    narrow = increase_range(df, frame="60s", step="30s", **kw)  # ratio 2
+    # events plan has >= 2 Window phases; explode exactly 1
+    assert wide._jdf.queryExecution().executedPlan().toString().count("Window") >= 2
+    assert narrow._jdf.queryExecution().executedPlan().toString().count("Window") == 1
+    assert _RANGE_EXPLODE_MAX_RATIO == 32
+    with pytest.raises(ValueError):
+        increase_range(df, frame="60s", step="30s", method="nope", **kw)

@@ -151,6 +151,27 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
             end=_dt(2024, 1, 30) + _td(days=35 * (k - 1)),
         ),
     )
+    # WIDE ratio (frame/step = 288, the flagship's 24h/1m shape): the
+    # events strategy keeps intermediate volume O(pairs + output); the
+    # explode strategy would amplify every sample 288x (~170M rows at
+    # 10x) and is not even runnable here. Collapsed to name-only series
+    # so the output grid (series x instants) stays measurement-sized.
+    samples_nk = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.create_map(F.lit("name"), F.col("event_type")).alias("labels"),
+        F.col("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    run(
+        "promql_rate_range_wide",
+        promql.rate_range(
+            samples_nk,
+            frame="24h",
+            step="5m",
+            start=_dt(2024, 1, 2),
+            end=_dt(2024, 1, 30) + _td(days=35 * (k - 1)),
+        ),
+    )
 
     docs = scaled_docs(spark, sf_dir, k)
     run(
