@@ -87,6 +87,11 @@ def evaluate_config_query(
             and isinstance(node.args[0], Selector)
             and node.args[0].range_
             and not node.args[0].step
+            # an @-pinned selector means ONE fixed window, not a sliding
+            # one — rebuilding the selector without at_ would silently
+            # ignore the pin; fall through to the stream evaluator's
+            # PromQLError like other unsupported range-mode forms
+            and node.args[0].at_ is None
         ):
             sel = node.args[0]
             raw = _selector_stream(  # frame-less ctx: the sliding window

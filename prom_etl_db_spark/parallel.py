@@ -62,7 +62,10 @@ def run_with_job_timeout(spark, fn, seconds: float, *, group: str | None = None)
         sc.setJobGroup(gid, f"budget {seconds}s", interruptOnCancel=True)
         try:
             done.append(("ok", fn()))
-        except Exception as e:  # noqa: BLE001 — relayed to the caller
+        except BaseException as e:  # noqa: BLE001 — relayed to the caller;
+            # BaseException: a KeyboardInterrupt/SystemExit delivered to
+            # the worker must surface as the cause, not a masked
+            # IndexError from an empty `done`
             done.append(("err", e))
         finally:
             sc.setJobGroup(None, None)
@@ -73,7 +76,15 @@ def run_with_job_timeout(spark, fn, seconds: float, *, group: str | None = None)
     if t.is_alive():
         sc.cancelJobGroup(gid)
         t.join(30)  # drain the cancellation; daemon thread if it hangs
-        raise QueryTimeout(f"query exceeded {seconds}s budget (group {gid})")
+        # a job that COMPLETED during the drain window did its write —
+        # reporting QueryTimeout then would invite a retry that
+        # double-appends; prefer the recorded outcome
+        if not done or done[0][0] != "ok":
+            raise QueryTimeout(
+                f"query exceeded {seconds}s budget (group {gid})"
+            )
+    if not done:  # worker died without recording (should be unreachable)
+        raise QueryTimeout(f"query worker vanished (group {gid})")
     kind, payload = done[0]
     if kind == "err":
         raise payload

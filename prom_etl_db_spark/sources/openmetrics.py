@@ -28,11 +28,24 @@ from pyspark.sql import functions as F
 
 __all__ = ["parse_exposition_lines", "read_exposition_text"]
 
-# metric{labels} value [timestamp]  — labels optional; value may be
-# +Inf/-Inf/NaN; exemplar suffix (" # {...} v t") stripped first.
-_LINE_RE = r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(\S+))?\s*$'
+# metric{labels} value [timestamp] [# {exemplar...}] — labels optional;
+# value may be +Inf/-Inf/NaN. The labels blob is matched as an explicit
+# pair sequence (quoted values with escapes), NOT `.*`: a greedy dot-star
+# would run to the LAST `}` on the line and swallow the value/exemplar,
+# and a pre-strip of ` # {` could truncate a quoted label value that
+# legitimately contains that text. The exemplar is an optional trailing
+# group instead.
+_LBL_SEQ = r'(?:[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"\s*,?\s*)*'
+_LINE_RE = (
+    r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(' + _LBL_SEQ + r')\})?'
+    r'\s+(\S+)(?:\s+([^#\s]+))?\s*(?:#\s*\{.*)?$'
+)
 # one label pair: name="value" with \" escapes inside the value
 _PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+# private-use sentinel for the single-pass unescape: `\\` parks here so
+# the later `\"`/`\n` passes can't see a phantom escape, then it becomes
+# the literal backslash. U+E000 never appears in scrape text.
+_BS_SENTINEL = ""
 
 
 def parse_exposition_lines(lines: DataFrame, *, value_col: str = "value") -> DataFrame:
@@ -42,7 +55,7 @@ def parse_exposition_lines(lines: DataFrame, *, value_col: str = "value") -> Dat
     scrape keeps flowing); a missing timestamp yields NULL — the caller
     stamps scrape time, exactly like Prometheus does.
     """
-    line = F.regexp_replace(F.col(value_col), r"\s+#\s+\{.*$", "")  # exemplar
+    line = F.col(value_col)  # exemplars handled by _LINE_RE itself
     name = F.regexp_extract(line, _LINE_RE, 1)
     labels_blob = F.regexp_extract(line, _LINE_RE, 2)
     raw_val = F.regexp_extract(line, _LINE_RE, 3)
@@ -71,16 +84,25 @@ def parse_exposition_lines(lines: DataFrame, *, value_col: str = "value") -> Dat
         F.transform(pairs, lambda p: F.regexp_extract(p, _PAIR_RE, 1)),
         F.transform(
             pairs,
-            # unescape \" \\ \n — the three escapes the format defines
+            # unescape \\ \" \n — single-pass equivalent: `\\` parks in a
+            # sentinel FIRST so a value like `\\n` (backslash then 'n')
+            # decodes to backslash+n, not backslash+newline (sequential
+            # replacement in the other order created exactly that bug)
             lambda p: F.regexp_replace(
                 F.regexp_replace(
                     F.regexp_replace(
-                        F.regexp_extract(p, _PAIR_RE, 2), r'\\"', '"'
+                        F.regexp_replace(
+                            F.regexp_extract(p, _PAIR_RE, 2),
+                            r"\\\\",
+                            _BS_SENTINEL,
+                        ),
+                        r'\\"',
+                        '"',
                     ),
                     r"\\n",
                     "\n",
                 ),
-                r"\\\\",
+                _BS_SENTINEL,
                 "\\\\",
             ),
         ),

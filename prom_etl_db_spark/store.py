@@ -20,6 +20,7 @@ property that still holds at 100 TB.
 from __future__ import annotations
 
 import shutil
+import threading
 from datetime import date, datetime
 from pathlib import Path
 
@@ -30,10 +31,34 @@ from prom_etl_db_spark.schema import EXECUTION_SCHEMA
 
 PARTITION_COLS = ("collected_date",)
 
+_WRITE_LOCKS: dict[str, threading.Lock] = {}
+_WRITE_LOCKS_GUARD = threading.Lock()
+
+
+def _path_write_lock(path: str) -> threading.Lock:
+    """Serialize Spark write jobs per output path within this process.
+
+    Spark's FileOutputCommitter stages EVERY concurrent job's task
+    attempts under the same ``<path>/_temporary/0``; one job's commitJob/
+    abort cleanup can delete another in-flight job's staged files — lost
+    or failed appends whenever ``serve --max-parallel`` fires two configs
+    that share a store/audit path. Writes commit under this lock; the
+    expensive part of an audited execution (the evaluation, materialized
+    by persist+count BEFORE the append) still runs concurrently, so the
+    lock serializes only the commit phase. Cross-process concurrency is
+    out of scope here — production multi-writer tables need a committer
+    with job-scoped staging (Delta/Iceberg) instead.
+    """
+    key = str(Path(path).resolve())
+    with _WRITE_LOCKS_GUARD:
+        return _WRITE_LOCKS.setdefault(key, threading.Lock())
+
 
 def append_records(df: DataFrame, path: str) -> None:
-    """A14: atomic batch append, partitioned by day."""
-    df.write.partitionBy(*PARTITION_COLS).mode("append").parquet(path)
+    """A14: atomic batch append, partitioned by day (commit serialized
+    per path — see ``_path_write_lock``)."""
+    with _path_write_lock(path):
+        df.write.partitionBy(*PARTITION_COLS).mode("append").parquet(path)
 
 
 def read_records(spark: SparkSession, path: str) -> DataFrame:
@@ -70,12 +95,13 @@ def overwrite_days(df: DataFrame, path: str) -> None:
                 # driver collect) BEFORE the overwrite clobbers the files
                 # being read
                 out = survivors.unionByName(df).localCheckpoint(eager=True)
-        (
-            out.write.partitionBy(*PARTITION_COLS)
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(path)
-        )
+        with _path_write_lock(path):
+            (
+                out.write.partitionBy(*PARTITION_COLS)
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(path)
+            )
     finally:
         df.unpersist()
 
@@ -131,12 +157,13 @@ def delete_query_day(spark: SparkSession, path: str, query_id: str, day: date) -
         day_df.where(F.col("query_id") != query_id).localCheckpoint(eager=True)
     )
     if survivors.limit(1).count():
-        (
-            survivors.write.partitionBy(*PARTITION_COLS)
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(path)
-        )
+        with _path_write_lock(path):
+            (
+                survivors.write.partitionBy(*PARTITION_COLS)
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(path)
+            )
     else:
         shutil.rmtree(part)
     return deleted
@@ -188,7 +215,8 @@ def append_records_clustered(
     # size the files to the batch
     args = ([num_files] if num_files else []) + cols
     clustered = df.repartitionByRange(*args).sortWithinPartitions(*cols)
-    clustered.write.partitionBy(*PARTITION_COLS).mode("append").parquet(path)
+    with _path_write_lock(path):
+        clustered.write.partitionBy(*PARTITION_COLS).mode("append").parquet(path)
 
 
 def compact_days(
@@ -205,9 +233,14 @@ def compact_days(
 
     Per selected partition: if it holds more files than its bytes justify
     at ``target_file_bytes``, rewrite it to ceil(bytes/target) files via
-    an atomic write-to-staging + swap (readers of the OLD listing keep
-    working; a crash mid-swap leaves either the old or the new directory,
-    never a mix). Content is byte-identical — compaction never reorders
+    write-to-staging + swap. The swap is TWO renames, not one atomic op:
+    a reader listing partitions in the instant between them sees the day
+    missing (readers that already listed keep working — parquet files
+    are immutable), and a crash in that window strands the data in
+    ``.old-<part>``. Every run therefore heals first: a ``.old-*`` dir
+    with no live partition is renamed back (the swap is retried this
+    run); one WITH a live partition means only the cleanup was lost and
+    is removed. Content is byte-identical — compaction never reorders
     semantics, only file layout.
 
     Returns {day: (files_before, files_after)} for the compacted days.
@@ -219,6 +252,13 @@ def compact_days(
     import math
 
     root = Path(path)
+    # crash healing BEFORE selection, so a restored day is re-considered
+    for old in root.glob(".old-collected_date=*"):
+        live = root / old.name[len(".old-") :]
+        if live.exists():
+            shutil.rmtree(old)  # swap completed; only cleanup was lost
+        else:
+            old.rename(live)  # crashed between the renames; restore
     out: dict[date, tuple[int, int]] = {}
     parts = (
         [root / f"collected_date={d.isoformat()}" for d in days]
@@ -287,4 +327,5 @@ def execution_record(
 
 
 def append_execution(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    with _path_write_lock(path):
+        df.write.mode("append").parquet(path)

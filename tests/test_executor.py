@@ -126,3 +126,20 @@ def test_audit_without_store_is_rejected(spark, samples, tmp_path):
         execute_config_query(
             spark, samples, cfg, now=NOW, audit_path=str(tmp_path / "a")
         )
+
+
+def test_range_config_at_pinned_rate_raises_not_silently_sliding(samples):
+    """rate(m[1h] @ T) as a RANGE query must raise PromQLError like other
+    unsupported range-mode forms — the fast path once rebuilt the
+    selector without the @ pin and produced sliding windows instead of
+    the pinned one."""
+    from prom_etl_db_spark.operators.promql_parser import PromQLError
+
+    for at in ("@ 1710504000", "@ end()"):
+        cfg = QueryConfig(
+            query_id="g-at", name="pinned rate", query=f"rate(cpu[1h] {at})",
+            time_range_type="range",
+            time_range_start="-6h", time_range_end="now", time_range_step="1h",
+        )
+        with pytest.raises(PromQLError):
+            evaluate_config_query(samples, cfg, now=NOW)

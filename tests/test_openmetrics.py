@@ -75,3 +75,39 @@ def test_read_exposition_text_roundtrip(spark, tmp_path):
     p.write_text(SCRAPE)
     out = read_exposition_text(spark, str(p))
     assert out.count() == 5  # 2 + 1 + 1 + 1 well-formed sample lines
+
+
+def test_escaped_backslash_before_n_is_not_a_newline(spark):
+    from prom_etl_db_spark.sources.openmetrics import parse_exposition_lines
+
+    # wire bytes \\n inside the quoted value = escaped backslash, then 'n'
+    lines = spark.createDataFrame(
+        [(r'm{path="C:\\nightly"} 1',)], "value string"
+    )
+    out = parse_exposition_lines(lines).collect()
+    assert out[0]["labels"]["path"] == "C:\\nightly"
+
+
+def test_exemplar_stripped_only_outside_quoted_values(spark):
+    from prom_etl_db_spark.sources.openmetrics import parse_exposition_lines
+
+    lines = spark.createDataFrame(
+        [
+            # exemplar after value+ts must strip
+            ('requests{code="200"} 5 1708300800 # {trace_id="abc"} 1 17',),
+            # exemplar right after value (no ts)
+            ('requests{code="201"} 7 # {trace_id="def"} 1',),
+            # " # {" INSIDE a quoted label value is data, not an exemplar
+            ('weird{q="a # {b}"} 3 1708300800',),
+        ],
+        "value string",
+    )
+    by_first = {
+        tuple(sorted(r["labels"].items())): r
+        for r in parse_exposition_lines(lines).collect()
+    }
+    assert by_first[(("code", "200"),)]["value"] == 5.0
+    assert by_first[(("code", "200"),)]["timestamp"] is not None
+    assert by_first[(("code", "201"),)]["value"] == 7.0
+    assert by_first[(("code", "201"),)]["timestamp"] is None
+    assert by_first[(("q", "a # {b}"),)]["value"] == 3.0

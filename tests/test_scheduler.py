@@ -167,3 +167,27 @@ def test_run_with_job_timeout_cancels_runaway_and_passes_results(spark):
     with pytest.raises(QueryTimeout):
         run_with_job_timeout(spark, slow, 3)
     assert time.time() - t0 < 40  # cancelled, not run to completion
+
+
+def test_run_with_job_timeout_worker_base_exception_surfaces(spark):
+    """SystemExit/KeyboardInterrupt in the worker must re-raise as the
+    cause — not mask as IndexError from an empty result list."""
+    from prom_etl_db_spark.parallel import run_with_job_timeout
+
+    with pytest.raises(SystemExit):
+        run_with_job_timeout(spark, lambda: (_ for _ in ()).throw(SystemExit(3)), 30)
+
+
+def test_run_with_job_timeout_prefers_drain_completion_over_timeout(spark):
+    """A job that finishes during the post-cancel drain DID its work
+    (e.g. its append committed); reporting QueryTimeout would invite a
+    double-append retry. The recorded result wins."""
+    import time as _time
+
+    from prom_etl_db_spark.parallel import run_with_job_timeout
+
+    def finishes_in_drain():
+        _time.sleep(1.5)  # past the 1s budget, well inside the 30s drain
+        return "committed"
+
+    assert run_with_job_timeout(spark, finishes_in_drain, 1) == "committed"

@@ -12,6 +12,7 @@ from __future__ import annotations
 from datetime import date, datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from prom_etl_db_spark.schema import METRICS_STORED_SCHEMA
 from prom_etl_db_spark.store import (
@@ -204,3 +205,50 @@ def test_clustered_append_produces_disjoint_file_ranges(spark, table):
     assert all(w <= 1 for w in width), spans
     # and the data is intact
     assert spark.read.parquet(table).count() == 400
+
+
+def test_concurrent_appends_to_one_path_all_land(spark, table):
+    """serve --max-parallel fires configs concurrently against a shared
+    store path; Spark's FileOutputCommitter stages every job under the
+    same _temporary/0, so unserialized commits can delete each other's
+    staged files. The per-path write lock must make N concurrent appends
+    land all N batches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    batches = [_records(spark, date(2024, 3, d + 1), float(d), n=5) for d in range(6)]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(lambda df: append_records(df, table), batches))
+    assert read_records(spark, table).count() == 30
+    # every batch's day partition is present and whole
+    per_day = {
+        r["collected_date"]: r["n"]
+        for r in read_records(spark, table)
+        .groupBy("collected_date")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_day == {date(2024, 3, d + 1): 5 for d in range(6)}
+
+
+def test_compact_days_heals_crashed_swap_leftovers(spark, table):
+    """A crash between the two swap renames strands the day in
+    .old-<part>; the next run must restore it (and clean a completed
+    swap's leftover) instead of silently losing the partition."""
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    append_records(_records(spark, date(2024, 3, 1), 1.0, n=4), table)
+    append_records(_records(spark, date(2024, 3, 2), 2.0, n=4), table)
+    root = _P(table)
+    # simulate: day1 crashed after part.rename(old) (live dir missing)
+    (root / "collected_date=2024-03-01").rename(root / ".old-collected_date=2024-03-01")
+    # simulate: day2 completed the swap but not the cleanup (both exist)
+    _sh.copytree(
+        root / "collected_date=2024-03-02", root / ".old-collected_date=2024-03-02"
+    )
+    compact_days(spark, table)
+    assert not list(root.glob(".old-*"))
+    assert read_records(spark, table).where(
+        F.col("collected_date") == date(2024, 3, 1)
+    ).count() == 4
+    assert read_records(spark, table).count() == 8
