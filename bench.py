@@ -76,6 +76,11 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # several registry operators persist() intermediates for their own
+        # multi-pass plans; dropping them between queries keeps each
+        # measurement cold-cache and independent (lingering blocks showed
+        # up as 2x run-to-run swings on the later persist-heavy queries)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -9,6 +9,7 @@ pushes predicates and prunes columns into the scan (verify with
 from __future__ import annotations
 
 import os
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,22 +42,37 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+# session -> {path: DataFrame plan root}. Building a reader re-probes the
+# file footer and costs ~0.1 s of driver round trips PER QUERY; the plan
+# root is immutable, so one per (session, path) serves every query in
+# that session. Weak keys: a stopped session's cache dies with it.
+_PLAN_ROOTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table. Plain parquet scan — no caching, no
-    collect; Catalyst prunes from here.
+    """Load one synthetic table. Plain parquet scan — no data caching, no
+    collect; Catalyst prunes from here (the memoized object is only the
+    lazy plan root).
 
     Nanosecond-timestamp columns (the events fixture) are normalized to
     TimestampType (µs): integer DIV keeps the conversion exact, and the
     projection still allows pushdown on every other column.
     """
     path = f"{sf_dir}/{name}.parquet"
+    cache = _PLAN_ROOTS.setdefault(spark, {})
+    if path in cache:
+        return cache[path]
     ns_cols = _nanos_ts_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    cache[path] = df
     return df
 
 
