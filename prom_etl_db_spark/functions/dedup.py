@@ -490,3 +490,95 @@ def keep_canonical(
         )
         .drop("cluster_id")
     )
+
+
+# -- E-ext: paragraph-level exact dedup & substring-dup signal --------------
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the RefinedWeb recipe, with fixed
+    ``chunk_tokens``-token chunks standing in for paragraphs — the
+    fixture corpus has no newline structure): every chunk is hashed,
+    each distinct chunk keeps its FIRST occurrence (min (doc_id, idx)),
+    and each document reports how many of its chunks survived.
+
+    Scale: chunking is a pure Column transform (no Python); the winner
+    pass is ONE hash aggregation over (chunk-hash) with a min(struct)
+    buffer; the verdict join shuffles (id, idx, 16-byte hash) triples
+    only. Never a sort, never all-pairs.
+
+    Output: (doc_id, n_chunks, kept_chunks).
+    """
+    L = chunk_tokens
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    n_chunks = F.ceil(F.size("__w") / F.lit(float(L))).cast("bigint")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: F.array_join(F.slice(F.col("__w"), i * L + 1, L), " "),
+    )
+    ch = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+        .where(F.size("__w") > 0)
+        .withColumn("__n", n_chunks)
+        .select("doc_id", "__n", F.posexplode(chunks).alias("idx", "chunk"))
+        .select("doc_id", "__n", "idx", F.md5("chunk").alias("__h"))
+    )
+    winners = ch.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("__first")
+    )
+    verdicts = ch.join(winners, "__h").select(
+        "doc_id",
+        "__n",
+        (
+            (F.col("__first.doc_id") == F.col("doc_id"))
+            & (F.col("__first.idx") == F.col("idx"))
+        ).alias("__kept"),
+    )
+    return verdicts.groupBy("doc_id").agg(
+        F.max("__n").alias("n_chunks"),
+        F.sum(F.col("__kept").cast("bigint")).cast("bigint").alias("kept_chunks"),
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022's suffix-dedup
+    at fixed granularity): every SLIDING ``span_tokens``-token window is
+    hashed, and a span occurrence counts as duplicated when its hash
+    occurs anywhere else in the corpus (another doc or another position).
+    Per document: total spans and duplicated spans — the mask a
+    substring-dedup pass would cut.
+
+    Scale: the gram pass reuses the O(words·n) zip_with chain
+    (word_ngrams); global occurrence counts are one hash aggregation
+    over 16-byte hashes; the verdict join ships (id, hash) pairs.
+
+    Output: (doc_id, n_spans, dup_spans).
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), span_tokens)).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("__h"))
+    )
+    counts = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        grams.join(counts, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__c") > 1).cast("bigint")).cast("bigint").alias("dup_spans"),
+        )
+    )

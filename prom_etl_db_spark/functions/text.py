@@ -8,7 +8,7 @@ the fingerprint, fixed stopword lists for language-ID.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -466,3 +466,36 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda h, c: (h * F.lit(31) + F.ascii(c)) % F.lit(_FP_MOD),
     )
+
+
+def zipf_token_stats(docs: DataFrame, top: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the ``top`` most frequent tokens with
+    their frequency rank — the Zipf-curve head every corpus health check
+    plots (rank × freq ≈ const for natural text; a flat head flags
+    boilerplate, a missing tail flags truncation).
+
+    Scale: one explode + one hash aggregation over tokens; the global
+    ordering is TakeOrderedAndProject (per-partition partial top-N,
+    driver merges N rows) — the rank window then runs on ``top`` rows,
+    not the vocabulary. Ties break lexicographically.
+
+    Output: (token, rank, cnt).
+    """
+    counts = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select(
+        "token", F.row_number().over(w).cast("bigint").alias("rank"), "cnt"
+    ).select("token", "rank", "cnt")

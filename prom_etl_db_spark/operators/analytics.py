@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # -- C1/C10: JSON label extraction & filtering -----------------------------
@@ -160,3 +160,146 @@ def per_key_stats(events: DataFrame) -> DataFrame:
         F.max("ts").alias("latest"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+# -- beyond-ref: sessionization & funnel (batch event analytics) ------------
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts whenever a
+    user's inter-event gap exceeds ``gap`` — the batch dual of the
+    streaming ``session_window`` rollup (streaming/jobs.py).
+
+    Two ordered windows per user (lag for the break flag, running sum for
+    the session ordinal), then one hash aggregation per (user, session).
+    One shuffle on user_id; AQE splits hot users. No driver-side state —
+    at 100 TB parallelism is user-cardinality wide.
+
+    Output: (user_id, session_no, session_start, session_end, n_events,
+    duration_s).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    gap_interval = F.expr(f"INTERVAL {gap}")
+    brk = F.when(
+        F.col(ts_col) > F.lag(ts_col).over(w) + gap_interval, 1
+    ).otherwise(0)
+    cum = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = events.withColumn("__brk", brk).withColumn(
+        "__session_no", F.sum("__brk").over(cum).cast("bigint")
+    )
+    return sessions.groupBy(user_col, "__session_no").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (
+                # NTZ-safe exact micros (Spark 4.1 refuses NTZ→numeric;
+                # the session tz is pinned UTC so the bridge cast is exact)
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).cast("double")
+            / 1e6
+        ).alias("duration_s"),
+    ).withColumnRenamed("__session_no", "session_no")
+
+
+def funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    window: str = "7d",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """windowFunnel-style sequence matching: per user, the deepest prefix
+    of ``steps`` completed as a strictly-increasing-time chain whose span
+    fits in ``window`` (measured from the chain's FIRST event).
+
+    Scale shape: ONE hash aggregation collects each user's (ts, step)
+    events sorted (array_sort of a collect_list — histories are bounded;
+    a user is one Arrow-free JVM row), then a single ``aggregate`` fold
+    runs the DP: for level k it keeps the LATEST chain-start time among
+    chains reaching k, because a later start maximizes the remaining
+    window headroom — reaching level k+1 at time t is possible iff
+    t − start_k ≤ window. No joins, no per-level passes, no Python.
+
+    Output: (user_id, funnel_level) for users with ≥ 1 ``steps`` event.
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    step_map = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    window_us = int(parse_duration(window).total_seconds() * 1_000_000)
+
+    evs = (
+        events.where(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.struct(
+                # exact integer micros (NTZ-safe; see sessionize note)
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+                step_map[F.col(type_col)].alias("step"),
+            ).alias("e"),
+        )
+    )
+    # DP state: starts[k] = latest chain-start micros reaching level k+1
+    # (NULL = unreached); fold over the time-sorted event structs.
+    zero = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+
+    def fold(acc, e):
+        def level(k):
+            # reaching level k+1 with event e: k == 0 -> chain starts at e;
+            # else need starts[k-1] set, strictly earlier, within window
+            if k == 0:
+                return F.greatest(acc[0], e["t"])
+            prev = acc[k - 1]
+            ok = (
+                prev.isNotNull()
+                & (prev < e["t"])
+                & (e["t"] - prev <= F.lit(window_us))
+            )
+            return F.when(
+                (e["step"] == k + 1) & ok, F.greatest(acc[k], prev)
+            ).otherwise(acc[k])
+
+        return F.array(
+            *[
+                F.when(e["step"] == 1, level(0)).otherwise(acc[0])
+                if k == 0
+                else level(k)
+                for k in range(n)
+            ]
+        )
+
+    folded = (
+        evs.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.aggregate(F.col("es"), zero, fold).alias("starts"),
+        )
+    )
+    level_expr = F.coalesce(
+        *[
+            F.when(F.col("starts")[k].isNotNull(), F.lit(k + 1))
+            for k in range(n - 1, -1, -1)
+        ],
+        F.lit(0),
+    )
+    return folded.select("user_id", level_expr.cast("int").alias("funnel_level"))

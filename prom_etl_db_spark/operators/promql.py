@@ -1392,6 +1392,116 @@ def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") ->
     )
 
 
+def histogram_fraction(
+    buckets: DataFrame, lo: float, hi: float, *, le_label: str = "le"
+) -> DataFrame:
+    """PromQL ``histogram_fraction(lo, hi, x)`` over classic cumulative
+    ``le``-bucket series: the estimated fraction of observations in
+    (lo, hi], via the same linear interpolation of cumulative counts
+    that ``histogram_quantile`` inverts — fraction = (cum(hi) − cum(lo))
+    / total.
+
+    Interpolated cum(x): inside bucket (prev_le, le], cum grows linearly;
+    x at a bound returns that bound's exact count; x landing in the +Inf
+    bucket returns the last finite cumulative count (the finite mass —
+    the dual of quantile's highest-finite-bound answer).
+
+    Same plan shape as histogram_quantile: explode the TWO probe bounds,
+    one ordered window per histogram for bucket neighbors, one hash agg
+    to difference the two interpolants. Single shuffle on the histogram
+    key.
+    """
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got {lo} >= {hi}")
+    le_str = F.element_at(F.col("labels"), le_label)
+    le = F.when(
+        F.lower(le_str).isin("+inf", "inf", "infinity"), F.lit(float("inf"))
+    ).otherwise(le_str.try_cast("double"))
+    grp = _series(_project_labels_without(F.col("labels"), [le_label]))
+    df = buckets.select(
+        grp.alias("__grp"), le.alias("__le"), F.col("value").alias("__cum")
+    ).where(F.col("__le").isNotNull())
+    probes = df.select(
+        "__grp",
+        "__le",
+        "__cum",
+        F.explode(F.array(F.lit(float(lo)), F.lit(float(hi)))).alias("__x"),
+    )
+    w = Window.partitionBy("__grp", "__x").orderBy("__le")
+    w_all = Window.partitionBy("__grp", "__x")
+    rows = probes.select(
+        "__grp",
+        "__x",
+        "__le",
+        "__cum",
+        F.lag("__cum").over(w).alias("__prev_cum"),
+        F.lag("__le").over(w).alias("__prev_le"),
+        F.max("__cum").over(w_all).alias("__total"),
+    )
+    covering = rows.where(
+        (F.coalesce(F.col("__prev_le"), F.lit(float("-inf"))) < F.col("__x"))
+        & (F.col("__x") <= F.col("__le"))
+    )
+    lower = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+    prev_cum = F.coalesce(F.col("__prev_cum"), F.lit(0.0))
+    ic = F.when(F.col("__le") == float("inf"), prev_cum).otherwise(
+        prev_cum
+        + (F.col("__cum") - prev_cum)
+        * (F.col("__x") - lower)
+        / (F.col("__le") - lower)
+    )
+    return (
+        covering.select("__grp", "__x", ic.alias("__ic"), "__total")
+        .groupBy("__grp")
+        .agg(
+            (
+                (
+                    F.max(F.when(F.col("__x") == float(hi), F.col("__ic")))
+                    - F.max(F.when(F.col("__x") == float(lo), F.col("__ic")))
+                )
+                / F.max("__total")
+            ).alias("value")
+        )
+        .select(F.map_from_entries("__grp").alias("labels"), "value")
+    )
+
+
+def topk_over_time(
+    resampled: DataFrame,
+    k: int,
+    *,
+    unit: str = "DAY",
+) -> DataFrame:
+    """Top-k series per coarse bucket by summed step values — the
+    "which series dominated each day" dashboard pattern (topk applied
+    per window rather than at one instant).
+
+    One hash agg to (series, bucket) partials, then a rank window
+    PARTITIONED BY BUCKET — the sort is over series-per-bucket
+    aggregates (cardinality-bounded), never raw samples. Ties break on
+    the series key for determinism.
+
+    Output: (labels, bucket_start, value, rnk).
+    """
+    keyed = _ensure_series(resampled)
+    agg = keyed.groupBy(
+        "__series", F.date_trunc(unit, F.col("bucket_start")).alias("__b")
+    ).agg(F.sum("value").alias("value"))
+    w = Window.partitionBy("__b").orderBy(
+        F.desc("value"), F.col("__series").cast("string")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            F.col("__b").alias("bucket_start"),
+            "value",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def double_exponential_smoothing(
     samples: DataFrame,
     smoothing: float,

@@ -2279,6 +2279,116 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_histogram_fraction",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS name, t.le AS le, CAST(count(*) AS DOUBLE) AS cum
+  FROM events,
+       (SELECT unnest([25.0, 50.0, 100.0, 200.0, CAST('inf' AS DOUBLE)]) AS le) t
+  WHERE value <= t.le
+  GROUP BY 1, 2
+), probes AS (
+  SELECT b.name, b.le, b.cum, x.x
+  FROM b, (SELECT unnest([50.0, 150.0]) AS x) x
+), w AS (
+  SELECT name, x, le, cum,
+         lag(cum) OVER (PARTITION BY name, x ORDER BY le) AS prev_cum,
+         lag(le) OVER (PARTITION BY name, x ORDER BY le) AS prev_le,
+         max(cum) OVER (PARTITION BY name, x) AS total
+  FROM probes
+), c AS (
+  SELECT name, x, total,
+         CASE WHEN isinf(le) THEN coalesce(prev_cum, 0)
+              ELSE coalesce(prev_cum, 0)
+                   + (cum - coalesce(prev_cum, 0))
+                     * (x - coalesce(prev_le, 0)) / (le - coalesce(prev_le, 0))
+         END AS ic
+  FROM w
+  WHERE coalesce(prev_le, CAST('-inf' AS DOUBLE)) < x AND x <= le
+)
+SELECT name,
+       round((max(CASE WHEN x = 150.0 THEN ic END)
+              - max(CASE WHEN x = 50.0 THEN ic END)) / max(total), 6) AS frac
+FROM c GROUP BY name
+""",
+)
+def promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction(50, 150, x): estimated fraction of observations
+    in (50, 150] from the same in-query cumulative le-buckets the
+    quantile query builds — interpolated cum at both probe bounds,
+    differenced, divided by the total. The oracle replays the identical
+    interpolation algebra."""
+    ev = _events(spark, sf_dir)
+    buckets = (
+        ev.select(
+            F.col("event_type").alias("name"),
+            F.explode(
+                F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])
+            ).alias("le"),
+            "value",
+        )
+        .where(F.col("value") <= F.col("le"))
+        .groupBy("name", "le")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.create_map(
+                F.lit("name"), F.col("name"),
+                F.lit("le"), F.col("le").cast("string"),
+            ).alias("labels"),
+            "value",
+        )
+    )
+    out = promql.histogram_fraction(buckets, 50.0, 150.0)
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 6).alias("frac"),
+    )
+
+
+@register(
+    "promql_topk_over_time",
+    oracle="""
+WITH resampled AS (
+  SELECT event_type AS name, json_extract_string(props, '$.k') AS k,
+         date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, json_extract_string(props, '$.k'),
+                        date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), daily AS (
+  SELECT name, k, CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket_start,
+         sum(value) AS v
+  FROM resampled WHERE rn = 1 GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT name, k, bucket_start, v,
+         row_number() OVER (
+           PARTITION BY bucket_start ORDER BY v DESC, k, name) AS rnk
+  FROM daily
+)
+SELECT name, k, bucket_start, round(v, 4) AS sum_value, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def promql_topk_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(3) PER DAY by summed hourly step values — which series
+    dominated each day. The rank window sorts series-per-day AGGREGATES
+    (cardinality-bounded), never raw samples. Tie-break on the series
+    key; the oracle's (k, name) tiebreak matches the sorted-entries
+    string order for these two-label series."""
+    samples = _event_samples(spark, sf_dir, keys=("name", "k"))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    out = promql.topk_over_time(stepped, 3)
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.element_at("labels", "k").alias("k"),
+        "bucket_start",
+        F.round("value", 4).alias("sum_value"),
+        "rnk",
+    )
+
+
+@register(
     "promql_clamp",
     oracle="""
 SELECT event_type AS name,
@@ -3331,6 +3441,327 @@ def tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Round-3 additions: batch sessionization / funnel, histogram_fraction,
+# top-k over time, paragraph & substring dedup, Jaccard estimation, Zipf
+# stats, perplexity-proxy buckets, int8 embedding quantization.
+# =========================================================================
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+  FROM s
+)
+SELECT user_id, session_no,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_s
+FROM g GROUP BY 1, 2
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-minute inactivity break) — the
+    batch dual of the streaming session_window rollup. Two ordered
+    windows + one hash agg, all partitioned by user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.sessionize(ev, gap="30 minutes")
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+u AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+l2 AS (
+  SELECT DISTINCT v.user_id FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 7 DAY
+), l3 AS (
+  SELECT DISTINCT v.user_id FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 7 DAY
+  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        AND p.ts <= v.ts + INTERVAL 7 DAY
+)
+SELECT u.user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN v1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_level
+FROM u
+LEFT JOIN l3 ON l3.user_id = u.user_id
+LEFT JOIN l2 ON l2.user_id = u.user_id
+LEFT JOIN (SELECT DISTINCT user_id FROM v) v1 ON v1.user_id = u.user_id
+""",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(view -> click -> purchase, 7d): deepest strictly-
+    ordered chain per user whose span fits the window. The engine runs a
+    single-shuffle sorted-fold DP (latest-chain-start dominance — see
+    analytics.funnel_levels); the oracle proves the exact same semantics
+    via the naive EXISTS-chain join formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel_levels(
+        ev, ["view", "click", "purchase"], window="7d"
+    )
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         md5(array_to_string(w[(i-1)*20+1:(i-1)*20+20], ' ')) AS h,
+         CAST(ceil(len(w) / 20.0) AS BIGINT) AS n_chunks
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS i
+        FROM tok WHERE len(w) > 0)
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id, max(n_chunks) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks
+FROM win GROUP BY doc_id
+""",
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (RefinedWeb recipe; fixed 20-token
+    chunks stand in for paragraphs): each distinct chunk keeps its first
+    (doc_id, idx) occurrence; per-doc kept/total counts are the dedup
+    mask a rewrite pass would apply."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_stats(docs, chunk_tokens=20)
+
+
+@register(
+    "doc_exact_substring_dups",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+19], ' ')) AS h
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+        FROM tok WHERE len(w) >= 20)
+), c AS (
+  SELECT h, count(*) AS c FROM g GROUP BY h
+)
+SELECT g.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+FROM g JOIN c USING (h) GROUP BY g.doc_id
+""",
+)
+def doc_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. suffix dedup at
+    fixed 20-token granularity): sliding-window hashes with global
+    occurrence counts; a span occurring anywhere else marks every
+    occurrence. The per-doc dup fraction is the cut mask."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs, span_tokens=20)
+
+
+@register(
+    "doc_zipf_token_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+SELECT token,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       cnt
+FROM c ORDER BY cnt DESC, token LIMIT 20
+""",
+)
+def doc_zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (Zipf curve): top-20 tokens by frequency
+    with rank — TakeOrderedAndProject global top-N, rank window over 20
+    rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.zipf_token_stats(docs, top=20)
+
+
+@register(
+    "doc_ccnet_perplexity_buckets",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         round(coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+           t -> ((CAST(('0x' || substr(md5(t || 'bow'), 1, 8)) AS BIGINT) % 1024) % 7 - 3)
+                / 10.0
+         )), 0.0), 6) + 0.0 AS bow_score
+  FROM documents
+), q AS (
+  SELECT quantile_cont(bow_score, 0.333333) AS t1,
+         quantile_cont(bow_score, 0.666667) AS t2
+  FROM s
+)
+SELECT CASE WHEN bow_score <= t1 THEN 'head'
+            WHEN bow_score <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(bow_score), 4) + 0.0 AS avg_score
+FROM s, q GROUP BY 1
+""",
+)
+def doc_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score every doc with the (proxy)
+    language-model score, cut the corpus at its own terciles, and label
+    head/middle/tail — the partition CCNet feeds to different training
+    mixes. Terciles are computed over the ROUNDED scores so the
+    threshold comparison is engine-exact; the 1-row quantile frame
+    broadcast-crossJoins (the scalar-subquery shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id", text.hashed_bow_score(F.col("text")).alias("bow_score")
+    )
+    q = scores.agg(
+        F.percentile("bow_score", 0.333333).alias("t1"),
+        F.percentile("bow_score", 0.666667).alias("t2"),
+    )
+    labeled = scores.crossJoin(F.broadcast(q)).select(
+        "bow_score",
+        F.when(F.col("bow_score") <= F.col("t1"), "head")
+        .when(F.col("bow_score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("bow_score"), 4) + 0.0).alias("avg_score"),
+    )
+
+
+@register(
+    "doc_minhash_jaccard_est",
+    oracle=f"""
+WITH {_NGRAM_PAIRS_CTES},
+sig AS (
+  SELECT g.doc_id, b.range AS j,
+         min(substr(md5(g.gram || '#' || CAST(b.range AS VARCHAR)), 1, 16)) AS mh
+  FROM (SELECT id AS doc_id, unnest(shingles) AS gram FROM sh) g
+  CROSS JOIN range(16) b
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, round(p.jaccard, 6) AS jaccard,
+       CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+         AS jacc_est
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+GROUP BY p.id_a, p.id_b, p.jaccard
+""",
+)
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimate vs exact Jaccard, side by side, for every true
+    near-dup pair: the signature-match fraction (md5 family, k=16) next
+    to the exact shingle Jaccard — the estimator-quality audit a dedup
+    rollout runs before trusting LSH at full scale. Signatures join by
+    id; only (id, 16-byte) pairs shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dup_pairs(
+        docs, threshold=0.3, max_shingle_df=_NGRAM_MAX_DF
+    )
+    sigs = docs.where(dedup.has_min_words(F.col("text"), 3)).select(
+        "doc_id",
+        dedup.minhash_signature_md5(
+            dedup.word_shingles(F.col("text"), 3), 16
+        ).alias("sig"),
+    )
+    est = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sa"), F.col("sb"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / 16.0
+            ).alias("jacc_est"),
+        )
+    )
+    return est
+
+
+@register(
+    "embedding_sq8_codes",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, i, CAST(e AS DOUBLE) AS e
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), d AS (SELECT i, min(e) AS mn, max(e) AS mx FROM u GROUP BY i),
+codes AS (
+  SELECT u.vec_id,
+         CASE WHEN d.mx > d.mn
+              THEN CAST(round((u.e - d.mn) / (d.mx - d.mn) * 255) AS INT)
+              ELSE 0 END AS code
+  FROM u JOIN d USING (i)
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(min(code) AS INT) AS code_min, CAST(max(code) AS INT) AS code_max
+FROM codes GROUP BY vec_id
+""",
+)
+def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table (per-dimension
+    min/max, code = round(255·normalized)) — the 4× memory lever under
+    billion-vector ANN. The d×2 stats collect is broadcast-class; the
+    encode is one Column transform. Projected to per-vector code
+    sum/min/max so the oracle hash-checks every element through the
+    aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = similarity.quantize_int8(emb)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window rotation.
 #
@@ -3353,6 +3784,16 @@ _GATE_PRIORITY = [
     "minhash_signatures",
     "multimodal_png_pixels",
     "promql_rate_range_wide",
+    "sessionize_events",
+    "events_window_funnel",
+    "promql_histogram_fraction",
+    "promql_topk_over_time",
+    "doc_paragraph_dedup",
+    "doc_exact_substring_dups",
+    "doc_zipf_token_stats",
+    "doc_ccnet_perplexity_buckets",
+    "doc_minhash_jaccard_est",
+    "embedding_sq8_codes",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

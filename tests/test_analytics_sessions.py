@@ -1,0 +1,152 @@
+"""Sessionization / funnel / new doc-family operator tests (round 3)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 5, 1, 10, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = []
+    # user 1: two sessions (gap 45m between event 3 and 4)
+    for i, off in enumerate([0, 5, 10, 55, 60]):
+        rows.append((i, T0 + timedelta(minutes=off), 1, "view", 1.0, "{}"))
+    # user 2: one session, single event
+    rows.append((10, T0, 2, "view", 1.0, "{}"))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+def test_sessionize_splits_on_gap(ev):
+    from prom_etl_db_spark.operators.analytics import sessionize
+
+    out = {
+        (r["user_id"], r["session_no"]): r
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)]["n_events"] == 3
+    assert out[(1, 0)]["duration_s"] == 600.0
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["session_start"] == T0 + timedelta(minutes=55)
+    assert out[(2, 0)]["n_events"] == 1 and out[(2, 0)]["duration_s"] == 0.0
+
+
+def test_funnel_dp_levels_and_window(spark):
+    from prom_etl_db_spark.operators.analytics import funnel_levels
+
+    def mk(uid, *evts):
+        return [
+            (uid * 100 + i, T0 + timedelta(hours=h), uid, t, 1.0, "{}")
+            for i, (t, h) in enumerate(evts)
+        ]
+
+    rows = (
+        # u1: full chain inside window -> 3
+        mk(1, ("view", 0), ("click", 1), ("purchase", 2))
+        # u2: purchase BEFORE click -> only view+click -> 2
+        + mk(2, ("view", 0), ("purchase", 1), ("click", 2))
+        # u3: chain complete but span exceeds the 3h window -> 2
+        + mk(3, ("view", 0), ("click", 1), ("purchase", 5))
+        # u4: only purchase (no chain start) -> 0
+        + mk(4, ("purchase", 0))
+        # u5: EARLY view's window expires, LATER view restarts the chain -> 3
+        + mk(5, ("view", 0), ("click", 1), ("view", 6), ("click", 7), ("purchase", 8))
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {
+        r["user_id"]: r["funnel_level"]
+        for r in funnel_levels(
+            ev, ["view", "click", "purchase"], window="3h"
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 2, 4: 0, 5: 3}
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from prom_etl_db_spark.functions.dedup import paragraph_dedup_stats
+
+    chunk_a = " ".join(f"a{i}" for i in range(20))
+    chunk_b = " ".join(f"b{i}" for i in range(20))
+    chunk_c = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, chunk_a + " " + chunk_b),          # both first -> kept 2/2
+            (2, chunk_a + " " + chunk_c),          # a dup, c first -> 1/2
+            (3, chunk_b),                          # dup of doc1's 2nd chunk -> 0/1
+            (4, "short tail only"),                # partial chunk, unique -> 1/1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["kept_chunks"])
+        for r in paragraph_dedup_stats(docs, 20).collect()
+    }
+    assert out == {1: (2, 2), 2: (2, 1), 3: (1, 0), 4: (1, 1)}
+
+
+def test_duplicated_span_stats_marks_all_occurrences(spark):
+    from prom_etl_db_spark.functions.dedup import duplicated_span_stats
+
+    run = " ".join(f"w{i}" for i in range(20))  # a 20-token run
+    docs = spark.createDataFrame(
+        [
+            (1, run + " unique1 unique2"),   # 3 spans; span0 shared with doc2
+            (2, "lead " + run),              # 2 spans; span1 == doc1 span0
+            (3, " ".join(f"z{i}" for i in range(25))),  # 6 spans, all unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"])
+        for r in duplicated_span_stats(docs, 20).collect()
+    }
+    assert out == {1: (3, 1), 2: (2, 1), 3: (6, 0)}
+
+
+def test_quantize_int8_endpoints_and_constant_dim(spark):
+    from prom_etl_db_spark.functions.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0, 7.0]),
+            (2, [1.0, 5.0, 3.0]),
+            (3, [0.5, 5.0, 5.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r["codes"] for r in quantize_int8(emb).collect()}
+    assert out[1] == [0, 0, 255]     # min -> 0, constant dim -> 0, max -> 255
+    assert out[2] == [255, 0, 0]
+    assert out[3] == [128, 0, 128]   # midpoint rounds half-up
+
+
+def test_histogram_fraction_hand_computed(spark):
+    from prom_etl_db_spark.operators.promql import histogram_fraction
+
+    # one histogram: cum counts 10@le=10, 30@le=20, 40@le=+Inf
+    rows = [
+        ({"name": "m", "le": "10"}, 10.0),
+        ({"name": "m", "le": "20"}, 30.0),
+        ({"name": "m", "le": "+Inf"}, 40.0),
+    ]
+    buckets = spark.createDataFrame(
+        rows, "labels map<string,string>, value double"
+    )
+    out = histogram_fraction(buckets, 5.0, 15.0).collect()
+    # cum(5) = 10*(5/10) = 5; cum(15) = 10 + 20*(5/10) = 20 -> (20-5)/40
+    assert out[0]["value"] == pytest.approx(15 / 40)
+    assert out[0]["labels"] == {"name": "m"}
+
+    with pytest.raises(ValueError):
+        histogram_fraction(buckets, 3.0, 3.0)
