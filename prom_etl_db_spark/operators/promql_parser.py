@@ -443,6 +443,11 @@ _MATH_FNS = {
     "abs": F.abs, "ceil": F.ceil, "floor": F.floor,
     "exp": F.exp, "ln": _log_like(F.log), "sqrt": F.sqrt,
     "sgn": F.signum, "log2": _log_like(F.log2), "log10": _log_like(F.log10),
+    # trigonometric family (PromQL since v2.31) — all 1:1 Column fns
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "deg": F.degrees, "rad": F.radians,
 }
 
 _OVER_TIME = {
@@ -858,6 +863,13 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
     if fn == "histogram_quantile":
         vec = _vec_arg(ctx, node.args[1], fn)
         return promql.histogram_quantile(vec, _const(ctx, node.args[0]))
+    if fn == "histogram_fraction":
+        if len(node.args) != 3:
+            raise PromQLError("histogram_fraction(lo, hi, vector)")
+        vec = _vec_arg(ctx, node.args[2], fn)
+        return promql.histogram_fraction(
+            vec, _const(ctx, node.args[0]), _const(ctx, node.args[1])
+        )
     if fn == "label_replace":
         vec = _vec_arg(ctx, node.args[0], fn)
         dst, repl, src, regex = (str(a) for a in node.args[1:5])
@@ -915,6 +927,12 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         )
     if fn == "time":
         return float(ctx.at.timestamp())
+    if fn == "pi":
+        if node.args:
+            raise PromQLError("pi() takes no arguments")
+        import math
+
+        return math.pi
     if fn == "vector":
         # scalar → one-row label-less vector (PromQL vector(s));
         # scalar() is NOT offered: extracting a scalar from a vector

@@ -630,3 +630,32 @@ def test_executor_range_mode_rate(spark):
     rows = {r["timestamp"]: r["value"] for r in out.collect()}
     # steady +6 per 10m = 0.01/s; windows with 3 samples see +12 over 1800s
     assert rows and all(abs(v - 12.0 / 1800) < 1e-9 for v in rows.values())
+
+
+def test_eval_trig_pi_and_histogram_fraction(spark):
+    import math
+
+    df = _samples(spark, [("m", {"h": "a"}, 0.5, -10)])
+    assert eval_promql(df, "sin(m)", T0).collect()[0]["value"] == pytest.approx(
+        math.sin(0.5)
+    )
+    assert eval_promql(df, "deg(m)", T0).collect()[0]["value"] == pytest.approx(
+        math.degrees(0.5)
+    )
+    assert eval_promql(df, "rad(deg(m))", T0).collect()[0]["value"] == pytest.approx(0.5)
+    assert eval_promql(None, "pi()", T0) == math.pi
+    assert eval_promql(df, "m * pi()", T0).collect()[0]["value"] == pytest.approx(
+        0.5 * math.pi
+    )
+
+    # histogram_fraction over bucket series parsed from text
+    b = _samples(
+        spark,
+        [
+            ("req_bucket", {"le": "10"}, 10, -10),
+            ("req_bucket", {"le": "20"}, 30, -10),
+            ("req_bucket", {"le": "+Inf"}, 40, -10),
+        ],
+    )
+    out = eval_promql(b, "histogram_fraction(5, 15, req_bucket)", T0).collect()
+    assert out[0]["value"] == pytest.approx(15 / 40)

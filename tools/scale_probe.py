@@ -181,6 +181,10 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("minhash_lsh", dedup.minhash_lsh_dup_pairs(docs, bands=16, threshold=0.3))
 
     run("tfidf_topk", textfn.tfidf_topk_terms(docs, 3))
+    # Caesar-rotated replicas keep within-copy chunk/span dup structure
+    # exact and disjoint across copies -> dup counts grow k-linearly
+    run("paragraph_dedup", dedup.paragraph_dedup_stats(docs, 20))
+    run("substring_dups", dedup.duplicated_span_stats(docs, 20))
 
     emb = scaled_embeddings(spark, sf_dir, k)
     # auto-sized bands/bits (the registry path); threshold 0.9 sits 7+
