@@ -293,6 +293,7 @@ _VEC_OPS = {
     # -5 % 3 = -2, where pmod(-5, 3) = 1
     "%": lambda a, b: a % b,
     "^": lambda a, b: F.pow(a, b),
+    "atan2": lambda a, b: F.atan2(a, b),  # PromQL v2.31 binary operator
 }
 
 

@@ -173,7 +173,7 @@ _PRECEDENCE = [
     ["and", "unless"],
     ["==", "!=", "<=", ">=", "<", ">"],
     ["+", "-"],
-    ["*", "/", "%"],
+    ["*", "/", "%", "atan2"],  # atan2 binds like * (PromQL spec)
     ["^"],
 ]
 
@@ -633,7 +633,8 @@ def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipp
     # % is Spark's own modulo (sign of dividend — Go math.Mod/PromQL),
     # NOT pmod: fmod(-5, 3) = -2, pmod gives 1
     ariths = {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
-              "/": lhs / rhs, "%": lhs % rhs, "^": F.pow(lhs, rhs)}
+              "/": lhs / rhs, "%": lhs % rhs, "^": F.pow(lhs, rhs),
+              "atan2": F.atan2(lhs, rhs)}
     if node.op not in ariths:
         raise PromQLError(f"{node.op} is not a scalar-vector operator")
     return stream.withColumn("value", ariths[node.op].cast("double"))
@@ -724,6 +725,7 @@ def _scalar_scalar(node: BinOp, a: float, b: float) -> float:
             "+": lambda: fa + fb, "-": lambda: fa - fb, "*": lambda: fa * fb,
             "/": lambda: fa / fb, "%": lambda: np.fmod(fa, fb),
             "^": lambda: np.power(fa, fb),
+            "atan2": lambda: np.arctan2(fa, fb),
         }
         if node.op in ops:
             return float(ops[node.op]())

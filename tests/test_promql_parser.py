@@ -659,3 +659,22 @@ def test_eval_trig_pi_and_histogram_fraction(spark):
     )
     out = eval_promql(b, "histogram_fraction(5, 15, req_bucket)", T0).collect()
     assert out[0]["value"] == pytest.approx(15 / 40)
+
+
+def test_eval_atan2_all_three_paths(spark):
+    import math
+
+    assert eval_promql(None, "1 atan2 2", T0) == pytest.approx(math.atan2(1, 2))
+    df = _samples(
+        spark, [("m", {"h": "a"}, 3, -10), ("n", {"h": "a"}, 4, -10)]
+    )
+    assert eval_promql(df, "m atan2 3", T0).collect()[0]["value"] == pytest.approx(
+        math.atan2(3, 3)
+    )
+    assert eval_promql(df, "m atan2 n", T0).collect()[0]["value"] == pytest.approx(
+        math.atan2(3, 4)
+    )
+    # binds like * : 1 + 1 atan2 1 = 1 + atan2(1,1)
+    assert eval_promql(None, "1 + 1 atan2 1", T0) == pytest.approx(
+        1 + math.atan2(1, 1)
+    )
