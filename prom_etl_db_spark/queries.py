@@ -3050,6 +3050,80 @@ def promql_parsed_selector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_parsed_histogram_fraction",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS name, t.le AS le, CAST(count(*) AS DOUBLE) AS cum
+  FROM events,
+       (SELECT unnest([25.0, 50.0, 100.0, 200.0, CAST('inf' AS DOUBLE)]) AS le) t
+  WHERE value <= t.le
+  GROUP BY 1, 2
+), probes AS (
+  SELECT b.name, b.le, b.cum, x.x
+  FROM b, (SELECT unnest([50.0, 150.0]) AS x) x
+), w AS (
+  SELECT name, x, le, cum,
+         lag(cum) OVER (PARTITION BY name, x ORDER BY le) AS prev_cum,
+         lag(le) OVER (PARTITION BY name, x ORDER BY le) AS prev_le,
+         max(cum) OVER (PARTITION BY name, x) AS total
+  FROM probes
+), c AS (
+  SELECT name, x, total,
+         CASE WHEN isinf(le) THEN coalesce(prev_cum, 0)
+              ELSE coalesce(prev_cum, 0)
+                   + (cum - coalesce(prev_cum, 0))
+                     * (x - coalesce(prev_le, 0)) / (le - coalesce(prev_le, 0))
+         END AS ic
+  FROM w
+  WHERE coalesce(prev_le, CAST('-inf' AS DOUBLE)) < x AND x <= le
+)
+SELECT name,
+       round((max(CASE WHEN x = 150.0 THEN ic END)
+              - max(CASE WHEN x = 50.0 THEN ic END)) / max(total) * pi(), 6)
+         AS scaled_frac
+FROM c GROUP BY name
+""",
+)
+def promql_parsed_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 parser additions exercised FROM TEXT:
+    ``histogram_fraction(50, 150, req_bucket) * pi()`` — classic-bucket
+    fraction interpolation plus the pi() scalar, parsed and evaluated
+    end-to-end over bucket series synthesized from events (each series'
+    cumulative count carried as an instant sample)."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir)
+    samples = (
+        ev.select(
+            F.col("event_type").alias("name"),
+            F.explode(
+                F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])
+            ).alias("le"),
+            "value",
+        )
+        .where(F.col("value") <= F.col("le"))
+        .groupBy("name", "le")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.lit("req_bucket").alias("metric_name"),
+            F.create_map(
+                F.lit("name"), F.col("name"),
+                F.lit("le"), F.col("le").cast("string"),
+            ).alias("labels"),
+            "value",
+            F.lit(NOW).alias("timestamp"),
+        )
+    )
+    out = eval_promql(
+        samples, "histogram_fraction(50, 150, req_bucket) * pi()", NOW
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.round("value", 6).alias("scaled_frac"),
+    )
+
+
+@register(
     "config_executed_range",
     oracle="""
 WITH resampled AS (
@@ -3794,6 +3868,7 @@ _GATE_PRIORITY = [
     "doc_ccnet_perplexity_buckets",
     "doc_minhash_jaccard_est",
     "embedding_sq8_codes",
+    "promql_parsed_histogram_fraction",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -126,6 +129,137 @@ def run_counter_stream(
         F.col("value"),
     )
     out = streaming_counter_increase(samples)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# -- streaming window funnel -------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("starts", ArrayType(LongType(), containsNull=True), True)]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("funnel_level", IntegerType(), False),
+    ]
+)
+
+
+def make_funnel_fold(n_steps: int, window_us: int):
+    """The per-user DP fold (shared semantics with the batch
+    ``analytics.funnel_levels``: starts[k] = LATEST chain-start micros
+    reaching level k+1 — a later start maximizes remaining window
+    headroom, so it dominates). Incremental: the array IS the state, so
+    a user's funnel deepens across micro-batches forever with O(n_steps)
+    state per user.
+
+    Ordering caveat (same as the stateful counter): events are folded in
+    event-time order WITHIN a batch; cross-batch late events that should
+    have preceded already-folded ones are not re-ordered — bound lateness
+    upstream with a watermark-buffered sort if sources interleave."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        starts: list = (
+            list(state.get[0]) if state.exists else [None] * n_steps
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["t", "step"]])
+        if rows:
+            allr = pd.concat(rows).sort_values(["t", "step"])
+            for t, step in zip(allr["t"], allr["step"]):
+                t, step = int(t), int(step)
+                if step == 1:
+                    starts[0] = t if starts[0] is None else max(starts[0], t)
+                else:
+                    prev = starts[step - 2]
+                    if (
+                        prev is not None
+                        and prev < t
+                        and t - prev <= window_us
+                    ):
+                        cur = starts[step - 1]
+                        starts[step - 1] = (
+                            prev if cur is None else max(cur, prev)
+                        )
+        state.update((starts,))
+        level = 0
+        for k in range(n_steps - 1, -1, -1):
+            if starts[k] is not None:
+                level = k + 1
+                break
+        yield pd.DataFrame({"user_id": [user_id], "funnel_level": [level]})
+
+    return fold
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    window: str = "7d",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming windowFunnel: per-user deepest strictly-ordered step
+    chain within ``window``, maintained incrementally — the streaming
+    dual of ``analytics.funnel_levels`` (cross-checked in tests against
+    it on replayed data). State: n_steps longs per user."""
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    window_us = int(parse_duration(window).total_seconds() * 1_000_000)
+    step_map = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    keyed = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        step_map[F.col(type_col)].alias("step"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fold(n, window_us),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_funnel_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    steps: list[str],
+    window: str = "7d",
+    available_now: bool = True,
+):
+    """Drive the streaming funnel over a file source (same sink protocol
+    as ``run_counter_stream``: per-batch append with batch_id; latest
+    batch per user is current)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    out = streaming_funnel(raw, steps, window=window)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(

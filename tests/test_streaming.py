@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.streaming.jobs import (
@@ -321,3 +322,61 @@ def test_stream_stream_attribution_window_and_horizon(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     ]
     assert got == [(2, 1)]
+
+
+def test_streaming_funnel_matches_batch_across_restarts(spark, tmp_path):
+    """The streaming funnel's DP state must carry across micro-batches
+    and checkpointed restarts, with the final per-user levels exactly
+    equal to the batch analytics.funnel_levels over the union."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.operators.analytics import funnel_levels
+    from prom_etl_db_spark.streaming.stateful import run_funnel_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "fsrc")
+    sink = str(tmp_path / "fsink")
+    ckpt = str(tmp_path / "fckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+    steps = ["view", "click", "purchase"]
+
+    def ev(i, uid, typ, hours):
+        return (i, t0 + timedelta(hours=hours), uid, typ, 1.0, None)
+
+    # batch 1: u1 view+click; u2 view; u3 purchase only
+    spark.createDataFrame(
+        [ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 2, "view", 0),
+         ev(4, 3, "purchase", 0)],
+        schema,
+    ).write.parquet(src)
+    run_funnel_stream(
+        spark, src, sink, ckpt, schema=schema, steps=steps, window="3h"
+    ).awaitTermination(120)
+
+    # batch 2 (restart from checkpoint): u1 completes INSIDE the window;
+    # u2's click arrives too late (window from its view = 3h, click at +5h)
+    spark.createDataFrame(
+        [ev(5, 1, "purchase", 2), ev(6, 2, "click", 5)],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_funnel_stream(
+        spark, src, sink, ckpt, schema=schema, steps=steps, window="3h"
+    ).awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    latest = {
+        r["user_id"]: r["funnel_level"]
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert latest == {1: 3, 2: 1, 3: 0}
+
+    batch = funnel_levels(
+        spark.read.parquet(src), steps, window="3h"
+    )
+    assert {r["user_id"]: r["funnel_level"] for r in batch.collect()} == latest
