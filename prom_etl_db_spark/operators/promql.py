@@ -546,6 +546,31 @@ def last_over_time(resampled: DataFrame, **kw) -> DataFrame:
     return agg_over_time(resampled, F.max_by("value", "bucket_start"), **kw)
 
 
+def ts_of_max_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """``ts_of_max_over_time`` (PromQL 3.x experimental): the epoch
+    seconds of the frame's maximum value. Ties break to the LATEST
+    occurrence via a (value, bucket) struct ordering key — deterministic
+    where Prometheus leaves the tie unspecified. Struct order keys plan
+    ObjectHashAggregate (still hash-partitioned, no sort shuffle)."""
+    ts = F.max_by(
+        "bucket_start", F.struct(F.col("value"), F.col("bucket_start"))
+    )
+    return agg_over_time(
+        resampled, epoch_seconds(ts.cast("timestamp")), **kw
+    )
+
+
+def ts_of_min_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """``ts_of_min_over_time``: epoch seconds of the frame minimum; ties
+    break to the latest occurrence (min value, then max bucket)."""
+    ts = F.max_by(
+        "bucket_start", F.struct(-F.col("value"), F.col("bucket_start"))
+    )
+    return agg_over_time(
+        resampled, epoch_seconds(ts.cast("timestamp")), **kw
+    )
+
+
 def stddev_over_time(resampled: DataFrame, **kw) -> DataFrame:
     """Population stddev over the frame (PromQL semantics)."""
     return agg_over_time(resampled, F.stddev_pop("value"), **kw)

@@ -461,6 +461,8 @@ _OVER_TIME = {
     "stdvar_over_time": promql.stdvar_over_time,
     "mad_over_time": promql.mad_over_time,
     "present_over_time": promql.present_over_time,
+    "ts_of_max_over_time": promql.ts_of_max_over_time,
+    "ts_of_min_over_time": promql.ts_of_min_over_time,
 }
 
 _RANGE_FNS = {

@@ -2389,6 +2389,65 @@ def promql_topk_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ts_of_extremes",
+    oracle="""
+WITH resampled AS (
+  SELECT event_type AS name, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), s AS (SELECT name, bucket, value FROM resampled WHERE rn = 1),
+mx AS (
+  SELECT name, bucket,
+         row_number() OVER (PARTITION BY name ORDER BY value DESC, bucket DESC) AS r
+  FROM s
+), mn AS (
+  SELECT name, bucket,
+         row_number() OVER (PARTITION BY name ORDER BY value ASC, bucket DESC) AS r
+  FROM s
+)
+SELECT mx.name,
+       CAST(epoch(mx.bucket) AS DOUBLE) AS ts_max,
+       CAST(epoch(mn.bucket) AS DOUBLE) AS ts_min
+FROM mx JOIN mn ON mn.name = mx.name AND mn.r = 1
+WHERE mx.r = 1
+""",
+)
+def promql_ts_of_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_of_max_over_time / ts_of_min_over_time (PromQL 3.x): WHEN each
+    series hit its frame extreme, not just what it was — one struct agg
+    carrying both argmax-by-(value, bucket) keys, single shuffle. Ties
+    break to the latest bucket (deterministic where Prometheus is not)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
+    from prom_etl_db_spark.schema import epoch_seconds as _es
+
+    out = promql.agg_over_time(
+        stepped,
+        F.struct(
+            _es(
+                F.max_by(
+                    "bucket_start",
+                    F.struct(F.col("value"), F.col("bucket_start")),
+                ).cast("timestamp")
+            ).alias("tmax"),
+            _es(
+                F.max_by(
+                    "bucket_start",
+                    F.struct(-F.col("value"), F.col("bucket_start")),
+                ).cast("timestamp")
+            ).alias("tmin"),
+        ),
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        F.col("value.tmax").alias("ts_max"),
+        F.col("value.tmin").alias("ts_min"),
+    )
+
+
+@register(
     "promql_clamp",
     oracle="""
 SELECT event_type AS name,
@@ -3869,6 +3928,7 @@ _GATE_PRIORITY = [
     "doc_minhash_jaccard_est",
     "embedding_sq8_codes",
     "promql_parsed_histogram_fraction",
+    "promql_ts_of_extremes",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -110,6 +110,23 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            if pandas_canon:
+                # the driver fetches BOTH engines through pandas, where a
+                # NULL double becomes NaN in a float64 column — apply the
+                # same collapse to the Spark side so NULL-vs-NaN agrees
+                from pyspark.sql.types import DoubleType, FloatType
+
+                is_float = [
+                    isinstance(f.dataType, (DoubleType, FloatType))
+                    for f in sdf.schema.fields
+                ]
+                srows = [
+                    tuple(
+                        float("nan") if v is None and is_float[i] else v
+                        for i, v in enumerate(r)
+                    )
+                    for r in srows
+                ]
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc()
