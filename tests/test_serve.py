@@ -226,3 +226,60 @@ def test_parallel_tick_runs_all_configs_and_attributes_failures():
     assert peak[0] >= 2 and elapsed < 1.0  # genuinely concurrent
     (tick,) = summary.ticks
     assert tick.failures == ["q2: boom"]
+
+
+def test_serve_parallel_real_writes_share_one_store(spark, tmp_path, monkeypatch):
+    """--max-parallel 3 with THREE enabled configs writing through REAL
+    execute_config_query to the SAME store/audit paths: every config's
+    records and audit rows must land (the per-path commit lock prevents
+    concurrent FileOutputCommitter jobs from clobbering each other's
+    _temporary staging)."""
+    import prom_etl_db_spark.session as sess
+    from prom_etl_db_spark.__main__ import main
+    from prom_etl_db_spark.config import upsert_config
+
+    monkeypatch.setattr(sess, "get_spark", lambda name=None: spark)
+    catalog = str(tmp_path / "catalog")
+    store = str(tmp_path / "store")
+    audit = str(tmp_path / "audit")
+    for qid, q in [
+        ("q_click", "sum(click) by (k)"),
+        ("q_view", "sum(view) by (k)"),
+        ("q_err", "count(error) by (k)"),
+    ]:
+        upsert_config(
+            spark, catalog,
+            QueryConfig(
+                query_id=qid, name=qid, query=q,
+                schedule="*/30 * * * * *",
+                time_range_type="range",
+                time_range_start="-1d", time_range_end="now",
+                time_range_step="6h",
+            ),
+        )
+    rc = main([
+        "serve",
+        "--configs", catalog,
+        "--store", store,
+        "--audit", audit,
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--now-start", "2024-01-30T00:00:00",
+        "--max-ticks", "1",
+        "--virtual-clock",
+        "--no-sleep",
+        "--max-parallel", "3",
+    ])
+    assert rc == 0
+    audits = spark.read.parquet(audit)
+    # immediate run + 1 scheduled tick x 3 configs, all success
+    assert audits.count() == 6
+    assert audits.where("status = 'success'").count() == 6
+    records = spark.read.parquet(store)
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in records.groupBy("query_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(per_q) == {"q_click", "q_view", "q_err"}
+    assert all(n > 0 for n in per_q.values())
