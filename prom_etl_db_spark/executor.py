@@ -58,10 +58,11 @@ def evaluate_config_query(
     Range-mode scope (stream-mode evaluation, see promql_parser): the
     query may be a selector, point-wise arithmetic/comparisons/math
     functions, and simple by/without aggregations — the shapes the
-    reference's configs use — plus ``rate(x[f])`` / ``increase(x[f])``,
-    which evaluate as true sliding-window range functions at every step
-    (``promql.rate_range``). Other range-fns-in-range-mode raise
-    ``PromQLError``; run those as repeated instant executions.
+    reference's configs use — plus ``rate(x[f])`` / ``increase(x[f])`` /
+    ``delta(x[f])``, which evaluate as true sliding-window range
+    functions at every step (``promql.rate_range`` family). Other
+    range-fns-in-range-mode raise ``PromQLError``; run those as repeated
+    instant executions.
     """
     parser = RelativeTimeParser(now)
     node = parse(cfg.query)
@@ -82,7 +83,7 @@ def evaluate_config_query(
         # range-function form _eval_stream's stream mode can't express
         if (
             isinstance(node, Call)
-            and node.fn in ("rate", "increase")
+            and node.fn in ("rate", "increase", "delta")
             and len(node.args) == 1
             and isinstance(node.args[0], Selector)
             and node.args[0].range_
@@ -101,9 +102,11 @@ def evaluate_config_query(
             )
             from prom_etl_db_spark.operators import promql as _promql
 
-            range_fn = (
-                _promql.rate_range if node.fn == "rate" else _promql.increase_range
-            )
+            range_fn = {
+                "rate": _promql.rate_range,
+                "increase": _promql.increase_range,
+                "delta": _promql.delta_range,
+            }[node.fn]
             stream = range_fn(
                 raw, frame=sel.range_, step=step, start=start, end=end
             )

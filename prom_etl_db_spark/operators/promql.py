@@ -1042,6 +1042,83 @@ def increase_range(
     )
 
 
+def delta_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    tiebreakers: Sequence[str] = (),
+    method: str = "auto",
+) -> DataFrame:
+    """RANGE-QUERY ``delta``: last − first over the sliding [t − frame, t)
+    window at every grid step (gauge change per window; non-extrapolated,
+    same convention as ``delta``). Windows with < 2 samples drop out.
+
+    Strategies mirror ``increase_range``:
+
+    - ``explode`` — per-(series, t) ``max_by``/``min_by`` on the sample
+      order: ONE subtraction per window, exact (the oracle's form).
+    - ``events`` — the telescoping identity ``last − first = Σ
+      (cur − prev)`` over consecutive pairs fully inside the window makes
+      delta difference-array-able exactly like increase, just without
+      reset correction: O(pairs + output) intermediates at any
+      frame/step ratio. Float reassociation bounds the divergence at
+      ~1e-13 relative (unit-tested vs explode).
+    - ``auto`` — ``events`` above frame/step = 32.
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    if method == "auto":
+        method = "events" if frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO else "explode"
+    if method not in ("explode", "events"):
+        raise ValueError(f"unknown delta_range method {method!r}")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    if method == "events":
+        return _increase_range_events(
+            df, ts, t0, tN, frame_s, step_s, tiebreakers, correction=False
+        )
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    order = F.struct(F.col("timestamp"), *[F.col(t) for t in tiebreakers])
+    exploded = df.where(first <= last).select(
+        "__series",
+        "value",
+        order.alias("__ord"),
+        F.explode(
+            F.sequence(
+                F.timestamp_seconds(first),
+                F.timestamp_seconds(last),
+                F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+            )
+        ).alias("bucket_start"),
+    )
+    return (
+        exploded.groupBy("__series", "bucket_start")
+        .agg(
+            (
+                F.max_by("value", F.col("__ord"))
+                - F.min_by("value", F.col("__ord"))
+            ).alias("value"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") >= 2)
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            "value",
+        )
+    )
+
+
 def _increase_range_events(
     df: DataFrame,
     ts,
@@ -1051,6 +1128,7 @@ def _increase_range_events(
     step_s: float,
     tiebreakers: Sequence[str],
     quantize: "float | None" = None,
+    correction: bool = True,
 ) -> DataFrame:
     """Difference-array evaluation of the sliding-window increase.
 
@@ -1075,9 +1153,14 @@ def _increase_range_events(
         )
         .where(F.col("__prev_v").isNotNull())
     )
-    contrib = F.when(
-        F.col("value") < F.col("__prev_v"), F.col("value")
-    ).otherwise(F.col("value") - F.col("__prev_v"))
+    raw_diff = F.col("value") - F.col("__prev_v")
+    contrib = (
+        F.when(F.col("value") < F.col("__prev_v"), F.col("value")).otherwise(
+            raw_diff
+        )
+        if correction  # PromQL counter-reset correction (increase/rate)
+        else raw_diff  # telescoping delta: Σ diffs = last − first
+    )
     scale = None if quantize is None else round(1.0 / quantize)
     if scale is not None:
         # integer-multiple contributions -> exact, order-independent sums

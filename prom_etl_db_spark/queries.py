@@ -1978,6 +1978,55 @@ def promql_rate_range_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_delta_range",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-28 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-26 00:00:00' + range * INTERVAL 2 HOUR AS t
+  FROM range(0, 25)
+), joined AS (
+  SELECT s.name, g.t, s.value, s.ts, s.event_id
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 24 HOUR AND s.ts < g.t
+), w AS (
+  SELECT name, t, value,
+         row_number() OVER (PARTITION BY name, t ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY name, t ORDER BY ts DESC, event_id DESC) AS rl,
+         count(*) OVER (PARTITION BY name, t) AS n
+  FROM joined
+)
+SELECT name, t AS bucket_start,
+       round(max(CASE WHEN rl = 1 THEN value END)
+             - max(CASE WHEN rf = 1 THEN value END), 6) AS delta_value
+FROM w WHERE n >= 2 GROUP BY name, t
+""",
+)
+def promql_delta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY delta: delta(m[24h]) every 2 hours over two days —
+    gauge change per sliding window. Ratio 12 keeps the explode strategy,
+    whose per-window last − first is ONE exact subtraction (max_by/min_by
+    on the sample order) — the oracle computes the identical pair. The
+    telescoping events strategy is unit-verified equal at wide ratios."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.delta_range(
+        samples,
+        frame="24h",
+        step="2h",
+        start=datetime(2024, 1, 26),
+        end=datetime(2024, 1, 28),
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.round("value", 6).alias("delta_value"),
+    )
+
+
+@register(
     "promql_limit_ops",
     oracle="""
 WITH windowed AS (
@@ -3929,6 +3978,7 @@ _GATE_PRIORITY = [
     "embedding_sq8_codes",
     "promql_parsed_histogram_fraction",
     "promql_ts_of_extremes",
+    "promql_delta_range",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -143,3 +143,22 @@ def test_range_config_at_pinned_rate_raises_not_silently_sliding(samples):
         )
         with pytest.raises(PromQLError):
             evaluate_config_query(samples, cfg, now=NOW)
+
+
+def test_range_config_delta_evaluates_sliding_windows(samples):
+    """delta(cpu[2h]) as a range config: the executor's fast path must
+    produce last-minus-first per sliding window at each step."""
+    cfg = QueryConfig(
+        query_id="g-delta", name="cpu delta", query="delta(cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now", time_range_step="1h",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+    assert rtype == "range"
+    a = {
+        r["timestamp"]: r["value"]
+        for r in out.where(F.col("labels")["host"] == "a").collect()
+    }
+    # hourly counter 10..15 at 06:00..11:00; window [t-2h, t) holds two
+    # points with delta exactly 1.0 at each grid step
+    assert a and all(v == 1.0 for v in a.values())

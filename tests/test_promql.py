@@ -623,3 +623,54 @@ def test_increase_range_auto_dispatch_and_bad_method(spark):
     assert _RANGE_EXPLODE_MAX_RATIO == 32
     with pytest.raises(ValueError):
         increase_range(df, frame="60s", step="30s", method="nope", **kw)
+
+
+def test_delta_range_strategies_agree_and_match_hand_values(spark):
+    """delta_range: telescoping events strategy equals the exact
+    last-minus-first explode strategy; a hand-checked window confirms the
+    gauge-change semantics (and <2-sample windows drop)."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import delta_range
+
+    rng = random.Random(7)
+    rows = []
+    for host in ("a", "b"):
+        for i in range(100):
+            if rng.random() < 0.15:
+                continue  # gaps
+            v = 50 + 30 * rng.random() - i * 0.1
+            rows.append(({"host": host}, round(v, 3), -5400 + i * 60))
+    df = _samples(spark, rows)
+    kw = dict(
+        frame="30m",
+        step="1m",  # ratio 30 -> explode under auto; force both below
+        start=T0 - timedelta(seconds=3600),
+        end=T0,
+    )
+    a = delta_range(df, method="explode", **kw)
+    b = delta_range(df, method="events", **kw)
+
+    def vals(out):
+        return {
+            (r["labels"]["host"], r["bucket_start"]): r["value"]
+            for r in out.collect()
+        }
+
+    ra, rb = vals(a), vals(b)
+    assert set(ra) == set(rb) and ra
+    assert all(abs(ra[k] - rb[k]) <= 1e-9 * max(1.0, abs(ra[k])) for k in ra)
+
+    # hand window: series with points 10, 14, 3 -> delta = 3 - 10 = -7
+    hand = _samples(
+        spark,
+        [({"h": "x"}, 10.0, -250), ({"h": "x"}, 14.0, -150), ({"h": "x"}, 3.0, -50),
+         ({"h": "y"}, 99.0, -50)],  # single sample -> no output
+    )
+    out = vals2 = {
+        r["labels"]["h"]: r["value"]
+        for r in delta_range(
+            hand, frame="5m", step="5m", start=T0, end=T0
+        ).collect()
+    }
+    assert out == {"x": -7.0}
