@@ -582,3 +582,63 @@ def duplicated_span_stats(
             F.sum((F.col("__c") > 1).cast("bigint")).cast("bigint").alias("dup_spans"),
         )
     )
+
+
+def paragraph_dedup_rewrite(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REWRITE form of paragraph dedup: each document's text is
+    reassembled from only its globally-surviving chunks (first occurrence
+    by (doc_id, idx) wins — same winner rule as
+    :func:`paragraph_dedup_stats`), in original chunk order. A document
+    whose every chunk lost elsewhere becomes the empty string (kept as a
+    row — dropping it is the caller's policy decision).
+
+    Scale: identical shuffle profile to the stats pass (hash winner agg +
+    verdict join on 16-byte hashes) plus one per-doc collect_list bounded
+    by the document's own chunk count.
+
+    Output: (doc_id, clean_text).
+    """
+    L = chunk_tokens
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: F.array_join(F.slice(F.col("__w"), i * L + 1, L), " "),
+    )
+    ch = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+        .where(F.size("__w") > 0)
+        .withColumn(
+            "__n", F.ceil(F.size("__w") / F.lit(float(L))).cast("bigint")
+        )
+        .select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+        .withColumn("__h", F.md5("chunk"))
+    )
+    winners = ch.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("__first")
+    )
+    kept = ch.join(winners, "__h").where(
+        (F.col("__first.doc_id") == F.col("doc_id"))
+        & (F.col("__first.idx") == F.col("idx"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).where(
+        F.size(words) > 0
+    )
+    return all_docs.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+    )

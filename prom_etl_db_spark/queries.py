@@ -3737,6 +3737,40 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_paragraph_dedup_rewrite",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         array_to_string(w[(i-1)*20+1:(i-1)*20+20], ' ') AS chunk
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS i
+        FROM tok WHERE len(w) > 0)
+), win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY idx), '') AS clean_text
+FROM win GROUP BY doc_id
+""",
+)
+def doc_paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of paragraph dedup: documents reassembled from
+    only their surviving chunks, in order — the actual corpus-cleaning
+    output (stats tell you the cut; this IS the cut). Fully-duplicated
+    docs come back empty rather than vanishing (dropping is policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_rewrite(docs, chunk_tokens=20)
+
+
+@register(
     "doc_exact_substring_dups",
     oracle=r"""
 WITH tok AS (
@@ -3979,6 +4013,7 @@ _GATE_PRIORITY = [
     "promql_parsed_histogram_fraction",
     "promql_ts_of_extremes",
     "promql_delta_range",
+    "doc_paragraph_dedup_rewrite",
     # Rows-only-by-design entries (no SQL oracle exists): keep in window so
     # the rows>0 evidence refreshes each round.
     "minhash_lsh_pairs",

@@ -150,3 +150,25 @@ def test_histogram_fraction_hand_computed(spark):
 
     with pytest.raises(ValueError):
         histogram_fraction(buckets, 3.0, 3.0)
+
+
+def test_paragraph_dedup_rewrite_reassembles_survivors(spark):
+    from prom_etl_db_spark.functions.dedup import paragraph_dedup_rewrite
+
+    chunk_a = " ".join(f"a{i}" for i in range(20))
+    chunk_b = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, chunk_a + " " + chunk_b),  # both first -> intact
+            (2, chunk_b + " " + chunk_a),  # both lost -> empty
+            (3, chunk_a + " fresh tail"),  # chunk_a lost, tail kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in paragraph_dedup_rewrite(docs, 20).collect()
+    }
+    assert out[1] == chunk_a + " " + chunk_b
+    assert out[2] == ""
+    assert out[3] == "fresh tail"
