@@ -31,5 +31,20 @@ def get_spark(app_name: str = "prom-etl-db-spark", master: str | None = None) ->
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage codegen emits one JIT-compiled class per plan stage;
+        # the JVM's default 240 MB reserved code cache fills after ~10
+        # expression-heavy queries in one session, the JIT silently turns
+        # itself off, and every later query runs interpreted (measured 6×
+        # on the shingling pipeline: 3.5 s → 22 s). A long-lived serve
+        # daemon hits this within its first few ticks. 1 GB + flushing
+        # keeps steady-state compiled; both knobs are no-ops for short
+        # sessions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTIONS",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            ),
+        )
     )
     return builder.getOrCreate()
