@@ -184,6 +184,77 @@ def _jaccard_hashed(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def minhash_band_dup_pairs_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The full MinHash+LSH *pipeline* over the md5 hash family — banding,
+    candidate self-join, exact-Jaccard verify — so the gate can hash-match
+    the pipeline's OUTPUT, not just the signature stage
+    (:func:`minhash_signature_md5` covers that). Every stage is ANSI-SQL
+    expressible: the DuckDB dual recomputes signatures with
+    ``min(substr(md5(gram || '#' || i), 1, 16))``, bands them with
+    ``string_agg ORDER BY h_idx``, and verifies with ``list_intersect``.
+
+    Same plan shape as the production :func:`minhash_lsh_dup_pairs`
+    (xxhash64 affine family): banded equi-join carries (id, band, key)
+    only; verify re-joins the shingle sets by id. Banding recall at the
+    threshold is the standard S-curve 1-(1-j^r)^b (r=4, b=4 here —
+    deterministic on BOTH engines, so the output is value-exact even
+    where banding misses a true pair).
+    """
+    rows = num_hashes // bands
+    base = (
+        balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .persist()
+    )
+    sig = base.select("id", minhash_signature_md5(F.col("sh"), num_hashes).alias("sig"))
+    band_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",").alias(
+                "band_key"
+            ),
+        ),
+    )
+    banded = (
+        sig.select("id", F.explode(band_entries).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .persist()
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", _jaccard_hashed(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

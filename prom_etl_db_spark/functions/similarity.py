@@ -412,6 +412,92 @@ def cosine_topk_ivf(
     )
 
 
+def _md5_planes(bits: int, dim: int, tag: str = "plane") -> list[list[float]]:
+    """Deterministic hyperplanes whose every component is re-derivable in
+    ANSI SQL: component (i, j) = md5("{tag}-i-j") first 8 hex chars as a
+    32-bit int, mapped affinely onto [-1, 1). The map is all exact dyadic
+    arithmetic (÷2^32, ×2, −1), so Python, the JVM, and DuckDB produce
+    bit-identical doubles — which makes the downstream sign bits (and
+    therefore the whole LSH code) engine-independent."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{tag}-{i}-{j}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            * 2.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def signlsh_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH (random-hyperplane / SRP) bucket codes as ONE narrow
+    projection: code = Σ 2^i over planes with vec·plane_i > 0.
+
+    This is the deterministic, oracle-checkable verification surface for
+    the production :func:`cosine_neardup_lsh` (whose auto-sized
+    numpy-seeded planes aren't SQL-expressible): same estimator —
+    P(bit_a = bit_i) = 1 − θ(a,b)/π — different plane family. Dots are
+    strict left folds (:func:`_dot`), matching DuckDB's sequential
+    ``list_sum`` bit for bit, so even near-zero dots sign identically.
+
+    Scale: pure whole-stage-codegen column math, zero shuffles, zero
+    Python; 100 TB cost is one pass over the vectors. Output:
+    (id_col, code).
+    """
+    planes = _md5_planes(bits, dim)
+    code = None
+    for i, plane in enumerate(planes):
+        bit = F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) > 0,
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        code = bit if code is None else code + bit
+    return emb.select(F.col(id_col), code.alias("code"))
+
+
+def signlsh_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB dual of :func:`signlsh_codes` — re-derives the md5 planes
+    and folds the dots in the same element order."""
+    return f"""
+WITH v AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
+  FROM {table}
+), pl AS (
+  SELECT i.range AS i,
+         list_transform(range(0, {dim}), j ->
+           (CAST(('0x' || substr(md5('plane-' || CAST(i.range AS VARCHAR) || '-'
+                                  || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0) * 2.0 - 1.0) AS plane
+  FROM range({bits}) i
+), dots AS (
+  SELECT v.{id_col}, pl.i,
+         list_sum(list_transform(range(1, {dim + 1}), j -> v.vec[j] * pl.plane[j])) AS dot
+  FROM v CROSS JOIN pl
+)
+SELECT {id_col},
+       CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS code
+FROM dots GROUP BY {id_col}
+"""
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1,0 +1,164 @@
+"""Deterministic, oracle-checkable cardinality sketches.
+
+Spark's built-in ``approx_count_distinct`` (HyperLogLog++) is the
+production scale path (see the ``cardinality_sketches`` registry query),
+but its register internals are engine-specific, so the gate could only
+row-count it. This module implements a *classic* HyperLogLog (Flajolet et
+al. 2007) over an md5-derived hash so every intermediate — register
+index, rank, harmonic sum, even the bias-corrected estimate — is
+recomputable in ANSI SQL and hash-matches a DuckDB dual bit for bit:
+
+- hash: first 8 hex chars of ``md5(key)`` → uniform 32-bit integer
+  (same on any engine with md5 + hex-cast).
+- registers: top ``p`` bits index 2^p registers; the register keeps the
+  max rank = (leading zeros of the remaining ``32-p`` bits) + 1. Rank is
+  computed from ``length(bin(w))`` — pure integer/string ops, no
+  float log2 whose last-ULP could differ across libm builds.
+- harmonic sum: every term ``2^-rank`` and every partial sum is an exact
+  dyadic rational that fits a double's 53-bit mantissa (ranks ≤ 21,
+  counts ≤ 2^p ⇒ ≤ 33 fractional + ~12 integer bits), so the fold is
+  EXACT regardless of accumulation order — the one FP pitfall an
+  unordered distributed sum would otherwise have.
+- small-range correction: ``m·ln(m/V)`` when the raw estimate ≤ 2.5·m
+  and zero registers exist — libm ``ln`` may differ by ULPs across
+  engines, so the estimate column is rounded (the integer register
+  outputs are exact).
+
+Scale: one narrow projection (md5/shift/mask per row), one
+(group, register) hash aggregation with map-side combine — 2^p rows per
+group in the shuffle, never the raw keys — then a per-group fold. The
+register aggregate is MERGEABLE: unioning corpora = max per register,
+exactly how HLL shards across 1000 executors.
+
+Reference parity: the reference's MySQL layer has no sketching surface
+at all (SURVEY §2 C family is exact-only); this is the scale extension
+for A33-style discovery when per-group exact state stops fitting.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    """Bias constant; spelled identically in the SQL duals."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """Per-(group, register) max ranks: (group, idx, r).
+
+    The mergeable state: max(r) per (group, idx) across any partitioning
+    or shard union equals the single-pass value.
+    """
+    bits = 32 - p
+    mask = (1 << bits) - 1
+    h32 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    idx = F.shiftright(h32, bits)
+    w = h32.bitwiseAND(F.lit(mask))
+    # rank = leading zeros of w within `bits` bits, + 1 = bits+1 - bit_length;
+    # bit_length via the binary-string length (bin() drops leading zeros).
+    rank = (
+        F.when(w == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(F.col(group_col).alias("g"), idx.alias("idx"), rank.alias("rank"))
+        .groupBy("g", "idx")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL estimate with exact integer side-channels.
+
+    Output: (group_col, zero_registers, sum_rank, hll_estimate) —
+    ``zero_registers``/``sum_rank`` fingerprint the register array
+    exactly; ``hll_estimate`` is the classic estimator with small-range
+    correction, rounded to 4 dp (see module docstring for why that is
+    the only non-exact column).
+    """
+    m = 1 << p
+    reg = hll_registers(df, group_col, key_col, p=p)
+    agg = reg.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum("r").cast("bigint").alias("sum_rank"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_filled"),
+    )
+    zero = (F.lit(m) - F.col("n_filled")).cast("bigint")
+    s = F.col("s_filled") + zero.cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("g").alias(group_col),
+        zero.alias("zero_registers"),
+        "sum_rank",
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(
+    table: str,
+    group_col: str,
+    key_col: str,
+    *,
+    p: int = 12,
+) -> str:
+    """The DuckDB dual of :func:`hll_cardinality` — same hash, same
+    integer rank algebra, same estimator spelling."""
+    bits = 32 - p
+    mask = (1 << bits) - 1
+    m = 1 << p
+    alpha_m2 = f"(0.7213/(1.0 + 1.079/{m}.0))*{m}.0*{m}.0"
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS g,
+         CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+  FROM {table}
+), reg AS (
+  SELECT g, h32 >> {bits} AS idx,
+         max(CASE WHEN (h32 & {mask}) = 0 THEN {bits + 1}
+                  ELSE {bits + 1} - length(bin(h32 & {mask})) END) AS r
+  FROM h GROUP BY g, h32 >> {bits}
+), agg AS (
+  SELECT g, count(*) AS n_filled,
+         CAST(sum(r) AS BIGINT) AS sum_rank,
+         sum(pow(2.0, -r)) AS s_filled
+  FROM reg GROUP BY g
+)
+SELECT g AS {group_col},
+       CAST({m} - n_filled AS BIGINT) AS zero_registers,
+       sum_rank,
+       round(CASE WHEN {alpha_m2}/(s_filled + ({m} - n_filled)*1.0) <= 2.5*{m}.0
+                   AND {m} - n_filled > 0
+              THEN {m}.0 * ln({m}.0 / ({m} - n_filled))
+              ELSE {alpha_m2}/(s_filled + ({m} - n_filled)*1.0) END, 4) AS hll_estimate
+FROM agg
+"""
+
+
+def hll_error_bound(p: int = 12) -> float:
+    """Theoretical relative standard error 1.04/√m — the unit tests
+    assert the estimate lands within ~3σ of the exact count."""
+    return 1.04 / math.sqrt(1 << p)

@@ -901,6 +901,54 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_band_pairs",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+), g AS (
+  SELECT doc_id, unnest(shingles) AS gram FROM sh
+), sig AS (
+  SELECT doc_id, CAST(b.range AS BIGINT) AS h_idx,
+         min(substr(md5(gram || '#' || CAST(b.range AS VARCHAR)), 1, 16)) AS mh
+  FROM g CROSS JOIN range(16) b
+  GROUP BY doc_id, b.range
+), bandkeys AS (
+  SELECT doc_id, h_idx // 4 AS band, string_agg(mh, ',' ORDER BY h_idx) AS band_key
+  FROM sig GROUP BY doc_id, h_idx // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.3
+""",
+)
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (MinHash+LSH, end-to-end deterministic): the complete
+    band-join-verify pipeline over the md5 hash family, hash-matched
+    against a DuckDB dual that replays every stage (signatures → band
+    keys → candidate join → exact-Jaccard verify). Complements
+    `minhash_signatures` (stage-level check) and `minhash_lsh_pairs`
+    (production xxhash64 family, rows-only): together the MinHash
+    operator is now fully gate-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_band_dup_pairs_md5(
+        docs, shingle_n=3, num_hashes=16, bands=4, threshold=0.3
+    )
+
+
+@register(
     "simhash_signatures",
     oracle=r"""
 WITH tok AS (
@@ -969,9 +1017,60 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_ivf")  # approximate by design → rows-only check
+@register(
+    "similarity_topk_ivf",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+), vc AS (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(range(1,65), j -> v.vec[j]*c.cvec[j]))
+         / (sqrt(list_sum(list_transform(range(1,65), j -> v.vec[j]*v.vec[j])))
+            * sqrt(list_sum(list_transform(range(1,65), j -> c.cvec[j]*c.cvec[j])))) AS cos
+  FROM v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vc
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vc WHERE vec_id < 10
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_sum(list_transform(range(1,65), j -> q.vec[j]*n.vec[j]))
+         / (sqrt(list_sum(list_transform(range(1,65), j -> q.vec[j]*q.vec[j])))
+            * sqrt(list_sum(list_transform(range(1,65), j -> n.vec[j]*n.vec[j])))) AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN v n ON n.vec_id = a.neighbor_id
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 scale path: IVF-bucketed ANN (16 centroids, nprobe=4)."""
+    """E3 scale path: IVF-bucketed ANN (16 centroids, nprobe=4). The
+    centroids are DETERMINISTIC (the 16 lowest-id corpus vectors — see
+    cosine_topk_ivf's seeding contract), which makes the whole
+    probe-and-rank pipeline SQL-expressible: the DuckDB dual replays
+    assignment (argmax cosine, ties to the lower centroid id — the same
+    order the stable argsort produces), the 4-bucket probe, and the
+    per-query top-5, upgrading this from a rows-only check to a value-
+    hash match."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(
         emb, emb.where(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
@@ -1478,6 +1577,20 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against the exact variant."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_lsh(emb, threshold=0.4)
+
+
+@register(
+    "embedding_signlsh_codes",
+    oracle=similarity.signlsh_oracle_sql("embeddings", "vec_id", "embedding"),
+)
+def embedding_signlsh_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket codes over md5-derived hyperplanes — the
+    deterministic verification surface for `embedding_neardup_lsh`'s
+    estimator: the DuckDB dual re-derives every plane component from the
+    same md5 map and folds the dots in the same element order, so all 16
+    sign bits hash-match. One narrow zero-shuffle projection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.signlsh_codes(emb, "vec_id", "embedding", bits=16, dim=64)
 
 
 _KMEANS_CTE = """
@@ -3068,6 +3181,25 @@ def cardinality_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from prom_etl_db_spark.functions import sketches as _sketches  # noqa: E402
+
+
+@register(
+    "hll_cardinality",
+    oracle=_sketches.hll_oracle_sql("events", "event_type", "user_id", p=12),
+)
+def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic HyperLogLog per event_type over an md5-derived hash —
+    the ORACLE-CHECKED twin of `cardinality_sketches`: every register
+    (index, rank, harmonic sum) and the bias-corrected estimate are
+    recomputed by the DuckDB dual, upgrading sketching from a rows-only
+    check to a value-hash match. Integer rank algebra (no float log2)
+    and exact dyadic harmonic sums make the match deterministic; see
+    functions/sketches.py for the scale/mergeability story."""
+    ev = _events(spark, sf_dir)
+    return _sketches.hll_cardinality(ev, "event_type", "user_id", p=12)
+
+
 # -- PromQL string evaluation (parser → combinators) -----------------------
 
 
@@ -4014,10 +4146,15 @@ _GATE_PRIORITY = [
     "promql_ts_of_extremes",
     "promql_delta_range",
     "doc_paragraph_dedup_rewrite",
-    # Rows-only-by-design entries (no SQL oracle exists): keep in window so
-    # the rows>0 evidence refreshes each round.
-    "minhash_lsh_pairs",
+    # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
+    "minhash_band_pairs",
+    "hll_cardinality",
+    "embedding_signlsh_codes",
     "similarity_topk_ivf",
+    # Rows-only-by-design entries (no SQL oracle exists — each now has an
+    # oracle-checked deterministic twin above): keep in window so the
+    # rows>0 evidence refreshes each round.
+    "minhash_lsh_pairs",
     "embedding_neardup_lsh",
     "cardinality_sketches",
     # Round-1-green entries never re-checked since r1 — regression slots:

@@ -409,3 +409,21 @@ def test_minhash_md5_signature_estimates_jaccard(docs, spark):
     assert abs(est - true_j) < 0.25  # k=32 -> sigma ~ sqrt(j(1-j)/32) ~ 0.09
     disjoint = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
     assert disjoint == 0.0  # no shared shingles -> no collisions at 64 bits
+
+
+def test_minhash_band_pairs_md5_subset_of_exact(docs, spark):
+    """Every pair the md5 band pipeline emits must also be an exact-
+    Jaccard pair with the same (rounded) value — banding can only lose
+    recall, never precision (the verify stage recomputes true Jaccard)."""
+    banded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_band_dup_pairs_md5(docs, threshold=0.2).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dup_pairs(docs, threshold=0.2).collect()
+    }
+    assert banded, "identical docs 1 and 5 must band together"
+    for pair, j in banded.items():
+        assert pair in exact and exact[pair] == j
+    assert banded[(1, 5)] == 1.0  # identical texts: all bands collide

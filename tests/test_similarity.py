@@ -263,3 +263,39 @@ def test_ivf_index_kmeans_refined_build(spark, sf_dir, tmp_path):
     q = emb.limit(3)
     out = cosine_topk_ivf_index(spark, idx, q, k=3, nprobe=3).collect()
     assert len(out) == 9 and all(r["rank"] <= 3 for r in out)
+
+
+def test_signlsh_codes_deterministic_and_antipodal(spark):
+    """md5-plane sign-LSH: identical vectors share a code, v and -v get
+    complementary codes (every dot flips sign), and codes are stable
+    across re-evaluation — the determinism the oracle match rests on."""
+    from prom_etl_db_spark.functions.similarity import signlsh_codes
+
+    base = [0.3 * (i % 5) - 0.6 for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, [-x for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["code"] for r in signlsh_codes(df, bits=16, dim=64).collect()}
+    assert out[0] == out[1]
+    assert out[0] ^ out[2] == (1 << 16) - 1  # all 16 bits flip
+    again = {r["vec_id"]: r["code"] for r in signlsh_codes(df, bits=16, dim=64).collect()}
+    assert again == out
+
+
+def test_signlsh_collision_rate_tracks_angle(spark):
+    """P(bit match) = 1 - theta/pi: orthogonal pairs should agree on
+    ~half their bits, near-identical pairs on nearly all."""
+    from prom_etl_db_spark.functions.similarity import signlsh_codes
+
+    a = [1.0] + [0.0] * 63
+    b = [0.0, 1.0] + [0.0] * 62  # orthogonal to a
+    c = [1.0, 0.05] + [0.0] * 62  # ~3 degrees from a
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["code"] for r in signlsh_codes(df, bits=16, dim=64).collect()}
+    ortho_match = 16 - bin(out[0] ^ out[1]).count("1")
+    near_match = 16 - bin(out[0] ^ out[2]).count("1")
+    assert 3 <= ortho_match <= 13  # expect ~8, sigma = 2
+    assert near_match >= 14  # expect ~15.7

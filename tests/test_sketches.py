@@ -1,0 +1,75 @@
+"""Deterministic HLL (functions/sketches.py): accuracy, mergeability,
+and the exactness claims the oracle match relies on."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions import sketches
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # two groups with known exact cardinalities: 400 and 37 distinct keys
+    rows = [("a", i % 400) for i in range(2000)] + [("b", i % 37) for i in range(500)]
+    return spark.createDataFrame(rows, "g string, k long")
+
+
+def test_hll_estimate_within_error_bound(keyed):
+    out = {r["g"]: r for r in sketches.hll_cardinality(keyed, "g", "k").collect()}
+    se = sketches.hll_error_bound(12)
+    assert abs(out["a"]["hll_estimate"] - 400) <= 5 * se * 400 + 5
+    assert abs(out["b"]["hll_estimate"] - 37) <= 5 * se * 37 + 5
+
+
+def test_hll_registers_merge_by_max(keyed, spark):
+    """Shard-union = per-register max: computing registers over two
+    disjoint halves and max-merging equals the single-pass registers —
+    the property that lets the sketch distribute over 1000 executors."""
+    whole = {
+        (r["g"], r["idx"]): r["r"]
+        for r in sketches.hll_registers(keyed, "g", "k").collect()
+    }
+    h1 = sketches.hll_registers(keyed.where(F.col("k") % 2 == 0), "g", "k")
+    h2 = sketches.hll_registers(keyed.where(F.col("k") % 2 == 1), "g", "k")
+    merged = {
+        (r["g"], r["idx"]): r["r"]
+        for r in h1.unionAll(h2).groupBy("g", "idx").agg(F.max("r").alias("r")).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_deterministic_across_repartition(keyed):
+    a = sorted(map(tuple, sketches.hll_cardinality(keyed, "g", "k").collect()))
+    b = sorted(
+        map(tuple, sketches.hll_cardinality(keyed.repartition(7), "g", "k").collect())
+    )
+    assert a == b
+
+
+def test_harmonic_sum_terms_are_exact_dyadics():
+    """The oracle-match argument: every 2^-rank term and every partial
+    sum over ≤2^p registers is exactly representable, so accumulation
+    order can't change the double."""
+    p, bits = 12, 20
+    m = 1 << p
+    # worst case: all m registers at the max rank (bits+1)
+    total = 0.0
+    for _ in range(m):
+        total += 2.0 ** -(bits + 1)
+    assert total == m * 2.0 ** -(bits + 1)  # no rounding drift
+    # and the alpha*m^2/S estimate is pure IEEE ops from there
+    est = sketches._alpha(m) * m * m / (total + 0.0)
+    assert math.isfinite(est)
+
+
+def test_hll_empty_group_absent(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, k long")
+    out = sketches.hll_cardinality(df, "g", "k").collect()
+    assert len(out) == 1 and out[0]["g"] == "a"
+    # one filled register -> m-1 zero registers, small-range correction path
+    assert out[0]["zero_registers"] == (1 << 12) - 1
+    assert out[0]["hll_estimate"] == pytest.approx(1.0, abs=0.51)
