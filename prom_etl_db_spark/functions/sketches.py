@@ -41,6 +41,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _alpha(m: int) -> float:
@@ -162,3 +163,113 @@ def hll_error_bound(p: int = 12) -> float:
     """Theoretical relative standard error 1.04/√m — the unit tests
     assert the estimate lands within ~3σ of the exact count."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# -- deterministic quantile sketch ------------------------------------------
+
+
+def quantile_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    q: float = 0.9,
+    bins: int = 128,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Equi-width-histogram quantile — the deterministic, oracle-checkable
+    twin of ``percentile_approx`` (GK sketch, engine-specific internals).
+
+    State per group is a FIXED ``bins``-bucket count vector over the
+    declared [lo, hi) domain (values clamped to the edge buckets), which
+    is mergeable by plain addition — the same map-side-combine /
+    shard-union story as the HLL registers. The quantile is read off the
+    cumulative counts with linear interpolation inside the hit bucket:
+
+        rank  = ceil(q·n);  bucket b = first with cum(b) ≥ rank
+        est   = left(b) + width · (rank − cum(b−1)) / count(b)
+
+    Everything through ``rank`` is integer-exact on both engines; the
+    interpolation is a handful of IEEE ops spelled identically in the
+    SQL dual, so the estimate hash-matches at full double precision
+    (rounded to 6 dp for belt and braces).
+
+    Error bound: the estimate lands within one bucket width of the true
+    quantile — (hi−lo)/bins — tightest where the data is dense; the unit
+    tests assert exactly that bound.
+    """
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = (
+        df.select(F.col(group_col).alias("g"), b.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window
+    cum = counts.withColumn(
+        "cum", F.sum("c").over(w.partitionBy("g").orderBy("b"))
+    ).withColumn("n", F.sum("c").over(w.partitionBy("g")))
+    rank = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+    hit = cum.where(F.col("cum") >= rank).withColumn(
+        "rn",
+        F.row_number().over(w.partitionBy("g").orderBy("b")),
+    ).where(F.col("rn") == 1)
+    est = (
+        F.lit(lo)
+        + F.col("b").cast("double") * F.lit(width)
+        + F.lit(width)
+        * (rank - (F.col("cum") - F.col("c"))).cast("double")
+        / F.col("c").cast("double")
+    )
+    return hit.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_values"),
+        F.round(est, 6).alias("q_estimate"),
+    )
+
+
+def quantile_histogram_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    *,
+    q: float = 0.9,
+    bins: int = 128,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> str:
+    """DuckDB dual of :func:`quantile_histogram` — identical bucket map,
+    cumulative ranks, and interpolation spelling."""
+    width = (hi - lo) / bins
+    return f"""
+WITH bucketed AS (
+  SELECT {group_col} AS g,
+         least({bins - 1}, greatest(0,
+             CAST(floor(({value_col} - {lo!r}) / {width!r}) AS INT))) AS b
+  FROM {table}
+), counts AS (
+  SELECT g, b, count(*) AS c FROM bucketed GROUP BY g, b
+), cums AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM counts
+), hit AS (
+  SELECT g, b, c, cum, n,
+         row_number() OVER (PARTITION BY g ORDER BY b) AS rn
+  FROM cums
+  WHERE cum >= ceil({q!r} * n)
+)
+SELECT g AS {group_col},
+       CAST(n AS BIGINT) AS n_values,
+       round({lo!r} + CAST(b AS DOUBLE) * {width!r}
+             + {width!r} * CAST(ceil({q!r} * n) - (cum - c) AS DOUBLE)
+               / CAST(c AS DOUBLE), 6) AS q_estimate
+FROM hit WHERE rn = 1
+"""

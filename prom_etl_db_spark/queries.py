@@ -3200,6 +3200,25 @@ def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketches.hll_cardinality(ev, "event_type", "user_id", p=12)
 
 
+@register(
+    "quantile_histogram_sketch",
+    oracle=_sketches.quantile_histogram_oracle_sql(
+        "events", "event_type", "value", q=0.9, bins=128, lo=0.0, hi=500.0
+    ),
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram q90 per event_type — the oracle-checked twin
+    of `cardinality_sketches`' GK `percentile_approx`: fixed 128-bucket
+    count vectors (mergeable by addition, map-side combinable) with an
+    interpolated read-off the DuckDB dual replays exactly. Estimate is
+    within one bucket width of the true quantile by construction; the
+    unit tests assert that bound against the exact percentile."""
+    ev = _events(spark, sf_dir)
+    return _sketches.quantile_histogram(
+        ev, "event_type", "value", q=0.9, bins=128, lo=0.0, hi=500.0
+    )
+
+
 # -- PromQL string evaluation (parser → combinators) -----------------------
 
 
@@ -4149,6 +4168,7 @@ _GATE_PRIORITY = [
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",
+    "quantile_histogram_sketch",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

@@ -272,3 +272,120 @@ def run_funnel_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming HLL cardinality ----------------------------------------------
+
+HLL_STATE_SCHEMA = StructType(
+    [StructField("regs", ArrayType(IntegerType()), True)]
+)
+
+HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("zero_registers", LongType(), True),
+        StructField("sum_rank", LongType(), True),
+        StructField("hll_estimate", DoubleType(), True),
+    ]
+)
+
+
+def make_hll_fold(p: int):
+    """Per-group fold: md5-HLL registers as checkpointed state.
+
+    The hash/rank algebra is IDENTICAL to ``functions.sketches``
+    (md5(str(key))[:8] → 32-bit; top p bits index, rank = leading zeros
+    of the rest + 1), so after any sequence of micro-batches the state
+    equals the batch registers over the union of the data — the
+    mergeability (max per register) that makes HLL both shardable across
+    executors AND incrementally maintainable over an unbounded stream.
+    State is a fixed 2^p int array (~16 KB at p=12) per group: bounded
+    regardless of stream length, the whole point of sketching a stream.
+    """
+    import hashlib
+    import math
+
+    bits = 32 - p
+    m = 1 << p
+    mask = (1 << bits) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for k in pdf["k"]:
+                h32 = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+                idx = h32 >> bits
+                w = h32 & mask
+                rank = bits + 1 if w == 0 else bits + 1 - w.bit_length()
+                if rank > regs[idx]:
+                    regs[idx] = rank
+        state.update((regs,))
+        zero = sum(1 for r in regs if r == 0)
+        s = sum(2.0 ** -r for r in regs)
+        raw = alpha * m * m / s
+        est = m * math.log(m / zero) if (raw <= 2.5 * m and zero > 0) else raw
+        yield pd.DataFrame(
+            {
+                "g": [g],
+                "zero_registers": [zero],
+                "sum_rank": [sum(r for r in regs if r > 0)],
+                "hll_estimate": [round(est, 4)],
+            }
+        )
+
+    return fold
+
+
+def streaming_hll_cardinality(keyed: DataFrame, *, p: int = 12) -> DataFrame:
+    """Stream-transform: per-group running distinct-count sketch.
+
+    ``keyed`` is a STREAMING DataFrame shaped (g string, k string/any).
+    Each micro-batch emits the group's updated (zero_registers, sum_rank,
+    hll_estimate) — the same triple the batch ``sketches.hll_cardinality``
+    computes, so the stream's final row per group hash-equals the batch
+    run over the union of all batches (asserted in tests, including
+    across a checkpoint restart).
+    """
+    return keyed.groupBy("g").applyInPandasWithState(
+        make_hll_fold(p),
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_hll_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    p: int = 12,
+    available_now: bool = True,
+):
+    """Drive the streaming sketch over a file source (same sink protocol
+    as ``run_counter_stream``: per-batch append with batch_id; latest
+    batch per group is current)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = raw.select(
+        F.col("event_type").alias("g"), F.col("user_id").cast("string").alias("k")
+    )
+    out = streaming_hll_cardinality(keyed, p=p)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

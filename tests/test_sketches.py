@@ -73,3 +73,53 @@ def test_hll_empty_group_absent(spark):
     # one filled register -> m-1 zero registers, small-range correction path
     assert out[0]["zero_registers"] == (1 << 12) - 1
     assert out[0]["hll_estimate"] == pytest.approx(1.0, abs=0.51)
+
+
+# -- quantile histogram ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def valued(spark):
+    # group "a": uniform-ish 0..499 (i*7 % 500); group "b": constant 42
+    rows = [("a", float((i * 7) % 500)) for i in range(3000)] + [
+        ("b", 42.0) for _ in range(100)
+    ]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_quantile_histogram_within_bucket_width(valued):
+    out = {
+        r["g"]: r
+        for r in sketches.quantile_histogram(
+            valued, "g", "v", q=0.9, bins=128, lo=0.0, hi=500.0
+        ).collect()
+    }
+    exact_a = sorted(((i * 7) % 500) for i in range(3000))[
+        __import__("math").ceil(0.9 * 3000) - 1
+    ]
+    width = 500.0 / 128
+    assert abs(out["a"]["q_estimate"] - exact_a) <= width
+    assert abs(out["b"]["q_estimate"] - 42.0) <= width
+    assert out["a"]["n_values"] == 3000 and out["b"]["n_values"] == 100
+
+
+def test_quantile_histogram_clamps_out_of_domain(spark):
+    df = spark.createDataFrame(
+        [("a", -50.0), ("a", 10.0), ("a", 9999.0)], "g string, v double"
+    )
+    out = sketches.quantile_histogram(
+        df, "g", "v", q=0.5, bins=10, lo=0.0, hi=100.0
+    ).collect()
+    # median of {clamped-low, 10, clamped-high} sits in the 10.0 bucket
+    assert len(out) == 1 and 0.0 <= out[0]["q_estimate"] <= 100.0
+
+
+def test_quantile_histogram_deterministic_across_repartition(valued):
+    a = sorted(map(tuple, sketches.quantile_histogram(valued, "g", "v").collect()))
+    b = sorted(
+        map(
+            tuple,
+            sketches.quantile_histogram(valued.repartition(7), "g", "v").collect(),
+        )
+    )
+    assert a == b

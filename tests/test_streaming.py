@@ -380,3 +380,54 @@ def test_streaming_funnel_matches_batch_across_restarts(spark, tmp_path):
         spark.read.parquet(src), steps, window="3h"
     )
     assert {r["user_id"]: r["funnel_level"] for r in batch.collect()} == latest
+
+
+def test_streaming_hll_matches_batch_sketch_across_restart(spark, tmp_path):
+    """applyInPandasWithState HLL: after two separate runs sharing a
+    checkpoint (a restart), the final per-group sketch must equal the
+    BATCH sketch over the union of both batches — register state crossed
+    the checkpoint and merged by max, exactly like a shard union."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.functions import sketches
+    from prom_etl_db_spark.streaming.stateful import run_hll_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "hll_src")
+    sink = str(tmp_path / "hll_sink")
+    ckpt = str(tmp_path / "hll_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    rows1 = [(i, t0, i % 150, "click", 1.0, None) for i in range(400)]
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run_hll_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    # second run: overlapping + new keys — only the new ones may move regs
+    rows2 = [
+        (1000 + i, t0 + timedelta(minutes=1), 100 + (i % 200), "click", 1.0, None)
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_hll_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    last = (
+        spark.read.parquet(sink)
+        .where(F.col("g") == "click")
+        .orderBy(F.desc("batch_id"))
+        .first()
+    )
+    batch = sketches.hll_cardinality(
+        spark.read.parquet(src).selectExpr(
+            "event_type as g", "cast(user_id as string) as k"
+        ),
+        "g",
+        "k",
+    ).first()
+    assert last["zero_registers"] == batch["zero_registers"]
+    assert last["sum_rank"] == batch["sum_rank"]
+    assert last["hll_estimate"] == batch["hll_estimate"]
+    # 150 ∪ {100..299} = 300 distinct; estimate within the 5σ bound
+    assert abs(last["hll_estimate"] - 300) <= 5 * sketches.hll_error_bound(12) * 300 + 5
