@@ -273,3 +273,183 @@ SELECT g AS {group_col},
                / CAST(c AS DOUBLE), 6) AS q_estimate
 FROM hit WHERE rn = 1
 """
+
+
+# -- count-min sketch (heavy hitters) ---------------------------------------
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch frequency estimates for the ``probes`` keys.
+
+    State = ``depth`` rows × ``width`` counters; occurrence of key k
+    increments cell (i, md5("cm-i-"||k) % width) for every row i;
+    estimate(k) = min over rows — the classic one-sided estimator
+    (never under, over by ≤ ε·N with prob 1−δ, ε = e/width,
+    δ = e^−depth). Counters merge by ADDITION (map-side combine /
+    shard-union), like the quantile histogram's buckets.
+
+    Everything is integer arithmetic over md5 — the DuckDB dual replays
+    cells and minima exactly. The probe side is a broadcast-class key
+    list (top-N candidates); the sketch build is one hash aggregation
+    over (row, cell) pairs — depth rows per input row in the shuffle,
+    never the keys themselves.
+
+    Output: (key_col, cm_estimate BIGINT).
+    """
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    cell = lambda i, k: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm-"), i.cast("string"), F.lit("-"), k)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    k = F.col(key_col).cast("string")
+    cells = (
+        df.select(F.explode(rows).alias("i"), k.alias("k"))
+        .select("i", cell(F.col("i"), F.col("k")).alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_cells = probes.select(
+        F.col(key_col), F.explode(rows).alias("i")
+    ).withColumn("cell", cell(F.col("i"), F.col(key_col).cast("string")))
+    return (
+        probe_cells.join(cells, ["i", "cell"], "left")
+        .fillna(0, ["c"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+    )
+
+
+def countmin_oracle_sql(
+    table: str,
+    key_col: str,
+    probe_sql: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB dual of :func:`countmin_estimates`; ``probe_sql`` must
+    yield one ``{key_col}`` column."""
+    return f"""
+WITH cells AS (
+  SELECT i.range AS i,
+         CAST(('0x' || substr(md5('cm-' || CAST(i.range AS VARCHAR) || '-'
+                              || CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {width} AS cell,
+         count(*) AS c
+  FROM {table} CROSS JOIN range({depth}) i
+  GROUP BY 1, 2
+), probes AS ({probe_sql}),
+probe_cells AS (
+  SELECT p.{key_col}, i.range AS i,
+         CAST(('0x' || substr(md5('cm-' || CAST(i.range AS VARCHAR) || '-'
+                              || CAST(p.{key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {width} AS cell
+  FROM probes p CROSS JOIN range({depth}) i
+)
+SELECT pc.{key_col},
+       CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS cm_estimate
+FROM probe_cells pc
+LEFT JOIN cells ON cells.i = pc.i AND cells.cell = pc.cell
+GROUP BY pc.{key_col}
+"""
+
+
+# -- Bloom filter membership ------------------------------------------------
+
+
+def bloom_membership(
+    members: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 16384,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter membership of each probe key against the members set.
+
+    The filter is the DISTINCT set of bit positions
+    md5("bloom-i-"||k) % n_bits over members × i<n_hashes — built with
+    one hash aggregation; a probe is "maybe" iff ALL its positions are
+    set (count of position-join hits == n_hashes). One-sided like the
+    textbook structure: no false negatives ever; false positives at the
+    deterministic md5 positions, so even the FP SET is engine-exact and
+    the oracle hash-matches it. The standard FP rate
+    (1−e^{−kn/m})^k applies (~0.6 % at the defaults for n=1500).
+
+    At scale the positions set is ≤ n_bits rows (broadcast-class by
+    construction — size the filter, not the data); the probe side ships
+    (key, position) pairs only.
+
+    Output: (key_col, in_bloom BOOLEAN).
+    """
+    rows = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    pos = lambda i, k: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bloom-"), i.cast("string"), F.lit("-"), k)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+    set_bits = (
+        members.select(F.explode(rows).alias("i"), F.col(key_col).cast("string").alias("k"))
+        .select(pos(F.col("i"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    probe_pos = probes.select(F.col(key_col), F.explode(rows).alias("i")).withColumn(
+        "pos", pos(F.col("i"), F.col(key_col).cast("string"))
+    )
+    return (
+        probe_pos.join(F.broadcast(set_bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == n_hashes).alias("in_bloom"))
+    )
+
+
+def bloom_oracle_sql(
+    member_sql: str,
+    probe_sql: str,
+    key_col: str,
+    *,
+    n_bits: int = 16384,
+    n_hashes: int = 5,
+) -> str:
+    """DuckDB dual of :func:`bloom_membership`; both SQL args must yield
+    one ``{key_col}`` column."""
+    return f"""
+WITH members AS ({member_sql}),
+probes AS ({probe_sql}),
+set_bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('bloom-' || CAST(i.range AS VARCHAR) || '-'
+                              || CAST(m.{key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {n_bits} AS pos
+  FROM members m CROSS JOIN range({n_hashes}) i
+), probe_pos AS (
+  SELECT p.{key_col},
+         CAST(('0x' || substr(md5('bloom-' || CAST(i.range AS VARCHAR) || '-'
+                              || CAST(p.{key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {n_bits} AS pos
+  FROM probes p CROSS JOIN range({n_hashes}) i
+)
+SELECT pp.{key_col},
+       count(sb.pos) = {n_hashes} AS in_bloom
+FROM probe_pos pp
+LEFT JOIN set_bits sb ON sb.pos = pp.pos
+GROUP BY pp.{key_col}
+"""

@@ -3219,6 +3219,51 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "countmin_user_counts",
+    oracle=_sketches.countmin_oracle_sql(
+        "events", "user_id", "SELECT DISTINCT user_id FROM events",
+        depth=4, width=1024,
+    ),
+)
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user event-count estimates, probed for every
+    distinct user — the heavy-hitters member of the sketch family
+    (depth 4 × width 1024 counters, merge-by-addition). Pure integer
+    md5 arithmetic, so the DuckDB dual replays cells and minima exactly;
+    the unit tests pin the one-sided overestimate property and the
+    ε·N error bound."""
+    ev = _events(spark, sf_dir)
+    probes = ev.select("user_id").distinct()
+    return _sketches.countmin_estimates(
+        ev, "user_id", probes, depth=4, width=1024
+    )
+
+
+@register(
+    "bloom_purchaser_membership",
+    oracle=_sketches.bloom_oracle_sql(
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'",
+        "SELECT DISTINCT user_id FROM events",
+        "user_id",
+        n_bits=16384,
+        n_hashes=5,
+    ),
+)
+def bloom_purchaser_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership: every distinct user probed against the
+    filter built over purchase-event users. No false negatives by
+    construction; the (deterministic md5) false-positive set itself
+    hash-matches the DuckDB dual — the pre-filter a 100 TB decontam
+    or join-pruning pass would broadcast instead of the full key set."""
+    ev = _events(spark, sf_dir)
+    members = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    probes = ev.select("user_id").distinct()
+    return _sketches.bloom_membership(
+        members, probes, "user_id", n_bits=16384, n_hashes=5
+    )
+
+
 # -- PromQL string evaluation (parser → combinators) -----------------------
 
 
@@ -4169,6 +4214,8 @@ _GATE_PRIORITY = [
     "minhash_band_pairs",
     "hll_cardinality",
     "quantile_histogram_sketch",
+    "countmin_user_counts",
+    "bloom_purchaser_membership",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

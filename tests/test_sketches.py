@@ -123,3 +123,46 @@ def test_quantile_histogram_deterministic_across_repartition(valued):
         )
     )
     assert a == b
+
+
+# -- count-min / bloom -------------------------------------------------------
+
+
+def test_countmin_never_underestimates(spark):
+    rows = [("k%d" % (i % 50),) for i in range(5000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    probes = df.distinct()
+    est = {
+        r["k"]: r["cm_estimate"]
+        for r in sketches.countmin_estimates(df, "k", probes).collect()
+    }
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").count().withColumnRenamed("count", "c").collect()}
+    n = 5500
+    eps_n = math.e / 1024 * n  # classic CM bound, ~14.6 here
+    for k, e in est.items():
+        assert e >= exact[k], f"{k}: CM must never underestimate"
+        assert e <= exact[k] + 3 * eps_n
+    assert est["hot"] >= 500
+
+
+def test_countmin_absent_key_estimates_near_zero(spark):
+    df = spark.createDataFrame([("a",)] * 100, "k string")
+    probes = spark.createDataFrame([("zzz-never-seen",)], "k string")
+    out = sketches.countmin_estimates(df, "k", probes).collect()
+    # absent key can only collide into a's 4 cells; at width 1024 the
+    # chance all 4 collide is ~(4/1024)^4 — expect 0
+    assert out[0]["cm_estimate"] in (0, 100)
+    assert out[0]["cm_estimate"] == 0
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = spark.createDataFrame([(i,) for i in range(0, 400)], "k long")
+    probes = spark.createDataFrame([(i,) for i in range(0, 2000)], "k long")
+    out = {
+        r["k"]: r["in_bloom"]
+        for r in sketches.bloom_membership(members, probes, "k").collect()
+    }
+    assert all(out[i] for i in range(400)), "no false negatives, ever"
+    fp = sum(1 for i in range(400, 2000) if out[i])
+    # (1 - e^(-kn/m))^k with k=5, n=400, m=16384 -> ~7e-5; 1600 probes
+    assert fp <= 5
