@@ -38,7 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for the
-    genuinely non-SQL-expressible ops — minhash/simhash/IVF — which the
-    driver records as rows-only checks)."""
+    """DuckDB-runnable ANSI SQL oracle per query (omitted only for the
+    three genuinely non-SQL-expressible ops — xxhash64-MinHash LSH,
+    auto-sized sign-LSH, HLL++/GK internals — each of which has an
+    oracle-checked deterministic twin in the registry)."""
     return dict(ORACLES)

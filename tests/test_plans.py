@@ -245,3 +245,30 @@ def test_rate_range_wide_uses_event_path_not_grid_explode(spark, sf_dir):
     # "window feeds generate" = some Window line BELOW every Generate line
     assert gen_depths and win_depths
     assert max(win_depths) > min(gen_depths)
+
+
+def test_sketch_family_plans(spark, sf_dir):
+    """Sketch queries must stay pure hash-aggregation pipelines: no
+    sorts, no cartesian products; the Bloom position-set join must
+    broadcast (the filter is sized to broadcast BY construction — if it
+    ever sort-merge-joins, someone broke the n_bits bound)."""
+    for name in ("hll_cardinality", "quantile_histogram_sketch"):
+        ops = _ops(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in ops, name
+        assert "BroadcastNestedLoopJoin" not in ops, name
+        assert "HashAggregate" in ops, name
+    bloom = _ops(QUERIES["bloom_purchaser_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in bloom
+    assert "CartesianProduct" not in bloom
+    cm = _ops(QUERIES["countmin_user_counts"](spark, sf_dir))
+    assert "CartesianProduct" not in cm
+    assert "HashAggregate" in cm
+
+
+def test_signlsh_codes_no_shuffle(spark, sf_dir):
+    """Sign-LSH codes are one narrow projection — ANY exchange in the
+    plan means the fold leaked into a shuffle."""
+    df = QUERIES["embedding_signlsh_codes"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "Exchange" not in s
+    assert "Join" not in s

@@ -115,9 +115,21 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     times: dict[str, tuple[float, int]] = {}  # op -> (seconds, result rows)
 
     def run(name, df):
-        t0 = time.perf_counter()
-        n = df.count()
-        times[name] = (round(time.perf_counter() - t0, 2), n)
+        # best-of-2, like bench.py: the k-way union changes the generated
+        # whole-stage code, so every factor's FIRST run pays a fresh JIT
+        # compile — a fixed cost that reads as fake superlinearity on
+        # sub-second ops. The minimum is the steady-state marginal cost
+        # the scaling analysis is about.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = df.count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+            # drop intra-op persist() blocks so later ops aren't timed
+            # under earlier ops' lingering memory pressure
+            spark.catalog.clearCache()
+        times[name] = (round(best, 2), n)
         print(f"  {k}x {name}: {times[name][0]:.2f}s ({n} rows)", file=sys.stderr)
 
     ev = scaled_events(spark, sf_dir, k)
@@ -199,6 +211,31 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         "semantic_neardup",
         clustering.semantic_neardup_pairs(emb, 0.9, k=8 * k, n_iter=2),
     )
+
+    # sketch family: state is FIXED-SIZE per group (registers/buckets/
+    # counters), so time must track the single input pass — any
+    # superlinearity would mean the state leaked into the shuffle
+    from prom_etl_db_spark.functions import sketches
+
+    run("hll_cardinality", sketches.hll_cardinality(ev, "event_type", "user_id"))
+    run(
+        "quantile_histogram",
+        sketches.quantile_histogram(ev, "event_type", "value", q=0.9, lo=0.0, hi=500.0),
+    )
+    users = ev.select("user_id").distinct()
+    run("countmin", sketches.countmin_estimates(ev, "user_id", users))
+    run(
+        "bloom_membership",
+        sketches.bloom_membership(
+            ev.where(F.col("event_type") == "purchase").select("user_id").distinct(),
+            users,
+            "user_id",
+        ),
+    )
+    # md5-family dedup/LSH (the oracle-checked twins): same plan shapes
+    # as the production variants probed above
+    run("minhash_band_pairs", dedup.minhash_band_dup_pairs_md5(docs, threshold=0.3))
+    run("signlsh_codes", similarity.signlsh_codes(emb, bits=16, dim=64))
     return times
 
 
