@@ -3264,6 +3264,87 @@ def bloom_purchaser_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from prom_etl_db_spark.functions import quality as _quality  # noqa: E402
+
+
+@register(
+    "dq_events_expectations",
+    oracle="""
+SELECT 'value_null' AS check, count(*) FILTER (WHERE value IS NULL) AS n_violations,
+       count(*) AS n_total, count(*) FILTER (WHERE value IS NULL) = 0 AS pass
+FROM events
+UNION ALL
+SELECT 'value_nan', count(*) FILTER (WHERE isnan(value)), count(*),
+       count(*) FILTER (WHERE isnan(value)) = 0 FROM events
+UNION ALL
+SELECT 'value_out_of_range', count(*) FILTER (WHERE value < 0 OR value > 1000),
+       count(*), count(*) FILTER (WHERE value < 0 OR value > 1000) = 0 FROM events
+UNION ALL
+SELECT 'ts_out_of_window',
+       count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                           OR ts >= TIMESTAMP '2024-02-01'),
+       count(*),
+       count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                           OR ts >= TIMESTAMP '2024-02-01') = 0 FROM events
+UNION ALL
+SELECT 'user_id_negative', count(*) FILTER (WHERE user_id < 0), count(*),
+       count(*) FILTER (WHERE user_id < 0) = 0 FROM events
+UNION ALL
+SELECT 'event_id_unique', count(*) - count(DISTINCT event_id), count(*),
+       count(*) - count(DISTINCT event_id) = 0 FROM events
+""",
+)
+def dq_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the ingest table — the
+    semantic validation layer the reference's blind-insert collector
+    lacks (its only defense is MySQL rejecting NaN; SURVEY §2 A12 covers
+    malformed SHAPES, this covers bad VALUES). All row-level rules run
+    in ONE aggregation pass; the uniqueness rule is one hash agg."""
+    ev = _events(spark, sf_dir)
+    from datetime import datetime as _dt
+
+    return _quality.expectations(
+        ev,
+        [
+            ("value_null", F.col("value").isNull()),
+            ("value_nan", F.isnan("value")),
+            ("value_out_of_range", (F.col("value") < 0) | (F.col("value") > 1000)),
+            (
+                "ts_out_of_window",
+                (F.col("ts") < F.lit(_dt(2024, 1, 1)))
+                | (F.col("ts") >= F.lit(_dt(2024, 2, 1))),
+            ),
+            ("user_id_negative", F.col("user_id") < 0),
+        ],
+        unique_keys=[("event_id_unique", ["event_id"])],
+    )
+
+
+@register(
+    "events_value_psi",
+    oracle=_quality.psi_oracle_sql(
+        "events", "event_type", "value",
+        "ts < TIMESTAMP '2024-01-16'",
+        bins=20, lo=0.0, hi=500.0,
+    ),
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: population stability index of the value
+    distribution per event_type, first half of January (reference slice)
+    vs second half (comparison). Fixed equi-width bins + add-half
+    smoothing keep it deterministic and SQL-replayable; ≈0 here because
+    the fixture is stationary — the unit tests plant a real shift and
+    assert PSI > 0.25 catches it."""
+    from datetime import datetime as _dt
+
+    ev = _events(spark, sf_dir)
+    return _quality.psi_drift(
+        ev, "event_type", "value",
+        F.col("ts") < F.lit(_dt(2024, 1, 16)),
+        bins=20, lo=0.0, hi=500.0,
+    )
+
+
 # -- PromQL string evaluation (parser → combinators) -----------------------
 
 
@@ -4216,6 +4297,8 @@ _GATE_PRIORITY = [
     "quantile_histogram_sketch",
     "countmin_user_counts",
     "bloom_purchaser_membership",
+    "dq_events_expectations",
+    "events_value_psi",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an
