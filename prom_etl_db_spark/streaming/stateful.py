@@ -389,3 +389,110 @@ def run_hll_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming histogram-quantile sketch ------------------------------------
+
+QHIST_STATE_SCHEMA = StructType(
+    [StructField("buckets", ArrayType(LongType()), True)]
+)
+
+QHIST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("n_values", LongType(), True),
+        StructField("q_estimate", DoubleType(), True),
+    ]
+)
+
+
+def make_qhist_fold(q: float, bins: int, lo: float, hi: float):
+    """Per-group fold: equi-width bucket counts as checkpointed state.
+
+    Same bucket map and interpolated read-off as
+    ``functions.sketches.quantile_histogram`` (clamped equi-width bins,
+    rank = ceil(q·n), linear interpolation in the hit bucket), so the
+    stream's final row per group equals the batch sketch over the union
+    of all batches — counts merge by ADDITION across micro-batches the
+    way shards merge across executors. State is ``bins`` longs per
+    group: bounded for an unbounded stream.
+    """
+    import math
+
+    width = (hi - lo) / bins
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        buckets = list(state.get[0]) if state.exists else [0] * bins
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                b = min(bins - 1, max(0, int(math.floor((float(v) - lo) / width))))
+                buckets[b] += 1
+        state.update((buckets,))
+        n = sum(buckets)
+        rank = math.ceil(q * n)
+        cum = 0
+        est = None
+        for b, c in enumerate(buckets):
+            cum += c
+            if cum >= rank and c > 0:
+                est = lo + b * width + width * (rank - (cum - c)) / c
+                break
+        yield pd.DataFrame(
+            {"g": [g], "n_values": [n], "q_estimate": [round(est, 6)]}
+        )
+
+    return fold
+
+
+def streaming_quantile_histogram(
+    keyed: DataFrame,
+    *,
+    q: float = 0.9,
+    bins: int = 128,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Stream-transform: per-group running quantile estimate over
+    fixed-size bucket state. ``keyed`` is a STREAMING DataFrame shaped
+    (g string, v double). Tests assert stream ≡ batch
+    ``sketches.quantile_histogram`` over the union of batches, across a
+    checkpoint restart."""
+    return keyed.groupBy("g").applyInPandasWithState(
+        make_qhist_fold(q, bins, lo, hi),
+        outputStructType=QHIST_OUTPUT_SCHEMA,
+        stateStructType=QHIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_qhist_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    q: float = 0.9,
+    available_now: bool = True,
+):
+    """Drive the streaming quantile sketch over a file source (same sink
+    protocol as ``run_counter_stream``)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = raw.select(F.col("event_type").alias("g"), F.col("value").alias("v"))
+    out = streaming_quantile_histogram(keyed, q=q)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

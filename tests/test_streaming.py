@@ -431,3 +431,51 @@ def test_streaming_hll_matches_batch_sketch_across_restart(spark, tmp_path):
     assert last["hll_estimate"] == batch["hll_estimate"]
     # 150 ∪ {100..299} = 300 distinct; estimate within the 5σ bound
     assert abs(last["hll_estimate"] - 300) <= 5 * sketches.hll_error_bound(12) * 300 + 5
+
+
+def test_streaming_quantile_matches_batch_sketch_across_restart(spark, tmp_path):
+    """applyInPandasWithState histogram quantile: bucket counts merge by
+    addition across micro-batches and a checkpoint restart, landing on
+    the exact batch-sketch estimate over the union."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.functions import sketches
+    from prom_etl_db_spark.streaming.stateful import run_qhist_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "qh_src")
+    sink = str(tmp_path / "qh_sink")
+    ckpt = str(tmp_path / "qh_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    rows1 = [(i, t0, 0, "click", float((i * 7) % 500), None) for i in range(800)]
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run_qhist_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    rows2 = [
+        (1000 + i, t0 + timedelta(minutes=1), 0, "click", float((i * 13) % 300), None)
+        for i in range(500)
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_qhist_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    last = (
+        spark.read.parquet(sink)
+        .where(F.col("g") == "click")
+        .orderBy(F.desc("batch_id"))
+        .first()
+    )
+    batch = sketches.quantile_histogram(
+        spark.read.parquet(src).selectExpr("event_type as g", "value as v"),
+        "g",
+        "v",
+        q=0.9,
+        bins=128,
+        lo=0.0,
+        hi=500.0,
+    ).first()
+    assert last["n_values"] == batch["n_values"] == 1300
+    assert last["q_estimate"] == batch["q_estimate"]
