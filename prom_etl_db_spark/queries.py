@@ -1387,6 +1387,77 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_bloom_prefilter",
+    oracle=f"""
+WITH {_DECON_CTES.split(', hits AS')[0]}
+, trg AS (SELECT doc_id, unnest(grams) AS gram FROM tr)
+, uniq AS (SELECT DISTINCT gram FROM trg)
+, set_bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('bloom-' || CAST(i.range AS VARCHAR) || '-'
+                              || ev.gram), 1, 8)) AS BIGINT) % 65536 AS pos
+  FROM ev CROSS JOIN range(5) i
+), probe AS (
+  SELECT u.gram,
+         CAST(('0x' || substr(md5('bloom-' || CAST(i.range AS VARCHAR) || '-'
+                              || u.gram), 1, 8)) AS BIGINT) % 65536 AS pos
+  FROM uniq u CROSS JOIN range(5) i
+), maybe AS (
+  SELECT p.gram, count(sb.pos) = 5 AS maybe
+  FROM probe p LEFT JOIN set_bits sb ON sb.pos = p.pos
+  GROUP BY p.gram
+), truth AS (
+  SELECT u.gram, ev.gram IS NOT NULL AS hit
+  FROM uniq u LEFT JOIN ev ON ev.gram = u.gram
+)
+SELECT t.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN m.maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN th.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM trg t
+JOIN maybe m ON m.gram = t.gram
+JOIN truth th ON th.gram = t.gram
+GROUP BY t.doc_id
+""",
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination's 100 TB shape: instead of broadcasting the full
+    eval GRAM SET, broadcast a fixed-size Bloom filter of it (n_bits
+    positions regardless of benchmark size), count each train doc's
+    maybe-hits, and exact-verify only the unique maybe grams. Per doc:
+    (n_grams, n_maybe, n_hits) — n_maybe ≥ n_hits always (no false
+    negatives), and because the md5 positions are deterministic even the
+    false-positive margin hash-matches the DuckDB dual. Composes
+    `bloom_membership` into the `decontam_ngram_overlap` pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    ev_grams = ev.select(
+        F.explode(dedup.word_shingles(F.col("text"), 5)).alias("gram")
+    ).distinct()
+    trg = tr.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("text"), 5)).alias("gram")
+    )
+    uniq = trg.select("gram").distinct()
+    maybe = _sketches.bloom_membership(
+        ev_grams, uniq, "gram", n_bits=65536, n_hashes=5
+    ).withColumnRenamed("in_bloom", "maybe")
+    truth = uniq.join(
+        F.broadcast(ev_grams.withColumn("__t", F.lit(1))), "gram", "left"
+    ).select("gram", F.col("__t").isNotNull().alias("hit"))
+    return (
+        trg.join(maybe, "gram")
+        .join(truth, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("bigint").alias("n_maybe"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+@register(
     "decontam_clean_corpus",
     oracle=f"""
 WITH {_DECON_CTES}
@@ -4299,6 +4370,7 @@ _GATE_PRIORITY = [
     "bloom_purchaser_membership",
     "dq_events_expectations",
     "events_value_psi",
+    "decontam_bloom_prefilter",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

@@ -71,3 +71,23 @@ def test_eval_side_broadcasts(spark):
     plan = explain_str(ngram_overlap(train, ev, n=5), "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_prefilter_bounds_exact_hits(spark):
+    """The Bloom maybe-count must dominate the exact hit count per doc
+    (no false negatives), and on the fixture at n_bits=65536 the FP
+    margin is zero for almost every doc — the prefilter passes exactly
+    the contaminated grams through to the verify stage."""
+    from prom_etl_db_spark.queries import QUERIES
+
+    out = QUERIES["decontam_bloom_prefilter"](spark, "/root/testdata/sf0.001").collect()
+    assert out, "train split must be non-empty"
+    assert all(r["n_maybe"] >= r["n_hits"] for r in out)
+    assert all(r["n_grams"] >= r["n_maybe"] for r in out)
+    # cross-check exact hits against the ngram_overlap ground truth
+    truth = {
+        r["doc_id"]: r["n_hits"]
+        for r in QUERIES["decontam_ngram_overlap"](spark, "/root/testdata/sf0.001").collect()
+    }
+    for r in out:
+        assert truth[r["doc_id"]] == r["n_hits"]
