@@ -81,9 +81,17 @@ def evaluate_config_query(
         # rate(x[5m]) / increase(x[5m]) as a RANGE query: the sliding
         # [t − frame, t) window evaluated at every grid step — the
         # range-function form _eval_stream's stream mode can't express
+        _SLIDING_FNS = (
+            "rate",
+            "increase",
+            "delta",
+            "sum_over_time",
+            "count_over_time",
+            "avg_over_time",
+        )
         if (
             isinstance(node, Call)
-            and node.fn in ("rate", "increase", "delta")
+            and node.fn in _SLIDING_FNS
             and len(node.args) == 1
             and isinstance(node.args[0], Selector)
             and node.args[0].range_
@@ -100,12 +108,17 @@ def evaluate_config_query(
                 EvalContext(samples, end, range_bounds=(start, end)),
                 Selector(sel.name, sel.matchers, offset=sel.offset),
             )
+            from functools import partial
+
             from prom_etl_db_spark.operators import promql as _promql
 
             range_fn = {
                 "rate": _promql.rate_range,
                 "increase": _promql.increase_range,
                 "delta": _promql.delta_range,
+                "sum_over_time": partial(_promql.agg_over_time_range, agg="sum"),
+                "count_over_time": partial(_promql.agg_over_time_range, agg="count"),
+                "avg_over_time": partial(_promql.agg_over_time_range, agg="avg"),
             }[node.fn]
             stream = range_fn(
                 raw, frame=sel.range_, step=step, start=start, end=end

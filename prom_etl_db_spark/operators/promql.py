@@ -1250,6 +1250,135 @@ def rate_range(samples: DataFrame, *, frame: str, **kw) -> DataFrame:
     return out.withColumn("value", F.col("value") / F.lit(seconds))
 
 
+def agg_over_time_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    agg: str = "sum",
+    method: str = "auto",
+) -> DataFrame:
+    """RANGE-QUERY ``sum/count/avg_over_time``: the sliding
+    ``[t − frame, t)`` window aggregate at every grid step — the
+    Grafana moving-window pattern the tumbling stream mode (one bucket
+    per step) can't express.
+
+    Strategies mirror ``increase_range``, one structural simplification:
+    the difference array is per-SAMPLE, not per-pair — sample s covers
+    the contiguous grid run (ts, ts + frame], so it becomes (+value, +1)
+    at its first covered instant and the negation one step past its
+    last; running (Σvalue, Σcount) per series reads off every window,
+    ``avg`` divides at the end. Intermediates O(samples + output) at any
+    frame/step ratio. ``explode`` (auto below ratio 32) is the simple
+    per-instant groupBy; float reassociation between the two is ~1e-13
+    relative (unit-tested at 1e-9). Empty windows drop out (count ≥ 1),
+    matching the instant forms' empty-frame behavior.
+
+    Output: (labels, bucket_start, value).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    if agg not in ("sum", "count", "avg"):
+        raise ValueError(f"unsupported agg_over_time_range agg {agg!r}")
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    if method == "auto":
+        method = "events" if frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO else "explode"
+    if method not in ("explode", "events"):
+        raise ValueError(f"unknown agg_over_time_range method {method!r}")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    # window [t−frame, t) contains ts  ⟺  ts < t ≤ ts + frame
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    value_of = {
+        "sum": F.col("__v"),
+        "count": F.col("__n").cast("double"),
+        "avg": F.col("__v") / F.col("__n"),
+    }
+    if method == "explode":
+        exploded = df.where(first <= last).select(
+            "__series",
+            "value",
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(first),
+                    F.timestamp_seconds(last),
+                    F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+                )
+            ).alias("bucket_start"),
+        )
+        return (
+            exploded.groupBy("__series", "bucket_start")
+            .agg(F.sum("value").alias("__v"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                F.map_from_entries("__series").alias("labels"),
+                "bucket_start",
+                value_of[agg].alias("value"),
+            )
+        )
+    events = (
+        df.select("__series", "value", first.alias("__tmin"), last.alias("__tmax"))
+        .where(F.col("__tmin") <= F.col("__tmax"))
+        .select(
+            "__series",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__tmin").alias("t"),
+                        F.col("value").alias("dv"),
+                        F.lit(1).cast("long").alias("dc"),
+                    ),
+                    F.struct(
+                        (F.col("__tmax") + step_s).alias("t"),
+                        (-F.col("value")).alias("dv"),
+                        F.lit(-1).cast("long").alias("dc"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("__series", "e.t", "e.dv", "e.dc")
+        .groupBy("__series", "t")
+        .agg(F.sum("dv").alias("dv"), F.sum("dc").alias("dc"))
+    )
+    w2 = Window.partitionBy("__series").orderBy("t")
+    cum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = events.select(
+        "__series",
+        "t",
+        F.sum("dv").over(cum).alias("__v"),
+        F.sum("dc").over(cum).alias("__n"),
+        F.lead("t").over(w2).alias("__next_t"),
+    )
+    seg_end = F.least(F.coalesce(F.col("__next_t") - step_s, tN), tN)
+    return (
+        run.where((F.col("__n") >= 1) & (F.col("t") <= seg_end))
+        .select(
+            "__series",
+            "__v",
+            "__n",
+            F.explode(
+                F.sequence(
+                    F.col("t").cast("long"),
+                    seg_end.cast("long"),
+                    F.lit(int(step_s)),
+                )
+            ).alias("__g"),
+        )
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            F.timestamp_seconds("__g").alias("bucket_start"),
+            value_of[agg].alias("value"),
+        )
+    )
+
+
 def _frame(samples: DataFrame, frame_start: datetime, frame_end: datetime) -> DataFrame:
     """[frame_start, frame_end) filter + series key; the time predicate
     sits before any shuffle so it pushes into the scan."""

@@ -2103,6 +2103,73 @@ def promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_sliding_window_aggs",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
+  FROM range(0, 21)
+), joined AS (
+  SELECT s.name, g.t, s.value
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+)
+SELECT name, t AS bucket_start,
+       round(sum(value), 4) AS sliding_sum,
+       CAST(count(*) AS BIGINT) AS sliding_count,
+       round(sum(value) / count(*), 6) AS sliding_avg
+FROM joined GROUP BY name, t
+""",
+)
+def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY sum/count/avg_over_time: the sliding 12h window
+    evaluated at every 6h grid step — the moving-window pattern the
+    tumbling stream mode can't express (executor-wired for
+    `sum_over_time(m[12h])` config rows in range mode). The avg is
+    derived from the same (Σ, n) state, so one plan serves all three.
+    The oracle replays the sliding windows via a time-range join."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.agg_over_time_range(
+        samples,
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+        agg="sum",
+    )
+    cnt = promql.agg_over_time_range(
+        samples,
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+        agg="count",
+    ).select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.col("value").cast("bigint").alias("sliding_count"),
+    )
+    return (
+        out.select(
+            F.element_at("labels", "name").alias("name"),
+            "bucket_start",
+            F.col("value").alias("__sum"),
+        )
+        .join(cnt, ["name", "bucket_start"])
+        .select(
+            "name",
+            "bucket_start",
+            F.round("__sum", 4).alias("sliding_sum"),
+            "sliding_count",
+            F.round(F.col("__sum") / F.col("sliding_count"), 6).alias("sliding_avg"),
+        )
+    )
+
+
+@register(
     "promql_rate_range_wide",
     oracle="""
 WITH samples AS (
@@ -4371,6 +4438,7 @@ _GATE_PRIORITY = [
     "dq_events_expectations",
     "events_value_psi",
     "decontam_bloom_prefilter",
+    "promql_sliding_window_aggs",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

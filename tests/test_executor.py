@@ -162,3 +162,31 @@ def test_range_config_delta_evaluates_sliding_windows(samples):
     # hourly counter 10..15 at 06:00..11:00; window [t-2h, t) holds two
     # points with delta exactly 1.0 at each grid step
     assert a and all(v == 1.0 for v in a.values())
+
+
+def test_range_config_sliding_sum_avg_count(samples):
+    """sum/avg/count_over_time(cpu[2h]) as range configs: the executor's
+    sliding fast path — hourly points, so every full [t-2h, t) window
+    holds two samples and the hand values are exact."""
+    for fn, a_vals in (
+        ("sum_over_time", lambda lo, hi: lo + hi),
+        ("avg_over_time", lambda lo, hi: (lo + hi) / 2),
+        ("count_over_time", lambda lo, hi: 2.0),
+    ):
+        cfg = QueryConfig(
+            query_id=f"g-{fn}", name=fn, query=f"{fn}(cpu[2h])",
+            time_range_type="range",
+            time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+        )
+        out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+        assert rtype == "range", fn
+        a = {
+            r["timestamp"]: r["value"]
+            for r in out.where(F.col("labels")["host"] == "a").collect()
+        }
+        # grid 09:00, 10:00, 11:00: window [t-2h, t) holds the samples at
+        # t-2h and t-1h — values (10+h) with h = hour-6
+        for t, v in a.items():
+            h = t.hour
+            lo, hi = float(10 + (h - 2 - 6)), float(10 + (h - 1 - 6))
+            assert v == pytest.approx(a_vals(lo, hi)), (fn, t)

@@ -674,3 +674,71 @@ def test_delta_range_strategies_agree_and_match_hand_values(spark):
         ).collect()
     }
     assert out == {"x": -7.0}
+
+
+def test_agg_over_time_range_strategies_and_hand_values(spark):
+    """Sliding sum/count/avg_over_time range mode: the per-sample
+    difference-array strategy equals the explode strategy, and both
+    match a pure-python sliding-window replay."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import agg_over_time_range
+
+    rng = random.Random(7)
+    rows = []
+    raw = {}
+    for host in ("a", "b"):
+        raw[host] = []
+        for i in range(90):
+            if rng.random() < 0.1:
+                continue  # gaps
+            off = -5400 + i * 60 + rng.randint(-9, 9)
+            v = round(rng.uniform(-3, 10), 3)
+            rows.append(({"host": host}, v, off))
+            raw[host].append((off, v))
+    df = _samples(spark, rows)
+    kw = dict(
+        frame="30m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+    )
+    for agg in ("sum", "count", "avg"):
+        a = agg_over_time_range(df, agg=agg, method="explode", **kw)
+        b = agg_over_time_range(df, agg=agg, method="events", **kw)
+        ra = {(r["labels"]["host"], r["bucket_start"]): r["value"] for r in a.collect()}
+        rb = {(r["labels"]["host"], r["bucket_start"]): r["value"] for r in b.collect()}
+        assert set(ra) == set(rb) and ra, agg
+        assert all(
+            abs(ra[k] - rb[k]) <= 1e-9 * max(1.0, abs(ra[k])) for k in ra
+        ), agg
+        # python replay: window (t-1800, t] ... actually [t-1800, t) on
+        # the second offsets relative to T0
+        for (host, bucket), got in ra.items():
+            t = (bucket - T0).total_seconds()
+            vals = [v for (off, v) in raw[host] if t - 1800 <= off < t]
+            if not vals:
+                continue
+            want = {
+                "sum": sum(vals),
+                "count": float(len(vals)),
+                "avg": sum(vals) / len(vals),
+            }[agg]
+            assert got == pytest.approx(want, rel=1e-9), (agg, host, bucket)
+
+
+def test_agg_over_time_range_empty_windows_drop(spark):
+    from prom_etl_db_spark.operators.promql import agg_over_time_range
+
+    df = _samples(spark, [({"h": "x"}, 5.0, -3000)])
+    out = agg_over_time_range(
+        df,
+        frame="5m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0,
+        agg="count",
+        method="events",
+    ).collect()
+    # one sample covers exactly the grid instants within (ts, ts+300]
+    assert len(out) == 1 and out[0]["value"] == 1.0
