@@ -88,6 +88,8 @@ def evaluate_config_query(
             "sum_over_time",
             "count_over_time",
             "avg_over_time",
+            "max_over_time",
+            "min_over_time",
         )
         if (
             isinstance(node, Call)
@@ -119,6 +121,12 @@ def evaluate_config_query(
                 "sum_over_time": partial(_promql.agg_over_time_range, agg="sum"),
                 "count_over_time": partial(_promql.agg_over_time_range, agg="count"),
                 "avg_over_time": partial(_promql.agg_over_time_range, agg="avg"),
+                "max_over_time": lambda df, **kw: _promql.extrema_over_time_range(
+                    df, **kw
+                ).selectExpr("labels", "bucket_start", "vmax AS value"),
+                "min_over_time": lambda df, **kw: _promql.extrema_over_time_range(
+                    df, **kw
+                ).selectExpr("labels", "bucket_start", "vmin AS value"),
             }[node.fn]
             stream = range_fn(
                 raw, frame=sel.range_, step=step, start=start, end=end

@@ -1250,6 +1250,133 @@ def rate_range(samples: DataFrame, *, frame: str, **kw) -> DataFrame:
     return out.withColumn("value", F.col("value") / F.lit(seconds))
 
 
+def extrema_over_time_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    method: str = "auto",
+) -> DataFrame:
+    """RANGE-QUERY ``max_over_time`` + ``min_over_time`` in ONE pass:
+    both sliding-window extremes at every grid step.
+
+    Max/min are NOT difference-arrayable (no inverse), so the scale
+    strategy is different from ``agg_over_time_range``: the classic
+    two-phase bucket decomposition. Requires frame % step == 0 (then
+    window [t−frame, t) is an exact union of frame/step tumbling
+    step-buckets):
+
+    - ``buckets`` — phase 1 computes per-(series, bucket) max/min (one
+      hash agg over samples); phase 2 densifies each series onto the
+      step grid (rows = series × grid — the OUTPUT size, not the sample
+      count) and takes a RANGE-window max/min over the bucket values in
+      [t−frame, t−step]. No per-sample explode anywhere: cost is
+      O(samples + output), independent of frame/step.
+    - ``explode`` — the per-instant groupBy fallback (also the only
+      option when frame isn't a step multiple).
+    - ``auto`` — ``buckets`` when frame % step == 0 and the ratio
+      exceeds the explode cap, else ``explode``.
+
+    Windows with no samples drop out. Output:
+    (labels, bucket_start, vmax, vmin).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    aligned = frame_s % step_s == 0
+    if method == "auto":
+        method = (
+            "buckets"
+            if aligned and frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO
+            else "explode"
+        )
+    if method == "buckets" and not aligned:
+        raise ValueError("buckets strategy needs frame to be a multiple of step")
+    if method not in ("explode", "buckets"):
+        raise ValueError(f"unknown extrema_over_time_range method {method!r}")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    if method == "explode":
+        first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+        last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+        return (
+            df.where(first <= last)
+            .select(
+                "__series",
+                "value",
+                F.explode(
+                    F.sequence(
+                        F.timestamp_seconds(first),
+                        F.timestamp_seconds(last),
+                        F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+                    )
+                ).alias("bucket_start"),
+            )
+            .groupBy("__series", "bucket_start")
+            .agg(F.max("value").alias("vmax"), F.min("value").alias("vmin"))
+            .select(
+                F.map_from_entries("__series").alias("labels"),
+                "bucket_start",
+                "vmax",
+                "vmin",
+            )
+        )
+    # phase 1: tumbling step-bucket extremes (bucket start, step-aligned
+    # to the grid; buckets from start − frame so early windows see their
+    # pre-range context, like every other range-mode function)
+    b = (t0 + F.floor((ts - t0) / step_s) * step_s).cast("long")
+    buckets = (
+        df.select("__series", b.alias("__b"), "value")
+        .groupBy("__series", "__b")
+        .agg(F.max("value").alias("__bmax"), F.min("value").alias("__bmin"))
+    )
+    # phase 2: densify each series onto the bucket grid and range-window
+    grid = (
+        buckets.select("__series")
+        .distinct()
+        .select(
+            "__series",
+            F.explode(
+                F.sequence(
+                    (t0 - F.lit(frame_s)).cast("long"),
+                    (tN - F.lit(step_s)).cast("long"),
+                    F.lit(int(step_s)),
+                )
+            ).alias("__b"),
+        )
+    )
+    dense = grid.join(buckets, ["__series", "__b"], "left")
+    w = (
+        Window.partitionBy("__series")
+        .orderBy("__b")
+        .rangeBetween(-int(frame_s - step_s), 0)
+    )
+    out = dense.select(
+        "__series",
+        (F.col("__b") + step_s).alias("__t"),
+        F.max("__bmax").over(w).alias("vmax"),
+        F.min("__bmin").over(w).alias("vmin"),
+    )
+    return (
+        out.where(
+            (F.col("__t") >= t0) & (F.col("__t") <= tN) & F.col("vmax").isNotNull()
+        )
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            F.timestamp_seconds(F.col("__t").cast("long")).alias("bucket_start"),
+            "vmax",
+            "vmin",
+        )
+    )
+
+
 def agg_over_time_range(
     samples: DataFrame,
     *,

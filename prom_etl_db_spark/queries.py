@@ -2170,6 +2170,50 @@ def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_sliding_extremes",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
+  FROM range(0, 21)
+), joined AS (
+  SELECT s.name, g.t, s.value
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+)
+SELECT name, t AS bucket_start, max(value) AS vmax, min(value) AS vmin
+FROM joined GROUP BY name, t
+""",
+)
+def promql_sliding_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY max/min_over_time via the SCALE strategy (two-phase
+    bucket decomposition, forced here so the oracle validates it, not
+    the explode fallback): per-(series, step-bucket) extremes, then a
+    densified RANGE-window over bucket values — O(samples + output) at
+    any frame/step ratio, the non-invertible-aggregate counterpart to
+    the difference-array family. Executor-wired for
+    `max_over_time(m[12h])` range configs."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.extrema_over_time_range(
+        samples,
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+        method="buckets",
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        "vmax",
+        "vmin",
+    )
+
+
+@register(
     "promql_rate_range_wide",
     oracle="""
 WITH samples AS (
@@ -4439,6 +4483,7 @@ _GATE_PRIORITY = [
     "events_value_psi",
     "decontam_bloom_prefilter",
     "promql_sliding_window_aggs",
+    "promql_sliding_extremes",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

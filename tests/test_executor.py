@@ -190,3 +190,26 @@ def test_range_config_sliding_sum_avg_count(samples):
             h = t.hour
             lo, hi = float(10 + (h - 2 - 6)), float(10 + (h - 1 - 6))
             assert v == pytest.approx(a_vals(lo, hi)), (fn, t)
+
+
+def test_range_config_sliding_max_min(samples):
+    """max/min_over_time(cpu[2h]) as range configs ride the extrema fast
+    path: window [t-2h, t) holds the t-2h and t-1h hourly points, so
+    max = the newer, min = the older — exact."""
+    for fn, pick in (("max_over_time", max), ("min_over_time", min)):
+        cfg = QueryConfig(
+            query_id=f"g-{fn}", name=fn, query=f"{fn}(cpu[2h])",
+            time_range_type="range",
+            time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+        )
+        out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+        assert rtype == "range", fn
+        a = {
+            r["timestamp"]: r["value"]
+            for r in out.where(F.col("labels")["host"] == "a").collect()
+        }
+        assert a, fn
+        for t, v in a.items():
+            h = t.hour
+            lo, hi = float(10 + (h - 2 - 6)), float(10 + (h - 1 - 6))
+            assert v == pick(lo, hi), (fn, t)

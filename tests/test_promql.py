@@ -742,3 +742,45 @@ def test_agg_over_time_range_empty_windows_drop(spark):
     ).collect()
     # one sample covers exactly the grid instants within (ts, ts+300]
     assert len(out) == 1 and out[0]["value"] == 1.0
+
+
+def test_extrema_over_time_range_buckets_equals_explode(spark):
+    """Sliding max/min range mode: the two-phase bucket strategy must be
+    value-identical to the explode strategy (max/min are exact — no
+    float tolerance needed), including windows whose newest bucket is
+    empty (the densify step exists for exactly that case)."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import extrema_over_time_range
+
+    rng = random.Random(11)
+    rows = []
+    for host in ("a", "b"):
+        for i in range(80):
+            if 30 <= i < 45 and host == "a":
+                continue  # long gap: windows with empty recent buckets
+            off = -5400 + i * 60 + rng.randint(-9, 9)
+            rows.append(({"host": host}, round(rng.uniform(-5, 50), 3), off))
+    df = _samples(spark, rows)
+    kw = dict(
+        frame="40m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+    )
+    a = extrema_over_time_range(df, method="explode", **kw)
+    b = extrema_over_time_range(df, method="buckets", **kw)
+
+    def d(out):
+        return {
+            (r["labels"]["host"], r["bucket_start"]): (r["vmax"], r["vmin"])
+            for r in out.collect()
+        }
+
+    ra, rb = d(a), d(b)
+    assert ra and set(ra) == set(rb)
+    assert ra == rb
+
+    with pytest.raises(ValueError):
+        extrema_over_time_range(df, method="buckets", frame="7m", step="2m",
+                                start=T0, end=T0 + timedelta(seconds=600))
