@@ -1377,6 +1377,113 @@ def extrema_over_time_range(
     )
 
 
+def quantile_sketch_over_time_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    q: float = 0.9,
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """RANGE-QUERY sliding quantile — the histogram-sketch member of the
+    sliding family (sum/avg: difference array; max/min: bucket
+    decomposition; quantile: bucketed HISTOGRAMS, because quantiles
+    neither invert nor compose).
+
+    Requires frame % step == 0. Phase 1 reduces samples to
+    (series, step-bucket, value-bin) counts — one hash agg, after which
+    the sample count never matters again. Phase 2 explodes each BUCKET
+    row onto the frame/step grid instants whose window contains it
+    (amplification = ratio × occupied bins per bucket — bucket rows, not
+    samples), re-aggregates per (series, t, bin), and reads the quantile
+    off the cumulative counts with the same clamped-bin linear
+    interpolation as ``functions.sketches.quantile_histogram`` (within
+    one bin width of the true sliding quantile). Deterministic: integer
+    counts + IEEE interpolation, so the registry oracle hash-matches.
+
+    Output: (labels, bucket_start, n_values, q_estimate).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    if frame_s % step_s != 0:
+        raise ValueError("quantile sketch range mode needs frame % step == 0")
+    width = (hi - lo) / bins
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    b = (t0 + F.floor((ts - t0) / step_s) * step_s).cast("long")
+    vbin = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = (
+        df.select("__series", b.alias("__b"), vbin.alias("__vbin"))
+        .groupBy("__series", "__b", "__vbin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # bucket [b, b+step) ⊆ window [t−frame, t)  ⟺  t ∈ [b+step, b+frame]
+    first = F.greatest(F.col("__b") + F.lit(int(step_s)), t0.cast("long"))
+    last = F.least(F.col("__b") + F.lit(int(frame_s)), tN.cast("long"))
+    win = (
+        counts.where(first <= last)
+        .select(
+            "__series",
+            "__vbin",
+            "__c",
+            F.explode(
+                F.sequence(first, last, F.lit(int(step_s)))
+            ).alias("__t"),
+        )
+        .groupBy("__series", "__t", "__vbin")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    wb = Window.partitionBy("__series", "__t").orderBy("__vbin")
+    wt = Window.partitionBy("__series", "__t")
+    cum = win.select(
+        "__series",
+        "__t",
+        "__vbin",
+        "__c",
+        F.sum("__c").over(wb).alias("__cum"),
+        F.sum("__c").over(wt).alias("__n"),
+    )
+    rank = F.ceil(F.lit(q) * F.col("__n")).cast("bigint")
+    hit = (
+        cum.where(F.col("__cum") >= rank)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__series", "__t").orderBy("__vbin")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    est = (
+        F.lit(lo)
+        + F.col("__vbin").cast("double") * F.lit(width)
+        + F.lit(width)
+        * (rank - (F.col("__cum") - F.col("__c"))).cast("double")
+        / F.col("__c").cast("double")
+    )
+    return hit.select(
+        F.map_from_entries("__series").alias("labels"),
+        F.timestamp_seconds(F.col("__t")).alias("bucket_start"),
+        F.col("__n").cast("bigint").alias("n_values"),
+        F.round(est, 6).alias("q_estimate"),
+    )
+
+
 def agg_over_time_range(
     samples: DataFrame,
     *,

@@ -2214,6 +2214,69 @@ def promql_sliding_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_sliding_quantile",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
+  FROM range(0, 21)
+), joined AS (
+  SELECT s.name, g.t,
+         least(63, greatest(0, CAST(floor((s.value - 0.0) / 7.8125) AS INT))) AS vbin
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+), counts AS (
+  SELECT name, t, vbin, count(*) AS c FROM joined GROUP BY name, t, vbin
+), cums AS (
+  SELECT name, t, vbin, c,
+         sum(c) OVER (PARTITION BY name, t ORDER BY vbin) AS cum,
+         sum(c) OVER (PARTITION BY name, t) AS n
+  FROM counts
+), hit AS (
+  SELECT name, t, vbin, c, cum, n,
+         row_number() OVER (PARTITION BY name, t ORDER BY vbin) AS rn
+  FROM cums WHERE cum >= ceil(0.9 * n)
+)
+SELECT name, t AS bucket_start,
+       CAST(n AS BIGINT) AS n_values,
+       round(0.0 + CAST(vbin AS DOUBLE) * 7.8125
+             + 7.8125 * CAST(ceil(0.9 * n) - (cum - c) AS DOUBLE)
+               / CAST(c AS DOUBLE), 6) AS q_estimate
+FROM hit WHERE rn = 1
+""",
+)
+def promql_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY sliding q90 via bucketed histograms — quantiles
+    neither invert (no difference array) nor compose (no
+    max-of-maxes), so the sliding family's third technique: reduce
+    samples to (series, step-bucket, value-bin) counts once, then only
+    BUCKET rows fan onto the grid. Within one bin width (500/64 ≈ 7.8)
+    of the exact sliding quantile; deterministic, so the oracle
+    hash-matches the estimate itself."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    out = promql.quantile_sketch_over_time_range(
+        samples,
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+        q=0.9,
+        bins=64,
+        lo=0.0,
+        hi=500.0,
+    )
+    return out.select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        "n_values",
+        "q_estimate",
+    )
+
+
+@register(
     "promql_rate_range_wide",
     oracle="""
 WITH samples AS (
@@ -4484,6 +4547,7 @@ _GATE_PRIORITY = [
     "decontam_bloom_prefilter",
     "promql_sliding_window_aggs",
     "promql_sliding_extremes",
+    "promql_sliding_quantile",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

@@ -784,3 +784,44 @@ def test_extrema_over_time_range_buckets_equals_explode(spark):
     with pytest.raises(ValueError):
         extrema_over_time_range(df, method="buckets", frame="7m", step="2m",
                                 start=T0, end=T0 + timedelta(seconds=600))
+
+
+def test_quantile_sketch_over_time_range_tracks_exact(spark):
+    """Sliding histogram-quantile: within one bin width of the exact
+    sliding q90 computed by a pure-python replay, at every grid step."""
+    import math
+    import random
+
+    from prom_etl_db_spark.operators.promql import quantile_sketch_over_time_range
+
+    rng = random.Random(5)
+    raw = []
+    for i in range(200):
+        off = -5400 + i * 30 + rng.randint(-5, 5)
+        raw.append((off, round(rng.uniform(0, 480), 3)))
+    df = _samples(spark, [({"h": "x"}, v, off) for off, v in raw])
+    kw = dict(
+        frame="30m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+        q=0.9,
+        bins=64,
+        lo=0.0,
+        hi=500.0,
+    )
+    out = quantile_sketch_over_time_range(df, **kw)
+    got = {r["bucket_start"]: (r["n_values"], r["q_estimate"]) for r in out.collect()}
+    assert got
+    width = 500.0 / 64
+    for bucket, (n, est) in got.items():
+        t = (bucket - T0).total_seconds()
+        vals = sorted(v for off, v in raw if t - 1800 <= off < t)
+        assert n == len(vals) and vals
+        exact = vals[math.ceil(0.9 * len(vals)) - 1]
+        assert abs(est - exact) <= width, (bucket, est, exact)
+
+    with pytest.raises(ValueError):
+        quantile_sketch_over_time_range(
+            df, frame="7m", step="2m", start=T0, end=T0 + timedelta(seconds=600)
+        )
