@@ -236,6 +236,30 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     # as the production variants probed above
     run("minhash_band_pairs", dedup.minhash_band_dup_pairs_md5(docs, threshold=0.3))
     run("signlsh_codes", similarity.signlsh_codes(emb, bits=16, dim=64))
+
+    # sliding-window range mode, WIDE ratio (ratio 288 at 24h/5m): the
+    # per-sample difference array (sum), bucket decomposition (max/min),
+    # and bucketed histograms (quantile) must all stay O(samples+output)
+    kw = dict(
+        frame="24h",
+        step="5m",
+        start=_dt(2024, 1, 2),
+        end=_dt(2024, 1, 30) + _td(days=35 * (k - 1)),
+    )
+    run(
+        "sliding_sum_wide",
+        promql.agg_over_time_range(samples_nk, agg="sum", method="events", **kw),
+    )
+    run(
+        "sliding_extrema_wide",
+        promql.extrema_over_time_range(samples_nk, method="buckets", **kw),
+    )
+    run(
+        "sliding_quantile_wide",
+        promql.quantile_sketch_over_time_range(
+            samples_nk, q=0.9, bins=64, lo=0.0, hi=500.0, **kw
+        ),
+    )
     return times
 
 
