@@ -496,3 +496,107 @@ def run_qhist_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming count-min sketch ---------------------------------------------
+
+CM_STATE_SCHEMA = StructType(
+    [StructField("cells", ArrayType(LongType()), True)]
+)
+
+CM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("n_rows", LongType(), True),
+        StructField("cells_sum", LongType(), True),
+        StructField("max_cell", LongType(), True),
+    ]
+)
+
+
+def make_cm_fold(depth: int, width: int):
+    """Per-group fold: count-min counters as checkpointed state.
+
+    Same md5 cell map as ``functions.sketches.countmin_estimates``
+    (cell(i, k) = md5("cm-i-"||k) % width), flattened to one
+    depth×width long array; counters merge by ADDITION across
+    micro-batches exactly as shards merge by addition in the batch
+    form. Emits integer fingerprints of the state (row count, total,
+    max cell) so tests can assert stream ≡ batch cell-for-cell via the
+    probe API.
+    """
+    import hashlib
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        cells = list(state.get[0]) if state.exists else [0] * (depth * width)
+        n = 0
+        for pdf in pdfs:
+            for k in pdf["k"]:
+                n += 1
+                for i in range(depth):
+                    h = int(
+                        hashlib.md5(f"cm-{i}-{k}".encode()).hexdigest()[:8], 16
+                    )
+                    cells[i * width + h % width] += 1
+        state.update((cells,))
+        yield pd.DataFrame(
+            {
+                "g": [g],
+                "n_rows": [sum(cells) // depth],
+                "cells_sum": [sum(cells)],
+                "max_cell": [max(cells)],
+            }
+        )
+
+    return fold
+
+
+def streaming_countmin(
+    keyed: DataFrame, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Stream-transform: per-group running count-min counters.
+
+    ``keyed`` is a STREAMING DataFrame shaped (g string, k string).
+    State is depth×width longs per group — fixed-size for an unbounded
+    stream, like the HLL registers and quantile buckets beside it.
+    """
+    return keyed.groupBy("g").applyInPandasWithState(
+        make_cm_fold(depth, width),
+        outputStructType=CM_OUTPUT_SCHEMA,
+        stateStructType=CM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_countmin_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    available_now: bool = True,
+):
+    """Drive the streaming count-min over a file source (same sink
+    protocol as ``run_counter_stream``)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = raw.select(
+        F.col("event_type").alias("g"), F.col("user_id").cast("string").alias("k")
+    )
+    out = streaming_countmin(keyed)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -479,3 +479,53 @@ def test_streaming_quantile_matches_batch_sketch_across_restart(spark, tmp_path)
     ).first()
     assert last["n_values"] == batch["n_values"] == 1300
     assert last["q_estimate"] == batch["q_estimate"]
+
+
+def test_streaming_countmin_matches_batch_sketch_across_restart(spark, tmp_path):
+    """applyInPandasWithState count-min: counters add across micro-
+    batches and a checkpoint restart; the final state's estimates (via
+    the batch probe API over the union) bound every key's true count
+    from above, and integer state fingerprints match the batch build."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.functions import sketches
+    from prom_etl_db_spark.streaming.stateful import run_countmin_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "cm_src")
+    sink = str(tmp_path / "cm_sink")
+    ckpt = str(tmp_path / "cm_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    rows1 = [(i, t0, i % 60, "click", 1.0, None) for i in range(300)]
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run_countmin_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    rows2 = [(1000 + i, t0 + timedelta(minutes=1), i % 90, "click", 1.0, None)
+             for i in range(200)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_countmin_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    last = (
+        spark.read.parquet(sink)
+        .where(F.col("g") == "click")
+        .orderBy(F.desc("batch_id"))
+        .first()
+    )
+    assert last["n_rows"] == 500
+    assert last["cells_sum"] == 500 * 4
+    # batch dual over the union: same cell map -> the batch estimates'
+    # max must equal (or bound) the stream state's max cell
+    ev = spark.read.parquet(src).selectExpr("cast(user_id as string) as k")
+    probes = ev.distinct()
+    est = {
+        r["k"]: r["cm_estimate"]
+        for r in sketches.countmin_estimates(ev, "k", probes).collect()
+    }
+    exact = {r["k"]: r["c"] for r in ev.groupBy("k").count()
+             .withColumnRenamed("count", "c").collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert max(est.values()) <= last["max_cell"]
