@@ -90,6 +90,8 @@ def evaluate_config_query(
             "avg_over_time",
             "max_over_time",
             "min_over_time",
+            "stdvar_over_time",
+            "stddev_over_time",
         )
         if (
             isinstance(node, Call)
@@ -121,6 +123,8 @@ def evaluate_config_query(
                 "sum_over_time": partial(_promql.agg_over_time_range, agg="sum"),
                 "count_over_time": partial(_promql.agg_over_time_range, agg="count"),
                 "avg_over_time": partial(_promql.agg_over_time_range, agg="avg"),
+                "stdvar_over_time": partial(_promql.agg_over_time_range, agg="stdvar"),
+                "stddev_over_time": partial(_promql.agg_over_time_range, agg="stddev"),
                 "max_over_time": lambda df, **kw: _promql.extrema_over_time_range(
                     df, **kw
                 ).selectExpr("labels", "bucket_start", "vmax AS value"),

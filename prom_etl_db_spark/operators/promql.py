@@ -1494,10 +1494,12 @@ def agg_over_time_range(
     agg: str = "sum",
     method: str = "auto",
 ) -> DataFrame:
-    """RANGE-QUERY ``sum/count/avg_over_time``: the sliding
-    ``[t − frame, t)`` window aggregate at every grid step — the
-    Grafana moving-window pattern the tumbling stream mode (one bucket
-    per step) can't express.
+    """RANGE-QUERY ``sum/count/avg/stdvar/stddev_over_time``: the
+    sliding ``[t − frame, t)`` window aggregate at every grid step —
+    the Grafana moving-window pattern the tumbling stream mode (one
+    bucket per step) can't express. stdvar/stddev ride the two-sums
+    identity (Σv, Σv², n are all difference-arrayable; the subtraction
+    is clamped at 0 against float cancellation).
 
     Strategies mirror ``increase_range``, one structural simplification:
     the difference array is per-SAMPLE, not per-pair — sample s covers
@@ -1514,7 +1516,7 @@ def agg_over_time_range(
     """
     from prom_etl_db_spark.timeparse import parse_duration
 
-    if agg not in ("sum", "count", "avg"):
+    if agg not in ("sum", "count", "avg", "stdvar", "stddev"):
         raise ValueError(f"unsupported agg_over_time_range agg {agg!r}")
     frame_td, step_td = parse_duration(frame), parse_duration(step)
     frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
@@ -1531,10 +1533,20 @@ def agg_over_time_range(
     # window [t−frame, t) contains ts  ⟺  ts < t ≤ ts + frame
     first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
     last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    # stdvar/stddev via the two-sums identity Σv²/n − (Σv/n)² — also
+    # difference-arrayable (v² events ride beside v); the subtraction
+    # can dip an epsilon negative under float cancellation → clamp.
+    variance = F.greatest(
+        F.col("__v2") / F.col("__n")
+        - (F.col("__v") / F.col("__n")) * (F.col("__v") / F.col("__n")),
+        F.lit(0.0),
+    )
     value_of = {
         "sum": F.col("__v"),
         "count": F.col("__n").cast("double"),
         "avg": F.col("__v") / F.col("__n"),
+        "stdvar": variance,
+        "stddev": F.sqrt(variance),
     }
     if method == "explode":
         exploded = df.where(first <= last).select(
@@ -1550,7 +1562,11 @@ def agg_over_time_range(
         )
         return (
             exploded.groupBy("__series", "bucket_start")
-            .agg(F.sum("value").alias("__v"), F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.sum("value").alias("__v"),
+                F.sum(F.col("value") * F.col("value")).alias("__v2"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .select(
                 F.map_from_entries("__series").alias("labels"),
                 "bucket_start",
@@ -1567,19 +1583,25 @@ def agg_over_time_range(
                     F.struct(
                         F.col("__tmin").alias("t"),
                         F.col("value").alias("dv"),
+                        (F.col("value") * F.col("value")).alias("dv2"),
                         F.lit(1).cast("long").alias("dc"),
                     ),
                     F.struct(
                         (F.col("__tmax") + step_s).alias("t"),
                         (-F.col("value")).alias("dv"),
+                        (-F.col("value") * F.col("value")).alias("dv2"),
                         F.lit(-1).cast("long").alias("dc"),
                     ),
                 )
             ).alias("e"),
         )
-        .select("__series", "e.t", "e.dv", "e.dc")
+        .select("__series", "e.t", "e.dv", "e.dv2", "e.dc")
         .groupBy("__series", "t")
-        .agg(F.sum("dv").alias("dv"), F.sum("dc").alias("dc"))
+        .agg(
+            F.sum("dv").alias("dv"),
+            F.sum("dv2").alias("dv2"),
+            F.sum("dc").alias("dc"),
+        )
     )
     w2 = Window.partitionBy("__series").orderBy("t")
     cum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1587,6 +1609,7 @@ def agg_over_time_range(
         "__series",
         "t",
         F.sum("dv").over(cum).alias("__v"),
+        F.sum("dv2").over(cum).alias("__v2"),
         F.sum("dc").over(cum).alias("__n"),
         F.lead("t").over(w2).alias("__next_t"),
     )
@@ -1596,6 +1619,7 @@ def agg_over_time_range(
         .select(
             "__series",
             "__v",
+            "__v2",
             "__n",
             F.explode(
                 F.sequence(

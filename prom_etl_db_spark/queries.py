@@ -2120,7 +2120,10 @@ WITH samples AS (
 SELECT name, t AS bucket_start,
        round(sum(value), 4) AS sliding_sum,
        CAST(count(*) AS BIGINT) AS sliding_count,
-       round(sum(value) / count(*), 6) AS sliding_avg
+       round(sum(value) / count(*), 6) AS sliding_avg,
+       round(greatest(sum(value * value) / count(*)
+                      - (sum(value) / count(*)) * (sum(value) / count(*)), 0.0),
+             4) AS sliding_stdvar
 FROM joined GROUP BY name, t
 """,
 )
@@ -2140,17 +2143,21 @@ def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         end=datetime(2024, 1, 30),
         agg="sum",
     )
-    cnt = promql.agg_over_time_range(
-        samples,
+    kw = dict(
         frame="12h",
         step="6h",
         start=datetime(2024, 1, 25),
         end=datetime(2024, 1, 30),
-        agg="count",
-    ).select(
+    )
+    cnt = promql.agg_over_time_range(samples, agg="count", **kw).select(
         F.element_at("labels", "name").alias("name"),
         "bucket_start",
         F.col("value").cast("bigint").alias("sliding_count"),
+    )
+    var = promql.agg_over_time_range(samples, agg="stdvar", **kw).select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.round("value", 4).alias("sliding_stdvar"),
     )
     return (
         out.select(
@@ -2159,12 +2166,14 @@ def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("__sum"),
         )
         .join(cnt, ["name", "bucket_start"])
+        .join(var, ["name", "bucket_start"])
         .select(
             "name",
             "bucket_start",
             F.round("__sum", 4).alias("sliding_sum"),
             "sliding_count",
             F.round(F.col("__sum") / F.col("sliding_count"), 6).alias("sliding_avg"),
+            "sliding_stdvar",
         )
     )
 

@@ -213,3 +213,19 @@ def test_range_config_sliding_max_min(samples):
             h = t.hour
             lo, hi = float(10 + (h - 2 - 6)), float(10 + (h - 1 - 6))
             assert v == pick(lo, hi), (fn, t)
+
+
+def test_range_config_sliding_stddev(samples):
+    """stddev_over_time(cpu[2h]) range config: each full window holds
+    two consecutive hourly points (gap 1.0) -> population stddev 0.5."""
+    cfg = QueryConfig(
+        query_id="g-sd", name="sd", query="stddev_over_time(cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+    assert rtype == "range"
+    vals = [
+        r["value"] for r in out.where(F.col("labels")["host"] == "a").collect()
+    ]
+    assert vals and all(v == pytest.approx(0.5) for v in vals)

@@ -703,7 +703,7 @@ def test_agg_over_time_range_strategies_and_hand_values(spark):
         start=T0 - timedelta(seconds=3600),
         end=T0 + timedelta(seconds=1800),
     )
-    for agg in ("sum", "count", "avg"):
+    for agg in ("sum", "count", "avg", "stdvar", "stddev"):
         a = agg_over_time_range(df, agg=agg, method="explode", **kw)
         b = agg_over_time_range(df, agg=agg, method="events", **kw)
         ra = {(r["labels"]["host"], r["bucket_start"]): r["value"] for r in a.collect()}
@@ -719,12 +719,16 @@ def test_agg_over_time_range_strategies_and_hand_values(spark):
             vals = [v for (off, v) in raw[host] if t - 1800 <= off < t]
             if not vals:
                 continue
+            mean = sum(vals) / len(vals)
+            pvar = max(sum(v * v for v in vals) / len(vals) - mean * mean, 0.0)
             want = {
                 "sum": sum(vals),
                 "count": float(len(vals)),
-                "avg": sum(vals) / len(vals),
+                "avg": mean,
+                "stdvar": pvar,
+                "stddev": pvar ** 0.5,
             }[agg]
-            assert got == pytest.approx(want, rel=1e-9), (agg, host, bucket)
+            assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (agg, host, bucket)
 
 
 def test_agg_over_time_range_empty_windows_drop(spark):
