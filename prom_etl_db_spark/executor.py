@@ -92,6 +92,8 @@ def evaluate_config_query(
             "min_over_time",
             "stdvar_over_time",
             "stddev_over_time",
+            "changes",
+            "resets",
         )
         if (
             isinstance(node, Call)
@@ -125,6 +127,8 @@ def evaluate_config_query(
                 "avg_over_time": partial(_promql.agg_over_time_range, agg="avg"),
                 "stdvar_over_time": partial(_promql.agg_over_time_range, agg="stdvar"),
                 "stddev_over_time": partial(_promql.agg_over_time_range, agg="stddev"),
+                "changes": partial(_promql.changes_range, kind="changes"),
+                "resets": partial(_promql.changes_range, kind="resets"),
                 "max_over_time": lambda df, **kw: _promql.extrema_over_time_range(
                     df, **kw
                 ).selectExpr("labels", "bucket_start", "vmax AS value"),

@@ -1129,6 +1129,7 @@ def _increase_range_events(
     tiebreakers: Sequence[str],
     quantize: "float | None" = None,
     correction: bool = True,
+    contrib_mode: str = "diff",
 ) -> DataFrame:
     """Difference-array evaluation of the sliding-window increase.
 
@@ -1154,13 +1155,20 @@ def _increase_range_events(
         .where(F.col("__prev_v").isNotNull())
     )
     raw_diff = F.col("value") - F.col("__prev_v")
-    contrib = (
-        F.when(F.col("value") < F.col("__prev_v"), F.col("value")).otherwise(
-            raw_diff
+    if contrib_mode == "changes":
+        # pair contributes 1 when the value changed — Σ = PromQL changes()
+        contrib = (F.col("value") != F.col("__prev_v")).cast("double")
+    elif contrib_mode == "resets":
+        # pair contributes 1 on a counter drop — Σ = PromQL resets()
+        contrib = (F.col("value") < F.col("__prev_v")).cast("double")
+    else:
+        contrib = (
+            F.when(F.col("value") < F.col("__prev_v"), F.col("value")).otherwise(
+                raw_diff
+            )
+            if correction  # PromQL counter-reset correction (increase/rate)
+            else raw_diff  # telescoping delta: Σ diffs = last − first
         )
-        if correction  # PromQL counter-reset correction (increase/rate)
-        else raw_diff  # telescoping delta: Σ diffs = last − first
-    )
     scale = None if quantize is None else round(1.0 / quantize)
     if scale is not None:
         # integer-multiple contributions -> exact, order-independent sums
@@ -1373,6 +1381,90 @@ def extrema_over_time_range(
             F.timestamp_seconds(F.col("__t").cast("long")).alias("bucket_start"),
             "vmax",
             "vmin",
+        )
+    )
+
+
+def changes_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    kind: str = "changes",
+    tiebreakers: Sequence[str] = (),
+    method: str = "auto",
+) -> DataFrame:
+    """RANGE-QUERY ``changes``/``resets``: how many value changes (or
+    counter drops) inside the sliding [t − frame, t) window at every
+    grid step — volatility/restart dashboards' moving-window form.
+
+    Both are CONSECUTIVE-PAIR counts, so the whole rate/increase
+    difference-array machinery applies with the contribution swapped
+    for an indicator: a pair covers a contiguous grid run, becomes ±1
+    events, and a per-series running sum reads off every window —
+    O(pairs + output) at any frame/step ratio (``events``, auto above
+    ratio 32; ``explode`` below). Windows with < 2 samples drop out
+    (same convention as the increase/delta family — Prometheus returns
+    0 for single-sample windows; DIVERGENCES.md covers the family).
+
+    Output: (labels, bucket_start, value).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    if kind not in ("changes", "resets"):
+        raise ValueError(f"unknown changes_range kind {kind!r}")
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    if method == "auto":
+        method = "events" if frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO else "explode"
+    if method not in ("explode", "events"):
+        raise ValueError(f"unknown changes_range method {method!r}")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    if method == "events":
+        return _increase_range_events(
+            df, ts, t0, tN, frame_s, step_s, tiebreakers, contrib_mode=kind
+        )
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    exploded = df.where(first <= last).select(
+        "__series",
+        "value",
+        "timestamp",
+        *[F.col(t) for t in tiebreakers],
+        F.explode(
+            F.sequence(
+                F.timestamp_seconds(first),
+                F.timestamp_seconds(last),
+                F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+            )
+        ).alias("bucket_start"),
+    )
+    w = Window.partitionBy("__series", "bucket_start").orderBy(
+        F.col("timestamp"), *[F.col(t) for t in tiebreakers]
+    )
+    prev = F.lag("value").over(w)
+    ind = (
+        (F.col("value") != prev) if kind == "changes" else (F.col("value") < prev)
+    ).cast("double")
+    return (
+        exploded.withColumn("__c", ind)
+        .groupBy("__series", "bucket_start")
+        .agg(
+            F.sum(F.coalesce(F.col("__c"), F.lit(0.0))).alias("value"),
+            F.count("__c").alias("__pairs"),
+        )
+        .where(F.col("__pairs") >= 1)
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            "value",
         )
     )
 

@@ -2286,6 +2286,62 @@ def promql_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_sliding_changes",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value, ts, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
+  FROM range(0, 21)
+), joined AS (
+  SELECT s.name, g.t, s.value, s.ts, s.event_id
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+), paired AS (
+  SELECT name, t, value,
+         lag(value) OVER (PARTITION BY name, t ORDER BY ts, event_id) AS prev
+  FROM joined
+)
+SELECT name, t AS bucket_start,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n_changes,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n_resets
+FROM paired GROUP BY name, t
+HAVING count(prev) >= 1
+""",
+)
+def promql_sliding_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY changes/resets: consecutive-pair counts over the
+    sliding 12h window at every 6h step — the volatility/restart
+    moving-window form. Pairs are difference-arrayable (a pair covers a
+    contiguous grid run → ±1 events), so the wide-ratio cost is
+    O(pairs + output) like the rest of the sliding family;
+    executor-wired for `changes(m[12h])` range configs."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    kw = dict(
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+        tiebreakers=["event_id"],
+    )
+    ch = promql.changes_range(samples, kind="changes", **kw).select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.col("value").alias("n_changes"),
+    )
+    rs = promql.changes_range(samples, kind="resets", **kw).select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.col("value").alias("n_resets"),
+    )
+    return ch.join(rs, ["name", "bucket_start"])
+
+
+@register(
     "promql_rate_range_wide",
     oracle="""
 WITH samples AS (
@@ -4557,6 +4613,7 @@ _GATE_PRIORITY = [
     "promql_sliding_window_aggs",
     "promql_sliding_extremes",
     "promql_sliding_quantile",
+    "promql_sliding_changes",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

@@ -829,3 +829,43 @@ def test_quantile_sketch_over_time_range_tracks_exact(spark):
         quantile_sketch_over_time_range(
             df, frame="7m", step="2m", start=T0, end=T0 + timedelta(seconds=600)
         )
+
+
+def test_changes_range_strategies_and_replay(spark):
+    """Sliding changes/resets: events strategy equals explode (counts
+    are integers — exact equality), and both match a python replay."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import changes_range
+
+    rng = random.Random(3)
+    raw = []
+    v = 5.0
+    for i in range(150):
+        if rng.random() < 0.3:
+            v = float(rng.choice([3, 5, 5, 7, 9]))  # changes incl. drops
+        off = -5400 + i * 40 + rng.randint(-5, 5)
+        raw.append((off, v))
+    df = _samples(spark, [({"h": "x"}, v, off) for off, v in raw])
+    kw = dict(
+        frame="30m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+    )
+    for kind in ("changes", "resets"):
+        a = changes_range(df, kind=kind, method="explode", **kw)
+        b = changes_range(df, kind=kind, method="events", **kw)
+        ra = {r["bucket_start"]: r["value"] for r in a.collect()}
+        rb = {r["bucket_start"]: r["value"] for r in b.collect()}
+        assert ra and ra == rb, kind
+        for bucket, got in ra.items():
+            t = (bucket - T0).total_seconds()
+            window = sorted((off, v) for off, v in raw if t - 1800 <= off < t)
+            pairs = list(zip(window, window[1:]))
+            want = sum(
+                1
+                for (_, p), (_, c) in pairs
+                if (c != p if kind == "changes" else c < p)
+            )
+            assert got == float(want), (kind, bucket)
