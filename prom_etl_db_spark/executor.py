@@ -90,6 +90,7 @@ def evaluate_config_query(
             "avg_over_time",
             "max_over_time",
             "min_over_time",
+            "last_over_time",
             "stdvar_over_time",
             "stddev_over_time",
             "changes",
@@ -135,6 +136,9 @@ def evaluate_config_query(
                 "min_over_time": lambda df, **kw: _promql.extrema_over_time_range(
                     df, **kw
                 ).selectExpr("labels", "bucket_start", "vmin AS value"),
+                "last_over_time": lambda df, **kw: _promql.extrema_over_time_range(
+                    df, **kw
+                ).selectExpr("labels", "bucket_start", "vlast AS value"),
             }[node.fn]
             stream = range_fn(
                 raw, frame=sel.range_, step=step, start=start, end=end

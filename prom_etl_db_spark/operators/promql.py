@@ -1266,9 +1266,14 @@ def extrema_over_time_range(
     start: datetime,
     end: datetime,
     method: str = "auto",
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
-    """RANGE-QUERY ``max_over_time`` + ``min_over_time`` in ONE pass:
-    both sliding-window extremes at every grid step.
+    """RANGE-QUERY ``max_over_time`` + ``min_over_time`` +
+    ``last_over_time`` in ONE pass: the sliding-window extremes and the
+    newest sample at every grid step. ``last`` IS bucket-composable
+    (last of the newest non-empty bucket), so it rides the same
+    decomposition as max/min via a lexicographic struct max; duplicate
+    timestamps resolve by ``tiebreakers``.
 
     Max/min are NOT difference-arrayable (no inverse), so the scale
     strategy is different from ``agg_over_time_range``: the classic
@@ -1288,7 +1293,7 @@ def extrema_over_time_range(
       exceeds the explode cap, else ``explode``.
 
     Windows with no samples drop out. Output:
-    (labels, bucket_start, vmax, vmin).
+    (labels, bucket_start, vmax, vmin, vlast).
     """
     from prom_etl_db_spark.timeparse import parse_duration
 
@@ -1311,6 +1316,9 @@ def extrema_over_time_range(
     ts = epoch_seconds(F.col("timestamp"))
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
+    last_key = F.struct(
+        F.col("timestamp"), *[F.col(t) for t in tiebreakers], F.col("value")
+    )
     if method == "explode":
         first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
         last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
@@ -1319,6 +1327,7 @@ def extrema_over_time_range(
             .select(
                 "__series",
                 "value",
+                last_key.alias("__lk"),
                 F.explode(
                     F.sequence(
                         F.timestamp_seconds(first),
@@ -1328,12 +1337,17 @@ def extrema_over_time_range(
                 ).alias("bucket_start"),
             )
             .groupBy("__series", "bucket_start")
-            .agg(F.max("value").alias("vmax"), F.min("value").alias("vmin"))
+            .agg(
+                F.max("value").alias("vmax"),
+                F.min("value").alias("vmin"),
+                F.max("__lk").alias("__lkm"),
+            )
             .select(
                 F.map_from_entries("__series").alias("labels"),
                 "bucket_start",
                 "vmax",
                 "vmin",
+                F.col("__lkm.value").alias("vlast"),
             )
         )
     # phase 1: tumbling step-bucket extremes (bucket start, step-aligned
@@ -1341,9 +1355,13 @@ def extrema_over_time_range(
     # pre-range context, like every other range-mode function)
     b = (t0 + F.floor((ts - t0) / step_s) * step_s).cast("long")
     buckets = (
-        df.select("__series", b.alias("__b"), "value")
+        df.select("__series", b.alias("__b"), "value", last_key.alias("__lk"))
         .groupBy("__series", "__b")
-        .agg(F.max("value").alias("__bmax"), F.min("value").alias("__bmin"))
+        .agg(
+            F.max("value").alias("__bmax"),
+            F.min("value").alias("__bmin"),
+            F.max("__lk").alias("__blast"),
+        )
     )
     # phase 2: densify each series onto the bucket grid and range-window
     grid = (
@@ -1366,11 +1384,19 @@ def extrema_over_time_range(
         .orderBy("__b")
         .rangeBetween(-int(frame_s - step_s), 0)
     )
+    # last = the newest non-empty bucket's last sample: lexicographic max
+    # of (bucket epoch, bucket-last struct); NULL for missing buckets so
+    # the window max skips them
+    bl = F.when(
+        F.col("__blast").isNotNull(),
+        F.struct(F.col("__b").alias("b"), F.col("__blast").alias("s")),
+    )
     out = dense.select(
         "__series",
         (F.col("__b") + step_s).alias("__t"),
         F.max("__bmax").over(w).alias("vmax"),
         F.min("__bmin").over(w).alias("vmin"),
+        F.max(bl).over(w).alias("__lwin"),
     )
     return (
         out.where(
@@ -1381,6 +1407,7 @@ def extrema_over_time_range(
             F.timestamp_seconds(F.col("__t").cast("long")).alias("bucket_start"),
             "vmax",
             "vmin",
+            F.col("__lwin.s.value").alias("vlast"),
         )
     )
 

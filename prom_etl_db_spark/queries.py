@@ -2182,19 +2182,27 @@ def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promql_sliding_extremes",
     oracle="""
 WITH samples AS (
-  SELECT event_type AS name, value, ts FROM events
+  SELECT event_type AS name, value, ts, event_id FROM events
   WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
     AND ts <  TIMESTAMP '2024-01-30 00:00:00'
 ), grid AS (
   SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
   FROM range(0, 21)
 ), joined AS (
-  SELECT s.name, g.t, s.value
+  SELECT s.name, g.t, s.value, s.ts, s.event_id
   FROM samples s JOIN grid g
     ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+), lastv AS (
+  SELECT name, t, value AS vlast FROM (
+    SELECT name, t, value,
+           row_number() OVER (
+             PARTITION BY name, t ORDER BY ts DESC, event_id DESC) AS rn
+    FROM joined) WHERE rn = 1
 )
-SELECT name, t AS bucket_start, max(value) AS vmax, min(value) AS vmin
-FROM joined GROUP BY name, t
+SELECT j.name, j.t AS bucket_start,
+       max(j.value) AS vmax, min(j.value) AS vmin, any_value(l.vlast) AS vlast
+FROM joined j JOIN lastv l ON l.name = j.name AND l.t = j.t
+GROUP BY j.name, j.t
 """,
 )
 def promql_sliding_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2213,12 +2221,14 @@ def promql_sliding_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=datetime(2024, 1, 25),
         end=datetime(2024, 1, 30),
         method="buckets",
+        tiebreakers=["event_id"],
     )
     return out.select(
         F.element_at("labels", "name").alias("name"),
         "bucket_start",
         "vmax",
         "vmin",
+        "vlast",
     )
 
 

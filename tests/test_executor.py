@@ -229,3 +229,22 @@ def test_range_config_sliding_stddev(samples):
         r["value"] for r in out.where(F.col("labels")["host"] == "a").collect()
     ]
     assert vals and all(v == pytest.approx(0.5) for v in vals)
+
+
+def test_range_config_sliding_last(samples):
+    """last_over_time(cpu[2h]) range config: the newest sample in each
+    window — the t-1h hourly point."""
+    cfg = QueryConfig(
+        query_id="g-last", name="last", query="last_over_time(cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+    assert rtype == "range"
+    a = {
+        r["timestamp"]: r["value"]
+        for r in out.where(F.col("labels")["host"] == "a").collect()
+    }
+    assert a
+    for t, v in a.items():
+        assert v == float(10 + (t.hour - 1 - 6)), t

@@ -777,7 +777,7 @@ def test_extrema_over_time_range_buckets_equals_explode(spark):
 
     def d(out):
         return {
-            (r["labels"]["host"], r["bucket_start"]): (r["vmax"], r["vmin"])
+            (r["labels"]["host"], r["bucket_start"]): (r["vmax"], r["vmin"], r["vlast"])
             for r in out.collect()
         }
 
