@@ -95,6 +95,7 @@ def evaluate_config_query(
             "stddev_over_time",
             "changes",
             "resets",
+            "deriv",
         )
         if (
             isinstance(node, Call)
@@ -130,6 +131,7 @@ def evaluate_config_query(
                 "stddev_over_time": partial(_promql.agg_over_time_range, agg="stddev"),
                 "changes": partial(_promql.changes_range, kind="changes"),
                 "resets": partial(_promql.changes_range, kind="resets"),
+                "deriv": _promql.regression_range,
                 "max_over_time": lambda df, **kw: _promql.extrema_over_time_range(
                     df, **kw
                 ).selectExpr("labels", "bucket_start", "vmax AS value"),

@@ -1412,6 +1412,172 @@ def extrema_over_time_range(
     )
 
 
+def regression_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    predict_offset: "float | None" = None,
+    method: str = "auto",
+) -> DataFrame:
+    """RANGE-QUERY ``deriv`` (``predict_offset=None``) /
+    ``predict_linear`` (value extrapolated ``predict_offset`` seconds
+    past each grid instant): the least-squares line over the sliding
+    [t − frame, t) window at every step.
+
+    The regression moments (n, Σx, Σv, Σxv, Σx²) are all plain sums, so
+    the per-sample difference array applies — five accumulators instead
+    of one. Numerical care: x = sample time CENTERED AT RANGE START
+    (epoch seconds would put Σx² near 1e18·n where the slope's
+    subtractive cancellation loses every significant digit; range-span
+    offsets keep the moments small). slope = (nΣxv − ΣxΣv) /
+    (nΣx² − (Σx)²); predict at instant t: mean_v + slope·(t_x − mean_x
+    + offset). Windows with < 2 samples (or zero time-variance) drop
+    out, matching ``deriv``'s instant form.
+
+    Output: (labels, bucket_start, value).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    if method == "auto":
+        method = "events" if frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO else "explode"
+    if method not in ("explode", "events"):
+        raise ValueError(f"unknown regression_range method {method!r}")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    x = ts - t0  # centered time coordinate
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+
+    def read_off(g):
+        n = F.col("__n").cast("double")
+        denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        slope = (n * F.col("__sxv") - F.col("__sx") * F.col("__sv")) / denom
+        if predict_offset is None:
+            value = slope
+        else:
+            mean_x = F.col("__sx") / n
+            mean_v = F.col("__sv") / n
+            # t_x of the grid instant, in the same centered coordinate
+            value = mean_v + slope * (
+                (g - t0) - mean_x + F.lit(float(predict_offset))
+            )
+        return F.when((F.col("__n") >= 2) & (denom > 0), value)
+
+    if method == "explode":
+        exploded = df.where(first <= last).select(
+            "__series",
+            x.alias("__x"),
+            "value",
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(first),
+                    F.timestamp_seconds(last),
+                    F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+                )
+            ).alias("bucket_start"),
+        )
+        agg = exploded.groupBy("__series", "bucket_start").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("value").alias("__sv"),
+            F.sum(F.col("__x") * F.col("value")).alias("__sxv"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        )
+        g = epoch_seconds(F.col("bucket_start"))
+        return (
+            agg.withColumn("value", read_off(g))
+            .where(F.col("value").isNotNull())
+            .select(
+                F.map_from_entries("__series").alias("labels"),
+                "bucket_start",
+                "value",
+            )
+        )
+    pos = F.struct(
+        F.col("__tmin").alias("t"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("__x").alias("dx"),
+        F.col("value").alias("dv"),
+        (F.col("__x") * F.col("value")).alias("dxv"),
+        (F.col("__x") * F.col("__x")).alias("dxx"),
+    )
+    neg = F.struct(
+        (F.col("__tmax") + step_s).alias("t"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("__x")).alias("dx"),
+        (-F.col("value")).alias("dv"),
+        (-F.col("__x") * F.col("value")).alias("dxv"),
+        (-F.col("__x") * F.col("__x")).alias("dxx"),
+    )
+    events = (
+        df.select(
+            "__series", x.alias("__x"), "value",
+            first.alias("__tmin"), last.alias("__tmax"),
+        )
+        .where(F.col("__tmin") <= F.col("__tmax"))
+        .select("__series", F.explode(F.array(pos, neg)).alias("e"))
+        .select("__series", "e.t", "e.dn", "e.dx", "e.dv", "e.dxv", "e.dxx")
+        .groupBy("__series", "t")
+        .agg(
+            F.sum("dn").alias("dn"),
+            F.sum("dx").alias("dx"),
+            F.sum("dv").alias("dv"),
+            F.sum("dxv").alias("dxv"),
+            F.sum("dxx").alias("dxx"),
+        )
+    )
+    w2 = Window.partitionBy("__series").orderBy("t")
+    cum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = events.select(
+        "__series",
+        "t",
+        F.sum("dn").over(cum).alias("__n"),
+        F.sum("dx").over(cum).alias("__sx"),
+        F.sum("dv").over(cum).alias("__sv"),
+        F.sum("dxv").over(cum).alias("__sxv"),
+        F.sum("dxx").over(cum).alias("__sxx"),
+        F.lead("t").over(w2).alias("__next_t"),
+    )
+    seg_end = F.least(F.coalesce(F.col("__next_t") - step_s, tN), tN)
+    filled = (
+        run.where((F.col("__n") >= 2) & (F.col("t") <= seg_end))
+        .select(
+            "__series",
+            "__n",
+            "__sx",
+            "__sv",
+            "__sxv",
+            "__sxx",
+            F.explode(
+                F.sequence(
+                    F.col("t").cast("long"),
+                    seg_end.cast("long"),
+                    F.lit(int(step_s)),
+                )
+            ).alias("__g"),
+        )
+    )
+    g = F.col("__g").cast("double")
+    return (
+        filled.withColumn("value", read_off(g))
+        .where(F.col("value").isNotNull())
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            F.timestamp_seconds("__g").alias("bucket_start"),
+            "value",
+        )
+    )
+
+
 def changes_range(
     samples: DataFrame,
     *,

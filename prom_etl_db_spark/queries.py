@@ -2352,6 +2352,64 @@ def promql_sliding_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_sliding_deriv",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS name, value,
+         epoch(ts) - epoch(TIMESTAMP '2024-01-25 00:00:00') AS x, ts
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 12:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+), grid AS (
+  SELECT TIMESTAMP '2024-01-25 00:00:00' + range * INTERVAL 6 HOUR AS t
+  FROM range(0, 21)
+), joined AS (
+  SELECT s.name, g.t, s.value, s.x,
+         epoch(g.t) - epoch(TIMESTAMP '2024-01-25 00:00:00') AS gx
+  FROM samples s JOIN grid g
+    ON s.ts >= g.t - INTERVAL 12 HOUR AND s.ts < g.t
+), moments AS (
+  SELECT name, t, any_value(gx) AS gx, count(*) AS n,
+         sum(x) AS sx, sum(value) AS sv,
+         sum(x * value) AS sxv, sum(x * x) AS sxx
+  FROM joined GROUP BY name, t
+)
+SELECT name, t AS bucket_start,
+       round((n * sxv - sx * sv) / (n * sxx - sx * sx), 6) AS deriv,
+       round(sv / n + ((n * sxv - sx * sv) / (n * sxx - sx * sx))
+                      * (gx - sx / n + 600.0), 4) AS predicted_10m
+FROM moments
+WHERE n >= 2 AND n * sxx - sx * sx > 0
+""",
+)
+def promql_sliding_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY deriv + predict_linear(10m): the least-squares line
+    over each sliding 12h window at every 6h step. The five regression
+    moments are plain sums — difference-arrayable like the rest of the
+    family — with the time coordinate CENTERED at range start (epoch
+    seconds would lose the slope to subtractive cancellation). The
+    oracle replays the identical centered-sums algebra."""
+    samples = _event_samples(spark, sf_dir, keys=("name",))
+    kw = dict(
+        frame="12h",
+        step="6h",
+        start=datetime(2024, 1, 25),
+        end=datetime(2024, 1, 30),
+    )
+    d = promql.regression_range(samples, predict_offset=None, **kw).select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.round("value", 6).alias("deriv"),
+    )
+    p = promql.regression_range(samples, predict_offset=600.0, **kw).select(
+        F.element_at("labels", "name").alias("name"),
+        "bucket_start",
+        F.round("value", 4).alias("predicted_10m"),
+    )
+    return d.join(p, ["name", "bucket_start"])
+
+
+@register(
     "promql_rate_range_wide",
     oracle="""
 WITH samples AS (
@@ -4624,6 +4682,7 @@ _GATE_PRIORITY = [
     "promql_sliding_extremes",
     "promql_sliding_quantile",
     "promql_sliding_changes",
+    "promql_sliding_deriv",
     "embedding_signlsh_codes",
     "similarity_topk_ivf",
     # Rows-only-by-design entries (no SQL oracle exists — each now has an

@@ -869,3 +869,52 @@ def test_changes_range_strategies_and_replay(spark):
                 if (c != p if kind == "changes" else c < p)
             )
             assert got == float(want), (kind, bucket)
+
+
+def test_regression_range_strategies_and_replay(spark):
+    """Sliding deriv/predict_linear: five-moment difference array equals
+    explode and a python least-squares replay at every grid step."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import regression_range
+
+    rng = random.Random(9)
+    raw = []
+    for i in range(120):
+        if rng.random() < 0.1:
+            continue
+        off = -5400 + i * 45 + rng.randint(-8, 8)
+        raw.append((off, 3.0 + 0.01 * off + rng.uniform(-2, 2)))
+    df = _samples(spark, [({"h": "x"}, v, off) for off, v in raw])
+    kw = dict(
+        frame="30m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+    )
+    for po in (None, 600.0):
+        a = regression_range(df, predict_offset=po, method="explode", **kw)
+        b = regression_range(df, predict_offset=po, method="events", **kw)
+        ra = {r["bucket_start"]: r["value"] for r in a.collect()}
+        rb = {r["bucket_start"]: r["value"] for r in b.collect()}
+        assert ra and set(ra) == set(rb)
+        for k in ra:
+            assert ra[k] == pytest.approx(rb[k], rel=1e-6, abs=1e-9), (po, k)
+        base = (T0 - timedelta(seconds=3600)).timestamp()
+        for bucket, got in ra.items():
+            t = (bucket - T0).total_seconds()
+            pts = [(off, v) for off, v in raw if t - 1800 <= off < t]
+            if len(pts) < 2:
+                continue
+            xs = [off + 3600 for off, _ in pts]  # same centering: x - start
+            vs = [v for _, v in pts]
+            n = len(pts)
+            sx, sv = sum(xs), sum(vs)
+            sxv = sum(x * v for x, v in zip(xs, vs))
+            sxx = sum(x * x for x in xs)
+            slope = (n * sxv - sx * sv) / (n * sxx - sx * sx)
+            if po is None:
+                want = slope
+            else:
+                want = sv / n + slope * ((t + 3600) - sx / n + po)
+            assert got == pytest.approx(want, rel=1e-6), (po, bucket)
