@@ -38,7 +38,12 @@ __all__ = [
     "kmeans_init_spread",
     "assign_clusters",
     "kmeans",
+    "kmeans_centroids",
     "semantic_neardup_pairs",
+    "pq_train",
+    "pq_encode",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 
@@ -189,15 +194,40 @@ def kmeans(
     The input is re-read each round — persist() upstream if the source
     scan is expensive.
     """
+    v = balance(vectors.select(id_col, vec_col), id_col)
+    labels, C = _kmeans_loop(
+        v, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, salt=salt,
+        round_decimals=round_decimals, init=init,
+    )
+    return assign_clusters(v, C, id_col=id_col, vec_col=vec_col, cluster_ids=labels)
+
+
+def _kmeans_loop(
+    v: DataFrame,
+    k: int,
+    *,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+    round_decimals: int,
+    init: str,
+):
+    """Shared fixed-iteration Lloyd loop: returns the FINAL (cluster
+    labels, centroid matrix) after ``n_iter − 1`` assign→update rounds.
+    ``kmeans`` materializes one more assignment against it; encode-only
+    callers (product quantization) capture the matrix directly."""
     import numpy as np
 
-    v = balance(vectors.select(id_col, vec_col), id_col)
     init_fn = {"hash": kmeans_init, "spread": kmeans_init_spread}[init]
     C = init_fn(
         v, k, id_col=id_col, vec_col=vec_col, salt=salt, round_decimals=round_decimals
     )
-    assigned = assign_clusters(v, C, id_col=id_col, vec_col=vec_col)
+    labels = list(range(len(C)))
     for _ in range(n_iter - 1):
+        assigned = assign_clusters(
+            v, C, id_col=id_col, vec_col=vec_col, cluster_ids=labels
+        )
         means = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -211,10 +241,29 @@ def kmeans(
         for r in means:
             C[index_of[r["cluster"]], r["pos"]] = r["m"]
         C = np.round(C, round_decimals)
-        assigned = assign_clusters(
-            v, C, id_col=id_col, vec_col=vec_col, cluster_ids=clusters
-        )
-    return assigned
+        labels = clusters
+    return labels, C
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    *,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans-init",
+    round_decimals: int = 6,
+    init: str = "hash",
+):
+    """Training half of ``kmeans``: the final (cluster labels, k×d
+    centroid matrix) of the fixed-iteration loop, without materializing
+    the final assignment DataFrame. Same determinism contract."""
+    v = balance(vectors.select(id_col, vec_col), id_col)
+    return _kmeans_loop(
+        v, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, salt=salt,
+        round_decimals=round_decimals, init=init,
+    )
 
 
 def semantic_neardup_pairs(
@@ -254,4 +303,189 @@ def semantic_neardup_pairs(
         pairs.withColumn("cos_sim", sim)
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cluster", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): the billion-vector ANN compression
+# standard (FAISS IVF-PQ). Split each d-dim vector into m contiguous
+# subspaces, train an independent k-way codebook per subspace, encode each
+# vector as m small integers, and score queries against CODES via an m×k
+# lookup table (asymmetric distance computation) instead of full vectors.
+#
+# Scale posture: training is m deterministic k-means runs whose collects are
+# k×(d/m) doubles each (k×d total — broadcast-class, same contract as
+# ``kmeans``); encoding is ONE Arrow-batched pandas-UDF pass with all m
+# centroid matrices closure-captured (no per-subspace shuffle joins); ADC
+# scoring is a pure-Column fold over an exploded literal query-table array —
+# JVM-side, no Python in the scan. At 100 TB the ADC scan composes with the
+# IVF partition pruning in ``similarity.cosine_topk_ivf_index`` (probe the
+# inverted lists, scan codes, re-rank survivors in full precision).
+#
+# Determinism contract (what the DuckDB oracle mirrors): per-subspace
+# codebooks inherit the ``kmeans`` contract (md5 hash init with a
+# per-subspace salt, fixed iterations, 6-dp centroid rounding, ties to the
+# lowest cluster id); ADC table entries are squared-L2 sums folded
+# LEFT-TO-RIGHT over the subspace dims then rounded to 6 dp, so identical
+# code → bit-identical score in both engines.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    *,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans-init-pq",
+    round_decimals: int = 6,
+):
+    """Train m independent per-subspace codebooks. Returns a list of
+    (labels, centroid-matrix, dim-offset) per subspace; the vector
+    dimension is probed from one row and must divide evenly by m."""
+    first = vectors.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    books = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col), F.slice(vec_col, j * ds + 1, ds).alias("__sub")
+        )
+        labels, C = kmeans_centroids(
+            sub, k, n_iter=n_iter, id_col=id_col, vec_col="__sub",
+            salt=f"{salt}{j}", round_decimals=round_decimals,
+        )
+        books.append((labels, C, j * ds))
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<long> length m): nearest per-subspace centroid for
+    every vector, all m subspaces in ONE Arrow-batched pass (one small BLAS
+    matmul per subspace per batch). Ties to the lowest cluster label, the
+    ``assign_clusters`` rule."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — worker-side dependency of the UDF
+
+    prepared = [
+        (np.asarray(labels, dtype=np.int64), np.asarray(C), off, C.shape[1])
+        for labels, C, off in books
+    ]
+
+    def encode(v):
+        M = np.array(list(v), dtype=np.float64)
+        out = np.empty((len(M), len(prepared)), dtype=np.int64)
+        for j, (labels, C, off, ds) in enumerate(prepared):
+            S = M[:, off : off + ds]
+            d2 = -2.0 * (S @ C.T) + (C * C).sum(axis=1)
+            out[:, j] = labels[np.argmin(d2, axis=1)]
+        return pd.Series(list(out))
+
+    encode_udf = F.pandas_udf(encode, "array<long>")
+    return vectors.select(
+        F.col(id_col).alias("id"), encode_udf(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    *,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train + encode: (id, codes array<long> length m)."""
+    books = pq_train(
+        vectors, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    return pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every corpus CODE against each
+    query's m×k lookup table (entry = round(‖q_sub − centroid‖², 6), sums
+    folded left-to-right like DuckDB's list_sum so the oracle hash-matches)
+    and keep the ``topk`` smallest per query (ties to the lowest neighbor
+    id). The query table array is a literal — the explode is the pandas-UDF
+    -free equivalent of a broadcast join; the per-query rank is one window
+    over an equi-partitioned shuffle. Queries must be broadcast-class
+    (collected driver-side), the corpus is never collected."""
+    books = pq_train(
+        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qlits = []
+    for row in qrows:
+        qv = [float(x) for x in row[vec_col]]
+        tables = []
+        for labels, C, off in books:
+            ds = C.shape[1]
+            # dense k-slot table indexed by cluster LABEL (labels may have
+            # gaps after an empty-cluster drop; unused slots stay 0 and are
+            # never looked up because no code carries a dropped label)
+            slots = [0.0] * (max(labels) + 1)
+            for li, lab in enumerate(labels):
+                t = 0.0
+                for i in range(ds):
+                    d = qv[off + i] - C[li][i]
+                    t += d * d
+                slots[lab] = round(t, 6)
+            tables.append(F.array(*[F.lit(s) for s in slots]))
+        qlits.append(
+            F.struct(
+                F.lit(row[id_col]).alias("query_id"),
+                F.array(*tables).alias("tbl"),
+            )
+        )
+
+    scored = codes.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("codes"),
+        F.explode(F.array(*qlits)).alias("q"),
+    ).where(F.col("q.query_id") != F.col("neighbor_id"))
+    # left-to-right fold over subspaces: ((0 + t0) + t1) ≡ t0 + t1
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.col("q.tbl")[j][F.col("codes")[j].cast("int")],
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            F.col("q.query_id").alias("query_id"),
+            "neighbor_id",
+            dist.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
     )

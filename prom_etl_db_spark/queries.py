@@ -4633,6 +4633,218 @@ def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_subspace_cte(j: int, *, ds: int = 32, k: int = 4) -> str:
+    """One subspace of the PQ oracle: the ``_KMEANS_CTE`` loop (hash init,
+    one update round, 6-dp rounding, ties to lowest cluster) over the
+    32-dim slice starting at offset j·32, salted per subspace exactly like
+    ``clustering.pq_train``."""
+    o = j * ds
+    salt = f"kmeans-init-pq{j}"
+    return f"""v{j} AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, {o + 1}, {o + ds}),
+                        x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), c0_{j} AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+         ) - 1 AS cluster,
+         list_transform(vec, x -> round(x, 6)) AS centroid
+  FROM v{j}
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+  LIMIT {k}
+), a0_{j} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c.centroid), c.cluster) AS rn
+    FROM v{j} v CROSS JOIN c0_{j} c)
+  WHERE rn = 1
+), c1_{j} AS (
+  SELECT cluster, list(m ORDER BY i) AS centroid FROM (
+    SELECT a.cluster, t.i, round(avg(v.vec[t.i]), 6) AS m
+    FROM a0_{j} a JOIN v{j} v USING (vec_id)
+    CROSS JOIN (SELECT range + 1 AS i FROM range({ds})) t
+    GROUP BY a.cluster, t.i)
+  GROUP BY cluster
+), a1_{j} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c.centroid), c.cluster) AS rn
+    FROM v{j} v CROSS JOIN c1_{j} c)
+  WHERE rn = 1
+)"""
+
+
+_PQ_CODES_CTE = "WITH " + ",\n".join(_pq_subspace_cte(j) for j in range(2))
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_PQ_CODES_CTE
+    + """
+SELECT vec_id, a1_0.cluster AS code0, a1_1.cluster AS code1
+FROM a1_0 JOIN a1_1 USING (vec_id)
+""",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (product quantization, Jégou et al. TPAMI 2011 — the FAISS
+    IVF-PQ compression standard): two 32-dim subspaces, a deterministic
+    4-way codebook each (per-subspace-salted hash init, 2 fixed Lloyd
+    rounds, 6-dp rounding), every vector encoded as 2 small codes in ONE
+    Arrow-batched pass with both centroid matrices closure-captured. The
+    oracle replays both per-subspace k-means loops over list slices —
+    a hash-match check of the full train+encode path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = clustering.pq_codes(emb, m=2, k=4, n_iter=2)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.col("codes")[0].cast("long").alias("code0"),
+        F.col("codes")[1].cast("long").alias("code1"),
+    )
+
+
+@register(
+    "similarity_topk_pq",
+    oracle=_PQ_CODES_CTE
+    + """,
+codes AS (
+  SELECT vec_id, a1_0.cluster AS code0, a1_1.cluster AS code1
+  FROM a1_0 JOIN a1_1 USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+), t0 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_0 c
+), t1 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i + 32] - c.centroid[i]) * (q.qv[i + 32] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_1 c
+), scored AS (
+  SELECT t0.query_id, c.vec_id AS neighbor_id, t0.t + t1.t AS adc_dist
+  FROM codes c
+  JOIN t0 ON t0.cluster = c.code0
+  JOIN t1 ON t1.cluster = c.code1 AND t1.query_id = t0.query_id
+  WHERE c.vec_id <> t0.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (asymmetric distance computation over PQ codes): top-5 nearest
+    corpus vectors per query (vec_id < 10) scored from CODES ONLY — each
+    query's m×k squared-L2 lookup table is computed driver-side (table
+    entries folded left-to-right then rounded to 6 dp, so both engines
+    hold bit-identical doubles) and shipped as a literal; the scan is a
+    pure-Column table-lookup fold, no Python and no full vectors in the
+    hot path. This is the memory-bound half of IVF-PQ — compose with the
+    inverted-list partition pruning of ``cosine_topk_ivf_index`` for the
+    100 TB path. adc_dist is the sum of two identically-rounded doubles,
+    exact in both engines (no re-round: re-rounding the sum would compare
+    round(t0+t1, 6) against a raw double and mismatch at the 9-dp canon)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 10), m=2, k=4, n_iter=2, topk=5
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM active a JOIN firstday f USING (user_id)
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the training-data-pipeline twin of
+    product analytics' classic: users grouped by first-seen day, activity
+    counted per (cohort_day, day_offset). Two hash aggregations (first-day
+    per user; distinct user-days) and ONE shuffle join on user_id; output
+    is bounded by days² regardless of corpus size, so the matrix is
+    broadcast-class even at 100 TB of events. No window functions — min()
+    + distinct are both partial-aggregable map-side."""
+    ev = _t(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the semi-join-on-a-big-agg
+    shape — aggregate lineitem by orderkey, filter on the grouped sum,
+    then LEFT SEMI join the order stream against the survivors before the
+    (small) customer dim join. The semi join keeps only orderkeys in the
+    shuffle; the customer join is broadcast-class. No window, no sort —
+    all three joins are equi-joins on their natural keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window rotation.
 #
@@ -4669,6 +4881,10 @@ _GATE_PRIORITY = [
     "promql_ts_of_extremes",
     "promql_delta_range",
     "doc_paragraph_dedup_rewrite",
+    "embedding_pq_codes",
+    "similarity_topk_pq",
+    "events_cohort_retention",
+    "tpch_q18_large_orders",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

@@ -80,3 +80,61 @@ def test_kmeans_k_larger_than_corpus_is_rejected_or_shrinks(spark):
     out = kmeans(df, 8, n_iter=2).collect()
     assert {r["vec_id"] for r in out} == {1, 2}
     assert all(0 <= r["cluster"] < 2 for r in out)
+
+
+# --- product quantization -------------------------------------------------
+
+
+def test_pq_codes_match_per_subspace_kmeans(spark):
+    """Each PQ code column IS the per-subspace k-means assignment with the
+    per-subspace salt — the one-pass encoder must agree with the reference
+    composition (slice → kmeans) subspace by subspace."""
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.clustering import pq_codes
+
+    df = _blobs(spark)  # dim=8 → two 4-dim subspaces
+    got = {
+        r["id"]: tuple(r["codes"])
+        for r in pq_codes(df, m=2, k=3, n_iter=2).collect()
+    }
+    for j in range(2):
+        sub = df.select(
+            "vec_id", F.slice("embedding", j * 4 + 1, 4).alias("sub")
+        )
+        want = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans(
+                sub, 3, n_iter=2, vec_col="sub", salt=f"kmeans-init-pq{j}"
+            ).collect()
+        }
+        assert {i: c[j] for i, c in got.items()} == want
+
+
+def test_pq_encode_deterministic_under_repartition(spark):
+    from prom_etl_db_spark.functions.clustering import pq_codes
+
+    df = _blobs(spark)
+    a = {(r["id"], tuple(r["codes"])) for r in pq_codes(df, m=2, k=3).collect()}
+    b = {
+        (r["id"], tuple(r["codes"]))
+        for r in pq_codes(df.repartition(7), m=2, k=3).collect()
+    }
+    assert a == b
+
+
+def test_pq_adc_topk_finds_blob_neighbors(spark):
+    """On well-separated blobs the quantization error is tiny relative to
+    the inter-blob distance, so every ADC neighbor of a blob member must
+    come from the same blob."""
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.clustering import pq_adc_topk
+
+    df = _blobs(spark)
+    queries = df.where(F.col("vec_id").isin(0, 100, 200))
+    out = pq_adc_topk(df, queries, m=2, k=3, n_iter=2, topk=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r["neighbor_id"] // 100 == r["query_id"] // 100
+        assert r["adc_dist"] >= 0.0

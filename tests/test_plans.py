@@ -272,3 +272,37 @@ def test_signlsh_codes_no_shuffle(spark, sf_dir):
     s = explain_str(df, "simple")
     assert "Exchange" not in s
     assert "Join" not in s
+
+
+def test_tpch_q18_semi_join_and_broadcast_customer(spark, sf_dir):
+    df = QUERIES["tpch_q18_large_orders"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    # the big-order filter is a semi join (orderkeys only in the shuffle)
+    assert "LeftSemi" in s
+    # the customer dim never shuffles the fact stream
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_cohort_retention_two_hash_aggs_no_window(spark, sf_dir):
+    df = QUERIES["events_cohort_retention"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "HashAggregate" in s and "SortAggregate" not in s
+    # no window: min-per-user and distinct-user-days are both
+    # partial-aggregable; a window here would force a per-user sort
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_pq_adc_scan_is_pure_column_fold(spark, sf_dir):
+    """ADC scoring must stay JVM-side: exactly ONE Arrow python stage (the
+    code encoder) and NO join — the query tables enter as an exploded
+    literal, not a join side; the only shuffle is the per-query rank
+    window."""
+    df = QUERIES["similarity_topk_pq"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert s.count("ArrowEvalPython") == 1
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin"):
+        assert op not in s
+    assert "Window" in s
