@@ -4,9 +4,10 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, partition-preserving
 ``mapInPandas``, Arrow batch shapes, deterministic outputs — is real and
 tested. Codecs: 24-bit BMP, 8-bit PNG (stdlib zlib inflate + full
-None/Sub/Up/Average/Paeth filter reconstruction) and PCM-16 WAV decode/
-encode/resize/decimate FULLY from raw bytes here (no libraries needed),
-and JPEG/GIF header metadata parses for real; only lossy entropy-coded
+None/Sub/Up/Average/Paeth filter reconstruction), GIF89a (variable-width
+LZW implemented from scratch) and PCM-16 WAV decode/encode/resize/
+decimate FULLY from raw bytes here (no libraries needed), and JPEG
+header metadata parses for real; only lossy entropy-coded
 data (JPEG bitmaps, MP3, video) remains behind ``real_decode``'s
 ``NotImplementedError`` until Pillow/pyav exist on the cluster —
 ``decode_features`` substitutes a deterministic fake for those.
@@ -46,6 +47,10 @@ __all__ = [
     "png_pixels",
     "decode_png",
     "png_roundtrip_features",
+    "encode_gif",
+    "gif_pixels",
+    "decode_gif",
+    "gif_roundtrip_features",
     "resize_bmp",
     "decimate_wav",
     "synth_wav",
@@ -85,16 +90,19 @@ FRAME_SCHEMA = StructType(
 
 def real_decode(payload: bytes, kind: str):
     """The real codec hook. BMP, PNG (zlib inflate + filter
-    reconstruction, stdlib only — see png_pixels) and WAV decode HERE,
-    fully, from raw bytes; lossy/entropy-coded formats (JPEG, MP3, video)
-    still need Pillow/torchaudio/pyav wired on a real cluster —
-    ``decode_features`` substitutes a deterministic fake for those."""
+    reconstruction, stdlib only — see png_pixels), GIF (from-scratch LZW —
+    see gif_pixels) and WAV decode HERE, fully, from raw bytes;
+    lossy/entropy-coded formats (JPEG, MP3, video) still need
+    Pillow/torchaudio/pyav wired on a real cluster — ``decode_features``
+    substitutes a deterministic fake for those."""
     if kind == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
         "lossy-media decode (JPEG/MP3/video) requires an image/audio "
         "library not present in this environment; decode_features uses a "
@@ -543,6 +551,273 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+# -- GIF (GIF89a, LZW — lossless, so stdlib-implementable like PNG) ---------
+
+
+def _lzw_encode_gif(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-flavor LZW: variable-width codes packed LSB-first, clear/EOI
+    codes, width growing when the next assignable code reaches 2^width
+    (the GIF "early change"), table reset via an explicit clear code when
+    the 12-bit space (4096 codes) fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = b""
+    for byte in indices:
+        nb = buf + bytes([byte])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[nb] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = fresh_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(min_code_size: int, data: bytes) -> bytes:
+    """Inverse of ``_lzw_encode_gif``. The width counter mirrors the
+    ENCODER's assignment counter (incremented on every data code,
+    including the first after a clear, the giflib RunningCode scheme) —
+    the table itself lags one entry behind by construction, which is what
+    makes the code == len(table) "KwK" case reachable. A stream that ends
+    without an explicit EOI terminates cleanly (zero-padding tolerance)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    enc_next = eoi + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = min_code_size + 1
+                enc_next = eoi + 1
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwK: the code being defined
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if enc_next < 4096:
+                enc_next += 1
+                if enc_next == (1 << width) and width < 12:
+                    width += 1
+    return bytes(out)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """A real, valid GIF89a writer from a top-down (h, w) uint8 array of
+    palette indices plus an RGB palette (length a power of two, 2..256):
+    logical screen descriptor, global color table, one image descriptor,
+    LZW-compressed pixel data in ≤255-byte sub-blocks, trailer."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette length must be a power of two >= 2")
+    log2n = n.bit_length() - 1
+    min_code_size = max(2, log2n)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    # GCT present, color resolution 8 bits (0b111 << 4), GCT size field
+    out.append(0x80 | 0x70 | (log2n - 1))
+    out += b"\x00\x00"  # background color index, pixel aspect ratio
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor, left=top=0
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no local color table, not interlaced
+    out.append(min_code_size)
+    lzw = _lzw_encode_gif(min_code_size, idx.tobytes())
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator, trailer
+    return bytes(out)
+
+
+def gif_pixels(payload: bytes):
+    """REAL GIF pixel decode, stdlib only: parse the logical screen
+    descriptor and color tables, skip extension blocks, reassemble the
+    first image's sub-blocks, LZW-decompress (variable-width LSB-first
+    codes, clear/EOI, KwK case, giflib-style width sync), and map indices
+    through the active color table. Returns a top-down (h, w, 3) uint8
+    RGB array. Interlaced images raise ValueError (quarantine is the
+    caller's concern, A12 stance)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(payload[6:8], "little")  # noqa: F841 — screen dims
+    sh = int.from_bytes(payload[8:10], "little")  # noqa: F841
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte then sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
+                n, 3
+            )
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            size = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode_gif(min_code_size, bytes(lzw)), dtype=np.uint8
+        )
+        if len(idx) != w * h:
+            raise ValueError("GIF pixel data length mismatch")
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("GIF index outside color table")
+        return ct[idx.reshape(h, w)]
+    raise ValueError("GIF contains no image block")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL pixel decode of non-interlaced GIFs (see ``gif_pixels``):
+    per-channel means over every palette-mapped pixel — the full LZW
+    inflate path, not the header peek in ``image_dimensions``."""
+    px = gif_pixels(payload)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3).astype("float64")
+    return {
+        "format": "gif",
+        "width": w,
+        "height": h,
+        "mean_r": float(flat[:, 0].mean()),
+        "mean_g": float(flat[:, 1].mean()),
+        "mean_b": float(flat[:, 2].mean()),
+    }
+
+
+GIF_ROUNDTRIP_SCHEMA = (
+    "media_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def gif_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 graduated for GIF: per document a real GIF89a is encoded from
+    the closed-form 64-color palette[i] = (3i%256, 5i%256, 7i%256) and
+    index grid idx[y,x] = (id + 3x + 5y) % 64, then fully DECODED back
+    (sub-block reassembly + variable-width LZW + palette mapping) inside
+    partition-preserving mapInPandas. The closed forms make the channel
+    means SQL-expressible, so the DuckDB oracle hash-checks the whole
+    compress→decompress→palette-map roundtrip — a single wrong LZW width
+    transition scrambles every later pixel and breaks the hash."""
+    import numpy as np
+
+    palette = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(64)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 16 + 1, mid % 8 + 1
+                xs, ys = np.arange(w), np.arange(h)
+                idx = ((mid + 3 * xs[None, :] + 5 * ys[:, None]) % 64).astype(
+                    np.uint8
+                )
+                f = decode_gif(encode_gif(np.broadcast_to(idx, (h, w)), palette))
+                out["media_id"].append(mid)
+                out["width"].append(f["width"])
+                out["height"].append(f["height"])
+                out["mean_r"].append(round(f["mean_r"], 6))
+                out["mean_g"].append(round(f["mean_g"], 6))
+                out["mean_b"].append(round(f["mean_b"], 6))
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, GIF_ROUNDTRIP_SCHEMA
     )
 
 

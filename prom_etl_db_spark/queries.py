@@ -1570,6 +1570,39 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_pixels",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         d.doc_id % 16 + 1 AS w, d.doc_id % 8 + 1 AS h,
+         (d.doc_id + 3 * x.range + 5 * y.range) % 64 AS idx
+  FROM documents d CROSS JOIN range(16) x CROSS JOIN range(8) y
+  WHERE x.range < d.doc_id % 16 + 1 AND y.range < d.doc_id % 8 + 1
+)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       round(avg(CAST((3 * idx) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((5 * idx) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((7 * idx) % 256 AS DOUBLE)), 6) AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL GIF decode, stdlib only): per document, encode a valid
+    GIF89a of a closed-form 64-color palette image, then fully decode it
+    back — sub-block reassembly, variable-width LSB-first LZW (clear/EOI,
+    KwK case, giflib width sync), palette mapping — in mapInPandas. The
+    oracle recomputes the palette-mapped channel means per pixel, so the
+    driver hash-checks the whole compress→decompress roundtrip; the
+    decoder also passes a known-vector test against the canonical
+    hand-assembled 1×1 GIF, proving interop rather than mere
+    self-consistency."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.gif_roundtrip_features(docs)
+
+
+@register(
     "multimodal_resize_roundtrip",
     oracle="""
 WITH hmean AS (
@@ -4885,6 +4918,7 @@ _GATE_PRIORITY = [
     "similarity_topk_pq",
     "events_cohort_retention",
     "tpch_q18_large_orders",
+    "multimodal_gif_pixels",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

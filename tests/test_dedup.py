@@ -427,3 +427,68 @@ def test_minhash_band_pairs_md5_subset_of_exact(docs, spark):
     for pair, j in banded.items():
         assert pair in exact and exact[pair] == j
     assert banded[(1, 5)] == 1.0  # identical texts: all bands collide
+
+
+def test_gif_codec_known_vector_and_roundtrips():
+    """Decoder interop proof: the canonical hand-assembled 1x1 white-pixel
+    GIF (2-color table, LZW data 0x44 0x01 = clear, index 0, EOI) decodes
+    correctly — a self-consistent-but-wrong LZW width rule would fail
+    here. Roundtrips then cover width growth, the 4096-entry table reset
+    (clear-code path), 256- and 2-color palettes."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from prom_etl_db_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_pixels,
+        real_decode,
+    )
+
+    onepx = bytes(
+        [0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 0x01, 0x00, 0x01, 0x00, 0x80,
+         0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x00,
+         0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00,
+         0x2C, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+         0x02, 0x02, 0x44, 0x01, 0x00, 0x3B]
+    )
+    assert (gif_pixels(onepx) == [[[255, 255, 255]]]).all()
+    assert real_decode(onepx, "image")["format"] == "gif"
+
+    rng = _np.random.default_rng(7)
+    pal64 = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(64)]
+    # 100x120 random indices: > 4095 LZW misses, so the encoder emits a
+    # mid-stream clear and both sides rebuild the table
+    big = rng.integers(0, 64, size=(100, 120), dtype=_np.uint8)
+    assert (
+        gif_pixels(encode_gif(big, pal64))
+        == _np.array(pal64, dtype=_np.uint8)[big]
+    ).all()
+    pal256 = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+    px256 = rng.integers(0, 256, size=(31, 9), dtype=_np.uint8)
+    assert (
+        gif_pixels(encode_gif(px256, pal256))
+        == _np.array(pal256, dtype=_np.uint8)[px256]
+    ).all()
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    bits = rng.integers(0, 2, size=(5, 13), dtype=_np.uint8)
+    assert (
+        gif_pixels(encode_gif(bits, pal2))
+        == _np.array(pal2, dtype=_np.uint8)[bits]
+    ).all()
+
+    f = decode_gif(encode_gif(bits, pal2))
+    assert f["width"] == 13 and f["height"] == 5
+    assert f["mean_r"] == _pytest.approx(255.0 * bits.mean())
+
+    with _pytest.raises(ValueError):
+        gif_pixels(b"BM not a gif")
+    with _pytest.raises(ValueError):
+        encode_gif(bits, pal2 + [(1, 1, 1)])  # non-power-of-two palette
+    # interlace flag must refuse, not garble
+    g = bytearray(encode_gif(bits, pal2))
+    # image descriptor packed byte: 0x2C offset + 9 bytes into descriptor
+    desc = g.index(0x2C, 13 + 6)
+    g[desc + 9] |= 0x40
+    with _pytest.raises(ValueError):
+        gif_pixels(bytes(g))

@@ -237,6 +237,30 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("minhash_band_pairs", dedup.minhash_band_dup_pairs_md5(docs, threshold=0.3))
     run("signlsh_codes", similarity.signlsh_codes(emb, bits=16, dim=64))
 
+    # product quantization: codebook training collects are k×d-bounded,
+    # the encode is one Arrow pass, ADC scoring scans codes only against a
+    # FIXED query set — all three must track the input pass
+    run("pq_codes", clustering.pq_codes(emb, m=2, k=4, n_iter=2))
+    run(
+        "pq_adc_topk",
+        clustering.pq_adc_topk(
+            emb, emb.where(F.col("vec_id") < 10), m=2, k=4, n_iter=2, topk=5
+        ),
+    )
+
+    # cohort retention: two hash aggs + one user_id join; output bounded
+    # by days² (day-shifted replicas widen the day range ~k-linearly)
+    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    run(
+        "cohort_retention",
+        active.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users")),
+    )
+
     # sliding-window range mode, WIDE ratio (ratio 288 at 24h/5m): the
     # per-sample difference array (sum), bucket decomposition (max/min),
     # and bucketed histograms (quantile) must all stay O(samples+output)
