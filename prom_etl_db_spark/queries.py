@@ -4833,6 +4833,47 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_cube",
+    oracle="""
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""",
+)
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube rollup: all four granularities of the (event_type, day)
+    report — per cell, per type, per day, grand total — from ONE pass.
+    Spark plans ``cube()`` as Expand (4 grouping-set replicas, map-side)
+    feeding a single partial-aggregated HashAggregate: one shuffle carries
+    all granularities, where naive per-granularity queries would scan and
+    shuffle four times. Rollup cells are projected to the '(all)'
+    sentinel rather than left NULL — a NULL DATE fetched through pandas
+    canonicalizes as NaT and would break the driver's value hash
+    (canon-safety checklist, README)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("(all)")).alias(
+                "day"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "tpch_q18_large_orders",
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
@@ -4919,6 +4960,7 @@ _GATE_PRIORITY = [
     "events_cohort_retention",
     "tpch_q18_large_orders",
     "multimodal_gif_pixels",
+    "events_rollup_cube",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

@@ -306,3 +306,13 @@ def test_pq_adc_scan_is_pure_column_fold(spark, sf_dir):
                "BroadcastNestedLoopJoin"):
         assert op not in s
     assert "Window" in s
+
+
+def test_cube_rollup_single_expand_aggregate(spark, sf_dir):
+    """All four granularities must ride ONE Expand + HashAggregate
+    pipeline (a single shuffle) — not a union of four scans."""
+    df = QUERIES["events_rollup_cube"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "Expand" in s and "HashAggregate" in s
+    assert "Union" not in s
+    assert s.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
