@@ -35,6 +35,7 @@ from prom_etl_db_spark.functions import (
     similarity,
     text,
 )
+from prom_etl_db_spark import store
 from prom_etl_db_spark.operators import analytics, promql
 from prom_etl_db_spark.sources.tables import load_table
 from prom_etl_db_spark.timeparse import RelativeTimeParser
@@ -4833,6 +4834,46 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cdc_latest",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op,
+       round(value, 4) AS last_value, ts AS last_ts
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def events_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction (`store.apply_cdc_latest`): the events
+    stream read as a change log — key = user_id, version = (ts,
+    event_id), 'error' acting as the delete op — folded to current state
+    in ONE lexicographic-struct-max hash aggregation (no window sort, no
+    self-join; the same non-invertible-aggregate trick as sliding
+    last_over_time). The oracle replays it as the classic row_number
+    window — same answer, but the
+    window shuffles every change where the partial combine ships one
+    candidate per partition-key."""
+    ev = _t(spark, sf_dir, "events")
+    state = store.apply_cdc_latest(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.round("value", 4).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
     "events_rollup_cube",
     oracle="""
 SELECT coalesce(event_type, '(all)') AS event_type,
@@ -4961,6 +5002,7 @@ _GATE_PRIORITY = [
     "tpch_q18_large_orders",
     "multimodal_gif_pixels",
     "events_rollup_cube",
+    "events_cdc_latest",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

@@ -329,3 +329,42 @@ def execution_record(
 def append_execution(df: DataFrame, path: str) -> None:
     with _path_write_lock(path):
         df.write.mode("append").parquet(path)
+
+
+def apply_cdc_latest(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    *,
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """Latest-wins CDC compaction — the lakehouse MERGE / APPLY CHANGES
+    pattern (what Delta's ``MERGE`` or a Debezium consumer materializes):
+    fold a change stream down to the current state per key, honoring
+    deletes.
+
+    Scale shape: ONE aggregation taking ``max_by(full-row,
+    struct(order_cols…))`` per key, with MAP-SIDE PARTIAL COMBINE — the
+    shuffle carries at most one candidate row per (input partition, key),
+    where the equivalent row_number window would shuffle and sort EVERY
+    change. (The struct-typed buffer makes Spark pick SortAggregate over
+    HashAggregate — a per-partition sort on the group key only; the
+    partial combine is what matters at scale and is plan-gated.) Keys
+    whose FINAL change is ``delete_op`` drop out afterwards.
+    ``order_cols`` must totally order changes within a key (version +
+    unique tiebreaker), or which change wins is undefined.
+
+    Returns rows in the input schema: the last surviving change per key.
+    """
+    payload = F.struct(
+        F.col(op_col).alias("__op"),
+        F.struct(*[F.col(c) for c in changes.columns]).alias("__row"),
+    )
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        changes.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.max_by(payload, ordering).alias("__last"))
+        .where(F.col("__last.__op") != delete_op)
+        .select("__last.__row.*")
+    )

@@ -492,3 +492,41 @@ def test_gif_codec_known_vector_and_roundtrips():
     g[desc + 9] |= 0x40
     with _pytest.raises(ValueError):
         gif_pixels(bytes(g))
+
+
+def test_gif_lzw_roundtrip_property():
+    """Property: ANY index stream roundtrips through the GIF LZW pair —
+    random sizes, palette depths, and content mixes (runs favor deep
+    dictionary chains; uniform noise favors width growth and resets)."""
+    import numpy as _np
+    from hypothesis import given, settings, strategies as st
+
+    from prom_etl_db_spark.functions.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8),  # min code size (palette depth)
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.integers(min_value=1, max_value=9000),
+        st.sampled_from(["uniform", "runs", "two-symbol"]),
+    )
+    def check(mcs, seed, n, flavor):
+        rng = _np.random.default_rng(seed)
+        hi = 1 << mcs
+        if flavor == "uniform":
+            data = rng.integers(0, hi, size=n, dtype=_np.uint8)
+        elif flavor == "runs":
+            data = _np.repeat(
+                rng.integers(0, hi, size=max(1, n // 8), dtype=_np.uint8), 8
+            )[:n]
+        else:
+            data = (rng.integers(0, 2, size=n, dtype=_np.uint8) * (hi - 1)).astype(
+                _np.uint8
+            )
+        raw = data.tobytes()
+        assert _lzw_decode_gif(mcs, _lzw_encode_gif(mcs, raw)) == raw
+
+    check()

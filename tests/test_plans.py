@@ -316,3 +316,14 @@ def test_cube_rollup_single_expand_aggregate(spark, sf_dir):
     assert "Expand" in s and "HashAggregate" in s
     assert "Union" not in s
     assert s.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_cdc_latest_partial_agg_no_window(spark, sf_dir):
+    """CDC compaction must be one max_by aggregation WITH map-side
+    partial combine (shuffle carries one candidate per partition-key),
+    never a row_number window (shuffles every change) or a self-join."""
+    df = QUERIES["events_cdc_latest"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "partial_max_by" in s  # map-side combine before the exchange
+    assert "Window" not in s
+    assert "Join" not in s

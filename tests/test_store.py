@@ -252,3 +252,32 @@ def test_compact_days_heals_crashed_swap_leftovers(spark, table):
         F.col("collected_date") == date(2024, 3, 1)
     ).count() == 4
     assert read_records(spark, table).count() == 8
+
+
+def test_apply_cdc_latest_semantics(spark):
+    from prom_etl_db_spark.store import apply_cdc_latest
+
+    rows = [
+        # key 1: upsert, upsert — latest value wins
+        (1, 10, 1, "u", 1.0),
+        (1, 20, 2, "u", 2.0),
+        # key 2: upsert then delete — key disappears
+        (2, 10, 3, "u", 5.0),
+        (2, 30, 4, "d", 0.0),
+        # key 3: delete then upsert — resurrection wins
+        (3, 10, 5, "d", 0.0),
+        (3, 40, 6, "u", 7.0),
+        # key 4: same ts, tiebreaker decides
+        (4, 10, 7, "u", 8.0),
+        (4, 10, 8, "u", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, v long, seq long, op string, val double"
+    )
+    out = {
+        r["k"]: (r["op"], r["val"])
+        for r in apply_cdc_latest(
+            df, ["k"], ["v", "seq"], op_col="op", delete_op="d"
+        ).collect()
+    }
+    assert out == {1: ("u", 2.0), 3: ("u", 7.0), 4: ("u", 9.0)}
