@@ -4834,6 +4834,43 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters_topk",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+  FROM c
+)
+SELECT event_type, user_id, n, rank FROM ranked WHERE rank <= 5
+""",
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters: top-5 users by event count per
+    event_type — the batch ground truth the streaming space-saving
+    summary (`streaming.stateful.streaming_space_saving`, k-slot bounded
+    state, Metwally 2005) is guarantee-tested against. One hash
+    aggregation shrinks events to (type, user) counts; the rank window
+    runs over that already-aggregated set (types × active users), never
+    the raw stream."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )
+
+
+@register(
     "events_cdc_latest",
     oracle="""
 WITH ranked AS (
@@ -5003,6 +5040,7 @@ _GATE_PRIORITY = [
     "multimodal_gif_pixels",
     "events_rollup_cube",
     "events_cdc_latest",
+    "heavy_hitters_topk",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

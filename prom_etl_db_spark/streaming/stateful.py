@@ -600,3 +600,133 @@ def run_countmin_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming space-saving top-k (Metwally et al. 2005) ---------------------
+
+SS_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("errs", ArrayType(LongType()), True),
+    ]
+)
+
+SS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("n_seen", LongType(), True),
+        StructField("items", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("errs", ArrayType(LongType()), True),
+    ]
+)
+
+
+def make_ss_fold(k: int):
+    """Per-group fold: the space-saving summary (Metwally, Agrawal, El
+    Abbadi — "Efficient Computation of Frequent and Top-k Elements in
+    Data Streams", ICDT 2005) as checkpointed state.
+
+    k monitored (item, count, err) slots; a new item evicts the current
+    minimum-count slot (ties to the lexicographically smallest item, a
+    deterministic rule) and inherits its count as both estimate floor and
+    error bound. The classic guarantees hold for ANY arrival order:
+    true_count ≤ est ≤ true_count + err, and every item with true
+    frequency > N/k is present in the summary — the restart/guarantee
+    tests assert exactly these, not an order-dependent state image.
+    State is k slots per group — fixed-size for an unbounded stream, like
+    the HLL registers and count-min cells beside it; n_seen rides in an
+    extra count slot under the reserved key "" (never a data item).
+    """
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        if state.exists:
+            items, counts, errs = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+            n_seen = counts.pop()  # the "" bookkeeping slot is last
+            items.pop()
+            errs.pop()
+        else:
+            items, counts, errs, n_seen = [], [], [], 0
+        slot = {it: i for i, it in enumerate(items)}
+        for pdf in pdfs:
+            for x in pdf["k"]:
+                x = str(x)
+                n_seen += 1
+                i = slot.get(x)
+                if i is not None:
+                    counts[i] += 1
+                elif len(items) < k:
+                    slot[x] = len(items)
+                    items.append(x)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    j = min(range(k), key=lambda i: (counts[i], items[i]))
+                    del slot[items[j]]
+                    slot[x] = j
+                    errs[j] = counts[j]
+                    counts[j] += 1
+                    items[j] = x
+        state.update((items + [""], counts + [n_seen], errs + [0]))
+        yield pd.DataFrame(
+            {
+                "g": [g],
+                "n_seen": [n_seen],
+                "items": [list(items)],
+                "counts": [list(counts)],
+                "errs": [list(errs)],
+            }
+        )
+
+    return fold
+
+
+def streaming_space_saving(keyed: DataFrame, *, k: int = 8) -> DataFrame:
+    """Stream-transform: per-group running space-saving top-k summary.
+    ``keyed`` is a STREAMING DataFrame shaped (g string, k string)."""
+    return keyed.groupBy("g").applyInPandasWithState(
+        make_ss_fold(k),
+        outputStructType=SS_OUTPUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_space_saving_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    k: int = 8,
+    available_now: bool = True,
+):
+    """Drive the streaming space-saving summary over a file source (same
+    sink protocol as ``run_counter_stream``)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = raw.select(
+        F.col("event_type").alias("g"), F.col("user_id").cast("string").alias("k")
+    )
+    out = streaming_space_saving(keyed, k=k)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -529,3 +529,71 @@ def test_streaming_countmin_matches_batch_sketch_across_restart(spark, tmp_path)
              .withColumnRenamed("count", "c").collect()}
     assert all(est[k] >= exact[k] for k in exact)
     assert max(est.values()) <= last["max_cell"]
+
+
+def test_streaming_space_saving_guarantees_across_restart(spark, tmp_path):
+    """applyInPandasWithState space-saving: after a checkpoint restart,
+    the k-slot summary still carries the Metwally guarantees over the
+    UNION of both runs — every item with true count > N/k is present,
+    and true ≤ est ≤ true + err for every monitored item. (The exact
+    slot image is arrival-order-dependent; the guarantees are not.)"""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.streaming.stateful import run_space_saving_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "ss_src")
+    sink = str(tmp_path / "ss_sink")
+    ckpt = str(tmp_path / "ss_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    def burst(base, spec):
+        rows = []
+        i = base
+        for uid, cnt in spec:
+            for _ in range(cnt):
+                rows.append((i, t0 + timedelta(seconds=i - base), uid, "click",
+                             1.0, None))
+                i += 1
+        return rows
+
+    # run 1: users 1/2/3 dominate over 50 light users (2 each)
+    spec1 = [(1, 300), (2, 200), (3, 100)] + [(100 + u, 2) for u in range(50)]
+    spark.createDataFrame(burst(0, spec1), schema).write.parquet(src)
+    run_space_saving_stream(
+        spark, src, sink, ckpt, schema=schema, k=8
+    ).awaitTermination(120)
+
+    # run 2 (restart from the checkpoint): user 4 surges past the bar
+    spec2 = [(4, 250), (1, 50)] + [(200 + u, 2) for u in range(40)]
+    spark.createDataFrame(burst(10_000, spec2), schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_space_saving_stream(
+        spark, src, sink, ckpt, schema=schema, k=8
+    ).awaitTermination(120)
+
+    last = (
+        spark.read.parquet(sink)
+        .where(F.col("g") == "click")
+        .orderBy(F.desc("batch_id"))
+        .first()
+    )
+    true = {}
+    for uid, cnt in spec1 + spec2:
+        true[str(uid)] = true.get(str(uid), 0) + cnt
+    n = sum(true.values())
+    assert last["n_seen"] == n
+    assert len(last["items"]) == 8
+    summary = dict(zip(last["items"], zip(last["counts"], last["errs"])))
+    # every true heavy hitter (count > N/k) is monitored
+    for uid, cnt in true.items():
+        if cnt > n / 8:
+            assert uid in summary, uid
+    # estimate bounds hold for every monitored item
+    for it, (est, err) in summary.items():
+        t = true.get(it, 0)
+        assert t <= est <= t + err, (it, t, est, err)
