@@ -499,3 +499,143 @@ def zipf_token_stats(docs: DataFrame, top: int = 20, text_col: str = "text") -> 
     return counts.select(
         "token", F.row_number().over(w).cast("bigint").alias("rank"), "cnt"
     ).select("token", "rank", "cnt")
+
+
+# -- BPE tokenizer training (Sennrich, Haddow, Birch — "Neural Machine
+# Translation of Rare Words with Subword Units", ACL 2016) -------------------
+
+
+def _apply_merge(toks: Column, left: str, right: str) -> Column:
+    """Apply one BPE merge to a token array: fuse every left-to-right
+    non-overlapping (left, right) adjacency — the reference merge_word
+    scan — as a pure-Column ``aggregate`` fold (state = (result, carry)),
+    JVM-side, no UDF."""
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(state, tok):
+        hit = state["carry"].eqNullSafe(F.lit(left)) & (tok == F.lit(right))
+        return F.struct(
+            F.when(hit, F.concat(state["acc"], F.array(F.lit(merged))))
+            .when(
+                state["carry"].isNull(), state["acc"]
+            )
+            .otherwise(F.concat(state["acc"], F.array(state["carry"])))
+            .alias("acc"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(tok).alias("carry"),
+        )
+
+    def finish(state):
+        return F.when(
+            state["carry"].isNull(), state["acc"]
+        ).otherwise(F.concat(state["acc"], F.array(state["carry"])))
+
+    return F.aggregate(toks, init, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed BPE training: learn ``n_merges`` merge rules over the
+    corpus — the standard subword-tokenizer construction for LLM
+    pipelines.
+
+    Scale architecture (the map-reduce BPE): the corpus first collapses
+    to the DISTINCT-WORD vocabulary with frequencies — one hash
+    aggregation that shrinks 100 TB of text to a language-vocab-sized
+    table — and every subsequent round runs on that vocab only:
+    pair counts = explode(zip(toks, toks[1:])) + a freq-weighted hash
+    agg; the winner is ONE collected row (count desc, then lexicographic
+    (left, right) — a deterministic tiebreak); the merge application is
+    the pure-Column fold in ``_apply_merge``. The driver holds only the
+    merge table. Rounds are sequential by nature (each merge changes the
+    next round's pair counts) — production batches thousands of merges by
+    re-persisting the vocab every few rounds; here the vocab is
+    persist()ed once and the tokenization column evolves lazily.
+
+    Words are whitespace-split, lowercased, and end-marked with '</w>'
+    (the Sennrich convention, so word-final subwords are distinct).
+    Returns the learned merges in order: [(left, right), ...].
+
+    No SQL oracle: the per-round argmax over evolving global state makes
+    the computation iterative like IVF index build; verification is the
+    exact-equality unit test against a from-scratch local reference
+    implementation (tests/test_text.py), plus determinism under
+    repartitioning.
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.expr("filter(split(w, ''), x -> x != '')"),
+            F.array(F.lit("</w>")),
+        ).alias("toks"),
+    ).persist()
+    vocab.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = vocab.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(toks, 1, size(toks) - 1)"),
+                        F.expr("slice(toks, 2, size(toks) - 1)"),
+                    )
+                ).alias("p"),
+            ).select(
+                F.col("p.0").alias("a"), F.col("p.1").alias("b"), "freq"
+            )
+            top = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            new_vocab = vocab.select(
+                "freq", _apply_merge(F.col("toks"), a, b).alias("toks")
+            ).persist()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_encode(toks_text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Local reference encoder: apply the learned merges in order to one
+    word (chars + '</w>'). Used by tests and by callers tokenizing
+    driver-side samples; the distributed encode is ``_apply_merge``
+    chained over a vocab column."""
+    toks = list(toks_text) + ["</w>"]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks

@@ -4834,6 +4834,95 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_pair_counts",
+    oracle=r"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), toks AS (
+  SELECT freq,
+         list_append(list_filter(string_split(w, ''), x -> x != ''), '</w>') AS t
+  FROM words
+), flat AS (
+  SELECT unnest(list_zip(list_slice(t, 1, len(t) - 1), list_slice(t, 2, len(t)))) AS p,
+         freq
+  FROM toks
+), counted AS (
+  SELECT p[1] AS left_tok, p[2] AS right_tok,
+         CAST(sum(freq) AS BIGINT) AS n
+  FROM flat GROUP BY 1, 2
+)
+SELECT left_tok, right_tok, n,
+       row_number() OVER (ORDER BY n DESC, left_tok, right_tok) AS rank
+FROM counted QUALIFY rank <= 20
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-counting core of BPE training (`text.bpe_train`),
+    oracle-checked in isolation: top-20 adjacent-token pairs of the
+    char+'</w>' tokenization, frequency-weighted via the distinct-word
+    vocab (the hash agg that shrinks 100 TB of text to a language-vocab
+    table), ranked with the trainer's exact (count desc, pair asc)
+    tiebreak. The iterative trainer itself is rows-only by nature (each
+    round's argmax feeds the next round's state, like the IVF index
+    build) and is exact-equality unit-tested against a from-scratch
+    local reference."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks = words.select(
+        "freq",
+        F.concat(
+            F.expr("filter(split(w, ''), x -> x != '')"),
+            F.array(F.lit("</w>")),
+        ).alias("t"),
+    )
+    pairs = toks.select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p"),
+    ).select(F.col("p.0").alias("left_tok"), F.col("p.1").alias("right_tok"), "freq")
+    counted = pairs.groupBy("left_tok", "right_tok").agg(
+        F.sum("freq").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("left_tok"), F.asc("right_tok"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("left_tok", "right_tok", "n", "rank")
+    )
+
+
+@register("bpe_learned_merges")  # rows-only: iterative global argmax (see docstring)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (`text.bpe_train`, Sennrich
+    2016): 10 learned merge rules over the documents corpus. Rows-only by
+    design — each round's winning pair feeds the next round's
+    tokenization state, the same iterative-global-state shape as the IVF
+    index build; the verification story is `bpe_pair_counts` (the
+    pair-counting core, driver hash-checked) plus exact-equality unit
+    tests against a from-scratch local reference including the
+    self-merge-run edge case."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, 10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank long, left_tok string, right_tok string, merged string",
+    )
+
+
+@register(
     "heavy_hitters_topk",
     oracle="""
 WITH c AS (
@@ -5041,6 +5130,8 @@ _GATE_PRIORITY = [
     "events_rollup_cube",
     "events_cdc_latest",
     "heavy_hitters_topk",
+    "bpe_pair_counts",
+    "bpe_learned_merges",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

@@ -233,3 +233,80 @@ def test_chunk_documents_reconstruction_property(spark):
             toks = text_piece.split()
             rebuilt.extend(toks if cid == 0 else toks[overlap:])
         assert rebuilt == [f"t{i}x{j}" for j in range(n)], (n, chunk, overlap, out)
+
+
+# --- BPE training ---------------------------------------------------------
+
+
+def _local_bpe_reference(texts, n_merges):
+    """From-scratch reference (Sennrich alg. 1): word-freq vocab, pair
+    counts weighted by freq, argmax with (count desc, pair asc) tiebreak,
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[w] += 1
+    toks = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, f in vocab.items():
+            ts = toks[w]
+            for i in range(len(ts) - 1):
+                pairs[(ts[i], ts[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in toks:
+            ts = toks[w]
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[w] = out
+    return merges
+
+
+def test_bpe_train_matches_local_reference(spark):
+    from prom_etl_db_spark.functions.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest",
+        "the the the the quick brown fox",
+        "aaaa aaa aa a",  # self-merge runs: the merge-scan edge case
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, 12)
+    want = _local_bpe_reference(texts, 12)
+    assert got == want
+
+
+def test_bpe_train_deterministic_under_repartition(spark):
+    from prom_etl_db_spark.functions.text import bpe_train
+
+    texts = ["sphinx of black quartz judge my vow " * 3, "pack my box " * 5]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert bpe_train(docs, 6) == bpe_train(docs.repartition(13), 6)
+
+
+def test_bpe_encode_applies_merges_in_order():
+    from prom_etl_db_spark.functions.text import bpe_encode
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
+    assert bpe_encode("low", merges) == ["low", "</w>"]
+    assert bpe_encode("lower", merges) == ["lower", "</w>"]
+    assert bpe_encode("slow", merges) == ["s", "low", "</w>"]
