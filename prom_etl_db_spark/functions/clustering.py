@@ -347,6 +347,8 @@ def pq_train(
     (labels, centroid-matrix, dim-offset) per subspace; the vector
     dimension is probed from one row and must divide evenly by m."""
     first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -432,13 +434,23 @@ def pq_adc_topk(
     id). The query table array is a literal — the explode is the pandas-UDF
     -free equivalent of a broadcast join; the per-query rank is one window
     over an equi-partitioned shuffle. Queries must be broadcast-class
-    (collected driver-side), the corpus is never collected."""
+    (collected driver-side), the corpus is never collected.
+
+    A corpus row whose id EQUALS the query's id is excluded (the
+    self-match convention shared with ``cosine_topk_bruteforce``) — if
+    queries come from a different table whose id space overlaps the
+    corpus, disambiguate ids first or the colliding row is silently
+    skipped."""
     books = pq_train(
         corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
     qlits = []
     for row in qrows:
         qv = [float(x) for x in row[vec_col]]

@@ -560,8 +560,9 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 def _lzw_encode_gif(min_code_size: int, indices: bytes) -> bytes:
     """GIF-flavor LZW: variable-width codes packed LSB-first, clear/EOI
     codes, width growing when the next assignable code reaches 2^width
-    (the GIF "early change"), table reset via an explicit clear code when
-    the 12-bit space (4096 codes) fills."""
+    (the standard GIF/giflib rule — TIFF's "early change" variant would
+    increment one code sooner), table reset via an explicit clear code
+    when the 12-bit space (4096 codes) fills."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -806,8 +807,8 @@ def gif_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 xs, ys = np.arange(w), np.arange(h)
                 idx = ((mid + 3 * xs[None, :] + 5 * ys[:, None]) % 64).astype(
                     np.uint8
-                )
-                f = decode_gif(encode_gif(np.broadcast_to(idx, (h, w)), palette))
+                )  # already (h, w) via broadcasting
+                f = decode_gif(encode_gif(idx, palette))
                 out["media_id"].append(mid)
                 out["width"].append(f["width"])
                 out["height"].append(f["height"])

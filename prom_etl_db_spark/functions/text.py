@@ -569,46 +569,20 @@ def bpe_train(
     implementation (tests/test_text.py), plus determinism under
     repartitioning.
     """
-    words = (
-        docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
-        )
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    vocab = words.select(
-        "freq",
-        F.concat(
-            F.expr("filter(split(w, ''), x -> x != '')"),
-            F.array(F.lit("</w>")),
-        ).alias("toks"),
-    ).persist()
+    vocab = bpe_word_vocab(docs, text_col=text_col).persist()
     vocab.count()
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):
-            pairs = vocab.select(
-                "freq",
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(toks, 1, size(toks) - 1)"),
-                        F.expr("slice(toks, 2, size(toks) - 1)"),
-                    )
-                ).alias("p"),
-            ).select(
-                F.col("p.0").alias("a"), F.col("p.1").alias("b"), "freq"
-            )
             top = (
-                pairs.groupBy("a", "b")
-                .agg(F.sum("freq").alias("n"))
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                bpe_pair_frequencies(vocab)
+                .orderBy(F.desc("n"), F.asc("left_tok"), F.asc("right_tok"))
                 .limit(1)
                 .collect()
             )
             if not top:
                 break
-            a, b = top[0]["a"], top[0]["b"]
+            a, b = top[0]["left_tok"], top[0]["right_tok"]
             merges.append((a, b))
             new_vocab = vocab.select(
                 "freq", _apply_merge(F.col("toks"), a, b).alias("toks")
@@ -619,6 +593,52 @@ def bpe_train(
     finally:
         vocab.unpersist()
     return merges
+
+
+def bpe_word_vocab(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(freq, toks): the distinct-word vocabulary with frequencies, each
+    word tokenized to chars + '</w>' — the one aggregation that collapses
+    the corpus before BPE rounds. Shared by ``bpe_train`` and its
+    registry oracle twin so the verified pair-count core can never drift
+    from the trainer."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.expr("filter(split(w, ''), x -> x != '')"),
+                F.array(F.lit("</w>")),
+            ).alias("toks"),
+        )
+    )
+
+
+def bpe_pair_frequencies(vocab: DataFrame) -> DataFrame:
+    """(left_tok, right_tok, n): frequency-weighted adjacent-pair counts
+    over a (freq, toks) vocab — the per-round argmax input."""
+    return (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.0").alias("left_tok"),
+            F.col("p.1").alias("right_tok"),
+            "freq",
+        )
+        .groupBy("left_tok", "right_tok")
+        .agg(F.sum("freq").alias("n"))
+    )
 
 
 def bpe_encode(toks_text: str, merges: list[tuple[str, str]]) -> list[str]:

@@ -4871,31 +4871,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    toks = words.select(
-        "freq",
-        F.concat(
-            F.expr("filter(split(w, ''), x -> x != '')"),
-            F.array(F.lit("</w>")),
-        ).alias("t"),
-    )
-    pairs = toks.select(
-        "freq",
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(t, 1, size(t) - 1)"),
-                F.expr("slice(t, 2, size(t) - 1)"),
-            )
-        ).alias("p"),
-    ).select(F.col("p.0").alias("left_tok"), F.col("p.1").alias("right_tok"), "freq")
-    counted = pairs.groupBy("left_tok", "right_tok").agg(
-        F.sum("freq").alias("n")
-    )
+    counted = text.bpe_pair_frequencies(text.bpe_word_vocab(docs))
     w = Window.orderBy(F.desc("n"), F.asc("left_tok"), F.asc("right_tok"))
     return (
         counted.withColumn("rank", F.row_number().over(w))

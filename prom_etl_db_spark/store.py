@@ -365,6 +365,8 @@ def apply_cdc_latest(
     return (
         changes.groupBy(*[F.col(c) for c in key_cols])
         .agg(F.max_by(payload, ordering).alias("__last"))
-        .where(F.col("__last.__op") != delete_op)
+        # null-safe: a NULL op is an unknown change, kept latest-wins —
+        # plain != would three-value it into a silent delete
+        .where(~F.col("__last.__op").eqNullSafe(F.lit(delete_op)))
         .select("__last.__row.*")
     )

@@ -138,3 +138,16 @@ def test_pq_adc_topk_finds_blob_neighbors(spark):
     for r in out:
         assert r["neighbor_id"] // 100 == r["query_id"] // 100
         assert r["adc_dist"] >= 0.0
+
+
+def test_pq_empty_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.clustering import pq_adc_topk, pq_train
+
+    df = _blobs(spark)
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train(df.where(F.lit(False)), m=2, k=3)
+    out = pq_adc_topk(df, df.where(F.lit(False)), m=2, k=3, topk=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]

@@ -281,3 +281,16 @@ def test_apply_cdc_latest_semantics(spark):
         ).collect()
     }
     assert out == {1: ("u", 2.0), 3: ("u", 7.0), 4: ("u", 9.0)}
+
+
+def test_apply_cdc_latest_null_op_is_not_a_delete(spark):
+    from prom_etl_db_spark.store import apply_cdc_latest
+
+    rows = [(1, 10, 1, "u", 1.0), (1, 20, 2, None, 2.0)]
+    df = spark.createDataFrame(
+        rows, "k long, v long, seq long, op string, val double"
+    )
+    out = apply_cdc_latest(df, ["k"], ["v", "seq"], op_col="op", delete_op="d")
+    # the NULL-op change wins latest-wins; three-valued != must not
+    # silently treat it as a delete
+    assert [(r["k"], r["val"]) for r in out.collect()] == [(1, 2.0)]
