@@ -44,6 +44,7 @@ __all__ = [
     "pq_encode",
     "pq_codes",
     "pq_adc_topk",
+    "pq_adc_topk_ivf",
 ]
 
 
@@ -372,11 +373,14 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(id, codes array<long> length m): nearest per-subspace centroid for
-    every vector, all m subspaces in ONE Arrow-batched pass (one small BLAS
-    matmul per subspace per batch). Ties to the lowest cluster label, the
-    ``assign_clusters`` rule."""
+    """(id[, passthrough…], codes array<long> length m): nearest
+    per-subspace centroid for every vector, all m subspaces in ONE
+    Arrow-batched pass (one small BLAS matmul per subspace per batch).
+    Ties to the lowest cluster label, the ``assign_clusters`` rule.
+    ``passthrough`` names extra columns carried alongside (e.g. an IVF
+    centroid assignment computed in the same pass)."""
     import numpy as np
     import pandas as pd  # noqa: F401 — worker-side dependency of the UDF
 
@@ -396,7 +400,9 @@ def pq_encode(
 
     encode_udf = F.pandas_udf(encode, "array<long>")
     return vectors.select(
-        F.col(id_col).alias("id"), encode_udf(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in passthrough],
+        encode_udf(F.col(vec_col)).alias("codes"),
     )
 
 
@@ -453,25 +459,13 @@ def pq_adc_topk(
         )
     qlits = []
     for row in qrows:
-        qv = [float(x) for x in row[vec_col]]
-        tables = []
-        for labels, C, off in books:
-            ds = C.shape[1]
-            # dense k-slot table indexed by cluster LABEL (labels may have
-            # gaps after an empty-cluster drop; unused slots stay 0 and are
-            # never looked up because no code carries a dropped label)
-            slots = [0.0] * (max(labels) + 1)
-            for li, lab in enumerate(labels):
-                t = 0.0
-                for i in range(ds):
-                    d = qv[off + i] - C[li][i]
-                    t += d * d
-                slots[lab] = round(t, 6)
-            tables.append(F.array(*[F.lit(s) for s in slots]))
+        tables = _adc_tables(row[vec_col], books)
         qlits.append(
             F.struct(
                 F.lit(row[id_col]).alias("query_id"),
-                F.array(*tables).alias("tbl"),
+                F.array(
+                    *[F.array(*[F.lit(s) for s in slots]) for slots in tables]
+                ).alias("tbl"),
             )
         )
 
@@ -496,6 +490,128 @@ def pq_adc_topk(
         scored.select(
             F.col("q.query_id").alias("query_id"),
             "neighbor_id",
+            dist.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )
+
+
+def _adc_tables(qvec, books) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for one query vector: a dense
+    k-slot list per subspace indexed by cluster LABEL (labels may have
+    gaps after an empty-cluster drop; unused slots stay 0 and are never
+    looked up because no code carries a dropped label). Entries are
+    squared-L2 sums folded LEFT-TO-RIGHT then rounded to 6 dp — the
+    determinism contract the DuckDB oracle mirrors."""
+    qv = [float(x) for x in qvec]
+    tables = []
+    for labels, C, off in books:
+        ds = C.shape[1]
+        slots = [0.0] * (max(labels) + 1)
+        for li, lab in enumerate(labels):
+            t = 0.0
+            for i in range(ds):
+                d = qv[off + i] - float(C[li][i])
+                t += d * d
+            slots[lab] = float(round(t, 6))
+        tables.append(slots)
+    return tables
+
+
+def pq_adc_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector ANN serving path — inverted-
+    file ROUTING bounds the candidate set, PQ CODES bound the bytes
+    scanned, ADC scores without touching a full-precision vector.
+
+    One pass over the corpus computes both the centroid assignment and
+    the m PQ codes (two closure-captured BLAS matmuls in the same Arrow
+    batch — ``pq_encode`` with the assignment as a passthrough column);
+    queries are routed driver-side (broadcast-class, the
+    ``cosine_topk_ivf`` convention: lowest-id seed centroids, cosine
+    routing, stable ties to the lower centroid id) and shipped as a
+    small (query, probed centroid, m×k table) frame broadcast onto the
+    codes scan; the only shuffle is the per-query rank window. Candidate
+    volume is nprobe/num_centroids of the corpus instead of all of it —
+    multiply with PQ's m bytes/vector for the full memory story. Same
+    self-match exclusion as ``pq_adc_topk``."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions import similarity as sim
+
+    cent_rows = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    cent_ids = [r[0] for r in cent_rows]
+    cent_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+
+    books = pq_train(
+        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assign1 = sim._nearest_centroids_udf(cent_ids, cent_mat, 1)
+    codes = pq_encode(
+        balance(corpus, id_col).withColumn(
+            "centroid_id", assign1(F.col(vec_col))[0]
+        ),
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        passthrough=("centroid_id",),
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    Cn = cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30
+    )
+    probe_rows = []
+    for row in qrows:
+        qv = np.asarray([float(x) for x in row[vec_col]], dtype=np.float64)
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
+        tables = _adc_tables(row[vec_col], books)
+        for cid in ids[order]:
+            probe_rows.append((int(row[id_col]), int(cid), tables))
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id long, centroid_id long, tbl array<array<double>>"
+    )
+
+    scored = codes.join(F.broadcast(probes), "centroid_id").where(
+        F.col("query_id") != F.col("id")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.col("tbl")[j][F.col("codes")[j].cast("int")],
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
             dist.alias("adc_dist"),
         )
         .withColumn("rank", F.row_number().over(w))

@@ -4795,6 +4795,92 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_ivfpq",
+    oracle=_PQ_CODES_CTE
+    + """,
+codes AS (
+  SELECT vec_id, a1_0.cluster AS code0, a1_1.cluster AS code1
+  FROM a1_0 JOIN a1_1 USING (vec_id)
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+), vc AS (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(range(1,65), j -> v.vec[j]*c.cvec[j]))
+         / (sqrt(list_sum(list_transform(range(1,65), j -> v.vec[j]*v.vec[j])))
+            * sqrt(list_sum(list_transform(range(1,65), j -> c.cvec[j]*c.cvec[j])))) AS cos
+  FROM v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vc
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vc WHERE vec_id < 10
+  ) WHERE rn <= 4
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+), t0 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_0 c
+), t1 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i + 32] - c.centroid[i]) * (q.qv[i + 32] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_1 c
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, t0.t + t1.t AS adc_dist
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN codes c ON c.vec_id = a.neighbor_id
+  JOIN t0 ON t0.query_id = p.query_id AND t0.cluster = c.code0
+  JOIN t1 ON t1.query_id = p.query_id AND t1.cluster = c.code1
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (IVF-PQ, the composed billion-vector serving path): inverted-
+    file routing bounds WHICH vectors are scanned (nprobe/num_centroids
+    of the corpus), PQ codes bound the BYTES per scanned vector (m small
+    ints), ADC scores without touching full precision. One corpus pass
+    computes centroid assignment + codes together; queries route
+    driver-side and broadcast their probed lists with their m×k tables.
+    The oracle replays the ENTIRE composition — both subspace k-means
+    loops, the cosine routing with its (cos desc, cid asc) ties, the
+    probed-list candidate join, and the table-lookup scoring — so the
+    driver hash-checks routing and scoring as one pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.pq_adc_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        num_centroids=16,
+        nprobe=4,
+        m=2,
+        k=4,
+        n_iter=2,
+        topk=5,
+    )
+
+
+@register(
     "events_cohort_retention",
     oracle="""
 WITH firstday AS (
@@ -5108,6 +5194,7 @@ _GATE_PRIORITY = [
     "heavy_hitters_topk",
     "bpe_pair_counts",
     "bpe_learned_merges",
+    "similarity_topk_ivfpq",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

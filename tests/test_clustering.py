@@ -151,3 +151,27 @@ def test_pq_empty_inputs(spark):
     out = pq_adc_topk(df, df.where(F.lit(False)), m=2, k=3, topk=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
+def test_pq_adc_topk_ivf_blob_neighbors_and_bounded_candidates(spark):
+    """IVF-PQ on separated blobs: routing must send each query to its own
+    blob's lists, so every returned neighbor shares the query's blob; the
+    result is also a subset of what the unrouted ADC scan returns (the
+    routing can only REMOVE candidates, never invent them)."""
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.clustering import pq_adc_topk, pq_adc_topk_ivf
+
+    df = _blobs(spark)
+    queries = df.where(F.col("vec_id").isin(5, 105, 205))
+    out = pq_adc_topk_ivf(
+        df, queries, num_centroids=6, nprobe=2, m=2, k=3, n_iter=2, topk=5
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r["neighbor_id"] // 100 == r["query_id"] // 100
+    full = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in pq_adc_topk(df, queries, m=2, k=3, n_iter=2, topk=60).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in out} <= full

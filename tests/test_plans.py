@@ -327,3 +327,16 @@ def test_cdc_latest_partial_agg_no_window(spark, sf_dir):
     assert "partial_max_by" in s  # map-side combine before the exchange
     assert "Window" not in s
     assert "Join" not in s
+
+
+def test_ivfpq_broadcast_probe_no_shuffle_join(spark, sf_dir):
+    """The probed-list candidate join must be a BROADCAST of the tiny
+    (query, centroid, table) frame onto the codes scan — a shuffle join
+    there would move the whole corpus for 40 probe rows."""
+    df = QUERIES["similarity_topk_ivfpq"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in s
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin"):
+        assert op not in s
+    assert "Window" in s
