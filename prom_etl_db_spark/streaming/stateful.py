@@ -730,3 +730,113 @@ def run_space_saving_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming CDC latest-state (materialized-view maintenance) --------------
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ord_ts", LongType(), True),
+        StructField("ord_seq", LongType(), True),
+        StructField("op", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+CDC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), False),
+        StructField("ord_ts", LongType(), True),
+        StructField("ord_seq", LongType(), True),
+        StructField("op", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("is_deleted", StringType(), True),
+    ]
+)
+
+
+def make_cdc_fold(delete_op: str):
+    """Per-key fold: the streaming twin of ``store.apply_cdc_latest`` —
+    continuous latest-wins materialization of a change stream. State is
+    ONE (order, op, value) record per key; an incoming change replaces it
+    only if its (ord_ts, ord_seq) is strictly greater, so late/replayed
+    older changes can never regress the view and a delete tombstone is
+    REMEMBERED (not dropped) — the fact batch compaction gets for free by
+    seeing all changes at once. Emits the post-batch state with an
+    is_deleted flag; downstream sinks filter tombstones."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        cur = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            for ts, seq, op, val in zip(
+                pdf["ord_ts"], pdf["ord_seq"], pdf["op"], pdf["value"]
+            ):
+                cand = (int(ts), int(seq), str(op), float(val))
+                if cur is None or cand[:2] > cur[:2]:
+                    cur = cand
+        state.update(cur)
+        yield pd.DataFrame(
+            {
+                "k": [k],
+                "ord_ts": [cur[0]],
+                "ord_seq": [cur[1]],
+                "op": [cur[2]],
+                "value": [cur[3]],
+                "is_deleted": ["y" if cur[2] == delete_op else "n"],
+            }
+        )
+
+    return fold
+
+
+def streaming_cdc_latest(keyed: DataFrame, *, delete_op: str) -> DataFrame:
+    """Stream-transform: continuously-maintained latest state per key.
+    ``keyed`` is a STREAMING DataFrame shaped (k string, ord_ts long,
+    ord_seq long, op string, value double)."""
+    return keyed.groupBy("k").applyInPandasWithState(
+        make_cdc_fold(delete_op),
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cdc_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    delete_op: str = "error",
+    available_now: bool = True,
+):
+    """Drive the streaming CDC view over a file source (same sink
+    protocol as ``run_counter_stream``); events map to changes keyed by
+    user, versioned by (ts, event_id), with ``delete_op`` as the
+    tombstone."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = raw.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ord_ts"),
+        F.col("event_id").alias("ord_seq"),
+        F.col("event_type").alias("op"),
+        F.col("value").alias("value"),
+    )
+    out = streaming_cdc_latest(keyed, delete_op=delete_op)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -597,3 +597,75 @@ def test_streaming_space_saving_guarantees_across_restart(spark, tmp_path):
     for it, (est, err) in summary.items():
         t = true.get(it, 0)
         assert t <= est <= t + err, (it, t, est, err)
+
+
+def test_streaming_cdc_latest_matches_batch_across_restart(spark, tmp_path):
+    """The continuously-maintained CDC view must equal
+    store.apply_cdc_latest over the UNION of both runs: surviving keys
+    and their winning (version, value) agree, deleted keys appear only
+    as tombstones — and a REPLAYED older change in run 2 must not
+    regress the view (the state remembers, batch recomputes)."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.store import apply_cdc_latest
+    from prom_etl_db_spark.streaming.stateful import run_cdc_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "cdc_src")
+    sink = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    rows1 = [
+        (1, t0, 1, "click", 1.0, None),
+        (2, t0 + timedelta(minutes=1), 1, "view", 2.0, None),
+        (3, t0, 2, "click", 5.0, None),
+        (4, t0 + timedelta(minutes=2), 2, "error", 0.0, None),  # delete
+        (5, t0, 3, "click", 7.0, None),
+    ]
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run_cdc_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    rows2 = [
+        (2, t0 + timedelta(minutes=1), 1, "view", 2.0, None),  # exact replay
+        (1, t0, 3, "purchase", 9.9, None),  # OLDER change (same ts, lower id)
+        (6, t0 + timedelta(minutes=5), 4, "signup", 4.0, None),  # new key
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_cdc_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("batch_id"))
+    latest = (
+        spark.read.parquet(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    stream_live = {
+        r["k"]: (r["ord_ts"], r["ord_seq"], r["value"])
+        for r in latest.where(F.col("is_deleted") == "n").collect()
+    }
+    stream_dead = {r["k"] for r in latest.where(F.col("is_deleted") == "y").collect()}
+
+    all_changes = spark.read.parquet(src).select(
+        F.col("user_id").cast("string").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ord_ts"),
+        F.col("event_id").alias("ord_seq"),
+        F.col("event_type").alias("op"),
+        "value",
+    )
+    batch = {
+        r["k"]: (r["ord_ts"], r["ord_seq"], r["value"])
+        for r in apply_cdc_latest(
+            all_changes, ["k"], ["ord_ts", "ord_seq"], op_col="op",
+            delete_op="error",
+        ).collect()
+    }
+    assert stream_live == batch
+    assert stream_dead == {"2"}
+    # the replayed-older-change key kept its newer value
+    assert stream_live["3"][2] == 7.0

@@ -248,6 +248,23 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         ),
     )
 
+    # IVF-PQ: routing + codes + ADC — candidate volume nprobe/centroids
+    # of the corpus, fixed query set; must track the single corpus pass
+    run(
+        "pq_adc_topk_ivf",
+        clustering.pq_adc_topk_ivf(
+            emb, emb.where(F.col("vec_id") < 10),
+            num_centroids=16, nprobe=4, m=2, k=4, n_iter=2, topk=5,
+        ),
+    )
+
+    # BPE pair-count core: the corpus collapses to the distinct-word
+    # vocab first, so time tracks the text pass, not rounds
+    run(
+        "bpe_pair_counts",
+        textfn.bpe_pair_frequencies(textfn.bpe_word_vocab(docs)),
+    )
+
     # cohort retention: two hash aggs + one user_id join; output bounded
     # by days² (day-shifted replicas widen the day range ~k-linearly)
     firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
