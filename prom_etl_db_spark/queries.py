@@ -4795,6 +4795,96 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_histquant_range",
+    oracle="""
+WITH grid AS (
+  SELECT TIMESTAMP '2024-01-29 00:00:00' + range * INTERVAL 1 HOUR AS t
+  FROM range(0, 25)
+), b AS (
+  SELECT e.event_type AS name, g.t, l.le, CAST(count(*) AS DOUBLE) AS cum
+  FROM events e
+  JOIN grid g ON e.ts >= g.t - INTERVAL 6 HOUR AND e.ts < g.t
+  CROSS JOIN (SELECT unnest([25.0, 50.0, 100.0, 200.0,
+                             CAST('inf' AS DOUBLE)]) AS le) l
+  WHERE e.value <= l.le
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT name, t, le, cum,
+         lag(cum) OVER (PARTITION BY name, t ORDER BY le) AS prev_cum,
+         lag(le) OVER (PARTITION BY name, t ORDER BY le) AS prev_le,
+         max(cum) OVER (PARTITION BY name, t) * 0.9 AS target
+  FROM b
+)
+SELECT name, t AS bucket_start,
+       round(CASE WHEN isinf(le) THEN prev_le
+             ELSE coalesce(prev_le, 0) + (le - coalesce(prev_le, 0))
+                  * (target - coalesce(prev_cum, 0))
+                  / (cum - coalesce(prev_cum, 0)) END, 4) AS q90
+FROM w
+WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+""",
+)
+def promql_histquant_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY histogram_quantile(0.9, increase(bucket[6h])) at every
+    1h step — the single most-used PromQL idiom, as a sliding range
+    query. Composition of existing operators: each event fans out to its
+    covering cumulative le-buckets (a bounded ≤|bounds| explode), the
+    windowed bucket counts ride the per-sample difference-array strategy
+    of ``agg_over_time_range`` (O(samples + output) at any frame/step
+    ratio — increase of a perfect counter ≡ the window count, and the
+    1/frame rate factor cancels inside the quantile), and
+    ``histogram_quantile`` runs per grid instant by carrying the instant
+    in the label map. The oracle replays the naive sliding windows plus
+    the same crossing interpolation."""
+    bounds = [25.0, 50.0, 100.0, 200.0, float("inf")]
+    ev = _events(spark, sf_dir)
+    samples = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: F.col("value") <= b,
+            )
+        ).alias("__le"),
+        F.col("value"),
+        F.col("ts").alias("timestamp"),
+    ).select(
+        "metric_name",
+        F.create_map(
+            F.lit("name"), F.col("metric_name"),
+            F.lit("le"), F.col("__le").cast("string"),
+        ).alias("labels"),
+        "value",
+        "timestamp",
+    )
+    counts = promql.agg_over_time_range(
+        samples,
+        agg="count",
+        method="events",
+        frame="6h",
+        step="1h",
+        start=datetime(2024, 1, 29),
+        end=datetime(2024, 1, 30),
+    )
+    buckets = counts.select(
+        F.map_concat(
+            "labels",
+            F.create_map(
+                F.lit("t"),
+                F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss"),
+            ),
+        ).alias("labels"),
+        "value",
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.element_at("labels", "name").alias("name"),
+        F.to_timestamp(F.element_at("labels", "t")).alias("bucket_start"),
+        F.round("value", 4).alias("q90"),
+    )
+
+
+@register(
     "similarity_topk_ivfpq",
     oracle=_PQ_CODES_CTE
     + """,
@@ -5195,6 +5285,7 @@ _GATE_PRIORITY = [
     "bpe_pair_counts",
     "bpe_learned_merges",
     "similarity_topk_ivfpq",
+    "promql_histquant_range",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",
