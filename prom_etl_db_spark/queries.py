@@ -4795,6 +4795,54 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mix",
+    oracle="""
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+p AS (SELECT lang, n, round(pow(n, 0.7), 9) AS p FROM n),
+s AS (SELECT list_sum(list(p ORDER BY lang)) AS s FROM p),
+wt AS (SELECT lang, n, round(p / s.s, 9) AS w FROM p CROSS JOIN s),
+t AS (SELECT min(n / w) AS total FROM wt),
+thr AS (
+  SELECT lang,
+         CASE WHEN least(1.0, (w * t.total) / n) >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(floor(least(1.0, (w * t.total) / n)
+                                             * 4294967296) AS BIGINT))
+         END AS thr
+  FROM wt CROSS JOIN t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 8) < thr.thr
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha = 0.7, the XLM-R / mT5 multilingual
+    recipe): target language shares proportional to n^alpha — flatter
+    than natural frequency, so low-resource languages keep more weight —
+    then the same deterministic md5-threshold mixing as
+    ``corpus_mix_by_lang``. Cross-engine float discipline: per-language
+    pow() results and the derived shares are rounded to 9 dp on BOTH
+    engines (libm pow differs in the last ulp between engines), and the
+    share normalizer is summed in sorted-language order (DuckDB
+    list_sum over an ORDER BY list; Python over sorted keys) so every
+    derived threshold is bit-identical. The count pass is skippable at
+    100 TB via catalog counts, and the filter is one codegen'd CASE —
+    no shuffle, no sample(), no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    p = {lang: round(counts[lang] ** 0.7, 9) for lang in counts}
+    s = sum(p[lang] for lang in sorted(p))
+    weights = {lang: round(p[lang] / s, 9) for lang in counts}
+    mixed = sampling.mix_by_column(
+        docs, "lang", weights, "doc_id", salt="tmix", counts=counts
+    )
+    return mixed.select("doc_id", "lang")
+
+
+@register(
     "promql_histquant_range",
     oracle="""
 WITH grid AS (
@@ -5286,6 +5334,7 @@ _GATE_PRIORITY = [
     "bpe_learned_merges",
     "similarity_topk_ivfpq",
     "promql_histquant_range",
+    "corpus_temperature_mix",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",
