@@ -4795,6 +4795,128 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_absent_range",
+    oracle="""
+WITH grid AS (
+  SELECT TIMESTAMP '2024-01-29 00:00:00' + range * INTERVAL 30 MINUTE AS t
+  FROM range(0, 49)
+), present AS (
+  SELECT DISTINCT g.t
+  FROM events e JOIN grid g
+    ON e.ts >= g.t - INTERVAL 15 MINUTE AND e.ts < g.t
+  WHERE e.event_type = 'purchase' AND e.value > 450
+)
+SELECT g.t AS bucket_start, CAST(1 AS DOUBLE) AS value
+FROM grid g LEFT JOIN present p ON p.t = g.t
+WHERE p.t IS NULL
+""",
+)
+def promql_absent_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY absent_over_time(selector[15m]) every 30 minutes —
+    the alerting primitive ("did this metric go silent?") as a sliding
+    range query. The selector's windowed presence reduces to ONE
+    aggregation over the rare matching samples (each sample covers a
+    contiguous grid run, so presence is a distinct-instant set bounded
+    by the grid size); the absent vector is the tiny grid anti-joined
+    against it — output and intermediates are O(steps), never O(samples
+    × steps). Exact dual of present_over_time under the engine-wide
+    half-open [t−frame, t) convention (DIVERGENCES.md)."""
+    from prom_etl_db_spark.schema import epoch_seconds
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    start = datetime(2024, 1, 29)
+    end = datetime(2024, 1, 30)
+    frame_s = parse_duration("15m").total_seconds()
+    step_s = parse_duration("30m").total_seconds()
+    ev = _events(spark, sf_dir).where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 450)
+    )
+    ts = epoch_seconds(F.col("ts"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    # sample s is inside window at t  ⟺  ts < t ≤ ts + frame
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    present = (
+        ev.where(last >= first)
+        .select(
+            F.explode(
+                F.sequence(
+                    first.cast("long"), last.cast("long"), F.lit(int(step_s))
+                )
+            ).alias("t_s")
+        )
+        .distinct()
+    )
+    grid = spark.range(0, 49).select(
+        (F.lit(int(start.timestamp())) + F.col("id") * int(step_s)).alias("t_s")
+    )
+    return grid.join(present, "t_s", "left_anti").select(
+        F.timestamp_seconds("t_s").cast("timestamp_ntz").alias("bucket_start"),
+        F.lit(1.0).alias("value"),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter-windowed three-way
+    fact join with a broadcast dim — the date slice and the returnflag
+    equality both push to their scans, customer and nation broadcast, and
+    the top-20 is a TakeOrderedAndProject over the grouped revenue (no
+    global sort). The deterministic c_custkey tiebreaker makes the LIMIT
+    oracle-safe."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # per-item cents rounded THEN summed as integers: the sum is
+        # order-free and exact, so both engines land on the identical
+        # double after /100 — a raw double sum rounded to 2 dp flipped
+        # at a .005 boundary between engines (canon-safety checklist)
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "corpus_temperature_mix",
     oracle="""
 WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
@@ -5335,6 +5457,8 @@ _GATE_PRIORITY = [
     "similarity_topk_ivfpq",
     "promql_histquant_range",
     "corpus_temperature_mix",
+    "promql_absent_range",
+    "tpch_q10_returned_items",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",
