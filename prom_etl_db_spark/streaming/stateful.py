@@ -840,3 +840,116 @@ def run_cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming PSI drift monitor ---------------------------------------------
+
+PSI_STATE_SCHEMA = StructType(
+    [
+        StructField("baseline", ArrayType(LongType()), True),
+        StructField("n_ref", LongType(), True),
+    ]
+)
+
+PSI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("n_ref", LongType(), True),
+        StructField("n_cur", LongType(), True),
+        StructField("psi", DoubleType(), True),
+    ]
+)
+
+
+def make_psi_fold(bins: int, lo: float, hi: float):
+    """Per-group fold: continuous drift monitoring against a FROZEN
+    baseline. The first batch a group appears in becomes its reference
+    histogram (fixed equi-width bins, edge-clamped — the exact bin map of
+    ``quality.psi_drift``); every later batch emits the PSI of its own
+    distribution against that baseline, with the same add-half smoothing
+    and 6-dp rounding, so stream output is comparable number-for-number
+    with the batch operator (the restart test pins equality). State is
+    ``bins`` longs per group — fixed-size for an unbounded stream."""
+    import math
+
+    width = (hi - lo) / bins
+    sm = 0.5
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        cur = [0] * bins
+        n_cur = 0
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                b = min(bins - 1, max(0, int((float(v) - lo) // width)))
+                cur[b] += 1
+                n_cur += 1
+        if state.exists:
+            baseline, n_ref = list(state.get[0]), int(state.get[1])
+            psi = 0.0
+            for b in range(bins):
+                p = (baseline[b] + sm) / (n_ref + sm * bins)
+                q = (cur[b] + sm) / (n_cur + sm * bins)
+                psi += (p - q) * math.log(p / q)
+            yield pd.DataFrame(
+                {
+                    "g": [g],
+                    "n_ref": [n_ref],
+                    "n_cur": [n_cur],
+                    "psi": [round(psi, 6)],
+                }
+            )
+        else:
+            state.update((cur, n_cur))
+            yield pd.DataFrame(
+                {"g": [g], "n_ref": [n_cur], "n_cur": [n_cur], "psi": [0.0]}
+            )
+
+    return fold
+
+
+def streaming_psi_drift(
+    keyed: DataFrame, *, bins: int = 20, lo: float = 0.0, hi: float = 500.0
+) -> DataFrame:
+    """Stream-transform: per-group PSI of each micro-batch against the
+    group's frozen first-batch baseline. ``keyed`` is a STREAMING
+    DataFrame shaped (g string, v double)."""
+    return keyed.groupBy("g").applyInPandasWithState(
+        make_psi_fold(bins, lo, hi),
+        outputStructType=PSI_OUTPUT_SCHEMA,
+        stateStructType=PSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_psi_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    available_now: bool = True,
+):
+    """Drive the streaming PSI monitor over a file source (same sink
+    protocol as ``run_counter_stream``)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = raw.select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    out = streaming_psi_drift(keyed)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -669,3 +669,60 @@ def test_streaming_cdc_latest_matches_batch_across_restart(spark, tmp_path):
     assert stream_dead == {"2"}
     # the replayed-older-change key kept its newer value
     assert stream_live["3"][2] == 7.0
+
+
+def test_streaming_psi_matches_batch_across_restart(spark, tmp_path):
+    """Streaming PSI against a frozen first-batch baseline: after a
+    checkpoint restart, the second run's score must EQUAL the batch
+    psi_drift over the union with the file-membership split — baseline
+    state crossed the checkpoint intact. A genuinely shifted second
+    distribution must read > 0.25 (the drift rule of thumb the batch
+    tests also pin)."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.functions.quality import psi_drift
+    from prom_etl_db_spark.streaming.stateful import run_psi_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "psi_src")
+    sink = str(tmp_path / "psi_sink")
+    ckpt = str(tmp_path / "psi_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    # run 1 (baseline): values uniform-ish over [0, 250)
+    rows1 = [(i, t0, 0, "click", float((i * 17) % 250), None) for i in range(600)]
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run_psi_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    # run 2 (restart): shifted to [250, 500)
+    rows2 = [
+        (1000 + i, t0 + timedelta(minutes=1), 0, "click",
+         250.0 + float((i * 13) % 250), None)
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_psi_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    last = (
+        spark.read.parquet(sink)
+        .where(F.col("g") == "click")
+        .orderBy(F.desc("batch_id"))
+        .first()
+    )
+    assert last["n_ref"] == 600 and last["n_cur"] == 400
+
+    batch = (
+        psi_drift(
+            spark.read.parquet(src),
+            "event_type",
+            "value",
+            F.col("event_id") < 1000,  # reference slice = run-1 file
+        )
+        .where(F.col("event_type") == "click")
+        .first()
+    )
+    assert last["psi"] == batch["psi"]
+    assert last["psi"] > 0.25
