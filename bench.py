@@ -84,12 +84,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # best-of-2: the minimum of repeated materializations is the
+        # best-of-3: the minimum of repeated materializations is the
         # standard noise-robust estimator for "what the engine costs" —
-        # single-shot timings on this box swing 2-4× with host noise.
+        # single-shot timings on this box swing 2-4× with host noise, and
+        # back-to-back full-bench runs still swung ~2× at best-of-2 on
+        # the pandas-UDF-heavy tail (Python-worker contention), so one
+        # more repetition buys the driver's once-per-round number real
+        # stability for ~10 s of extra wall time.
         best = None
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
