@@ -45,6 +45,8 @@ __all__ = [
     "pq_codes",
     "pq_adc_topk",
     "pq_adc_topk_ivf",
+    "build_ivfpq_index",
+    "pq_adc_topk_ivfpq_index",
 ]
 
 
@@ -613,6 +615,171 @@ def pq_adc_topk_ivf(
             "query_id",
             F.col("id").alias("neighbor_id"),
             dist.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    num_centroids: int = 16,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Build and PERSIST an IVF-PQ index — the serveable form of
+    ``pq_adc_topk_ivf``. Layout (three parquet tables under ``path``):
+
+    - ``centroids/``: (centroid_id, vector) — the probe map
+      (``similarity.build_ivf_index`` convention: lowest-id seeds, dense
+      0..K−1 ids by ascending source id).
+    - ``codebooks/``: (subspace, cluster, offset, centroid) — m·k rows,
+      the PQ codebooks queries rebuild their ADC tables from.
+    - ``lists/``: (id, codes) PARTITIONED BY centroid_id — the inverted
+      file IS the directory structure AND the rows are m small ints, no
+      full vectors: a probe reads ~nprobe/K of the corpus at m bytes per
+      vector (the two multiplicative ANN levers, persisted). Doubles
+      roundtrip parquet bit-exactly, so a reopened index scores
+      identically to the in-memory path.
+
+    Returns the centroid count.
+    """
+    from pathlib import Path
+
+    import numpy as np
+
+    from prom_etl_db_spark.functions import similarity as sim
+    from pyspark.sql.window import Window
+
+    seeds = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(F.col(id_col), F.col(vec_col))
+    )
+    w = Window.orderBy(F.asc(id_col))
+    cent = seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vector"),
+    )
+    cent_rows = cent.collect()
+    ids = [r["centroid_id"] for r in cent_rows]
+    mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
+
+    books = pq_train(
+        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assign1 = sim._nearest_centroids_udf(ids, mat, 1)
+    codes = pq_encode(
+        balance(corpus, id_col).withColumn(
+            "centroid_id", assign1(F.col(vec_col))[0]
+        ),
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        passthrough=("centroid_id",),
+    )
+
+    root = Path(path)
+    cent.coalesce(1).write.mode("overwrite").parquet(str(root / "centroids"))
+    book_rows = [
+        (j, int(lab), int(off), [float(x) for x in C[li]])
+        for j, (labels, C, off) in enumerate(books)
+        for li, lab in enumerate(labels)
+    ]
+    corpus.sparkSession.createDataFrame(
+        book_rows,
+        "subspace int, cluster long, offset int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "codebooks"))
+    codes.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        str(root / "lists")
+    )
+    return num_centroids
+
+
+def pq_adc_topk_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    topk: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a PERSISTED IVF-PQ index (see ``build_ivfpq_index``): load
+    centroids + codebooks (both broadcast-class), route each query
+    driver-side, rebuild its m×k ADC table from the stored codebooks
+    (identical doubles → identical scores as the in-memory path), and
+    scan ONLY the probed list partitions — the ``centroid_id IN``
+    predicate prunes at the directory level and each scanned row is m
+    ints, so I/O ≈ (nprobe/K)·(m/d·bytes) of a full-precision scan."""
+    from pathlib import Path
+
+    import numpy as np
+
+    root = Path(path)
+    cent_rows = sorted(
+        spark.read.parquet(str(root / "centroids")).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    ids = np.asarray([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
+    book_rows = spark.read.parquet(str(root / "codebooks")).collect()
+    by_sub: dict[int, list] = {}
+    for r in book_rows:
+        by_sub.setdefault(r["subspace"], []).append(r)
+    books = []
+    for j in sorted(by_sub):
+        rows = sorted(by_sub[j], key=lambda r: r["cluster"])
+        labels = [r["cluster"] for r in rows]
+        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        books.append((labels, C, rows[0]["offset"]))
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
+    Cn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    probe_rows = []
+    for row in qrows:
+        qv = np.asarray([float(x) for x in row[vec_col]], dtype=np.float64)
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
+        tables = _adc_tables(row[vec_col], books)
+        for cid in ids[order]:
+            probe_rows.append((int(row[id_col]), int(cid), tables))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id long, tbl array<array<double>>"
+    )
+    probed = sorted({r[1] for r in probe_rows})
+
+    lists = (
+        spark.read.parquet(str(root / "lists"))
+        .where(F.col("centroid_id").isin(probed))  # partition-pruned
+        .select("id", "codes", "centroid_id")
+    )
+    scored = lists.join(F.broadcast(probes), "centroid_id").where(
+        F.col("query_id") != F.col("id")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.col("tbl")[j][F.col("codes")[j].cast("int")],
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", F.col("id").alias("neighbor_id"), dist.alias("adc_dist")
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)

@@ -175,3 +175,41 @@ def test_pq_adc_topk_ivf_blob_neighbors_and_bounded_candidates(spark):
         for r in pq_adc_topk(df, queries, m=2, k=3, n_iter=2, topk=60).collect()
     }
     assert {(r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in out} <= full
+
+
+def test_ivfpq_index_roundtrip_equals_in_memory(spark, tmp_path):
+    """A persisted IVF-PQ index reopened from disk must score IDENTICALLY
+    to the in-memory composed path (doubles roundtrip parquet
+    bit-exactly), the codes-only list layout must hold m ints per row
+    (no vectors), and the probed scan must touch only probed partition
+    directories."""
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.clustering import (
+        build_ivfpq_index,
+        pq_adc_topk_ivf,
+        pq_adc_topk_ivfpq_index,
+    )
+
+    df = _blobs(spark)
+    queries = df.where(F.col("vec_id").isin(5, 105, 205))
+    path = str(tmp_path / "ivfpq")
+    n_cent = build_ivfpq_index(df, path, num_centroids=6, m=2, k=3, n_iter=2)
+    assert n_cent == 6
+
+    lists = spark.read.parquet(path + "/lists")
+    assert set(lists.columns) == {"id", "codes", "centroid_id"}
+    assert lists.count() == df.count()
+
+    got = pq_adc_topk_ivfpq_index(
+        spark, path, queries, topk=5, nprobe=2
+    )
+    mem = pq_adc_topk_ivf(
+        df, queries, num_centroids=6, nprobe=2, m=2, k=3, n_iter=2, topk=5
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
+
+    # directory-level pruning: the probed scan's FileScan carries a
+    # centroid_id partition filter (not a post-scan row filter)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
