@@ -5411,6 +5411,13 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Gate-window rotation.
 #
+# Round-4 note: the 50-entry window below is now ENTIRELY filled with
+# never-driver-checked entries (46) plus 4 regression slots — adding a new
+# oracle-checked query displaces one of them to round 5. Next round,
+# rotate: (a) anything red in CORRECTNESS_r03.json first, (b) the
+# remaining r1/r2-green entries that haven't had a row since r1
+# (definition-order tail), (c) fresh round-4 queries.
+#
 # The external correctness gate samples the FIRST 50 registry entries per
 # round. Round 1 verified the first 50 in definition order; the 29 entries
 # below were locally green but never received a driver row. Rotate them to

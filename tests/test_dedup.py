@@ -530,3 +530,42 @@ def test_gif_lzw_roundtrip_property():
         assert _lzw_decode_gif(mcs, _lzw_encode_gif(mcs, raw)) == raw
 
     check()
+
+
+def test_gif_local_color_table_and_gif87a():
+    """Hand-assembled GIF87a with NO global table and a LOCAL color
+    table on the image descriptor — the decoder branch the encoder never
+    produces (it always writes a GCT)."""
+    import numpy as _np
+
+    from prom_etl_db_spark.functions.multimodal import (
+        _lzw_encode_gif,
+        gif_pixels,
+    )
+
+    idx = _np.array([[0, 1], [1, 0]], dtype=_np.uint8)
+    lzw = _lzw_encode_gif(2, idx.tobytes())
+    g = bytearray(b"GIF87a")
+    g += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    g += bytes((0x00, 0x00, 0x00))  # no GCT
+    g += b"\x2c" + b"\x00\x00\x00\x00"
+    g += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    g.append(0x80)  # local color table, size field 0 -> 2 entries
+    g += bytes((10, 20, 30)) + bytes((200, 210, 220))  # the LCT
+    g.append(2)  # min code size
+    g.append(len(lzw))
+    g += lzw
+    g += b"\x00\x3b"
+    px = gif_pixels(bytes(g))
+    assert (px[0, 0] == [10, 20, 30]).all()
+    assert (px[0, 1] == [200, 210, 220]).all()
+    assert (px[1, 1] == [10, 20, 30]).all()
+
+    # no GCT and no LCT -> must refuse, not crash
+    import pytest as _pytest
+
+    bad = bytearray(g)
+    bad[bad.index(0x2C) + 9] = 0x00  # clear the LCT flag
+    del bad[bad.index(0x2C) + 10 : bad.index(0x2C) + 16]
+    with _pytest.raises(ValueError):
+        gif_pixels(bytes(bad))
