@@ -521,6 +521,107 @@ def _adc_tables(qvec, books) -> list[list[float]]:
     return tables
 
 
+def _seed_train_encode(
+    corpus: DataFrame,
+    *,
+    num_centroids: int,
+    m: int,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared build half of IVF-PQ (in-memory query path AND persisted
+    index): seed centroids = the ``num_centroids`` lowest-id corpus
+    vectors with DENSE 0..K−1 ids by ascending source id (the
+    ``similarity.build_ivf_index`` convention; order-isomorphic to the
+    source ids, so routing tie-breaks are unchanged), PQ codebooks, and
+    ONE corpus pass computing centroid assignment + codes together (two
+    closure-captured BLAS matmuls in the same Arrow batch).
+
+    Returns (cent_ids, cent_mat, books, codes) where codes is
+    (id, centroid_id, codes)."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions import similarity as sim
+
+    cent_rows = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    cent_ids = list(range(len(cent_rows)))
+    cent_mat = np.array([r[0] for r in cent_rows], dtype=np.float64)
+
+    books = pq_train(
+        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assign1 = sim._nearest_centroids_udf(cent_ids, cent_mat, 1)
+    codes = pq_encode(
+        balance(corpus, id_col).withColumn(
+            "centroid_id", assign1(F.col(vec_col))[0]
+        ),
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        passthrough=("centroid_id",),
+    )
+    return cent_ids, cent_mat, books, codes
+
+
+def _probe_frame(session, qrows, cent_ids, cent_mat, books, nprobe, id_col, vec_col):
+    """Route collected query rows driver-side (cosine, stable ties to the
+    lower centroid id — the ``cosine_topk_ivf`` convention) and build the
+    small (query_id, probed centroid_id, m×k ADC table) frame the codes
+    scan broadcasts. Returns (frame, sorted probed centroid ids)."""
+    import numpy as np
+
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    Cn = cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30
+    )
+    probe_rows = []
+    for row in qrows:
+        qv = np.asarray([float(x) for x in row[vec_col]], dtype=np.float64)
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
+        tables = _adc_tables(row[vec_col], books)
+        for cid in ids[order]:
+            probe_rows.append((int(row[id_col]), int(cid), tables))
+    df = session.createDataFrame(
+        probe_rows, "query_id long, centroid_id long, tbl array<array<double>>"
+    )
+    return df, sorted({r[1] for r in probe_rows})
+
+
+def _adc_rank(codes: DataFrame, probes: DataFrame, n_books: int, topk: int) -> DataFrame:
+    """Score probed (id, codes, centroid_id) rows against the broadcast
+    probe frame's lookup tables (left-to-right fold over subspaces:
+    ((0 + t0) + t1) ≡ t0 + t1) and keep the per-query top-k, ties to the
+    lowest neighbor id. Same self-match exclusion as ``pq_adc_topk``."""
+    from pyspark.sql.window import Window
+
+    scored = codes.join(F.broadcast(probes), "centroid_id").where(
+        F.col("query_id") != F.col("id")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_books - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.col("tbl")[j][F.col("codes")[j].cast("int")],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", F.col("id").alias("neighbor_id"), dist.alias("adc_dist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )
+
+
 def pq_adc_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -536,89 +637,27 @@ def pq_adc_topk_ivf(
 ) -> DataFrame:
     """IVF-PQ: the composed billion-vector ANN serving path — inverted-
     file ROUTING bounds the candidate set, PQ CODES bound the bytes
-    scanned, ADC scores without touching a full-precision vector.
-
-    One pass over the corpus computes both the centroid assignment and
-    the m PQ codes (two closure-captured BLAS matmuls in the same Arrow
-    batch — ``pq_encode`` with the assignment as a passthrough column);
-    queries are routed driver-side (broadcast-class, the
-    ``cosine_topk_ivf`` convention: lowest-id seed centroids, cosine
-    routing, stable ties to the lower centroid id) and shipped as a
-    small (query, probed centroid, m×k table) frame broadcast onto the
-    codes scan; the only shuffle is the per-query rank window. Candidate
-    volume is nprobe/num_centroids of the corpus instead of all of it —
-    multiply with PQ's m bytes/vector for the full memory story. Same
-    self-match exclusion as ``pq_adc_topk``."""
-    import numpy as np
-
-    from prom_etl_db_spark.functions import similarity as sim
-
-    cent_rows = (
-        corpus.orderBy(F.asc(id_col))
-        .limit(num_centroids)
-        .select(F.col(id_col), F.col(vec_col))
-        .collect()
-    )
-    cent_ids = [r[0] for r in cent_rows]
-    cent_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
-
-    books = pq_train(
-        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    )
-    assign1 = sim._nearest_centroids_udf(cent_ids, cent_mat, 1)
-    codes = pq_encode(
-        balance(corpus, id_col).withColumn(
-            "centroid_id", assign1(F.col(vec_col))[0]
-        ),
-        books,
-        id_col=id_col,
-        vec_col=vec_col,
-        passthrough=("centroid_id",),
-    )
-
+    scanned, ADC scores without touching a full-precision vector
+    (``_seed_train_encode`` + ``_probe_frame`` + ``_adc_rank``; the
+    persisted form is ``build_ivfpq_index``). Candidate volume is
+    nprobe/num_centroids of the corpus instead of all of it — multiply
+    with PQ's m bytes/vector for the full memory story. Queries must be
+    broadcast-class; the empty-query case returns before any training
+    work. Same self-match exclusion as ``pq_adc_topk``."""
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adc_dist double, rank int"
         )
-    ids = np.asarray(cent_ids, dtype=np.int64)
-    Cn = cent_mat / np.maximum(
-        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30
+    cent_ids, cent_mat, books, codes = _seed_train_encode(
+        corpus, num_centroids=num_centroids, m=m, k=k, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
     )
-    probe_rows = []
-    for row in qrows:
-        qv = np.asarray([float(x) for x in row[vec_col]], dtype=np.float64)
-        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
-        order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
-        tables = _adc_tables(row[vec_col], books)
-        for cid in ids[order]:
-            probe_rows.append((int(row[id_col]), int(cid), tables))
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, "query_id long, centroid_id long, tbl array<array<double>>"
+    probes, _ = _probe_frame(
+        corpus.sparkSession, qrows, cent_ids, cent_mat, books, nprobe,
+        id_col, vec_col,
     )
-
-    scored = codes.join(F.broadcast(probes), "centroid_id").where(
-        F.col("query_id") != F.col("id")
-    )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(len(books) - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc + F.col("tbl")[j][F.col("codes")[j].cast("int")],
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            dist.alias("adc_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-    )
+    return _adc_rank(codes, probes, len(books), topk)
 
 
 def build_ivfpq_index(
@@ -633,7 +672,8 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
 ) -> int:
     """Build and PERSIST an IVF-PQ index — the serveable form of
-    ``pq_adc_topk_ivf``. Layout (three parquet tables under ``path``):
+    ``pq_adc_topk_ivf`` (same ``_seed_train_encode`` build half). Layout
+    (three parquet tables under ``path``):
 
     - ``centroids/``: (centroid_id, vector) — the probe map
       (``similarity.build_ivf_index`` convention: lowest-id seeds, dense
@@ -647,58 +687,37 @@ def build_ivfpq_index(
       roundtrip parquet bit-exactly, so a reopened index scores
       identically to the in-memory path.
 
-    Returns the centroid count.
+    Returns the centroid count actually written (≤ ``num_centroids``
+    when the corpus is smaller).
     """
     from pathlib import Path
 
-    import numpy as np
-
-    from prom_etl_db_spark.functions import similarity as sim
-    from pyspark.sql.window import Window
-
-    seeds = (
-        corpus.orderBy(F.asc(id_col))
-        .limit(num_centroids)
-        .select(F.col(id_col), F.col(vec_col))
+    cent_ids, cent_mat, books, codes = _seed_train_encode(
+        corpus, num_centroids=num_centroids, m=m, k=k, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
     )
-    w = Window.orderBy(F.asc(id_col))
-    cent = seeds.select(
-        (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vector"),
-    )
-    cent_rows = cent.collect()
-    ids = [r["centroid_id"] for r in cent_rows]
-    mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
-
-    books = pq_train(
-        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    )
-    assign1 = sim._nearest_centroids_udf(ids, mat, 1)
-    codes = pq_encode(
-        balance(corpus, id_col).withColumn(
-            "centroid_id", assign1(F.col(vec_col))[0]
-        ),
-        books,
-        id_col=id_col,
-        vec_col=vec_col,
-        passthrough=("centroid_id",),
-    )
-
     root = Path(path)
-    cent.coalesce(1).write.mode("overwrite").parquet(str(root / "centroids"))
+    cent_rows = [
+        (int(cid), [float(x) for x in cent_mat[i]])
+        for i, cid in enumerate(cent_ids)
+    ]
+    session = corpus.sparkSession
+    session.createDataFrame(
+        cent_rows, "centroid_id long, vector array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "centroids"))
     book_rows = [
         (j, int(lab), int(off), [float(x) for x in C[li]])
         for j, (labels, C, off) in enumerate(books)
         for li, lab in enumerate(labels)
     ]
-    corpus.sparkSession.createDataFrame(
+    session.createDataFrame(
         book_rows,
         "subspace int, cluster long, offset int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(str(root / "codebooks"))
     codes.write.partitionBy("centroid_id").mode("overwrite").parquet(
         str(root / "lists")
     )
-    return num_centroids
+    return len(cent_rows)
 
 
 def pq_adc_topk_ivfpq_index(
@@ -713,8 +732,9 @@ def pq_adc_topk_ivfpq_index(
 ) -> DataFrame:
     """Query a PERSISTED IVF-PQ index (see ``build_ivfpq_index``): load
     centroids + codebooks (both broadcast-class), route each query
-    driver-side, rebuild its m×k ADC table from the stored codebooks
-    (identical doubles → identical scores as the in-memory path), and
+    driver-side and rebuild its m×k ADC table from the stored codebooks
+    (identical doubles → identical scores as the in-memory path —
+    ``_probe_frame``/``_adc_rank`` are literally the same code), and
     scan ONLY the probed list partitions — the ``centroid_id IN``
     predicate prunes at the directory level and each scanned row is m
     ints, so I/O ≈ (nprobe/K)·(m/d·bytes) of a full-precision scan."""
@@ -722,13 +742,18 @@ def pq_adc_topk_ivfpq_index(
 
     import numpy as np
 
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
     root = Path(path)
     cent_rows = sorted(
         spark.read.parquet(str(root / "centroids")).collect(),
         key=lambda r: r["centroid_id"],
     )
-    ids = np.asarray([r["centroid_id"] for r in cent_rows], dtype=np.int64)
-    mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
+    cent_ids = [r["centroid_id"] for r in cent_rows]
+    cent_mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
     book_rows = spark.read.parquet(str(root / "codebooks")).collect()
     by_sub: dict[int, list] = {}
     for r in book_rows:
@@ -740,47 +765,12 @@ def pq_adc_topk_ivfpq_index(
         C = np.array([r["centroid"] for r in rows], dtype=np.float64)
         books.append((labels, C, rows[0]["offset"]))
 
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_dist double, rank int"
-        )
-    Cn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    probe_rows = []
-    for row in qrows:
-        qv = np.asarray([float(x) for x in row[vec_col]], dtype=np.float64)
-        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
-        order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
-        tables = _adc_tables(row[vec_col], books)
-        for cid in ids[order]:
-            probe_rows.append((int(row[id_col]), int(cid), tables))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, centroid_id long, tbl array<array<double>>"
+    probes, probed = _probe_frame(
+        spark, qrows, cent_ids, cent_mat, books, nprobe, id_col, vec_col
     )
-    probed = sorted({r[1] for r in probe_rows})
-
     lists = (
         spark.read.parquet(str(root / "lists"))
         .where(F.col("centroid_id").isin(probed))  # partition-pruned
         .select("id", "codes", "centroid_id")
     )
-    scored = lists.join(F.broadcast(probes), "centroid_id").where(
-        F.col("query_id") != F.col("id")
-    )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(len(books) - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc + F.col("tbl")[j][F.col("codes")[j].cast("int")],
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "query_id", F.col("id").alias("neighbor_id"), dist.alias("adc_dist")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-    )
+    return _adc_rank(lists, probes, len(books), topk)

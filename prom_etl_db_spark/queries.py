@@ -4829,7 +4829,13 @@ def promql_absent_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_s = parse_duration("15m").total_seconds()
     step_s = parse_duration("30m").total_seconds()
     ev = _events(spark, sf_dir).where(
-        (F.col("event_type") == "purchase") & (F.col("value") > 450)
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > 450)
+        # the _frame convention: only samples whose window runs intersect
+        # the grid can contribute — push the slice to the scan instead of
+        # discarding out-of-range rows after the floor arithmetic
+        & (F.col("ts") >= F.lit(start - timedelta(seconds=900)))
+        & (F.col("ts") < F.lit(end))
     )
     ts = epoch_seconds(F.col("ts"))
     t0 = F.lit(start.timestamp())

@@ -108,6 +108,27 @@ def streaming_counter_increase(samples: DataFrame) -> DataFrame:
     )
 
 
+def _start_parquet_sink(
+    out: DataFrame, sink_dir: str, checkpoint_dir: str, available_now: bool
+):
+    """Shared sink protocol for every run_*_stream driver: parquet sinks
+    don't support update mode, so each batch's updated rows append with
+    the batch id — the latest batch per key is the current state (a
+    compacting sink / Delta MERGE replaces this on a cluster)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_counter_stream(
     spark,
     source_dir: str,
@@ -130,17 +151,7 @@ def run_counter_stream(
     )
     out = streaming_counter_increase(samples)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming window funnel -------------------------------------------------
@@ -261,17 +272,7 @@ def run_funnel_stream(
     raw = spark.readStream.schema(schema).parquet(source_dir)
     out = streaming_funnel(raw, steps, window=window)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming HLL cardinality ----------------------------------------------
@@ -378,17 +379,7 @@ def run_hll_stream(
     )
     out = streaming_hll_cardinality(keyed, p=p)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming histogram-quantile sketch ------------------------------------
@@ -485,17 +476,7 @@ def run_qhist_stream(
     keyed = raw.select(F.col("event_type").alias("g"), F.col("value").alias("v"))
     out = streaming_quantile_histogram(keyed, q=q)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming count-min sketch ---------------------------------------------
@@ -589,17 +570,7 @@ def run_countmin_stream(
     )
     out = streaming_countmin(keyed)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming space-saving top-k (Metwally et al. 2005) ---------------------
@@ -719,17 +690,7 @@ def run_space_saving_stream(
     )
     out = streaming_space_saving(keyed, k=k)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming CDC latest-state (materialized-view maintenance) --------------
@@ -774,7 +735,24 @@ def make_cdc_fold(delete_op: str):
             for ts, seq, op, val in zip(
                 pdf["ord_ts"], pdf["ord_seq"], pdf["op"], pdf["value"]
             ):
-                cand = (int(ts), int(seq), str(op), float(val))
+                if pd.isna(ts) or pd.isna(seq):
+                    # same contract as the batch twin: order_cols must
+                    # totally order changes — a NULL version can't be
+                    # placed, and int(NaN)'s ValueError would kill the
+                    # query with no hint why
+                    raise ValueError(
+                        f"streaming_cdc_latest: NULL ord_ts/ord_seq for "
+                        f"key {k!r}; version columns must be non-null"
+                    )
+                # NULL op/value stay None (pandas delivers NaN): the
+                # batch twin keeps them as nulls and its delete compare
+                # is null-safe — str(NaN) would materialize 'nan' junk
+                cand = (
+                    int(ts),
+                    int(seq),
+                    None if pd.isna(op) else str(op),
+                    None if pd.isna(val) else float(val),
+                )
                 if cur is None or cand[:2] > cur[:2]:
                     cur = cand
         state.update(cur)
@@ -829,17 +807,7 @@ def run_cdc_stream(
     )
     out = streaming_cdc_latest(keyed, delete_op=delete_op)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
 # -- streaming PSI drift monitor ---------------------------------------------
@@ -890,6 +858,13 @@ def make_psi_fold(bins: int, lo: float, hi: float):
             baseline, n_ref = list(state.get[0]), int(state.get[1])
             psi = 0.0
             for b in range(bins):
+                if baseline[b] == 0 and cur[b] == 0:
+                    # batch psi_drift's (g, bin) agg emits no row for a
+                    # bin empty on BOTH sides, so its smoothed term is
+                    # absent there — skip, or the stream drifts from the
+                    # batch number whenever the value range under-fills
+                    # the bin domain
+                    continue
                 p = (baseline[b] + sm) / (n_ref + sm * bins)
                 q = (cur[b] + sm) / (n_cur + sm * bins)
                 psi += (p - q) * math.log(p / q)
@@ -942,14 +917,4 @@ def run_psi_stream(
     )
     out = streaming_psi_drift(keyed)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    writer = out.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    ).outputMode("update")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)

@@ -697,10 +697,13 @@ def test_streaming_psi_matches_batch_across_restart(spark, tmp_path):
     spark.createDataFrame(rows1, schema).write.parquet(src)
     run_psi_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
 
-    # run 2 (restart): shifted to [250, 500)
+    # run 2 (restart): shifted to [250, 375) — bins in [375, 500) stay
+    # empty on BOTH sides, pinning that the stream (like the batch
+    # operator's per-observed-bin agg) contributes NO smoothed term for
+    # them
     rows2 = [
         (1000 + i, t0 + timedelta(minutes=1), 0, "click",
-         250.0 + float((i * 13) % 250), None)
+         250.0 + float((i * 13) % 125), None)
         for i in range(400)
     ]
     spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
