@@ -1673,6 +1673,7 @@ def quantile_sketch_over_time_range(
     bins: int = 64,
     lo: float = 0.0,
     hi: float = 500.0,
+    method: str = "auto",
 ) -> DataFrame:
     """RANGE-QUERY sliding quantile — the histogram-sketch member of the
     sliding family (sum/avg: difference array; max/min: bucket
@@ -1681,14 +1682,23 @@ def quantile_sketch_over_time_range(
 
     Requires frame % step == 0. Phase 1 reduces samples to
     (series, step-bucket, value-bin) counts — one hash agg, after which
-    the sample count never matters again. Phase 2 explodes each BUCKET
-    row onto the frame/step grid instants whose window contains it
-    (amplification = ratio × occupied bins per bucket — bucket rows, not
-    samples), re-aggregates per (series, t, bin), and reads the quantile
-    off the cumulative counts with the same clamped-bin linear
-    interpolation as ``functions.sketches.quantile_histogram`` (within
-    one bin width of the true sliding quantile). Deterministic: integer
-    counts + IEEE interpolation, so the registry oracle hash-matches.
+    the sample count never matters again. Phase 2 places bucket
+    histograms onto the frame/step grid instants whose window contains
+    them, re-aggregates per (series, t), and reads the quantile off the
+    cumulative counts with the same clamped-bin linear interpolation as
+    ``functions.sketches.quantile_histogram`` (within one bin width of
+    the true sliding quantile). Deterministic: integer counts + IEEE
+    interpolation, so the registry oracle hash-matches.
+
+    ``method``: "explode" fans each occupied (series, bucket, bin) ROW
+    onto the grid — amplification = ratio × occupied bins, the simple
+    plan for small ratios. "packed" first packs each (series, bucket)'s
+    bins into ONE count array (``bins`` conditional sums), fans the
+    ARRAY onto the grid, and sums arrays elementwise per instant —
+    amplified row count drops by the occupied-bin factor (~64× fewer
+    intermediate rows at ratio 288), the same identity integer sums in a
+    different grouping. "auto" picks packed above frame/step = 32 (the
+    ``agg_over_time_range`` threshold).
 
     Output: (labels, bucket_start, n_values, q_estimate).
     """
@@ -1717,22 +1727,69 @@ def quantile_sketch_over_time_range(
         .groupBy("__series", "__b", "__vbin")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    if method == "auto":
+        method = "packed" if frame_s / step_s > _RANGE_EXPLODE_MAX_RATIO else "explode"
+    if method not in ("explode", "packed"):
+        raise ValueError(f"unknown quantile sketch range method {method!r}")
     # bucket [b, b+step) ⊆ window [t−frame, t)  ⟺  t ∈ [b+step, b+frame]
     first = F.greatest(F.col("__b") + F.lit(int(step_s)), t0.cast("long"))
     last = F.least(F.col("__b") + F.lit(int(frame_s)), tN.cast("long"))
-    win = (
-        counts.where(first <= last)
-        .select(
-            "__series",
-            "__vbin",
-            "__c",
-            F.explode(
-                F.sequence(first, last, F.lit(int(step_s)))
-            ).alias("__t"),
+    if method == "packed":
+        packed = (
+            counts.groupBy("__series", "__b")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(
+                            F.when(F.col("__vbin") == i, F.col("__c")).otherwise(
+                                F.lit(0)
+                            )
+                        )
+                        for i in range(bins)
+                    ]
+                ).alias("__h")
+            )
         )
-        .groupBy("__series", "__t", "__vbin")
-        .agg(F.sum("__c").alias("__c"))
-    )
+        summed = (
+            packed.where(first <= last)
+            .select(
+                "__series",
+                "__h",
+                F.explode(
+                    F.sequence(first, last, F.lit(int(step_s)))
+                ).alias("__t"),
+            )
+            .groupBy("__series", "__t")
+            .agg(
+                F.array(
+                    *[F.sum(F.col("__h")[i]) for i in range(bins)]
+                ).alias("__h")
+            )
+        )
+        win = (
+            summed.select(
+                "__series",
+                "__t",
+                F.posexplode("__h").alias("__vbin", "__c"),
+            )
+            # only occupied bins, like the explode plan — a zero-count
+            # crossing row would divide by zero in the interpolation
+            .where(F.col("__c") > 0)
+        )
+    else:
+        win = (
+            counts.where(first <= last)
+            .select(
+                "__series",
+                "__vbin",
+                "__c",
+                F.explode(
+                    F.sequence(first, last, F.lit(int(step_s)))
+                ).alias("__t"),
+            )
+            .groupBy("__series", "__t", "__vbin")
+            .agg(F.sum("__c").alias("__c"))
+        )
     wb = Window.partitionBy("__series", "__t").orderBy("__vbin")
     wt = Window.partitionBy("__series", "__t")
     cum = win.select(

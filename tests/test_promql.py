@@ -918,3 +918,40 @@ def test_regression_range_strategies_and_replay(spark):
             else:
                 want = sv / n + slope * ((t + 3600) - sx / n + po)
             assert got == pytest.approx(want, rel=1e-6), (po, bucket)
+
+
+def test_quantile_sketch_packed_equals_explode(spark):
+    """The packed (bin-array) strategy must be BIT-IDENTICAL to the
+    per-bin-row explode — same integer counts regrouped, same
+    interpolation; also pins the zero-count-bin filter (a crossing row
+    with c=0 would divide by zero)."""
+    import random
+
+    from prom_etl_db_spark.operators.promql import quantile_sketch_over_time_range
+
+    rng = random.Random(11)
+    raw = [
+        (-7000 + i * 37 + rng.randint(-4, 4), round(rng.uniform(0, 480), 3))
+        for i in range(300)
+    ]
+    df = _samples(spark, [({"h": "x"}, v, off) for off, v in raw])
+    kw = dict(
+        frame="40m",
+        step="5m",
+        start=T0 - timedelta(seconds=3600),
+        end=T0 + timedelta(seconds=1800),
+        q=0.9,
+        bins=32,
+        lo=0.0,
+        hi=500.0,
+    )
+    key = lambda r: (r["bucket_start"], r["n_values"], r["q_estimate"])  # noqa: E731
+    a = sorted(map(key, quantile_sketch_over_time_range(df, method="explode", **kw).collect()))
+    b = sorted(map(key, quantile_sketch_over_time_range(df, method="packed", **kw).collect()))
+    assert a == b and a
+
+    with pytest.raises(ValueError):
+        quantile_sketch_over_time_range(
+            df, frame="30m", step="5m", start=T0,
+            end=T0 + timedelta(seconds=600), method="nope",
+        )
