@@ -96,21 +96,27 @@ def evaluate_config_query(
             "changes",
             "resets",
             "deriv",
+            "present_over_time",
+            "absent_over_time",
+            "quantile_over_time",
         )
+        # quantile_over_time carries its q as a leading literal arg; the
+        # rest are unary — normalize to (fn, selector, extra_kwargs)
+        _sel_arg = 1 if (isinstance(node, Call) and node.fn == "quantile_over_time") else 0
         if (
             isinstance(node, Call)
             and node.fn in _SLIDING_FNS
-            and len(node.args) == 1
-            and isinstance(node.args[0], Selector)
-            and node.args[0].range_
-            and not node.args[0].step
+            and len(node.args) == _sel_arg + 1
+            and isinstance(node.args[_sel_arg], Selector)
+            and node.args[_sel_arg].range_
+            and not node.args[_sel_arg].step
             # an @-pinned selector means ONE fixed window, not a sliding
             # one — rebuilding the selector without at_ would silently
             # ignore the pin; fall through to the stream evaluator's
             # PromQLError like other unsupported range-mode forms
-            and node.args[0].at_ is None
+            and node.args[_sel_arg].at_ is None
         ):
-            sel = node.args[0]
+            sel = node.args[_sel_arg]
             raw = _selector_stream(  # frame-less ctx: the sliding window
                 # reads back frame seconds BEFORE range start
                 EvalContext(samples, end, range_bounds=(start, end)),
@@ -141,7 +147,16 @@ def evaluate_config_query(
                 "last_over_time": lambda df, **kw: _promql.extrema_over_time_range(
                     df, **kw
                 ).selectExpr("labels", "bucket_start", "vlast AS value"),
-            }[node.fn]
+                "present_over_time": _promql.present_over_time_range,
+                "absent_over_time": _promql.absent_over_time_range,
+            }.get(node.fn)
+            if node.fn == "quantile_over_time":
+                from prom_etl_db_spark.operators.promql_parser import _const
+
+                qv = _const(EvalContext(samples, end), node.args[0])
+
+                def range_fn(df, **kw):
+                    return _promql.quantile_over_time_range(df, qv, **kw)
             stream = range_fn(
                 raw, frame=sel.range_, step=step, start=start, end=end
             )

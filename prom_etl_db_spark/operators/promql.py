@@ -1979,6 +1979,128 @@ def agg_over_time_range(
     )
 
 
+def quantile_over_time_range(
+    samples: DataFrame,
+    q: float,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    """RANGE-QUERY ``quantile_over_time(q, x[frame])`` — EXACT
+    linear-interpolated quantile (Prometheus semantics; Spark's
+    ``percentile`` uses the same rank interpolation) of each sliding
+    window at every grid step.
+
+    Exact quantiles neither invert nor compose, so this is the one
+    sliding aggregate that genuinely pays the explode cost: every sample
+    fans onto its ≤ frame/step covered instants and each window sorts
+    its own values (SortAggregate by necessity). Fine at dashboard
+    ratios; at wide ratios (≥ ~32) use
+    ``quantile_sketch_over_time_range`` — within one bin width at
+    O(bucket-histogram) cost — which is also what the registry's scale
+    probe exercises.
+
+    Output: (labels, bucket_start, value).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    return (
+        df.where(last >= first)
+        .select(
+            "__series",
+            "value",
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(first),
+                    F.timestamp_seconds(last),
+                    F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+                )
+            ).alias("bucket_start"),
+        )
+        .groupBy("__series", "bucket_start")
+        .agg(F.percentile("value", q).alias("value"))
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            "value",
+        )
+    )
+
+
+def present_over_time_range(
+    samples: DataFrame, *, frame: str, step: str, start: datetime, end: datetime
+) -> DataFrame:
+    """RANGE-QUERY ``present_over_time(x[frame])``: 1.0 at every grid
+    step whose sliding window holds any sample of the series — the
+    windowed count collapsed to presence (rides the count difference
+    array, so wide ratios stay O(samples + output))."""
+    return agg_over_time_range(
+        samples, agg="count", frame=frame, step=step, start=start, end=end
+    ).select("labels", "bucket_start", F.lit(1.0).alias("value"))
+
+
+def absent_over_time_range(
+    samples: DataFrame, *, frame: str, step: str, start: datetime, end: datetime
+) -> DataFrame:
+    """RANGE-QUERY ``absent_over_time(x[frame])``: 1.0 (empty label set)
+    at every grid step whose sliding window holds NO sample of the
+    SELECTOR — the alerting "did it go silent" primitive, and the exact
+    dual of ``present_over_time_range`` under the engine-wide half-open
+    [t−frame, t) convention.
+
+    Presence reduces to a distinct-instant set over the (usually rare)
+    matching samples; the absent vector is the tiny grid anti-joined
+    against it — output and intermediates are O(steps), never
+    O(samples × steps).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    present = (
+        df.where(last >= first)
+        .select(
+            F.explode(
+                F.sequence(
+                    first.cast("long"), last.cast("long"), F.lit(int(step_s))
+                )
+            ).alias("__t")
+        )
+        .distinct()
+    )
+    n_steps = int((end - start).total_seconds() // step_s) + 1
+    grid = samples.sparkSession.range(0, n_steps).select(
+        (F.lit(int(start.timestamp())) + F.col("id") * int(step_s)).alias("__t")
+    )
+    return grid.join(present, "__t", "left_anti").select(
+        F.create_map().cast("map<string,string>").alias("labels"),
+        F.timestamp_seconds("__t").alias("bucket_start"),
+        F.lit(1.0).alias("value"),
+    )
+
+
 def _frame(samples: DataFrame, frame_start: datetime, frame_end: datetime) -> DataFrame:
     """[frame_start, frame_end) filter + series key; the time predicate
     sits before any shuffle so it pushes into the scan."""

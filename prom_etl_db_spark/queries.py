@@ -4814,52 +4814,25 @@ WHERE p.t IS NULL
 def promql_absent_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-QUERY absent_over_time(selector[15m]) every 30 minutes —
     the alerting primitive ("did this metric go silent?") as a sliding
-    range query. The selector's windowed presence reduces to ONE
-    aggregation over the rare matching samples (each sample covers a
-    contiguous grid run, so presence is a distinct-instant set bounded
-    by the grid size); the absent vector is the tiny grid anti-joined
-    against it — output and intermediates are O(steps), never O(samples
-    × steps). Exact dual of present_over_time under the engine-wide
-    half-open [t−frame, t) convention (DIVERGENCES.md)."""
-    from prom_etl_db_spark.schema import epoch_seconds
-    from prom_etl_db_spark.timeparse import parse_duration
-
-    start = datetime(2024, 1, 29)
-    end = datetime(2024, 1, 30)
-    frame_s = parse_duration("15m").total_seconds()
-    step_s = parse_duration("30m").total_seconds()
-    ev = _events(spark, sf_dir).where(
-        (F.col("event_type") == "purchase")
-        & (F.col("value") > 450)
-        # the _frame convention: only samples whose window runs intersect
-        # the grid can contribute — push the slice to the scan instead of
-        # discarding out-of-range rows after the floor arithmetic
-        & (F.col("ts") >= F.lit(start - timedelta(seconds=900)))
-        & (F.col("ts") < F.lit(end))
+    range query, via ``promql.absent_over_time_range`` (presence is a
+    distinct-instant set over the rare matching samples; the tiny grid
+    anti-joins against it — O(steps) output; the executor fast-path
+    exposes the same operator to PromQL strings). Exact dual of
+    present_over_time under the engine-wide half-open [t−frame, t)
+    convention (DIVERGENCES.md)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",)).where(
+        (F.col("metric_name") == "purchase") & (F.col("value") > 450)
     )
-    ts = epoch_seconds(F.col("ts"))
-    t0 = F.lit(start.timestamp())
-    tN = F.lit(end.timestamp())
-    # sample s is inside window at t  ⟺  ts < t ≤ ts + frame
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
-    present = (
-        ev.where(last >= first)
-        .select(
-            F.explode(
-                F.sequence(
-                    first.cast("long"), last.cast("long"), F.lit(int(step_s))
-                )
-            ).alias("t_s")
-        )
-        .distinct()
+    out = promql.absent_over_time_range(
+        samples,
+        frame="15m",
+        step="30m",
+        start=datetime(2024, 1, 29),
+        end=datetime(2024, 1, 30),
     )
-    grid = spark.range(0, 49).select(
-        (F.lit(int(start.timestamp())) + F.col("id") * int(step_s)).alias("t_s")
-    )
-    return grid.join(present, "t_s", "left_anti").select(
-        F.timestamp_seconds("t_s").cast("timestamp_ntz").alias("bucket_start"),
-        F.lit(1.0).alias("value"),
+    return out.select(
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "value",
     )
 
 

@@ -248,3 +248,53 @@ def test_range_config_sliding_last(samples):
     assert a
     for t, v in a.items():
         assert v == float(10 + (t.hour - 1 - 6)), t
+
+
+def test_range_config_quantile_present_absent_over_time(samples):
+    """quantile_over_time(0.5, cpu[2h]) (two-arg fast path),
+    present_over_time, and absent_over_time as range configs."""
+    cfg = QueryConfig(
+        query_id="g-qot", name="qot", query="quantile_over_time(0.5, cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+    assert rtype == "range"
+    a = {
+        r["timestamp"]: r["value"]
+        for r in out.where(F.col("labels")["host"] == "a").collect()
+    }
+    # two points per window -> exact median = their midpoint
+    for t, v in a.items():
+        h = t.hour
+        lo, hi = float(10 + (h - 2 - 6)), float(10 + (h - 1 - 6))
+        assert v == pytest.approx((lo + hi) / 2), t
+
+    cfg = QueryConfig(
+        query_id="g-pot", name="pot", query="present_over_time(cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, _ = evaluate_config_query(samples, cfg, now=NOW)
+    pres = out.where(F.col("labels")["host"] == "a").collect()
+    assert pres and all(r["value"] == 1.0 for r in pres)
+
+    # absent over a selector that matches nothing: 1.0 at EVERY grid step
+    cfg = QueryConfig(
+        query_id="g-aot", name="aot", query="absent_over_time(nope[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, _ = evaluate_config_query(samples, cfg, now=NOW)
+    rows = out.collect()
+    assert len(rows) == 3  # -3h, -2h, -1h inclusive grid
+    assert all(r["value"] == 1.0 and r["labels"] == {} for r in rows)
+
+    # absent over a live selector: the covered steps drop out
+    cfg = QueryConfig(
+        query_id="g-aot2", name="aot2", query="absent_over_time(cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, _ = evaluate_config_query(samples, cfg, now=NOW)
+    assert out.count() == 0  # cpu has points in every window
