@@ -99,14 +99,23 @@ def evaluate_config_query(
             "present_over_time",
             "absent_over_time",
             "quantile_over_time",
+            "mad_over_time",
+            "predict_linear",
         )
-        # quantile_over_time carries its q as a leading literal arg; the
-        # rest are unary — normalize to (fn, selector, extra_kwargs)
+        # quantile_over_time carries its q as a LEADING literal arg,
+        # predict_linear its horizon as a TRAILING one; the rest are
+        # unary — normalize to the selector's position
         _sel_arg = 1 if (isinstance(node, Call) and node.fn == "quantile_over_time") else 0
+        _n_args = (
+            2
+            if isinstance(node, Call)
+            and node.fn in ("quantile_over_time", "predict_linear")
+            else 1
+        )
         if (
             isinstance(node, Call)
             and node.fn in _SLIDING_FNS
-            and len(node.args) == _sel_arg + 1
+            and len(node.args) == _n_args
             and isinstance(node.args[_sel_arg], Selector)
             and node.args[_sel_arg].range_
             and not node.args[_sel_arg].step
@@ -149,6 +158,7 @@ def evaluate_config_query(
                 ).selectExpr("labels", "bucket_start", "vlast AS value"),
                 "present_over_time": _promql.present_over_time_range,
                 "absent_over_time": _promql.absent_over_time_range,
+                "mad_over_time": _promql.mad_over_time_range,
             }.get(node.fn)
             if node.fn == "quantile_over_time":
                 from prom_etl_db_spark.operators.promql_parser import _const
@@ -157,6 +167,16 @@ def evaluate_config_query(
 
                 def range_fn(df, **kw):
                     return _promql.quantile_over_time_range(df, qv, **kw)
+
+            elif node.fn == "predict_linear":
+                from prom_etl_db_spark.operators.promql_parser import _const
+
+                horizon = _const(EvalContext(samples, end), node.args[1])
+
+                def range_fn(df, **kw):
+                    return _promql.regression_range(
+                        df, predict_offset=horizon, **kw
+                    )
             stream = range_fn(
                 raw, frame=sel.range_, step=step, start=start, end=end
             )

@@ -2041,6 +2041,68 @@ def quantile_over_time_range(
     )
 
 
+def mad_over_time_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    """RANGE-QUERY ``mad_over_time(x[frame])`` — median absolute
+    deviation of each sliding window (the experimental PromQL function,
+    same interpolated-median convention as ``mad_over_time``). MAD is
+    two DEPENDENT quantiles (the deviations need the window median
+    first), so it pays the explode cost twice: exploded values → median
+    per (series, t) → join back → median of |v − med|. Like exact
+    quantile, this is the dashboard-ratio form; there is no
+    sketch-compose shortcut because the second median's input depends on
+    the first."""
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    exploded = (
+        df.where(last >= first)
+        .select(
+            "__series",
+            "value",
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(first),
+                    F.timestamp_seconds(last),
+                    F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+                )
+            ).alias("bucket_start"),
+        )
+    )
+    med = exploded.groupBy("__series", "bucket_start").agg(
+        F.percentile("value", 0.5).alias("__med")
+    )
+    return (
+        exploded.join(med, ["__series", "bucket_start"])
+        .groupBy("__series", "bucket_start")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("__med")), 0.5).alias(
+                "value"
+            )
+        )
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            "value",
+        )
+    )
+
+
 def present_over_time_range(
     samples: DataFrame, *, frame: str, step: str, start: datetime, end: datetime
 ) -> DataFrame:

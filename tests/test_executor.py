@@ -298,3 +298,40 @@ def test_range_config_quantile_present_absent_over_time(samples):
     )
     out, _ = evaluate_config_query(samples, cfg, now=NOW)
     assert out.count() == 0  # cpu has points in every window
+
+
+def test_range_config_mad_and_predict_linear(samples):
+    """mad_over_time(cpu[2h]) and predict_linear(cpu[2h], 3600) as range
+    configs: two-point windows make the hand values exact — MAD of
+    {lo, hi} is (hi-lo)/2; the fitted line through two hourly points has
+    slope 1/3600, so one-hour extrapolation adds exactly 1."""
+    cfg = QueryConfig(
+        query_id="g-mad", name="mad", query="mad_over_time(cpu[2h])",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+    assert rtype == "range"
+    a = {
+        r["timestamp"]: r["value"]
+        for r in out.where(F.col("labels")["host"] == "a").collect()
+    }
+    assert a and all(v == pytest.approx(0.5) for v in a.values())
+
+    cfg = QueryConfig(
+        query_id="g-pl", name="pl", query="predict_linear(cpu[2h], 3600)",
+        time_range_type="range",
+        time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+    assert rtype == "range"
+    a = {
+        r["timestamp"]: r["value"]
+        for r in out.where(F.col("labels")["host"] == "a").collect()
+    }
+    for t, v in a.items():
+        h = t.hour
+        lo, hi = float(10 + (h - 2 - 6)), float(10 + (h - 1 - 6))
+        # line through the two points, evaluated at t + 1h: the window's
+        # newer point sits 1h before t, so prediction = hi + 2
+        assert v == pytest.approx(hi + 2.0), (t, lo, hi)
