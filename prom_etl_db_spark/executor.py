@@ -101,6 +101,8 @@ def evaluate_config_query(
             "quantile_over_time",
             "mad_over_time",
             "predict_linear",
+            "irate",
+            "idelta",
         )
         # quantile_over_time carries its q as a LEADING literal arg,
         # predict_linear its horizon as a TRAILING one; the rest are
@@ -159,6 +161,12 @@ def evaluate_config_query(
                 "present_over_time": _promql.present_over_time_range,
                 "absent_over_time": _promql.absent_over_time_range,
                 "mad_over_time": _promql.mad_over_time_range,
+                "irate": lambda df, **kw: _promql.irate_idelta_range(
+                    df, **kw
+                ).selectExpr("labels", "bucket_start", "virate AS value"),
+                "idelta": lambda df, **kw: _promql.irate_idelta_range(
+                    df, **kw
+                ).selectExpr("labels", "bucket_start", "videlta AS value"),
             }.get(node.fn)
             if node.fn == "quantile_over_time":
                 from prom_etl_db_spark.operators.promql_parser import _const

@@ -1979,6 +1979,78 @@ def agg_over_time_range(
     )
 
 
+def irate_idelta_range(
+    samples: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: datetime,
+    end: datetime,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """RANGE-QUERY ``irate``/``idelta`` in one pass: the instantaneous
+    rate/delta between each sliding window's LAST TWO samples at every
+    grid step (irate applies the counter-reset rule; both need ≥2
+    samples, like the instant forms).
+
+    Strategy: explode — irate/idelta are short-range functions BY DESIGN
+    (Prometheus docs tell you to keep the selector range small), so the
+    frame/step ratio is small and the per-instant fan-out is the honest
+    plan; the per-window top-2 is one rank window over (timestamp,
+    tiebreakers). Output: (labels, bucket_start, virate, videlta).
+    """
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_td, step_td = parse_duration(frame), parse_duration(step)
+    frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
+    if step_s <= 0 or frame_s <= 0:
+        raise ValueError("frame and step must be positive durations")
+    df = _frame(samples, start - frame_td, end)
+    ts = epoch_seconds(F.col("timestamp"))
+    t0 = F.lit(start.timestamp())
+    tN = F.lit(end.timestamp())
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    exploded = df.where(last >= first).select(
+        "__series",
+        "value",
+        epoch_seconds(F.col("timestamp")).alias("__ts"),
+        F.struct(
+            F.col("timestamp"), *[F.col(t) for t in tiebreakers]
+        ).alias("__ord"),
+        F.explode(
+            F.sequence(
+                F.timestamp_seconds(first),
+                F.timestamp_seconds(last),
+                F.expr(f"INTERVAL {int(step_s)} SECONDS"),
+            )
+        ).alias("bucket_start"),
+    )
+    w = Window.partitionBy("__series", "bucket_start").orderBy(
+        F.col("__ord").desc()
+    )
+    top2 = exploded.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= 2
+    )
+    agg = top2.groupBy("__series", "bucket_start").agg(
+        F.max(F.when(F.col("__rn") == 1, F.struct("__ts", "value"))).alias("__l"),
+        F.max(F.when(F.col("__rn") == 2, F.struct("__ts", "value"))).alias("__p"),
+    )
+    dv = F.col("__l.value") - F.col("__p.value")
+    dt = F.col("__l.__ts") - F.col("__p.__ts")
+    # counter reset: a drop means restart — count the post-reset value
+    inc = F.when(dv < 0, F.col("__l.value")).otherwise(dv)
+    return (
+        agg.where(F.col("__p").isNotNull() & (dt > 0))
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "bucket_start",
+            (inc / dt).alias("virate"),
+            dv.alias("videlta"),
+        )
+    )
+
+
 def quantile_over_time_range(
     samples: DataFrame,
     q: float,

@@ -335,3 +335,22 @@ def test_range_config_mad_and_predict_linear(samples):
         # line through the two points, evaluated at t + 1h: the window's
         # newer point sits 1h before t, so prediction = hi + 2
         assert v == pytest.approx(hi + 2.0), (t, lo, hi)
+
+
+def test_range_config_irate_idelta_sliding(samples):
+    """irate/idelta(cpu[2h]) as range configs: window [t-2h, t) holds
+    two hourly points exactly one hour apart with unit increase, so
+    irate == 1/3600 and idelta == 1 at every grid step."""
+    for fn, want in (("irate", 1.0 / 3600.0), ("idelta", 1.0)):
+        cfg = QueryConfig(
+            query_id=f"g-{fn}", name=fn, query=f"{fn}(cpu[2h])",
+            time_range_type="range",
+            time_range_start="-3h", time_range_end="now-1h", time_range_step="1h",
+        )
+        out, rtype = evaluate_config_query(samples, cfg, now=NOW)
+        assert rtype == "range", fn
+        a = {
+            r["timestamp"]: r["value"]
+            for r in out.where(F.col("labels")["host"] == "a").collect()
+        }
+        assert a and all(v == pytest.approx(want) for v in a.values()), fn
