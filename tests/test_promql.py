@@ -955,3 +955,36 @@ def test_quantile_sketch_packed_equals_explode(spark):
             df, frame="30m", step="5m", start=T0,
             end=T0 + timedelta(seconds=600), method="nope",
         )
+
+
+def test_irate_idelta_range_matches_instant_forms(spark):
+    """A one-instant range grid must reproduce the instant
+    idelta/irate exactly — including the counter-reset branch (series y
+    drops 50 -> 3, so irate counts the post-reset value)."""
+    from prom_etl_db_spark.operators.promql import (
+        idelta_and_irate,
+        irate_idelta_range,
+    )
+
+    data = [
+        ({"h": "x"}, 10.0, -600),
+        ({"h": "x"}, 16.0, -120),
+        ({"h": "y"}, 50.0, -300),
+        ({"h": "y"}, 3.0, -60),  # reset
+    ]
+    df = _samples(spark, data)
+    rng = {
+        r["labels"]["h"]: (r["virate"], r["videlta"])
+        for r in irate_idelta_range(
+            df, frame="15m", step="5m", start=T0, end=T0
+        ).collect()
+    }
+    inst = {
+        r["labels"]["h"]: (r["irate"], r["idelta"])
+        for r in idelta_and_irate(
+            df, frame_start=T0 - timedelta(seconds=900), frame_end=T0
+        ).collect()
+    }
+    assert rng == inst
+    assert rng["x"] == (pytest.approx(6.0 / 480), 6.0)
+    assert rng["y"] == (pytest.approx(3.0 / 240), -47.0)
