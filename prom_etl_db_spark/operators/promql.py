@@ -571,6 +571,29 @@ def ts_of_min_over_time(resampled: DataFrame, **kw) -> DataFrame:
     )
 
 
+def first_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """``first_over_time`` (PromQL 3.x experimental): the frame's OLDEST
+    step value — ``min_by`` on the bucket time, the exact dual of
+    ``last_over_time`` and the same single-HashAggregate plan."""
+    return agg_over_time(resampled, F.min_by("value", "bucket_start"), **kw)
+
+
+def ts_of_first_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """``ts_of_first_over_time``: epoch seconds of the frame's oldest
+    step point — a plain ``min`` on the single-primitive bucket time."""
+    return agg_over_time(
+        resampled, epoch_seconds(F.min("bucket_start").cast("timestamp")), **kw
+    )
+
+
+def ts_of_last_over_time(resampled: DataFrame, **kw) -> DataFrame:
+    """``ts_of_last_over_time``: epoch seconds of the frame's newest
+    step point — ``max`` on the bucket time (no argmax struct needed)."""
+    return agg_over_time(
+        resampled, epoch_seconds(F.max("bucket_start").cast("timestamp")), **kw
+    )
+
+
 def stddev_over_time(resampled: DataFrame, **kw) -> DataFrame:
     """Population stddev over the frame (PromQL semantics)."""
     return agg_over_time(resampled, F.stddev_pop("value"), **kw)

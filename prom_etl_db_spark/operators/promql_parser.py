@@ -447,6 +447,7 @@ _MATH_FNS = {
     "sin": F.sin, "cos": F.cos, "tan": F.tan,
     "asin": F.asin, "acos": F.acos, "atan": F.atan,
     "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
     "deg": F.degrees, "rad": F.radians,
 }
 
@@ -463,6 +464,9 @@ _OVER_TIME = {
     "present_over_time": promql.present_over_time,
     "ts_of_max_over_time": promql.ts_of_max_over_time,
     "ts_of_min_over_time": promql.ts_of_min_over_time,
+    "first_over_time": promql.first_over_time,
+    "ts_of_first_over_time": promql.ts_of_first_over_time,
+    "ts_of_last_over_time": promql.ts_of_last_over_time,
 }
 
 _RANGE_FNS = {
@@ -479,6 +483,7 @@ _TIME_COMPONENT_FNS = {
     "hour": (F.hour, lambda t: t.hour),
     "day_of_month": (F.dayofmonth, lambda t: t.day),
     "day_of_week": (lambda c: F.dayofweek(c) - 1, lambda t: (t.weekday() + 1) % 7),
+    "day_of_year": (F.dayofyear, lambda t: t.timetuple().tm_yday),
     "days_in_month": (
         lambda c: F.dayofmonth(F.last_day(c)),
         lambda t: calendar.monthrange(t.year, t.month)[1],
@@ -497,9 +502,21 @@ _RAW_OVER_TIME = {
     "min_over_time": lambda: F.min("value"),
     "count_over_time": lambda: F.count(F.lit(1)).cast("double"),
     "last_over_time": lambda: F.max_by("value", "timestamp"),
+    "first_over_time": lambda: F.min_by("value", "timestamp"),
     "stddev_over_time": lambda: F.stddev_pop("value"),
     "stdvar_over_time": lambda: F.var_pop("value"),
     "present_over_time": lambda: F.lit(1.0),
+    # ts_of family over RAW samples: argmax/argmin on the real sample
+    # timestamp (ties to the latest, mirroring the step-grid forms); the
+    # plain first/last timestamps are min/max — no struct key needed
+    "ts_of_max_over_time": lambda: epoch_seconds(
+        F.max_by("timestamp", F.struct(F.col("value"), F.col("timestamp")))
+    ),
+    "ts_of_min_over_time": lambda: epoch_seconds(
+        F.max_by("timestamp", F.struct(-F.col("value"), F.col("timestamp")))
+    ),
+    "ts_of_first_over_time": lambda: epoch_seconds(F.min("timestamp")),
+    "ts_of_last_over_time": lambda: epoch_seconds(F.max("timestamp")),
 }
 
 
@@ -623,15 +640,32 @@ def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
     raise PromQLError(f"unsupported subquery expression: {type(node).__name__}")
 
 
-def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipped: bool) -> DataFrame:
-    col = F.col("value")
-    lhs, rhs = (F.lit(scalar), col) if flipped else (col, F.lit(scalar))
-    if node.op in _CMP_OPS:
-        cmp = {"==": lhs == rhs, "!=": lhs != rhs, ">": lhs > rhs,
-               ">=": lhs >= rhs, "<": lhs < rhs, "<=": lhs <= rhs}[node.op]
-        if node.bool_mod:
-            return stream.withColumn("value", F.when(cmp, 1.0).otherwise(0.0))
-        return stream.where(cmp)
+class ScalarStream:
+    """A PromQL ``scalar()`` carried LAZILY as a 1-row (value double)
+    DataFrame instead of a driver-side float. Extracting the value
+    eagerly would force an action mid-plan (the reason ``scalar()`` was
+    previously rejected); instead the single row rides the plan and every
+    binop against a vector becomes a broadcast ``crossJoin`` — a
+    BroadcastNestedLoopJoin of exactly one row, free at any scale and
+    fully visible to Catalyst."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+def _cmp_col(op: str, lhs: Column, rhs: Column) -> Column:
+    """IEEE-754 comparison semantics (PromQL/Go): any NaN operand makes
+    the comparison false — except ``!=``, which is true. Spark's SQL
+    ordering instead treats NaN as equal to NaN and larger than every
+    double, so the NaN case must be carved out explicitly."""
+    base = {"==": lhs == rhs, "!=": lhs != rhs, ">": lhs > rhs,
+            ">=": lhs >= rhs, "<": lhs < rhs, "<=": lhs <= rhs}[op]
+    return F.when(F.isnan(lhs) | F.isnan(rhs), F.lit(op == "!=")).otherwise(base)
+
+
+def _arith_col(node: BinOp, lhs: Column, rhs: Column) -> Column:
     # % is Spark's own modulo (sign of dividend — Go math.Mod/PromQL),
     # NOT pmod: fmod(-5, 3) = -2, pmod gives 1
     ariths = {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
@@ -639,7 +673,70 @@ def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipp
               "atan2": F.atan2(lhs, rhs)}
     if node.op not in ariths:
         raise PromQLError(f"{node.op} is not a scalar-vector operator")
-    return stream.withColumn("value", ariths[node.op].cast("double"))
+    return ariths[node.op]
+
+
+def _apply_binop_cols(
+    stream: DataFrame, node: BinOp, lhs: Column, rhs: Column, drop: tuple = ()
+) -> DataFrame:
+    """Apply one vector∘scalar binop where both operands are already
+    Columns on ``stream`` — shared by the literal-scalar and
+    ScalarStream paths so filter/bool/arith semantics can't diverge."""
+    if node.op in _CMP_OPS:
+        cmp = _cmp_col(node.op, lhs, rhs)
+        if node.bool_mod:
+            out = stream.withColumn("value", F.when(cmp, 1.0).otherwise(0.0))
+        else:
+            out = stream.where(cmp)
+    else:
+        out = stream.withColumn("value", _arith_col(node, lhs, rhs).cast("double"))
+    return out.drop(*drop) if drop else out
+
+
+def _scalar_binop_stream(stream: DataFrame, node: BinOp, scalar: float, *, flipped: bool) -> DataFrame:
+    col = F.col("value")
+    lhs, rhs = (F.lit(scalar), col) if flipped else (col, F.lit(scalar))
+    return _apply_binop_cols(stream, node, lhs, rhs)
+
+
+def _stream_scalar_stream(
+    stream: DataFrame, node: BinOp, ss: ScalarStream, *, flipped: bool
+) -> DataFrame:
+    """vector ∘ scalar(expr): broadcast the 1-row scalar frame onto every
+    vector row (one BroadcastNestedLoopJoin, no shuffle, no collect)."""
+    one = F.broadcast(ss.df.select(F.col("value").alias("__scalar")))
+    col, sc = F.col("value"), F.col("__scalar")
+    lhs, rhs = (sc, col) if flipped else (col, sc)
+    return _apply_binop_cols(stream.crossJoin(one), node, lhs, rhs, drop=("__scalar",))
+
+
+def _scalar_pair_expr(node: BinOp, lhs: Column, rhs: Column) -> Column:
+    """scalar ∘ scalar where at least one side is a ScalarStream column —
+    mirrors _scalar_scalar's typing rule (comparison needs ``bool``)."""
+    if node.op in _CMP_OPS:
+        if not node.bool_mod:
+            raise PromQLError("scalar comparison without bool is unsupported")
+        return F.when(_cmp_col(node.op, lhs, rhs), 1.0).otherwise(0.0)
+    return _arith_col(node, lhs, rhs)
+
+
+def _scalar_stream_binop(node: BinOp, lhs, rhs) -> ScalarStream:
+    """Combine two scalar operands (ScalarStream | float) into one lazy
+    scalar: floats fold to literals; two streams broadcast-crossJoin
+    their single rows."""
+    if isinstance(lhs, ScalarStream) and isinstance(rhs, ScalarStream):
+        a = lhs.df.select(F.col("value").alias("__l"))
+        b = F.broadcast(rhs.df.select(F.col("value").alias("__r")))
+        expr = _scalar_pair_expr(node, F.col("__l"), F.col("__r"))
+        return ScalarStream(
+            a.crossJoin(b).select(expr.cast("double").alias("value"))
+        )
+    base = lhs if isinstance(lhs, ScalarStream) else rhs
+    lit = F.lit(rhs if isinstance(lhs, ScalarStream) else lhs)
+    col = F.col("value")
+    l, r = (col, lit) if isinstance(lhs, ScalarStream) else (lit, col)
+    expr = _scalar_pair_expr(node, l, r)
+    return ScalarStream(base.df.select(expr.cast("double").alias("value")))
 
 
 def _subquery_parts(node: Node) -> tuple[Node, str, str]:
@@ -685,8 +782,8 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
         rhs = evaluate(ctx, node.rhs)
         if node.op in _SET_OPS:
             # must precede the scalar branches: `m and 2` is a type error,
-            # not scalar arithmetic
-            if isinstance(lhs, float) or isinstance(rhs, float):
+            # not scalar arithmetic (and so is `m or scalar(v)`)
+            if not (isinstance(lhs, DataFrame) and isinstance(rhs, DataFrame)):
                 raise PromQLError(f"{node.op} requires vector operands")
             if node.group:
                 raise PromQLError(f"group_{node.group} is invalid with {node.op}")
@@ -695,6 +792,14 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
             )
         if isinstance(lhs, float) and isinstance(rhs, float):
             return _scalar_scalar(node, lhs, rhs)
+        if isinstance(lhs, ScalarStream) or isinstance(rhs, ScalarStream):
+            # lazy scalar() operand(s): scalar∘scalar stays a 1-row lazy
+            # scalar; vector∘scalar broadcasts the row onto the vector
+            if isinstance(lhs, DataFrame):
+                return _stream_scalar_stream(lhs, node, rhs, flipped=False)
+            if isinstance(rhs, DataFrame):
+                return _stream_scalar_stream(rhs, node, lhs, flipped=True)
+            return _scalar_stream_binop(node, lhs, rhs)
         if isinstance(rhs, float):
             return _scalar_binop_stream(lhs, node, rhs, flipped=False)
         if isinstance(lhs, float):
@@ -761,16 +866,16 @@ def _const(ctx: EvalContext, node: "Node | str") -> float:
 def _eval_agg(ctx: EvalContext, node: Agg) -> DataFrame:
     if node.op in ("topk", "bottomk"):
         k = int(_const(ctx, node.param))
-        vec = evaluate(ctx, node.expr)
+        vec = _vec_arg(ctx, node.expr, node.op)
         return promql.topk(vec, k, ascending=node.op == "bottomk")
     if node.op == "limitk":
-        vec = evaluate(ctx, node.expr)
+        vec = _vec_arg(ctx, node.expr, node.op)
         return promql.limitk(vec, int(_const(ctx, node.param)))
     if node.op == "limit_ratio":
-        vec = evaluate(ctx, node.expr)
+        vec = _vec_arg(ctx, node.expr, node.op)
         return promql.limit_ratio(vec, float(_const(ctx, node.param)))
     if node.op == "count_values":
-        vec = evaluate(ctx, node.expr)
+        vec = _vec_arg(ctx, node.expr, node.op)
         return promql.count_values(vec, str(node.param))
 
     vec = evaluate(ctx, node.expr)
@@ -808,6 +913,8 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             if fn == "mad_over_time":
                 # two-phase (medians don't nest) — not a single aggregate
                 return promql.raw_mad_over_time(raw, frame_start=lo, frame_end=hi)
+            if fn != "quantile_over_time" and fn not in _RAW_OVER_TIME:
+                raise PromQLError(f"{fn} has no raw range-vector form")
             agg = (
                 F.percentile("value", _const(ctx, node.args[0]))
                 if fn == "quantile_over_time"
@@ -937,13 +1044,32 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         import math
 
         return math.pi
+    if fn == "scalar":
+        # scalar(v): the single element of a 1-element vector, else NaN —
+        # kept LAZY as a 1-row aggregate frame (ScalarStream) so no
+        # driver action happens mid-plan; binops broadcast it
+        vec = _vec_arg(ctx, node.args[0], fn)
+        one = vec.agg(
+            F.when(F.count(F.lit(1)) == 1, F.min("value"))
+            .otherwise(F.lit(float("nan")))
+            .cast("double")
+            .alias("value")
+        )
+        return ScalarStream(one)
     if fn == "vector":
-        # scalar → one-row label-less vector (PromQL vector(s));
-        # scalar() is NOT offered: extracting a scalar from a vector
-        # forces an eager driver action mid-plan
+        # scalar → one-row label-less vector (PromQL vector(s))
         if len(node.args) != 1:
             raise PromQLError("vector() takes exactly one scalar argument")
-        v = _const(ctx, node.args[0])
+        arg = node.args[0]
+        v = evaluate(ctx, arg) if not isinstance(arg, str) else arg
+        if isinstance(v, ScalarStream):
+            # vector(scalar(x)): re-label the lazy 1-row scalar in place
+            return v.df.select(
+                F.create_map().cast("map<string,string>").alias("labels"),
+                F.col("value").cast("double").alias("value"),
+            )
+        if not isinstance(v, float):
+            raise PromQLError("vector() takes exactly one scalar argument")
         if ctx.samples is None:
             raise PromQLError("vector() needs a session (no samples bound)")
         return ctx.samples.sparkSession.createDataFrame(
@@ -1007,8 +1133,13 @@ def eval_promql(
 ) -> DataFrame | float:
     """Parse and evaluate ``query`` against a stored-samples DataFrame at
     the frozen instant ``at``. Returns (labels, value) — or a float for
-    scalar-only expressions."""
+    literal scalar expressions. A scalar expression that needs DATA (a
+    top-level ``scalar()``) stays lazy and comes back as a 1-row
+    ``(value)`` DataFrame instead: collapsing it to a Python float would
+    force a driver action inside what should be a pure plan builder."""
     out = evaluate(EvalContext(samples, at, staleness), parse(query))
+    if isinstance(out, ScalarStream):
+        return out.df.select(F.col("value").cast("double").alias("value"))
     if isinstance(out, DataFrame) and "__ts" in out.columns:
         # the ride-along sample timestamp is internal (timestamp() reads
         # it); the public contract is (labels, value)

@@ -3847,6 +3847,108 @@ def promql_parsed_selector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_parsed_scalar_share",
+    oracle="""
+WITH resampled AS (
+  SELECT k, bucket, value FROM (
+    SELECT json_extract_string(props, '$.k') AS k,
+           date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY json_extract_string(props, '$.k'),
+                          date_trunc('hour', ts)
+             ORDER BY ts DESC) AS rn
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2023-12-31 00:00:00'
+      AND ts < TIMESTAMP '2024-01-31 00:00:00'
+  ) WHERE rn = 1
+), per_k AS (
+  SELECT k, sum(value) AS s FROM resampled GROUP BY k
+)
+SELECT k, round(100.0 * s / (SELECT sum(s) FROM per_k), 6) AS pct_of_total
+FROM per_k
+""",
+)
+def promql_parsed_scalar_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via the parser's LAZY ``scalar()``: every per-k sum
+    divided by the global sum —
+    ``100 * sum by (k)(sum_over_time(click[31d:1h]))
+    / scalar(sum(sum_over_time(click[31d:1h])))``.
+    The scalar is a 1-row aggregate frame broadcast onto the vector (a
+    BroadcastNestedLoopJoin of one row), NEVER a driver collect — the
+    shape Prometheus users write for normalization, expressed as a plan
+    Catalyst can see end to end."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    out = eval_promql(
+        _event_samples(spark, sf_dir, keys=("k",)),
+        "100 * sum by (k) (sum_over_time(click[31d:1h]))"
+        " / scalar(sum(sum_over_time(click[31d:1h])))",
+        NOW,
+    )
+    return out.select(
+        F.element_at("labels", "k").alias("k"),
+        F.round("value", 6).alias("pct_of_total"),
+    )
+
+
+@register(
+    "promql_first_last_ts",
+    oracle="""
+WITH resampled AS (
+  SELECT k, bucket, value FROM (
+    SELECT json_extract_string(props, '$.k') AS k,
+           date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY json_extract_string(props, '$.k'),
+                          date_trunc('hour', ts)
+             ORDER BY ts DESC) AS rn
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2023-12-31 00:00:00'
+      AND ts < TIMESTAMP '2024-01-31 00:00:00'
+  ) WHERE rn = 1
+), b AS (
+  SELECT k, min(bucket) AS first_b, max(bucket) AS last_b
+  FROM resampled GROUP BY k
+)
+SELECT b.k,
+       CAST(epoch(b.first_b) AS DOUBLE) AS ts_first,
+       CAST(epoch(b.last_b) AS DOUBLE) AS ts_last,
+       round(fv.value, 4) AS first_value
+FROM b JOIN resampled fv ON fv.k = b.k AND fv.bucket = b.first_b
+""",
+)
+def promql_first_last_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_over_time / ts_of_first_over_time / ts_of_last_over_time
+    (PromQL 3.x experimental family) through the parser, per-k over an
+    hourly subquery grid: when each series first and last reported, and
+    what the first report was. Each leg is one hash aggregation over the
+    shared step grid; the k-keyed join is co-partitioned (one shuffle
+    partitioning reused three times). ts_of_first/last need no argmax
+    struct — plain min/max on the single-primitive bucket time."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    samples = _event_samples(spark, sf_dir, keys=("k",))
+    legs = {
+        "ts_first": "ts_of_first_over_time(purchase[31d:1h])",
+        "ts_last": "ts_of_last_over_time(purchase[31d:1h])",
+        "first_value": "first_over_time(purchase[31d:1h])",
+    }
+    out = None
+    for alias, q in legs.items():
+        leg = eval_promql(samples, q, NOW).select(
+            F.element_at("labels", "k").alias("k"),
+            F.col("value").alias(alias),
+        )
+        out = leg if out is None else out.join(leg, "k")
+    return out.select(
+        "k", "ts_first", "ts_last",
+        F.round("first_value", 4).alias("first_value"),
+    )
+
+
+@register(
     "promql_parsed_histogram_fraction",
     oracle="""
 WITH b AS (
@@ -5427,6 +5529,8 @@ _GATE_PRIORITY = [
     "doc_minhash_jaccard_est",
     "embedding_sq8_codes",
     "promql_parsed_histogram_fraction",
+    "promql_parsed_scalar_share",
+    "promql_first_last_ts",
     "promql_ts_of_extremes",
     "promql_delta_range",
     "doc_paragraph_dedup_rewrite",

@@ -678,3 +678,82 @@ def test_eval_atan2_all_three_paths(spark):
     assert eval_promql(None, "1 + 1 atan2 1", T0) == pytest.approx(
         1 + math.atan2(1, 1)
     )
+
+
+def test_scalar_is_lazy_and_broadcast(spark):
+    """scalar(v): 1-element vector -> its value, else NaN — carried as a
+    1-row lazy frame, never a driver collect; vector binops against it
+    plan a broadcast nested-loop join of exactly one row."""
+    import math
+
+    df = _samples(
+        spark, [("m", {"h": "a"}, 5, -10), ("m", {"h": "b"}, 3, -20)]
+    )
+    # share-of-total: every series divided by the global sum, lazily
+    out = eval_promql(df, "m / scalar(sum(m))", T0)
+    vals = sorted(r["value"] for r in out.collect())
+    assert vals == pytest.approx([3 / 8, 5 / 8])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    # scalar∘scalar composes without leaving the plan
+    one = eval_promql(df, "100 * scalar(sum(m)) / scalar(count(m))", T0)
+    assert [r["value"] for r in one.collect()] == [400.0]
+    # multi-series argument -> NaN (PromQL), and NaN propagates arithmetic
+    nan = eval_promql(df, "scalar(m) + 1", T0).collect()
+    assert len(nan) == 1 and math.isnan(nan[0]["value"])
+    # comparison filter against a data-dependent scalar
+    kept = eval_promql(df, "m > scalar(min(m))", T0).collect()
+    assert [(dict(r["labels"]), r["value"]) for r in kept] == [({"h": "a"}, 5.0)]
+    # NaN comparisons are IEEE-false, not Spark's NaN-is-largest ordering
+    assert eval_promql(df, "m > scalar(sum by (h) (m))", T0).collect() == []
+    # vector(scalar(x)) re-labels the lazy row
+    v = eval_promql(df, "vector(scalar(sum(m)))", T0).collect()
+    assert dict(v[0]["labels"]) == {} and v[0]["value"] == 8.0
+    # set ops stay type-errors with scalar operands
+    with pytest.raises(PromQLError):
+        eval_promql(df, "m or scalar(sum(m))", T0)
+
+
+def test_first_and_ts_of_first_last_over_time(spark):
+    df = _samples(
+        spark,
+        [("m", {"h": "a"}, 7, -1800), ("m", {"h": "a"}, 2, -600),
+         ("m", {"h": "a"}, 9, -60)],
+    )
+    # raw range-vector forms
+    assert eval_promql(df, "first_over_time(m[1h])", T0).collect()[0]["value"] == 7.0
+    t0s = T0.timestamp()
+    assert eval_promql(df, "ts_of_first_over_time(m[1h])", T0).collect()[0][
+        "value"
+    ] == t0s - 1800
+    assert eval_promql(df, "ts_of_last_over_time(m[1h])", T0).collect()[0][
+        "value"
+    ] == t0s - 60
+    # the raw ts_of extremes forms work too (regression: used to KeyError)
+    assert eval_promql(df, "ts_of_max_over_time(m[1h])", T0).collect()[0][
+        "value"
+    ] == t0s - 60
+    assert eval_promql(df, "ts_of_min_over_time(m[1h])", T0).collect()[0][
+        "value"
+    ] == t0s - 600
+    # subquery (step-grid) form: 10m buckets, first bucket value is 7
+    out = eval_promql(df, "first_over_time(m[1h:10m])", T0).collect()
+    assert out[0]["value"] == 7.0
+
+
+def test_inverse_hyperbolic_and_day_of_year(spark):
+    import math
+
+    df = _samples(spark, [("m", {"h": "a"}, 0.5, -10)])
+    assert eval_promql(df, "asinh(m)", T0).collect()[0]["value"] == pytest.approx(
+        math.asinh(0.5)
+    )
+    assert eval_promql(df, "atanh(m)", T0).collect()[0]["value"] == pytest.approx(
+        math.atanh(0.5)
+    )
+    # acosh domain is [1, inf): 0.5 -> NaN like PromQL/Go
+    assert math.isnan(eval_promql(df, "acosh(m)", T0).collect()[0]["value"])
+    # day_of_year of the sample's own epoch value (1970-01-01 + 0.5s = day 1)
+    assert eval_promql(df, "day_of_year(m)", T0).collect()[0]["value"] == 1.0
+    # no-arg form: component of the eval instant (2024-03-15 = day 75)
+    assert eval_promql(df, "day_of_year()", T0) == 75.0
