@@ -20,6 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from prom_etl_db_spark.functions.scratch import release_scratch  # noqa: E402
 from prom_etl_db_spark.queries import QUERIES  # noqa: E402
 from prom_etl_db_spark.session import get_spark  # noqa: E402
 
@@ -103,7 +104,10 @@ def main() -> None:
             # own multi-pass plans; dropping them between runs keeps each
             # measurement cold-cache and independent (lingering blocks
             # showed up as 2x run-to-run swings on later persist-heavy
-            # queries)
+            # queries). release_scratch() is the operators' own cleanup
+            # hook; clearCache() stays as the backstop for anything not
+            # registered.
+            release_scratch()
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)

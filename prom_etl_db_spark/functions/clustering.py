@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.functions.similarity import pairwise_cosine_udf
+from prom_etl_db_spark.functions.scratch import scratch
 from prom_etl_db_spark.parallel import balance
 
 __all__ = [
@@ -287,9 +288,11 @@ def semantic_neardup_pairs(
     Recall is bounded by clustering quality — a true near-dup pair split
     across clusters is missed (the SemDeDup trade; the exact
     ``cosine_neardup_pairs`` is the small-corpus baseline)."""
-    assigned = kmeans(
-        vectors, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, init=init
-    ).persist()
+    assigned = scratch(
+        kmeans(
+            vectors, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, init=init
+        ).persist()
+    )
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),

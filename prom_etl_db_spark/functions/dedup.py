@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prom_etl_db_spark.functions.scratch import scratch
 from prom_etl_db_spark.parallel import balance
 
 __all__ = [
@@ -210,7 +211,7 @@ def minhash_band_dup_pairs_md5(
     where banding misses a true pair).
     """
     rows = num_hashes // bands
-    base = (
+    base = scratch(
         balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col)
         .select(
             F.col(id_col).alias("id"),
@@ -228,7 +229,7 @@ def minhash_band_dup_pairs_md5(
             ),
         ),
     )
-    banded = (
+    banded = scratch(
         sig.select("id", F.explode(band_entries).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
         .persist()
@@ -286,8 +287,11 @@ def minhash_lsh_dup_pairs(
         # multi-pass algorithm: the shingle sets feed the signature pass AND
         # both sides of the verify join — persist instead of recomputing the
         # (expensive) shingling per branch. MEMORY_AND_DISK spills at scale.
+        # Registered as scratch: callers release at the job boundary
+        # (CacheManager would otherwise pin it for the session lifetime).
         .persist()
     )
+    base = scratch(base)
     sig = base.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
 
     # one lambda over a band-index sequence, not `bands` unrolled structs
@@ -316,6 +320,7 @@ def minhash_lsh_dup_pairs(
         # narrow (id, band, hash) triples, not the signature computation
         .persist()
     )
+    banded = scratch(banded)
 
     cand = (
         banded.alias("l")

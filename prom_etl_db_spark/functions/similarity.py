@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prom_etl_db_spark.functions.scratch import scratch
 from prom_etl_db_spark.parallel import balance
 
 __all__ = [
@@ -269,7 +270,9 @@ def cosine_neardup_lsh(
     v = balance(vectors, id_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    v = v.persist()  # read by the count, the signature pass, both verify joins
+    # read by the count, the signature pass, both verify joins; scratch-
+    # registered so the job boundary can free it (see functions.scratch)
+    v = scratch(v.persist())
     if bands is None or bits is None:
         # the sizing count doubles as cache materialization
         auto_bands, auto_bits = lsh_auto_size(

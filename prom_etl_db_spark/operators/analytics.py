@@ -230,10 +230,24 @@ def funnel_levels(
     Scale shape: ONE hash aggregation collects each user's (ts, step)
     events sorted (array_sort of a collect_list — histories are bounded;
     a user is one Arrow-free JVM row), then a single ``aggregate`` fold
-    runs the DP: for level k it keeps the LATEST chain-start time among
-    chains reaching k, because a later start maximizes the remaining
-    window headroom — reaching level k+1 at time t is possible iff
-    t − start_k ≤ window. No joins, no per-level passes, no Python.
+    runs the DP. No joins, no per-level passes, no Python.
+
+    DP state, per level k: the LATEST chain-start time among viable
+    chains (a later start maximizes the remaining window headroom —
+    extending at time t needs t − start ≤ window), split into two
+    classes by the previous step's event time:
+
+    - ``s[k]`` (settled): chains whose level-k event happened at a
+      STRICTLY EARLIER timestamp than the event being folded — these are
+      extendable now (strict-increase holds).
+    - ``p[k]`` (pending): chains whose level-k event shares the CURRENT
+      timestamp — extendable only once the fold reaches a later
+      timestamp, at which point they merge into settled.
+
+    Tracking only chain starts without the split would let two
+    same-timestamp events chain (start < t passes even when the
+    previous STEP's event is simultaneous), silently violating the
+    strict ordering the oracle (``p.ts > c.ts``) defines.
 
     Output: (user_id, funnel_level) for users with ≥ 1 ``steps`` event.
     """
@@ -258,33 +272,49 @@ def funnel_levels(
             ).alias("e"),
         )
     )
-    # DP state: starts[k] = latest chain-start micros reaching level k+1
-    # (NULL = unreached); fold over the time-sorted event structs.
-    zero = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+    # DP state: (pt = last folded timestamp, s[k]/p[k] = latest
+    # chain-start micros reaching level k+1 among settled / pending
+    # chains; NULL = unreached). Fold over the time-sorted event structs.
+    nulls = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+    zero = F.struct(
+        F.lit(None).cast("long").alias("pt"),
+        nulls.alias("s"),
+        nulls.alias("p"),
+    )
 
     def fold(acc, e):
-        def level(k):
-            # reaching level k+1 with event e: k == 0 -> chain starts at e;
-            # else need starts[k-1] set, strictly earlier, within window
+        # timestamp advanced -> pending chains' last events are now
+        # strictly in the past: settle them
+        adv = acc["pt"].isNull() | (e["t"] > acc["pt"])
+        settled = [
+            F.when(adv, F.greatest(acc["s"][k], acc["p"][k])).otherwise(acc["s"][k])
+            for k in range(n)
+        ]
+        pend = [
+            F.when(adv, F.lit(None).cast("long")).otherwise(acc["p"][k])
+            for k in range(n)
+        ]
+        out_p = []
+        for k in range(n):
             if k == 0:
-                return F.greatest(acc[0], e["t"])
-            prev = acc[k - 1]
-            ok = (
-                prev.isNotNull()
-                & (prev < e["t"])
-                & (e["t"] - prev <= F.lit(window_us))
-            )
-            return F.when(
-                (e["step"] == k + 1) & ok, F.greatest(acc[k], prev)
-            ).otherwise(acc[k])
-
-        return F.array(
-            *[
-                F.when(e["step"] == 1, level(0)).otherwise(acc[0])
-                if k == 0
-                else level(k)
-                for k in range(n)
-            ]
+                cond = e["step"] == 1
+                upd = F.greatest(pend[0], e["t"])
+            else:
+                # extend only off SETTLED level-k chains: their last event
+                # is strictly earlier than e.t by construction, so the
+                # strict-increase check is structural, not a comparison
+                prev = settled[k - 1]
+                cond = (
+                    (e["step"] == k + 1)
+                    & prev.isNotNull()
+                    & (e["t"] - prev <= F.lit(window_us))
+                )
+                upd = F.greatest(pend[k], prev)
+            out_p.append(F.when(cond, upd).otherwise(pend[k]))
+        return F.struct(
+            e["t"].alias("pt"),
+            F.array(*settled).alias("s"),
+            F.array(*out_p).alias("p"),
         )
 
     folded = (
@@ -292,12 +322,13 @@ def funnel_levels(
         .agg(F.array_sort(F.collect_list("e")).alias("es"))
         .select(
             "user_id",
-            F.aggregate(F.col("es"), zero, fold).alias("starts"),
+            F.aggregate(F.col("es"), zero, fold).alias("st"),
         )
     )
+    reached = [F.greatest(F.col("st")["s"][k], F.col("st")["p"][k]) for k in range(n)]
     level_expr = F.coalesce(
         *[
-            F.when(F.col("starts")[k].isNotNull(), F.lit(k + 1))
+            F.when(reached[k].isNotNull(), F.lit(k + 1))
             for k in range(n - 1, -1, -1)
         ],
         F.lit(0),

@@ -48,8 +48,11 @@ def _series(labels: Column) -> Column:
 
 
 def _sql_str(s: str) -> str:
-    """A string literal for spliced SQL fragments (quotes doubled)."""
-    return "'" + s.replace("'", "''") + "'"
+    """A string literal for spliced SQL fragments. Backslashes must be
+    doubled FIRST: Spark's parser treats ``\\`` as an escape inside
+    single quotes, so a raw trailing backslash would swallow the closing
+    quote (label keys are arbitrary map keys, not identifiers)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _ensure_series(df: DataFrame) -> DataFrame:
@@ -2567,6 +2570,11 @@ def histogram_fraction(
         * (F.col("__x") - lower)
         / (F.col("__le") - lower)
     )
+    # clamp to the bucket's count range: a probe BELOW the first bucket's
+    # implicit 0 lower bound would extrapolate a negative cumulative
+    # count (and a fraction outside [0, 1]); counts below 0 or above the
+    # bucket's own cum are never meaningful
+    ic = F.greatest(F.lit(0.0), F.least(ic, F.col("__cum")))
     return (
         covering.select("__grp", "__x", ic.alias("__ic"), "__total")
         .groupBy("__grp")

@@ -113,6 +113,12 @@ def serve_loop(
                 r = one(cfg)
                 if r is not None:
                     tick.failures.append(r)
+        # a daemon's session lives for weeks: free any operator-internal
+        # scratch caches at the tick boundary (after every config's
+        # actions have completed) so they can't accumulate
+        from prom_etl_db_spark.functions.scratch import release_scratch
+
+        release_scratch()
         summary.ticks.append(tick)
         if on_tick is not None:
             on_tick(tick)

@@ -32,9 +32,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=256)
-def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+def _nanos_ts_columns(path: str, _stat_key: tuple = ()) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects them by
-    default, so they're read as long (nanosAsLong) and converted."""
+    default, so they're read as long (nanosAsLong) and converted.
+    ``_stat_key`` carries (mtime_ns, size) into the memo key so a
+    rewritten file's schema is re-probed, same freshness rule as the
+    plan-root cache."""
     import pyarrow.parquet as pq
 
     return tuple(
@@ -42,11 +45,15 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-# session -> {path: DataFrame plan root}. Building a reader re-probes the
-# file footer and costs ~0.1 s of driver round trips PER QUERY; the plan
-# root is immutable, so one per (session, path) serves every query in
-# that session. Weak keys: a stopped session's cache dies with it.
-_PLAN_ROOTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+# session -> {(path, mtime_ns, size): DataFrame plan root}. Building a
+# reader re-probes the file footer and costs ~0.1 s of driver round trips
+# PER QUERY; the plan root is immutable, so one per (session, file
+# identity) serves every query in that session. The stat in the key keeps
+# the freshness contract: a rewritten/regenerated fixture gets a NEW plan
+# root on the next call instead of a stale file listing (one os.stat per
+# call is noise next to the footer probe it avoids). Weak keys: a stopped
+# session's cache dies with it.
+_PLAN_ROOTS: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -61,10 +68,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     projection still allows pushdown on every other column.
     """
     path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
     cache = _PLAN_ROOTS.setdefault(spark, {})
-    if path in cache:
-        return cache[path]
-    ns_cols = _nanos_ts_columns(path)
+    if key in cache:
+        return cache[key]
+    ns_cols = _nanos_ts_columns(path, key[1:])
     if not ns_cols:
         df = spark.read.parquet(path)
     else:
@@ -72,7 +81,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    cache[path] = df
+    cache[key] = df
     return df
 
 

@@ -253,12 +253,15 @@ def compact_days(
 
     root = Path(path)
     # crash healing BEFORE selection, so a restored day is re-considered
-    for old in root.glob(".old-collected_date=*"):
-        live = root / old.name[len(".old-") :]
-        if live.exists():
-            shutil.rmtree(old)  # swap completed; only cleanup was lost
-        else:
-            old.rename(live)  # crashed between the renames; restore
+    # (under the same per-path lock the writers hold: healing moves
+    # partition dirs around and must not interleave with an append)
+    with _path_write_lock(path):
+        for old in root.glob(".old-collected_date=*"):
+            live = root / old.name[len(".old-") :]
+            if live.exists():
+                shutil.rmtree(old)  # swap completed; only cleanup was lost
+            else:
+                old.rename(live)  # crashed between the renames; restore
     out: dict[date, tuple[int, int]] = {}
     parts = (
         [root / f"collected_date={d.isoformat()}" for d in days]
@@ -266,28 +269,36 @@ def compact_days(
         else sorted(root.glob("collected_date=*"))
     )
     for part in parts:
-        if not part.exists():
-            continue
-        files = [f for f in part.glob("*.parquet") if f.is_file()]
-        total = sum(f.stat().st_size for f in files)
-        want = max(1, math.ceil(total / target_file_bytes))
-        if len(files) <= want:
-            continue
-        day = date.fromisoformat(part.name.split("=", 1)[1])
-        staging = root / f".compact-{part.name}"
-        if staging.exists():
-            shutil.rmtree(staging)  # leftover from a crashed run
-        (
-            spark.read.parquet(str(part))
-            .repartition(want)
-            .write.mode("overwrite")
-            .parquet(str(staging))
-        )
-        old = root / f".old-{part.name}"
-        part.rename(old)
-        staging.rename(part)
-        shutil.rmtree(old)
-        out[day] = (len(files), len([f for f in part.glob("*.parquet")]))
+        # the WHOLE list→rewrite→swap is one critical section per day:
+        # an append committing into part/ after the staging snapshot but
+        # before the swap would otherwise be renamed into .old-* and
+        # deleted — the exact lost-write the per-path lock exists to
+        # prevent for append/overwrite. Serializing the (single-day)
+        # rewrite job against writers is the price of not losing data;
+        # the lock is per-store-path, so other stores proceed.
+        with _path_write_lock(path):
+            if not part.exists():
+                continue
+            files = [f for f in part.glob("*.parquet") if f.is_file()]
+            total = sum(f.stat().st_size for f in files)
+            want = max(1, math.ceil(total / target_file_bytes))
+            if len(files) <= want:
+                continue
+            day = date.fromisoformat(part.name.split("=", 1)[1])
+            staging = root / f".compact-{part.name}"
+            if staging.exists():
+                shutil.rmtree(staging)  # leftover from a crashed run
+            (
+                spark.read.parquet(str(part))
+                .repartition(want)
+                .write.mode("overwrite")
+                .parquet(str(staging))
+            )
+            old = root / f".old-{part.name}"
+            part.rename(old)
+            staging.rename(part)
+            shutil.rmtree(old)
+            out[day] = (len(files), len([f for f in part.glob("*.parquet")]))
     return out
 
 

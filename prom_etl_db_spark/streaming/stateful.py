@@ -157,7 +157,11 @@ def run_counter_stream(
 # -- streaming window funnel -------------------------------------------------
 
 FUNNEL_STATE_SCHEMA = StructType(
-    [StructField("starts", ArrayType(LongType(), containsNull=True), True)]
+    [
+        StructField("prev_t", LongType(), True),
+        StructField("settled", ArrayType(LongType(), containsNull=True), True),
+        StructField("pending", ArrayType(LongType(), containsNull=True), True),
+    ]
 )
 
 FUNNEL_OUTPUT_SCHEMA = StructType(
@@ -170,24 +174,41 @@ FUNNEL_OUTPUT_SCHEMA = StructType(
 
 def make_funnel_fold(n_steps: int, window_us: int):
     """The per-user DP fold (shared semantics with the batch
-    ``analytics.funnel_levels``: starts[k] = LATEST chain-start micros
-    reaching level k+1 — a later start maximizes remaining window
-    headroom, so it dominates). Incremental: the array IS the state, so
-    a user's funnel deepens across micro-batches forever with O(n_steps)
-    state per user.
+    ``analytics.funnel_levels``): per level, the LATEST chain-start
+    micros among viable chains — split into a SETTLED class (previous
+    step's event strictly earlier than the event being folded) and a
+    PENDING class (previous step shares the current timestamp), so two
+    same-timestamp events can never chain (the strict-increase rule the
+    batch oracle defines; see funnel_levels' docstring for the proof
+    sketch). Incremental: (prev_t, settled, pending) IS the state —
+    pending survives a batch boundary so a chain step landing on the
+    last timestamp of one batch still can't be extended by an
+    equal-timestamp event arriving in the next; a user's funnel deepens
+    across micro-batches forever with O(n_steps) state per user.
 
     Ordering caveat (same as the stateful counter): events are folded in
     event-time order WITHIN a batch; cross-batch late events that should
     have preceded already-folded ones are not re-ordered — bound lateness
     upstream with a watermark-buffered sort if sources interleave."""
 
+    def _nmax(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return max(a, b)
+
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        starts: list = (
-            list(state.get[0]) if state.exists else [None] * n_steps
-        )
+        if state.exists:
+            prev_t, settled, pending = state.get
+            settled, pending = list(settled), list(pending)
+        else:
+            prev_t = None
+            settled = [None] * n_steps
+            pending = [None] * n_steps
         rows = []
         for pdf in pdfs:
             rows.append(pdf[["t", "step"]])
@@ -195,23 +216,32 @@ def make_funnel_fold(n_steps: int, window_us: int):
             allr = pd.concat(rows).sort_values(["t", "step"])
             for t, step in zip(allr["t"], allr["step"]):
                 t, step = int(t), int(step)
+                if prev_t is None or t > prev_t:
+                    # time advanced: pending chains' last events are now
+                    # strictly in the past
+                    settled = [
+                        _nmax(settled[k], pending[k]) for k in range(n_steps)
+                    ]
+                    pending = [None] * n_steps
+                    prev_t = t
                 if step == 1:
-                    starts[0] = t if starts[0] is None else max(starts[0], t)
+                    pending[0] = _nmax(pending[0], t)
                 else:
-                    prev = starts[step - 2]
+                    prev = settled[step - 2]
+                    # prev < t is structural for in-order events (settled
+                    # implies an earlier timestamp); kept as an explicit
+                    # guard so a cross-batch LATE event can't chain off a
+                    # step that is in its own future
                     if (
                         prev is not None
                         and prev < t
                         and t - prev <= window_us
                     ):
-                        cur = starts[step - 1]
-                        starts[step - 1] = (
-                            prev if cur is None else max(cur, prev)
-                        )
-        state.update((starts,))
+                        pending[step - 1] = _nmax(pending[step - 1], prev)
+        state.update((prev_t, settled, pending))
         level = 0
         for k in range(n_steps - 1, -1, -1):
-            if starts[k] is not None:
+            if _nmax(settled[k], pending[k]) is not None:
                 level = k + 1
                 break
         yield pd.DataFrame({"user_id": [user_id], "funnel_level": [level]})

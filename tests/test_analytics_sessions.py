@@ -73,6 +73,47 @@ def test_funnel_dp_levels_and_window(spark):
     assert out == {1: 3, 2: 2, 3: 2, 4: 0, 5: 3}
 
 
+def test_funnel_same_timestamp_steps_do_not_chain(spark):
+    """Strict-increase rule at equal timestamps (the oracle's p.ts > c.ts):
+    a step sharing its timestamp with the previous step must NOT extend
+    the chain — the settled/pending DP split exists for exactly this.
+    Regression: the chain-start-only DP accepted these."""
+    from prom_etl_db_spark.operators.analytics import funnel_levels
+
+    def mk(uid, *evts):
+        return [
+            (uid * 100 + i, T0 + timedelta(minutes=m), uid, t, 1.0, "{}")
+            for i, (t, m) in enumerate(evts)
+        ]
+
+    rows = (
+        # u1: click and purchase at the SAME minute -> purchase can't
+        # chain (click itself chains off the earlier view) -> 2
+        mk(1, ("view", 0), ("click", 5), ("purchase", 5))
+        # u2: view and click simultaneous -> click can't chain -> 1
+        + mk(2, ("view", 0), ("click", 0), ("purchase", 10))
+        # u3: control — distinct minutes -> 3
+        + mk(3, ("view", 0), ("click", 5), ("purchase", 6))
+        # u4: simultaneous pair, then a LATER purchase: click@5 never
+        # chained, so purchase@10 has no level-2 chain -> 1
+        + mk(4, ("view", 5), ("click", 5), ("purchase", 10))
+        # u5: the same-ts click doesn't chain, but a second click at a
+        # later minute does, and purchase rides it -> 3
+        + mk(5, ("view", 0), ("click", 0), ("click", 2), ("purchase", 4))
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {
+        r["user_id"]: r["funnel_level"]
+        for r in funnel_levels(
+            ev, ["view", "click", "purchase"], window="3h"
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 3, 4: 1, 5: 3}
+
+
 def test_paragraph_dedup_keeps_first_occurrence(spark):
     from prom_etl_db_spark.functions.dedup import paragraph_dedup_stats
 

@@ -569,3 +569,26 @@ def test_gif_local_color_table_and_gif87a():
     del bad[bad.index(0x2C) + 10 : bad.index(0x2C) + 16]
     with _pytest.raises(ValueError):
         gif_pixels(bytes(bad))
+
+
+def test_scratch_release_frees_operator_caches(spark):
+    """Multi-pass operators persist() intermediates and register them as
+    scratch; release_scratch() at the job boundary must leave NO cached
+    RDD blocks behind (the CacheManager would otherwise pin them for the
+    session lifetime — the serve-daemon leak)."""
+    from prom_etl_db_spark.functions.scratch import release_scratch
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text tail {' '.join(str(j) for j in range(6))}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    # drain anything earlier tests left behind so the assert is ours
+    release_scratch()
+    spark.catalog.clearCache()
+    dedup.minhash_band_dup_pairs_md5(docs, threshold=0.0).collect()
+    sc = spark.sparkContext
+    assert len(sc._jsc.sc().getRDDStorageInfo()) > 0  # caches were in use
+    released = release_scratch()
+    assert released >= 2  # base shingles + banded triples
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0

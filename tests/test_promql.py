@@ -988,3 +988,43 @@ def test_irate_idelta_range_matches_instant_forms(spark):
     assert rng == inst
     assert rng["x"] == (pytest.approx(6.0 / 480), 6.0)
     assert rng["y"] == (pytest.approx(3.0 / 240), -47.0)
+
+
+def test_sum_by_handles_backslash_and_quote_label_keys(spark):
+    """Label keys are arbitrary map keys spliced into F.expr SQL — a
+    trailing backslash or an embedded quote must survive the literal
+    escaping (regression: an unescaped backslash ate the closing quote)."""
+    from prom_etl_db_spark.operators.promql import sum_by
+
+    df = _samples(
+        spark,
+        [
+            ({"a\\": "1", "it's": "x"}, 1, 0),
+            ({"a\\": "1", "it's": "y"}, 2, 0),
+            ({"a\\": "2", "it's": "x"}, 10, 0),
+        ],
+    )
+    out = sum_by(df, ["a\\"])
+    got = {r["labels"]["a\\"]: r["value"] for r in out.collect()}
+    assert got == {"1": 3.0, "2": 10.0}
+    out2 = sum_by(df, ["it's"])
+    got2 = {r["labels"]["it's"]: r["value"] for r in out2.collect()}
+    assert got2 == {"x": 11.0, "y": 2.0}
+
+
+def test_histogram_fraction_clamps_out_of_domain_probes(spark):
+    """A probe bound below the first bucket's implicit 0 lower bound must
+    clamp to cumulative count 0, keeping the fraction inside [0, 1]
+    (regression: linear extrapolation produced fractions up to 2.0)."""
+    from prom_etl_db_spark.operators.promql import histogram_fraction
+
+    rows = [
+        ({"name": "h", "le": "10"}, 100.0, 0),
+        ({"name": "h", "le": "+Inf"}, 100.0, 0),
+    ]
+    df = _samples(spark, rows).select(
+        "labels", "value"
+    )
+    out = histogram_fraction(df, -10.0, 10.0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == 1.0

@@ -346,10 +346,11 @@ def test_streaming_funnel_matches_batch_across_restarts(spark, tmp_path):
     def ev(i, uid, typ, hours):
         return (i, t0 + timedelta(hours=hours), uid, typ, 1.0, None)
 
-    # batch 1: u1 view+click; u2 view; u3 purchase only
+    # batch 1: u1 view+click; u2 view; u3 purchase only; u4/u5 views
+    # whose clicks arrive in batch 2 — u4's at the SAME timestamp
     spark.createDataFrame(
         [ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 2, "view", 0),
-         ev(4, 3, "purchase", 0)],
+         ev(4, 3, "purchase", 0), ev(7, 4, "view", 6), ev(8, 5, "view", 6)],
         schema,
     ).write.parquet(src)
     run_funnel_stream(
@@ -357,9 +358,13 @@ def test_streaming_funnel_matches_batch_across_restarts(spark, tmp_path):
     ).awaitTermination(120)
 
     # batch 2 (restart from checkpoint): u1 completes INSIDE the window;
-    # u2's click arrives too late (window from its view = 3h, click at +5h)
+    # u2's click arrives too late (window from its view = 3h, click at
+    # +5h); u4's click shares its view's exact timestamp ACROSS the
+    # batch boundary — strict increase says no chain (the pending class
+    # must survive the checkpoint); u5's click is 30 min later — chains
     spark.createDataFrame(
-        [ev(5, 1, "purchase", 2), ev(6, 2, "click", 5)],
+        [ev(5, 1, "purchase", 2), ev(6, 2, "click", 5),
+         ev(9, 4, "click", 6), ev(10, 5, "click", 6.5)],
         schema,
     ).write.mode("append").parquet(src)
     run_funnel_stream(
@@ -374,7 +379,7 @@ def test_streaming_funnel_matches_batch_across_restarts(spark, tmp_path):
         .where(F.col("rn") == 1)
         .collect()
     }
-    assert latest == {1: 3, 2: 1, 3: 0}
+    assert latest == {1: 3, 2: 1, 3: 0, 4: 1, 5: 2}
 
     batch = funnel_levels(
         spark.read.parquet(src), steps, window="3h"

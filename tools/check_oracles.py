@@ -27,6 +27,7 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from prom_etl_db_spark.functions.scratch import release_scratch  # noqa: E402
 from prom_etl_db_spark.queries import ORACLES, QUERIES  # noqa: E402
 from prom_etl_db_spark.session import get_spark  # noqa: E402
 
@@ -132,6 +133,11 @@ def main() -> int:
             traceback.print_exc()
             failures.append(name)
             continue
+        finally:
+            # operators register internal persist()s as scratch; free
+            # them per query so a 140-query gate run doesn't accumulate
+            # session-lifetime cached blocks
+            release_scratch()
         if name not in ORACLES:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
             continue
