@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from prom_etl_db_spark.parallel import balance
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1036,6 +1037,96 @@ def wav_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, WAV_ROUNDTRIP_SCHEMA
+    )
+
+
+def audio_features(payload: bytes) -> dict:
+    """REAL DSP feature extraction from a PCM-16 WAV: zero-crossing rate,
+    peak amplitude, and FFT spectral centroid/bandwidth (numpy rfft —
+    no audio library needed). The training-pipeline audio analogue of
+    the text quality signals: cheap per-clip scalars for filtering and
+    stratification.
+
+    Multi-channel clips are analyzed channel-interleaved as stored (the
+    fixture is mono); the empty/silent clip defines centroid/bandwidth 0.
+    """
+    import numpy as np
+
+    meta = decode_wav(payload)
+    # re-extract the raw samples the same way decode_wav did
+    i, data = 12, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"data":
+            data = payload[i + 8 : i + 8 + size]
+            break
+        i += 8 + size + (size % 2)
+    s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if len(s) < 2:
+        return {**meta, "zcr": 0.0, "peak": float(np.max(np.abs(s), initial=0.0)),
+                "spectral_centroid_hz": 0.0, "spectral_bandwidth_hz": 0.0}
+    zcr = float(np.sum(s[:-1] * s[1:] < 0)) / (len(s) - 1)
+    peak = float(np.max(np.abs(s)))
+    spec = np.abs(np.fft.rfft(s))
+    freqs = np.fft.rfftfreq(len(s), d=1.0 / meta["sample_rate"])
+    tot = float(spec.sum())
+    if tot > 0:
+        centroid = float((freqs * spec).sum() / tot)
+        bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * spec).sum() / tot))
+    else:
+        centroid = bandwidth = 0.0
+    return {
+        **meta,
+        "zcr": zcr,
+        "peak": peak,
+        "spectral_centroid_hz": centroid,
+        "spectral_bandwidth_hz": bandwidth,
+    }
+
+
+WAV_SIGNAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("zcr", DoubleType(), False),
+        StructField("peak_amplitude", DoubleType(), False),
+        StructField("spectral_centroid_hz", DoubleType(), False),
+        StructField("spectral_bandwidth_hz", DoubleType(), False),
+    ]
+)
+
+
+def wav_signal_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 audio analysis over the synthetic corpus: every document's WAV
+    is the alternating ±amplitude square wave — the pure-Nyquist signal,
+    whose features are CLOSED FORM (zcr = 1, all spectral mass at
+    fs/2 = 4000 Hz, bandwidth 0; silence → all zeros), so a DuckDB
+    oracle can hash-match a genuine FFT pipeline. Rounding absorbs FFT
+    leakage into the analytically-zero bins (~1e-3 Hz at fixture sizes,
+    vs the 0.05 the 1-dp bandwidth rounding tolerates)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "zcr", "peak_amplitude",
+                    "spectral_centroid_hz", "spectral_bandwidth_hz")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n, amp = (mid % 50 + 1) * 100, mid % 1000
+                f = audio_features(synth_wav(n, amp))
+                out["media_id"].append(mid)
+                out["zcr"].append(round(f["zcr"], 6))
+                out["peak_amplitude"].append(round(f["peak"], 6))
+                out["spectral_centroid_hz"].append(
+                    round(f["spectral_centroid_hz"], 3)
+                )
+                out["spectral_bandwidth_hz"].append(
+                    round(f["spectral_bandwidth_hz"], 1)
+                )
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, WAV_SIGNAL_SCHEMA
     )
 
 

@@ -1646,6 +1646,33 @@ def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_signal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 1000 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE)
+         AS zcr,
+       CAST(doc_id % 1000 AS DOUBLE) AS peak_amplitude,
+       CAST(CASE WHEN doc_id % 1000 = 0 THEN 0.0 ELSE 4000.0 END AS DOUBLE)
+         AS spectral_centroid_hz,
+       CAST(0.0 AS DOUBLE) AS spectral_bandwidth_hz
+FROM documents
+""",
+)
+def audio_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio ANALYSIS (beyond decode): zero-crossing rate, peak, and
+    FFT spectral centroid/bandwidth per clip — the per-clip scalars an
+    audio curation pipeline filters and stratifies on. The fixture's
+    alternating ±amplitude square wave is the pure-Nyquist signal, so a
+    genuine numpy-rfft pipeline is gated against CLOSED FORMS: zcr 1,
+    every gram of spectral mass at fs/2 = 4000 Hz, bandwidth 0 (silent
+    clips: all zeros). Arrow-batched mapInPandas; at 100 TB each clip is
+    one bounded rfft in its own batch — embarrassingly parallel, no
+    shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.wav_signal_features(docs)
+
+
+@register(
     "embedding_neardup_pairs",
     oracle="""
 WITH scored AS (
@@ -5539,6 +5566,7 @@ _GATE_PRIORITY = [
     "events_cohort_retention",
     "tpch_q18_large_orders",
     "multimodal_gif_pixels",
+    "audio_signal_features",
     "events_rollup_cube",
     "events_cdc_latest",
     "heavy_hitters_topk",

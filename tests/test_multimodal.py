@@ -58,3 +58,38 @@ def test_wav_decimation_factor_one_is_identity():
     wav = synth_wav(64, 123, sample_rate=8000, channels=2)
     a, b = decode_wav(wav), decode_wav(decimate_wav(wav, 1))
     assert a == b
+
+
+def test_audio_features_pure_sine_and_square():
+    """audio_features is a real FFT pipeline: a 440 Hz sine's spectral
+    centroid lands on 440 (±1 Hz for leakage) with zcr = 2f/fs; the
+    fixture's alternating square wave is pure Nyquist (4000 Hz, zcr 1,
+    bandwidth ~0); silence is all-zero with no div-by-zero."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import audio_features, synth_wav
+
+    sq = audio_features(synth_wav(400, 123))
+    assert sq["zcr"] == 1.0 and sq["peak"] == 123.0
+    assert abs(sq["spectral_centroid_hz"] - 4000.0) < 1e-6
+    assert sq["spectral_bandwidth_hz"] < 0.05
+
+    silent = audio_features(synth_wav(400, 0))
+    assert (silent["zcr"], silent["peak"]) == (0.0, 0.0)
+    assert silent["spectral_centroid_hz"] == 0.0
+
+    n, rate, freq, amp = 8000, 8000, 440.0, 10000
+    s = (amp * np.sin(2 * np.pi * freq * np.arange(n) / rate)).astype(np.int16)
+    data = s.tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    sine = audio_features(wav)
+    assert abs(sine["spectral_centroid_hz"] - freq) < 1.0
+    assert abs(sine["zcr"] - 2 * freq / rate) < 0.01
+    assert sine["peak"] == amp
