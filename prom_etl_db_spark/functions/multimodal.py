@@ -694,14 +694,127 @@ def encode_gif(indices, palette) -> bytes:
     return bytes(out)
 
 
-def gif_pixels(payload: bytes):
-    """REAL GIF pixel decode, stdlib only: parse the logical screen
-    descriptor and color tables, skip extension blocks, reassemble the
-    first image's sub-blocks, LZW-decompress (variable-width LSB-first
-    codes, clear/EOI, KwK case, giflib-style width sync), and map indices
-    through the active color table. Returns a top-down (h, w, 3) uint8
-    RGB array. Interlaced images raise ValueError (quarantine is the
-    caller's concern, A12 stance)."""
+def encode_gif_animation(frames, palette, delay_cs: int = 4) -> bytes:
+    """A real, valid ANIMATED GIF89a from a list of (h, w) uint8 index
+    arrays: logical screen descriptor sized to the largest frame, global
+    color table, NETSCAPE2.0 infinite-loop application extension, then
+    per frame a graphic control extension (delay in centiseconds) +
+    image descriptor + LZW-compressed data. The poor engineer's video
+    container — real multi-frame plumbing without an ffmpeg dependency."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette length must be a power of two >= 2")
+    log2n = n.bit_length() - 1
+    min_code_size = max(2, log2n)
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    sw = max(a.shape[1] for a in arrs)
+    sh = max(a.shape[0] for a in arrs)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out.append(0x80 | 0x70 | (log2n - 1))
+    out += b"\x00\x00"  # background color index, pixel aspect ratio
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for a in arrs:
+        h, w = a.shape
+        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0x00)  # no local color table, not interlaced
+        out.append(min_code_size)
+        lzw = _lzw_encode_gif(min_code_size, a.tobytes())
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def sample_gif_frames(payload: bytes, k: int):
+    """Uniform-K frame sampling from an animated GIF — the video
+    "frame-sample" op: position j in 0..k−1 maps to frame index
+    floor(j·(F−1)/(k−1)), endpoints included (repeats allowed when
+    k > F — the sample grid is the contract, not distinctness, so the
+    output shape is fixed per clip). Returns [(j, frame_index,
+    (h, w, 3) uint8 array), ...]."""
+    frames = gif_frames(payload)
+    nf = len(frames)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    picks = [0] if k == 1 else [(j * (nf - 1)) // (k - 1) for j in range(k)]
+    return [(j, fi, frames[fi]) for j, fi in enumerate(picks)]
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, n_frames int, frame_pos int, frame_index int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def video_frame_sample_features(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """E4 video path over the synthetic corpus: per document an ANIMATED
+    GIF (doc_id%6+2 frames of the closed-form palette grid, frame f
+    shifting the pattern by 7f), uniformly frame-sampled at k positions,
+    each sampled frame fully decoded and reduced to channel means. The
+    frame-index arithmetic and the per-frame means are both SQL
+    closed forms, so the oracle hash-checks sampling AND the multi-frame
+    LZW decode in one row set. Per-clip work is bounded; no shuffle."""
+    import numpy as np
+
+    palette = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(64)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "n_frames", "frame_pos", "frame_index",
+                    "mean_r", "mean_g", "mean_b")
+            rows = {c: [] for c in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf, w, h = mid % 6 + 2, mid % 8 + 2, mid % 4 + 2
+                xs, ys = np.arange(w), np.arange(h)
+                frames = [
+                    ((mid + 7 * f + 3 * xs[None, :] + 5 * ys[:, None]) % 64)
+                    .astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payload = encode_gif_animation(frames, palette)
+                for j, fi, px in sample_gif_frames(payload, k):
+                    flat = px.reshape(-1, 3).astype(np.float64)
+                    rows["media_id"].append(mid)
+                    rows["n_frames"].append(nf)
+                    rows["frame_pos"].append(j)
+                    rows["frame_index"].append(fi)
+                    rows["mean_r"].append(round(float(flat[:, 0].mean()), 6))
+                    rows["mean_g"].append(round(float(flat[:, 1].mean()), 6))
+                    rows["mean_b"].append(round(float(flat[:, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+def gif_frames(payload: bytes):
+    """REAL GIF decode of EVERY frame, stdlib only: parse the logical
+    screen descriptor and color tables, skip extension blocks (including
+    per-frame graphic control and looping application extensions),
+    reassemble each image's sub-blocks, LZW-decompress (variable-width
+    LSB-first codes, clear/EOI, KwK case, giflib-style width sync), and
+    map indices through the active color table. Returns a list of
+    top-down (h, w, 3) uint8 RGB arrays, one per image block — frames
+    are decoded INDEPENDENTLY (no disposal-method compositing; fine for
+    feature extraction, where each frame is full-size). Interlaced
+    images raise ValueError (quarantine is the caller's concern, A12
+    stance)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -715,6 +828,7 @@ def gif_pixels(payload: bytes):
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    frames = []
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -758,8 +872,16 @@ def gif_pixels(payload: bytes):
             raise ValueError("GIF pixel data length mismatch")
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF index outside color table")
-        return ct[idx.reshape(h, w)]
-    raise ValueError("GIF contains no image block")
+        frames.append(ct[idx.reshape(h, w)])
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
+
+
+def gif_pixels(payload: bytes):
+    """First frame of :func:`gif_frames` as a top-down (h, w, 3) uint8
+    RGB array — the still-image view of the decoder."""
+    return gif_frames(payload)[0]
 
 
 def decode_gif(payload: bytes) -> dict:

@@ -1646,6 +1646,45 @@ def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_sampling",
+    oracle="""
+WITH f AS (
+  SELECT d.doc_id, j.range AS frame_pos,
+         d.doc_id % 6 + 2 AS nf,
+         d.doc_id % 8 + 2 AS w, d.doc_id % 4 + 2 AS h,
+         (j.range * (d.doc_id % 6 + 1)) // 2 AS fi
+  FROM documents d CROSS JOIN range(3) j
+), px AS (
+  SELECT f.doc_id, f.frame_pos, f.nf, f.fi,
+         (f.doc_id + 7 * f.fi + 3 * x.range + 5 * y.range) % 64 AS idx
+  FROM f CROSS JOIN range(9) x CROSS JOIN range(5) y
+  WHERE x.range < f.w AND y.range < f.h
+)
+SELECT doc_id AS media_id,
+       CAST(min(nf) AS INT) AS n_frames,
+       CAST(frame_pos AS INT) AS frame_pos,
+       CAST(min(fi) AS INT) AS frame_index,
+       round(avg(CAST((3 * idx) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((5 * idx) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((7 * idx) % 256 AS DOUBLE)), 6) AS mean_b
+FROM px GROUP BY doc_id, frame_pos
+""",
+)
+def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 video path (the brief's "frame-sample" op, containerized as
+    animated GIF — real multi-frame plumbing, no ffmpeg): per document a
+    2-7 frame animation is ENCODED (per-frame LZW + graphic-control
+    extensions + NETSCAPE loop block), uniformly sampled at 3 positions
+    (frame index floor(j·(F−1)/(k−1)) — endpoints included), and each
+    sampled frame fully DECODED to channel means. Both the sampling
+    arithmetic and the means are closed forms, so one oracle hash-checks
+    frame selection and the multi-frame codec together. mapInPandas,
+    bounded per-clip work, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.video_frame_sample_features(docs)
+
+
+@register(
     "audio_signal_features",
     oracle="""
 SELECT doc_id AS media_id,
@@ -5567,6 +5606,7 @@ _GATE_PRIORITY = [
     "tpch_q18_large_orders",
     "multimodal_gif_pixels",
     "audio_signal_features",
+    "video_frame_sampling",
     "events_rollup_cube",
     "events_cdc_latest",
     "heavy_hitters_topk",

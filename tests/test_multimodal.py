@@ -93,3 +93,40 @@ def test_audio_features_pure_sine_and_square():
     assert abs(sine["spectral_centroid_hz"] - freq) < 1.0
     assert abs(sine["zcr"] - 2 * freq / rate) < 0.01
     assert sine["peak"] == amp
+
+
+def test_animated_gif_roundtrip_and_uniform_sampling():
+    """Animated GIF89a: every frame survives the encode→decode roundtrip
+    bit-exactly (per-frame LZW streams, GCE/NETSCAPE extension skipping),
+    and uniform-K sampling picks floor(j·(F−1)/(k−1)) with endpoints."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import (
+        encode_gif_animation,
+        gif_frames,
+        gif_pixels,
+        sample_gif_frames,
+    )
+
+    palette = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(64)]
+    pal = np.array(palette, dtype=np.uint8)
+    frames = [
+        ((7 * f + 3 * np.arange(6)[None, :] + 5 * np.arange(4)[:, None]) % 64)
+        .astype(np.uint8)
+        for f in range(5)
+    ]
+    payload = encode_gif_animation(frames, palette)
+    dec = gif_frames(payload)
+    assert len(dec) == 5
+    for f in range(5):
+        assert (dec[f] == pal[frames[f]]).all()
+    # first-frame view stays the still-image API
+    assert (gif_pixels(payload) == pal[frames[0]]).all()
+    assert [(j, fi) for j, fi, _ in sample_gif_frames(payload, 3)] == [
+        (0, 0), (1, 2), (2, 4),
+    ]
+    # k > F repeats endpoints rather than inventing frames
+    assert [fi for _, fi, _ in sample_gif_frames(payload, 9)] == [
+        0, 0, 1, 1, 2, 2, 3, 3, 4,
+    ]
+    assert [fi for _, fi, _ in sample_gif_frames(payload, 1)] == [0]
