@@ -33,6 +33,7 @@ from prom_etl_db_spark.ingest import collected_at_col
 from prom_etl_db_spark.operators.promql_parser import (
     Call,
     EvalContext,
+    ScalarStream,
     Selector,
     _eval_stream,
     _selector_stream,
@@ -209,6 +210,18 @@ def evaluate_config_query(
 
     at = parser.parse(cfg.time_range_time or "now")
     out = evaluate(EvalContext(samples, at), node)
+    if isinstance(out, ScalarStream):
+        # top-level scalar() — a data-dependent scalar result: stored as
+        # one label-less record (Prometheus's scalar resultType), still
+        # lazy (the 1-row aggregate rides the plan into the sink)
+        return (
+            out.df.select(
+                F.create_map().cast("map<string,string>").alias("labels"),
+                F.lit(at).alias("timestamp"),
+                F.col("value").cast("double").alias("value"),
+            ),
+            "scalar",
+        )
     if isinstance(out, float):
         one = samples.sparkSession.createDataFrame(
             [(out,)], "value double"

@@ -553,8 +553,12 @@ def ts_of_max_over_time(resampled: DataFrame, **kw) -> DataFrame:
     """``ts_of_max_over_time`` (PromQL 3.x experimental): the epoch
     seconds of the frame's maximum value. Ties break to the LATEST
     occurrence via a (value, bucket) struct ordering key — deterministic
-    where Prometheus leaves the tie unspecified. Struct order keys plan
-    ObjectHashAggregate (still hash-partitioned, no sort shuffle)."""
+    where Prometheus leaves the tie unspecified. A struct ordering key's
+    buffer is immutable, so Spark plans SortAggregate for this one — the
+    partition-local sort runs over the step-REDUCED grid (one row per
+    series×bucket, already aggregated by the resample hash agg upstream),
+    not raw samples, and the shuffle is still hash-partitioned; verified
+    in the PLANS.md census."""
     ts = F.max_by(
         "bucket_start", F.struct(F.col("value"), F.col("bucket_start"))
     )

@@ -5555,6 +5555,83 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4_late_orders",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking, adapted to the fixture's
+    columns: "late" = any lineitem shipping > 30 days after the order
+    date): an EXISTS correlated subquery expressed as a LEFT SEMI join
+    whose condition carries both the equi-key and the date comparison —
+    Spark plans the equi-part as the join key and the inequality as a
+    post-join filter, so lineitem never fans out order rows and only
+    (orderkey, shipdate) rides the shuffle. The date window on orders is
+    a pushed scan filter."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): ratio of two conditional sums over a
+    fact⋈dim join — part is broadcast, so the month of lineitem streams
+    through one stage: pushed shipdate scan filter → broadcast hash join
+    → single global aggregate computing both sums at once. The division
+    happens on the 1-row aggregate, never per row."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 9, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 10, 1)))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window rotation.
 #
@@ -5617,6 +5694,8 @@ _GATE_PRIORITY = [
     "corpus_temperature_mix",
     "promql_absent_range",
     "tpch_q10_returned_items",
+    "tpch_q4_late_orders",
+    "tpch_q14_promo_revenue",
     # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
     "minhash_band_pairs",
     "hll_cardinality",

@@ -583,12 +583,15 @@ def test_scratch_release_frees_operator_caches(spark):
          for i in range(8)],
         "doc_id long, text string",
     )
-    # drain anything earlier tests left behind so the assert is ours
+    # drain anything earlier tests left behind; other tests' eager
+    # localCheckpoint blocks may legitimately remain (clearCache only
+    # clears the SQL cache), so assert on the DELTA, not absolute zero
     release_scratch()
     spark.catalog.clearCache()
-    dedup.minhash_band_dup_pairs_md5(docs, threshold=0.0).collect()
     sc = spark.sparkContext
-    assert len(sc._jsc.sc().getRDDStorageInfo()) > 0  # caches were in use
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+    dedup.minhash_band_dup_pairs_md5(docs, threshold=0.0).collect()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) > baseline  # caches in use
     released = release_scratch()
     assert released >= 2  # base shingles + banded triples
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline

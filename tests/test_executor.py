@@ -354,3 +354,30 @@ def test_range_config_irate_idelta_sliding(samples):
             for r in out.where(F.col("labels")["host"] == "a").collect()
         }
         assert a and all(v == pytest.approx(want) for v in a.values()), fn
+
+
+def test_instant_scalar_query_stores_one_labelless_record(spark):
+    """A config whose query is a top-level scalar() stores exactly one
+    label-less record (Prometheus's scalar resultType) — evaluated
+    lazily, no driver collect in the plan build."""
+    from datetime import datetime
+
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import evaluate_config_query
+
+    now = datetime(2024, 3, 15, 12, 0, 0)
+    samples = spark.createDataFrame(
+        [("m", {"h": "a"}, 4.0, now, 1), ("m", {"h": "b"}, 6.0, now, 2)],
+        "metric_name string, labels map<string,string>, value double, "
+        "timestamp timestamp, event_id long",
+    )
+    cfg = QueryConfig(
+        query_id="scalar-q", name="scalar q", query="scalar(sum(m))", time_range_type="instant",
+        time_range_time="now",
+    )
+    out, rtype = evaluate_config_query(samples, cfg, now=now)
+    assert rtype == "scalar"
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 10.0 and dict(rows[0]["labels"]) == {}
+    assert rows[0]["timestamp"] == now

@@ -340,3 +340,17 @@ def test_ivfpq_broadcast_probe_no_shuffle_join(spark, sf_dir):
                "BroadcastNestedLoopJoin"):
         assert op not in s
     assert "Window" in s
+
+
+def test_tpch_q4_semi_join_and_q14_broadcast(spark, sf_dir):
+    # Q4: the EXISTS must plan as a LEFT SEMI equi-join (orderkey as the
+    # key, the date inequality as join-side filter) — never a cartesian,
+    # never an inner join that fans orders out per lineitem
+    ops = _ops(QUERIES["tpch_q4_late_orders"](spark, sf_dir))
+    assert "CartesianProduct" not in ops
+    plan = QUERIES["tpch_q4_late_orders"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "LeftSemi" in plan
+    # Q14: part is a dim — broadcast, not shuffled
+    ops14 = _ops(QUERIES["tpch_q14_promo_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ops14 and "SortMergeJoin" not in ops14

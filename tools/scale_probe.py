@@ -278,6 +278,23 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         .agg(F.count_distinct("user_id").alias("active_users")),
     )
 
+    # CDC latest-state: the struct-argmax SortAggregate family measured —
+    # the per-partition sort runs on the group key with map-side partial
+    # combine (one candidate per partition×key in the shuffle); this row
+    # is the evidence PLANS.md's SortAggregate note points at
+    from prom_etl_db_spark.store import apply_cdc_latest
+
+    run(
+        "cdc_latest_state",
+        apply_cdc_latest(
+            ev.select("user_id", "ts", "event_id", "event_type", "value"),
+            ["user_id"],
+            ["ts", "event_id"],
+            op_col="event_type",
+            delete_op="error",
+        ),
+    )
+
     # sliding-window range mode, WIDE ratio (ratio 288 at 24h/5m): the
     # per-sample difference array (sum), bucket decomposition (max/min),
     # and bucketed histograms (quantile) must all stay O(samples+output)
