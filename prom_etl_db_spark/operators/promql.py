@@ -133,18 +133,23 @@ def instant_selector(
     """Latest sample per series at ``at`` within the staleness window.
 
     PromQL instant-selector semantics (B1): a series contributes its most
-    recent point in ``[at - staleness, at]``. Equality label matchers are
-    applied pre-shuffle so they push into the scan. ``tiebreakers`` order
-    equal-timestamp samples deterministically (descending).
+    recent point in ``(at - staleness, at]`` — the lookback window is
+    LEFT-OPEN like Prometheus's (a sample exactly ``staleness`` old is
+    already stale). Equality label matchers are applied pre-shuffle so
+    they push into the scan; a missing label IS the empty string, so
+    ``{k: ""}`` selects series without the label (PromQL). ``tiebreakers``
+    order equal-timestamp samples deterministically (descending).
     """
     df = samples
     if metric_name is not None:
         df = df.where(F.col("metric_name") == metric_name)
     for k, v in (label_filters or {}).items():
-        df = df.where(F.element_at(F.col("labels"), k) == v)
+        df = df.where(
+            F.coalesce(F.element_at(F.col("labels"), k), F.lit("")) == v
+        )
     df = df.where(
         (F.col("timestamp") <= F.lit(at))
-        & (F.col("timestamp") >= F.lit(at) - F.expr(f"INTERVAL {staleness}"))
+        & (F.col("timestamp") > F.lit(at) - F.expr(f"INTERVAL {staleness}"))
     ).withColumn("__series", _series(F.col("labels")))
     w = Window.partitionBy("__series").orderBy(
         F.desc("timestamp"), *[F.desc(t) for t in tiebreakers]
@@ -2397,9 +2402,13 @@ def label_replace(
     replaced = F.when(
         new_val == "", without_dst
     ).otherwise(F.map_concat(without_dst, F.create_map(F.lit(dst), new_val)))
-    return df.withColumn(
+    out = df.withColumn(
         "labels", F.when(src_val.rlike(anchored), replaced).otherwise(F.col("labels"))
     )
+    # a pre-existing __series key would be STALE after the rewrite —
+    # _ensure_series trusts it and would silently regroup (and rebuild
+    # labels) under the pre-rewrite identity
+    return out.drop("__series") if "__series" in out.columns else out
 
 
 def label_join(
@@ -2413,12 +2422,15 @@ def label_join(
     ]
     joined = F.concat_ws(sep, *vals)
     without_dst = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst))
-    return df.withColumn(
+    out = df.withColumn(
         "labels",
         F.when(joined == "", without_dst).otherwise(
             F.map_concat(without_dst, F.create_map(F.lit(dst), joined))
         ),
     )
+    # same staleness rule as label_replace: the old series key must not
+    # survive a label rewrite
+    return out.drop("__series") if "__series" in out.columns else out
 
 
 def offset(df: DataFrame, duration: str) -> DataFrame:
@@ -2511,6 +2523,11 @@ def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") ->
     return crossing.select(
         F.map_from_entries("__grp").alias("labels"),
         F.when(F.col("__le") == float("inf"), F.col("__prev_le"))
+        # Prometheus (promql/quantile.go): the first bucket interpolates
+        # from 0 only when its upper bound is POSITIVE; a first bucket at
+        # le <= 0 returns the bound itself — interpolating toward 0 from
+        # the wrong side would exceed the bucket's own upper bound
+        .when(F.col("__prev_le").isNull() & (F.col("__le") <= 0), F.col("__le"))
         .otherwise(interpolated)
         .alias("value"),
     )
@@ -2695,12 +2712,15 @@ def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = No
     ``last(value, ignorenulls=True)``.
     """
     keyed = _ensure_series(resampled)
-    step_expr = F.expr(f"INTERVAL {step.replace('minute', 'minute').strip()}")
+    step_expr = F.expr(f"INTERVAL {step.strip()}")
     bounds = keyed.groupBy("__series").agg(
         F.min("bucket_start").alias("lo"),
         (F.lit(until) if until is not None else F.max("bucket_start")).alias("hi"),
     )
-    grid = bounds.select(
+    # a series whose first bucket is AFTER `until` has an empty grid —
+    # sequence(lo, hi) with lo > hi throws, so guard and drop the series
+    # (there is nothing to carry forward into the window anyway)
+    grid = bounds.where(F.col("lo") <= F.col("hi")).select(
         "__series",
         F.explode(F.sequence(F.col("lo"), F.col("hi"), step_expr)).alias("bucket_start"),
     )

@@ -155,7 +155,7 @@ WITH windowed AS (
            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
   WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
-    AND ts >= TIMESTAMP '2024-01-30 06:00:00'
+    AND ts > TIMESTAMP '2024-01-30 06:00:00'
 )
 SELECT metric_name, user_id, k, value, CAST(ts AS TIMESTAMP) AS ts FROM windowed WHERE rn = 1
 """,
@@ -1962,7 +1962,7 @@ WITH instant AS (
            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
   WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
-    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+    AND ts > TIMESTAMP '2024-01-30 00:00:00'
 )
 SELECT name, k, user_id, value FROM instant WHERE rn = 1
 ORDER BY value DESC, k, name, CAST(user_id AS VARCHAR) LIMIT 5
@@ -2628,7 +2628,7 @@ WITH windowed AS (
            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
   WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
-    AND ts >= TIMESTAMP '2024-01-30 06:00:00'
+    AND ts > TIMESTAMP '2024-01-30 06:00:00'
 ), vec AS (
   SELECT name, k, value,
          'k' || chr(31) || k || chr(30) || 'name' || chr(31) || name AS skey

@@ -65,9 +65,14 @@ def _fold_counter(
         last_value, total = None, 0.0
 
     last_ts = None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("timestamp")
-        for ts, v in zip(pdf["timestamp"], pdf["value"]):
+    # a group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    # chunks in arbitrary row order — sorting per chunk would read a
+    # later chunk's earlier timestamps as counter drops (spurious
+    # resets); concat-then-sort like the funnel fold beside this one
+    chunks = [pdf[["timestamp", "value"]] for pdf in pdfs]
+    if chunks:
+        allr = pd.concat(chunks).sort_values("timestamp")
+        for ts, v in zip(allr["timestamp"], allr["value"]):
             v = float(v)
             if last_value is not None:
                 # PromQL reset correction: a drop = restart, count the
@@ -449,7 +454,19 @@ def make_qhist_fold(q: float, bins: int, lo: float, hi: float):
         buckets = list(state.get[0]) if state.exists else [0] * bins
         for pdf in pdfs:
             for v in pdf["v"]:
-                b = min(bins - 1, max(0, int(math.floor((float(v) - lo) / width))))
+                v = float(v)
+                # a NULL value arrives as NaN in the pandas column — skip
+                # like the batch twin's SQL aggregation does, instead of
+                # crashing the whole streaming query on int(NaN); ±inf
+                # clamps to the edge bins (int(inf) would also raise)
+                if math.isnan(v):
+                    continue
+                if v == float("inf"):
+                    b = bins - 1
+                elif v == float("-inf"):
+                    b = 0
+                else:
+                    b = min(bins - 1, max(0, int(math.floor((v - lo) / width))))
                 buckets[b] += 1
         state.update((buckets,))
         n = sum(buckets)
@@ -543,10 +560,8 @@ def make_cm_fold(depth: int, width: int):
     ) -> Iterator[pd.DataFrame]:
         (g,) = key
         cells = list(state.get[0]) if state.exists else [0] * (depth * width)
-        n = 0
         for pdf in pdfs:
             for k in pdf["k"]:
-                n += 1
                 for i in range(depth):
                     h = int(
                         hashlib.md5(f"cm-{i}-{k}".encode()).hexdigest()[:8], 16
@@ -881,7 +896,17 @@ def make_psi_fold(bins: int, lo: float, hi: float):
         n_cur = 0
         for pdf in pdfs:
             for v in pdf["v"]:
-                b = min(bins - 1, max(0, int((float(v) - lo) // width)))
+                v = float(v)
+                # NULL → NaN: skip like the batch twin; ±inf edge-clamps
+                # (int() of either would raise and kill the query)
+                if math.isnan(v):
+                    continue
+                if v == float("inf"):
+                    b = bins - 1
+                elif v == float("-inf"):
+                    b = 0
+                else:
+                    b = min(bins - 1, max(0, int((v - lo) // width)))
                 cur[b] += 1
                 n_cur += 1
         if state.exists:

@@ -1028,3 +1028,78 @@ def test_histogram_fraction_clamps_out_of_domain_probes(spark):
     out = histogram_fraction(df, -10.0, 10.0).collect()
     assert len(out) == 1
     assert out[0]["value"] == 1.0
+
+
+def test_histogram_quantile_negative_first_bucket_returns_bound(spark):
+    """Prometheus quantile.go: a first bucket with upper bound <= 0 is
+    NOT interpolated from 0 (that would land above the bound); the bound
+    itself comes back. Regression for the unconditional interpolation."""
+    from prom_etl_db_spark.operators.promql import histogram_quantile
+
+    rows = [
+        ({"name": "h", "le": "-1"}, 10.0, 0),
+        ({"name": "h", "le": "+Inf"}, 10.0, 0),
+    ]
+    df = _samples(spark, rows).select("labels", "value")
+    out = histogram_quantile(df, 0.5).collect()
+    assert len(out) == 1 and out[0]["value"] == -1.0
+
+
+def test_instant_selector_empty_matcher_and_exclusive_staleness(spark):
+    """{k=""} selects series MISSING the label (PromQL missing-is-empty),
+    and the lookback window is left-open: a sample exactly `staleness`
+    old is already stale."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.operators.promql import instant_selector
+
+    df = _samples(
+        spark,
+        [
+            ({"host": "a", "pod": "x"}, 1, -60),
+            ({"host": "b"}, 2, -60),               # no pod label
+            ({"host": "c"}, 3, -300),              # exactly 5m old
+        ],
+    )
+    out = instant_selector(df, "m", at=T0, label_filters={"pod": ""})
+    got = {r["labels"]["host"] for r in out.collect()}
+    assert got == {"b"}  # c is exactly-stale, a carries pod
+    # boundary: -300s sits ON the 5m lookback edge -> excluded
+    full = instant_selector(df, "m", at=T0)
+    assert {r["labels"]["host"] for r in full.collect()} == {"a", "b"}
+    # one second fresher and it's in
+    almost = instant_selector(df, "m", at=T0 - timedelta(seconds=1))
+    assert {r["labels"]["host"] for r in almost.collect()} == {"a", "b", "c"}
+
+
+def test_label_rewrite_invalidates_series_key(spark):
+    """label_replace/label_join after resample (which carries __series)
+    must regroup under the REWRITTEN labels — the stale key silently
+    reverted the rewrite before."""
+    from prom_etl_db_spark.operators.promql import (
+        label_replace,
+        resample,
+        sum_over_time,
+    )
+
+    df = _samples(
+        spark,
+        [({"env": "prod-1"}, 1, -120), ({"env": "prod-2"}, 2, -60)],
+    )
+    stepped = resample(df, "1 minute")
+    rewritten = label_replace(stepped, "env", "prod", "env", "prod-.*")
+    out = sum_over_time(rewritten).collect()
+    # both series collapse into env=prod under the new identity
+    assert len(out) == 1
+    assert dict(out[0]["labels"]) == {"env": "prod"} and out[0]["value"] == 3.0
+
+
+def test_gapfill_locf_until_before_first_bucket_is_empty_not_error(spark):
+    from datetime import timedelta
+
+    from prom_etl_db_spark.operators.promql import gapfill_locf, resample
+
+    df = _samples(spark, [({"h": "a"}, 1, -60)])
+    stepped = resample(df, "1 minute")
+    out = gapfill_locf(stepped, "1 minute", until=T0 - timedelta(hours=2))
+    assert out.collect() == []

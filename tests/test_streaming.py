@@ -734,3 +734,64 @@ def test_streaming_psi_matches_batch_across_restart(spark, tmp_path):
     )
     assert last["psi"] == batch["psi"]
     assert last["psi"] > 0.25
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving folds as plain functions."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_counter_fold_sorts_across_arrow_chunks():
+    """A group bigger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    chunks in arbitrary order — the fold must concat-then-sort, or a
+    later chunk's earlier timestamps read as counter drops (spurious
+    resets). Regression: per-chunk sorting double-counted this series."""
+    import pandas as pd
+
+    from prom_etl_db_spark.streaming.stateful import _fold_counter
+
+    # monotone counter 1..6 split so chunk 2 holds EARLIER timestamps
+    chunk1 = pd.DataFrame({"timestamp": [4, 5, 6], "value": [4.0, 5.0, 6.0]})
+    chunk2 = pd.DataFrame({"timestamp": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
+    state = _FakeState()
+    (out,) = _fold_counter(("s",), iter([chunk1, chunk2]), state)
+    # a monotone counter's total increase is last - first = 5, no resets
+    assert out["total_increase"][0] == 5.0
+    assert out["last_value"][0] == 6.0 and out["last_ts"][0] == 6
+
+
+def test_qhist_and_psi_folds_skip_nan_and_clamp_inf():
+    """A NULL value reaches the fold as NaN — it must be skipped like the
+    batch twin's SQL aggregation, not crash the streaming query; ±inf
+    clamps to the edge bins. Regression: int(NaN) raised ValueError."""
+    import pandas as pd
+
+    from prom_etl_db_spark.streaming.stateful import make_psi_fold, make_qhist_fold
+
+    vals = pd.DataFrame(
+        {"v": [1.0, float("nan"), float("inf"), float("-inf"), 2.0]}
+    )
+    qfold = make_qhist_fold(bins=4, lo=0.0, hi=4.0, q=0.5)
+    state = _FakeState()
+    (out,) = qfold(("g",), iter([vals]), state)
+    assert out["n_values"][0] == 4  # NaN skipped, infs clamped and kept
+
+    pfold = make_psi_fold(bins=4, lo=0.0, hi=4.0)
+    pstate = _FakeState()
+    (first,) = pfold(("g",), iter([vals]), pstate)
+    # first batch freezes the baseline; a second batch must also survive
+    (second,) = pfold(("g",), iter([vals]), pstate)
+    assert second["psi"][0] is not None
