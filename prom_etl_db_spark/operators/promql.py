@@ -958,6 +958,19 @@ def rate(
 _RANGE_EXPLODE_MAX_RATIO = 32
 
 
+def _grid_bounds(ts, t0, tN, frame_s: float, step_s: float):
+    """The per-sample fan-out bounds every sliding-window range function
+    shares (window duality: a sample at ts contributes to grid instant t
+    iff t − frame ≤ ts < t): FIRST = the smallest grid instant strictly
+    after ts, clamped up to the range start (samples read back from
+    before the range still target in-range instants only); LAST = the
+    largest grid instant whose window still contains ts, clamped to the
+    range end. One definition — an off-by-one fix lands everywhere."""
+    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
+    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    return first, last
+
+
 def increase_range(
     samples: DataFrame,
     *,
@@ -1028,12 +1041,7 @@ def increase_range(
         return _increase_range_events(
             df, ts, t0, tN, frame_s, step_s, tiebreakers, quantize
         )
-    # smallest grid instant STRICTLY after ts (window is [t−frame, t)):
-    # start + (floor((ts − start)/step) + 1)·step, clamped into the grid
-    first = t0 + (F.floor((ts - t0) / step_s) + 1) * step_s
-    first = F.greatest(first, t0)
-    # largest grid instant with t − frame ≤ ts: start + floor((ts+frame−start)/step)·step
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     exploded = df.where(first <= last).select(
         "__series",
         "value",
@@ -1121,8 +1129,7 @@ def delta_range(
         return _increase_range_events(
             df, ts, t0, tN, frame_s, step_s, tiebreakers, correction=False
         )
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     order = F.struct(F.col("timestamp"), *[F.col(t) for t in tiebreakers])
     exploded = df.where(first <= last).select(
         "__series",
@@ -1355,8 +1362,7 @@ def extrema_over_time_range(
         F.col("timestamp"), *[F.col(t) for t in tiebreakers], F.col("value")
     )
     if method == "explode":
-        first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-        last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+        first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
         return (
             df.where(first <= last)
             .select(
@@ -1489,8 +1495,7 @@ def regression_range(
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
     x = ts - t0  # centered time coordinate
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
 
     def read_off(g):
         n = F.col("__n").cast("double")
@@ -1659,8 +1664,7 @@ def changes_range(
         return _increase_range_events(
             df, ts, t0, tN, frame_s, step_s, tiebreakers, contrib_mode=kind
         )
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     exploded = df.where(first <= last).select(
         "__series",
         "value",
@@ -1908,8 +1912,7 @@ def agg_over_time_range(
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
     # window [t−frame, t) contains ts  ⟺  ts < t ≤ ts + frame
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     # stdvar/stddev via the two-sums identity Σv²/n − (Σv/n)² — also
     # difference-arrayable (v² events ride beside v); the subtraction
     # can dip an epsilon negative under float cancellation → clamp.
@@ -2044,8 +2047,7 @@ def irate_idelta_range(
     ts = epoch_seconds(F.col("timestamp"))
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     exploded = df.where(last >= first).select(
         "__series",
         "value",
@@ -2123,8 +2125,7 @@ def quantile_over_time_range(
     ts = epoch_seconds(F.col("timestamp"))
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     return (
         df.where(last >= first)
         .select(
@@ -2175,8 +2176,7 @@ def mad_over_time_range(
     ts = epoch_seconds(F.col("timestamp"))
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     exploded = (
         df.where(last >= first)
         .select(
@@ -2246,8 +2246,7 @@ def absent_over_time_range(
     ts = epoch_seconds(F.col("timestamp"))
     t0 = F.lit(start.timestamp())
     tN = F.lit(end.timestamp())
-    first = F.greatest(t0 + (F.floor((ts - t0) / step_s) + 1) * step_s, t0)
-    last = F.least(t0 + F.floor((ts + frame_s - t0) / step_s) * step_s, tN)
+    first, last = _grid_bounds(ts, t0, tN, frame_s, step_s)
     present = (
         df.where(last >= first)
         .select(
