@@ -92,6 +92,7 @@ def evaluate_config_query(
             "max_over_time",
             "min_over_time",
             "last_over_time",
+            "first_over_time",
             "stdvar_over_time",
             "stddev_over_time",
             "changes",
@@ -159,6 +160,9 @@ def evaluate_config_query(
                 "last_over_time": lambda df, **kw: _promql.extrema_over_time_range(
                     df, **kw
                 ).selectExpr("labels", "bucket_start", "vlast AS value"),
+                "first_over_time": lambda df, **kw: _promql.extrema_over_time_range(
+                    df, **kw
+                ).selectExpr("labels", "bucket_start", "vfirst AS value"),
                 "present_over_time": _promql.present_over_time_range,
                 "absent_over_time": _promql.absent_over_time_range,
                 "mad_over_time": _promql.mad_over_time_range,

@@ -1311,11 +1311,13 @@ def extrema_over_time_range(
     tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """RANGE-QUERY ``max_over_time`` + ``min_over_time`` +
-    ``last_over_time`` in ONE pass: the sliding-window extremes and the
-    newest sample at every grid step. ``last`` IS bucket-composable
-    (last of the newest non-empty bucket), so it rides the same
-    decomposition as max/min via a lexicographic struct max; duplicate
-    timestamps resolve by ``tiebreakers``.
+    ``last_over_time`` + ``first_over_time`` in ONE pass: the
+    sliding-window extremes and the newest/oldest samples at every grid
+    step. ``last``/``first`` ARE bucket-composable (last of the newest /
+    first of the oldest non-empty bucket), so they ride the same
+    decomposition as max/min via lexicographic struct max/min; duplicate
+    timestamps resolve by ``tiebreakers`` (last takes the highest,
+    first the lowest).
 
     Max/min are NOT difference-arrayable (no inverse), so the scale
     strategy is different from ``agg_over_time_range``: the classic
@@ -1335,7 +1337,7 @@ def extrema_over_time_range(
       exceeds the explode cap, else ``explode``.
 
     Windows with no samples drop out. Output:
-    (labels, bucket_start, vmax, vmin, vlast).
+    (labels, bucket_start, vmax, vmin, vlast, vfirst).
     """
     from prom_etl_db_spark.timeparse import parse_duration
 
@@ -1382,6 +1384,7 @@ def extrema_over_time_range(
                 F.max("value").alias("vmax"),
                 F.min("value").alias("vmin"),
                 F.max("__lk").alias("__lkm"),
+                F.min("__lk").alias("__lkf"),
             )
             .select(
                 F.map_from_entries("__series").alias("labels"),
@@ -1389,6 +1392,7 @@ def extrema_over_time_range(
                 "vmax",
                 "vmin",
                 F.col("__lkm.value").alias("vlast"),
+                F.col("__lkf.value").alias("vfirst"),
             )
         )
     # phase 1: tumbling step-bucket extremes (bucket start, step-aligned
@@ -1402,6 +1406,7 @@ def extrema_over_time_range(
             F.max("value").alias("__bmax"),
             F.min("value").alias("__bmin"),
             F.max("__lk").alias("__blast"),
+            F.min("__lk").alias("__bfirst"),
         )
     )
     # phase 2: densify each series onto the bucket grid and range-window
@@ -1432,12 +1437,19 @@ def extrema_over_time_range(
         F.col("__blast").isNotNull(),
         F.struct(F.col("__b").alias("b"), F.col("__blast").alias("s")),
     )
+    # first = the OLDEST non-empty bucket's first sample — the exact dual
+    # of last: lexicographic MIN of (bucket epoch, bucket-first struct)
+    bf = F.when(
+        F.col("__bfirst").isNotNull(),
+        F.struct(F.col("__b").alias("b"), F.col("__bfirst").alias("s")),
+    )
     out = dense.select(
         "__series",
         (F.col("__b") + step_s).alias("__t"),
         F.max("__bmax").over(w).alias("vmax"),
         F.min("__bmin").over(w).alias("vmin"),
         F.max(bl).over(w).alias("__lwin"),
+        F.min(bf).over(w).alias("__fwin"),
     )
     return (
         out.where(
@@ -1449,6 +1461,7 @@ def extrema_over_time_range(
             "vmax",
             "vmin",
             F.col("__lwin.s.value").alias("vlast"),
+            F.col("__fwin.s.value").alias("vfirst"),
         )
     )
 

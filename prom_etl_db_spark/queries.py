@@ -2298,10 +2298,19 @@ WITH samples AS (
            row_number() OVER (
              PARTITION BY name, t ORDER BY ts DESC, event_id DESC) AS rn
     FROM joined) WHERE rn = 1
+), firstv AS (
+  SELECT name, t, value AS vfirst FROM (
+    SELECT name, t, value,
+           row_number() OVER (
+             PARTITION BY name, t ORDER BY ts ASC, event_id ASC) AS rn
+    FROM joined) WHERE rn = 1
 )
 SELECT j.name, j.t AS bucket_start,
-       max(j.value) AS vmax, min(j.value) AS vmin, any_value(l.vlast) AS vlast
-FROM joined j JOIN lastv l ON l.name = j.name AND l.t = j.t
+       max(j.value) AS vmax, min(j.value) AS vmin,
+       any_value(l.vlast) AS vlast, any_value(f.vfirst) AS vfirst
+FROM joined j
+JOIN lastv l ON l.name = j.name AND l.t = j.t
+JOIN firstv f ON f.name = j.name AND f.t = j.t
 GROUP BY j.name, j.t
 """,
 )
@@ -2329,6 +2338,7 @@ def promql_sliding_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmax",
         "vmin",
         "vlast",
+        "vfirst",
     )
 
 

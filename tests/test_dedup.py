@@ -583,15 +583,21 @@ def test_scratch_release_frees_operator_caches(spark):
          for i in range(8)],
         "doc_id long, text string",
     )
-    # drain anything earlier tests left behind; other tests' eager
-    # localCheckpoint blocks may legitimately remain (clearCache only
-    # clears the SQL cache), so assert on the DELTA, not absolute zero
-    release_scratch()
-    spark.catalog.clearCache()
-    sc = spark.sparkContext
-    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+    # assert on the REGISTERED frames themselves, not global storage
+    # counts — other tests' localCheckpoint blocks come and go with the
+    # ContextCleaner, which made any whole-session census racy
+    from prom_etl_db_spark.functions import scratch as scratch_mod
+
+    release_scratch()  # drain earlier tests' registrations
     dedup.minhash_band_dup_pairs_md5(docs, threshold=0.0).collect()
-    assert len(sc._jsc.sc().getRDDStorageInfo()) > baseline  # caches in use
+    frames = list(scratch_mod._SCRATCH)
+    assert len(frames) >= 2  # base shingles + banded triples registered
+    assert all(
+        f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames
+    )
     released = release_scratch()
-    assert released >= 2  # base shingles + banded triples
-    assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline
+    assert released == len(frames)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in frames
+    )

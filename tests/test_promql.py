@@ -777,13 +777,26 @@ def test_extrema_over_time_range_buckets_equals_explode(spark):
 
     def d(out):
         return {
-            (r["labels"]["host"], r["bucket_start"]): (r["vmax"], r["vmin"], r["vlast"])
+            (r["labels"]["host"], r["bucket_start"]): (
+                r["vmax"], r["vmin"], r["vlast"], r["vfirst"],
+            )
             for r in out.collect()
         }
 
     ra, rb = d(a), d(b)
     assert ra and set(ra) == set(rb)
     assert ra == rb
+    # first <= window: vfirst is the OLDEST in-window sample's value —
+    # spot-verify one window against a brute-force python replay
+    key = sorted(ra)[3]
+    host, t = key
+    lo = t - timedelta(minutes=40)
+    win = sorted(
+        (T0 + timedelta(seconds=off), v)
+        for labels, v, off in rows
+        if labels["host"] == host and lo <= T0 + timedelta(seconds=off) < t
+    )
+    assert ra[key][3] == win[0][1] and ra[key][2] == win[-1][1]
 
     with pytest.raises(ValueError):
         extrema_over_time_range(df, method="buckets", frame="7m", step="2m",
