@@ -81,9 +81,15 @@ def decontaminate(
     default). Left-anti join against the contaminated-id set only — in a
     healthy corpus that set is a sliver of the data, so AQE turns this
     into a broadcast anti-join and the wide text column never shuffles."""
+    # filter on the UNROUNDED ratio (the reported hit_frac is rounded to
+    # 6 dp for the output contract — a huge doc's single hit rounds to
+    # 0.0 and would silently survive a zero-tolerance pass)
     bad = (
         ngram_overlap(train, eval_set, n=n, id_col=id_col, text_col=text_col)
-        .where(F.col("hit_frac") > max_hit_frac)
+        .where(
+            (F.col("n_hits") > 0)
+            & (F.col("n_hits") / F.col("n_ngrams") > F.lit(max_hit_frac))
+        )
         .select(id_col)
     )
     return train.join(bad, id_col, "left_anti")

@@ -60,8 +60,15 @@ def expectations(
         for name, _ in rules
     ]
     for name, cols in unique_keys:
+        # count_distinct over the bare columns SKIPS rows with a NULL key,
+        # so every NULL-keyed row would read as a duplicate violation —
+        # wrap in a struct (never NULL itself) so NULL participates as a
+        # key value: {1, 2, NULL} is three distinct keys, zero violations
         dup = df.agg(
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+            )
             .cast("bigint")
             .alias("n_violations"),
             F.count(F.lit(1)).cast("bigint").alias("n_total"),
@@ -95,9 +102,16 @@ def psi_drift(
 
     PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) over fixed equi-width bins
     (values clamped to edge bins), with add-half smoothing
-    p_b = (c_b + 0.5) / (n + 0.5·bins) so empty bins stay finite —
-    deterministic and engine-identical (integer counts; the ln/products
-    are IEEE ops spelled the same in the SQL dual; output rounded 6 dp).
+    p_b = (c_b + 0.5) / (n + 0.5·bins) so one-sided-empty bins stay
+    finite. CONVENTION: the sum runs over OCCUPIED bins only — a bin
+    empty on BOTH sides contributes 0, not its smoothed residual (which
+    is nonzero whenever n_ref ≠ n_cmp). This is deliberate and shared by
+    all three implementations (this one, the SQL dual, and the streaming
+    fold — which documents the same skip), so the number is
+    engine-identical; it also means PSI is exactly 0 for identical
+    count vectors regardless of bin-domain under-fill. Deterministic
+    (integer counts; the ln/products are IEEE ops spelled the same in
+    the SQL dual; output rounded 6 dp).
 
     Rule of thumb the tests pin: same distribution → PSI ≈ 0 (< 0.1);
     a real shift → PSI > 0.25. One narrow projection + one

@@ -164,7 +164,13 @@ def mix_by_column(
     pos = hash_position(F.col(key), salt)
     expr = None
     for name, w in weights.items():
-        frac = min(1.0, (w * total) / counts[name])
+        # the BINDING stratum (n/w == total) is kept whole BY IDENTITY,
+        # not by computing (w*(n/w))/n — which can float-round to
+        # 0.999… and drop a row whose hash position is exactly
+        # 'ffffffff'. The oracle applies the same n/w == total test.
+        frac = 1.0 if counts[name] / w == total else min(
+            1.0, (w * total) / counts[name]
+        )
         cond = (F.col(strata) == name) & (pos < hex_threshold(frac))
         expr = cond if expr is None else expr | cond
     return df.where(expr)
@@ -277,11 +283,13 @@ def global_shuffle(
         if partitions <= 0:
             raise ValueError(f"partitions must be positive, got {partitions}")
         return (
+            # the key itself tiebreaks equal hashes (only possible when
+            # key values repeat): order then depends on nothing but data
             shuffled.repartition(partitions, F.substring("__ord", 1, 8))
-            .sortWithinPartitions("__ord")
+            .sortWithinPartitions("__ord", key)
             .drop("__ord")
         )
-    return shuffled.orderBy("__ord").drop("__ord")
+    return shuffled.orderBy("__ord", key).drop("__ord")
 
 
 def pack_documents(

@@ -411,8 +411,14 @@ def bloom_membership(
         .select(pos(F.col("i"), F.col("k")).alias("pos"))
         .distinct()
     )
-    probe_pos = probes.select(F.col(key_col), F.explode(rows).alias("i")).withColumn(
-        "pos", pos(F.col("i"), F.col(key_col).cast("string"))
+    # membership is a per-DISTINCT-key question: a duplicated probe key
+    # would double the hit count and fail the exact == n_hashes test —
+    # a false NEGATIVE, violating the Bloom contract
+    probe_pos = (
+        probes.select(key_col)
+        .distinct()
+        .select(F.col(key_col), F.explode(rows).alias("i"))
+        .withColumn("pos", pos(F.col("i"), F.col(key_col).cast("string")))
     )
     return (
         probe_pos.join(F.broadcast(set_bits.withColumn("hit", F.lit(1))), "pos", "left")
@@ -433,7 +439,7 @@ def bloom_oracle_sql(
     one ``{key_col}`` column."""
     return f"""
 WITH members AS ({member_sql}),
-probes AS ({probe_sql}),
+probes AS (SELECT DISTINCT {key_col} FROM ({probe_sql})),
 set_bits AS (
   SELECT DISTINCT
          CAST(('0x' || substr(md5('bloom-' || CAST(i.range AS VARCHAR) || '-'

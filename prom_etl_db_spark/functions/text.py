@@ -28,6 +28,7 @@ __all__ = [
     "chunk_documents",
     "hashed_bow_score",
     "fingerprint",
+    "zipf_token_stats",
     "STOPWORDS",
     "BPE_SPLIT_RE",
 ]
@@ -81,9 +82,15 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality signals per document (the standard pre-training filters)."""
     t = F.col(text_col)
     toks = tokens(t)
-    n_toks = F.size(toks)
+    # blank guard: split('') yields [''] (size 1) — a blank doc has 0
+    # tokens, same rule as token_count()
+    n_toks = F.when(F.trim(t) == "", 0).otherwise(F.size(toks))
     n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    # \w is ASCII-only in both Java regex and RE2 — it would count every
+    # non-ASCII LETTER (umlauts, CJK) as punctuation and a multilingual
+    # punct-ratio filter would discard all non-English text; the Unicode
+    # categories count only true symbols/punctuation
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
     en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stop, w)))
     return docs.withColumns(
@@ -211,16 +218,31 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(text: Column) -> Column:
     """Heuristic language ID: argmax of stopword hits per language;
-    ties → first language in STOPWORDS order; no hits → 'und'."""
+    ties → first language in STOPWORDS order; no hits → 'und'.
+
+    zh scores by CHARACTER occurrences (each zh stopword is one hanzi,
+    counted as a substring): real Chinese text has no spaces, so
+    whitespace tokens never equal a single-character stopword and
+    token-level matching would leave zh permanently undetectable."""
     toks = tokens(text)
+    lowered = F.lower(text)
 
     def hit_count(words: list[str]) -> Column:
         arr = F.array([F.lit(x) for x in words])
         return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
 
+    def char_count(words: list[str]) -> Column:
+        c = None
+        for w in words:
+            d = F.length(lowered) - F.length(F.replace(lowered, F.lit(w), F.lit("")))
+            c = d if c is None else c + d
+        return c
+
     scores = [
         F.struct(
-            hit_count(words).alias("score"),
+            (char_count(words) if lang == "zh" else hit_count(words)).alias(
+                "score"
+            ),
             F.lit(len(STOPWORDS) - i).alias("prio"),  # earlier lang wins ties
             F.lit(lang).alias("lang"),
         )
@@ -484,10 +506,7 @@ def zipf_token_stats(docs: DataFrame, top: int = 20, text_col: str = "text") -> 
     counts = (
         docs.select(
             F.explode(
-                F.filter(
-                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                    lambda t: t != "",
-                )
+                F.filter(tokens(F.col(text_col)), lambda t: t != "")
             ).alias("token")
         )
         .groupBy("token")
@@ -498,7 +517,7 @@ def zipf_token_stats(docs: DataFrame, top: int = 20, text_col: str = "text") -> 
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return counts.select(
         "token", F.row_number().over(w).cast("bigint").alias("rank"), "cnt"
-    ).select("token", "rank", "cnt")
+    )
 
 
 # -- BPE tokenizer training (Sennrich, Haddow, Birch — "Neural Machine

@@ -1105,7 +1105,7 @@ WITH t AS (
   SELECT doc_id, text,
          len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[^\p{L}\p{N}_\s]', '', 'g')) AS n_punct,
          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
              w -> list_contains(['the','and','of','to','a','in','is','that','with','for'], w)))
            AS n_stop
@@ -1139,8 +1139,9 @@ WITH scored AS (
         w -> list_contains(['le','la','les','et','est','de','un','une','pour','dans'], w))) AS s_fr,
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         w -> list_contains(['el','la','los','y','es','de','un','una','por','con'], w))) AS s_es,
-    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        w -> list_contains(['的','是','在','和','了','有','我','不','这','中'], w))) AS s_zh
+    len(lower(text)) - len(replace(replace(replace(replace(replace(replace(replace(
+        replace(replace(replace(lower(text),
+        '的',''),'是',''),'在',''),'和',''),'了',''),'有',''),'我',''),'不',''),'这',''),'中','')) AS s_zh
   FROM documents
 ), guessed AS (
   SELECT doc_id, lang,
@@ -3194,7 +3195,8 @@ n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 t AS (SELECT min(n.n / wt.w) AS total FROM n JOIN wt ON wt.lang = n.lang),
 thr AS (
   SELECT n.lang,
-         CASE WHEN least(1.0, (wt.w * t.total) / n.n) >= 1.0 THEN 'g'
+         CASE WHEN n.n / wt.w = t.total THEN 'g'
+              WHEN least(1.0, (wt.w * t.total) / n.n) >= 1.0 THEN 'g'
               ELSE printf('%08x', CAST(floor(least(1.0, (wt.w * t.total) / n.n) * 4294967296) AS BIGINT))
          END AS thr
   FROM n JOIN wt ON wt.lang = n.lang CROSS JOIN t
@@ -3299,7 +3301,7 @@ WITH q AS (
   SELECT doc_id, text, lang, n_chars
   FROM documents
   WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 20
-    AND round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+    AND round((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}_\s]', '', 'g')))
               / greatest(length(text), 1), 6) <= 0.2
 ), ded AS (
   SELECT doc_id, text, lang, n_chars

@@ -91,3 +91,21 @@ def test_bloom_prefilter_bounds_exact_hits(spark):
     }
     for r in out:
         assert truth[r["doc_id"]] == r["n_hits"]
+
+
+def test_decontaminate_filters_on_unrounded_hits(spark):
+    """Zero-tolerance decontamination keys off n_hits, not the 6-dp
+    ROUNDED hit_frac (which collapses one hit in a huge doc to 0.0)."""
+    from prom_etl_db_spark.functions.decontam import decontaminate
+
+    shared = " ".join(f"w{i}" for i in range(5))
+    train = spark.createDataFrame(
+        [(1, shared + " " + " ".join(f"t{i}" for i in range(40))),
+         (2, " ".join(f"u{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, shared)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in decontaminate(train, eval_set, n=5).collect()}
+    assert kept == {2}

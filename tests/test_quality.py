@@ -76,3 +76,21 @@ def test_psi_symmetricish_and_deterministic(drifting):
     orig = {r["g"]: r["psi"] for r in a}
     for g in orig:
         assert abs(orig[g] - swapped[g]) < 1e-9
+
+
+def test_unique_keys_null_keys_are_values_not_violations(spark):
+    """{1, 2, NULL} is three distinct keys — count_distinct over bare
+    columns skipped the NULL row and reported a phantom duplicate."""
+    from prom_etl_db_spark.functions.quality import expectations
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    out = {r["check"]: (r["n_violations"], r["pass"]) for r in expectations(
+        df, [("k_nonneg", F.col("k") < 0)], unique_keys=[("k_unique", ["k"])]
+    ).collect()}
+    assert out["k_unique"] == (0, True)
+    # and a REAL duplicate (including duplicate NULLs) still counts
+    df2 = spark.createDataFrame([(1,), (1,), (None,), (None,)], "k long")
+    out2 = {r["check"]: r["n_violations"] for r in expectations(
+        df2, [], unique_keys=[("k_unique", ["k"])]
+    ).collect()}
+    assert out2["k_unique"] == 2

@@ -166,3 +166,17 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     fp = sum(1 for i in range(400, 2000) if out[i])
     # (1 - e^(-kn/m))^k with k=5, n=400, m=16384 -> ~7e-5; 1600 probes
     assert fp <= 5
+
+
+def test_bloom_duplicate_probe_keys_no_false_negative(spark):
+    """A probe key appearing twice must still read as a member — the
+    exact-equality hit count doubled with duplicated input and reported
+    a FALSE NEGATIVE, violating the Bloom contract."""
+    from prom_etl_db_spark.functions.sketches import bloom_membership
+
+    members = spark.createDataFrame([(1,), (2,)], "k long")
+    probes = spark.createDataFrame([(1,), (1,), (3,)], "k long")
+    got = {r["k"]: r["in_bloom"] for r in bloom_membership(
+        members, probes, "k").collect()}
+    assert got[1] is True
+    assert got[3] is False  # tiny filter, no collision at these sizes

@@ -310,3 +310,39 @@ def test_bpe_encode_applies_merges_in_order():
     assert bpe_encode("low", merges) == ["low", "</w>"]
     assert bpe_encode("lower", merges) == ["lower", "</w>"]
     assert bpe_encode("slow", merges) == ["s", "low", "</w>"]
+
+
+def test_quality_features_blank_doc_and_unicode_punct(spark):
+    """Blank text has 0 tokens (split('') yields ['']), and non-ASCII
+    LETTERS are not punctuation — \\w is ASCII-only in Java regex/RE2,
+    which inflated punct_ratio on every non-English doc."""
+    import pytest
+
+    from prom_etl_db_spark.functions.text import quality_features
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "für, 中文!"), (4, "plain ascii.")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert got[1]["n_tokens"] == 0 and got[2]["n_tokens"] == 0
+    # 'für, 中文!': 8 chars, only ',' and '!' are punctuation
+    assert got[3]["punct_ratio"] == pytest.approx(2 / 8)
+    assert got[4]["punct_ratio"] == round(1 / 12, 6)  # output is 6-dp rounded
+
+
+def test_language_id_detects_unspaced_chinese(spark):
+    """Real Chinese has no spaces — zh must score by character
+    occurrences, not whitespace tokens (which never equal one hanzi)."""
+    from prom_etl_db_spark.functions.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, "这是一个中文的句子我不知道"), (2, "the cat and the dog"),
+         (3, "qqq zzz xxx")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", language_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "zh", 2: "en", 3: "und"}
