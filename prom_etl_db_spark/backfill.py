@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from datetime import date, datetime, time as dtime, timedelta
+from pathlib import Path
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,10 +69,13 @@ def day_end(day: date) -> datetime:
 def existing_day_counts(spark: SparkSession, path: str, query_id: str) -> dict[date, int]:
     """A26 existence probe, one scan for the whole range instead of one
     COUNT per day (checkExistingData, repair/main.go:557-576)."""
-    try:
-        df = read_records(spark, path)
-    except Exception:
+    # Missing store → nothing backfilled yet. A real read failure must
+    # NOT be swallowed into {}: every day would then look missing and the
+    # loop would re-append rows that already exist (duplicates), the
+    # exact trap store.overwrite_days documents for its survivor read.
+    if not Path(path).exists():
         return {}
+    df = read_records(spark, path)
     rows = (
         df.where(F.col("query_id") == query_id)
         .groupBy("collected_date")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
 from datetime import datetime
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,10 +91,15 @@ def _df(spark: SparkSession, cfgs: list[QueryConfig]) -> DataFrame:
 
 
 def read_configs(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return spark.read.schema(CONFIG_SCHEMA).parquet(path)
-    except Exception:
+    # Only a genuinely-missing catalog maps to "empty". A broad
+    # try/except here would turn a transient read failure into an empty
+    # DataFrame, and the read-modify-overwrite writers below would then
+    # rewrite the catalog as just the touched row — destroying every
+    # other config. Same missing-vs-failed distinction as
+    # store.overwrite_days.
+    if not Path(path).exists():
         return spark.createDataFrame([], CONFIG_SCHEMA)
+    return spark.read.schema(CONFIG_SCHEMA).parquet(path)
 
 
 def _to_configs(rows) -> list[QueryConfig]:

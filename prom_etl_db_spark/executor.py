@@ -23,6 +23,7 @@ string, same time grammar, same stored shape.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -250,6 +251,7 @@ def execute_config_query(
     store_path: str | None = None,
     audit_path: str | None = None,
     mode: str = "append",
+    audit_clock: Callable[[], datetime] = datetime.utcnow,
 ) -> DataFrame:
     """Full per-execution lifecycle: evaluate → MetricRecord projection →
     (optionally) day-partitioned append + audit record. Returns the
@@ -273,10 +275,20 @@ def execute_config_query(
         # the A16 trail
         raise ValueError("audit_path requires store_path (audits record writes)")
     result, result_type = evaluate_config_query(samples, cfg, now=now)
+    # A8 metric-name rule (executor.go:232-235): a BARE selector's wire
+    # result carries __name__ — store the real metric name, exactly like
+    # the ingest path's coalesce(metric['__name__'], query_id). Computed
+    # vectors (agg/function/binop) drop __name__ in Prometheus, so only
+    # there does the query_id fallback apply.
+    top = parse(cfg.query)
+    metric_name = (
+        top.name
+        if isinstance(top, Selector) and top.name is not None
+        else cfg.query_id
+    )
     records = result.select(
         F.lit(cfg.query_id).alias("query_id"),
-        F.lit(cfg.query_id).alias("metric_name"),  # A8 fallback: computed
-        # vectors carry no __name__
+        F.lit(metric_name).alias("metric_name"),
         F.col("labels"),
         F.col("value").cast("double").alias("value"),
         F.col("timestamp"),
@@ -338,7 +350,11 @@ def execute_config_query(
                 query_name=cfg.name,
                 run=_run,
                 audit_path=audit_path,
-                now=lambda: now,
+                # the audit trail measures WALL-CLOCK start/end/duration
+                # of the action phase (executor.go:41-47) — only the
+                # EVALUATION instant is the frozen `now`; freezing the
+                # audit clock too would record every duration as 0 ms
+                now=audit_clock,
             )
         finally:
             to_write.unpersist()

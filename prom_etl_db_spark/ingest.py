@@ -171,9 +171,18 @@ def events_as_metric_records(events_df: DataFrame, query_id: str = "events_inges
     (FIXTURES.md §2): event_type→metric_name, props JSON + user_id→labels,
     value→value, ts→timestamp; collected_at = each point's day start (the
     A13 default branch — no time-range config)."""
-    # null props would null the whole map_concat — treat missing props as {}
+    # null props would null the whole map_concat — treat missing props as {};
+    # and a props JSON that itself contains "user_id" must be dropped first:
+    # map_concat with a duplicate key throws under Spark's default
+    # EXCEPTION dedup policy, failing the whole batch for one such row
+    # (the typed user_id column is authoritative)
     labels = F.map_concat(
-        F.from_json(F.coalesce(F.col("props"), F.lit("{}")), "map<string,string>"),
+        F.map_filter(
+            F.from_json(
+                F.coalesce(F.col("props"), F.lit("{}")), "map<string,string>"
+            ),
+            lambda k, _: k != "user_id",
+        ),
         F.create_map(F.lit("user_id"), F.col("user_id").cast("string")),
     )
     return events_df.select(

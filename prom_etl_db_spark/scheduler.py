@@ -50,8 +50,19 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
             start, end = int(part), hi
         else:
             start = end = int(part)
+        # robfig/cron rejects out-of-range and reversed bounds at PARSE
+        # time ("above maximum" / "beyond end of range"). Silently
+        # clamping instead would admit specs like dow=7 or dom=32 whose
+        # field set is empty — validate() would accept a config that can
+        # never fire and next_fire would spin to its horizon.
+        if not (lo <= start <= hi and lo <= end <= hi):
+            raise ValueError(
+                f"cron value out of range [{lo},{hi}] in field {spec!r}"
+            )
+        if start > end:
+            raise ValueError(f"cron range reversed in field {spec!r}")
         vals.update(range(start, end + 1, step))
-    return {v for v in vals if lo <= v <= hi}
+    return vals
 
 
 @dataclass
@@ -95,14 +106,45 @@ class CronSchedule:
             and self._day_matches(t)
         )
 
-    def next_fire(self, after: datetime, limit_days: int = 366) -> datetime:
-        """First matching second strictly after ``after``."""
+    def next_fire(self, after: datetime, limit_days: int = 1462) -> datetime:
+        """First matching second strictly after ``after``.
+
+        Hierarchical scan, not second-stepping: candidate DAYS advance one
+        at a time (month + dom/dow check), and only within a matching day
+        are the hour/minute/second sets walked in order — a yearly
+        schedule costs ~365 cheap day checks instead of ~31M
+        ``matches()`` calls (which took minutes of driver CPU per
+        serve-loop tick). The 4-year horizon covers the longest legal gap
+        (a Feb-29 schedule evaluated in March of a leap year)."""
         t = after.replace(microsecond=0) + timedelta(seconds=1)
-        end = after + timedelta(days=limit_days)
-        while t <= end:
-            if self.matches(t):
-                return t
-            t += timedelta(seconds=1)
+        hours = sorted(self.fields[2])
+        mins = sorted(self.fields[1])
+        secs = sorted(self.fields[0])
+        months = self.fields[4]
+        day = t.date()
+        end_day = day + timedelta(days=limit_days)
+        while day <= end_day:
+            if day.month in months and self._day_matches(
+                datetime(day.year, day.month, day.day)
+            ):
+                # lower time-of-day bound applies only on t's own day
+                same = day == t.date()
+                for h in hours:
+                    if same and h < t.hour:
+                        continue
+                    for m in mins:
+                        if same and h == t.hour and m < t.minute:
+                            continue
+                        for s in secs:
+                            if (
+                                same
+                                and h == t.hour
+                                and m == t.minute
+                                and s < t.second
+                            ):
+                                continue
+                            return datetime(day.year, day.month, day.day, h, m, s)
+            day += timedelta(days=1)
         raise ValueError(f"no fire time within {limit_days} days for {self.expr!r}")
 
     def as_processing_time_interval(self) -> str | None:

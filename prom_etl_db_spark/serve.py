@@ -143,7 +143,13 @@ def serve_loop(
         if stop.is_set():
             break
         fire(nxt, [cfg for cfg, s in scheds if s.matches(nxt)])
-        anchor = nxt
+        # Collapse missed activations instead of replaying them: if the
+        # executions (or a host pause) ran past one or more subsequent
+        # fire instants, re-anchoring at max(nxt, clock()) skips them and
+        # resumes at the next FUTURE instant — robfig/cron's behavior.
+        # Anchoring at nxt alone would queue every missed firing
+        # back-to-back and the daemon would lag further behind forever.
+        anchor = max(nxt, clock().replace(microsecond=0))
         fired += 1
 
     summary.stopped_by_request = stop.is_set()

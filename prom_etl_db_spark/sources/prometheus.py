@@ -19,6 +19,7 @@ A real HTTP fetcher would produce the same wire rows on the driver and feed
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterable
 from datetime import datetime
 
@@ -71,7 +72,13 @@ class FixturePrometheusSource:
             .select(
                 F.col("event_type").alias("metric_name"),
                 F.map_concat(
-                    F.from_json(F.col("props"), "map<string,string>"),
+                    # drop a props-carried "user_id" first — map_concat
+                    # with a duplicate key throws under Spark's default
+                    # EXCEPTION dedup policy (typed column wins)
+                    F.map_filter(
+                        F.from_json(F.col("props"), "map<string,string>"),
+                        lambda k, _: k != "user_id",
+                    ),
                     F.create_map(F.lit("user_id"), F.col("user_id").cast("string")),
                 ).alias("labels"),
                 F.col("value"),
@@ -231,6 +238,12 @@ class PrometheusHTTPSource:
             body = e.read().decode(errors="replace")
             try:
                 return parse_api_response(self.spark, body)
+            except json.JSONDecodeError:
+                # must precede ValueError — JSONDecodeError IS a
+                # ValueError, and a non-JSON body (proxy HTML error page)
+                # should surface the HTTP status + body, not a bare
+                # "Expecting value: line 1 column 1"
+                raise ValueError(f"HTTP {e.code} from {url}: {body[:500]}") from e
             except ValueError as parsed:
                 raise ValueError(str(parsed)) from e
             except Exception:

@@ -80,22 +80,29 @@ def overwrite_days(df: DataFrame, path: str) -> None:
         keys = df.select("query_id", "collected_date").distinct().collect()
         days = sorted({r["collected_date"] for r in keys})
         qids = sorted({r["query_id"] for r in keys})
-        out = df
-        if Path(path).exists():
-            # only a genuinely-missing store may be skipped — swallowing a
-            # transient read failure here would let the dynamic overwrite
-            # silently DELETE sibling queries' rows in the affected days
-            survivors = (
-                read_records(spark, path)
-                .where(F.col("collected_date").isin(days))
-                .where(~F.col("query_id").isin(qids))
-            )
-            if survivors.limit(1).count():
-                # materialize executor-side (localCheckpoint, never a
-                # driver collect) BEFORE the overwrite clobbers the files
-                # being read
-                out = survivors.unionByName(df).localCheckpoint(eager=True)
+        # The survivor snapshot AND the overwrite are one critical
+        # section: snapshotting outside the lock would let a concurrent
+        # append commit rows into the affected days between the read and
+        # the overwrite — rows the stale snapshot then deletes (the same
+        # lost-write class compact_days guards with its single-section
+        # list→rewrite→swap).
         with _path_write_lock(path):
+            out = df
+            if Path(path).exists():
+                # only a genuinely-missing store may be skipped —
+                # swallowing a transient read failure here would let the
+                # dynamic overwrite silently DELETE sibling queries' rows
+                # in the affected days
+                survivors = (
+                    read_records(spark, path)
+                    .where(F.col("collected_date").isin(days))
+                    .where(~F.col("query_id").isin(qids))
+                )
+                if survivors.limit(1).count():
+                    # materialize executor-side (localCheckpoint, never a
+                    # driver collect) BEFORE the overwrite clobbers the
+                    # files being read
+                    out = survivors.unionByName(df).localCheckpoint(eager=True)
             (
                 out.write.partitionBy(*PARTITION_COLS)
                 .mode("overwrite")
@@ -147,25 +154,31 @@ def delete_query_day(spark: SparkSession, path: str, query_id: str, day: date) -
     outright. Only the one partition is touched — O(partition), not
     O(store)."""
     part = Path(path) / f"collected_date={day.isoformat()}"
-    if not part.exists():
-        return 0
-    day_df = read_records(spark, path).where(F.col("collected_date") == F.lit(day))
-    deleted = day_df.where(F.col("query_id") == query_id).count()
-    if deleted == 0:
-        return 0
-    survivors = (
-        day_df.where(F.col("query_id") != query_id).localCheckpoint(eager=True)
-    )
-    if survivors.limit(1).count():
-        with _path_write_lock(path):
+    # read→decide→rewrite/remove is ONE critical section (including the
+    # rmtree branch): a concurrent append into this day between the
+    # survivor snapshot and the rewrite — or between the emptiness check
+    # and the rmtree — would be silently deleted otherwise.
+    with _path_write_lock(path):
+        if not part.exists():
+            return 0
+        day_df = read_records(spark, path).where(
+            F.col("collected_date") == F.lit(day)
+        )
+        deleted = day_df.where(F.col("query_id") == query_id).count()
+        if deleted == 0:
+            return 0
+        survivors = (
+            day_df.where(F.col("query_id") != query_id).localCheckpoint(eager=True)
+        )
+        if survivors.limit(1).count():
             (
                 survivors.write.partitionBy(*PARTITION_COLS)
                 .mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(path)
             )
-    else:
-        shutil.rmtree(part)
+        else:
+            shutil.rmtree(part)
     return deleted
 
 
@@ -173,8 +186,9 @@ def delete_day(spark: SparkSession, path: str, day: date) -> None:
     """A21: drop one day partition (physical partition delete — O(1) at any
     scale, like `DeleteMetricsByDate`, mysql.go:292-314)."""
     part = Path(path) / f"collected_date={day.isoformat()}"
-    if part.exists():
-        shutil.rmtree(part)
+    with _path_write_lock(path):  # don't interleave with an in-flight commit
+        if part.exists():
+            shutil.rmtree(part)
 
 
 def retention_cleanup(spark: SparkSession, path: str, older_than: date) -> int:
@@ -183,11 +197,12 @@ def retention_cleanup(spark: SparkSession, path: str, older_than: date) -> int:
     no data rewrite. Returns number of partitions dropped."""
     root = Path(path)
     dropped = 0
-    for part in root.glob("collected_date=*"):
-        day = date.fromisoformat(part.name.split("=", 1)[1])
-        if day < older_than:
-            shutil.rmtree(part)
-            dropped += 1
+    with _path_write_lock(path):  # don't interleave with an in-flight commit
+        for part in root.glob("collected_date=*"):
+            day = date.fromisoformat(part.name.split("=", 1)[1])
+            if day < older_than:
+                shutil.rmtree(part)
+                dropped += 1
     return dropped
 
 

@@ -305,3 +305,39 @@ def test_backfill_range_bulk_matches_per_day_loop(spark, tmp_path):
         spark, fetch_range=fetch_range, table_path=bulk_path, **args
     )
     assert (s2.inserted_days, s2.skipped_existing) == (0, 4)
+
+
+def test_config_read_failure_does_not_wipe_catalog(spark, catalog):
+    # a transient/corrupt read must RAISE, not canonicalize to an empty
+    # catalog — upsert would otherwise rewrite the table as the single
+    # touched row, destroying every other config
+    import pathlib
+
+    upsert_config(spark, catalog, _cfg("q1"))
+    upsert_config(spark, catalog, _cfg("q2"))
+    # corrupt the catalog: a parquet file with a garbage footer
+    victim = next(pathlib.Path(catalog).glob("*.parquet"))
+    victim.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        upsert_config(spark, catalog, _cfg("q3"))
+    # a missing catalog is still a clean empty read (bootstrap path)
+    assert load_enabled(spark, str(catalog) + "-never-written") == []
+
+
+def test_existing_day_counts_read_failure_raises_not_empty(spark, tmp_path):
+    # swallowing a read failure into {} would make every day look
+    # missing and re-append duplicates for days that already exist
+    import pathlib
+
+    from prom_etl_db_spark.backfill import existing_day_counts
+
+    store = str(tmp_path / "metrics")
+    day = date(2024, 3, 1)
+    append_records(_fetch_day_factory(spark)(day_end(day)), store)
+    assert existing_day_counts(spark, store, "q1") == {day: 1}
+    part = pathlib.Path(store) / f"collected_date={day.isoformat()}"
+    next(part.glob("*.parquet")).write_bytes(b"junk")
+    with pytest.raises(Exception):
+        existing_day_counts(spark, store, "q1")
+    # missing store stays a clean "nothing backfilled yet"
+    assert existing_day_counts(spark, str(tmp_path / "nope"), "q1") == {}

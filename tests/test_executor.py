@@ -381,3 +381,48 @@ def test_instant_scalar_query_stores_one_labelless_record(spark):
     assert len(rows) == 1
     assert rows[0]["value"] == 10.0 and dict(rows[0]["labels"]) == {}
     assert rows[0]["timestamp"] == now
+
+
+def test_bare_selector_config_stores_real_metric_name(spark, samples):
+    # A8 (executor.go:232-235): a bare selector's wire result carries
+    # __name__ — the stored metric_name must be the metric, not the
+    # config id. Computed vectors (agg) rightly fall back to query_id.
+    bare = QueryConfig(
+        query_id="q42", name="n", query='cpu{host="a"}',
+        time_range_type="instant", time_range_time="now-1h",
+    )
+    out = execute_config_query(spark, samples, bare, now=NOW)
+    assert out.select("metric_name").distinct().collect()[0][0] == "cpu"
+
+    computed = QueryConfig(
+        query_id="q43", name="n", query="sum(cpu) by (host)",
+        time_range_type="instant", time_range_time="now-1h",
+    )
+    out2 = execute_config_query(spark, samples, computed, now=NOW)
+    assert out2.select("metric_name").distinct().collect()[0][0] == "q43"
+
+
+def test_audit_duration_uses_wall_clock_not_frozen_now(spark, samples, tmp_path):
+    # the evaluation `now` is frozen by design, but the audit trail must
+    # measure real start/end — a frozen audit clock records 0 ms for
+    # every execution, including multi-minute ones
+    from datetime import timedelta as _td
+
+    ticks = [NOW, NOW + _td(seconds=3)]
+
+    def fake_clock():
+        return ticks.pop(0)
+
+    cfg = QueryConfig(
+        query_id="g9", name="n", query="sum(cpu) by (host)",
+        time_range_type="instant", time_range_time="now-1h",
+    )
+    execute_config_query(
+        spark, samples, cfg, now=NOW,
+        store_path=str(tmp_path / "m"), audit_path=str(tmp_path / "a"),
+        audit_clock=fake_clock,
+    )
+    a = spark.read.parquet(str(tmp_path / "a")).collect()
+    assert len(a) == 1
+    assert a[0]["duration_ms"] == 3000
+    assert a[0]["end_time"] - a[0]["start_time"] == _td(seconds=3)

@@ -254,3 +254,46 @@ def test_parse_api_lenient_on_malformed_rows(spark):
     ]}}
     df, _ = parse_api_response(spark, mat)
     assert df.first()["values"] == [["1704067200", "1", "extra"], ["1704067260", "2"]]
+
+
+def test_events_props_carrying_user_id_do_not_fail_batch(spark):
+    # map_concat with a duplicate key throws under Spark's default
+    # EXCEPTION dedup policy — a props JSON that itself contains
+    # "user_id" must not abort the whole batch; the typed column wins
+    from prom_etl_db_spark.ingest import events_as_metric_records
+
+    rows = [
+        ("e1", "click", "u7", 1.0, datetime(2024, 3, 1, 10, 0, 0),
+         '{"user_id": "evil-override", "page": "home"}'),
+        ("e2", "click", "u8", 2.0, datetime(2024, 3, 1, 11, 0, 0), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, event_type string, user_id string, "
+              "value double, ts timestamp, props string"
+    )
+    rows_out = events_as_metric_records(df).collect()  # must not raise
+    # DUPLICATED_MAP_KEY; the typed user_id column wins over the props copy
+    labels = {r["labels"]["user_id"] for r in rows_out}
+    assert labels == {"u7", "u8"}
+    pages = {r["labels"].get("page") for r in rows_out}
+    assert "home" in pages  # the rest of the props map survives
+
+
+def test_http_error_with_non_json_body_surfaces_status_and_url(spark):
+    # JSONDecodeError IS a ValueError: a proxy's HTML 502 page must
+    # surface "HTTP 502 from <url>", not "Expecting value: line 1..."
+    import io
+    from unittest import mock
+    from urllib.error import HTTPError
+
+    from prom_etl_db_spark.sources.prometheus import PrometheusHTTPSource
+
+    src = PrometheusHTTPSource(spark, "http://prom:9090")
+    err = HTTPError(
+        "http://prom:9090/api/v1/query", 502, "Bad Gateway", None,
+        io.BytesIO(b"<html>upstream connect error</html>"),
+    )
+    with mock.patch(
+        "urllib.request.urlopen", side_effect=err
+    ), pytest.raises(ValueError, match="HTTP 502 from http://prom:9090"):
+        src.query_instant("up", datetime(2024, 1, 1))

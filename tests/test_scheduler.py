@@ -7,6 +7,7 @@ Cron grammar cases come from the reference's own corpus: the flagship
 
 from __future__ import annotations
 
+import time
 from datetime import datetime
 
 import pytest
@@ -191,3 +192,65 @@ def test_run_with_job_timeout_prefers_drain_completion_over_timeout(spark):
         return "committed"
 
     assert run_with_job_timeout(spark, finishes_in_drain, 1) == "committed"
+
+
+# -- review-pass regressions: parse-time range validation + fast next_fire ---
+
+
+def test_cron_rejects_out_of_range_values():
+    # robfig/cron rejects these at parse time; silently clamping would
+    # admit a schedule whose field set is empty and can never fire
+    for bad in ("0 0 9 * * 7", "0 0 25 * * *", "0 0 0 32 * *", "60 * * * * *"):
+        with pytest.raises(ValueError, match="out of range"):
+            CronSchedule(bad)
+
+
+def test_cron_rejects_reversed_range():
+    with pytest.raises(ValueError, match="reversed"):
+        CronSchedule("0 0 5-2 * * *")
+
+
+def test_next_fire_yearly_is_fast_and_correct():
+    # hierarchical scan: a yearly schedule must not cost ~31M second
+    # probes (it froze serve_loop ticks for minutes)
+    t0 = time.monotonic()
+    got = CronSchedule("0 0 0 1 1 *").next_fire(datetime(2026, 1, 2))
+    assert time.monotonic() - t0 < 1.0
+    assert got == datetime(2027, 1, 1)
+
+
+def test_next_fire_feb29_crosses_leap_gap():
+    got = CronSchedule("0 0 0 29 2 *").next_fire(datetime(2026, 3, 1))
+    assert got == datetime(2028, 2, 29)
+
+
+def test_next_fire_matches_brute_force():
+    import random
+
+    from datetime import timedelta
+
+    def brute(c, after, days=40):
+        t = after.replace(microsecond=0) + timedelta(seconds=1)
+        end = after + timedelta(days=days)
+        while t <= end:
+            if c.matches(t):
+                return t
+            t += timedelta(seconds=1)
+        return None
+
+    random.seed(7)
+    for expr in (
+        "0 0 1 * * *",
+        "*/30 * * * * *",
+        "17 42 3,15 10-20 * *",
+        "0 0 0 15 * 1",
+        "0 30 8 * * 1-5",
+    ):
+        c = CronSchedule(expr)
+        for _ in range(15):
+            after = datetime(2024, 1, 1) + timedelta(
+                seconds=random.randrange(0, 35 * 86400)
+            )
+            want = brute(c, after)
+            if want is not None:
+                assert c.next_fire(after) == want, (expr, after)

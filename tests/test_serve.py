@@ -283,3 +283,36 @@ def test_serve_parallel_real_writes_share_one_store(spark, tmp_path, monkeypatch
     }
     assert set(per_q) == {"q_click", "q_view", "q_err"}
     assert all(n > 0 for n in per_q.values())
+
+
+def test_slow_execution_skips_missed_firings_instead_of_replaying():
+    # A config on every-5-seconds whose execution takes ~62 virtual
+    # seconds: each tick runs past ~12 subsequent fire instants. The loop
+    # must collapse those missed activations (robfig/cron behavior) and
+    # resume at the next FUTURE instant — not queue 12 back-to-back
+    # catch-up firings per execution, lagging further behind forever.
+    clock, sleep = advance_clock(START)
+
+    def slow_run(cfg, now):
+        sleep(62)  # simulated execution time
+
+    summary = serve_loop(
+        [_cfg("fast", "*/5 * * * * *")],
+        slow_run,
+        start=START,
+        stop=threading.Event(),
+        clock=clock,
+        sleep=sleep,
+        max_ticks=3,
+        immediate_first_run=False,
+    )
+    fire_times = [t.fired_at for t in summary.ticks]
+    assert len(fire_times) == 3
+    # every scheduled firing lands at or after the previous execution
+    # finished — consecutive fires are >= 62s apart, never 5s catch-ups
+    gaps = [
+        (b - a).total_seconds() for a, b in zip(fire_times, fire_times[1:])
+    ]
+    assert all(g >= 62 for g in gaps), gaps
+    # and each fire instant is a real schedule match, on the 5s grid
+    assert all(t.second % 5 == 0 for t in fire_times)
