@@ -63,15 +63,35 @@ def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
 # -- E1: exact dedup --------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    *,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
     """Exact dedup keeping the row with MIN(order_col) per key group —
-    deterministic, unlike ``dropDuplicates`` whose survivor is arbitrary
-    under parallelism. One hash aggregation (min_by); no window sort."""
+    deterministic when ``order_col`` (plus ``tiebreakers``) totally
+    orders the rows within a key, unlike ``dropDuplicates`` whose
+    survivor is arbitrary under parallelism. One hash aggregation; no
+    window sort.
+
+    The survivor's payload is ONE ``min_by`` over a single row struct —
+    per-column ``min_by`` calls would each pick independently among
+    order ties and could stitch a frankenrow from different tied rows.
+    If ``order_col`` can repeat within a key, pass ``tiebreakers``
+    (e.g. a unique id) to pin WHICH tied row survives; without them a
+    tie's survivor is a consistent whole row but not reproducible
+    across runs (Spark's min_by tie rule is unspecified)."""
     others = [c for c in df.columns if c not in keys and c != order_col]
-    return df.groupBy(*keys).agg(
+    if not others:
+        return df.groupBy(*keys).agg(F.min(order_col).alias(order_col))
+    ordering = F.struct(order_col, *(tiebreakers or []))
+    out = df.groupBy(*keys).agg(
         F.min(order_col).alias(order_col),
-        *[F.min_by(c, order_col).alias(c) for c in others],
+        F.min_by(F.struct(*others), ordering).alias("__row"),
     )
+    return out.select(*keys, order_col, *[F.col(f"__row.{c}").alias(c) for c in others])
 
 
 # -- shingling --------------------------------------------------------------

@@ -44,6 +44,10 @@ def expectations(
     Output: (check, n_violations, n_total, pass) — one row per rule,
     deterministic order-insensitive.
     """
+    if not rules and not unique_keys:
+        # fail with the cause, not an IndexError at selects[0] — an
+        # empty rule set usually means a misread config table
+        raise ValueError("expectations() needs at least one rule or unique key")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for name, pred in rules:
         aggs.append(
@@ -125,7 +129,14 @@ def psi_drift(
         ),
     )
     counts = (
-        df.select(
+        # NULL values are EXCLUDED (they are "missing", not "at lo"):
+        # greatest() skips NULLs, so without the filter every NULL row
+        # would silently count as bin-0 mass and a missing-data
+        # regression would read as "values collapsed to ~lo". The
+        # streaming fold (stateful.make_psi_fold) skips them the same
+        # way, which is what keeps stream/batch parity.
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col).alias("g"),
             b.alias("b"),
             F.when(split_pred, F.lit(0)).otherwise(F.lit(1)).alias("side"),
@@ -177,6 +188,7 @@ WITH bucketed AS (
              CAST(floor(({value_col} - {lo!r}) / {width!r}) AS INT))) AS b,
          CASE WHEN {split_pred_sql} THEN 0 ELSE 1 END AS side
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ), counts AS (
   SELECT g, b,
          sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_ref,

@@ -59,7 +59,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Zero-safe cosine: a zero-norm side scores 0.0, matching the
+    numpy paths (`_normalized` patches zero norms to 1 → dot 0). The
+    naive division yields NaN there, and NaN sorts ABOVE every real
+    number under ``desc`` — a zero vector would become everyone's
+    rank-1 neighbor in the IVF scorers."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
@@ -71,6 +77,10 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
 
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        # shape (0, 0) — np.array([]) is 1-D and norm(axis=1) would
+        # raise AxisError; callers early-return on an empty side
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -121,6 +131,11 @@ def cosine_topk_bruteforce(
     import pandas as pd
 
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if not len(q_ids):
+        # typed empty result, like the PQ paths — not a driver AxisError
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank long"
+        )
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat))
 
@@ -136,11 +151,17 @@ def cosine_topk_bruteforce(
             S = C @ Q.T  # (batch × queries)
             S[c_ids[:, None] == ids_q[None, :]] = -np.inf  # self-matches
             kk = min(k, len(c_ids))
-            # local top-k per query column
+            # local top-k per query column — argpartition picks an
+            # ARBITRARY subset of rows tied at the kk-th score, which
+            # would break the documented (desc cos_sim, asc neighbor_id)
+            # determinism when the dropped tie has the smaller id; keep
+            # every row at or above the boundary score instead and let
+            # the global window break the ties
             top = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
             out_q, out_n, out_s = [], [], []
             for j in range(len(ids_q)):
-                rows = top[:, j]
+                boundary = S[top[:, j], j].min()
+                rows = np.flatnonzero(S[:, j] >= boundary)
                 out_q.extend([ids_q[j]] * len(rows))
                 out_n.extend(c_ids[rows])
                 out_s.extend(S[rows, j])
@@ -181,6 +202,10 @@ def cosine_neardup_pairs(
     import pandas as pd
 
     b_ids, b_mat = _collect_matrix(vectors, id_col, vec_col)
+    if not len(b_ids):
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     sc = vectors.sparkSession.sparkContext
     bb = sc.broadcast((b_ids, b_mat))
 
@@ -578,7 +603,7 @@ def build_ivf_index(
         n = corpus.count()
         num_centroids = max(4, int(math.isqrt(n)))
     if kmeans_iters > 0:
-        assigned = clustering.kmeans(
+        km = clustering.kmeans(
             corpus, num_centroids, n_iter=kmeans_iters,
             id_col=id_col, vec_col=vec_col,
         ).select(
@@ -588,7 +613,7 @@ def build_ivf_index(
         # hash aggs (the (cluster, dim) partial-sum shape kmeans itself
         # uses), rebuilt into ordered arrays
         cent = (
-            assigned.select("centroid_id", F.posexplode(vec_col).alias("i", "e"))
+            km.select("centroid_id", F.posexplode(vec_col).alias("i", "e"))
             .groupBy("centroid_id", "i")
             .agg(F.avg(F.col("e").cast("double")).alias("m"))
             .groupBy("centroid_id")
@@ -602,6 +627,21 @@ def build_ivf_index(
                 F.transform(F.col("__sm"), lambda s: s["m"]).alias("vector"),
             )
         )
+        # Rebuild the inverted lists by COSINE against the final
+        # centroids — the same metric `cosine_topk_ivf_index` routes
+        # queries with. Keeping kmeans' squared-euclidean labels would
+        # mean probing centroids whose lists were populated under a
+        # different metric (recall silently degrades on unnormalized
+        # embeddings); it also heals the labels' one-iteration lag
+        # behind the returned mean centroids. kmeans can drop empty
+        # clusters, so the rows (not the request) are the truth.
+        cent_rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        ids = [r["centroid_id"] for r in cent_rows]
+        mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
+        assign1 = _nearest_centroids_udf(ids, mat, 1)
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col)
+        ).withColumn("centroid_id", assign1(F.col(vec_col))[0])
     else:
         seeds = (
             corpus.orderBy(F.asc(id_col))
@@ -617,7 +657,7 @@ def build_ivf_index(
                 "vector"
             ),
         )
-        cent_rows = cent.collect()
+        cent_rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
         ids = [r["centroid_id"] for r in cent_rows]
         mat = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
         assign1 = _nearest_centroids_udf(ids, mat, 1)
@@ -633,7 +673,10 @@ def build_ivf_index(
         .mode("overwrite")
         .parquet(str(root / "lists"))
     )
-    return num_centroids
+    # the ACTUAL centroid count, which callers size nprobe from: kmeans
+    # drops empty clusters, and a corpus smaller than the request seeds
+    # fewer rows — returning the requested number would miscalibrate both
+    return len(cent_rows)
 
 
 def cosine_topk_ivf_index(

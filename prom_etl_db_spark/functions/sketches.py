@@ -207,7 +207,12 @@ def quantile_histogram(
         ),
     )
     counts = (
-        df.select(F.col(group_col).alias("g"), b.alias("b"))
+        # NULLs are EXCLUDED, like percentile_approx (whose twin this
+        # is). Without the filter they'd silently land in bucket 0:
+        # floor(NULL) is NULL but greatest() skips NULLs, so NULL → 0 —
+        # inflating n and dragging the estimate toward lo.
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), b.alias("b"))
         .groupBy("g", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -253,6 +258,7 @@ WITH bucketed AS (
          least({bins - 1}, greatest(0,
              CAST(floor(({value_col} - {lo!r}) / {width!r}) AS INT))) AS b
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ), counts AS (
   SELECT g, b, count(*) AS c FROM bucketed GROUP BY g, b
 ), cums AS (
@@ -314,7 +320,13 @@ def countmin_estimates(
         ).cast("long")
         % width
     )
-    k = F.col(key_col).cast("string")
+    # NULL keys hash via a sentinel on BOTH sides: md5(concat(..NULL..))
+    # is NULL, so without it NULL-keyed rows would aggregate under cell
+    # NULL that no probe equi-join ever matches — estimating 0 for a key
+    # with real occurrences, breaking the one-sided never-under
+    # guarantee. (A genuine "__null__" string key merging with NULLs
+    # only OVERestimates, which the guarantee allows.)
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
     cells = (
         df.select(F.explode(rows).alias("i"), k.alias("k"))
         .select("i", cell(F.col("i"), F.col("k")).alias("cell"))
@@ -323,7 +335,13 @@ def countmin_estimates(
     )
     probe_cells = probes.select(
         F.col(key_col), F.explode(rows).alias("i")
-    ).withColumn("cell", cell(F.col("i"), F.col(key_col).cast("string")))
+    ).withColumn(
+        "cell",
+        cell(
+            F.col("i"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("__null__")),
+        ),
+    )
     return (
         probe_cells.join(cells, ["i", "cell"], "left")
         .fillna(0, ["c"])
@@ -346,7 +364,7 @@ def countmin_oracle_sql(
 WITH cells AS (
   SELECT i.range AS i,
          CAST(('0x' || substr(md5('cm-' || CAST(i.range AS VARCHAR) || '-'
-                              || CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+                              || coalesce(CAST({key_col} AS VARCHAR), '__null__')), 1, 8)) AS BIGINT)
            % {width} AS cell,
          count(*) AS c
   FROM {table} CROSS JOIN range({depth}) i
@@ -355,7 +373,7 @@ WITH cells AS (
 probe_cells AS (
   SELECT p.{key_col}, i.range AS i,
          CAST(('0x' || substr(md5('cm-' || CAST(i.range AS VARCHAR) || '-'
-                              || CAST(p.{key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+                              || coalesce(CAST(p.{key_col} AS VARCHAR), '__null__')), 1, 8)) AS BIGINT)
            % {width} AS cell
   FROM probes p CROSS JOIN range({depth}) i
 )

@@ -174,8 +174,11 @@ def sessionize(
     order_cols: tuple[str, ...] = ("event_id",),
 ) -> DataFrame:
     """Gap-based batch sessionization: a new session starts whenever a
-    user's inter-event gap exceeds ``gap`` — the batch dual of the
-    streaming ``session_window`` rollup (streaming/jobs.py).
+    user's inter-event gap REACHES ``gap`` — the batch dual of the
+    streaming ``session_window`` rollup (streaming/jobs.py), whose merge
+    interval is half-open [t, t+gap): an event at exactly t+gap starts a
+    new session there, so the break test here is >= (a strict > would
+    merge exact-boundary events in batch but split them in streaming).
 
     Two ordered windows per user (lag for the break flag, running sum for
     the session ordinal), then one hash aggregation per (user, session).
@@ -188,7 +191,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     gap_interval = F.expr(f"INTERVAL {gap}")
     brk = F.when(
-        F.col(ts_col) > F.lag(ts_col).over(w) + gap_interval, 1
+        F.col(ts_col) >= F.lag(ts_col).over(w) + gap_interval, 1
     ).otherwise(0)
     cum = (
         Window.partitionBy(user_col)

@@ -4504,7 +4504,7 @@ def tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), g AS (
   SELECT user_id, ts,

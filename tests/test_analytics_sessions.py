@@ -213,3 +213,24 @@ def test_paragraph_dedup_rewrite_reassembles_survivors(spark):
     assert out[1] == chunk_a + " " + chunk_b
     assert out[2] == ""
     assert out[3] == "fresh tail"
+
+
+def test_sessionize_exact_gap_boundary_splits_like_streaming(spark):
+    # streaming session_window merges on the half-open [t, t+gap): an
+    # event at exactly t+gap starts a NEW session — the batch dual must
+    # split there too, not merge on strict inequality
+    from prom_etl_db_spark.operators.analytics import sessionize
+
+    rows = [
+        (1, T0, 9, "view", 1.0, "{}"),
+        (2, T0 + timedelta(minutes=30), 9, "view", 1.0, "{}"),  # == gap
+        (3, T0 + timedelta(minutes=59), 9, "view", 1.0, "{}"),  # < gap after #2
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = sorted(
+        sessionize(ev, gap="30 minutes").collect(), key=lambda r: r["session_no"]
+    )
+    assert [(r["session_no"], r["n_events"]) for r in out] == [(0, 1), (1, 2)]

@@ -601,3 +601,28 @@ def test_scratch_release_frees_operator_caches(spark):
         not (f.storageLevel.useMemory or f.storageLevel.useDisk)
         for f in frames
     )
+
+
+def test_exact_dedup_survivor_is_one_row_not_stitched(spark):
+    # per-column min_by could stitch c1 from row A and c2 from row B when
+    # two rows tie on order_col; the single-struct form keeps the payload
+    # from ONE row, and tiebreakers pin WHICH one
+    rows = [
+        ("k", 1, "a1", "b1", 10),
+        ("k", 1, "a2", "b2", 5),  # ties on ord; uid 5 < 10
+    ]
+    df = spark.createDataFrame(rows, "k string, ord int, c1 string, c2 string, uid int")
+    out = exact_dedup(df, ["k"], "ord", tiebreakers=["uid"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # whole row comes from uid=5: never (a1, b2) or (a2, b1)
+    assert (r["c1"], r["c2"], r["uid"]) == ("a2", "b2", 5)
+
+
+def test_exact_dedup_keys_and_order_only(spark):
+    # no payload columns at all (the registry dedup_exact shape)
+    df = spark.createDataFrame(
+        [("k", 3), ("k", 1), ("j", 2)], "k string, ord int"
+    )
+    out = {r["k"]: r["ord"] for r in exact_dedup(df, ["k"], "ord").collect()}
+    assert out == {"k": 1, "j": 2}

@@ -94,3 +94,26 @@ def test_unique_keys_null_keys_are_values_not_violations(spark):
         df2, [], unique_keys=[("k_unique", ["k"])]
     ).collect()}
     assert out2["k_unique"] == 2
+
+
+def test_psi_excludes_null_values(spark):
+    # NULLs are missing data, not mass at lo: a comparison slice where
+    # 30% of values went NULL (extraction regression) must not read as
+    # "values collapsed to ~0" — with unchanged non-null values PSI ≈ 0
+    rows = []
+    for i in range(1000):
+        rows.append(("g1", float(100 + (i % 50)), i % 2))
+        if i % 3 == 0:
+            rows.append(("g1", None, 1))  # NULLs only on the cmp side
+    df = spark.createDataFrame(rows, "g string, v double, side int")
+    out = quality.psi_drift(
+        df, "g", "v", F.col("side") == 0, bins=20, lo=0.0, hi=500.0
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] < 0.1  # non-null distribution is unchanged
+
+
+def test_expectations_empty_rule_set_raises_clearly(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="at least one rule"):
+        quality.expectations(df, [])

@@ -299,3 +299,61 @@ def test_signlsh_collision_rate_tracks_angle(spark):
     near_match = 16 - bin(out[0] ^ out[2]).count("1")
     assert 3 <= ortho_match <= 13  # expect ~8, sigma = 2
     assert near_match >= 14  # expect ~15.7
+
+
+# -- review-pass regressions -------------------------------------------------
+
+
+def test_ivf_zero_norm_vector_scores_zero_not_nan(spark):
+    # cosine() on a zero-norm side used to produce NaN, and NaN sorts
+    # ABOVE every real number under desc — the zero vector became
+    # everyone's rank-1 neighbor in the IVF path while the brute-force
+    # path correctly ranked it last. Both must now agree.
+    rows = [(i, _vec((0, 1.0), (1, float(i)))) for i in range(6)]
+    rows.append((6, [0.0] * DIM))  # the all-zeros vector
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.where(F.col("vec_id") == 0)
+    ivf = cosine_topk_ivf(vecs, queries, k=3, num_centroids=2, nprobe=2).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in ivf)
+    assert 6 not in {r["neighbor_id"] for r in ivf if r["rank"] == 1}
+    bf = cosine_topk_bruteforce(vecs, queries, k=3).collect()
+    assert {(r["neighbor_id"], r["rank"]) for r in ivf} == {
+        (r["neighbor_id"], r["rank"]) for r in bf
+    }
+
+
+def test_topk_tie_break_is_ascending_id_across_partitions(spark):
+    # equal scores at the local top-k boundary: argpartition alone keeps
+    # an arbitrary tied row per partition; the documented rule is
+    # (desc cos_sim, asc neighbor_id) regardless of partition layout
+    rows = [(i, _vec((0, 1.0))) for i in range(40)]  # all identical
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8)
+    queries = vecs.where(F.col("vec_id") == 39)
+    out = cosine_topk_bruteforce(vecs, queries, k=5).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        0, 1, 2, 3, 4,
+    ]
+
+
+def test_bruteforce_empty_queries_returns_typed_empty(spark, vectors):
+    empty_q = vectors.where(F.col("vec_id") < 0)
+    out = cosine_topk_bruteforce(vectors, empty_q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    out2 = cosine_neardup_pairs(vectors.where(F.col("vec_id") < 0), 0.9)
+    assert out2.count() == 0
+
+
+def test_ivf_index_build_returns_actual_centroid_count(spark, tmp_path):
+    from prom_etl_db_spark.functions.similarity import build_ivf_index
+
+    rows = [(i, _vec((i % DIM, 1.0 + i))) for i in range(6)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # request more centroids than the corpus has rows: the seeds branch
+    # can only produce 6 — the return must say 6, not 32
+    n = build_ivf_index(vecs, str(tmp_path / "idx"), num_centroids=32)
+    assert n == 6
+    stored = spark.read.parquet(str(tmp_path / "idx" / "centroids")).count()
+    assert stored == 6

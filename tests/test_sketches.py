@@ -180,3 +180,32 @@ def test_bloom_duplicate_probe_keys_no_false_negative(spark):
         members, probes, "k").collect()}
     assert got[1] is True
     assert got[3] is False  # tiny filter, no collision at these sizes
+
+
+def test_quantile_histogram_ignores_nulls(spark):
+    # NULLs used to land in bucket 0 (greatest() skips NULLs), dragging
+    # the estimate toward lo; percentile_approx — whose twin this is —
+    # ignores them, and so must we
+    rows = [("a", 900.0)] * 50 + [("a", None)] * 50
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sketches.quantile_histogram(
+        df, "g", "v", q=0.5, bins=128, lo=0.0, hi=1000.0
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_values"] == 50
+    assert abs(out[0]["q_estimate"] - 900.0) <= 1000.0 / 128
+
+
+def test_countmin_null_key_never_underestimates(spark):
+    # a NULL key used to hash to cell NULL, which no probe join matches:
+    # estimate 0 for a key with 40 real rows — an underestimate from a
+    # sketch whose guarantee is one-sided never-under
+    rows = [(None,)] * 40 + [("x",)] * 7
+    df = spark.createDataFrame(rows, "k string")
+    probes = spark.createDataFrame([(None,), ("x",)], "k string")
+    out = {
+        r["k"]: r["cm_estimate"]
+        for r in sketches.countmin_estimates(df, "k", probes).collect()
+    }
+    assert out[None] >= 40
+    assert out["x"] >= 7
