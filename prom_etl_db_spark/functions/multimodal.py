@@ -1175,14 +1175,16 @@ def audio_features(payload: bytes) -> dict:
     import numpy as np
 
     meta = decode_wav(payload)
-    # re-extract the raw samples the same way decode_wav did
+    # re-extract the raw samples the same way decode_wav did: walk ALL
+    # chunks and keep the LAST data chunk (breaking on the first would
+    # compute zcr/spectra from a different chunk than decode_wav's rms
+    # on a multi-data-chunk file — internally inconsistent features)
     i, data = 12, None
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
         if cid == b"data":
             data = payload[i + 8 : i + 8 + size]
-            break
         i += 8 + size + (size % 2)
     s = np.frombuffer(data, dtype="<i2").astype(np.float64)
     if len(s) < 2:
@@ -1190,6 +1192,13 @@ def audio_features(payload: bytes) -> dict:
                 "spectral_centroid_hz": 0.0, "spectral_bandwidth_hz": 0.0}
     zcr = float(np.sum(s[:-1] * s[1:] < 0)) / (len(s) - 1)
     peak = float(np.max(np.abs(s)))
+    if not meta["sample_rate"]:
+        # sample_rate=0 is tolerated by decode_wav (duration_s 0.0); the
+        # frequency axis is undefined there — report the time-domain
+        # features and zero spectra instead of dividing by zero and
+        # killing the whole Arrow batch
+        return {**meta, "zcr": zcr, "peak": peak,
+                "spectral_centroid_hz": 0.0, "spectral_bandwidth_hz": 0.0}
     spec = np.abs(np.fft.rfft(s))
     freqs = np.fft.rfftfreq(len(s), d=1.0 / meta["sample_rate"])
     tot = float(spec.sum())

@@ -97,6 +97,36 @@ class Tok:
     pos: int
 
 
+_ESCAPES = {
+    "\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r",
+    "a": "\a", "b": "\b", "f": "\f", "v": "\v",
+}
+
+
+def _unquote(text: str) -> str:
+    """String literal token → value, applying Go escape rules (the family
+    Prometheus strings use). Bare ``text[1:-1]`` would keep raw
+    backslashes — ``{job="a\\"b"}`` would then match the 3-char string
+    ``a\\"b`` and regex matchers would double every escape. Unknown
+    escapes raise, like Prometheus's parser (``"\\."`` is invalid there
+    too — regexes spell it ``"\\\\."``)."""
+    body = text[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 1
+            e = body[i]  # the lexer guarantees a char follows every \
+            if e not in _ESCAPES:
+                raise PromQLError(f"unsupported escape \\{e} in string literal")
+            out.append(_ESCAPES[e])
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _lex(s: str) -> list[Tok]:
     out, i = [], 0
     while i < len(s):
@@ -265,6 +295,10 @@ class _Parser:
             if self.toks[self.i + 1].text == "(":
                 return self.parse_call()
             return self.parse_selector()
+        if t.text == "{":
+            # nameless selector {job="x"} — valid PromQL; the evaluation
+            # layer already types Selector.name as str | None
+            return self.parse_selector(named=False)
         raise PromQLError(f"unexpected {t.text!r} at {t.pos}")
 
     def parse_agg(self) -> Node:
@@ -283,7 +317,7 @@ class _Parser:
             s = self.next()
             if s.kind != "STRING":
                 raise PromQLError(f"count_values needs a string label at {s.pos}")
-            param = s.text[1:-1]
+            param = _unquote(s.text)
             self.expect(",")
         expr = self.parse_expr()
         self.expect(")")
@@ -299,7 +333,7 @@ class _Parser:
         args: list[Node | str] = []
         while self.peek().text != ")":
             if self.peek().kind == "STRING":
-                args.append(self.next().text[1:-1])
+                args.append(_unquote(self.next().text))
             else:
                 args.append(self.parse_expr())
             if self.peek().text == ",":
@@ -307,8 +341,8 @@ class _Parser:
         self.expect(")")
         return self.maybe_range(Call(name, args))
 
-    def parse_selector(self) -> Node:
-        name = self.next().text
+    def parse_selector(self, named: bool = True) -> Node:
+        name = self.next().text if named else None
         matchers: list[tuple[str, str, str]] = []
         if self.peek().text == "{":
             self.next()
@@ -320,10 +354,14 @@ class _Parser:
                     raise PromQLError(f"bad matcher near {lbl.pos}")
                 if op.text not in ("=", "!=", "=~", "!~"):
                     raise PromQLError(f"bad matcher op {op.text!r}")
-                matchers.append((lbl.text, op.text, val.text[1:-1]))
+                matchers.append((lbl.text, op.text, _unquote(val.text)))
                 if self.peek().text == ",":
                     self.next()
             self.expect("}")
+        if name is None and not matchers:
+            # Prometheus: "vector selector must contain at least one
+            # non-empty matcher" — a bare {} would scan everything
+            raise PromQLError("nameless selector needs at least one matcher")
         return self.maybe_range(Selector(name, matchers))
 
     def maybe_range(self, node: Node) -> Node:
@@ -537,8 +575,14 @@ def _apply_matchers(df: DataFrame, sel: Selector) -> DataFrame:
         df = df.where(F.col("metric_name") == sel.name)
     for lbl, op, val in sel.matchers:
         # PromQL: a missing label IS the empty string — {k=""} matches
-        # series without k, {k!=""} excludes them, {k=~".*"} keeps them
-        c = F.coalesce(F.element_at(F.col("labels"), lbl), F.lit(""))
+        # series without k, {k!=""} excludes them, {k=~".*"} keeps them.
+        # __name__ is the metric name itself (stored as its own column,
+        # not a labels entry) — {__name__=~"http_.*"} must probe there,
+        # not silently match nothing in the labels map.
+        if lbl == "__name__":
+            c = F.coalesce(F.col("metric_name"), F.lit(""))
+        else:
+            c = F.coalesce(F.element_at(F.col("labels"), lbl), F.lit(""))
         if op == "=":
             df = df.where(c == val)
         elif op == "!=":
@@ -556,6 +600,23 @@ def _selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
     past), so any frame filter must apply AFTER the shift — clipping raw
     timestamps first would read the un-offset window."""
     df = _apply_matchers(ctx.samples, sel)
+    if sel.name is None:
+        # Nameless selector ({job="x"}) spans METRICS, but series
+        # identity downstream is the labels map alone (A9 drops
+        # __name__ at ingest) — two metrics with identical labels
+        # would collapse into one series. Carry the metric name back
+        # in as __name__, which is also Prometheus's wire shape for
+        # raw selector results.
+        df = df.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, _: k != "__name__"),
+                F.create_map(
+                    F.lit("__name__"),
+                    F.coalesce(F.col("metric_name"), F.lit("")),
+                ),
+            ),
+        )
     if sel.offset:
         df = promql.offset(df, _interval_str(sel.offset, allow_negative=True))
     if ctx.frame is not None:
@@ -897,8 +958,35 @@ def _eval_agg(ctx: EvalContext, node: Agg) -> DataFrame:
     return promql.group_by_labels(vec, agg, by=by, without=without)
 
 
+# (min, max) argument counts for the fixed-arity functions — checked up
+# front so a short arg list raises PromQLError instead of escaping as a
+# bare IndexError/ValueError from a tuple unpack deep in a branch
+_ARITY = {
+    "histogram_quantile": (2, 2),
+    "histogram_fraction": (3, 3),
+    "label_replace": (5, 5),
+    "label_join": (3, None),  # sep + dst + vector; src labels may be empty
+    "clamp": (3, 3),
+    "clamp_min": (2, 2),
+    "clamp_max": (2, 2),
+    "round": (1, 2),
+    "predict_linear": (2, 2),
+    "quantile_over_time": (2, 2),
+    "double_exponential_smoothing": (3, 3),
+    "holt_winters": (3, 3),
+}
+
+
 def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
     fn = node.fn
+    spec = _ARITY.get(fn)
+    if spec is not None:
+        lo_n, hi_n = spec
+        if len(node.args) < lo_n or (hi_n is not None and len(node.args) > hi_n):
+            want = str(lo_n) if hi_n == lo_n else f"{lo_n}+" if hi_n is None else f"{lo_n}-{hi_n}"
+            raise PromQLError(
+                f"{fn} takes {want} argument(s), got {len(node.args)}"
+            )
 
     if fn in _OVER_TIME or fn == "quantile_over_time":
         arg = node.args[-1]
@@ -938,10 +1026,34 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
 
     if fn in _RANGE_FNS:
         sel = node.args[0]
-        if not isinstance(sel, Selector) or sel.range_ is None or sel.step:
-            raise PromQLError(f"{fn} needs a range selector like x[5m]")
-        lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
-        stream = _selector_stream(ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
+        if (isinstance(sel, Selector) and sel.range_ is not None and sel.step) or (
+            isinstance(sel, Call) and sel.fn == "__subquery__"
+        ):
+            # SUBQUERY form rate(x[30m:1m]) — Prometheus evaluates the
+            # inner expr at every step inside the frame, then applies
+            # the range function to the step-aligned points. Reuse the
+            # *_over_time subquery stream (same step alignment and
+            # half-open frame) with bucket_start as the sample time.
+            inner, rng, step = _subquery_parts(sel)
+            lo, hi = _frame_bounds(_at_of(ctx, sel), rng)
+            frame_ctx = EvalContext(
+                ctx.samples, ctx.at, ctx.staleness,
+                frame=(lo, hi),
+                frame_right_closed=False,
+                range_bounds=ctx.range_bounds,
+            )
+            stream = _eval_stream(frame_ctx, inner, step).select(
+                "labels", F.col("bucket_start").alias("timestamp"), "value"
+            )
+        elif isinstance(sel, Selector) and sel.range_ is not None:
+            lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
+            stream = _selector_stream(
+                ctx, Selector(sel.name, sel.matchers, offset=sel.offset)
+            )
+        else:
+            raise PromQLError(
+                f"{fn} needs a range selector like x[5m] or a subquery x[30m:1m]"
+            )
         if fn == "rate":
             return promql.rate(stream, frame_start=lo, frame_end=hi)
         if fn == "increase":
@@ -1008,10 +1120,12 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
             raise PromQLError("round() to_nearest must be positive")
         v = F.col("value")
         rounded = F.floor(v / F.lit(to) + F.lit(0.5)) * F.lit(to)
-        # F.floor returns BIGINT: NaN would become 0 and ±Inf / huge
-        # finite values would saturate at 2^63 — pass them through (a
-        # value whose ulp exceeds to_nearest IS its own nearest multiple)
-        passthrough = F.isnan(v) | (F.abs(v) >= F.lit(2.0**62))
+        # F.floor returns BIGINT: NaN would become 0 and huge QUOTIENTS
+        # would saturate at 2^63 — the overflowing quantity is v/to (a
+        # small to_nearest overflows ordinary values), so that is what
+        # the guard must bound. Pass such values through: when |v/to| has
+        # an ulp above 1, v IS its own nearest multiple of to.
+        passthrough = F.isnan(v) | (F.abs(v / F.lit(to)) >= F.lit(2.0**62))
         return vec.withColumn(
             "value", F.when(passthrough, v).otherwise(rounded.cast("double"))
         )

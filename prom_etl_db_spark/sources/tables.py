@@ -77,10 +77,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not ns_cols:
         df = spark.read.parquet(path)
     else:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        for c in ns_cols:
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        # Scope the legacy flag to THIS load: relation resolution is
+        # lazy, so forcing .schema pins the long-typed read into the
+        # analyzed plan, after which the session conf is restored —
+        # leaving it set would make every LATER nanos read in the
+        # session silently yield raw longs outside this conversion path.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            for c in ns_cols:
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+            df.schema  # force analysis while the flag is on
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     cache[key] = df
     return df
 

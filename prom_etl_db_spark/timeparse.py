@@ -41,11 +41,15 @@ __all__ = ["TimeParseError", "RelativeTimeParser", "parse_duration", "resolve_ra
 _END_US = 999999  # µs analogue of jinzhu/now's .999999999 ns end-of-period
 
 # Go-duration style: one or more <number><unit> groups. Units extended with
-# d (reference's custom fallback, parser.go:210) and w (docs user-guide.md:166).
-_DUR_GROUP = re.compile(r"(\d+(?:\.\d+)?)(ms|us|µs|ns|w|d|h|m|s)")
-_DUR_FULL = re.compile(r"^(?:\d+(?:\.\d+)?(?:ms|us|µs|ns|w|d|h|m|s))+$")
+# d (reference's custom fallback, parser.go:210), w (docs
+# user-guide.md:166), and y (PromQL's duration grammar: y = 365d exactly —
+# the lexer admits it, so evaluation must too or rate(x[1y]) crashes with
+# a TimeParseError that PromQLError handlers don't catch).
+_DUR_GROUP = re.compile(r"(\d+(?:\.\d+)?)(ms|us|µs|ns|y|w|d|h|m|s)")
+_DUR_FULL = re.compile(r"^(?:\d+(?:\.\d+)?(?:ms|us|µs|ns|y|w|d|h|m|s))+$")
 
 _UNIT_SECONDS = {
+    "y": 365 * 86400.0,
     "w": 7 * 86400.0,
     "d": 86400.0,
     "h": 3600.0,
@@ -166,7 +170,7 @@ class RelativeTimeParser:
             "last_week_end": lambda: _end_of_day(begin_of_week - timedelta(days=1)),
             "last_month": lambda: _add_months(bod.replace(day=1), -1),
             "last_month_end": lambda: _end_of_day(
-                _add_months(bod.replace(day=1), 0) - timedelta(days=1)
+                bod.replace(day=1) - timedelta(days=1)
             ),
             "last_quarter": lambda: _add_months(
                 bod.replace(day=1, month=quarter_start_month), -3

@@ -130,3 +130,28 @@ def test_animated_gif_roundtrip_and_uniform_sampling():
         0, 0, 1, 1, 2, 2, 3, 3, 4,
     ]
     assert [fi for _, fi, _ in sample_gif_frames(payload, 1)] == [0]
+
+
+def test_audio_features_zero_sample_rate_and_multi_data_chunk():
+    from prom_etl_db_spark.functions.multimodal import audio_features, synth_wav
+
+    # sample_rate=0: decode_wav tolerates it (duration 0.0) — features
+    # must report time-domain zcr/peak and zero spectra, not divide by 0
+    f0 = audio_features(synth_wav(100, 500, sample_rate=0))
+    assert f0["zcr"] == 1.0 and f0["peak"] == 500.0
+    assert f0["spectral_centroid_hz"] == 0.0
+    assert f0["spectral_bandwidth_hz"] == 0.0
+
+    # two data chunks: decode_wav keeps the LAST — zcr/peak/spectra must
+    # come from the same chunk as rms, not the first
+    base = synth_wav(50, 100)  # chunk A: ±100 square wave
+    import numpy as np
+
+    quiet = np.full(50, 7, dtype="<i2").tobytes()  # chunk B: constant 7
+    extra = b"data" + len(quiet).to_bytes(4, "little") + quiet
+    riff_len = int.from_bytes(base[4:8], "little") + len(extra)
+    two = b"RIFF" + riff_len.to_bytes(4, "little") + base[8:] + extra
+    f = audio_features(two)
+    assert f["rms"] == 7.0          # decode_wav: last chunk
+    assert f["peak"] == 7.0         # features: SAME chunk
+    assert f["zcr"] == 0.0          # constant signal never crosses zero

@@ -354,3 +354,45 @@ def test_tpch_q4_semi_join_and_q14_broadcast(spark, sf_dir):
     # Q14: part is a dim — broadcast, not shuffled
     ops14 = _ops(QUERIES["tpch_q14_promo_revenue"](spark, sf_dir))
     assert "BroadcastHashJoin" in ops14 and "SortMergeJoin" not in ops14
+
+
+def test_scan_columns_handles_decimal_and_truncation_markers():
+    from prom_etl_db_spark.plans.explain import _split_top_level
+
+    # decimal(10,2) must not split into a phantom '2)' column
+    assert _split_top_level("price:decimal(10,2),qty:bigint") == [
+        "price:decimal(10,2)",
+        "qty:bigint",
+    ]
+    # nested struct/array commas are not field boundaries
+    assert _split_top_level("a:struct<x:int,y:int>,b:array<int>") == [
+        "a:struct<x:int,y:int>",
+        "b:array<int>",
+    ]
+
+
+def test_load_table_restores_nanos_conf(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prom_etl_db_spark.sources.tables import load_table
+
+    t = pa.table({
+        "ts": pa.array(
+            [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(5)],
+            type=pa.timestamp("ns"),
+        ),
+        "v": pa.array([float(i) for i in range(5)]),
+    })
+    pq.write_table(t, str(tmp_path / "evt.parquet"))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = load_table(spark, str(tmp_path), "evt")
+    # the conversion is pinned into the analyzed plan...
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    assert df.count() == 5
+    # ...and the session-wide flag is back to its prior state, so a later
+    # unrelated nanos read doesn't silently yield raw longs
+    assert spark.conf.get(key, None) == before

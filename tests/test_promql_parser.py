@@ -757,3 +757,92 @@ def test_inverse_hyperbolic_and_day_of_year(spark):
     assert eval_promql(df, "day_of_year(m)", T0).collect()[0]["value"] == 1.0
     # no-arg form: component of the eval instant (2024-03-15 = day 75)
     assert eval_promql(df, "day_of_year()", T0) == 75.0
+
+
+# -- review-pass regressions ------------------------------------------------
+
+
+def test_string_literals_unescape():
+    s = parse(r'x{job="a\"b"}')
+    assert s.matchers[0][2] == 'a"b'
+    # PromQL regex a\.b is written "a\\.b" — one backslash must survive
+    s2 = parse(r'x{l=~"a\\.b"}')
+    assert s2.matchers[0][2] == r"a\.b"
+    with pytest.raises(PromQLError, match="unsupported escape"):
+        parse(r'x{l="a\.b"}')  # invalid in Prometheus too
+
+
+def test_escaped_regex_matcher_matches_literal_dot(spark):
+    df = _samples(
+        spark,
+        [("m", {"p": "a.b"}, 1, -10), ("m", {"p": "axb"}, 2, -10)],
+    )
+    out = eval_promql(df, r'm{p=~"a\\.b"}', T0).collect()
+    assert len(out) == 1 and out[0]["labels"]["p"] == "a.b"
+
+
+def test_nameless_selector_evaluates(spark):
+    df = _samples(
+        spark,
+        [("m1", {"job": "x"}, 1, -10), ("m2", {"job": "x"}, 2, -10),
+         ("m3", {"job": "y"}, 3, -10)],
+    )
+    out = eval_promql(df, '{job="x"}', T0).collect()
+    assert sorted(r["value"] for r in out) == [1.0, 2.0]
+    # the metric name rides back in as __name__ (Prometheus wire shape),
+    # so same-labeled series from different metrics stay distinct
+    assert {r["labels"]["__name__"] for r in out} == {"m1", "m2"}
+    with pytest.raises(PromQLError, match="at least one matcher"):
+        parse("{}")
+
+
+def test_name_matcher_probes_metric_name(spark):
+    df = _samples(
+        spark,
+        [("http_req", {"j": "a"}, 1, -10), ("grpc_req", {"j": "a"}, 2, -10)],
+    )
+    out = eval_promql(df, '{__name__=~"http_.*"}', T0).collect()
+    assert len(out) == 1 and out[0]["value"] == 1.0
+
+
+def test_short_arg_lists_raise_promql_error(spark):
+    df = _samples(spark, [("x", {"h": "a"}, 1, -10)])
+    for q in (
+        'label_replace(x, "dst")',
+        "clamp(x)",
+        "histogram_quantile(x)",
+        "predict_linear(x[5m])",
+    ):
+        with pytest.raises(PromQLError, match="takes"):
+            eval_promql(df, q, T0)
+
+
+def test_round_tiny_to_nearest_does_not_saturate(spark):
+    df = _samples(spark, [("m", {"h": "a"}, 10, -10)])
+    got = eval_promql(df, "round(m, 0.000000000000000001)", T0).collect()[0]["value"]
+    assert got == pytest.approx(10.0)  # not ~9.22 (2^63 saturation)
+
+
+def test_rate_over_subquery(spark):
+    # counter rising 10/min sampled every minute; rate over the
+    # step-aligned subquery ≈ 1/6 per second (exact: observed increase
+    # over the 30m window / 1800 s)
+    df = _samples(
+        spark, [("c", {"h": "a"}, 10 * i, -3600 + 60 * i) for i in range(61)]
+    )
+    got = eval_promql(df, "rate(c[30m:1m])", T0).collect()[0]["value"]
+    direct = eval_promql(df, "rate(c[30m])", T0).collect()[0]["value"]
+    assert got == pytest.approx(direct, rel=0.05)
+    # increase too, and the raw-range form still works
+    inc = eval_promql(df, "increase(c[30m:1m])", T0).collect()[0]["value"]
+    assert inc == pytest.approx(got * 1800.0, rel=1e-9)
+
+
+def test_year_duration_unit(spark):
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    assert parse_duration("1y").days == 365
+    df = _samples(spark, [("m", {"h": "a"}, 5, -10), ("m", {"h": "a"}, 9, -5)])
+    # must evaluate (not crash with TimeParseError)
+    out = eval_promql(df, "max_over_time(m[1y])", T0).collect()
+    assert out[0]["value"] == 9.0
