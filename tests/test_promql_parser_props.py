@@ -59,3 +59,22 @@ def test_mul_binds_tighter_than_add(a, b, c):
        st.integers(min_value=0, max_value=2))
 def test_pow_right_associative(a, b, c):
     assert eval_promql(None, f"{a} ^ {b} ^ {c}", T0) == float(a ** (b ** c))
+
+
+def test_unquote_roundtrips_escaped_strings():
+    """Property: escaping any string with Go rules then _unquote-ing it
+    returns the original — including quotes, backslashes, and control
+    chars."""
+    from hypothesis import given, strategies as st
+
+    from prom_etl_db_spark.operators.promql_parser import _unquote
+
+    _FWD = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\t": "\\t", "\r": "\\r",
+            "\a": "\\a", "\b": "\\b", "\f": "\\f", "\v": "\\v"}
+
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60))
+    def check(s):
+        quoted = '"' + "".join(_FWD.get(c, c) for c in s) + '"'
+        assert _unquote(quoted) == s
+
+    check()
