@@ -1910,7 +1910,7 @@ def agg_over_time_range(
     """
     from prom_etl_db_spark.timeparse import parse_duration
 
-    if agg not in ("sum", "count", "avg", "stdvar", "stddev"):
+    if agg not in ("sum", "count", "avg", "stdvar", "stddev", "stats"):
         raise ValueError(f"unsupported agg_over_time_range agg {agg!r}")
     frame_td, step_td = parse_duration(frame), parse_duration(step)
     frame_s, step_s = frame_td.total_seconds(), step_td.total_seconds()
@@ -1940,6 +1940,14 @@ def agg_over_time_range(
         "avg": F.col("__v") / F.col("__n"),
         "stdvar": variance,
         "stddev": F.sqrt(variance),
+        # every agg above projects from the SAME (Σv, Σv², n) state —
+        # "stats" exposes it whole so a caller needing several of them
+        # runs ONE pass instead of re-aggregating the stream per agg
+        "stats": F.struct(
+            F.col("__v").alias("vsum"),
+            F.col("__n").cast("bigint").alias("vcount"),
+            variance.alias("vstdvar"),
+        ),
     }
     if method == "explode":
         exploded = df.where(first <= last).select(
@@ -2645,9 +2653,11 @@ def topk_over_time(
     agg = keyed.groupBy(
         "__series", F.date_trunc(unit, F.col("bucket_start")).alias("__b")
     ).agg(F.sum("value").alias("value"))
-    w = Window.partitionBy("__b").orderBy(
-        F.desc("value"), F.col("__series").cast("string")
-    )
+    # tie-break on the entries ARRAY itself (elementwise struct compare:
+    # label key then value, in sorted-key order) — NOT its string cast,
+    # whose rendered separators sort '}' above digits, ranking k="1"
+    # AFTER k="10" and diverging from any SQL (k, name) tiebreak
+    w = Window.partitionBy("__b").orderBy(F.desc("value"), F.col("__series"))
     return (
         agg.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

@@ -663,7 +663,14 @@ def _eval_stream(ctx: EvalContext, node: Node, step: str) -> DataFrame:
             # reading it at a different instant would be wrong, so refuse
             raise PromQLError("@ on a selector inside a subquery/range "
                               "evaluation is unsupported")
-        return promql.resample(_selector_stream(ctx, node), step_str)
+        # tiebreak on value: the generic samples table carries no unique
+        # event column, so a duplicate (series, timestamp) pair would
+        # otherwise make max_by pick arbitrarily — max value wins,
+        # deterministically, and the registry oracles order
+        # (ts DESC, value DESC) to match
+        return promql.resample(
+            _selector_stream(ctx, node), step_str, tiebreakers=["value"]
+        )
     if isinstance(node, BinOp):
         if node.op in _SET_OPS:
             # would otherwise fall into the scalar-op dict as a KeyError

@@ -2229,11 +2229,12 @@ FROM joined GROUP BY name, t
 """,
 )
 def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-QUERY sum/count/avg_over_time: the sliding 12h window
-    evaluated at every 6h grid step — the moving-window pattern the
-    tumbling stream mode can't express (executor-wired for
-    `sum_over_time(m[12h])` config rows in range mode). The avg is
-    derived from the same (Σ, n) state, so one plan serves all three.
+    """RANGE-QUERY sum/count/avg/stdvar_over_time: the sliding 12h
+    window evaluated at every 6h grid step — the moving-window pattern
+    the tumbling stream mode can't express (executor-wired for
+    `sum_over_time(m[12h])` config rows in range mode). ONE
+    agg="stats" pass materializes the shared (Σv, Σv², n) state and all
+    four outputs project from it — no per-agg re-aggregation, no joins.
     The oracle replays the sliding windows via a time-range join."""
     samples = _event_samples(spark, sf_dir, keys=("name",))
     out = promql.agg_over_time_range(
@@ -2242,40 +2243,17 @@ def promql_sliding_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         step="6h",
         start=datetime(2024, 1, 25),
         end=datetime(2024, 1, 30),
-        agg="sum",
+        agg="stats",
     )
-    kw = dict(
-        frame="12h",
-        step="6h",
-        start=datetime(2024, 1, 25),
-        end=datetime(2024, 1, 30),
-    )
-    cnt = promql.agg_over_time_range(samples, agg="count", **kw).select(
+    return out.select(
         F.element_at("labels", "name").alias("name"),
         "bucket_start",
-        F.col("value").cast("bigint").alias("sliding_count"),
-    )
-    var = promql.agg_over_time_range(samples, agg="stdvar", **kw).select(
-        F.element_at("labels", "name").alias("name"),
-        "bucket_start",
-        F.round("value", 4).alias("sliding_stdvar"),
-    )
-    return (
-        out.select(
-            F.element_at("labels", "name").alias("name"),
-            "bucket_start",
-            F.col("value").alias("__sum"),
-        )
-        .join(cnt, ["name", "bucket_start"])
-        .join(var, ["name", "bucket_start"])
-        .select(
-            "name",
-            "bucket_start",
-            F.round("__sum", 4).alias("sliding_sum"),
-            "sliding_count",
-            F.round(F.col("__sum") / F.col("sliding_count"), 6).alias("sliding_avg"),
-            "sliding_stdvar",
-        )
+        F.round(F.col("value.vsum"), 4).alias("sliding_sum"),
+        F.col("value.vcount").alias("sliding_count"),
+        F.round(F.col("value.vsum") / F.col("value.vcount"), 6).alias(
+            "sliding_avg"
+        ),
+        F.round(F.col("value.vstdvar"), 4).alias("sliding_stdvar"),
     )
 
 
@@ -2641,8 +2619,12 @@ WITH windowed AS (
   WHERE ts <= TIMESTAMP '2024-01-30 12:00:00'
     AND ts > TIMESTAMP '2024-01-30 06:00:00'
 ), vec AS (
+  -- coalesce matches schema.series_key: a NULL label value renders as ''
+  -- (plain || would NULL the whole key, dropping NULL-k series from the
+  -- ratio and sorting them opposite the engine in limitk)
   SELECT name, k, value,
-         'k' || chr(31) || k || chr(30) || 'name' || chr(31) || name AS skey
+         'k' || chr(31) || coalesce(k, '') || chr(30)
+             || 'name' || chr(31) || name AS skey
   FROM windowed WHERE rn = 1
 ), kept AS (
   SELECT name, k, value, 'limitk' AS op FROM vec
@@ -2871,6 +2853,24 @@ def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 HISTOGRAM_BOUNDS = [25.0, 50.0, 100.0, 200.0, float("inf")]
 
 
+def _cumulative_le_buckets(ev: DataFrame) -> DataFrame:
+    """Classic cumulative le-bucket counts per event_type from raw
+    events: one row per (name, le ∈ HISTOGRAM_BOUNDS) counting values
+    ≤ le. The ONE shared derivation for the histogram_quantile /
+    histogram_fraction / parsed-fraction queries — bounds handling and
+    the le format live here so the three can never desynchronize."""
+    return (
+        ev.select(
+            F.col("event_type").alias("name"),
+            F.explode(F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])).alias("le"),
+            "value",
+        )
+        .where(F.col("value") <= F.col("le"))
+        .groupBy("name", "le")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+
+
 @register(
     "promql_histogram_quantile",
     oracle="""
@@ -2903,24 +2903,12 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and the oracle derive identical histograms, then the crossing
     bucket is found and interpolated per histogram."""
     ev = _events(spark, sf_dir)
-    buckets = (
-        ev.select(
-            F.col("event_type").alias("name"),
-            F.explode(
-                F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])
-            ).alias("le"),
-            "value",
-        )
-        .where(F.col("value") <= F.col("le"))
-        .groupBy("name", "le")
-        .agg(F.count(F.lit(1)).cast("double").alias("value"))
-        .select(
-            F.create_map(
-                F.lit("name"), F.col("name"),
-                F.lit("le"), F.col("le").cast("string"),
-            ).alias("labels"),
-            "value",
-        )
+    buckets = _cumulative_le_buckets(ev).select(
+        F.create_map(
+            F.lit("name"), F.col("name"),
+            F.lit("le"), F.col("le").cast("string"),
+        ).alias("labels"),
+        "value",
     )
     out = promql.histogram_quantile(buckets, 0.9)
     return out.select(
@@ -2970,24 +2958,12 @@ def promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     differenced, divided by the total. The oracle replays the identical
     interpolation algebra."""
     ev = _events(spark, sf_dir)
-    buckets = (
-        ev.select(
-            F.col("event_type").alias("name"),
-            F.explode(
-                F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])
-            ).alias("le"),
-            "value",
-        )
-        .where(F.col("value") <= F.col("le"))
-        .groupBy("name", "le")
-        .agg(F.count(F.lit(1)).cast("double").alias("value"))
-        .select(
-            F.create_map(
-                F.lit("name"), F.col("name"),
-                F.lit("le"), F.col("le").cast("string"),
-            ).alias("labels"),
-            "value",
-        )
+    buckets = _cumulative_le_buckets(ev).select(
+        F.create_map(
+            F.lit("name"), F.col("name"),
+            F.lit("le"), F.col("le").cast("string"),
+        ).alias("labels"),
+        "value",
     )
     out = promql.histogram_fraction(buckets, 50.0, 150.0)
     return out.select(
@@ -3025,8 +3001,9 @@ def promql_topk_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """topk(3) PER DAY by summed hourly step values — which series
     dominated each day. The rank window sorts series-per-day AGGREGATES
     (cardinality-bounded), never raw samples. Tie-break on the series
-    key; the oracle's (k, name) tiebreak matches the sorted-entries
-    string order for these two-label series."""
+    ENTRIES ARRAY (elementwise: label key, then value) — for these
+    two-label series that is exactly the oracle's (k, name) tiebreak,
+    including prefix-related values like '1' vs '10'."""
     samples = _event_samples(spark, sf_dir, keys=("name", "k"))
     stepped = promql.resample(samples, "1 hour", tiebreakers=["event_id"])
     out = promql.topk_over_time(stepped, 3)
@@ -3332,8 +3309,14 @@ WITH q AS (
 n AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
 t AS (SELECT min(n.n / wt.wgt) AS total FROM n JOIN wt ON wt.lang = n.lang),
 thr AS (
+  -- the n/w = total identity branch mirrors mix_by_column's keep-whole
+  -- test for the BINDING stratum: IEEE (w*(n/w))/n can land 1 ulp below
+  -- 1.0, and without the branch the oracle would drop a doc whose md5
+  -- position is exactly the truncated threshold while the engine keeps
+  -- the stratum whole
   SELECT n.lang,
-         CASE WHEN least(1.0, (wt.wgt * t.total) / n.n) >= 1.0 THEN 'g'
+         CASE WHEN n.n / wt.wgt = t.total THEN 'g'
+              WHEN least(1.0, (wt.wgt * t.total) / n.n) >= 1.0 THEN 'g'
               ELSE printf('%08x', CAST(floor(least(1.0, (wt.wgt * t.total) / n.n) * 4294967296) AS BIGINT))
          END AS thr
   FROM n JOIN wt ON wt.lang = n.lang CROSS JOIN t
@@ -3587,7 +3570,9 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p.event_id, p.user_id, p.value AS purchase_value, c.value AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
 )
@@ -3595,15 +3580,23 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks the user's most recent click value
     at purchase time (left-outer; inclusive). Union + per-user ordered
     window — never an inequality BroadcastNestedLoop. The oracle is
-    DuckDB's native ASOF LEFT JOIN."""
+    DuckDB's native ASOF LEFT JOIN.
+
+    Both sides pre-dedup clicks to (user_id, ts, max value): every
+    engine's as-of (Spark's window-carry here, DuckDB's ASOF there)
+    picks ARBITRARILY among right rows tied on timestamp, so the
+    deterministic-output convention needs at most one right row per
+    (by, ts) — one map-side-combinable hash agg."""
     from prom_etl_db_spark.operators import joins
 
     ev = _events(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
     )
     out = joins.asof_join(purchases, clicks, on="ts", by=["user_id"])
     return out.select("event_id", "user_id", "purchase_value", "click_value")
@@ -3848,11 +3841,11 @@ WITH resampled AS (
            row_number() OVER (
              PARTITION BY json_extract_string(props, '$.k'), user_id,
                           date_trunc('minute', ts)
-             ORDER BY ts DESC) AS rn
+             ORDER BY ts DESC, value DESC) AS rn
     FROM events
     WHERE event_type = 'purchase'
       AND ts >= TIMESTAMP '2024-01-30 00:00:00'
-      AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+      AND ts < TIMESTAMP '2024-01-31 00:00:00'
   ) WHERE rn = 1
 ), flagged AS (
   SELECT k, bucket, CASE WHEN value != 20.0 THEN 1.0 ELSE 0.0 END AS v
@@ -3895,12 +3888,12 @@ WITH resampled AS (
            row_number() OVER (
              PARTITION BY json_extract_string(props, '$.k'),
                           date_trunc('hour', ts)
-             ORDER BY ts DESC) AS rn
+             ORDER BY ts DESC, value DESC) AS rn
     FROM events
     WHERE event_type = 'click'
       AND json_extract_string(props, '$.k') NOT LIKE '1%'
       AND ts >= TIMESTAMP '2023-12-31 00:00:00'
-      AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+      AND ts < TIMESTAMP '2024-01-31 00:00:00'
   ) WHERE rn = 1
 )
 SELECT k, round(sum(value), 4) AS value FROM resampled GROUP BY k
@@ -3934,7 +3927,7 @@ WITH resampled AS (
            row_number() OVER (
              PARTITION BY json_extract_string(props, '$.k'),
                           date_trunc('hour', ts)
-             ORDER BY ts DESC) AS rn
+             ORDER BY ts DESC, value DESC) AS rn
     FROM events
     WHERE event_type = 'click'
       AND ts >= TIMESTAMP '2023-12-31 00:00:00'
@@ -3980,7 +3973,7 @@ WITH resampled AS (
            row_number() OVER (
              PARTITION BY json_extract_string(props, '$.k'),
                           date_trunc('hour', ts)
-             ORDER BY ts DESC) AS rn
+             ORDER BY ts DESC, value DESC) AS rn
     FROM events
     WHERE event_type = 'purchase'
       AND ts >= TIMESTAMP '2023-12-31 00:00:00'
@@ -4070,26 +4063,14 @@ def promql_parsed_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFr
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
     ev = _events(spark, sf_dir)
-    samples = (
-        ev.select(
-            F.col("event_type").alias("name"),
-            F.explode(
-                F.array(*[F.lit(b) for b in HISTOGRAM_BOUNDS])
-            ).alias("le"),
-            "value",
-        )
-        .where(F.col("value") <= F.col("le"))
-        .groupBy("name", "le")
-        .agg(F.count(F.lit(1)).cast("double").alias("value"))
-        .select(
-            F.lit("req_bucket").alias("metric_name"),
-            F.create_map(
-                F.lit("name"), F.col("name"),
-                F.lit("le"), F.col("le").cast("string"),
-            ).alias("labels"),
-            "value",
-            F.lit(NOW).alias("timestamp"),
-        )
+    samples = _cumulative_le_buckets(ev).select(
+        F.lit("req_bucket").alias("metric_name"),
+        F.create_map(
+            F.lit("name"), F.col("name"),
+            F.lit("le"), F.col("le").cast("string"),
+        ).alias("labels"),
+        "value",
+        F.lit(NOW).alias("timestamp"),
     )
     out = eval_promql(
         samples, "histogram_fraction(50, 150, req_bucket) * pi()", NOW
@@ -4110,7 +4091,7 @@ WITH resampled AS (
            row_number() OVER (
              PARTITION BY json_extract_string(props, '$.k'),
                           date_trunc('hour', ts)
-             ORDER BY ts DESC) AS rn
+             ORDER BY ts DESC, value DESC) AS rn
     FROM events
     WHERE event_type = 'click'
       AND ts >= TIMESTAMP '2024-01-30 00:00:00'
@@ -5084,8 +5065,12 @@ s AS (SELECT list_sum(list(p ORDER BY lang)) AS s FROM p),
 wt AS (SELECT lang, n, round(p / s.s, 9) AS w FROM p CROSS JOIN s),
 t AS (SELECT min(n / w) AS total FROM wt),
 thr AS (
+  -- identity branch for the BINDING stratum (n/w = total), mirroring
+  -- mix_by_column: (w*(n/w))/n can round 1 ulp below 1.0 and silently
+  -- drop the threshold-edge doc the engine keeps
   SELECT lang,
-         CASE WHEN least(1.0, (w * t.total) / n) >= 1.0 THEN 'g'
+         CASE WHEN n / w = t.total THEN 'g'
+              WHEN least(1.0, (w * t.total) / n) >= 1.0 THEN 'g'
               ELSE printf('%08x', CAST(floor(least(1.0, (w * t.total) / n)
                                              * 4294967296) AS BIGINT))
          END AS thr

@@ -1116,3 +1116,58 @@ def test_gapfill_locf_until_before_first_bucket_is_empty_not_error(spark):
     stepped = resample(df, "1 minute")
     out = gapfill_locf(stepped, "1 minute", until=T0 - timedelta(hours=2))
     assert out.collect() == []
+
+
+def test_agg_over_time_range_stats_mode_matches_singletons(spark):
+    """agg='stats' exposes (Σv, n, var) from ONE pass — each field must
+    equal the corresponding single-agg result."""
+    from prom_etl_db_spark.operators.promql import agg_over_time_range
+
+    rows = [
+        ({"host": h}, float(v), -3000 + i * 120)
+        for h in ("a", "b")
+        for i, v in enumerate((3, 7, 1, 9, 4, 6, 2))
+    ]
+    df = _samples(spark, rows)
+    kw = dict(
+        frame="20m",
+        step="10m",
+        start=T0 - timedelta(seconds=1800),
+        end=T0,
+    )
+    stats = {
+        (r["labels"]["host"], r["bucket_start"]): r["value"]
+        for r in agg_over_time_range(df, agg="stats", **kw).collect()
+    }
+    for agg, field in (("sum", "vsum"), ("stdvar", "vstdvar")):
+        single = {
+            (r["labels"]["host"], r["bucket_start"]): r["value"]
+            for r in agg_over_time_range(df, agg=agg, **kw).collect()
+        }
+        assert set(single) == set(stats)
+        for k, v in single.items():
+            assert stats[k][field] == pytest.approx(v), (agg, k)
+    counts = {
+        (r["labels"]["host"], r["bucket_start"]): r["value"]
+        for r in agg_over_time_range(df, agg="count", **kw).collect()
+    }
+    for k, v in counts.items():
+        assert stats[k]["vcount"] == int(v)
+
+
+def test_topk_over_time_tiebreak_is_label_value_order(spark):
+    """Equal sums tie-break on the series ENTRIES (label value order) —
+    k='1' ranks before k='10', which the old string-cast tiebreak got
+    backwards ('}' sorts above digits)."""
+    from prom_etl_db_spark.operators.promql import resample, topk_over_time
+
+    rows = [
+        ({"k": "1"}, 5.0, -600),
+        ({"k": "10"}, 5.0, -500),  # identical daily sum
+        ({"k": "2"}, 9.0, -400),
+    ]
+    stepped = resample(_samples(spark, rows), "1 hour")
+    out = sorted(
+        topk_over_time(stepped, 3).collect(), key=lambda r: r["rnk"]
+    )
+    assert [r["labels"]["k"] for r in out] == ["2", "1", "10"]

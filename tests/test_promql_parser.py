@@ -846,3 +846,20 @@ def test_year_duration_unit(spark):
     # must evaluate (not crash with TimeParseError)
     out = eval_promql(df, "max_over_time(m[1y])", T0).collect()
     assert out[0]["value"] == 9.0
+
+
+def test_subquery_resample_duplicate_timestamps_deterministic(spark):
+    # the generic samples table has no unique event column; duplicate
+    # (series, ts) samples must resolve deterministically (max value
+    # wins) rather than by partition luck — the registry oracles order
+    # (ts DESC, value DESC) to match
+    rows = [
+        ("m", {"h": "a"}, 3, -1200),
+        ("m", {"h": "a"}, 8, -1200),  # same ts, different value
+        ("m", {"h": "a"}, 5, -300),
+        ("m", {"h": "a"}, 2, -300),
+    ]
+    df = _samples(spark, rows).repartition(8)
+    for _ in range(3):
+        out = eval_promql(df, "sum_over_time(m[1h:10m])", T0).collect()
+        assert out[0]["value"] == 13.0  # 8 (11:40 bucket) + 5 (11:55)
