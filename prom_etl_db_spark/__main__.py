@@ -61,8 +61,12 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
         try:
             with_retry(
                 run_one,
-                retry_count=cfg.retry_count,
-                retry_interval="0s" if args.no_sleep else cfg.retry_interval,
+                # NULL catalog values (schema allows them) fall back to
+                # the dataclass defaults / the reference's 5s code
+                # fallback (executor.go:372-375) instead of crashing
+                # before the first attempt with no audit record
+                retry_count=3 if cfg.retry_count is None else cfg.retry_count,
+                retry_interval="0s" if args.no_sleep else (cfg.retry_interval or "5s"),
             )
             print(f"OK    {cfg.query_id}", file=sys.stderr)
         except Exception as e:  # audited as failed already; keep going
@@ -74,7 +78,6 @@ def _cmd_run_once(args: argparse.Namespace) -> int:
 def _cmd_serve(args: argparse.Namespace) -> int:
     """The reference's service mode (cmd/server/main.go:108-212): cron
     loop over the enabled catalog, immediate first run, graceful stop."""
-    import sys as _sys
     import threading
 
     from prom_etl_db_spark.config import load_enabled
@@ -91,13 +94,13 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         print(
             "--virtual-clock requires --now-start and --max-ticks "
             "(a virtual clock with no tick bound would spin forever)",
-            file=_sys.stderr,
+            file=sys.stderr,
         )
         return 2
 
     from prom_etl_db_spark.logger import new_logger, with_component, with_count
 
-    log = with_component(new_logger(args.log_level, stream=_sys.stderr), "server")
+    log = with_component(new_logger(args.log_level, stream=sys.stderr), "server")
     spark = get_spark("serve")
     stream = _sample_stream(spark, args.sf_dir)
     configs = load_enabled(spark, args.configs)
@@ -112,19 +115,29 @@ def _cmd_serve(args: argparse.Namespace) -> int:
                 audit_path=args.audit,
                 mode=args.mode.replace("-", "_"),
             ),
-            retry_count=cfg.retry_count,
-            retry_interval="0s" if args.no_sleep else cfg.retry_interval,
+            retry_count=3 if cfg.retry_count is None else cfg.retry_count,
+            retry_interval="0s" if args.no_sleep else (cfg.retry_interval or "5s"),
         )
 
     stop = threading.Event()
     install_signal_handlers(stop)
-    start = args.now_start or datetime.now()
+    # naive-UTC wall clock: the Spark session timezone and the audit
+    # clock are pinned UTC, so a LOCAL-naive datetime.now() on a
+    # UTC+9 host would resolve every config's time range 9 hours into
+    # the future of the UTC-timestamped data — silently storing
+    # empty/wrong windows
+    from datetime import timezone as _tz
+
+    def _utcnow_naive() -> datetime:
+        return datetime.now(_tz.utc).replace(tzinfo=None)
+
+    start = args.now_start or _utcnow_naive()
     if args.virtual_clock:
         clock, sleep = advance_clock(start)
     else:
         import time as _time
 
-        clock, sleep = datetime.now, _time.sleep
+        clock, sleep = _utcnow_naive, _time.sleep
 
     def on_tick(tick):
         bound = log.bind(
@@ -165,6 +178,12 @@ def _cmd_repair(args: argparse.Namespace) -> int:
     spark = get_spark("repair")
     from prom_etl_db_spark.config import load_all
 
+    if args.start > args.end:
+        # the reference aborts here (cmd/repair/main.go:71-73); a silent
+        # empty loop would print a 0-day summary and exit 0, reading as
+        # "repair succeeded" when nothing was checked
+        print("start date must be before end date", file=sys.stderr)
+        return 2
     # deliberately NOT filtered to enabled: disabling a broken config and
     # then repairing its history is the tool's whole use case
     cfgs = [c for c in load_all(spark, args.configs) if c.query_id == args.query_id]
@@ -198,6 +217,7 @@ def _cmd_repair(args: argparse.Namespace) -> int:
         fetch_day=fetch_day,
         table_path=args.store,
         force_recompute=args.force_recompute,
+        skip_if_no_data=args.skip_if_no_data,
         dry_run=args.dry_run,
     )
     print(summary, file=sys.stderr)
@@ -286,6 +306,21 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--end", required=True, type=date.fromisoformat,
                    help="last day (ISO date)")
     b.add_argument("--force-recompute", action="store_true")
+    # reference default is skipIfNoData=TRUE (cmd/repair/main.go:36):
+    # under force-recompute, a day whose fetch returns no rows KEEPS its
+    # stored slice rather than deleting it — the safe default; opt into
+    # the destructive stale-slice delete explicitly
+    b.add_argument(
+        "--skip-if-no-data", dest="skip_if_no_data",
+        action="store_true", default=True,
+        help="keep a day's stored rows when the source returns none "
+        "(reference default)",
+    )
+    b.add_argument(
+        "--no-skip-if-no-data", dest="skip_if_no_data", action="store_false",
+        help="with --force-recompute, DELETE the stored (query_id, day) "
+        "slice when the source returns no rows",
+    )
     b.add_argument("--dry-run", action="store_true")
     b.set_defaults(fn=_cmd_repair)
 

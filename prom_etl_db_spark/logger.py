@@ -53,7 +53,10 @@ class JSONFormatter(logging.Formatter):
             "ts": datetime.fromtimestamp(record.created, tz=timezone.utc).isoformat(
                 timespec="milliseconds"
             ),
-            "level": record.levelname,
+            # slog parity: Go emits "WARN", Python's levelname is
+            # "WARNING" — a filter written against the reference format
+            # (level == "WARN") must match this engine's lines too
+            "level": "WARN" if record.levelname == "WARNING" else record.levelname,
             "msg": record.getMessage(),
             # AddSource parity (logger.go:36)
             "source": f"{record.filename}:{record.lineno}",

@@ -129,9 +129,18 @@ def epoch_seconds(ts: Column) -> Column:
 def series_key(labels: Column) -> Column:
     """Canonical series identity for a label map (SURVEY.md §7.3 risk #1).
 
-    Spark cannot ``groupBy`` a MapType; the canonical key is the JSON of the
-    map with entries sorted by key. Deterministic and groupable/joinable, and
-    usable as a MERGE key for idempotent re-ingest (A26).
+    Spark cannot ``groupBy`` a MapType; the canonical key joins the
+    sorted (key, value) entries with \\x1f/\\x1e separators.
+    Deterministic and groupable/joinable, and usable as a MERGE key for
+    idempotent re-ingest (A26) — UNDER the assumption that label text
+    never contains the \\x1f/\\x1e control characters. Prometheus label
+    values may legally contain any UTF-8, so a value embedding those
+    separators can collide with a differently-shaped label set; callers
+    needing collision-freedom against adversarial label text should key
+    on the sorted entries ARRAY itself (``_ensure_series``'s ``__series``
+    column) — this string form exists for the SQL-replayable consumers
+    (limitk ordering, limit_ratio md5 sampling), whose oracles rebuild
+    the same separator scheme.
     """
     keys = F.array_sort(F.map_keys(labels))
     pairs = F.transform(
@@ -140,7 +149,6 @@ def series_key(labels: Column) -> Column:
             k, F.lit("\x1f"), F.coalesce(F.element_at(labels, k), F.lit(""))
         ),
     )
-    # \x1f / \x1e (unit/record separators) cannot appear in label text;
     # null and empty label values collapse together — PromQL semantics
     # (absent label ≡ empty label).
     return F.array_join(pairs, "\x1e")

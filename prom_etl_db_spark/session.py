@@ -38,7 +38,11 @@ def get_spark(app_name: str = "prom-etl-db-spark", master: str | None = None) ->
         # on the shingling pipeline: 3.5 s → 22 s). A long-lived serve
         # daemon hits this within its first few ticks. 1 GB + flushing
         # keeps steady-state compiled; both knobs are no-ops for short
-        # sessions.
+        # sessions. CAVEAT: driver.memory and extraJavaOptions only take
+        # effect when getOrCreate itself SPAWNS the JVM (the plain
+        # `python -m` launch); under spark-submit/client mode the driver
+        # JVM already exists and Spark silently ignores them — pass
+        # --driver-memory / --driver-java-options there instead.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(

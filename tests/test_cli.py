@@ -189,3 +189,58 @@ def test_config_timeout_records_timeout_status(spark, tmp_path):
         )
     audits = spark.read.parquet(audit).collect()
     assert len(audits) == 1 and audits[0]["status"] == "timeout"
+
+
+def test_repair_rejects_start_after_end(spark, tmp_path, catalog, monkeypatch):
+    # reference parity (cmd/repair/main.go:71-73): a reversed range must
+    # error, not silently loop zero days and exit 0
+    import prom_etl_db_spark.__main__ as cli
+    import prom_etl_db_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda name=None: spark)
+    rc = cli.main([
+        "repair", "--configs", catalog, "--store", str(tmp_path / "m"),
+        "--sf-dir", "/root/testdata/sf0.001", "--query-id", "cli_sum",
+        "--start", "2024-02-01", "--end", "2024-01-01",
+    ])
+    assert rc == 2
+
+
+def test_repair_skip_if_no_data_defaults_true(spark, tmp_path, catalog, monkeypatch):
+    # reference default skipIfNoData=true (cmd/repair/main.go:36): under
+    # force-recompute, a day whose fetch returns NO rows keeps its
+    # stored slice unless --no-skip-if-no-data opts into the delete
+    from datetime import date as _date
+
+    import prom_etl_db_spark.__main__ as cli
+    import prom_etl_db_spark.session as sess
+    from prom_etl_db_spark.store import append_records
+    from prom_etl_db_spark.ingest import normalize_vector
+    from prom_etl_db_spark.schema import WIRE_VECTOR_SCHEMA
+
+    monkeypatch.setattr(sess, "get_spark", lambda name=None: spark)
+    store = str(tmp_path / "metrics")
+    # seed one stored day for cli_sum far OUTSIDE the fixture's data
+    # range, so the repair fetch finds no rows for it
+    day = _date(2020, 6, 1)
+    at = datetime(2020, 6, 1, 23, 59, 59)
+    wire = spark.createDataFrame(
+        [({"k": "0"}, at.timestamp(), "1.0")], WIRE_VECTOR_SCHEMA
+    )
+    pinned = datetime(2020, 6, 2)
+    append_records(
+        normalize_vector(wire, "cli_sum", now=pinned, time_expr="yesterday_end"),
+        store,
+    )
+    args = [
+        "repair", "--configs", catalog, "--store", store,
+        "--sf-dir", "/root/testdata/sf0.001", "--query-id", "cli_sum",
+        "--start", "2020-06-01", "--end", "2020-06-01", "--force-recompute",
+    ]
+    assert cli.main(args) == 0
+    assert spark.read.parquet(store).count() == 1  # default: kept
+    assert cli.main(args + ["--no-skip-if-no-data"]) == 0
+    import pathlib
+
+    part = pathlib.Path(store) / "collected_date=2020-06-01"
+    assert not part.exists()  # explicit opt-in: stale slice deleted

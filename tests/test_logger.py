@@ -74,3 +74,16 @@ def test_reconfigure_is_idempotent_no_duplicate_lines():
     lg = new_logger("info", name="t_idem", stream=buf)
     lg.info("once")
     assert len(_lines(buf)) == 1
+
+
+def test_warn_level_matches_go_slog():
+    import io
+    import json
+
+    from prom_etl_db_spark.logger import new_logger
+
+    buf = io.StringIO()
+    log = new_logger("warn", stream=buf)
+    log.warning("careful")
+    line = json.loads(buf.getvalue().splitlines()[-1])
+    assert line["level"] == "WARN"  # slog parity, not Python's "WARNING"
