@@ -5370,16 +5370,63 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_learned_merges")  # rows-only: iterative global argmax (see docstring)
+@register(
+    "bpe_learned_merges",
+    oracle=r"""
+WITH RECURSIVE words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), vocab0 AS (
+  -- Each word as ' t1  t2 ... tn ' (single-space wrap, double-space
+  -- separators). Tokens come from a \s+ split so they can never contain
+  -- whitespace, making the encoding unambiguous.
+  SELECT list(struct_pack(freq := freq,
+    s := ' ' || array_to_string(
+           list_append(list_filter(string_split(w, ''), x -> x != ''), '</w>'),
+           '  ') || ' ')) AS vocab
+  FROM words
+), steps AS (
+  SELECT 0 AS i, CAST(NULL AS STRUCT(a VARCHAR, b VARCHAR)) AS w, vocab FROM vocab0
+  UNION ALL
+  -- replace() is left-to-right non-overlapping = the trainer's greedy
+  -- carry-fold; the wrapping spaces survive every substitution so token
+  -- boundaries stay intact ([a,a,a,a] -> [aa,aa], not [aa,a,a]).
+  SELECT i + 1, win,
+    list_transform(vocab, v -> struct_pack(freq := v.freq,
+      s := replace(v.s, ' ' || win.a || '  ' || win.b || ' ',
+                        ' ' || win.a || win.b || ' ')))
+  FROM (
+    SELECT i, vocab,
+      (SELECT struct_pack(a := l, b := r)
+       FROM (
+         SELECT tk[x] AS l, tk[x+1] AS r, sum(freq) AS n
+         FROM (SELECT u.freq AS freq,
+                      string_split(trim(u.s, ' '), '  ') AS tk
+               FROM unnest(vocab) AS t(u)),
+              unnest(range(1, len(tk))) AS g(x)
+         GROUP BY 1, 2)
+       ORDER BY n DESC, l, r LIMIT 1) AS win
+    FROM steps WHERE i < 10
+  )
+)
+SELECT CAST(i AS BIGINT) AS rank, w.a AS left_tok, w.b AS right_tok,
+       w.a || w.b AS merged
+FROM steps WHERE i >= 1 ORDER BY rank
+""",
+)
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (`text.bpe_train`, Sennrich
-    2016): 10 learned merge rules over the documents corpus. Rows-only by
-    design — each round's winning pair feeds the next round's
-    tokenization state, the same iterative-global-state shape as the IVF
-    index build; the verification story is `bpe_pair_counts` (the
-    pair-counting core, driver hash-checked) plus exact-equality unit
-    tests against a from-scratch local reference including the
-    self-merge-run edge case."""
+    2016): 10 learned merge rules over the documents corpus. The oracle
+    replays the trainer exactly as a DuckDB recursive CTE over the
+    collapsed word vocab (the Holt-recurrence oracle technique): each
+    recursion step recomputes frequency-weighted pair counts, takes the
+    (count desc, pair asc) argmax, and applies the merge via a
+    space-delimited string replace — left-to-right non-overlapping
+    replacement IS the trainer's greedy carry-fold because tokens are
+    whitespace-free by construction. Also exact-equality unit-tested
+    against a from-scratch local reference including the self-merge-run
+    edge case."""
     docs = _t(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, 10)
     return spark.createDataFrame(
@@ -5649,73 +5696,30 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # Round-3 must-verify block — oracles fixed or never driver-checked:
-    "doc_sequence_packing",  # r2 RED (oracle HUGEINT), CAST-fixed this round
-    "curation_pipeline",  # r2 RED (oracle HUGEINT), CAST-fixed this round
-    "promql_absent",  # oracle literal re-cast DECIMAL->DOUBLE this round
-    "simhash_signatures",  # bit-exact oracle (r2) was at slot 51 — never gated
-    # New in round 3 (never had a driver row) — uncommented as each lands:
-    "minhash_signatures",
-    "multimodal_png_pixels",
-    "promql_rate_range_wide",
-    "sessionize_events",
-    "events_window_funnel",
-    "promql_histogram_fraction",
-    "promql_topk_over_time",
-    "doc_paragraph_dedup",
-    "doc_exact_substring_dups",
-    "doc_zipf_token_stats",
-    "doc_ccnet_perplexity_buckets",
-    "doc_minhash_jaccard_est",
-    "embedding_sq8_codes",
-    "promql_parsed_histogram_fraction",
-    "promql_parsed_scalar_share",
-    "promql_first_last_ts",
-    "promql_ts_of_extremes",
-    "promql_delta_range",
-    "doc_paragraph_dedup_rewrite",
-    "embedding_pq_codes",
-    "similarity_topk_pq",
-    "events_cohort_retention",
-    "tpch_q18_large_orders",
-    "multimodal_gif_pixels",
-    "audio_signal_features",
-    "video_frame_sampling",
-    "events_rollup_cube",
-    "events_cdc_latest",
-    "heavy_hitters_topk",
-    "bpe_pair_counts",
+    # --- Round-4 must-verify block -----------------------------------
+    # bpe_learned_merges: the ONLY r3 err row — now carries a recursive-
+    # CTE DuckDB oracle replaying the merge loop (VERDICT r3 task #1).
     "bpe_learned_merges",
-    "similarity_topk_ivfpq",
-    "promql_histquant_range",
-    "corpus_temperature_mix",
-    "promql_absent_range",
-    "tpch_q10_returned_items",
-    "tpch_q4_late_orders",
-    "tpch_q14_promo_revenue",
-    # Rows-only → oracle-checked upgrades (round 3, never driver-gated):
-    "minhash_band_pairs",
-    "hll_cardinality",
-    "quantile_histogram_sketch",
-    "countmin_user_counts",
-    "bloom_purchaser_membership",
-    "dq_events_expectations",
-    "events_value_psi",
-    "decontam_bloom_prefilter",
+    # The six queries with zero driver rows across r1-r3 (VERDICT task
+    # #2) — the whole sliding-window family plus sign-LSH codes:
     "promql_sliding_window_aggs",
     "promql_sliding_extremes",
     "promql_sliding_quantile",
     "promql_sliding_changes",
     "promql_sliding_deriv",
     "embedding_signlsh_codes",
-    "similarity_topk_ivf",
-    # Rows-only-by-design entries (no SQL oracle exists — each now has an
-    # oracle-checked deterministic twin above): keep in window so the
-    # rows>0 evidence refreshes each round.
-    "minhash_lsh_pairs",
-    "embedding_neardup_lsh",
-    "cardinality_sketches",
-    # Round-1-green entries never re-checked since r1 — regression slots:
+    # Semantically changed late in r3 AFTER the r3 gate ran (ADVICE.md
+    # item 1) — re-verify on the driver:
+    "asof_click_before_purchase",  # both-side click pre-dedup
+    "promql_limit_ops",  # NULL-k skey coalesce
+    "similarity_topk_ivf",  # driver row only in r2; IVF twin anchor
+    # New in round 4 — uncommented here as each lands with its oracle:
+    # "multimodal_jpeg_pixels",
+    # "multimodal_png_palette_pixels",
+    # "multimodal_png_interlaced_pixels",
+    # "promql_parsed_numeric_escapes",
+    # Round-1-green entries never re-checked since r1 — regression slots
+    # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_over_time",
@@ -5758,6 +5762,14 @@ def _apply_gate_priority() -> None:
     if missing:  # a rename above must be reflected here, loudly
         raise KeyError(f"_GATE_PRIORITY names not registered: {missing}")
     ordered = _GATE_PRIORITY + [n for n in QUERIES if n not in set(_GATE_PRIORITY)]
+    # The driver gate samples the FIRST 50 entries; a no-oracle query in
+    # that window records an `err: no_oracle` row (the one r3 blemish).
+    # Keep rows-only-by-design entries (their oracle-checked twins ARE in
+    # the window) strictly past slot 50, and fail loudly if reordering or
+    # new registrations ever let one drift in.
+    bad = [n for n in ordered[:50] if n not in ORACLES]
+    if bad:
+        raise AssertionError(f"no-oracle queries inside the gate window: {bad}")
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({n: snapshot[n] for n in ordered})
