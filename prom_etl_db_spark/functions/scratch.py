@@ -15,6 +15,16 @@ Contract: operators register every internal ``persist()`` via
 tick) call :func:`release_scratch` when the job's actions are done.
 Forgetting to release degrades to the old behavior (leak until
 ``spark.catalog.clearCache()``), never to a wrong answer.
+
+Scoping: registration is keyed by the REGISTERING THREAD — the plan is
+built (and its actions usually run) on the thread that called the
+operator, so the thread is the job token. ``release_scratch`` frees
+only the calling thread's frames plus frames whose registering thread
+has exited (a serve tick's pool workers are dead by the tick-boundary
+release; their frames must not outlive the tick). A process-global
+release would let one job's boundary silently unpersist a cache a
+concurrent job on another thread is mid-way through reusing — safe but
+defeating the persist().
 """
 
 from __future__ import annotations
@@ -24,23 +34,39 @@ import threading
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-_SCRATCH: list[DataFrame] = []
+# thread ident -> (thread object, frames). The Thread object both
+# detects liveness and disambiguates ident reuse after a thread exits.
+_SCRATCH: dict[int, tuple[threading.Thread, list[DataFrame]]] = {}
 
 
 def scratch(df: DataFrame) -> DataFrame:
     """Register an operator-internal persisted frame for deferred
     cleanup and return it unchanged (wraps ``x.persist()`` call sites)."""
+    t = threading.current_thread()
     with _LOCK:
-        _SCRATCH.append(df)
+        ent = _SCRATCH.get(t.ident)
+        if ent is None or ent[0] is not t:
+            # fresh bucket; fold in any frames stranded under a reused
+            # ident (their thread is gone — release with this bucket)
+            _SCRATCH[t.ident] = ent = (t, [] if ent is None else ent[1])
+        ent[1].append(df)
     return df
 
 
-def release_scratch() -> int:
-    """Unpersist every registered scratch frame (non-blocking) and
-    return how many were released. Safe to call at any time: plans that
-    still reference a released frame recompute instead of failing."""
+def release_scratch(*, all_threads: bool = False) -> int:
+    """Unpersist the calling thread's registered scratch frames — plus
+    frames registered by threads that have since exited — and return how
+    many were released (non-blocking). ``all_threads=True`` frees
+    everything regardless of owner (process shutdown / tests). Safe to
+    call at any time: plans that still reference a released frame
+    recompute instead of failing."""
+    me = threading.current_thread()
+    frames: list[DataFrame] = []
     with _LOCK:
-        frames, _SCRATCH[:] = list(_SCRATCH), []
+        for ident, (t, fs) in list(_SCRATCH.items()):
+            if all_threads or t is me or not t.is_alive():
+                frames.extend(fs)
+                del _SCRATCH[ident]
     n = 0
     for df in frames:
         try:

@@ -80,7 +80,7 @@ _TOKEN_RE = re.compile(
   | (?P<DURATION>\d+(?:\.\d+)?(?:ms|[smhdwy])(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))*)
   | (?P<NUM>\d+\.\d+|\d+|\.\d+)
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|`[^`]*`)
   | (?P<OP>=~|!~|==|!=|<=|>=|[-+*/%^<>=])
   | (?P<PUNCT>[(){}\[\],:@])
     """,
@@ -103,13 +103,31 @@ _ESCAPES = {
 }
 
 
+def _take_digits(body: str, i: int, n: int, base: int, esc: str) -> int:
+    """Read exactly ``n`` digits of ``base`` starting at ``body[i]``;
+    Go's strconv rejects short runs (``"\\x4"`` is invalid, not ``\\x``
+    + ``4``)."""
+    run = body[i : i + n]
+    digits = "01234567" if base == 8 else "0123456789abcdefABCDEF"
+    if len(run) < n or any(d not in digits for d in run):
+        raise PromQLError(f"invalid \\{esc} escape in string literal")
+    return int(run, base)
+
+
 def _unquote(text: str) -> str:
-    """String literal token → value, applying Go escape rules (the family
-    Prometheus strings use). Bare ``text[1:-1]`` would keep raw
-    backslashes — ``{job="a\\"b"}`` would then match the 3-char string
-    ``a\\"b`` and regex matchers would double every escape. Unknown
-    escapes raise, like Prometheus's parser (``"\\."`` is invalid there
-    too — regexes spell it ``"\\\\."``)."""
+    """String literal token → value, applying Go strconv.Unquote rules
+    (the family Prometheus strings use): the single-char escapes plus
+    ``\\xNN``, ``\\uNNNN``, ``\\UNNNNNNNN`` and 3-digit octal, and
+    backquoted raw strings (no escape processing at all). Bare
+    ``text[1:-1]`` would keep raw backslashes — ``{job="a\\"b"}`` would
+    then match the 3-char string ``a\\"b`` and regex matchers would
+    double every escape. Unknown escapes raise, like Prometheus's parser
+    (``"\\."`` is invalid there too — regexes spell it ``"\\\\."``).
+    One documented divergence (DIVERGENCES.md): ``\\x``/octal values
+    over 0x7F become the code point chr(N) where Go inserts a raw
+    (non-UTF-8) byte Python strings cannot hold."""
+    if text[0] == "`":
+        return text[1:-1]  # Go raw string: backslashes are literal
     body = text[1:-1]
     out: list[str] = []
     i = 0
@@ -118,9 +136,31 @@ def _unquote(text: str) -> str:
         if c == "\\":
             i += 1
             e = body[i]  # the lexer guarantees a char follows every \
-            if e not in _ESCAPES:
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+            elif e == "x":
+                out.append(chr(_take_digits(body, i + 1, 2, 16, "x")))
+                i += 2
+            elif e == "u":
+                cp = _take_digits(body, i + 1, 4, 16, "u")
+                if 0xD800 <= cp <= 0xDFFF:  # Go rejects surrogate runes
+                    raise PromQLError("invalid \\u escape in string literal")
+                out.append(chr(cp))
+                i += 4
+            elif e == "U":
+                cp = _take_digits(body, i + 1, 8, 16, "U")
+                if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                    raise PromQLError("invalid \\U escape in string literal")
+                out.append(chr(cp))
+                i += 8
+            elif e in "01234567":
+                v = _take_digits(body, i, 3, 8, e)
+                if v > 255:
+                    raise PromQLError("invalid octal escape in string literal")
+                out.append(chr(v))
+                i += 2
+            else:
                 raise PromQLError(f"unsupported escape \\{e} in string literal")
-            out.append(_ESCAPES[e])
         else:
             out.append(c)
         i += 1

@@ -9,6 +9,7 @@ pushes predicates and prunes columns into the scan (verify with
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 from functools import lru_cache
 
@@ -57,6 +58,14 @@ _PLAN_ROOTS: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" =
     weakref.WeakKeyDictionary()
 )
 
+# The nanos read below temporarily mutates SESSION-WIDE conf; two
+# concurrent load_table calls (serve's parallel tick threads) could
+# otherwise interleave set/analyze/restore — letting a non-nanos read
+# analyze with the flag on (harmless) or a nanos read analyze with it
+# cleared (AnalysisException at plan time). One module lock serializes
+# only the conf-mutating window; cached plan-root hits never take it.
+_NANOS_CONF_LOCK = threading.Lock()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Plain parquet scan — no data caching, no
@@ -82,19 +91,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # analyzed plan, after which the session conf is restored —
         # leaving it set would make every LATER nanos read in the
         # session silently yield raw longs outside this conversion path.
+        # The lock serializes the whole set/analyze/restore window
+        # against concurrent load_table threads (ADVICE r3).
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "true")
-        try:
-            df = spark.read.parquet(path)
-            for c in ns_cols:
-                df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-            df.schema  # force analysis while the flag is on
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        with _NANOS_CONF_LOCK:
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "true")
+            try:
+                df = spark.read.parquet(path)
+                for c in ns_cols:
+                    df = df.withColumn(
+                        c, F.expr(f"timestamp_micros({c} DIV 1000)")
+                    )
+                df.schema  # force analysis while the flag is on
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
     cache[key] = df
     return df
 

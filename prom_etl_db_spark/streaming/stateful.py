@@ -161,6 +161,14 @@ def run_counter_stream(
 
 # -- streaming window funnel -------------------------------------------------
 
+# UPGRADE NOTE (r3): the state schema changed shape (starts ->
+# prev_t/settled/pending). applyInPandasWithState persists state rows
+# under the OLD schema inside existing checkpoints and cannot migrate
+# them — restarting a funnel stream over a pre-r3 checkpoint directory
+# fails (or worse, misreads state). Funnel streams upgraded across that
+# boundary need a FRESH checkpoint directory; the stream re-derives
+# state from the source's retained history. (Other stateful ops here
+# kept their schemas.)
 FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("prev_t", LongType(), True),

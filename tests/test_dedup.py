@@ -588,9 +588,9 @@ def test_scratch_release_frees_operator_caches(spark):
     # ContextCleaner, which made any whole-session census racy
     from prom_etl_db_spark.functions import scratch as scratch_mod
 
-    release_scratch()  # drain earlier tests' registrations
+    release_scratch(all_threads=True)  # drain earlier tests' registrations
     dedup.minhash_band_dup_pairs_md5(docs, threshold=0.0).collect()
-    frames = list(scratch_mod._SCRATCH)
+    frames = [f for _, fs in scratch_mod._SCRATCH.values() for f in fs]
     assert len(frames) >= 2  # base shingles + banded triples registered
     assert all(
         f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames
@@ -601,6 +601,43 @@ def test_scratch_release_frees_operator_caches(spark):
         not (f.storageLevel.useMemory or f.storageLevel.useDisk)
         for f in frames
     )
+
+
+def test_scratch_release_is_scoped_to_the_calling_job(spark):
+    """One job's boundary release must NOT unpersist a concurrent job's
+    live caches (ADVICE r3): frames registered by a still-running other
+    thread survive; frames from exited threads are reaped."""
+    import threading
+
+    from prom_etl_db_spark.functions import scratch as scratch_mod
+    from prom_etl_db_spark.functions.scratch import release_scratch, scratch
+
+    release_scratch(all_threads=True)
+    df_other = spark.range(4).persist()
+    df_other.count()
+    hold = threading.Event()
+    started = threading.Event()
+
+    def other_job():
+        scratch(df_other)
+        started.set()
+        hold.wait(timeout=30)
+
+    t = threading.Thread(target=other_job)
+    t.start()
+    started.wait(timeout=30)
+    try:
+        df_mine = scratch(spark.range(3).persist())
+        df_mine.count()
+        assert release_scratch() == 1  # only my frame
+        assert df_other.storageLevel.useMemory  # other job untouched
+    finally:
+        hold.set()
+        t.join(timeout=30)
+    # the other thread has exited without releasing: the next boundary
+    # release reaps its stranded frames so they cannot leak
+    assert release_scratch() == 1
+    assert not df_other.storageLevel.useMemory
 
 
 def test_exact_dedup_survivor_is_one_row_not_stitched(spark):

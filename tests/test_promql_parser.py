@@ -772,6 +772,32 @@ def test_string_literals_unescape():
         parse(r'x{l="a\.b"}')  # invalid in Prometheus too
 
 
+def test_string_literals_numeric_escapes():
+    # Go strconv.Unquote numeric forms: \xNN, \uNNNN, \UNNNNNNNN, \NNN
+    assert parse(r'x{l="\x41é\U0001F600\101"}').matchers[0][2] == (
+        "Aé\U0001F600A"
+    )
+    # exactly-N-digit rule: a short run is an error, not a shorter escape
+    for bad in (r'x{l="\x4"}', r'x{l="\u00e"}', r'x{l="\U0001F60"}',
+                r'x{l="\7"}', r'x{l="\xzz"}'):
+        with pytest.raises(PromQLError, match="invalid"):
+            parse(bad)
+    with pytest.raises(PromQLError, match="invalid"):
+        parse(r'x{l="\ud800"}')  # surrogate rune, rejected like Go
+    with pytest.raises(PromQLError, match="invalid"):
+        parse(r'x{l="\U00110000"}')  # beyond U+10FFFF
+    with pytest.raises(PromQLError, match="invalid"):
+        parse(r'x{l="\400"}')  # octal > 255
+
+
+def test_string_literals_backquote_raw():
+    # Go raw strings: no escape processing at all (Prometheus accepts
+    # `...` anywhere a quoted string is valid)
+    s = parse(r'x{l=~`a\.b`}')
+    assert s.matchers[0][2] == r"a\.b"
+    assert parse('x{l=`plain`}').matchers[0][2] == "plain"
+
+
 def test_escaped_regex_matcher_matches_literal_dot(spark):
     df = _samples(
         spark,
