@@ -5,11 +5,12 @@ metadata struct. The Spark-side machinery — schema, partition-preserving
 ``mapInPandas``, Arrow batch shapes, deterministic outputs — is real and
 tested. Codecs: 24-bit BMP, 8-bit PNG (stdlib zlib inflate + full
 None/Sub/Up/Average/Paeth filter reconstruction), GIF89a (variable-width
-LZW implemented from scratch) and PCM-16 WAV decode/encode/resize/
-decimate FULLY from raw bytes here (no libraries needed), and JPEG
-header metadata parses for real; only lossy entropy-coded
-data (JPEG bitmaps, MP3, video) remains behind ``real_decode``'s
-``NotImplementedError`` until Pillow/pyav exist on the cluster —
+LZW implemented from scratch), baseline-sequential JPEG (from-scratch
+Huffman + dequant + IDCT + YCbCr, `functions/jpeg.py` — r4, closing the
+last lossy-image stub) and PCM-16 WAV decode/encode/resize/decimate
+FULLY from raw bytes here (no libraries needed); only non-image lossy
+media (MP3 audio, video containers) remains behind ``real_decode``'s
+``NotImplementedError`` until torchaudio/pyav exist on the cluster —
 ``decode_features`` substitutes a deterministic fake for those.
 """
 
@@ -48,6 +49,7 @@ __all__ = [
     "png_pixels",
     "decode_png",
     "png_roundtrip_features",
+    "jpeg_roundtrip_features",
     "encode_gif",
     "gif_pixels",
     "decode_gif",
@@ -92,9 +94,10 @@ FRAME_SCHEMA = StructType(
 def real_decode(payload: bytes, kind: str):
     """The real codec hook. BMP, PNG (zlib inflate + filter
     reconstruction, stdlib only — see png_pixels), GIF (from-scratch LZW —
-    see gif_pixels) and WAV decode HERE, fully, from raw bytes;
-    lossy/entropy-coded formats (JPEG, MP3, video) still need
-    Pillow/torchaudio/pyav wired on a real cluster — ``decode_features``
+    see gif_pixels), baseline JPEG (from-scratch Huffman/IDCT —
+    ``functions.jpeg``) and WAV decode HERE, fully, from raw bytes;
+    non-image lossy media (MP3, video containers) still needs
+    torchaudio/pyav wired on a real cluster — ``decode_features``
     substitutes a deterministic fake for those."""
     if kind == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -104,8 +107,12 @@ def real_decode(payload: bytes, kind: str):
         return decode_wav(payload)
     if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        from prom_etl_db_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "lossy-media decode (JPEG/MP3/video) requires an image/audio "
+        "lossy audio/video decode (MP3, video containers) requires a "
         "library not present in this environment; decode_features uses a "
         "deterministic fake for those formats"
     )
@@ -552,6 +559,63 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "media_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def jpeg_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 graduated for JPEG (the LOSSY codec, r4): per document a real
+    baseline JPEG is encoded from closed-form per-8×8-block constant
+    Y/Cb/Cr planes with flat (all-ones) quantization and a 2-MCU restart
+    interval, then fully DECODED (marker walk, DHT Huffman, restart
+    resync, dequant, IDCT, YCbCr→RGB) inside partition-preserving
+    mapInPandas. Blockwise-constant input + flat tables make the lossy
+    pipeline BIT-EXACT (only the DC coefficient is nonzero and 8·(v−128)
+    quantizes losslessly), so the closed forms stay SQL-expressible and
+    the DuckDB oracle hash-checks the entire entropy-coding algebra —
+    a single wrong Huffman bit, restart reset, or IDCT scale factor
+    shifts a channel mean and breaks the hash."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                wb, hb = mid % 3 + 1, mid % 2 + 1
+                bxs, bys = np.arange(wb), np.arange(hb)
+                y = (mid * 3 + 5 * bxs[None, :] + 7 * bys[:, None]) % 256
+                cb = (mid * 11 + 4 * bxs[None, :] + 6 * bys[:, None]) % 256
+                cr = (mid * 13 + 2 * bxs[None, :] + 3 * bys[:, None]) % 256
+                planes = np.stack(
+                    [np.broadcast_to(c, (hb, wb)) for c in (y, cb, cr)], axis=-1
+                )
+                px = np.repeat(np.repeat(planes, 8, axis=0), 8, axis=1)
+                data = encode_jpeg(
+                    px.astype(np.uint8),
+                    color="ycbcr",
+                    qtables="flat",
+                    restart_interval=2,
+                )
+                f = decode_jpeg(data)
+                out["media_id"].append(mid)
+                out["width"].append(f["width"])
+                out["height"].append(f["height"])
+                out["mean_r"].append(round(f["mean_r"], 6))
+                out["mean_g"].append(round(f["mean_g"], 6))
+                out["mean_b"].append(round(f["mean_b"], 6))
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, JPEG_ROUNDTRIP_SCHEMA
     )
 
 

@@ -1572,6 +1572,58 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_pixels",
+    oracle="""
+WITH blk AS (
+  SELECT d.doc_id, bx.range AS bx, by.range AS by,
+         d.doc_id % 3 + 1 AS wb, d.doc_id % 2 + 1 AS hb
+  FROM documents d CROSS JOIN range(3) bx CROSS JOIN range(2) by
+  WHERE bx.range < d.doc_id % 3 + 1 AND by.range < d.doc_id % 2 + 1
+), comp AS (
+  SELECT doc_id, wb, hb,
+         CAST((doc_id * 3 + 5 * bx + 7 * by) % 256 AS DOUBLE) AS y,
+         CAST((doc_id * 11 + 4 * bx + 6 * by) % 256 AS DOUBLE) AS cb,
+         CAST((doc_id * 13 + 2 * bx + 3 * by) % 256 AS DOUBLE) AS cr
+  FROM blk
+), rgb AS (
+  -- the decoder's JFIF floats with floor(x+0.5) rounding, verbatim
+  SELECT doc_id, wb, hb,
+         least(255, greatest(0, floor(
+           y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+         least(255, greatest(0, floor(
+           y - CAST(0.344136 AS DOUBLE) * (cb - 128)
+             - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+         least(255, greatest(0, floor(
+           y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM comp
+)
+SELECT doc_id AS media_id,
+       CAST(min(wb) * 8 AS INT) AS width,
+       CAST(min(hb) * 8 AS INT) AS height,
+       round(avg(r), 6) AS mean_r,
+       round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b
+FROM rgb GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL baseline-JPEG decode, stdlib+numpy — closes r3's lossy
+    stub, VERDICT task #3): per document, encode a valid baseline JPEG
+    of closed-form per-block-constant Y/Cb/Cr with flat quantization and
+    restart markers every 2 MCUs, then fully decode it back — Huffman
+    entropy decode off the file's own DHT, restart resync + DC predictor
+    resets, dequantize, un-zigzag, IDCT, YCbCr→RGB — in mapInPandas.
+    Blockwise-constant input + all-ones tables make the lossy pipeline
+    bit-exact, so the oracle recomputes the expected RGB means in SQL
+    and the driver hash-checks the whole entropy-coding algebra. The
+    decoder also passes a known-vector test against a hand-assembled
+    from-the-spec JPEG (tests/test_multimodal.py), proving interop
+    rather than mere self-consistency."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_roundtrip_features(docs)
+
+
+@register(
     "multimodal_gif_pixels",
     oracle="""
 WITH px AS (
@@ -5714,7 +5766,7 @@ _GATE_PRIORITY = [
     "promql_limit_ops",  # NULL-k skey coalesce
     "similarity_topk_ivf",  # driver row only in r2; IVF twin anchor
     # New in round 4 — uncommented here as each lands with its oracle:
-    # "multimodal_jpeg_pixels",
+    "multimodal_jpeg_pixels",
     # "multimodal_png_palette_pixels",
     # "multimodal_png_interlaced_pixels",
     # "promql_parsed_numeric_escapes",

@@ -155,3 +155,125 @@ def test_audio_features_zero_sample_rate_and_multi_data_chunk():
     assert f["rms"] == 7.0          # decode_wav: last chunk
     assert f["peak"] == 7.0         # features: SAME chunk
     assert f["zcr"] == 0.0          # constant signal never crosses zero
+
+
+# -- JPEG (baseline sequential, functions/jpeg.py — round 4) ----------------
+
+
+def test_jpeg_known_vector_hand_assembled_from_spec():
+    """Interop proof independent of our encoder: a minimal 8x8 grayscale
+    baseline JPEG hand-assembled from ITU-T T.81 — Annex-K tables in the
+    DHT, all-ones DQT, and the TWO entropy bytes computed by hand from
+    the canonical code construction (DC cat5='110' + 16='10000' +
+    EOB='1010', padded with 1s -> 0xD0 0xAF). If the decoder's canonical
+    Huffman assignment, MSB-first bit order, EXTEND, dequant or IDCT
+    scale were wrong, these bytes would not decode to a flat 130."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import _AC_LUM, _DC_LUM, jpeg_pixels
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    data = b"\xff\xd8"
+    data += marker(0xDB, bytes([0x00]) + bytes([1] * 64))
+    data += marker(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    data += marker(0xC4, bytes([0x00] + _DC_LUM[0] + _DC_LUM[1]))
+    data += marker(0xC4, bytes([0x10] + _AC_LUM[0] + _AC_LUM[1]))
+    data += marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += bytes([0xD0, 0xAF])  # hand-computed entropy data (see above)
+    data += b"\xff\xd9"
+    px = jpeg_pixels(data)
+    assert px.shape == (8, 8)
+    assert np.array_equal(px, np.full((8, 8), 130, dtype=np.uint8))
+    # the flat-128 twin: DC cat0='00' + EOB='1010', padded -> 0x2B
+    data128 = data.replace(bytes([0xD0, 0xAF]), bytes([0x2B]))
+    assert np.array_equal(jpeg_pixels(data128), np.full((8, 8), 128, np.uint8))
+
+
+def test_jpeg_roundtrip_blockwise_constant_is_bit_exact():
+    """Flat qtables + per-8x8-block constants: only the DC coefficient is
+    nonzero and 8*(v-128) quantizes losslessly, so decode(encode(px)) is
+    EXACT — across multi-block DC prediction chains, restart resets and
+    both the grayscale and direct-YCbCr component paths."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg, jpeg_pixels
+
+    rng = np.random.default_rng(42)
+    for _ in range(4):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        blocks = rng.integers(0, 256, (bh, bw))
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        out = jpeg_pixels(
+            encode_jpeg(px, qtables="flat", restart_interval=2)
+        )
+        assert np.array_equal(out, px)
+    # ycbcr path: decoded RGB equals the closed-form color transform
+    blocks = rng.integers(0, 256, (2, 3, 3))
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.float64)
+    out = jpeg_pixels(
+        encode_jpeg(px.astype(np.uint8), color="ycbcr", qtables="flat",
+                    restart_interval=2)
+    )
+    y, cb, cr = px[..., 0], px[..., 1], px[..., 2]
+    exp = np.stack(
+        [y + 1.402 * (cr - 128.0),
+         y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+         y + 1.772 * (cb - 128.0)], axis=-1)
+    exp = np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_subsampled():
+    """Real lossy behavior: arbitrary images survive encode/decode within
+    quantization-error bounds (flat tables: every coefficient rounds by
+    <=0.5 -> small pixel error); 4:2:0 chroma subsampling of a constant
+    color is exact; odd (non-MCU-aligned) dimensions crop correctly."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg, jpeg_pixels
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (21, 27)).astype(np.uint8)  # odd dims
+    out = jpeg_pixels(encode_jpeg(px, qtables="flat"))
+    assert out.shape == (21, 27)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 5
+    const = np.full((20, 22, 3), (64, 128, 192), np.uint8)
+    out420 = jpeg_pixels(
+        encode_jpeg(const, subsampling="420", qtables="flat")
+    )
+    assert np.array_equal(out420, const)
+    # standard tables on a gentle ramp: visually-lossless regime
+    ys, xs = np.mgrid[0:24, 0:25]
+    ramp = np.stack([100 + xs, 80 + ys // 2, 60 + (xs + ys) // 3],
+                    -1).astype(np.uint8)
+    outr = jpeg_pixels(encode_jpeg(ramp))
+    assert np.abs(outr.astype(int) - ramp.astype(int)).mean() < 3.0
+
+
+def test_jpeg_refuses_unsupported_processes():
+    import numpy as np
+    import pytest
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg, jpeg_pixels
+
+    data = bytearray(encode_jpeg(np.full((8, 8), 90, np.uint8)))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rebrand the frame as progressive
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        jpeg_pixels(bytes(data))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_pixels(b"\x00\x01")
+
+
+def test_jpeg_real_decode_wired_into_media_hook():
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+    from prom_etl_db_spark.functions.multimodal import real_decode
+
+    px = np.full((16, 8, 3), (10, 200, 30), np.uint8)
+    f = real_decode(encode_jpeg(px, qtables="flat"), "image")
+    assert f["format"] == "jpeg" and (f["width"], f["height"]) == (8, 16)
+    assert abs(f["mean_g"] - 200) <= 2  # color transform roundtrip
