@@ -49,6 +49,10 @@ __all__ = [
     "png_pixels",
     "decode_png",
     "png_roundtrip_features",
+    "encode_png_palette",
+    "encode_png_interlaced",
+    "png_palette_roundtrip_features",
+    "png_interlaced_roundtrip_features",
     "jpeg_roundtrip_features",
     "encode_gif",
     "gif_pixels",
@@ -412,63 +416,140 @@ def encode_png(px) -> bytes:
     )
 
 
-def png_pixels(payload: bytes):
-    """REAL PNG pixel decode, stdlib only: walk the chunk list, inflate
-    the concatenated IDAT stream with ``zlib``, and reconstruct every row
-    through the five PNG filters (None/Sub/Up/Average/Paeth — the Paeth
-    predictor per RFC 2083). Returns a top-down (h, w, channels) uint8
-    array. Supports the 8-bit non-interlaced formats a training pipeline
-    ships (grayscale 0, truecolor 2, truecolor+alpha 6); palette/16-bit/
-    interlaced raise ValueError (quarantine is the caller's concern,
-    A12 stance).
+def _png_pack_row(samples, depth: int) -> bytes:
+    """(width,) index samples -> packed row bytes, MSB-first (the writer
+    twin of ``_png_unpack_row``)."""
+    import numpy as np
 
-    The per-row reconstruction is a Python loop (Sub/Average/Paeth are
-    serial in the left neighbor by definition); rows themselves use
-    bytearray arithmetic. Pipelines decode thumbnails/tiles inside
-    Arrow-batched mapInPandas, so the loop bounds are image height, not
-    corpus size."""
+    samples = np.asarray(samples, dtype=np.uint8)
+    if depth == 8:
+        return samples.tobytes()
+    bits = (
+        (samples[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def encode_png_palette(indices, palette, depth: int = 8) -> bytes:
+    """A real, valid indexed-color PNG writer (color type 3, PLTE) at
+    depth 1/2/4/8 from a top-down (h, w) index array + (n, 3) palette —
+    the fixture generator for the palette decode oracle. Rows use filter
+    0 (sub-byte rows filter on PACKED bytes, so nontrivial filters would
+    test byte arithmetic, not the unpack path this exists to verify)."""
     import zlib
 
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    w = h = None
-    bpp = None
-    idat = bytearray()
-    i = 8
-    while i + 8 <= len(payload):
-        size = int.from_bytes(payload[i : i + 4], "big")
-        ctype = payload[i + 4 : i + 8]
-        body = payload[i + 8 : i + 8 + size]
-        if ctype == b"IHDR":
-            w = int.from_bytes(body[0:4], "big")
-            h = int.from_bytes(body[4:8], "big")
-            depth, color, _comp, _filt, interlace = body[8:13]
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if depth != 8 or channels is None or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, color={color}, "
-                    f"interlace={interlace})"
-                )
-            bpp = channels
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        i += 12 + size
-    if w is None or bpp is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    data = zlib.decompress(bytes(idat))
-    stride = w * bpp
-    if len(data) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = bytearray(stride)
-    pos = 0
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if int(idx.max(initial=0)) >= len(pal) or len(pal) > (1 << depth):
+        raise ValueError("palette index/depth out of range")
+    lines = bytearray()
     for y in range(h):
+        lines.append(0)
+        lines += _png_pack_row(idx[y], depth)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes((depth, 3, 0, 0, 0))
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced(px) -> bytes:
+    """A real, valid Adam7-INTERLACED 8-bit truecolor PNG writer from a
+    top-down (h, w, 3) array: the image splits into the seven pass
+    sub-images, each filtered per-row cycling through all five filter
+    types (like ``encode_png``), then one deflate stream. The decoder
+    must defilter each pass independently and scatter it back on the
+    Adam7 grid — the fixture generator for the interlace oracle."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    bpp = 3
+    lines = bytearray()
+    for x0, dx, y0, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        raw = sub.reshape(hp, wp * bpp).astype(np.int16)
+        prev = np.zeros(wp * bpp, dtype=np.int16)
+        for y in range(hp):
+            row = raw[y]
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            f = y % 5
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = row - left
+            elif f == 2:
+                filt = row - prev
+            elif f == 3:
+                filt = row - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                filt = row - pred
+            lines.append(f)
+            lines += (filt & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes((8, 2, 0, 0, 1))  # interlace method 1 = Adam7
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass (RFC 2083
+# §2.6) — pass k covers out[y0::dy, x0::dx].
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(data: bytes, pos: int, nrows: int, stride: int, bpp: int):
+    """Reconstruct ``nrows`` filtered rows of ``stride`` bytes starting
+    at ``data[pos]``; returns (rows ndarray (nrows, stride), new pos).
+    The per-row loop is serial in the left neighbor by definition
+    (Sub/Average/Paeth); loop bounds are image height, not corpus size —
+    pipelines decode thumbnails inside Arrow-batched mapInPandas."""
+    import numpy as np
+
+    out = np.empty((nrows, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(nrows):
+        if pos >= len(data):
+            raise ValueError("PNG pixel data length mismatch")
         f = data[pos]
         row = bytearray(data[pos + 1 : pos + 1 + stride])
+        if len(row) != stride:
+            raise ValueError("PNG pixel data length mismatch")
         pos += 1 + stride
         if f == 1:  # Sub
             for k in range(bpp, stride):
@@ -493,7 +574,104 @@ def png_pixels(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
         prev = row
-    return out.reshape(h, w, bpp)
+    return out, pos
+
+
+def _png_unpack_row(row_bytes, width: int, depth: int, channels: int):
+    """One defiltered row -> (width, channels) uint8 samples. Sub-byte
+    depths (palette/gray 1/2/4) pack MSB-first within each byte."""
+    import numpy as np
+
+    if depth == 8:
+        return np.asarray(row_bytes, dtype=np.uint8)[
+            : width * channels
+        ].reshape(width, channels)
+    spb = 8 // depth  # samples per byte
+    bits = np.unpackbits(np.asarray(row_bytes, dtype=np.uint8))
+    vals = bits.reshape(-1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    samples = (vals * weights).sum(axis=1).astype(np.uint8)
+    assert spb * len(np.asarray(row_bytes)) >= width
+    return samples[:width].reshape(width, 1)
+
+
+def png_pixels(payload: bytes):
+    """REAL PNG pixel decode, stdlib only: walk the chunk list, inflate
+    the concatenated IDAT stream with ``zlib``, and reconstruct every row
+    through the five PNG filters (None/Sub/Up/Average/Paeth — the Paeth
+    predictor per RFC 2083). Returns a top-down (h, w, channels) uint8
+    array (palette images come back as mapped RGB).
+
+    Supported (the formats a training pipeline ships): 8-bit grayscale
+    (0) / truecolor (2) / gray+alpha (4) / truecolor+alpha (6), palette
+    (3) at depths 1/2/4/8, each non-interlaced OR Adam7-interlaced
+    (r4 — the two refusal branches real thumbnails hit most).
+    16-bit raises ValueError (quarantine is the caller's concern, the
+    A12 stance)."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    w = h = None
+    depth = color = interlace = channels = None
+    plte = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        size = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            ok = (depth == 8) if color != 3 else (depth in (1, 2, 4, 8))
+            if channels is None or not ok or interlace not in (0, 1):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+        elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + size
+    if w is None or channels is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    data = zlib.decompress(bytes(idat))
+    bits_px = depth * channels
+    bpp = max(1, bits_px // 8)
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    passes = _ADAM7 if interlace == 1 else ((0, 1, 0, 1),)
+    pos = 0
+    for x0, dx, y0, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass contributes no bytes (RFC 2083 §2.6)
+        stride = (wp * bits_px + 7) // 8
+        rows, pos = _png_defilter(data, pos, hp, stride, bpp)
+        for r in range(hp):
+            out[y0 + r * dy, x0::dx] = _png_unpack_row(
+                rows[r], wp, depth, channels
+            )
+    if pos != len(data):
+        raise ValueError("PNG pixel data length mismatch")
+    if color == 3:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    return out
 
 
 def decode_png(payload: bytes) -> dict:
@@ -549,6 +727,88 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                     [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
                 ).astype(np.uint8)
                 f = decode_png(encode_png(px))
+                out["media_id"].append(mid)
+                out["width"].append(f["width"])
+                out["height"].append(f["height"])
+                out["mean_r"].append(round(f["mean_r"], 6))
+                out["mean_g"].append(round(f["mean_g"], 6))
+                out["mean_b"].append(round(f["mean_b"], 6))
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+def png_palette_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E4 for indexed-color PNG (r4): per document a real PLTE PNG is
+    encoded — bit depth cycling 1/2/4/8 by id, closed-form palette and
+    index grid — then fully decoded back (inflate, defilter, MSB-first
+    sub-byte unpack, palette map) in mapInPandas. The closed forms make
+    the mapped channel means SQL-expressible, so the oracle hash-checks
+    the packed-bit algebra at every legal palette depth."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                depth = (1, 2, 4, 8)[mid % 4]
+                nc = min(1 << depth, 64)
+                w, h = mid % 16 + 1, mid % 8 + 1
+                xs, ys = np.arange(w), np.arange(h)
+                idx = ((mid + 3 * xs[None, :] + 5 * ys[:, None]) % nc).astype(
+                    np.uint8
+                )
+                ci = np.arange(nc)
+                pal = np.stack(
+                    [(3 * ci) % 256, (5 * ci) % 256, (7 * ci) % 256], axis=-1
+                ).astype(np.uint8)
+                px = png_pixels(encode_png_palette(idx, pal, depth))
+                flat = px.reshape(-1, 3).astype("float64")
+                out["media_id"].append(mid)
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["mean_r"].append(round(float(flat[:, 0].mean()), 6))
+                out["mean_g"].append(round(float(flat[:, 1].mean()), 6))
+                out["mean_b"].append(round(float(flat[:, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+def png_interlaced_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E4 for Adam7 (r4): the same closed-form gradient as
+    ``png_roundtrip_features``, but written INTERLACED — seven
+    independently-filtered pass sub-images in one deflate stream — and
+    decoded back through the pass-scatter path. Same oracle as the
+    straight PNG query: a wrong pass grid or per-pass filter reset
+    scrambles pixel positions and shifts the means."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 16 + 1, mid % 8 + 1
+                xs, ys = np.arange(w), np.arange(h)
+                r = (mid + 3 * xs[None, :] + 5 * ys[:, None]) % 256
+                g = (mid * 7 + xs[None, :] + 0 * ys[:, None]) % 256
+                b = (mid * 13 + 0 * xs[None, :] + ys[:, None]) % 256
+                px = np.stack(
+                    [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+                ).astype(np.uint8)
+                f = decode_png(encode_png_interlaced(px))
                 out["media_id"].append(mid)
                 out["width"].append(f["width"])
                 out["height"].append(f["height"])

@@ -1572,6 +1572,68 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_palette_pixels",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         d.doc_id % 16 + 1 AS w, d.doc_id % 8 + 1 AS h,
+         CASE d.doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                           WHEN 2 THEN 16 ELSE 64 END AS nc
+  FROM documents d CROSS JOIN range(16) x CROSS JOIN range(8) y
+  WHERE x.range < d.doc_id % 16 + 1 AND y.range < d.doc_id % 8 + 1
+), idx AS (
+  SELECT doc_id, w, h, (doc_id + 3 * x + 5 * y) % nc AS i FROM px
+)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       round(avg(CAST((3 * i) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((5 * i) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((7 * i) % 256 AS DOUBLE)), 6) AS mean_b
+FROM idx GROUP BY doc_id
+""",
+)
+def multimodal_png_palette_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (indexed-color PNG, r4 — VERDICT task #7): per document a real
+    PLTE PNG at bit depth 1/2/4/8 (cycling by id) of a closed-form index
+    grid is encoded, then fully decoded back — inflate, defilter,
+    MSB-first sub-byte unpack, palette map — in mapInPandas. The oracle
+    recomputes the palette-mapped channel means, hash-checking the
+    packed-bit algebra at every legal palette depth."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.png_palette_roundtrip_features(docs)
+
+
+@register(
+    "multimodal_png_interlaced_pixels",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         d.doc_id % 16 + 1 AS w, d.doc_id % 8 + 1 AS h
+  FROM documents d CROSS JOIN range(16) x CROSS JOIN range(8) y
+  WHERE x.range < d.doc_id % 16 + 1 AND y.range < d.doc_id % 8 + 1
+)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       round(avg(CAST((doc_id + 3 * x + 5 * y) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((doc_id * 7 + x) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((doc_id * 13 + y) % 256 AS DOUBLE)), 6) AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_png_interlaced_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (Adam7 PNG, r4 — VERDICT task #7): the straight-PNG gradient
+    written INTERLACED (seven independently-filtered pass sub-images in
+    one deflate stream) and decoded through the pass-scatter path. The
+    oracle is the same closed-form means as `multimodal_png_pixels`; a
+    wrong pass grid, pass ordering, or per-pass filter reset scrambles
+    pixel positions and breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.png_interlaced_roundtrip_features(docs)
+
+
+@register(
     "multimodal_jpeg_pixels",
     oracle="""
 WITH blk AS (
@@ -5767,8 +5829,8 @@ _GATE_PRIORITY = [
     "similarity_topk_ivf",  # driver row only in r2; IVF twin anchor
     # New in round 4 — uncommented here as each lands with its oracle:
     "multimodal_jpeg_pixels",
-    # "multimodal_png_palette_pixels",
-    # "multimodal_png_interlaced_pixels",
+    "multimodal_png_palette_pixels",
+    "multimodal_png_interlaced_pixels",
     # "promql_parsed_numeric_escapes",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:

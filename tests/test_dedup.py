@@ -332,8 +332,14 @@ def test_real_decode_dispatches_bmp_png_wav_and_stubs_lossy():
         "format": "png", "width": 2, "height": 3,
         "mean_r": 42.0, "mean_g": 42.0, "mean_b": 42.0,
     }
+    # JPEG is REAL as of r4 (functions/jpeg.py) — dispatch proves it
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+
+    jf = real_decode(encode_jpeg(_np.full((8, 8), 77, _np.uint8),
+                                 qtables="flat"), "image")
+    assert jf["format"] == "jpeg" and jf["mean_r"] == 77.0
     with _pytest.raises(NotImplementedError):
-        real_decode(b"\xff\xd8\xff\xe0...", "image")  # JPEG: still stubbed
+        real_decode(b"ID3\x04...mp3ish", "audio")  # MP3: env-stubbed
 
 
 def test_png_codec_reconstructs_every_filter_type():
