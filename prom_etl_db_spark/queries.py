@@ -4329,6 +4329,44 @@ def promql_raw_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_parsed_numeric_escapes",
+    oracle="""
+SELECT json_extract_string(props, '$.k') AS k,
+       CAST(count(*) AS DOUBLE) AS n_samples
+FROM events
+WHERE event_type = 'click'
+  AND regexp_matches(json_extract_string(props, '$.k'), '^(?:1[0-9])$')
+  AND ts >= TIMESTAMP '2024-01-25 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY 1
+""",
+)
+def promql_parsed_numeric_escapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Go strconv.Unquote escape forms end to end through the string
+    parser (r4, ADVICE item 2): the metric name spelled in numeric
+    escapes — ``"\\x63\\u006Ci\\143k"`` is hex c, BMP code point l
+    (mixed-case hex digits), literal i, octal c, literal k = "click" —
+    inside a nameless ``__name__`` matcher, plus a BACKQUOTED RAW
+    STRING regex matcher (``k=~`1\\d```, backslash surviving
+    unescaped) with Prometheus's full anchoring. A wrong digit base,
+    width rule, or raw-string escape pass selects a different series
+    set and breaks the count."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    samples = _event_samples(spark, sf_dir, keys=("k",))
+    out = eval_promql(
+        samples,
+        r'sum by (k) (count_over_time('
+        '{__name__="\\x63\\u006Ci\\143k", k=~`1\\d`}[6d]))',
+        datetime(2024, 1, 31),
+    )
+    return out.select(
+        F.element_at("labels", "k").alias("k"),
+        F.col("value").alias("n_samples"),
+    )
+
+
+@register(
     "promql_irate_idelta",
     oracle="""
 WITH s AS (
@@ -5831,7 +5869,7 @@ _GATE_PRIORITY = [
     "multimodal_jpeg_pixels",
     "multimodal_png_palette_pixels",
     "multimodal_png_interlaced_pixels",
-    # "promql_parsed_numeric_escapes",
+    "promql_parsed_numeric_escapes",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",
