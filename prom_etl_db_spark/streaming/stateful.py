@@ -71,7 +71,12 @@ def _fold_counter(
     # resets); concat-then-sort like the funnel fold beside this one
     chunks = [pdf[["timestamp", "value"]] for pdf in pdfs]
     if chunks:
-        allr = pd.concat(chunks).sort_values("timestamp")
+        # stable + value tiebreak: equal-timestamp samples would otherwise
+        # fold in quicksort-arbitrary order, making total_increase differ
+        # between a run and its checkpoint replay (r4 audit)
+        allr = pd.concat(chunks).sort_values(
+            ["timestamp", "value"], kind="mergesort"
+        )
         for ts, v in zip(allr["timestamp"], allr["value"]):
             v = float(v)
             if last_value is not None:
@@ -486,8 +491,15 @@ def make_qhist_fold(q: float, bins: int, lo: float, hi: float):
             if cum >= rank and c > 0:
                 est = lo + b * width + width * (rank - (cum - c)) / c
                 break
+        # a group whose every value so far was NULL has n == 0 and no
+        # estimable bucket: emit a NULL estimate like the batch twin's
+        # empty group, instead of round(None, 6) killing the query
         yield pd.DataFrame(
-            {"g": [g], "n_values": [n], "q_estimate": [round(est, 6)]}
+            {
+                "g": [g],
+                "n_values": [n],
+                "q_estimate": [round(est, 6) if est is not None else None],
+            }
         )
 
     return fold
@@ -683,6 +695,14 @@ def make_ss_fold(k: int):
         for pdf in pdfs:
             for x in pdf["k"]:
                 x = str(x)
+                if x == "":
+                    # "" is the reserved n_seen bookkeeping slot key; a
+                    # data item claiming it would be silently dropped on
+                    # the next state round-trip — fail loudly instead
+                    raise ValueError(
+                        "streaming_space_saving: empty-string keys are "
+                        "reserved; map them upstream"
+                    )
                 n_seen += 1
                 i = slot.get(x)
                 if i is not None:

@@ -795,3 +795,58 @@ def test_qhist_and_psi_folds_skip_nan_and_clamp_inf():
     # first batch freezes the baseline; a second batch must also survive
     (second,) = pfold(("g",), iter([vals]), pstate)
     assert second["psi"][0] is not None
+
+
+def test_qhist_fold_all_null_group_emits_null_estimate():
+    """r4 audit: a group whose every value so far is NULL (NaN in the
+    fold) has an empty histogram — the fold must emit a NULL estimate
+    like the batch twin's empty group, not crash on round(None, 6)."""
+    import pandas as pd
+
+    from prom_etl_db_spark.streaming.stateful import make_qhist_fold
+
+    fold = make_qhist_fold(bins=4, lo=0.0, hi=4.0, q=0.5)
+    state = _FakeState()
+    (out,) = fold(("g",), iter([pd.DataFrame({"v": [float("nan")] * 3})]),
+                  state)
+    assert out["n_values"][0] == 0 and out["q_estimate"][0] is None
+    # and the group recovers once real values arrive
+    (out2,) = fold(("g",), iter([pd.DataFrame({"v": [1.0, 3.0]})]), state)
+    assert out2["n_values"][0] == 2 and out2["q_estimate"][0] is not None
+
+
+def test_counter_fold_equal_timestamps_fold_deterministically():
+    """r4 audit: equal-timestamp samples must fold in a deterministic
+    order (stable sort + value tiebreak) — quicksort's arbitrary tie
+    order made total_increase differ between a run and its checkpoint
+    replay. With values (5, 2) at the same instant after a 1, ascending-
+    value order folds 1 → 2 (+1) → 5 (+3): total 4, every run."""
+    import pandas as pd
+
+    from prom_etl_db_spark.streaming.stateful import _fold_counter
+
+    frames = [
+        pd.DataFrame({"timestamp": [1, 2, 2], "value": [1.0, 5.0, 2.0]}),
+    ]
+    results = set()
+    for _ in range(5):
+        state = _FakeState()
+        (out,) = _fold_counter(("s",), iter([f.copy() for f in frames]),
+                               state)
+        results.add(float(out["total_increase"][0]))
+    assert results == {4.0}
+
+
+def test_space_saving_fold_rejects_reserved_empty_key():
+    """r4 audit: '' is the n_seen bookkeeping slot key; a data item
+    claiming it would be silently dropped on the next state round-trip —
+    the fold fails loudly instead."""
+    import pandas as pd
+    import pytest
+
+    from prom_etl_db_spark.streaming.stateful import make_ss_fold
+
+    fold = make_ss_fold(4)
+    with pytest.raises(ValueError, match="reserved"):
+        list(fold(("g",), iter([pd.DataFrame({"k": ["a", ""]})]),
+                  _FakeState()))

@@ -113,8 +113,15 @@ def scaled_embeddings(spark, sf_dir: str, k: int, *, dup_every: int = 50) -> Dat
 
 def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     times: dict[str, tuple[float, int]] = {}  # op -> (seconds, result rows)
+    # SCALE_PROBE_ONLY=substr,substr: probe a subset (re-pinning one op's
+    # ratio on a quiet host without paying the full ~20-min sweep)
+    import os
+
+    only = [s for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if s]
 
     def run(name, df):
+        if only and not any(s in name for s in only):
+            return
         # best-of-2, like bench.py: the k-way union changes the generated
         # whole-stage code, so every factor's FIRST run pays a fresh JIT
         # compile — a fixed cost that reads as fake superlinearity on
