@@ -78,3 +78,35 @@ def test_unquote_roundtrips_escaped_strings():
         assert _unquote(quoted) == s
 
     check()
+
+
+def test_unquote_roundtrips_numeric_escape_spellings():
+    """Property (r4): ANY code point spelled as its Go numeric escape —
+    \\xNN (≤ 0xFF), \\uNNNN (BMP non-surrogate), \\UNNNNNNNN, or 3-digit
+    octal (≤ 0o377) — unquotes to exactly chr(cp); and a backquoted raw
+    string returns any backtick-free text verbatim."""
+    from hypothesis import given, strategies as st
+
+    from prom_etl_db_spark.operators.promql_parser import _unquote
+
+    @given(st.integers(min_value=0, max_value=0x10FFFF))
+    def check_cp(cp):
+        if 0xD800 <= cp <= 0xDFFF:
+            return  # surrogates are rejected, covered by the unit test
+        spellings = [f"\\U{cp:08X}", f"\\U{cp:08x}"]
+        if cp <= 0xFF:
+            spellings += [f"\\x{cp:02x}", f"\\x{cp:02X}", f"\\{cp:03o}"]
+        if cp <= 0xFFFF:
+            spellings += [f"\\u{cp:04x}"]
+        for sp in spellings:
+            assert _unquote(f'"{sp}"') == chr(cp), sp
+
+    check_cp()
+
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                          blacklist_characters="`"),
+                   max_size=60))
+    def check_raw(s):
+        assert _unquote(f"`{s}`") == s
+
+    check_raw()
