@@ -39,8 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted only for the
-    four genuinely non-SQL-expressible ops — xxhash64-MinHash LSH,
-    auto-sized sign-LSH, HLL++/GK internals, and the iterative BPE
-    trainer — each of which has an oracle-checked deterministic twin or
-    oracle-checked core in the registry)."""
+    three genuinely non-SQL-expressible ops — xxhash64-MinHash LSH,
+    auto-sized sign-LSH, and HLL++/GK internals — each of which has an
+    oracle-checked deterministic twin in the registry; the iterative BPE
+    trainer gained a recursive-CTE oracle in r4)."""
     return dict(ORACLES)

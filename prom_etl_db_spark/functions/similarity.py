@@ -247,12 +247,20 @@ def lsh_auto_size(
     2^bits ≈ n), then ``bands`` is the smallest count reaching the target
     recall at the threshold: recall = 1-(1-p^bits)^bands, p = 1-θ/π.
 
+    ``2^bits ≈ n/16``: each vector random-collides with ~16 others per
+    band, so candidate volume is ~8·n·bands — shuffle-bound, linear in n.
+    (r4 re-pin: the previous ``n/256`` rule left candidate volume
+    quadratic until n > 2^16 because the bits FLOOR dominated — measured
+    87k → 8.66M pairs for 10× the vectors; the extra bands this rule
+    needs for the same recall only grow the cheap BLAS projection and the
+    n·bands signature rows, not the quadratic-ish collision term.)
+
     The bits floor is 8 (tiny corpora don't need fewer) and the cap 24
     (beyond that, band-count growth for recall outpaces the collision
     savings at moderate thresholds — shard the corpus instead)."""
     import math
 
-    bits = max(8, min(24, math.ceil(math.log2(max(2, n_vectors))) - 8))
+    bits = max(8, min(24, math.ceil(math.log2(max(2, n_vectors))) - 4))
     p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     p_band = p_bit**bits
     if p_band >= 1.0:

@@ -118,15 +118,15 @@ def test_lsh_recall_at_query_parameters(spark, sf_dir):
 def test_lsh_auto_size_grows_bits_with_corpus():
     from prom_etl_db_spark.functions.similarity import lsh_auto_size
 
-    # small corpora stay at the 8-bit floor; bits then track log2(n)-8,
-    # so 100x the corpus adds ~log2(100) ~ 7 bits instead of 100x the
-    # random-pair candidate volume
+    # small corpora stay at the 8-bit floor; bits then track log2(n)-4
+    # (r4: 2^bits ~ n/16), so 100x the corpus adds ~log2(100) ~ 7 bits
+    # instead of 100x the random-pair candidate volume
     b_small = lsh_auto_size(500, 0.4)
     b_mid = lsh_auto_size(100_000, 0.4)
     b_big = lsh_auto_size(10_000_000, 0.4)
     assert b_small[1] == 8
-    assert b_mid[1] == 9
-    assert b_big[1] == 16
+    assert b_mid[1] == 13
+    assert b_big[1] == 20
     assert b_small[0] < b_mid[0] < b_big[0]  # recall costs bands as bits grow
 
     # the sizing reproduces round 1's hand-derived numbers at threshold
@@ -357,3 +357,21 @@ def test_ivf_index_build_returns_actual_centroid_count(spark, tmp_path):
     assert n == 6
     stored = spark.read.parquet(str(tmp_path / "idx" / "centroids")).count()
     assert stored == 6
+
+
+def test_lsh_auto_size_keeps_candidate_volume_linear():
+    """r4 re-pin: the auto-size rule must keep 2^bits within a constant
+    factor of n (once past the floor), so random-collision candidate
+    volume n²·bands/2^bits stays O(n·bands) — the previous n/256 rule
+    left it quadratic until n > 2^16. And bands must still reach the
+    target recall: 1-(1-p^bits)^bands ≥ 0.95 at the threshold."""
+    import math
+
+    from prom_etl_db_spark.functions.similarity import lsh_auto_size
+
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        bands, bits = lsh_auto_size(n, 0.9)
+        assert bits == 24 or (1 << bits) * 32 >= n, (n, bits)
+        p = 1.0 - math.acos(0.9) / math.pi
+        recall = 1.0 - (1.0 - p**bits) ** bands
+        assert recall >= 0.95, (n, bands, bits, recall)
