@@ -54,6 +54,7 @@ __all__ = [
     "png_palette_roundtrip_features",
     "png_interlaced_roundtrip_features",
     "jpeg_roundtrip_features",
+    "video_mjpeg_frame_features",
     "encode_gif",
     "gif_pixels",
     "decode_gif",
@@ -115,10 +116,18 @@ def real_decode(payload: bytes, kind: str):
         from prom_etl_db_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from prom_etl_db_spark.functions.jpeg import decode_jpeg
+        from prom_etl_db_spark.functions.video import avi_mjpeg_frames
+
+        frames = avi_mjpeg_frames(payload)
+        first = decode_jpeg(frames[0])
+        return {**first, "format": "avi-mjpeg", "n_frames": len(frames)}
     raise NotImplementedError(
-        "lossy audio/video decode (MP3, video containers) requires a "
-        "library not present in this environment; decode_features uses a "
-        "deterministic fake for those formats"
+        "lossy audio decode (MP3) and inter-frame video codecs "
+        "(H.26x/VP9/AV1) require libraries not present in this "
+        "environment; decode_features uses a deterministic fake for "
+        "those formats (MJPEG AVI decodes for real — functions/video.py)"
     )
 
 
@@ -876,6 +885,66 @@ def jpeg_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFram
 
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, JPEG_ROUNDTRIP_SCHEMA
+    )
+
+
+def video_mjpeg_frame_features(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """E4 video path, REAL container + REAL lossy frame codec (r4): per
+    document an MJPEG AVI (doc_id%5+2 frames, each a per-block-constant
+    flat-quantized baseline JPEG of closed-form Y/Cb/Cr), uniformly
+    frame-sampled at k positions, each sampled frame fully decoded —
+    RIFF walk, 00dc extraction, JPEG Huffman/IDCT/color — and reduced to
+    channel means. Flat tables + constant blocks keep the lossy pipeline
+    bit-exact (see jpeg_roundtrip_features), so the sampling arithmetic
+    AND the per-frame decode are one SQL-checkable row set. Per-clip
+    work is bounded; no shuffle."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+    from prom_etl_db_spark.functions.video import (
+        encode_avi_mjpeg,
+        sample_avi_frames,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "n_frames", "frame_pos", "frame_index",
+                    "mean_r", "mean_g", "mean_b")
+            rows = {c: [] for c in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf = mid % 5 + 2
+                jpegs = []
+                for f in range(nf):
+                    bxs = np.arange(2)
+                    y = (mid * 3 + 5 * bxs + 11 * f) % 256
+                    cb = (mid * 11 + 4 * bxs + 3 * f) % 256
+                    cr = (mid * 13 + 2 * bxs + 5 * f) % 256
+                    planes = np.stack(
+                        [np.broadcast_to(c, (1, 2)) for c in (y, cb, cr)],
+                        axis=-1,
+                    )
+                    px = np.repeat(np.repeat(planes, 8, 0), 8, 1)
+                    jpegs.append(
+                        encode_jpeg(px.astype(np.uint8), color="ycbcr",
+                                    qtables="flat")
+                    )
+                avi = encode_avi_mjpeg(jpegs, fps=10)
+                for j, fi, px in sample_avi_frames(avi, k):
+                    flat = px.reshape(-1, 3).astype("float64")
+                    rows["media_id"].append(mid)
+                    rows["n_frames"].append(nf)
+                    rows["frame_pos"].append(j)
+                    rows["frame_index"].append(fi)
+                    rows["mean_r"].append(round(float(flat[:, 0].mean()), 6))
+                    rows["mean_g"].append(round(float(flat[:, 1].mean()), 6))
+                    rows["mean_b"].append(round(float(flat[:, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
     )
 
 

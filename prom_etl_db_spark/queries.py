@@ -1572,6 +1572,54 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_mjpeg_frame_sampling",
+    oracle="""
+WITH pick AS (
+  SELECT d.doc_id, d.doc_id % 5 + 2 AS nf, j.range AS j,
+         (j.range * (d.doc_id % 5 + 1)) // 2 AS fi
+  FROM documents d CROSS JOIN range(3) j
+), comp AS (
+  SELECT p.doc_id, p.nf, p.j, p.fi,
+         CAST((p.doc_id * 3 + 5 * b.range + 11 * p.fi) % 256 AS DOUBLE) AS y,
+         CAST((p.doc_id * 11 + 4 * b.range + 3 * p.fi) % 256 AS DOUBLE) AS cb,
+         CAST((p.doc_id * 13 + 2 * b.range + 5 * p.fi) % 256 AS DOUBLE) AS cr
+  FROM pick p CROSS JOIN range(2) b
+), rgb AS (
+  SELECT doc_id, nf, j, fi,
+         least(255, greatest(0, floor(
+           y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+         least(255, greatest(0, floor(
+           y - CAST(0.344136 AS DOUBLE) * (cb - 128)
+             - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+         least(255, greatest(0, floor(
+           y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM comp
+)
+SELECT doc_id AS media_id,
+       CAST(min(nf) AS INT) AS n_frames,
+       CAST(j AS INT) AS frame_pos,
+       CAST(min(fi) AS INT) AS frame_index,
+       round(avg(r), 6) AS mean_r,
+       round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b
+FROM rgb GROUP BY doc_id, j
+""",
+)
+def video_mjpeg_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 video, REAL container + REAL lossy codec (r4): per document an
+    MJPEG AVI (RIFF hdrl/movi/idx1, one baseline JPEG per frame) is
+    encoded from closed forms, uniformly frame-sampled at 3 positions,
+    and each sampled frame fully decoded (RIFF walk → 00dc chunks →
+    Huffman/dequant/IDCT/YCbCr). Flat quantization + per-block-constant
+    frames keep the lossy decode bit-exact, so one oracle hash-checks
+    container parsing, the floor(j·(F−1)/(k−1)) sampling grid, and the
+    JPEG pipeline together. The GIF twin (`video_frame_sampling`) covers
+    the lossless-codec container; this covers the lossy one."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.video_mjpeg_frame_features(docs)
+
+
+@register(
     "multimodal_png_palette_pixels",
     oracle="""
 WITH px AS (
@@ -5870,6 +5918,7 @@ _GATE_PRIORITY = [
     "multimodal_png_palette_pixels",
     "multimodal_png_interlaced_pixels",
     "promql_parsed_numeric_escapes",
+    "video_mjpeg_frame_sampling",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",

@@ -361,3 +361,74 @@ def test_png_adam7_roundtrip_every_small_size():
             px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
             assert np.array_equal(png_pixels(encode_png_interlaced(px)), px), (
                 h, w)
+
+
+# -- MJPEG AVI container (round 4) ------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_sampling_grid():
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+    from prom_etl_db_spark.functions.video import (
+        avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        sample_avi_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    jpegs = []
+    for _ in range(5):
+        blocks = rng.integers(0, 256, (1, 2, 3))
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        jpegs.append(encode_jpeg(px, color="ycbcr", qtables="flat"))
+    avi = encode_avi_mjpeg(jpegs, fps=12)
+    assert avi_mjpeg_frames(avi) == jpegs  # byte-exact container walk
+    samp = sample_avi_frames(avi, 3)
+    assert [(j, fi) for j, fi, _ in samp] == [(0, 0), (1, 2), (2, 4)]
+    assert all(px.shape == (8, 16, 3) for _, _, px in samp)
+    # k > F repeats endpoints, k == 1 takes the first frame
+    assert [fi for _, fi, _ in sample_avi_frames(avi, 9)][0] == 0
+    assert [fi for _, fi, _ in sample_avi_frames(avi, 1)] == [0]
+
+
+def test_avi_refuses_non_avi_truncated_and_foreign_codecs():
+    import numpy as np
+    import pytest
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+    from prom_etl_db_spark.functions.video import (
+        avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    px = np.full((8, 8, 3), 90, np.uint8)
+    avi = encode_avi_mjpeg([encode_jpeg(px, qtables="flat", color="ycbcr")])
+    with pytest.raises(ValueError, match="not an AVI"):
+        avi_mjpeg_frames(b"RIFXjunk")
+    with pytest.raises(ValueError, match="exceeds payload|truncated"):
+        avi_mjpeg_frames(avi[:40])
+    bad = bytearray(avi)
+    i = bad.find(b"MJPG", bad.find(b"strf"))
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(ValueError, match="only MJPG"):
+        avi_mjpeg_frames(bytes(bad))
+    with pytest.raises(ValueError, match="JPEG payload"):
+        encode_avi_mjpeg([b"not a jpeg"])
+
+
+def test_avi_real_decode_dispatch():
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+    from prom_etl_db_spark.functions.multimodal import real_decode
+    from prom_etl_db_spark.functions.video import encode_avi_mjpeg
+
+    px = np.full((8, 16, 3), (30, 128, 128), np.uint8)  # y=30 gray
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(px, color="ycbcr", qtables="flat")] * 4
+    )
+    f = real_decode(avi, "video")
+    assert f["format"] == "avi-mjpeg" and f["n_frames"] == 4
+    assert (f["width"], f["height"]) == (16, 8)
+    assert f["mean_r"] == 30.0  # cb=cr=128 -> r=g=b=y exactly
