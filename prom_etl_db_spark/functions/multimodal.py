@@ -62,6 +62,8 @@ __all__ = [
     "resize_bmp",
     "decimate_wav",
     "synth_wav",
+    "synth_wav_g711",
+    "g711_expansion_features",
     "decode_wav",
     "bmp_roundtrip_features",
     "wav_roundtrip_features",
@@ -205,15 +207,110 @@ def synth_wav(
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL sample decode of PCM-16 WAV: walks the RIFF chunk list (fmt
-    may be followed by LIST/fact/etc. before data), reads every sample,
-    and returns count/rate/duration and true RMS amplitude."""
+def synth_wav_g711(data: bytes, law: str, sample_rate: int = 8000) -> bytes:
+    """A real, valid single-channel 8-bit G.711 WAV (format code 7 µ-law
+    or 6 A-law) whose data chunk is exactly ``data`` — the fixture
+    writer for the expansion oracle."""
+    code = {"ulaw": 7, "alaw": 6}[law]
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + code.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")             # channels
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")     # byte rate (1 ch × 1 B)
+        + (1).to_bytes(2, "little")             # block align
+        + (8).to_bytes(2, "little")             # bits/sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) % 2:
+        chunks += b"\x00"  # RIFF even padding
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+G711_FEATURE_SCHEMA = (
+    "media_id long, n_samples int, "
+    "ulaw_rms double, alaw_rms double, ulaw_mean double, alaw_mean double"
+)
+
+
+def g711_expansion_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 audio, telephony formats (r4): per document a µ-law AND an
+    A-law WAV are written from closed-form encoded bytes and fully
+    decoded back — RIFF walk, format-code dispatch, CCITT table
+    expansion to 16-bit linear — in mapInPandas. The expansion formulas
+    are pure integer bit algebra, so the oracle recomputes them in SQL
+    and the driver hash-checks every table entry the fixture touches."""
     import numpy as np
 
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "n_samples", "ulaw_rms", "alaw_rms",
+                    "ulaw_mean", "alaw_mean")
+            rows = {c: [] for c in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = mid % 64 + 16
+                i = np.arange(n)
+                bu = ((mid + 7 * i) % 256).astype(np.uint8)
+                ba = ((mid * 3 + 11 * i) % 256).astype(np.uint8)
+                fu = decode_wav(synth_wav_g711(bu.tobytes(), "ulaw"))
+                fa = decode_wav(synth_wav_g711(ba.tobytes(), "alaw"))
+                assert fu["n_samples"] == fa["n_samples"] == n
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["ulaw_rms"].append(round(fu["rms"], 4))
+                rows["alaw_rms"].append(round(fa["rms"], 4))
+                rows["ulaw_mean"].append(round(fu["mean"], 4))
+                rows["alaw_mean"].append(round(fa["mean"], 4))
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, G711_FEATURE_SCHEMA
+    )
+
+
+def _g711_tables():
+    """256-entry µ-law / A-law expansion tables per ITU-T G.711 (the
+    classic CCITT reference formulas). Computed once, scalar math —
+    a wrong shift or bias lands kilometers from the known vectors
+    (µ-law 0x80 → +32124, A-law 0xAA → +32256), both pinned in tests."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 0x07
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = None, None
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL sample decode of WAV: walks the RIFF chunk list (fmt may be
+    followed by LIST/fact/etc. before data), reads every sample, and
+    returns count/rate/duration and true RMS amplitude. Formats: PCM-16
+    (code 1) and — r4 — ITU-T G.711 µ-law (7) / A-law (6) telephony
+    audio, expanded to 16-bit linear through the classic CCITT tables."""
+    import numpy as np
+
+    global _ULAW_TABLE, _ALAW_TABLE
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    channels = sample_rate = bits = None
+    channels = sample_rate = bits = audio_fmt = None
     data = None
     i = 12
     while i + 8 <= len(payload):
@@ -222,7 +319,7 @@ def decode_wav(payload: bytes) -> dict:
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             audio_fmt = int.from_bytes(body[0:2], "little")
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 6, 7):
                 raise ValueError(f"unsupported WAV format code {audio_fmt}")
             channels = int.from_bytes(body[2:4], "little")
             sample_rate = int.from_bytes(body[4:8], "little")
@@ -232,11 +329,20 @@ def decode_wav(payload: bytes) -> dict:
         i += 8 + size + (size % 2)  # RIFF chunks pad to even offsets
     if data is None or channels is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16:
+    if audio_fmt == 1 and bits != 16:
         raise ValueError(f"unsupported WAV bit depth {bits}")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_fmt in (6, 7) and bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+    if audio_fmt == 1:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        if _ULAW_TABLE is None:
+            _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+        table = _ULAW_TABLE if audio_fmt == 7 else _ALAW_TABLE
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
     n_frames = len(samples) // channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+    mean = float(samples.astype(np.float64).mean()) if len(samples) else 0.0
     return {
         "format": "wav",
         "channels": channels,
@@ -244,6 +350,7 @@ def decode_wav(payload: bytes) -> dict:
         "n_samples": n_frames,
         "duration_s": n_frames / sample_rate if sample_rate else 0.0,
         "rms": rms,
+        "mean": mean,
     }
 
 

@@ -1572,6 +1572,62 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_g711_expansion",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, d.doc_id % 64 + 16 AS n, i.range AS i
+  FROM documents d CROSS JOIN range(80) i
+  WHERE i.range < d.doc_id % 64 + 16
+), enc AS (
+  SELECT doc_id, n,
+         (doc_id + 7 * i) % 256 AS bu,
+         (doc_id * 3 + 11 * i) % 256 AS ba
+  FROM s
+), expanded AS (
+  -- the CCITT reference formulas verbatim (G.711):
+  -- ulaw: u = ~b & 255; t = (((u&15)<<3)+132) << ((u>>4)&7);
+  --       sign bit of u picks 132-t vs t-132
+  -- alaw: a = b ^ 85; seg switch on (a>>4)&7; sign bit of a POSITIVE
+  SELECT doc_id, n,
+    CASE WHEN ((255 - bu) & 128) != 0
+         THEN 132 - ((((255 - bu) & 15) * 8 + 132)
+                     * (1 << (((255 - bu) >> 4) & 7)))
+         ELSE (((255 - bu) & 15) * 8 + 132)
+              * (1 << (((255 - bu) >> 4) & 7)) - 132
+    END AS vu,
+    (CASE WHEN (xor(ba, 85) & 128) != 0 THEN 1 ELSE -1 END) *
+    (CASE ((xor(ba, 85) >> 4) & 7)
+       WHEN 0 THEN (xor(ba, 85) & 15) * 16 + 8
+       WHEN 1 THEN (xor(ba, 85) & 15) * 16 + 264
+       ELSE ((xor(ba, 85) & 15) * 16 + 264)
+            * (1 << (((xor(ba, 85) >> 4) & 7) - 1))
+     END) AS va
+  FROM enc
+)
+SELECT doc_id AS media_id,
+       CAST(min(n) AS INT) AS n_samples,
+       round(sqrt(avg(CAST(vu AS DOUBLE) * vu)), 4) AS ulaw_rms,
+       round(sqrt(avg(CAST(va AS DOUBLE) * va)), 4) AS alaw_rms,
+       round(avg(CAST(vu AS DOUBLE)), 4) AS ulaw_mean,
+       round(avg(CAST(va AS DOUBLE)), 4) AS alaw_mean
+FROM expanded GROUP BY doc_id
+""",
+)
+def audio_g711_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, telephony formats (r4): per document a µ-law AND an
+    A-law 8-bit WAV (ITU-T G.711, format codes 7/6) are written from
+    closed-form encoded bytes and fully decoded back — RIFF walk,
+    format-code dispatch, CCITT table expansion to 16-bit linear. The
+    expansion is pure integer bit algebra, so the oracle recomputes it
+    in SQL verbatim and the driver hash-checks every table entry the
+    fixture touches (all 256 per law across the corpus); known vectors
+    (µ-law 0x80 → +32124, A-law 0xAA → +32256) pin the endpoints in
+    unit tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.g711_expansion_features(docs)
+
+
+@register(
     "video_mjpeg_frame_sampling",
     oracle="""
 WITH pick AS (
@@ -5919,6 +5975,7 @@ _GATE_PRIORITY = [
     "multimodal_png_interlaced_pixels",
     "promql_parsed_numeric_escapes",
     "video_mjpeg_frame_sampling",
+    "audio_g711_expansion",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",

@@ -432,3 +432,53 @@ def test_avi_real_decode_dispatch():
     assert f["format"] == "avi-mjpeg" and f["n_frames"] == 4
     assert (f["width"], f["height"]) == (16, 8)
     assert f["mean_r"] == 30.0  # cb=cr=128 -> r=g=b=y exactly
+
+
+# -- G.711 µ-law / A-law WAV (round 4) --------------------------------------
+
+
+def test_g711_known_vectors_and_roundtrip():
+    """Known vectors from the CCITT reference tables: µ-law 0xFF → 0,
+    0x80 → +32124 (max), 0x00 → -32124; A-law 0xAA → +32256 (max),
+    0x55 → -8, 0xD5 → +8. A wrong shift, bias, or sign convention
+    misses these by orders of magnitude."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import (
+        _g711_tables,
+        decode_wav,
+        synth_wav_g711,
+    )
+
+    ulaw, alaw = _g711_tables()
+    assert ulaw[0xFF] == 0 and ulaw[0x80] == 32124 and ulaw[0x00] == -32124
+    assert alaw[0xAA] == 32256 and alaw[0x55] == -8 and alaw[0xD5] == 8
+    # symmetric: flipping the sign bit negates (both laws)
+    b = np.arange(128)
+    assert (ulaw[b | 0x80] == -ulaw[b]).all()
+    assert (alaw[b | 0x80] == -alaw[b]).all()
+
+    f = decode_wav(synth_wav_g711(bytes([0x80, 0x00]), "ulaw"))
+    assert f["n_samples"] == 2 and f["rms"] == 32124.0 and f["mean"] == 0.0
+    f = decode_wav(synth_wav_g711(bytes([0xAA] * 3), "alaw", sample_rate=16000))
+    assert f["rms"] == 32256.0 and f["sample_rate"] == 16000
+
+
+def test_g711_refusals():
+    import pytest
+
+    from prom_etl_db_spark.functions.multimodal import (
+        decode_wav,
+        synth_wav_g711,
+    )
+
+    wav = bytearray(synth_wav_g711(bytes([1, 2, 3]), "ulaw"))
+    i = wav.index(b"fmt ") + 8
+    wav[i : i + 2] = (3).to_bytes(2, "little")  # IEEE float fmt code
+    with pytest.raises(ValueError, match="format code"):
+        decode_wav(bytes(wav))
+    wav[i : i + 2] = (7).to_bytes(2, "little")
+    j = wav.index(b"fmt ") + 8 + 14
+    wav[j : j + 2] = (16).to_bytes(2, "little")  # G.711 must be 8-bit
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(bytes(wav))
