@@ -678,3 +678,51 @@ def bpe_encode(toks_text: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         toks = out
     return toks
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a freshly-trained BPE (r4): learn
+    ``n_merges`` rules with :func:`bpe_train`, apply them, and return
+    per-document (n_words, n_tokens) — the sequence-length accounting
+    every training-data pipeline runs before packing.
+
+    Scale architecture: the merge fold runs on the DISTINCT-WORD
+    vocabulary only (language-sized), never per occurrence — each word's
+    encoded length is computed once and joined back to the exploded
+    word stream (a broadcast-class join: the vocab is a few hundred
+    thousand rows for any natural language, regardless of corpus
+    bytes). The merge application is the same pure-Column
+    ``_apply_merge`` fold the trainer uses, so encode can never drift
+    from training."""
+    merges = bpe_train(docs, n_merges, text_col=text_col)
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.concat(
+            F.expr("filter(split(w, ''), x -> x != '')"),
+            F.array(F.lit("</w>")),
+        ).alias("toks"),
+    )
+    for a, b in merges:
+        vocab = vocab.select("w", _apply_merge(F.col("toks"), a, b).alias("toks"))
+    per_word = vocab.select("w", F.size("toks").alias("n_toks"))
+    return (
+        words.join(F.broadcast(per_word), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )

@@ -5692,6 +5692,73 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_encoded_token_counts",
+    oracle=r"""
+WITH RECURSIVE words0 AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), vocab0 AS (
+  SELECT list(struct_pack(w := w, freq := freq,
+    s := ' ' || array_to_string(
+           list_append(list_filter(string_split(w, ''), x -> x != ''), '</w>'),
+           '  ') || ' ')) AS vocab
+  FROM words0
+), steps AS (
+  -- the bpe_learned_merges replay, carrying the word through so the
+  -- FINAL tokenization joins back to documents
+  SELECT 0 AS i, vocab FROM vocab0
+  UNION ALL
+  SELECT i + 1,
+    list_transform(vocab, v -> struct_pack(w := v.w, freq := v.freq,
+      s := replace(v.s, ' ' || win.a || '  ' || win.b || ' ',
+                        ' ' || win.a || win.b || ' ')))
+  FROM (
+    SELECT i, vocab,
+      (SELECT struct_pack(a := l, b := r)
+       FROM (
+         SELECT tk[x] AS l, tk[x+1] AS r, sum(freq) AS n
+         FROM (SELECT u.freq AS freq,
+                      string_split(trim(u.s, ' '), '  ') AS tk
+               FROM unnest(vocab) AS t(u)),
+              unnest(range(1, len(tk))) AS g(x)
+         GROUP BY 1, 2)
+       ORDER BY n DESC, l, r LIMIT 1) AS win
+    FROM steps WHERE i < 10
+  )
+), wtoks AS (
+  SELECT u.w AS w,
+         len(string_split(trim(u.s, ' '), '  ')) AS n_toks
+  FROM (SELECT vocab FROM steps WHERE i = 10), unnest(vocab) AS t(u)
+), docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_toks) AS BIGINT) AS n_tokens
+FROM docwords d JOIN wtoks wt USING (w)
+GROUP BY d.doc_id
+""",
+)
+def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE end to end (r4 — the trainer's dual): train 10 merges
+    on the corpus, apply them with the same pure-Column fold, and count
+    per-document (words, tokens) — sequence-length accounting for
+    packing. The oracle replays training via the bpe_learned_merges
+    recursive CTE (carrying each word through the merge steps) and
+    joins the final per-word token counts back to the exploded corpus,
+    so ONE hash checks the argmax loop, the greedy merge application,
+    and the join-back accounting together. Scale: the fold runs on the
+    distinct-word vocab only; the join back is broadcast-class."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_token_counts(docs, 10)
+
+
+@register(
     "heavy_hitters_topk",
     oracle="""
 WITH c AS (
@@ -5976,6 +6043,7 @@ _GATE_PRIORITY = [
     "promql_parsed_numeric_escapes",
     "video_mjpeg_frame_sampling",
     "audio_g711_expansion",
+    "bpe_encoded_token_counts",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",

@@ -346,3 +346,31 @@ def test_language_id_detects_unspaced_chinese(spark):
         for r in docs.select("doc_id", language_id(F.col("text")).alias("lang")).collect()
     }
     assert got == {1: "zh", 2: "en", 3: "und"}
+
+
+def test_bpe_token_counts_matches_local_reference_encoder(spark):
+    """r4: the distributed encode (distinct-vocab fold + broadcast
+    join-back) must equal the from-scratch local reference applied per
+    word — including merge interactions (learned rules chaining into
+    longer subwords) and repeated words counted per occurrence."""
+    from prom_etl_db_spark.functions.text import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    rows = [
+        (1, "low lower lowest low"),
+        (2, "new newer newest lower"),
+        (3, "low low low new"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, 6)
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(docs, 6).collect()
+    }
+    for doc_id, text in rows:
+        words = [w for w in text.lower().split() if w]
+        want = sum(len(bpe_encode(w, merges)) for w in words)
+        assert out[doc_id] == (len(words), want)
