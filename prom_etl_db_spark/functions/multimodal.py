@@ -51,6 +51,8 @@ __all__ = [
     "png_roundtrip_features",
     "encode_png_palette",
     "encode_png_interlaced",
+    "encode_png16",
+    "png16_roundtrip_features",
     "png_palette_roundtrip_features",
     "png_interlaced_roundtrip_features",
     "jpeg_roundtrip_features",
@@ -532,6 +534,65 @@ def encode_png(px) -> bytes:
     )
 
 
+def encode_png16(px) -> bytes:
+    """A real, valid 16-bit PNG writer — grayscale (h, w) or truecolor
+    (h, w, 3) uint16, big-endian sample pairs per the spec — with the
+    same all-five-filters row cycle as ``encode_png``; PNG filters
+    operate on BYTES with bpp = 2·channels, which is exactly what this
+    exercises in the decoder. Fixture writer for the 16-bit oracle."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint16)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ch = 1 if gray else px.shape[2]
+    bpp = 2 * ch
+    # big-endian byte view, rows of w*bpp bytes
+    raw = (
+        np.frombuffer(px.astype(">u2").tobytes(), dtype=np.uint8)
+        .reshape(h, w * bpp)
+        .astype(np.int16)
+    )
+    lines = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        lines.append(f)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes((16, 0 if gray else 2, 0, 0, 0))
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _png_pack_row(samples, depth: int) -> bytes:
     """(width,) index samples -> packed row bytes, MSB-first (the writer
     twin of ``_png_unpack_row``)."""
@@ -694,10 +755,15 @@ def _png_defilter(data: bytes, pos: int, nrows: int, stride: int, bpp: int):
 
 
 def _png_unpack_row(row_bytes, width: int, depth: int, channels: int):
-    """One defiltered row -> (width, channels) uint8 samples. Sub-byte
+    """One defiltered row -> (width, channels) samples: uint8 at depths
+    ≤ 8, uint16 (big-endian pairs per the spec) at depth 16. Sub-byte
     depths (palette/gray 1/2/4) pack MSB-first within each byte."""
     import numpy as np
 
+    if depth == 16:
+        return np.frombuffer(
+            np.asarray(row_bytes, dtype=np.uint8).tobytes(), dtype=">u2"
+        )[: width * channels].reshape(width, channels)
     if depth == 8:
         return np.asarray(row_bytes, dtype=np.uint8)[
             : width * channels
@@ -744,7 +810,7 @@ def png_pixels(payload: bytes):
             h = int.from_bytes(body[4:8], "big")
             depth, color, _comp, _filt, interlace = body[8:13]
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-            ok = (depth == 8) if color != 3 else (depth in (1, 2, 4, 8))
+            ok = (depth in (8, 16)) if color != 3 else (depth in (1, 2, 4, 8))
             if channels is None or not ok or interlace not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={color}, "
@@ -766,7 +832,9 @@ def png_pixels(payload: bytes):
     data = zlib.decompress(bytes(idat))
     bits_px = depth * channels
     bpp = max(1, bits_px // 8)
-    out = np.zeros((h, w, channels), dtype=np.uint8)
+    out = np.zeros(
+        (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+    )
     passes = _ADAM7 if interlace == 1 else ((0, 1, 0, 1),)
     pos = 0
     for x0, dx, y0, dy in passes:
@@ -892,6 +960,43 @@ def png_palette_roundtrip_features(
                 out["mean_r"].append(round(float(flat[:, 0].mean()), 6))
                 out["mean_g"].append(round(float(flat[:, 1].mean()), 6))
                 out["mean_b"].append(round(float(flat[:, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+def png16_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 for 16-bit PNG (r4 — closes the decoder's last refusal
+    branch): per document a real 16-bit truecolor PNG of closed-form
+    full-range gradients (values up to 65535, filters cycling all five
+    types on the DOUBLED byte stride) is encoded then fully decoded
+    back; channel means stay SQL-expressible so the oracle hash-checks
+    the big-endian pair unpack and the bpp=6 filter algebra."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 8 + 1, mid % 6 + 1
+                xs, ys = np.arange(w), np.arange(h)
+                r = (mid * 257 + 1000 * xs[None, :] + 2000 * ys[:, None]) % 65536
+                g = (mid * 4097 + 300 * xs[None, :] + 0 * ys[:, None]) % 65536
+                b = (mid * 9973 + 0 * xs[None, :] + 777 * ys[:, None]) % 65536
+                px = np.stack(
+                    [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+                ).astype(np.uint16)
+                f = decode_png(encode_png16(px))
+                out["media_id"].append(mid)
+                out["width"].append(f["width"])
+                out["height"].append(f["height"])
+                out["mean_r"].append(round(f["mean_r"], 6))
+                out["mean_g"].append(round(f["mean_g"], 6))
+                out["mean_b"].append(round(f["mean_b"], 6))
             yield pd.DataFrame(out)
 
     return balance(docs.select(id_col), id_col).mapInPandas(

@@ -1738,6 +1738,38 @@ def multimodal_png_interlaced_pixels(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "multimodal_png16_pixels",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         d.doc_id % 8 + 1 AS w, d.doc_id % 6 + 1 AS h
+  FROM documents d CROSS JOIN range(8) x CROSS JOIN range(6) y
+  WHERE x.range < d.doc_id % 8 + 1 AND y.range < d.doc_id % 6 + 1
+)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       round(avg(CAST((doc_id * 257 + 1000 * x + 2000 * y) % 65536
+                      AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((doc_id * 4097 + 300 * x) % 65536 AS DOUBLE)), 6)
+         AS mean_g,
+       round(avg(CAST((doc_id * 9973 + 777 * y) % 65536 AS DOUBLE)), 6)
+         AS mean_b
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_png16_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (16-bit PNG, r4 — the decoder's LAST refusal branch closed):
+    full-range 16-bit truecolor gradients encoded big-endian with all
+    five filter types cycling on the doubled (bpp=6) byte stride, then
+    fully decoded back. The oracle recomputes the 16-bit closed forms;
+    a byte-order slip or a filter operating on samples instead of bytes
+    shifts a channel mean and breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.png16_roundtrip_features(docs)
+
+
+@register(
     "multimodal_jpeg_pixels",
     oracle="""
 WITH blk AS (
@@ -6044,6 +6076,7 @@ _GATE_PRIORITY = [
     "video_mjpeg_frame_sampling",
     "audio_g711_expansion",
     "bpe_encoded_token_counts",
+    "multimodal_png16_pixels",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",

@@ -482,3 +482,35 @@ def test_g711_refusals():
     wav[j : j + 2] = (16).to_bytes(2, "little")  # G.711 must be 8-bit
     with pytest.raises(ValueError, match="8-bit"):
         decode_wav(bytes(wav))
+
+
+# -- 16-bit PNG (round 4) ---------------------------------------------------
+
+
+def test_png16_roundtrip_and_byte_order():
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import (
+        encode_png16,
+        png_pixels,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(4):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        px = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+        out = png_pixels(encode_png16(px))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out.reshape(h, w, 3), px)
+    g = rng.integers(0, 65536, (7, 5)).astype(np.uint16)
+    assert np.array_equal(png_pixels(encode_png16(g)).reshape(7, 5), g)
+    # big-endian check: the value 0x0102 must decode as 258, not 513
+    one = np.array([[0x0102]], dtype=np.uint16)
+    assert int(png_pixels(encode_png16(one))[0, 0, 0]) == 258
+    # a 16-bit palette is illegal and still refuses
+    import pytest
+
+    data = bytearray(encode_png16(one))
+    data[25] = 3  # IHDR color type byte -> palette
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        png_pixels(bytes(data))
