@@ -810,7 +810,13 @@ def png_pixels(payload: bytes):
             h = int.from_bytes(body[4:8], "big")
             depth, color, _comp, _filt, interlace = body[8:13]
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-            ok = (depth in (8, 16)) if color != 3 else (depth in (1, 2, 4, 8))
+            # every legal (color, depth) combination in the spec's table
+            # (§11.2.2): gray 1/2/4/8/16, palette 1/2/4/8, others 8/16.
+            # Sub-byte gray returns RAW sample values (0..2^d-1) — the
+            # 255/(2^d-1) display scaling is presentation, not decode.
+            ok = depth in {
+                0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)
+            }.get(color, (8, 16))
             if channels is None or not ok or interlace not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={color}, "

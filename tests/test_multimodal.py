@@ -514,3 +514,23 @@ def test_png16_roundtrip_and_byte_order():
     data[25] = 3  # IHDR color type byte -> palette
     with pytest.raises(ValueError, match="unsupported PNG"):
         png_pixels(bytes(data))
+
+
+def test_png_subbyte_grayscale_known_vectors():
+    """Every legal (color, depth) pair now decodes: sub-byte GRAYSCALE
+    returns raw sample values, hand-packed per the spec (depth-1 row
+    [1,0,1,1,0] -> 0xB0; depth-4 [15,3] -> 0xF3)."""
+    import zlib
+
+    from prom_etl_db_spark.functions.multimodal import _png_chunk, png_pixels
+
+    def gray_png(w, depth, row_byte):
+        ihdr = (w).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes(
+            (depth, 0, 0, 0, 0))
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes([0, row_byte])))
+                + _png_chunk(b"IEND", b""))
+
+    assert png_pixels(gray_png(5, 1, 0xB0)).reshape(-1).tolist() == [1, 0, 1, 1, 0]
+    assert png_pixels(gray_png(2, 4, 0xF3)).reshape(-1).tolist() == [15, 3]
+    assert png_pixels(gray_png(3, 2, 0b11011000)).reshape(-1).tolist() == [3, 1, 2]
