@@ -345,3 +345,88 @@ def pack_documents(
             (F.col("__start") % budget).alias("pack_offset"),
         )
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    *,
+    target: Column | None = None,
+    m: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much it resembles a TARGET distribution, using hashed n-gram
+    features — the published method behind quality-targeted pretraining
+    corpus selection.
+
+    Features are unigrams + bigrams of the whitespace-lowercased text,
+    md5-hashed into ``m`` buckets (the same engine-portable hash idiom
+    as the count-min sketch). Bucket unigram models for the target
+    subset and the full (raw) corpus get add-one smoothing; each
+    document's log importance weight is Σ_b c_doc[b]·(ln p_t[b] − ln
+    p_r[b]). ``target`` is any boolean Column over ``docs`` (default:
+    ``lang = 'en'`` — select data resembling the English slice).
+
+    Scale architecture: ONE feature explosion feeds (a) a per-(doc,
+    bucket) hash aggregation — the only corpus-sized shuffle, keyed and
+    combinable map-side — and (b) an m-row bucket model built from that
+    same aggregate; the m-row log-ratio table and its 1-row totals
+    broadcast back onto (a). No windows, no per-doc Python; the paper's
+    Gumbel resampling step is replaced by the deterministic weight (the
+    caller ranks/thresholds — DIVERGENCES.md)."""
+    if target is None:
+        target = F.col("lang") == "en"
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    feats = docs.select(
+        F.col(id_col), target.alias("is_target"), F.explode(grams).alias("g")
+    ).select(
+        id_col,
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+            .cast("long") % m
+        ).alias("b"),
+    )
+    per_doc = feats.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("is_target").alias("is_target"),
+    )
+    model = per_doc.groupBy("b").agg(
+        F.sum("c").alias("r"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("t"),
+    )
+    # Spark resolves column names case-insensitively by default, so the
+    # totals must not be named R/T next to per-bucket r/t
+    totals = model.agg(
+        F.sum("r").alias("r_total"), F.sum("t").alias("t_total")
+    )
+    lr = (
+        model.crossJoin(F.broadcast(totals))  # m rows × 1 row
+        .select(
+            "b",
+            (
+                F.log((F.col("t") + 1) / (F.col("t_total") + m))
+                - F.log((F.col("r") + 1) / (F.col("r_total") + m))
+            ).alias("lr"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("dsir_logw"),
+        )
+    )

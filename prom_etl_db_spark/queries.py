@@ -5724,6 +5724,54 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dsir_logweights",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target, unnest(
+    list_concat(tk,
+      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS g
+  FROM toks
+), feats AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+  FROM grams
+), per_doc AS (
+  SELECT doc_id, b, count(*) AS c, bool_or(is_target) AS is_target
+  FROM feats GROUP BY 1, 2
+), model AS (
+  SELECT b, sum(c) AS r,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS t
+  FROM per_doc GROUP BY b
+), tot AS (SELECT sum(r) AS r_total, sum(t) AS t_total FROM model),
+lr AS (
+  SELECT b, ln((t + 1) / (t_total + 256.0))
+            - ln((r + 1) / (r_total + 256.0)) AS lr
+  FROM model CROSS JOIN tot
+)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+       round(sum(d.c * lr.lr), 4) AS dsir_logw
+FROM per_doc d JOIN lr USING (b) GROUP BY d.doc_id
+""",
+)
+def doc_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, r4): hashed
+    unigram+bigram bucket models for the target slice (lang='en') vs
+    the raw corpus, add-one smoothed; per-document log importance
+    weight Σ c·(ln p_target − ln p_raw) — the published
+    importance-resampling scorer behind quality-targeted pretraining
+    selection. One corpus-sized hash agg + two broadcast-class joins
+    (256-row model, 1-row totals); the oracle replays the full pipeline
+    including the engine-portable md5 bucket hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.dsir_logweights(docs)
+
+
+@register(
     "bpe_encoded_token_counts",
     oracle=r"""
 WITH RECURSIVE words0 AS (
@@ -6077,6 +6125,7 @@ _GATE_PRIORITY = [
     "audio_g711_expansion",
     "bpe_encoded_token_counts",
     "multimodal_png16_pixels",
+    "doc_dsir_logweights",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",
