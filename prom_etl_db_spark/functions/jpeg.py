@@ -314,6 +314,11 @@ def _encode_block(
     ac_codes: dict,
     pred: int,
 ) -> int:
+    # Baseline range safety (T.81: AC fits 10 bits, DC diff 11): for
+    # 8-bit input the orthonormal DCT gives |AC| <= max over the
+    # [-128,127] box = 1020 < 1023 (sign-aligned vertex, measured in
+    # tests) and |DC| <= 1024 so diffs fit 11 bits — with any qtable
+    # >= 1 no quantized symbol can leave the Annex-K code space.
     coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
     q = np.round(coef.reshape(64) / qtab).astype(np.int64)
     zz = q[_ZIGZAG_FLAT]
@@ -580,6 +585,11 @@ def jpeg_pixels(payload: bytes):
         if cs not in by_id:
             raise ValueError("JPEG scan references unknown component")
         sh, sv, tq = by_id[cs]
+        if tq not in qtabs or (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(
+                "JPEG scan references a quantization/Huffman table the "
+                "stream never defined"
+            )
         planes.append(
             np.zeros((mcus_y * 8 * sv, mcus_x * 8 * sh), dtype=np.float64)
         )

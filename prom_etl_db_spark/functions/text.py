@@ -726,3 +726,104 @@ def bpe_token_counts(
             F.sum("n_toks").alias("n_tokens"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, appendix A1.1 —
+    the published heuristics MassiveWeb applied before training): word
+    count bounds, mean word length bounds, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, and the
+    ≥2-English-stopword requirement. Emits every metric plus the
+    combined pass flag so a pipeline can audit WHICH rule dropped a
+    page. Pure Column algebra — no UDF, one narrow projection."""
+    text = F.col(text_col)
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+
+    def substr_count(col: Column, s: str) -> Column:
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(s), F.lit(""))))
+            / len(s)
+        ).cast("long")
+
+    mean_wl = (
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words
+    )
+    symbol_ratio = (substr_count(text, "#") + substr_count(text, "...")) / n_words
+    bullet_frac = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$")))
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passed = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", passed)
+
+
+def c4_line_filter(docs: DataFrame, *, text_col: str = "page") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the published
+    line-level heuristics behind the C4 corpus): keep only lines ending
+    in terminal punctuation with ≥5 words and no 'javascript'; drop
+    whole pages containing '{' or 'lorem ipsum' or with <3 retained
+    lines. Returns per page the retained text (kept lines rejoined),
+    the line accounting, and the page verdict. Pure Column algebra over
+    a split-lines array — no UDF, no shuffle beyond the scan."""
+    page = F.col(text_col)
+    lines = F.split(page, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda x: x != "")) >= 5)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    lower = F.lower(page)
+    page_ok = (
+        (F.size(kept) >= 3)
+        & ~lower.contains("lorem ipsum")
+        & ~page.contains("{")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        page_ok.alias("page_kept"),
+        F.when(page_ok, F.concat_ws("\n", kept)).otherwise(F.lit(""))
+        .alias("kept_text"),
+    )

@@ -5724,6 +5724,139 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_gopher_quality",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), metrics AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+          / len(words), 4) AS mean_word_len,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT))
+          / CAST(len(words) AS DOUBLE), 4) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+          / CAST(len(lines) AS DOUBLE), 4) AS bullet_frac,
+    round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$')))
+          / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+          / CAST(len(words) AS DOUBLE), 4) AS alpha_frac,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3 AND 10)
+       AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       AND stop_hits >= 2 AS gopher_pass
+FROM metrics
+""",
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, A1.1 — r4): the published
+    MassiveWeb pre-training filters as one narrow Column projection —
+    word-count and mean-word-length bounds, symbol ratio, bullet/
+    ellipsis line fractions, alphabetic-word fraction, the ≥2-stopword
+    requirement — every metric emitted so pipelines can audit WHICH
+    rule dropped a page. The oracle replays the rule set in DuckDB list
+    algebra. On this synthetic corpus every page fails (stop_hits < 2 —
+    the fixture vocabulary lacks English function words, which is the
+    stopword rule doing its job); the METRIC columns vary per document
+    and carry the hash, and the both-ways flag split is pinned on
+    English-like fixtures in tests/test_text.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs)
+
+
+@register(
+    "doc_c4_page_filter",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS words
+  FROM documents
+), paged AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
+        i -> array_to_string(words[i*8+1 : i*8+8], ' ')
+             || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END),
+      chr(10))
+    || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'function() { return cookies; }' ELSE '' END
+      AS page
+  FROM w
+), split AS (
+  SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM paged
+), kept AS (
+  SELECT doc_id, page, len(lines) AS n_lines,
+    list_filter(lines, l ->
+      regexp_matches(rtrim(l), '[.!?"]$')
+      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x != '')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS keep
+  FROM split
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(len(keep) AS INT) AS n_lines_kept,
+       (len(keep) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+        AND NOT contains(page, '{')) AS page_kept,
+       CASE WHEN len(keep) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+                 AND NOT contains(page, '{')
+            THEN array_to_string(keep, chr(10)) ELSE '' END AS kept_text
+FROM kept
+""",
+)
+def doc_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — r4): the published
+    line-level heuristics — terminal-punctuation lines with ≥5 words
+    and no 'javascript' kept; pages with '{', 'lorem ipsum', or <3
+    retained lines dropped. The fixture corpus has no line structure,
+    so the query BUILDS a deterministic multi-line page per document
+    (8-word lines, terminal punctuation on a (doc_id+i)%3 pattern,
+    lorem-ipsum and curly-brace injections on doc_id strata) in the
+    same closed form on both engines, then runs the REAL operator
+    (`text.c4_line_filter`, pure Column algebra) over it; every rule
+    fires on some stratum and the kept-text rejoin itself is part of
+    the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 89 == 0,
+            F.lit("\nfunction() { return cookies; }"),
+        ).otherwise(F.lit("")),
+    )
+    paged = docs.select("doc_id", page.alias("page"))
+    return text.c4_line_filter(paged)
+
+
+@register(
     "doc_dsir_logweights",
     oracle=r"""
 WITH toks AS (
@@ -6126,6 +6259,8 @@ _GATE_PRIORITY = [
     "bpe_encoded_token_counts",
     "multimodal_png16_pixels",
     "doc_dsir_logweights",
+    "doc_gopher_quality",
+    "doc_c4_page_filter",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",

@@ -534,3 +534,36 @@ def test_png_subbyte_grayscale_known_vectors():
     assert png_pixels(gray_png(5, 1, 0xB0)).reshape(-1).tolist() == [1, 0, 1, 1, 0]
     assert png_pixels(gray_png(2, 4, 0xF3)).reshape(-1).tolist() == [15, 3]
     assert png_pixels(gray_png(3, 2, 0b11011000)).reshape(-1).tolist() == [3, 1, 2]
+
+
+def test_jpeg_adversarial_max_coefficient_images_stay_in_code_space():
+    """Baseline JPEG symbols cap at 10-bit AC / 11-bit DC-diff. For
+    8-bit input the orthonormal DCT bounds |AC| by the sign-aligned
+    vertex of the [-128,127] box — 1020 < 1023 — so flat (all-ones)
+    quantization can never overflow the Annex-K code space. Exercise
+    the worst basis-aligned images plus the full-amplitude
+    checkerboard end to end."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import (
+        _DCT_M,
+        encode_jpeg,
+        jpeg_pixels,
+    )
+
+    worst = 0.0
+    for u in range(8):
+        for v in range(8):
+            if (u, v) == (0, 0):
+                continue
+            basis = np.outer(_DCT_M[u], _DCT_M[v])
+            worst = max(worst, float(
+                (basis * np.where(basis >= 0, 127.0, -128.0)).sum()))
+            px = np.where(basis >= 0, 255, 0).astype(np.uint8)
+            out = jpeg_pixels(encode_jpeg(px, qtables="flat"))
+            assert out.shape == (8, 8)
+    assert worst < 1023  # the safety margin the encoder relies on
+    chk = np.zeros((8, 8), np.uint8)
+    chk[::2, 1::2] = 255
+    chk[1::2, ::2] = 255
+    assert np.array_equal(jpeg_pixels(encode_jpeg(chk, qtables="flat")), chk)

@@ -374,3 +374,55 @@ def test_bpe_token_counts_matches_local_reference_encoder(spark):
         words = [w for w in text.lower().split() if w]
         want = sum(len(bpe_encode(w, merges)) for w in words)
         assert out[doc_id] == (len(words), want)
+
+
+def test_gopher_rules_split_english_like_pages_both_ways(spark):
+    """r4: each Gopher rule must be able to fail a page on its own, and
+    a clean page passes. Fixtures built to trip exactly one rule each."""
+    from prom_etl_db_spark.functions.text import gopher_quality_flags
+
+    good_words = ("the quick brown words flow and that have with of be to "
+                  "sentence keeps marching onward steadily ") * 5  # 90 words
+    rows = [
+        (1, good_words),                                   # passes all
+        (2, "the of and that"),                            # too few words
+        (3, good_words + " ####" * 12),                    # symbol ratio
+        (4, "zz qq ww ee rr " * 20),                       # no stopwords
+        (5, "\n".join(["- " + good_words[:40]] * 10)),     # all bullets
+        (6, good_words + " 12 34 56 " * 40),               # alpha fraction
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] < 50
+    assert out[3]["gopher_pass"] is False and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["gopher_pass"] is False and out[4]["stop_hits"] < 2
+    assert out[5]["gopher_pass"] is False and out[5]["bullet_frac"] > 0.9
+    assert out[6]["gopher_pass"] is False and out[6]["alpha_frac"] < 0.8
+
+
+def test_c4_line_filter_each_rule_fires(spark):
+    from prom_etl_db_spark.functions.text import c4_line_filter
+
+    keep = "this line has at least five words."
+    rows = [
+        (1, "\n".join([keep] * 4)),                     # kept page
+        (2, "\n".join([keep] * 2)),                     # <3 kept lines
+        (3, "\n".join([keep] * 4) + "\nlorem IPSUM x"),  # lorem page drop
+        (4, "\n".join([keep] * 4) + "\nvar x = {")      # brace page drop
+    ]
+    rows.append((5, "\n".join([
+        keep,                              # kept
+        "no terminal punctuation here",    # dropped: no punct
+        "too short.",                      # dropped: <5 words
+        "enable JavaScript to view this.",  # dropped: javascript
+        keep, keep,
+    ])))
+    docs = spark.createDataFrame(rows, "doc_id long, page string")
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[1]["page_kept"] is True and out[1]["n_lines_kept"] == 4
+    assert out[2]["page_kept"] is False
+    assert out[3]["page_kept"] is False  # lorem ipsum (case-insensitive)
+    assert out[4]["page_kept"] is False  # curly brace
+    assert out[5]["page_kept"] is True and out[5]["n_lines_kept"] == 3
+    assert out[5]["kept_text"] == "\n".join([keep] * 3)
