@@ -827,3 +827,81 @@ def c4_line_filter(docs: DataFrame, *, text_col: str = "page") -> DataFrame:
         F.when(page_ok, F.concat_ws("\n", kept)).otherwise(F.lit(""))
         .alias("kept_text"),
     )
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    *,
+    train: Column | None = None,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-α bigram language model
+    trained on a slice of the corpus — the CCNet-style LM quality
+    signal (Wenzek et al. 2020) computed with an HONEST in-corpus LM
+    instead of the hashed-BoW proxy the `doc_ccnet_perplexity_buckets`
+    query documents as a divergence: p(w|prev) = (c(prev,w) + α) /
+    (c(prev) + α·V) with V the training vocabulary size; unseen
+    histories back off to the uniform 1/V.
+
+    Scale: training counts are two hash aggregations over the train
+    slice (bigram table bounded by observed-bigram count, not corpus
+    bytes); scoring is ONE equi-join of the corpus bigram stream
+    against those counts plus a 1-row broadcast of (V). Returns
+    (doc_id, n_bigrams, avg_logp, ppl); single-word documents carry no
+    bigram evidence and are omitted (the caller's routing concern,
+    like empty groups in the sketches)."""
+    if train is None:
+        train = F.col("lang") == "en"
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+    )
+    pairs = docs.select(
+        F.col(id_col), train.alias("is_train"), F.explode(bigrams).alias("bg")
+    ).select(id_col, "is_train", F.col("bg.prev").alias("prev"),
+             F.col("bg.w").alias("w"))
+    train_pairs = pairs.where("is_train")
+    c2 = train_pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train_pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # V = training vocabulary (distinct tokens incl. final positions)
+    vocab = (
+        docs.where(train)
+        .select(F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda x: x != "")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        pairs.join(c2, ["prev", "w"], "left")
+        .join(c1, ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + alpha)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + alpha * F.col("v"))
+                )
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round("avg_logp", 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+        )
+    )

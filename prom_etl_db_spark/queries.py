@@ -5857,6 +5857,53 @@ def doc_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_lm_perplexity",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_train,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+), pairs AS (
+  SELECT doc_id, is_train, tk[x] AS prev, tk[x+1] AS w
+  FROM toks, unnest(range(1, len(tk))) AS g(x)
+), c2 AS (
+  SELECT prev, w, count(*) AS c2 FROM pairs WHERE is_train GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, count(*) AS c1 FROM pairs WHERE is_train GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT u.w) AS v
+  FROM (SELECT unnest(tk) AS w FROM toks WHERE is_train) u
+), scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(c2.c2, 0) + 1.0)
+            / (coalesce(c1.c1, 0) + 1.0 * v.v)) AS logp
+  FROM pairs p
+  LEFT JOIN c2 ON c2.prev = p.prev AND c2.w = p.w
+  LEFT JOIN c1 ON c1.prev = p.prev
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logp,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal with an HONEST in-corpus language
+    model (r4): per-document perplexity under an add-1 bigram LM
+    trained on the lang='en' slice (Wenzek et al. 2020's selection
+    signal, minus the external KenLM this environment can't ship — the
+    `doc_ccnet_perplexity_buckets` divergence row documents the proxy
+    this replaces for scoring). Training = two hash aggs over the train
+    slice; scoring = one equi-join of the corpus bigram stream against
+    those counts + a 1-row vocab broadcast. The oracle replays the
+    exact smoothing algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_lm_perplexity(docs)
+
+
+@register(
     "doc_dsir_logweights",
     oracle=r"""
 WITH toks AS (
@@ -6261,6 +6308,7 @@ _GATE_PRIORITY = [
     "doc_dsir_logweights",
     "doc_gopher_quality",
     "doc_c4_page_filter",
+    "doc_bigram_lm_perplexity",
     # Round-1-green entries never re-checked since r1 — regression slots
     # fill the remainder of the 50-entry window:
     "flagship_gpu_utilization",

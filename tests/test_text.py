@@ -426,3 +426,30 @@ def test_c4_line_filter_each_rule_fires(spark):
     assert out[4]["page_kept"] is False  # curly brace
     assert out[5]["page_kept"] is True and out[5]["n_lines_kept"] == 3
     assert out[5]["kept_text"] == "\n".join([keep] * 3)
+
+
+def test_bigram_lm_perplexity_semantics(spark):
+    """r4: train-slice text must be less perplexing than off-model text
+    under the add-1 bigram LM; hand-check one tiny model exactly."""
+    import math
+
+    from prom_etl_db_spark.functions.text import bigram_lm_perplexity
+
+    rows = [
+        (1, "a b a b a b", "en"),
+        (2, "a b a b", "xx"),      # pure train-distribution bigrams
+        (3, "q r s t", "xx"),      # all-unseen bigrams and histories
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in bigram_lm_perplexity(docs).collect()}
+    # train stats from doc 1 only: c(a,b)=3, c(b,a)=2, c1(a)=3, c1(b)=2, V=2
+    p_ab = (3 + 1) / (3 + 2)
+    p_ba = (2 + 1) / (2 + 2)
+    want_avg = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[2]["n_bigrams"] == 3
+    assert abs(out[2]["avg_logp"] - round(want_avg, 6)) < 1e-9
+    assert abs(out[2]["ppl"] - round(math.exp(-want_avg), 4)) < 1e-6
+    # unseen everything: p = 1/V per bigram -> ppl = V = 2... with add-1:
+    # (0+1)/(0+2) = 0.5 -> ppl 2.0
+    assert out[3]["ppl"] == 2.0
+    assert out[2]["ppl"] < out[3]["ppl"]
