@@ -40,7 +40,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from prom_etl_db_spark.functions import clustering, dedup, similarity
+from prom_etl_db_spark.functions import clustering, dedup, sampling, similarity
 from prom_etl_db_spark.functions import text as textfn
 from prom_etl_db_spark.operators import promql
 from prom_etl_db_spark.session import get_spark
@@ -200,6 +200,11 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("minhash_lsh", dedup.minhash_lsh_dup_pairs(docs, bands=16, threshold=0.3))
 
     run("tfidf_topk", textfn.tfidf_topk_terms(docs, 3))
+    # r4 corpus-curation scorers: one corpus-sized hash agg each +
+    # broadcast-class model joins — the rows prove the model tables
+    # don't grow with corpus bytes
+    run("dsir_logweights", sampling.dsir_logweights(docs))
+    run("bigram_lm_ppl", textfn.bigram_lm_perplexity(docs))
     # Caesar-rotated replicas keep within-copy chunk/span dup structure
     # exact and disjoint across copies -> dup counts grow k-linearly
     run("paragraph_dedup", dedup.paragraph_dedup_stats(docs, 20))
