@@ -627,7 +627,14 @@ def jpeg_pixels(payload: bytes):
                             size = sym & 0x0F
                             zz[k] = _extend(rdr.receive(size), size)
                             k += 1
-                        coef = (zz * qtab)[_UNZIGZAG].reshape(8, 8)
+                        # De-zigzag FIRST, then dequantize: zz holds
+                        # coefficients in zigzag order while qtab is kept
+                        # in natural (raster) order, so each coefficient
+                        # must be moved to its natural slot before being
+                        # scaled by the quantizer at that slot (T.81
+                        # F.2.1.4).  Multiplying in zigzag order is only
+                        # equivalent for flat (constant) tables.
+                        coef = (zz[_UNZIGZAG] * qtab).reshape(8, 8)
                         block = _DCT_M.T @ coef @ _DCT_M + 128.0
                         y0 = (my * sv + by) * 8
                         x0 = (mx * sh + bx) * 8

@@ -781,14 +781,15 @@ def png_pixels(payload: bytes):
     """REAL PNG pixel decode, stdlib only: walk the chunk list, inflate
     the concatenated IDAT stream with ``zlib``, and reconstruct every row
     through the five PNG filters (None/Sub/Up/Average/Paeth — the Paeth
-    predictor per RFC 2083). Returns a top-down (h, w, channels) uint8
-    array (palette images come back as mapped RGB).
+    predictor per RFC 2083). Returns a top-down (h, w, channels) array —
+    uint8 for depths 1/2/4/8, uint16 for depth-16 images (palette images
+    come back as mapped RGB).
 
-    Supported (the formats a training pipeline ships): 8-bit grayscale
-    (0) / truecolor (2) / gray+alpha (4) / truecolor+alpha (6), palette
-    (3) at depths 1/2/4/8, each non-interlaced OR Adam7-interlaced
-    (r4 — the two refusal branches real thumbnails hit most).
-    16-bit raises ValueError (quarantine is the caller's concern, the
+    Supported — the FULL static-PNG matrix (r4): grayscale (0) /
+    truecolor (2) / gray+alpha (4) / truecolor+alpha (6) at depths 8 and
+    16, grayscale additionally at sub-byte depths 1/2/4, palette (3) at
+    depths 1/2/4/8; each non-interlaced OR Adam7-interlaced. Malformed
+    streams raise ValueError (quarantine is the caller's concern, the
     A12 stance)."""
     import zlib
 

@@ -1814,8 +1814,10 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blockwise-constant input + all-ones tables make the lossy pipeline
     bit-exact, so the oracle recomputes the expected RGB means in SQL
     and the driver hash-checks the whole entropy-coding algebra. The
-    decoder also passes a known-vector test against a hand-assembled
-    from-the-spec JPEG (tests/test_multimodal.py), proving interop
+    decoder also passes two known-vector tests against hand-assembled
+    from-the-spec JPEGs (tests/test_multimodal.py) — a flat-DQT vector
+    for the Huffman/bit-order/IDCT path and a zigzag-ramp-DQT vector
+    that pins the dequantization ORDER (the r5 fix) — checking interop
     rather than mere self-consistency."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.jpeg_roundtrip_features(docs)

@@ -161,13 +161,14 @@ def test_audio_features_zero_sample_rate_and_multi_data_chunk():
 
 
 def test_jpeg_known_vector_hand_assembled_from_spec():
-    """Interop proof independent of our encoder: a minimal 8x8 grayscale
+    """Interop check independent of our encoder: a minimal 8x8 grayscale
     baseline JPEG hand-assembled from ITU-T T.81 — Annex-K tables in the
     DHT, all-ones DQT, and the TWO entropy bytes computed by hand from
     the canonical code construction (DC cat5='110' + 16='10000' +
-    EOB='1010', padded with 1s -> 0xD0 0xAF). If the decoder's canonical
-    Huffman assignment, MSB-first bit order, EXTEND, dequant or IDCT
-    scale were wrong, these bytes would not decode to a flat 130."""
+    EOB='1010', padded with 1s -> 0xD0 0xAF). Exercises the canonical
+    Huffman assignment, MSB-first bit order, EXTEND and IDCT scale; the
+    flat DQT means it canNOT see dequantization-ORDER bugs — that is
+    the non-flat known-vector test below."""
     import numpy as np
 
     from prom_etl_db_spark.functions.jpeg import _AC_LUM, _DC_LUM, jpeg_pixels
@@ -189,6 +190,113 @@ def test_jpeg_known_vector_hand_assembled_from_spec():
     # the flat-128 twin: DC cat0='00' + EOB='1010', padded -> 0x2B
     data128 = data.replace(bytes([0xD0, 0xAF]), bytes([0x2B]))
     assert np.array_equal(jpeg_pixels(data128), np.full((8, 8), 128, np.uint8))
+
+
+def test_jpeg_known_vector_nonflat_zigzag_asymmetric_qtable():
+    """The dequantization-ORDER proof (round-5 advice): a hand-assembled
+    8x8 grayscale JPEG whose DQT is the zigzag ramp 1..64 — a table that
+    disagrees with itself under any zigzag/natural confusion — carrying
+    a low-frequency AC at zigzag index 2 (natural (1,0): quantizer 3
+    in natural order but 6 if mis-indexed) and a HIGH-frequency AC at
+    zigzag index 61 (natural (6,7)).  Expected pixels are computed from
+    an independently constructed zigzag walk, natural-order dequant and
+    a from-the-formula DCT-III basis — not the module's own tables.  A
+    decoder that multiplies coefficients by the quant table in zigzag
+    position (the r4 bug) scales these ACs by the wrong quantizers and
+    fails this block exactly."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import _AC_LUM, _DC_LUM, jpeg_pixels
+
+    def canonical(bits, vals):
+        # T.81 Annex C: canonical code assignment from BITS/HUFFVAL
+        codes, code, i = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[i]] = (code, length)
+                i += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    dc, ac = canonical(*_DC_LUM), canonical(*_AC_LUM)
+    bits = []
+
+    def put(code, length):
+        bits.extend((code >> (length - 1 - i)) & 1 for i in range(length))
+
+    c, l = dc[0]
+    put(c, l)  # DC diff 0 (category 0)
+    c, l = ac[0x15]
+    put(c, l)
+    put(16, 5)  # run 1, value 16 at zigzag 2
+    for _ in range(3):  # 58 zeros to zigzag 61: 3 ZRL + run 10
+        c, l = ac[0xF0]
+        put(c, l)
+    c, l = ac[0xA2]
+    put(c, l)
+    put(-3 + (1 << 2) - 1, 2)  # run 10, value -3 at zigzag 61
+    c, l = ac[0x00]
+    put(c, l)  # EOB
+    bits += [1] * (-len(bits) % 8)
+    ent = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for b in bits[i : i + 8]:
+            v = (v << 1) | b
+        ent.append(v)
+        if v == 0xFF:
+            ent.append(0x00)  # byte stuffing
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    data = b"\xff\xd8"
+    data += marker(0xDB, bytes([0x00]) + bytes(range(1, 65)))  # zigzag ramp
+    data += marker(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    data += marker(0xC4, bytes([0x00] + _DC_LUM[0] + _DC_LUM[1]))
+    data += marker(0xC4, bytes([0x10] + _AC_LUM[0] + _AC_LUM[1]))
+    data += marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += bytes(ent) + b"\xff\xd9"
+
+    # independent expectation: own zigzag walk + cosine-formula basis
+    walk = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(7, s) + 1)]
+        walk += diag[::-1] if s % 2 == 0 else diag
+    zz2nat = [y * 8 + x for (y, x) in walk]
+    coef = np.zeros(64)
+    coef[zz2nat[2]] = 16 * 3  # zigzag quantizer ramp: position 2 -> 3
+    coef[zz2nat[61]] = -3 * 62
+    basis = np.array(
+        [
+            [
+                np.cos((2 * x + 1) * u * np.pi / 16)
+                * (np.sqrt(1 / 8) if u == 0 else 0.5)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    block = basis.T @ coef.reshape(8, 8) @ basis + 128.0
+    exp = np.clip(np.floor(block + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(jpeg_pixels(data), exp)
+
+
+def test_jpeg_noise_roundtrip_standard_tables_bounded():
+    """Regression gate for the dequantization-order fix on REAL tables:
+    uniform noise through the standard Annex-K quantizers round-trips
+    with max pixel error 84 after the fix vs 154 with the zigzag-order
+    multiply (measured on this exact seed) — the <=100 bound fails the
+    buggy decoder and passes the fixed one with margin."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg, jpeg_pixels
+
+    rng = np.random.default_rng(11)
+    im = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    out = jpeg_pixels(encode_jpeg(im))
+    assert np.abs(out.astype(int) - im.astype(int)).max() <= 100
 
 
 def test_jpeg_roundtrip_blockwise_constant_is_bit_exact():
