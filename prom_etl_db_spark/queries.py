@@ -5647,16 +5647,38 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak. The iterative trainer itself is rows-only by nature (each
     round's argmax feeds the next round's state, like the IVF index
     build) and is exact-equality unit-tested against a from-scratch
-    local reference."""
-    docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    local reference.
 
+    Scale shape (r5, VERDICT task #2): the top-20 is taken FIRST with
+    orderBy().limit() — TakeOrderedAndProject, a per-partition partial
+    top-k that never moves the full pair table (a multilingual 100 TB
+    corpus has a ~10^7-row pair table). The rank over the 20 survivors
+    is then sort_array(collect_list(struct)) + posexplode — row_number
+    without any WindowExec, so no unpartitioned-window plan (and no
+    single-partition WARN) exists anywhere. The sort key flips n's sign
+    so one ascending struct sort realizes the trainer's
+    (count desc, pair asc) tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
     counted = text.bpe_pair_frequencies(text.bpe_word_vocab(docs))
-    w = Window.orderBy(F.desc("n"), F.asc("left_tok"), F.asc("right_tok"))
+    top = counted.orderBy(
+        F.desc("n"), F.asc("left_tok"), F.asc("right_tok")
+    ).limit(20)
+    packed = top.select(
+        F.struct(
+            (-F.col("n")).alias("neg_n"),
+            F.col("left_tok"),
+            F.col("right_tok"),
+        ).alias("row")
+    )
     return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("left_tok", "right_tok", "n", "rank")
+        packed.agg(F.sort_array(F.collect_list("row")).alias("rows"))
+        .select(F.posexplode("rows").alias("pos", "row"))
+        .select(
+            F.col("row.left_tok").alias("left_tok"),
+            F.col("row.right_tok").alias("right_tok"),
+            (-F.col("row.neg_n")).alias("n"),
+            (F.col("pos") + F.lit(1)).alias("rank"),
+        )
     )
 
 
@@ -5776,6 +5798,84 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     English-like fixtures in tests/test_text.py."""
     docs = _t(spark, sf_dir, "documents")
     return text.gopher_quality_flags(docs)
+
+
+@register(
+    "doc_gopher_split",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN repeat(
+                'the words of that land have been with them and they stay true. ',
+                CAST(4 + doc_id % 4 AS INT))
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM src
+), metrics AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+          / len(words), 4) AS mean_word_len,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT))
+          / CAST(len(words) AS DOUBLE), 4) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+          / CAST(len(lines) AS DOUBLE), 4) AS bullet_frac,
+    round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$')))
+          / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+          / CAST(len(words) AS DOUBLE), 4) AS alpha_frac,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3 AND 10)
+       AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       AND stop_hits >= 2 AS gopher_pass
+FROM metrics
+""",
+)
+def doc_gopher_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules with the PASS flag actually splitting under the
+    driver oracle (r5, VERDICT task #3): the sibling
+    `doc_gopher_quality` runs the operator over the raw fixture corpus,
+    where every page fails the ≥2-stopword rule (the synthetic
+    vocabulary has no English function words), so its composite boolean
+    is constant in the hashed output. Here the even-doc_id stratum is
+    rewritten IN-QUERY to a closed-form English-like page (a 13-word
+    stopword-rich sentence repeated 4 + doc_id % 4 times — 52..91 words,
+    mean word length 3.85, six stopword hits, no symbols/bullets/
+    ellipses) that passes every rule, exactly the stratum-construction
+    trick `doc_c4_page_filter` uses; odd doc_ids keep the raw fixture
+    text and keep failing. The REAL operator
+    (`text.gopher_quality_flags`, pure Column projection, zero shuffle)
+    runs unchanged over the constructed corpus, and the driver hash now
+    pins gopher_pass = true AND false rows plus every metric column on
+    both strata."""
+    docs = _t(spark, sf_dir, "documents")
+    eng = F.repeat(
+        F.lit(
+            "the words of that land have been with them and they stay true. "
+        ),
+        (F.lit(4) + F.col("doc_id") % 4).cast("int"),
+    )
+    bimodal = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, eng)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.gopher_quality_flags(bimodal)
 
 
 @register(
@@ -6281,72 +6381,91 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # --- Round-4 must-verify block -----------------------------------
-    # bpe_learned_merges: the ONLY r3 err row — now carries a recursive-
-    # CTE DuckDB oracle replaying the merge loop (VERDICT r3 task #1).
-    "bpe_learned_merges",
-    # The six queries with zero driver rows across r1-r3 (VERDICT task
-    # #2) — the whole sliding-window family plus sign-LSH codes:
-    "promql_sliding_window_aggs",
-    "promql_sliding_extremes",
-    "promql_sliding_quantile",
-    "promql_sliding_changes",
-    "promql_sliding_deriv",
-    "embedding_signlsh_codes",
-    # Semantically changed late in r3 AFTER the r3 gate ran (ADVICE.md
-    # item 1) — re-verify on the driver:
-    "asof_click_before_purchase",  # both-side click pre-dedup
-    "promql_limit_ops",  # NULL-k skey coalesce
-    "similarity_topk_ivf",  # driver row only in r2; IVF twin anchor
-    # New in round 4 — uncommented here as each lands with its oracle:
-    "multimodal_jpeg_pixels",
-    "multimodal_png_palette_pixels",
-    "multimodal_png_interlaced_pixels",
-    "promql_parsed_numeric_escapes",
-    "video_mjpeg_frame_sampling",
-    "audio_g711_expansion",
-    "bpe_encoded_token_counts",
-    "multimodal_png16_pixels",
-    "doc_dsir_logweights",
-    "doc_gopher_quality",
-    "doc_c4_page_filter",
-    "doc_bigram_lm_perplexity",
-    # Round-1-green entries never re-checked since r1 — regression slots
-    # fill the remainder of the 50-entry window:
-    "flagship_gpu_utilization",
-    "promql_instant_vector",
-    "promql_sum_over_time",
-    "promql_gapfill_locf",
-    "ingest_normalize_events",
-    "tpch_q1_pricing_summary",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "similarity_topk",
-    "embedding_neardup_pairs",
-    "daily_report",
-    "success_rate",
-    "hourly_rollup",
-    "timeparse_grid",
-    "table_stats",
-    "retention_horizon",
-    "backfill_skip_existing",
-    "collected_at_sameday_range",
-    "latest_n_scan",
-    "metrics_count",
-    "metric_name_discovery",
-    "promql_sum_by",
-    "promql_max_without",
-    "promql_avg_by",
-    "promql_bool_scalar_arith",
-    "promql_rate",
-    "promql_topk",
-    "promql_stddev_by",
+    # --- Round-5 new/changed block ------------------------------------
+    # doc_gopher_split: NEW — the gopher_pass both-ways split under the
+    # driver oracle (VERDICT r4 task #3).
+    "doc_gopher_split",
+    # bpe_pair_counts: plan rewritten this round (TakeOrderedAndProject
+    # partial top-k + sort_array/posexplode rank instead of a full-table
+    # single-partition window, VERDICT task #2) — value-identical by
+    # construction, re-gated anyway.
+    "bpe_pair_counts",
+    # --- Stale rotation (VERDICT r4 task #4) ---------------------------
+    # Every registry query's newest driver row, unioned over
+    # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the
+    # r4 gate; this window leads with the OLDEST (newest row = r1, all 18
+    # that carry oracles — minhash_lsh_pairs and embedding_neardup_lsh
+    # are rows-only by design and must stay past slot 50), then fills the
+    # remainder with the r2-stale set in registry order. The 14 r2-stale
+    # queries that do not fit this window lead the r6 rotation.
+    # newest driver row = r1 (18):
     "promql_quantile_by",
     "promql_avg_over_time",
     "promql_sliding_sum",
     "promql_vector_ratio",
-    # r2-green entries rotate to the tail (driver evidence recorded in
-    # CORRECTNESS_r02.json; definition order after this list).
+    "label_extract",
+    "label_filter_slice",
+    "substring_prefix",
+    "time_window_scan",
+    "per_key_stats",
+    "top_customers",
+    "order_priority_count",
+    "regional_revenue",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "media_frame_counts",
+    # newest driver row = r2 (fills the window; cardinality_sketches is
+    # rows-only by design and excluded):
+    "text_repetition_signals",
+    "pii_redaction",
+    "decontam_ngram_overlap",
+    "decontam_clean_corpus",
+    "multimodal_bmp_pixels",
+    "multimodal_resize_roundtrip",
+    "multimodal_wav_samples",
+    "embedding_kmeans_assign",
+    "semantic_neardup_pairs",
+    "promql_count_values",
+    "promql_over_time_stats",
+    "promql_rate_range",
+    "promql_mad_over_time",
+    "promql_label_replace",
+    "promql_label_join",
+    "promql_offset",
+    "promql_delta",
+    "promql_deriv",
+    "promql_predict_linear",
+    "promql_histogram_quantile",
+    "promql_clamp",
+    "doc_hash_split_counts",
+    "doc_stratified_sample",
+    "corpus_mix_by_lang",
+    "doc_deterministic_topn",
+    "doc_cap_per_source",
+    "doc_weighted_sample",
+    "neardup_clusters",
+    "neardup_keep_canonical",
+    "text_bpe_token_counts",
+    "tfidf_top_terms",
+    "bm25_query_scores",
+    "interval_click_attribution",
+    "promql_parsed_flagship",
+    "promql_parsed_selector_agg",
+    "config_executed_range",
+    "promql_changes_resets",
+    "promql_raw_over_time",
+    "promql_irate_idelta",
+    "promql_smoothing",
+    "tpch_q3_shipping_priority",
+    "doc_classifier_scores",
+    "doc_chunking",
+    "tpch_q5_local_revenue",
+    # (window cutoff is at 50 — entries past it keep the rotation order
+    # documented for r6: the r3-green block, then r4-green, definition
+    # order after this list.)
 ]
 
 

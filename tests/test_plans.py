@@ -396,3 +396,16 @@ def test_load_table_restores_nanos_conf(spark, tmp_path):
     # ...and the session-wide flag is back to its prior state, so a later
     # unrelated nanos read doesn't silently yield raw longs
     assert spark.conf.get(key, None) == before
+
+
+def test_bpe_pair_counts_partial_topk_no_full_table_window(spark, sf_dir):
+    """r5 VERDICT task #2: the top-20 must be a per-partition partial
+    top-k (TakeOrderedAndProject) over the corpus-scale pair table —
+    never a WindowExec over the whole table on one partition (a
+    multilingual 100 TB corpus has a ~10^7-row pair table). The rank is
+    sort_array+posexplode over the 20 survivors, so NO Window node (and
+    no 'No Partition Defined' WARN) exists anywhere in the plan."""
+    df = QUERIES["bpe_pair_counts"](spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in s
+    assert "Window" not in s

@@ -24,22 +24,61 @@ from prom_etl_db_spark.functions.scratch import release_scratch  # noqa: E402
 from prom_etl_db_spark.queries import QUERIES  # noqa: E402
 from prom_etl_db_spark.session import get_spark  # noqa: E402
 
-# Deliberate 1-row / broadcast-class nested-loop composes (each documented
-# at its implementation site): a BroadcastNestedLoopJoin of one aggregate
-# row is the lazy-scalar pattern, not an accident.
+# A BroadcastNestedLoopJoin is benign when its broadcast (build) side is
+# PROVABLY bounded — the lazy-scalar idiom: an ungrouped aggregate
+# (grouping keys = []) yields exactly one row, so the "nested loop" is a
+# constant-compose, not a join. _bnlj_all_benign proves this from the
+# plan SHAPE (r5, VERDICT task #1) instead of a query-name list; the
+# name list below remains ONLY for composes whose boundedness is real
+# but not shape-provable (grouped aggregate over an enum-bounded key).
 NLJ_OK = {
-    "text_quality_scores",  # 1-row corpus stats crossJoin (text.py)
-    "tfidf_top_terms",  # 1-row doc-count broadcast (text.py)
-    "bm25_query_scores",  # 1-row avg-doclen broadcast (text.py)
-    "doc_ccnet_perplexity_buckets",  # 1-row tercile thresholds broadcast
-    "promql_parsed_scalar_share",  # lazy scalar(): 1-row broadcast
-    "doc_minhash_jaccard_est",  # 1-row estimator-vs-exact summary compose
-    "doc_zipf_token_stats",  # 1-row corpus totals broadcast
-    "events_value_psi",  # 1-row baseline-total broadcast
-    "dq_events_expectations",  # 1-row expectation summary compose
-    "curation_pipeline",  # 1-row stats compose at the report stage
-    "promql_raw_over_time",  # 1-row-per-metric aggregate crossJoin compose
+    "promql_raw_over_time",  # per-metric aggregate crossJoin: grouped by
+    # metric_name (enum-bounded catalog, not corpus-scale) — boundedness
+    # is a data property the plan shape cannot prove.
 }
+
+_AGG_EXECS = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _iter_nodes(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_children(n))
+
+
+def _has_ungrouped_agg(node) -> bool:
+    for m in _iter_nodes(node):
+        if m.getClass().getSimpleName() in _AGG_EXECS:
+            try:
+                if m.groupingExpressions().isEmpty():
+                    return True
+            except Exception:  # noqa: BLE001 — unexpected node API
+                continue
+    return False
+
+
+def _bnlj_all_benign(plan_root) -> bool:
+    """True iff every BroadcastNestedLoopJoinExec in the (pre-AQE)
+    physical plan builds its broadcast side from an ungrouped aggregate
+    — a guaranteed-1-row frame, i.e. the whitelisted scalar-compose
+    shape. False as soon as one BNLJ broadcasts anything else."""
+    saw = False
+    for n in _iter_nodes(plan_root):
+        if n.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            continue
+        saw = True
+        build = str(n.buildSide().toString())
+        side = n.right() if "Right" in build else n.left()
+        if not _has_ungrouped_agg(side):
+            return False
+    return saw
 
 OPS = (
     "CartesianProduct|BroadcastNestedLoopJoin|SortMergeJoin|"
@@ -70,14 +109,21 @@ def main() -> int:
         if ops.get("BatchEvalPython"):
             violations.append((name, "row-at-a-time Python UDF (BatchEvalPython)"))
         if ops.get("BroadcastNestedLoopJoin") and name not in NLJ_OK:
-            violations.append((name, "unexpected BroadcastNestedLoopJoin"))
+            # shape proof: every BNLJ broadcasts a 1-row ungrouped agg
+            try:
+                benign = _bnlj_all_benign(df._jdf.queryExecution().sparkPlan())
+            except Exception:  # noqa: BLE001 — fall back to strict
+                benign = False
+            if not benign:
+                violations.append((name, "unexpected BroadcastNestedLoopJoin"))
     out = ["# PLANS — registry-wide physical-plan audit", ""]
     out.append(
         f"{len(rows)} query plans built at `{sf_dir}` (`tools/plan_audit.py`). "
         "Gate: no CartesianProduct anywhere; no row-at-a-time Python UDFs "
         "(all Python is Arrow-batched MapInPandas/FlatMapGroupsInPandas); "
-        "BroadcastNestedLoopJoin only in the whitelisted 1-row broadcast "
-        "composes."
+        "BroadcastNestedLoopJoin only where the broadcast side is "
+        "SHAPE-PROVEN to be a 1-row ungrouped aggregate (the lazy-scalar "
+        "compose), plus the one documented enum-bounded exception."
     )
     out.append("")
     if violations:
