@@ -7,10 +7,14 @@ tested. Codecs: 24-bit BMP, 8-bit PNG (stdlib zlib inflate + full
 None/Sub/Up/Average/Paeth filter reconstruction), GIF89a (variable-width
 LZW implemented from scratch), baseline-sequential JPEG (from-scratch
 Huffman + dequant + IDCT + YCbCr, `functions/jpeg.py` — r4, closing the
-last lossy-image stub) and PCM-16 WAV decode/encode/resize/decimate
-FULLY from raw bytes here (no libraries needed); only non-image lossy
-media (MP3 audio, video containers) remains behind ``real_decode``'s
-``NotImplementedError`` until torchaudio/pyav exist on the cluster —
+last lossy-image stub), PCM-16/G.711 WAV decode/encode/resize/decimate,
+and — r5 — MPEG-1 Layer I audio (full bitstream-level decode, header/
+CRC/allocation/scalefactors/requantization per ISO 11172-3;
+`functions/mpeg_audio.py`) FULLY from raw bytes here (no libraries
+needed); only MPEG Layer II/III (incl. MP3) and inter-frame video
+remain behind ``real_decode``'s ``NotImplementedError`` — their specs
+bottom out in purely numeric tables (B.2 allocation classes, Layer III
+Huffman, H.26x) with no copy in this offline environment —
 ``decode_features`` substitutes a deterministic fake for those.
 """
 
@@ -66,6 +70,7 @@ __all__ = [
     "synth_wav",
     "synth_wav_g711",
     "g711_expansion_features",
+    "mpeg1_subband_features",
     "decode_wav",
     "bmp_roundtrip_features",
     "wav_roundtrip_features",
@@ -104,10 +109,12 @@ def real_decode(payload: bytes, kind: str):
     """The real codec hook. BMP, PNG (zlib inflate + filter
     reconstruction, stdlib only — see png_pixels), GIF (from-scratch LZW —
     see gif_pixels), baseline JPEG (from-scratch Huffman/IDCT —
-    ``functions.jpeg``) and WAV decode HERE, fully, from raw bytes;
-    non-image lossy media (MP3, video containers) still needs
-    torchaudio/pyav wired on a real cluster — ``decode_features``
-    substitutes a deterministic fake for those."""
+    ``functions.jpeg``), WAV (PCM-16 + G.711), MJPEG AVI and MPEG-1
+    Layer I audio (bitstream-level — ``functions.mpeg_audio``) decode
+    HERE, fully, from raw bytes; MPEG Layer II/III (incl. MP3) and
+    inter-frame video need numeric spec tables / libraries absent in
+    this environment — ``decode_features`` substitutes a deterministic
+    fake for those."""
     if kind == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -127,11 +134,45 @@ def real_decode(payload: bytes, kind: str):
         frames = avi_mjpeg_frames(payload)
         first = decode_jpeg(frames[0])
         return {**first, "format": "avi-mjpeg", "n_frames": len(frames)}
+    if (
+        kind == "audio"
+        and len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        from prom_etl_db_spark.functions.mpeg_audio import (
+            decode_mpeg1_layer1,
+            parse_header,
+        )
+
+        hdr = parse_header(payload)
+        if hdr.layer == 1:  # r5: full bitstream-level decode
+            import numpy as np
+
+            frames = decode_mpeg1_layer1(payload)
+            sub = np.concatenate(
+                [f["subbands"].reshape(-1) for f in frames]
+            )
+            return {
+                "format": "mpeg1-layer1",
+                "n_frames": len(frames),
+                "n_samples": int(sub.size),
+                "rms": float(np.sqrt((sub**2).mean())),
+                "mean": float(sub.mean()),
+            }
+        raise NotImplementedError(
+            "MPEG-1 Layer %d decode needs purely numeric spec tables "
+            "(Layer II: B.2a-d allocation classes; Layer III/'MP3': "
+            "Huffman tables) that this offline environment has no copy "
+            "of — Layer I decodes for real (functions/mpeg_audio.py)"
+            % hdr.layer
+        )
     raise NotImplementedError(
-        "lossy audio decode (MP3) and inter-frame video codecs "
-        "(H.26x/VP9/AV1) require libraries not present in this "
-        "environment; decode_features uses a deterministic fake for "
-        "those formats (MJPEG AVI decodes for real — functions/video.py)"
+        "MPEG Layer II/III audio (incl. MP3) and inter-frame video "
+        "codecs (H.26x/VP9/AV1) require numeric spec tables / libraries "
+        "not present in this environment; decode_features uses a "
+        "deterministic fake for those formats (MPEG-1 Layer I, MJPEG "
+        "AVI, G.711 and PCM WAV all decode for real)"
     )
 
 
@@ -268,6 +309,95 @@ def g711_expansion_features(docs: DataFrame, id_col: str = "doc_id") -> DataFram
 
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, G711_FEATURE_SCHEMA
+    )
+
+
+MPEG1_FEATURE_SCHEMA = (
+    "media_id long, frame int, subband int, nb int, sf_idx int, "
+    "code_sum long, v0 double, speak double"
+)
+
+
+def mpeg1_subband_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 audio, MPEG-1 Layer I (r5 — the 'MP3 story' task): per
+    document, assemble 1 + doc_id % 3 REAL Layer I frames (448 kbps,
+    32 kHz, mono) from closed-form allocation / scalefactor / sample-
+    code derivations, then fully decode the byte stream back — frame
+    sync + header arithmetic, 4-bit allocation walk, 6-bit scalefactor
+    indices, MSB-first sample codes, §2.4.3.3 requantization — in
+    mapInPandas, emitting one row per (frame, active subband) with the
+    decoded quantizer width, scalefactor index, the EXACT integer sum
+    of the 12 recovered sample codes (pins the whole bitstream
+    round-trip), and two single-product floats — the dequantized s=0
+    sample and the 12-sample peak. Sums of floats are deliberately NOT
+    hashed: numpy's pairwise and DuckDB's sequential summation disagree
+    in the last ulp and a 24k-row corpus reliably finds a .00005
+    rounding boundary (one did). Single products and max() are
+    order-free, so both engines produce bit-identical doubles. The
+    synthesis filterbank is the one documented non-closed-form step and
+    stays out of the hash (see functions/mpeg_audio.py)."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.mpeg_audio import (
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1_frame,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "frame", "subband", "nb", "sf_idx",
+                    "code_sum", "v0", "speak")
+            rows = {c: [] for c in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n_frames = 1 + mid % 3
+                payload = b""
+                for f in range(n_frames):
+                    alloc = np.array(
+                        [
+                            0 if (mid + f + sb) % 4 == 0
+                            else 2 + (mid + 3 * f + sb) % 9
+                            for sb in range(32)
+                        ]
+                    )
+                    sfi = np.array(
+                        [(mid * 7 + f * 11 + sb * 5) % 63 for sb in range(32)]
+                    )
+                    codes = [
+                        [
+                            (mid + 7 * f + 3 * sb + 5 * s)
+                            % ((1 << (a + 1)) - 1)
+                            if a
+                            else 0
+                            for s in range(12)
+                        ]
+                        for sb, a in enumerate(alloc)
+                    ]
+                    payload += encode_mpeg1_layer1_frame(
+                        alloc, sfi, codes,
+                        bitrate_idx=14, samplerate_idx=2, protection=True,
+                    )
+                for f, fr in enumerate(decode_mpeg1_layer1(payload)):
+                    al = fr["allocation"][0]
+                    sf = fr["scalefactor_idx"][0]
+                    sub = fr["subbands"][0]
+                    cds = fr["codes"][0]
+                    for sb in range(32):
+                        if al[sb]:
+                            rows["media_id"].append(mid)
+                            rows["frame"].append(f)
+                            rows["subband"].append(sb)
+                            rows["nb"].append(int(al[sb]) + 1)
+                            rows["sf_idx"].append(int(sf[sb]))
+                            rows["code_sum"].append(int(cds[sb].sum()))
+                            rows["v0"].append(round(float(sub[sb, 0]), 6))
+                            rows["speak"].append(
+                                round(float(np.abs(sub[sb]).max()), 6)
+                            )
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, MPEG1_FEATURE_SCHEMA
     )
 
 

@@ -1628,6 +1628,64 @@ def audio_g711_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_mpeg_decode",
+    oracle="""
+WITH grid AS (
+  SELECT d.doc_id, f.range AS f, sb.range AS sb
+  FROM documents d
+  CROSS JOIN range(3) f CROSS JOIN range(32) sb
+  WHERE f.range < 1 + d.doc_id % 3
+), p AS (
+  SELECT doc_id, f, sb,
+         CASE WHEN (doc_id + f + sb) % 4 = 0 THEN 0
+              ELSE 2 + (doc_id + 3*f + sb) % 9 END AS alloc,
+         (doc_id*7 + f*11 + sb*5) % 63 AS sfi
+  FROM grid
+), q AS (
+  SELECT doc_id, f, sb, alloc + 1 AS nb, sfi, s.range AS s,
+         (doc_id + 7*f + 3*sb + 5*s.range) % ((1 << (alloc + 1)) - 1) AS code
+  FROM p CROSS JOIN range(12) s WHERE alloc > 0
+), v AS (
+  SELECT doc_id, f, sb, nb, sfi, s, code,
+         2.0 * pow(2.0, -(sfi/3.0))
+         * ((1.0 / (1.0 - pow(2.0, -CAST(nb AS DOUBLE))))
+            * ((code + 1) * pow(2.0, CAST(1 - nb AS DOUBLE)) - 1.0)) AS val
+  FROM q
+)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+       CAST(sb AS INT) AS subband, CAST(nb AS INT) AS nb,
+       CAST(sfi AS INT) AS sf_idx,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       round(min(CASE WHEN s = 0 THEN val END), 6) AS v0,
+       round(max(abs(val)), 6) AS speak
+FROM v GROUP BY doc_id, f, sb, nb, sfi
+""",
+)
+def audio_mpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, MPEG-1 Layer I (ISO/IEC 11172-3 — r5, the VERDICT 'MP3
+    story' decision): per document, REAL Layer I frames (448 kbps,
+    32 kHz, mono, CRC-protected) are assembled from closed-form field
+    derivations and fully decoded back from raw bytes — 12-bit sync +
+    header arithmetic, CRC-16 over header+allocation, the 4-bit
+    bit-allocation walk, 6-bit scalefactor indices (Table B.1 is the
+    closed form 2*2^(-idx/3)), MSB-first sample codes, and §2.4.3.3
+    requantization s'' = (2^nb/(2^nb-1))*((C+1)*2^(1-nb) - 1) — all of
+    which is spec FORMULA arithmetic, recomputed verbatim by this SQL
+    oracle, so the driver hash-checks the whole bitstream round-trip
+    per (frame, active subband): the exact integer code sum plus two
+    order-free floats (s=0 value, 12-sample peak — float SUMS are
+    deliberately unhashed, see mpeg1_subband_features on why pairwise
+    vs sequential summation breaks a .00005 boundary at corpus scale).
+    The one non-closed-form step — the 512
+    Table-B.3 synthesis-window coefficients, printed numbers with no
+    generating formula and no copy offline — is a documented pluggable
+    hook (`mpeg_audio.set_synthesis_window`), and Layer II/III stay
+    env-stubbed for the same numeric-table reason (DIVERGENCES.md)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.mpeg1_subband_features(docs)
+
+
+@register(
     "video_mjpeg_frame_sampling",
     oracle="""
 WITH pick AS (
@@ -6390,6 +6448,9 @@ _GATE_PRIORITY = [
     # single-partition window, VERDICT task #2) — value-identical by
     # construction, re-gated anyway.
     "bpe_pair_counts",
+    # audio_mpeg_decode: NEW — MPEG-1 Layer I bitstream decode with a
+    # closed-form requantization oracle (VERDICT task #5).
+    "audio_mpeg_decode",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

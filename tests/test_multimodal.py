@@ -675,3 +675,165 @@ def test_jpeg_adversarial_max_coefficient_images_stay_in_code_space():
     chk[::2, 1::2] = 255
     chk[1::2, ::2] = 255
     assert np.array_equal(jpeg_pixels(encode_jpeg(chk, qtables="flat")), chk)
+
+
+# -- MPEG-1 Layer I audio (functions/mpeg_audio.py — round 5) ---------------
+
+
+def test_mpeg1_header_known_vector_and_refusals():
+    """Hand-assembled header 0xFF 0xFF 0x44 0xC0: sync, MPEG-1, Layer I,
+    no CRC, 128 kbps, 48 kHz, mono -> frame length 12*128000/48000*4 =
+    128 bytes (§2.4.2.3 / 2.4.3.1 arithmetic). Reserved/invalid fields
+    refuse loudly."""
+    import pytest
+
+    from prom_etl_db_spark.functions.mpeg_audio import parse_header
+
+    h = parse_header(bytes([0xFF, 0xFF, 0x44, 0xC0]))
+    assert (h.layer, h.protection, h.bitrate_kbps, h.samplerate,
+            h.channels, h.frame_bytes) == (1, False, 128, 48000, 1, 128)
+    with pytest.raises(ValueError):  # broken sync
+        parse_header(bytes([0xFE, 0xFF, 0x44, 0xC0]))
+    with pytest.raises(ValueError):  # ID=0 (MPEG-2)
+        parse_header(bytes([0xFF, 0xF7, 0x44, 0xC0]))
+    with pytest.raises(ValueError):  # bitrate index 15
+        parse_header(bytes([0xFF, 0xFF, 0xF4, 0xC0]))
+    with pytest.raises(ValueError):  # free-format bitrate
+        parse_header(bytes([0xFF, 0xFF, 0x04, 0xC0]))
+    with pytest.raises(ValueError):  # reserved samplerate
+        parse_header(bytes([0xFF, 0xFF, 0x4C, 0xC0]))
+    with pytest.raises(ValueError):  # reserved layer '00'
+        parse_header(bytes([0xFF, 0xF9, 0x44, 0xC0]))
+
+
+def test_mpeg1_closed_form_tables():
+    """Table B.1 scalefactors are the closed form 2*2^(-idx/3) (halving
+    every 3 steps); Layer I requantization has 2^nb - 1 symmetric
+    levels: nb=2 maps codes {0,1,2} to {-2/3, 0, +2/3} exactly and the
+    all-ones code is out of the code space."""
+    import pytest
+
+    from prom_etl_db_spark.functions.mpeg_audio import (
+        requantize_layer1,
+        scalefactor,
+    )
+
+    assert scalefactor(0) == 2.0
+    assert abs(scalefactor(3) - 1.0) < 1e-15
+    assert abs(scalefactor(6) - 0.5) < 1e-15
+    with pytest.raises(ValueError):
+        scalefactor(63)
+    assert abs(requantize_layer1(0, 2) + 2 / 3) < 1e-15
+    assert requantize_layer1(1, 2) == 0.0
+    assert abs(requantize_layer1(2, 2) - 2 / 3) < 1e-15
+    # symmetry at every width the fixture uses
+    for nb in range(3, 12):
+        assert abs(
+            requantize_layer1(0, nb) + requantize_layer1((1 << nb) - 2, nb)
+        ) < 1e-15
+
+
+def test_mpeg1_layer1_roundtrip_bit_exact_and_crc():
+    """encode(fields) -> decode(bytes) recovers allocation, scalefactor
+    indices, codes AND the dequantized samples bit-exactly (the decoder
+    applies the same float formula the expectation does), across
+    multi-frame streams; flipping one allocation bit trips the CRC-16;
+    stereo frames parse with the right shape."""
+    import numpy as np
+    import pytest
+
+    from prom_etl_db_spark.functions.mpeg_audio import (
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1_frame,
+        requantize_layer1,
+        scalefactor,
+    )
+
+    alloc = np.array([0 if sb % 4 == 0 else 2 + sb % 9 for sb in range(32)])
+    sfi = np.array([(7 * sb) % 63 for sb in range(32)])
+    codes = [
+        [int((3 * sb + 5 * s) % ((1 << (a + 1)) - 1)) if a else 0
+         for s in range(12)]
+        for sb, a in enumerate(alloc)
+    ]
+    frame = encode_mpeg1_layer1_frame(alloc, sfi, codes, protection=True)
+    (f,) = decode_mpeg1_layer1(frame)
+    assert np.array_equal(f["allocation"][0], alloc)
+    assert np.array_equal(
+        f["codes"][0][alloc > 0], np.array(codes)[alloc > 0]
+    )
+    exp = np.zeros((32, 12))
+    for sb, a in enumerate(alloc):
+        if a:
+            for s in range(12):
+                exp[sb, s] = scalefactor(int(sfi[sb])) * requantize_layer1(
+                    codes[sb][s], a + 1
+                )
+    assert np.array_equal(f["subbands"][0], exp)  # bit-exact, no tolerance
+    assert len(decode_mpeg1_layer1(frame * 3)) == 3
+    bad = bytearray(frame)
+    bad[7] ^= 0x10  # one allocation bit
+    with pytest.raises(ValueError, match="CRC"):
+        decode_mpeg1_layer1(bytes(bad))
+    # stereo
+    alloc2 = np.stack([alloc, np.roll(alloc, 1)])
+    sfi2 = np.stack([sfi, (sfi + 5) % 63])
+    codes2 = [codes, [[int((3 * sb + 5 * s + 1) % ((1 << (a + 1)) - 1))
+                       if a else 0 for s in range(12)]
+                      for sb, a in enumerate(alloc2[1])]]
+    (f2,) = decode_mpeg1_layer1(
+        encode_mpeg1_layer1_frame(alloc2, sfi2, codes2, mode=0)
+    )
+    assert f2["subbands"].shape == (2, 32, 12)
+
+
+def test_mpeg1_synthesis_hook_and_matrixing():
+    """subbands_to_pcm refuses loudly until the 512 published Table-B.3
+    coefficients are supplied (they are numeric-only — module docstring);
+    the matrixing itself is the closed form cos((16+i)(2k+1)pi/64) and
+    the full FIFO/window machinery runs once any window is armed."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from prom_etl_db_spark.functions import mpeg_audio as M
+
+    v = M.synthesis_matrixing(np.eye(32)[0])
+    assert abs(v[0] - math.cos(16 * math.pi / 64)) < 1e-12
+    assert abs(v[63] - math.cos(79 * math.pi / 64)) < 1e-12
+    with pytest.raises(NotImplementedError, match="B.3"):
+        M.subbands_to_pcm(np.zeros((32, 12)))
+    try:
+        M.set_synthesis_window(np.ones(512))
+        pcm = M.subbands_to_pcm(np.zeros((32, 3)))
+        assert pcm.shape == (96,)
+        with pytest.raises(ValueError):
+            M.set_synthesis_window(np.ones(100))
+    finally:
+        M.set_synthesis_window(None)
+
+
+def test_mpeg1_real_decode_wiring_and_narrowed_stub():
+    """real_decode dispatches Layer I for real and names the numeric
+    tables in its Layer II/III refusal (the r5 narrowing of the MP3
+    stub)."""
+    import numpy as np
+    import pytest
+
+    from prom_etl_db_spark.functions.mpeg_audio import (
+        encode_mpeg1_layer1_frame,
+    )
+    from prom_etl_db_spark.functions.multimodal import real_decode
+
+    alloc = np.array([3] + [0] * 31)
+    sfi = np.array([3] + [0] * 31)
+    codes = [[s % 15 for s in range(12)]] + [[0] * 12] * 31
+    frame = encode_mpeg1_layer1_frame(alloc, sfi, codes)
+    f = real_decode(frame, "audio")
+    assert f["format"] == "mpeg1-layer1" and f["n_frames"] == 1
+    assert f["n_samples"] == 384
+    # a Layer III header must refuse with the Huffman-table reason
+    l3 = bytes([0xFF, 0xFB, 0x44, 0xC0])
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        real_decode(l3, "audio")
