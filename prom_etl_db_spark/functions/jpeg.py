@@ -175,16 +175,20 @@ _DCT_M = np.array(
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment (T.81 Annex C): symbol ->
     (code, length)."""
+    if sum(bits) != len(vals):
+        # a lying DHT (counts promise more HUFFVAL bytes than the
+        # segment carries) must quarantine as ValueError, not IndexError
+        raise ValueError("JPEG DHT truncated: BITS counts exceed HUFFVAL")
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("invalid Huffman BITS (over-full code tree)")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
         code <<= 1
-        if code > (1 << length + 1):
-            raise ValueError("invalid Huffman BITS (over-full code tree)")
     return codes
 
 
@@ -513,6 +517,8 @@ def jpeg_pixels(payload: bytes):
             continue
         seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
         body = payload[i + 4 : i + 2 + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            raise ValueError("JPEG segment truncated or length field lies")
         if m == 0xDB:  # DQT — possibly several tables in one segment
             k = 0
             while k < len(body):
@@ -532,6 +538,8 @@ def jpeg_pixels(payload: bytes):
         elif m == 0xC4:  # DHT — possibly several tables
             k = 0
             while k < len(body):
+                if k + 17 > len(body):
+                    raise ValueError("JPEG DHT segment truncated mid-table")
                 tc, th = body[k] >> 4, body[k] & 0x0F
                 bits = list(body[k + 1 : k + 17])
                 nv = sum(bits)
@@ -539,16 +547,31 @@ def jpeg_pixels(payload: bytes):
                 huff[(tc, th)] = _decode_table(bits, vals)
                 k += 17 + nv
         elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            if len(body) < 6:
+                raise ValueError("JPEG SOF header truncated")
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
             nc = body[5]
+            # T.81 B.2.2: X must be > 0; Y=0 means "deferred to a DNL
+            # marker", which baseline decoders need not support — and a
+            # zero dimension would silently yield empty planes and NaN
+            # channel means downstream, so refuse both loudly (A12).
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG SOF declares a zero dimension")
+            if not 1 <= nc <= 4 or len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF component list malformed")
             comps = []
             for c in range(nc):
                 cid, sampb, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, sampb >> 4, sampb & 0x0F, tq))
+                sh, sv = sampb >> 4, sampb & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factors {sh}x{sv} out of range 1..4"
+                    )
+                comps.append((cid, sh, sv, tq))
             frame = (fh, fw, comps)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -558,6 +581,8 @@ def jpeg_pixels(payload: bytes):
         elif m == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif m == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("JPEG SOS header truncated")
             ns = body[0]
             scan_comps = []
             for c in range(ns):
@@ -610,6 +635,13 @@ def jpeg_pixels(payload: bytes):
                     for bx in range(sh):
                         zz = np.zeros(64, dtype=np.int64)
                         cat = rdr.decode_symbol(dct)
+                        if cat > 11:
+                            # T.81 F.1.2.1.2: baseline DC difference
+                            # categories are 0..11 — a corrupt DHT can
+                            # emit any byte as the symbol
+                            raise ValueError(
+                                f"JPEG DC category {cat} exceeds baseline 11"
+                            )
                         diff = _extend(rdr.receive(cat), cat)
                         preds[idx] += diff
                         zz[0] = preds[idx]

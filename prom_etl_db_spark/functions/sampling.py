@@ -375,7 +375,11 @@ def dsir_logweights(
     same aggregate; the m-row log-ratio table and its 1-row totals
     broadcast back onto (a). No windows, no per-doc Python; the paper's
     Gumbel resampling step is replaced by the deterministic weight (the
-    caller ranks/thresholds — DIVERGENCES.md)."""
+    caller ranks/thresholds — DIVERGENCES.md). Documents with no
+    features at all (NULL/empty/whitespace-only text) carry no
+    evidence and are omitted from the output — left-join the result
+    back if every doc_id must survive (r5 note; same contract as
+    bigram_lm_perplexity's single-word omission)."""
     if target is None:
         target = F.col("lang") == "en"
     toks = F.filter(

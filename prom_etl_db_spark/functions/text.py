@@ -738,12 +738,25 @@ def gopher_quality_flags(docs: DataFrame, *, text_col: str = "text") -> DataFram
     bullet/ellipsis line fractions, alphabetic-word fraction, and the
     ≥2-English-stopword requirement. Emits every metric plus the
     combined pass flag so a pipeline can audit WHICH rule dropped a
-    page. Pure Column algebra — no UDF, one narrow projection."""
-    text = F.col(text_col)
+    page. Pure Column algebra — no UDF, one narrow projection.
+
+    Degenerate pages (r5 adversarial fix): a 100 TB crawl contains
+    NULL and empty documents, and under ANSI mode (Spark 4 default) a
+    bare ratio raises DIVIDE_BY_ZERO and kills the whole job. NULL
+    text is treated as empty; zero-word pages emit NULL for the
+    per-word ratios and gopher_pass = false (the word-count rule
+    already fails, and false AND NULL is false), never an error."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
     n_words = F.size(words)
     lines = F.split(text, r"\n")
     n_lines = F.size(lines)
+
+    def per_word(col: Column) -> Column:
+        return F.when(n_words > 0, col / n_words)
+
+    def per_line(col: Column) -> Column:
+        return F.when(n_lines > 0, col / n_lines)
 
     def substr_count(col: Column, s: str) -> Column:
         return (
@@ -751,23 +764,20 @@ def gopher_quality_flags(docs: DataFrame, *, text_col: str = "text") -> DataFram
             / len(s)
         ).cast("long")
 
-    mean_wl = (
+    mean_wl = per_word(
         F.aggregate(
             words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
         )
-        / n_words
     )
-    symbol_ratio = (substr_count(text, "#") + substr_count(text, "...")) / n_words
-    bullet_frac = (
+    symbol_ratio = per_word(substr_count(text, "#") + substr_count(text, "..."))
+    bullet_frac = per_line(
         F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
-        / n_lines
     )
-    ellipsis_frac = (
+    ellipsis_frac = per_line(
         F.size(F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$")))
-        / n_lines
     )
-    alpha_frac = (
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    alpha_frac = per_word(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
     )
     stop_hits = F.size(
         F.array_intersect(
@@ -804,8 +814,10 @@ def c4_line_filter(docs: DataFrame, *, text_col: str = "page") -> DataFrame:
     whole pages containing '{' or 'lorem ipsum' or with <3 retained
     lines. Returns per page the retained text (kept lines rejoined),
     the line accounting, and the page verdict. Pure Column algebra over
-    a split-lines array — no UDF, no shuffle beyond the scan."""
-    page = F.col(text_col)
+    a split-lines array — no UDF, no shuffle beyond the scan. NULL
+    pages are treated as empty (r5): one empty line, nothing kept,
+    page_kept = false — never a NULL verdict."""
+    page = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(page, r"\n")
     kept = F.filter(
         lines,

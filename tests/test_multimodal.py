@@ -837,3 +837,110 @@ def test_mpeg1_real_decode_wiring_and_narrowed_stub():
     l3 = bytes([0xFF, 0xFB, 0x44, 0xC0])
     with pytest.raises(NotImplementedError, match="Huffman"):
         real_decode(l3, "audio")
+
+
+# -- r5 adversarial pass: corrupt-stream fuzzing gates ----------------------
+
+
+def test_jpeg_corrupt_stream_fuzz_only_valueerror():
+    """r5 adversarial gate: EVERY prefix truncation and EVERY single-bit
+    corruption of a valid JPEG either still decodes or raises ValueError
+    (the A12 quarantine contract) — never IndexError / OverflowError /
+    ZeroDivisionError. The r5 pass found and fixed five leak classes:
+    truncated segments, lying DHT counts, zero-dimension SOF, zero
+    sampling factors, and corrupt-DHT DC categories > 11 overflowing
+    int64 via receive(255)."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg, jpeg_pixels
+
+    base = encode_jpeg(
+        np.arange(16 * 24, dtype=np.uint8).reshape(16, 24) % 256,
+        qtables="flat", restart_interval=2,
+    )
+    for cut in range(2, len(base)):
+        try:
+            jpeg_pixels(base[:cut])
+        except ValueError:
+            pass
+    for pos in range(2, len(base)):
+        for bit in range(8):
+            bb = bytearray(base)
+            bb[pos] ^= 1 << bit
+            try:
+                jpeg_pixels(bytes(bb))
+            except ValueError:
+                pass
+    # targeted refusals stay specific
+    import pytest
+
+    b = bytearray(base)
+    i = b.find(b"\xff\xc0")
+    with pytest.raises(ValueError, match="zero dimension"):
+        jpeg_pixels(bytes(b[: i + 5]) + b"\x00\x00" + bytes(b[i + 7 :]))
+    bb = bytearray(base)
+    bb[i + 11] = 0x00
+    with pytest.raises(ValueError, match="sampling factors"):
+        jpeg_pixels(bytes(bb))
+    bb = bytearray(base)
+    j = bb.find(b"\xff\xc4")
+    bb[j + 5] = 255
+    with pytest.raises(ValueError, match="DHT"):
+        jpeg_pixels(bytes(bb))
+
+
+def test_avi_and_mpeg_corrupt_stream_fuzz_only_valueerror():
+    """Same gate for the AVI walker and the MPEG-1 Layer I decoder:
+    all prefixes + all single-bit flips -> decode or ValueError/
+    NotImplementedError, never a raw IndexError."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.jpeg import encode_jpeg
+    from prom_etl_db_spark.functions.mpeg_audio import (
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1_frame,
+    )
+    from prom_etl_db_spark.functions.video import (
+        avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(np.full((8, 8), 40 + i * 30, np.uint8), qtables="flat")
+         for i in range(3)]
+    )
+    for cut in range(len(avi)):
+        try:
+            avi_mjpeg_frames(avi[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for pos in range(len(avi)):
+        for bit in range(8):
+            bb = bytearray(avi)
+            bb[pos] ^= 1 << bit
+            try:
+                avi_mjpeg_frames(bytes(bb))
+            except (ValueError, NotImplementedError):
+                pass
+
+    alloc = np.array([0 if sb % 4 == 0 else 2 + sb % 9 for sb in range(32)])
+    sfi = np.array([(7 * sb) % 63 for sb in range(32)])
+    codes = [
+        [int((3 * sb + 5 * s) % ((1 << (a + 1)) - 1)) if a else 0
+         for s in range(12)]
+        for sb, a in enumerate(alloc)
+    ]
+    mp = encode_mpeg1_layer1_frame(alloc, sfi, codes, protection=True)
+    for cut in range(len(mp)):
+        try:
+            decode_mpeg1_layer1(mp[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for pos in range(len(mp)):
+        for bit in range(8):
+            bb = bytearray(mp)
+            bb[pos] ^= 1 << bit
+            try:
+                decode_mpeg1_layer1(bytes(bb))
+            except (ValueError, NotImplementedError):
+                pass

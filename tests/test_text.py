@@ -453,3 +453,47 @@ def test_bigram_lm_perplexity_semantics(spark):
     # (0+1)/(0+2) = 0.5 -> ppl 2.0
     assert out[3]["ppl"] == 2.0
     assert out[2]["ppl"] < out[3]["ppl"]
+
+
+def test_curation_ops_survive_degenerate_documents(spark):
+    """r5 adversarial pass: a 100 TB crawl contains NULL, empty and
+    whitespace-only documents. gopher_quality_flags must not raise
+    DIVIDE_BY_ZERO under ANSI mode (it did — zero-word pages divided by
+    n_words): degenerate pages now emit NULL per-word ratios and a
+    non-NULL gopher_pass = false. c4_line_filter must give a false (not
+    NULL) verdict for NULL pages. bigram_lm_perplexity and
+    dsir_logweights omit evidence-free documents by documented
+    contract — pinned here so the omission stays deliberate."""
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.sampling import dsir_logweights
+    from prom_etl_db_spark.functions.text import (
+        bigram_lm_perplexity,
+        c4_line_filter,
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   \n  \t "), (5, "\n\n\n"), (7, "a"),
+         (9, "the cat and the dog have been to that house with care. " * 5)],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert len(g) == 6  # nothing dropped, nothing raised
+    for d in (1, 2, 3, 5):
+        assert g[d]["n_words"] == 0
+        assert g[d]["mean_word_len"] is None
+        assert g[d]["gopher_pass"] is False  # false, never NULL
+    assert g[7]["gopher_pass"] is False and g[7]["n_words"] == 1
+    assert g[9]["n_words"] == 60 and g[9]["stop_hits"] >= 2
+
+    c = {r["doc_id"]: r for r in
+         c4_line_filter(docs.withColumnRenamed("text", "page")).collect()}
+    assert c[1]["page_kept"] is False and c[1]["n_lines"] == 1
+    assert c[5]["n_lines"] == 4 and c[5]["page_kept"] is False
+
+    train = F.col("doc_id") == 9
+    b = bigram_lm_perplexity(docs, train=train)
+    assert {r["doc_id"] for r in b.collect()} == {9}  # documented omission
+    d = dsir_logweights(docs, target=train)
+    assert {r["doc_id"] for r in d.collect()} == {7, 9}
