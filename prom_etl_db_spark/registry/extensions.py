@@ -1,0 +1,1636 @@
+"""Round-3+ additions: sessionization/funnel, histogram_fraction, top-k
+over time, paragraph & substring dedup, sketches, PQ/IVF, cube/CDC,
+round-4/5 codecs and curation operators."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from prom_etl_db_spark import store  # noqa: F401
+from prom_etl_db_spark.functions import (  # noqa: F401
+    clustering,
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
+from prom_etl_db_spark.operators import analytics, promql  # noqa: F401
+from prom_etl_db_spark.registry.core import (  # noqa: F401
+    FLAGSHIP_DAY,
+    NOW,
+    _event_samples,
+    _events,
+    _t,
+    register,
+)
+from prom_etl_db_spark.timeparse import RelativeTimeParser  # noqa: F401
+from prom_etl_db_spark.registry.llm_e import (  # shared oracle CTEs
+    _KMEANS_CTE,
+    _NGRAM_MAX_DF,
+    _NGRAM_PAIRS_CTES,
+)
+
+
+# =========================================================================
+# Round-3 additions: batch sessionization / funnel, histogram_fraction,
+# top-k over time, paragraph & substring dedup, Jaccard estimation, Zipf
+# stats, perplexity-proxy buckets, int8 embedding quantization.
+# =========================================================================
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+  FROM s
+)
+SELECT user_id, session_no,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_s
+FROM g GROUP BY 1, 2
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-minute inactivity break) — the
+    batch dual of the streaming session_window rollup. Two ordered
+    windows + one hash agg, all partitioned by user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.sessionize(ev, gap="30 minutes")
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+u AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+l2 AS (
+  SELECT DISTINCT v.user_id FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 7 DAY
+), l3 AS (
+  SELECT DISTINCT v.user_id FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 7 DAY
+  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        AND p.ts <= v.ts + INTERVAL 7 DAY
+)
+SELECT u.user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN v1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_level
+FROM u
+LEFT JOIN l3 ON l3.user_id = u.user_id
+LEFT JOIN l2 ON l2.user_id = u.user_id
+LEFT JOIN (SELECT DISTINCT user_id FROM v) v1 ON v1.user_id = u.user_id
+""",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(view -> click -> purchase, 7d): deepest strictly-
+    ordered chain per user whose span fits the window. The engine runs a
+    single-shuffle sorted-fold DP (latest-chain-start dominance — see
+    analytics.funnel_levels); the oracle proves the exact same semantics
+    via the naive EXISTS-chain join formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel_levels(
+        ev, ["view", "click", "purchase"], window="7d"
+    )
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         md5(array_to_string(w[(i-1)*20+1:(i-1)*20+20], ' ')) AS h,
+         CAST(ceil(len(w) / 20.0) AS BIGINT) AS n_chunks
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS i
+        FROM tok WHERE len(w) > 0)
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id, max(n_chunks) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks
+FROM win GROUP BY doc_id
+""",
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (RefinedWeb recipe; fixed 20-token
+    chunks stand in for paragraphs): each distinct chunk keeps its first
+    (doc_id, idx) occurrence; per-doc kept/total counts are the dedup
+    mask a rewrite pass would apply."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_stats(docs, chunk_tokens=20)
+
+
+@register(
+    "doc_paragraph_dedup_rewrite",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         array_to_string(w[(i-1)*20+1:(i-1)*20+20], ' ') AS chunk
+  FROM (SELECT doc_id, w,
+               unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS i
+        FROM tok WHERE len(w) > 0)
+), win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY idx), '') AS clean_text
+FROM win GROUP BY doc_id
+""",
+)
+def doc_paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of paragraph dedup: documents reassembled from
+    only their surviving chunks, in order — the actual corpus-cleaning
+    output (stats tell you the cut; this IS the cut). Fully-duplicated
+    docs come back empty rather than vanishing (dropping is policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_rewrite(docs, chunk_tokens=20)
+
+
+@register(
+    "doc_exact_substring_dups",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+19], ' ')) AS h
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+        FROM tok WHERE len(w) >= 20)
+), c AS (
+  SELECT h, count(*) AS c FROM g GROUP BY h
+)
+SELECT g.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+FROM g JOIN c USING (h) GROUP BY g.doc_id
+""",
+)
+def doc_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. suffix dedup at
+    fixed 20-token granularity): sliding-window hashes with global
+    occurrence counts; a span occurring anywhere else marks every
+    occurrence. The per-doc dup fraction is the cut mask."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs, span_tokens=20)
+
+
+@register(
+    "doc_zipf_token_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+SELECT token,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       cnt
+FROM c ORDER BY cnt DESC, token LIMIT 20
+""",
+)
+def doc_zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (Zipf curve): top-20 tokens by frequency
+    with rank — TakeOrderedAndProject global top-N, rank window over 20
+    rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.zipf_token_stats(docs, top=20)
+
+
+@register(
+    "doc_ccnet_perplexity_buckets",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         round(coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+           t -> ((CAST(('0x' || substr(md5(t || 'bow'), 1, 8)) AS BIGINT) % 1024) % 7 - 3)
+                / 10.0
+         )), 0.0), 6) + 0.0 AS bow_score
+  FROM documents
+), q AS (
+  SELECT quantile_cont(bow_score, 0.333333) AS t1,
+         quantile_cont(bow_score, 0.666667) AS t2
+  FROM s
+)
+SELECT CASE WHEN bow_score <= t1 THEN 'head'
+            WHEN bow_score <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(bow_score), 4) + 0.0 AS avg_score
+FROM s, q GROUP BY 1
+""",
+)
+def doc_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score every doc with the (proxy)
+    language-model score, cut the corpus at its own terciles, and label
+    head/middle/tail — the partition CCNet feeds to different training
+    mixes. Terciles are computed over the ROUNDED scores so the
+    threshold comparison is engine-exact; the 1-row quantile frame
+    broadcast-crossJoins (the scalar-subquery shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id", text.hashed_bow_score(F.col("text")).alias("bow_score")
+    )
+    q = scores.agg(
+        F.percentile("bow_score", 0.333333).alias("t1"),
+        F.percentile("bow_score", 0.666667).alias("t2"),
+    )
+    labeled = scores.crossJoin(F.broadcast(q)).select(
+        "bow_score",
+        F.when(F.col("bow_score") <= F.col("t1"), "head")
+        .when(F.col("bow_score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("bow_score"), 4) + 0.0).alias("avg_score"),
+    )
+
+
+@register(
+    "doc_minhash_jaccard_est",
+    oracle=f"""
+WITH {_NGRAM_PAIRS_CTES},
+sig AS (
+  SELECT g.doc_id, b.range AS j,
+         min(substr(md5(g.gram || '#' || CAST(b.range AS VARCHAR)), 1, 16)) AS mh
+  FROM (SELECT id AS doc_id, unnest(shingles) AS gram FROM sh) g
+  CROSS JOIN range(16) b
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, round(p.jaccard, 6) AS jaccard,
+       CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+         AS jacc_est
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+GROUP BY p.id_a, p.id_b, p.jaccard
+""",
+)
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimate vs exact Jaccard, side by side, for every true
+    near-dup pair: the signature-match fraction (md5 family, k=16) next
+    to the exact shingle Jaccard — the estimator-quality audit a dedup
+    rollout runs before trusting LSH at full scale. Signatures join by
+    id; only (id, 16-byte) pairs shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dup_pairs(
+        docs, threshold=0.3, max_shingle_df=_NGRAM_MAX_DF
+    )
+    sigs = docs.where(dedup.has_min_words(F.col("text"), 3)).select(
+        "doc_id",
+        dedup.minhash_signature_md5(
+            dedup.word_shingles(F.col("text"), 3), 16
+        ).alias("sig"),
+    )
+    est = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sa"), F.col("sb"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / 16.0
+            ).alias("jacc_est"),
+        )
+    )
+    return est
+
+
+@register(
+    "embedding_sq8_codes",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, i, CAST(e AS DOUBLE) AS e
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), d AS (SELECT i, min(e) AS mn, max(e) AS mx FROM u GROUP BY i),
+codes AS (
+  SELECT u.vec_id,
+         CASE WHEN d.mx > d.mn
+              THEN CAST(round((u.e - d.mn) / (d.mx - d.mn) * 255) AS INT)
+              ELSE 0 END AS code
+  FROM u JOIN d USING (i)
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(min(code) AS INT) AS code_min, CAST(max(code) AS INT) AS code_max
+FROM codes GROUP BY vec_id
+""",
+)
+def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table (per-dimension
+    min/max, code = round(255·normalized)) — the 4× memory lever under
+    billion-vector ANN. The d×2 stats collect is broadcast-class; the
+    encode is one Column transform. Projected to per-vector code
+    sum/min/max so the oracle hash-checks every element through the
+    aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = similarity.quantize_int8(emb)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+    )
+
+
+def _pq_subspace_cte(j: int, *, ds: int = 32, k: int = 4) -> str:
+    """One subspace of the PQ oracle: the ``_KMEANS_CTE`` loop (hash init,
+    one update round, 6-dp rounding, ties to lowest cluster) over the
+    32-dim slice starting at offset j·32, salted per subspace exactly like
+    ``clustering.pq_train``."""
+    o = j * ds
+    salt = f"kmeans-init-pq{j}"
+    return f"""v{j} AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, {o + 1}, {o + ds}),
+                        x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), c0_{j} AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+         ) - 1 AS cluster,
+         list_transform(vec, x -> round(x, 6)) AS centroid
+  FROM v{j}
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+  LIMIT {k}
+), a0_{j} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c.centroid), c.cluster) AS rn
+    FROM v{j} v CROSS JOIN c0_{j} c)
+  WHERE rn = 1
+), c1_{j} AS (
+  SELECT cluster, list(m ORDER BY i) AS centroid FROM (
+    SELECT a.cluster, t.i, round(avg(v.vec[t.i]), 6) AS m
+    FROM a0_{j} a JOIN v{j} v USING (vec_id)
+    CROSS JOIN (SELECT range + 1 AS i FROM range({ds})) t
+    GROUP BY a.cluster, t.i)
+  GROUP BY cluster
+), a1_{j} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_distance(v.vec, c.centroid), c.cluster) AS rn
+    FROM v{j} v CROSS JOIN c1_{j} c)
+  WHERE rn = 1
+)"""
+
+
+_PQ_CODES_CTE = "WITH " + ",\n".join(_pq_subspace_cte(j) for j in range(2))
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_PQ_CODES_CTE
+    + """
+SELECT vec_id, a1_0.cluster AS code0, a1_1.cluster AS code1
+FROM a1_0 JOIN a1_1 USING (vec_id)
+""",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (product quantization, Jégou et al. TPAMI 2011 — the FAISS
+    IVF-PQ compression standard): two 32-dim subspaces, a deterministic
+    4-way codebook each (per-subspace-salted hash init, 2 fixed Lloyd
+    rounds, 6-dp rounding), every vector encoded as 2 small codes in ONE
+    Arrow-batched pass with both centroid matrices closure-captured. The
+    oracle replays both per-subspace k-means loops over list slices —
+    a hash-match check of the full train+encode path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = clustering.pq_codes(emb, m=2, k=4, n_iter=2)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.col("codes")[0].cast("long").alias("code0"),
+        F.col("codes")[1].cast("long").alias("code1"),
+    )
+
+
+@register(
+    "similarity_topk_pq",
+    oracle=_PQ_CODES_CTE
+    + """,
+codes AS (
+  SELECT vec_id, a1_0.cluster AS code0, a1_1.cluster AS code1
+  FROM a1_0 JOIN a1_1 USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+), t0 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_0 c
+), t1 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i + 32] - c.centroid[i]) * (q.qv[i + 32] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_1 c
+), scored AS (
+  SELECT t0.query_id, c.vec_id AS neighbor_id, t0.t + t1.t AS adc_dist
+  FROM codes c
+  JOIN t0 ON t0.cluster = c.code0
+  JOIN t1 ON t1.cluster = c.code1 AND t1.query_id = t0.query_id
+  WHERE c.vec_id <> t0.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (asymmetric distance computation over PQ codes): top-5 nearest
+    corpus vectors per query (vec_id < 10) scored from CODES ONLY — each
+    query's m×k squared-L2 lookup table is computed driver-side (table
+    entries folded left-to-right then rounded to 6 dp, so both engines
+    hold bit-identical doubles) and shipped as a literal; the scan is a
+    pure-Column table-lookup fold, no Python and no full vectors in the
+    hot path. This is the memory-bound half of IVF-PQ — compose with the
+    inverted-list partition pruning of ``cosine_topk_ivf_index`` for the
+    100 TB path. adc_dist is the sum of two identically-rounded doubles,
+    exact in both engines (no re-round: re-rounding the sum would compare
+    round(t0+t1, 6) against a raw double and mismatch at the 9-dp canon)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 10), m=2, k=4, n_iter=2, topk=5
+    )
+
+
+@register(
+    "promql_absent_range",
+    oracle="""
+WITH grid AS (
+  SELECT TIMESTAMP '2024-01-29 00:00:00' + range * INTERVAL 30 MINUTE AS t
+  FROM range(0, 49)
+), present AS (
+  SELECT DISTINCT g.t
+  FROM events e JOIN grid g
+    ON e.ts >= g.t - INTERVAL 15 MINUTE AND e.ts < g.t
+  WHERE e.event_type = 'purchase' AND e.value > 450
+)
+SELECT g.t AS bucket_start, CAST(1 AS DOUBLE) AS value
+FROM grid g LEFT JOIN present p ON p.t = g.t
+WHERE p.t IS NULL
+""",
+)
+def promql_absent_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY absent_over_time(selector[15m]) every 30 minutes —
+    the alerting primitive ("did this metric go silent?") as a sliding
+    range query, via ``promql.absent_over_time_range`` (presence is a
+    distinct-instant set over the rare matching samples; the tiny grid
+    anti-joins against it — O(steps) output; the executor fast-path
+    exposes the same operator to PromQL strings). Exact dual of
+    present_over_time under the engine-wide half-open [t−frame, t)
+    convention (DIVERGENCES.md)."""
+    samples = _event_samples(spark, sf_dir, keys=("name",)).where(
+        (F.col("metric_name") == "purchase") & (F.col("value") > 450)
+    )
+    out = promql.absent_over_time_range(
+        samples,
+        frame="15m",
+        step="30m",
+        start=datetime(2024, 1, 29),
+        end=datetime(2024, 1, 30),
+    )
+    return out.select(
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "value",
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter-windowed three-way
+    fact join with a broadcast dim — the date slice and the returnflag
+    equality both push to their scans, customer and nation broadcast, and
+    the top-20 is a TakeOrderedAndProject over the grouped revenue (no
+    global sort). The deterministic c_custkey tiebreaker makes the LIMIT
+    oracle-safe."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # per-item cents rounded THEN summed as integers: the sum is
+        # order-free and exact, so both engines land on the identical
+        # double after /100 — a raw double sum rounded to 2 dp flipped
+        # at a .005 boundary between engines (canon-safety checklist)
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle="""
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+p AS (SELECT lang, n, round(pow(n, 0.7), 9) AS p FROM n),
+s AS (SELECT list_sum(list(p ORDER BY lang)) AS s FROM p),
+wt AS (SELECT lang, n, round(p / s.s, 9) AS w FROM p CROSS JOIN s),
+t AS (SELECT min(n / w) AS total FROM wt),
+thr AS (
+  -- identity branch for the BINDING stratum (n/w = total), mirroring
+  -- mix_by_column: (w*(n/w))/n can round 1 ulp below 1.0 and silently
+  -- drop the threshold-edge doc the engine keeps
+  SELECT lang,
+         CASE WHEN n / w = t.total THEN 'g'
+              WHEN least(1.0, (w * t.total) / n) >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(floor(least(1.0, (w * t.total) / n)
+                                             * 4294967296) AS BIGINT))
+         END AS thr
+  FROM wt CROSS JOIN t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 8) < thr.thr
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha = 0.7, the XLM-R / mT5 multilingual
+    recipe): target language shares proportional to n^alpha — flatter
+    than natural frequency, so low-resource languages keep more weight —
+    then the same deterministic md5-threshold mixing as
+    ``corpus_mix_by_lang``. Cross-engine float discipline: per-language
+    pow() results and the derived shares are rounded to 9 dp on BOTH
+    engines (libm pow differs in the last ulp between engines), and the
+    share normalizer is summed in sorted-language order (DuckDB
+    list_sum over an ORDER BY list; Python over sorted keys) so every
+    derived threshold is bit-identical. The count pass is skippable at
+    100 TB via catalog counts, and the filter is one codegen'd CASE —
+    no shuffle, no sample(), no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    p = {lang: round(counts[lang] ** 0.7, 9) for lang in counts}
+    s = sum(p[lang] for lang in sorted(p))
+    weights = {lang: round(p[lang] / s, 9) for lang in counts}
+    mixed = sampling.mix_by_column(
+        docs, "lang", weights, "doc_id", salt="tmix", counts=counts
+    )
+    return mixed.select("doc_id", "lang")
+
+
+@register(
+    "promql_histquant_range",
+    oracle="""
+WITH grid AS (
+  SELECT TIMESTAMP '2024-01-29 00:00:00' + range * INTERVAL 1 HOUR AS t
+  FROM range(0, 25)
+), b AS (
+  SELECT e.event_type AS name, g.t, l.le, CAST(count(*) AS DOUBLE) AS cum
+  FROM events e
+  JOIN grid g ON e.ts >= g.t - INTERVAL 6 HOUR AND e.ts < g.t
+  CROSS JOIN (SELECT unnest([25.0, 50.0, 100.0, 200.0,
+                             CAST('inf' AS DOUBLE)]) AS le) l
+  WHERE e.value <= l.le
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT name, t, le, cum,
+         lag(cum) OVER (PARTITION BY name, t ORDER BY le) AS prev_cum,
+         lag(le) OVER (PARTITION BY name, t ORDER BY le) AS prev_le,
+         max(cum) OVER (PARTITION BY name, t) * 0.9 AS target
+  FROM b
+)
+SELECT name, t AS bucket_start,
+       round(CASE WHEN isinf(le) THEN prev_le
+             ELSE coalesce(prev_le, 0) + (le - coalesce(prev_le, 0))
+                  * (target - coalesce(prev_cum, 0))
+                  / (cum - coalesce(prev_cum, 0)) END, 4) AS q90
+FROM w
+WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+""",
+)
+def promql_histquant_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY histogram_quantile(0.9, increase(bucket[6h])) at every
+    1h step — the single most-used PromQL idiom, as a sliding range
+    query. Composition of existing operators: each event fans out to its
+    covering cumulative le-buckets (a bounded ≤|bounds| explode), the
+    windowed bucket counts ride the per-sample difference-array strategy
+    of ``agg_over_time_range`` (O(samples + output) at any frame/step
+    ratio — increase of a perfect counter ≡ the window count, and the
+    1/frame rate factor cancels inside the quantile), and
+    ``histogram_quantile`` runs per grid instant by carrying the instant
+    in the label map. The oracle replays the naive sliding windows plus
+    the same crossing interpolation."""
+    bounds = [25.0, 50.0, 100.0, 200.0, float("inf")]
+    ev = _events(spark, sf_dir)
+    samples = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: F.col("value") <= b,
+            )
+        ).alias("__le"),
+        F.col("value"),
+        F.col("ts").alias("timestamp"),
+    ).select(
+        "metric_name",
+        F.create_map(
+            F.lit("name"), F.col("metric_name"),
+            F.lit("le"), F.col("__le").cast("string"),
+        ).alias("labels"),
+        "value",
+        "timestamp",
+    )
+    counts = promql.agg_over_time_range(
+        samples,
+        agg="count",
+        method="events",
+        frame="6h",
+        step="1h",
+        start=datetime(2024, 1, 29),
+        end=datetime(2024, 1, 30),
+    )
+    buckets = counts.select(
+        F.map_concat(
+            "labels",
+            F.create_map(
+                F.lit("t"),
+                F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss"),
+            ),
+        ).alias("labels"),
+        "value",
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.element_at("labels", "name").alias("name"),
+        F.to_timestamp(F.element_at("labels", "t")).alias("bucket_start"),
+        F.round("value", 4).alias("q90"),
+    )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    oracle=_PQ_CODES_CTE
+    + """,
+codes AS (
+  SELECT vec_id, a1_0.cluster AS code0, a1_1.cluster AS code1
+  FROM a1_0 JOIN a1_1 USING (vec_id)
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+), vc AS (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(range(1,65), j -> v.vec[j]*c.cvec[j]))
+         / (sqrt(list_sum(list_transform(range(1,65), j -> v.vec[j]*v.vec[j])))
+            * sqrt(list_sum(list_transform(range(1,65), j -> c.cvec[j]*c.cvec[j])))) AS cos
+  FROM v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vc
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vc WHERE vec_id < 10
+  ) WHERE rn <= 4
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+), t0 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_0 c
+), t1 AS (
+  SELECT q.query_id, c.cluster,
+         round(list_sum(list_transform(range(1, 33),
+             i -> (q.qv[i + 32] - c.centroid[i]) * (q.qv[i + 32] - c.centroid[i]))), 6) AS t
+  FROM q CROSS JOIN c1_1 c
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, t0.t + t1.t AS adc_dist
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN codes c ON c.vec_id = a.neighbor_id
+  JOIN t0 ON t0.query_id = p.query_id AND t0.cluster = c.code0
+  JOIN t1 ON t1.query_id = p.query_id AND t1.cluster = c.code1
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (IVF-PQ, the composed billion-vector serving path): inverted-
+    file routing bounds WHICH vectors are scanned (nprobe/num_centroids
+    of the corpus), PQ codes bound the BYTES per scanned vector (m small
+    ints), ADC scores without touching full precision. One corpus pass
+    computes centroid assignment + codes together; queries route
+    driver-side and broadcast their probed lists with their m×k tables.
+    The oracle replays the ENTIRE composition — both subspace k-means
+    loops, the cosine routing with its (cos desc, cid asc) ties, the
+    probed-list candidate join, and the table-lookup scoring — so the
+    driver hash-checks routing and scoring as one pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.pq_adc_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        num_centroids=16,
+        nprobe=4,
+        m=2,
+        k=4,
+        n_iter=2,
+        topk=5,
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM active a JOIN firstday f USING (user_id)
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the training-data-pipeline twin of
+    product analytics' classic: users grouped by first-seen day, activity
+    counted per (cohort_day, day_offset). Two hash aggregations (first-day
+    per user; distinct user-days) and ONE shuffle join on user_id; output
+    is bounded by days² regardless of corpus size, so the matrix is
+    broadcast-class even at 100 TB of events. No window functions — min()
+    + distinct are both partial-aggregable map-side."""
+    ev = _t(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), toks AS (
+  SELECT freq,
+         list_append(list_filter(string_split(w, ''), x -> x != ''), '</w>') AS t
+  FROM words
+), flat AS (
+  SELECT unnest(list_zip(list_slice(t, 1, len(t) - 1), list_slice(t, 2, len(t)))) AS p,
+         freq
+  FROM toks
+), counted AS (
+  SELECT p[1] AS left_tok, p[2] AS right_tok,
+         CAST(sum(freq) AS BIGINT) AS n
+  FROM flat GROUP BY 1, 2
+)
+SELECT left_tok, right_tok, n,
+       row_number() OVER (ORDER BY n DESC, left_tok, right_tok) AS rank
+FROM counted QUALIFY rank <= 20
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-counting core of BPE training (`text.bpe_train`),
+    oracle-checked in isolation: top-20 adjacent-token pairs of the
+    char+'</w>' tokenization, frequency-weighted via the distinct-word
+    vocab (the hash agg that shrinks 100 TB of text to a language-vocab
+    table), ranked with the trainer's exact (count desc, pair asc)
+    tiebreak. The iterative trainer itself is rows-only by nature (each
+    round's argmax feeds the next round's state, like the IVF index
+    build) and is exact-equality unit-tested against a from-scratch
+    local reference.
+
+    Scale shape (r5, VERDICT task #2): the top-20 is taken FIRST with
+    orderBy().limit() — TakeOrderedAndProject, a per-partition partial
+    top-k that never moves the full pair table (a multilingual 100 TB
+    corpus has a ~10^7-row pair table). The rank over the 20 survivors
+    is then sort_array(collect_list(struct)) + posexplode — row_number
+    without any WindowExec, so no unpartitioned-window plan (and no
+    single-partition WARN) exists anywhere. The sort key flips n's sign
+    so one ascending struct sort realizes the trainer's
+    (count desc, pair asc) tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    counted = text.bpe_pair_frequencies(text.bpe_word_vocab(docs))
+    top = counted.orderBy(
+        F.desc("n"), F.asc("left_tok"), F.asc("right_tok")
+    ).limit(20)
+    packed = top.select(
+        F.struct(
+            (-F.col("n")).alias("neg_n"),
+            F.col("left_tok"),
+            F.col("right_tok"),
+        ).alias("row")
+    )
+    return (
+        packed.agg(F.sort_array(F.collect_list("row")).alias("rows"))
+        .select(F.posexplode("rows").alias("pos", "row"))
+        .select(
+            F.col("row.left_tok").alias("left_tok"),
+            F.col("row.right_tok").alias("right_tok"),
+            (-F.col("row.neg_n")).alias("n"),
+            (F.col("pos") + F.lit(1)).alias("rank"),
+        )
+    )
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=r"""
+WITH RECURSIVE words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), vocab0 AS (
+  -- Each word as ' t1  t2 ... tn ' (single-space wrap, double-space
+  -- separators). Tokens come from a \s+ split so they can never contain
+  -- whitespace, making the encoding unambiguous.
+  SELECT list(struct_pack(freq := freq,
+    s := ' ' || array_to_string(
+           list_append(list_filter(string_split(w, ''), x -> x != ''), '</w>'),
+           '  ') || ' ')) AS vocab
+  FROM words
+), steps AS (
+  SELECT 0 AS i, CAST(NULL AS STRUCT(a VARCHAR, b VARCHAR)) AS w, vocab FROM vocab0
+  UNION ALL
+  -- replace() is left-to-right non-overlapping = the trainer's greedy
+  -- carry-fold; the wrapping spaces survive every substitution so token
+  -- boundaries stay intact ([a,a,a,a] -> [aa,aa], not [aa,a,a]).
+  SELECT i + 1, win,
+    list_transform(vocab, v -> struct_pack(freq := v.freq,
+      s := replace(v.s, ' ' || win.a || '  ' || win.b || ' ',
+                        ' ' || win.a || win.b || ' ')))
+  FROM (
+    SELECT i, vocab,
+      (SELECT struct_pack(a := l, b := r)
+       FROM (
+         SELECT tk[x] AS l, tk[x+1] AS r, sum(freq) AS n
+         FROM (SELECT u.freq AS freq,
+                      string_split(trim(u.s, ' '), '  ') AS tk
+               FROM unnest(vocab) AS t(u)),
+              unnest(range(1, len(tk))) AS g(x)
+         GROUP BY 1, 2)
+       ORDER BY n DESC, l, r LIMIT 1) AS win
+    FROM steps WHERE i < 10
+  )
+)
+SELECT CAST(i AS BIGINT) AS rank, w.a AS left_tok, w.b AS right_tok,
+       w.a || w.b AS merged
+FROM steps WHERE i >= 1 ORDER BY rank
+""",
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (`text.bpe_train`, Sennrich
+    2016): 10 learned merge rules over the documents corpus. The oracle
+    replays the trainer exactly as a DuckDB recursive CTE over the
+    collapsed word vocab (the Holt-recurrence oracle technique): each
+    recursion step recomputes frequency-weighted pair counts, takes the
+    (count desc, pair asc) argmax, and applies the merge via a
+    space-delimited string replace — left-to-right non-overlapping
+    replacement IS the trainer's greedy carry-fold because tokens are
+    whitespace-free by construction. Also exact-equality unit-tested
+    against a from-scratch local reference including the self-merge-run
+    edge case."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, 10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank long, left_tok string, right_tok string, merged string",
+    )
+
+
+@register(
+    "doc_gopher_quality",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), metrics AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+          / len(words), 4) AS mean_word_len,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT))
+          / CAST(len(words) AS DOUBLE), 4) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+          / CAST(len(lines) AS DOUBLE), 4) AS bullet_frac,
+    round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$')))
+          / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+          / CAST(len(words) AS DOUBLE), 4) AS alpha_frac,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3 AND 10)
+       AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       AND stop_hits >= 2 AS gopher_pass
+FROM metrics
+""",
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, A1.1 — r4): the published
+    MassiveWeb pre-training filters as one narrow Column projection —
+    word-count and mean-word-length bounds, symbol ratio, bullet/
+    ellipsis line fractions, alphabetic-word fraction, the ≥2-stopword
+    requirement — every metric emitted so pipelines can audit WHICH
+    rule dropped a page. The oracle replays the rule set in DuckDB list
+    algebra. On this synthetic corpus every page fails (stop_hits < 2 —
+    the fixture vocabulary lacks English function words, which is the
+    stopword rule doing its job); the METRIC columns vary per document
+    and carry the hash, and the both-ways flag split is pinned on
+    English-like fixtures in tests/test_text.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs)
+
+
+@register(
+    "doc_gopher_split",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN repeat(
+                'the words of that land have been with them and they stay true. ',
+                CAST(4 + doc_id % 4 AS INT))
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM src
+), metrics AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+          / len(words), 4) AS mean_word_len,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT))
+          / CAST(len(words) AS DOUBLE), 4) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+          / CAST(len(lines) AS DOUBLE), 4) AS bullet_frac,
+    round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$')))
+          / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+          / CAST(len(words) AS DOUBLE), 4) AS alpha_frac,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3 AND 10)
+       AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       AND stop_hits >= 2 AS gopher_pass
+FROM metrics
+""",
+)
+def doc_gopher_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules with the PASS flag actually splitting under the
+    driver oracle (r5, VERDICT task #3): the sibling
+    `doc_gopher_quality` runs the operator over the raw fixture corpus,
+    where every page fails the ≥2-stopword rule (the synthetic
+    vocabulary has no English function words), so its composite boolean
+    is constant in the hashed output. Here the even-doc_id stratum is
+    rewritten IN-QUERY to a closed-form English-like page (a 13-word
+    stopword-rich sentence repeated 4 + doc_id % 4 times — 52..91 words,
+    mean word length 3.85, six stopword hits, no symbols/bullets/
+    ellipses) that passes every rule, exactly the stratum-construction
+    trick `doc_c4_page_filter` uses; odd doc_ids keep the raw fixture
+    text and keep failing. The REAL operator
+    (`text.gopher_quality_flags`, pure Column projection, zero shuffle)
+    runs unchanged over the constructed corpus, and the driver hash now
+    pins gopher_pass = true AND false rows plus every metric column on
+    both strata."""
+    docs = _t(spark, sf_dir, "documents")
+    eng = F.repeat(
+        F.lit(
+            "the words of that land have been with them and they stay true. "
+        ),
+        (F.lit(4) + F.col("doc_id") % 4).cast("int"),
+    )
+    bimodal = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, eng)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.gopher_quality_flags(bimodal)
+
+
+@register(
+    "doc_c4_page_filter",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS words
+  FROM documents
+), paged AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
+        i -> array_to_string(words[i*8+1 : i*8+8], ' ')
+             || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END),
+      chr(10))
+    || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'function() { return cookies; }' ELSE '' END
+      AS page
+  FROM w
+), split AS (
+  SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM paged
+), kept AS (
+  SELECT doc_id, page, len(lines) AS n_lines,
+    list_filter(lines, l ->
+      regexp_matches(rtrim(l), '[.!?"]$')
+      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x != '')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS keep
+  FROM split
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(len(keep) AS INT) AS n_lines_kept,
+       (len(keep) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+        AND NOT contains(page, '{')) AS page_kept,
+       CASE WHEN len(keep) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+                 AND NOT contains(page, '{')
+            THEN array_to_string(keep, chr(10)) ELSE '' END AS kept_text
+FROM kept
+""",
+)
+def doc_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — r4): the published
+    line-level heuristics — terminal-punctuation lines with ≥5 words
+    and no 'javascript' kept; pages with '{', 'lorem ipsum', or <3
+    retained lines dropped. The fixture corpus has no line structure,
+    so the query BUILDS a deterministic multi-line page per document
+    (8-word lines, terminal punctuation on a (doc_id+i)%3 pattern,
+    lorem-ipsum and curly-brace injections on doc_id strata) in the
+    same closed form on both engines, then runs the REAL operator
+    (`text.c4_line_filter`, pure Column algebra) over it; every rule
+    fires on some stratum and the kept-text rejoin itself is part of
+    the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 89 == 0,
+            F.lit("\nfunction() { return cookies; }"),
+        ).otherwise(F.lit("")),
+    )
+    paged = docs.select("doc_id", page.alias("page"))
+    return text.c4_line_filter(paged)
+
+
+@register(
+    "doc_bigram_lm_perplexity",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_train,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+), pairs AS (
+  SELECT doc_id, is_train, tk[x] AS prev, tk[x+1] AS w
+  FROM toks, unnest(range(1, len(tk))) AS g(x)
+), c2 AS (
+  SELECT prev, w, count(*) AS c2 FROM pairs WHERE is_train GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, count(*) AS c1 FROM pairs WHERE is_train GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT u.w) AS v
+  FROM (SELECT unnest(tk) AS w FROM toks WHERE is_train) u
+), scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(c2.c2, 0) + 1.0)
+            / (coalesce(c1.c1, 0) + 1.0 * v.v)) AS logp
+  FROM pairs p
+  LEFT JOIN c2 ON c2.prev = p.prev AND c2.w = p.w
+  LEFT JOIN c1 ON c1.prev = p.prev
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logp,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal with an HONEST in-corpus language
+    model (r4): per-document perplexity under an add-1 bigram LM
+    trained on the lang='en' slice (Wenzek et al. 2020's selection
+    signal, minus the external KenLM this environment can't ship — the
+    `doc_ccnet_perplexity_buckets` divergence row documents the proxy
+    this replaces for scoring). Training = two hash aggs over the train
+    slice; scoring = one equi-join of the corpus bigram stream against
+    those counts + a 1-row vocab broadcast. The oracle replays the
+    exact smoothing algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_lm_perplexity(docs)
+
+
+@register(
+    "doc_dsir_logweights",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target, unnest(
+    list_concat(tk,
+      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS g
+  FROM toks
+), feats AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+  FROM grams
+), per_doc AS (
+  SELECT doc_id, b, count(*) AS c, bool_or(is_target) AS is_target
+  FROM feats GROUP BY 1, 2
+), model AS (
+  SELECT b, sum(c) AS r,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS t
+  FROM per_doc GROUP BY b
+), tot AS (SELECT sum(r) AS r_total, sum(t) AS t_total FROM model),
+lr AS (
+  SELECT b, ln((t + 1) / (t_total + 256.0))
+            - ln((r + 1) / (r_total + 256.0)) AS lr
+  FROM model CROSS JOIN tot
+)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+       round(sum(d.c * lr.lr), 4) AS dsir_logw
+FROM per_doc d JOIN lr USING (b) GROUP BY d.doc_id
+""",
+)
+def doc_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, r4): hashed
+    unigram+bigram bucket models for the target slice (lang='en') vs
+    the raw corpus, add-one smoothed; per-document log importance
+    weight Σ c·(ln p_target − ln p_raw) — the published
+    importance-resampling scorer behind quality-targeted pretraining
+    selection. One corpus-sized hash agg + two broadcast-class joins
+    (256-row model, 1-row totals); the oracle replays the full pipeline
+    including the engine-portable md5 bucket hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.dsir_logweights(docs)
+
+
+@register(
+    "bpe_encoded_token_counts",
+    oracle=r"""
+WITH RECURSIVE words0 AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), vocab0 AS (
+  SELECT list(struct_pack(w := w, freq := freq,
+    s := ' ' || array_to_string(
+           list_append(list_filter(string_split(w, ''), x -> x != ''), '</w>'),
+           '  ') || ' ')) AS vocab
+  FROM words0
+), steps AS (
+  -- the bpe_learned_merges replay, carrying the word through so the
+  -- FINAL tokenization joins back to documents
+  SELECT 0 AS i, vocab FROM vocab0
+  UNION ALL
+  SELECT i + 1,
+    list_transform(vocab, v -> struct_pack(w := v.w, freq := v.freq,
+      s := replace(v.s, ' ' || win.a || '  ' || win.b || ' ',
+                        ' ' || win.a || win.b || ' ')))
+  FROM (
+    SELECT i, vocab,
+      (SELECT struct_pack(a := l, b := r)
+       FROM (
+         SELECT tk[x] AS l, tk[x+1] AS r, sum(freq) AS n
+         FROM (SELECT u.freq AS freq,
+                      string_split(trim(u.s, ' '), '  ') AS tk
+               FROM unnest(vocab) AS t(u)),
+              unnest(range(1, len(tk))) AS g(x)
+         GROUP BY 1, 2)
+       ORDER BY n DESC, l, r LIMIT 1) AS win
+    FROM steps WHERE i < 10
+  )
+), wtoks AS (
+  SELECT u.w AS w,
+         len(string_split(trim(u.s, ' '), '  ')) AS n_toks
+  FROM (SELECT vocab FROM steps WHERE i = 10), unnest(vocab) AS t(u)
+), docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_toks) AS BIGINT) AS n_tokens
+FROM docwords d JOIN wtoks wt USING (w)
+GROUP BY d.doc_id
+""",
+)
+def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE end to end (r4 — the trainer's dual): train 10 merges
+    on the corpus, apply them with the same pure-Column fold, and count
+    per-document (words, tokens) — sequence-length accounting for
+    packing. The oracle replays training via the bpe_learned_merges
+    recursive CTE (carrying each word through the merge steps) and
+    joins the final per-word token counts back to the exploded corpus,
+    so ONE hash checks the argmax loop, the greedy merge application,
+    and the join-back accounting together. Scale: the fold runs on the
+    distinct-word vocab only; the join back is broadcast-class."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_token_counts(docs, 10)
+
+
+@register(
+    "heavy_hitters_topk",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+  FROM c
+)
+SELECT event_type, user_id, n, rank FROM ranked WHERE rank <= 5
+""",
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters: top-5 users by event count per
+    event_type — the batch ground truth the streaming space-saving
+    summary (`streaming.stateful.streaming_space_saving`, k-slot bounded
+    state, Metwally 2005) is guarantee-tested against. One hash
+    aggregation shrinks events to (type, user) counts; the rank window
+    runs over that already-aggregated set (types × active users), never
+    the raw stream."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )
+
+
+@register(
+    "events_cdc_latest",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op,
+       round(value, 4) AS last_value, ts AS last_ts
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def events_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction (`store.apply_cdc_latest`): the events
+    stream read as a change log — key = user_id, version = (ts,
+    event_id), 'error' acting as the delete op — folded to current state
+    in ONE lexicographic-struct-max hash aggregation (no window sort, no
+    self-join; the same non-invertible-aggregate trick as sliding
+    last_over_time). The oracle replays it as the classic row_number
+    window — same answer, but the
+    window shuffles every change where the partial combine ships one
+    candidate per partition-key."""
+    ev = _t(spark, sf_dir, "events")
+    state = store.apply_cdc_latest(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.round("value", 4).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "events_rollup_cube",
+    oracle="""
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""",
+)
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube rollup: all four granularities of the (event_type, day)
+    report — per cell, per type, per day, grand total — from ONE pass.
+    Spark plans ``cube()`` as Expand (4 grouping-set replicas, map-side)
+    feeding a single partial-aggregated HashAggregate: one shuffle carries
+    all granularities, where naive per-granularity queries would scan and
+    shuffle four times. Rollup cells are projected to the '(all)'
+    sentinel rather than left NULL — a NULL DATE fetched through pandas
+    canonicalizes as NaT and would break the driver's value hash
+    (canon-safety checklist, README)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("(all)")).alias(
+                "day"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the semi-join-on-a-big-agg
+    shape — aggregate lineitem by orderkey, filter on the grouped sum,
+    then LEFT SEMI join the order stream against the survivors before the
+    (small) customer dim join. The semi join keeps only orderkeys in the
+    shuffle; the customer join is broadcast-class. No window, no sort —
+    all three joins are equi-joins on their natural keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "tpch_q4_late_orders",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking, adapted to the fixture's
+    columns: "late" = any lineitem shipping > 30 days after the order
+    date): an EXISTS correlated subquery expressed as a LEFT SEMI join
+    whose condition carries both the equi-key and the date comparison —
+    Spark plans the equi-part as the join key and the inequality as a
+    post-join filter, so lineitem never fans out order rows and only
+    (orderkey, shipdate) rides the shuffle. The date window on orders is
+    a pushed scan filter."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): ratio of two conditional sums over a
+    fact⋈dim join — part is broadcast, so the month of lineitem streams
+    through one stage: pushed shipdate scan filter → broadcast hash join
+    → single global aggregate computing both sums at once. The division
+    happens on the 1-row aggregate, never per row."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 9, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 10, 1)))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+

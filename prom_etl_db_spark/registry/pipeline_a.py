@@ -1,0 +1,241 @@
+"""SURVEY.md §2.A — pipeline operators (ingest normalization, scans,
+retention, backfill idempotency, the relative-time DSL grid)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from prom_etl_db_spark import store  # noqa: F401
+from prom_etl_db_spark.functions import (  # noqa: F401
+    clustering,
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
+from prom_etl_db_spark.operators import analytics, promql  # noqa: F401
+from prom_etl_db_spark.registry.core import (  # noqa: F401
+    FLAGSHIP_DAY,
+    NOW,
+    _event_samples,
+    _events,
+    _t,
+    register,
+)
+from prom_etl_db_spark.timeparse import RelativeTimeParser  # noqa: F401
+
+
+# =========================================================================
+# A — pipeline operators (ingest normalization, scans, idempotency)
+# =========================================================================
+
+
+@register(
+    "ingest_normalize_events",
+    oracle="""
+SELECT 'events_ingest' AS query_id, event_type AS metric_name,
+       json_extract_string(props,'$.k') AS label_k,
+       CAST(user_id AS VARCHAR) AS label_user,
+       value, CAST(ts AS TIMESTAMP) AS timestamp, 'instant' AS result_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS collected_at,
+       CAST(date_trunc('day', ts) AS DATE) AS collected_date
+FROM events
+""",
+)
+def ingest_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-A13 composite: events → MetricRecord shape (label map exploded to
+    scalar columns for the hash compare — maps aren't hash-stable across
+    engines)."""
+    from prom_etl_db_spark.ingest import events_as_metric_records
+
+    rec = events_as_metric_records(_events(spark, sf_dir))
+    return rec.select(
+        "query_id",
+        "metric_name",
+        F.element_at("labels", "k").alias("label_k"),
+        F.element_at("labels", "user_id").alias("label_user"),
+        "value",
+        "timestamp",
+        "result_type",
+        "collected_at",
+        "collected_date",
+    )
+
+
+@register(
+    "collected_at_sameday_range",
+    oracle="""
+SELECT TIMESTAMP '2024-01-30 00:00:00' AS collected_at, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+""",
+)
+def collected_at_sameday_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: a same-day range query (yesterday → yesterday_end, now frozen at
+    2024-01-31) buckets every point to that day's start
+    (`calculateCollectedAt`, executor.go:414-436)."""
+    from prom_etl_db_spark.ingest import collected_at_col
+
+    day0, day1 = FLAGSHIP_DAY, FLAGSHIP_DAY + timedelta(days=1)
+    ev = _events(spark, sf_dir).where(
+        (F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1))
+    )
+    tagged = ev.withColumn(
+        "collected_at",
+        collected_at_col(
+            F.col("ts"),
+            "range",
+            now=NOW,
+            start_expr="yesterday",
+            end_expr="yesterday_end",
+        ),
+    )
+    return tagged.groupBy("collected_at").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "latest_n_scan",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+WHERE event_type = 'click'
+ORDER BY ts DESC, event_id DESC LIMIT 100
+""",
+)
+def latest_n_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17/C6: WHERE key ORDER BY timestamp DESC LIMIT n (mysql.go:166-213)."""
+    return analytics.latest_n(_events(spark, sf_dir), "click", 100)
+
+
+@register(
+    "metrics_count",
+    oracle="SELECT count(*) AS records FROM events WHERE event_type = 'view'",
+)
+def metrics_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: COUNT(*) per key (mysql.go:262-272)."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .agg(F.count(F.lit(1)).alias("records"))
+    )
+
+
+@register(
+    "table_stats",
+    oracle="""
+SELECT 'events' AS table_name, count(*) AS n FROM events
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+""",
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: whitelisted per-table row counts (mysql.go:317-349)."""
+    parts = [
+        _events(spark, sf_dir).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("events").alias("table_name"), "n"
+        ),
+        _t(spark, sf_dir, "orders").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit("orders").alias("table_name"), "n"),
+        _t(spark, sf_dir, "lineitem").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit("lineitem").alias("table_name"), "n"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "retention_horizon",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY CAST(date_trunc('day', ts) AS DATE)
+""",
+)
+def retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 semantics: rows surviving `collected_at >= cutoff` per day
+    (CleanupOldMetrics keeps the complement, mysql.go:275-289)."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("ts") >= F.lit(datetime(2024, 1, 15)))
+        .groupBy(F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "backfill_skip_existing",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.ts < TIMESTAMP '2024-01-15 00:00:00'
+    AND x.event_type = e.event_type
+    AND date_trunc('day', x.ts) = date_trunc('day', e.ts)
+)
+GROUP BY CAST(date_trunc('day', ts) AS DATE)
+""",
+)
+def backfill_skip_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: idempotent backfill — incoming (key, day) slices already present
+    are skipped via a broadcast left_anti join (repair/main.go:557-576)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.date_trunc("DAY", F.col("ts")))
+    )
+    existing = (
+        ev.where(F.col("ts") < F.lit(datetime(2024, 1, 15)))
+        .select("event_type", "day")
+        .distinct()
+    )
+    surviving = ev.join(F.broadcast(existing), ["event_type", "day"], "left_anti")
+    return surviving.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "timeparse_grid",
+    oracle="""
+SELECT * FROM (VALUES
+  ('now',            TIMESTAMP '2024-01-31 00:00:00'),
+  ('today',          TIMESTAMP '2024-01-31 00:00:00'),
+  ('today_end',      TIMESTAMP '2024-01-31 23:59:59.999999'),
+  ('yesterday',      TIMESTAMP '2024-01-30 00:00:00'),
+  ('yesterday_end',  TIMESTAMP '2024-01-30 23:59:59.999999'),
+  ('last_week',      TIMESTAMP '2024-01-21 00:00:00'),
+  ('last_week_end',  TIMESTAMP '2024-01-27 23:59:59.999999'),
+  ('last_month',     TIMESTAMP '2023-12-01 00:00:00'),
+  ('last_month_end', TIMESTAMP '2023-12-31 23:59:59.999999'),
+  ('last_quarter',   TIMESTAMP '2023-10-01 00:00:00'),
+  ('last_year',      TIMESTAMP '2023-01-01 00:00:00'),
+  ('today@06:30',    TIMESTAMP '2024-01-31 06:30:00'),
+  ('yesterday@23:59:59', TIMESTAMP '2024-01-30 23:59:59'),
+  ('-1d',            TIMESTAMP '2024-01-30 00:00:00'),
+  ('-1h30m',         TIMESTAMP '2024-01-30 22:30:00'),
+  ('+2h',            TIMESTAMP '2024-01-31 02:00:00'),
+  ('now-1h',         TIMESTAMP '2024-01-30 23:00:00'),
+  ('-1w',            TIMESTAMP '2024-01-24 00:00:00')
+) AS t(expr, resolved)
+""",
+)
+def timeparse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the documented relative-time grammar resolved against a frozen
+    now (2024-01-31 00:00, a Wednesday) — oracle rows are hand-computed
+    expectations (parser.go:58-247 + user-guide.md:132-167 superset)."""
+    parser = RelativeTimeParser(NOW)
+    exprs = [
+        "now", "today", "today_end", "yesterday", "yesterday_end",
+        "last_week", "last_week_end", "last_month", "last_month_end",
+        "last_quarter", "last_year", "today@06:30", "yesterday@23:59:59",
+        "-1d", "-1h30m", "+2h", "now-1h", "-1w",
+    ]
+    rows = [(e, parser.parse(e)) for e in exprs]
+    return spark.createDataFrame(rows, "expr string, resolved timestamp")
+
+

@@ -205,6 +205,11 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     # don't grow with corpus bytes
     run("dsir_logweights", sampling.dsir_logweights(docs))
     run("bigram_lm_ppl", textfn.bigram_lm_perplexity(docs))
+    # r5 MPEG-1 Layer I bitstream decode: per-doc mapInPandas, zero
+    # shuffle — the row pins the codec path as embarrassingly parallel
+    from prom_etl_db_spark.functions.multimodal import mpeg1_subband_features
+
+    run("mpeg1_bitstream_decode", mpeg1_subband_features(docs))
     # Caesar-rotated replicas keep within-copy chunk/span dup structure
     # exact and disjoint across copies -> dup counts grow k-linearly
     run("paragraph_dedup", dedup.paragraph_dedup_stats(docs, 20))
