@@ -472,6 +472,8 @@ def decode_wav(payload: bytes) -> dict:
             _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
         table = _ULAW_TABLE if audio_fmt == 7 else _ALAW_TABLE
         samples = table[np.frombuffer(data, dtype=np.uint8)]
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
     n_frames = len(samples) // channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
     mean = float(samples.astype(np.float64).mean()) if len(samples) else 0.0
@@ -966,7 +968,10 @@ def png_pixels(payload: bytes):
         raise ValueError("missing IHDR/IDAT chunk")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    data = zlib.decompress(bytes(idat))
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt IDAT must quarantine (A12)
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
     bits_px = depth * channels
     bpp = max(1, bits_px // 8)
     out = np.zeros(
@@ -1561,14 +1566,27 @@ def gif_frames(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+
+    def at(i: int) -> int:  # bounds-checked byte read (A12: ValueError,
+        if i >= len(payload):  # never IndexError, on truncated streams)
+            raise ValueError("GIF stream truncated")
+        return payload[i]
+
+    def table_at(p: int, n: int) -> np.ndarray:
+        if p + 3 * n > len(payload):
+            raise ValueError("GIF color table truncated")
+        return np.frombuffer(
+            payload[p : p + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+
     sw = int.from_bytes(payload[6:8], "little")  # noqa: F841 — screen dims
     sh = int.from_bytes(payload[8:10], "little")  # noqa: F841
-    packed = payload[10]
+    packed = at(10)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        gct = table_at(pos, n)
         pos += 3 * n
     frames = []
     while pos < len(payload):
@@ -1578,7 +1596,7 @@ def gif_frames(payload: bytes):
             break
         if block == 0x21:  # extension: label byte then sub-blocks
             pos += 1
-            while payload[pos]:
+            while at(pos):
                 pos += 1 + payload[pos]
             pos += 1
             continue
@@ -1586,23 +1604,21 @@ def gif_frames(payload: bytes):
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
         h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
-        ipacked = payload[pos + 8]
+        ipacked = at(pos + 8)
         pos += 9
         if ipacked & 0x40:
             raise ValueError("interlaced GIF not supported")
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
-                n, 3
-            )
+            ct = table_at(pos, n)
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF image has no color table")
-        min_code_size = payload[pos]
+        min_code_size = at(pos)
         pos += 1
         lzw = bytearray()
-        while payload[pos]:
+        while at(pos):
             size = payload[pos]
             lzw += payload[pos + 1 : pos + 1 + size]
             pos += 1 + size

@@ -944,3 +944,50 @@ def test_avi_and_mpeg_corrupt_stream_fuzz_only_valueerror():
                 decode_mpeg1_layer1(bytes(bb))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_png_gif_bmp_wav_corrupt_stream_fuzz_only_valueerror():
+    """r5 adversarial extension of the fuzz gate to the r3/r4 codecs:
+    all prefixes + all single-bit flips over PNG (truecolor, palette,
+    Adam7, 16-bit), GIF (still + animated), BMP and WAV (PCM + G.711)
+    must decode or raise ValueError — the pass found PNG leaking raw
+    zlib.error on truncated IDAT, the GIF walker leaking IndexError on
+    truncated sub-block chains/color tables, and decode_wav dividing by
+    a declared zero channel count."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions import multimodal as M
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    pal8 = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(8)]
+    cases = [
+        (M.png_pixels, M.encode_png(img)),
+        (M.png_pixels, M.encode_png_palette(
+            (img[:, :, 0] % 4).astype(np.uint8),
+            [(i, 2 * i, 3 * i) for i in range(4)], depth=2)),
+        (M.png_pixels, M.encode_png_interlaced(img)),
+        (M.png_pixels, M.encode_png16(img.astype(np.uint16) * 257)),
+        (M.gif_pixels, M.encode_gif((img[:, :, 0] % 8).astype(np.uint8), pal8)),
+        (M.gif_frames, M.encode_gif_animation(
+            [(img[:, :, 0] % 8).astype(np.uint8),
+             ((img[:, :, 1] + 3) % 8).astype(np.uint8)], pal8)),
+        (M.bmp_pixels, M.encode_bmp(img)),
+        (M.decode_wav, M.synth_wav(100, 700)),
+        (M.decode_wav, M.synth_wav_g711(bytes(range(64)), "ulaw")),
+    ]
+    for fn, base in cases:
+        for cut in range(len(base)):
+            try:
+                fn(base[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for pos in range(len(base)):
+            for bit in range(8):
+                bb = bytearray(base)
+                bb[pos] ^= 1 << bit
+                try:
+                    fn(bytes(bb))
+                except (ValueError, NotImplementedError):
+                    pass
+        fn(base)  # the valid stream still decodes
