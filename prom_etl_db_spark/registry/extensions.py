@@ -1634,3 +1634,73 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "doc_suffix_array_repeats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_append(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+                     chr(2) || CAST(doc_id AS VARCHAR)) AS t
+  FROM documents WHERE doc_id % 23 = 3
+), offs AS (
+  SELECT doc_id, t,
+         COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+), stream AS (
+  SELECT off + g.x AS gpos, doc_id, g.x AS pos, t[g.x + 1] AS token
+  FROM offs, unnest(range(0, len(t))) AS g(x)
+), corpus AS (
+  SELECT list(token ORDER BY gpos) AS all_toks FROM stream
+), sa AS (
+  SELECT s.gpos, s.doc_id, s.pos, c.all_toks[s.gpos + 1 : ] AS suffix
+  FROM stream s, corpus c
+), ranked AS (
+  SELECT gpos, doc_id, pos, suffix,
+         row_number() OVER (ORDER BY suffix) - 1 AS sa_rank,
+         lag(suffix) OVER (ORDER BY suffix) AS prev_suffix
+  FROM sa
+), lcps AS (
+  SELECT sa_rank, gpos, doc_id, pos,
+    CASE WHEN prev_suffix IS NULL THEN 0
+         ELSE COALESCE(NULLIF(list_position(
+                list_transform(range(1, least(len(suffix), len(prev_suffix)) + 1),
+                               i -> suffix[i] IS DISTINCT FROM prev_suffix[i]),
+                true), 0) - 1,
+              least(len(suffix), len(prev_suffix)))
+    END AS lcp_prev
+  FROM ranked
+)
+SELECT CAST(sa_rank AS BIGINT) AS sa_rank, CAST(gpos AS BIGINT) AS gpos,
+       doc_id, CAST(pos AS INT) AS pos, CAST(lcp_prev AS BIGINT) AS lcp_prev
+FROM lcps
+""",
+)
+def doc_suffix_array_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext (r5): DISTRIBUTED SUFFIX ARRAY + LCP over the corpus token
+    stream — the real arbitrary-length repeated-substring machinery of
+    Lee et al. 2022, upgrading `duplicated_span_stats`' fixed-L
+    approximation (the DIVERGENCES.md row). Prefix doubling
+    (Karp-Miller-Rosenberg): ⌈log2 n⌉ rounds of equi-join + global
+    dense rank (distinct keys → RDD range-partitioned sortBy →
+    zipWithIndex — the documented RDD exception for global ordinal
+    assignment; no single-partition window anywhere); LCP by binary
+    lifting over the kept rank tables (the distributed substitute for
+    Kasai's sequential scan); unique per-document sentinel tokens fence
+    cross-document phantom matches. The oracle is the DEFINITION, not
+    the algorithm: DuckDB materializes every suffix as a token list,
+    sorts lexicographically (list order = token order on both engines,
+    shorter-prefix-first), and scans for the first mismatch — so the
+    driver hash pins every SA entry and every exact LCP value the
+    doubling ladder + lifting produce. Gate slice doc_id % 23 = 3
+    (~1.3k positions) keeps the ⌈log2 n⌉ iterative rounds inside the
+    gate budget; the operator itself takes any corpus
+    (`functions/suffix.py` — 100 TB posture in the module docstring).
+    Any repeat of any length ℓ surfaces as an SA-adjacent pair with
+    lcp_prev ≥ ℓ."""
+    from prom_etl_db_spark.functions.suffix import suffix_array_with_lcp
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)
+    return suffix_array_with_lcp(docs)
