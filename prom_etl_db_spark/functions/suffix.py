@@ -36,8 +36,9 @@ matching tokens.
 At 100 TB: every round is (shuffle-sort + join) over (pos, rank)
 pairs — 8/16-byte rows, ~60 rounds for 10^12 tokens; each round would
 be checkpointed (the plan is otherwise a 60-deep join chain). The
-fixture-scale gate query slices the corpus (doc_id % 11 = 3) so the
-driver hash still pins every SA entry and every LCP value.
+fixture-scale gate queries slice the corpus (doc_id % 23 = 3) so the
+driver hash still pins every SA entry, every LCP value, and every
+rewritten document.
 """
 
 from __future__ import annotations
@@ -47,7 +48,12 @@ from pyspark.sql import functions as F
 
 from prom_etl_db_spark.functions.scratch import scratch
 
-__all__ = ["token_stream", "suffix_array_with_lcp"]
+__all__ = [
+    "token_stream",
+    "suffix_array_with_lcp",
+    "mark_repeated_spans",
+    "substring_dedup_rewrite",
+]
 
 SENTINEL = "\x02"  # + doc_id: unique per document, below any real token
 
@@ -220,3 +226,80 @@ def suffix_array_with_lcp(
         )
     )
     return out
+
+
+def mark_repeated_spans(sa_lcp: DataFrame, min_len: int) -> DataFrame:
+    """(gpos) rows for every corpus position inside a removable repeated
+    span: each SA row with lcp_prev >= min_len witnesses that its
+    suffix's first lcp_prev tokens also occur at the SA-previous
+    suffix — marking THAT row's span keeps exactly one occurrence per
+    run of >= min_len-sharing suffixes (the SA-first one; Lee et al.
+    2022 likewise keep a single occurrence, which one being an
+    implementation choice). Overlapping spans merge via DISTINCT.
+    Embarrassingly parallel: one explode + one distinct, no windows."""
+    return (
+        sa_lcp.where(F.col("lcp_prev") >= min_len)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("gpos"), F.col("gpos") + F.col("lcp_prev") - 1
+                )
+            ).alias("gpos")
+        )
+        .distinct()
+    )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    *,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication with REMOVAL (Lee et al. 2022's
+    actual operation, via the real suffix array rather than the fixed-L
+    approximation): build SA + LCP, mark every repeated span of
+    >= min_len tokens except one kept occurrence per run, and rewrite
+    each document without the marked tokens. Returns (doc_id, n_tokens,
+    n_removed, kept_text) — kept_text is the surviving tokens rejoined
+    with single spaces (tokenization is lossy of original whitespace by
+    construction, same as every tokenizing operator here)."""
+    sa = suffix_array_with_lcp(docs, id_col=id_col, text_col=text_col)
+    stream = token_stream(docs, id_col=id_col, text_col=text_col).where(
+        ~F.col("token").startswith(SENTINEL)
+    )
+    marked = mark_repeated_spans(sa, min_len).withColumn(
+        "removed", F.lit(True)
+    )
+    kept = (
+        stream.join(marked, "gpos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("removed"), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("removed"), F.lit(False)),
+                                F.struct("pos", "token"),
+                            )
+                        )
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_removed").cast("long").alias("n_removed"),
+            "kept_text",
+        )
+    )
+    return kept

@@ -83,13 +83,16 @@ _GATE_PRIORITY = [
     # doc_suffix_array_repeats: NEW — distributed suffix array + LCP
     # (prefix doubling / binary lifting) vs a direct suffix-sort oracle.
     "doc_suffix_array_repeats",
+    # doc_substring_dedup_rewrite: NEW — Lee-et-al repeat REMOVAL on
+    # the SA; oracle replays the marking rule and hashes rewritten text.
+    "doc_substring_dedup_rewrite",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the
     # r4 gate; this window leads with the OLDEST (newest row = r1, all 18
     # that carry oracles — minhash_lsh_pairs and embedding_neardup_lsh
     # are rows-only by design and must stay past slot 50), then fills the
-    # remainder with the r2-stale set in registry order. The 15 r2-stale
+    # remainder with the r2-stale set in registry order. The 16 r2-stale
     # queries that do not fit this window lead the r6 rotation.
     # newest driver row = r1 (18):
     "promql_quantile_by",

@@ -1704,3 +1704,74 @@ def doc_suffix_array_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)
     return suffix_array_with_lcp(docs)
+
+
+@register(
+    "doc_substring_dedup_rewrite",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_append(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+                     chr(2) || CAST(doc_id AS VARCHAR)) AS t
+  FROM documents WHERE doc_id % 23 = 3
+), offs AS (
+  SELECT doc_id, t,
+         COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+), stream AS (
+  SELECT off + g.x AS gpos, doc_id, g.x AS pos, t[g.x + 1] AS token
+  FROM offs, unnest(range(0, len(t))) AS g(x)
+), corpus AS (
+  SELECT list(token ORDER BY gpos) AS all_toks FROM stream
+), sa AS (
+  SELECT s.gpos, c.all_toks[s.gpos + 1 : ] AS suffix
+  FROM stream s, corpus c
+), ranked AS (
+  SELECT gpos, suffix,
+         row_number() OVER (ORDER BY suffix) - 1 AS sa_rank,
+         lag(suffix) OVER (ORDER BY suffix) AS prev_suffix
+  FROM sa
+), lcps AS (
+  SELECT gpos,
+    CASE WHEN prev_suffix IS NULL THEN 0
+         ELSE COALESCE(NULLIF(list_position(
+                list_transform(range(1, least(len(suffix), len(prev_suffix)) + 1),
+                               i -> suffix[i] IS DISTINCT FROM prev_suffix[i]),
+                true), 0) - 1,
+              least(len(suffix), len(prev_suffix)))
+    END AS lcp_prev
+  FROM ranked
+), marked AS (
+  SELECT DISTINCT m.gpos + g.x AS gpos
+  FROM lcps m, unnest(range(0, m.lcp_prev)) AS g(x)
+  WHERE m.lcp_prev >= 2
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(m.gpos) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN m.gpos IS NULL THEN s.token END,
+                           ' ' ORDER BY s.pos), '') AS kept_text
+FROM stream s LEFT JOIN marked m USING (gpos)
+WHERE NOT starts_with(s.token, chr(2))
+GROUP BY s.doc_id
+""",
+)
+def doc_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext (r5): exact-substring dedup WITH REMOVAL — the operation
+    Lee et al. 2022 actually perform — on top of the real suffix array
+    (`doc_suffix_array_repeats` is the SA/LCP itself). Every repeated
+    span of >= 2 tokens loses all but one kept occurrence (the SA-first
+    suffix of each >= L-sharing run; which occurrence survives is an
+    implementation choice in the paper too), and each document is
+    rewritten without the marked tokens. Marking is one explode +
+    DISTINCT over span positions — no windows, embarrassingly parallel
+    on top of the SA. The oracle replays the identical marking rule on
+    the definitional DuckDB suffix sort and string_agg's the survivors,
+    so the driver hash pins the rewritten TEXT of every document plus
+    the removal accounting. Same gate slice as the SA query
+    (doc_id % 23 = 3)."""
+    from prom_etl_db_spark.functions.suffix import substring_dedup_rewrite
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)
+    return substring_dedup_rewrite(docs, min_len=2)

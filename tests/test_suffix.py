@@ -92,3 +92,57 @@ def test_token_stream_offsets_are_dense_and_ordered(spark):
     assert [r["token"] for r in rows] == [
         "a", "b", "c", SENTINEL + "5", "d", "e", SENTINEL + "6",
     ]
+
+
+def test_substring_dedup_rewrite_matches_brute_force(spark):
+    """The removal rule replayed from scratch: mark [gpos, gpos+lcp)
+    for every SA row with lcp_prev >= L, keep unmarked tokens in
+    position order. Checks the kept TEXT, not just counts; an
+    all-unique doc survives byte-identical."""
+    from prom_etl_db_spark.functions.suffix import substring_dedup_rewrite
+
+    corpora = {
+        0: "the cat sat on the mat and the cat sat by the door",
+        1: "unique words only here",
+        2: "the cat sat quietly",
+    }
+    L = 2
+    # brute force
+    stream, sufs = [], []
+    for d in sorted(corpora):
+        toks = corpora[d].lower().split()
+        for p, t in enumerate(toks):
+            stream.append((d, p, t))
+        stream.append((d, len(toks), SENTINEL + str(d)))
+    n = len(stream)
+    sufs = sorted(
+        (tuple(t for _, _, t in stream[i:]), i) for i in range(n)
+    )
+    marked = set()
+    for r in range(1, n):
+        prev, suf = sufs[r - 1][0], sufs[r][0]
+        k = 0
+        while k < len(prev) and k < len(suf) and prev[k] == suf[k]:
+            k += 1
+        if k >= L:
+            marked.update(range(sufs[r][1], sufs[r][1] + k))
+    exp = {}
+    for d in corpora:
+        toks = [
+            t
+            for g, (dd, p, t) in enumerate(stream)
+            if dd == d and not t.startswith(SENTINEL) and g not in marked
+        ]
+        total = len(corpora[d].split())
+        exp[d] = (total, total - len(toks), " ".join(toks))
+
+    docs = spark.createDataFrame(
+        list(corpora.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+        for r in substring_dedup_rewrite(docs, min_len=L).collect()
+    }
+    assert got == exp
+    assert got[1] == (4, 0, "unique words only here")  # untouched
+    assert got[0][1] > 0 and got[2][1] > 0  # repeats actually removed
