@@ -16,11 +16,13 @@ constructible scalably:
   (Flick & Aluru, SC'15 build the same ladder with MPI sorts; Spark's
   range-partitioned sort plays that role here).
 * **Global dense rank** is the one primitive Spark lacks as a narrow
-  op: implemented as distinct-keys → `RDD.sortBy` (distributed
-  range-partitioned sort) → `zipWithIndex` (per-partition offsets, two
-  narrow passes) → broadcast-sized join back. No single-partition
-  window anywhere — this is the documented "RDD where genuinely
-  needed" exception (global ordinal assignment).
+  op: implemented JVM-side as distinct-keys → `repartitionByRange`
+  (the distributed sort) → per-range-partition `row_number` window
+  (partitioned by `spark_partition_id`, never global) → +prefix-sum
+  offsets from the #partitions-row count frame. No single-partition
+  window over data anywhere, and no Python on the hot path (an earlier
+  revision used RDD sortBy/zipWithIndex — correct, but it pickled
+  every row through Python once per doubling round).
 * **LCP by rank-table binary lifting**: keep every round's rank table;
   LCP(p, q) accumulates 2^k for each level (high → low) where
   rank_k[p + acc] == rank_k[q + acc]. O(log n) equi-joins over the
@@ -102,22 +104,40 @@ def token_stream(
 
 
 def _dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Distributed global dense rank: distinct keys, RDD sortBy (a
-    range-partitioned distributed sort) + zipWithIndex (two narrow
-    passes), join the ordinal back. Returns df + `rank` (long,
-    0-based, equal keys share a rank). Deterministic: the sort key is
-    the full key tuple."""
-    spark = df.sparkSession
+    """Distributed global dense rank, entirely JVM-side (r5 rev 2 —
+    the first revision pushed every row through Python RDD
+    sortBy/zipWithIndex, a serialization tax on the hot path of every
+    doubling round): distinct keys → repartitionByRange(key) (the
+    distributed sort) → row_number windowed PER RANGE PARTITION
+    (partitioned by spark_partition_id — never a global window) →
+    global rank = partition offset + local ordinal, offsets from a
+    prefix sum over the #partitions-row count frame. Output is
+    deterministic regardless of where the sampled range boundaries
+    fall: offset+local always reconstructs the one global order.
+    Returns df + `rank` (long, 0-based, equal keys share a rank)."""
+    from pyspark.sql.window import Window
+
     distinct = df.select(*key_cols).distinct()
-    cols = list(distinct.columns)
-    ranked = (
-        distinct.rdd.map(lambda r: tuple(r[c] for c in cols))
-        .sortBy(lambda t: t)
-        .zipWithIndex()
-        .map(lambda ti: ti[0] + (ti[1],))
+    parts = (
+        distinct.repartitionByRange(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    rank_df = spark.createDataFrame(
-        ranked, distinct.schema.add("rank", "long", False)
+    local = parts.withColumn(
+        "_local",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*key_cols)
+        ),
+    )
+    # offsets: one row per partition — bounded by the partition count,
+    # so the ordering window here is over a tiny frame
+    sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    rank_df = local.join(F.broadcast(offs), "_pid").select(
+        *key_cols,
+        (F.col("_off") + F.col("_local") - 1).cast("long").alias("rank"),
     )
     return df.join(rank_df, key_cols)
 
@@ -146,10 +166,16 @@ def suffix_array_with_lcp(
     rank_tables = []  # (span, ranks_df) — span = prefix length compared
     span = 1
     while True:
-        # every round's table is reused by (a) the next round's pairing
-        # and (b) the LCP lifting below — scratch-registered so the
-        # caller's job boundary releases them (scratch.py contract)
-        ranks = scratch(ranks.persist())
+        # Lineage MUST be truncated every round, not merely cached:
+        # round k's pairing self-joins round k-1's frame, so the
+        # LOGICAL plan doubles per round — 2^rounds analyzer nodes OOM
+        # the driver near n≈10^5 (measured: 18 rounds = heap death)
+        # even though the data is tiny. localCheckpoint materializes
+        # the round and replaces the plan with an RDD-scan leaf; on a
+        # real cluster use reliable checkpoint() for fault tolerance
+        # (module docstring). scratch-registered so the caller's job
+        # boundary releases the round caches (scratch.py contract).
+        ranks = scratch(ranks.localCheckpoint(eager=True))
         rank_tables.append((span, ranks))
         n_ranks = ranks.agg(F.count_distinct("rank")).first()[0]
         if n_ranks == n or span >= n:

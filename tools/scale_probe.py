@@ -210,6 +210,29 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     from prom_etl_db_spark.functions.multimodal import mpeg1_subband_features
 
     run("mpeg1_bitstream_decode", mpeg1_subband_features(docs))
+    # r5 suffix array by prefix doubling: O(n log n) total work over
+    # ceil(log2 n) join+global-sort rounds — the probe bounds the
+    # per-round constant AND the extra-round cost as n grows (10x the
+    # tokens adds ~3 rounds). Iterative: the op runs actions DURING
+    # construction, so the whole build+count is timed as one thunk
+    # (run() would only see the final join).
+    if not only or any(s in "suffix_array_lcp" for s in only):
+        from prom_etl_db_spark.functions.scratch import release_scratch
+        from prom_etl_db_spark.functions.suffix import suffix_array_with_lcp
+
+        best, n_rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_rows = suffix_array_with_lcp(docs).count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+            spark.catalog.clearCache()
+            release_scratch()
+        times["suffix_array_lcp"] = (round(best, 2), n_rows)
+        print(
+            f"  {k}x suffix_array_lcp: {best:.2f}s ({n_rows} rows)",
+            file=sys.stderr,
+        )
     # Caesar-rotated replicas keep within-copy chunk/span dup structure
     # exact and disjoint across copies -> dup counts grow k-linearly
     run("paragraph_dedup", dedup.paragraph_dedup_stats(docs, 20))
