@@ -10,7 +10,9 @@ Huffman + dequant + IDCT + YCbCr, `functions/jpeg.py` — r4, closing the
 last lossy-image stub), PCM-16/G.711 WAV decode/encode/resize/decimate,
 and — r5 — MPEG-1 Layer I audio (full bitstream-level decode, header/
 CRC/allocation/scalefactors/requantization per ISO 11172-3;
-`functions/mpeg_audio.py`) FULLY from raw bytes here (no libraries
+`functions/mpeg_audio.py`) plus FLAC (lossless: fixed/LPC predictors,
+Rice partitions, stereo decorrelation, CRC-8/16 — `functions/flac.py`,
+r5) FULLY from raw bytes here (no libraries
 needed); only MPEG Layer II/III (incl. MP3) and inter-frame video
 remain behind ``real_decode``'s ``NotImplementedError`` — their specs
 bottom out in purely numeric tables (B.2 allocation classes, Layer III
@@ -71,6 +73,7 @@ __all__ = [
     "synth_wav_g711",
     "g711_expansion_features",
     "mpeg1_subband_features",
+    "flac_roundtrip_features",
     "decode_wav",
     "bmp_roundtrip_features",
     "wav_roundtrip_features",
@@ -134,6 +137,21 @@ def real_decode(payload: bytes, kind: str):
         frames = avi_mjpeg_frames(payload)
         first = decode_jpeg(frames[0])
         return {**first, "format": "avi-mjpeg", "n_frames": len(frames)}
+    if kind == "audio" and payload[:4] == b"fLaC":
+        import numpy as np
+
+        from prom_etl_db_spark.functions.flac import decode_flac
+
+        data, meta = decode_flac(payload)
+        flat = data.astype(np.float64).reshape(-1)
+        return {
+            "format": "flac",
+            "sample_rate": meta["sample_rate"],
+            "channels": meta["channels"],
+            "n_samples": int(data.shape[0]),
+            "rms": float(np.sqrt((flat**2).mean())) if flat.size else 0.0,
+            "mean": float(flat.mean()) if flat.size else 0.0,
+        }
     if (
         kind == "audio"
         and len(payload) >= 4
@@ -171,7 +189,7 @@ def real_decode(payload: bytes, kind: str):
         "MPEG Layer II/III audio (incl. MP3) and inter-frame video "
         "codecs (H.26x/VP9/AV1) require numeric spec tables / libraries "
         "not present in this environment; decode_features uses a "
-        "deterministic fake for those formats (MPEG-1 Layer I, MJPEG "
+        "deterministic fake for those formats (MPEG-1 Layer I, FLAC, MJPEG "
         "AVI, G.711 and PCM WAV all decode for real)"
     )
 
@@ -398,6 +416,54 @@ def mpeg1_subband_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, MPEG1_FEATURE_SCHEMA
+    )
+
+
+FLAC_FEATURE_SCHEMA = (
+    "media_id long, n_samples int, n_bytes_raw int, ssum long, "
+    "smin long, smax long"
+)
+
+
+def flac_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 audio, FLAC (r5): per document a closed-form integer signal is
+    encoded into a REAL FLAC stream (STREAMINFO, FIXED-order-2
+    subframes, single-partition Rice residuals, CRC-8/16) and fully
+    decoded back — frame sync, coded numbers, predictor reconstruction,
+    Rice un-zigzag — in mapInPandas. FLAC is LOSSLESS, so the decoded
+    samples equal the closed form exactly and the oracle recomputes
+    integer sums/extrema in SQL: one hash checks the whole predictor +
+    entropy path bit-for-bit. n_bytes_raw (the 16-bit PCM size) rides
+    along so compression actually happening is part of the evidence."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.flac import decode_flac, encode_flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "n_samples", "n_bytes_raw", "ssum",
+                    "smin", "smax")
+            rows = {c: [] for c in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 300 + mid % 200
+                i = np.arange(n, dtype=np.int64)
+                sig = ((mid * 7 + 3 * i * i + 11 * i) % 4001) - 2000
+                data, _ = decode_flac(
+                    encode_flac(sig, block_size=128, order=2)
+                )
+                got = data[:, 0]
+                assert np.array_equal(got, sig)  # lossless, bit-exact
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["n_bytes_raw"].append(2 * n)
+                rows["ssum"].append(int(got.sum()))
+                rows["smin"].append(int(got.min()))
+                rows["smax"].append(int(got.max()))
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, FLAC_FEATURE_SCHEMA
     )
 
 

@@ -86,13 +86,16 @@ _GATE_PRIORITY = [
     # doc_substring_dedup_rewrite: NEW — Lee-et-al repeat REMOVAL on
     # the SA; oracle replays the marking rule and hashes rewritten text.
     "doc_substring_dedup_rewrite",
+    # audio_flac_decode: NEW — from-scratch lossless FLAC codec; the
+    # closed-form oracle pins the predictor+Rice path bit-for-bit.
+    "audio_flac_decode",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the
     # r4 gate; this window leads with the OLDEST (newest row = r1, all 18
     # that carry oracles — minhash_lsh_pairs and embedding_neardup_lsh
     # are rows-only by design and must stay past slot 50), then fills the
-    # remainder with the r2-stale set in registry order. The 16 r2-stale
+    # remainder with the r2-stale set in registry order. The 17 r2-stale
     # queries that do not fit this window lead the r6 rotation.
     # newest driver row = r1 (18):
     "promql_quantile_by",

@@ -1775,3 +1775,41 @@ def doc_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)
     return substring_dedup_rewrite(docs, min_len=2)
+
+
+@register(
+    "audio_flac_decode",
+    oracle="""
+WITH sig AS (
+  SELECT d.doc_id, i.range AS i,
+         ((d.doc_id * 7 + 3 * i.range * i.range + 11 * i.range) % 4001)
+           - 2000 AS s
+  FROM documents d CROSS JOIN range(500) i
+  WHERE i.range < 300 + d.doc_id % 200
+)
+SELECT doc_id AS media_id,
+       CAST(300 + doc_id % 200 AS INT) AS n_samples,
+       CAST(2 * (300 + doc_id % 200) AS INT) AS n_bytes_raw,
+       CAST(sum(s) AS BIGINT) AS ssum,
+       CAST(min(s) AS BIGINT) AS smin,
+       CAST(max(s) AS BIGINT) AS smax
+FROM sig GROUP BY doc_id
+""",
+)
+def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, FLAC — from-scratch LOSSLESS codec (r5): unlike MP3,
+    every part of FLAC is formula-defined (fixed polynomial predictors,
+    Rice coding with zigzag fold, UTF-8-style coded numbers, CRC-8/16
+    with stated polynomials — no numeric tables anywhere), so the full
+    static decode path is implemented offline from the spec
+    (`functions/flac.py`: STREAMINFO, frame sync + header codes,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, wasted bits, 4/5-bit Rice
+    partitions with raw escapes, left/right/mid-side decorrelation,
+    both CRCs verified). The gate encodes a closed-form integer signal
+    per document into real FIXED-order-2 + Rice frames and decodes it
+    back; losslessness makes the decoded samples EQUAL the closed form,
+    so this SQL oracle recomputes exact integer sums/extrema and one
+    hash pins the whole predictor + entropy path bit-for-bit (the G.711
+    / MPEG-1-Layer-I verification pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.flac_roundtrip_features(docs)
