@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_dup_pairs",
     "connected_components",
     "keep_canonical",
+    "edit_verified_dup_pairs",
 ]
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1; a*h+b stays < 2^62 — exact in int64
@@ -737,4 +738,84 @@ def paragraph_dedup_rewrite(
     )
     return all_docs.join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+    )
+
+
+def edit_verified_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_edit_ratio: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs verified by EXACT edit distance (r5): the same
+    md5 MinHash banding as :func:`minhash_band_dup_pairs_md5` generates
+    candidates, but verification is character-level Levenshtein — the
+    classic candidate-generate/exact-verify split with a different,
+    stricter verifier (Jaccard over shingle SETS ignores ordering and
+    multiplicity; edit distance does not, so a shuffled bag of the same
+    shingles scores near-0 Jaccard distance but large edit distance).
+    Output: (id_a, id_b, edit_dist, max_len, edit_ratio) for candidate
+    pairs with edit_dist <= max_edit_ratio * max(len_a, len_b).
+
+    Scale: banding bounds candidates exactly as the MinHash pipeline;
+    the verify joins only candidate ids back to their texts, and
+    `levenshtein` is a JVM built-in (O(len_a*len_b) per pair — bounded
+    by the candidate count, never all-pairs). Both engines implement
+    the identical classic DP, so edit_dist is integer-exact across the
+    oracle."""
+    rows = num_hashes // bands
+    base = scratch(
+        balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .persist()
+    )
+    sig = base.select(
+        "id", minhash_signature_md5(F.col("sh"), num_hashes).alias("sig")
+    )
+    band_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_join(
+                F.slice(F.col("sig"), b * rows + 1, rows), ","
+            ).alias("band_key"),
+        ),
+    )
+    banded = (
+        sig.select("id", F.explode(band_entries).alias("bk"))
+        .select("id", "bk.band", "bk.band_key")
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b"))
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    mx = F.greatest(F.length("t_a"), F.length("t_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            mx.alias("max_len"),
+            F.round(dist / mx, 6).alias("edit_ratio"),
+        )
+        .where(F.col("edit_dist") <= F.lit(max_edit_ratio) * F.col("max_len"))
     )

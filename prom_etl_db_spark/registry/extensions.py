@@ -1813,3 +1813,55 @@ def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     / MPEG-1-Layer-I verification pattern)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.flac_roundtrip_features(docs)
+
+
+@register(
+    "neardup_edit_verified",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id, text,
+         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+  FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+), g AS (
+  SELECT doc_id, unnest(shingles) AS gram FROM sh
+), sig AS (
+  SELECT doc_id, CAST(b.range AS BIGINT) AS h_idx,
+         min(substr(md5(gram || '#' || CAST(b.range AS VARCHAR)), 1, 16)) AS mh
+  FROM g CROSS JOIN range(16) b
+  GROUP BY doc_id, b.range
+), bandkeys AS (
+  SELECT doc_id, h_idx // 4 AS band, string_agg(mh, ',' ORDER BY h_idx) AS band_key
+  FROM sig GROUP BY doc_id, h_idx // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(sa.text, sb.text) AS INT) AS edit_dist,
+       CAST(greatest(length(sa.text), length(sb.text)) AS INT) AS max_len,
+       round(CAST(levenshtein(sa.text, sb.text) AS DOUBLE)
+             / greatest(length(sa.text), length(sb.text)), 6) AS edit_ratio
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE levenshtein(sa.text, sb.text)
+      <= 0.6 * greatest(length(sa.text), length(sb.text))
+""",
+)
+def neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (r5): candidate-generate / EXACT-VERIFY near-dup with a
+    stricter verifier — md5 MinHash banding (the `minhash_band_pairs`
+    construction, stage-for-stage SQL-replayable) generates candidates;
+    verification is character-level Levenshtein via the JVM built-in,
+    which unlike set-Jaccard is order- and multiplicity-sensitive. Both
+    engines implement the identical classic DP, so edit_dist is
+    INTEGER-exact across the oracle — no rounding convention needed on
+    the distance itself. At 100 TB the banding bounds candidate volume
+    exactly as the MinHash pipeline; the O(len^2) verify runs only on
+    candidates, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.edit_verified_dup_pairs(
+        docs, shingle_n=3, num_hashes=16, bands=4, max_edit_ratio=0.6
+    )

@@ -669,3 +669,28 @@ def test_exact_dedup_keys_and_order_only(spark):
     )
     out = {r["k"]: r["ord"] for r in exact_dedup(df, ["k"], "ord").collect()}
     assert out == {"k": 1, "j": 2}
+
+
+def test_edit_verified_dup_pairs_exact_distance_and_candidate_gating(spark):
+    """r5: banding generates candidates (docs sharing no shingles never
+    pair), and the verifier is the exact character-level DP — the
+    appended-suffix pair measures edit_dist == the suffix length."""
+    from prom_etl_db_spark.functions.dedup import edit_verified_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta"),
+            (3, "totally different words over here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_verified_dup_pairs(docs, max_edit_ratio=0.6).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["edit_dist"] == len(" eta")
+    assert r["max_len"] == len("alpha beta gamma delta epsilon zeta eta")
+    assert all(3 not in k for k in rows)  # never a candidate
