@@ -74,6 +74,11 @@ __all__ = [
     "g711_expansion_features",
     "mpeg1_subband_features",
     "flac_roundtrip_features",
+    "synth_au",
+    "decode_au",
+    "synth_aiff",
+    "decode_aiff",
+    "au_aiff_roundtrip_features",
     "decode_wav",
     "bmp_roundtrip_features",
     "wav_roundtrip_features",
@@ -137,6 +142,10 @@ def real_decode(payload: bytes, kind: str):
         frames = avi_mjpeg_frames(payload)
         first = decode_jpeg(frames[0])
         return {**first, "format": "avi-mjpeg", "n_frames": len(frames)}
+    if kind == "audio" and payload[:4] == b".snd":
+        return decode_au(payload)
+    if kind == "audio" and payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return decode_aiff(payload)
     if kind == "audio" and payload[:4] == b"fLaC":
         import numpy as np
 
@@ -2119,3 +2128,229 @@ def image_header_features(media: DataFrame) -> DataFrame:
             )
 
     return balance(media, "media_id").mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+# -- AU (Sun/NeXT) and AIFF containers (r5) ---------------------------------
+# The remaining classic PCM-family audio containers beside WAV: AU is a
+# six-word big-endian header (encodings 1=u-law, 2=int8, 3=int16-BE,
+# 27=A-law — the G.711 expansions reuse the same CCITT tables as WAV
+# codes 6/7); AIFF's one interesting construct is the sample rate as an
+# 80-bit IEEE-754 EXTENDED float (1 sign + 15-bit exponent biased 16383
+# + 64-bit mantissa with an EXPLICIT integer bit) — formula-defined, so
+# encode/decode is exact integer algebra for every real-world rate.
+
+
+def _f80_encode(v: int) -> bytes:
+    """Positive integer -> 80-bit extended float (AIFF sampleRate)."""
+    if v <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    e = v.bit_length() - 1
+    mant = v << (63 - e)  # explicit integer bit at position 63
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _f80_decode(b: bytes) -> int:
+    if len(b) != 10:
+        raise ValueError("AIFF extended float must be 10 bytes")
+    se = int.from_bytes(b[0:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = (se & 0x7FFF) - 16383
+    if mant == 0:
+        return 0
+    if not -63 <= e <= 62:
+        raise ValueError("AIFF sample rate out of integer range")
+    # value = mant * 2^(e-63); require an integral rate
+    shift = 63 - e
+    if mant & ((1 << shift) - 1):
+        raise ValueError("non-integral AIFF sample rate unsupported")
+    return mant >> shift
+
+
+def synth_au(data: bytes, encoding: int, sample_rate: int = 8000,
+             channels: int = 1) -> bytes:
+    """A real, valid AU file whose data block is exactly ``data``."""
+    if encoding not in (1, 2, 3, 27):
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    return (
+        b".snd"
+        + (24).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big")
+        + encoding.to_bytes(4, "big")
+        + sample_rate.to_bytes(4, "big")
+        + channels.to_bytes(4, "big")
+        + data
+    )
+
+
+def decode_au(payload: bytes) -> dict:
+    """REAL AU decode: u-law (1) / int8 (2) / int16-BE (3) / A-law (27)
+    to linear samples with the decode_wav-style feature dict."""
+    import numpy as np
+
+    global _ULAW_TABLE, _ALAW_TABLE
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU stream")
+    if len(payload) < 24:
+        raise ValueError("AU header truncated")
+    off = int.from_bytes(payload[4:8], "big")
+    dsize = int.from_bytes(payload[8:12], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    channels = int.from_bytes(payload[20:24], "big")
+    if off < 24 or off > len(payload):
+        raise ValueError("AU data offset out of range")
+    if channels < 1:
+        raise ValueError("AU declares zero channels")
+    data = payload[off:]
+    if dsize != 0xFFFFFFFF:
+        if dsize > len(data):
+            raise ValueError("AU data size exceeds payload")
+        data = data[:dsize]
+    if enc in (1, 27):
+        if _ULAW_TABLE is None:
+            _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+        table = _ULAW_TABLE if enc == 1 else _ALAW_TABLE
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+    elif enc == 2:
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.int16)
+    elif enc == 3:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype=">i2")
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    n_frames = len(samples) // channels
+    flat = samples.astype(np.float64)
+    return {
+        "format": "au",
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt((flat**2).mean())) if flat.size else 0.0,
+        "mean": float(flat.mean()) if flat.size else 0.0,
+    }
+
+
+def synth_aiff(samples, sample_rate: int = 8000) -> bytes:
+    """A real, valid mono 16-bit AIFF (FORM/COMM/SSND; sample rate as
+    the 80-bit extended float)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2").astype(">i2")
+    comm = (
+        (1).to_bytes(2, "big")
+        + len(s).to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _f80_encode(sample_rate)
+    )
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + s.tobytes()
+    chunks = (
+        b"AIFF"
+        + b"COMM" + len(comm).to_bytes(4, "big") + comm
+        + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    )
+    return b"FORM" + len(chunks).to_bytes(4, "big") + chunks
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """REAL AIFF decode: FORM walk, COMM (incl. the 80-bit extended
+    sample rate), big-endian 16-bit SSND samples."""
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF stream")
+    i = 12
+    channels = rate = bits = nframes = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "big")
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError("AIFF chunk truncated")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("AIFF COMM chunk too short")
+            channels = int.from_bytes(body[0:2], "big")
+            nframes = int.from_bytes(body[2:6], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("AIFF SSND chunk too short")
+            off = int.from_bytes(body[0:4], "big")
+            if 8 + off > size:
+                raise ValueError("AIFF SSND offset out of range")
+            data = body[8 + off :]
+        i += 8 + size + (size % 2)  # IFF chunks pad to even
+    if channels is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    if channels < 1:
+        raise ValueError("AIFF declares zero channels")
+    samples = np.frombuffer(data[: len(data) & ~1], dtype=">i2")
+    n_frames = len(samples) // channels
+    if nframes is not None:
+        n_frames = min(n_frames, nframes)
+        samples = samples[: n_frames * channels]
+    flat = samples.astype(np.float64)
+    return {
+        "format": "aiff",
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt((flat**2).mean())) if flat.size else 0.0,
+        "mean": float(flat.mean()) if flat.size else 0.0,
+    }
+
+
+AU_AIFF_FEATURE_SCHEMA = (
+    "media_id long, au_n int, au_sum long, au_sumsq long, aiff_n int, "
+    "aiff_sum long, aiff_sumsq long, aiff_rate int"
+)
+
+
+def au_aiff_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 audio containers (r5): per document an AU file (u-law bytes
+    from the same closed form as the G.711 WAV fixture — expansion is
+    exact CCITT table algebra) and an AIFF (16-bit PCM with the sample
+    rate through the 80-bit extended-float encode/decode) are written
+    and fully decoded back in mapInPandas. Every hashed column is
+    DECODE-derived (sums from mean*n, second moments from rms^2*n —
+    both exact for integer sums below 2^53) and exact integer
+    arithmetic on both engines."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "au_n", "au_sum", "au_sumsq", "aiff_n",
+                    "aiff_sum", "aiff_sumsq", "aiff_rate")
+            rows = {c: [] for c in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = mid % 64 + 16
+                i = np.arange(n)
+                bu = ((mid + 7 * i) % 256).astype(np.uint8)
+                fa = decode_au(synth_au(bu.tobytes(), 1))
+                pcm = (((mid * 13 + 17 * i * i) % 60001) - 30000).astype(
+                    np.int16
+                )
+                rate = 8000 + (mid % 7) * 1225  # exercises f80 encode
+                fi = decode_aiff(synth_aiff(pcm, rate))
+                assert fi["n_samples"] == n and fi["sample_rate"] == rate
+                rows["media_id"].append(mid)
+                rows["au_n"].append(fa["n_samples"])
+                rows["au_sum"].append(int(round(fa["mean"] * n)))
+                rows["au_sumsq"].append(int(round(fa["rms"] ** 2 * n)))
+                rows["aiff_n"].append(fi["n_samples"])
+                rows["aiff_sum"].append(int(round(fi["mean"] * n)))
+                rows["aiff_sumsq"].append(int(round(fi["rms"] ** 2 * n)))
+                rows["aiff_rate"].append(rate)
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, AU_AIFF_FEATURE_SCHEMA
+    )

@@ -92,13 +92,16 @@ _GATE_PRIORITY = [
     # neardup_edit_verified: NEW — banding candidates + integer-exact
     # Levenshtein verification (order-sensitive near-dup).
     "neardup_edit_verified",
+    # audio_au_aiff_decode: NEW — AU + AIFF containers (80-bit extended
+    # float sample rate), decode-derived exact-integer oracle.
+    "audio_au_aiff_decode",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the
     # r4 gate; this window leads with the OLDEST (newest row = r1, all 18
     # that carry oracles — minhash_lsh_pairs and embedding_neardup_lsh
     # are rows-only by design and must stay past slot 50), then fills the
-    # remainder with the r2-stale set in registry order. The 18 r2-stale
+    # remainder with the r2-stale set in registry order. The 19 r2-stale
     # queries that do not fit this window lead the r6 rotation.
     # newest driver row = r1 (18):
     "promql_quantile_by",

@@ -1865,3 +1865,49 @@ def neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_verified_dup_pairs(
         docs, shingle_n=3, num_hashes=16, bands=4, max_edit_ratio=0.6
     )
+
+
+@register(
+    "audio_au_aiff_decode",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, d.doc_id % 64 + 16 AS n, i.range AS i
+  FROM documents d CROSS JOIN range(80) i
+  WHERE i.range < d.doc_id % 64 + 16
+), vals AS (
+  SELECT doc_id, n, i,
+    -- AU u-law bytes expand through the CCITT formula verbatim
+    CASE WHEN ((255 - ((doc_id + 7 * i) % 256)) & 128) != 0
+         THEN 132 - ((((255 - ((doc_id + 7 * i) % 256)) & 15) * 8 + 132)
+                     * (1 << (((255 - ((doc_id + 7 * i) % 256)) >> 4) & 7)))
+         ELSE (((255 - ((doc_id + 7 * i) % 256)) & 15) * 8 + 132)
+              * (1 << (((255 - ((doc_id + 7 * i) % 256)) >> 4) & 7)) - 132
+    END AS vu,
+    -- AIFF PCM closed form (int16 cast wraps nothing: |v| <= 30000)
+    ((doc_id * 13 + 17 * i * i) % 60001) - 30000 AS vp
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(min(n) AS INT) AS au_n,
+       CAST(sum(vu) AS BIGINT) AS au_sum,
+       CAST(sum(vu * vu) AS BIGINT) AS au_sumsq,
+       CAST(min(n) AS INT) AS aiff_n,
+       CAST(sum(vp) AS BIGINT) AS aiff_sum,
+       CAST(sum(vp * vp) AS BIGINT) AS aiff_sumsq,
+       CAST(8000 + (doc_id % 7) * 1225 AS INT) AS aiff_rate
+FROM vals GROUP BY doc_id
+""",
+)
+def audio_au_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio containers (r5): AU (Sun/NeXT — six-word big-endian
+    header, u-law payload expanded through the same CCITT tables as the
+    G.711 WAV path) and AIFF (FORM/COMM/SSND with the sample rate as an
+    80-bit IEEE EXTENDED float — 15-bit biased exponent + explicit-
+    integer-bit 64-bit mantissa, a formula-defined construct round-
+    tripped exactly for every fixture rate including non-powers like
+    9225 Hz) complete the classic PCM container family beside WAV and
+    FLAC. Per document both files are written from closed forms and
+    fully decoded back; every hashed column is decode-derived exact
+    integer arithmetic, recomputed verbatim by this oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.au_aiff_roundtrip_features(docs)

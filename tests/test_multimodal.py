@@ -991,3 +991,79 @@ def test_png_gif_bmp_wav_corrupt_stream_fuzz_only_valueerror():
                 except (ValueError, NotImplementedError):
                     pass
         fn(base)  # the valid stream still decodes
+
+
+# -- AU / AIFF containers (r5) ----------------------------------------------
+
+
+def test_au_aiff_roundtrips_and_f80():
+    """AU u-law reuses the CCITT expansion (0x80 -> +32124 endpoint);
+    AIFF's 80-bit extended-float sample rate round-trips exactly for
+    every real-world and odd integer rate; int16-BE payloads decode
+    bit-exactly in both containers."""
+    import numpy as np
+    import pytest
+
+    from prom_etl_db_spark.functions.multimodal import (
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        decode_au,
+        real_decode,
+        synth_aiff,
+        synth_au,
+    )
+
+    for r in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000, 12345):
+        assert _f80_decode(_f80_encode(r)) == r
+    with pytest.raises(ValueError):
+        _f80_encode(0)
+    with pytest.raises(ValueError):
+        _f80_decode(b"\x00" * 9)
+
+    f = decode_au(synth_au(bytes([0x80] * 10), 1))
+    assert f["rms"] == 32124.0 and f["n_samples"] == 10
+    s = np.array([100, -200, 32767, -32768, 0], dtype=np.int16)
+    f = decode_au(synth_au(s.astype(">i2").tobytes(), 3))
+    assert f["n_samples"] == 5 and f["mean"] == float(s.mean())
+    f = decode_au(synth_au(np.array([5, -5], np.int8).tobytes(), 2))
+    assert f["rms"] == 5.0
+
+    f = decode_aiff(synth_aiff(s, 44100))
+    assert (f["sample_rate"], f["n_samples"]) == (44100, 5)
+    assert f["mean"] == float(s.astype(np.float64).mean())
+
+    # real_decode dispatch
+    assert real_decode(synth_au(b"\x80", 1), "audio")["format"] == "au"
+    assert real_decode(synth_aiff(s), "audio")["format"] == "aiff"
+
+
+def test_au_aiff_corrupt_stream_fuzz_only_valueerror():
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import (
+        decode_aiff,
+        decode_au,
+        synth_aiff,
+        synth_au,
+    )
+
+    s = np.arange(-50, 50, dtype=np.int16)
+    for fn, base in (
+        (decode_au, synth_au(bytes(range(100)), 1)),
+        (decode_aiff, synth_aiff(s, 9225)),
+    ):
+        for cut in range(len(base)):
+            try:
+                fn(base[:cut])
+            except ValueError:
+                pass
+        for pos in range(len(base)):
+            for bit in range(8):
+                bb = bytearray(base)
+                bb[pos] ^= 1 << bit
+                try:
+                    fn(bytes(bb))
+                except ValueError:
+                    pass
+        fn(base)
