@@ -95,13 +95,16 @@ _GATE_PRIORITY = [
     # audio_au_aiff_decode: NEW — AU + AIFF containers (80-bit extended
     # float sample rate), decode-derived exact-integer oracle.
     "audio_au_aiff_decode",
+    # curation_pipeline_v2: NEW — the composed r5 flagship (substring
+    # dedup rewrite -> gopher audit -> DSIR), one chained oracle.
+    "curation_pipeline_v2",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the
     # r4 gate; this window leads with the OLDEST (newest row = r1, all 18
     # that carry oracles — minhash_lsh_pairs and embedding_neardup_lsh
     # are rows-only by design and must stay past slot 50), then fills the
-    # remainder with the r2-stale set in registry order. The 19 r2-stale
+    # remainder with the r2-stale set in registry order. The 20 r2-stale
     # queries that do not fit this window lead the r6 rotation.
     # newest driver row = r1 (18):
     "promql_quantile_by",

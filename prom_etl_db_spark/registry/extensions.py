@@ -1911,3 +1911,198 @@ def audio_au_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, recomputed verbatim by this oracle."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.au_aiff_roundtrip_features(docs)
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN repeat(
+                'the words of that land have been with them and they stay true. ',
+                CAST(4 + doc_id % 4 AS INT))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 23 = 3
+), toks AS (
+  SELECT doc_id,
+         list_append(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+                     chr(2) || CAST(doc_id AS VARCHAR)) AS t
+  FROM src
+), offs AS (
+  SELECT doc_id, t,
+         COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+), stream AS (
+  SELECT off + g.x AS gpos, doc_id, g.x AS pos, t[g.x + 1] AS token
+  FROM offs, unnest(range(0, len(t))) AS g(x)
+), corpus AS (
+  SELECT list(token ORDER BY gpos) AS all_toks FROM stream
+), sa AS (
+  SELECT s.gpos, c.all_toks[s.gpos + 1 : ] AS suffix
+  FROM stream s, corpus c
+), ranked AS (
+  SELECT gpos, suffix,
+         lag(suffix) OVER (ORDER BY suffix) AS prev_suffix
+  FROM sa
+), lcps AS (
+  SELECT gpos,
+    CASE WHEN prev_suffix IS NULL THEN 0
+         ELSE COALESCE(NULLIF(list_position(
+                list_transform(range(1, least(len(suffix), len(prev_suffix)) + 1),
+                               i -> suffix[i] IS DISTINCT FROM prev_suffix[i]),
+                true), 0) - 1,
+              least(len(suffix), len(prev_suffix)))
+    END AS lcp_prev
+  FROM ranked
+), marked AS (
+  SELECT DISTINCT m.gpos + g.x AS gpos
+  FROM lcps m, unnest(range(0, m.lcp_prev)) AS g(x)
+  WHERE m.lcp_prev >= 2
+), kept AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(m.gpos) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN m.gpos IS NULL THEN s.token END,
+                             ' ' ORDER BY s.pos), '') AS kept_text
+  FROM stream s LEFT JOIN marked m USING (gpos)
+  WHERE NOT starts_with(s.token, chr(2))
+  GROUP BY s.doc_id
+), gw AS (
+  SELECT doc_id, n_tokens, n_removed, kept_text,
+         list_filter(regexp_split_to_array(lower(kept_text), '\s+'),
+                     x -> x != '') AS words
+  FROM kept
+), gopher AS (
+  SELECT doc_id, n_tokens, n_removed, kept_text,
+         len(words) AS n_words,
+         len(list_intersect(list_distinct(words),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+         (len(words) BETWEEN 50 AND 100000)
+           AND len(list_intersect(list_distinct(words),
+               ['the','be','to','of','and','that','have','with'])) >= 2
+           AS gopher_sketch_pass
+  FROM gw
+), dtoks AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_target,
+         list_filter(regexp_split_to_array(lower(kept_text), '\s+'),
+                     x -> x != '') AS tk
+  FROM kept
+), grams AS (
+  SELECT doc_id, is_target, unnest(
+    list_concat(tk,
+      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS g
+  FROM dtoks
+), feats AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+  FROM grams
+), per_doc AS (
+  SELECT doc_id, b, count(*) AS c, bool_or(is_target) AS is_target
+  FROM feats GROUP BY 1, 2
+), model AS (
+  SELECT b, sum(c) AS r,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS t
+  FROM per_doc GROUP BY b
+), tot AS (SELECT sum(r) AS r_total, sum(t) AS t_total FROM model),
+lr AS (
+  SELECT b, ln((t + 1) / (t_total + 256.0))
+            - ln((r + 1) / (r_total + 256.0)) AS lr
+  FROM model CROSS JOIN tot
+), dsir AS (
+  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+         round(sum(d.c * lr.lr), 4) AS dsir_logw
+  FROM per_doc d JOIN lr USING (b) GROUP BY d.doc_id
+)
+SELECT g.doc_id, g.n_tokens, g.n_removed,
+       CAST(g.n_words AS INT) AS n_words,
+       CAST(g.stop_hits AS INT) AS stop_hits,
+       g.gopher_sketch_pass,
+       CAST(COALESCE(d.n_feats, 0) AS BIGINT) AS n_feats,
+       d.dsir_logw
+FROM gopher g LEFT JOIN dsir d USING (doc_id)
+""",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 COMPOSED curation flagship: the new operators chained
+    end-to-end over a constructed bimodal corpus (the doc_gopher_split
+    English stratum on even doc_ids, raw fixture text on odd; slice
+    doc_id % 23 = 3 to bound the suffix-array rounds) —
+
+      1. `suffix.substring_dedup_rewrite` (L=2): the Lee-et-al removal
+         pass dedups the repeated English sentence down to one kept
+         occurrence and prunes fixture-text repeats;
+      2. Gopher-style audit on the REWRITTEN text (word count + the
+         stopword rule — emitted as `gopher_sketch_pass`; dedup drops
+         the English pages under the 50-word floor, so the composition
+         itself demonstrates why rule order matters in real pipelines);
+      3. `sampling.dsir_logweights` scored on the rewritten text with
+         the English stratum as the DSIR target — quality-targeted
+         selection over deduped documents.
+
+    One oracle replays the whole chain (SA sort + marking + rewrite →
+    word/stopword algebra → the md5-bucket DSIR model) so the driver
+    hash pins the COMPOSITION, not just the stages; docs whose rewrite
+    keeps no features survive via the left join with n_feats = 0
+    (DSIR's documented omission contract made whole at the pipeline
+    level). Measured at sf0.01: the ten IDENTICAL English pages
+    collapse to ONE surviving copy (cross-document exact-substring
+    dedup working exactly as Lee et al. intend — nine docs empty out
+    entirely, the SA-first survivor keeps the 13-token sentence, scores
+    six stopword hits and the slice's only POSITIVE DSIR weight), while
+    every raw-text doc keeps a unique remainder and scores negative."""
+    from prom_etl_db_spark.functions.suffix import substring_dedup_rewrite
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)
+    eng = F.repeat(
+        F.lit(
+            "the words of that land have been with them and they stay true. "
+        ),
+        (F.lit(4) + F.col("doc_id") % 4).cast("int"),
+    )
+    bimodal = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, eng)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rw = substring_dedup_rewrite(bimodal, min_len=2)
+    words = F.filter(
+        F.split(F.lower(F.col("kept_text")), r"\s+"), lambda x: x != ""
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in text.GOPHER_STOPWORDS]),
+        )
+    )
+    audited = rw.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "kept_text",
+        F.size(words).alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        (F.size(words).between(50, 100_000) & (stop_hits >= 2)).alias(
+            "gopher_sketch_pass"
+        ),
+    )
+    dsir = sampling.dsir_logweights(
+        rw, target=F.col("doc_id") % 2 == 0, text_col="kept_text"
+    ).select(
+        F.col("doc_id"), F.col("n_feats"), F.col("dsir_logw")
+    )
+    return (
+        audited.join(dsir, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            "n_words",
+            "stop_hits",
+            "gopher_sketch_pass",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            "dsir_logw",
+        )
+    )
