@@ -159,3 +159,536 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Round 5: the remaining expressible TPC-H shapes. The fixture schema is a
+# reduced TPC-H (TESTDATA.md): no partsupp, no l_commitdate/l_receiptdate/
+# l_shipmode, no c_phone / ps_supplycost / p_container — so Q2/Q11/Q12/Q21
+# are not expressible, and Q9/Q13/Q16/Q17/Q19/Q20/Q22 are adapted to the
+# available columns (each docstring states the adaptation). Everything
+# here is Catalyst-native: pushed scan filters, broadcast dims, pre-join
+# aggregation, semi/anti joins — no UDFs, no windows over whole tables.
+# =========================================================================
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a pure scan-and-aggregate —
+    every predicate (date range, discount band, quantity cap) is a pushed
+    Parquet scan filter, then one global sum. The cheapest possible plan
+    shape: no join, no shuffle beyond the 1-row final aggregate; at 100 TB
+    this is bounded by scan bandwidth alone, and min/max row-group stats
+    skip everything outside the ship-date year."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the classic
+    bi-directional nation-pair filter. Plan: supplier/customer/nation are
+    all broadcast, so lineitem⋈orders is the only real shuffle (equi on
+    orderkey); the nation-pair OR-predicate lands after the broadcast
+    joins where Catalyst evaluates it row-at-a-time in codegen — at scale
+    the two tiny nation filters could also pre-restrict supplier/customer
+    before broadcast (Catalyst infers exactly that via predicate
+    inference on n_name)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(datetime(1995, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of regional
+    revenue for one part class, by order year. Seven joins, but only ONE
+    is fact-sized (lineitem⋈orders on orderkey) — part/supplier/customer/
+    nation×2/region are all broadcast, and the part filter (p_type) is
+    applied before broadcast so the lineitem stream is semi-reduced by
+    the broadcast hash join itself. The share divides two conditional
+    sums computed in a single grouped aggregate — never a per-row
+    division, never a second pass."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    oracle="""
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), ADAPTED: the fixture has no
+    partsupp/ps_supplycost, so "profit" is gross revenue
+    extendedprice·(1−discount) without the supplycost·quantity deduction
+    — the plan shape (name-LIKE part filter driving a multi-dim star
+    join, grouped by supplier nation × order year) is the point. The
+    LIKE filter reduces part BEFORE broadcast, so the broadcast hash
+    join doubles as the semi-filter on lineitem; orders is the only
+    shuffle partner."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, coalesce(n.n, 0) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, count(*) AS n FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+  ) n ON c.c_custkey = n.o_custkey
+) counted
+GROUP BY c_count
+""",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), ADAPTED: the spec
+    excludes orders by a comment pattern; the fixture has no o_comment,
+    so the exclusion predicate is o_orderpriority <> '1-URGENT'. Plan:
+    PRE-AGGREGATE orders per custkey BEFORE the outer join (the join
+    input shrinks from fact-sized to customer-sized — this is the
+    difference between shuffling 100 TB of orders and shuffling one
+    count per customer), then LEFT join customer so zero-order customers
+    survive with c_count=0, then a second small hash agg over the
+    distribution."""
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue "view" is one quarter of
+    lineitem hash-aggregated by suppkey (supplier-cardinality bounded);
+    the scalar max over it is a 1-row ungrouped aggregate joined back by
+    EQUALITY — a BroadcastHashJoin on total_revenue, not a sort — so all
+    tied maxima survive, exactly the spec's semantics. Rounding happens
+    before the max/compare on BOTH sides so the tie-set is identical
+    under double arithmetic in either engine."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), ADAPTED: no partsupp in
+    the fixture, so the part→supplier relation is derived from lineitem
+    (suppliers that actually shipped the part) and the excluded-supplier
+    subquery (needs s_comment) is dropped. The negative predicates and
+    the size IN-list prune part BEFORE broadcast; count(DISTINCT)
+    expands to Spark's two-level aggregate — partial distinct by
+    (brand,type,size,suppkey), then the count — both map-side
+    combinable."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+""",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), ADAPTED: the container
+    predicate (no p_container column) is dropped; the brand filter alone
+    selects the part family. The correlated scalar subquery (per-part
+    20%-of-average quantity threshold) is decorrelated by hand the way
+    Catalyst would: restrict lineitem to the brand's parts via a
+    broadcast semi-reducing join FIRST (so the per-part average is
+    computed over ~1/25 of the fact, yet is exactly the spec's value —
+    the correlation key is the part, and every lineitem of a selected
+    part survives the part-attribute filter), hash-aggregate the
+    threshold per partkey, and equi-join it back. Two passes over the
+    reduced stream, zero windows, zero cartesians."""
+    bparts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(bparts), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = li_b.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li_b.join(thresh, li_b.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), ADAPTED: the spec's container/
+    shipmode legs (columns absent) are replaced by size ranges, keeping
+    the defining feature — a DISJUNCTION that mixes part attributes with
+    lineitem attributes, so no single conjunct can be pushed to either
+    scan alone. Catalyst still extracts the common join key (partkey
+    equi-join, part broadcast) and derives a pushable part-side
+    pre-filter (the OR of the three brand/size legs) via constraint
+    propagation; the mixed OR evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    leg1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    leg2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    leg3 = (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(leg1 | leg2 | leg3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_promo_suppliers",
+    oracle="""
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 300)
+""",
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), ADAPTED: no partsupp, so
+    "has excess stock of the part family" becomes "shipped > 300 units
+    of PROMO parts in the year" — same plan skeleton: an aggregated,
+    HAVING-filtered inner relation consumed through a LEFT SEMI join
+    (IN-subquery), then the broadcast nation dim. The semi join's build
+    side is supplier-cardinality bounded; lineitem is reduced by the
+    broadcast part filter before its only shuffle (the suppkey agg)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT n.n_name AS cntrycode, c.c_acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+) custsale
+GROUP BY cntrycode
+""",
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), ADAPTED: no c_phone, so the
+    country code is the customer's nation name, and — because every
+    fixture customer has at least one lifetime order — the spec's
+    "7 years without an order" becomes "no order since 2000-01-01", which
+    keeps the anti-join non-vacuous (55 qualifying customers at sf0.01).
+    Three classic shapes in one plan: an uncorrelated scalar subquery
+    (positive-balance average — a 1-row ungrouped aggregate broadcast
+    onto the stream, the engine's whitelisted lazy-scalar compose, never
+    a collect), a NOT EXISTS as a LEFT ANTI join against the recent
+    orders DISTINCT-reduced to custkeys before the shuffle (the date
+    filter is pushed to the orders scan), and the final small hash agg
+    by nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    has_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(datetime(2000, 1, 1)))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(has_orders, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
