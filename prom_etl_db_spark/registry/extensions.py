@@ -2106,3 +2106,83 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_logw",
         )
     )
+
+
+# =========================================================================
+# Round 5: skew-mitigation joins under the driver oracle. Both queries
+# are VALUE-IDENTICAL to the plain equi-join by construction — that
+# identity is exactly what the oracle (a plain SQL join) certifies; the
+# techniques exist for the plan, not the values (operators/skew.py).
+# =========================================================================
+
+
+@register(
+    "events_salted_type_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(sum(abs(e.value - d.type_avg)), 4) AS total_absdev
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def events_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): events joined to a per-type
+    aggregate on the 5-value ``event_type`` key — the low-cardinality
+    shape where a plain shuffle join can use at most 5 reducers no matter
+    the cluster size. ``salted_join`` widens the key space ×16 with a
+    deterministic (retry-safe) xxhash64 salt on ``event_id`` and
+    replicates the 5-row dim per salt; the result is row-identical to the
+    plain join, which is precisely what this oracle checks. The dim here
+    is broadcast-sized (so Catalyst plans BHJ at sf0.01); the operator
+    targets the case where it is not — see tests/test_skew_layout.py for
+    the plan gate asserting the salt rides the join condition."""
+    from prom_etl_db_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(
+        ev, dim, ["event_type"], salts=16, salt_src=["event_id"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.abs(F.col("value") - F.col("type_avg"))), 4).alias(
+            "total_absdev"
+        ),
+    )
+
+
+@register(
+    "events_skew_split_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(sum(abs(e.value - d.type_avg)), 4) AS total_absdev
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def events_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold split join (operators/skew.py): the two heaviest
+    event_type keys (measured by ``top_skewed_keys`` — deterministic:
+    count desc, key asc tiebreak) take a broadcast of the dim's hot
+    slice, the cold keys take the ordinary shuffle join, and the union is
+    row-identical to the plain join — the same oracle as the salted twin
+    certifies it. This is the shape AQE cannot produce when the right
+    side is overall too big to broadcast but its hot slice is tiny."""
+    from prom_etl_db_spark.operators.skew import split_skew_join, top_skewed_keys
+
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    hot = top_skewed_keys(ev, ["event_type"], k=2, min_share=0.01)
+    joined = split_skew_join(ev, dim, ["event_type"], hot_keys=hot)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.abs(F.col("value") - F.col("type_avg"))), 4).alias(
+            "total_absdev"
+        ),
+    )
