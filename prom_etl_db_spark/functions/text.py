@@ -524,12 +524,16 @@ def zipf_token_stats(docs: DataFrame, top: int = 20, text_col: str = "text") -> 
 # Translation of Rare Words with Subword Units", ACL 2016) -------------------
 
 
-def _apply_merge(toks: Column, left: str, right: str) -> Column:
+def _apply_merge(
+    toks: Column, left: str, right: str, merged: str | None = None
+) -> Column:
     """Apply one BPE merge to a token array: fuse every left-to-right
     non-overlapping (left, right) adjacency — the reference merge_word
     scan — as a pure-Column ``aggregate`` fold (state = (result, carry)),
-    JVM-side, no UDF."""
-    merged = left + right
+    JVM-side, no UDF. ``merged`` names the fused token (default: plain
+    concatenation; WordPiece passes ``left + right-without-'##'``)."""
+    if merged is None:
+        merged = left + right
     init = F.struct(
         F.array().cast("array<string>").alias("acc"),
         F.lit(None).cast("string").alias("carry"),
@@ -724,6 +728,234 @@ def bpe_token_counts(
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+def wordpiece_word_vocab(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(freq, toks) distinct-word vocabulary in the WordPiece convention
+    (Schuster & Nakajima 2012; BERT, Devlin et al. 2019): first character
+    plain, every later character '##'-prefixed — the continuation marker
+    that keeps word-initial and word-internal subwords distinct (the role
+    '</w>' plays for BPE). Same corpus→vocab collapse as
+    :func:`bpe_word_vocab`: one hash aggregation, everything after runs
+    on a language-vocab-sized table."""
+    chars = F.expr(f"filter(split(lower({text_col}_w), ''), x -> x != '')")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                f"{text_col}_w"
+            )
+        )
+        .where(F.length(f"{text_col}_w") > 0)
+        .groupBy(f"{text_col}_w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.slice(chars, 1, 1),
+                F.transform(
+                    F.slice(chars, 2, F.size(chars) - 1),
+                    lambda c: F.concat(F.lit("##"), c),
+                ),
+            ).alias("toks"),
+        )
+    )
+
+
+def _wp_merged_name(a: str, b: str) -> str:
+    """The fused token keeps the LEFT token's continuation prefix; the
+    right token's '##' disappears into the join ('t'+'##h'→'th',
+    '##h'+'##e'→'##he')."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed WordPiece training: like :func:`bpe_train` but the
+    per-round argmax maximizes the LIKELIHOOD score
+    ``count(ab) / (count(a)·count(b))`` (Schuster & Nakajima 2012) — the
+    pair whose fusion most increases a unigram LM's corpus likelihood —
+    instead of raw pair count. The published difference in one line:
+    BPE merges the most frequent pair, WordPiece the most *surprising*
+    one (frequent together relative to apart).
+
+    Scale architecture is inherited unchanged from the BPE trainer:
+    distinct-word collapse first, every round = pair counts + token
+    counts (two vocab-bounded hash aggs) + a broadcast-joined score +
+    a 1-row argmax collect; merges apply via the pure-Column
+    ``_apply_merge`` fold. The score divides exact integer counts as
+    doubles on both engines (the oracle replays the same IEEE ops), and
+    ties break (left, right) lexicographic, so training is fully
+    deterministic. Returns [(left, right), ...] in learned order."""
+    vocab = wordpiece_word_vocab(docs, text_col=text_col).persist()
+    vocab.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = bpe_pair_frequencies(vocab)
+            tokfreq = (
+                vocab.select(F.explode("toks").alias("t"), "freq")
+                .groupBy("t")
+                .agg(F.sum("freq").alias("tf"))
+            )
+            top = (
+                pairs.join(
+                    F.broadcast(
+                        tokfreq.select(
+                            F.col("t").alias("left_tok"), F.col("tf").alias("lf")
+                        )
+                    ),
+                    "left_tok",
+                )
+                .join(
+                    F.broadcast(
+                        tokfreq.select(
+                            F.col("t").alias("right_tok"), F.col("tf").alias("rf")
+                        )
+                    ),
+                    "right_tok",
+                )
+                .select(
+                    "left_tok",
+                    "right_tok",
+                    (
+                        F.col("n").cast("double")
+                        / (F.col("lf").cast("double") * F.col("rf").cast("double"))
+                    ).alias("score"),
+                )
+                .orderBy(
+                    F.desc("score"), F.asc("left_tok"), F.asc("right_tok")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["left_tok"], top[0]["right_tok"]
+            merges.append((a, b))
+            new_vocab = vocab.select(
+                "freq",
+                _apply_merge(F.col("toks"), a, b, _wp_merged_name(a, b)).alias(
+                    "toks"
+                ),
+            ).persist()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def wordpiece_vocabulary(
+    docs: DataFrame, n_merges: int, *, text_col: str = "text"
+) -> list[str]:
+    """The runtime token vocabulary a WordPiece training run ships: the
+    corpus alphabet (every seen character, plain and '##'-marked) plus
+    the ``n_merges`` learned fusions. This is what the greedy encoder
+    matches against — merges themselves are NOT shipped (unlike BPE),
+    which is why WordPiece encode is longest-match, not merge-replay."""
+    alphabet = [
+        r["t"]
+        for r in wordpiece_word_vocab(docs, text_col=text_col)
+        .select(F.explode("toks").alias("t"))
+        .distinct()
+        .collect()
+    ]
+    merged = [
+        _wp_merged_name(a, b)
+        for a, b in wordpiece_train(docs, n_merges, text_col=text_col)
+    ]
+    return sorted(set(alphabet) | set(merged))
+
+
+def wordpiece_encode(word: str, vocab: set[str], unk: str = "[UNK]") -> list[str]:
+    """Local reference encoder — BERT's runtime algorithm verbatim
+    (greedy longest-prefix match; any unmatchable word becomes one
+    [UNK]): at each position take the LONGEST vocab token matching the
+    remaining text ('##'-prefixed after the first piece); if none
+    matches, the whole word is [UNK]."""
+    word = word.lower()
+    out: list[str] = []
+    pos = 0
+    while pos < len(word):
+        prefix = "##" if pos > 0 else ""
+        end = len(word)
+        piece = None
+        while end > pos:
+            cand = prefix + word[pos:end]
+            if cand in vocab:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        pos = end
+    return out
+
+
+def wordpiece_token_counts(
+    docs: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a freshly-trained WordPiece: train
+    ``n_merges`` fusions, greedy-encode every DISTINCT word against the
+    resulting vocabulary, and return per-document (n_words, n_tokens,
+    n_unk).
+
+    Scale architecture mirrors :func:`bpe_token_counts`: the greedy
+    matcher runs once per distinct word (an Arrow-batched pandas UDF —
+    per-character longest-match is genuinely imperative, but it touches
+    only the language-vocab-sized word table, never the corpus), and the
+    per-word token counts broadcast-join back to the exploded word
+    stream. The vocabulary rides the UDF closure as a broadcast-sized
+    frozenset."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = frozenset(wordpiece_vocabulary(docs, n_merges, text_col=text_col))
+
+    def _enc(words):
+        counts, unks = [], []
+        for w in words:
+            toks = wordpiece_encode(w, vocab)
+            unk = 1 if toks == ["[UNK]"] else 0
+            counts.append(len(toks))
+            unks.append(unk)
+        return pd.DataFrame({"n_toks": counts, "is_unk": unks})
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would stringify inline hints and the UDF type inference
+    # cannot resolve them against this closure
+    _enc.__annotations__ = {"words": pd.Series, "return": pd.DataFrame}
+    enc = pandas_udf(_enc, "n_toks long, is_unk int")
+
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    per_word = (
+        words.select("w").distinct().select("w", enc(F.col("w")).alias("e"))
+    )
+    return (
+        words.join(F.broadcast(per_word), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("e.n_toks").alias("n_tokens"),
+            F.sum("e.is_unk").cast("long").alias("n_unk"),
         )
     )
 

@@ -2186,3 +2186,196 @@ def events_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_absdev"
         ),
     )
+
+
+@register(
+    "wordpiece_learned_merges",
+    oracle=r"""
+WITH RECURSIVE words0 AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), vocab0 AS (
+  SELECT list(struct_pack(freq := freq,
+    s := ' ' || array_to_string(
+           list_concat(
+             [list_filter(string_split(w, ''), x -> x != '')[1]],
+             list_transform(list_filter(string_split(w, ''), x -> x != '')[2:],
+                            c -> '##' || c)),
+           '  ') || ' ')) AS vocab
+  FROM words0
+), steps AS (
+  SELECT 0 AS i, CAST(NULL AS STRUCT(a VARCHAR, b VARCHAR)) AS w, vocab FROM vocab0
+  UNION ALL
+  SELECT i + 1, win,
+    list_transform(vocab, v -> struct_pack(freq := v.freq,
+      s := replace(v.s, ' ' || win.a || '  ' || win.b || ' ',
+                   ' ' || win.a ||
+                   (CASE WHEN win.b LIKE '##%' THEN substr(win.b, 3)
+                         ELSE win.b END) || ' ')))
+  FROM (
+    SELECT i, vocab,
+      (SELECT struct_pack(a := l, b := r)
+       FROM (
+         SELECT tk[x] AS l, tk[x+1] AS r, sum(freq) AS n
+         FROM (SELECT u.freq AS freq,
+                      string_split(trim(u.s, ' '), '  ') AS tk
+               FROM unnest(vocab) AS t(u)),
+              unnest(range(1, len(tk))) AS g(x)
+         GROUP BY 1, 2) p
+       JOIN (SELECT tok, sum(f2) AS tf
+             FROM (SELECT u2.freq AS f2,
+                          unnest(string_split(trim(u2.s, ' '), '  ')) AS tok
+                   FROM unnest(vocab) AS t2(u2))
+             GROUP BY tok) fl ON fl.tok = p.l
+       JOIN (SELECT tok, sum(f3) AS tf
+             FROM (SELECT u3.freq AS f3,
+                          unnest(string_split(trim(u3.s, ' '), '  ')) AS tok
+                   FROM unnest(vocab) AS t3(u3))
+             GROUP BY tok) fr ON fr.tok = p.r
+       ORDER BY CAST(p.n AS DOUBLE) / (CAST(fl.tf AS DOUBLE) * CAST(fr.tf AS DOUBLE)) DESC,
+                p.l, p.r
+       LIMIT 1) AS win
+    FROM steps WHERE i < 8
+  )
+)
+SELECT CAST(i AS BIGINT) AS rank, w.a AS left_tok, w.b AS right_tok,
+       w.a || (CASE WHEN w.b LIKE '##%' THEN substr(w.b, 3) ELSE w.b END) AS merged
+FROM steps WHERE i >= 1 ORDER BY rank
+""",
+)
+def wordpiece_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece tokenizer training (`text.wordpiece_train`;
+    Schuster & Nakajima 2012, the BERT tokenizer's construction): 8
+    merges learned by the LIKELIHOOD objective — argmax of
+    count(ab)/(count(a)*count(b)) instead of BPE's raw count — with the
+    '##' continuation-marker convention replacing BPE's '</w>'. The
+    oracle replays the trainer as a DuckDB recursive CTE (the
+    bpe_learned_merges technique, extended with per-round token-frequency
+    joins for the score's denominator); the score divides exact integer
+    counts as doubles through the same IEEE ops on both engines, and
+    ties break (left, right) lexicographic, so the argmax sequence is
+    engine-portable. Also exact-equality unit-tested against a
+    from-scratch local reference (tests/test_wordpiece.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.wordpiece_train(docs, 8)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, text._wp_merged_name(a, b))
+            for i, (a, b) in enumerate(merges)
+        ],
+        "rank long, left_tok string, right_tok string, merged string",
+    )
+
+
+@register(
+    "wordpiece_encoded_token_counts",
+    oracle=r"""
+WITH RECURSIVE words0 AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), vocab0 AS (
+  SELECT list(struct_pack(freq := freq,
+    s := ' ' || array_to_string(
+           list_concat(
+             [list_filter(string_split(w, ''), x -> x != '')[1]],
+             list_transform(list_filter(string_split(w, ''), x -> x != '')[2:],
+                            c -> '##' || c)),
+           '  ') || ' ')) AS vocab
+  FROM words0
+), steps AS (
+  SELECT 0 AS i, CAST(NULL AS STRUCT(a VARCHAR, b VARCHAR)) AS w, vocab FROM vocab0
+  UNION ALL
+  SELECT i + 1, win,
+    list_transform(vocab, v -> struct_pack(freq := v.freq,
+      s := replace(v.s, ' ' || win.a || '  ' || win.b || ' ',
+                   ' ' || win.a ||
+                   (CASE WHEN win.b LIKE '##%' THEN substr(win.b, 3)
+                         ELSE win.b END) || ' ')))
+  FROM (
+    SELECT i, vocab,
+      (SELECT struct_pack(a := l, b := r)
+       FROM (
+         SELECT tk[x] AS l, tk[x+1] AS r, sum(freq) AS n
+         FROM (SELECT u.freq AS freq,
+                      string_split(trim(u.s, ' '), '  ') AS tk
+               FROM unnest(vocab) AS t(u)),
+              unnest(range(1, len(tk))) AS g(x)
+         GROUP BY 1, 2) p
+       JOIN (SELECT tok, sum(f2) AS tf
+             FROM (SELECT u2.freq AS f2,
+                          unnest(string_split(trim(u2.s, ' '), '  ')) AS tok
+                   FROM unnest(vocab) AS t2(u2))
+             GROUP BY tok) fl ON fl.tok = p.l
+       JOIN (SELECT tok, sum(f3) AS tf
+             FROM (SELECT u3.freq AS f3,
+                          unnest(string_split(trim(u3.s, ' '), '  ')) AS tok
+                   FROM unnest(vocab) AS t3(u3))
+             GROUP BY tok) fr ON fr.tok = p.r
+       ORDER BY CAST(p.n AS DOUBLE) / (CAST(fl.tf AS DOUBLE) * CAST(fr.tf AS DOUBLE)) DESC,
+                p.l, p.r
+       LIMIT 1) AS win
+    FROM steps WHERE i < 8
+  )
+), vset AS (
+  SELECT list(DISTINCT t) AS v FROM (
+    SELECT unnest(string_split(trim(u.s, ' '), '  ')) AS t
+    FROM (SELECT vocab FROM steps WHERE i = 0), unnest(vocab) AS tt(u)
+    UNION
+    SELECT w.a || (CASE WHEN w.b LIKE '##%' THEN substr(w.b, 3) ELSE w.b END)
+    FROM steps WHERE i >= 1)
+), enc AS (
+  SELECT w, 1 AS pos, 0 AS n_toks, false AS unk FROM words0
+  UNION ALL
+  SELECT w,
+         CASE WHEN step IS NULL THEN length(w) + 1 ELSE pos + step END,
+         CASE WHEN step IS NULL THEN 1 ELSE n_toks + 1 END,
+         step IS NULL
+  FROM (
+    SELECT e.w AS w, e.pos AS pos, e.n_toks AS n_toks,
+      (SELECT max(length(CASE WHEN e.pos > 1 THEN substr(t, 3) ELSE t END))
+       FROM vset, unnest(v) AS vv(t)
+       WHERE (CASE WHEN e.pos > 1 THEN t LIKE '##%' AND length(t) > 2
+                   ELSE t NOT LIKE '##%' END)
+         AND (CASE WHEN e.pos > 1 THEN substr(t, 3) ELSE t END)
+             = substr(e.w, e.pos,
+                      length(CASE WHEN e.pos > 1 THEN substr(t, 3) ELSE t END))
+      ) AS step
+    FROM enc e
+    WHERE e.pos <= length(e.w) AND NOT e.unk
+  )
+), encoded AS (
+  SELECT w, n_toks, unk FROM enc WHERE pos > length(w)
+), docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN wt.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+FROM docwords d JOIN encoded wt USING (w)
+GROUP BY d.doc_id
+""",
+)
+def wordpiece_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE end to end: train 8 merges, build the runtime
+    vocabulary (corpus alphabet + fusions — WordPiece ships a vocab and
+    greedy-matches, it does NOT replay merges like BPE), greedy
+    longest-prefix-encode every DISTINCT word (BERT's runtime algorithm,
+    whole word -> [UNK] on any unmatchable position), and count
+    per-document (n_words, n_tokens, n_unk). The oracle replays
+    training via the recursive CTE AND the greedy matcher via a second
+    recursive CTE (state = (word, pos, n_toks); each step takes the
+    longest vocabulary token matching at pos, '##'-constrained for
+    pos>1), so one hash pins the likelihood argmax loop, the vocabulary
+    closure, the longest-match discipline, and the join-back accounting
+    together. Scale: the matcher touches only the distinct-word vocab
+    (an Arrow-batched pandas UDF over a language-sized table); the
+    corpus-sized work is one explode + one broadcast-class join."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.wordpiece_token_counts(docs, 8)
