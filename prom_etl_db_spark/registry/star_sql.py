@@ -692,3 +692,292 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+""",
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & order priority;
+    docs/user-guide.md-class delegated SQL), ADAPTED: the fixture
+    lineitem has no l_shipmode / l_commitdate / l_receiptdate, so the
+    mode split keys on l_returnflag and "the item was late" becomes
+    l_shipdate > o_orderdate + 90 days. The shape is the point:
+    fact⋈fact equi-join on the order key with a non-equi residual
+    (shipdate vs orderdate arithmetic evaluates post-join, inside
+    codegen), the year filter pushed to the lineitem scan, and the
+    two-branch conditional aggregation folded into one pass — Spark
+    computes both CASE sums in a single hash aggregate, exactly the
+    plan MySQL would brute-force row-by-row. At 100 TB the only
+    shuffle is the orderkey join; AQE handles the residual's skew."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eligible AS (
+  SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+  FROM supply ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+       p.p_partkey, round(e.ps_supplycost, 4) AS supplycost
+FROM part p JOIN eligible e ON p.p_partkey = e.ps_partkey
+WHERE p.p_type = 'LARGE' AND p.p_size IN (15, 25, 35)
+  AND e.ps_supplycost = (
+    SELECT min(e2.ps_supplycost) FROM eligible e2
+    WHERE e2.ps_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), ADAPTED: the fixture has no
+    partsupp, so the part↔supplier supply relation is derived from
+    lineitem — ps_supplycost := min observed unit price
+    (l_extendedprice / l_quantity) per (partkey, suppkey). min() over
+    IEEE doubles is order-insensitive (unlike sum), so the derived cost
+    is bit-identical across engines and the correlated "= per-part
+    minimum" equality join on the raw double is exact — rounding is
+    display-only, applied after the join in both plans.
+
+    The plan is the decorrelation Catalyst itself would pick for the
+    spec's correlated scalar subquery: build `eligible` once (supply agg
+    on (partkey, suppkey) — the one fact-scale shuffle — then broadcast
+    supplier⋈nation⋈region dims onto it), hash-aggregate the per-part
+    min, and equi-join it back on (partkey, cost). The part-attribute
+    filter prunes to ~20 parts and is broadcast, so the min-agg and the
+    back-join run on a dim-bounded stream. At 100 TB: one shuffle over
+    the supply keys, everything else broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size").isin(15, 25, 35))
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    eligible = (
+        supply.join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    # restrict to the selected parts BEFORE the per-part min (the
+    # correlation key is the part, so pre-filtering preserves the value)
+    epart = eligible.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    )
+    best = epart.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        epart.join(
+            F.broadcast(best),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round(F.col("ps_supplycost"), 4).alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH natsupply AS (
+  SELECT l.l_partkey AS ps_partkey, l.l_extendedprice AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+)
+SELECT ps_partkey, round(sum(val), 2) AS part_value
+FROM natsupply
+GROUP BY ps_partkey
+HAVING round(sum(val), 2) > (
+  SELECT round(sum(val) * 0.001, 2) FROM natsupply)
+ORDER BY part_value DESC, ps_partkey ASC
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), ADAPTED: no partsupp
+    (ps_supplycost * ps_availqty), so a part's "stock value" held by one
+    nation's suppliers is the summed extended price that nation shipped
+    for the part. The shape IS Q11: group by part, HAVING against an
+    uncorrelated scalar subquery over the SAME relation — the global
+    total is a 1-row ungrouped aggregate broadcast-composed onto the
+    per-part stream (the engine's whitelisted lazy-scalar idiom, a
+    provably-1-row BNLJ — never a collect). Both sides are compared
+    ROUNDED to cents so the threshold decision is identical in Spark
+    and DuckDB despite sum-order ulp drift. The nation filter reduces
+    the fact through a broadcast semi-shaped join BEFORE its only
+    shuffle (the partkey agg); the relation is reused for both the
+    per-part and global aggregates, so at 100 TB this is one scan, one
+    shuffle, one broadcast row."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat_suppliers = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    natsupply = li.join(
+        F.broadcast(nat_suppliers), li.l_suppkey == F.col("s_suppkey")
+    ).select(F.col("l_partkey").alias("ps_partkey"), F.col("l_extendedprice").alias("val"))
+    total = natsupply.agg(
+        F.round(F.sum("val") * 0.001, 2).alias("threshold")
+    )
+    return (
+        natsupply.groupBy("ps_partkey")
+        .agg(F.round(F.sum("val"), 2).alias("part_value"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+WITH forders AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), fl AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > f.o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem l JOIN forders f ON l.l_orderkey = f.o_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM fl l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3' AND l1.is_late
+  AND EXISTS (
+    SELECT 1 FROM fl l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM fl l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), ADAPTED: no
+    l_receiptdate / l_commitdate, so "this lineitem was late" becomes
+    l_shipdate > o_orderdate + 60 days (finalized orders only). The
+    classic EXISTS / NOT-EXISTS pair survives intact and maps to the
+    two Spark join types built for it: the EXISTS (another supplier
+    participated in the order) is a LEFT SEMI join on the order key
+    with the suppkey-inequality residual, the NOT EXISTS (but nobody
+    ELSE was late) a LEFT ANTI with the same residual plus the
+    lateness flag. All three legs share one orderkey-keyed relation
+    (`fl`, computed once from the orders⋈lineitem join), so the plan
+    is: one fact⋈fact shuffle to build fl, then two orderkey-keyed
+    semi/anti shuffles over (orderkey, suppkey, bool) triples — at
+    100 TB the semi/anti legs move three columns, not the fact. The
+    nation filter broadcasts ~4 suppliers onto l1 before either leg."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    fl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias(
+                "is_late"
+            ),
+        )
+    )
+    nat_suppliers = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        fl.where(F.col("is_late"))
+        .join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = fl.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = fl.where(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2_orderkey)
+            & (l1.l_suppkey != l2.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3_orderkey)
+            & (F.col("l_suppkey") != l3.o3_suppkey),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
