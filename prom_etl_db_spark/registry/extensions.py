@@ -2379,3 +2379,161 @@ def wordpiece_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFram
     corpus-sized work is one explode + one broadcast-class join."""
     docs = _t(spark, sf_dir, "documents")
     return text.wordpiece_token_counts(docs, 8)
+
+
+# =========================================================================
+# Round-5: Unigram-LM (SentencePiece) tokenizer — the third published
+# subword construction (Kudo 2018), completing the trio beside BPE and
+# WordPiece. The oracle replays the WHOLE trainer in DuckDB: seed
+# substring counts, the Viterbi DP as a linear recursive CTE (state =
+# a 4-slot window of best-path structs — dp[pos] depends only on
+# dp[pos-1..pos-4] because tokens cap at 4 chars, so the recursion is
+# LINEAR in word length, never path-enumerating), one hard-EM
+# re-estimation, and the final encode. Shared prefix below; the two
+# queries append different tails (vocab vs per-doc accounting).
+# =========================================================================
+
+_UNIGRAM_SENT = (
+    "struct_pack(lp := CAST(-1.0e18 AS DOUBLE), n := CAST(0 AS BIGINT), "
+    "toks := CAST([] AS VARCHAR[]))"
+)
+
+_UNIGRAM_PASS = """
+  SELECT w, freq, 0 AS pos,
+         [{sent}, {sent}, {sent},
+          struct_pack(lp := CAST(0.0 AS DOUBLE), n := CAST(0 AS BIGINT),
+                      toks := CAST([] AS VARCHAR[]))] AS win
+  FROM words0
+  UNION ALL
+  SELECT w, freq, pos + 1,
+         [win[2], win[3], win[4], COALESCE(best, {sent})]
+  FROM (
+    SELECT e.w AS w, e.freq AS freq, e.pos AS pos, e.win AS win,
+      (SELECT struct_pack(
+           lp := e.win[CAST(5 - k AS INTEGER)].lp + v.lp,
+           n := e.win[CAST(5 - k AS INTEGER)].n + 1,
+           toks := e.win[CAST(5 - k AS INTEGER)].toks || [v.tok])
+       FROM unnest(range(1, 5)) AS g(k)
+       JOIN {model} v
+         ON v.tok = substr(e.w, CAST(e.pos + 2 - k AS INTEGER),
+                           CAST(k AS INTEGER))
+       WHERE k <= e.pos + 1 AND e.win[CAST(5 - k AS INTEGER)].lp > -1.0e17
+       ORDER BY e.win[CAST(5 - k AS INTEGER)].lp + v.lp DESC,
+                e.win[CAST(5 - k AS INTEGER)].n + 1 ASC, k DESC
+       LIMIT 1) AS best
+    FROM {name} e WHERE e.pos < length(e.w)
+  )
+"""
+
+_UNIGRAM_CTES = (
+    r"""
+WITH RECURSIVE words0 AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+), subs AS (
+  SELECT substr(w, CAST(s AS INTEGER), CAST(k AS INTEGER)) AS tok,
+         sum(freq) AS cnt
+  FROM words0,
+       unnest(range(1, length(w) + 1)) AS g1(s),
+       unnest(range(1, 5)) AS g2(k)
+  WHERE s + k - 1 <= length(w)
+  GROUP BY 1
+), seed AS (
+  SELECT tok, cnt FROM subs WHERE length(tok) = 1
+  UNION ALL
+  SELECT tok, cnt FROM (
+    SELECT tok, cnt FROM subs WHERE length(tok) > 1
+    ORDER BY cnt DESC, tok ASC LIMIT 40) q
+), p0 AS (
+  SELECT tok, ln(CAST(cnt AS DOUBLE) /
+                 CAST((SELECT sum(cnt) FROM seed) AS DOUBLE)) AS lp
+  FROM seed
+), pass1 AS ("""
+    + _UNIGRAM_PASS.format(sent=_UNIGRAM_SENT, model="p0", name="pass1")
+    + r"""), seg1 AS (
+  SELECT w, freq, win[4] AS dp FROM pass1 WHERE pos = length(w)
+), em AS (
+  SELECT tok, sum(freq) AS cnt FROM (
+    SELECT freq, unnest(dp.toks) AS tok FROM seg1) GROUP BY tok
+)"""
+)
+
+
+@register(
+    "unigram_lm_vocab",
+    oracle=_UNIGRAM_CTES
+    + r"""
+SELECT s.tok AS token, CAST(s.cnt AS BIGINT) AS seed_count,
+       CAST(em.cnt AS BIGINT) AS em_count,
+       round(ln(CAST(em.cnt AS DOUBLE) /
+                CAST((SELECT sum(cnt) FROM em) AS DOUBLE)), 6) AS logp
+FROM em JOIN seed s ON s.tok = em.tok
+""",
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (`functions/unigram.py`, Kudo 2018
+    with deterministic hard EM): seed every <=4-char word-internal
+    substring (chars always kept, top-40 multis by count desc / token
+    asc), Viterbi-segment the distinct-word table under the seed model,
+    re-estimate token counts along each word's single best path, and
+    ship the surviving vocabulary with its fitted log-probabilities.
+    The oracle replays all four stages; the Viterbi DP is a LINEAR
+    recursive CTE carrying a 4-slot window of best-path structs (the
+    4-char token cap bounds the DP dependency horizon), so the replay
+    is O(total word length), never path-enumerating. Ties in the DP
+    break (logprob desc, n_toks asc, longer-final-token) — a total
+    order both engines apply to the same IEEE doubles. Scale: the
+    corpus collapses to distinct words before any of this; see the
+    module docstring for the 100 TB layout."""
+    from prom_etl_db_spark.functions import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram.unigram_train(docs).select(
+        "token", "seed_count", "em_count", F.round("logp", 6).alias("logp")
+    )
+
+
+@register(
+    "unigram_encoded_token_counts",
+    oracle=_UNIGRAM_CTES
+    + r""", p1 AS (
+  SELECT tok, ln(CAST(cnt AS DOUBLE) /
+                 CAST((SELECT sum(cnt) FROM em) AS DOUBLE)) AS lp
+  FROM em
+), pass2 AS ("""
+    + _UNIGRAM_PASS.format(sent=_UNIGRAM_SENT, model="p1", name="pass2")
+    + r"""), seg2 AS (
+  SELECT w, win[4] AS dp FROM pass2 WHERE pos = length(w)
+), docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.dp.n) AS BIGINT) AS n_tokens,
+       round(-sum(s.dp.lp), 4) AS neg_logp
+FROM docwords d JOIN seg2 s ON s.w = d.w
+GROUP BY d.doc_id
+""",
+)
+def unigram_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE end to end: train (seed -> Viterbi -> hard EM),
+    then Viterbi-segment every distinct word under the FITTED model and
+    account per document (n_words, n_tokens, neg_logp — the document's
+    total negative log-likelihood, the model's own compression score;
+    the CCNet-style selection signal a trained tokenizer gives away for
+    free). The oracle replays training AND encode: two linear recursive
+    Viterbi CTEs chained through the hard-EM count table, so one hash
+    pins seed counting, both DPs (with their tiebreaks), the MLE
+    re-estimation, and the broadcast-join accounting together.
+    neg_logp rounds at 4 decimals AFTER the per-doc sum (the
+    established tolerance for sum-order ulp drift across engines)."""
+    from prom_etl_db_spark.functions import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram.unigram_token_counts(docs)
