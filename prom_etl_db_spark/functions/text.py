@@ -29,6 +29,7 @@ __all__ = [
     "hashed_bow_score",
     "fingerprint",
     "zipf_token_stats",
+    "kneser_ney_trigram_perplexity",
     "STOPWORDS",
     "BPE_SPLIT_RE",
 ]
@@ -1145,6 +1146,132 @@ def bigram_lm_perplexity(
         .select(
             id_col,
             "n_bigrams",
+            F.round("avg_logp", 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+        )
+    )
+
+
+def kneser_ney_trigram_perplexity(
+    docs: DataFrame,
+    *,
+    train: Column | None = None,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED KNESER-NEY trigram
+    language model (Chen & Goodman 1999, the smoothing KenLM ships and
+    CCNet's selection LM uses) trained on a slice of the corpus — the
+    published upgrade over `bigram_lm_perplexity`'s add-α MLE. All
+    counts derive from the within-document trigram stream (no
+    sentence padding; documents shorter than 3 tokens carry no trigram
+    evidence and are omitted, the established routing stance):
+
+      p3(w|u,v) = (max(c(uvw)−D, 0) + D·N1+(uv·)·p2(w|v)) / c(uv·)
+      p2(w|v)   = (max(N1+(·vw)−D, 0) + D·N1+(v··)·p1(w)) / N1+(·v·)
+      p1(w)     = (max(N1+(·w)−D, 0) + D·W/(V+1)) / N1+(··)
+
+    with D the single fixed discount, N1+ the Kneser-Ney CONTINUATION
+    counts (distinct left-extensions, derived from the trigram type
+    table), W the number of distinct continuation words, V the training
+    vocabulary, and the D·W/(V+1) term the uniform leak that keeps
+    fully-unseen tokens at positive probability (the OOV convention —
+    one extra uniform slot — stated here because published KN leaves
+    OOV handling to the implementation). Unseen histories back off one
+    level exactly (c(uv·)=0 → p2; N1+(·v·)=0 → p1), the textbook rule.
+
+    Scale: training collapses to the trigram TYPE table (bounded by
+    distinct trigrams, not corpus bytes) and four hash re-aggregations
+    of it; scoring is five equi-joins of the corpus trigram stream
+    against those model tables plus one 1-row totals broadcast (the
+    shape-proven BNLJ compose). No windows, no driver iteration.
+    Returns (id, n_trigrams, avg_logp, ppl); avg_logp rounds at 6 and
+    ppl at 4 AFTER per-document aggregation (sum-order ulp drift)."""
+    if train is None:
+        train = F.col("lang") == "en"
+    D = F.lit(float(discount))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col(id_col), train.alias("is_train"), toks.alias("tk")
+    )
+    tk = F.col("tk")
+    tri = (
+        base.where(F.size("tk") >= 3)
+        .select(
+            id_col,
+            "is_train",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("u"),
+                        F.element_at(tk, i + 1).alias("v"),
+                        F.element_at(tk, i + 2).alias("w"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select(id_col, "is_train", "t.u", "t.v", "t.w")
+    )
+    c3 = tri.where("is_train").groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    h2 = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c2h"), F.count(F.lit(1)).alias("n3h")
+    )
+    cb = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+    n1v = cb.groupBy("v").agg(
+        F.sum("cb").alias("cvtot"), F.count(F.lit(1)).alias("cvty")
+    )
+    p1t = cb.groupBy("w").agg(F.count(F.lit(1)).alias("n1c"))
+    tot = cb.agg(
+        F.count(F.lit(1)).alias("btypes"),
+        F.count_distinct("w").alias("wtypes"),
+    )
+    voc = (
+        docs.where(train)
+        .select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("vsz"))
+    )
+    p1 = (
+        F.greatest(F.coalesce(F.col("n1c"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("wtypes") / (F.col("vsz") + F.lit(1.0))
+    ) / F.col("btypes")
+    p2 = F.when(F.col("cvtot").isNull(), p1).otherwise(
+        (
+            F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - D, F.lit(0.0))
+            + D * F.col("cvty") * p1
+        )
+        / F.col("cvtot")
+    )
+    p3 = F.when(F.col("c2h").isNull(), p2).otherwise(
+        (
+            F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - D, F.lit(0.0))
+            + D * F.col("n3h") * p2
+        )
+        / F.col("c2h")
+    )
+    scored = (
+        tri.join(c3, ["u", "v", "w"], "left")
+        .join(h2, ["u", "v"], "left")
+        .join(cb, ["v", "w"], "left")
+        .join(n1v, ["v"], "left")
+        .join(p1t, ["w"], "left")
+        .crossJoin(F.broadcast(tot.crossJoin(voc)))
+        .select(id_col, F.log(p3).alias("logp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
             F.round("avg_logp", 6).alias("avg_logp"),
             F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
         )

@@ -2537,3 +2537,81 @@ def unigram_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram.unigram_token_counts(docs)
+
+
+@register(
+    "doc_kneser_ney_perplexity",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_train,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+), tri AS (
+  SELECT doc_id, is_train, tk[x] AS u, tk[x+1] AS v, tk[x+2] AS w
+  FROM toks, unnest(range(1, len(tk) - 1)) AS g(x)
+), c3 AS (
+  SELECT u, v, w, count(*) AS c3 FROM tri WHERE is_train GROUP BY 1, 2, 3
+), h2 AS (
+  SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2h, count(*) AS n3h
+  FROM c3 GROUP BY 1, 2
+), cb AS (
+  SELECT v, w, count(*) AS cb FROM c3 GROUP BY 1, 2
+), n1v AS (
+  SELECT v, CAST(sum(cb) AS BIGINT) AS cvtot, count(*) AS cvty
+  FROM cb GROUP BY 1
+), p1t AS (
+  SELECT w, count(*) AS n1c FROM cb GROUP BY 1
+), tot AS (
+  SELECT count(*) AS btypes, count(DISTINCT w) AS wtypes FROM cb
+), voc AS (
+  SELECT count(DISTINCT u.w) AS vsz
+  FROM (SELECT unnest(tk) AS w FROM toks WHERE is_train) u
+), joined AS (
+  SELECT t.doc_id, c3.c3, h2.c2h, h2.n3h, cb.cb, n1v.cvtot, n1v.cvty,
+         (greatest(coalesce(p1t.n1c, 0) - 0.75, 0.0)
+          + 0.75 * tot.wtypes / (voc.vsz + 1.0)) / tot.btypes AS p1
+  FROM tri t
+  LEFT JOIN c3 ON c3.u = t.u AND c3.v = t.v AND c3.w = t.w
+  LEFT JOIN h2 ON h2.u = t.u AND h2.v = t.v
+  LEFT JOIN cb ON cb.v = t.v AND cb.w = t.w
+  LEFT JOIN n1v ON n1v.v = t.v
+  LEFT JOIN p1t ON p1t.w = t.w
+  CROSS JOIN tot CROSS JOIN voc
+), mid AS (
+  SELECT doc_id, c3, c2h, n3h,
+         CASE WHEN cvtot IS NULL THEN p1
+              ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                    + 0.75 * cvty * p1) / cvtot
+         END AS p2
+  FROM joined
+), scored AS (
+  SELECT doc_id,
+         ln(CASE WHEN c2h IS NULL THEN p2
+                 ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                       + 0.75 * n3h * p2) / c2h
+            END) AS logp
+  FROM mid
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(logp), 6) AS avg_logp,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram perplexity (Chen & Goodman 1999)
+    trained on the lang='en' slice and scored over the whole corpus —
+    the published smoothing KenLM implements and CCNet's quality LM
+    relies on, completing the LM-quality ladder above
+    `doc_bigram_lm_perplexity`'s add-α MLE. The oracle replays the
+    ENTIRE estimator: trigram type counts, both continuation-count
+    re-aggregations, the distinct-continuation totals, the uniform OOV
+    leak, and the exact two-level backoff CASE structure, with every
+    arithmetic expression written in the same shape on both engines so
+    per-trigram log-probabilities agree bit-for-bit (only the per-doc
+    mean crosses sum-order, handled by the round-6/round-4 convention).
+    Documents with <3 tokens carry no trigram and are omitted — the
+    same routing stance as the bigram query's single-word rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.kneser_ney_trigram_perplexity(docs)
