@@ -2615,3 +2615,115 @@ def doc_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same routing stance as the bigram query's single-word rule."""
     docs = _t(spark, sf_dir, "documents")
     return text.kneser_ney_trigram_perplexity(docs)
+
+
+# Shared SQL replay of the perceptual-hash fixture + code algebra
+# (functions/phash.py): closed-form 18x16 pixels -> exact 2x2 box means
+# -> row-wise gradient bits -> 8 LSB-first band bytes (+ aHash dark
+# count). Integer arithmetic end to end, so both engines agree exactly.
+_PHASH_CODES_SQL = r"""
+WITH px AS (
+  SELECT doc_id, rr, cc,
+         CASE WHEN doc_id % 50 = 1 AND rr BETWEEN 4 AND 5
+                   AND cc BETWEEN 6 AND 7
+              THEN (v0 + 120) % 241 ELSE v0 END AS v
+  FROM (
+    SELECT doc_id, rr, cc,
+           (((eff % 239) + 2) * (rr * 31 + cc * 17 + 5)
+            + ((eff % 233) + 1) * (rr * cc + 7) + eff) % 241 AS v0
+    FROM (
+      SELECT d.doc_id, r.range AS rr, c.range AS cc,
+             d.doc_id - CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END AS eff
+      FROM documents d CROSS JOIN range(16) r CROSS JOIN range(18) c
+    )
+  )
+), cells AS (
+  SELECT doc_id, rr // 2 AS gr, cc // 2 AS gc,
+         CAST(sum(v) // 4 AS BIGINT) AS a
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT l.doc_id, l.gr, l.gc,
+         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+  FROM cells l JOIN cells r
+    ON r.doc_id = l.doc_id AND r.gr = l.gr AND r.gc = l.gc + 1
+), bands AS (
+  SELECT doc_id, gr, CAST(sum(bit * (1 << gc)) AS INT) AS bv
+  FROM bits GROUP BY 1, 2
+), codes AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN gr = 0 THEN bv END) AS INT) AS d0,
+         CAST(max(CASE WHEN gr = 1 THEN bv END) AS INT) AS d1,
+         CAST(max(CASE WHEN gr = 2 THEN bv END) AS INT) AS d2,
+         CAST(max(CASE WHEN gr = 3 THEN bv END) AS INT) AS d3,
+         CAST(max(CASE WHEN gr = 4 THEN bv END) AS INT) AS d4,
+         CAST(max(CASE WHEN gr = 5 THEN bv END) AS INT) AS d5,
+         CAST(max(CASE WHEN gr = 6 THEN bv END) AS INT) AS d6,
+         CAST(max(CASE WHEN gr = 7 THEN bv END) AS INT) AS d7
+  FROM bands GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "image_dhash_codes",
+    oracle=_PHASH_CODES_SQL
+    + r""", dark AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN a < m THEN 1 ELSE 0 END) AS INT) AS n_dark
+  FROM (SELECT doc_id, a,
+               sum(a) OVER (PARTITION BY doc_id) // 72 AS m
+        FROM cells)
+  GROUP BY doc_id
+)
+SELECT c.doc_id, c.d0, c.d1, c.d2, c.d3, c.d4, c.d5, c.d6, c.d7, k.n_dark
+FROM codes c JOIN dark k USING (doc_id)
+""",
+)
+def image_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E2 (r5): perceptual image codes — dHash (gradient signs over
+    the exact 2x2-box-averaged 9x8 grid, 8 LSB-first band bytes) plus
+    the aHash dark-cell count — computed over a REAL PNG roundtrip:
+    the closed-form image is encoded by the five-filter-cycling PNG
+    writer and decoded by the from-scratch decoder before hashing
+    (`functions/phash.py`), so this one hash pins the codec path AND
+    the hash algebra (the FLAC lossless-roundtrip pattern). The oracle
+    recomputes pixels, box means, bits, and packing in pure integer
+    SQL. Hashing is a map over the decode scan — zero shuffle."""
+    from prom_etl_db_spark.functions import phash
+
+    docs = _t(spark, sf_dir, "documents")
+    return phash.image_dhash_codes(docs)
+
+
+@register(
+    "image_phash_neardup_pairs",
+    oracle=_PHASH_CODES_SQL
+    + r"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+          + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+          + bit_count(xor(a.d4, b.d4)) + bit_count(xor(a.d5, b.d5))
+          + bit_count(xor(a.d6, b.d6)) + bit_count(xor(a.d7, b.d7))
+          AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+    + bit_count(xor(a.d4, b.d4)) + bit_count(xor(a.d5, b.d5))
+    + bit_count(xor(a.d6, b.d6)) + bit_count(xor(a.d7, b.d7)) <= 6
+""",
+)
+def image_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2, image near-dup (r5): pairs within Hamming distance 6 of the
+    64-bit dHash — the LAION-style image dedup. The SPARK side never
+    compares all pairs: candidates come from an equi-join on 8-bit
+    bands (complete for distance <= 7 by pigeonhole — the multi-index
+    Hamming guarantee, Norouzi et al. 2012), verified by 8 JVM-side
+    XOR+popcounts. The ORACLE is the definitional all-pairs scan over
+    the recomputed codes, so the driver hash proves the banded
+    generator misses nothing and invents nothing. Fixture plants one
+    near-pair per 50 documents (<= 2 bits apart); unplanted pairs sit
+    near the 32-bit random distance."""
+    from prom_etl_db_spark.functions import phash
+
+    docs = _t(spark, sf_dir, "documents")
+    return phash.phash_neardup_pairs(phash.image_dhash_codes(docs), 6)
