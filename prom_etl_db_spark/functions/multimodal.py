@@ -2354,3 +2354,91 @@ def au_aiff_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataF
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, AU_AIFF_FEATURE_SCHEMA
     )
+
+
+Y4M_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("fps_den", IntegerType()),
+        StructField("rsum", LongType()),
+        StructField("gsum", LongType()),
+        StructField("bsum", LongType()),
+    ]
+)
+
+
+def y4m_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 video, RAW interchange format (r5): per document a YUV4MPEG2
+    clip (closed-form 4:2:0 planes, doc-varying frame count and frame
+    rate) is written by the real writer and fully re-parsed from bytes
+    — header tag grammar, FRAME markers, plane slicing — then every
+    frame is converted to RGB through the exact integer BT.601
+    fixed-point form (`video.yuv_to_rgb_bt601`). Y4M is uncompressed,
+    so parsed planes EQUAL the closed form (asserted), and the channel
+    sums are pure integer arithmetic a SQL oracle recomputes verbatim —
+    one hash pins header parsing (fps fields ride along), plane
+    geometry, chroma upsampling, and the colorimetry. Raw video is the
+    pipeline's pre/post-codec interchange surface; the MJPEG-AVI twin
+    covers the lossy-codec container."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.video import (
+        encode_y4m,
+        parse_y4m,
+        yuv_to_rgb_bt601,
+    )
+
+    W, H = 16, 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in Y4M_FEATURE_SCHEMA}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf = 2 + mid % 3
+                fps = (24 + mid % 6, 1001)
+                r_y = np.arange(H, dtype=np.int64)[:, None]
+                c_y = np.arange(W, dtype=np.int64)[None, :]
+                r_c = np.arange(H // 2, dtype=np.int64)[:, None]
+                c_c = np.arange(W // 2, dtype=np.int64)[None, :]
+                frames = []
+                for f in range(nf):
+                    yp = (mid * 3 + f * 11 + r_y * 5 + c_y * 7) % 256
+                    up = (mid * 5 + f * 7 + r_c * 13 + c_c * 3) % 256
+                    vp = (mid * 7 + f * 5 + r_c * 3 + c_c * 13) % 256
+                    frames.append(
+                        tuple(p.astype(np.uint8) for p in (yp, up, vp))
+                    )
+                params, got = parse_y4m(encode_y4m(frames, fps=fps))
+                assert params["width"] == W and params["height"] == H
+                assert (params["fps_num"], params["fps_den"]) == fps
+                assert len(got) == nf
+                rs = gs = bs = 0
+                for (ye, ue, ve), (yg, ug, vg) in zip(frames, got):
+                    assert (
+                        np.array_equal(ye, yg)
+                        and np.array_equal(ue, ug)
+                        and np.array_equal(ve, vg)
+                    )  # raw format: byte-exact roundtrip
+                    rgb = yuv_to_rgb_bt601(yg, ug, vg).astype(np.int64)
+                    rs += int(rgb[:, :, 0].sum())
+                    gs += int(rgb[:, :, 1].sum())
+                    bs += int(rgb[:, :, 2].sum())
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(nf)
+                rows["width"].append(W)
+                rows["height"].append(H)
+                rows["fps_num"].append(fps[0])
+                rows["fps_den"].append(fps[1])
+                rows["rsum"].append(rs)
+                rows["gsum"].append(gs)
+                rows["bsum"].append(bs)
+            yield pd.DataFrame(rows)
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, Y4M_FEATURE_SCHEMA
+    )

@@ -32,6 +32,9 @@ __all__ = [
     "avi_mjpeg_frames",
     "avi_frame_count",
     "sample_avi_frames",
+    "encode_y4m",
+    "parse_y4m",
+    "yuv_to_rgb_bt601",
 ]
 
 
@@ -209,3 +212,161 @@ def sample_avi_frames(payload: bytes, k: int):
         raise ValueError("k must be >= 1")
     picks = [0] if k == 1 else [(j * (nf - 1)) // (k - 1) for j in range(k)]
     return [(j, fi, jpeg_pixels(frames[fi])) for j, fi in enumerate(picks)]
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 (.y4m) — the RAW video interchange format (public mjpegtools
+# spec): one ASCII parameter line, then uncompressed planar YUV frames
+# behind FRAME markers. This is the format video pipelines actually pass
+# between tools before/after codecs, and — being raw — it needs no
+# entropy machinery at all: the decode path is header parsing + plane
+# slicing + colorimetry. BT.601 conversion below uses the classic
+# integer fixed-point form, so every decoded RGB value is exact integer
+# arithmetic (SQL-replayable).
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+# plane-size rule per colorspace tag prefix: (chroma_w_div, chroma_h_div)
+_Y4M_SUBSAMPLE = {"C420": (2, 2), "C422": (2, 1), "C444": (1, 1)}
+
+
+def _y4m_subsample(ctag: str) -> tuple[int, int]:
+    for prefix, divs in _Y4M_SUBSAMPLE.items():
+        if ctag.startswith(prefix):
+            return divs
+    raise ValueError(f"unsupported Y4M colorspace {ctag!r}")
+
+
+def encode_y4m(frames, *, fps=(25, 1), colorspace: str = "C420jpeg") -> bytes:
+    """A real, valid YUV4MPEG2 writer from [(Y, U, V) uint8 plane
+    triples]. Y is (h, w); U/V are (h/dy, w/dx) per the colorspace's
+    subsampling. All frames must share one geometry (the format has a
+    single stream header)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("y4m needs at least one frame")
+    y0 = np.asarray(frames[0][0])
+    h, w = y0.shape
+    dx, dy = _y4m_subsample(colorspace)
+    if w % dx or h % dy:
+        raise ValueError(f"{colorspace} needs dims divisible by {dx}x{dy}")
+    head = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    ).encode()
+    out = bytearray(head)
+    for y, u, v in frames:
+        y = np.asarray(y, dtype=np.uint8)
+        u = np.asarray(u, dtype=np.uint8)
+        v = np.asarray(v, dtype=np.uint8)
+        if y.shape != (h, w) or u.shape != (h // dy, w // dx) or u.shape != v.shape:
+            raise ValueError("frame plane geometry mismatch")
+        out += b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    return bytes(out)
+
+
+def parse_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 stream → (params, [(Y, U, V) uint8 planes]).
+
+    params carries width, height, fps_num, fps_den, interlace,
+    colorspace. Tag grammar per the mjpegtools spec: space-separated,
+    first letter selects the parameter, unknown X-tags are skipped,
+    missing C defaults to C420. Truncated frames and bad magic raise
+    ValueError (A12 quarantine stance: loud, caller routes)."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(_Y4M_MAGIC + b" ") and payload[:nl] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps_num, fps_den = None, None
+    interlace = "p"
+    ctag = "C420jpeg"
+    for tag in fields[1:]:
+        if not tag:
+            continue
+        key, val = chr(tag[0]), tag[1:].decode("ascii", "strict")
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            a, b = val.split(":")
+            fps_num, fps_den = int(a), int(b)
+        elif key == "I":
+            interlace = val
+        elif key == "C":
+            ctag = "C" + val
+        elif key in ("A", "X"):
+            pass  # aspect ratio / extensions: carried, not interpreted
+        else:
+            raise ValueError(f"unknown Y4M tag {key!r}")
+    if not w or not h or not fps_num or not fps_den:
+        raise ValueError("Y4M header missing W/H/F")
+    dx, dy = _y4m_subsample(ctag)
+    if w % dx or h % dy:
+        raise ValueError(f"{ctag} needs dims divisible by {dx}x{dy}")
+    ysz, csz = w * h, (w // dx) * (h // dy)
+    fsz = ysz + 2 * csz
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + fsz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        buf = np.frombuffer(payload[pos : pos + fsz], dtype=np.uint8)
+        frames.append(
+            (
+                buf[:ysz].reshape(h, w).copy(),
+                buf[ysz : ysz + csz].reshape(h // dy, w // dx).copy(),
+                buf[ysz + csz :].reshape(h // dy, w // dx).copy(),
+            )
+        )
+        pos += fsz
+    return (
+        {
+            "width": w,
+            "height": h,
+            "fps_num": fps_num,
+            "fps_den": fps_den,
+            "interlace": interlace,
+            "colorspace": ctag,
+        },
+        frames,
+    )
+
+
+def yuv_to_rgb_bt601(y, u, v):
+    """ITU-R BT.601 limited-range YUV → RGB in the classic integer
+    fixed-point form (exact, branch-free, SQL-replayable):
+
+        C = Y-16, D = U-128, E = V-128
+        R = clip((298*C         + 409*E + 128) // 256)
+        G = clip((298*C - 100*D - 208*E + 128) // 256)
+        B = clip((298*C + 516*D         + 128) // 256)
+
+    Chroma planes smaller than Y are upsampled by sample-and-hold
+    (nearest), the subsampling inverse. Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    h, w = y.shape
+    if u.shape != (h, w):
+        u = np.repeat(np.repeat(u, h // u.shape[0], axis=0),
+                      w // u.shape[1], axis=1)
+        v = np.repeat(np.repeat(v, h // v.shape[0], axis=0),
+                      w // v.shape[1], axis=1)
+    c, d, e = y - 16, u - 128, v - 128
+    clip = lambda t: np.clip(t // 256, 0, 255)  # noqa: E731
+    r = clip(298 * c + 409 * e + 128)
+    g = clip(298 * c - 100 * d - 208 * e + 128)
+    b = clip(298 * c + 516 * d + 128)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)

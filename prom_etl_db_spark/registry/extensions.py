@@ -2727,3 +2727,54 @@ def image_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return phash.phash_neardup_pairs(phash.image_dhash_codes(docs), 6)
+
+
+@register(
+    "video_y4m_bt601_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, f.range AS f, r.range AS rr, c.range AS cc,
+         (d.doc_id * 3 + f.range * 11 + r.range * 5 + c.range * 7) % 256
+           AS y,
+         (d.doc_id * 5 + f.range * 7
+          + (r.range // 2) * 13 + (c.range // 2) * 3) % 256 AS u,
+         (d.doc_id * 7 + f.range * 5
+          + (r.range // 2) * 3 + (c.range // 2) * 13) % 256 AS v
+  FROM documents d
+  CROSS JOIN range(4) f CROSS JOIN range(8) r CROSS JOIN range(16) c
+  WHERE f.range < 2 + d.doc_id % 3
+), rgb AS (
+  SELECT doc_id,
+    greatest(least((298 * (y - 16) + 409 * (v - 128) + 128) // 256,
+                   255), 0) AS r,
+    greatest(least((298 * (y - 16) - 100 * (u - 128)
+                    - 208 * (v - 128) + 128) // 256, 255), 0) AS g,
+    greatest(least((298 * (y - 16) + 516 * (u - 128) + 128) // 256,
+                   255), 0) AS b
+  FROM px
+)
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 3 AS INT) AS n_frames,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(24 + doc_id % 6 AS INT) AS fps_num,
+       CAST(1001 AS INT) AS fps_den,
+       CAST(sum(r) AS BIGINT) AS rsum,
+       CAST(sum(g) AS BIGINT) AS gsum,
+       CAST(sum(b) AS BIGINT) AS bsum
+FROM rgb GROUP BY doc_id
+""",
+)
+def video_y4m_bt601_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 video, RAW interchange (r5): YUV4MPEG2 write → byte-level
+    re-parse (tag grammar incl. the F<num>:<den> frame-rate field,
+    FRAME markers, 4:2:0 plane slicing) → exact integer BT.601
+    fixed-point RGB conversion with sample-and-hold chroma upsampling
+    (`functions/video.py`). Raw video is lossless by definition, so the
+    oracle recomputes the whole pixel path in integer SQL — including
+    the clip((t+128)//256) form whose floor-vs-truncate divergence is
+    neutralized by the clamp (negative pre-clip values clip to 0 under
+    either semantics). Completes the video family: MJPEG-AVI (lossy
+    codec-in-container), GIF (lossless LZW), Y4M (raw)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.y4m_roundtrip_features(docs)
