@@ -30,6 +30,8 @@ __all__ = [
     "fingerprint",
     "zipf_token_stats",
     "kneser_ney_trigram_perplexity",
+    "nfc_normalize_col",
+    "nfc_normalize_features",
     "STOPWORDS",
     "BPE_SPLIT_RE",
 ]
@@ -1275,4 +1277,53 @@ def kneser_ney_trigram_perplexity(
             F.round("avg_logp", 6).alias("avg_logp"),
             F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
         )
+    )
+
+
+def nfc_normalize_col(col: Column) -> Column:
+    """Unicode NFC normalization (UAX #15) of a string column, as an
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` — the
+    canonical-composition pass every serious text pipeline runs before
+    tokenization/dedup (decomposed `e`+COMBINING ACUTE and precomposed
+    `é` must hash identically or every downstream dedup silently treats
+    them as different documents). Python's unicodedata and DuckDB's
+    utf8proc are INDEPENDENT implementations of the same UCD tables, so
+    the oracle comparison is genuine interop evidence, not self-
+    consistency. NULL passes through."""
+    import pandas as _pd  # noqa: F401 — pandas_udf needs the runtime dep
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc(col)
+
+
+def nfc_normalize_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document NFC accounting: the normalized text itself plus
+    codepoint lengths before/after and a changed flag. Pure map over
+    the scan (one Arrow batch exchange), zero shuffle at any corpus
+    size. Codepoint semantics: Spark's length() counts codepoints on
+    UTF8String exactly like DuckDB's length() — BMP and astral alike —
+    so the columns hash portably."""
+    inp = F.col(text_col)
+    # materialize the UDF column once (a repeated UDF expression is not
+    # guaranteed to dedup in the ArrowEvalPython extraction), then
+    # derive the accounting from plain Columns
+    once = docs.select(
+        F.col(id_col), inp.alias("_in"), nfc_normalize_col(inp).alias("text_nfc")
+    )
+    return once.select(
+        id_col,
+        F.length("_in").cast("int").alias("n_cp_in"),
+        F.length("text_nfc").cast("int").alias("n_cp_nfc"),
+        (F.col("text_nfc") != F.col("_in")).alias("changed"),
+        "text_nfc",
     )

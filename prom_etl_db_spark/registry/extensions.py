@@ -2778,3 +2778,57 @@ def video_y4m_bt601_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec-in-container), GIF (lossless LZW), Y4M (raw)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.y4m_roundtrip_features(docs)
+
+
+@register(
+    "doc_nfc_normalize",
+    oracle="""
+WITH built AS (
+  SELECT doc_id,
+         text || ' ' ||
+         CASE doc_id % 5
+           WHEN 0 THEN chr(101) || chr(769)
+           WHEN 1 THEN chr(8491)
+           WHEN 2 THEN chr(100) || chr(803) || chr(775)
+           WHEN 3 THEN chr(4370) || chr(4449) || chr(4523)
+           ELSE chr(64257)
+         END AS inp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(inp) AS INT) AS n_cp_in,
+       CAST(length(nfc_normalize(inp)) AS INT) AS n_cp_nfc,
+       nfc_normalize(inp) != inp AS changed,
+       nfc_normalize(inp) AS text_nfc
+FROM built
+""",
+)
+def doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (UAX #15 — r5): the canonical-
+    composition pass text pipelines run before tokenization/dedup. The
+    fixture corpus is ASCII (NFC-invariant), so the query plants five
+    deterministic strata in-query (the C4 construction trick):
+    combining-acute composition, the U+212B ANGSTROM singleton,
+    canonical REORDER + compose (dot-below before dot-above), Hangul
+    jamo → syllable composition, and the NFC-INVARIANT U+FB01 ligature
+    (so `changed` splits both ways under the driver hash). Spark runs
+    stdlib unicodedata in one Arrow batch; DuckDB runs utf8proc — two
+    independent implementations of the UCD tables, so the hash match
+    (which includes the full normalized TEXT) is real interop
+    evidence. Verified: both agree on every stratum including
+    reordering and Hangul (tests/test_nfc.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    marker = F.element_at(
+        F.array(
+            F.lit("é"),
+            F.lit("Å"),
+            F.lit("ḍ̇"),
+            F.lit("한"),
+            F.lit("ﬁ"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    built = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), marker).alias("text")
+    )
+    return text.nfc_normalize_features(built)
