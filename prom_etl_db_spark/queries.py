@@ -98,6 +98,15 @@ _GATE_PRIORITY = [
     # curation_pipeline_v2: NEW — the composed r5 flagship (substring
     # dedup rewrite -> gopher audit -> DSIR), one chained oracle.
     "curation_pipeline_v2",
+    # audio_spectrogram_{power,frames}: NEW — Q15 fixed-point short-time
+    # DFT over a real WAV roundtrip, exact-int64 oracle (twiddle table
+    # inlined as SQL literals on both sides).
+    "audio_spectrogram_power",
+    "audio_spectrogram_frames",
+    # audio_vad_segments: NEW — energy-threshold voice-activity islands
+    # composed on the Q15 spectrogram (exact-int threshold, no float
+    # boundary), gaps-and-islands oracle.
+    "audio_vad_segments",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

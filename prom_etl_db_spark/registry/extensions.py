@@ -17,6 +17,7 @@ from prom_etl_db_spark.functions import (  # noqa: F401
     multimodal,
     sampling,
     similarity,
+    spectral,
     text,
 )
 from prom_etl_db_spark.operators import analytics, promql  # noqa: F401
@@ -2832,3 +2833,156 @@ def doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), F.lit(" "), marker).alias("text")
     )
     return text.nfc_normalize_features(built)
+
+
+# =========================================================================
+# Round-5 continuation: fixed-point spectrogram (Q15 integer DFT).
+# =========================================================================
+
+# Shared oracle CTE builder for the spectrogram family: twiddle
+# integers are INLINED from the same Python table the Spark side uses
+# (one table by construction), so the whole pipeline — closed-form
+# signal, framing, Q15 DFT, bin power — is exact int64 arithmetic on
+# both sides. ``nf_sql``/``gate_sql``/``max_n``/``max_f`` parameterize
+# the fixture shape (the VAD query uses a longer, tone-gated signal).
+
+
+def _spectro_ctes(nf_sql: str, gate_sql: str, max_n: int, max_f: int) -> str:
+    return f"""
+WITH tw(m, c, s) AS (VALUES {spectral.twiddle_values_sql()}),
+d AS (
+  SELECT doc_id, {nf_sql} AS nf, 1 + doc_id % 15 AS k0
+  FROM documents
+),
+samp AS (
+  SELECT d.doc_id, i.range AS n,
+         ((d.doc_id + 5 * i.range) % 97) - 48
+           + CAST(floor(tw.c * {spectral.TONE_AMP} / 32768.0) AS BIGINT)
+             * ({gate_sql}) AS x
+  FROM d CROSS JOIN range({max_n}) i
+  JOIN tw ON tw.m = (d.k0 * i.range) % 32
+  WHERE i.range < 16 * d.nf + 16
+),
+fr AS (
+  SELECT doc_id, f.range AS f FROM d CROSS JOIN range({max_f}) f
+  WHERE f.range < d.nf
+),
+dft AS (
+  SELECT fr.doc_id, fr.f, k.range AS k,
+         sum(sa.x * t.c) AS xre, sum(sa.x * t.s) AS xim
+  FROM fr
+  JOIN samp sa ON sa.doc_id = fr.doc_id
+   AND sa.n >= fr.f * 16 AND sa.n < fr.f * 16 + 32
+  CROSS JOIN range(17) k
+  JOIN tw t ON t.m = (k.range * (sa.n - fr.f * 16)) % 32
+  GROUP BY fr.doc_id, fr.f, k.range
+),
+dftp AS (
+  SELECT doc_id, f, k, xre * xre + xim * xim AS pw FROM dft
+)
+"""
+
+
+_SPECTRO_CTES = _spectro_ctes("2 + doc_id % 3", "1", 80, 4)
+
+
+@register(
+    "audio_spectrogram_power",
+    oracle=_SPECTRO_CTES
+    + """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame, CAST(k AS INT) AS bin,
+       CAST(pw AS BIGINT) AS power_fp
+FROM dftp
+""",
+)
+def audio_spectrogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, short-time spectrogram (r5): per document a REAL
+    PCM-16 WAV of a closed-form signal (strong cosine at bin
+    1 + doc_id%15 over broadband residue) is written, decoded back
+    (full RIFF walk), framed at 50 % overlap, and pushed through a
+    Q15 FIXED-POINT 32-point DFT — integer twiddles round(cos·2^15),
+    exactly the arithmetic embedded DSP FFTs use — yielding one exact
+    int64 power per (clip, frame, bin). The oracle replays the whole
+    chain with the SAME twiddle integers inlined as SQL literals, so
+    the driver hash is bit-exact with zero float-summation hazard (the
+    documented `.00005` boundary problem of float-sum oracles cannot
+    occur). Reference scope: §2.E multimodal extension (the reference
+    treats media as opaque payloads)."""
+    docs = _t(spark, sf_dir, "documents")
+    return spectral.spectrogram_power(docs)
+
+
+@register(
+    "audio_spectrogram_frames",
+    oracle=_SPECTRO_CTES
+    + """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+       CAST(31 - (max(CASE WHEN k >= 1 THEN pw * 32 + (31 - k) END) % 32)
+            AS INT) AS dominant_bin,
+       CAST(sum(CASE WHEN k <= 1 THEN pw ELSE 0 END) AS BIGINT) AS e_low,
+       CAST(sum(CASE WHEN k >= 2 AND k <= 7 THEN pw ELSE 0 END)
+            AS BIGINT) AS e_mid,
+       CAST(sum(CASE WHEN k >= 8 THEN pw ELSE 0 END) AS BIGINT) AS e_high,
+       CAST(sum(pw) AS BIGINT) AS e_total
+FROM dftp GROUP BY doc_id, f
+""",
+)
+def audio_spectrogram_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, frame-level spectral descriptors (r5): dominant
+    non-DC bin + three band energies + total per (clip, frame), the
+    row a VAD / audio-quality filter consumes. Spark computes it as
+    ONE hash agg over the spectrogram (struct-max for the
+    deterministic max-power-then-lowest-bin tiebreak — no window, no
+    second DFT pass); the oracle encodes the same tiebreak as a
+    lexicographic pack (pw·32 + (31−k), hugeint-safe in DuckDB). All
+    values exact int64 — the dominant bin over the fixture recovers
+    each clip's planted tone, so the hash also pins the DFT's
+    frequency axis, not just its algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return spectral.spectrogram_frame_features(docs)
+
+
+@register(
+    "audio_vad_segments",
+    oracle=_spectro_ctes(
+        "8 + doc_id % 5",
+        "CASE WHEN (d.doc_id + i.range // 32) % 3 = 0 THEN 0 ELSE 1 END",
+        208,
+        12,
+    )
+    + f"""
+, ftot AS (
+  SELECT doc_id, f, sum(pw) AS e_total FROM dftp GROUP BY doc_id, f
+), act AS (
+  SELECT doc_id, f,
+         CASE WHEN f != lag(f) OVER w + 1 THEN 1 ELSE 0 END AS brk,
+         e_total
+  FROM ftot WHERE e_total >= {spectral.VAD_THRESHOLD}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+), seg AS (
+  SELECT doc_id, f, e_total,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+  FROM act
+)
+SELECT doc_id AS media_id, CAST(segment AS BIGINT) AS segment,
+       CAST(min(f) AS INT) AS start_frame,
+       CAST(max(f) AS INT) AS end_frame,
+       count(*) AS n_frames,
+       CAST(sum(e_total) AS BIGINT) AS seg_energy
+FROM seg GROUP BY doc_id, segment
+""",
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, voice-activity segmentation (r5): the utterance-cutting
+    step of a speech curation pipeline, composed ON TOP of the Q15
+    spectrogram — per clip (a longer fixture whose planted tone is
+    GATED off in every third 32-sample block, so activity genuinely
+    alternates), frames clearing a total-power threshold are merged
+    into maximal consecutive runs (gaps-and-islands, windows
+    partitioned by the bounded media_id key). Because frame power is
+    exact int64, the threshold comparison has NO float boundary — the
+    oracle replays fixture, DFT, threshold, and island-merge verbatim
+    and the hash pins segment boundaries, lengths, and energies."""
+    docs = _t(spark, sf_dir, "documents")
+    return spectral.vad_segments(docs)
