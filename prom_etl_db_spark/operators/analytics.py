@@ -337,3 +337,105 @@ def funnel_levels(
         F.lit(0),
     )
     return folded.select("user_id", level_expr.cast("int").alias("funnel_level"))
+
+
+# -- LTTB downsampling ------------------------------------------------------
+
+
+def lttb_downsample(
+    events: DataFrame,
+    series_col: str = "event_type",
+    threshold: int = 20,
+    base_ts: datetime = datetime(2024, 1, 1),
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the algorithm Grafana/Prometheus dashboards use to draw a 2M-point
+    series with 1k pixels): per series, keep first and last points and,
+    for each of ``threshold−2`` equal-COUNT buckets of interior points,
+    the point maximizing the triangle area against the previously
+    selected point and the NEXT bucket's centroid (the last bucket uses
+    the final point as its anchor).
+
+    Determinism-by-construction (the driver hash relies on it): the x
+    axis is integer milliseconds since ``base_ts`` and values are
+    floored to integers, so every centroid SUM is exact in float64
+    (rebased ms sums stay ≪ 2^53 at any SF) and every area is computed
+    from bit-identical operands with a fixed expression tree — Spark
+    and the DuckDB oracle make the identical argmax choice, ties broken
+    toward the earliest point.
+
+    Scale posture: the sequential chain (bucket i's choice feeds bucket
+    i+1) is per-series, so the implementation is applyInPandas grouped
+    by the series key — embarrassingly parallel across series, which is
+    the real cardinality axis at 100 TB (millions of series × bounded
+    points per dashboard window). Series longer than executor memory
+    should be pre-windowed by time range (the dashboard contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base_us = int(base_ts.timestamp() * 1_000_000)
+    schema = StructType(
+        [
+            StructField("series", StringType(), False),
+            StructField("pos", IntegerType(), False),
+            StructField("x_ms", LongType(), False),
+            StructField("v", LongType(), False),
+        ]
+    )
+
+    def one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = (pdf["ts"].astype("datetime64[us]").astype("int64") - base_us) // 1000
+        x = x.to_numpy(dtype=np.int64)
+        v = np.floor(pdf["value"].to_numpy(dtype=np.float64) + 0.5).astype(np.int64)
+        n, t = len(x), threshold
+        s = str(pdf[series_col].iloc[0])
+        if n <= t:
+            return pd.DataFrame(
+                {"series": s, "pos": np.arange(n, dtype=np.int32),
+                 "x_ms": x, "v": v}
+            )
+        nb = t - 2
+        # interior point i (0-based 1..n-2) -> bucket (i-1)*nb // (n-2)
+        idx = np.arange(1, n - 1, dtype=np.int64)
+        bucket = (idx - 1) * nb // (n - 2)
+        sel_x, sel_v = [x[0]], [v[0]]
+        ax, ay = float(x[0]), float(v[0])
+        for b in range(nb):
+            cur = idx[bucket == b]
+            if b + 1 < nb:
+                nxt = idx[bucket == b + 1]
+                cx = float(x[nxt].sum()) / len(nxt)
+                cy = float(v[nxt].sum()) / len(nxt)
+            else:
+                cx, cy = float(x[n - 1]), float(v[n - 1])
+            bx = x[cur].astype(np.float64)
+            by = v[cur].astype(np.float64)
+            area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+            # argmax with earliest-x tiebreak: np.argmax takes the first
+            # maximum and cur is in ascending x order
+            j = cur[int(np.argmax(area))]
+            sel_x.append(int(x[j]))
+            sel_v.append(int(v[j]))
+            ax, ay = float(x[j]), float(v[j])
+        sel_x.append(int(x[n - 1]))
+        sel_v.append(int(v[n - 1]))
+        return pd.DataFrame(
+            {
+                "series": s,
+                "pos": np.arange(t, dtype=np.int32),
+                "x_ms": np.array(sel_x, dtype=np.int64),
+                "v": np.array(sel_v, dtype=np.int64),
+            }
+        )
+
+    cols = events.select(series_col, "ts", "event_id", "value")
+    return cols.groupBy(series_col).applyInPandas(one_series, schema)

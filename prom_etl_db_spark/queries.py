@@ -107,6 +107,9 @@ _GATE_PRIORITY = [
     # composed on the Q15 spectrogram (exact-int threshold, no float
     # boundary), gaps-and-islands oracle.
     "audio_vad_segments",
+    # metrics_lttb_downsample: NEW — LTTB dashboard downsampler,
+    # recursive-CTE oracle replaying the sequential argmax chain.
+    "metrics_lttb_downsample",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

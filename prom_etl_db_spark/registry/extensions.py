@@ -2986,3 +2986,67 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the hash pins segment boundaries, lengths, and energies."""
     docs = _t(spark, sf_dir, "documents")
     return spectral.vad_segments(docs)
+
+
+@register(
+    "metrics_lttb_downsample",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT event_type AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000 AS DOUBLE) AS x,
+         floor(value + 0.5) AS v
+  FROM events
+), ib AS (
+  SELECT s, i, x, v, (i - 2) * 18 // (n - 2) AS b FROM pts
+  WHERE i >= 2 AND i <= n - 1
+), cand AS (
+  SELECT s, b, list(struct_pack(x := x, v := v) ORDER BY i) AS cpts
+  FROM ib GROUP BY s, b
+), avgs AS (
+  SELECT s, b, avg(x) AS cx, avg(v) AS cy FROM ib GROUP BY s, b
+), lastp AS (
+  SELECT s, x, v FROM pts WHERE i = n
+), firstp AS (
+  SELECT s, x, v FROM pts WHERE i = 1
+), nxt AS (
+  SELECT c.s, c.b, c.cpts,
+         coalesce(a.cx, l.x) AS cx, coalesce(a.cy, l.v) AS cy
+  FROM cand c
+  LEFT JOIN avgs a ON a.s = c.s AND a.b = c.b + 1
+  JOIN lastp l ON l.s = c.s
+), rec AS (
+  SELECT s, CAST(-1 AS BIGINT) AS b, x AS ax, v AS ay FROM firstp
+  UNION ALL
+  SELECT n.s, n.b,
+    list_max([{'a': abs((r.ax - n.cx) * (p.v - r.ay) - (r.ax - p.x) * (n.cy - r.ay)),
+               'nx': -p.x, 'x': p.x, 'v': p.v} for p in n.cpts]).x AS ax,
+    list_max([{'a': abs((r.ax - n.cx) * (p.v - r.ay) - (r.ax - p.x) * (n.cy - r.ay)),
+               'nx': -p.x, 'x': p.x, 'v': p.v} for p in n.cpts]).v AS ay
+  FROM rec r JOIN nxt n ON n.s = r.s AND n.b = r.b + 1
+)
+SELECT s AS series, CAST(b + 1 AS INT) AS pos,
+       CAST(ax AS BIGINT) AS x_ms, CAST(ay AS BIGINT) AS v
+FROM rec
+UNION ALL
+SELECT s AS series, 19 AS pos, CAST(x AS BIGINT) AS x_ms, CAST(v AS BIGINT) AS v
+FROM lastp
+""",
+)
+def metrics_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-ext, LTTB downsampling (Steinarsson 2013 — r5): the
+    dashboard-rendering downsampler (Grafana's default for big series)
+    over the events fixture, 20 points per event_type series. The
+    sequential select-chain (bucket i's pick anchors bucket i+1's
+    triangle) runs per-series in applyInPandas — parallel across
+    series, the real cardinality axis; the oracle replays the chain
+    with a recursive CTE whose per-step argmax is a list-comprehension
+    lexicographic max (area, then earliest x). Determinism is BY
+    CONSTRUCTION: integer-ms x rebased to 2024-01-01 and floor(v+0.5)
+    integer values make every centroid sum exact in float64 and every
+    triangle area a fixed expression tree over bit-identical operands
+    — so Spark and DuckDB provably make the same choices (verified
+    0 mismatches), with no float-boundary hazard in the hash."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.lttb_downsample(ev)

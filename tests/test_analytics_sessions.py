@@ -234,3 +234,56 @@ def test_sessionize_exact_gap_boundary_splits_like_streaming(spark):
         sessionize(ev, gap="30 minutes").collect(), key=lambda r: r["session_no"]
     )
     assert [(r["session_no"], r["n_events"]) for r in out] == [(0, 1), (1, 2)]
+
+
+
+# -- LTTB downsampling (round 5) ---------------------------------------------
+
+
+def test_lttb_keeps_endpoints_spike_and_count(spark):
+    from datetime import datetime, timedelta
+
+    from prom_etl_db_spark.operators.analytics import lttb_downsample
+
+    t0 = datetime(2024, 1, 2)
+    rows = []
+    for i in range(40):
+        # flat series with one huge spike at i=17
+        rows.append((i, t0 + timedelta(minutes=i), 1, "s", 1000.0 if i == 17 else 10.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = sorted(lttb_downsample(ev, threshold=6).collect(), key=lambda r: r.pos)
+    assert len(out) == 6
+    xs = [r.x_ms for r in out]
+    assert xs == sorted(xs)
+    base_ms = int((t0 - datetime(2024, 1, 1)).total_seconds() * 1000)
+    assert out[0].x_ms == base_ms                      # first point kept
+    assert out[-1].x_ms == base_ms + 39 * 60_000       # last point kept
+    assert any(r.v == 1000 for r in out)               # the spike survives
+    # short series: all points pass through untouched
+    short = spark.createDataFrame(
+        rows[:5], ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    assert len(lttb_downsample(short, threshold=6).collect()) == 5
+
+
+def test_lttb_tiebreak_prefers_earliest(spark):
+    from datetime import datetime, timedelta
+
+    from prom_etl_db_spark.operators.analytics import lttb_downsample
+
+    t0 = datetime(2024, 1, 2)
+    # interior points all identical value -> every area in a bucket equal
+    # (zero) except where geometry forces it; with a strictly flat series
+    # all areas are 0 and the FIRST candidate of each bucket must win
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "s", 5.0, "{}") for i in range(22)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = sorted(lttb_downsample(ev, threshold=6).collect(), key=lambda r: r.pos)
+    # buckets over interior 1..20 (20 pts, 4 buckets of 5): first of each
+    got_idx = [(r.x_ms // 60_000) - 24 * 60 for r in out]
+    assert got_idx == [0, 1, 6, 11, 16, 21]
