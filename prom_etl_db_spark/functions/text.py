@@ -1327,3 +1327,85 @@ def nfc_normalize_features(
         (F.col("text_nfc") != F.col("_in")).alias("changed"),
         "text_nfc",
     )
+
+
+# -- HTML text extraction (round 5) -----------------------------------------
+
+# Tag/entity passes shared by html_extract_text and its oracle builder.
+# Patterns are written in the RE2-compatible subset (inline (?is) flags,
+# non-greedy, ASCII \b and character classes, no lookaround/backrefs) so
+# Java regex (Spark, whole-stage codegen) and RE2 (DuckDB) agree — the
+# driver hash over the full extracted text IS the interop check.
+HTML_BLOCK_TAGS = "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article"
+HTML_STRIP_PASSES = (
+    (r"(?is)<head\b[^>]*>.*?</head\s*>", " "),
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (rf"(?is)</?({HTML_BLOCK_TAGS})\b[^>]*/?>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+)
+# decode order matters: &amp; LAST so "&amp;lt;" yields "&lt;" not "<"
+HTML_ENTITY_PASSES = (
+    ("&nbsp;", " "),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&quot;", '"'),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+HTML_WS_PASSES = (
+    (r"[ \t\r\f]+", " "),
+    (r" *\n *", "\n"),
+    (r"\n{3,}", "\n\n"),
+)
+
+
+def html_extract_text(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML → clean text, the step C4/CCNet run on every crawled page
+    before any quality scoring or dedup: drop script/style/comment
+    subtrees, turn block-level tags into line breaks, strip remaining
+    tags, decode the common entities, and normalize whitespace.
+
+    Spark-first: the WHOLE pass is a chain of built-in regexp_replace /
+    replace Columns — it runs inside whole-stage codegen with zero
+    Python in the hot path, trivially parallel over pages (narrow plan,
+    no shuffle). The oracle replays the identical RE2-safe patterns in
+    DuckDB, so the driver hash over the full cleaned text cross-checks
+    two independent regex engines (Java util.regex vs RE2)."""
+    c = F.col(html_col)
+    for pat, repl in HTML_STRIP_PASSES:
+        c = F.regexp_replace(c, pat, repl)
+    for lit, repl in HTML_ENTITY_PASSES:
+        c = F.replace(c, F.lit(lit), F.lit(repl))
+    for pat, repl in HTML_WS_PASSES:
+        c = F.regexp_replace(c, pat, repl)
+    # btrim with an explicit charset: Java's `$` matches before a final
+    # newline while RE2's doesn't, so anchored-regex trimming would be a
+    # dialect trap — char-set trim is identical in both engines
+    c = F.btrim(c, F.lit(" \n"))
+    return docs.select(
+        "doc_id",
+        c.alias("clean_text"),
+        F.length(c).cast("int").alias("n_chars"),
+        (F.size(F.split(c, "\n", -1))).cast("int").alias("n_lines"),
+    )
+
+
+def html_extract_oracle_exprs() -> str:
+    """The DuckDB expression mirroring html_extract_text for a column
+    named ``html`` — kept next to the passes so adding a pass updates
+    both engines together."""
+    expr = "html"
+    for pat, repl in HTML_STRIP_PASSES:
+        sq = repl.replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{pat}', '{sq}', 'g')"
+    for lit, repl in HTML_ENTITY_PASSES:
+        lit_sql = lit.replace("'", "''")
+        repl_sql = repl.replace("'", "''")
+        expr = f"replace({expr}, '{lit_sql}', '{repl_sql}')"
+    for pat, repl in HTML_WS_PASSES:
+        sq = repl.replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{pat}', '{sq}', 'g')"
+    return f"trim({expr}, ' ' || chr(10))"

@@ -110,6 +110,10 @@ _GATE_PRIORITY = [
     # metrics_lttb_downsample: NEW — LTTB dashboard downsampler,
     # recursive-CTE oracle replaying the sequential argmax chain.
     "metrics_lttb_downsample",
+    # doc_html_extract: NEW — HTML→text cleaning as a pure
+    # regexp_replace chain; the hash cross-checks java.util.regex vs
+    # RE2 on the full cleaned text.
+    "doc_html_extract",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

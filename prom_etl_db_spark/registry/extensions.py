@@ -3050,3 +3050,67 @@ def metrics_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 mismatches), with no float-boundary hazard in the hash."""
     ev = _t(spark, sf_dir, "events")
     return analytics.lttb_downsample(ev)
+
+
+# HTML-extraction fixture: ONE template, injected into both the Spark
+# builder and the oracle SQL (escaped), so the page both engines clean
+# is byte-identical. Strata exercise every pass: script with internal
+# '<' and quotes, style with braces, comment hiding tags, block tags,
+# attribute-heavy inline tags, self-closing br, the whole entity set,
+# and double-encoding (&amp;lt; must yield literal '&lt;').
+_HTML_PREFIX = (
+    '<html><head><title>T</title><style>p { color: red; }</style>'
+    '<script type="text/javascript">if (a<b) { alert("x&y"); }</script>'
+    "</head><body><!-- hidden <b>comment</b> -->"
+    "<h1>Title &amp; More</h1><p class=\"lead\">"
+)
+_HTML_SUFFIX = (
+    "</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;here"
+    " and &amp;lt;kept&amp;gt;</div><ul><li>one</li>"
+    '<li>two <a href="http://e.com?a=1&amp;b=2">link text</a></li></ul>'
+    "<br/>tail words</body></html>"
+)
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+@register(
+    "doc_html_extract",
+    oracle=f"""
+WITH page AS (
+  SELECT doc_id,
+         '{_sqlq(_HTML_PREFIX)}' || text || '{_sqlq(_HTML_SUFFIX)}' AS html
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, {text.html_extract_oracle_exprs()} AS clean_text
+  FROM page
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS INT) AS n_chars,
+       CAST(length(clean_text)
+            - length(replace(clean_text, chr(10), '')) + 1 AS INT) AS n_lines
+FROM cleaned
+""",
+)
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 text, HTML → text extraction (r5): the page-cleaning step C4/
+    CCNet run on every crawled document before quality scoring — drop
+    script/style/comment subtrees, block tags → line breaks, strip
+    remaining tags, decode entities (&amp; last, so double-encoded
+    text stays encoded), normalize whitespace. The ENTIRE pass is a
+    chain of built-in regexp_replace/replace Columns (whole-stage
+    codegen, zero Python, narrow no-shuffle plan); patterns are written
+    in the RE2-compatible subset and the oracle replays them in DuckDB,
+    so the driver hash over the full cleaned text cross-checks two
+    independent regex engines (java.util.regex vs RE2) on the same
+    stratified page."""
+    docs = _t(spark, sf_dir, "documents")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)
+        ).alias("html"),
+    )
+    return text.html_extract_text(page)

@@ -497,3 +497,55 @@ def test_curation_ops_survive_degenerate_documents(spark):
     assert {r["doc_id"] for r in b.collect()} == {9}  # documented omission
     d = dsir_logweights(docs, target=train)
     assert {r["doc_id"] for r in d.collect()} == {7, 9}
+
+
+# -- HTML extraction (round 5) -----------------------------------------------
+
+
+def test_html_extract_strata(spark):
+    from prom_etl_db_spark.functions.text import html_extract_text
+
+    cases = [
+        # (html, expected clean_text)
+        ("<p>a</p><p>b</p>", "a\n\nb"),
+        ("<script>if (a<b) alert('</scriptx>');</script>rest", "rest"),
+        ("<style>p { x: y; }</style>keep", "keep"),
+        ("<head><title>T</title><style>s</style></head><body>B</body>", "B"),
+        ("<!-- <b>hidden</b> -->shown", "shown"),
+        ("Tom &amp; Jerry &lt;3 &#39;s &nbsp;x", "Tom & Jerry <3 's x"),
+        ("double &amp;lt; stays", "double &lt; stays"),
+        ("<div>a<br/>b</div>", "a\nb"),  # br is a single break
+        ("<a href='u'>inline</a> <b>bold</b>", "inline bold"),
+        ("a \t  b\n\n\n\nc", "a b\n\nc"),
+        ("plain text unchanged", "plain text unchanged"),
+        ("<ul><li>x</li><li>y</li></ul>", "x\n\ny"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["doc_id", "html"]
+    )
+    got = {r.doc_id: r for r in html_extract_text(df).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i].clean_text == want, (h, got[i].clean_text)
+        assert got[i].n_chars == len(want)
+        assert got[i].n_lines == want.count("\n") + 1
+
+
+def test_html_extract_oracle_exprs_parity_on_edge_strings():
+    """The DuckDB mirror produces the same text as Spark's passes on a
+    torture page — two regex engines, one answer (the unit-level twin
+    of the driver hash)."""
+    import duckdb
+
+    from prom_etl_db_spark.functions.text import html_extract_oracle_exprs
+
+    page = (
+        "<head><script>a<b</script></head>"
+        "<P CLASS='x'>Mixed &amp; CASE</p><BR>t &amp;amp; u"
+        "<!-- c --><table><tr><td>c1</td></tr></table>"
+    )
+    con = duckdb.connect()
+    expr = html_extract_oracle_exprs()
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS html)", [page]
+    ).fetchone()[0]
+    assert got == "Mixed & CASE\n\nt &amp; u\n\nc1"
