@@ -114,6 +114,9 @@ _GATE_PRIORITY = [
     # regexp_replace chain; the hash cross-checks java.util.regex vs
     # RE2 on the full cleaned text.
     "doc_html_extract",
+    # tsdb_gorilla_compress: NEW — Gorilla dod+XOR bitstream codec with
+    # asserted bit-exact roundtrip; recursive-CTE control-window oracle.
+    "tsdb_gorilla_compress",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

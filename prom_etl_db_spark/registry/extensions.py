@@ -20,6 +20,7 @@ from prom_etl_db_spark.functions import (  # noqa: F401
     spectral,
     text,
 )
+from prom_etl_db_spark.functions import gorilla  # noqa: F401
 from prom_etl_db_spark.operators import analytics, promql  # noqa: F401
 from prom_etl_db_spark.registry.core import (  # noqa: F401
     FLAGSHIP_DAY,
@@ -3114,3 +3115,82 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return text.html_extract_text(page)
+
+
+@register(
+    "tsdb_gorilla_compress",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT event_type AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS t,
+         CAST(floor(value + 0.5) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT s, i, t, v,
+         t - lag(t) OVER w AS delta,
+         lag(v) OVER w AS pv
+  FROM pts WINDOW w AS (PARTITION BY s ORDER BY i)
+), dd AS (
+  SELECT s, i, v, pv,
+         delta - coalesce(lag(delta) OVER (PARTITION BY s ORDER BY i), 0) AS dod,
+         CASE WHEN i = 0 THEN NULL ELSE xor(v, pv) END AS x
+  FROM d
+), tsb AS (
+  SELECT s, i, v,
+         CASE WHEN i = 0 THEN 64
+              WHEN dod = 0 THEN 1
+              WHEN dod BETWEEN -63 AND 64 THEN 9
+              WHEN dod BETWEEN -255 AND 256 THEN 12
+              WHEN dod BETWEEN -2047 AND 2048 THEN 16
+              ELSE 36 END AS ts_bits,
+         x,
+         CASE WHEN x IS NULL OR x = 0 THEN NULL
+              WHEN x > 0 THEN 64 - length(bin(x)) ELSE 0 END AS lz,
+         CASE WHEN x IS NULL OR x = 0 THEN NULL
+              ELSE length(bin(x)) - length(rtrim(bin(x), '0')) END AS tz
+  FROM dd
+), rec AS (
+  SELECT s, CAST(0 AS BIGINT) AS i, 99 AS s_lead, 99 AS s_trail,
+         CAST(64 AS BIGINT) AS vbits
+  FROM tsb WHERE i = 0
+  UNION ALL
+  SELECT st.s, st.i,
+    CASE WHEN st.x = 0 OR (st.lz >= r.s_lead AND st.tz >= r.s_trail)
+         THEN r.s_lead ELSE least(st.lz, 31) END,
+    CASE WHEN st.x = 0 OR (st.lz >= r.s_lead AND st.tz >= r.s_trail)
+         THEN r.s_trail ELSE st.tz END,
+    CAST(CASE WHEN st.x = 0 THEN 1
+         WHEN st.lz >= r.s_lead AND st.tz >= r.s_trail
+         THEN 2 + (64 - r.s_lead - r.s_trail)
+         ELSE 13 + (64 - least(st.lz, 31) - st.tz) END AS BIGINT)
+  FROM rec r JOIN tsb st ON st.s = r.s AND st.i = r.i + 1
+)
+SELECT t.s AS series, CAST(t.i // 64 AS INT) AS block,
+       count(*) AS n_samples,
+       CAST(sum(t.ts_bits) AS BIGINT) AS ts_bits,
+       CAST(sum(r.vbits) AS BIGINT) AS val_bits,
+       CAST(count(*) FILTER (t.x = 0) AS BIGINT) AS n_xor_zero,
+       CAST(sum(t.v) AS BIGINT) AS v_sum,
+       CAST(min(t.v) AS BIGINT) AS v_min,
+       CAST(max(t.v) AS BIGINT) AS v_max
+FROM tsb t JOIN rec r ON r.s = t.s AND r.i = t.i
+GROUP BY t.s, t.i // 64
+""",
+)
+def tsdb_gorilla_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-extended storage posture, Gorilla TSDB compression (Pelkonen
+    et al., VLDB 2015 — r5): the delta-of-delta + XOR bitstream
+    encoding Prometheus's TSDB descends from (the reference delegates
+    storage efficiency to Prometheus; here it is a first-class
+    verifiable operator). Spark encodes each event_type series into a
+    REAL bitstream, decodes it back, asserts bit-exact roundtrip, and
+    emits per-64-sample-block stats: exact ts/value bit costs,
+    xor-zero runs, and decoded-value sum/min/max (== originals by the
+    asserted losslessness, the FLAC pattern). The oracle replays the
+    dod bucket table with two window lags and the XOR control-window
+    chain with a recursive CTE (leading/trailing zeros via exact
+    bin()-string arithmetic — no float log2), so the driver hash pins
+    every branch of the encoder's cost model plus the decode path."""
+    ev = _t(spark, sf_dir, "events")
+    return gorilla.gorilla_compress_features(ev)
