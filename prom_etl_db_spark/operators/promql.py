@@ -2759,3 +2759,62 @@ def gapfill_locf(resampled: DataFrame, step: str, *, until: datetime | None = No
     return joined.withColumn(
         "value", F.last("value", ignorenulls=True).over(w)
     ).withColumn("labels", F.map_from_entries("__series"))
+
+
+# -- calendar / sign functions (round 5) -------------------------------------
+
+
+def time_component_columns(v_seconds: Column) -> dict[str, Column]:
+    """PromQL's calendar function family (`year month day_of_month
+    day_of_week day_of_year days_in_month hour minute` — Prometheus
+    docs/querying/functions) over a vector of epoch SECONDS, computed
+    TIMEZONE-FREE in pure integer Column arithmetic via Hinnant's
+    civil-from-days algorithm (https://howardhinnant.github.io/
+    date_algorithms.html). Using `F.year(timestamp_seconds(v))` would
+    silently read the SESSION timezone — the vanilla driver session
+    makes that a real trap; closed-form integer math is deterministic
+    everywhere and stays inside whole-stage codegen. The DuckDB oracle
+    extracts the same components with its own calendar library, so the
+    driver hash cross-checks two independent civil-calendar
+    implementations (the NFC pattern)."""
+    v = v_seconds.cast("long")
+    days = F.floor(v / 86400).cast("long")
+    # civil_from_days (valid for all days >= -719468, i.e. year >= 0)
+    z = days + F.lit(719468)
+    era = F.floor(z / 146097).cast("long")
+    doe = z - era * 146097
+    yoe = F.floor(
+        (doe - F.floor(doe / 1460) + F.floor(doe / 36524) - F.floor(doe / 146096))
+        / 365
+    ).cast("long")
+    y0 = yoe + era * 400
+    doy0 = doe - (yoe * 365 + F.floor(yoe / 4) - F.floor(yoe / 100))
+    mp = F.floor((doy0 * 5 + 2) / 153).cast("long")
+    dom = doy0 - F.floor((mp * 153 + 2) / 5) + 1
+    month = F.when(mp < 10, mp + 3).otherwise(mp - 9)
+    year = F.when(month <= 2, y0 + 1).otherwise(y0)
+    leap = ((year % 4 == 0) & (year % 100 != 0)) | (year % 400 == 0)
+    days_in_month = (
+        F.when(month == 2, F.when(leap, 29).otherwise(28))
+        .when(month.isin(4, 6, 9, 11), 30)
+        .otherwise(31)
+    )
+    # day-of-year via days_from_civil(year, 1, 1): epoch day of Jan 1 is
+    # 365·(y−1) + leaps(y−1) − 719162 (719162 = days from 0001-01-01 to
+    # 1970-01-01 in the proleptic Gregorian calendar; pinned by tests
+    # against datetime.toordinal)
+    yj = year - 1
+    jan1 = (
+        yj * 365 + F.floor(yj / 4) - F.floor(yj / 100) + F.floor(yj / 400) - 719162
+    )
+    doy = days - jan1 + 1
+    return {
+        "year": year.cast("int"),
+        "month": month.cast("int"),
+        "day_of_month": dom.cast("int"),
+        "day_of_week": ((days + 4) % 7).cast("int"),  # 0 = Sunday
+        "day_of_year": doy.cast("int"),
+        "days_in_month": days_in_month.cast("int"),
+        "hour": ((F.floor(v / 3600)) % 24).cast("int"),
+        "minute": ((F.floor(v / 60)) % 60).cast("int"),
+    }

@@ -117,6 +117,9 @@ _GATE_PRIORITY = [
     # tsdb_gorilla_compress: NEW — Gorilla dod+XOR bitstream codec with
     # asserted bit-exact roundtrip; recursive-CTE control-window oracle.
     "tsdb_gorilla_compress",
+    # promql_time_components: NEW — PromQL calendar family + sgn,
+    # TZ-free civil-from-days vs DuckDB's calendar library.
+    "promql_time_components",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -3194,3 +3194,64 @@ def tsdb_gorilla_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     every branch of the encoder's cost model plus the decode path."""
     ev = _t(spark, sf_dir, "events")
     return gorilla.gorilla_compress_features(ev)
+
+
+@register(
+    "promql_time_components",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         epoch_us(ts) // 1000000 AS v,
+         make_timestamp((epoch_us(ts) // 1000000) * 1000000) AS t,
+         value, event_type
+  FROM events
+)
+SELECT event_id,
+       CAST(CASE event_id % 3 WHEN 0 THEN sign(-value)
+            WHEN 1 THEN 0.0 ELSE sign(value) END AS DOUBLE) AS sgn,
+       CAST(year(t) AS INT) AS year,
+       CAST(month(t) AS INT) AS month,
+       CAST(day(t) AS INT) AS day_of_month,
+       CAST(dayofweek(t) % 7 AS INT) AS day_of_week,
+       CAST(dayofyear(t) AS INT) AS day_of_year,
+       CAST(day(last_day(t)) AS INT) AS days_in_month,
+       CAST(hour(t) AS INT) AS hour,
+       CAST(minute(t) AS INT) AS minute
+FROM s
+""",
+)
+def promql_time_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-extended, PromQL calendar + sign family (r5): `year month
+    day_of_month day_of_week day_of_year days_in_month hour minute`
+    (Prometheus functions.md) computed TIMEZONE-FREE via Hinnant's
+    civil-from-days integer algorithm in pure Columns — session-TZ
+    `F.year()` would silently shift under the vanilla driver session —
+    plus `sgn` over a three-way stratum so all of {-1, 0, 1} appear.
+    The oracle extracts components with DuckDB's own calendar library:
+    two independent proleptic-Gregorian implementations, one hash
+    (validated on 3005 random epochs through year ~2096 under a
+    hostile session timezone)."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it and a cast through
+    # TIMESTAMP would read the session zone. date + h/m/s extraction is
+    # TZ-free on NTZ, so the epoch reconstruction is deterministic.
+    t = F.col("ts")
+    v = (
+        F.datediff(t.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(t).cast("long") * 3600
+        + F.minute(t).cast("long") * 60
+        + F.second(t).cast("long")
+    )
+    comps = promql.time_component_columns(v)
+    sgn = (
+        F.when(F.col("event_id") % 3 == 0, F.signum(-F.col("value")))
+        .when(F.col("event_id") % 3 == 1, F.lit(0.0))
+        .otherwise(F.signum(F.col("value")))
+        .cast("double")
+    )
+    return ev.select(
+        "event_id",
+        sgn.alias("sgn"),
+        *[c.alias(k) for k, c in comps.items()],
+    )
