@@ -755,3 +755,58 @@ def cosine_topk_ivf_index(
         )
         .dropDuplicates(["query_id", "rank"])
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_cols: list[str] | None = None,
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: each input ranking contributes
+    1/(k + rank) and documents are re-ranked by the sum. Inputs are
+    (id, rank) DataFrames (rank already truncated to each retriever's
+    depth).
+
+    Determinism: RRF scores are sums of ≤len(rankings) terms computed
+    from INTEGER ranks — identical operands and one fixed fold order on
+    both engines, so the fused ordering has no float hazard; ties break
+    on id. Scale: depth-truncated inputs are tiny (candidates ≤
+    Σdepths), so the fusion is a broadcast-class full-outer join and
+    the final top-N is orderBy().limit() (TakeOrderedAndProject — a
+    per-partition partial top-k, never a global single-partition
+    window)."""
+    from functools import reduce
+
+    rank_cols = rank_cols or [f"rank_{i}" for i in range(len(rankings))]
+    fused = reduce(
+        lambda a, b: a.join(b, id_col, "full_outer"),
+        [
+            r.select(id_col, F.col(r.columns[1]).alias(c))
+            for r, c in zip(rankings, rank_cols)
+        ],
+    )
+    score = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col(c).cast("double")), F.lit(0.0)
+            )
+            for c in rank_cols
+        ],
+    )
+    scored = fused.select(
+        id_col,
+        *[F.col(c).cast("long").alias(c) for c in rank_cols],
+        F.round(score, 6).alias("rrf_score"),
+        score.alias("__raw"),
+    )
+    topn = scored.orderBy(F.desc("__raw"), F.asc(id_col)).limit(top)
+    w = Window.orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        topn.withColumn("fused_rank", F.row_number().over(w))
+        .drop("__raw")
+    )

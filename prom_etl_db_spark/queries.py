@@ -120,6 +120,9 @@ _GATE_PRIORITY = [
     # promql_time_components: NEW — PromQL calendar family + sgn,
     # TZ-free civil-from-days vs DuckDB's calendar library.
     "promql_time_components",
+    # hybrid_rrf_search: NEW — BM25 + dense-cosine Reciprocal-Rank
+    # Fusion; integer-rank arithmetic, bounded top-k windows.
+    "hybrid_rrf_search",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta  # noqa: F401
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from prom_etl_db_spark import store  # noqa: F401
@@ -3254,4 +3254,90 @@ def promql_time_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         sgn.alias("sgn"),
         *[c.alias(k) for k, c in comps.items()],
+    )
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ('spark', 'query', 'stream') GROUP BY 1, 2, 3
+), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n,
+         avg(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS avgdl
+  FROM documents
+), bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 50
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id AS doc_id,
+         list_sum([qv[i]::DOUBLE * c.embedding[i]::DOUBLE
+                   for i in range(1, len(qv)+1)])
+           / (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+                             for i in range(1, len(qv)+1)]))
+              * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                               for i in range(1, len(c.embedding)+1)])))
+           AS sim
+  FROM embeddings c, q WHERE c.vec_id != 0
+), dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS dense_rank
+  FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 50
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         CAST(d.dense_rank AS BIGINT) AS dense_rank,
+         coalesce(1.0 / (60 + l.lex_rank), 0.0)
+           + coalesce(1.0 / (60 + d.dense_rank), 0.0) AS raw
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, round(raw, 6) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS BIGINT)
+         AS fused_rank
+FROM fused ORDER BY raw DESC, doc_id ASC LIMIT 20
+""",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E5 hybrid retrieval, Reciprocal-Rank Fusion (Cormack et al.
+    SIGIR 2009 — r5): the standard lexical+dense combiner every hybrid
+    search stack ships — BM25 over documents (query terms 'spark query
+    stream', depth 50) fused with exact cosine ANN over embeddings
+    (query = vector 0, depth 50) by Σ 1/(60+rank), top-20. Ranks are
+    INTEGERS, so the fusion arithmetic is float-hazard-free; the
+    lexical ranking orders by the ROUNDED BM25 score (the hash-stable
+    quantity bm25_query_scores already pins) with id tiebreaks. Both
+    retriever depths are orderBy().limit() partial top-ks feeding
+    bounded ≤50-row windows — never a global single-partition sort."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex_scores = text.bm25_scores(docs, ["spark", "query", "stream"])
+    lex_top = lex_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.withColumn("lex_rank", F.row_number().over(wl)).select(
+        "doc_id", "lex_rank"
+    )
+    dense = (
+        similarity.cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") == 0), k=50
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    return similarity.rrf_fuse(
+        [lex, dense], rank_cols=["lex_rank", "dense_rank"]
     )

@@ -375,3 +375,36 @@ def test_lsh_auto_size_keeps_candidate_volume_linear():
         p = 1.0 - math.acos(0.9) / math.pi
         recall = 1.0 - (1.0 - p**bits) ** bands
         assert recall >= 0.95, (n, bands, bits, recall)
+
+
+# -- RRF fusion (round 5) -----------------------------------------------------
+
+
+def test_rrf_fuse_known_vector(spark):
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.similarity import rrf_fuse
+
+    # ranking A: docs 1,2,3 ; ranking B: docs 3,4
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "r"])
+    b = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "r"])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], rank_cols=["ra", "rb"], top=10).collect()}
+    # doc 3: 1/63 + 1/61 is the largest sum; doc 1: 1/61; doc 4: 1/62; doc 2: 1/62
+    assert out[3].fused_rank == 1
+    assert round(1 / 63 + 1 / 61, 6) == out[3].rrf_score
+    assert out[1].rrf_score == round(1 / 61, 6)
+    assert out[4].rrf_score == round(1 / 62, 6)
+    # tie between doc 2 (rank 2 in A) and doc 4 (rank 2 in B): id breaks it
+    assert out[2].fused_rank == 3 and out[4].fused_rank == 4
+    assert out[1].fused_rank == 2
+    # docs missing from a ranking carry NULL there
+    assert out[4].ra is None and out[1].rb is None
+
+
+def test_rrf_fuse_top_truncation(spark):
+    from prom_etl_db_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 31)], ["doc_id", "r"])
+    out = rrf_fuse([a], rank_cols=["ra"], top=5).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3, 4, 5]
+    assert sorted(r.fused_rank for r in out) == [1, 2, 3, 4, 5]
