@@ -1,0 +1,127 @@
+"""RFC 3986 URL normalization — the canonicalization step URL-level
+dedup and crawl-frontier management run on every link.
+
+Reference scope: samzong/prom-etl-db has no URL surface; this is a §2.E
+training-data-pipeline extension (web-corpus curation dedups by
+canonical URL before any content hashing).
+
+Implements RFC 3986 §6.2.2 syntax-based normalization from the spec,
+stdlib-only:
+
+- case: scheme and host lowercased; percent-triplet hex UPPERCASED;
+- percent-encoding: triplets decoding to UNRESERVED characters
+  (ALPHA / DIGIT / ``-._~``) are decoded; all others (reserved or
+  non-ASCII) are preserved — ``%2F`` must NOT become ``/``;
+- path: dot-segments removed per the §5.2.4 algorithm (applied after
+  percent normalization, the §6.2.2 order, so ``%2E%2E`` is a real
+  ``..`` segment); an empty path with an authority becomes ``/``;
+- port: default ports dropped (http:80, https:443), empty ``:`` too;
+- fragment: dropped (dedup canon — fragments never reach the server);
+- query: parameters stably sorted by key (not RFC, but the standard
+  crawl-dedup extra; documented divergence), empty query dropped.
+
+The Spark surface is an Arrow-batched pandas UDF (string munging with
+an iterative stack algorithm — exactly the case the HOF/Column algebra
+can't express); one narrow no-shuffle projection per corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+_URL_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)"
+    r"(?:\?([^#]*))?(?:#.*)?$"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_UNRESERVED_EXTRA = "-._~"
+
+
+def _pct_normalize(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch.isascii() and (ch.isalnum() or ch in _UNRESERVED_EXTRA):
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    # RFC 3986 §5.2.4, the five-case loop verbatim
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            seg, inp = (inp[:i], inp[i:]) if i >= 0 else (inp, "")
+            out.append(seg)
+    return "".join(out)
+
+
+def normalize_url(url: str) -> str:
+    """Canonical form of ``url`` per the module rules. Strings that do
+    not parse as URL references come back percent/space-stripped but
+    otherwise untouched (quarantine is the caller's concern)."""
+    m = _URL_RE.match(url.strip())
+    if not m:  # the regex matches any string; defensive
+        return url.strip()
+    scheme, auth, path, query = m.groups()
+    scheme = (scheme or "").lower()
+    out = f"{scheme}:" if scheme else ""
+    if auth is not None:
+        userinfo, _, hostport = auth.rpartition("@")
+        host, colon, port = hostport.partition(":")
+        host = _pct_normalize(host.lower())
+        if colon and port and port != _DEFAULT_PORTS.get(scheme):
+            host += ":" + port
+        out += "//" + (_pct_normalize(userinfo) + "@" if userinfo else "") + host
+    path = _remove_dot_segments(_pct_normalize(path))
+    if auth is not None and not path:
+        path = "/"
+    out += path
+    if query:
+        params = query.split("&")
+        params.sort(key=lambda p: p.partition("=")[0])  # stable
+        out += "?" + "&".join(_pct_normalize(p) for p in params)
+    return out
+
+
+def canonical_urls(docs, url_col: str = "url", id_col: str = "doc_id"):
+    """(id, url) → (id, canonical_url, host, changed) via one
+    Arrow-batched pandas UDF projection — narrow plan, no shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    # hint-free form: the module-level `from __future__ import
+    # annotations` would stringify `pd.Series` hints, which pandas_udf
+    # rejects with UNSUPPORTED_SIGNATURE
+    _canon = F.pandas_udf(
+        lambda s: s.map(normalize_url), returnType=StringType()
+    )
+    canon = _canon(F.col(url_col))
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    return docs.select(
+        F.col(id_col),
+        canon.alias("canonical_url"),
+        host.alias("host"),
+        (canon != F.col(url_col)).alias("changed"),
+    )

@@ -123,6 +123,9 @@ _GATE_PRIORITY = [
     # hybrid_rrf_search: NEW — BM25 + dense-cosine Reciprocal-Rank
     # Fusion; integer-rank arithmetic, bounded top-k windows.
     "hybrid_rrf_search",
+    # url_canonicalize: NEW — RFC 3986 normalization, 7 strata with a
+    # closed-form expected-value oracle; changed splits both ways.
+    "url_canonicalize",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -20,7 +20,7 @@ from prom_etl_db_spark.functions import (  # noqa: F401
     spectral,
     text,
 )
-from prom_etl_db_spark.functions import gorilla  # noqa: F401
+from prom_etl_db_spark.functions import gorilla, urlnorm  # noqa: F401
 from prom_etl_db_spark.operators import analytics, promql  # noqa: F401
 from prom_etl_db_spark.registry.core import (  # noqa: F401
     FLAGSHIP_DAY,
@@ -3341,3 +3341,61 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse(
         [lex, dense], rank_cols=["lex_rank", "dense_rank"]
     )
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 7
+    WHEN 0 THEN 'http://example.com/a/s' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'https://www.test.org/d' || doc_id
+    WHEN 2 THEN 'http://host' || doc_id || '.example/?x=' || doc_id
+    WHEN 3 THEN 'http://h/p%2FqA/' || doc_id
+    WHEN 4 THEN 'http://h' || doc_id || ':8080/k?x=' || doc_id || '&y=2&z=1'
+    WHEN 5 THEN 'http://u@h' || doc_id || '.com/x' || doc_id
+    ELSE 'http://ok.example/p' || doc_id || '?a=1'
+  END AS canonical_url,
+  CASE doc_id % 7
+    WHEN 0 THEN 'example.com'
+    WHEN 1 THEN 'www.test.org'
+    WHEN 2 THEN 'host' || doc_id || '.example'
+    WHEN 3 THEN 'h'
+    WHEN 4 THEN 'h' || doc_id
+    WHEN 5 THEN 'h' || doc_id || '.com'
+    ELSE 'ok.example'
+  END AS host,
+  doc_id % 7 != 6 AS changed
+FROM documents
+""",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, RFC 3986 URL canonicalization (r5): the
+    normalization URL-level dedup runs before any content hashing —
+    case folding, unreserved percent-decoding (+ hex uppercasing of
+    preserved triplets), §5.2.4 dot-segment removal AFTER percent
+    normalization (so %2E%2E is a real '..'), default-port and
+    fragment dropping, stable query-param sort (documented non-RFC
+    extra). Seven in-query strata exercise each rule — including an
+    already-canonical stratum so `changed` splits both ways — and the
+    oracle states each stratum's canonical form as a closed form of
+    doc_id (the multimodal expected-value pattern; DuckDB has no URL
+    library to serve as a second implementation). The Spark side is
+    the GENERAL normalizer (functions/urlnorm.py), not stratum-driven
+    — unit tests pin it on RFC examples the fixture never touches."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.concat(F.lit("HTTP://Example.COM:80/a/./b/../s"), d, F.lit("?b=2&a=1#frag")),
+        F.concat(F.lit("https://WWW.Test.ORG:443/%7Euser/%2e%2e/d"), d),
+        F.concat(F.lit("http://Host"), d, F.lit(".example?x="), d),
+        F.concat(F.lit("http://h/p%2fq%41/"), d),
+        F.concat(F.lit("http://h"), d, F.lit(":8080/k?z=1&y=2&x="), d),
+        F.concat(F.lit("http://u@H"), d, F.lit(".com:80/../x"), d),
+        F.concat(F.lit("http://ok.example/p"), d, F.lit("?a=1")),
+    )
+    built = docs.select(
+        "doc_id",
+        F.element_at(variants, (F.col("doc_id") % 7 + 1).cast("int")).alias("url"),
+    )
+    return urlnorm.canonical_urls(built)

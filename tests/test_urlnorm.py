@@ -1,0 +1,77 @@
+"""RFC 3986 URL normalization (functions/urlnorm.py — round 5): spec
+examples, each §6.2.2 rule in isolation, idempotence, and hostile
+inputs. These vectors are disjoint from the gate fixture's strata — the
+registry docstring's claim that the normalizer is general, not
+stratum-driven, rests here."""
+
+import pytest
+
+from prom_etl_db_spark.functions.urlnorm import (
+    _remove_dot_segments,
+    normalize_url,
+)
+
+
+def test_rfc_5_2_4_examples():
+    # the two worked examples in RFC 3986 §5.2.4
+    assert _remove_dot_segments("/a/b/c/./../../g") == "/a/g"
+    assert _remove_dot_segments("mid/content=5/../6") == "mid/6"
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # case normalization
+        ("HtTp://ExAmPlE.cOm/Path", "http://example.com/Path"),
+        # percent: unreserved decoded, reserved preserved + uppercased
+        ("http://h/%61%62%2f%3A", "http://h/ab%2F%3A"),
+        ("http://h/%7e%2D%2e%5F", "http://h/~-._"),
+        # default ports (scheme-specific) and empty colon
+        ("http://h:80/", "http://h/"),
+        ("https://h:443/", "https://h/"),
+        ("http://h:443/", "http://h:443/"),
+        ("http://h:/x", "http://h/x"),
+        # dot segments incl. leading over-traversal and %2E forms
+        ("http://h/a/b/../../../c", "http://h/c"),
+        ("http://h/%2E%2E/a", "http://h/a"),
+        ("http://h/a/%2e/b", "http://h/a/b"),
+        # empty path with authority
+        ("http://h", "http://h/"),
+        ("http://h?q=1", "http://h/?q=1"),
+        # fragment dropped, empty query dropped
+        ("http://h/p#sec", "http://h/p"),
+        ("http://h/p?", "http://h/p"),
+        # stable param sort keeps duplicate-key order
+        ("http://h/?b=2&a=1&b=1", "http://h/?a=1&b=2&b=1"),
+        ("http://h/?flag&a=1", "http://h/?a=1&flag"),
+        # userinfo preserved, host case folded behind it
+        ("http://U:p@H.COM/x", "http://U:p@h.com/x"),
+        # scheme-relative and relative references
+        ("//H.com/A/./b", "//h.com/A/b"),
+        ("a/b/../c?y=2&x=1", "a/c?x=1&y=2"),
+        # non-ASCII percent triplets preserved (never decoded)
+        ("http://h/%C3%A9", "http://h/%C3%A9"),
+    ],
+)
+def test_normalization_rules(raw, want):
+    assert normalize_url(raw) == want
+
+
+def test_idempotent_on_canonical_forms():
+    for u in (
+        "http://example.com/a/c?a=1&b=2",
+        "https://h/x%2Fy",
+        "http://h:8080/",
+        "ftp://h:21/f",
+    ):
+        assert normalize_url(u) == u
+        assert normalize_url(normalize_url(u)) == normalize_url(u)
+
+
+def test_hostile_inputs_do_not_crash():
+    for u in ("", "   ", "%", "%zz", "http://", "::::", "?#", "a" * 5000):
+        out = normalize_url(u)
+        assert isinstance(out, str)
+    # lone percent and bad hex are preserved, not mangled
+    assert normalize_url("http://h/%zz") == "http://h/%zz"
+    assert normalize_url("http://h/%a") == "http://h/%a"
