@@ -201,7 +201,7 @@ def gorilla_compress_features(
     because the roundtrip is asserted bit-exact before anything is
     emitted (the FLAC losslessness-verification pattern). applyInPandas
     per series; parallel across series."""
-    from datetime import datetime
+    from datetime import datetime, timezone
 
     import numpy as np
     import pandas as pd
@@ -213,7 +213,12 @@ def gorilla_compress_features(
         StructType,
     )
 
-    base_us = int(datetime(2024, 1, 1).timestamp() * 1_000_000)
+    # tz-pinned: a naive .timestamp() reads the HOST timezone and would
+    # silently shift the rebase on a non-UTC machine (ts is NTZ, so the
+    # pandas int64 epoch below is zone-free)
+    base_us = int(
+        datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
     schema = StructType(
         [
             StructField("series", StringType(), False),
@@ -272,3 +277,45 @@ def gorilla_compress_features(
 
     cols = events.select(series_col, "ts", "event_id", "value")
     return cols.groupBy(series_col).applyInPandas(one_series, schema)
+
+
+def gorilla_cost_step(state, t: int, v: int):
+    """One incremental step of the Gorilla COST model — the pure
+    transition function the streaming compressor folds over
+    checkpointed state. ``state`` is ``(n, last_t, prev_delta, last_v,
+    s_lead, s_trail)`` or None for a fresh series. Returns
+    ``(state', ts_bits, val_bits, xor_zero)``.
+
+    Per-sample equality with ``encode_gorilla``'s actual bitstream
+    accounting is asserted under fuzz in tests — the streaming twin's
+    correctness hangs on this function never drifting from the encoder."""
+    if state is None or state[0] == 0:
+        return (1, t, 0, v, 99, 99), 64, 64, 0
+    n, lt, pdelta, lv, s_lead, s_trail = state
+    delta = t - lt
+    dod = delta - pdelta
+    if dod == 0:
+        tb = 1
+    elif -63 <= dod <= 64:
+        tb = 9
+    elif -255 <= dod <= 256:
+        tb = 12
+    elif -2047 <= dod <= 2048:
+        tb = 16
+    else:
+        assert -(1 << 31) <= dod < (1 << 31), "dod overflow"
+        tb = 36
+    x = _u(v) ^ _u(lv)
+    if x == 0:
+        vb, xz = 1, 1
+    else:
+        xz = 0
+        lz = 64 - x.bit_length()
+        tz = (x & -x).bit_length() - 1
+        if lz >= s_lead and tz >= s_trail:
+            vb = 2 + (64 - s_lead - s_trail)
+        else:
+            lead = min(lz, 31)
+            vb = 13 + (64 - lead - tz)
+            s_lead, s_trail = lead, tz
+    return (n + 1, t, delta, v, s_lead, s_trail), tb, vb, xz

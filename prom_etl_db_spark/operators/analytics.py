@@ -381,7 +381,11 @@ def lttb_downsample(
         StructType,
     )
 
-    base_us = int(base_ts.timestamp() * 1_000_000)
+    # tz-pinned: naive .timestamp() reads the HOST timezone; ts is NTZ so
+    # the pandas epoch is zone-free and the rebase must be too
+    from datetime import timezone
+
+    base_us = int(base_ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
     schema = StructType(
         [
             StructField("series", StringType(), False),

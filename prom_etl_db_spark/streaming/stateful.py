@@ -1001,3 +1001,114 @@ def run_psi_stream(
     out = streaming_psi_drift(keyed)
 
     return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
+# -- streaming Gorilla compression accounting (round 5) ----------------------
+
+GORILLA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("last_t", LongType(), True),
+        StructField("prev_delta", LongType(), True),
+        StructField("last_v", LongType(), True),
+        StructField("s_lead", IntegerType(), True),
+        StructField("s_trail", IntegerType(), True),
+        StructField("ts_bits", LongType(), True),
+        StructField("val_bits", LongType(), True),
+        StructField("n_xor_zero", LongType(), True),
+    ]
+)
+
+GORILLA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("ts_bits", LongType(), True),
+        StructField("val_bits", LongType(), True),
+        StructField("n_xor_zero", LongType(), True),
+        StructField("bits_per_sample", DoubleType(), True),
+    ]
+)
+
+
+def _gorilla_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-series online Gorilla cost accounting: the checkpointed state
+    is exactly the encoder's control state (last timestamp, previous
+    delta, last value, XOR window) plus running totals — FIXED-SIZE per
+    series regardless of stream length, which is what makes compression
+    accounting streamable at TSDB cardinality. The transition is
+    `gorilla.gorilla_cost_step`, fuzz-pinned to the real encoder's
+    bitstream accounting, so the stream's final row per series equals
+    the batch `gorilla_compress_features` totals over the union of all
+    batches (asserted in tests, including across a restart)."""
+    from prom_etl_db_spark.functions.gorilla import gorilla_cost_step
+
+    (series,) = key
+    if state.exists:
+        n, lt, pdelta, lv, sl, strl, tsb, vb, xz = state.get
+        st = (n, lt, pdelta, lv, sl, strl)
+    else:
+        st, tsb, vb, xz = None, 0, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+        for t, v in zip(pdf["t"], pdf["v"]):
+            st, b_t, b_v, z = gorilla_cost_step(st, int(t), int(v))
+            tsb += b_t
+            vb += b_v
+            xz += z
+    state.update((st[0], st[1], st[2], st[3], st[4], st[5], tsb, vb, xz))
+    yield pd.DataFrame(
+        {
+            "series": [series],
+            "n_samples": [st[0]],
+            "ts_bits": [tsb],
+            "val_bits": [vb],
+            "n_xor_zero": [xz],
+            "bits_per_sample": [round((tsb + vb) / st[0], 4)],
+        }
+    )
+
+
+def streaming_gorilla_costs(keyed: DataFrame) -> DataFrame:
+    """Stream-transform: per-series running Gorilla compression totals.
+    ``keyed`` is a STREAMING DataFrame shaped (series string, t long,
+    event_id long, v long) — seconds and integer values, the batch
+    twin's convention."""
+    return keyed.groupBy("series").applyInPandasWithState(
+        _gorilla_fold,
+        outputStructType=GORILLA_OUTPUT_SCHEMA,
+        stateStructType=GORILLA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_gorilla_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    available_now: bool = True,
+):
+    """Drive the streaming compressor over a file source (events-shaped
+    parquet; same epoch/rounding derivation as the batch twin)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    base = F.lit(1704067200)  # epoch seconds of 2024-01-01 UTC
+    keyed = raw.select(
+        F.col("event_type").alias("series"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour("ts").cast("long") * 3600
+            + F.minute("ts").cast("long") * 60
+            + F.second("ts").cast("long")
+            - base
+        ).alias("t"),
+        F.col("event_id"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    out = streaming_gorilla_costs(keyed)
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)

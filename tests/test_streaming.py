@@ -850,3 +850,78 @@ def test_space_saving_fold_rejects_reserved_empty_key():
     with pytest.raises(ValueError, match="reserved"):
         list(fold(("g",), iter([pd.DataFrame({"k": ["a", ""]})]),
                   _FakeState()))
+
+
+def test_streaming_gorilla_matches_batch_across_restart(spark, tmp_path):
+    """applyInPandasWithState Gorilla accounting: after two runs sharing
+    a checkpoint (a restart), the final per-series totals must equal the
+    batch compressor's block sums over the union — the XOR control
+    window and delta chain crossed the checkpoint intact. The fixture's
+    second chunk STARTS mid-window (values continue the first chunk's
+    xor pattern), so a reset-on-restart bug cannot hide."""
+    from datetime import timedelta
+
+    from prom_etl_db_spark.functions.gorilla import gorilla_compress_features
+    from prom_etl_db_spark.streaming.stateful import run_gorilla_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "go_src")
+    sink = str(tmp_path / "go_sink")
+    ckpt = str(tmp_path / "go_ckpt")
+    t0 = datetime(2024, 3, 1, 0, 0)
+
+    def mkrows(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            val = float([7, 7, 9, 1000, 7][i % 5]) + (i % 3) * 0.25
+            rows.append(
+                (i, t0 + timedelta(seconds=13 * i + (i % 7)), i % 50,
+                 "click" if i % 2 else "error", val, None)
+            )
+        return rows
+
+    spark.createDataFrame(mkrows(0, 300), schema).write.parquet(src)
+    run_gorilla_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+    spark.createDataFrame(mkrows(300, 500), schema).write.mode("append").parquet(src)
+    run_gorilla_stream(spark, src, sink, ckpt, schema=schema).awaitTermination(120)
+
+    got = {
+        r["series"]: r
+        for r in (
+            spark.read.parquet(sink)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark").sql.Window.partitionBy("series").orderBy(
+                        F.desc("batch_id")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .collect()
+        )
+    }
+    batch = (
+        gorilla_compress_features(
+            spark.read.parquet(src), series_col="event_type"
+        )
+        .groupBy("series")
+        .agg(
+            F.sum("n_samples").alias("n"),
+            F.sum("ts_bits").alias("tsb"),
+            F.sum("val_bits").alias("vb"),
+            F.sum("n_xor_zero").alias("xz"),
+        )
+        .collect()
+    )
+    assert len(batch) == 2 and set(got) == {"click", "error"}
+    for b in batch:
+        g = got[b["series"]]
+        assert g["n_samples"] == b["n"]
+        assert g["ts_bits"] == b["tsb"]
+        assert g["val_bits"] == b["vb"]
+        assert g["n_xor_zero"] == b["xz"]
+        assert g["bits_per_sample"] == round((b["tsb"] + b["vb"]) / b["n"], 4)

@@ -358,6 +358,36 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
             samples_nk, q=0.9, bins=64, lo=0.0, hi=500.0, **kw
         ),
     )
+
+    # r5 continuation ops: every one is per-item (doc/series) work with
+    # no candidate generation, so time must track the single input pass.
+    # The sequential per-series chains (LTTB, Gorilla) grow the CHAIN
+    # length k-fold on day-shifted replicas (series count is fixed at 5
+    # event types) — linear time here proves the chain cost is linear,
+    # the axis that matters since real corpora scale series count, which
+    # is embarrassingly parallel.
+    from prom_etl_db_spark.functions import gorilla, spectral, urlnorm
+    from prom_etl_db_spark.operators import analytics as _an
+
+    run("spectrogram_frames", spectral.spectrogram_frame_features(docs))
+    run("vad_segments", spectral.vad_segments(docs))
+    run("lttb_downsample", _an.lttb_downsample(ev, threshold=20))
+    run("gorilla_compress", gorilla.gorilla_compress_features(ev))
+    run(
+        "html_extract",
+        textfn.html_extract_text(
+            docs.select("doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p><script>x</script>")).alias("html"))
+        ),
+    )
+    run(
+        "url_canonicalize",
+        urlnorm.canonical_urls(
+            docs.select(
+                "doc_id",
+                F.concat(F.lit("HTTP://Example.COM:80/a/./b/../s"), F.col("doc_id").cast("string"), F.lit("?b=2&a=1#f")).alias("url"),
+            )
+        ),
+    )
     return times
 
 
