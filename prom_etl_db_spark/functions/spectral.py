@@ -250,3 +250,45 @@ def vad_segments(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("e_total").alias("seg_energy"),
     )
+
+
+def fingerprint_neardup_pairs(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Spectral-fingerprint audio dedup (the chromaprint/echoprint
+    family's core move): a clip's fingerprint is its per-frame
+    dominant-bin SEQUENCE — robust to amplitude scaling and broadband
+    noise because only the argmax bin per frame survives — and clips
+    with identical fingerprints pair up through an equi-join on the
+    fingerprint string (ids+fingerprints only in the shuffle, output
+    bounded by true duplicate volume; the exact-dedup posture, never
+    all-pairs). Frame order is pinned with sort_array over (frame, bin)
+    structs — no window, no collect_list ordering assumption."""
+    f = spectrogram_frame_features(docs, id_col)
+    fp = f.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("frame"), F.col("dominant_bin")))
+                ),
+                lambda s: s.getField("dominant_bin").cast("string"),
+            ),
+            ",",
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    a = fp.select(
+        F.col("media_id").alias("id_a"),
+        "fingerprint",
+        F.col("n_frames").alias("nf_a"),
+    )
+    b = fp.select(
+        F.col("media_id").alias("id_b"),
+        "fingerprint",
+        F.col("n_frames").alias("nf_b"),
+    )
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fingerprint", F.col("nf_a").alias("n_frames"))
+    )

@@ -126,6 +126,9 @@ _GATE_PRIORITY = [
     # url_canonicalize: NEW — RFC 3986 normalization, 7 strata with a
     # closed-form expected-value oracle; changed splits both ways.
     "url_canonicalize",
+    # audio_fingerprint_neardup: NEW — chromaprint-style dominant-bin
+    # fingerprints equi-joined into acoustic dup pairs.
+    "audio_fingerprint_neardup",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

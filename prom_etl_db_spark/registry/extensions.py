@@ -3399,3 +3399,37 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(variants, (F.col("doc_id") % 7 + 1).cast("int")).alias("url"),
     )
     return urlnorm.canonical_urls(built)
+
+
+@register(
+    "audio_fingerprint_neardup",
+    oracle=_SPECTRO_CTES
+    + """
+, ftot AS (
+  SELECT doc_id, f,
+         31 - (max(CASE WHEN k >= 1 THEN pw * 32 + (31 - k) END) % 32) AS dom
+  FROM dftp GROUP BY doc_id, f
+), fp AS (
+  SELECT doc_id,
+         string_agg(CAST(dom AS VARCHAR), ',' ORDER BY f) AS fingerprint,
+         count(*) AS n_frames
+  FROM ftot GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fingerprint,
+       a.n_frames
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+""",
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E2 audio dedup, spectral fingerprinting (r5): the
+    chromaprint-family move — per-frame dominant-bin sequences as clip
+    fingerprints, identical fingerprints equi-joined into dup pairs
+    (amplitude- and noise-robust where byte hashing is not: every
+    fixture clip has UNIQUE broadband residue, yet clips sharing the
+    planted tone bin and frame count still pair — the join finds
+    acoustic, not byte, duplicates). Composes the Q15 spectrogram, so
+    the exact-int argmax chain keeps the oracle float-hazard-free;
+    ids+fingerprints only in the shuffle, output bounded by true dup
+    volume (the E1 exact-dedup posture)."""
+    docs = _t(spark, sf_dir, "documents")
+    return spectral.fingerprint_neardup_pairs(docs)

@@ -186,3 +186,14 @@ def test_vad_segments_islands(spark):
         # segments never touch (they'd have merged), and all frames active
         for (s1, e1, _), (s2, _, _) in zip(got, got[1:]):
             assert s2 > e1 + 1
+
+
+def test_fingerprint_neardup_pairs_acoustic_not_byte(spark):
+    from prom_etl_db_spark.functions.spectral import fingerprint_neardup_pairs
+
+    # 0 and 45: same k0 (45%15==0%15) and same nf (45%3==0%3) -> pair,
+    # though their residue bytes differ; 0 and 1: different k0 -> no pair
+    docs = spark.createDataFrame([(0,), (1,), (45,)], ["doc_id"])
+    rows = fingerprint_neardup_pairs(docs).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 45)]
+    assert rows[0].fingerprint == ",".join(["1"] * rows[0].n_frames)
