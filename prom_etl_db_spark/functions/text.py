@@ -32,6 +32,10 @@ __all__ = [
     "kneser_ney_trigram_perplexity",
     "nfc_normalize_col",
     "nfc_normalize_features",
+    "html_extract_text",
+    "html_extract_oracle_exprs",
+    "fix_mojibake",
+    "mojibake_features",
     "STOPWORDS",
     "BPE_SPLIT_RE",
 ]
@@ -1409,3 +1413,62 @@ def html_extract_oracle_exprs() -> str:
         sq = repl.replace("\n", "' || chr(10) || '")
         expr = f"regexp_replace({expr}, '{pat}', '{sq}', 'g')"
     return f"trim({expr}, ' ' || chr(10))"
+
+
+# -- mojibake repair (round 5) -----------------------------------------------
+
+
+def fix_mojibake(s: str, max_passes: int = 3) -> str:
+    """Repair UTF-8-read-as-Latin-1/CP1252 double encoding (the ftfy
+    core move, reimplemented from the encoding algebra): if the text
+    round-trips through cp1252/latin-1 BACK into valid UTF-8, it was
+    mojibake — apply, repeat up to ``max_passes`` (triple-encoded text
+    exists in real crawls). The repair is refused unless the reverse
+    trip is exact, so clean text that merely LOOKS suspicious (a real
+    'Ã©' in a linguistics article about mojibake) is only rewritten
+    when it genuinely decodes; pure-ASCII text can never change."""
+    for _ in range(max_passes):
+        if s.isascii():
+            return s
+        try:
+            # cp1252 first (the web's "latin-1"): its 0x80-0x9F block is
+            # where â€™-class smart-quote mojibake lives; fall back to
+            # latin-1 for the 5 unmapped cp1252 bytes
+            try:
+                raw = s.encode("cp1252")
+            except UnicodeEncodeError:
+                raw = s.encode("latin-1")
+            fixed = raw.decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
+        if fixed == s:
+            return s
+        s = fixed
+    return s
+
+
+MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "ðŸ")
+
+
+def mojibake_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fixed text, marker/repair flags): suspected = any
+    classic double-encoding marker present; repaired = the reverse
+    round-trip actually changed the text. Arrow-batched pandas UDF over
+    a narrow projection — no shuffle."""
+    from pyspark.sql.types import StringType
+
+    _fix = F.pandas_udf(
+        lambda s: s.map(lambda t: fix_mojibake(t) if t is not None else None),
+        returnType=StringType(),
+    )
+    fixed = _fix(F.col(text_col))
+    suspected = F.lit(False)
+    for m in MOJIBAKE_MARKERS:
+        suspected = suspected | F.col(text_col).contains(m)
+    return docs.select(
+        "doc_id",
+        fixed.alias("text_fixed"),
+        suspected.alias("suspected"),
+        (fixed != F.col(text_col)).alias("repaired"),
+        F.length(fixed).cast("int").alias("n_chars_fixed"),
+    )

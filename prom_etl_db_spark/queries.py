@@ -129,6 +129,9 @@ _GATE_PRIORITY = [
     # audio_fingerprint_neardup: NEW — chromaprint-style dominant-bin
     # fingerprints equi-joined into acoustic dup pairs.
     "audio_fingerprint_neardup",
+    # doc_mojibake_repair: NEW — ftfy-style double-encoding repair with
+    # real encoding-algebra fixtures; suspected/repaired split both ways.
+    "doc_mojibake_repair",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

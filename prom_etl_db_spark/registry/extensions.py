@@ -3433,3 +3433,58 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume (the E1 exact-dedup posture)."""
     docs = _t(spark, sf_dir, "documents")
     return spectral.fingerprint_neardup_pairs(docs)
+
+
+# Mojibake fixture constants: REAL double-encodings produced by the
+# encoding algebra itself (utf-8 bytes re-read as cp1252), not typed-in
+# approximations — the oracle embeds the same literals, so both engines
+# see byte-identical inputs and expected outputs.
+_MOJI_CLEAN1 = "café é"
+_MOJI1 = _MOJI_CLEAN1.encode("utf-8").decode("cp1252")
+_MOJI_CLEAN2 = "déjà vu"
+_MOJI2 = _MOJI_CLEAN2.encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+_MOJI_BAIT = "x Ã x"  # marker present but NOT valid double-encoding
+
+
+@register(
+    "doc_mojibake_repair",
+    oracle=f"""
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN text || ' {_MOJI_CLEAN1}'
+    WHEN 1 THEN text || ' {_MOJI_CLEAN2}'
+    WHEN 2 THEN text || ' {_MOJI_BAIT}'
+    ELSE text END AS text_fixed,
+  doc_id % 4 IN (0, 1, 2) AS suspected,
+  doc_id % 4 IN (0, 1) AS repaired,
+  CAST(length(CASE doc_id % 4
+    WHEN 0 THEN text || ' {_MOJI_CLEAN1}'
+    WHEN 1 THEN text || ' {_MOJI_CLEAN2}'
+    WHEN 2 THEN text || ' {_MOJI_BAIT}'
+    ELSE text END) AS INT) AS n_chars_fixed
+FROM documents
+""",
+)
+def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, mojibake repair (r5): the ftfy core move
+    reimplemented from the encoding algebra — text whose cp1252
+    re-encoding decodes as valid UTF-8 was double-encoded; repair and
+    repeat (real crawls contain triple-encoded text). Four strata:
+    single mojibake (cafÃ© class), DOUBLE mojibake (repaired in two
+    passes), a marker-bait stratum ('Ã' present but NOT a valid double
+    encoding — the repair must refuse), and untouched ASCII — so
+    suspected and repaired each split both ways. Fixture mojibake is
+    produced by the encoding functions themselves at import, never
+    typed in; the oracle states the expected clean text as literals and
+    the driver hash covers the FULL repaired text."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id") % 4
+    built = docs.select(
+        "doc_id",
+        F.when(d == 0, F.concat(F.col("text"), F.lit(" " + _MOJI1)))
+        .when(d == 1, F.concat(F.col("text"), F.lit(" " + _MOJI2)))
+        .when(d == 2, F.concat(F.col("text"), F.lit(" " + _MOJI_BAIT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.mojibake_features(built)

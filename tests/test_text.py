@@ -549,3 +549,49 @@ def test_html_extract_oracle_exprs_parity_on_edge_strings():
         f"SELECT {expr} FROM (SELECT ? AS html)", [page]
     ).fetchone()[0]
     assert got == "Mixed & CASE\n\nt &amp; u\n\nc1"
+
+
+# -- mojibake repair (round 5) -------------------------------------------------
+
+
+def test_fix_mojibake_vectors():
+    from prom_etl_db_spark.functions.text import fix_mojibake
+
+    moji = lambda s: s.encode("utf-8").decode("cp1252")  # noqa: E731
+    # single, double, smart quotes, emoji; clean inputs untouched
+    assert fix_mojibake(moji("café é")) == "café é"
+    assert fix_mojibake(moji(moji("déjà vu"))) == "déjà vu"
+    assert fix_mojibake(moji("’tis — fine…")) == "’tis — fine…"
+    assert fix_mojibake(moji("🎉")) == "🎉"
+    assert fix_mojibake("plain ascii") == "plain ascii"
+    # a REAL 'é' alone is not valid UTF-8 after cp1252 re-encoding: refuse
+    assert fix_mojibake("real é stays") == "real é stays"
+    # marker bait: 'Ã' followed by space is not a double encoding
+    assert fix_mojibake("x Ã x") == "x Ã x"
+    # latin-1 fallback: text containing a cp1252-unmappable char (0x81
+    # class) that is still a valid double encoding via latin-1
+    s = "ü".encode("utf-8").decode("latin-1")  # 'Ã¼'
+    assert fix_mojibake(s) == "ü"
+    # idempotence on repaired output
+    assert fix_mojibake(fix_mojibake(moji("café"))) == "café"
+
+
+def test_mojibake_features_flags(spark):
+    from prom_etl_db_spark.functions.text import mojibake_features
+
+    moji = lambda s: s.encode("utf-8").decode("cp1252")  # noqa: E731
+    rows = [
+        (0, "ok " + moji("née")),
+        (1, "clean text"),
+        (2, "bait Ã here"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in mojibake_features(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got[0].text_fixed == "ok née" and got[0].repaired and got[0].suspected
+    assert got[1].text_fixed == "clean text" and not got[1].suspected
+    assert got[2].text_fixed == "bait Ã here" and got[2].suspected and not got[2].repaired
+    assert got[0].n_chars_fixed == len("ok née")
