@@ -132,6 +132,9 @@ _GATE_PRIORITY = [
     # doc_mojibake_repair: NEW — ftfy-style double-encoding repair with
     # real encoding-algebra fixtures; suspected/repaired split both ways.
     "doc_mojibake_repair",
+    # linkage_jaro_winkler_blocks: NEW — blocked record linkage, from-
+    # spec JW vs DuckDB's native implementation, quantized-int mass.
+    "linkage_jaro_winkler_blocks",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -20,7 +20,7 @@ from prom_etl_db_spark.functions import (  # noqa: F401
     spectral,
     text,
 )
-from prom_etl_db_spark.functions import gorilla, urlnorm  # noqa: F401
+from prom_etl_db_spark.functions import gorilla, linkage, urlnorm  # noqa: F401
 from prom_etl_db_spark.operators import analytics, promql  # noqa: F401
 from prom_etl_db_spark.registry.core import (  # noqa: F401
     FLAGSHIP_DAY,
@@ -3488,3 +3488,78 @@ def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return text.mojibake_features(built)
+
+
+@register(
+    "linkage_jaro_winkler_blocks",
+    oracle="""
+WITH names AS (
+  SELECT doc_id,
+         CASE doc_id % 10
+           WHEN 0 THEN 'anderson' WHEN 1 THEN 'brooks'
+           WHEN 2 THEN 'carter'   WHEN 3 THEN 'dawson'
+           WHEN 4 THEN 'edwards'  WHEN 5 THEN 'foster'
+           WHEN 6 THEN 'graham'   WHEN 7 THEN 'hughes'
+           WHEN 8 THEN 'ingram'   ELSE 'jackson' END AS base,
+         doc_id % 3 AS v
+  FROM documents
+), built AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN base[1] || base[3] || base[2] || base[4:]
+           WHEN 1 THEN base || 'son'
+           ELSE base END AS name,
+         base[1] AS block
+  FROM names
+), pairs AS (
+  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000)
+              AS BIGINT) AS jw_q6
+  FROM built a JOIN built b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT block, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN jw_q6 >= 900000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches,
+       CAST(sum(jw_q6) AS BIGINT) AS jw_mass_q6,
+       CAST(max(jw_q6) AS BIGINT) AS jw_max_q6
+FROM pairs GROUP BY block
+""",
+)
+def linkage_jaro_winkler_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext record linkage (r5): blocking + Jaro-Winkler (Winkler
+    1990, the census fuzzy-match) — ten surname classes with planted
+    transposition and suffix typos, blocked by initial so the all-pairs
+    explosion is contained to co-located blocks; per-pair scoring is an
+    Arrow-batched pandas UDF of the FROM-SPEC implementation, and the
+    oracle scores the same pairs with DuckDB's independent native
+    jaro_winkler_similarity — two implementations, one hash (bit-equal
+    on fuzz; the one convention divergence, both-empty = 0.0, is
+    documented in functions/linkage.py). Float content reaches the
+    hash only as the quantized-integer mass sum(round(jw*1e6)) — the
+    repo's order-free term-quantization pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    surnames = ["anderson", "brooks", "carter", "dawson", "edwards",
+                "foster", "graham", "hughes", "ingram", "jackson"]
+    base = F.element_at(
+        F.array(*[F.lit(s) for s in surnames]),
+        (F.col("doc_id") % 10 + 1).cast("int"),
+    )
+    v = F.col("doc_id") % 3
+    # transposition typo: swap 2nd and 3rd characters
+    swapped = F.concat(
+        F.substring(base, 1, 1),
+        F.substring(base, 3, 1),
+        F.substring(base, 2, 1),
+        F.substring(base, 4, 64),
+    )
+    name = (
+        F.when(v == 0, swapped)
+        .when(v == 1, F.concat(base, F.lit("son")))
+        .otherwise(base)
+    )
+    built = docs.select(
+        "doc_id",
+        name.alias("name"),
+        F.substring(base, 1, 1).alias("block"),
+    )
+    return linkage.blocked_jw_stats(built)
