@@ -2442,3 +2442,78 @@ def y4m_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, Y4M_FEATURE_SCHEMA
     )
+
+
+IMG_TRANSFORM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rot_w", IntegerType(), False),
+        StructField("rot_h", IntegerType(), False),
+        StructField("wsum_rot_r", LongType(), False),
+        StructField("wsum_fliph_g", LongType(), False),
+        StructField("wsum_flipv_b", LongType(), False),
+    ]
+)
+
+
+def image_transform_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E4 geometric transforms on REAL pixel arrays: per document a
+    closed-form gradient BMP is encoded, decoded back (full header +
+    bottom-up stride walk), then rotated 90° clockwise and flipped both
+    ways with actual array ops (np.rot90/np.flip — the augmentation
+    primitives an image pipeline runs). The emitted features are
+    POSITION-WEIGHTED sums Σ(x'+1)(y'+1)·channel, so any wrong
+    permutation (off-by-one, wrong axis, transpose-without-reverse)
+    changes the value — a mean would hide all of them. Exact int64."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in (
+                "media_id", "rot_w", "rot_h",
+                "wsum_rot_r", "wsum_fliph_g", "wsum_flipv_b")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 16 + 1, mid % 8 + 1
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                px = np.stack(  # B,G,R order (the BMP array convention)
+                    [
+                        (mid * 13 + y + 0 * x) % 256,
+                        (mid * 7 + x + 0 * y) % 256,
+                        (mid + 3 * x + 5 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                dec = bmp_pixels(encode_bmp(px)).astype(np.int64)
+                rot = np.rot90(dec, k=-1)          # 90° clockwise
+                fliph = dec[:, ::-1]
+                flipv = dec[::-1, :]
+                def wsum(a, ch):
+                    hh, ww = a.shape[:2]
+                    wx = np.arange(1, ww + 1, dtype=np.int64)[None, :]
+                    wy = np.arange(1, hh + 1, dtype=np.int64)[:, None]
+                    return int((a[:, :, ch] * wx * wy).sum())
+                out["media_id"].append(mid)
+                out["rot_w"].append(rot.shape[1])
+                out["rot_h"].append(rot.shape[0])
+                out["wsum_rot_r"].append(wsum(rot, 2))
+                out["wsum_fliph_g"].append(wsum(fliph, 1))
+                out["wsum_flipv_b"].append(wsum(flipv, 0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "rot_w": pd.array(out["rot_w"], dtype="int32"),
+                    "rot_h": pd.array(out["rot_h"], dtype="int32"),
+                    "wsum_rot_r": pd.array(out["wsum_rot_r"], dtype="int64"),
+                    "wsum_fliph_g": pd.array(out["wsum_fliph_g"], dtype="int64"),
+                    "wsum_flipv_b": pd.array(out["wsum_flipv_b"], dtype="int64"),
+                }
+            )
+
+    from prom_etl_db_spark.parallel import balance
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, IMG_TRANSFORM_SCHEMA
+    )

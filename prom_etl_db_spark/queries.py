@@ -135,6 +135,9 @@ _GATE_PRIORITY = [
     # linkage_jaro_winkler_blocks: NEW — blocked record linkage, from-
     # spec JW vs DuckDB's native implementation, quantized-int mass.
     "linkage_jaro_winkler_blocks",
+    # image_rotate_flip: NEW — rot90/flip on real decoded BMP arrays,
+    # position-weighted sums pin the coordinate algebra.
+    "image_rotate_flip",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -3563,3 +3563,37 @@ def linkage_jaro_winkler_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(base, 1, 1).alias("block"),
     )
     return linkage.blocked_jw_stats(built)
+
+
+@register(
+    "image_rotate_flip",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         d.doc_id % 16 + 1 AS w, d.doc_id % 8 + 1 AS h
+  FROM documents d CROSS JOIN range(16) x CROSS JOIN range(8) y
+  WHERE x.range < d.doc_id % 16 + 1 AND y.range < d.doc_id % 8 + 1
+)
+SELECT doc_id AS media_id,
+  CAST(min(h) AS INT) AS rot_w, CAST(min(w) AS INT) AS rot_h,
+  CAST(sum((x+1) * (h-y) * ((doc_id + 3*x + 5*y) % 256)) AS BIGINT)
+    AS wsum_rot_r,
+  CAST(sum((w-x) * (y+1) * ((doc_id*7 + x) % 256)) AS BIGINT)
+    AS wsum_fliph_g,
+  CAST(sum((x+1) * (h-y) * ((doc_id*13 + y) % 256)) AS BIGINT)
+    AS wsum_flipv_b
+FROM px GROUP BY doc_id
+""",
+)
+def image_rotate_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 geometric augmentation (r5): rotate-90°-clockwise and both
+    flips on REAL decoded BMP pixel arrays (np.rot90/np.flip — the
+    augmentation primitives), verified through POSITION-WEIGHTED sums
+    Σ(x'+1)(y'+1)·channel: the oracle substitutes each transform's
+    coordinate algebra into the closed-form gradient (rot90cw weight =
+    (x+1)(h−y) on the source grid, fliph = (w−x)(y+1), flipv =
+    (x+1)(h−y) on B), so any off-by-one, wrong axis, or
+    transpose-without-reverse breaks the hash where a channel MEAN
+    would hide every one of them. Exact int64 throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.image_transform_features(docs)

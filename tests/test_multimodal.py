@@ -1067,3 +1067,32 @@ def test_au_aiff_corrupt_stream_fuzz_only_valueerror():
                 except ValueError:
                     pass
         fn(base)
+
+
+def test_image_transform_features_known_tiny(spark):
+    """2x1 image worked by hand: pins the rot90-cw coordinate algebra
+    (transpose AND reverse — a bare transpose differs on non-square)."""
+    import numpy as np
+
+    from prom_etl_db_spark.functions.multimodal import (
+        bmp_pixels,
+        encode_bmp,
+        image_transform_features,
+    )
+
+    # doc_id=8: w=9, h=1 (a non-square 1-row image); R(x,0) = 8+3x
+    rows = image_transform_features(
+        spark.createDataFrame([(8,)], ["doc_id"])
+    ).collect()
+    r = rows[0]
+    assert (r.rot_w, r.rot_h) == (1, 9)
+    # rot90 cw of the 1x9 row is a 9x1 column in source order:
+    # wsum = sum (i+1)*(8+3i), i=0..8 = 1080
+    assert r.wsum_rot_r == 1080
+    # fliph over G(x) = 56+x: sum (9-x)*(56+x) = 2640
+    assert r.wsum_fliph_g == 2640
+    # flipv of a 1-row image is itself: B = 104: 104 * sum(x+1) = 4680
+    assert r.wsum_flipv_b == 4680
+    # and the BMP roundtrip under the transforms is bit-exact
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(bmp_pixels(encode_bmp(px[:, ::-1])), px[:, ::-1])
