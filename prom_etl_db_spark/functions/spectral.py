@@ -292,3 +292,83 @@ def fingerprint_neardup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "fingerprint", F.col("nf_a").alias("n_frames"))
     )
+
+
+def resample_q15(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
+    """Sample-rate conversion by Q15 fixed-point LINEAR interpolation —
+    the arithmetic an embedded resampler uses, chosen here (over
+    windowed-sinc) because every step is exact integer math the oracle
+    can replay: for output index j, the source position is the exact
+    rational j·fs_in/fs_out, split into k = floor and a Q15 fraction;
+    out[j] = x[k] + floor((x[k+1]−x[k])·frac / 2^15). Output length
+    floor(n·fs_out/fs_in); positions at/after the last sample clamp."""
+    n = len(x)
+    n_out = n * fs_out // fs_in
+    j = np.arange(n_out, dtype=np.int64)
+    num = j * fs_in
+    k = num // fs_out
+    frac = (num % fs_out) * Q15 // fs_out
+    k1 = np.minimum(k + 1, n - 1)
+    xk = x[np.minimum(k, n - 1)]
+    return xk + (x[k1] - xk) * frac // Q15
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_in", IntegerType(), False),
+        StructField("n_out", IntegerType(), False),
+        StructField("out_sum", LongType(), False),
+        StructField("out_min", LongType(), False),
+        StructField("out_max", LongType(), False),
+        StructField("out_wsum", LongType(), False),
+    ]
+)
+
+
+def resample_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fs_in: int = 8000,
+    fs_out: int = 11025,
+) -> DataFrame:
+    """Per clip: encode the closed-form signal into a REAL WAV, decode,
+    resample fs_in→fs_out in Q15, and emit exact-int stats including a
+    position-weighted sum (pins output ORDER, not just its multiset)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in (
+                "media_id", "n_in", "n_out", "out_sum",
+                "out_min", "out_max", "out_wsum")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n_in = 40 + mid % 50
+                n = np.arange(n_in, dtype=np.int64)
+                sig = (mid * 3 + 11 * n) % 512 - 256
+                x = decode_pcm16(synth_wav_pcm16(sig, sample_rate=fs_in))
+                y = resample_q15(x, fs_in, fs_out)
+                out["media_id"].append(mid)
+                out["n_in"].append(n_in)
+                out["n_out"].append(len(y))
+                out["out_sum"].append(int(y.sum()))
+                out["out_min"].append(int(y.min()))
+                out["out_max"].append(int(y.max()))
+                out["out_wsum"].append(
+                    int((y * np.arange(1, len(y) + 1, dtype=np.int64)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "n_in": pd.array(out["n_in"], dtype="int32"),
+                    "n_out": pd.array(out["n_out"], dtype="int32"),
+                    "out_sum": pd.array(out["out_sum"], dtype="int64"),
+                    "out_min": pd.array(out["out_min"], dtype="int64"),
+                    "out_max": pd.array(out["out_max"], dtype="int64"),
+                    "out_wsum": pd.array(out["out_wsum"], dtype="int64"),
+                }
+            )
+
+    return balance(docs.select(id_col), id_col).mapInPandas(
+        batches, RESAMPLE_SCHEMA
+    )

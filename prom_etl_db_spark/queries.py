@@ -138,6 +138,9 @@ _GATE_PRIORITY = [
     # image_rotate_flip: NEW — rot90/flip on real decoded BMP arrays,
     # position-weighted sums pin the coordinate algebra.
     "image_rotate_flip",
+    # audio_resample_q15: NEW — Q15 fixed-point linear-interp rate
+    # conversion (320/441 ratio), exact-int oracle.
+    "audio_resample_q15",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -3597,3 +3597,50 @@ def image_rotate_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hide every one of them. Exact int64 throughout."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.image_transform_features(docs)
+
+
+@register(
+    "audio_resample_q15",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 40 + doc_id % 50 AS n_in,
+         (40 + doc_id % 50) * 11025 // 8000 AS n_out
+  FROM documents
+), o AS (
+  SELECT d.doc_id, d.n_in, d.n_out, j.range AS j,
+         (j.range * 8000) // 11025 AS k,
+         ((j.range * 8000) % 11025) * 32768 // 11025 AS frac
+  FROM d CROSS JOIN range(124) j
+  WHERE j.range < d.n_out
+), s AS (
+  SELECT doc_id, n_in, n_out, j,
+         (doc_id * 3 + 11 * least(k, n_in - 1)) % 512 - 256 AS xk,
+         (doc_id * 3 + 11 * least(k + 1, n_in - 1)) % 512 - 256 AS xk1,
+         frac
+  FROM o
+), y AS (
+  SELECT doc_id, n_in, n_out, j,
+         xk + CAST(floor((xk1 - xk) * frac / 32768.0) AS BIGINT) AS v
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(min(n_in) AS INT) AS n_in,
+       CAST(min(n_out) AS INT) AS n_out,
+       CAST(sum(v) AS BIGINT) AS out_sum,
+       CAST(min(v) AS BIGINT) AS out_min,
+       CAST(max(v) AS BIGINT) AS out_max,
+       CAST(sum((j + 1) * v) AS BIGINT) AS out_wsum
+FROM y GROUP BY doc_id
+""",
+)
+def audio_resample_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio, sample-rate conversion (r5): the 8000→11025 Hz
+    resample an ASR-prep pipeline runs, as Q15 fixed-point linear
+    interpolation over a real WAV roundtrip — source position j·fs_in/
+    fs_out split into exact floor + Q15 fraction, so every output
+    sample is integer arithmetic the oracle replays verbatim
+    (non-terminating rational ratio 320/441 exercises every fraction
+    phase). The position-weighted sum pins output ORDER; min/max/sum
+    pin the values. Exact int64 end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return spectral.resample_features(docs)

@@ -197,3 +197,26 @@ def test_fingerprint_neardup_pairs_acoustic_not_byte(spark):
     rows = fingerprint_neardup_pairs(docs).collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(0, 45)]
     assert rows[0].fingerprint == ",".join(["1"] * rows[0].n_frames)
+
+
+def test_resample_q15_properties():
+    from prom_etl_db_spark.functions.spectral import resample_q15
+
+    # constant signal -> constant output of the rational length
+    x = np.full(80, 123, dtype=np.int64)
+    y = resample_q15(x, 8000, 11025)
+    assert len(y) == 80 * 11025 // 8000
+    assert (y == 123).all()
+    # a linear ramp stays a ramp under linear interpolation (within the
+    # Q15 floor: monotone nondecreasing, endpoints preserved)
+    r = np.arange(0, 400, 4, dtype=np.int64)
+    yr = resample_q15(r, 8000, 16000)
+    assert yr[0] == r[0] and (np.diff(yr) >= 0).all()
+    # 2x upsample of a ramp interpolates the exact midpoints
+    assert yr[1] == (r[0] + r[1]) // 2
+    # downsample identity: fs_out == fs_in is the identity
+    assert np.array_equal(resample_q15(r, 8000, 8000), r)
+    # negative values floor toward -inf exactly like the SQL oracle
+    neg = np.array([-100, 100], dtype=np.int64)
+    y2 = resample_q15(neg, 2, 3)
+    assert y2[0] == -100 and y2[1] == -100 + (200 * (32768 * 2 // 3) // 32768)
