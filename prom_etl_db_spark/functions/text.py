@@ -1472,3 +1472,37 @@ def mojibake_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (fixed != F.col(text_col)).alias("repaired"),
         F.length(fixed).cast("int").alias("n_chars_fixed"),
     )
+
+
+# -- accent folding (round 5) --------------------------------------------------
+
+
+def fold_accents(s: str) -> str:
+    """Search-normalization fold: NFD-decompose, drop combining marks
+    (category Mn), lowercase — 'Café' and 'cafe' collide, the index/
+    dedup normalization every search stack applies. Letters that are
+    NOT accents survive (ł, ø, ß: stripping them would be lossy
+    transliteration, a different operation)."""
+    import unicodedata
+
+    nfd = unicodedata.normalize("NFD", s)
+    return "".join(c for c in nfd if unicodedata.category(c) != "Mn").lower()
+
+
+def accent_fold_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, folded text, changed flag, codepoint delta) via one
+    Arrow batch; DuckDB's utf8proc lower(strip_accents()) is the
+    independent oracle implementation."""
+    from pyspark.sql.types import StringType
+
+    _fold = F.pandas_udf(
+        lambda s: s.map(lambda t: fold_accents(t) if t is not None else None),
+        returnType=StringType(),
+    )
+    folded = _fold(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        folded.alias("text_folded"),
+        (folded != F.col(text_col)).alias("changed"),
+        (F.length(F.col(text_col)) - F.length(folded)).cast("int").alias("cp_delta"),
+    )

@@ -141,6 +141,9 @@ _GATE_PRIORITY = [
     # audio_resample_q15: NEW — Q15 fixed-point linear-interp rate
     # conversion (320/441 ratio), exact-int oracle.
     "audio_resample_q15",
+    # doc_fold_accents: NEW — NFD accent folding, stdlib unicodedata vs
+    # DuckDB utf8proc strip_accents (two UCD implementations).
+    "doc_fold_accents",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

@@ -3644,3 +3644,52 @@ def audio_resample_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin the values. Exact int64 end-to-end."""
     docs = _t(spark, sf_dir, "documents")
     return spectral.resample_features(docs)
+
+
+@register(
+    "doc_fold_accents",
+    oracle="""
+WITH built AS (
+  SELECT doc_id,
+         text || ' ' || CASE doc_id % 5
+           WHEN 0 THEN 'Café Déjà Vu'
+           WHEN 1 THEN 'NAÏVE Über Å'
+           WHEN 2 THEN 'Kraków Gdańsk Łódź'
+           WHEN 3 THEN 'Ωμέγα Σίγμα'
+           ELSE 'plain ascii' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       lower(strip_accents(t)) AS text_folded,
+       lower(strip_accents(t)) != t AS changed,
+       CAST(length(t) - length(lower(strip_accents(t))) AS INT) AS cp_delta
+FROM built
+""",
+)
+def doc_fold_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 search normalization, accent folding (r5): NFD-decompose,
+    drop combining marks, lowercase — the index normalization that
+    collides 'Café' with 'cafe' while PRESERVING non-accent letters
+    (ł stays: stripping it is lossy transliteration, a different op).
+    Five strata (French/German/Polish/Greek/ascii — the Polish one
+    proves ł survives while ó folds, the Greek one that tonos strips
+    under a non-Latin script; ascii keeps `changed` split). Spark runs
+    stdlib unicodedata; DuckDB runs utf8proc strip_accents — two
+    independent UCD implementations, one hash over the FULL folded
+    text (the NFC-normalization pattern, verified on 11 candidate
+    strata before fixture selection)."""
+    docs = _t(spark, sf_dir, "documents")
+    marker = F.element_at(
+        F.array(
+            F.lit("Café Déjà Vu"),
+            F.lit("NAÏVE Über Å"),
+            F.lit("Kraków Gdańsk Łódź"),
+            F.lit("Ωμέγα Σίγμα"),
+            F.lit("plain ascii"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    built = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), marker).alias("text")
+    )
+    return text.accent_fold_features(built)

@@ -595,3 +595,19 @@ def test_mojibake_features_flags(spark):
     assert got[1].text_fixed == "clean text" and not got[1].suspected
     assert got[2].text_fixed == "bait Ã here" and got[2].suspected and not got[2].repaired
     assert got[0].n_chars_fixed == len("ok née")
+
+
+def test_fold_accents_vectors():
+    from prom_etl_db_spark.functions.text import fold_accents
+
+    assert fold_accents("Café Déjà") == "cafe deja"
+    assert fold_accents("NAÏVE Über Å") == "naive uber a"
+    # non-accent letters survive: stripping would be transliteration
+    assert fold_accents("Łódź") == "łodz"
+    assert fold_accents("øre ß") == "øre ß"
+    assert fold_accents("Ωμέγα") == "ωμεγα"
+    assert fold_accents("İstanbul") == "istanbul"  # dot-above strips
+    assert fold_accents("ascii") == "ascii"
+    assert fold_accents("") == ""
+    # idempotent
+    assert fold_accents(fold_accents("Tiếng Việt")) == "tieng viet"
