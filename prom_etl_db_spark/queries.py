@@ -51,20 +51,19 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 # Gate-window rotation.
 #
-# Round-4 note: the 50-entry window below is now ENTIRELY filled with
-# never-driver-checked entries (46) plus 4 regression slots — adding a new
-# oracle-checked query displaces one of them to round 5. Next round,
-# rotate: (a) anything red in CORRECTNESS_r03.json first, (b) the
-# remaining r1/r2-green entries that haven't had a row since r1
-# (definition-order tail), (c) fresh round-4 queries.
-#
 # The external correctness gate samples the FIRST 50 registry entries per
-# round. Round 1 verified the first 50 in definition order; the 29 entries
-# below were locally green but never received a driver row. Rotate them to
-# the front (and the already-driver-green round-1 entries to the tail) so
-# every query accumulates a driver-recorded correctness row across rounds.
-# Definition order above stays grouped by subsystem for readers; this list
-# is the only place gate order is decided.
+# round. Definition order above stays grouped by subsystem for readers;
+# this list is the only place gate order is decided.
+#
+# Round-5 window composition: the new-query block grew to ~24 entries as
+# the r5 continuation added operators (every one locally green at sf0.001
+# AND sf0.01 under --pandas-canon before registration), so ~26 slots
+# remain for the stale rotation below — fewer than VERDICT r4's ≥40-slot
+# ask, a deliberate trade: never-driver-checked queries outrank
+# r2-stale-but-once-green ones. Round-6 rotation should lead with (a) the
+# r2-stale entries below that fell past slot 50 this round, then (b) the
+# remaining r2-stale set listed in the r4-era comment history, then (c)
+# r3/r4-green blocks in definition order.
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
