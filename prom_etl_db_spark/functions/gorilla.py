@@ -181,6 +181,10 @@ def decode_gorilla(payload: bytes, nbits: int, n: int) -> tuple[list[int], list[
             s_lead = r.read(5)
             mlen = r.read(6) or 64
             s_trail = 64 - s_lead - mlen
+            # a corrupted control word can claim lead+mlen > 64; refuse
+            # loudly instead of a negative shift (found by the bit-flip
+            # fuzz gate)
+            assert s_trail >= 0, "invalid meaningful-bits window"
             x = r.read(mlen) << s_trail
         vs.append(_s64(_u(vs[-1]) ^ x))
     assert r.pos == r.total, "trailing bits"

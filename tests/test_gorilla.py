@@ -99,3 +99,32 @@ def test_truncated_stream_refuses():
         decode_gorilla(payload, nbits - 8, 3)
     with pytest.raises(AssertionError):
         decode_gorilla(payload, nbits, 2)  # trailing bits unconsumed
+
+
+def test_corrupt_stream_fuzz_never_hangs_or_leaks():
+    """The codec fuzz discipline (same gate as FLAC/JPEG/PNG): every
+    prefix truncation and every single-bit flip of a real stream either
+    decodes (possibly to different values — Gorilla has no checksum,
+    which is faithful to the paper) or raises the module's own
+    AssertionError; never an IndexError/OverflowError/hang."""
+    random.seed(13)
+    ts, t = [], 1000
+    for i in range(40):
+        ts.append(t)
+        t += random.choice([0, 1, 60, 3600, 10**6])
+    vs = [random.choice([0, 7, -7, 2**40, -(2**40)]) for _ in range(40)]
+    payload, nbits, _, _ = encode_gorilla(ts, vs)
+    for cut in range(0, nbits, 7):  # prefix truncations
+        try:
+            decode_gorilla(payload[: (cut + 7) // 8], cut, 40)
+        except AssertionError:
+            pass
+    data = bytearray(payload)
+    for bit in range(0, nbits, 3):  # bit flips
+        data[bit >> 3] ^= 0x80 >> (bit & 7)
+        try:
+            out = decode_gorilla(bytes(data), nbits, 40)
+            assert len(out[0]) == 40
+        except AssertionError:
+            pass
+        data[bit >> 3] ^= 0x80 >> (bit & 7)
