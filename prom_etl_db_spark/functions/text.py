@@ -1506,3 +1506,77 @@ def accent_fold_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (folded != F.col(text_col)).alias("changed"),
         (F.length(F.col(text_col)) - F.length(folded)).cast("int").alias("cp_delta"),
     )
+
+
+# -- character entropy (round 5) -----------------------------------------------
+
+
+def char_entropy_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-0 Shannon character entropy per document — the classic
+    "is this text or noise/binary/boilerplate" quality signal (low
+    entropy ⇒ repeated boilerplate, high ⇒ random bytes; natural prose
+    sits ~4 bits/char).
+
+    Computed ENTIRELY in-row with zero shuffle: the char array is
+    sorted and folded once to accumulate run lengths (the
+    _max_multiplicity technique), emitting per-run quantized terms
+    round(1e6·(c/n)·log2(n/c)) that SUM to the entropy — integer sums
+    are order-free exact, so the only cross-engine hazard is a 1-ulp
+    log2 difference landing within 5e-7 of a rounding boundary
+    (~1e-10 per term). Also emits n_chars, n_distinct, and the max
+    run (most-common-char count)."""
+    t = F.col(text_col)
+    chars = F.array_sort(F.split(t, ""))
+    n = F.size(chars)
+
+    def step(a, x):
+        run = F.when(a["prev"].eqNullSafe(x), a["run"] + 1).otherwise(F.lit(1))
+        # on run CLOSE (new char differs from prev), bank the finished
+        # run's entropy term and distinct-count increment
+        closing = (~a["prev"].eqNullSafe(x)) & (a["run"] > 0)
+        term = F.round(
+            F.lit(1_000_000)
+            * (a["run"].cast("double") / n)
+            * F.log2(n.cast("double") / a["run"]),
+            0,
+        ).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(closing, a["ent_q6"] + term).otherwise(a["ent_q6"]).alias("ent_q6"),
+            F.when(closing, a["n_distinct"] + 1).otherwise(a["n_distinct"]).alias("n_distinct"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("long").alias("ent_q6"),
+        F.lit(0).cast("int").alias("n_distinct"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def fin(a):
+        # bank the final open run
+        term = F.round(
+            F.lit(1_000_000)
+            * (a["run"].cast("double") / n)
+            * F.log2(n.cast("double") / a["run"]),
+            0,
+        ).cast("long")
+        has = a["run"] > 0
+        return F.struct(
+            F.when(has, a["ent_q6"] + term).otherwise(a["ent_q6"]).alias("ent_q6"),
+            F.when(has, a["n_distinct"] + 1).otherwise(a["n_distinct"]).alias("n_distinct"),
+            a["best"].alias("best"),
+        )
+
+    acc = F.aggregate(chars, init, step, fin)
+    empty = F.trim(t) == ""
+    return docs.select(
+        "doc_id",
+        F.when(empty, F.lit(0)).otherwise(n).cast("int").alias("n_chars"),
+        F.when(empty, F.lit(0)).otherwise(acc["n_distinct"]).cast("int").alias("n_distinct"),
+        F.when(empty, F.lit(0)).otherwise(acc["best"]).cast("int").alias("max_run"),
+        F.when(empty, F.lit(0)).otherwise(acc["ent_q6"]).cast("long").alias("entropy_q6"),
+    )

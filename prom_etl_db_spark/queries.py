@@ -143,6 +143,9 @@ _GATE_PRIORITY = [
     # doc_fold_accents: NEW — NFD accent folding, stdlib unicodedata vs
     # DuckDB utf8proc strip_accents (two UCD implementations).
     "doc_fold_accents",
+    # doc_char_entropy: NEW — order-0 Shannon entropy via an in-row
+    # sorted-run fold (zero shuffle); quantized-term integer sums.
+    "doc_char_entropy",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

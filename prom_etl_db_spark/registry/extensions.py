@@ -3693,3 +3693,43 @@ def doc_fold_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), F.lit(" "), marker).alias("text")
     )
     return text.accent_fold_features(built)
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS c
+  FROM documents WHERE trim(text) != ''
+), runs AS (
+  SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY doc_id, n, c
+), agg AS (
+  SELECT doc_id, CAST(min(n) AS INT) AS n_chars,
+         CAST(count(*) AS INT) AS n_distinct,
+         CAST(max(cnt) AS INT) AS max_run,
+         CAST(sum(CAST(round(1000000 * (cnt / CAST(n AS DOUBLE))
+                             * log2(n / CAST(cnt AS DOUBLE)), 0)
+                  AS BIGINT)) AS BIGINT) AS entropy_q6
+  FROM runs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.max_run, 0) AS max_run,
+       CAST(coalesce(a.entropy_q6, 0) AS BIGINT) AS entropy_q6
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 quality, order-0 character entropy (r5): the classic text-vs-
+    noise signal (boilerplate ≈ low bits/char, random bytes ≈ high,
+    prose ≈ 4). Spark computes it ENTIRELY IN-ROW — sort the char
+    array once and fold runs, banking a quantized term
+    round(1e6·(c/n)·log2(n/c)) as each run closes — zero shuffle, the
+    signal rides the scan at any corpus size; the oracle takes the
+    orthodox explode+groupBy road. Quantized-term integer sums are
+    order-free exact, so the only cross-engine float surface is a
+    1-ulp log2 landing within 5e-7 of a rounding boundary (~1e-10 per
+    term). Blank docs emit zeros on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.char_entropy_features(docs)

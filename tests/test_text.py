@@ -611,3 +611,31 @@ def test_fold_accents_vectors():
     assert fold_accents("") == ""
     # idempotent
     assert fold_accents(fold_accents("Tiếng Việt")) == "tieng viet"
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from prom_etl_db_spark.functions.text import char_entropy_features
+
+    rows = [
+        (0, "aaaa"),          # one symbol: H = 0
+        (1, "abab"),          # two equiprobable: H = 1 bit
+        (2, "abcd"),          # four equiprobable: H = 2 bits
+        (3, ""),              # blank: zeros
+        (4, "aab"),           # H = 2/3*log2(3/2) + 1/3*log2(3)
+    ]
+    got = {
+        r.doc_id: r
+        for r in char_entropy_features(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert (got[0].n_chars, got[0].n_distinct, got[0].max_run) == (4, 1, 4)
+    assert got[0].entropy_q6 == 0
+    assert got[1].entropy_q6 == 1_000_000
+    assert got[2].entropy_q6 == 2_000_000
+    assert (got[3].n_chars, got[3].entropy_q6) == (0, 0)
+    want4 = round(1e6 * (2 / 3) * math.log2(3 / 2)) + round(1e6 * (1 / 3) * math.log2(3))
+    assert got[4].entropy_q6 == want4
+    assert got[4].max_run == 2 and got[4].n_distinct == 2
