@@ -372,3 +372,41 @@ def resample_features(
     return balance(docs.select(id_col), id_col).mapInPandas(
         batches, RESAMPLE_SCHEMA
     )
+
+
+def speech_segments_with_descriptors(
+    docs: DataFrame, id_col: str = "doc_id", threshold: int = VAD_THRESHOLD
+) -> DataFrame:
+    """The composed speech front-end: VAD islands + per-segment spectral
+    descriptors in ONE pass over the frame features (the segment rollup
+    and the peak-frame dominant bin share a single hash agg via
+    lexicographic struct-max — no join back, no second DFT). Output per
+    (clip, segment): frame span, length, total energy, and the dominant
+    bin of the segment's PEAK frame — the (when, what pitch) row an ASR
+    router consumes."""
+    from pyspark.sql import Window
+
+    f = spectrogram_frame_features(docs, id_col, synth=vad_fixture_samples)
+    active = f.where(F.col("e_total") >= F.lit(threshold))
+    w = Window.partitionBy("media_id").orderBy("frame")
+    brk = F.when(
+        F.col("frame") != F.lag("frame").over(w) + F.lit(1), F.lit(1)
+    ).otherwise(F.lit(0))
+    seg = active.withColumn(
+        "segment",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return seg.groupBy("media_id", "segment").agg(
+        F.min("frame").alias("start_frame"),
+        F.max("frame").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("e_total").alias("seg_energy"),
+        (
+            -F.max(
+                F.struct(
+                    F.col("e_total").alias("e"),
+                    (-F.col("dominant_bin")).alias("nb"),
+                )
+            ).getField("nb")
+        ).alias("peak_dominant_bin"),
+    )

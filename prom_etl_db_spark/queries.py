@@ -146,6 +146,9 @@ _GATE_PRIORITY = [
     # doc_char_entropy: NEW — order-0 Shannon entropy via an in-row
     # sorted-run fold (zero shuffle); quantized-term integer sums.
     "doc_char_entropy",
+    # speech_pipeline_v1: NEW — the composed audio flagship (spectrogram
+    # -> VAD islands -> per-segment peak descriptors, one chained oracle).
+    "speech_pipeline_v1",
     # --- Stale rotation (VERDICT r4 task #4) ---------------------------
     # Every registry query's newest driver row, unioned over
     # CORRECTNESS_r01..r04.json. 65 queries had no row since r2 after the

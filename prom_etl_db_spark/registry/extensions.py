@@ -3733,3 +3733,53 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     term). Blank docs emit zeros on both sides."""
     docs = _t(spark, sf_dir, "documents")
     return text.char_entropy_features(docs)
+
+
+@register(
+    "speech_pipeline_v1",
+    oracle=_spectro_ctes(
+        "8 + doc_id % 5",
+        "CASE WHEN (d.doc_id + i.range // 32) % 3 = 0 THEN 0 ELSE 1 END",
+        208,
+        12,
+    )
+    + f"""
+, fr2 AS (
+  SELECT doc_id, f, sum(pw) AS e_total,
+         31 - (max(CASE WHEN k >= 1 THEN pw * 32 + (31 - k) END) % 32) AS dom
+  FROM dftp GROUP BY doc_id, f
+), act AS (
+  SELECT doc_id, f, e_total, dom,
+         CASE WHEN f != lag(f) OVER w + 1 THEN 1 ELSE 0 END AS brk
+  FROM fr2 WHERE e_total >= {spectral.VAD_THRESHOLD}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+), seg AS (
+  SELECT doc_id, f, e_total, dom,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+  FROM act
+)
+SELECT doc_id AS media_id, CAST(segment AS BIGINT) AS segment,
+       CAST(min(f) AS INT) AS start_frame,
+       CAST(max(f) AS INT) AS end_frame,
+       count(*) AS n_frames,
+       CAST(sum(e_total) AS BIGINT) AS seg_energy,
+       CAST(31 - (max(e_total * 32 + (31 - dom)) % 32) AS INT)
+         AS peak_dominant_bin
+FROM seg GROUP BY doc_id, segment
+""",
+)
+def speech_pipeline_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 composed speech front-end (r5 flagship for the audio family,
+    the curation_pipeline_v2 pattern): Q15 spectrogram → energy VAD
+    islands → per-segment descriptors, with the segment rollup and the
+    peak-frame dominant bin sharing ONE hash agg (lexicographic
+    struct-max on (e_total, −bin) — no join-back, no second DFT pass).
+    The oracle chains the whole pipeline: DFT CTEs, per-frame argmax,
+    threshold, island merge, and the peak-frame pack (e_total·32 +
+    (31−dom), hugeint-safe) — every stage exact int64, zero float
+    hazard. Each emitted segment's peak bin recovers the clip's
+    planted tone (unit-asserted), so the hash pins the composition's
+    semantics, not just its algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return spectral.speech_segments_with_descriptors(docs)

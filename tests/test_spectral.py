@@ -220,3 +220,19 @@ def test_resample_q15_properties():
     neg = np.array([-100, 100], dtype=np.int64)
     y2 = resample_q15(neg, 2, 3)
     assert y2[0] == -100 and y2[1] == -100 + (200 * (32768 * 2 // 3) // 32768)
+
+
+def test_speech_pipeline_recovers_tone_per_segment(spark):
+    from prom_etl_db_spark.functions.spectral import (
+        speech_segments_with_descriptors,
+    )
+
+    ids = (0, 4, 9)
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    rows = speech_segments_with_descriptors(docs).collect()
+    assert rows, "fixture must produce active segments"
+    for r in rows:
+        # every segment's peak frame is tone-dominated -> planted bin
+        assert r.peak_dominant_bin == 1 + r.media_id % 15, r
+        assert r.end_frame - r.start_frame + 1 == r.n_frames
+        assert r.seg_energy > 0
