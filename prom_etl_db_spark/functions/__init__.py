@@ -1,3 +1,29 @@
-from prom_etl_db_spark.functions import dedup, multimodal, similarity, text
+from prom_etl_db_spark.functions import (
+    clustering,
+    decontam,
+    dedup,
+    flac,
+    gorilla,
+    jpeg,
+    linkage,
+    mpeg_audio,
+    multimodal,
+    phash,
+    quality,
+    sampling,
+    similarity,
+    sketches,
+    spectral,
+    suffix,
+    text,
+    unigram,
+    urlnorm,
+    video,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "clustering", "decontam", "dedup", "flac", "gorilla", "jpeg",
+    "linkage", "mpeg_audio", "multimodal", "phash", "quality",
+    "sampling", "similarity", "sketches", "spectral", "suffix",
+    "text", "unigram", "urlnorm", "video",
+]
