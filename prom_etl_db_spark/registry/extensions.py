@@ -3048,7 +3048,11 @@ def metrics_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer values make every centroid sum exact in float64 and every
     triangle area a fixed expression tree over bit-identical operands
     — so Spark and DuckDB provably make the same choices (verified
-    0 mismatches), with no float-boundary hazard in the hash."""
+    0 mismatches), with no float-boundary hazard in the hash. Note on
+    ORACLE cost (not operator cost): DuckDB recursion re-scans per
+    step, so the replay is O(chain²) and is practical at the gate's
+    sf0.01 (~2k steps/series) but slow at sf0.1 — the OPERATOR itself
+    is linear (scale-probed 0.18 of linear at 10×)."""
     ev = _t(spark, sf_dir, "events")
     return analytics.lttb_downsample(ev)
 
@@ -3208,7 +3212,7 @@ WITH s AS (
 )
 SELECT event_id,
        CAST(CASE event_id % 3 WHEN 0 THEN sign(-value)
-            WHEN 1 THEN 0.0 ELSE sign(value) END AS DOUBLE) AS sgn,
+            WHEN 1 THEN 0.0 ELSE sign(value) END AS DOUBLE) + 0.0 AS sgn,
        CAST(year(t) AS INT) AS year,
        CAST(month(t) AS INT) AS month,
        CAST(day(t) AS INT) AS day_of_month,
@@ -3244,11 +3248,14 @@ def promql_time_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.second(t).cast("long")
     )
     comps = promql.time_component_columns(v)
+    # + 0.0 flushes IEEE -0.0 (signum(-0.0) = -0.0; sf0.1 has a literal
+    # zero value) to +0.0 — the README canon-safety rule
     sgn = (
         F.when(F.col("event_id") % 3 == 0, F.signum(-F.col("value")))
         .when(F.col("event_id") % 3 == 1, F.lit(0.0))
         .otherwise(F.signum(F.col("value")))
         .cast("double")
+        + F.lit(0.0)
     )
     return ev.select(
         "event_id",
