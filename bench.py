@@ -48,7 +48,108 @@ HEADLINE = [
 ]
 
 
+def bench_against(ref: str) -> None:
+    """Paired same-host A/B vs the prior round's CODE (VERDICT r5 task #2).
+
+    Checks ``ref`` into a temp ``git worktree``, spawns one
+    ``tools/bench_worker.py`` per build, and INTERLEAVES the two builds'
+    best-of-3 runs — rep by rep, query by query, A then B back-to-back —
+    so both builds see the same host load at the same moments. The emitted
+    JSON carries ``against.ratio_vs_prior_code`` per query; the regression
+    gate is "no query >1.3× the prior CODE on the same host", which unlike
+    ratio-vs-prior-RECORDING cannot be tripped by a noisy measurement day
+    (r5's flagship read 1.56× vs the r4 recording while being ≤1.0× vs the
+    r4 code run the same day — BENCH_NOTES.md r5 adjudication, now
+    mechanized here).
+    """
+    import subprocess
+    import tempfile
+
+    repo = str(Path(__file__).resolve().parent)
+    wt = tempfile.mkdtemp(prefix="bench_against_")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--force", "--detach", wt, ref],
+        check=True,
+        capture_output=True,
+    )
+
+    def spawn(build_dir: str) -> subprocess.Popen:
+        p = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tools", "bench_worker.py"), build_dir],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            bufsize=1,
+        )
+        while True:  # wait for boot + warmup
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker for {build_dir} died during boot")
+            if line.strip() == "READY":
+                return p
+
+    def ask(p: subprocess.Popen, cmd: str, name: str) -> dict:
+        p.stdin.write(f"{cmd} {name}\n")
+        p.stdin.flush()
+        return json.loads(p.stdout.readline())
+
+    try:
+        cur = spawn(repo)
+        pri = spawn(wt)
+        # Codegen warmup both builds first (same order), then paired reps.
+        common = []
+        for name in HEADLINE:
+            a = ask(cur, "WARM", name)
+            b = ask(pri, "WARM", name)
+            if "error" in a or "error" in b:
+                print(f"# {name}: skipped (absent in one build)", file=sys.stderr)
+                continue
+            common.append(name)
+        best_cur: dict[str, float] = {}
+        best_pri: dict[str, float] = {}
+        for rep in range(3):
+            for name in common:
+                a = ask(cur, "RUN", name)["sec"]
+                b = ask(pri, "RUN", name)["sec"]
+                best_cur[name] = min(a, best_cur.get(name, a))
+                best_pri[name] = min(b, best_pri.get(name, b))
+                print(f"# rep{rep} {name}: cur={a:.3f}s prior={b:.3f}s", file=sys.stderr)
+        for p in (cur, pri):
+            p.stdin.write("EXIT\n")
+            p.stdin.flush()
+            p.wait(timeout=60)
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+
+    ratio = {
+        n: round(best_cur[n] / best_pri[n], 3) if best_pri[n] > 0 else None
+        for n in common
+    }
+    worst = max(common, key=lambda n: ratio[n] or 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_ab_vs_prior_code",
+                "value": round(sum(best_cur.values()), 3),
+                "unit": "sec",
+                "queries": {n: round(best_cur[n], 3) for n in common},
+                "prior_code": {n: round(best_pri[n], 3) for n in common},
+                "ratio_vs_prior_code": ratio,
+                "worst": {"query": worst, "ratio": ratio[worst]},
+                "against_ref": ref,
+                "gate_1p3x": "pass" if (ratio[worst] or 0) <= 1.3 else "FAIL",
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--against":
+        bench_against(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -67,6 +67,73 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
+    # --- Round-6 window -------------------------------------------------
+    # Composition (VERDICT r5 task #1): first the 26 queries that have
+    # NEVER held a driver correctness row in any CORRECTNESS_r01..r05
+    # window (the r5 TPC-H deck, tokenizer-training families, perceptual
+    # hashes, Y4M, NFC, skew joins), then the round-6 new-query block,
+    # then the oldest stale rotation (newest driver row = r2, registry
+    # order, excluding rows-only-by-design `cardinality_sketches`).
+    # The 18 r2-stale entries that do not fit this window, then the
+    # 48-entry r3 block, lead the r7 rotation.
+    # --- Never-driver-gated (26) ---------------------------------------
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_dormant_customers",
+    "events_salted_type_join",
+    "events_skew_split_join",
+    "wordpiece_learned_merges",
+    "wordpiece_encoded_token_counts",
+    "unigram_lm_vocab",
+    "unigram_encoded_token_counts",
+    "doc_kneser_ney_perplexity",
+    "image_dhash_codes",
+    "image_phash_neardup_pairs",
+    "video_y4m_bt601_decode",
+    "doc_nfc_normalize",
+    # --- Round-6 new-query block (inserted as implemented) --------------
+    # --- Stale rotation: newest driver row = r2, registry order ---------
+    "multimodal_wav_samples",
+    "embedding_kmeans_assign",
+    "semantic_neardup_pairs",
+    "promql_count_values",
+    "promql_over_time_stats",
+    "promql_rate_range",
+    "promql_mad_over_time",
+    "promql_label_replace",
+    "promql_label_join",
+    "promql_offset",
+    "promql_delta",
+    "promql_deriv",
+    "promql_predict_linear",
+    "promql_histogram_quantile",
+    "promql_clamp",
+    "doc_hash_split_counts",
+    "doc_stratified_sample",
+    "corpus_mix_by_lang",
+    "doc_deterministic_topn",
+    "doc_cap_per_source",
+    "doc_weighted_sample",
+    "neardup_clusters",
+    "neardup_keep_canonical",
+    "text_bpe_token_counts",
+]
+
+# The retired round-5 window, kept for the rotation history the r7
+# window will need (these 50 all hold green r5 driver rows):
+_R5_WINDOW_HISTORY = [
     # --- Round-5 new/changed block ------------------------------------
     # doc_gopher_split: NEW — the gopher_pass both-ways split under the
     # driver oracle (VERDICT r4 task #3).
