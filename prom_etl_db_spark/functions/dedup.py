@@ -423,6 +423,7 @@ def ngram_jaccard_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold, computed by exploding
     hashed shingles and equi-joining on the int64 hash — co-occurrence
@@ -431,6 +432,15 @@ def ngram_jaccard_dup_pairs(
     size (one extra int64 on the shuffle) so the union size falls out of
     the same aggregation — no second pass over the shingles, no persist,
     no size re-join. Output: (id_a, id_b, jaccard).
+
+    ``block_col`` restricts pairing to documents sharing a blocking key
+    (crawl dedup blocks by host: near-identical boilerplate pages live
+    on one site, and cross-host shingle collisions are join fan-out with
+    no dedup value). The key rides the shuffle as part of the join key,
+    so each shingle bucket is (block, shingle)-local — at 100 TB this
+    turns the worst-case Σ|bucket|² from corpus-global to per-site, the
+    same containment the reference gets from day-partitioned deletes
+    (/root/reference/internal/database/database.go:116).
 
     ``max_shingle_df`` is the hot-shingle defense: a stop-word-like
     shingle appearing in df documents contributes df² join rows, so ONE
@@ -443,8 +453,10 @@ def ngram_jaccard_dup_pairs(
     intersection, none from the union) falls below the threshold. The
     hot set is provably small — ≤ total_tokens / cap shingles — so it
     broadcasts; the big token stream is never extra-shuffled for it."""
+    block = [block_col] if block_col is not None else []
     sh = balance(docs.where(has_min_words(F.col(text_col), shingle_n)), id_col).select(
         F.col(id_col).alias("id"),
+        *block,
         hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
     # explode_outer: plain explode triggers InferFiltersFromGenerate,
@@ -453,16 +465,23 @@ def ngram_jaccard_dup_pairs(
     # has_min_words already guarantees non-empty arrays, and a null
     # shingle key can never equi-join anyway.
     tokens = sh.select(
-        "id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+        "id", *block, F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
     if max_shingle_df is not None:
+        # df is counted within the block when blocking is on — a shingle
+        # hot on one giant site must not evict it from every other site.
         hot = (
-            tokens.groupBy("shingle")
+            tokens.groupBy("shingle", *block)
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .select("shingle", *block)
         )
-        tokens = tokens.join(F.broadcast(hot), "shingle", "left_anti")
+        tokens = tokens.join(F.broadcast(hot), ["shingle", *block], "left_anti")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    if block_col is not None:
+        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     return (
         # shuffle_hash, not broadcast: the token side is mid-sized (falls
         # under the broadcast threshold locally but never would at scale),
@@ -471,16 +490,15 @@ def ngram_jaccard_dup_pairs(
         # whole pair-generation path executor-parallel — the same plan
         # shape a 100 TB run needs.
         tokens.alias("a").hint("shuffle_hash")
-        .join(
-            tokens.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-        )
+        .join(tokens.alias("b"), join_cond)
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            # n_a/n_b are functionally dependent on the ids — free key cols
+            # n_a/n_b (and the block key) are functionally dependent on
+            # the ids — free key cols
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block],
         )
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
@@ -488,7 +506,7 @@ def ngram_jaccard_dup_pairs(
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", *block, F.round("jaccard", 6).alias("jaccard"))
     )
 
 

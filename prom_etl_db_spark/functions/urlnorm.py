@@ -125,3 +125,65 @@ def canonical_urls(docs, url_col: str = "url", id_col: str = "doc_id"):
         host.alias("host"),
         (canon != F.col(url_col)).alias("changed"),
     )
+
+
+# Multi-label public suffixes under which registrations happen one label
+# deeper than the TLD — a representative subset of the public suffix list
+# (publicsuffix.org; the full list is external data this environment
+# cannot fetch, so the set is a documented built-in covering the major
+# ccTLD second-level conventions; swap in the full PSL file in
+# production). Single-label TLDs need no listing: the default rule is
+# "registered domain = last two labels".
+_MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
+    "com.sg", "com.tr", "com.ar", "co.kr", "com.tw",
+]
+
+
+def registered_domain(host):
+    """Column: the registrable domain of ``host`` (the unit crawl dedup
+    and per-site rate limiting group by — 'a.b.example.co.uk' →
+    'example.co.uk', 'www.example.com' → 'example.com'). Pure Column
+    algebra (split/slice/array_join), whole-stage codegen, no Python:
+    if the last TWO labels form a listed multi-label public suffix the
+    registered domain is the last THREE labels, else the last two; a
+    host with no more labels than that (a bare suffix or single label)
+    is returned whole."""
+    from pyspark.sql import functions as F
+
+    labels = F.split(host, r"\.")
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    depth = F.when(last2.isin(_MULTI_LABEL_SUFFIXES), F.lit(3)).otherwise(F.lit(2))
+    return F.when(F.size(labels) <= depth, host).otherwise(
+        F.array_join(F.slice(labels, -depth, depth), ".")
+    )
+
+
+def url_dedup(docs, url_col: str = "url", id_col: str = "doc_id"):
+    """Exact URL-level dedup — the first stage of crawl curation
+    (canonicalize, then collapse every syntactic variant of a page to
+    one surviving fetch). Output one row per canonical URL:
+    (canonical_url, host, registered_domain, keep_doc_id = min id,
+    n_dups = variant count).
+
+    Scale shape: one Arrow-batched projection (the normalizer) feeding
+    one hash aggregation keyed on canonical_url — partial aggregation
+    map-side, no sort, no window. The survivors table is bounded by
+    distinct-page count, not fetch count (on a crawl, ~the dedup
+    ratio smaller)."""
+    from pyspark.sql import functions as F
+
+    canon = canonical_urls(docs, url_col=url_col, id_col=id_col)
+    return (
+        canon.groupBy("canonical_url", "host")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .withColumn("registered_domain", registered_domain(F.col("host")))
+        .select(
+            "canonical_url", "host", "registered_domain", "keep_doc_id", "n_dups"
+        )
+    )

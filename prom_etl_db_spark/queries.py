@@ -45,6 +45,7 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     star_sql,
     llm_e,
     extensions,
+    web,
 )
 
 
@@ -104,6 +105,12 @@ _GATE_PRIORITY = [
     "video_y4m_bt601_decode",
     "doc_nfc_normalize",
     # --- Round-6 new-query block (inserted as implemented) --------------
+    # url_dedup: NEW — canonicalize → exact URL dedup + registered
+    # domain (closes the r5 url_canonicalize loop, VERDICT task #3).
+    "url_dedup",
+    # url_host_neardup_pairs: NEW — per-host blocked 3-gram Jaccard
+    # near-dup (df-cap per host; blocked shingle join replayed in SQL).
+    "url_host_neardup_pairs",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -127,8 +134,9 @@ _GATE_PRIORITY = [
     "doc_cap_per_source",
     "doc_weighted_sample",
     "neardup_clusters",
-    "neardup_keep_canonical",
-    "text_bpe_token_counts",
+    # (window cutoff at 50 — neardup_keep_canonical and
+    # text_bpe_token_counts fell out when the r6 new-query block landed;
+    # they lead the r7 stale rotation.)
 ]
 
 # The retired round-5 window, kept for the rotation history the r7

@@ -75,3 +75,77 @@ def test_hostile_inputs_do_not_crash():
     # lone percent and bad hex are preserved, not mangled
     assert normalize_url("http://h/%zz") == "http://h/%zz"
     assert normalize_url("http://h/%a") == "http://h/%a"
+
+
+# --- round 6: registered domain + URL dedup + blocked near-dup ----------
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),          # bare public suffix: returned whole
+        ("deep.cdn.site.org", "site.org"),
+        ("site.example", "site.example"),  # unlisted TLD, 2 labels
+        ("localhost", "localhost"),        # single label
+        ("x.com.au", "x.com.au"),
+        ("a.x.com.au", "x.com.au"),
+    ],
+)
+def test_registered_domain(spark, host, want):
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.urlnorm import registered_domain
+
+    df = spark.createDataFrame([(host,)], "host string")
+    assert df.select(registered_domain(F.col("host")).alias("d")).first()["d"] == want
+
+
+def test_url_dedup_collapses_syntactic_variants(spark):
+    from prom_etl_db_spark.functions.urlnorm import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.Site.com:80/a/../p?b=2&a=1#f"),
+            (2, "http://www.site.com/p?a=1&b=2"),
+            (3, "HTTP://WWW.SITE.COM/./p?a=1&b=2"),
+            (4, "http://other.co.uk/q"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert set(rows) == {"http://www.site.com/p?a=1&b=2", "http://other.co.uk/q"}
+    main = rows["http://www.site.com/p?a=1&b=2"]
+    assert (main["keep_doc_id"], main["n_dups"]) == (1, 3)
+    assert main["registered_domain"] == "site.com"
+    other = rows["http://other.co.uk/q"]
+    assert (other["keep_doc_id"], other["n_dups"]) == (4, 1)
+    assert other["registered_domain"] == "other.co.uk"
+
+
+def test_blocked_jaccard_pairs_only_within_block(spark):
+    from prom_etl_db_spark.functions.dedup import ngram_jaccard_dup_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("upsilon", "phi")
+    df = spark.createDataFrame(
+        [
+            (1, "h1", base),
+            (2, "h1", near),      # same block → must pair
+            (3, "h2", base),      # identical text, other block → must NOT
+            (4, "h2", near),      # pairs with 3 inside h2
+        ],
+        "doc_id long, host string, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["host"])
+        for r in ngram_jaccard_dup_pairs(
+            df, threshold=0.3, block_col="host"
+        ).collect()
+    }
+    assert got == {(1, 2, "h1"), (3, 4, "h2")}
