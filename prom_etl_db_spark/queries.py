@@ -46,6 +46,7 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     llm_e,
     extensions,
     web,
+    tokenizers,
 )
 
 
@@ -111,6 +112,12 @@ _GATE_PRIORITY = [
     # url_host_neardup_pairs: NEW — per-host blocked 3-gram Jaccard
     # near-dup (df-cap per host; blocked shingle join replayed in SQL).
     "url_host_neardup_pairs",
+    # bytebpe_learned_merges / bytebpe_encoded_token_counts: NEW — the
+    # GPT-2/tiktoken byte-level BPE family (hex-pair byte alphabet,
+    # space-marker pre-tokens), recursive-CTE training-replay oracles
+    # (VERDICT r5 task #4).
+    "bytebpe_learned_merges",
+    "bytebpe_encoded_token_counts",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -132,11 +139,9 @@ _GATE_PRIORITY = [
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
     "doc_cap_per_source",
-    "doc_weighted_sample",
-    "neardup_clusters",
-    # (window cutoff at 50 — neardup_keep_canonical and
-    # text_bpe_token_counts fell out when the r6 new-query block landed;
-    # they lead the r7 stale rotation.)
+    # (window cutoff at 50 — doc_weighted_sample, neardup_clusters,
+    # neardup_keep_canonical and text_bpe_token_counts fell out when the
+    # r6 new-query block landed; they lead the r7 stale rotation.)
 ]
 
 # The retired round-5 window, kept for the rotation history the r7
