@@ -44,7 +44,13 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     sql_c,
     star_sql,
     llm_e,
+    llm_media,
+    llm_promql,
+    llm_curation,
     extensions,
+    ext_text,
+    ext_media,
+    ext_audio_web,
     web,
     tokenizers,
 )
