@@ -13,6 +13,14 @@ independent native implementation on fuzz pairs — the NFC-style
 two-implementation interop. One documented convention: both-empty
 compares 0.0 (DuckDB's convention; some references define 1.0).
 
+UNIT DIVERGENCE (r6 adversarial review): this implementation compares
+CODEPOINTS; DuckDB's compares UTF-8 BYTES, so the two agree exactly on
+ASCII (the fuzz domain and the gate fixture) and diverge on multibyte
+text, where byte-level JW double-counts every non-ASCII character and
+lets a match window span half a character. Codepoint semantics is the
+defensible one for names; the equivalence-under-codepoint-bijection
+property test pins it without needing a second Unicode implementation.
+
 Scale posture: the all-pairs explosion is contained by BLOCKING — the
 self-join key is the block, so the shuffle carries (block, name) rows
 and each block's pair set is generated co-located; per-pair scoring is

@@ -70,8 +70,19 @@ def token_stream(
     never by tokens)."""
     from pyspark.sql.window import Window
 
+    # \x02 (the sentinel prefix) is scrubbed from the TEXT first (r6
+    # adversarial-review fix): a real token beginning with \x02 would
+    # otherwise (a) be silently dropped by the rewrite's sentinel
+    # filter and (b) — worse — a token spelled "\x02<digits>" would
+    # EQUAL another document's sentinel, breaking the cross-document
+    # fence that every LCP correctness claim rests on. STX never
+    # carries meaning in text; replacing it with a space is the same
+    # canon every tokenizing operator here applies to whitespace.
     toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        F.split(
+            F.lower(F.translate(F.coalesce(F.col(text_col), F.lit("")), SENTINEL, " ")),
+            r"\s+",
+        ),
         lambda x: x != "",
     )
     per_doc = docs.select(
@@ -290,7 +301,10 @@ def substring_dedup_rewrite(
     each document without the marked tokens. Returns (doc_id, n_tokens,
     n_removed, kept_text) — kept_text is the surviving tokens rejoined
     with single spaces (tokenization is lossy of original whitespace by
-    construction, same as every tokenizing operator here)."""
+    construction, same as every tokenizing operator here). Documents
+    with no tokens at all (empty/whitespace-only text) have nothing to
+    rewrite and are ABSENT from the output — callers wanting them back
+    left-join against the source (pinned by test, r6)."""
     sa = suffix_array_with_lcp(docs, id_col=id_col, text_col=text_col)
     stream = token_stream(docs, id_col=id_col, text_col=text_col).where(
         ~F.col("token").startswith(SENTINEL)

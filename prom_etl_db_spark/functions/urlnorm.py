@@ -48,6 +48,22 @@ def _pct_normalize(s: str) -> str:
     return _PCT_RE.sub(repl, s)
 
 
+def _pct_normalize_host(s: str) -> str:
+    """Host variant of :func:`_pct_normalize`: decoded unreserved
+    characters are additionally LOWERCASED, because the host is
+    case-insensitive and case normalization must see through percent
+    encoding — ``h%41`` → ``ha``, not ``hA`` (r6 adversarial-review
+    fix: lowercasing only before decode broke idempotence)."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch.isascii() and (ch.isalnum() or ch in _UNRESERVED_EXTRA):
+            return ch.lower()
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s.lower())
+
+
 def _remove_dot_segments(path: str) -> str:
     # RFC 3986 §5.2.4, the five-case loop verbatim
     inp, out = path, []
@@ -89,8 +105,19 @@ def normalize_url(url: str) -> str:
     out = f"{scheme}:" if scheme else ""
     if auth is not None:
         userinfo, _, hostport = auth.rpartition("@")
-        host, colon, port = hostport.partition(":")
-        host = _pct_normalize(host.lower())
+        if hostport.startswith("[") and "]" in hostport:
+            # bracketed IP literal (RFC 3986 §3.2.2): the port colon is
+            # the one AFTER ']' — partition-on-first-colon would split
+            # inside the IPv6 address (r6 adversarial-review fix; the
+            # hex literal lowercases per RFC 5952 canonical form)
+            end = hostport.index("]") + 1
+            host = hostport[:end].lower()
+            rest = hostport[end:]
+            colon = ":" if rest.startswith(":") else ""
+            port = rest[1:] if colon else ""
+        else:
+            host, colon, port = hostport.partition(":")
+            host = _pct_normalize_host(host)
         if colon and port and port != _DEFAULT_PORTS.get(scheme):
             host += ":" + port
         out += "//" + (_pct_normalize(userinfo) + "@" if userinfo else "") + host
