@@ -388,6 +388,52 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
             )
         ),
     )
+
+    # r6 probes (VERDICT r5 task #7): the remaining unprobed r5 ops.
+    # mojibake/accents are per-row Arrow-batch string work — a single
+    # input pass; the calendar family is pure-Column integer arithmetic
+    # inside whole-stage codegen — zero shuffle, the cheapest shape in
+    # the repo. JW linkage pairs are BLOCK-bounded: block = doc_id // 8
+    # (≤ 28 pairs per block) and replica id-offsets (10M apart) keep
+    # copies in disjoint blocks, so pair volume grows k-linearly — the
+    # probe proves the blocking contains the pair explosion, the same
+    # claim url_host_neardup makes for the shingle join.
+    from prom_etl_db_spark.functions import linkage as _lk
+
+    run("mojibake_repair", textfn.mojibake_features(docs))
+    run("accent_fold", textfn.accent_fold_features(docs))
+    names = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 8).alias("block"),
+        F.substring("text", 1, 16).alias("name"),
+    )
+    run("jw_linkage_blocked", _lk.blocked_jw_stats(names))
+    v_epoch = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    run(
+        "calendar_components",
+        ev.select("event_id", *promql.time_component_columns(v_epoch).values()),
+    )
+    # url_dedup (r6): canonicalize -> one hash agg on canonical_url;
+    # per-copy id offsets give disjoint pages, survivors grow k-linearly
+    run(
+        "url_dedup",
+        urlnorm.url_dedup(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("HTTP://Host.Example:80/p/./"),
+                    (F.col("doc_id") / 3).cast("long").cast("string"),
+                    F.lit("?b=2&a=1#f"),
+                ).alias("url"),
+            )
+        ),
+    )
     return times
 
 
