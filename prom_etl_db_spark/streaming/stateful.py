@@ -1112,3 +1112,127 @@ def run_gorilla_stream(
     )
     out = streaming_gorilla_costs(keyed)
     return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
+# -- streaming VAD segmentation (round 6) ------------------------------------
+
+VAD_STATE_SCHEMA = StructType(
+    [
+        StructField("seg", LongType(), True),
+        StructField("start", IntegerType(), True),
+        StructField("last", IntegerType(), True),
+        StructField("n", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("peak_e", LongType(), True),
+        StructField("peak_bin", IntegerType(), True),
+    ]
+)
+
+VAD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("segment", LongType(), True),
+        StructField("start_frame", IntegerType(), True),
+        StructField("end_frame", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("seg_energy", LongType(), True),
+        StructField("peak_dominant_bin", IntegerType(), True),
+    ]
+)
+
+
+def _vad_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-clip online VAD island builder: the checkpointed state is the
+    one OPEN segment (span, count, energy, running peak) plus the
+    segment counter — fixed-size per clip, the session-window pattern
+    (`sessionize`'s gap close, keyed by frame adjacency instead of
+    time). Active frames arrive filtered; a frame extends the open
+    segment iff it is exactly last+1, else the segment closes (emitted
+    final) and a new one opens. The open segment is re-emitted every
+    batch (update mode), so the sink's latest row per (clip, segment)
+    always equals what the batch operator would say over the data so
+    far — including across restarts that land MID-ISLAND. Peak ties
+    break to the SMALLEST bin, replicating the batch struct-max
+    `(e, -bin)` ordering exactly."""
+    (mid,) = key
+    if state.exists:
+        seg, start, last, n, energy, pe, pb = state.get
+    else:
+        seg = None
+        start = last = n = energy = pe = pb = 0
+    out: dict[str, list] = {f.name: [] for f in VAD_OUTPUT_SCHEMA}
+
+    def emit() -> None:
+        out["media_id"].append(mid)
+        out["segment"].append(seg)
+        out["start_frame"].append(start)
+        out["end_frame"].append(last)
+        out["n_frames"].append(n)
+        out["seg_energy"].append(energy)
+        out["peak_dominant_bin"].append(pb)
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("frame", kind="mergesort")
+        for f, e, b in zip(pdf["frame"], pdf["e_total"], pdf["dominant_bin"]):
+            f, e, b = int(f), int(e), int(b)
+            if seg is None:
+                seg, start, last, n, energy, pe, pb = 0, f, f, 1, e, e, b
+            elif f == last + 1:
+                last, n, energy = f, n + 1, energy + e
+                if e > pe or (e == pe and b < pb):
+                    pe, pb = e, b
+            elif f <= last:
+                continue  # replayed/duplicate frame: exactly-once sink dedups
+            else:
+                emit()
+                seg, start, last, n, energy, pe, pb = seg + 1, f, f, 1, e, e, b
+    if seg is not None:
+        state.update((seg, start, last, n, energy, pe, pb))
+        emit()
+    yield pd.DataFrame(
+        {
+            "media_id": pd.array(out["media_id"], dtype="int64"),
+            "segment": pd.array(out["segment"], dtype="int64"),
+            "start_frame": pd.array(out["start_frame"], dtype="int32"),
+            "end_frame": pd.array(out["end_frame"], dtype="int32"),
+            "n_frames": pd.array(out["n_frames"], dtype="int64"),
+            "seg_energy": pd.array(out["seg_energy"], dtype="int64"),
+            "peak_dominant_bin": pd.array(out["peak_dominant_bin"], dtype="int32"),
+        }
+    )
+
+
+def streaming_vad_segments(frames: DataFrame) -> DataFrame:
+    """Stream-transform: VAD islands with per-segment descriptors as
+    frames arrive. ``frames`` is a STREAMING DataFrame shaped
+    (media_id long, frame int, e_total long, dominant_bin int) of
+    ACTIVE frames only (threshold-filter upstream, exactly as the batch
+    operator filters before its window)."""
+    return frames.groupBy("media_id").applyInPandasWithState(
+        _vad_fold,
+        outputStructType=VAD_OUTPUT_SCHEMA,
+        stateStructType=VAD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_vad_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    threshold: int,
+    available_now: bool = True,
+):
+    """Drive the streaming VAD segmenter over a file source of frame
+    features (media_id long, frame int, e_total long, dominant_bin int
+    — the `spectrogram_frame_features` row shape)."""
+    schema = "media_id long, frame int, e_total long, dominant_bin int"
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    active = raw.where(F.col("e_total") >= F.lit(threshold))
+    out = streaming_vad_segments(active)
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)

@@ -925,3 +925,54 @@ def test_streaming_gorilla_matches_batch_across_restart(spark, tmp_path):
         assert g["val_bits"] == b["vb"]
         assert g["n_xor_zero"] == b["xz"]
         assert g["bits_per_sample"] == round((b["tsb"] + b["vb"]) / b["n"], 4)
+
+
+def test_streaming_vad_matches_batch_across_restart(spark, tmp_path):
+    """applyInPandasWithState VAD segmentation (r6): two runs sharing a
+    checkpoint, with the file split INSIDE the longest voiced island so
+    the restart lands mid-segment — the open-segment state must cross
+    the checkpoint intact and the sink's final row per (clip, segment)
+    must equal the batch `speech_segments_with_descriptors` output
+    exactly (span, counts, energies, peak bin)."""
+    from prom_etl_db_spark.functions import spectral
+    from prom_etl_db_spark.streaming.stateful import run_vad_stream
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
+    frames = spectral.spectrogram_frame_features(
+        docs, synth=spectral.vad_fixture_samples
+    ).select("media_id", "frame", "e_total", "dominant_bin")
+
+    expected = spectral.speech_segments_with_descriptors(docs).collect()
+    assert expected, "fixture must produce voiced segments"
+    longest = max(expected, key=lambda r: r["n_frames"])
+    assert longest["n_frames"] >= 2, "need an island to split a restart inside"
+    cut = longest["start_frame"] + 1  # restart lands mid-island
+
+    src = str(tmp_path / "vad_src")
+    sink = str(tmp_path / "vad_sink")
+    ckpt = str(tmp_path / "vad_ckpt")
+    frames.where(F.col("frame") < cut).write.parquet(src)
+    run_vad_stream(
+        spark, src, sink, ckpt, threshold=spectral.VAD_THRESHOLD
+    ).awaitTermination(120)
+    frames.where(F.col("frame") >= cut).write.mode("append").parquet(src)
+    run_vad_stream(
+        spark, src, sink, ckpt, threshold=spectral.VAD_THRESHOLD
+    ).awaitTermination(120)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id", "segment").orderBy(F.desc("batch_id"))
+    got = {
+        (r["media_id"], r["segment"]): r
+        for r in spark.read.parquet(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert len(got) == len(expected)
+    for e in expected:
+        g = got[(e["media_id"], e["segment"])]
+        for c in ("start_frame", "end_frame", "n_frames", "seg_energy",
+                  "peak_dominant_bin"):
+            assert g[c] == e[c], (e["media_id"], e["segment"], c, g[c], e[c])
