@@ -124,6 +124,9 @@ _GATE_PRIORITY = [
     # (VERDICT r5 task #4).
     "bytebpe_learned_merges",
     "bytebpe_encoded_token_counts",
+    # host_graph_pagerank: NEW — integer-arithmetic damped power
+    # iteration, bit-for-bit recursive-CTE replay.
+    "host_graph_pagerank",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -144,8 +147,8 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    "doc_cap_per_source",
-    # (window cutoff at 50 — doc_weighted_sample, neardup_clusters,
+    # (window cutoff at 50 — doc_cap_per_source, doc_weighted_sample,
+    # neardup_clusters,
     # neardup_keep_canonical and text_bpe_token_counts fell out when the
     # r6 new-query block landed; they lead the r7 stale rotation.)
 ]

@@ -160,3 +160,69 @@ def url_host_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=_HOST_NGRAM_MAX_DF,
         block_col="host",
     )
+
+
+# Host-graph fixture algebra: 50 hosts; every document contributes one
+# directed link src = doc_id % 50 → dst = (7·doc_id + 3) % 50 (an affine
+# map with gcd(7,50)=1, so the in-link structure is non-uniform per host
+# but every host has out-links — no dangling mass by construction).
+_PR_EDGES_SQL = """
+e AS (
+  SELECT DISTINCT CAST(doc_id % 50 AS BIGINT) AS src,
+                  CAST((doc_id * 7 + 3) % 50 AS BIGINT) AS dst
+  FROM documents
+), pr_nodes AS (
+  SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), deg AS (
+  SELECT src, count(*) AS od FROM e GROUP BY src
+)"""
+
+
+@register(
+    "host_graph_pagerank",
+    oracle=f"""
+WITH RECURSIVE {_PR_EDGES_SQL},
+it AS (
+  SELECT 0 AS i,
+         (SELECT list(struct_pack(n := n,
+            r := CAST(1000000000 // (SELECT count(*) FROM pr_nodes) AS BIGINT)))
+          FROM pr_nodes) AS st
+  UNION ALL
+  SELECT i + 1,
+    (SELECT list(struct_pack(n := nd.n,
+       r := CAST((3 * CAST(1000000000 AS BIGINT)) // (20 * (SELECT count(*) FROM pr_nodes))
+                 + coalesce(inc.m, 0) AS BIGINT)))
+     FROM pr_nodes nd
+     LEFT JOIN (
+       SELECT e.dst AS n, sum((17 * u.r) // (20 * deg.od)) AS m
+       FROM unnest(st) AS t(u)
+       JOIN e ON e.src = u.n
+       JOIN deg ON deg.src = u.n
+       GROUP BY e.dst
+     ) inc ON inc.n = nd.n)
+  FROM it WHERE i < 10
+)
+SELECT u.n AS node, CAST(u.r AS BIGINT) AS pr_q9
+FROM (SELECT st FROM it WHERE i = 10), unnest(st) AS t(u)
+""",
+)
+def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, host-graph PageRank (r6): link analysis over the
+    50-host fixture graph — the site-authority signal crawl pipelines
+    weight and filter by (Common Crawl ships host ranks for exactly
+    this). Ten damped power-iteration rounds in EXACT INTEGER
+    billionths (d = 17/20, per-edge contributions floored), so the
+    recursive-CTE oracle replays every iteration bit-for-bit — no float
+    summation-order hazard across ten compounding rounds. Spark shape:
+    per round one edges⋈ranks equi-join + one hash agg on dst, rank
+    vector node-sized, lineage truncated per round (the suffix-array
+    discipline). See functions/graph.py + DIVERGENCES.md (floor-loss
+    mass leak)."""
+    from prom_etl_db_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    return graph.pagerank_integer(edges, n_iter=10)

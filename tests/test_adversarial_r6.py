@@ -210,3 +210,41 @@ def test_suffix_empty_doc_absent_from_rewrite(spark):
     )
     out = substring_dedup_rewrite(docs, min_len=50)
     assert [r["doc_id"] for r in out.collect()] == [0]  # documented edge
+
+
+# --- graph: integer PageRank --------------------------------------------
+
+
+def test_pagerank_integer_matches_hand_computation(spark):
+    from prom_etl_db_spark.functions.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2), (0, 1)],  # duplicate edge collapses
+        "src long, dst long",
+    )
+    got = sorted(
+        (r["node"], r["pr_q9"]) for r in pagerank_integer(edges, n_iter=3).collect()
+    )
+    r = {0: 333333333, 1: 333333333, 2: 333333333}
+    deg = {0: 2, 1: 1, 2: 1}
+    for _ in range(3):
+        inc = {0: 0, 1: 0, 2: 0}
+        for s, d in [(0, 1), (1, 2), (2, 0), (0, 2)]:
+            inc[d] += (17 * r[s]) // (20 * deg[s])
+        r = {n: 50000000 + inc[n] for n in r}
+    assert got == sorted(r.items())
+
+
+def test_pagerank_sink_node_and_source_only_node(spark):
+    from prom_etl_db_spark.functions.graph import pagerank_integer
+
+    # 0 -> 1 (1 is dangling: mass leaks, stays at base + incoming);
+    # 2 -> 1 (2 has no in-links: settles at teleport base)
+    edges = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["pr_q9"] for r in pagerank_integer(edges, n_iter=2).collect()}
+    base = (3 * 10**9) // (20 * 3)
+    r0 = 10**9 // 3
+    # iter1: 1 gets base + floor(17*r0/20) from 0 and from 2; 0 and 2 get base
+    it1 = {0: base, 2: base, 1: base + 2 * ((17 * r0) // 20)}
+    it2 = {0: base, 2: base, 1: base + 2 * ((17 * it1[0]) // 20)}
+    assert got == it2
