@@ -1,0 +1,184 @@
+"""robots.txt parsing and URL access evaluation (RFC 9309).
+
+Reference scope: samzong/prom-etl-db has no web surface; this is a
+§2.E training-data-pipeline extension (round 6) — a crawl-curation
+corpus must honor robots exclusion before a page may enter the corpus
+at all, making this the gate IN FRONT of the whole existing web arc
+(url_canonicalize → url_dedup → host PageRank). RFC 9309 (the Robots
+Exclusion Protocol, published 2022) is the public spec implemented.
+
+Semantics implemented (RFC 9309 §2):
+- Groups: consecutive ``User-agent`` lines open one group; the
+  access rules that follow belong to every agent named in that run.
+- Group selection: a crawler obeys the MOST SPECIFIC matching group
+  only — all groups naming its product token if any exist, else the
+  ``*`` groups (never both).
+- Rule matching: patterns are byte-prefix matches against the URL
+  path+query, with ``*`` matching any substring and a trailing ``$``
+  anchoring the end. Of all matching rules the LONGEST pattern wins;
+  on a length tie ``Allow`` wins. No matching rule ⇒ allowed.
+- An empty ``Disallow:`` value matches nothing (allows everything);
+  unknown directives (``Crawl-delay`` etc.) and comments are ignored.
+
+Divergence (documented in DIVERGENCES.md): RFC 9309 §2.2.2 also
+requires percent-encoding-equivalent comparison; here patterns and
+paths are compared as-is — the repo's composition answer is to run
+both through ``urlnorm.canonicalize_url`` first, which performs the
+RFC 3986 percent-normalization once for every consumer.
+
+Spark shape — ENTIRELY pure Column expressions, no Python in the data
+path: the parse is split/posexplode + regexp_extract with a per-host
+running-sum window to assign group ids (windows are per-host and
+robots files are small — bounded state); matching is a LIKE-translated
+equi-join on host + one hash aggregation taking ``max(struct(len,
+is_allow, pattern))`` so the RFC's longest-match/allow-ties ordering
+is a single struct comparison. Whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: directive-line shape: optional whitespace, a known directive name
+#: (case-insensitive), ':', value up to an optional comment.
+_DIRECTIVE_RE = r"(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+
+
+def like_pattern(pattern: Column) -> Column:
+    """Translate a robots rule pattern into a SQL ``LIKE`` pattern
+    (backslash escape): literal ``\\ % _`` are escaped, ``*`` becomes
+    ``%``, a trailing ``$`` anchors (no trailing ``%`` appended).
+    Kept public so the DuckDB oracle states the exact same translation
+    as a closed form (same replace chain, same trailing-$ branch)."""
+    esc = F.replace(
+        F.replace(
+            F.replace(pattern, F.lit("\\"), F.lit("\\\\")),
+            F.lit("%"),
+            F.lit("\\%"),
+        ),
+        F.lit("_"),
+        F.lit("\\_"),
+    )
+    star = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(
+        star.endswith("$"), star.substr(F.lit(1), F.length(star) - 1)
+    ).otherwise(F.concat(star, F.lit("%")))
+
+
+def parse_robots(
+    robots: DataFrame, *, key_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse one robots.txt per key row into access rules.
+
+    Output: ``(key_col, agent, is_allow boolean, pattern, pattern_len)``
+    — one row per (agent in group) × (rule in group). Rules in a group
+    with no ``User-agent`` header (malformed leading rules) are dropped,
+    as are empty-pattern rules (RFC: match nothing).
+    """
+    lines = robots.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select(
+        key_col,
+        "pos",
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("field"),
+        F.regexp_extract("line", _DIRECTIVE_RE, 2).alias("value"),
+    ).where(F.col("field") != "")
+    # two selects: lag and the running sum are both window functions and
+    # Spark forbids nesting one inside the other's argument
+    w = Window.partitionBy(key_col).orderBy("pos")
+    starts = lines.select(
+        key_col,
+        "pos",
+        "field",
+        "value",
+        (
+            (F.col("field") == "user-agent")
+            & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
+        ).cast("int").alias("is_start"),
+    )
+    grouped = starts.select(
+        key_col, "pos", "field", "value", F.sum("is_start").over(w).alias("grp")
+    )
+    agents = (
+        grouped.where(F.col("field") == "user-agent")
+        .select(key_col, "grp", F.lower("value").alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(
+        (F.col("field") != "user-agent") & (F.col("value") != "")
+    ).select(
+        key_col,
+        "grp",
+        (F.col("field") == "allow").alias("is_allow"),
+        F.col("value").alias("pattern"),
+        F.length("value").alias("pattern_len"),
+    )
+    return agents.join(rules, [key_col, "grp"]).drop("grp")
+
+
+def select_group(
+    rules: DataFrame, agent: str, *, key_col: str = "host"
+) -> DataFrame:
+    """RFC 9309 group selection: per key, the rules for ``agent`` if any
+    group names it, else the ``*`` rules — never both."""
+    agent = agent.lower()
+    mine = rules.where(F.col("agent") == agent)
+    keys_with_mine = mine.select(key_col).distinct()
+    fallback = rules.where(F.col("agent") == "*").join(
+        keys_with_mine, key_col, "left_anti"
+    )
+    return mine.unionByName(fallback).drop("agent")
+
+
+def robots_allowed(
+    urls: DataFrame,
+    robots: DataFrame,
+    *,
+    agent: str,
+    key_col: str = "host",
+    url_col: str = "url_path",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Evaluate every URL row against its host's robots.txt for
+    ``agent``. ``url_col`` is the path+query string (RFC 9309 matches
+    on the path with optional query, never scheme/host).
+
+    Output: the ``urls`` columns plus ``allowed`` (boolean),
+    ``matched_pattern`` (decisive rule, '' if none) and ``matched_len``
+    (its length, 0 if none). Decisive = longest match, Allow on ties,
+    then lexicographically-greatest pattern as a deterministic final
+    tiebreak (RFC leaves equal-length-equal-verdict ties unspecified).
+    """
+    selected = select_group(
+        parse_robots(robots, key_col=key_col, text_col=text_col), agent,
+        key_col=key_col,
+    ).withColumn("lp", like_pattern(F.col("pattern")))
+    hits = (
+        urls.join(selected, key_col)
+        .where(F.like(F.col(url_col), F.col("lp"), F.lit("\\")))
+        .groupBy(key_col, url_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("pattern_len").alias("l"),
+                    F.col("is_allow").alias("a"),
+                    F.col("pattern").alias("p"),
+                )
+            ).alias("win")
+        )
+        .select(
+            key_col,
+            url_col,
+            F.col("win.a").alias("allowed"),
+            F.col("win.p").alias("matched_pattern"),
+            F.col("win.l").alias("matched_len"),
+        )
+    )
+    return (
+        urls.join(hits, [key_col, url_col], "left")
+        .withColumn("allowed", F.coalesce("allowed", F.lit(True)))
+        .withColumn("matched_pattern", F.coalesce("matched_pattern", F.lit("")))
+        .withColumn("matched_len", F.coalesce("matched_len", F.lit(0)))
+    )

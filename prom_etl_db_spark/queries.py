@@ -127,6 +127,9 @@ _GATE_PRIORITY = [
     # host_graph_pagerank: NEW — integer-arithmetic damped power
     # iteration, bit-for-bit recursive-CTE replay.
     "host_graph_pagerank",
+    # robots_gate: NEW — RFC 9309 robots.txt evaluation (pure-Column
+    # parse + LIKE-translated match); DuckDB replays the whole parser.
+    "robots_gate",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -147,10 +150,11 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50 — doc_cap_per_source, doc_weighted_sample,
-    # neardup_clusters,
-    # neardup_keep_canonical and text_bpe_token_counts fell out when the
-    # r6 new-query block landed; they lead the r7 stale rotation.)
+    # (window cutoff at 50 — doc_deterministic_topn and later stale
+    # entries fall out as the r6 new-query block grows; the displaced
+    # r2-stale set — doc_cap_per_source, doc_weighted_sample,
+    # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts —
+    # leads the r7 stale rotation.)
 ]
 
 # The retired round-5 window, kept for the rotation history the r7

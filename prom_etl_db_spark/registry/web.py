@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, urlnorm
+from prom_etl_db_spark.functions import dedup, robots, urlnorm
 from prom_etl_db_spark.registry.core import _t, register
 
 
@@ -226,3 +226,178 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
     )
     return graph.pagerank_integer(edges, n_iter=10)
+
+
+# robots.txt fixture algebra: 8 hosts (doc_id % 8). Even hosts publish a
+# TestBot-specific group (prefix Disallow + a longer $-anchored Allow
+# carve-out) plus a '*' group that MUST be ignored for TestBot (RFC 9309
+# group selection: specific group wins, never both); odd hosts publish
+# only a shared otherbot/'*' multi-agent run (TestBot falls back to it),
+# with a '_' in the pattern (LIKE-escape hazard), a mid-pattern '*'
+# wildcard, an empty Disallow (matches nothing) and a junk line. URL
+# paths cycle through six shapes hitting every rule class.
+_ROBOTS_TXT_SQL = """CASE WHEN k % 2 = 0 THEN
+      '# robots for h' || k || chr(10) ||
+      'User-agent: TestBot' || chr(10) ||
+      'Disallow: /private/' || chr(10) ||
+      'Allow: /private/pub' || k || '$' || chr(10) ||
+      'Crawl-delay: 5' || chr(10) || chr(10) ||
+      'User-agent: OtherBot' || chr(10) ||
+      'Disallow: /' || chr(10) || chr(10) ||
+      'User-agent: *' || chr(10) ||
+      'Disallow: /tmp/*' || chr(10) ||
+      'Allow:'
+    ELSE
+      'User-agent: otherbot' || chr(10) ||
+      'User-agent: *' || chr(10) ||
+      'Disallow: /p_' || k || '/' || chr(10) ||
+      'Allow: /p_' || k || '/ok' || chr(10) ||
+      'Disallow: /q/*/sub' || chr(10) ||
+      'Disallow:' || chr(10) ||
+      'Not a directive junk'
+    END"""
+
+_ROBOTS_URL_SQL = """CASE CAST(doc_id % 6 AS BIGINT)
+      WHEN 0 THEN '/private/doc' || CAST(doc_id % 7 AS BIGINT)
+      WHEN 1 THEN '/private/pub' || CAST(doc_id % 8 AS BIGINT)
+      WHEN 2 THEN '/tmp/x' || CAST(doc_id % 7 AS BIGINT)
+      WHEN 3 THEN '/p_' || CAST(doc_id % 8 AS BIGINT) || '/ok/page' || CAST(doc_id % 7 AS BIGINT)
+      WHEN 4 THEN '/q/z' || CAST(doc_id % 7 AS BIGINT) || '/sub'
+      ELSE '/open/' || CAST(doc_id % 7 AS BIGINT)
+    END"""
+
+
+def _robots_fixture(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(urls, robots) twins of the SQL fixture above, built in-query."""
+    k = (F.col("doc_id") % 8).cast("string")
+    m = (F.col("doc_id") % 7).cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), k, F.lit(".example.com")).alias("host"),
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/private/doc"), m))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("/private/pub"), k))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("/tmp/x"), m))
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("/p_"), k, F.lit("/ok/page"), m),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("/q/z"), m, F.lit("/sub")))
+        .otherwise(F.concat(F.lit("/open/"), m))
+        .alias("url_path"),
+    )
+    hk = F.col("k").cast("string")
+    even = F.concat(
+        F.lit("# robots for h"), hk, F.lit("\n"),
+        F.lit("User-agent: TestBot\nDisallow: /private/\nAllow: /private/pub"),
+        hk, F.lit("$\nCrawl-delay: 5\n\nUser-agent: OtherBot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /tmp/*\nAllow:"),
+    )
+    odd = F.concat(
+        F.lit("User-agent: otherbot\nUser-agent: *\nDisallow: /p_"), hk,
+        F.lit("/\nAllow: /p_"), hk,
+        F.lit("/ok\nDisallow: /q/*/sub\nDisallow:\nNot a directive junk"),
+    )
+    rb = (
+        docs.select((F.col("doc_id") % 8).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), hk, F.lit(".example.com")).alias("host"),
+            F.when(F.col("k") % 2 == 0, even).otherwise(odd).alias("robots_txt"),
+        )
+    )
+    return urls, rb
+
+
+@register(
+    "robots_gate",
+    oracle=rf"""
+WITH hosts AS (
+  SELECT DISTINCT CAST(doc_id % 8 AS BIGINT) AS k FROM documents
+), robots AS (
+  SELECT 'h' || k || '.example.com' AS host, {_ROBOTS_TXT_SQL} AS txt
+  FROM hosts
+), rlines AS (
+  SELECT host,
+         unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS pos,
+         unnest(string_split(txt, chr(10))) AS line
+  FROM robots
+), fields AS (
+  SELECT host, pos, field, value FROM (
+    SELECT host, pos,
+      lower(regexp_extract(line, '(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*?)\s*(?:#.*)?$', 1)) AS field,
+      regexp_extract(line, '(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*?)\s*(?:#.*)?$', 2) AS value
+    FROM rlines
+  ) WHERE field <> ''
+), starts AS (
+  SELECT host, pos, field, value,
+    CASE WHEN field = 'user-agent'
+          AND coalesce(lag(field) OVER (PARTITION BY host ORDER BY pos), '') <> 'user-agent'
+         THEN 1 ELSE 0 END AS is_start
+  FROM fields
+), grouped AS (
+  SELECT host, pos, field, value,
+    sum(is_start) OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM starts
+), agents AS (
+  SELECT DISTINCT host, grp, lower(value) AS agent FROM grouped WHERE field = 'user-agent'
+), rules0 AS (
+  SELECT host, grp, field = 'allow' AS is_allow, value AS pattern, length(value) AS pattern_len
+  FROM grouped WHERE field <> 'user-agent' AND value <> ''
+), joined AS (
+  SELECT a.host, a.agent, r.is_allow, r.pattern, r.pattern_len
+  FROM agents a JOIN rules0 r ON a.host = r.host AND a.grp = r.grp
+), mine AS (
+  SELECT host, is_allow, pattern, pattern_len FROM joined WHERE agent = 'testbot'
+), selected AS (
+  SELECT * FROM mine
+  UNION ALL
+  SELECT host, is_allow, pattern, pattern_len FROM joined
+  WHERE agent = '*' AND host NOT IN (SELECT host FROM mine)
+), rules AS (
+  SELECT host, is_allow, pattern, pattern_len,
+    CASE WHEN ends_with(star, '$') THEN substr(star, 1, length(star) - 1)
+         ELSE star || '%' END AS lp
+  FROM (
+    SELECT *,
+      replace(replace(replace(replace(pattern, '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS star
+    FROM selected
+  )
+), urls AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 8 AS BIGINT) || '.example.com' AS host,
+         {_ROBOTS_URL_SQL} AS url_path
+  FROM documents
+), hits AS (
+  SELECT u.host, u.url_path,
+    max(struct_pack(l := r.pattern_len, a := r.is_allow, p := r.pattern)) AS win
+  FROM urls u JOIN rules r ON u.host = r.host
+  WHERE u.url_path LIKE r.lp ESCAPE '\'
+  GROUP BY u.host, u.url_path
+)
+SELECT u.doc_id, u.host, u.url_path,
+  coalesce(h.win.a, TRUE) AS allowed,
+  coalesce(h.win.p, '') AS matched_pattern,
+  CAST(coalesce(h.win.l, 0) AS BIGINT) AS matched_len
+FROM urls u LEFT JOIN hits h ON u.host = h.host AND u.url_path = h.url_path
+""",
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, robots.txt gate (r6): RFC 9309 access evaluation
+    for agent 'TestBot' over the 8-host fixture — the admission check a
+    crawl corpus runs BEFORE url_canonicalize/url_dedup may even see a
+    page. Exercises group selection (specific beats '*', never both),
+    multi-agent runs, longest-match with Allow-on-ties via one struct
+    max, $-anchoring, mid-pattern '*', LIKE metacharacter escaping ('_'
+    in patterns), empty Disallow, comments and junk lines. The oracle is
+    a genuine second implementation: DuckDB replays the whole parse
+    (line split + windowed group assignment + regexp), the LIKE
+    translation and the struct-max verdict. Plan: pure Column end to end
+    — posexplode + two window passes over per-host robots lines (robots
+    files are small; state bounded per host), then one equi-join on host
+    + one hash aggregation per (host, url); zero Python in the data
+    path. See functions/robots.py."""
+    docs = _t(spark, sf_dir, "documents")
+    urls, rb = _robots_fixture(docs)
+    out = robots.robots_allowed(urls, rb, agent="TestBot")
+    return out.select(
+        "doc_id", "host", "url_path", "allowed", "matched_pattern",
+        F.col("matched_len").cast("long").alias("matched_len"),
+    )

@@ -1,0 +1,143 @@
+"""robots.txt evaluation (functions/robots.py — round 6): RFC 9309
+group selection, longest-match/Allow-tie verdicts, wildcard/$ pattern
+translation, LIKE-metacharacter escaping, and the no-rules defaults."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions import robots as R
+
+
+def _eval(spark, txt: str, paths: list[str], agent: str = "testbot"):
+    rb = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("h", p) for p in paths], "host string, url_path string"
+    )
+    rows = R.robots_allowed(urls, rb, agent=agent).collect()
+    return {r["url_path"]: (r["allowed"], r["matched_pattern"]) for r in rows}
+
+
+GROUPED = """# comment line
+User-agent: TestBot
+Disallow: /private/
+Allow: /private/pub$
+Crawl-delay: 5
+
+User-agent: OtherBot
+Disallow: /
+
+User-agent: *
+Disallow: /tmp/*
+Allow:
+"""
+
+
+def test_group_selection_specific_wins(spark):
+    out = _eval(spark, GROUPED, ["/private/doc", "/private/pub", "/tmp/z", "/x"])
+    # TestBot group exists → the '*' group's /tmp/* rule must NOT apply
+    assert out["/tmp/z"] == (True, "")
+    assert out["/private/doc"] == (False, "/private/")
+    # longer $-anchored Allow beats the shorter Disallow prefix
+    assert out["/private/pub"] == (True, "/private/pub$")
+    assert out["/x"] == (True, "")
+
+
+def test_group_selection_fallback_to_star(spark):
+    out = _eval(spark, GROUPED, ["/tmp/z", "/private/doc"], agent="unknownbot")
+    assert out["/tmp/z"] == (False, "/tmp/*")
+    # '*' group has no /private rule; OtherBot's 'Disallow: /' must not leak
+    assert out["/private/doc"] == (True, "")
+
+
+def test_agent_match_case_insensitive(spark):
+    out = _eval(spark, GROUPED, ["/private/doc"], agent="TESTBOT")
+    assert out["/private/doc"] == (False, "/private/")
+
+
+def test_dollar_anchor_exact_only(spark):
+    txt = "User-agent: *\nDisallow: /a$\n"
+    out = _eval(spark, txt, ["/a", "/ab", "/a/"])
+    assert out["/a"] == (False, "/a$")
+    assert out["/ab"] == (True, "")
+    assert out["/a/"] == (True, "")
+
+
+def test_mid_pattern_wildcard_and_star_dollar(spark):
+    txt = "User-agent: *\nDisallow: /q/*/sub\nDisallow: /dl/*$\n"
+    out = _eval(spark, txt, ["/q/a/sub", "/q/a/b/subx", "/q/sub", "/dl/x", "/dlx"])
+    assert out["/q/a/sub"][0] is False
+    assert out["/q/a/b/subx"][0] is False  # prefix match past the pattern
+    assert out["/q/sub"][0] is True  # '*' needs the middle segment? no —
+    # '*' matches empty too: /q/*/sub ⇒ LIKE '/q/%/sub%' ⇒ '/q//sub' not '/q/sub'
+    assert out["/dl/x"][0] is False
+    assert out["/dlx"][0] is True
+
+
+def test_like_metacharacters_stay_literal(spark):
+    txt = "User-agent: *\nDisallow: /p_x\nDisallow: /pc%y\n"
+    out = _eval(spark, txt, ["/p_x", "/pax", "/pc%y", "/pczy"])
+    assert out["/p_x"][0] is False
+    assert out["/pax"][0] is True  # '_' must not act as LIKE single-char
+    assert out["/pc%y"][0] is False
+    assert out["/pczy"][0] is True  # '%' must not act as LIKE wildcard
+
+
+def test_allow_wins_length_ties(spark):
+    txt = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    out = _eval(spark, txt, ["/page1"])
+    assert out["/page1"] == (True, "/page")
+
+
+def test_empty_disallow_matches_nothing(spark):
+    txt = "User-agent: *\nDisallow:\n"
+    out = _eval(spark, txt, ["/anything"])
+    assert out["/anything"] == (True, "")
+
+
+def test_multi_agent_run_shares_rules(spark):
+    txt = "User-agent: alpha\nUser-agent: beta\nDisallow: /x\n"
+    for agent in ("alpha", "beta"):
+        out = _eval(spark, txt, ["/x1"], agent=agent)
+        assert out["/x1"] == (False, "/x")
+    # an agent in neither run and no '*' group ⇒ everything allowed
+    out = _eval(spark, txt, ["/x1"], agent="gamma")
+    assert out["/x1"] == (True, "")
+
+
+def test_rules_before_any_group_dropped(spark):
+    txt = "Disallow: /lost\nUser-agent: *\nDisallow: /kept\n"
+    out = _eval(spark, txt, ["/lost1", "/kept1"])
+    assert out["/lost1"] == (True, "")
+    assert out["/kept1"] == (False, "/kept")
+
+
+def test_host_without_robots_is_allowed(spark):
+    rb = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /\n")], "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [("h1", "/a"), ("h2", "/a")], "host string, url_path string"
+    )
+    rows = {
+        (r["host"], r["url_path"]): r["allowed"]
+        for r in R.robots_allowed(urls, rb, agent="bot").collect()
+    }
+    assert rows[("h1", "/a")] is False
+    assert rows[("h2", "/a")] is True
+
+
+def test_directive_case_and_whitespace(spark):
+    txt = "  user-AGENT :  *  \n  DISALLOW : /a # trailing comment\n"
+    out = _eval(spark, txt, ["/a1"])
+    assert out["/a1"] == (False, "/a")
+
+
+def test_plan_is_pure_column(spark):
+    """No Python evaluation anywhere in the plan — the gate must be
+    whole-stage-codegen JVM work."""
+    rb = spark.createDataFrame([("h", GROUPED)], "host string, robots_txt string")
+    urls = spark.createDataFrame([("h", "/x")], "host string, url_path string")
+    plan = R.robots_allowed(urls, rb, agent="testbot")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
