@@ -130,6 +130,9 @@ _GATE_PRIORITY = [
     # robots_gate: NEW — RFC 9309 robots.txt evaluation (pure-Column
     # parse + LIKE-translated match); DuckDB replays the whole parser.
     "robots_gate",
+    # mime_sniff_route: NEW — WHATWG MIME sniffing as one pure-Column
+    # CASE over the hex projection; java.util.regex vs RE2 cross-check.
+    "mime_sniff_route",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -150,11 +153,12 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50 — doc_deterministic_topn and later stale
-    # entries fall out as the r6 new-query block grows; the displaced
-    # r2-stale set — doc_cap_per_source, doc_weighted_sample,
-    # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts —
-    # leads the r7 stale rotation.)
+    # (window cutoff at 50 — stale entries past the cutoff fall out as
+    # the r6 new-query block grows; the displaced r2-stale set —
+    # currently corpus_mix_by_lang, doc_deterministic_topn,
+    # doc_cap_per_source, doc_weighted_sample, neardup_clusters,
+    # neardup_keep_canonical, text_bpe_token_counts — leads the r7
+    # stale rotation.)
 ]
 
 # The retired round-5 window, kept for the rotation history the r7

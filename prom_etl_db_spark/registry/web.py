@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, robots, urlnorm
+from prom_etl_db_spark.functions import dedup, mime, robots, urlnorm
 from prom_etl_db_spark.registry.core import _t, register
 
 
@@ -400,4 +400,76 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "host", "url_path", "allowed", "matched_pattern",
         F.col("matched_len").cast("long").alias("matched_len"),
+    )
+
+
+# MIME-sniff fixture algebra: 17 payload classes (doc_id % 17) — the
+# image/audio/video/archive/document signatures, whitespace-skipped and
+# mixed-case HTML tags, an XML prolog, a UTF-8 BOM, clean ASCII text and
+# a NUL-poisoned text (binary-byte heuristic). Every payload carries a
+# per-doc ASCII tail (hex of the doc_id string) so rows stay distinct
+# without disturbing any signature. One hex-literal list renders BOTH
+# engines' fixtures — the sniff itself is evaluated independently by
+# java.util.regex (Spark, over hex(substring(bytes))) and RE2 (DuckDB).
+_MIME_FIXTURE_HEX = [
+    "89504E470D0A1A0A",                    # PNG
+    "FFD8FFE000104A464946",                # JPEG/JFIF
+    "474946383961",                        # GIF89a
+    "424D",                                # BMP
+    "524946462400000057415645666D7420",    # RIFF….WAVE
+    "5249464624000000415649204C495354",    # RIFF….AVI␠
+    "664C6143",                            # fLaC
+    "4944330300",                          # ID3 (MP3)
+    "1F8B08",                              # gzip
+    "504B0304",                            # zip
+    "255044462D312E3420",                  # %PDF-1.4␠
+    "0A20203C21444F43545950452068746D6C3E3C686561643E",  # \n␠␠<!DOCTYPE html>
+    "3C48744D6C3E3C626F64793E7061676520",  # <HtMl> (mixed case)
+    "3C3F786D6C2076657273696F6E3D22312E30223F3E3C726F6F743E",  # <?xml
+    "EFBBBF424F4D207465787420",            # UTF-8 BOM + text
+    "48656C6C6F2C20706C61696E20746578742E20",  # plain ASCII
+    "0062696E6172792120",                  # NUL + text → octet-stream
+]
+
+_MIME_HEX_SQL = "CASE CAST(doc_id % 17 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{h}'" for i, h in enumerate(_MIME_FIXTURE_HEX)
+) + " END || hex(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "mime_sniff_route",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, {_MIME_HEX_SQL} AS payload_hex FROM documents
+)
+SELECT doc_id,
+  {mime.oracle_case_sql('payload_hex')} AS mime,
+  CAST(length(payload_hex) // 2 AS BIGINT) AS n_bytes
+FROM p
+""",
+)
+def mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation, MIME sniffing (r6): WHATWG content-type
+    detection over raw bytes — the router a crawl pipeline needs in
+    front of every decoder because Content-Type headers lie. 17 payload
+    classes: byte signatures (PNG/JPEG/GIF/BMP/WAVE/AVI/FLAC/ID3/gzip/
+    zip/PDF), whitespace-skipped + case-insensitive HTML tag sniff, XML
+    prolog, UTF-8 BOM, and the §7.1 binary-byte text-vs-octet-stream
+    heuristic. The Spark side round-trips hex → REAL binary → hex and
+    runs one CASE of anchored rlikes (pure Column, whole-stage codegen,
+    zero Python); the oracle renders the SAME pattern constants into a
+    DuckDB CASE over RE2 — two regex engines, one decision chain (the
+    html_extract cross-check pattern). See functions/mime.py."""
+    docs = _t(spark, sf_dir, "documents")
+    hexes = F.array(*[F.lit(h) for h in _MIME_FIXTURE_HEX])
+    payload = F.unhex(
+        F.concat(
+            F.element_at(hexes, (F.col("doc_id") % 17 + 1).cast("int")),
+            F.hex(F.col("doc_id").cast("string")),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        mime.sniff_mime(payload).alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
     )
