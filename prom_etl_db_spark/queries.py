@@ -133,6 +133,9 @@ _GATE_PRIORITY = [
     # mime_sniff_route: NEW — WHATWG MIME sniffing as one pure-Column
     # CASE over the hex projection; java.util.regex vs RE2 cross-check.
     "mime_sniff_route",
+    # warc_record_parse: NEW — ISO 28500 Content-Length record walk
+    # (embedded WARC/1.0 trap); closed-form header/md5/status oracle.
+    "warc_record_parse",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

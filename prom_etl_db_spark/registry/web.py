@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, mime, robots, urlnorm
+from prom_etl_db_spark.functions import dedup, mime, robots, urlnorm, warc
 from prom_etl_db_spark.registry.core import _t, register
 
 
@@ -472,4 +472,120 @@ def mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         mime.sniff_mime(payload).alias("mime"),
         F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+# WARC fixture algebra: per document one 3-record WARC file (warcinfo,
+# request, response) built from closed forms of doc_id — k = doc_id % 8
+# (host), m = doc_id % 7 (page), status = 200/301/404 by doc_id % 3. The
+# response payload PLANTS a literal "WARC/1.0\r\n\r\n" line, so any
+# parser that splits on delimiters instead of walking Content-Length
+# returns the wrong record count and fails the hash.
+_WARC_STATUS_SQL = "CAST(200 + (doc_id % 3) * CASE doc_id % 3 WHEN 1 THEN 101 WHEN 2 THEN 102 ELSE 0 END AS INT)"
+_WARC_P0_SQL = "'software: sparketl/1.0' || chr(13) || chr(10) || 'fileno: ' || doc_id"
+_WARC_URI_SQL = "'http://h' || CAST(doc_id % 8 AS BIGINT) || '.example.com/p/' || CAST(doc_id % 7 AS BIGINT)"
+_WARC_P1_SQL = (
+    "'GET /p/' || CAST(doc_id % 7 AS BIGINT) || ' HTTP/1.1' || chr(13) || chr(10) ||"
+    " 'Host: h' || CAST(doc_id % 8 AS BIGINT) || '.example.com' || chr(13) || chr(10) || chr(13) || chr(10)"
+)
+_WARC_P2_SQL = (
+    f"'HTTP/1.1 ' || {_WARC_STATUS_SQL} || ' OK' || chr(13) || chr(10) ||"
+    " 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||"
+    " '<html><body>doc ' || doc_id || chr(13) || chr(10) ||"
+    " 'WARC/1.0' || chr(13) || chr(10) || chr(13) || chr(10) || 'trap</body></html>'"
+)
+
+
+def _warc_fixture(docs: DataFrame) -> DataFrame:
+    """(doc_id, warc binary): the 3-record file described above, all
+    ASCII so char length == byte length on both engines."""
+    ids = F.col("doc_id").cast("string")
+    ks = (F.col("doc_id") % 8).cast("string")
+    ms = (F.col("doc_id") % 7).cast("string")
+    status = (
+        F.when(F.col("doc_id") % 3 == 1, 301)
+        .when(F.col("doc_id") % 3 == 2, 404)
+        .otherwise(200)
+        .cast("string")
+    )
+    uri = F.concat(F.lit("http://h"), ks, F.lit(".example.com/p/"), ms)
+    p0 = F.concat(F.lit("software: sparketl/1.0\r\nfileno: "), ids)
+    p1 = F.concat(
+        F.lit("GET /p/"), ms, F.lit(" HTTP/1.1\r\nHost: h"), ks,
+        F.lit(".example.com\r\n\r\n"),
+    )
+    p2 = F.concat(
+        F.lit("HTTP/1.1 "), status,
+        F.lit(" OK\r\nContent-Type: text/html\r\n\r\n<html><body>doc "), ids,
+        F.lit("\r\nWARC/1.0\r\n\r\ntrap</body></html>"),
+    )
+
+    def rec(wtype: str, idx: str, payload, uri_col=None):
+        parts = [F.lit(f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Record-ID: <urn:uuid:")]
+        parts += [ids, F.lit(f"-{idx}>\r\n")]
+        if uri_col is not None:
+            parts += [F.lit("WARC-Target-URI: "), uri_col, F.lit("\r\n")]
+        parts += [
+            F.lit("WARC-Date: 2024-01-30T00:00:00Z\r\nContent-Length: "),
+            F.length(payload).cast("string"),
+            F.lit("\r\n\r\n"),
+            payload,
+            F.lit("\r\n\r\n"),
+        ]
+        return F.concat(*parts)
+
+    body = F.concat(
+        rec("warcinfo", "0", p0),
+        rec("request", "1", p1, uri),
+        rec("response", "2", p2, uri),
+    )
+    return docs.select("doc_id", F.encode(body, "UTF-8").alias("warc"))
+
+
+@register(
+    "warc_record_parse",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_WARC_URI_SQL} AS uri,
+         {_WARC_P0_SQL} AS p0,
+         {_WARC_P1_SQL} AS p1,
+         {_WARC_P2_SQL} AS p2,
+         {_WARC_STATUS_SQL} AS status
+  FROM documents
+)
+SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+       '<urn:uuid:' || doc_id || '-0>' AS record_id,
+       CAST(NULL AS VARCHAR) AS target_uri,
+       CAST(length(p0) AS BIGINT) AS content_length,
+       md5(p0) AS payload_md5, CAST(NULL AS INT) AS http_status
+FROM base
+UNION ALL
+SELECT doc_id, 1, 'request', '<urn:uuid:' || doc_id || '-1>', uri,
+       CAST(length(p1) AS BIGINT), md5(p1), CAST(NULL AS INT)
+FROM base
+UNION ALL
+SELECT doc_id, 2, 'response', '<urn:uuid:' || doc_id || '-2>', uri,
+       CAST(length(p2) AS BIGINT), md5(p2), status
+FROM base
+""",
+)
+def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation, WARC parsing (r6): ISO 28500 record walk over
+    Common Crawl's container format — the entry point of the whole crawl
+    arc (WARC → MIME sniff → HTML extract → url dedup). The fixture
+    builds a real 3-record file per document (warcinfo/request/response)
+    whose response payload EMBEDS a "WARC/1.0" line: only a parser that
+    honors Content-Length framing (functions/warc.py, mapInPandas one
+    pass per file) yields 3 records per doc with matching payload md5s.
+    The oracle recomputes every header field, block length, md5 and HTTP
+    status as closed forms of doc_id (the BMP-roundtrip expected-value
+    pattern — DuckDB cannot walk bytes). Scale: parallelism is per-file;
+    .warc.gz member framing (gzip loop, unit-tested) is what permits
+    intra-file splits in a production reader."""
+    docs = _t(spark, sf_dir, "documents")
+    out = warc.parse_warc_records(_warc_fixture(docs), id_col="doc_id")
+    return out.select(
+        "doc_id", "rec_idx", "warc_type", "record_id", "target_uri",
+        "content_length", "payload_md5", "http_status",
     )
