@@ -136,6 +136,9 @@ _GATE_PRIORITY = [
     # warc_record_parse: NEW — ISO 28500 Content-Length record walk
     # (embedded WARC/1.0 trap); closed-form header/md5/status oracle.
     "warc_record_parse",
+    # cdx_surt_keys: NEW — web-archive SURT/CDX key transform; DuckDB
+    # replays host/path/query regexes + label reversal with list ops.
+    "cdx_surt_keys",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

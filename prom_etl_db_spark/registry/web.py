@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, mime, robots, urlnorm, warc
+from prom_etl_db_spark.functions import dedup, mime, robots, surt, urlnorm, warc
 from prom_etl_db_spark.registry.core import _t, register
 
 
@@ -588,4 +588,53 @@ def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "rec_idx", "warc_type", "record_id", "target_uri",
         "content_length", "payload_md5", "http_status",
+    )
+
+
+@register(
+    "cdx_surt_keys",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT CAST(doc_id // 3 AS BIGINT) AS pg FROM documents
+), canon AS (
+  SELECT pg, 'http://' || {_URL_HOST_SQL} || '/p/' || pg || '?a=1&b=2' AS url
+  FROM g
+), parts AS (
+  SELECT pg, url,
+    regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+    coalesce(nullif(regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM canon
+)
+SELECT pg AS page, url AS canonical_url,
+  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || path ||
+    CASE WHEN query <> '' THEN '?' || query ELSE '' END AS surt
+FROM parts
+""",
+)
+def cdx_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, SURT keys (r6): the web-archive CDX key
+    transform over the canonicalized url_dedup fixture — scheme off,
+    host lowercased, single leading www. folded, labels REVERSED and
+    comma-joined, then ')' + path + query, so one registered domain
+    (and all its subdomains) is one contiguous lexicographic range:
+    the property that turns "every capture of example.com" into a
+    range scan at 100 TB. The four host strata exercise www-drop,
+    4-label reversal under a multi-label suffix, a cdn subdomain and a
+    bare 2-label host. Oracle is a genuine second implementation:
+    DuckDB re-derives host/path/query by regex and replays the
+    reversal with its own list ops (the canonical form itself is the
+    fixture's closed form — DuckDB has no URL normalizer). Plan: pure
+    Column (parse_url/split/reverse), one hash agg for the page
+    collapse, zero Python, zero extra shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = urlnorm.canonical_urls(_url_variants(docs))
+    pages = (
+        canon.groupBy(F.floor(F.col("doc_id") / 3).cast("long").alias("page"))
+        .agg(F.first("canonical_url").alias("canonical_url"))
+    )
+    return pages.select(
+        "page",
+        "canonical_url",
+        surt.surt_key(F.col("canonical_url")).alias("surt"),
     )
