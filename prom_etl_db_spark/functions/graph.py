@@ -96,3 +96,68 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+H_SCALE = 1_000_000  # harmonic contributions in integer millionths
+
+
+def harmonic_centrality_integer(
+    edges: DataFrame,
+    *,
+    radius: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """In-harmonic centrality H(v) = Σ_{u≠v} 1/d(u→v), truncated at
+    ``radius`` hops, every 1/d term floored to integer millionths
+    (H_SCALE DIV d) — the same quantized-term discipline as
+    ``pagerank_integer``, so an oracle can replay the whole BFS
+    bit-for-bit. Truncation is a documented variant: contributions
+    beyond the radius are each < H_SCALE/radius (Boldi & Vigna's
+    HyperBall computes the untruncated value approximately; EXACT
+    all-pairs BFS is the right tool only for bounded node sets like
+    per-partition host blocks — DIVERGENCES.md).
+
+    Scale shape: multi-source BFS — the frontier is (root, node) pairs,
+    expanded by one equi-join on the edge list per round, deduped
+    against the visited set with one left_anti join; both sides hash-
+    partition on the join key, lineage truncated per round. State is
+    O(reachable pairs), the exact-variant's inherent cost.
+
+    Output: (node long, harmonic_q6 long).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    visited = scratch(
+        nodes.select(
+            F.col("node").alias("root"), "node", F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for r in range(1, radius + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["root", "node"], "left_anti")
+            .select("root", "node", F.lit(r).alias("dist"))
+        )
+        nxt = scratch(nxt.localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = scratch(visited.union(nxt).localCheckpoint(eager=True))
+        frontier = nxt
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.expr(f"{H_SCALE} DIV dist")).cast("long").alias("harmonic_q6"))
+        .join(nodes, "node", "right")
+        .select("node", F.coalesce("harmonic_q6", F.lit(0)).cast("long").alias("harmonic_q6"))
+    )

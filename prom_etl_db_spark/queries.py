@@ -139,6 +139,9 @@ _GATE_PRIORITY = [
     # cdx_surt_keys: NEW — web-archive SURT/CDX key transform; DuckDB
     # replays host/path/query regexes + label reversal with list ops.
     "cdx_surt_keys",
+    # host_graph_harmonic: NEW — truncated integer harmonic centrality;
+    # recursive-CTE BFS oracle replays every floored 1/d term.
+    "host_graph_harmonic",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

@@ -638,3 +638,44 @@ def cdx_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_url",
         surt.surt_key(F.col("canonical_url")).alias("surt"),
     )
+
+
+@register(
+    "host_graph_harmonic",
+    oracle=f"""
+WITH RECURSIVE {_PR_EDGES_SQL},
+walk(root, node, dist) AS (
+  SELECT n AS root, n AS node, 0 AS dist FROM pr_nodes
+  UNION
+  SELECT w.root, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 8
+), sp AS (
+  SELECT root, node, min(dist) AS d FROM walk GROUP BY root, node
+)
+SELECT n.n AS node,
+  CAST(coalesce((SELECT sum(1000000 // d) FROM sp
+                 WHERE sp.node = n.n AND sp.d > 0), 0) AS BIGINT) AS harmonic_q6
+FROM pr_nodes n
+""",
+)
+def host_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, harmonic centrality (r6): the OTHER standard
+    host-authority signal (Common Crawl publishes harmonic-centrality
+    host ranks next to PageRank) over the same 50-host fixture graph.
+    In-harmonic H(v) = Σ 1/d(u→v) truncated at radius 8, each term
+    floored to integer MILLIONTHS, so the DuckDB recursive-CTE BFS
+    (min-dist per pair, then the same integer division) replays the
+    value bit-for-bit. Spark shape: multi-source BFS — per round one
+    frontier⋈edges equi-join + one left_anti dedup against visited,
+    lineage truncated per round (functions/graph.py). The exact
+    all-pairs variant is for bounded node sets; the 100 TB path is
+    HyperBall approximation (DIVERGENCES.md)."""
+    from prom_etl_db_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    return graph.harmonic_centrality_integer(edges, radius=8)

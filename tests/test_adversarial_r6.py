@@ -248,3 +248,60 @@ def test_pagerank_sink_node_and_source_only_node(spark):
     it1 = {0: base, 2: base, 1: base + 2 * ((17 * r0) // 20)}
     it2 = {0: base, 2: base, 1: base + 2 * ((17 * it1[0]) // 20)}
     assert got == it2
+
+
+# --- graph: truncated integer harmonic centrality -------------------------
+
+
+def test_harmonic_matches_hand_bfs(spark):
+    from prom_etl_db_spark.functions.graph import harmonic_centrality_integer
+
+    # path 0→1→2→3 plus shortcut 0→2: d(0,2)=1 (shortcut wins), d(0,3)=2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["harmonic_q6"]
+        for r in harmonic_centrality_integer(edges, radius=8).collect()
+    }
+    M = 1_000_000
+    assert got == {
+        0: 0,                       # no in-links
+        1: M,                       # from 0 at d=1
+        2: M + M,                   # from 0 at d=1 (shortcut), from 1 at d=1
+        3: M + M // 2 + M // 2,     # from 2 d=1, from 1 d=2, from 0 d=2
+    }
+
+
+def test_harmonic_radius_truncation_and_cycle(spark):
+    from prom_etl_db_spark.functions.graph import harmonic_centrality_integer
+
+    # 5-cycle: within radius 2 each node sees exactly d=1 and d=2
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["harmonic_q6"]
+        for r in harmonic_centrality_integer(edges, radius=2).collect()
+    }
+    assert got == {i: 1_000_000 + 500_000 for i in range(5)}
+    # full radius: d=1..4 → 1 + 1/2 + 1/3 + 1/4 floored per term
+    got4 = {
+        r["node"]: r["harmonic_q6"]
+        for r in harmonic_centrality_integer(edges, radius=8).collect()
+    }
+    want = 1_000_000 + 500_000 + 333_333 + 250_000
+    assert got4 == {i: want for i in range(5)}
+
+
+def test_harmonic_early_exit_on_empty_frontier(spark):
+    from prom_etl_db_spark.functions.graph import harmonic_centrality_integer
+
+    # single edge: the frontier empties after round 1; radius 8 must not
+    # schedule seven empty rounds of work that change the answer
+    edges = spark.createDataFrame([(7, 9)], "src long, dst long")
+    got = {
+        r["node"]: r["harmonic_q6"]
+        for r in harmonic_centrality_integer(edges, radius=8).collect()
+    }
+    assert got == {7: 0, 9: 1_000_000}
