@@ -78,9 +78,13 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
+def parse_warc_bytes(data: bytes, *, keep_payload: bool = False) -> list[dict]:
     """Walk one WARC file's bytes into record dicts (strict: any
-    framing violation raises ValueError with the offending offset)."""
+    framing violation raises ValueError with the offending offset).
+    With ``keep_payload`` each dict also carries the raw block bytes —
+    the downstream-pipeline mode (MIME sniff / HTML extract need the
+    body); off by default so the metadata-only path never ships
+    payloads through the shuffle."""
     import hashlib
 
     if data[:2] == b"\x1f\x8b":
@@ -130,38 +134,44 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                 code = block[sp + 1 : sp + 4]
                 if code.isdigit():
                     status = int(code)
-        records.append(
-            {
-                "rec_idx": idx,
-                "warc_type": wtype,
-                "record_id": headers.get("warc-record-id", ""),
-                "target_uri": headers.get("warc-target-uri"),
-                "warc_date": headers.get("warc-date", ""),
-                "content_length": clen,
-                "payload_md5": hashlib.md5(block).hexdigest(),
-                "http_status": status,
-            }
-        )
+        rec = {
+            "rec_idx": idx,
+            "warc_type": wtype,
+            "record_id": headers.get("warc-record-id", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date", ""),
+            "content_length": clen,
+            "payload_md5": hashlib.md5(block).hexdigest(),
+            "http_status": status,
+        }
+        if keep_payload:
+            rec["payload"] = block
+        records.append(rec)
         idx += 1
     return records
 
 
 def parse_warc_records(
-    files: DataFrame, *, payload_col: str = "warc", id_col: str = "file_id"
+    files: DataFrame,
+    *,
+    payload_col: str = "warc",
+    id_col: str = "file_id",
+    keep_payload: bool = False,
 ) -> DataFrame:
     """One row per WARC record across all files: (id_col, rec_idx,
     warc_type, record_id, target_uri, warc_date, content_length,
-    payload_md5, http_status)."""
-    schema = T.StructType(
-        [files.schema[id_col]] + list(WARC_RECORD_SCHEMA.fields)
-    )
+    payload_md5, http_status[, payload])."""
+    fields = list(WARC_RECORD_SCHEMA.fields)
+    if keep_payload:
+        fields.append(T.StructField("payload", T.BinaryType()))
+    schema = T.StructType([files.schema[id_col]] + fields)
     cols = [id_col, payload_col]
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for fid, blob in zip(pdf[id_col], pdf[payload_col]):
-                for rec in parse_warc_bytes(bytes(blob)):
+                for rec in parse_warc_bytes(bytes(blob), keep_payload=keep_payload):
                     rows.append({id_col: fid, **rec})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]

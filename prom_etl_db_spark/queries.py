@@ -142,6 +142,10 @@ _GATE_PRIORITY = [
     # host_graph_harmonic: NEW — truncated integer harmonic centrality;
     # recursive-CTE BFS oracle replays every floored 1/d term.
     "host_graph_harmonic",
+    # crawl_pipeline_v1: NEW — the composed crawl-admission flagship
+    # (WARC → status → MIME → robots → canonicalize → SURT), one
+    # closed-form admission-algebra oracle.
+    "crawl_pipeline_v1",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

@@ -679,3 +679,86 @@ def host_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
     )
     return graph.harmonic_centrality_integer(edges, radius=8)
+
+
+@register(
+    "crawl_pipeline_v1",
+    oracle=f"""
+WITH adm AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS k, CAST(doc_id % 7 AS BIGINT) AS m,
+         {_WARC_P2_SQL} AS p2
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 7 NOT IN (3, 5)
+)
+SELECT doc_id,
+  'http://h' || k || '.example.com/p/' || m AS canonical_url,
+  'com,example,h' || k || ')/p/' || m AS surt,
+  md5(substring(p2, position(chr(13) || chr(10) || chr(13) || chr(10) IN p2) + 4)) AS body_md5
+FROM adm
+""",
+)
+def crawl_pipeline_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation FLAGSHIP (r6): the full crawl-admission arc
+    composed end to end over real parsed bytes — WARC record walk
+    (Content-Length framing) → keep HTTP 200 responses → extract the
+    HTTP body (first CRLFCRLF; the body's own embedded CRLFCRLF trap
+    must not cut it) → WHATWG MIME sniff keeps text/html → RFC 9309
+    robots gate for TestBot ('*' group: '/p/3$' anchored + '/p/5'
+    prefix — rejects page 3 exactly and page 5ff by prefix) → RFC 3986
+    canonicalization → SURT key. Admission algebra the oracle replays
+    closed-form: status 200 ⇔ doc_id%3=0; robots ⇔ doc_id%7 ∉ {{3,5}};
+    body md5 recomputed from the response payload's closed form. Each
+    stage is individually oracle-checked by its own registry query
+    (warc_record_parse, mime_sniff_route, robots_gate, url_dedup,
+    cdx_surt_keys); this query proves the COMPOSITION. Plan: one
+    mapInPandas (WARC) + one pandas UDF (canonicalize) — the rest pure
+    Column; joins are host-keyed (8 keys, broadcast-class)."""
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc.parse_warc_records(
+        _warc_fixture(docs), id_col="doc_id", keep_payload=True
+    )
+    resp = recs.where(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "doc_id",
+        "target_uri",
+        F.col("payload").cast("string").alias("http_msg"),
+    )
+    body = F.expr("substring(http_msg, locate('\\r\\n\\r\\n', http_msg) + 4)")
+    html = resp.select(
+        "doc_id", "target_uri", body.alias("body")
+    ).where(mime.sniff_mime(F.encode(F.col("body"), "UTF-8")) == "text/html")
+    urls = html.select(
+        "doc_id",
+        "target_uri",
+        "body",
+        F.parse_url("target_uri", F.lit("HOST")).alias("host"),
+        F.parse_url("target_uri", F.lit("PATH")).alias("url_path"),
+    )
+    rb = (
+        docs.select((F.col("doc_id") % 8).cast("string").alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), "k", F.lit(".example.com")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /p/3$\nDisallow: /p/5\n").alias(
+                "robots_txt"
+            ),
+        )
+    )
+    admitted = robots.robots_allowed(urls, rb, agent="TestBot").where("allowed")
+    canon = urlnorm.canonical_urls(
+        admitted.select("doc_id", F.col("target_uri").alias("url"), "body")
+        .withColumnRenamed("body", "body_keep"),
+        url_col="url",
+    )
+    # canonical_urls projects (doc_id, canonical_url, host, changed);
+    # re-join the body by doc_id (one row per doc by construction)
+    bodies = admitted.select("doc_id", "body")
+    return (
+        canon.join(bodies, "doc_id")
+        .select(
+            "doc_id",
+            "canonical_url",
+            surt.surt_key(F.col("canonical_url")).alias("surt"),
+            F.md5(F.encode(F.col("body"), "UTF-8")).alias("body_md5"),
+        )
+    )
