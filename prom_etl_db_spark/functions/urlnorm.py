@@ -132,9 +132,12 @@ def normalize_url(url: str) -> str:
     return out
 
 
-def canonical_urls(docs, url_col: str = "url", id_col: str = "doc_id"):
-    """(id, url) → (id, canonical_url, host, changed) via one
-    Arrow-batched pandas UDF projection — narrow plan, no shuffle."""
+def canonical_col(url):
+    """``normalize_url`` as an Arrow-batched Column expression — the
+    composition hook pipelines use to canonicalize IN PLACE (keeping
+    their other columns) instead of projecting through
+    ``canonical_urls`` and re-joining, which would re-execute the
+    upstream plan once per branch."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
@@ -144,7 +147,15 @@ def canonical_urls(docs, url_col: str = "url", id_col: str = "doc_id"):
     _canon = F.pandas_udf(
         lambda s: s.map(normalize_url), returnType=StringType()
     )
-    canon = _canon(F.col(url_col))
+    return _canon(url)
+
+
+def canonical_urls(docs, url_col: str = "url", id_col: str = "doc_id"):
+    """(id, url) → (id, canonical_url, host, changed) via one
+    Arrow-batched pandas UDF projection — narrow plan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    canon = canonical_col(F.col(url_col))
     host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
     return docs.select(
         F.col(id_col),

@@ -710,9 +710,11 @@ def crawl_pipeline_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     body md5 recomputed from the response payload's closed form. Each
     stage is individually oracle-checked by its own registry query
     (warc_record_parse, mime_sniff_route, robots_gate, url_dedup,
-    cdx_surt_keys); this query proves the COMPOSITION. Plan: one
-    mapInPandas (WARC) + one pandas UDF (canonicalize) — the rest pure
-    Column; joins are host-keyed (8 keys, broadcast-class)."""
+    cdx_surt_keys); this query proves the COMPOSITION. Plan: the WARC
+    mapInPandas appears twice (robots_allowed's verdict join-back scans
+    urls two ways — a production run would persist parsed records
+    between stages); everything else pure Column + one Arrow-batched
+    canonicalize; joins host-keyed (8 keys, broadcast-class)."""
     docs = _t(spark, sf_dir, "documents")
     recs = warc.parse_warc_records(
         _warc_fixture(docs), id_col="doc_id", keep_payload=True
@@ -744,21 +746,17 @@ def crawl_pipeline_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # robots_allowed returns the urls columns + verdict, so body rides
+    # through and canonicalization is an in-place column — no re-join,
+    # the WARC parse executes ONCE in the plan
     admitted = robots.robots_allowed(urls, rb, agent="TestBot").where("allowed")
-    canon = urlnorm.canonical_urls(
-        admitted.select("doc_id", F.col("target_uri").alias("url"), "body")
-        .withColumnRenamed("body", "body_keep"),
-        url_col="url",
-    )
-    # canonical_urls projects (doc_id, canonical_url, host, changed);
-    # re-join the body by doc_id (one row per doc by construction)
-    bodies = admitted.select("doc_id", "body")
-    return (
-        canon.join(bodies, "doc_id")
-        .select(
-            "doc_id",
-            "canonical_url",
-            surt.surt_key(F.col("canonical_url")).alias("surt"),
-            F.md5(F.encode(F.col("body"), "UTF-8")).alias("body_md5"),
-        )
+    return admitted.select(
+        "doc_id",
+        urlnorm.canonical_col(F.col("target_uri")).alias("canonical_url"),
+        "body",
+    ).select(
+        "doc_id",
+        "canonical_url",
+        surt.surt_key(F.col("canonical_url")).alias("surt"),
+        F.md5(F.encode(F.col("body"), "UTF-8")).alias("body_md5"),
     )

@@ -434,6 +434,70 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
             )
         ),
     )
+
+    # r6 crawl-arc probes: robots evaluation is an equi-join on host +
+    # one struct-max hash agg (urls grow k-linearly, the rules side is
+    # fixed per host); WARC parse and MIME sniff are single-pass
+    # per-item work (mapInPandas / pure-Column CASE); SURT is a pure
+    # projection. Harmonic BFS: copies get DISJOINT 50-node components
+    # (copy index recovered from the id offset), so visited-state and
+    # time must grow k-linearly — the probe proves the frontier joins
+    # don't couple components.
+    from prom_etl_db_spark.functions import graph as _gr
+    from prom_etl_db_spark.functions import mime as _mi
+    from prom_etl_db_spark.functions import robots as _ro
+    from prom_etl_db_spark.functions import surt as _su
+    from prom_etl_db_spark.registry.web import _warc_fixture
+
+    urls_fx = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 64).cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 997).cast("string")).alias("url_path"),
+    )
+    rb_fx = (
+        docs.select((F.col("doc_id") % 64).cast("string").alias("hk")).distinct()
+        .select(
+            F.concat(F.lit("h"), "hk", F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("User-agent: testbot\nDisallow: /p/1\nAllow: /p/1"),
+                "hk",
+                F.lit("$\nUser-agent: *\nDisallow: /\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    run("robots_eval", _ro.robots_allowed(urls_fx, rb_fx, agent="testbot"))
+    run("warc_parse", __import__("prom_etl_db_spark.functions.warc", fromlist=["warc"]).parse_warc_records(_warc_fixture(docs), id_col="doc_id"))
+    run("mime_sniff", docs.select(_mi.sniff_mime(F.encode(F.col("text"), "UTF-8")).alias("m")).groupBy("m").count())
+    run(
+        "surt_keys",
+        docs.select(
+            _su.surt_key(
+                F.concat(
+                    F.lit("http://www.s"), (F.col("doc_id") % 1009).cast("string"),
+                    F.lit(".example.co.uk/p/"), F.col("doc_id").cast("string"),
+                    F.lit("?a=1"),
+                )
+            ).alias("s")
+        ),
+    )
+    copy_base = (F.col("doc_id") / 10_000_000).cast("long") * 1000
+    hedges = docs.select(
+        (copy_base + F.col("doc_id") % 50).alias("src"),
+        (copy_base + (F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    if not only or any(s in "harmonic_bfs" for s in only):
+        from prom_etl_db_spark.functions.scratch import release_scratch
+
+        best, n_rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_rows = _gr.harmonic_centrality_integer(hedges, radius=8).count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+            spark.catalog.clearCache()
+            release_scratch()
+        times["harmonic_bfs"] = (round(best, 2), n_rows)
+        print(f"  {k}x harmonic_bfs: {best:.2f}s ({n_rows} rows)", file=sys.stderr)
     return times
 
 
