@@ -225,3 +225,73 @@ def url_dedup(docs, url_col: str = "url", id_col: str = "doc_id"):
             "canonical_url", "host", "registered_domain", "keep_doc_id", "n_dups"
         )
     )
+
+
+def resolve_reference(base: str, ref: str) -> str:
+    """RFC 3986 §5.2 reference resolution (the transform-references
+    algorithm verbatim, including the §5.2.3 merge and §5.2.4
+    dot-segment removal), recomposed per §5.3. The crawl-pipeline use:
+    every href harvested from a page is a URI REFERENCE (relative,
+    protocol-relative, query-only, fragment-only, …) that must be
+    resolved against the page URL before canonicalization — link-graph
+    edges built from raw hrefs are wrong for every relative link.
+    Pinned by the spec's own §5.4 normal + abnormal example tables in
+    tests/test_urlnorm_resolve.py."""
+    bm = _URL_RE.match(base.strip())
+    rm = _URL_RE.match(ref.strip())
+    b_scheme, b_auth, b_path, b_query = bm.group(1), bm.group(2), bm.group(3), bm.group(4)
+    r_scheme, r_auth, r_path, r_query = rm.group(1), rm.group(2), rm.group(3), rm.group(4)
+    frag = ref[ref.find("#"):] if "#" in ref else ""
+    if r_scheme is not None:
+        t = (r_scheme, r_auth, _remove_dot_segments(r_path), r_query)
+    elif r_auth is not None:
+        t = (b_scheme, r_auth, _remove_dot_segments(r_path), r_query)
+    elif r_path == "":
+        t = (b_scheme, b_auth, b_path, r_query if r_query is not None else b_query)
+    else:
+        if r_path.startswith("/"):
+            merged = r_path
+        elif b_auth is not None and b_path == "":
+            merged = "/" + r_path  # §5.2.3 first case
+        else:
+            merged = b_path[: b_path.rfind("/") + 1] + r_path
+        t = (b_scheme, b_auth, _remove_dot_segments(merged), r_query)
+    scheme, auth, path, query = t
+    out = (scheme + ":") if scheme is not None else ""
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    return out + frag
+
+
+#: href attributes of <a> tags, either quote style (the common crawl
+#: link-harvest shape; unquoted values are rare and skipped — documented)
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)')"""
+
+
+def extract_links(docs, *, html_col: str = "html", base_col: str = "base_url",
+                  id_col: str = "doc_id"):
+    """(id, base_url, html) → one row per harvested <a href>, RESOLVED
+    against the page URL: (id_col, base_url, href, resolved). The
+    harvest is pure-Column ``regexp_extract_all`` (JVM regex); the
+    resolution is one Arrow-batched pandas UDF over (base, ref) pairs.
+    Fragment-only references resolve to the page itself + fragment
+    (spec); canonicalization afterwards drops fragments — composition
+    order matters and is the documented contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    quoted = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+    hrefs = F.filter(
+        F.transform(quoted, lambda x: x.substr(F.lit(2), F.length(x) - 2)),
+        lambda x: x != "",
+    )
+    exploded = docs.select(
+        F.col(id_col), F.col(base_col), F.explode(hrefs).alias("href")
+    )
+    _resolve = F.pandas_udf(
+        lambda b, r: b.combine(r, resolve_reference), returnType=StringType()
+    )
+    return exploded.withColumn("resolved", _resolve(F.col(base_col), F.col("href")))

@@ -146,6 +146,9 @@ _GATE_PRIORITY = [
     # (WARC → status → MIME → robots → canonicalize → SURT), one
     # closed-form admission-algebra oracle.
     "crawl_pipeline_v1",
+    # html_link_graph: NEW — href harvest + RFC 3986 §5.2 reference
+    # resolution (every branch); §5.4 spec tables pin the resolver.
+    "html_link_graph",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

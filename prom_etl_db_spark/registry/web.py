@@ -760,3 +760,64 @@ def crawl_pipeline_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         surt.surt_key(F.col("canonical_url")).alias("surt"),
         F.md5(F.encode(F.col("body"), "UTF-8")).alias("body_md5"),
     )
+
+
+# Link-harvest fixture algebra: per doc one page at base
+# http://h<k>.example.com/dir/sub/page<m>?z=1 (k = doc_id % 8,
+# m = doc_id % 7) carrying seven <a href> links, one per RFC 3986 §5.2.2
+# resolution branch: absolute, protocol-relative (//authority),
+# root-relative, ../ relative, query-only, fragment-only, and a
+# single-quoted plain relative.
+_LINKS_SQL = """
+links(href_tpl, res_tpl) AS (VALUES
+  ('http://ext{m}.example.org/abs',  'http://ext{m}.example.org/abs'),
+  ('//cdn{k}.example.net/lib',       'http://cdn{k}.example.net/lib'),
+  ('/r/{m}',                         'http://h{k}.example.com/r/{m}'),
+  ('../up/{m}',                      'http://h{k}.example.com/dir/up/{m}'),
+  ('?q={m}',                         'http://h{k}.example.com/dir/sub/page{m}?q={m}'),
+  ('#sec{m}',                        'http://h{k}.example.com/dir/sub/page{m}?z=1#sec{m}'),
+  ('img/{m}',                        'http://h{k}.example.com/dir/sub/img/{m}')
+)"""
+
+
+@register(
+    "html_link_graph",
+    oracle=f"""
+WITH {_LINKS_SQL}
+SELECT d.doc_id,
+  replace(replace(l.href_tpl, '{{k}}', CAST(d.doc_id % 8 AS VARCHAR)),
+          '{{m}}', CAST(d.doc_id % 7 AS VARCHAR)) AS href,
+  replace(replace(l.res_tpl, '{{k}}', CAST(d.doc_id % 8 AS VARCHAR)),
+          '{{m}}', CAST(d.doc_id % 7 AS VARCHAR)) AS resolved
+FROM documents d CROSS JOIN links l
+""",
+)
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, link harvesting (r6): <a href> extraction +
+    RFC 3986 §5.2 reference resolution — the step that turns pages into
+    link-graph EDGES (the input host_graph_pagerank/harmonic rank), and
+    the step naive pipelines get wrong for every relative link. Seven
+    links per page cover every §5.2.2 branch (absolute, //authority,
+    /rooted, ../merge, query-only, fragment-only, plain relative; both
+    quote styles). The resolver is the spec's transform-references
+    algorithm verbatim, pinned separately by the RFC's own §5.4
+    normal+abnormal vector tables; the oracle states each branch's
+    closed form. Plan: pure-Column regexp_extract_all harvest → explode
+    → one Arrow-batched resolve; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 8).cast("string")
+    m = (F.col("doc_id") % 7).cast("string")
+    base = F.concat(
+        F.lit("http://h"), k, F.lit(".example.com/dir/sub/page"), m, F.lit("?z=1")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://ext'), m, F.lit('.example.org/abs">x</a>'),
+        F.lit('<a class=l href="//cdn'), k, F.lit('.example.net/lib">x</a>'),
+        F.lit('<a href="/r/'), m, F.lit('">x</a>'),
+        F.lit('<a href="../up/'), m, F.lit('">x</a>'),
+        F.lit('<a href="?q='), m, F.lit('">x</a>'),
+        F.lit('<a href="#sec'), m, F.lit('">x</a>'),
+        F.lit("<a href='img/"), m, F.lit("'>x</a></body></html>"),
+    )
+    pages = docs.select("doc_id", base.alias("base_url"), html.alias("html"))
+    return urlnorm.extract_links(pages).select("doc_id", "href", "resolved")
