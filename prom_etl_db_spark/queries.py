@@ -149,6 +149,11 @@ _GATE_PRIORITY = [
     # html_link_graph: NEW — href harvest + RFC 3986 §5.2 reference
     # resolution (every branch); §5.4 spec tables pin the resolver.
     "html_link_graph",
+    # sitemap_parse / crawl_frontier_schedule: NEW — sitemaps.org
+    # discovery input (RE2/java.util.regex dual) + the politeness
+    # window schedule.
+    "sitemap_parse",
+    "crawl_frontier_schedule",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

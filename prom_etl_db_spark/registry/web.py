@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, mime, robots, surt, urlnorm, warc
+from prom_etl_db_spark.functions import dedup, mime, robots, sitemap, surt, urlnorm, warc
 from prom_etl_db_spark.registry.core import _t, register
 
 
@@ -821,3 +821,105 @@ def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", base.alias("base_url"), html.alias("html"))
     return urlnorm.extract_links(pages).select("doc_id", "href", "resolved")
+
+
+# Sitemap fixture algebra: per host (doc_id % 8) one urlset with three
+# <url> entries — a fully-populated one (entity-escaped &amp; in the
+# loc, padded whitespace, mixed-case changefreq), a REORDERED one
+# (priority before loc, no lastmod), and a minimal one (defaults:
+# priority 0.5, NULL lastmod/changefreq).
+_SITEMAP_XML_SQL = """'<?xml version="1.0" encoding="UTF-8"?>' ||
+ '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+ '<url><loc> http://h' || k || '.example.com/p/0?a=1&amp;b=2 </loc>' ||
+ '<lastmod>2024-01-15</lastmod><changefreq>Daily</changefreq>' ||
+ '<priority>0.8</priority></url>' ||
+ '<url><priority>0.3</priority><loc>http://h' || k || '.example.com/p/1</loc></url>' ||
+ '<url><loc>http://h' || k || '.example.com/p/2</loc></url>' ||
+ '</urlset>'"""
+
+
+@register(
+    "sitemap_parse",
+    oracle=f"""
+WITH hosts AS (
+  SELECT DISTINCT CAST(doc_id % 8 AS BIGINT) AS k FROM documents
+), sm AS (
+  SELECT 'h' || k || '.example.com' AS host, {_SITEMAP_XML_SQL} AS xml FROM hosts
+), blocks AS (
+  SELECT host, unnest(regexp_extract_all(xml, '(?is)<url\\s*>(.*?)</url\\s*>', 1)) AS blk
+  FROM sm
+)
+SELECT host,
+  replace(replace(replace(replace(replace(
+    regexp_extract(blk, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1),
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS loc,
+  nullif(regexp_extract(blk, '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1), '') AS lastmod,
+  nullif(lower(regexp_extract(blk, '(?is)<changefreq\\s*>\\s*(.*?)\\s*</changefreq\\s*>', 1)), '') AS changefreq,
+  coalesce(try_cast(nullif(regexp_extract(blk, '(?is)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1), '') AS DOUBLE), 0.5) AS priority
+FROM blocks
+""",
+)
+def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, sitemap parsing (r6): the sitemaps.org
+    discovery input (robots.txt's `Sitemap:` lines point here) — one
+    row per <url> entry with loc/lastmod/changefreq/priority,
+    element-order-independent, five-entity unescape ordered so &amp;lt;
+    cannot double-decode, spec default priority 0.5. Pure Column end to
+    end (regexp_extract_all → explode → per-block extracts); the oracle
+    replays the same regexes and replace chain under RE2 — two regex
+    engines, one grammar (the mime_sniff_route pattern). See
+    functions/sitemap.py."""
+    docs = _t(spark, sf_dir, "documents")
+    hk = F.col("k").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc> http://h"), hk,
+        F.lit(".example.com/p/0?a=1&amp;b=2 </loc>"
+              "<lastmod>2024-01-15</lastmod><changefreq>Daily</changefreq>"
+              "<priority>0.8</priority></url>"
+              "<url><priority>0.3</priority><loc>http://h"), hk,
+        F.lit(".example.com/p/1</loc></url><url><loc>http://h"), hk,
+        F.lit(".example.com/p/2</loc></url></urlset>"),
+    )
+    sm = (
+        docs.select((F.col("doc_id") % 8).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), hk, F.lit(".example.com")).alias("host"),
+            xml.alias("xml"),
+        )
+    )
+    return sitemap.sitemap_entries(sm)
+
+
+@register(
+    "crawl_frontier_schedule",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 16 AS BIGINT) || '.example.com' AS host,
+         '/p/' || CAST(doc_id % 97 AS BIGINT) AS url,
+         CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+  FROM documents
+)
+SELECT host, url, priority,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS INT) AS slot
+FROM u
+""",
+)
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation, frontier scheduling (r6): the politeness
+    schedule — within each host, fetch order = (priority DESC, url ASC)
+    and ``slot`` = that rank, so slot s across all hosts is a
+    concurrently-fetchable wave touching no host twice. One window per
+    host; hosts partition the work (a pathological host is bounded by
+    its own frontier, capped in production). Oracle replays the window
+    verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 16).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 97).cast("string")).alias("url"),
+        ((F.col("doc_id") % 10) / 10).cast("double").alias("priority"),
+    ).distinct()
+    return sitemap.frontier_schedule(urls)
