@@ -138,15 +138,19 @@ def sniff_mime(payload: Column) -> Column:
     for pat, mime in _ordered_rules():
         cond = h.rlike(pat)
         expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
-    return expr.when(h.rlike(_BINARY_BYTE_RE), "application/octet-stream").otherwise(
-        "text/plain"
+    return F.when(payload.isNull(), F.lit(None).cast("string")).otherwise(
+        expr.when(h.rlike(_BINARY_BYTE_RE), "application/octet-stream").otherwise(
+            "text/plain"
+        )
     )
 
 
 def oracle_case_sql(hex_expr: str) -> str:
     """The identical decision chain as a DuckDB CASE over ``hex_expr``
     (an UPPERCASE hex-string SQL expression) — rendered from the same
-    pattern constants so the two engines can never drift apart."""
+    pattern constants so the two engines can never drift apart. Scope:
+    non-NULL payloads (the Spark side returns NULL for a NULL payload
+    before this chain runs; SQL callers guard NULLs themselves)."""
     lines = ["CASE"]
     for pat, mime in _ordered_rules():
         lines.append(f"  WHEN regexp_matches({hex_expr}, '{pat}') THEN '{mime}'")

@@ -68,7 +68,11 @@ def _gunzip_members(data: bytes) -> bytes:
     out, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error as exc:  # corrupt member: refuse loudly, one
+            # exception class (the codec fuzz-gate convention)
+            raise ValueError(f"warc.gz: bad gzip member at offset {pos}: {exc}")
         if not d.eof:
             raise ValueError(f"warc.gz: truncated gzip member at offset {pos}")
         consumed = len(data) - pos - len(d.unused_data)
@@ -116,7 +120,18 @@ def parse_warc_bytes(data: bytes, *, keep_payload: bool = False) -> list[dict]:
             )
         if "content-length" not in headers:
             raise ValueError(f"warc: record {idx} missing Content-Length")
-        clen = int(headers["content-length"])
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"warc: record {idx} non-numeric Content-Length"
+                f" {headers['content-length']!r}"
+            )
+        if clen < 0:
+            # a flipped digit byte can read as '-': a negative length
+            # would walk the cursor BACKWARDS (infinite loop), so it is
+            # a framing violation, not a parse detail
+            raise ValueError(f"warc: record {idx} negative Content-Length {clen}")
         if pos + clen > n:
             raise ValueError(
                 f"warc: record {idx} block overruns file ({pos}+{clen}>{n})"

@@ -103,3 +103,10 @@ def test_plan_is_pure_column(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_null_payload_sniffs_null(spark):
+    df = spark.createDataFrame([(1, None), (2, b"hi")], "i int, payload binary")
+    rows = {r["i"]: r["m"] for r in df.select("i", M.sniff_mime(F.col("payload")).alias("m")).collect()}
+    assert rows[1] is None
+    assert rows[2] == "text/plain"

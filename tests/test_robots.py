@@ -141,3 +141,11 @@ def test_plan_is_pure_column(spark):
     urls = spark.createDataFrame([("h", "/x")], "host string, url_path string")
     plan = R.robots_allowed(urls, rb, agent="testbot")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_crlf_line_endings(spark):
+    txt = "User-agent: *\r\nDisallow: /a\r\nAllow: /a/pub\r\n"
+    out = _eval(spark, txt, ["/a/x", "/a/pub2"])
+    # '\r' must be stripped from values, not glued onto patterns
+    assert out["/a/x"] == (False, "/a")
+    assert out["/a/pub2"] == (True, "/a/pub")

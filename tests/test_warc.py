@@ -107,3 +107,32 @@ def test_spark_plumbing_arrow_batched(spark):
     assert {r["file_id"] for r in rows} == {1, 2}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # Arrow path, never row-at-a-time
+
+
+def test_negative_content_length_refused():
+    # a single flipped digit byte can read as '-'; the walker must not
+    # move backwards (infinite loop), it must refuse
+    bad = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -5\r\n\r\npayload\r\n\r\n"
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        W.parse_warc_bytes(bad)
+    bad2 = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 1e3\r\n\r\np\r\n\r\n"
+    with pytest.raises(ValueError, match="non-numeric"):
+        W.parse_warc_bytes(bad2)
+
+
+def test_gzip_garbage_member_refused_with_valueerror():
+    plain = _sample_file()
+    data = gzip.compress(plain) + b"\x1f\x8bgarbage-not-a-member"
+    with pytest.raises(ValueError):
+        W.parse_warc_bytes(data)
+
+
+def test_gz_corrupt_fuzz_single_exception_class():
+    gz = gzip.compress(_sample_file())
+    for pos in range(0, len(gz), 5):
+        mutated = bytearray(gz)
+        mutated[pos] ^= 0xFF
+        try:
+            W.parse_warc_bytes(bytes(mutated))
+        except ValueError:
+            continue
