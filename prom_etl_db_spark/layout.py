@@ -78,3 +78,65 @@ def bucketed_join(
     the runtime)."""
     on = [on] if isinstance(on, str) else list(on)
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-dimensional data-skipping.
+#
+# The public technique behind Delta Lake's OPTIMIZE ZORDER and the
+# classic Morton curve: interleave the bits of two (or more) column
+# keys so that range-partitioning on the single interleaved value
+# co-locates rows that are close in EVERY dimension. Files/partitions
+# then carry tight min/max ranges on BOTH source columns, and a
+# predicate on either column prunes most partitions — the property a
+# 100 TB scan lives on when queries filter by (host, time) or
+# (metric, day) together. Everything below is exact integer algebra
+# (bit interleaving), pure Column, SQL-replayable.
+# ---------------------------------------------------------------------------
+
+
+def z_value(a, b, *, bits: int = 21):
+    """Morton-interleave two non-negative integer Columns into one
+    z-value (a in the even bit positions, b in the odd): for each i <
+    ``bits``, bit i of ``a`` lands at position 2i and bit i of ``b`` at
+    2i+1. 21 bits/dim keeps the result inside a signed 64-bit long.
+    Inputs outside [0, 2^bits) must be range-reduced by the caller
+    (quantile bucketing is the production norm — Z-ORDER sorts on rank,
+    not raw values, to survive skew)."""
+    from pyspark.sql import functions as F
+
+    a = a.cast("long")
+    b = b.cast("long")
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z
+
+
+def z_value_sql(a_expr: str, b_expr: str, *, bits: int = 21) -> str:
+    """The identical interleave as one SQL expression (DuckDB/ANSI
+    integer ops) — rendered from the same loop so the two engines
+    cannot drift (the mime/sitemap shared-constants pattern)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(df, a_col: str, b_col: str, *, n_partitions: int, bits: int = 21):
+    """Lay ``df`` out on the Morton curve of (a_col, b_col):
+    repartitionByRange on the z-value (range partitioning = contiguous
+    curve segments = tight per-partition min/max on BOTH columns), then
+    sort within partitions so file-level skipping indexes stay tight.
+    The ``zval`` column is kept — it is the sort key a writer would
+    drop at the final projection."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("zval", z_value(F.col(a_col), F.col(b_col), bits=bits))
+    return keyed.repartitionByRange(n_partitions, "zval").sortWithinPartitions("zval")

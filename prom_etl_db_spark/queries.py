@@ -154,6 +154,9 @@ _GATE_PRIORITY = [
     # window schedule.
     "sitemap_parse",
     "crawl_frontier_schedule",
+    # events_zorder_skipping: NEW — Morton-curve layout; the oracle
+    # replays the bit interleave, the unit test proves the pruning.
+    "events_zorder_skipping",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

@@ -981,3 +981,58 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --- Z-order layout (r6) ----------------------------------------------------
+
+from prom_etl_db_spark.layout import z_value, z_value_sql, zorder_layout  # noqa: E402
+
+_Z_A_SQL = "CAST(user_id % 1024 AS BIGINT)"
+_Z_B_SQL = "CAST(event_id % 1024 AS BIGINT)"
+
+
+@register(
+    "events_zorder_skipping",
+    oracle=f"""
+WITH z AS (
+  SELECT event_id,
+         {z_value_sql(_Z_A_SQL, _Z_B_SQL, bits=10)} AS zval,
+         {_Z_A_SQL} AS a, {_Z_B_SQL} AS b
+  FROM events
+)
+SELECT CAST(zval >> 10 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+FROM z GROUP BY 1
+""",
+)
+def events_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout extension (r6): Z-order (Morton) data-skipping — the
+    public technique behind Delta's OPTIMIZE ZORDER. Bits of
+    (user_id%1024, event_id%1024) interleave into one z-value (pure
+    Column, exact integer algebra, rendered into SQL from the SAME
+    loop); coarse curve segments (zval >> 10) then carry TIGHT min/max
+    on BOTH dimensions (≈32×32 squares instead of full-range stripes)
+    — the per-file skipping stats that let a predicate on EITHER
+    column prune most of a 100 TB scan. The oracle replays the
+    interleave bit-for-bit; the companion unit test asserts the
+    pruning property itself (every bucket's a/b ranges ≤ 32 wide) and
+    that a single-dim sort fails it. One hash agg; the layout API
+    (`layout.zorder_layout`) is repartitionByRange + sortWithin on the
+    same key."""
+    ev = _t(spark, sf_dir, "events")
+    z = ev.select(
+        "event_id",
+        z_value(F.col("user_id") % 1024, F.col("event_id") % 1024, bits=10).alias("zval"),
+        (F.col("user_id") % 1024).cast("long").alias("a"),
+        (F.col("event_id") % 1024).cast("long").alias("b"),
+    )
+    return (
+        z.groupBy(F.shiftright("zval", 10).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("a").alias("min_a"), F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"), F.max("b").alias("max_b"),
+        )
+    )

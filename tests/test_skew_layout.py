@@ -174,3 +174,83 @@ def test_bucketed_join_values_match_plain(spark, bucket_db):
     )
     want = _sorted_rows(events.join(users, on=["user_id"]))
     assert got == want
+
+
+# --- Z-order layout (r6) ---------------------------------------------------
+
+
+def test_z_value_interleave_vectors(spark):
+    from prom_etl_db_spark.layout import z_value
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)], "a long, b long"
+    )
+    got = [
+        r["z"] for r in df.select(
+            z_value(F.col("a"), F.col("b"), bits=10).alias("z")
+        ).collect()
+    ]
+
+    def morton(a, b):
+        z = 0
+        for i in range(10):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)]]
+    assert morton(1023, 1023) == 2**20 - 1
+
+
+def test_zorder_buckets_are_tight_squares_but_single_sort_is_not(spark):
+    """The data-skipping claim itself: coarse z-curve segments carry
+    tight min/max on BOTH dimensions; sorting by one dimension leaves
+    the other dimension's per-segment range at full width."""
+    from prom_etl_db_spark.layout import z_value
+    from pyspark.sql import functions as F
+
+    n = 64
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+    )
+    z = df.withColumn("zval", z_value(F.col("a"), F.col("b"), bits=6))
+    seg = (
+        z.groupBy(F.shiftright("zval", 6).alias("s"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("wa"),
+            (F.max("b") - F.min("b")).alias("wb"),
+        )
+        .agg(F.max("wa").alias("wa"), F.max("wb").alias("wb"))
+        .first()
+    )
+    # 2^6-point curve segments tile 8x8 squares: both widths stay 7
+    assert seg["wa"] == 7 and seg["wb"] == 7
+    lin = (
+        df.withColumn("k", F.col("a") * n + F.col("b"))  # sort by a, then b
+        .groupBy(F.shiftright(F.col("k"), 6).alias("s"))
+        .agg((F.max("b") - F.min("b")).alias("wb"))
+        .agg(F.max("wb").alias("wb"))
+        .first()
+    )
+    assert lin["wb"] == 63  # one-dim sort: second dim unbounded per segment
+
+
+def test_zorder_layout_partitions_are_curve_ranges(spark):
+    from prom_etl_db_spark.layout import zorder_layout
+    from pyspark.sql import functions as F
+
+    n = 32
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+    )
+    out = zorder_layout(df, "a", "b", n_partitions=8, bits=5)
+    parts = out.select("zval").rdd.glom().collect()
+    ranges = [(p[0][0], p[-1][0]) for p in parts if p]
+    # sorted within partitions, and partition ranges are disjoint curve
+    # segments (range partitioning): tight min/max for file skipping
+    for p in parts:
+        vals = [r[0] for r in p]
+        assert vals == sorted(vals)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
