@@ -157,6 +157,9 @@ _GATE_PRIORITY = [
     # events_zorder_skipping: NEW — Morton-curve layout; the oracle
     # replays the bit interleave, the unit test proves the pruning.
     "events_zorder_skipping",
+    # doc_main_content: NEW — jusText/Kohlschütter link-density
+    # boilerplate removal; DuckDB lambdas replay the block algebra.
+    "doc_main_content",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

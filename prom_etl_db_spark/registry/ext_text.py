@@ -784,3 +784,79 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# --- main-content extraction (r6) -------------------------------------------
+
+_MC_BLOCK_RE = (
+    "(?i)</?(?:p|div|section|article|main|body|html|h[1-6]|li|ul|ol"
+    "|table|tr|td|nav|footer|header|aside|br)[^>]*>"
+)
+# the per-block text/link-length algebra as DuckDB lambdas (same
+# regexes as functions/text.html_main_content; RE2 vs java.util.regex)
+_MC_TEXT = (
+    "trim(regexp_replace(regexp_replace({x}, '(?is)<[^>]*>', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "doc_main_content",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+    '<html><body><nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/c">Contact</a></nav>'
+    || '<div>' || text || '</div><p>tiny</p>'
+    || '<div>Appendix block long enough to keep, citing <a href="/r">one reference</a> within prose that stays link-sparse overall.</div>'
+    || '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>' AS html
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    string_split(regexp_replace(html, '{_MC_BLOCK_RE}', chr(1), 'g'), chr(1)) AS blocks
+  FROM p
+), s AS (
+  SELECT doc_id, blocks,
+    list_filter(
+      list_transform(blocks, x -> struct_pack(
+        t := {_MC_TEXT.format(x='x')},
+        l := coalesce(list_sum(list_transform(
+               regexp_extract_all(x, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+               y -> length({_MC_TEXT.format(x='y')}))), 0)
+      )),
+      e -> length(e.t) >= 20 AND e.l * 100 <= length(e.t) * 50
+    ) AS kept
+  FROM b
+)
+SELECT doc_id,
+  array_to_string(list_transform(kept, e -> e.t), chr(10)) AS main_text,
+  CAST(len(kept) AS INT) AS n_blocks_kept,
+  CAST(len(blocks) AS INT) AS n_blocks_total
+FROM s
+""",
+)
+def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 text curation, main-content extraction (r6): boilerplate
+    removal by the published block/link-density heuristic (jusText,
+    Kohlschütter et al.) — segment at block tags, keep blocks ≥ 20
+    visible chars with anchor-text share ≤ 50 % (integer-percent
+    compare, zero float hazard); nav/footer link farms drop, body
+    prose survives. The fixture wraps each document's REAL text in a
+    nav/tiny/appendix/footer scaffold; the oracle replays the whole
+    block algebra with DuckDB lambdas over the same regexes — the RE2
+    vs java.util.regex dual, this time over higher-order list ops.
+    Plan: pure Column (one regexp split + filter/transform/aggregate
+    HOFs), zero Python, zero shuffle. See functions/text.py."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/">Home</a> <a href="/a">Archive</a>'
+                  ' <a href="/c">Contact</a></nav><div>'),
+            F.col("text"),
+            F.lit('</div><p>tiny</p><div>Appendix block long enough to keep,'
+                  ' citing <a href="/r">one reference</a> within prose that'
+                  ' stays link-sparse overall.</div><footer><a href="/t">Terms'
+                  '</a> <a href="/p">Privacy</a></footer></body></html>'),
+        ).alias("html"),
+    )
+    return text.html_main_content(pages)

@@ -117,3 +117,55 @@ def test_expectations_empty_rule_set_raises_clearly(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError, match="at least one rule"):
         quality.expectations(df, [])
+
+
+# --- main-content extraction (r6) ------------------------------------------
+
+
+def test_main_content_drops_link_farms_keeps_prose(spark):
+    from prom_etl_db_spark.functions.text import html_main_content
+    html = (
+        '<html><body><nav><a href="/">Home</a> <a href="/x">About us</a> '
+        '<a>More links</a></nav>'
+        "<div>This is the long main article body text that clearly survives.</div>"
+        "<p>tiny</p>"
+        '<div>Second paragraph long enough, with <a href="y">one link</a> '
+        "inside it staying under the density cap.</div>"
+        "<footer><a>Terms</a> <a>Privacy</a> <a>Contact</a></footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+    row = html_main_content(df).first()
+    assert row["n_blocks_kept"] == 2
+    assert row["main_text"].startswith("This is the long main article")
+    assert "Home" not in row["main_text"]
+    assert "Terms" not in row["main_text"]
+    assert "tiny" not in row["main_text"]
+
+
+def test_main_content_density_boundary_integer_percent(spark):
+    from prom_etl_db_spark.functions.text import html_main_content
+    # 40 visible chars, exactly 20 of them anchor text = 50%: kept (<=);
+    # 22 anchor chars = 55%: dropped
+    body_half = "<p>" + "<a>" + "x" * 20 + "</a>" + "y" * 20 + "</p>"
+    body_over = "<p>" + "<a>" + "x" * 22 + "</a>" + "y" * 18 + "</p>"
+    df = spark.createDataFrame(
+        [(1, body_half), (2, body_over)], "doc_id int, html string"
+    )
+    rows = {r["doc_id"]: r["n_blocks_kept"] for r in html_main_content(df).collect()}
+    assert rows == {1: 1, 2: 0}
+
+
+def test_main_content_all_boilerplate_yields_empty(spark):
+    from prom_etl_db_spark.functions.text import html_main_content
+    df = spark.createDataFrame(
+        [(1, "<nav><a>A</a> <a>B</a></nav>")], "doc_id int, html string"
+    )
+    row = html_main_content(df).first()
+    assert row["main_text"] == "" and row["n_blocks_kept"] == 0
+
+
+def test_main_content_plan_pure_column(spark):
+    from prom_etl_db_spark.functions.text import html_main_content
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id int, html string")
+    plan = html_main_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
