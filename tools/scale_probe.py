@@ -498,6 +498,58 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
             release_scratch()
         times["harmonic_bfs"] = (round(best, 2), n_rows)
         print(f"  {k}x harmonic_bfs: {best:.2f}s ({n_rows} rows)", file=sys.stderr)
+
+    # r6 second-wave probes: link harvest + resolve (pure-Column
+    # extract, Arrow-batch resolve), sitemap parse (regex HOFs),
+    # frontier schedule (ONE per-host window — replicas multiply host
+    # count via the id offset, so no window partition grows), main
+    # content (HOF filter/transform), and the z-order layout (bit
+    # algebra + range shuffle).
+    from prom_etl_db_spark.functions import sitemap as _sm
+    from prom_etl_db_spark.functions import urlnorm as _un
+    from prom_etl_db_spark.functions import text as _tx
+    from prom_etl_db_spark.layout import zorder_layout as _zl
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 64).cast("string"),
+                 F.lit(".example.com/d/s/p")).alias("base_url"),
+        F.concat(
+            F.lit('<div><a href="../u/x">a</a><a href="/r/y">b</a>'
+                  '<a href="?q=1">c</a><a href="//cdn.example.net/l">d</a></div><p>'),
+            F.col("text"), F.lit("</p>"),
+        ).alias("html"),
+    )
+    run("html_links_resolve", _un.extract_links(pages))
+    sm_fx = docs.select(
+        F.col("doc_id").alias("host"),
+        F.concat(
+            F.lit("<urlset><url><loc>http://h/p0?a=1&amp;b=2</loc>"
+                  "<priority>0.8</priority></url><url><loc>http://h/p"),
+            F.col("doc_id").cast("string"),
+            F.lit("</loc></url></urlset>"),
+        ).alias("xml"),
+    )
+    run("sitemap_parse", _sm.sitemap_entries(sm_fx, key_cols=("host",)))
+    fr = docs.select(
+        (F.col("doc_id") % 64).alias("host"),
+        F.col("doc_id").cast("string").alias("url"),
+        ((F.col("doc_id") % 10) / 10.0).alias("priority"),
+    )
+    run("frontier_schedule", _sm.frontier_schedule(fr))
+    run(
+        "html_main_content",
+        _tx.html_main_content(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit('<nav><a href="/">H</a> <a href="/a">A</a></nav><div>'),
+                    F.col("text"), F.lit("</div><footer><a>T</a></footer>"),
+                ).alias("html"),
+            )
+        ),
+    )
+    run("zorder_layout", _zl(ev, "user_id", "event_id", n_partitions=32, bits=21))
     return times
 
 
