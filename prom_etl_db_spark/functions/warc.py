@@ -207,3 +207,38 @@ def build_warc_record(
     ]
     head.append(b"Content-Length: %d" % len(block))
     return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+def wet_records(
+    pages: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    uri_col: str = "target_uri",
+    text_col: str = "clean_text",
+    date: str = "2024-01-30T00:00:00Z",
+) -> DataFrame:
+    """Serialize extracted page text as WET ``conversion`` records —
+    the derived format Common Crawl publishes next to its WARCs (one
+    text/plain record per page, WARC-Refers-To the source response).
+    Content-Length is the UTF-8 BYTE length (never the char count);
+    the record is built with pure Column concat over binary, zero
+    Python. Output: (id_col, wet binary) — one record per page;
+    concatenating rows yields a valid WET file, and
+    :func:`parse_warc_records` reads it back (the roundtrip the
+    registry query hash-checks, including text that itself contains
+    ``WARC/1.0`` lines)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(uri_col),
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"),
+        F.col(id_col).cast("string"),
+        F.lit("-wet>\r\nWARC-Refers-To: <urn:uuid:"),
+        F.col(id_col).cast("string"),
+        F.lit("-2>\r\nWARC-Date: " + date),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(F.encode(head, "UTF-8"), payload, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+    return pages.select(F.col(id_col), rec.alias("wet"))

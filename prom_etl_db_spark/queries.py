@@ -160,6 +160,9 @@ _GATE_PRIORITY = [
     # doc_main_content: NEW — jusText/Kohlschütter link-density
     # boilerplate removal; DuckDB lambdas replay the block algebra.
     "doc_main_content",
+    # wet_generate_roundtrip: NEW — WET writer + reader roundtrip with
+    # the embedded WARC/1.0 trap; html_extract chain replayed in RE2.
+    "wet_generate_roundtrip",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

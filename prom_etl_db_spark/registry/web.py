@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions import dedup, mime, robots, sitemap, surt, urlnorm, warc
+from prom_etl_db_spark.functions import dedup, mime, robots, sitemap, surt, text, urlnorm, warc
 from prom_etl_db_spark.registry.core import _t, register
 
 
@@ -923,3 +923,59 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 10) / 10).cast("double").alias("priority"),
     ).distinct()
     return sitemap.frontier_schedule(urls)
+
+
+@register(
+    "wet_generate_roundtrip",
+    oracle=f"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><body>doc ' || doc_id || chr(13) || chr(10) || 'WARC/1.0'
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || 'trap</body></html>' AS html,
+         {_WARC_URI_SQL} AS uri
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, uri, {text.html_extract_oracle_exprs()} AS clean_text
+  FROM page
+)
+SELECT doc_id, 'conversion' AS warc_type,
+       '<urn:uuid:' || doc_id || '-wet>' AS record_id,
+       uri AS target_uri,
+       CAST(octet_length(encode(clean_text)) AS BIGINT) AS content_length,
+       md5(clean_text) AS payload_md5
+FROM cleaned
+""",
+)
+def wet_generate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation, WET generation (r6): write Common Crawl's
+    derived text format with the REAL writer (pure-Column binary
+    concat, byte-correct Content-Length) and read it back with the
+    REAL parser — the page text deliberately still contains the
+    "WARC/1.0\\r\\n\\r\\n" trap line, so the roundtrip only matches if
+    the writer frames by bytes and the reader walks Content-Length.
+    Text comes from the full html_extract chain over the crawl
+    fixture's response body; the oracle replays that chain (RE2) and
+    states the record fields closed-form. Plan: pure Column writer →
+    one mapInPandas reader; zero shuffle."""
+    from prom_etl_db_spark.functions import text as _text
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    body_html = F.concat(
+        F.lit("<html><body>doc "), ids,
+        F.lit("\r\nWARC/1.0\r\n\r\ntrap</body></html>"),
+    )
+    uri = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 8).cast("string"),
+        F.lit(".example.com/p/"), (F.col("doc_id") % 7).cast("string"),
+    )
+    cleaned = _text.html_extract_text(
+        docs.select("doc_id", body_html.alias("html"))
+    ).join(docs.select("doc_id", uri.alias("target_uri")), "doc_id")
+    wet = warc.wet_records(cleaned)
+    parsed = warc.parse_warc_records(wet, payload_col="wet", id_col="doc_id")
+    return parsed.select(
+        "doc_id", "warc_type", "record_id", "target_uri",
+        "content_length", "payload_md5",
+    )

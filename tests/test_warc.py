@@ -136,3 +136,28 @@ def test_gz_corrupt_fuzz_single_exception_class():
             W.parse_warc_bytes(bytes(mutated))
         except ValueError:
             continue
+
+
+def test_wet_records_roundtrip_with_trap(spark):
+    from prom_etl_db_spark.functions.warc import parse_warc_records, wet_records
+
+    pages = spark.createDataFrame(
+        [
+            (1, "http://h/a", "plain text line\nWARC/1.0\r\n\r\nstill text"),
+            (2, "http://h/b", "unicode é中 body"),  # byte-length != char-length
+        ],
+        "doc_id int, target_uri string, clean_text string",
+    )
+    wet = wet_records(pages)
+    parsed = parse_warc_records(wet, payload_col="wet", id_col="doc_id")
+    rows = {r["doc_id"]: r for r in parsed.collect()}
+    assert len(rows) == 2  # the embedded WARC/1.0 did not split record 1
+    assert rows[1]["warc_type"] == "conversion"
+    assert rows[1]["target_uri"] == "http://h/a"
+    import hashlib
+    assert rows[2]["content_length"] == len("unicode é中 body".encode())
+    assert rows[2]["payload_md5"] == hashlib.md5("unicode é中 body".encode()).hexdigest()
+    # concatenating rows is a valid WET FILE
+    blobs = [r["wet"] for r in wet.collect()]
+    from prom_etl_db_spark.functions.warc import parse_warc_bytes
+    assert len(parse_warc_bytes(b"".join(blobs))) == 2
