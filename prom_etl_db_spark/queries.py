@@ -183,12 +183,13 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50 — stale entries past the cutoff fall out as
-    # the r6 new-query block grows; the displaced r2-stale set —
-    # currently corpus_mix_by_lang, doc_deterministic_topn,
-    # doc_cap_per_source, doc_weighted_sample, neardup_clusters,
-    # neardup_keep_canonical, text_bpe_token_counts — leads the r7
-    # stale rotation.)
+    # (window cutoff at 50: with the 17-query r6 new block the window
+    # is 26 never-gated + 17 new + 7 r2-stale; the 12 r2-stale entries
+    # past the cutoff — promql_label_replace … doc_deterministic_topn
+    # above — plus doc_cap_per_source, doc_weighted_sample,
+    # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts
+    # lead the r7 stale rotation. Policy as in r5/r6: never-driver-
+    # gated queries outrank once-green stale ones.)
 ]
 
 # The retired round-5 window, kept for the rotation history the r7

@@ -22,6 +22,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from prom_etl_db_spark.ingest import events_as_metric_records
@@ -362,6 +363,53 @@ def enriched_stream(
     joined = raw.join(F.broadcast(dim), "event_type", "left")
     writer = (
         joined.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+WARC_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType()),
+        T.StructField("warc", T.BinaryType()),
+    ]
+)
+
+
+def stream_warc_to_records(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Crawl-ingestion stream (r6): WARC files land as parquet rows of
+    (file_id, warc bytes) — the shape a fetcher fleet drops into object
+    storage — and every micro-batch runs the SAME ISO 28500 record walk
+    the batch path uses (``functions/warc.parse_warc_records`` is a
+    stateless mapInPandas, so it composes with Structured Streaming
+    unchanged: one file parses exactly once per checkpointed trigger).
+    ``maxFilesPerTrigger`` bounds batch size in continuous mode; with
+    ``availableNow`` the job drains what exists and stops — the
+    reference's cron-shaped trigger. Output: append-mode parquet of
+    record metadata, exactly-once per checkpoint."""
+    from prom_etl_db_spark.functions.warc import parse_warc_records
+
+    raw = (
+        spark.readStream.schema(WARC_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    records = parse_warc_records(raw)
+    writer = (
+        records.writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -976,3 +976,52 @@ def test_streaming_vad_matches_batch_across_restart(spark, tmp_path):
         for c in ("start_frame", "end_frame", "n_frames", "seg_energy",
                   "peak_dominant_bin"):
             assert g[c] == e[c], (e["media_id"], e["segment"], c, g[c], e[c])
+
+
+def test_streaming_warc_matches_batch_across_restart(spark, tmp_path):
+    """Crawl ingestion (r6): the streaming WARC walk must equal the
+    batch parse, and a second run over the same checkpoint must ingest
+    ONLY newly-landed files — one record set, no dup rows."""
+    from prom_etl_db_spark.functions.warc import build_warc_record, parse_warc_records
+    from prom_etl_db_spark.streaming.jobs import stream_warc_to_records
+
+    def warc_file(i: int) -> bytes:
+        trap = b"HTTP/1.1 200 OK\r\n\r\nWARC/1.0\r\nfake\r\n\r\nbody%d" % i
+        return build_warc_record(
+            [("WARC-Type", "warcinfo"), ("WARC-Record-ID", f"<urn:uuid:{i}-0>")],
+            b"software: s",
+        ) + build_warc_record(
+            [("WARC-Type", "response"), ("WARC-Record-ID", f"<urn:uuid:{i}-1>"),
+             ("WARC-Target-URI", f"http://h/{i}")],
+            trap,
+        )
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [(i, warc_file(i)) for i in range(3)], "file_id long, warc binary"
+    )
+    batch1.write.mode("append").parquet(str(src))
+    q = stream_warc_to_records(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(str(sink))
+    assert got1.count() == 6  # 2 records x 3 files; traps did not split
+    # restart with one NEW file: only its records append
+    spark.createDataFrame(
+        [(99, warc_file(99))], "file_id long, warc binary"
+    ).write.mode("append").parquet(str(src))
+    q2 = stream_warc_to_records(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(sink))
+    assert got2.count() == 8
+    assert got2.where("file_id = 99").count() == 2
+    # stream ≡ batch on the same inputs
+    all_files = spark.read.parquet(str(src))
+    batch = parse_warc_records(all_files)
+    cols = ["file_id", "rec_idx", "warc_type", "record_id", "target_uri",
+            "content_length", "payload_md5"]
+    assert sorted(map(tuple, got2.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
