@@ -163,6 +163,9 @@ _GATE_PRIORITY = [
     # wet_generate_roundtrip: NEW — WET writer + reader roundtrip with
     # the embedded WARC/1.0 trap; html_extract chain replayed in RE2.
     "wet_generate_roundtrip",
+    # remote_write_decode: NEW — Prometheus remote-write push path:
+    # from-scratch snappy block + proto wire decode, bit-exact doubles.
+    "remote_write_decode",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",

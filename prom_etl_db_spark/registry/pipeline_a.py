@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta  # noqa: F401
 
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
@@ -239,3 +241,80 @@ def timeparse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "expr string, resolved timestamp")
 
 
+
+
+@register(
+    "remote_write_decode",
+    oracle="""
+SELECT event_id AS push_id,
+       event_type AS metric_name,
+       CAST(user_id AS VARCHAR) AS user_label,
+       value,
+       CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000 AS BIGINT) AS timestamp_ms
+FROM events
+""",
+)
+def remote_write_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r6): Prometheus REMOTE-WRITE ingestion — the push
+    half of the ecosystem the reference pulls from
+    (/root/reference/internal/prometheus/client.go consumes the query
+    API; remote_write_spec is what Prometheus itself emits). Each event
+    becomes one snappy-block-compressed protobuf WriteRequest built by
+    the from-scratch encoder (fixture role), then the REAL decoder —
+    from-scratch snappy block format + proto wire walk, zero libraries
+    — recovers (metric, labels, value, ts). Doubles ride fixed64 so the
+    roundtrip is BIT-exact and the oracle compares raw event values;
+    timestamps are exact int64 ms. Plan: two Arrow-batched stages
+    (encode fixture, decode), zero shuffle, per-payload parallel — the
+    shape of a fleet's pushes landing in object storage. See
+    functions/remote_write.py (corrupt-stream fuzz gates in
+    tests/test_remote_write.py)."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    # ts is TIMESTAMP_NTZ: TZ-free epoch reconstruction (the calendar
+    # family's pattern), second resolution as remote-write agents send
+    t = F.col("ts")
+    epoch_s = (
+        F.datediff(t.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(t).cast("long") * 3600
+        + F.minute(t).cast("long") * 60
+        + F.second(t).cast("long")
+    )
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "value",
+        (epoch_s * 1000).cast("long").alias("ts_ms"),
+    )
+
+    def build(name: pd.Series, user: pd.Series, val: pd.Series, ts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                RW.snappy_compress(
+                    RW.encode_write_request(
+                        [
+                            {
+                                "labels": {"__name__": n, "user": str(u)},
+                                "samples": [(float(v), int(t))],
+                            }
+                        ]
+                    )
+                )
+                for n, u, v, t in zip(name, user, val, ts)
+            ]
+        )
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id", "value", "ts_ms").alias("body"),
+    )
+    out = RW.remote_write_samples(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        F.col("labels")["user"].alias("user_label"),
+        "value",
+        "timestamp_ms",
+    )

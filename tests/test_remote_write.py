@@ -1,0 +1,131 @@
+"""Prometheus remote-write (functions/remote_write.py — round 6):
+snappy block-format vectors and fuzz, protobuf wire-format semantics,
+and the Spark ingestion plumbing."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from prom_etl_db_spark.functions import remote_write as RW
+
+
+def test_snappy_roundtrips():
+    random.seed(11)
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 400,                      # repetitive → copy2 path
+        b"x" * 1000,                      # RLE overlap
+        bytes(random.randrange(256) for _ in range(5000)),  # incompressible
+        b"The quick brown fox jumps over the lazy dog. " * 50,
+        bytes(range(256)) * 3,
+    ]
+    for c in cases:
+        assert RW.snappy_decompress(RW.snappy_compress(c)) == c
+    assert len(RW.snappy_compress(b"ab" * 400)) < 80  # really compresses
+
+
+def test_snappy_hand_vectors_copy1_copy4_and_long_literal():
+    # copy1: tag 01, len-4 in bits 2-4, offset high bits 5-7 + 1 byte
+    v = bytes([10, (5 - 1) << 2]) + b"abcab" + bytes([((5 - 4) << 2) | 0x01, 3])
+    ref = bytearray(b"abcab")
+    for _ in range(5):
+        ref.append(ref[-3])  # overlapping copy, byte-at-a-time semantics
+    assert RW.snappy_decompress(v) == bytes(ref)
+    # copy4: tag 11 with 4-byte little-endian offset
+    v4 = bytes([8, (4 - 1) << 2]) + b"wxyz" + bytes([((4 - 1) << 2) | 0x03]) + (
+        4
+    ).to_bytes(4, "little")
+    assert RW.snappy_decompress(v4) == b"wxyzwxyz"
+    # literal with 1-byte extended length (tag 60); 200 needs a 2-byte
+    # uvarint header (0xC8 0x01)
+    body = bytes(range(200))
+    v60 = bytes([0xC8, 0x01, 60 << 2, 199]) + body
+    assert RW.snappy_decompress(v60) == body
+
+
+def test_snappy_corrupt_fuzz_refuses_loudly():
+    data = RW.snappy_compress(b"payload " * 64)
+    for cut in range(len(data)):
+        try:
+            RW.snappy_decompress(data[:cut])
+        except ValueError:
+            continue
+    for pos in range(len(data)):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0xFF
+        try:
+            RW.snappy_decompress(bytes(mutated))
+        except ValueError:
+            continue
+
+
+def test_write_request_roundtrip_and_negative_timestamp():
+    series = [
+        {
+            "labels": {"__name__": "gpu_util", "host": "h1"},
+            "samples": [(0.5, 1706572800000), (-1.25, 1706572860000)],
+        },
+        {"labels": {"__name__": "mem", "unit": "é中"}, "samples": [(3.14159, -5)]},
+    ]
+    assert RW.decode_write_request(RW.encode_write_request(series)) == series
+
+
+def test_proto_unknown_fields_skipped():
+    series = [{"labels": {"__name__": "m"}, "samples": [(1.0, 10)]}]
+    enc = bytearray(RW.encode_write_request(series))
+    # append an unknown top-level field 9 (varint) and field 7 (fixed32)
+    enc += RW._enc_field(9, 0) + RW._enc_uvarint(12345)
+    enc += RW._enc_field(7, 5) + b"\x01\x02\x03\x04"
+    assert RW.decode_write_request(bytes(enc)) == series
+
+
+def test_proto_corrupt_fuzz_refuses_loudly():
+    enc = RW.encode_write_request(
+        [{"labels": {"__name__": "m", "a": "b"}, "samples": [(2.5, 99)]}]
+    )
+    for cut in range(len(enc)):
+        try:
+            RW.decode_write_request(enc[:cut])
+        except ValueError:
+            continue
+    for pos in range(len(enc)):
+        mutated = bytearray(enc)
+        mutated[pos] ^= 0xFF
+        try:
+            RW.decode_write_request(bytes(mutated))
+        except (ValueError, UnicodeDecodeError):
+            continue
+
+
+def test_double_bit_exactness():
+    # fixed64 carries the exact IEEE bits — including tricky values
+    vals = [0.1, -0.0, float("inf"), 2.0**-1074, 1e308]
+    series = [{"labels": {"__name__": "m"}, "samples": [(v, 1) for v in vals]}]
+    got = RW.decode_write_request(RW.encode_write_request(series))[0]["samples"]
+    assert [struct.pack("<d", v) for v, _ in got] == [
+        struct.pack("<d", v) for v in vals
+    ]
+
+
+def test_spark_ingestion_shape(spark):
+    payload = RW.snappy_compress(
+        RW.encode_write_request(
+            [
+                {
+                    "labels": {"__name__": "up", "job": "api"},
+                    "samples": [(1.0, 1000), (0.0, 2000)],
+                }
+            ]
+        )
+    )
+    df = spark.createDataFrame([(7, payload)], "push_id int, body binary")
+    rows = RW.remote_write_samples(df).collect()
+    assert len(rows) == 2
+    assert rows[0]["metric_name"] == "up"
+    assert rows[0]["labels"] == {"job": "api"}  # __name__ lifted out
+    plan = RW.remote_write_samples(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
