@@ -186,9 +186,9 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 17-query r6 new block the window
-    # is 26 never-gated + 17 new + 7 r2-stale; the 12 r2-stale entries
-    # past the cutoff — promql_label_replace … doc_deterministic_topn
+    # (window cutoff at 50: with the 19-query r6 new block the window
+    # is 26 never-gated + 19 new + 5 r2-stale; the 14 r2-stale entries
+    # past the cutoff — promql_mad_over_time … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts
     # lead the r7 stale rotation. Policy as in r5/r6: never-driver-

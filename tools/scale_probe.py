@@ -550,6 +550,38 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         ),
     )
     run("zorder_layout", _zl(ev, "user_id", "event_id", n_partitions=32, bits=21))
+
+    # r6 third wave: remote-write decode (two Arrow stages: fixture
+    # encode + real snappy/proto decode — per-payload parallel) and WET
+    # write+reparse (pure-Column writer -> mapInPandas reader).
+    from prom_etl_db_spark.functions import remote_write as _rw
+    from prom_etl_db_spark.functions import warc as _wa
+    from pyspark.sql.types import BinaryType as _Bin
+
+    def _build_rw(name, user, val, ts):
+        import pandas as _pd
+        return _pd.Series([
+            _rw.snappy_compress(_rw.encode_write_request(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(v), int(t))]}]))
+            for n, u, v, t in zip(name, user, val, ts)
+        ])
+
+    _budf = F.pandas_udf(_build_rw, returnType=_Bin())
+    rw_payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _budf("event_type", "user_id", "value", F.lit(1706572800000)).alias("body"),
+    )
+    run("remote_write_decode", _rw.remote_write_samples(rw_payloads))
+    wet_pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h/"), F.col("doc_id").cast("string")).alias("target_uri"),
+        F.col("text").alias("clean_text"),
+    )
+    run(
+        "wet_write_reparse",
+        _wa.parse_warc_records(_wa.wet_records(wet_pages), payload_col="wet", id_col="doc_id"),
+    )
     return times
 
 
