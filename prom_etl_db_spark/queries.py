@@ -166,6 +166,9 @@ _GATE_PRIORITY = [
     # remote_write_decode: NEW — Prometheus remote-write push path:
     # from-scratch snappy block + proto wire decode, bit-exact doubles.
     "remote_write_decode",
+    # relabel_pipeline: NEW — Prometheus relabel_configs (5 actions);
+    # hashmod's Go algebra reproduced bit-for-bit in both engines.
+    "relabel_pipeline",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -186,9 +189,9 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 19-query r6 new block the window
-    # is 26 never-gated + 19 new + 5 r2-stale; the 14 r2-stale entries
-    # past the cutoff — promql_mad_over_time … doc_deterministic_topn
+    # (window cutoff at 50: with the 20-query r6 new block the window
+    # is 26 never-gated + 20 new + 4 r2-stale; the 15 r2-stale entries
+    # past the cutoff — promql_rate_range … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts
     # lead the r7 stale rotation. Policy as in r5/r6: never-driver-

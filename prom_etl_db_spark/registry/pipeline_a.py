@@ -318,3 +318,76 @@ def remote_write_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "timestamp_ms",
     )
+
+
+@register(
+    "relabel_pipeline",
+    oracle="""
+SELECT event_id,
+  event_type AS name,
+  CAST(user_id AS VARCHAR) AS user,
+  CASE WHEN event_type = 'purchase' THEN CAST(user_id AS VARCHAR) END AS pu,
+  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16))::UBIGINT % 16
+       AS VARCHAR) AS shard,
+  coalesce(json_extract_string(props, '$.k'), '') AS meta_k,
+  CAST(CASE WHEN event_type = 'purchase' THEN 6 ELSE 5 END AS INT) AS n_labels
+FROM events
+WHERE event_type IN ('purchase', 'click')
+""",
+)
+def relabel_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r6): Prometheus relabel_configs — the scrape
+    pipeline's universal label rewrite, applied rule-by-rule exactly
+    as Prometheus does (anchored regexes, $N expansion, empty
+    expansion deletes, hashmod = BigEndian.Uint64(md5[8:16]) % m).
+    Five rules exercise five actions: keep (purchase|click), replace
+    (capture the user off purchase series into 'pu'), hashmod (16-way
+    'shard' — the horizontal-sharding rule; the oracle reproduces the
+    Go hash algebra bit-for-bit in DuckDB integer ops), labelmap
+    (meta_* copies), labeldrop (tmp_* scrape scaffolding). Output is
+    flattened label columns + the final label-set size, so the oracle
+    states every rule's closed form. Plan: pure Column HOFs over the
+    labels map, whole-stage codegen, filters pushed down, zero
+    Python. See operators/relabel.py."""
+    from prom_etl_db_spark.operators.relabel import RelabelConfig as C
+    from prom_etl_db_spark.operators.relabel import apply_relabel
+
+    ev = _events(spark, sf_dir)
+    samples = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user"), F.lit("k"), F.lit("tmp_trace")),
+            F.array(
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.coalesce(F.get_json_object("props", "$.k"), F.lit("")),
+                F.concat(F.lit("x"), F.col("event_id").cast("string")),
+            ),
+        ).alias("labels"),
+    )
+    out = apply_relabel(
+        samples,
+        [
+            C(action="keep", source_labels=("__name__",), regex="purchase|click"),
+            C(
+                action="replace",
+                source_labels=("__name__", "user"),
+                separator="/",
+                regex="(purchase)/(.*)",
+                target_label="pu",
+                replacement="$2",
+            ),
+            C(action="hashmod", source_labels=("user",), target_label="shard", modulus=16),
+            C(action="labelmap", regex="(k)", replacement="meta_$1"),
+            C(action="labeldrop", regex="tmp_.*"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.col("labels")["__name__"].alias("name"),
+        F.col("labels")["user"].alias("user"),
+        F.col("labels")["pu"].alias("pu"),
+        F.col("labels")["shard"].alias("shard"),
+        F.col("labels")["meta_k"].alias("meta_k"),
+        F.size("labels").cast("int").alias("n_labels"),
+    )
