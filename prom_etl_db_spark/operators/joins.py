@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from prom_etl_db_spark.schema import epoch_seconds
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "interval_overlap_join", "scd2_intervals"]
 
 
 def asof_join(
@@ -125,3 +125,87 @@ def interval_join(
         )
         .drop("__chunk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    by: Sequence[str] = (),
+    chunk_seconds: int = 86_400,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP (half-open:
+    ``l.start < r.end AND r.start < l.end``, equal ``by`` keys) — as an
+    EQUI-join, the range-join binning technique: both sides replicate
+    onto fixed-width time chunks, chunk equality is the join key, the
+    exact overlap predicate filters inside chunk pairs. Two long
+    intervals can share MANY chunks, so each true pair is kept only in
+    the chunk containing ``max(l.start, r.start)`` — every overlapping
+    pair has exactly one such chunk, making the dedup a filter instead
+    of a DISTINCT over the fan-out. No BroadcastNestedLoopJoin at any
+    size; chunk width trades replication against selectivity exactly
+    as in :func:`interval_join`."""
+    clash = (set(left.columns) & set(right.columns)) - set(by)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    chunk_of = lambda c: F.floor(epoch_seconds(c) / chunk_seconds).cast("long")  # noqa: E731
+    l = left.withColumn(
+        "__chunk",
+        F.explode(F.sequence(chunk_of(F.col(left_start)), chunk_of(F.col(left_end)))),
+    )
+    r = right.withColumn(
+        "__chunk",
+        F.explode(F.sequence(chunk_of(F.col(right_start)), chunk_of(F.col(right_end)))),
+    )
+    pair_chunk = F.floor(
+        F.greatest(
+            epoch_seconds(F.col(left_start)), epoch_seconds(F.col(right_start))
+        )
+        / chunk_seconds
+    ).cast("long")
+    return (
+        l.join(r, [*by, "__chunk"])
+        .where(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__chunk") == pair_chunk)
+        )
+        .drop("__chunk")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    state_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from a change stream:
+    per key, collapse consecutive rows with UNCHANGED state, then emit
+    one row per state run with ``valid_from`` (its first ts),
+    ``valid_to`` (the next run's first ts; NULL while current) and
+    ``is_current``. Two windows per key (change detection via lag,
+    interval close via lead) — the same one-shuffle-one-sort shape as
+    asof_join; at 100 TB keys partition the work and runs compress the
+    output to the number of actual changes."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first_row = F.lag(ts_col).over(w).isNull()
+    runs = df.withColumn("__chg", first_row | changed).where("__chg").drop("__chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    out = runs.select(
+        *key_cols,
+        *state_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

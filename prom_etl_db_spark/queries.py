@@ -169,6 +169,10 @@ _GATE_PRIORITY = [
     # relabel_pipeline: NEW — Prometheus relabel_configs (5 actions);
     # hashmod's Go algebra reproduced bit-for-bit in both engines.
     "relabel_pipeline",
+    # sessions_incident_overlap / events_scd2_intervals: NEW — binned
+    # interval-overlap join (max-starts chunk dedup) + SCD2 runs.
+    "sessions_incident_overlap",
+    "events_scd2_intervals",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -189,9 +193,9 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 20-query r6 new block the window
-    # is 26 never-gated + 20 new + 4 r2-stale; the 15 r2-stale entries
-    # past the cutoff — promql_rate_range … doc_deterministic_topn
+    # (window cutoff at 50: with the 22-query r6 new block the window
+    # is 26 never-gated + 22 new + 2 r2-stale; the 17 r2-stale entries
+    # past the cutoff — semantic_neardup_pairs … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts
     # lead the r7 stale rotation. Policy as in r5/r6: never-driver-

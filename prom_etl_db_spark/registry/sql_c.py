@@ -144,3 +144,110 @@ def per_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.per_key_stats(_events(spark, sf_dir))
 
 
+
+
+# --- r6: range-join binning + SCD2 ------------------------------------------
+
+from prom_etl_db_spark.operators.joins import interval_overlap_join, scd2_intervals  # noqa: E402
+
+
+@register(
+    "sessions_incident_overlap",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_start,
+         min(CAST(ts AS TIMESTAMP)) + ((user_id % 5) + 1) * INTERVAL 1 HOUR AS s_end
+  FROM events GROUP BY user_id
+), i AS (
+  SELECT event_id AS incident_id,
+         CAST(ts AS TIMESTAMP) - INTERVAL 2 HOUR AS i_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS i_end
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT s.user_id, i.incident_id,
+  CAST(floor(epoch(least(s.s_end, i.i_end)) - epoch(greatest(s.s_start, i.i_start)))
+       AS BIGINT) AS overlap_seconds
+FROM s JOIN i ON s.s_start < i.i_end AND i.i_start < s.s_end
+""",
+)
+def sessions_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-extension (r6): interval-OVERLAP join by the range-join
+    binning technique — per-user activity windows × global incident
+    windows. Catalyst can only run an inequality join as
+    BroadcastNestedLoop (quadratic); here both interval sets replicate
+    onto day chunks, chunk equality is the JOIN KEY, the exact overlap
+    predicate filters within chunks, and each true pair survives only
+    in the chunk holding max(starts) — dedup as a filter, not a
+    DISTINCT over the fan-out. The oracle is the definitional
+    nested-loop overlap join (DuckDB handles it at fixture scale);
+    overlap lengths are exact integer seconds. See
+    operators/joins.interval_overlap_join."""
+    ev = _events(spark, sf_dir)
+    t = F.col("ts")
+    sessions = ev.groupBy("user_id").agg(F.min("ts").alias("s_start")).select(
+        "user_id",
+        "s_start",
+        F.expr(
+            "s_start + make_interval(0, 0, 0, 0, CAST(user_id % 5 + 1 AS INT), 0, 0)"
+        ).alias("s_end"),
+    )
+    incidents = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.expr("ts - make_interval(0, 0, 0, 0, 2, 0, 0)").alias("i_start"),
+        F.expr("ts + make_interval(0, 0, 0, 0, 2, 0, 0)").alias("i_end"),
+    )
+    from prom_etl_db_spark.schema import epoch_seconds
+
+    pairs = interval_overlap_join(
+        sessions, incidents,
+        left_start="s_start", left_end="s_end",
+        right_start="i_start", right_end="i_end",
+    )
+    return pairs.select(
+        "user_id",
+        "incident_id",
+        F.floor(
+            epoch_seconds(F.least("s_end", "i_end"))
+            - epoch_seconds(F.greatest("s_start", "i_start"))
+        ).cast("long").alias("overlap_seconds"),
+    )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+  ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM runs
+""",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-extension (r6): Type-2 slowly-changing-dimension intervals —
+    per user, consecutive same-state rows collapse into runs, each run
+    becomes [valid_from, valid_to) with the open current row flagged
+    (the warehouse pattern every dimension table ships). Two per-key
+    windows (lag change detection, lead interval close), deterministic
+    (ts, event_id) tiebreak; output compresses to the number of actual
+    state CHANGES. Oracle replays both windows verbatim. See
+    operators/joins.scd2_intervals."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    out = scd2_intervals(
+        ev,
+        key_cols=("user_id",),
+        ts_col="ts",
+        state_cols=("event_type",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )

@@ -88,3 +88,101 @@ def test_interval_join_each_pair_exactly_once(spark):
     )
     assert out.count() == 49  # pids 0..48 (49 excluded by half-open end)
     assert out.select("pid").distinct().count() == 49
+
+
+# --- r6: interval-overlap join + SCD2 ---------------------------------------
+
+
+def test_interval_overlap_join_exact_pairs_once(spark):
+    from datetime import datetime as dt
+
+    from prom_etl_db_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", dt(2024, 1, 1, 0), dt(2024, 1, 3, 0)),   # spans 3 chunks
+            ("b", dt(2024, 1, 5, 0), dt(2024, 1, 5, 1)),
+        ],
+        "lid string, start timestamp_ntz, end timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("x", dt(2024, 1, 2, 12), dt(2024, 1, 6, 0)),  # overlaps both
+            ("y", dt(2024, 1, 3, 0), dt(2024, 1, 4, 0)),   # touches a's end: NO (half-open)
+            ("z", dt(2023, 12, 31, 0), dt(2024, 1, 1, 1)), # overlaps a only
+        ],
+        "rid string, r_start timestamp_ntz, r_end timestamp_ntz",
+    )
+    rows = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(left, right).collect()
+    )
+    # each true pair exactly ONCE despite multi-chunk overlap spans
+    assert rows == [("a", "x"), ("a", "z"), ("b", "x")]
+    plan = interval_overlap_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_interval_overlap_join_column_collision_refused(spark):
+    from prom_etl_db_spark.operators.joins import interval_overlap_join
+
+    df = spark.createDataFrame([("a",)], "same string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collision"):
+        interval_overlap_join(
+            df.withColumns({"start": F.current_timestamp(), "end": F.current_timestamp()}),
+            df.withColumns({"r_start": F.current_timestamp(), "r_end": F.current_timestamp()}),
+        )
+
+
+def test_scd2_intervals_runs_and_current_flag(spark):
+    from datetime import datetime as dt
+
+    from prom_etl_db_spark.operators.joins import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", dt(2024, 1, 1), 1),
+            (1, "A", dt(2024, 1, 2), 2),   # unchanged → same run
+            (1, "B", dt(2024, 1, 3), 3),
+            (1, "A", dt(2024, 1, 4), 4),   # back to A → NEW run (not merged)
+            (2, "C", dt(2024, 1, 1), 5),
+        ],
+        "k int, state string, ts timestamp_ntz, eid int",
+    )
+    rows = sorted(
+        map(
+            tuple,
+            scd2_intervals(
+                df, key_cols=("k",), ts_col="ts", state_cols=("state",),
+                tiebreak_cols=("eid",),
+            ).select("k", "state", "valid_from", "valid_to", "is_current").collect(),
+        )
+    )
+    from datetime import datetime as d
+
+    assert rows == [
+        (1, "A", d(2024, 1, 1), d(2024, 1, 3), False),
+        (1, "A", d(2024, 1, 4), None, True),
+        (1, "B", d(2024, 1, 3), d(2024, 1, 4), False),
+        (2, "C", d(2024, 1, 1), None, True),
+    ]
+
+
+def test_scd2_null_state_transitions(spark):
+    from datetime import datetime as dt
+
+    from prom_etl_db_spark.operators.joins import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, None, dt(2024, 1, 1), 1), (1, None, dt(2024, 1, 2), 2),
+         (1, "A", dt(2024, 1, 3), 3)],
+        "k int, state string, ts timestamp_ntz, eid int",
+    )
+    rows = scd2_intervals(
+        df, key_cols=("k",), ts_col="ts", state_cols=("state",),
+        tiebreak_cols=("eid",),
+    ).collect()
+    # NULL==NULL via eqNullSafe: the two NULL rows are ONE run
+    assert len(rows) == 2
