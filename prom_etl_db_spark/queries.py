@@ -173,6 +173,9 @@ _GATE_PRIORITY = [
     # interval-overlap join (max-starts chunk dedup) + SCD2 runs.
     "sessions_incident_overlap",
     "events_scd2_intervals",
+    # metrics_pipeline_v2: NEW — the composed PUSH flagship
+    # (remote-write wire decode → relabel → sharded rollup).
+    "metrics_pipeline_v2",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -193,9 +196,9 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 22-query r6 new block the window
-    # is 26 never-gated + 22 new + 2 r2-stale; the 17 r2-stale entries
-    # past the cutoff — semantic_neardup_pairs … doc_deterministic_topn
+    # (window cutoff at 50: with the 23-query r6 new block the window
+    # is 26 never-gated + 23 new + 1 r2-stale; the 18 r2-stale entries
+    # past the cutoff — embedding_kmeans_assign … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts
     # lead the r7 stale rotation. Policy as in r5/r6: never-driver-

@@ -391,3 +391,87 @@ def relabel_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels")["meta_k"].alias("meta_k"),
         F.size("labels").cast("int").alias("n_labels"),
     )
+
+
+@register(
+    "metrics_pipeline_v2",
+    oracle="""
+SELECT event_type AS name,
+  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16))::UBIGINT % 8
+       AS VARCHAR) AS shard,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 4) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY 1, 2
+""",
+)
+def metrics_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-arc FLAGSHIP v2 (r6): the PUSH ingestion path composed end to
+    end — remote-write payloads (snappy block + protobuf WriteRequest,
+    decoded by the real from-scratch wire walk) → Prometheus
+    relabel_configs (keep purchase|click, hashmod 8-way shard) → the
+    per-(metric, shard) rollup a sharded TSDB router runs. Each stage
+    is individually oracle-gated (remote_write_decode,
+    relabel_pipeline); this query proves the composition, with the
+    oracle restating the whole chain as closed forms over events (the
+    crawl_pipeline_v1 pattern). Values survive the wire BIT-exactly
+    (fixed64), so only the final sum is rounded (engine summation
+    order)."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.relabel import RelabelConfig as C
+    from prom_etl_db_spark.operators.relabel import apply_relabel
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+    def build(name: pd.Series, user: pd.Series, val: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                RW.snappy_compress(
+                    RW.encode_write_request(
+                        [
+                            {
+                                "labels": {"__name__": n, "user": str(u)},
+                                "samples": [(float(v), 1706572800000)],
+                            }
+                        ]
+                    )
+                )
+                for n, u, v in zip(name, user, val)
+            ]
+        )
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id", "value").alias("body"),
+    )
+    samples = RW.remote_write_samples(payloads)
+    labeled = samples.select(
+        "push_id",
+        "value",
+        F.map_concat(
+            F.create_map(F.lit("__name__"), F.col("metric_name")), F.col("labels")
+        ).alias("labels"),
+    )
+    routed = apply_relabel(
+        labeled,
+        [
+            C(action="keep", source_labels=("__name__",), regex="purchase|click"),
+            C(action="hashmod", source_labels=("user",), target_label="shard", modulus=8),
+        ],
+    )
+    return (
+        routed.groupBy(
+            F.col("labels")["__name__"].alias("name"),
+            F.col("labels")["shard"].alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
