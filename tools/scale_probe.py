@@ -582,6 +582,52 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         "wet_write_reparse",
         _wa.parse_warc_records(_wa.wet_records(wet_pages), payload_col="wet", id_col="doc_id"),
     )
+
+    # r6 fourth wave: relabel (pure-Column map HOFs, zero shuffle),
+    # the binned interval-overlap join (day-shifted replicas give
+    # disjoint session/incident windows -> true pairs grow k-linearly),
+    # and SCD2 (two per-key windows; replicas multiply keys).
+    from prom_etl_db_spark.operators.relabel import RelabelConfig as _RC
+    from prom_etl_db_spark.operators.relabel import apply_relabel as _arl
+    from prom_etl_db_spark.operators.joins import (
+        interval_overlap_join as _ioj,
+        scd2_intervals as _scd2,
+    )
+
+    lbl = ev.select(
+        "event_id", "value",
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user"), F.lit("tmp_t")),
+            F.array(F.col("event_type"), F.col("user_id").cast("string"),
+                    F.col("event_id").cast("string")),
+        ).alias("labels"),
+    )
+    run(
+        "relabel_pipeline",
+        _arl(lbl, [
+            _RC(action="keep", source_labels=("__name__",), regex="purchase|click|view"),
+            _RC(action="hashmod", source_labels=("user",), target_label="shard", modulus=64),
+            _RC(action="labelmap", regex="(user)", replacement="meta_$1"),
+            _RC(action="labeldrop", regex="tmp_.*"),
+        ]),
+    )
+    sessions_fx = ev.groupBy("user_id").agg(F.min("ts").alias("start")).select(
+        "user_id", "start",
+        F.expr("start + make_interval(0,0,0,0, CAST(user_id % 5 + 1 AS INT),0,0)").alias("end"),
+    )
+    incidents_fx = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("iid"),
+        F.expr("ts - make_interval(0,0,0,0,2,0,0)").alias("r_start"),
+        F.expr("ts + make_interval(0,0,0,0,2,0,0)").alias("r_end"),
+    )
+    run("interval_overlap_join", _ioj(sessions_fx, incidents_fx,
+                                      left_start="start", left_end="end"))
+    run(
+        "scd2_intervals",
+        _scd2(ev.select("user_id", "event_type", "ts", "event_id"),
+              key_cols=("user_id",), ts_col="ts", state_cols=("event_type",),
+              tiebreak_cols=("event_id",)),
+    )
     return times
 
 
