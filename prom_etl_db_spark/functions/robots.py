@@ -182,3 +182,23 @@ def robots_allowed(
         .withColumn("matched_pattern", F.coalesce("matched_pattern", F.lit("")))
         .withColumn("matched_len", F.coalesce("matched_len", F.lit(0)))
     )
+
+
+def sitemap_directives(
+    robots: DataFrame, *, key_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` lines of each robots.txt (RFC 9309 §2.2.4 treats
+    them as extension lines; they are group-INDEPENDENT, so every line
+    applies regardless of user-agent). Output: (key_col, sitemap_url)
+    — the discovery hand-off to functions/sitemap.py. Pure Column:
+    split + regexp_extract, zero Python."""
+    lines = robots.select(
+        key_col,
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    url = F.regexp_extract(
+        "line", r"(?i)^\s*sitemap\s*:\s*([^#\s]+)\s*(?:#.*)?$", 1
+    )
+    return lines.select(key_col, url.alias("sitemap_url")).where(
+        F.col("sitemap_url") != ""
+    )

@@ -242,3 +242,33 @@ def wet_records(
     )
     rec = F.concat(F.encode(head, "UTF-8"), payload, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
     return pages.select(F.col(id_col), rec.alias("wet"))
+
+
+def wat_records(
+    pages: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    uri_col: str = "target_uri",
+    json_col: str = "wat_json",
+    date: str = "2024-01-30T00:00:00Z",
+) -> DataFrame:
+    """Serialize per-page metadata JSON as WAT ``metadata`` records —
+    the third member of Common Crawl's WARC/WET/WAT triple (WAT carries
+    the envelope metadata, most importantly the outlink list the web
+    graph is built from). Same pure-Column byte framing as
+    :func:`wet_records`; Content-Type application/json."""
+    payload = F.encode(F.col(json_col), "UTF-8")
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col(uri_col),
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"),
+        F.col(id_col).cast("string"),
+        F.lit("-wat>\r\nWARC-Refers-To: <urn:uuid:"),
+        F.col(id_col).cast("string"),
+        F.lit("-2>\r\nWARC-Date: " + date),
+        F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(F.encode(head, "UTF-8"), payload, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+    return pages.select(F.col(id_col), rec.alias("wat"))

@@ -176,6 +176,11 @@ _GATE_PRIORITY = [
     # metrics_pipeline_v2: NEW — the composed PUSH flagship
     # (remote-write wire decode → relabel → sharded rollup).
     "metrics_pipeline_v2",
+    # wat_link_metadata / robots_sitemap_directives: NEW — the WAT
+    # member of the CC triple (resolved-outlink JSON records) and the
+    # robots→sitemap discovery hand-off.
+    "wat_link_metadata",
+    "robots_sitemap_directives",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -196,9 +201,9 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 23-query r6 new block the window
-    # is 26 never-gated + 23 new + 1 r2-stale; the 18 r2-stale entries
-    # past the cutoff — embedding_kmeans_assign … doc_deterministic_topn
+    # (window cutoff at 50: with the 25-query r6 new block the window
+    # is 26 never-gated + 24 new; the 25th new entry (robots_sitemap_directives, the smallest regex op) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
+    # past the cutoff — multimodal_wav_samples … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts
     # lead the r7 stale rotation. Policy as in r5/r6: never-driver-

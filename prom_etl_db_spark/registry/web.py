@@ -979,3 +979,128 @@ def wet_generate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "warc_type", "record_id", "target_uri",
         "content_length", "payload_md5",
     )
+
+
+@register(
+    "wat_link_metadata",
+    oracle=f"""
+WITH {_LINKS_SQL},
+resolved AS (
+  SELECT d.doc_id,
+    'http://h' || CAST(d.doc_id % 8 AS VARCHAR) || '.example.com/dir/sub/page'
+      || CAST(d.doc_id % 7 AS VARCHAR) || '?z=1' AS base,
+    list_sort(list(replace(replace(l.res_tpl, '{{k}}', CAST(d.doc_id % 8 AS VARCHAR)),
+                           '{{m}}', CAST(d.doc_id % 7 AS VARCHAR)))) AS urls
+  FROM documents d CROSS JOIN links l
+  GROUP BY 1, 2
+), js AS (
+  SELECT doc_id, base,
+    '{{"WARC-Target-URI":"' || base || '","Links":[' ||
+    array_to_string(list_transform(urls, x -> '{{"url":"' || x || '"}}'), ',') ||
+    ']}}' AS wat_json
+  FROM resolved
+)
+SELECT doc_id, 'metadata' AS warc_type, base AS target_uri,
+       CAST(octet_length(encode(wat_json)) AS BIGINT) AS content_length,
+       md5(wat_json) AS payload_md5
+FROM js
+""",
+)
+def wat_link_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation, WAT generation (r6): the metadata member of
+    Common Crawl's WARC/WET/WAT triple — per page one application/json
+    ``metadata`` record whose Links array is the harvested+RESOLVED
+    outlink list (the exact input Common Crawl's web graph is built
+    from). Links ride through extract_links (RFC 3986 resolution),
+    sort for determinism, serialize with to_json, frame with the real
+    byte-exact writer and re-parse with the real reader. The oracle
+    rebuilds the identical JSON string (to_json emits struct fields in
+    declaration order, no whitespace) and states length + md5
+    closed-form. Plan: pure-Column harvest + one Arrow resolve + one
+    hash agg (collect per page) + writer/reader; link arrays are
+    page-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 8).cast("string")
+    m = (F.col("doc_id") % 7).cast("string")
+    base = F.concat(
+        F.lit("http://h"), k, F.lit(".example.com/dir/sub/page"), m, F.lit("?z=1")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://ext'), m, F.lit('.example.org/abs">x</a>'),
+        F.lit('<a class=l href="//cdn'), k, F.lit('.example.net/lib">x</a>'),
+        F.lit('<a href="/r/'), m, F.lit('">x</a>'),
+        F.lit('<a href="../up/'), m, F.lit('">x</a>'),
+        F.lit('<a href="?q='), m, F.lit('">x</a>'),
+        F.lit('<a href="#sec'), m, F.lit('">x</a>'),
+        F.lit("<a href='img/"), m, F.lit("'>x</a></body></html>"),
+    )
+    pages = docs.select("doc_id", base.alias("base_url"), html.alias("html"))
+    links = urlnorm.extract_links(pages)
+    per_page = links.groupBy("doc_id", "base_url").agg(
+        F.sort_array(F.collect_list("resolved")).alias("urls")
+    )
+    js = per_page.select(
+        "doc_id",
+        F.col("base_url").alias("target_uri"),
+        F.to_json(
+            F.struct(
+                F.col("base_url").alias("WARC-Target-URI"),
+                F.transform(
+                    F.col("urls"), lambda u: F.struct(u.alias("url"))
+                ).alias("Links"),
+            )
+        ).alias("wat_json"),
+    )
+    parsed = warc.parse_warc_records(
+        warc.wat_records(js), payload_col="wat", id_col="doc_id"
+    )
+    return parsed.select(
+        "doc_id", "warc_type", "target_uri", "content_length", "payload_md5"
+    )
+
+
+@register(
+    "robots_sitemap_directives",
+    oracle="""
+WITH hosts AS (
+  SELECT DISTINCT CAST(doc_id % 8 AS BIGINT) AS k FROM documents
+), rb AS (
+  SELECT 'h' || k || '.example.com' AS host,
+    'User-agent: *' || chr(10) || 'Disallow: /tmp/' || chr(10) ||
+    'SITEMAP: https://h' || k || '.example.com/sitemap.xml  # primary' || chr(10) ||
+    ' sitemap : https://h' || k || '.example.com/news-' || k || '.xml' || chr(10) ||
+    'sitemapx: not-a-directive' AS txt
+  FROM hosts
+), lines AS (
+  SELECT host, unnest(string_split(txt, chr(10))) AS line FROM rb
+)
+SELECT host,
+  regexp_extract(line, '(?i)^\\s*sitemap\\s*:\\s*([^#\\s]+)\\s*(?:#.*)?$', 1) AS sitemap_url
+FROM lines
+WHERE regexp_extract(line, '(?i)^\\s*sitemap\\s*:\\s*([^#\\s]+)\\s*(?:#.*)?$', 1) <> ''
+""",
+)
+def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation (r6): ``Sitemap:`` extension lines of robots.txt
+    (RFC 9309 §2.2.4 — group-independent, case-insensitive, comments
+    stripped) — the hand-off that connects the robots gate to sitemap
+    discovery. Two directives per host (one uppercase with a trailing
+    comment, one space-padded lowercase) plus a non-directive decoy;
+    the oracle replays the same regex under RE2. Pure Column, zero
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    hk = F.col("k").cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp/\nSITEMAP: https://h"), hk,
+        F.lit(".example.com/sitemap.xml  # primary\n sitemap : https://h"), hk,
+        F.lit(".example.com/news-"), hk,
+        F.lit(".xml\nsitemapx: not-a-directive"),
+    )
+    rb = (
+        docs.select((F.col("doc_id") % 8).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), hk, F.lit(".example.com")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return robots.sitemap_directives(rb)

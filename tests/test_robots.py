@@ -149,3 +149,16 @@ def test_crlf_line_endings(spark):
     # '\r' must be stripped from values, not glued onto patterns
     assert out["/a/x"] == (False, "/a")
     assert out["/a/pub2"] == (True, "/a/pub")
+
+
+def test_sitemap_directives_group_independent(spark):
+    txt = (
+        "User-agent: a\nDisallow: /x\n"
+        "Sitemap: https://h/s1.xml\n"
+        "User-agent: b\n"
+        "SITEMAP: https://h/s2.xml # comment\n"
+        "sitemapx: nope\nSitemap:\n"
+    )
+    rb = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    got = sorted(r["sitemap_url"] for r in R.sitemap_directives(rb).collect())
+    assert got == ["https://h/s1.xml", "https://h/s2.xml"]

@@ -161,3 +161,21 @@ def test_wet_records_roundtrip_with_trap(spark):
     blobs = [r["wet"] for r in wet.collect()]
     from prom_etl_db_spark.functions.warc import parse_warc_bytes
     assert len(parse_warc_bytes(b"".join(blobs))) == 2
+
+
+def test_wat_records_roundtrip(spark):
+    from prom_etl_db_spark.functions.warc import parse_warc_records, wat_records
+
+    pages = spark.createDataFrame(
+        [(1, "http://h/a", '{"WARC-Target-URI":"http://h/a","Links":[{"url":"http://x/"}]}')],
+        "doc_id int, target_uri string, wat_json string",
+    )
+    rows = parse_warc_records(
+        wat_records(pages), payload_col="wat", id_col="doc_id"
+    ).collect()
+    assert rows[0]["warc_type"] == "metadata"
+    import hashlib
+    want = hashlib.md5(
+        '{"WARC-Target-URI":"http://h/a","Links":[{"url":"http://x/"}]}'.encode()
+    ).hexdigest()
+    assert rows[0]["payload_md5"] == want
