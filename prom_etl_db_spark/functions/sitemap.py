@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_URL_BLOCK_RE = r"(?is)<url\s*>(.*?)</url\s*>"
-_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+_URL_BLOCK_RE = r"(?is)<url(?:\s[^>]*)?>(.*?)</url\s*>"
+_LOC_RE = r"(?is)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc\s*>"
 _LASTMOD_RE = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
 _CHANGEFREQ_RE = r"(?is)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>"
 _PRIORITY_RE = r"(?is)<priority\s*>\s*(.*?)\s*</priority\s*>"

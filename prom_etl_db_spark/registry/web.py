@@ -846,12 +846,12 @@ WITH hosts AS (
 ), sm AS (
   SELECT 'h' || k || '.example.com' AS host, {_SITEMAP_XML_SQL} AS xml FROM hosts
 ), blocks AS (
-  SELECT host, unnest(regexp_extract_all(xml, '(?is)<url\\s*>(.*?)</url\\s*>', 1)) AS blk
+  SELECT host, unnest(regexp_extract_all(xml, '{sitemap._URL_BLOCK_RE}', 1)) AS blk
   FROM sm
 )
 SELECT host,
   replace(replace(replace(replace(replace(
-    regexp_extract(blk, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1),
+    regexp_extract(blk, '{sitemap._LOC_RE}', 1),
     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS loc,
   nullif(regexp_extract(blk, '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1), '') AS lastmod,
   nullif(lower(regexp_extract(blk, '(?is)<changefreq\\s*>\\s*(.*?)\\s*</changefreq\\s*>', 1)), '') AS changefreq,

@@ -92,3 +92,12 @@ def test_pure_column_plans(spark):
     df = spark.createDataFrame([("h", "<urlset></urlset>")], "host string, xml string")
     plan = S.sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_url_and_loc_tags_with_attributes(spark):
+    xml = ('<urlset><url id="a"><loc xmlns:x="y">http://h/p</loc></url>'
+           "<url><loc>http://h/q</loc></url></urlset>")
+    got = _entries(spark, xml)
+    assert [e["loc"] for e in got] == ["http://h/p", "http://h/q"]
+    # '<urlset>' itself must NOT match the attribute-tolerant <url…> form
+    assert len(got) == 2
