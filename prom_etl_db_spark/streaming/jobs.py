@@ -419,3 +419,74 @@ def stream_warc_to_records(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+REMOTE_WRITE_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("push_id", T.LongType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+def stream_remote_write_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    shard_modulus: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Push-arc streaming twin (r6): remote-write payloads landing as
+    parquet rows drain through the SAME from-scratch wire decode
+    (snappy block + protobuf walk, stateless mapInPandas) and relabel
+    hashmod routing as the batch flagship ``metrics_pipeline_v2``,
+    then a watermarked per-(metric, shard, window) rollup emits each
+    window once final — the sharded-TSDB-router shape, online.
+    Checkpointed; a restart re-ingests only newly-landed payload
+    files."""
+    from prom_etl_db_spark.functions.remote_write import remote_write_samples
+    from prom_etl_db_spark.operators.relabel import hashmod_column
+
+    raw = (
+        spark.readStream.schema(REMOTE_WRITE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    samples = remote_write_samples(raw)
+    agg = (
+        samples.select(
+            "metric_name",
+            hashmod_column(F.col("labels")["user"], shard_modulus).alias("shard"),
+            "value",
+            F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), window).alias("w"),
+            F.col("metric_name"),
+            F.col("shard"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "metric_name",
+            "shard",
+            "n",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()

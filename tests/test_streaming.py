@@ -1025,3 +1025,69 @@ def test_streaming_warc_matches_batch_across_restart(spark, tmp_path):
     assert sorted(map(tuple, got2.select(*cols).collect())) == sorted(
         map(tuple, batch.select(*cols).collect())
     )
+
+
+def test_streaming_remote_write_rollup_matches_batch_across_restart(spark, tmp_path):
+    """Push-arc twin (r6): the streaming decode→route→rollup must equal
+    the batch chain over every CLOSED window, and restart ingests only
+    new files. Append mode emits a window only once the watermark
+    passes it, so each run plants a pusher sample in a later window."""
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.relabel import hashmod_column
+    from prom_etl_db_spark.streaming.jobs import stream_remote_write_rollup
+    from pyspark.sql import functions as F
+
+    base_ms = 1706572800000  # 2024-01-30T00:00Z
+    H = 3_600_000
+
+    def payload(name: str, user: int, value: float, off_ms: int) -> bytes:
+        return RW.snappy_compress(
+            RW.encode_write_request(
+                [{"labels": {"__name__": name, "user": str(user)},
+                  "samples": [(value, base_ms + off_ms)]}]
+            )
+        )
+
+    # run 1: 20 samples in window W0 + a pusher 4h later (opens W4,
+    # advances the watermark past W0's end)
+    rows1 = [(i, payload("purchase" if i % 2 else "click", i % 5, float(i), i * 1000))
+             for i in range(20)]
+    rows1.append((50, payload("pusher", 0, 1.0, 4 * H)))
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append"
+    ).parquet(str(src))
+    q = stream_remote_write_rollup(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(str(sink))
+    assert got1.count() > 0
+    assert got1.agg(F.min("window_start")).first()[0].hour == 0  # W0 emitted
+    # run 2: 4 samples join the pusher's W4 window + a new pusher at 8h
+    rows2 = [(100 + i, payload("view", i, 1.0, 4 * H + i * 1000)) for i in range(4)]
+    rows2.append((200, payload("pusher2", 0, 1.0, 8 * H)))
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append"
+    ).parquet(str(src))
+    q2 = stream_remote_write_rollup(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(sink))
+    # stream ≡ batch over the CLOSED windows (everything except the
+    # final 8h pusher, whose window never closed)
+    closed = [r for r in rows1 + rows2 if r[0] != 200]
+    samples = RW.remote_write_samples(
+        spark.createDataFrame(closed, "push_id long, body binary")
+    )
+    batch = (
+        samples.select(
+            "metric_name",
+            hashmod_column(F.col("labels")["user"], 8).alias("shard"),
+            "value",
+        )
+        .groupBy("metric_name", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    got_g = got2.groupBy("metric_name", "shard").agg(
+        F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
+    )
+    assert sorted(map(tuple, got_g.collect())) == sorted(map(tuple, batch.collect()))
