@@ -499,6 +499,24 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         times["harmonic_bfs"] = (round(best, 2), n_rows)
         print(f"  {k}x harmonic_bfs: {best:.2f}s ({n_rows} rows)", file=sys.stderr)
 
+    # PageRank (r6): ten join+agg rounds; replicas get DISJOINT 50-node
+    # components via the copy-index offset, so the rank vector and the
+    # per-round joins must scale k-linearly. Iterative (actions during
+    # construction), timed as one thunk like the suffix array.
+    if not only or any(s in "pagerank_iter" for s in only):
+        from prom_etl_db_spark.functions.scratch import release_scratch as _rs2
+
+        best, n_rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_rows = _gr.pagerank_integer(hedges, n_iter=10).count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+            spark.catalog.clearCache()
+            _rs2()
+        times["pagerank_iter"] = (round(best, 2), n_rows)
+        print(f"  {k}x pagerank_iter: {best:.2f}s ({n_rows} rows)", file=sys.stderr)
+
     # r6 second-wave probes: link harvest + resolve (pure-Column
     # extract, Arrow-batch resolve), sitemap parse (regex HOFs),
     # frontier schedule (ONE per-host window — replicas multiply host
