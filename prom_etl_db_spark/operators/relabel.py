@@ -131,3 +131,33 @@ def apply_relabel(
             continue
         raise ValueError(f"relabel: unknown action {a!r}")
     return df
+
+
+def rendezvous_assign(
+    key: Column, nodes: list[str], *, prefix: str = "hrw"
+) -> Column:
+    """Rendezvous (highest-random-weight) node assignment: node =
+    argmax over candidates of md5(prefix-node-key) — the public
+    Thaler-Ravishankar scheme behind consistent scrape-target and
+    cache sharding. Unlike ``hashmod``, removing one node reassigns
+    ONLY that node's keys (the minimal-disruption property the unit
+    test pins). Pure Column: one greatest() over per-node
+    (weight, node) structs; the weight is the md5's first 16 hex chars
+    read as an unsigned 64-bit integer, so any SQL engine replays the
+    argmax exactly."""
+    if not nodes:
+        raise ValueError("rendezvous_assign: empty node list")
+    structs = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{prefix}-{n}-"), key)), 1, 16
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)").alias("w"),
+            F.lit(n).alias("n"),
+        )
+        for n in nodes
+    ]
+    return F.greatest(*structs).getField("n") if len(structs) > 1 else structs[0].getField("n")

@@ -181,6 +181,9 @@ _GATE_PRIORITY = [
     # robots→sitemap discovery hand-off.
     "wat_link_metadata",
     "robots_sitemap_directives",
+    # scrape_target_rendezvous: NEW — HRW consistent sharding; DuckDB
+    # list_max replays the weight argmax exactly.
+    "scrape_target_rendezvous",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -201,8 +204,8 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 25-query r6 new block the window
-    # is 26 never-gated + 24 new; the 25th new entry (robots_sitemap_directives, the smallest regex op) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
+    # (window cutoff at 50: with the 26-query r6 new block the window
+    # is 26 never-gated + 24 new; the last two new entries (robots_sitemap_directives, scrape_target_rendezvous — the two smallest ops) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
     # past the cutoff — multimodal_wav_samples … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts

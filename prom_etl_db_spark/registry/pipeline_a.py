@@ -475,3 +475,36 @@ def metrics_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+_HRW_NODES = ["ing-a", "ing-b", "ing-c", "ing-d", "ing-e"]
+_HRW_STRUCTS_SQL = ", ".join(
+    f"struct_pack(w := ('0x' || substr(md5('hrw-{n}-' || CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT,"
+    f" n := '{n}')"
+    for n in _HRW_NODES
+)
+
+
+@register(
+    "scrape_target_rendezvous",
+    oracle=f"""
+SELECT user_id, list_max([{_HRW_STRUCTS_SQL}]).n AS node
+FROM (SELECT DISTINCT user_id FROM events)
+""",
+)
+def scrape_target_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r6): rendezvous (highest-random-weight) sharding —
+    the consistent alternative to hashmod for assigning scrape targets
+    / series to ingesters: node = argmax md5(node, key), so removing a
+    node reassigns ONLY its own keys (minimal disruption; the unit
+    test pins that property, and the 5-node assignment here is
+    replayed by DuckDB's greatest() over the same (weight, node)
+    structs — one argmax, two engines). Pure Column: greatest() over
+    per-node structs, zero shuffle beyond the distinct."""
+    from prom_etl_db_spark.operators.relabel import rendezvous_assign
+
+    users = _events(spark, sf_dir).select("user_id").distinct()
+    return users.select(
+        "user_id",
+        rendezvous_assign(F.col("user_id").cast("string"), _HRW_NODES).alias("node"),
+    )

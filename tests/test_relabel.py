@@ -111,3 +111,39 @@ def test_plan_pure_column(spark):
         C(action="labeldrop", regex="x.*"),
     ])
     assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rendezvous_matches_hashlib_and_minimal_disruption(spark):
+    from prom_etl_db_spark.operators.relabel import rendezvous_assign
+
+    df = spark.createDataFrame([(str(i),) for i in range(300)], "k string")
+    nodes = ["n0", "n1", "n2", "n3"]
+    got = {
+        r["k"]: r["a"]
+        for r in df.select("k", rendezvous_assign(F.col("k"), nodes).alias("a")).collect()
+    }
+
+    def ref(k, ns):
+        return max(
+            ns,
+            key=lambda n: int.from_bytes(
+                hashlib.md5(f"hrw-{n}-{k}".encode()).digest()[:8], "big"
+            ),
+        )
+
+    assert all(got[k] == ref(k, nodes) for k in got)
+    # balance: no node starves (weights are uniform hashes)
+    counts = {n: sum(1 for v in got.values() if v == n) for n in nodes}
+    assert min(counts.values()) > 300 // len(nodes) // 2
+    # minimal disruption: removing n3 moves ONLY n3's keys
+    got2 = {
+        r["k"]: r["a"]
+        for r in df.select(
+            "k", rendezvous_assign(F.col("k"), nodes[:-1]).alias("a")
+        ).collect()
+    }
+    assert all(got[k] == got2[k] for k in got if got[k] != "n3")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty node list"):
+        rendezvous_assign(F.col("k"), [])
