@@ -66,24 +66,20 @@ def like_pattern(pattern: Column) -> Column:
     ).otherwise(F.concat(star, F.lit("%")))
 
 
-def parse_robots(
-    robots: DataFrame, *, key_col: str = "host", text_col: str = "robots_txt"
-) -> DataFrame:
-    """Parse one robots.txt per key row into access rules.
-
-    Output: ``(key_col, agent, is_allow boolean, pattern, pattern_len)``
-    — one row per (agent in group) × (rule in group). Rules in a group
-    with no ``User-agent`` header (malformed leading rules) are dropped,
-    as are empty-pattern rules (RFC: match nothing).
-    """
+def _grouped_directives(
+    robots: DataFrame, key_col: str, text_col: str, directive_re: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared group machinery: split lines, extract directives matching
+    ``directive_re``, assign group ids by User-agent runs. Returns
+    (agents(key, grp, agent), rules(key, grp, field, value))."""
     lines = robots.select(
         key_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).select(
         key_col,
         "pos",
-        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("field"),
-        F.regexp_extract("line", _DIRECTIVE_RE, 2).alias("value"),
+        F.lower(F.regexp_extract("line", directive_re, 1)).alias("field"),
+        F.regexp_extract("line", directive_re, 2).alias("value"),
     ).where(F.col("field") != "")
     # two selects: lag and the running sum are both window functions and
     # Spark forbids nesting one inside the other's argument
@@ -106,9 +102,24 @@ def parse_robots(
         .select(key_col, "grp", F.lower("value").alias("agent"))
         .distinct()
     )
-    rules = grouped.where(
-        (F.col("field") != "user-agent") & (F.col("value") != "")
-    ).select(
+    rules = grouped.where(F.col("field") != "user-agent").select(
+        key_col, "grp", "field", "value"
+    )
+    return agents, rules
+
+
+def parse_robots(
+    robots: DataFrame, *, key_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse one robots.txt per key row into access rules.
+
+    Output: ``(key_col, agent, is_allow boolean, pattern, pattern_len)``
+    — one row per (agent in group) × (rule in group). Rules in a group
+    with no ``User-agent`` header (malformed leading rules) are dropped,
+    as are empty-pattern rules (RFC: match nothing).
+    """
+    agents, rules = _grouped_directives(robots, key_col, text_col, _DIRECTIVE_RE)
+    rules = rules.where(F.col("value") != "").select(
         key_col,
         "grp",
         (F.col("field") == "allow").alias("is_allow"),
@@ -201,4 +212,41 @@ def sitemap_directives(
     )
     return lines.select(key_col, url.alias("sitemap_url")).where(
         F.col("sitemap_url") != ""
+    )
+
+
+#: Crawl-delay is a de-facto extension (not in RFC 9309 but honored by
+#: most crawlers); it belongs to its group like access rules do.
+_DELAY_RE = r"(?i)^\s*(user-agent|crawl-delay)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+
+
+def agent_crawl_delay(
+    robots: DataFrame,
+    *,
+    agent: str,
+    key_col: str = "host",
+    text_col: str = "robots_txt",
+    default_delay_s: float = 0.0,
+) -> DataFrame:
+    """Per-host Crawl-delay for ``agent`` with RFC group selection
+    (specific group beats ``*``, never both); multiple delay lines in
+    scope resolve to the MINIMUM (the crawler-friendly reading),
+    unparseable values fall back to ``default_delay_s``. Output:
+    (key_col, delay_s double) — every robots host gets a row."""
+    agent = agent.lower()
+    agents, rules = _grouped_directives(robots, key_col, text_col, _DELAY_RE)
+    delays = agents.join(rules, [key_col, "grp"]).select(
+        key_col, "agent", F.col("value").try_cast("double").alias("delay_s")
+    ).where(F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0))
+    mine = delays.where(F.col("agent") == agent)
+    keys_with_mine = mine.select(key_col).distinct()
+    fallback = delays.where(F.col("agent") == "*").join(
+        keys_with_mine, key_col, "left_anti"
+    )
+    chosen = mine.unionByName(fallback).groupBy(key_col).agg(
+        F.min("delay_s").alias("delay_s")
+    )
+    hosts = robots.select(key_col).distinct()
+    return hosts.join(chosen, key_col, "left").select(
+        key_col, F.coalesce("delay_s", F.lit(float(default_delay_s))).alias("delay_s")
     )

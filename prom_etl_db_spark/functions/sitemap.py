@@ -103,3 +103,22 @@ def frontier_schedule(
         F.col(priority_col).desc(), F.col(url_col).asc()
     )
     return urls.withColumn("slot", F.row_number().over(w))
+
+
+def paced_schedule(
+    schedule: DataFrame,
+    delays: DataFrame,
+    *,
+    host_col: str = "host",
+    delay_col: str = "delay_s",
+) -> DataFrame:
+    """Attach fetch times to a frontier schedule: ``fetch_at_s`` =
+    (slot − 1) × the host's Crawl-delay — the politeness pacing a
+    fetcher fleet executes (slot waves spaced per host by its own
+    delay). One broadcast-class equi-join on host."""
+    return schedule.join(F.broadcast(delays), host_col, "left").select(
+        *schedule.columns,
+        ((F.col("slot") - 1) * F.coalesce(F.col(delay_col), F.lit(0.0))).alias(
+            "fetch_at_s"
+        ),
+    )

@@ -184,6 +184,9 @@ _GATE_PRIORITY = [
     # scrape_target_rendezvous: NEW — HRW consistent sharding; DuckDB
     # list_max replays the weight argmax exactly.
     "scrape_target_rendezvous",
+    # crawl_paced_schedule: NEW — Crawl-delay-paced frontier (delay
+    # group selection + slot×delay fetch times).
+    "crawl_paced_schedule",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -204,8 +207,8 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 26-query r6 new block the window
-    # is 26 never-gated + 24 new; the last two new entries (robots_sitemap_directives, scrape_target_rendezvous — the two smallest ops) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
+    # (window cutoff at 50: with the 27-query r6 new block the window
+    # is 26 never-gated + 24 new; the last three new entries (robots_sitemap_directives, scrape_target_rendezvous, crawl_paced_schedule — the smallest composition ops) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
     # past the cutoff — multimodal_wav_samples … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts

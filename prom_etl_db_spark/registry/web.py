@@ -1104,3 +1104,61 @@ def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return robots.sitemap_directives(rb)
+
+
+@register(
+    "crawl_paced_schedule",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 8 AS BIGINT) || '.example.com' AS host,
+         CAST(doc_id % 8 AS BIGINT) AS k,
+         '/p/' || CAST(doc_id % 97 AS BIGINT) AS url,
+         CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+  FROM documents
+), sched AS (
+  SELECT host, k, url, priority,
+    CAST(row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS INT) AS slot
+  FROM u
+)
+SELECT host, url, priority, slot,
+  (slot - 1) * (CASE WHEN k % 2 = 0 THEN CAST(k % 4 + 1 AS DOUBLE) ELSE 2.5 END) AS fetch_at_s
+FROM sched
+""",
+)
+def crawl_paced_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation (r6): Crawl-delay-paced frontier — robots.txt
+    Crawl-delay (a de-facto extension honored group-wise: the specific
+    agent group's delay beats '*', minimum wins among duplicates)
+    turns the politeness slot schedule into actual fetch TIMES:
+    fetch_at_s = (slot−1) × host delay. Even hosts publish a testbot
+    delay (k%4+1 s) that must SHADOW their '*' delay of 9 s; odd hosts
+    only '*' 2.5 s. Exact binary arithmetic (2.5 and integers), no
+    rounding needed. Composes robots.agent_crawl_delay +
+    sitemap.frontier_schedule + sitemap.paced_schedule; oracle replays
+    the window and the delay algebra closed-form."""
+    docs = _t(spark, sf_dir, "documents")
+    hk = F.col("k").cast("string")
+    rb = (
+        docs.select((F.col("doc_id") % 8).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), hk, F.lit(".example.com")).alias("host"),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(
+                    F.lit("User-agent: testbot\nCrawl-delay: "),
+                    (F.col("k") % 4 + 1).cast("string"),
+                    F.lit("\nUser-agent: *\nCrawl-delay: 9\n"),
+                ),
+            ).otherwise(F.lit("User-agent: *\nCrawl-delay: 2.5\n")).alias("robots_txt"),
+        )
+    )
+    delays = robots.agent_crawl_delay(rb, agent="TestBot")
+    urls = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 8).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 97).cast("string")).alias("url"),
+        ((F.col("doc_id") % 10) / 10).cast("double").alias("priority"),
+    ).distinct()
+    sched = sitemap.frontier_schedule(urls)
+    return sitemap.paced_schedule(sched, delays)

@@ -162,3 +162,20 @@ def test_sitemap_directives_group_independent(spark):
     rb = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
     got = sorted(r["sitemap_url"] for r in R.sitemap_directives(rb).collect())
     assert got == ["https://h/s1.xml", "https://h/s2.xml"]
+
+
+def test_agent_crawl_delay_group_selection(spark):
+    rb = spark.createDataFrame(
+        [
+            ("h1", "User-agent: bot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 9\n"),
+            ("h2", "User-agent: *\nCrawl-delay: 2.5\n"),
+            ("h3", "User-agent: other\nCrawl-delay: 7\n"),  # no rule for bot → default
+            ("h4", "User-agent: *\nCrawl-delay: junk\nCrawl-delay: 4\nCrawl-delay: 6\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["delay_s"]
+        for r in R.agent_crawl_delay(rb, agent="BOT", default_delay_s=1.0).collect()
+    }
+    assert got == {"h1": 3.0, "h2": 2.5, "h3": 1.0, "h4": 4.0}  # min wins; junk skipped
