@@ -713,3 +713,55 @@ def semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.semantic_neardup_pairs(emb, 0.4, k=8, n_iter=2)
 
 
+
+
+@register(
+    "image_netpbm_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, (doc_id % 6) + 1 AS kind, (doc_id % 7) + 1 AS w,
+         (doc_id % 5) + 1 AS h,
+         CASE WHEN ((doc_id % 6) + 1) IN (5, 6) AND doc_id % 12 >= 6
+              THEN 1023 ELSE 255 END AS mv,
+         CASE WHEN ((doc_id % 6) + 1) IN (3, 6) THEN 3 ELSE 1 END AS ch
+  FROM documents
+), e AS (
+  SELECT d.*, unnest(range(w * h * ch)) AS i FROM d
+), v AS (
+  SELECT doc_id, kind, w, h, mv, ch, i,
+    CASE WHEN kind IN (1, 4) THEN 1 - (i % 2)
+         ELSE (i * 7 + kind) % (mv + 1) END AS val
+  FROM e
+), agg AS (
+  SELECT doc_id, kind, w, h, mv, ch,
+    sum(CASE WHEN i % ch = 0 THEN val ELSE 0 END) AS s0,
+    sum(CASE WHEN i % ch = 1 THEN val ELSE 0 END) AS s1,
+    sum(CASE WHEN i % ch = 2 THEN val ELSE 0 END) AS s2
+  FROM v GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT doc_id AS media_id, 'P' || kind AS magic,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(CASE WHEN kind IN (1, 4) THEN 1 ELSE mv END AS INT) AS maxval,
+  CAST(ch AS INT) AS channels,
+  CAST(s0 AS BIGINT) AS sum_r,
+  CAST(CASE WHEN ch = 3 THEN s1 ELSE s0 END AS BIGINT) AS sum_g,
+  CAST(CASE WHEN ch = 3 THEN s2 ELSE s0 END AS BIGINT) AS sum_b
+FROM agg
+""",
+)
+def image_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL pixel decode, r6): the Netpbm family — all six magics
+    (plain/raw bitmap/graymap/pixmap) incl. 16-bit big-endian P5/P6,
+    synthesized per doc from closed forms and fully decoded: the
+    header grammar's real traps (comments BETWEEN header tokens, the
+    exactly-one-whitespace raster separator, P4 MSB-first bit packing
+    with row padding, PBM's 1-means-black inversion, maxval bounds)
+    are all exercised. Channel sums are exact integers, so the oracle
+    replays the sample algebra and hash-checks the encode→decode
+    roundtrip bit-for-bit. mapInPandas, zero shuffle (the MPEG-row
+    embarrassingly-parallel posture). See functions/netpbm.py +
+    corrupt-stream fuzz in tests/test_netpbm.py."""
+    from prom_etl_db_spark.functions import netpbm
+
+    docs = _t(spark, sf_dir, "documents")
+    return netpbm.netpbm_roundtrip_features(docs)
