@@ -190,6 +190,10 @@ _GATE_PRIORITY = [
     # image_netpbm_decode: NEW — all six Netpbm magics incl. 16-bit
     # raw; exact integer channel sums replay the roundtrip.
     "image_netpbm_decode",
+    # doc_pack_firstfit: NEW — greedy first-fit whole-document packing
+    # (complements concat-and-chunk doc_sequence_packing);
+    # recursive-CTE row-by-row replay.
+    "doc_pack_firstfit",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -210,7 +214,7 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 28-query r6 new block the window
+    # (window cutoff at 50: with the 29-query r6 new block the window
     # is 26 never-gated + 24 new; the last three new entries (robots_sitemap_directives, scrape_target_rendezvous, crawl_paced_schedule — the smallest composition ops) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
     # past the cutoff — multimodal_wav_samples … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,

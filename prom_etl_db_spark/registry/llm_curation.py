@@ -17,6 +17,7 @@ from prom_etl_db_spark.functions import (  # noqa: F401
     decontam,
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     text,
@@ -1442,3 +1443,65 @@ def tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- sequence packing (r6) ---------------------------------------------------
+
+_PACK_CAP = 64
+
+
+@register(
+    "doc_pack_firstfit",
+    oracle=rf"""
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT shard, rn, doc_id, n_tokens,
+    CAST(0 AS BIGINT) AS bin_idx, 0 AS offset_in_bin,
+    least(n_tokens, {_PACK_CAP}) AS eff,
+    least(n_tokens, {_PACK_CAP}) AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT nd.shard, nd.rn, nd.doc_id, nd.n_tokens,
+    CASE WHEN w.fill + least(nd.n_tokens, {_PACK_CAP}) <= {_PACK_CAP}
+         THEN w.bin_idx ELSE w.bin_idx + 1 END,
+    CASE WHEN w.fill + least(nd.n_tokens, {_PACK_CAP}) <= {_PACK_CAP}
+         THEN w.fill ELSE 0 END,
+    least(nd.n_tokens, {_PACK_CAP}),
+    CASE WHEN w.fill + least(nd.n_tokens, {_PACK_CAP}) <= {_PACK_CAP}
+         THEN w.fill + least(nd.n_tokens, {_PACK_CAP})
+         ELSE least(nd.n_tokens, {_PACK_CAP}) END
+  FROM walk w JOIN d nd ON nd.shard = w.shard AND nd.rn = w.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_idx,
+  CAST(offset_in_bin AS INT) AS offset_in_bin,
+  CAST(eff AS INT) AS eff_tokens,
+  n_tokens > {_PACK_CAP} AS truncated
+FROM walk
+""",
+)
+def doc_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 LLM pipeline, FIRST-FIT sequence packing (r6): greedy
+    sequential first-fit of WHOLE documents into fixed-64-token
+    training bins — the no-document-splitting discipline (T5 packing)
+    that complements the existing concat-and-chunk layout
+    (`doc_sequence_packing`, which splits documents across windows;
+    first-fit never does, trading tail waste for attention-boundary
+    hygiene). Capacity 64 sits inside the fixture's
+    10–99 token range, so both branches (multi-doc bins AND oversize
+    truncation) occur naturally. The recurrence is sequential within a
+    shard; Spark runs one applyInPandas packer per shard (shards
+    parallelize — the per-worker dataloader shape) and the oracle
+    replays the recurrence row-by-row with a recursive CTE (the
+    Gorilla/LTTB pattern): every bin id, offset and truncation flag is
+    hash-checked. See functions/packing.py."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tokens"),
+    )
+    return packing.pack_sequences(sized, capacity=_PACK_CAP)
