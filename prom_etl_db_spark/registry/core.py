@@ -36,6 +36,11 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # dict assignment would SILENTLY shadow the earlier query —
+            # the failure mode that almost cost a round-3 operator its
+            # oracle row when a round-6 op reused its name
+            raise ValueError(f"registry: duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

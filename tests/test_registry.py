@@ -38,3 +38,15 @@ def test_readme_has_no_other_stale_query_counts():
         assert int(m.group(1)) == len(QUERIES), m.group(0)
     for m in re.finditer(r"(\d+)\s+(?:SQL-expressible|oracle-checked)", text):
         assert int(m.group(1)) == len(ORACLES), m.group(0)
+
+
+def test_duplicate_registration_refused():
+    import pytest as _pt
+
+    from prom_etl_db_spark.registry.core import QUERIES, register
+
+    taken = next(iter(QUERIES))
+    with _pt.raises(ValueError, match="duplicate query name"):
+        @register(taken)
+        def shadow(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
