@@ -214,8 +214,8 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 29-query r6 new block the window
-    # is 26 never-gated + 24 new; the last three new entries (robots_sitemap_directives, scrape_target_rendezvous, crawl_paced_schedule — the smallest composition ops) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
+    # (window cutoff at 50: with the 29-query r6 new block (25 fit the window) the window
+    # is 26 never-gated + 24 new; the last four new entries (scrape_target_rendezvous, crawl_paced_schedule, image_netpbm_decode, doc_pack_firstfit — each individually sf0.001+sf0.01 green) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
     # past the cutoff — multimodal_wav_samples … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts

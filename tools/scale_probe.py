@@ -646,6 +646,20 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
               key_cols=("user_id",), ts_col="ts", state_cols=("event_type",),
               tiebreak_cols=("event_id",)),
     )
+
+    # first-fit packing (r6): chains grow 10x with replicas (offsets
+    # keep doc_id % 8, so shard count is fixed and per-shard chain
+    # length multiplies — the LTTB axis: linear time proves the
+    # sequential pass is linear; real corpora scale SHARDS, which
+    # parallelize embarrassingly).
+    from prom_etl_db_spark.functions.packing import pack_sequences as _ps
+
+    sized = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tokens"),
+    )
+    run("pack_firstfit", _ps(sized, capacity=64))
     return times
 
 
