@@ -1233,3 +1233,29 @@ def doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.nfc_normalize_features(built)
 
 
+
+
+@register(
+    "payload_lz4_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def payload_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 codec (r6): the LZ4 BLOCK format — the data-lake stack's
+    other workhorse codec (Parquet/Kafka/Spark io) — implemented from
+    the public spec like remote_write's snappy: strict decoder (all
+    token/extended-length/overlap-copy branches) + valid greedy
+    encoder honoring the end-of-block rules (literals-only final
+    sequence, mflimit). Every document's UTF-8 bytes round-trip
+    through compress→decompress with bit-identity asserted in-UDF;
+    the emitted length+md5 are decode-derived so the closed-form
+    oracle hash-checks the roundtrip. Fuzz gates in
+    tests/test_lz4.py. mapInPandas, zero shuffle."""
+    from prom_etl_db_spark.functions import lz4
+
+    docs = _t(spark, sf_dir, "documents")
+    return lz4.lz4_roundtrip_features(docs)
