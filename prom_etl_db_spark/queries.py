@@ -197,6 +197,9 @@ _GATE_PRIORITY = [
     # payload_lz4_roundtrip: NEW — LZ4 block codec, decode-derived
     # features hash-check the roundtrip.
     "payload_lz4_roundtrip",
+    # image_tiff_decode: NEW — baseline TIFF IFD walk, both endians,
+    # multi-page + strips; exact channel-sum replay.
+    "image_tiff_decode",
     # --- Stale rotation: newest driver row = r2, registry order ---------
     "multimodal_wav_samples",
     "embedding_kmeans_assign",
@@ -217,8 +220,8 @@ _GATE_PRIORITY = [
     "doc_stratified_sample",
     "corpus_mix_by_lang",
     "doc_deterministic_topn",
-    # (window cutoff at 50: with the 30-query r6 new block (25 fit the window) the window
-    # is 26 never-gated + 24 new; the last five new entries (scrape_target_rendezvous, crawl_paced_schedule, image_netpbm_decode, doc_pack_firstfit, payload_lz4_roundtrip — each individually sf0.001+sf0.01 green) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
+    # (window cutoff at 50: with the 31-query r6 new block (25 fit the window) the window
+    # is 26 never-gated + 24 new; the last six new entries (scrape_target_rendezvous, crawl_paced_schedule, image_netpbm_decode, doc_pack_firstfit, payload_lz4_roundtrip, image_tiff_decode — each individually sf0.001+sf0.01 green) plus all r2-stale entries sit just past the cutoff; the 19 r2-stale entries
     # past the cutoff — multimodal_wav_samples … doc_deterministic_topn
     # above — plus doc_cap_per_source, doc_weighted_sample,
     # neardup_clusters, neardup_keep_canonical, text_bpe_token_counts

@@ -765,3 +765,53 @@ def image_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return netpbm.netpbm_roundtrip_features(docs)
+
+
+@register(
+    "image_tiff_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, (doc_id % 6) + 1 AS w, (doc_id % 4) + 2 AS h,
+         doc_id % 3 AS photo,
+         CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS spp
+  FROM documents
+), e AS (
+  SELECT d.*, unnest(range(w * h * spp)) AS i FROM d
+), v AS (
+  SELECT doc_id, w, h, photo, spp, i,
+    CASE WHEN photo = 0 THEN 255 - ((i * 11) % 256) ELSE (i * 11) % 256 END AS val
+  FROM e
+), p0 AS (
+  SELECT doc_id, 0 AS page, w, h, spp,
+    sum(CASE WHEN i % spp = 0 THEN val ELSE 0 END) AS s0,
+    sum(CASE WHEN i % spp = 1 THEN val ELSE 0 END) AS s1,
+    sum(CASE WHEN i % spp = 2 THEN val ELSE 0 END) AS s2
+  FROM v GROUP BY 1, 2, 3, 4, 5
+)
+SELECT doc_id AS media_id, CAST(page AS INT) AS page,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(spp AS INT) AS channels,
+  CAST(s0 AS BIGINT) AS sum_r,
+  CAST(CASE WHEN spp = 3 THEN s1 ELSE s0 END AS BIGINT) AS sum_g,
+  CAST(CASE WHEN spp = 3 THEN s2 ELSE s0 END AS BIGINT) AS sum_b
+FROM p0
+UNION ALL
+SELECT doc_id, 1, 2, 2, 3, 202, 246, 290 FROM documents
+""",
+)
+def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (REAL pixel decode, r6): baseline TIFF — the archival
+    DIRECTORY container (typed IFD catalog, value-or-offset slots,
+    chained multi-page IFDs, strip tables), decoded from the TIFF 6.0
+    spec in BOTH byte orders (id parity picks II/MM — the
+    left-justified inline-value slot is the classic endian trap).
+    Each document carries a two-page file: page 0 cycles photometric
+    0/1/2 (WhiteIsZero inversion, grayscale, RGB with an out-of-line
+    BitsPerSample array and two strips when height allows); page 1 is
+    a constant 2×2 RGB whose sums pin the per-page sample phase.
+    Non-baseline compression/tiles/planar-2 refuse loudly. Exact
+    integer channel sums replay the roundtrip closed-form. See
+    functions/tiff.py + fuzz gates in tests/test_tiff.py."""
+    from prom_etl_db_spark.functions import tiff
+
+    docs = _t(spark, sf_dir, "documents")
+    return tiff.tiff_roundtrip_features(docs)
