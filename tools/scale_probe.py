@@ -660,6 +660,18 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tokens"),
     )
     run("pack_firstfit", _ps(sized, capacity=64))
+
+    # r6 codec wave: Netpbm/TIFF/LZ4 are per-doc mapInPandas with zero
+    # shuffle (the MPEG-row posture: expect ratios nearer linear since
+    # there is no fixed shuffle cost to amortize — the row pins
+    # "embarrassingly parallel" as measured fact).
+    from prom_etl_db_spark.functions.netpbm import netpbm_roundtrip_features as _np
+    from prom_etl_db_spark.functions.tiff import tiff_roundtrip_features as _tf
+    from prom_etl_db_spark.functions.lz4 import lz4_roundtrip_features as _lz
+
+    run("netpbm_decode", _np(docs))
+    run("tiff_decode", _tf(docs))
+    run("lz4_roundtrip", _lz(docs))
     return times
 
 
