@@ -116,7 +116,12 @@ def parse_robots(
     Output: ``(key_col, agent, is_allow boolean, pattern, pattern_len)``
     — one row per (agent in group) × (rule in group). Rules in a group
     with no ``User-agent`` header (malformed leading rules) are dropped,
-    as are empty-pattern rules (RFC: match nothing).
+    as are empty-pattern rules (RFC: match nothing) — but a group whose
+    rules ALL vanish still emits one membership row per agent with NULL
+    ``is_allow``/``pattern`` (pattern_len 0): RFC 9309 group selection
+    keys on which groups NAME the agent, so the common
+    ``User-agent: mybot / Disallow:`` allow-everything idiom must still
+    suppress the ``*`` fallback for mybot (see select_group).
     """
     agents, rules = _grouped_directives(robots, key_col, text_col, _DIRECTIVE_RE)
     rules = rules.where(F.col("value") != "").select(
@@ -126,21 +131,32 @@ def parse_robots(
         F.col("value").alias("pattern"),
         F.length("value").alias("pattern_len"),
     )
-    return agents.join(rules, [key_col, "grp"]).drop("grp")
+    return (
+        agents.join(rules, [key_col, "grp"], "left")
+        .drop("grp")
+        .withColumn("pattern_len", F.coalesce("pattern_len", F.lit(0)))
+    )
 
 
 def select_group(
     rules: DataFrame, agent: str, *, key_col: str = "host"
 ) -> DataFrame:
     """RFC 9309 group selection: per key, the rules for ``agent`` if any
-    group names it, else the ``*`` rules — never both."""
+    group NAMES it (even a group whose only rule is an empty
+    ``Disallow:`` — parse_robots keeps such membership as a NULL-pattern
+    row), else the ``*`` rules — never both. NULL-pattern membership
+    rows are consumed here and never returned."""
     agent = agent.lower()
     mine = rules.where(F.col("agent") == agent)
     keys_with_mine = mine.select(key_col).distinct()
     fallback = rules.where(F.col("agent") == "*").join(
         keys_with_mine, key_col, "left_anti"
     )
-    return mine.unionByName(fallback).drop("agent")
+    return (
+        mine.unionByName(fallback)
+        .where(F.col("pattern").isNotNull())
+        .drop("agent")
+    )
 
 
 def robots_allowed(
@@ -216,8 +232,15 @@ def sitemap_directives(
 
 
 #: Crawl-delay is a de-facto extension (not in RFC 9309 but honored by
-#: most crawlers); it belongs to its group like access rules do.
-_DELAY_RE = r"(?i)^\s*(user-agent|crawl-delay)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+#: most crawlers); it belongs to its group like access rules do. The
+#: regex must keep access rules VISIBLE to the run detector — an
+#: Allow/Disallow between two User-agent lines closes the first run, so
+#: dropping those lines before grouping would wrongly merge two groups
+#: (caught by the r7 membership-fix tests); they are filtered out only
+#: AFTER group ids are assigned.
+_DELAY_RE = (
+    r"(?i)^\s*(user-agent|allow|disallow|crawl-delay)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+)
 
 
 def agent_crawl_delay(
@@ -229,17 +252,24 @@ def agent_crawl_delay(
     default_delay_s: float = 0.0,
 ) -> DataFrame:
     """Per-host Crawl-delay for ``agent`` with RFC group selection
-    (specific group beats ``*``, never both); multiple delay lines in
-    scope resolve to the MINIMUM (the crawler-friendly reading),
-    unparseable values fall back to ``default_delay_s``. Output:
-    (key_col, delay_s double) — every robots host gets a row."""
+    (specific group beats ``*``, never both — membership keyed on which
+    groups NAME the agent, so a group naming it with no usable delay
+    still suppresses the ``*`` fallback and yields the default);
+    multiple delay lines in scope resolve to the MINIMUM (the
+    crawler-friendly reading), unparseable values fall back to
+    ``default_delay_s``. Output: (key_col, delay_s double) — every
+    robots host gets a row."""
     agent = agent.lower()
     agents, rules = _grouped_directives(robots, key_col, text_col, _DELAY_RE)
-    delays = agents.join(rules, [key_col, "grp"]).select(
+    delays = agents.join(
+        rules.where(F.col("field") == "crawl-delay"), [key_col, "grp"]
+    ).select(
         key_col, "agent", F.col("value").try_cast("double").alias("delay_s")
     ).where(F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0))
     mine = delays.where(F.col("agent") == agent)
-    keys_with_mine = mine.select(key_col).distinct()
+    keys_with_mine = (
+        agents.where(F.col("agent") == agent).select(key_col).distinct()
+    )
     fallback = delays.where(F.col("agent") == "*").join(
         keys_with_mine, key_col, "left_anti"
     )

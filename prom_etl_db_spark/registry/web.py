@@ -232,10 +232,14 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TestBot-specific group (prefix Disallow + a longer $-anchored Allow
 # carve-out) plus a '*' group that MUST be ignored for TestBot (RFC 9309
 # group selection: specific group wins, never both); odd hosts publish
-# only a shared otherbot/'*' multi-agent run (TestBot falls back to it),
+# a shared otherbot/'*' multi-agent run (TestBot falls back to it),
 # with a '_' in the pattern (LIKE-escape hazard), a mid-pattern '*'
-# wildcard, an empty Disallow (matches nothing) and a junk line. URL
-# paths cycle through six shapes hitting every rule class.
+# wildcard, an empty Disallow (matches nothing) and a junk line —
+# EXCEPT hosts k%4=1 (k=1,5), which append an empty TestBot group
+# ('User-agent: TestBot / Disallow:'): the RFC's allow-everything
+# idiom — membership alone must suppress the '*' fallback even though
+# every rule in the group is dropped (ADVICE r6 fix). URL paths cycle
+# through six shapes hitting every rule class.
 _ROBOTS_TXT_SQL = """CASE WHEN k % 2 = 0 THEN
       '# robots for h' || k || chr(10) ||
       'User-agent: TestBot' || chr(10) ||
@@ -254,7 +258,12 @@ _ROBOTS_TXT_SQL = """CASE WHEN k % 2 = 0 THEN
       'Allow: /p_' || k || '/ok' || chr(10) ||
       'Disallow: /q/*/sub' || chr(10) ||
       'Disallow:' || chr(10) ||
-      'Not a directive junk'
+      'Not a directive junk' ||
+      CASE WHEN k % 4 = 1 THEN
+        chr(10) || chr(10) ||
+        'User-agent: TestBot' || chr(10) ||
+        'Disallow:'
+      ELSE '' END
     END"""
 
 _ROBOTS_URL_SQL = """CASE CAST(doc_id % 6 AS BIGINT)
@@ -296,6 +305,10 @@ def _robots_fixture(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit("User-agent: otherbot\nUser-agent: *\nDisallow: /p_"), hk,
         F.lit("/\nAllow: /p_"), hk,
         F.lit("/ok\nDisallow: /q/*/sub\nDisallow:\nNot a directive junk"),
+        F.when(
+            F.col("k") % 4 == 1,
+            F.lit("\n\nUser-agent: TestBot\nDisallow:"),
+        ).otherwise(F.lit("")),
     )
     rb = (
         docs.select((F.col("doc_id") % 8).alias("k")).distinct()
@@ -344,14 +357,16 @@ WITH hosts AS (
   FROM grouped WHERE field <> 'user-agent' AND value <> ''
 ), joined AS (
   SELECT a.host, a.agent, r.is_allow, r.pattern, r.pattern_len
-  FROM agents a JOIN rules0 r ON a.host = r.host AND a.grp = r.grp
-), mine AS (
-  SELECT host, is_allow, pattern, pattern_len FROM joined WHERE agent = 'testbot'
+  FROM agents a LEFT JOIN rules0 r ON a.host = r.host AND a.grp = r.grp
+), mine_hosts AS (
+  SELECT DISTINCT host FROM agents WHERE agent = 'testbot'
 ), selected AS (
-  SELECT * FROM mine
+  SELECT host, is_allow, pattern, pattern_len FROM joined
+  WHERE agent = 'testbot' AND pattern IS NOT NULL
   UNION ALL
   SELECT host, is_allow, pattern, pattern_len FROM joined
-  WHERE agent = '*' AND host NOT IN (SELECT host FROM mine)
+  WHERE agent = '*' AND pattern IS NOT NULL
+    AND host NOT IN (SELECT host FROM mine_hosts)
 ), rules AS (
   SELECT host, is_allow, pattern, pattern_len,
     CASE WHEN ends_with(star, '$') THEN substr(star, 1, length(star) - 1)

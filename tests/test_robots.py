@@ -96,6 +96,28 @@ def test_empty_disallow_matches_nothing(spark):
     assert out["/anything"] == (True, "")
 
 
+def test_empty_group_suppresses_star_fallback(spark):
+    """RFC 9309: a group that NAMES the agent excludes the '*' fallback
+    even when its only rule is an empty Disallow (the common
+    allow-everything idiom) — membership is decided by User-agent
+    lines, not by surviving rules (ADVICE r6 fix)."""
+    txt = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    out = _eval(spark, txt, ["/a", "/b/c"], agent="mybot")
+    assert out["/a"] == (True, "")
+    assert out["/b/c"] == (True, "")
+    # everyone else still gets the '*' lockout
+    out = _eval(spark, txt, ["/a"], agent="elsebot")
+    assert out["/a"] == (False, "/")
+
+
+def test_empty_group_via_dropped_rules_only(spark):
+    """Same suppression when the agent's group has ONLY unusable lines
+    (a comment and an empty Allow)."""
+    txt = "User-agent: mybot\nAllow:\n# nothing\n\nUser-agent: *\nDisallow: /x\n"
+    out = _eval(spark, txt, ["/x1"], agent="mybot")
+    assert out["/x1"] == (True, "")
+
+
 def test_multi_agent_run_shares_rules(spark):
     txt = "User-agent: alpha\nUser-agent: beta\nDisallow: /x\n"
     for agent in ("alpha", "beta"):
@@ -171,6 +193,10 @@ def test_agent_crawl_delay_group_selection(spark):
             ("h2", "User-agent: *\nCrawl-delay: 2.5\n"),
             ("h3", "User-agent: other\nCrawl-delay: 7\n"),  # no rule for bot → default
             ("h4", "User-agent: *\nCrawl-delay: junk\nCrawl-delay: 4\nCrawl-delay: 6\n"),
+            # group NAMES bot but has no usable delay → membership
+            # suppresses the '*' fallback, default applies (ADVICE r6 fix)
+            ("h5", "User-agent: bot\nDisallow: /x\nUser-agent: *\nCrawl-delay: 9\n"),
+            ("h6", "User-agent: bot\nCrawl-delay: junk\nUser-agent: *\nCrawl-delay: 9\n"),
         ],
         "host string, robots_txt string",
     )
@@ -178,4 +204,5 @@ def test_agent_crawl_delay_group_selection(spark):
         r["host"]: r["delay_s"]
         for r in R.agent_crawl_delay(rb, agent="BOT", default_delay_s=1.0).collect()
     }
-    assert got == {"h1": 3.0, "h2": 2.5, "h3": 1.0, "h4": 4.0}  # min wins; junk skipped
+    # min wins; junk skipped; h5/h6: named group without delay → default
+    assert got == {"h1": 3.0, "h2": 2.5, "h3": 1.0, "h4": 4.0, "h5": 1.0, "h6": 1.0}
