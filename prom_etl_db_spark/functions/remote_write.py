@@ -209,6 +209,8 @@ def _parse_label(data: bytes) -> tuple[str, str]:
         if wire != 2:
             raise ValueError(f"label: unexpected wire type {wire}")
         ln, pos = _uvarint(data, pos)
+        if pos + ln > len(data):
+            raise ValueError(f"proto: label field overruns buffer at {pos}")
         field, pos = data[pos : pos + ln], pos + ln
         if num == 1:
             name = field.decode("utf-8")
@@ -258,11 +260,15 @@ def decode_write_request(data: bytes) -> list[dict]:
             fnum, fwire = h >> 3, h & 7
             if fnum == 1 and fwire == 2:
                 l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: label overruns timeseries at {p}")
                 name, value = _parse_label(ts_msg[p : p + l2])
                 labels[name] = value
                 p += l2
             elif fnum == 2 and fwire == 2:
                 l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: sample overruns timeseries at {p}")
                 sm = ts_msg[p : p + l2]
                 p += l2
                 sp, val, ts_ms = 0, 0.0, 0
@@ -270,6 +276,10 @@ def decode_write_request(data: bytes) -> list[dict]:
                     sh, sp = _uvarint(sm, sp)
                     snum, swire = sh >> 3, sh & 7
                     if snum == 1 and swire == 1:
+                        if sp + 8 > len(sm):
+                            raise ValueError(
+                                f"proto: fixed64 overruns sample at {sp}"
+                            )
                         val = struct.unpack("<d", sm[sp : sp + 8])[0]
                         sp += 8
                     elif snum == 2 and swire == 0:

@@ -156,7 +156,12 @@ def canonical_urls(docs, url_col: str = "url", id_col: str = "doc_id"):
     from pyspark.sql import functions as F
 
     canon = canonical_col(F.col(url_col))
-    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    # host group handles the bracketed-IPv6 authority form — '[::1]'
+    # contains ':' so the bare [^/?#:]* branch alone would stop at the
+    # first colon inside the brackets (ADVICE r6 fix)
+    host = F.regexp_extract(
+        canon, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]*)", 1
+    )
     return docs.select(
         F.col(id_col),
         canon.alias("canonical_url"),

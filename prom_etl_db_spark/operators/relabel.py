@@ -106,19 +106,33 @@ def apply_relabel(
             continue
         if a == "labelmap":
             entries = F.map_entries(labels)
+            # Prometheus iterates labels in sorted order calling lb.Set
+            # per rename, so when two sources map to one new name the
+            # LAST (largest source key) wins. map_from_entries throws on
+            # duplicate keys under the default mapKeyDedupPolicy, so
+            # replay that sequential semantics: sort by source key,
+            # rename, then keep only the last entry per new key
+            # (ADVICE r6 fix).
             renamed = F.transform(
-                F.filter(entries, lambda e: e.key.rlike(anchored)),
+                F.array_sort(F.filter(entries, lambda e: e.key.rlike(anchored))),
                 lambda e: F.struct(
                     F.regexp_replace(e.key, anchored, cfg.replacement).alias("key"),
                     e.value.alias("value"),
                 ),
             )
+            deduped = F.filter(
+                renamed,
+                lambda e, i: ~F.exists(
+                    F.slice(renamed, i + F.lit(2), F.size(renamed)),
+                    lambda r: r.key == e.key,
+                ),
+            )
             survivors = F.filter(
                 entries,
-                lambda e: ~F.exists(renamed, lambda r: r.key == e.key),
+                lambda e: ~F.exists(deduped, lambda r: r.key == e.key),
             )
             df = df.withColumn(
-                labels_col, F.map_from_entries(F.concat(survivors, renamed))
+                labels_col, F.map_from_entries(F.concat(survivors, deduped))
             )
             continue
         if a in ("labeldrop", "labelkeep"):

@@ -76,6 +76,24 @@ def test_labelmap_overwrites_collisions_and_keeps_original(spark):
     assert got[1] == {"k_a": "1", "meta_a": "1", "z": "2"}
 
 
+def test_labelmap_duplicate_targets_last_source_wins(spark):
+    """Two source labels renaming to the SAME new name must not throw
+    under mapKeyDedupPolicy=EXCEPTION; Prometheus applies lb.Set over
+    sorted labels so the largest source key wins (ADVICE r6 fix)."""
+    got = _labels(
+        spark, [(1, {"a_x": "1", "b_x": "2", "z": "9"})],
+        [C(action="labelmap", regex="(?:a|b)_(.*)", replacement="m_$1")],
+    )
+    assert got[1] == {"a_x": "1", "b_x": "2", "z": "9", "m_x": "2"}
+    # three-way collision, interleaved with a non-colliding rename
+    got2 = _labels(
+        spark, [(1, {"c_y": "3", "a_y": "1", "b_y": "2", "a_solo": "s"})],
+        [C(action="labelmap", regex="(?:a|b|c)_(.*)", replacement="m_$1")],
+    )
+    assert got2[1]["m_y"] == "3"  # c_y sorts last
+    assert got2[1]["m_solo"] == "s"
+
+
 def test_labeldrop_labelkeep(spark):
     rows = [(1, {"tmp_a": "1", "job": "x", "tmp_b": "2"})]
     assert _labels(spark, rows, [C(action="labeldrop", regex="tmp_.*")])[1] == {"job": "x"}

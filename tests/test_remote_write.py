@@ -101,6 +101,37 @@ def test_proto_corrupt_fuzz_refuses_loudly():
             continue
 
 
+def test_proto_nested_length_overrun_refuses_loudly():
+    """Corrupt nested length prefixes must raise ValueError, never
+    silently truncate (ADVICE r6 fix): an oversized label-field length,
+    an oversized label/sample length inside a timeseries, and a
+    truncated fixed64 sample value."""
+    import pytest
+
+    # label submessage: field 1 (name) claims 100 bytes, supplies 3
+    bad_label = RW._enc_field(1, 2) + RW._enc_uvarint(100) + b"abc"
+    ts_msg = RW._enc_len(1, bad_label)
+    with pytest.raises(ValueError, match="overrun"):
+        RW.decode_write_request(RW._enc_len(1, bytes(ts_msg)))
+
+    # timeseries: label submessage length overruns the timeseries
+    ts_msg2 = RW._enc_field(1, 2) + RW._enc_uvarint(50) + b"xy"
+    with pytest.raises(ValueError, match="overrun"):
+        RW.decode_write_request(RW._enc_len(1, bytes(ts_msg2)))
+
+    # timeseries: sample submessage length overruns the timeseries
+    ts_msg3 = RW._enc_field(2, 2) + RW._enc_uvarint(50) + b"xy"
+    with pytest.raises(ValueError, match="overrun"):
+        RW.decode_write_request(RW._enc_len(1, bytes(ts_msg3)))
+
+    # sample: fixed64 value truncated mid-double → ValueError, not
+    # struct.error
+    sm = RW._enc_field(1, 1) + b"\x01\x02\x03"  # 3 of 8 bytes
+    ts_msg4 = RW._enc_len(2, sm)
+    with pytest.raises(ValueError, match="fixed64"):
+        RW.decode_write_request(RW._enc_len(1, bytes(ts_msg4)))
+
+
 def test_double_bit_exactness():
     # fixed64 carries the exact IEEE bits — including tricky values
     vals = [0.1, -0.0, float("inf"), 2.0**-1074, 1e308]

@@ -125,6 +125,29 @@ def test_url_dedup_collapses_syntactic_variants(spark):
     assert other["registered_domain"] == "other.co.uk"
 
 
+def test_canonical_urls_ipv6_host(spark):
+    """Bracketed IPv6 authorities keep the whole bracket form as host —
+    the bare [^/?#:]* branch used to stop at the first inner colon and
+    yield '[2001' (ADVICE r6 fix); consistent with normalize_url's own
+    IPv6 branch."""
+    from prom_etl_db_spark.functions.urlnorm import canonical_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://[2001:db8::1]/x"),
+            (2, "http://[::1]:8080/y?b=2&a=1"),
+            (3, "http://user@[2001:db8::2]:80/z"),
+            (4, "http://plain.example.com:443/w"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["host"] for r in canonical_urls(df).collect()}
+    assert got[1] == "[2001:db8::1]"
+    assert got[2] == "[::1]"
+    assert got[3] == "[2001:db8::2]"
+    assert got[4] == "plain.example.com"
+
+
 def test_blocked_jaccard_pairs_only_within_block(spark):
     from prom_etl_db_spark.functions.dedup import ngram_jaccard_dup_pairs
 
