@@ -26,7 +26,12 @@ from prom_etl_db_spark.session import get_spark  # noqa: E402
 
 # Representative, scale-stressing subset of the registry: the flagship
 # composite, wide aggregation, broadcast joins, shuffle-heavy dedup, the
-# pandas-UDF path, and the similarity search.
+# pandas-UDF path, and the similarity search. The legacy 17 keep their
+# r1-era history; the last five (r7, VERDICT r6 task #2) are the
+# heaviest modern operators — suffix-array substring rewrite, the
+# five-stage curation flagship, iterative PageRank, the composed crawl
+# pipeline and the WARC byte walk — so the mechanized --against A/B
+# regression-gates them per round too.
 HEADLINE = [
     "flagship_gpu_utilization",
     "ingest_normalize_events",
@@ -45,6 +50,12 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "multimodal_decode",
+    # --- r7 additions: heavy modern operators ---
+    "doc_substring_dedup_rewrite",
+    "curation_pipeline_v2",
+    "host_graph_pagerank",
+    "crawl_pipeline_v1",
+    "warc_record_parse",
 ]
 
 

@@ -45,16 +45,26 @@ def pagerank_integer(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    scale: int = SCALE,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges are
     collapsed), ``n_iter`` rounds of the damped power iteration in
-    exact integer billionths. Every node present as a source or a
-    destination participates; nodes without in-links settle at the
-    teleport base. Dangling nodes (no out-links) simply leak their
-    mass — the deterministic convention Common Crawl's host ranks also
-    use; callers wanting strict mass conservation add a sink node.
+    exact integer units of 1/``scale`` (billionths by default). Every
+    node present as a source or a destination participates; nodes
+    without in-links settle at the teleport base. Dangling nodes (no
+    out-links) simply leak their mass — the deterministic convention
+    Common Crawl's host ranks also use; callers wanting strict mass
+    conservation add a sink node. Self-loops are kept: a page linking
+    to itself feeds its own rank (collapse them upstream if unwanted).
 
-    Output: (node long, pr_q9 long) — pr_q9 is the rank in billionths.
+    Refuses loudly when the node count underflows the rank quantum
+    (teleport base (1−d)·scale/N floors to 0 — every rank would decay
+    to 0 and the iteration silently degenerates): at the default scale
+    that is N > 1.5e8 nodes; raise ``scale`` (int64 headroom reaches
+    ~9.2e18, so scale=1e12 covers any real host graph; per-edge terms
+    stay ≤ D_NUM·scale).
+
+    Output: (node long, pr_q9 long) — pr_q9 is the rank in 1/scale.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -68,10 +78,15 @@ def pagerank_integer(
     n = nodes.count()  # one scalar — broadcast-class driver state
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("pr_q9"))
-    base = (3 * SCALE) // (D_DEN * n)
+    base = ((D_DEN - D_NUM) * scale) // (D_DEN * n)
+    if base == 0:
+        raise ValueError(
+            f"pagerank_integer: {n} nodes underflows the rank quantum at "
+            f"scale={scale} (teleport base floors to 0); raise `scale`"
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ranks = scratch(
-        nodes.select("node", F.lit(SCALE // n).cast("long").alias("pr_q9"))
+        nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q9"))
         .localCheckpoint(eager=True)
     )
     for _ in range(n_iter):

@@ -63,6 +63,16 @@ def pack_sequences(
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
+        bad = pdf[tokens_col].isna() | (pdf[tokens_col] < 0)
+        if bad.any():
+            # a negative count would DECREASE fill and silently corrupt
+            # every later offset in the shard — refuse loudly (r7
+            # adversarial pass); zero-token docs are fine (they pack at
+            # the current offset with eff 0)
+            doc = pdf.loc[bad, order_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: null/negative {tokens_col} at {order_col}={doc}"
+            )
         bins, offsets, effs, truncs = [], [], [], []
         bin_idx, fill = 0, 0
         first = True

@@ -1,0 +1,234 @@
+"""Round-7 adversarial review pass over the r6 analytic modules
+(VERDICT r6 task #3): graph rank-quantum underflow and self-loop
+semantics, packing hostile token counts, rendezvous degenerate node
+sets, robots Crawl-delay hostile values, sitemapindex self-reference.
+Each test either pins a FIX made this round or pins an edge behavior
+as deliberate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- graph: pagerank underflow + self-loops --------------------------------
+
+
+def test_pagerank_underflow_refused_loudly(spark):
+    """r7 FIX: when (1-d)*scale/N floors to 0 every rank decays to 0 —
+    the iteration silently degenerates. Refuse with the scale hint."""
+    from prom_etl_db_spark.functions.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="rank quantum"):
+        pagerank_integer(edges, n_iter=1, scale=10)  # base = 3*10//(20*2) = 0
+    # the escape hatch: a larger scale computes fine on the same graph
+    got = {
+        r["node"]: r["pr_q9"]
+        for r in pagerank_integer(edges, n_iter=1, scale=1000).collect()
+    }
+    # base = 3000//40 = 75; contrib = 17*500 DIV 20*1 = 425; rank = 500
+    assert got == {1: 500, 2: 500}
+
+
+def test_pagerank_self_loop_feeds_own_rank(spark):
+    """Self-loops are kept (documented): node 1 retains its damped mass
+    while node 2's leaks (dangling)."""
+    from prom_etl_db_spark.functions.graph import pagerank_integer, SCALE
+
+    edges = spark.createDataFrame([(1, 1)], "src long, dst long")
+    got = {
+        r["node"]: r["pr_q9"]
+        for r in pagerank_integer(edges, n_iter=1).collect()
+    }
+    n = 1
+    base = (3 * SCALE) // (20 * n)
+    want = base + (17 * SCALE) // 20  # own contribution, outdeg 1
+    assert got == {1: want}
+
+
+def test_pagerank_dangling_only_graph(spark):
+    """A star into one sink: the sink's sources are all dangling after
+    round 1 (their rank = base, nothing feeds them); exact integer
+    expectation over two rounds."""
+    from prom_etl_db_spark.functions.graph import pagerank_integer, SCALE
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["pr_q9"]
+        for r in pagerank_integer(edges, n_iter=2).collect()
+    }
+    n = 4
+    base = (3 * SCALE) // (20 * n)
+    r0 = SCALE // n
+    # round 1: sources = base; sink = base + 3*(17*r0 DIV 20)
+    # round 2: sources = base; sink = base + 3*(17*base DIV 20)
+    want_sink = base + 3 * ((17 * base) // 20)
+    assert got[1] == got[2] == got[3] == base
+    assert got[9] == want_sink
+
+
+def test_harmonic_self_loop_never_counts(spark):
+    """d(u,u) is excluded by definition — a self-loop must not add a
+    distance-1 term to its own centrality."""
+    from prom_etl_db_spark.functions.graph import harmonic_centrality_integer
+
+    edges = spark.createDataFrame([(1, 1), (2, 1)], "src long, dst long")
+    got = {
+        r["node"]: r["harmonic_q6"]
+        for r in harmonic_centrality_integer(edges, radius=4).collect()
+    }
+    assert got[1] == 1_000_000  # only 2→1 at distance 1
+    assert got[2] == 0
+
+
+def test_harmonic_radius_zero_is_all_zero(spark):
+    from prom_etl_db_spark.functions.graph import harmonic_centrality_integer
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["harmonic_q6"]
+        for r in harmonic_centrality_integer(edges, radius=0).collect()
+    }
+    assert got == {1: 0, 2: 0}
+
+
+# --- packing: hostile token counts -----------------------------------------
+
+
+def test_packing_negative_tokens_refused_loudly(spark):
+    """r7 FIX: a negative count would DECREASE fill and silently corrupt
+    every later offset in the shard."""
+    from prom_etl_db_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, -3), (0, 3, 4)], "shard long, doc_id long, n_tokens int"
+    )
+    with pytest.raises(Exception, match="null/negative"):
+        pack_sequences(docs, capacity=10).collect()
+
+
+def test_packing_null_tokens_refused_loudly(spark):
+    from prom_etl_db_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, None)], "shard long, doc_id long, n_tokens int"
+    )
+    with pytest.raises(Exception, match="null/negative"):
+        pack_sequences(docs, capacity=10).collect()
+
+
+def test_packing_zero_token_docs_pack_in_place(spark):
+    """Zero-token docs are legitimate (empty after cleaning): they sit
+    at the current offset with eff 0 and never open a new bin."""
+    from prom_etl_db_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 1, 7), (0, 2, 0), (0, 3, 3), (0, 4, 0)],
+        "shard long, doc_id long, n_tokens int",
+    )
+    got = {
+        r["doc_id"]: (r["bin_idx"], r["offset_in_bin"], r["eff_tokens"])
+        for r in pack_sequences(docs, capacity=10).collect()
+    }
+    assert got == {1: (0, 0, 7), 2: (0, 7, 0), 3: (0, 7, 3), 4: (0, 10, 0)}
+
+
+def test_packing_exact_capacity_doc_fills_one_bin(spark):
+    from prom_etl_db_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1)], "shard long, doc_id long, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: (r["bin_idx"], r["offset_in_bin"], r["truncated"])
+        for r in pack_sequences(docs, capacity=10).collect()
+    }
+    assert got == {1: (0, 0, False), 2: (1, 0, False)}
+
+
+# --- rendezvous: degenerate node sets ---------------------------------------
+
+
+def test_rendezvous_single_node_takes_everything(spark):
+    from prom_etl_db_spark.operators.relabel import rendezvous_assign
+
+    df = spark.createDataFrame([(str(i),) for i in range(20)], "k string")
+    got = {r["a"] for r in df.select(rendezvous_assign(F.col("k"), ["only"]).alias("a")).collect()}
+    assert got == {"only"}
+
+
+def test_rendezvous_duplicate_node_names_deterministic(spark):
+    """Duplicate names produce identical structs — greatest() ties
+    resolve to the same (weight, name) pair, so the assignment equals
+    the deduplicated node list's."""
+    from prom_etl_db_spark.operators.relabel import rendezvous_assign
+
+    df = spark.createDataFrame([(str(i),) for i in range(50)], "k string")
+    a = df.select("k", rendezvous_assign(F.col("k"), ["n1", "n2"]).alias("a"))
+    b = df.select("k", rendezvous_assign(F.col("k"), ["n1", "n2", "n2"]).alias("a"))
+    assert {(r["k"], r["a"]) for r in a.collect()} == {
+        (r["k"], r["a"]) for r in b.collect()
+    }
+
+
+# --- robots: hostile Crawl-delay values --------------------------------------
+
+
+def test_crawl_delay_zero_negative_and_comment(spark):
+    """Crawl-delay 0 is a valid 'no delay'; negative values are
+    unusable (dropped → group membership still suppresses '*' →
+    default); a trailing comment doesn't break the parse."""
+    from prom_etl_db_spark.functions import robots as R
+
+    rb = spark.createDataFrame(
+        [
+            ("h0", "User-agent: bot\nCrawl-delay: 0\nUser-agent: *\nCrawl-delay: 9\n"),
+            ("h1", "User-agent: bot\nCrawl-delay: -4\nUser-agent: *\nCrawl-delay: 9\n"),
+            ("h2", "User-agent: bot\nCrawl-delay: 3 # be nice\n"),
+            ("h3", "User-agent: *\nCrawl-delay: -1\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["delay_s"]
+        for r in R.agent_crawl_delay(rb, agent="bot", default_delay_s=1.0).collect()
+    }
+    assert got == {"h0": 0.0, "h1": 1.0, "h2": 3.0, "h3": 1.0}
+
+
+# --- sitemap: index self-reference -------------------------------------------
+
+
+def test_sitemapindex_self_reference_cannot_cycle(spark):
+    """A sitemapindex that lists ITSELF is inert by construction: index
+    files are classified, never recursively fetched (documented subset —
+    no network in this environment), and they contain no <url> blocks so
+    they contribute zero frontier rows. The discovery loop is therefore
+    cycle-proof without a visited set."""
+    from prom_etl_db_spark.functions import sitemap as S
+
+    self_ref = (
+        "<sitemapindex><sitemap><loc>http://h/self.xml</loc></sitemap>"
+        "<sitemap><loc>http://h/self.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([("h", self_ref)], "host string, xml string")
+    assert S.sitemap_entries(df).count() == 0
+    assert df.select(S.is_sitemap_index(F.col("xml")).alias("i")).first()["i"] is True
+
+
+def test_sitemap_url_block_inside_index_still_ignored_by_classifier(spark):
+    """A malformed hybrid (index wrapper containing a <url> block): the
+    classifier says index, and entries() still extracts the <url> block
+    — callers gate on is_sitemap_index FIRST (the documented contract),
+    so the hybrid contributes nothing to the frontier."""
+    from prom_etl_db_spark.functions import sitemap as S
+
+    hybrid = (
+        "<sitemapindex><url><loc>http://h/p</loc></url></sitemapindex>"
+    )
+    df = spark.createDataFrame([("h", hybrid)], "host string, xml string")
+    assert df.select(S.is_sitemap_index(F.col("xml")).alias("i")).first()["i"] is True
+    assert S.sitemap_entries(df).count() == 1  # extraction is mechanical
