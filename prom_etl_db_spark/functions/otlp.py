@@ -1,0 +1,457 @@
+"""OTLP metrics ingestion: the OpenTelemetry push protocol's
+``ExportMetricsServiceRequest``, decoded by the same from-scratch
+proto3 wire walk as remote-write.
+
+Reference scope: samzong/prom-etl-db PULLS from the Prometheus HTTP
+query API (internal/prometheus/client.go); OTLP is the OTHER push
+protocol of that ecosystem (Prometheus itself accepts OTLP ingestion
+on ``/api/v1/otlp/v1/metrics``), so an engine claiming the
+reference's ingestion surface must accept both pushes. The message
+schema implemented is the public opentelemetry-proto (metrics.proto /
+common.proto / resource.proto, Apache-2.0 spec repo):
+
+- ExportMetricsServiceRequest.resource_metrics = 1
+- ResourceMetrics.resource = 1, .scope_metrics = 2
+- Resource.attributes = 1 (repeated KeyValue)
+- KeyValue.key = 1, .value = 2 (AnyValue); AnyValue.string_value = 1,
+  .bool_value = 2 (varint), .int_value = 3 (varint), .double_value = 4
+  (fixed64)
+- ScopeMetrics.scope = 1 (InstrumentationScope.name = 1,
+  .version = 2), .metrics = 2
+- Metric.name = 1, .description = 2, .unit = 3; data oneof:
+  gauge = 5, sum = 7, histogram = 9, exponential_histogram = 10,
+  summary = 11
+- Gauge.data_points = 1; Sum.data_points = 1,
+  .aggregation_temporality = 2 (enum varint), .is_monotonic = 3
+- NumberDataPoint.start_time_unix_nano = 2 (fixed64),
+  .time_unix_nano = 3 (fixed64), .as_double = 4 (fixed64 double),
+  .exemplars = 5, .as_int = 6 (sfixed64), .attributes = 7, .flags = 8
+
+Documented subset (DIVERGENCES.md): gauge and sum with
+NumberDataPoint (the two shapes Prometheus remote-write also carries);
+histogram / exponential_histogram / summary data REFUSE loudly with
+ValueError — their bucket algebra deserves its own oracle, and
+silently dropping points would corrupt rollups. Attribute values
+decode string/bool/int/double; nested array/kvlist values refuse.
+Unknown FIELDS skip per proto3 forward-compat rules (that is what the
+spec requires of any reader); unknown DATA SHAPES refuse (that is a
+semantic boundary, not a wire one). OTLP/HTTP bodies are commonly
+gzip-compressed — ``otlp_samples`` accepts plain or gzip payloads
+(stdlib gzip; magic-sniffed per payload).
+
+Doubles ride fixed64 and ints ride sfixed64/varint, so decoded values
+are BIT-exact against the fixture encoder — the remote-write oracle
+discipline. Malformed input refuses loudly with ValueError (every
+nested length bounds-checked; the corrupt-stream fuzz convention).
+
+Spark shape: one ``mapInPandas`` over the payload column — stateless,
+Arrow-batched, zero shuffle; parallelism is per payload blob, exactly
+how OTLP exporters batch (one request per export interval per agent).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from prom_etl_db_spark.functions.remote_write import (
+    _enc_field,
+    _enc_len,
+    _enc_uvarint,
+    _skip,
+    _uvarint,
+)
+
+_DATA_FIELDS = {5: "gauge", 7: "sum", 9: "histogram",
+                10: "exponential_histogram", 11: "summary"}
+_REFUSED_DATA = {"histogram", "exponential_histogram", "summary"}
+
+
+# --- fixture/test encoder -----------------------------------------------------
+
+
+def _enc_anyvalue(v) -> bytes:
+    if isinstance(v, bool):
+        return _enc_field(2, 0) + _enc_uvarint(int(v))
+    if isinstance(v, int):
+        return _enc_field(3, 0) + _enc_uvarint(v)
+    if isinstance(v, float):
+        return _enc_field(4, 1) + struct.pack("<d", v)
+    return _enc_len(1, str(v).encode())
+
+
+def _enc_attrs(attrs: dict, field_num: int) -> bytes:
+    out = bytearray()
+    for k, v in attrs.items():
+        kv = _enc_len(1, k.encode()) + _enc_len(2, _enc_anyvalue(v))
+        out += _enc_len(field_num, kv)
+    return bytes(out)
+
+
+def _enc_point(p: dict) -> bytes:
+    out = bytearray()
+    if p.get("start_time_unix_nano"):
+        out += _enc_field(2, 1) + struct.pack("<Q", p["start_time_unix_nano"])
+    out += _enc_field(3, 1) + struct.pack("<Q", p["time_unix_nano"])
+    v = p["value"]
+    if isinstance(v, float):
+        out += _enc_field(4, 1) + struct.pack("<d", v)
+    else:
+        out += _enc_field(6, 1) + struct.pack("<q", v)
+    out += _enc_attrs(p.get("attrs", {}), 7)
+    return bytes(out)
+
+
+def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
+    """Fixture/test encoder. Shape::
+
+        [{"resource": {k: v}, "scopes": [{"name": ..., "version": ...,
+          "metrics": [{"name": ..., "unit": ..., "type": "gauge"|"sum",
+            "temporality": int, "is_monotonic": bool,
+            "points": [{"attrs": {k: v}, "time_unix_nano": int,
+                        "start_time_unix_nano": int, "value": float|int}]
+          }]}]}]
+
+    A float point value encodes as_double (fixed64); an int encodes
+    as_int (sfixed64) — mirroring the decoder's bit-exact paths.
+    """
+    req = bytearray()
+    for rm in resource_metrics:
+        rm_msg = bytearray()
+        rm_msg += _enc_len(1, _enc_attrs(rm.get("resource", {}), 1))
+        for sc in rm.get("scopes", []):
+            scope = _enc_len(1, sc.get("name", "").encode())
+            if sc.get("version"):
+                scope += _enc_len(2, sc["version"].encode())
+            sm_msg = bytearray(_enc_len(1, scope))
+            for m in sc.get("metrics", []):
+                m_msg = bytearray(_enc_len(1, m["name"].encode()))
+                if m.get("unit"):
+                    m_msg += _enc_len(3, m["unit"].encode())
+                pts = b"".join(_enc_len(1, _enc_point(p)) for p in m["points"])
+                if m.get("type", "gauge") == "gauge":
+                    m_msg += _enc_len(5, pts)
+                else:
+                    sum_msg = bytearray(pts)
+                    sum_msg += _enc_field(2, 0) + _enc_uvarint(
+                        m.get("temporality", 2)
+                    )
+                    sum_msg += _enc_field(3, 0) + _enc_uvarint(
+                        int(m.get("is_monotonic", False))
+                    )
+                    m_msg += _enc_len(7, bytes(sum_msg))
+                sm_msg += _enc_len(2, bytes(m_msg))
+            rm_msg += _enc_len(2, bytes(sm_msg))
+        req += _enc_len(1, bytes(rm_msg))
+    return bytes(req)
+
+
+# --- decoder ------------------------------------------------------------------
+
+
+def _check(pos: int, ln: int, n: int, what: str) -> None:
+    if pos + ln > n:
+        raise ValueError(f"otlp: {what} overruns buffer at {pos}")
+
+
+def _parse_anyvalue(data: bytes):
+    pos, n = 0, len(data)
+    val = None
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "string value")
+            val = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif num == 2 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            val = bool(raw)
+        elif num == 3 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            val = raw - (1 << 64) if raw >= 1 << 63 else raw
+        elif num == 4 and wire == 1:
+            _check(pos, 8, n, "double value")
+            val = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num in (5, 6):
+            raise ValueError(f"otlp: array/kvlist attribute values not implemented")
+        else:
+            pos = _skip(data, pos, wire)
+    return val
+
+
+def _parse_attrs(data: bytes) -> tuple[str, object]:
+    pos, n = 0, len(data)
+    key, val = "", None
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "attr key")
+            key = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif num == 2 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "attr value")
+            val = _parse_anyvalue(data[pos : pos + ln])
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    return key, val
+
+
+def _parse_point(data: bytes) -> dict:
+    pos, n = 0, len(data)
+    p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
+               "value_double": None, "value_int": None}
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 2 and wire == 1:
+            _check(pos, 8, n, "start_time")
+            p["start_time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 3 and wire == 1:
+            _check(pos, 8, n, "time")
+            p["time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 4 and wire == 1:
+            _check(pos, 8, n, "as_double")
+            p["value_double"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 6 and wire == 1:
+            _check(pos, 8, n, "as_int")
+            p["value_int"] = struct.unpack("<q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 7 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "point attribute")
+            k, v = _parse_attrs(data[pos : pos + ln])
+            p["attrs"][k] = v
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    return p
+
+
+def _parse_metric(data: bytes) -> dict:
+    pos, n = 0, len(data)
+    m: dict = {"name": "", "unit": "", "data_type": None, "temporality": None,
+               "is_monotonic": None, "points": []}
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "metric name")
+            m["name"] = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif num == 3 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "metric unit")
+            m["unit"] = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif num in _DATA_FIELDS and wire == 2:
+            kind = _DATA_FIELDS[num]
+            if kind in _REFUSED_DATA:
+                raise ValueError(
+                    f"otlp: {kind} data points not implemented "
+                    f"(metric {m['name']!r}); gauge/sum only — "
+                    "DIVERGENCES.md documents the subset"
+                )
+            m["data_type"] = kind
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, f"{kind} data")
+            body, bp = data[pos : pos + ln], 0
+            pos += ln
+            while bp < len(body):
+                bh, bp = _uvarint(body, bp)
+                bnum, bwire = bh >> 3, bh & 7
+                if bnum == 1 and bwire == 2:
+                    l2, bp = _uvarint(body, bp)
+                    _check(bp, l2, len(body), "data point")
+                    m["points"].append(_parse_point(body[bp : bp + l2]))
+                    bp += l2
+                elif kind == "sum" and bnum == 2 and bwire == 0:
+                    raw, bp = _uvarint(body, bp)
+                    m["temporality"] = raw
+                elif kind == "sum" and bnum == 3 and bwire == 0:
+                    raw, bp = _uvarint(body, bp)
+                    m["is_monotonic"] = bool(raw)
+                else:
+                    bp = _skip(body, bp, bwire)
+        else:
+            pos = _skip(data, pos, wire)
+    return m
+
+
+def decode_export_metrics(data: bytes) -> list[dict]:
+    """ExportMetricsServiceRequest bytes → one dict per DATA POINT:
+    (resource attrs, scope name/version, metric name/unit/data_type,
+    sum temporality/is_monotonic, point attrs/times/value_double/
+    value_int). Unknown fields skip per proto3; histogram-family data
+    and framing violations raise ValueError."""
+    out: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num != 1 or wire != 2:
+            pos = _skip(data, pos, wire)
+            continue
+        ln, pos = _uvarint(data, pos)
+        _check(pos, ln, n, "resource_metrics")
+        rm, rp = data[pos : pos + ln], 0
+        pos += ln
+        resource: dict = {}
+        scopes: list[tuple[str, str, list[dict]]] = []
+        while rp < len(rm):
+            rh, rp = _uvarint(rm, rp)
+            rnum, rwire = rh >> 3, rh & 7
+            if rnum == 1 and rwire == 2:
+                l2, rp = _uvarint(rm, rp)
+                _check(rp, l2, len(rm), "resource")
+                res, sp = rm[rp : rp + l2], 0
+                rp += l2
+                while sp < len(res):
+                    sh, sp = _uvarint(res, sp)
+                    snum, swire = sh >> 3, sh & 7
+                    if snum == 1 and swire == 2:
+                        l3, sp = _uvarint(res, sp)
+                        _check(sp, l3, len(res), "resource attribute")
+                        k, v = _parse_attrs(res[sp : sp + l3])
+                        resource[k] = v
+                        sp += l3
+                    else:
+                        sp = _skip(res, sp, swire)
+            elif rnum == 2 and rwire == 2:
+                l2, rp = _uvarint(rm, rp)
+                _check(rp, l2, len(rm), "scope_metrics")
+                sm, sp = rm[rp : rp + l2], 0
+                rp += l2
+                sc_name, sc_ver = "", ""
+                metrics: list[dict] = []
+                while sp < len(sm):
+                    sh, sp = _uvarint(sm, sp)
+                    snum, swire = sh >> 3, sh & 7
+                    if snum == 1 and swire == 2:
+                        l3, sp = _uvarint(sm, sp)
+                        _check(sp, l3, len(sm), "scope")
+                        sc, cp = sm[sp : sp + l3], 0
+                        sp += l3
+                        while cp < len(sc):
+                            ch, cp = _uvarint(sc, cp)
+                            cnum, cwire = ch >> 3, ch & 7
+                            if cnum == 1 and cwire == 2:
+                                l4, cp = _uvarint(sc, cp)
+                                _check(cp, l4, len(sc), "scope name")
+                                sc_name = sc[cp : cp + l4].decode("utf-8")
+                                cp += l4
+                            elif cnum == 2 and cwire == 2:
+                                l4, cp = _uvarint(sc, cp)
+                                _check(cp, l4, len(sc), "scope version")
+                                sc_ver = sc[cp : cp + l4].decode("utf-8")
+                                cp += l4
+                            else:
+                                cp = _skip(sc, cp, cwire)
+                    elif snum == 2 and swire == 2:
+                        l3, sp = _uvarint(sm, sp)
+                        _check(sp, l3, len(sm), "metric")
+                        metrics.append(_parse_metric(sm[sp : sp + l3]))
+                        sp += l3
+                    else:
+                        sp = _skip(sm, sp, swire)
+                scopes.append((sc_name, sc_ver, metrics))
+            else:
+                rp = _skip(rm, rp, rwire)
+        for sc_name, sc_ver, metrics in scopes:
+            for m in metrics:
+                for p in m["points"]:
+                    out.append(
+                        {
+                            "resource": dict(resource),
+                            "scope_name": sc_name,
+                            "scope_version": sc_ver,
+                            "metric_name": m["name"],
+                            "unit": m["unit"],
+                            "data_type": m["data_type"],
+                            "temporality": m["temporality"],
+                            "is_monotonic": m["is_monotonic"],
+                            "attrs": p["attrs"],
+                            "start_time_unix_nano": p["start_time_unix_nano"],
+                            "time_unix_nano": p["time_unix_nano"],
+                            "value_double": p["value_double"],
+                            "value_int": p["value_int"],
+                        }
+                    )
+    return out
+
+
+OTLP_SCHEMA = T.StructType(
+    [
+        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("scope_name", T.StringType()),
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("data_type", T.StringType()),
+        T.StructField("temporality", T.IntegerType()),
+        T.StructField("is_monotonic", T.BooleanType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("time_unix_nano", T.LongType()),
+        T.StructField("value_double", T.DoubleType()),
+        T.StructField("value_int", T.LongType()),
+    ]
+)
+
+
+def otlp_samples(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, ExportMetricsServiceRequest bytes — plain or gzip, sniffed
+    per payload by the 1f8b magic) → one row per data point. Attribute
+    maps are stringified (the sample-record label convention the
+    remote-write path also lands in); numeric values keep their typed
+    columns (value_double / value_int) so bit-exactness survives."""
+    schema = T.StructType([payloads.schema[id_col]] + list(OTLP_SCHEMA.fields))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                for r in decode_export_metrics(raw):
+                    rows.append(
+                        {
+                            id_col: pid,
+                            "resource": {
+                                k: str(v) for k, v in r["resource"].items()
+                            },
+                            "scope_name": r["scope_name"],
+                            "metric_name": r["metric_name"],
+                            "unit": r["unit"],
+                            "data_type": r["data_type"],
+                            "temporality": r["temporality"],
+                            "is_monotonic": r["is_monotonic"],
+                            "attrs": {k: str(v) for k, v in r["attrs"].items()},
+                            "time_unix_nano": r["time_unix_nano"],
+                            "value_double": r["value_double"],
+                            "value_int": r["value_int"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)

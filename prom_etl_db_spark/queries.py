@@ -133,6 +133,13 @@ _GATE_PRIORITY = [
     "doc_chunking",
     "tpch_q5_local_revenue",
     # --- (d) new r7 queries (inserted as implemented) ---------------------
+    # otlp_metrics_decode: NEW — the OTLP push protocol (proto3 wire
+    # walk over resource→scope→metric→points, gzip sniff), bit-exact
+    # fixed64/sfixed64 values, closed-form oracle over events.
+    "otlp_metrics_decode",
+    # metrics_pipeline_v3: NEW — OTLP → relabel → sharded rollup, the
+    # v2 composition with the second push protocol feeding it.
+    "metrics_pipeline_v3",
     # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
     # r3 block follows in registry order after this list) ------------------
     "minhash_signatures",

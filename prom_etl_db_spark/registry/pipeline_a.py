@@ -508,3 +508,199 @@ def scrape_target_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         rendezvous_assign(F.col("user_id").cast("string"), _HRW_NODES).alias("node"),
     )
+
+
+@register(
+    "otlp_metrics_decode",
+    oracle="""
+SELECT event_id AS push_id,
+  'svc-' || CAST(user_id % 4 AS BIGINT) AS service,
+  'app' AS scope_name,
+  event_type AS metric_name,
+  CASE WHEN event_id % 2 = 0 THEN 'gauge' ELSE 'sum' END AS data_type,
+  CAST(CASE WHEN event_id % 2 = 1 THEN 2 END AS INT) AS temporality,
+  CASE WHEN event_id % 2 = 1 THEN TRUE END AS is_monotonic,
+  CAST(user_id AS VARCHAR) AS user_attr,
+  CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000000000 AS BIGINT)
+    AS time_unix_nano,
+  CASE WHEN event_id % 2 = 0 THEN value END AS value_double,
+  CAST(CASE WHEN event_id % 2 = 1 THEN user_id END AS BIGINT) AS value_int
+FROM events
+""",
+)
+def otlp_metrics_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r7, VERDICT r6 task #4): OTLP metrics ingestion —
+    the OTHER push protocol of the reference's ecosystem (Prometheus
+    accepts OTLP on /api/v1/otlp/v1/metrics; the reference's pull
+    client is internal/prometheus/client.go). Each event becomes one
+    ExportMetricsServiceRequest built by the fixture encoder — even
+    event_ids a GAUGE point carrying the event value as fixed64
+    as_double (BIT-exact on the wire), odd event_ids a cumulative
+    monotonic SUM carrying user_id as sfixed64 as_int (exact) — and
+    every third payload is additionally gzip-compressed to exercise
+    the OTLP/HTTP content-encoding sniff. The REAL decoder (the same
+    from-scratch proto3 wire walk as remote-write, one more message
+    schema: resource → scope → metric → number data points) recovers
+    resource attrs, scope, metric identity, sum temporality/
+    monotonicity, point attrs and the typed values; the oracle
+    restates all of it as closed forms over events. Plan: two
+    Arrow-batched stages (encode fixture, decode), zero shuffle,
+    per-payload parallel — OTLP exporters batch one request per
+    export interval per agent. See functions/otlp.py (corrupt-stream
+    fuzz gates in tests/test_otlp.py)."""
+    import gzip as _gzip
+
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+
+    t = F.col("ts")
+    epoch_s = (
+        F.datediff(t.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(t).cast("long") * 3600
+        + F.minute(t).cast("long") * 60
+        + F.second(t).cast("long")
+    )
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "value",
+        (epoch_s * 1_000_000_000).cast("long").alias("ts_ns"),
+    )
+
+    def build(
+        eid: pd.Series, name: pd.Series, user: pd.Series,
+        val: pd.Series, ts: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for e, n, u, v, tns in zip(eid, name, user, val, ts):
+            if int(e) % 2 == 0:
+                metric = {
+                    "name": n, "unit": "1", "type": "gauge",
+                    "points": [{"attrs": {"user": str(u)},
+                                "time_unix_nano": int(tns),
+                                "value": float(v)}],
+                }
+            else:
+                metric = {
+                    "name": n, "unit": "1", "type": "sum",
+                    "temporality": 2, "is_monotonic": True,
+                    "points": [{"attrs": {"user": str(u)},
+                                "time_unix_nano": int(tns),
+                                "value": int(u)}],
+                }
+            req = OT.encode_export_metrics(
+                [{
+                    "resource": {"service.name": f"svc-{int(u) % 4}"},
+                    "scopes": [{"name": "app", "metrics": [metric]}],
+                }]
+            )
+            if int(e) % 3 == 0:
+                req = _gzip.compress(req, compresslevel=1)
+            out.append(req)
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id", "value", "ts_ns").alias("body"),
+    )
+    out = OT.otlp_samples(payloads)
+    return out.select(
+        "push_id",
+        F.col("resource")["service.name"].alias("service"),
+        "scope_name",
+        "metric_name",
+        "data_type",
+        "temporality",
+        "is_monotonic",
+        F.col("attrs")["user"].alias("user_attr"),
+        "time_unix_nano",
+        "value_double",
+        "value_int",
+    )
+
+
+@register(
+    "metrics_pipeline_v3",
+    oracle="""
+SELECT event_type AS name,
+  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16))::UBIGINT % 8
+       AS VARCHAR) AS shard,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 4) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY 1, 2
+""",
+)
+def metrics_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-arc FLAGSHIP v3 (r7): the OTLP push path composed end to end —
+    gauge ExportMetricsServiceRequests (proto3 wire walk, values
+    bit-exact on fixed64) → attrs promoted into the Prometheus label
+    shape → relabel_configs (keep purchase|click, hashmod 8-way shard)
+    → the per-(metric, shard) rollup a sharded TSDB router runs: the
+    same downstream as metrics_pipeline_v2, proving the two push
+    protocols land in ONE set of operators. Each stage is individually
+    oracle-gated (otlp_metrics_decode, relabel_pipeline); the oracle
+    restates the chain as closed forms over events. Only the final sum
+    is rounded (engine summation order)."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+    from prom_etl_db_spark.operators.relabel import RelabelConfig as C
+    from prom_etl_db_spark.operators.relabel import apply_relabel
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+
+    def build(name: pd.Series, user: pd.Series, val: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                OT.encode_export_metrics(
+                    [{
+                        "resource": {"service.name": "push-gw"},
+                        "scopes": [{
+                            "name": "app",
+                            "metrics": [{
+                                "name": n, "type": "gauge",
+                                "points": [{"attrs": {"user": str(u)},
+                                            "time_unix_nano": 1706572800_000000000,
+                                            "value": float(v)}],
+                            }],
+                        }],
+                    }]
+                )
+                for n, u, v in zip(name, user, val)
+            ]
+        )
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id", "value").alias("body"),
+    )
+    samples = OT.otlp_samples(payloads)
+    labeled = samples.select(
+        "push_id",
+        F.col("value_double").alias("value"),
+        F.map_concat(
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+            F.col("attrs"),
+        ).alias("labels"),
+    )
+    routed = apply_relabel(
+        labeled,
+        [
+            C(action="keep", source_labels=("__name__",), regex="purchase|click"),
+            C(action="hashmod", source_labels=("user",), target_label="shard", modulus=8),
+        ],
+    )
+    return (
+        routed.groupBy(
+            F.col("labels")["__name__"].alias("name"),
+            F.col("labels")["shard"].alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

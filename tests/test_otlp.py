@@ -1,0 +1,137 @@
+"""OTLP metrics decode (functions/otlp.py — round 7): roundtrip
+bit-exactness, proto3 unknown-field skipping, the histogram-family
+loud refusal, corrupt-stream fuzz, and the gzip payload sniff."""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+import pytest
+
+from prom_etl_db_spark.functions import otlp as O
+
+
+def _req(points, mtype="gauge", **metric_kw):
+    return [
+        {
+            "resource": {"service.name": "svc-1", "host": "h1"},
+            "scopes": [
+                {
+                    "name": "app",
+                    "version": "1.2",
+                    "metrics": [
+                        {"name": "m", "unit": "s", "type": mtype,
+                         "points": points, **metric_kw}
+                    ],
+                }
+            ],
+        }
+    ]
+
+
+def test_gauge_roundtrip_bit_exact_doubles():
+    vals = [0.1, -0.0, float("inf"), 2.0**-1074, 1e308, 3.14159]
+    pts = [{"attrs": {"k": "v"}, "time_unix_nano": 10 + i, "value": v}
+           for i, v in enumerate(vals)]
+    got = O.decode_export_metrics(O.encode_export_metrics(_req(pts)))
+    assert len(got) == len(vals)
+    assert [struct.pack("<d", r["value_double"]) for r in got] == [
+        struct.pack("<d", v) for v in vals
+    ]
+    r = got[0]
+    assert r["resource"] == {"service.name": "svc-1", "host": "h1"}
+    assert (r["scope_name"], r["scope_version"]) == ("app", "1.2")
+    assert (r["metric_name"], r["unit"], r["data_type"]) == ("m", "s", "gauge")
+    assert r["attrs"] == {"k": "v"}
+    assert r["time_unix_nano"] == 10
+    assert r["value_int"] is None
+
+
+def test_sum_roundtrip_int_temporality_monotonic():
+    pts = [{"attrs": {}, "time_unix_nano": 7,
+            "start_time_unix_nano": 3, "value": -42}]
+    got = O.decode_export_metrics(
+        O.encode_export_metrics(
+            _req(pts, mtype="sum", temporality=2, is_monotonic=True)
+        )
+    )
+    (r,) = got
+    assert r["data_type"] == "sum"
+    assert r["temporality"] == 2
+    assert r["is_monotonic"] is True
+    assert r["value_int"] == -42 and r["value_double"] is None
+    assert r["start_time_unix_nano"] == 3 and r["time_unix_nano"] == 7
+
+
+def test_typed_attribute_values():
+    pts = [{"attrs": {"s": "x", "b": True, "i": -5, "d": 2.5},
+            "time_unix_nano": 1, "value": 1.0}]
+    (r,) = O.decode_export_metrics(O.encode_export_metrics(_req(pts)))
+    assert r["attrs"] == {"s": "x", "b": True, "i": -5, "d": 2.5}
+
+
+def test_unknown_fields_skipped():
+    from prom_etl_db_spark.functions.remote_write import _enc_field, _enc_uvarint
+
+    enc = bytearray(
+        O.encode_export_metrics(_req([{"time_unix_nano": 1, "value": 1.5}]))
+    )
+    # unknown top-level field 9 (varint) + field 6 (fixed32)
+    enc += _enc_field(9, 0) + _enc_uvarint(777)
+    enc += _enc_field(6, 5) + b"\x01\x02\x03\x04"
+    got = O.decode_export_metrics(bytes(enc))
+    assert len(got) == 1 and got[0]["value_double"] == 1.5
+
+
+def test_histogram_family_refused_loudly():
+    from prom_etl_db_spark.functions.remote_write import _enc_len
+
+    for field in (9, 10, 11):  # histogram / exp histogram / summary
+        metric = _enc_len(1, b"h") + _enc_len(field, b"")
+        sm = _enc_len(2, metric)
+        rm = _enc_len(2, sm)
+        req = _enc_len(1, rm)
+        with pytest.raises(ValueError, match="not implemented"):
+            O.decode_export_metrics(req)
+
+
+def test_array_attr_values_refused():
+    from prom_etl_db_spark.functions.remote_write import _enc_len
+
+    # KeyValue with AnyValue.array_value (field 5)
+    kv = _enc_len(1, b"k") + _enc_len(2, _enc_len(5, b""))
+    res = _enc_len(1, kv)
+    rm = _enc_len(1, res)
+    req = _enc_len(1, rm)
+    with pytest.raises(ValueError, match="array/kvlist"):
+        O.decode_export_metrics(req)
+
+
+def test_corrupt_fuzz_refuses_loudly():
+    enc = O.encode_export_metrics(
+        _req([{"attrs": {"a": "b"}, "time_unix_nano": 9, "value": 2.5}],
+             mtype="sum", temporality=1, is_monotonic=False)
+    )
+    for cut in range(len(enc)):
+        try:
+            O.decode_export_metrics(enc[:cut])
+        except ValueError:
+            continue
+    for pos in range(len(enc)):
+        mutated = bytearray(enc)
+        mutated[pos] ^= 0xFF
+        try:
+            O.decode_export_metrics(bytes(mutated))
+        except (ValueError, UnicodeDecodeError):
+            continue
+
+
+def test_otlp_samples_gzip_sniff(spark):
+    enc = O.encode_export_metrics(_req([{"time_unix_nano": 5, "value": 1.25}]))
+    rows = [(1, enc), (2, gzip.compress(enc))]
+    df = spark.createDataFrame(rows, "push_id long, body binary")
+    got = {r["push_id"]: r for r in O.otlp_samples(df).collect()}
+    assert got[1]["value_double"] == got[2]["value_double"] == 1.25
+    assert got[1]["resource"]["service.name"] == "svc-1"
+    assert got[1]["data_type"] == "gauge"

@@ -591,6 +591,33 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         _budf("event_type", "user_id", "value", F.lit(1706572800000)).alias("body"),
     )
     run("remote_write_decode", _rw.remote_write_samples(rw_payloads))
+
+    # OTLP decode (r7): the same per-payload posture as remote-write —
+    # one mapInPandas wire walk, zero shuffle; payload count grows
+    # k-linearly with replicated events.
+    from prom_etl_db_spark.functions import otlp as _ot
+
+    def _build_otlp(name, user, val):
+        import pandas as _pd
+        return _pd.Series([
+            _ot.encode_export_metrics([{
+                "resource": {"service.name": f"svc-{int(u) % 4}"},
+                "scopes": [{"name": "app", "metrics": [{
+                    "name": n, "type": "gauge",
+                    "points": [{"attrs": {"user": str(u)},
+                                "time_unix_nano": 1706572800_000000000,
+                                "value": float(v)}],
+                }]}],
+            }])
+            for n, u, v in zip(name, user, val)
+        ])
+
+    _obudf = F.pandas_udf(_build_otlp, returnType=_Bin())
+    otlp_payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _obudf("event_type", "user_id", "value").alias("body"),
+    )
+    run("otlp_decode", _ot.otlp_samples(otlp_payloads))
     wet_pages = docs.select(
         "doc_id",
         F.concat(F.lit("http://h/"), F.col("doc_id").cast("string")).alias("target_uri"),
