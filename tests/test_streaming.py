@@ -1091,3 +1091,67 @@ def test_streaming_remote_write_rollup_matches_batch_across_restart(spark, tmp_p
         F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
     )
     assert sorted(map(tuple, got_g.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_url_dedup_matches_batch_across_restart(spark, tmp_path):
+    """Crawl-arc URL dedup twin (r7): the streaming seen-set
+    (dropDuplicatesWithinWatermark on canonical_url, state bounded by
+    the recrawl horizon) must admit exactly the batch url_dedup keep
+    set over the union of both file batches, across a checkpoint
+    restart — a canonical URL admitted before the restart must NOT be
+    re-admitted after it (the seen-set crosses the checkpoint), and
+    syntactic variants must collapse to one admission."""
+    from datetime import datetime, timedelta
+
+    from prom_etl_db_spark.functions.urlnorm import url_dedup
+    from prom_etl_db_spark.streaming.jobs import stream_url_dedup
+
+    t0 = datetime(2024, 1, 1)
+    # batch 1: docs 0-9 — pages p0..p4 each under two syntactic variants
+    rows1 = [
+        (
+            i,
+            (
+                f"http://www.Site.com:80/a/../p{i // 2}?b=2&a=1#f"
+                if i % 2
+                else f"HTTP://WWW.SITE.COM/./p{i // 2}?a=1&b=2"
+            ),
+            t0 + timedelta(minutes=i),
+        )
+        for i in range(10)
+    ]
+    # batch 2 (lands after the restart): docs 10-15 — pages p3..p5:
+    # p3/p4 are RE-fetches of batch-1 pages (must not re-admit), p5 new
+    rows2 = [
+        (10 + j, f"http://www.site.com/p{3 + j // 2}?a=1&b=2",
+         t0 + timedelta(minutes=60 + j))
+        for j in range(6)
+    ]
+    schema = "doc_id long, url string, ts timestamp"
+    src = str(tmp_path / "url_src")
+    sink = str(tmp_path / "url_sink")
+    ckpt = str(tmp_path / "url_ckpt")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    stream_url_dedup(spark, src, sink, ckpt).awaitTermination(120)
+    got1 = spark.read.parquet(sink)
+    assert got1.count() == 5  # p0..p4, variants collapsed
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_url_dedup(spark, src, sink, ckpt).awaitTermination(120)
+    got2 = spark.read.parquet(sink)
+    # p5 is the only new admission; p3/p4 re-fetches blocked ACROSS the
+    # restart by the checkpointed seen-set
+    assert got2.count() == 6
+    assert got2.select("canonical_url").distinct().count() == 6
+    # stream ≡ batch over the union: same canonical set, same keepers
+    # (arrival order = doc_id order, so first-arrival = keep-min)
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    batch = url_dedup(union.select("doc_id", "url"))
+    assert {
+        (r["canonical_url"], r["doc_id"])
+        for r in got2.select("canonical_url", "doc_id").collect()
+    } == {
+        (r["canonical_url"], r["keep_doc_id"])
+        for r in batch.select("canonical_url", "keep_doc_id").collect()
+    }
