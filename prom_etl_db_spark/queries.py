@@ -140,6 +140,10 @@ _GATE_PRIORITY = [
     # metrics_pipeline_v3: NEW — OTLP → relabel → sharded rollup, the
     # v2 composition with the second push protocol feeding it.
     "metrics_pipeline_v3",
+    # payload_zstd_roundtrip: NEW — RFC 8878 zstd decoder, interop-
+    # gated against libzstd (pyarrow) across levels 1-22; decode-
+    # derived features hash-check the roundtrip.
+    "payload_zstd_roundtrip",
     # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
     # r3 block follows in registry order after this list) ------------------
     "minhash_signatures",

@@ -62,18 +62,24 @@ def scaled_events(spark, sf_dir: str, k: int) -> DataFrame:
 
 
 def scaled_docs(spark, sf_dir: str, k: int) -> DataFrame:
-    """Copy i rewrites letters under alphabet rotation i: shingles are
-    disjoint across copies (letters all differ; only all-digit/punct
-    shingles could collide), identical within a copy — dup output grows
-    k-linearly with a fixed dup fraction."""
-    if k > 26:
-        raise ValueError("Caesar-shift replicas support k <= 26")
+    """Copy i rewrites letters under a bijective char map: alphabet
+    rotation i%26, composed with a CASE SWAP for copies 26..51 (also
+    bijective, so within-copy dup structure stays exact). Shingles are
+    disjoint across copies — letters all differ between distinct
+    shifts, and a same-shift swapped pair differs on any shingle
+    containing a cased letter; only all-digit/punct shingles could
+    collide, the same caveat class the 26-copy design already carries
+    — so dup output grows k-linearly with a fixed dup fraction."""
+    if k > 52:
+        raise ValueError("bijective char-map replicas support k <= 52")
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
     base = load_table(spark, sf_dir, "documents")
     parts = []
     for i in range(k):
-        rot = lower[i:] + lower[:i] + upper[i:] + upper[:i]
+        s = i % 26
+        rot_l, rot_u = lower[s:] + lower[:s], upper[s:] + upper[:s]
+        rot = (rot_u + rot_l) if i >= 26 else (rot_l + rot_u)
         parts.append(
             base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
             .withColumn("text", F.translate(F.col("text"), lower + upper, rot))
@@ -699,6 +705,12 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("netpbm_decode", _np(docs))
     run("tiff_decode", _tf(docs))
     run("lz4_roundtrip", _lz(docs))
+
+    # zstd (r7): same per-doc mapInPandas posture; the decode walks
+    # REAL libzstd frames (pyarrow compress in-UDF).
+    from prom_etl_db_spark.functions.zstd import zstd_roundtrip_features as _zs
+
+    run("zstd_roundtrip", _zs(docs))
     return times
 
 
