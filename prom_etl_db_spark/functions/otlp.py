@@ -28,10 +28,13 @@ common.proto / resource.proto, Apache-2.0 spec repo):
   .exemplars = 5, .as_int = 6 (sfixed64), .attributes = 7, .flags = 8
 
 Documented subset (DIVERGENCES.md): gauge and sum with
-NumberDataPoint (the two shapes Prometheus remote-write also carries);
-histogram / exponential_histogram / summary data REFUSE loudly with
-ValueError — their bucket algebra deserves its own oracle, and
-silently dropping points would corrupt rollups. Attribute values
+NumberDataPoint (the two shapes Prometheus remote-write also carries)
+plus explicit-bounds Histogram (HistogramDataPoint: fixed64 count,
+optional sum/min/max doubles, PACKED fixed64 bucket_counts and PACKED
+double explicit_bounds — the classic-histogram shape that maps onto
+Prometheus le-buckets); exponential_histogram / summary data REFUSE
+loudly with ValueError — their scale/quantile algebra deserves its own
+oracle, and silently dropping points would corrupt rollups. Attribute values
 decode string/bool/int/double; nested array/kvlist values refuse.
 Unknown FIELDS skip per proto3 forward-compat rules (that is what the
 spec requires of any reader); unknown DATA SHAPES refuse (that is a
@@ -69,7 +72,7 @@ from prom_etl_db_spark.functions.remote_write import (
 
 _DATA_FIELDS = {5: "gauge", 7: "sum", 9: "histogram",
                 10: "exponential_histogram", 11: "summary"}
-_REFUSED_DATA = {"histogram", "exponential_histogram", "summary"}
+_REFUSED_DATA = {"exponential_histogram", "summary"}
 
 
 # --- fixture/test encoder -----------------------------------------------------
@@ -107,6 +110,29 @@ def _enc_point(p: dict) -> bytes:
     return bytes(out)
 
 
+def _enc_hist_point(p: dict) -> bytes:
+    """HistogramDataPoint: count=4 fixed64, sum=5 double,
+    bucket_counts=6 PACKED fixed64, explicit_bounds=7 PACKED double,
+    attributes=9, min=11, max=12."""
+    out = bytearray()
+    if p.get("start_time_unix_nano"):
+        out += _enc_field(2, 1) + struct.pack("<Q", p["start_time_unix_nano"])
+    out += _enc_field(3, 1) + struct.pack("<Q", p["time_unix_nano"])
+    out += _enc_field(4, 1) + struct.pack("<Q", p["count"])
+    if p.get("sum") is not None:
+        out += _enc_field(5, 1) + struct.pack("<d", float(p["sum"]))
+    bc = p.get("bucket_counts", [])
+    out += _enc_len(6, b"".join(struct.pack("<Q", c) for c in bc))
+    eb = p.get("explicit_bounds", [])
+    out += _enc_len(7, b"".join(struct.pack("<d", b) for b in eb))
+    out += _enc_attrs(p.get("attrs", {}), 9)
+    if p.get("min") is not None:
+        out += _enc_field(11, 1) + struct.pack("<d", float(p["min"]))
+    if p.get("max") is not None:
+        out += _enc_field(12, 1) + struct.pack("<d", float(p["max"]))
+    return bytes(out)
+
+
 def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
     """Fixture/test encoder. Shape::
 
@@ -133,10 +159,21 @@ def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
                 m_msg = bytearray(_enc_len(1, m["name"].encode()))
                 if m.get("unit"):
                     m_msg += _enc_len(3, m["unit"].encode())
-                pts = b"".join(_enc_len(1, _enc_point(p)) for p in m["points"])
-                if m.get("type", "gauge") == "gauge":
+                mtype = m.get("type", "gauge")
+                if mtype == "histogram":
+                    pts = b"".join(
+                        _enc_len(1, _enc_hist_point(p)) for p in m["points"]
+                    )
+                    h_msg = bytearray(pts)
+                    h_msg += _enc_field(2, 0) + _enc_uvarint(
+                        m.get("temporality", 2)
+                    )
+                    m_msg += _enc_len(9, bytes(h_msg))
+                elif mtype == "gauge":
+                    pts = b"".join(_enc_len(1, _enc_point(p)) for p in m["points"])
                     m_msg += _enc_len(5, pts)
                 else:
+                    pts = b"".join(_enc_len(1, _enc_point(p)) for p in m["points"])
                     sum_msg = bytearray(pts)
                     sum_msg += _enc_field(2, 0) + _enc_uvarint(
                         m.get("temporality", 2)
@@ -242,6 +279,74 @@ def _parse_point(data: bytes) -> dict:
     return p
 
 
+def _parse_hist_point(data: bytes) -> dict:
+    pos, n = 0, len(data)
+    p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
+               "count": 0, "sum": None, "bucket_counts": [],
+               "explicit_bounds": [], "min": None, "max": None}
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 2 and wire == 1:
+            _check(pos, 8, n, "hist start_time")
+            p["start_time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 3 and wire == 1:
+            _check(pos, 8, n, "hist time")
+            p["time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 4 and wire == 1:
+            _check(pos, 8, n, "hist count")
+            p["count"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 5 and wire == 1:
+            _check(pos, 8, n, "hist sum")
+            p["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 6 and wire == 2:  # packed fixed64 bucket counts
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "bucket_counts")
+            if ln % 8:
+                raise ValueError("otlp: packed fixed64 length not multiple of 8")
+            p["bucket_counts"] = [
+                struct.unpack_from("<Q", data, pos + i)[0] for i in range(0, ln, 8)
+            ]
+            pos += ln
+        elif num == 7 and wire == 2:  # packed double bounds
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "explicit_bounds")
+            if ln % 8:
+                raise ValueError("otlp: packed double length not multiple of 8")
+            p["explicit_bounds"] = [
+                struct.unpack_from("<d", data, pos + i)[0] for i in range(0, ln, 8)
+            ]
+            pos += ln
+        elif num == 9 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "hist attribute")
+            k, v = _parse_attrs(data[pos : pos + ln])
+            p["attrs"][k] = v
+            pos += ln
+        elif num == 11 and wire == 1:
+            _check(pos, 8, n, "hist min")
+            p["min"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 12 and wire == 1:
+            _check(pos, 8, n, "hist max")
+            p["max"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        else:
+            pos = _skip(data, pos, wire)
+    if len(p["bucket_counts"]) and p["explicit_bounds"] and \
+            len(p["bucket_counts"]) != len(p["explicit_bounds"]) + 1:
+        raise ValueError(
+            "otlp: bucket_counts must have exactly one more entry than "
+            f"explicit_bounds ({len(p['bucket_counts'])} vs "
+            f"{len(p['explicit_bounds'])})"
+        )
+    return p
+
+
 def _parse_metric(data: bytes) -> dict:
     pos, n = 0, len(data)
     m: dict = {"name": "", "unit": "", "data_type": None, "temporality": None,
@@ -272,15 +377,16 @@ def _parse_metric(data: bytes) -> dict:
             _check(pos, ln, n, f"{kind} data")
             body, bp = data[pos : pos + ln], 0
             pos += ln
+            point_parser = _parse_hist_point if kind == "histogram" else _parse_point
             while bp < len(body):
                 bh, bp = _uvarint(body, bp)
                 bnum, bwire = bh >> 3, bh & 7
                 if bnum == 1 and bwire == 2:
                     l2, bp = _uvarint(body, bp)
                     _check(bp, l2, len(body), "data point")
-                    m["points"].append(_parse_point(body[bp : bp + l2]))
+                    m["points"].append(point_parser(body[bp : bp + l2]))
                     bp += l2
-                elif kind == "sum" and bnum == 2 and bwire == 0:
+                elif kind in ("sum", "histogram") and bnum == 2 and bwire == 0:
                     raw, bp = _uvarint(body, bp)
                     m["temporality"] = raw
                 elif kind == "sum" and bnum == 3 and bwire == 0:
@@ -388,8 +494,14 @@ def decode_export_metrics(data: bytes) -> list[dict]:
                             "attrs": p["attrs"],
                             "start_time_unix_nano": p["start_time_unix_nano"],
                             "time_unix_nano": p["time_unix_nano"],
-                            "value_double": p["value_double"],
-                            "value_int": p["value_int"],
+                            "value_double": p.get("value_double"),
+                            "value_int": p.get("value_int"),
+                            "count": p.get("count"),
+                            "sum": p.get("sum"),
+                            "bucket_counts": p.get("bucket_counts"),
+                            "explicit_bounds": p.get("explicit_bounds"),
+                            "hist_min": p.get("min"),
+                            "hist_max": p.get("max"),
                         }
                     )
     return out
@@ -408,6 +520,12 @@ OTLP_SCHEMA = T.StructType(
         T.StructField("time_unix_nano", T.LongType()),
         T.StructField("value_double", T.DoubleType()),
         T.StructField("value_int", T.LongType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("bucket_counts", T.ArrayType(T.LongType())),
+        T.StructField("explicit_bounds", T.ArrayType(T.DoubleType())),
+        T.StructField("hist_min", T.DoubleType()),
+        T.StructField("hist_max", T.DoubleType()),
     ]
 )
 
@@ -446,6 +564,12 @@ def otlp_samples(
                             "time_unix_nano": r["time_unix_nano"],
                             "value_double": r["value_double"],
                             "value_int": r["value_int"],
+                            "count": r["count"],
+                            "sum": r["sum"],
+                            "bucket_counts": r["bucket_counts"],
+                            "explicit_bounds": r["explicit_bounds"],
+                            "hist_min": r["hist_min"],
+                            "hist_max": r["hist_max"],
                         }
                     )
             yield pd.DataFrame(

@@ -144,6 +144,12 @@ _GATE_PRIORITY = [
     # gated against libzstd (pyarrow) across levels 1-22; decode-
     # derived features hash-check the roundtrip.
     "payload_zstd_roundtrip",
+    # otlp_histogram_decode / otlp_hist_quantile_pipeline: NEW — OTLP
+    # explicit-bounds histograms (packed fixed64/double wire fields)
+    # and their composition into the existing PromQL
+    # histogram_quantile operator via the spec's le-bucket mapping.
+    "otlp_histogram_decode",
+    "otlp_hist_quantile_pipeline",
     # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
     # r3 block follows in registry order after this list) ------------------
     "minhash_signatures",

@@ -704,3 +704,206 @@ def metrics_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "otlp_histogram_decode",
+    oracle="""
+SELECT event_id AS push_id,
+  event_type AS metric_name,
+  CAST(2 AS INT) AS temporality,
+  CAST(user_id % 3 + 1 AS BIGINT) + CAST(user_id % 5 AS BIGINT)
+    + CAST(user_id % 7 AS BIGINT) + CAST(user_id % 2 AS BIGINT) AS count,
+  CAST(user_id AS DOUBLE) * 2.5 AS sum_value,
+  [CAST(user_id % 3 + 1 AS BIGINT), CAST(user_id % 5 AS BIGINT),
+   CAST(user_id % 7 AS BIGINT), CAST(user_id % 2 AS BIGINT)] AS bucket_counts,
+  [0.5, 2.5, 5.0]::DOUBLE[] AS explicit_bounds,
+  CAST(0.5 AS DOUBLE) AS hist_min,
+  CAST(user_id % 7 AS DOUBLE) + 0.5 AS hist_max
+FROM events
+""",
+)
+def otlp_histogram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r7): OTLP EXPLICIT-BOUNDS HISTOGRAMS — the shape
+    that closes the r7 OTLP subset's biggest refusal: every event
+    becomes one HistogramDataPoint (fixed64 count, PACKED fixed64
+    bucket_counts, PACKED double explicit_bounds, optional sum/min/max
+    doubles — all bit-exact on the wire), decoded by the same proto3
+    walk. Bucket counts are closed forms of user_id so the oracle
+    restates arrays and scalars exactly (array hash via identical list
+    reprs; bounds are exact binary fractions). See functions/otlp.py;
+    arity/packed-length fuzz in tests/test_otlp.py."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for e, n, u in zip(eid, name, user):
+            u = int(u)
+            bc = [u % 3 + 1, u % 5, u % 7, u % 2]
+            metric = {
+                "name": n, "type": "histogram", "temporality": 2,
+                "points": [{
+                    "attrs": {"user": str(u)},
+                    "time_unix_nano": 1706572800_000000000,
+                    "count": sum(bc),
+                    "sum": u * 2.5,
+                    "bucket_counts": bc,
+                    "explicit_bounds": [0.5, 2.5, 5.0],
+                    "min": 0.5,
+                    "max": (u % 7) + 0.5,
+                }],
+            }
+            out.append(OT.encode_export_metrics(
+                [{"resource": {}, "scopes": [{"name": "app",
+                                              "metrics": [metric]}]}]
+            ))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id").alias("body"),
+    )
+    out = OT.otlp_samples(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        "temporality",
+        "count",
+        F.col("sum").alias("sum_value"),
+        "bucket_counts",
+        "explicit_bounds",
+        "hist_min",
+        "hist_max",
+    )
+
+
+@register(
+    "otlp_hist_quantile_pipeline",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    [CAST(user_id % 3 + 1 AS BIGINT), CAST(user_id % 5 AS BIGINT),
+     CAST(user_id % 7 AS BIGINT), CAST(user_id % 2 AS BIGINT)] AS bc
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id,
+    unnest([0.5::DOUBLE, 2.5::DOUBLE, 5.0::DOUBLE, 'inf'::DOUBLE]) AS le,
+    unnest([bc[1], bc[1]+bc[2], bc[1]+bc[2]+bc[3],
+            bc[1]+bc[2]+bc[3]+bc[4]]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.9 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  CAST(user_id AS VARCHAR) AS user,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90
+FROM crossing
+""",
+)
+def otlp_hist_quantile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B composition FLAGSHIP (r7): OTLP histogram push → Prometheus
+    classic le-bucket series (the OTLP spec's own Prometheus-
+    compatibility mapping: cumulative counts, le = bound, '+Inf' =
+    total) → the EXISTING PromQL ``histogram_quantile`` operator at
+    q=0.9 — proving the OTLP ingestion lands in the engine's PromQL
+    surface unchanged. One histogram per event (bucket counts closed
+    forms of user_id, first bucket +1 so the total is never zero);
+    the oracle replays the operator's exact interpolation algebra
+    (crossing bucket, lower-bound-0 first bucket, +Inf → highest
+    finite bound) over the same closed forms. Plan: decode
+    (mapInPandas) → posexplode to bucket rows (pure Column) → the
+    operator's one window + one max per histogram."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for e, n, u in zip(eid, name, user):
+            u = int(u)
+            bc = [u % 3 + 1, u % 5, u % 7, u % 2]
+            metric = {
+                "name": n, "type": "histogram", "temporality": 2,
+                "points": [{
+                    "attrs": {"user": str(u)},
+                    "time_unix_nano": 1706572800_000000000,
+                    "count": sum(bc),
+                    "bucket_counts": bc,
+                    "explicit_bounds": [0.5, 2.5, 5.0],
+                }],
+            }
+            out.append(OT.encode_export_metrics(
+                [{"resource": {}, "scopes": [{"name": "app",
+                                              "metrics": [metric]}]}]
+            ))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id").alias("body"),
+    )
+    pts = OT.otlp_samples(payloads)
+    # OTLP → Prometheus classic buckets: cumulative counts, le labels,
+    # '+Inf' carries the total (the spec's compatibility mapping)
+    les = F.concat(
+        F.transform(F.col("explicit_bounds"), lambda b: b.cast("string")),
+        F.array(F.lit("+Inf")),
+    )
+    cums = F.aggregate(
+        F.col("bucket_counts"),
+        F.array().cast("array<bigint>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x),
+        ),
+    )
+    buckets = pts.select(
+        "metric_name",
+        F.col("push_id").cast("string").alias("eid"),
+        F.col("attrs")["user"].alias("user"),
+        F.posexplode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        # eid rides as a label so each PUSH is its own histogram series
+        # (several events share (metric, user) — a real scrape would
+        # key on instance/job the same way)
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user"), F.lit("eid"), F.lit("le")),
+            F.array(
+                F.concat(F.col("metric_name"), F.lit("_bucket")),
+                F.col("user"),
+                F.col("eid"),
+                F.col("z.le"),
+            ),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace(
+            F.col("labels")["__name__"], "_bucket$", ""
+        ).alias("metric_name"),
+        F.col("labels")["user"].alias("user"),
+        F.round("value", 6).alias("p90"),
+    )

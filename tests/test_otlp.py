@@ -84,16 +84,66 @@ def test_unknown_fields_skipped():
     assert len(got) == 1 and got[0]["value_double"] == 1.5
 
 
-def test_histogram_family_refused_loudly():
+def test_exp_histogram_and_summary_refused_loudly():
     from prom_etl_db_spark.functions.remote_write import _enc_len
 
-    for field in (9, 10, 11):  # histogram / exp histogram / summary
+    for field in (10, 11):  # exponential histogram / summary
         metric = _enc_len(1, b"h") + _enc_len(field, b"")
         sm = _enc_len(2, metric)
         rm = _enc_len(2, sm)
         req = _enc_len(1, rm)
         with pytest.raises(ValueError, match="not implemented"):
             O.decode_export_metrics(req)
+
+
+def test_histogram_roundtrip():
+    """Explicit-bounds histogram: packed fixed64 counts, packed double
+    bounds, fixed64 count, optional sum/min/max — all bit-exact."""
+    pts = [{
+        "attrs": {"route": "/api"},
+        "time_unix_nano": 77,
+        "count": 10,
+        "sum": 123.5,
+        "bucket_counts": [1, 2, 3, 4],
+        "explicit_bounds": [0.5, 2.5, 5.0],
+        "min": -0.25,
+        "max": 9.75,
+    }]
+    got = O.decode_export_metrics(
+        O.encode_export_metrics(_req(pts, mtype="histogram", temporality=2))
+    )
+    (r,) = got
+    assert r["data_type"] == "histogram"
+    assert r["temporality"] == 2
+    assert r["count"] == 10
+    assert r["sum"] == 123.5
+    assert r["bucket_counts"] == [1, 2, 3, 4]
+    assert r["explicit_bounds"] == [0.5, 2.5, 5.0]
+    assert (r["hist_min"], r["hist_max"]) == (-0.25, 9.75)
+    assert r["attrs"] == {"route": "/api"}
+    assert r["value_double"] is None and r["value_int"] is None
+
+
+def test_histogram_bucket_bounds_arity_refused():
+    pts = [{"attrs": {}, "time_unix_nano": 1, "count": 3,
+            "bucket_counts": [1, 2], "explicit_bounds": [0.5, 2.5]}]
+    with pytest.raises(ValueError, match="one more entry"):
+        O.decode_export_metrics(
+            O.encode_export_metrics(_req(pts, mtype="histogram"))
+        )
+
+
+def test_histogram_packed_length_refused():
+    from prom_etl_db_spark.functions.remote_write import _enc_field, _enc_len, _enc_uvarint
+
+    # HistogramDataPoint with bucket_counts length 7 (not multiple of 8)
+    hp = _enc_field(3, 1) + b"\x01\x00\x00\x00\x00\x00\x00\x00"
+    hp += _enc_field(6, 2) + _enc_uvarint(7) + b"\x00" * 7
+    hist = _enc_len(1, hp)
+    metric = _enc_len(1, b"h") + _enc_len(9, hist)
+    req = _enc_len(1, _enc_len(2, _enc_len(2, metric)))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        O.decode_export_metrics(req)
 
 
 def test_array_attr_values_refused():
