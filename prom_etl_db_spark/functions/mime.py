@@ -161,3 +161,108 @@ def oracle_case_sql(hex_expr: str) -> str:
     lines.append("  ELSE 'text/plain'")
     lines.append("END")
     return "\n".join(lines)
+
+
+# --- MP4 / WebM container sniff (WHATWG §6.2.1-6.2.2) -------------------------
+#
+# These two signatures need LENGTH ARITHMETIC (an ISO-BMFF box-size walk
+# and an EBML vint parse), which a prefix regex cannot express — this is
+# the mapInPandas composition path the round-6 module docstring named.
+# Run it as a REFINEMENT stage on payloads the pure-Column sniff routed
+# to application/octet-stream: signatures cheap enough to keep the fast
+# path JVM-side, and the Python walk touches only the residue.
+
+
+def matches_mp4(data: bytes) -> bool:
+    """WHATWG §6.2.1 'matches the signature for MP4' — box-size walk
+    over the ftyp box: u32BE size (multiple of 4, within the payload),
+    'ftyp' tag, then the major brand and each 4-byte compatible brand
+    compared against 'mp4'."""
+    if len(data) < 12:
+        return False
+    box_size = int.from_bytes(data[0:4], "big")
+    if len(data) < box_size or box_size % 4 != 0:
+        return False
+    if data[4:8] != b"ftyp":
+        return False
+    if data[8:11] == b"mp4":
+        return True
+    offset = 16  # skip the 4-byte minor version
+    while offset + 3 <= box_size:
+        if data[offset : offset + 3] == b"mp4":
+            return True
+        offset += 4
+    return False
+
+
+def _ebml_vint(data: bytes, pos: int) -> tuple[int, int]:
+    """EBML variable-size integer at ``pos`` → (value, next pos); the
+    leading byte's highest set bit gives the width, and the marker bit
+    is masked out of the value."""
+    if pos >= len(data):
+        raise ValueError("ebml: vint at end of input")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("ebml: invalid all-zero vint marker")
+    width = 8 - first.bit_length() + 1  # bytes including the marker byte
+    if pos + width > len(data):
+        raise ValueError("ebml: vint overruns input")
+    value = first & ((1 << (8 - width)) - 1) if width <= 8 else 0
+    for i in range(1, width):
+        value = (value << 8) | data[pos + i]
+    return value, pos + width
+
+
+def matches_webm(data: bytes) -> bool:
+    """WHATWG §6.2.2 'matches the signature for WebM': the EBML header
+    id 1A45DFA3, then a bounded scan (38 bytes, per the spec) for the
+    DocType element id 42 82 whose string payload is 'webm'."""
+    if len(data) < 4 or data[0:4] != b"\x1a\x45\xdf\xa3":
+        return False
+    pos = 4
+    limit = min(len(data), 38)
+    while pos + 1 < limit:
+        if data[pos] == 0x42 and data[pos + 1] == 0x82:
+            pos += 2
+            try:
+                size, pos = _ebml_vint(data, pos)
+            except ValueError:
+                return False
+            return data[pos : pos + size][:4] == b"webm"
+        pos += 1
+    return False
+
+
+def container_mime(data: bytes) -> str | None:
+    """The WHATWG container signatures the pure-Column sniff cannot
+    express. Returns video/mp4, video/webm, or None (unrefined)."""
+    if matches_mp4(data):
+        return "video/mp4"
+    if matches_webm(data):
+        return "video/webm"
+    return None
+
+
+def refine_container_mime(df, mime_col: str = "mime", bytes_col: str = "payload"):
+    """Refinement stage after :func:`sniff_mime`: rows the Column sniff
+    left at application/octet-stream get the MP4 box walk / WebM EBML
+    parse; everything else passes through untouched. mapInPandas over
+    only (mime, bytes) — callers re-join wide columns, or select them
+    through (they ride the Arrow batch unchanged)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    schema = df.schema
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf[mime_col] == "application/octet-stream"
+            if mask.any():
+                pdf.loc[mask, mime_col] = [
+                    container_mime(bytes(b)) or "application/octet-stream"
+                    for b in pdf.loc[mask, bytes_col]
+                ]
+            yield pdf
+
+    return df.mapInPandas(walk, schema)

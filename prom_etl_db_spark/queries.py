@@ -150,6 +150,10 @@ _GATE_PRIORITY = [
     # histogram_quantile operator via the spec's le-bucket mapping.
     "otlp_histogram_decode",
     "otlp_hist_quantile_pipeline",
+    # mime_container_route: NEW — WHATWG MP4 box walk + WebM EBML
+    # DocType parse as a mapInPandas refinement on the octet-stream
+    # residue; closes the r6 MP4/WebM DIVERGENCES boundary.
+    "mime_container_route",
     # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
     # r3 block follows in registry order after this list) ------------------
     "minhash_signatures",

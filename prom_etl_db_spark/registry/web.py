@@ -1177,3 +1177,76 @@ def crawl_paced_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     sched = sitemap.frontier_schedule(urls)
     return sitemap.paced_schedule(sched, delays)
+
+
+# MP4/WebM container-sniff fixture: 8 payload classes (doc_id % 8) with
+# CLOSED-FORM outcomes — valid mp4 by major brand, mp4 by compatible
+# brand, an ftyp box with no mp4 brand, a box size that is not a
+# multiple of 4 (the spec's alignment refusal), a WebM EBML DocType, a
+# matroska decoy, a PNG (column-sniff pass-through) and plain text.
+# Every payload carries the doc_id's ASCII tail beyond the sniffed
+# region, so rows stay distinct without disturbing any signature.
+_CONTAINER_FIXTURE_HEX = [
+    "00000014667479706D703432000000006D703432",  # mp4: major brand
+    "000000186674797069736F6D00000200617663316D703431",  # mp4: compat brand
+    "0000001466747970717420200000000071742020",  # ftyp, no mp4 brand
+    "0000000D667479706D70343200",                # box size % 4 != 0
+    "1A45DFA34282847765626D",                    # webm DocType
+    "1A45DFA34282886D6174726F736B61",            # matroska decoy
+    "89504E470D0A1A0A",                          # PNG (column sniff)
+    "48656C6C6F20636F6E7461696E6572207465787420",  # plain text
+]
+
+_CONTAINER_MIME = [
+    "video/mp4", "video/mp4", "application/octet-stream",
+    "application/octet-stream", "video/webm", "application/octet-stream",
+    "image/png", "text/plain",
+]
+
+_CONTAINER_HEX_SQL = "CASE CAST(doc_id % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{h}'" for i, h in enumerate(_CONTAINER_FIXTURE_HEX)
+) + " END || hex(CAST(doc_id AS VARCHAR))"
+
+_CONTAINER_MIME_SQL = "CASE CAST(doc_id % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{m}'" for i, m in enumerate(_CONTAINER_MIME)
+) + " END"
+
+
+@register(
+    "mime_container_route",
+    oracle=f"""
+SELECT doc_id,
+  {_CONTAINER_MIME_SQL} AS mime,
+  CAST(length({_CONTAINER_HEX_SQL}) // 2 AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def mime_container_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation (r7): MP4 box walk + WebM EBML parse — the
+    WHATWG container signatures the round-6 pure-Column sniff
+    documented as out of regex reach (length arithmetic). Composition:
+    the Column CASE routes first (PNG/text never touch Python), then
+    ``mime.refine_container_mime`` walks ONLY the octet-stream residue
+    in one mapInPandas pass (ftyp box-size/alignment checks, major +
+    compatible brand scan; EBML vint-sized DocType compare). The
+    fixture's 8 classes have closed-form outcomes the oracle states
+    directly (the warc_record_parse expected-value pattern — DuckDB
+    cannot walk boxes either); the walk itself is unit-gated byte by
+    byte in tests/test_mime.py. Closes the MP4/WebM DIVERGENCES row."""
+    docs = _t(spark, sf_dir, "documents")
+    hexes = F.array(*[F.lit(h) for h in _CONTAINER_FIXTURE_HEX])
+    payload = F.unhex(
+        F.concat(
+            F.element_at(hexes, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.hex(F.col("doc_id").cast("string")),
+        )
+    )
+    sniffed = docs.select(
+        "doc_id",
+        mime.sniff_mime(payload).alias("mime"),
+        payload.alias("payload"),
+    )
+    refined = mime.refine_container_mime(sniffed)
+    return refined.select(
+        "doc_id", "mime", F.octet_length("payload").cast("long").alias("n_bytes")
+    )

@@ -110,3 +110,74 @@ def test_null_payload_sniffs_null(spark):
     rows = {r["i"]: r["m"] for r in df.select("i", M.sniff_mime(F.col("payload")).alias("m")).collect()}
     assert rows[1] is None
     assert rows[2] == "text/plain"
+
+
+def test_mp4_box_walk_edges():
+    """WHATWG §6.2.1 byte-level edges (r7 container sniff)."""
+    from prom_etl_db_spark.functions.mime import matches_mp4
+
+    base = b"\x00\x00\x00\x14" + b"ftyp" + b"mp42" + b"\x00" * 4 + b"mp42"
+    assert matches_mp4(base)
+    assert not matches_mp4(base[:11])            # under 12 bytes
+    assert not matches_mp4(base[:16])            # payload < box size
+    bad_align = b"\x00\x00\x00\x13" + base[4:]   # size % 4 != 0
+    assert not matches_mp4(bad_align)
+    not_ftyp = base[:4] + b"moov" + base[8:]
+    assert not matches_mp4(not_ftyp)
+    # major brand mp4* counts even with no compatible brands
+    major_only = b"\x00\x00\x00\x10" + b"ftyp" + b"mp41" + b"\x00" * 4
+    assert matches_mp4(major_only)
+    # brand must be 4-byte aligned within the box: 'mp4' at offset 18
+    # is NOT scanned (offsets go 16, 20, ...)
+    misaligned = (b"\x00\x00\x00\x18" + b"ftyp" + b"isom" + b"\x00" * 4
+                  + b"\x00\x00mp" + b"4\x00\x00\x00")
+    assert not matches_mp4(misaligned)
+    # brand just past box_size ignored
+    past_box = (b"\x00\x00\x00\x14" + b"ftyp" + b"isom" + b"\x00" * 4
+                + b"zzzz" + b"mp41")
+    assert not matches_mp4(past_box)
+
+
+def test_webm_ebml_edges():
+    from prom_etl_db_spark.functions.mime import matches_webm
+
+    assert matches_webm(b"\x1a\x45\xdf\xa3" + b"\x42\x82\x84webm")
+    # DocType further into the header (skipped bytes before 42 82)
+    assert matches_webm(b"\x1a\x45\xdf\xa3" + b"\x9f\x42\x86\x81\x01"
+                        + b"\x42\x82\x84webm")
+    assert not matches_webm(b"\x1a\x45\xdf\xa3" + b"\x42\x82\x88matroska")
+    assert not matches_webm(b"\x1a\x45\xdf\xa4" + b"\x42\x82\x84webm")  # bad id
+    assert not matches_webm(b"\x1a\x45\xdf\xa3")  # no DocType at all
+    # two-byte vint size (0x40 0x04 = width 2, value 4)
+    assert matches_webm(b"\x1a\x45\xdf\xa3" + b"\x42\x82\x40\x04webm")
+    # truncated vint refuses quietly (False, not an exception)
+    assert not matches_webm(b"\x1a\x45\xdf\xa3" + b"\x42\x82")
+    # DocType size shorter than 'webm' -> no match
+    assert not matches_webm(b"\x1a\x45\xdf\xa3" + b"\x42\x82\x83web")
+    # beyond the spec's 38-byte scan window -> no match
+    far = b"\x1a\x45\xdf\xa3" + b"\x00" * 40 + b"\x42\x82\x84webm"
+    assert not matches_webm(far)
+
+
+def test_refine_container_mime_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions.mime import refine_container_mime, sniff_mime
+
+    rows = [
+        (1, b"\x00\x00\x00\x14ftypmp42\x00\x00\x00\x00mp42"),
+        (2, b"\x1a\x45\xdf\xa3\x42\x82\x84webm"),
+        (3, b"\x89PNG\r\n\x1a\x0a rest"),
+        (4, b"just text here"),
+        (5, b"\x00\x01\x02 binary junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sniffed = df.select("doc_id", sniff_mime(F.col("payload")).alias("mime"), "payload")
+    got = {r["doc_id"]: r["mime"] for r in refine_container_mime(sniffed).collect()}
+    assert got == {
+        1: "video/mp4",
+        2: "video/webm",
+        3: "image/png",
+        4: "text/plain",
+        5: "application/octet-stream",
+    }
