@@ -122,3 +122,85 @@ def paced_schedule(
             "fetch_at_s"
         ),
     )
+
+
+SITEMAP_SCHEMA_TAIL = ("loc", "lastmod", "changefreq", "priority")
+
+
+def sitemap_entries_xml(
+    sitemaps: DataFrame, *, xml_col: str = "xml", key_cols: tuple[str, ...] = ("host",)
+) -> DataFrame:
+    """The XML-parser tail of :func:`sitemap_entries` (r7): a real XML
+    parse (stdlib ElementTree — expat) for the inputs the documented
+    regex subset cannot serve: CDATA sections, numeric/named character
+    references beyond the five predefined entities, and namespaced
+    documents (the sitemaps.org xmlns, or none). Same output schema as
+    the regex path — (key_cols…, loc, lastmod, changefreq, priority) —
+    so callers route by need: regex for the whole-stage-codegen fast
+    path, this mapInPandas pass for the tail. Malformed XML documents
+    contribute no rows (a crawler treats an unparseable sitemap as
+    absent — logged upstream, never fatal); <sitemapindex> documents
+    contain no <url> blocks and contribute none either."""
+    import xml.etree.ElementTree as ET
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    key_fields = [sitemaps.schema[k] for k in key_cols]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("loc", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+            T.StructField("changefreq", T.StringType()),
+            T.StructField("priority", T.DoubleType()),
+        ]
+    )
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                keys = {k: getattr(tup, k) for k in key_cols}
+                try:
+                    root = ET.fromstring(getattr(tup, xml_col))
+                except ET.ParseError:
+                    continue
+                if local(root.tag) != "urlset":
+                    continue
+                for url in root:
+                    if local(url.tag) != "url":
+                        continue
+                    fields = {"loc": None, "lastmod": None,
+                              "changefreq": None, "priority": None}
+                    for child in url:
+                        name = local(child.tag)
+                        if name in fields:
+                            fields[name] = (child.text or "").strip() or None
+                    if not fields["loc"]:
+                        continue
+                    try:
+                        prio = float(fields["priority"])
+                    except (TypeError, ValueError):
+                        prio = 0.5  # spec default, same as the regex path
+                    cf = fields["changefreq"]
+                    rows.append(
+                        {
+                            **keys,
+                            "loc": fields["loc"],
+                            "lastmod": fields["lastmod"],
+                            "changefreq": cf.lower() if cf else None,
+                            "priority": prio,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return sitemaps.select(*key_cols, xml_col).mapInPandas(walk, schema)

@@ -154,6 +154,10 @@ _GATE_PRIORITY = [
     # DocType parse as a mapInPandas refinement on the octet-stream
     # residue; closes the r6 MP4/WebM DIVERGENCES boundary.
     "mime_container_route",
+    # sitemap_parse_xml: NEW — ElementTree sitemap tail (CDATA,
+    # character references, namespaces); closes the XML-tail
+    # DIVERGENCES boundary.
+    "sitemap_parse_xml",
     # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
     # r3 block follows in registry order after this list) ------------------
     "minhash_signatures",

@@ -1250,3 +1250,70 @@ def mime_container_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refined.select(
         "doc_id", "mime", F.octet_length("payload").cast("long").alias("n_bytes")
     )
+
+
+@register(
+    "sitemap_parse_xml",
+    oracle="""
+WITH hosts AS (
+  SELECT DISTINCT CAST(doc_id % 8 AS BIGINT) AS k FROM documents
+)
+SELECT 'h' || k || '.example.com' AS host,
+       'http://h' || k || '.example.com/p?a=1&b=' || k AS loc,
+       CAST(NULL AS VARCHAR) AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CAST(0.5 AS DOUBLE) AS priority
+FROM hosts
+UNION ALL
+SELECT 'h' || k || '.example.com',
+       'http://h' || k || '.example.com/café-' || k,
+       '2024-02-0' || (k % 9 + 1), 'daily', CAST(0.9 AS DOUBLE)
+FROM hosts
+UNION ALL
+SELECT 'h' || k || '.example.com',
+       'http://h' || k || '.example.com/plain',
+       NULL, NULL, CAST(0.5 AS DOUBLE)
+FROM hosts
+""",
+)
+def sitemap_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation (r7): the XML-PARSER sitemap tail — a real
+    ElementTree parse for the inputs the r6 regex subset documents as
+    out of reach: a CDATA-wrapped <loc> (raw '&' inside), a numeric
+    character reference (&#233; → é), and the sitemaps.org namespace
+    prefix on every element. Per host the fixture carries those three
+    <url> entries; the oracle states the decoded closed forms (DuckDB
+    has no XML parser — the expected-value class). The lastmod on the
+    entity row is k-derived so rows differ per host. Routing contract
+    (regex fast path ≡ XML tail on plain inputs) is unit-gated in
+    tests/test_sitemap.py. mapInPandas over (host, xml), zero
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    hk = F.col("k").cast("string")
+    xml = F.concat(
+        F.lit('<ns:urlset xmlns:ns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<ns:url><ns:loc><![CDATA[http://h"),
+        hk,
+        F.lit(".example.com/p?a=1&b="), hk,
+        F.lit("]]></ns:loc></ns:url>"
+              "<ns:url><ns:loc>http://h"),
+        hk,
+        F.lit(".example.com/caf&#233;-"), hk,
+        F.lit("</ns:loc><ns:priority>0.9</ns:priority>"
+              "<ns:changefreq>DAILY</ns:changefreq>"
+              "<ns:lastmod>2024-02-0"),
+        (F.col("k") % 9 + 1).cast("string"),
+        F.lit("</ns:lastmod></ns:url>"
+              "<ns:url><ns:loc>http://h"),
+        hk,
+        F.lit(".example.com/plain</ns:loc></ns:url>"
+              "</ns:urlset>"),
+    )
+    sm = (
+        docs.select((F.col("doc_id") % 8).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), hk, F.lit(".example.com")).alias("host"),
+            xml.alias("xml"),
+        )
+    )
+    return sitemap.sitemap_entries_xml(sm)

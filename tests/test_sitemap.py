@@ -101,3 +101,50 @@ def test_url_and_loc_tags_with_attributes(spark):
     assert [e["loc"] for e in got] == ["http://h/p", "http://h/q"]
     # '<urlset>' itself must NOT match the attribute-tolerant <url…> form
     assert len(got) == 2
+
+
+def test_xml_tail_matches_regex_path_on_plain_input(spark):
+    """The r7 ElementTree tail and the regex fast path must agree on
+    plain (entity-free, namespace-free) sitemaps — the routing
+    contract."""
+    xml = (
+        "<urlset>"
+        "<url><loc>http://h/a</loc><lastmod>2024-01-01</lastmod>"
+        "<priority>0.8</priority><changefreq>DAILY</changefreq></url>"
+        "<url><priority>0.2</priority><loc>http://h/b</loc></url>"
+        "<url><lastmod>x</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    a = sorted(map(tuple, S.sitemap_entries(df).collect()))
+    b = sorted(map(tuple, S.sitemap_entries_xml(df).collect()))
+    assert a == b and len(a) == 2
+
+
+def test_xml_tail_handles_cdata_entities_namespace(spark):
+    """The cases the documented regex subset cannot serve: CDATA locs,
+    numeric character references, and the sitemaps.org namespace."""
+    xml = (
+        '<ns:urlset xmlns:ns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<ns:url><ns:loc><![CDATA[http://h/p?a=1&b=2]]></ns:loc></ns:url>"
+        "<ns:url><ns:loc>http://h/caf&#233;</ns:loc>"
+        "<ns:priority>0.9</ns:priority></ns:url>"
+        "</ns:urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    got = {r["loc"]: r["priority"] for r in S.sitemap_entries_xml(df).collect()}
+    assert got == {"http://h/p?a=1&b=2": 0.5, "http://h/café": 0.9}
+    # the regex path cannot see through CDATA — that's WHY the tail exists
+    regex_locs = {r["loc"] for r in S.sitemap_entries(df).collect()}
+    assert "http://h/p?a=1&b=2" not in regex_locs
+
+
+def test_xml_tail_malformed_and_index_contribute_nothing(spark):
+    rows = [
+        ("h1", "<urlset><url><loc>http://h/ok</loc></url>"),  # unclosed
+        ("h2", "<sitemapindex><sitemap><loc>http://h/s.xml</loc></sitemap></sitemapindex>"),
+        ("h3", "<urlset><url><loc>http://h/good</loc></url></urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "host string, xml string")
+    got = [(r["host"], r["loc"]) for r in S.sitemap_entries_xml(df).collect()]
+    assert got == [("h3", "http://h/good")]
