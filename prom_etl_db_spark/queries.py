@@ -158,6 +158,10 @@ _GATE_PRIORITY = [
     # character references, namespaces); closes the XML-tail
     # DIVERGENCES boundary.
     "sitemap_parse_xml",
+    # warc_zstd_parse: NEW — .warc.zst (Common Crawl's zstd-framed
+    # WARC): real-libzstd-compressed fixture decoded by the from-
+    # scratch RFC 8878 walk, then the ISO 28500 record parser.
+    "warc_zstd_parse",
     # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
     # r3 block follows in registry order after this list) ------------------
     "minhash_signatures",

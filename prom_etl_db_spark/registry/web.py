@@ -1317,3 +1317,80 @@ def sitemap_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sitemap.sitemap_entries_xml(sm)
+
+
+@register(
+    "warc_zstd_parse",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_WARC_URI_SQL} AS uri,
+         {_WARC_P0_SQL} AS p0,
+         {_WARC_P1_SQL} AS p1,
+         {_WARC_P2_SQL} AS p2,
+         {_WARC_STATUS_SQL} AS status
+  FROM documents
+)
+SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+       '<urn:uuid:' || doc_id || '-0>' AS record_id,
+       CAST(NULL AS VARCHAR) AS target_uri,
+       CAST(length(p0) AS BIGINT) AS content_length,
+       md5(p0) AS payload_md5, CAST(NULL AS INT) AS http_status
+FROM base
+UNION ALL
+SELECT doc_id, 1, 'request', '<urn:uuid:' || doc_id || '-1>', uri,
+       CAST(length(p1) AS BIGINT), md5(p1), CAST(NULL AS INT)
+FROM base
+UNION ALL
+SELECT doc_id, 2, 'response', '<urn:uuid:' || doc_id || '-2>', uri,
+       CAST(length(p2) AS BIGINT), md5(p2), status
+FROM base
+""",
+)
+def warc_zstd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 web curation (r7): ``.warc.zst`` — Common Crawl's actual
+    zstd-framed WARC container — parsed end to end: each fixture file's
+    WARC bytes are compressed with REAL libzstd (pyarrow, genuine
+    Huffman/FSE blocks), decompressed by the r7 from-scratch RFC 8878
+    frame walk, then run through the ISO 28500 record parser — the
+    composition of two independently-gated operators (zstd roundtrip,
+    WARC record walk) sharing one oracle with ``warc_record_parse``
+    (same closed-form record expectations; the compression layer must
+    be bit-transparent or every md5 breaks). Production .warc.zst
+    carries an optional skippable-frame dictionary — skippable frames
+    pass through; dictionary frames refuse loudly (DIVERGENCES.md).
+    Plan: one mapInPandas decompress + one mapInPandas record walk,
+    zero shuffle, per-file parallel."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from prom_etl_db_spark.functions.zstd import zstd_decompress
+
+    docs = _t(spark, sf_dir, "documents")
+    files = _warc_fixture(docs)
+
+    def compress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyarrow import Codec
+
+        codec = Codec("zstd", compression_level=3)
+        for pdf in batches:
+            pdf["warc"] = [bytes(codec.compress(bytes(b))) for b in pdf["warc"]]
+            yield pdf
+
+    def decompress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["warc"] = [zstd_decompress(bytes(b)) for b in pdf["warc"]]
+            yield pdf
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("warc", T.BinaryType())]
+    )
+    zst = files.mapInPandas(compress, schema)  # fixture: the .warc.zst on disk
+    raw = zst.mapInPandas(decompress, schema)  # production path under test
+    out = warc.parse_warc_records(raw, id_col="doc_id")
+    return out.select(
+        "doc_id", "rec_idx", "warc_type", "record_id", "target_uri",
+        "content_length", "payload_md5", "http_status",
+    )
