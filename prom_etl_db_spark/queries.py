@@ -162,8 +162,15 @@ _GATE_PRIORITY = [
     # WARC): real-libzstd-compressed fixture decoded by the from-
     # scratch RFC 8878 walk, then the ISO 28500 record parser.
     "warc_zstd_parse",
-    # --- (e) r3 block head (fills to the 50-slot cutoff; the rest of the
-    # r3 block follows in registry order after this list) ------------------
+    # --- (e) r3 block head (the window cutoff at 50 lands inside (d):
+    # 6 never-gated + 2 changed + 38 r2-stale = 46 slots, so the first
+    # FOUR r7 queries (otlp_metrics_decode, metrics_pipeline_v3,
+    # payload_zstd_roundtrip, otlp_histogram_decode) fill the window;
+    # the later-r7 four (otlp_hist_quantile_pipeline,
+    # mime_container_route, sitemap_parse_xml, warc_zstd_parse — each
+    # sf0.001+sf0.01 green before registration) plus this r3 head lead
+    # the r8 rotation, policy unchanged: never-driver-gated queries
+    # outrank once-green stale ones) -----------------------------------
     "minhash_signatures",
     "minhash_band_pairs",
     "simhash_signatures",
