@@ -711,6 +711,41 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     from prom_etl_db_spark.functions.zstd import zstd_roundtrip_features as _zs
 
     run("zstd_roundtrip", _zs(docs))
+
+    # r7 second wave: container sniff refinement (Python touches only
+    # the octet-stream residue) and the ElementTree sitemap tail —
+    # both per-item mapInPandas, zero shuffle.
+    from prom_etl_db_spark.functions.mime import refine_container_mime as _rcm
+
+    _c_hex = [
+        "00000014667479706D703432000000006D703432",
+        "000000186674797069736F6D00000200617663316D703431",
+        "1A45DFA34282847765626D",
+        "1A45DFA34282886D6174726F736B61",
+    ]
+    _c_arr = F.array(*[F.lit(h) for h in _c_hex])
+    _c_payload = F.unhex(
+        F.concat(F.element_at(_c_arr, (F.col("doc_id") % 4 + 1).cast("int")),
+                 F.hex(F.col("doc_id").cast("string")))
+    )
+    _c_sniffed = docs.select(
+        "doc_id", _mi.sniff_mime(_c_payload).alias("mime"),
+        _c_payload.alias("payload"),
+    )
+    run("container_sniff_refine", _rcm(_c_sniffed))
+
+    _sx = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<urlset><url><loc><![CDATA[http://h/p?a=1&b='),
+            F.col("doc_id").cast("string"),
+            F.lit(']]></loc><priority>0.9</priority></url>'
+                  '<url><loc>http://h/x&#233;-'),
+            F.col("doc_id").cast("string"),
+            F.lit('</loc></url></urlset>'),
+        ).alias("xml"),
+    )
+    run("sitemap_xml_tail", _sm.sitemap_entries_xml(_sx, key_cols=("doc_id",)))
     return times
 
 
