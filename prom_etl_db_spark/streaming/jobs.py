@@ -548,3 +548,78 @@ def stream_url_dedup(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+OTLP_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("push_id", T.LongType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+def stream_otlp_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    shard_modulus: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The OTLP push path's streaming twin (r7): OTLP
+    ExportMetricsServiceRequest payloads landing as parquet rows drain
+    through the SAME from-scratch proto3 wire decode (gzip-sniffed,
+    stateless mapInPandas) and hashmod routing as the batch flagship
+    ``metrics_pipeline_v3``, then the watermarked per-(metric, shard,
+    window) rollup — so BOTH push protocols (remote-write and OTLP)
+    hold stream twins over one operator set. Gauge points carry the
+    value; times come from the point's own time_unix_nano.
+    Checkpointed; restart ingests only newly-landed payload files."""
+    from prom_etl_db_spark.functions.otlp import otlp_samples
+    from prom_etl_db_spark.operators.relabel import hashmod_column
+
+    raw = (
+        spark.readStream.schema(OTLP_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    samples = otlp_samples(raw)
+    agg = (
+        samples.where(F.col("data_type") == "gauge")
+        .select(
+            "metric_name",
+            hashmod_column(F.col("attrs")["user"], shard_modulus).alias("shard"),
+            F.col("value_double").alias("value"),
+            F.timestamp_micros(
+                (F.col("time_unix_nano") / 1000).cast("long")
+            ).alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), window).alias("w"),
+            F.col("metric_name"),
+            F.col("shard"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "metric_name",
+            "shard",
+            "n",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()

@@ -1155,3 +1155,78 @@ def test_streaming_url_dedup_matches_batch_across_restart(spark, tmp_path):
         (r["canonical_url"], r["keep_doc_id"])
         for r in batch.select("canonical_url", "keep_doc_id").collect()
     }
+
+
+def test_streaming_otlp_rollup_matches_batch_across_restart(spark, tmp_path):
+    """OTLP push twin (r7): the streaming decode→route→rollup must equal
+    the batch chain over every CLOSED window across a restart — the
+    same contract stream_remote_write_rollup holds, proving BOTH push
+    protocols have stream twins over one operator set. Every third
+    payload is gzip-compressed (the content-encoding sniff runs inside
+    the stream)."""
+    import gzip
+
+    from prom_etl_db_spark.functions import otlp as OT
+    from prom_etl_db_spark.operators.relabel import hashmod_column
+    from prom_etl_db_spark.streaming.jobs import stream_otlp_rollup
+    from pyspark.sql import functions as F
+
+    base_ns = 1706572800_000000000  # 2024-01-30T00:00Z
+    H = 3_600_000_000_000
+
+    def payload(name: str, user: int, value: float, off_ns: int, gz: bool) -> bytes:
+        enc = OT.encode_export_metrics(
+            [{"resource": {}, "scopes": [{"name": "app", "metrics": [{
+                "name": name, "type": "gauge",
+                "points": [{"attrs": {"user": str(user)},
+                            "time_unix_nano": base_ns + off_ns,
+                            "value": value}],
+            }]}]}]
+        )
+        return gzip.compress(enc) if gz else enc
+
+    rows1 = [
+        (i, payload("purchase" if i % 2 else "click", i % 5, float(i),
+                    i * 1_000_000_000_000 // 1000, i % 3 == 0))
+        for i in range(20)
+    ]
+    rows1.append((50, payload("pusher", 0, 1.0, 4 * H, False)))
+    src, sink, ckpt = tmp_path / "osrc", tmp_path / "osink", tmp_path / "ockpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append"
+    ).parquet(str(src))
+    stream_otlp_rollup(spark, str(src), str(sink), str(ckpt)).awaitTermination(120)
+    got1 = spark.read.parquet(str(sink))
+    assert got1.count() > 0
+    assert got1.agg(F.min("window_start")).first()[0].hour == 0
+    rows2 = [(100 + i, payload("view", i, 1.0, 4 * H + i * 1_000_000_000, False))
+             for i in range(4)]
+    rows2.append((200, payload("pusher2", 0, 1.0, 8 * H, True)))
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append"
+    ).parquet(str(src))
+    stream_otlp_rollup(spark, str(src), str(sink), str(ckpt)).awaitTermination(120)
+    got2 = spark.read.parquet(str(sink))
+    closed = [r for r in rows1 + rows2 if r[0] != 200]
+    samples = OT.otlp_samples(
+        spark.createDataFrame(closed, "push_id long, body binary")
+    )
+    batch = (
+        samples.where(F.col("data_type") == "gauge")
+        .select(
+            "metric_name",
+            hashmod_column(F.col("attrs")["user"], 8).alias("shard"),
+            F.col("value_double").alias("value"),
+        )
+        .groupBy("metric_name", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    got_g = got2.groupBy("metric_name", "shard").agg(
+        F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
+    )
+    a = {(r["metric_name"], r["shard"]): (r["n"], round(r["sum_value"], 6))
+         for r in got_g.collect()}
+    b = {(r["metric_name"], r["shard"]): (r["n"], round(r["sum_value"], 6))
+         for r in batch.collect()}
+    assert a == b
