@@ -530,6 +530,26 @@ OTLP_SCHEMA = T.StructType(
 )
 
 
+#: decompression-bomb ceiling for gzip payloads (a 1 KiB gzip member
+#: can expand ~1000x; OTLP export batches are MBs, never GBs).
+_MAX_GUNZIP = 1 << 26
+
+
+def _gunzip_bounded(raw: bytes, *, max_out: int = _MAX_GUNZIP) -> bytes:
+    """gzip.decompress with a hard output ceiling — stdlib gzip has no
+    limit, so a tiny hostile payload could allocate unbounded memory
+    inside an executor (r7 adversarial pass)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = d.decompress(raw, max_out)
+    if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
+        raise ValueError(
+            f"otlp: gzip payload expands beyond {max_out} bytes"
+        )
+    return out
+
+
 def otlp_samples(
     payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
 ) -> DataFrame:
@@ -546,7 +566,7 @@ def otlp_samples(
             for pid, blob in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(blob)
                 if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)
+                    raw = _gunzip_bounded(raw)
                 for r in decode_export_metrics(raw):
                     rows.append(
                         {

@@ -721,10 +721,14 @@ def zstd_compress_raw(data: bytes, *, checksum: bool = True) -> bytes:
         fhd = 0x20 | (0x04 if checksum else 0)  # single-segment, FCS 1 byte
         out.append(fhd)
         out.append(n)
-    else:
+    elif n < 1 << 32:
         fhd = 0x20 | (0x04 if checksum else 0) | 0x80  # FCS flag 2 → 4 bytes
         out.append(fhd)
         out += struct.pack("<I", n)
+    else:  # FCS flag 3 → 8 bytes (r7 adversarial pass: 4-byte overflow)
+        fhd = 0x20 | (0x04 if checksum else 0) | 0xC0
+        out.append(fhd)
+        out += struct.pack("<Q", n)
     if n and data.count(data[0]) == n and n < (1 << 21):
         out += ((n << 3) | (1 << 1) | 1).to_bytes(3, "little")  # RLE, last
         out.append(data[0])

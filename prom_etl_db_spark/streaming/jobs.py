@@ -593,9 +593,9 @@ def stream_otlp_rollup(
             "metric_name",
             hashmod_column(F.col("attrs")["user"], shard_modulus).alias("shard"),
             F.col("value_double").alias("value"),
-            F.timestamp_micros(
-                (F.col("time_unix_nano") / 1000).cast("long")
-            ).alias("ts"),
+            # integer DIV: float division of ~1.7e18 ns loses exactness
+            # past 2^53 (r7 adversarial pass)
+            F.timestamp_micros(F.expr("time_unix_nano DIV 1000")).alias("ts"),
         )
         .withWatermark("ts", watermark)
         .groupBy(

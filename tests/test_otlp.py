@@ -185,3 +185,16 @@ def test_otlp_samples_gzip_sniff(spark):
     assert got[1]["value_double"] == got[2]["value_double"] == 1.25
     assert got[1]["resource"]["service.name"] == "svc-1"
     assert got[1]["data_type"] == "gauge"
+
+
+def test_gzip_bomb_guard():
+    """r7 adversarial pass: a hostile gzip payload must not allocate
+    unbounded memory in an executor."""
+    import gzip as _gz
+
+    from prom_etl_db_spark.functions.otlp import _gunzip_bounded
+
+    with pytest.raises(ValueError, match="expands beyond"):
+        _gunzip_bounded(_gz.compress(b"\x00" * 5_000_000), max_out=1 << 20)
+    # at the limit exactly is fine
+    assert _gunzip_bounded(_gz.compress(b"x" * 1024), max_out=1024) == b"x" * 1024
