@@ -198,3 +198,75 @@ def test_gzip_bomb_guard():
         _gunzip_bounded(_gz.compress(b"\x00" * 5_000_000), max_out=1 << 20)
     # at the limit exactly is fine
     assert _gunzip_bounded(_gz.compress(b"x" * 1024), max_out=1024) == b"x" * 1024
+
+
+def test_property_roundtrip_random_metric_trees():
+    """Generative roundtrip: arbitrary resource/scope/metric/point trees
+    survive encode->decode exactly (values bit-exact; attr maps equal)."""
+    from hypothesis import given, settings, strategies as st
+
+    attr_vals = st.one_of(
+        st.text(max_size=8), st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False),
+    )
+    attrs = st.dictionaries(st.text(min_size=1, max_size=6), attr_vals, max_size=3)
+    point = st.fixed_dictionaries({
+        "attrs": attrs,
+        "time_unix_nano": st.integers(min_value=0, max_value=2**63 - 1),
+        "value": st.one_of(
+            st.floats(allow_nan=False),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+    })
+    metric = st.fixed_dictionaries({
+        "name": st.text(min_size=1, max_size=8),
+        "type": st.sampled_from(["gauge", "sum"]),
+        "temporality": st.sampled_from([1, 2]),
+        "is_monotonic": st.booleans(),
+        "points": st.lists(point, max_size=3),
+    })
+    req = st.lists(
+        st.fixed_dictionaries({
+            "resource": attrs,
+            "scopes": st.lists(
+                st.fixed_dictionaries({
+                    "name": st.text(max_size=6),
+                    "metrics": st.lists(metric, max_size=2),
+                }),
+                max_size=2,
+            ),
+        }),
+        max_size=2,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(tree=req)
+    def roundtrip(tree) -> None:
+        got = O.decode_export_metrics(O.encode_export_metrics(tree))
+        want = []
+        for rm in tree:
+            for sc in rm["scopes"]:
+                for m in sc["metrics"]:
+                    for p in m["points"]:
+                        want.append((
+                            rm["resource"], sc["name"], m["name"],
+                            m["type"],
+                            m["temporality"] if m["type"] == "sum" else None,
+                            m["is_monotonic"] if m["type"] == "sum" else None,
+                            p["attrs"], p["time_unix_nano"],
+                            p["value"],
+                        ))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            res, scn, mn, dt, temp, mono, pattrs, tns, val = w
+            assert g["resource"] == res and g["scope_name"] == scn
+            assert g["metric_name"] == mn and g["data_type"] == dt
+            assert g["temporality"] == temp and g["is_monotonic"] == mono
+            assert g["attrs"] == pattrs and g["time_unix_nano"] == tns
+            if isinstance(val, float):
+                assert struct.pack("<d", g["value_double"]) == struct.pack("<d", val)
+            else:
+                assert g["value_int"] == val
+
+    roundtrip()

@@ -166,3 +166,30 @@ def test_roundtrip_features_spark(spark):
     for i, t in ((1, "alpha beta gamma " * 30), (2, ""), (3, "zzz" * 1000)):
         assert got[i]["n_bytes"] == len(t.encode())
         assert got[i]["payload_md5"] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_property_interop_random_payloads():
+    """Generative interop: arbitrary byte payloads through real libzstd
+    at a random level must decode bit-exactly — hypothesis explores the
+    literals/sequence shapes the fixed payload list cannot."""
+    from hypothesis import given, settings, strategies as st
+    from pyarrow import Codec
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.one_of(
+            st.binary(max_size=4096),
+            # highly repetitive payloads exercise RLE/repeat offsets
+            st.builds(
+                lambda unit, n: unit * n,
+                st.binary(min_size=1, max_size=16),
+                st.integers(min_value=1, max_value=600),
+            ),
+        ),
+        level=st.sampled_from([1, 3, 9, 19]),
+    )
+    def roundtrip(data: bytes, level: int) -> None:
+        comp = bytes(Codec("zstd", compression_level=level).compress(data))
+        assert Z.zstd_decompress(comp, max_out=1 << 24) == data
+
+    roundtrip()
