@@ -715,9 +715,10 @@ SELECT event_id AS push_id,
   CAST(user_id % 3 + 1 AS BIGINT) + CAST(user_id % 5 AS BIGINT)
     + CAST(user_id % 7 AS BIGINT) + CAST(user_id % 2 AS BIGINT) AS count,
   CAST(user_id AS DOUBLE) * 2.5 AS sum_value,
-  [CAST(user_id % 3 + 1 AS BIGINT), CAST(user_id % 5 AS BIGINT),
-   CAST(user_id % 7 AS BIGINT), CAST(user_id % 2 AS BIGINT)] AS bucket_counts,
-  [0.5, 2.5, 5.0]::DOUBLE[] AS explicit_bounds,
+  CAST(user_id % 3 + 1 AS VARCHAR) || ',' || CAST(user_id % 5 AS VARCHAR)
+    || ',' || CAST(user_id % 7 AS VARCHAR) || ',' || CAST(user_id % 2 AS VARCHAR)
+    AS bucket_counts_csv,
+  '0.5,2.5,5.0' AS explicit_bounds_csv,
   CAST(0.5 AS DOUBLE) AS hist_min,
   CAST(user_id % 7 AS DOUBLE) + 0.5 AS hist_max
 FROM events
@@ -730,8 +731,10 @@ def otlp_histogram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_counts, PACKED double explicit_bounds, optional sum/min/max
     doubles — all bit-exact on the wire), decoded by the same proto3
     walk. Bucket counts are closed forms of user_id so the oracle
-    restates arrays and scalars exactly (array hash via identical list
-    reprs; bounds are exact binary fractions). See functions/otlp.py;
+    restates every array element and scalar exactly; arrays ride the
+    hash as comma-joined strings (array_join on the Spark side, || on
+    the DuckDB side) — the driver compare's proven type envelope has
+    no LIST-column precedent, so serialize rather than gamble. See functions/otlp.py;
     arity/packed-length fuzz in tests/test_otlp.py."""
     from pyspark.sql.types import BinaryType
 
@@ -775,8 +778,12 @@ def otlp_histogram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "temporality",
         "count",
         F.col("sum").alias("sum_value"),
-        "bucket_counts",
-        "explicit_bounds",
+        F.array_join(
+            F.transform(F.col("bucket_counts"), lambda c: c.cast("string")), ","
+        ).alias("bucket_counts_csv"),
+        F.array_join(
+            F.transform(F.col("explicit_bounds"), lambda b: b.cast("string")), ","
+        ).alias("explicit_bounds_csv"),
         "hist_min",
         "hist_max",
     )

@@ -77,7 +77,10 @@ def fetch_pandas_canon(res) -> list[tuple]:
         vals = []
         for i, v in enumerate(row):
             if hasattr(v, "item"):
-                v = v.item()
+                try:
+                    v = v.item()
+                except ValueError:  # numpy ARRAY (LIST column): size > 1
+                    v = v.tolist()
             if v is not None and isinstance(v, float) and is_int[i]:
                 # A nullable int column comes back as float64 wholesale:
                 # NaN was NULL, integral floats were ints. HUGEINT columns
