@@ -76,7 +76,9 @@ def fetch_pandas_canon(res) -> list[tuple]:
     for row in pdf.itertuples(index=False, name=None):
         vals = []
         for i, v in enumerate(row):
-            if hasattr(v, "item"):
+            if v is not None and type(v).__name__ == "NaTType":
+                v = None  # NULL TIMESTAMP surfaces as pandas NaT
+            elif hasattr(v, "item"):
                 try:
                     v = v.item()
                 except ValueError:  # numpy ARRAY (LIST column): size > 1
