@@ -193,3 +193,21 @@ def test_property_interop_random_payloads():
         assert Z.zstd_decompress(comp, max_out=1 << 24) == data
 
     roundtrip()
+
+
+def test_multi_block_frame_treeless_and_repeat_tables():
+    """Payloads past the 128 KiB block ceiling force MULTI-BLOCK frames,
+    where later blocks reuse the previous Huffman tree (treeless
+    literals) and repeat-mode FSE tables — cross-block decoder state
+    the single-block sweep cannot reach. 735 KB of structured text at
+    four levels, bit-exact."""
+    from pyarrow import Codec
+
+    random.seed(7)
+    words = ["alpha", "beta", "gamma", "delta",
+             "epsilon", "zeta", "theta", "lambda"]
+    big = (" ".join(random.choice(words) for _ in range(120_000))).encode()
+    assert len(big) > 5 * (1 << 17)  # spans >5 max-size blocks
+    for lvl in (1, 3, 9, 19):
+        comp = bytes(Codec("zstd", compression_level=lvl).compress(big))
+        assert Z.zstd_decompress(comp, max_out=1 << 24) == big
