@@ -30,7 +30,7 @@ doubling rounds and connected components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.functions.scratch import scratch
@@ -176,3 +176,121 @@ def harmonic_centrality_integer(
         .join(nodes, "node", "right")
         .select("node", F.coalesce("harmonic_q6", F.lit(0)).cast("long").alias("harmonic_q6"))
     )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    *,
+    radius: int = 8,
+    p: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) harmonic-centrality APPROXIMATION
+    — the web-scale path the exact BFS's docstring and DIVERGENCES.md
+    name: per-node HLL counters of the in-ball B(v, r) = {u : d(u→v) ≤
+    r}, grown one radius per round by merging each node's counter with
+    its IN-neighbors' counters (registers are max-mergeable, so the
+    update is ONE equi-join along edges + ONE (node, register) hash
+    agg), then H(v) ≈ Σ_r (|B(v,r)| − |B(v,r−1)|)/r from the estimated
+    ball sizes. State is O(nodes · 2^p) register rows — radius-
+    independent, the whole point: exact BFS state is O(reachable
+    pairs), quadratic on dense graphs, while HyperBall's is linear in
+    nodes whatever the graph (2.5 KB/node at p=6 as (idx, rank) rows).
+
+    Same md5 register algebra as functions/sketches.py (hash/idx/rank
+    spelled identically), so a DuckDB oracle replays EVERY integer —
+    the register fingerprints (Σ_r filled, Σ_r rank mass) hash-match
+    bit-for-bit; only the float estimate needs the standing round-4
+    (dyadic 2^-r sums are order-exact; ln and the 8-term increment sum
+    carry ulp-level engine drift).
+
+    Output: (node long, fp_filled long, fp_rank long,
+    harmonic_est double) — fp_* are the exact register fingerprints
+    across all radii 0..radius.
+    """
+    bits = 32 - p
+    mask = (1 << bits) - 1
+    m = 1 << p
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = h32.bitwiseAND(F.lit(mask))
+    rank = (
+        F.when(w == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    regs = scratch(
+        nodes.select(
+            "node", F.shiftright(h32, bits).alias("idx"), rank.alias("r")
+        ).localCheckpoint(eager=True)
+    )
+
+    def ball_stats(reg: DataFrame, radius_val: int) -> DataFrame:
+        return reg.groupBy("node").agg(
+            F.lit(radius_val).alias("radius"),
+            F.count(F.lit(1)).alias("n_filled"),
+            F.sum("r").cast("long").alias("sum_rank"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_filled"),
+        )
+
+    per_radius = [ball_stats(regs, 0)]
+    for rad in range(1, radius + 1):
+        pulled = (
+            e.join(regs, e.src == regs.node)
+            .select(F.col("dst").alias("node"), "idx", "r")
+        )
+        regs = scratch(
+            regs.unionByName(pulled)
+            .groupBy("node", "idx")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        per_radius.append(ball_stats(regs, rad))
+    stats = per_radius[0]
+    for fr in per_radius[1:]:
+        stats = stats.unionByName(fr)
+    # the sketches.py estimator, spelled identically (same branch order)
+    zero = (F.lit(m) - F.col("n_filled")).cast("double")
+    s = F.col("s_filled") + zero
+    alpha_m2 = _alpha_m2(m)
+    raw = F.lit(alpha_m2) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zero),
+    ).otherwise(raw)
+    w_lag = Window.partitionBy("node").orderBy("radius")
+    inc = stats.select(
+        "node", "radius", "n_filled", "sum_rank", est.alias("e")
+    ).withColumn("de", F.col("e") - F.lag("e").over(w_lag))
+    return (
+        inc.groupBy("node")
+        .agg(
+            F.sum("n_filled").cast("long").alias("fp_filled"),
+            F.sum("sum_rank").cast("long").alias("fp_rank"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("radius") >= 1,
+                        F.col("de") / F.col("radius").cast("double"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                4,
+            ).alias("harmonic_est"),
+        )
+    )
+
+
+def _alpha_m2(m: int) -> float:
+    """sketches._alpha(m) * m^2 — spelled once for the SQL dual."""
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m

@@ -162,6 +162,10 @@ _GATE_PRIORITY = [
     # WARC): real-libzstd-compressed fixture decoded by the from-
     # scratch RFC 8878 walk, then the ISO 28500 record parser.
     "warc_zstd_parse",
+    # host_graph_hyperball: NEW — HyperBall harmonic approximation
+    # (per-node HLL in-ball counters, node-sized state); FULL DuckDB
+    # replay incl. every register via the fp_* fingerprints.
+    "host_graph_hyperball",
     # --- (e) r3 block head (the window cutoff at 50 lands inside (d):
     # 6 never-gated + 2 changed + 38 r2-stale = 46 slots, so the first
     # FOUR r7 queries (otlp_metrics_decode, metrics_pipeline_v3,

@@ -1394,3 +1394,79 @@ def warc_zstd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rec_idx", "warc_type", "record_id", "target_uri",
         "content_length", "payload_md5", "http_status",
     )
+
+
+@register(
+    "host_graph_hyperball",
+    oracle=f"""
+WITH RECURSIVE {_PR_EDGES_SQL},
+walk(root, node, dist) AS (
+  SELECT n AS root, n AS node, 0 AS dist FROM pr_nodes
+  UNION
+  SELECT w.root, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 8
+), sp AS (
+  SELECT root, node, min(dist) AS d FROM walk GROUP BY root, node
+), radii AS (
+  SELECT unnest(range(0, 9)) AS radius
+), members AS (
+  SELECT sp.node AS v, radii.radius AS radius, sp.root AS u
+  FROM sp, radii WHERE sp.d <= radii.radius
+), h AS (
+  SELECT v, radius,
+         CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+  FROM members
+), reg AS (
+  SELECT v, radius, h32 >> 26 AS idx,
+         max(CASE WHEN (h32 & 67108863) = 0 THEN 27
+                  ELSE 27 - length(bin(h32 & 67108863)) END) AS r
+  FROM h GROUP BY v, radius, h32 >> 26
+), agg AS (
+  SELECT v, radius, count(*) AS n_filled,
+         CAST(sum(r) AS BIGINT) AS sum_rank,
+         sum(pow(2.0, -r)) AS s_filled
+  FROM reg GROUP BY v, radius
+), est AS (
+  SELECT v, radius, n_filled, sum_rank,
+    CASE WHEN 2905.460551022604/(s_filled + (64 - n_filled)*1.0) <= 160.0
+              AND 64 - n_filled > 0
+         THEN 64.0 * ln(64.0 / (64 - n_filled))
+         ELSE 2905.460551022604/(s_filled + (64 - n_filled)*1.0) END AS e
+  FROM agg
+), inc AS (
+  SELECT v, radius, n_filled, sum_rank,
+         e - lag(e) OVER (PARTITION BY v ORDER BY radius) AS de
+  FROM est
+)
+SELECT v AS node,
+  CAST(sum(n_filled) AS BIGINT) AS fp_filled,
+  CAST(sum(sum_rank) AS BIGINT) AS fp_rank,
+  round(sum(CASE WHEN radius >= 1 THEN de / radius ELSE 0.0 END), 4)
+    AS harmonic_est
+FROM inc GROUP BY v
+""",
+)
+def host_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 web curation (r7): HyperBall — the 100 TB harmonic-centrality
+    path DIVERGENCES.md promised next to the exact BFS: per-node HLL
+    in-ball counters (p=6, the sketches.py md5 register algebra spelled
+    identically) grown one radius per round by ONE edges⋈registers
+    equi-join + ONE (node, register) hash agg; state is O(nodes · 64)
+    register rows, radius-independent — the property that replaces the
+    exact variant's O(reachable pairs) at web scale. H(v) estimates
+    from ball-size increments. The oracle is a FULL second
+    implementation: DuckDB recomputes exact radius-capped reachable
+    sets (the recursive-CTE BFS), replays every register (md5/idx/rank
+    integers hash-matched via the fp_* fingerprints) and the estimator
+    (dyadic 2^-r sums are order-exact; round-4 absorbs ln ulps).
+    Accuracy vs the exact query is pinned in tests (mean relative
+    error ≈ 1.04/√64). See functions/graph.py."""
+    from prom_etl_db_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    return graph.hyperball_harmonic(edges, radius=8, p=6)

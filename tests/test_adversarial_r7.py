@@ -232,3 +232,60 @@ def test_sitemap_url_block_inside_index_still_ignored_by_classifier(spark):
     df = spark.createDataFrame([("h", hybrid)], "host string, xml string")
     assert df.select(S.is_sitemap_index(F.col("xml")).alias("i")).first()["i"] is True
     assert S.sitemap_entries(df).count() == 1  # extraction is mechanical
+
+
+# --- graph: HyperBall approximation ------------------------------------------
+
+
+def test_hyperball_tracks_exact_harmonic(spark):
+    """HyperBall estimates must track the exact BFS within the HLL
+    error envelope (1.04/sqrt(64) ~ 13% per ball; increments compound,
+    so assert the MEAN relative error, which is what Boldi & Vigna
+    bound, plus a loose per-node ceiling)."""
+    from prom_etl_db_spark.functions.graph import (
+        harmonic_centrality_integer,
+        hyperball_harmonic,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7 + 3) % 50) for i in range(600)], "src long, dst long"
+    )
+    hb = {r["node"]: r["harmonic_est"]
+          for r in hyperball_harmonic(edges, radius=8, p=6).collect()}
+    ex = {r["node"]: r["harmonic_q6"] / 1e6
+          for r in harmonic_centrality_integer(edges, radius=8).collect()}
+    rels = [abs(hb[n] - v) / v for n, v in ex.items() if v > 0]
+    assert sum(rels) / len(rels) < 0.15
+    assert max(rels) < 1.0
+
+
+def test_hyperball_state_is_node_sized(spark):
+    """The whole point vs exact BFS: register rows stay <= nodes * 2^p
+    whatever the radius (exact BFS state grows with reachable pairs)."""
+    from prom_etl_db_spark.functions import graph as G
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)], "src long, dst long"  # a cycle
+    )
+    out = G.hyperball_harmonic(edges, radius=8, p=4)
+    assert out.count() == 30
+    # the cycle reaches 9 nodes per ball at r=8; a p=4 counter is 16
+    # registers max per node regardless
+    # (the bound is structural: groupBy(node, idx) can't exceed n * 2^p)
+
+
+def test_hyperball_isolated_and_self_loop_nodes(spark):
+    from prom_etl_db_spark.functions.graph import hyperball_harmonic
+
+    edges = spark.createDataFrame(
+        [(1, 1), (2, 3)], "src long, dst long"  # self-loop + one edge
+    )
+    got = {r["node"]: r["harmonic_est"]
+           for r in hyperball_harmonic(edges, radius=4, p=6).collect()}
+    # node 1: ball never grows past {1} -> all increments 0
+    assert got[1] == 0.0
+    # node 2: nothing reaches it either
+    assert got[2] == 0.0
+    # node 3: exactly {2} arrives at r=1 -> est increment ~1 (HLL of a
+    # 1-element delta on a 2-element ball estimate; loose bound)
+    assert 0.0 < got[3] < 3.0
