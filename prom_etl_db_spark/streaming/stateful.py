@@ -1236,3 +1236,176 @@ def run_vad_stream(
     active = raw.where(F.col("e_total") >= F.lit(threshold))
     out = streaming_vad_segments(active)
     return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
+# -- streaming MinHash-LSH near-duplicate detection ---------------------------
+
+NEARDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("shs", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+NEARDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+        StructField("jaccard", DoubleType(), True),
+    ]
+)
+
+
+def make_neardup_fold(threshold: float, ttl_minutes: int | None):
+    """Per-(band, band_hash) bucket fold: the LSH seen-set online.
+
+    The stream twin of ``dedup.minhash_lsh_dup_pairs``'s candidate +
+    verify stages: shingling, signatures and band keys are computed by
+    the SAME JVM expressions upstream (stateless, so they compose with
+    Structured Streaming unchanged); this fold only intersects hashed
+    shingle SETS — exact-Jaccard verification, no hash recomputation in
+    Python. When a new document lands in an occupied bucket it verifies
+    against every resident (and earlier same-batch arrivals, in doc_id
+    order for determinism) and emits qualifying pairs as (min, max,
+    jaccard) — identical rows to the batch op, so cross-band duplicate
+    emissions collapse under a sink-side distinct. State per bucket =
+    resident (id, shingles) lists: bounded by banding probability
+    (buckets are small by construction — that is what banding is FOR)
+    and, in production, by ``ttl_minutes`` (the recrawl horizon,
+    enforced via processing-time timeout like the URL seen-set's
+    watermark)."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in NEARDUP_OUTPUT_SCHEMA}
+            )
+            return
+        if state.exists:
+            ids, shs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            ids, shs = [], []
+        sets = [set(s) for s in shs]
+        out_a, out_b, out_j = [], [], []
+        incoming: list[tuple[int, list[int]]] = []
+        for pdf in pdfs:
+            for did, sh in zip(pdf["id"], pdf["sh"]):
+                incoming.append((int(did), [int(x) for x in sh]))
+        incoming.sort()
+        for did, sh in incoming:
+            if did in ids:
+                continue  # replayed micro-batch: a doc enters a bucket once
+            s = set(sh)
+            for oid, os in zip(ids, sets):
+                inter = len(s & os)
+                union = len(s | os)
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out_a.append(min(did, oid))
+                    out_b.append(max(did, oid))
+                    out_j.append(round(jac, 6))
+            ids.append(did)
+            shs.append(sh)
+            sets.append(s)
+        state.update((ids, shs))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return fold
+
+
+def streaming_minhash_neardup(
+    banded: DataFrame, *, threshold: float = 0.8, ttl_minutes: int | None = None
+) -> DataFrame:
+    """``banded`` is a STREAMING DataFrame shaped (band int, band_hash
+    long, id long, sh array<long>) — the batch pipeline's banded
+    candidates with the hashed shingle sets riding along. Emits
+    verified near-dup pairs as they become discoverable."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        make_neardup_fold(threshold, ttl_minutes),
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_neardup_stream(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    available_now: bool = True,
+):
+    """Drive the streaming near-dup over a file source of (doc_id, text)
+    rows: the SAME JVM shingle/signature/band expressions as
+    ``dedup.minhash_lsh_dup_pairs``, then the per-bucket stateful
+    verify. Sink rows may repeat across bands — identical values;
+    consumers (and the restart test) read them through distinct()."""
+    from prom_etl_db_spark.functions.dedup import (
+        has_min_words,
+        hashed_shingles,
+        minhash_signature,
+    )
+
+    raw = spark.readStream.schema("doc_id long, text string").parquet(source_dir)
+    rows = num_hashes // bands
+    base = raw.where(has_min_words(F.col("text"), shingle_n)).select(
+        F.col("doc_id").alias("id"),
+        hashed_shingles(F.col("text"), shingle_n).alias("sh"),
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    band_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        ),
+    )
+    banded = sig.select(
+        "id", "sh", F.explode(band_entries).alias("bk")
+    ).select(
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
+        "id",
+        "sh",
+    )
+    out = streaming_minhash_neardup(banded, threshold=threshold)
+    # pairs are discovered once and never revised -> APPEND mode (the
+    # update-mode sink protocol is for running-state operators)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = out.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

@@ -1230,3 +1230,59 @@ def test_streaming_otlp_rollup_matches_batch_across_restart(spark, tmp_path):
     b = {(r["metric_name"], r["shard"]): (r["n"], round(r["sum_value"], 6))
          for r in batch.collect()}
     assert a == b
+
+
+def test_streaming_minhash_neardup_matches_batch_across_restart(spark, tmp_path):
+    """Streaming LSH seen-set (r7): verified near-dup pairs discovered
+    online must equal batch minhash_lsh_dup_pairs over the union of
+    both file batches, across a checkpoint restart — including a pair
+    whose two members arrive in DIFFERENT runs (the resident shingle
+    sets must cross the checkpoint). Cross-band duplicate emissions are
+    identical rows; compare through distinct()."""
+    from prom_etl_db_spark.functions.dedup import minhash_lsh_dup_pairs
+    from prom_etl_db_spark.streaming.stateful import run_neardup_stream
+    from pyspark.sql import functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight")
+    alt = base.replace("green", "blue")
+    other = ("completely different content about prometheus metrics and "
+             "spark pipelines with nothing shared across these documents at all")
+    rows1 = [
+        (1, base),
+        (2, base + " extra"),        # near-dup of 1 (same run)
+        (3, other),
+        (4, other.replace("nothing", "little")),  # near-dup of 3 (same run)
+    ]
+    rows2 = [
+        (5, alt),                    # near-dup of 1/2 ACROSS the restart
+        (6, "yet another unrelated text that talks about zstd frames and "
+            "huffman trees in great detail for quite a while longer here"),
+    ]
+    src = str(tmp_path / "nd_src")
+    sink = str(tmp_path / "nd_sink")
+    ckpt = str(tmp_path / "nd_ckpt")
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.parquet(src)
+    run_neardup_stream(spark, src, sink, ckpt, threshold=0.5).awaitTermination(120)
+    got1 = spark.read.parquet(sink).select("id_a", "id_b", "jaccard").distinct()
+    n1 = got1.count()
+    assert n1 > 0  # same-run pairs found
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_neardup_stream(spark, src, sink, ckpt, threshold=0.5).awaitTermination(120)
+    got2 = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(sink)
+        .select("id_a", "id_b", "jaccard").distinct().collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_dup_pairs(
+            spark.createDataFrame(rows1 + rows2, "doc_id long, text string"),
+            threshold=0.5,
+        ).collect()
+    }
+    assert got2 == batch
+    # the cross-restart pair specifically: doc 5 against residents 1/2
+    assert any(a in (1, 2) and b == 5 for a, b, _ in got2)
