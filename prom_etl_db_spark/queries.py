@@ -170,11 +170,12 @@ _GATE_PRIORITY = [
     # 6 never-gated + 2 changed + 38 r2-stale = 46 slots, so the first
     # FOUR r7 queries (otlp_metrics_decode, metrics_pipeline_v3,
     # payload_zstd_roundtrip, otlp_histogram_decode) fill the window;
-    # the later-r7 four (otlp_hist_quantile_pipeline,
-    # mime_container_route, sitemap_parse_xml, warc_zstd_parse — each
-    # sf0.001+sf0.01 green before registration) plus this r3 head lead
-    # the r8 rotation, policy unchanged: never-driver-gated queries
-    # outrank once-green stale ones) -----------------------------------
+    # the later-r7 five (otlp_hist_quantile_pipeline,
+    # mime_container_route, sitemap_parse_xml, warc_zstd_parse,
+    # host_graph_hyperball — each green at sf0.001+sf0.01 AND under
+    # --pandas-canon before registration) plus this r3 head lead the
+    # r8 rotation, policy unchanged: never-driver-gated queries outrank
+    # once-green stale ones) --------------------------------------------
     "minhash_signatures",
     "minhash_band_pairs",
     "simhash_signatures",
