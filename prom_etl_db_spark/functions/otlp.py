@@ -308,19 +308,30 @@ def _parse_hist_point(data: bytes) -> dict:
             _check(pos, ln, n, "bucket_counts")
             if ln % 8:
                 raise ValueError("otlp: packed fixed64 length not multiple of 8")
-            p["bucket_counts"] = [
+            p["bucket_counts"].extend(
                 struct.unpack_from("<Q", data, pos + i)[0] for i in range(0, ln, 8)
-            ]
+            )
             pos += ln
         elif num == 7 and wire == 2:  # packed double bounds
             ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "explicit_bounds")
             if ln % 8:
                 raise ValueError("otlp: packed double length not multiple of 8")
-            p["explicit_bounds"] = [
+            p["explicit_bounds"].extend(
                 struct.unpack_from("<d", data, pos + i)[0] for i in range(0, ln, 8)
-            ]
+            )
             pos += ln
+        elif num == 6 and wire == 1:  # unpacked fixed64 bucket count entry
+            # proto3 requires parsers to accept repeated scalars in BOTH
+            # packed and unpacked form (r8 ADVICE fix — _skip silently
+            # dropped these before, yielding wrong counts).
+            _check(pos, 8, n, "bucket_counts entry")
+            p["bucket_counts"].append(struct.unpack_from("<Q", data, pos)[0])
+            pos += 8
+        elif num == 7 and wire == 1:  # unpacked double bound entry
+            _check(pos, 8, n, "explicit_bounds entry")
+            p["explicit_bounds"].append(struct.unpack_from("<d", data, pos)[0])
+            pos += 8
         elif num == 9 and wire == 2:
             ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "hist attribute")
@@ -541,13 +552,25 @@ def _gunzip_bounded(raw: bytes, *, max_out: int = _MAX_GUNZIP) -> bytes:
     inside an executor (r7 adversarial pass)."""
     import zlib
 
-    d = zlib.decompressobj(wbits=31)
-    out = d.decompress(raw, max_out)
-    if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
-        raise ValueError(
-            f"otlp: gzip payload expands beyond {max_out} bytes"
-        )
-    return out
+    out = bytearray()
+    # gzip allows CONCATENATED members — decode every member rather than
+    # silently dropping trailing ones (r8 ADVICE fix); non-gzip trailing
+    # garbage refuses loudly.
+    while raw:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(raw, max_out - len(out) + 1)
+        if len(out) > max_out or d.unconsumed_tail or (
+            not d.eof and d.decompress(b"", 1)
+        ):
+            raise ValueError(
+                f"otlp: gzip payload expands beyond {max_out} bytes"
+            )
+        if not d.eof:
+            raise ValueError("otlp: truncated gzip member")
+        raw = d.unused_data
+        if raw and raw[:2] != b"\x1f\x8b":
+            raise ValueError("otlp: trailing garbage after gzip member")
+    return bytes(out)
 
 
 def otlp_samples(

@@ -375,6 +375,10 @@ def _huf_decode_stream(blob: bytes, table, max_bits: int, out_len: int) -> bytes
             raise ValueError("zstd: Huffman stream over-read")
         bb.pos -= nbits
         out.append(sym)
+    # RFC 8878 §4.2.2: the stream must be ENTIRELY consumed by exactly
+    # out_len symbols — trailing bits mean corruption (r8 ADVICE fix).
+    if bb.pos != 0:
+        raise ValueError("zstd: Huffman stream not fully consumed")
     return bytes(out)
 
 
@@ -509,7 +513,8 @@ def _read_seq_table(block, pos, mode, kind, ctx, max_sym, max_al, default, defau
     return tbl, pos
 
 
-def _decode_block(block: bytes, ctx: _FrameCtx, window: bytearray, max_out: int):
+def _decode_block(block: bytes, ctx: _FrameCtx, window: bytearray, max_out: int,
+                  frame_start: int = 0):
     lits, pos = _decode_literals(block, 0, ctx)
     if pos >= len(block):
         raise ValueError("zstd: missing sequences header")
@@ -530,7 +535,10 @@ def _decode_block(block: bytes, ctx: _FrameCtx, window: bytearray, max_out: int)
     else:
         if pos + 3 > len(block):
             raise ValueError("zstd: sequences count truncated")
-        nseq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
+        # RFC 8878 §3.1.1.3.2.1: byte0==255 → byte1 + (byte2<<8) + 0x7F00.
+        # ADDITION, not OR: byte2 >= 0x80 carries into bit 15 (r8 ADVICE fix;
+        # the OR form silently under-counted any block with >= 32768 sequences).
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
         pos += 3
     if pos >= len(block):
         raise ValueError("zstd: missing compression modes byte")
@@ -582,8 +590,11 @@ def _decode_block(block: bytes, ctx: _FrameCtx, window: bytearray, max_out: int)
             raise ValueError("zstd: sequence literals overrun")
         window.extend(lits[lit_pos : lit_pos + lit_len])
         lit_pos += lit_len
-        if offset > len(window):
-            raise ValueError(f"zstd: match offset {offset} beyond window")
+        # RFC 8878 forbids a match reaching back past the CURRENT frame's
+        # start — a multi-frame accumulator must not serve cross-frame
+        # references (r8 ADVICE fix: bound vs frame_start, not len(window)).
+        if offset > len(window) - frame_start:
+            raise ValueError(f"zstd: match offset {offset} beyond frame window")
         for _ in range(match_len):  # overlapping copies are byte-wise
             window.append(window[-offset])
         if len(window) > max_out:
@@ -592,6 +603,10 @@ def _decode_block(block: bytes, ctx: _FrameCtx, window: bytearray, max_out: int)
             ll_s.update(bb)
             ml_s.update(bb)
             of_s.update(bb)
+    # After the final sequence the backward bitstream must be exhausted
+    # (RFC 8878 §3.1.1.4) — excess payload bits mean corruption (r8 ADVICE).
+    if bb.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
     window.extend(lits[lit_pos:])
     if len(window) > max_out:
         raise ValueError("zstd: output exceeds max_out")
@@ -678,7 +693,7 @@ def zstd_decompress(data: bytes, *, max_out: int = 1 << 26) -> bytes:
             elif btype == 2:
                 if pos + bsize > n:
                     raise ValueError("zstd: compressed block overruns input")
-                _decode_block(data[pos : pos + bsize], ctx, out, max_out)
+                _decode_block(data[pos : pos + bsize], ctx, out, max_out, frame_start)
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")
