@@ -71,115 +71,92 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # --- Round-7 window -------------------------------------------------
-    # Composition (VERDICT r6 task #1): drain the gate-rotation debt.
-    # (a) the 6 oracle-carrying queries that have NEVER held a driver
-    # correctness row (r6 late additions, each green in the r6 judge's
-    # full local run), (b) the 2 queries whose semantics/fixtures
-    # CHANGED this round (the ADVICE robots membership fix extends the
-    # robots_gate fixture with empty-TestBot groups; relabel_pipeline's
-    # labelmap path gained last-wins dedup), (c) all 38 queries whose
-    # newest driver row is r2 (registry order — r1 is empty: every
-    # r1-stale query was re-gated by r5/r6), (d) new r7 queries as
-    # implemented, then (e) the 48-entry r3 block in registry order
-    # fills the remainder and leads the r8 rotation.
-    # --- (a) never-driver-gated (6) --------------------------------------
-    "image_netpbm_decode",
-    "image_tiff_decode",
-    "payload_lz4_roundtrip",
-    "doc_pack_firstfit",
-    "crawl_paced_schedule",
-    "scrape_target_rendezvous",
-    # --- (b) changed this round (2) --------------------------------------
-    "robots_gate",
-    "relabel_pipeline",
-    # --- (c) newest driver row = r2 (38, registry order) -----------------
-    "multimodal_wav_samples",
-    "embedding_kmeans_assign",
-    "semantic_neardup_pairs",
-    "promql_count_values",
-    "promql_over_time_stats",
-    "promql_rate_range",
-    "promql_mad_over_time",
-    "promql_label_replace",
-    "promql_label_join",
-    "promql_offset",
-    "promql_delta",
-    "promql_deriv",
-    "promql_predict_linear",
-    "promql_histogram_quantile",
-    "promql_clamp",
-    "doc_hash_split_counts",
-    "doc_stratified_sample",
-    "corpus_mix_by_lang",
-    "doc_deterministic_topn",
-    "doc_cap_per_source",
-    "doc_weighted_sample",
-    "neardup_clusters",
-    "neardup_keep_canonical",
-    "text_bpe_token_counts",
-    "tfidf_top_terms",
-    "bm25_query_scores",
-    "interval_click_attribution",
-    "promql_parsed_flagship",
-    "promql_parsed_selector_agg",
-    "config_executed_range",
-    "promql_changes_resets",
-    "promql_raw_over_time",
-    "promql_irate_idelta",
-    "promql_smoothing",
-    "tpch_q3_shipping_priority",
-    "doc_classifier_scores",
-    "doc_chunking",
-    "tpch_q5_local_revenue",
-    # --- (d) new r7 queries (inserted as implemented) ---------------------
-    # otlp_metrics_decode: NEW — the OTLP push protocol (proto3 wire
-    # walk over resource→scope→metric→points, gzip sniff), bit-exact
-    # fixed64/sfixed64 values, closed-form oracle over events.
-    "otlp_metrics_decode",
-    # metrics_pipeline_v3: NEW — OTLP → relabel → sharded rollup, the
-    # v2 composition with the second push protocol feeding it.
-    "metrics_pipeline_v3",
-    # payload_zstd_roundtrip: NEW — RFC 8878 zstd decoder, interop-
-    # gated against libzstd (pyarrow) across levels 1-22; decode-
-    # derived features hash-check the roundtrip.
-    "payload_zstd_roundtrip",
-    # otlp_histogram_decode / otlp_hist_quantile_pipeline: NEW — OTLP
-    # explicit-bounds histograms (packed fixed64/double wire fields)
-    # and their composition into the existing PromQL
-    # histogram_quantile operator via the spec's le-bucket mapping.
-    "otlp_histogram_decode",
+    # --- Round-8 window (VERDICT r7 task #1: drain rotation debt to
+    # zero-never-gated) ----------------------------------------------------
+    # Composition: (a) the 5 oracle-carrying queries that have NEVER held
+    # a driver correctness row (r7 late additions, each green at
+    # sf0.001+sf0.01 AND under --pandas-canon in the r7 judge's full local
+    # run); (b) new r8 queries as implemented (per the r7 verdict they
+    # enter right after the never-gated block); (c) the 48-query block
+    # whose newest driver row is r3, in registry order — the window cutoff
+    # at 50 lands inside (c), the tail leads the r9 rotation. Note: the r8
+    # ADVICE fixes to zstd/otlp are STRICTNESS-only (valid frames decode
+    # identically; fixture outputs unchanged, re-verified green locally),
+    # so payload_zstd_roundtrip / otlp_histogram_decode do NOT need the
+    # changed-semantics re-gate that robots_gate needed in r7.
+    # --- (a) never-driver-gated (5) ---------------------------------------
     "otlp_hist_quantile_pipeline",
-    # mime_container_route: NEW — WHATWG MP4 box walk + WebM EBML
-    # DocType parse as a mapInPandas refinement on the octet-stream
-    # residue; closes the r6 MP4/WebM DIVERGENCES boundary.
     "mime_container_route",
-    # sitemap_parse_xml: NEW — ElementTree sitemap tail (CDATA,
-    # character references, namespaces); closes the XML-tail
-    # DIVERGENCES boundary.
     "sitemap_parse_xml",
-    # warc_zstd_parse: NEW — .warc.zst (Common Crawl's zstd-framed
-    # WARC): real-libzstd-compressed fixture decoded by the from-
-    # scratch RFC 8878 walk, then the ISO 28500 record parser.
     "warc_zstd_parse",
-    # host_graph_hyperball: NEW — HyperBall harmonic approximation
-    # (per-node HLL in-ball counters, node-sized state); FULL DuckDB
-    # replay incl. every register via the fp_* fingerprints.
     "host_graph_hyperball",
-    # --- (e) r3 block head (the window cutoff at 50 lands inside (d):
-    # 6 never-gated + 2 changed + 38 r2-stale = 46 slots, so the first
-    # FOUR r7 queries (otlp_metrics_decode, metrics_pipeline_v3,
-    # payload_zstd_roundtrip, otlp_histogram_decode) fill the window;
-    # the later-r7 five (otlp_hist_quantile_pipeline,
-    # mime_container_route, sitemap_parse_xml, warc_zstd_parse,
-    # host_graph_hyperball — each green at sf0.001+sf0.01 AND under
-    # --pandas-canon before registration) plus this r3 head lead the
-    # r8 rotation, policy unchanged: never-driver-gated queries outrank
-    # once-green stale ones) --------------------------------------------
+    # --- (b) new r8 queries (inserted as implemented) ----------------------
+    # otlp_exp_histogram_decode / otlp_exp_hist_quantile: NEW r8 — OTLP
+    # exponential histograms (base = 2^(2^-scale) bucket algebra,
+    # zigzag-varint offsets over the proto3 walk) and their composition
+    # into histogram_quantile via upper-bound le-mapping (VERDICT #3).
+    # (uncommented as each lands this round — _apply_gate_priority fails
+    # loudly on unregistered names)
+    # "otlp_exp_histogram_decode",
+    # "otlp_exp_hist_quantile",
+    # remote_write_v2_decode: NEW r8 — io.prometheus.write.v2.Request
+    # (interned symbol table, labels as uint32 ref pairs) over the
+    # existing varint/fixed64 walk; third wire format feeding the same
+    # samples-table operator set (VERDICT #4).
+    # "remote_write_v2_decode",
+    # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
+    # encoder (predefined-FSE sequences + LZ greedy match search),
+    # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).
+    # "payload_zstd_encode",
+    # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",
     "simhash_signatures",
     "decontam_bloom_prefilter",
+    "multimodal_png_pixels",
+    "multimodal_gif_pixels",
+    "video_frame_sampling",
+    "audio_signal_features",
+    "promql_rate_range_wide",
+    "promql_delta_range",
+    "promql_histogram_fraction",
+    "promql_topk_over_time",
+    "promql_ts_of_extremes",
+    "promql_absent",
+    "curation_pipeline",
+    "doc_sequence_packing",
+    "hll_cardinality",
+    "quantile_histogram_sketch",
+    "countmin_user_counts",
+    "bloom_purchaser_membership",
+    "dq_events_expectations",
+    "events_value_psi",
+    "promql_parsed_scalar_share",
+    "promql_first_last_ts",
+    "promql_parsed_histogram_fraction",
+    "sessionize_events",
+    "events_window_funnel",
+    "doc_paragraph_dedup",
+    "doc_paragraph_dedup_rewrite",
+    "doc_exact_substring_dups",
+    "doc_zipf_token_stats",
+    "doc_ccnet_perplexity_buckets",
+    "doc_minhash_jaccard_est",
+    "embedding_sq8_codes",
+    "embedding_pq_codes",
+    "similarity_topk_pq",
+    "promql_absent_range",
+    "tpch_q10_returned_items",
+    "corpus_temperature_mix",
+    "promql_histquant_range",
+    "similarity_topk_ivfpq",
+    "events_cohort_retention",
+    "heavy_hitters_topk",
+    "events_cdc_latest",
+    "events_rollup_cube",
+    "tpch_q18_large_orders",
+    "tpch_q4_late_orders",
+    "tpch_q14_promo_revenue",
 ]
 
 def _apply_gate_priority() -> None:
