@@ -28,13 +28,19 @@ common.proto / resource.proto, Apache-2.0 spec repo):
   .exemplars = 5, .as_int = 6 (sfixed64), .attributes = 7, .flags = 8
 
 Documented subset (DIVERGENCES.md): gauge and sum with
-NumberDataPoint (the two shapes Prometheus remote-write also carries)
-plus explicit-bounds Histogram (HistogramDataPoint: fixed64 count,
-optional sum/min/max doubles, PACKED fixed64 bucket_counts and PACKED
-double explicit_bounds — the classic-histogram shape that maps onto
-Prometheus le-buckets); exponential_histogram / summary data REFUSE
-loudly with ValueError — their scale/quantile algebra deserves its own
-oracle, and silently dropping points would corrupt rollups. Attribute values
+NumberDataPoint (the two shapes Prometheus remote-write also carries),
+explicit-bounds Histogram (HistogramDataPoint: fixed64 count,
+optional sum/min/max doubles, fixed64 bucket_counts and double
+explicit_bounds accepted packed AND unpacked — the classic-histogram
+shape that maps onto Prometheus le-buckets), and (r8)
+ExponentialHistogram — the wire twin of Prometheus NATIVE histograms:
+sint32 ZIGZAG scale, fixed64 zero_count, positive/negative Buckets
+(sint32 zigzag offset + packed-varint uint64 counts), with the
+formula-defined boundary algebra base = 2^(2^-scale), bucket i =
+(base^i, base^(i+1)] (scale clamped to the spec's [-10, 20]); summary
+data REFUSES loudly with ValueError — its quantile sketch has no
+loss-free mapping into this engine's operators, and silently dropping
+points would corrupt rollups. Attribute values
 decode string/bool/int/double; nested array/kvlist values refuse.
 Unknown FIELDS skip per proto3 forward-compat rules (that is what the
 spec requires of any reader); unknown DATA SHAPES refuse (that is a
@@ -72,7 +78,16 @@ from prom_etl_db_spark.functions.remote_write import (
 
 _DATA_FIELDS = {5: "gauge", 7: "sum", 9: "histogram",
                 10: "exponential_histogram", 11: "summary"}
-_REFUSED_DATA = {"exponential_histogram", "summary"}
+_REFUSED_DATA = {"summary"}
+
+
+def _zigzag_enc(n: int) -> int:
+    """sint32/sint64 zigzag: 0,-1,1,-2,... → 0,1,2,3,..."""
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_dec(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
 
 
 # --- fixture/test encoder -----------------------------------------------------
@@ -133,6 +148,45 @@ def _enc_hist_point(p: dict) -> bytes:
     return bytes(out)
 
 
+def _enc_exp_buckets(offset: int, counts: list[int]) -> bytes:
+    """ExponentialHistogramDataPoint.Buckets: offset = 1 (sint32,
+    zigzag varint), bucket_counts = 2 (repeated uint64, PACKED varint)."""
+    out = _enc_field(1, 0) + _enc_uvarint(_zigzag_enc(offset))
+    if counts:
+        out += _enc_len(2, b"".join(_enc_uvarint(c) for c in counts))
+    return out
+
+
+def _enc_exp_hist_point(p: dict) -> bytes:
+    """ExponentialHistogramDataPoint: attributes=1, start=2/time=3
+    fixed64, count=4 fixed64, sum=5 double, scale=6 sint32 (ZIGZAG),
+    zero_count=7 fixed64, positive=8 / negative=9 Buckets, min=12,
+    max=13 doubles, zero_threshold=14 double."""
+    out = bytearray()
+    out += _enc_attrs(p.get("attrs", {}), 1)
+    if p.get("start_time_unix_nano"):
+        out += _enc_field(2, 1) + struct.pack("<Q", p["start_time_unix_nano"])
+    out += _enc_field(3, 1) + struct.pack("<Q", p["time_unix_nano"])
+    out += _enc_field(4, 1) + struct.pack("<Q", p["count"])
+    if p.get("sum") is not None:
+        out += _enc_field(5, 1) + struct.pack("<d", float(p["sum"]))
+    out += _enc_field(6, 0) + _enc_uvarint(_zigzag_enc(int(p.get("scale", 0))))
+    out += _enc_field(7, 1) + struct.pack("<Q", int(p.get("zero_count", 0)))
+    if p.get("pos_counts"):
+        out += _enc_len(8, _enc_exp_buckets(
+            int(p.get("pos_offset", 0)), p["pos_counts"]))
+    if p.get("neg_counts"):
+        out += _enc_len(9, _enc_exp_buckets(
+            int(p.get("neg_offset", 0)), p["neg_counts"]))
+    if p.get("min") is not None:
+        out += _enc_field(12, 1) + struct.pack("<d", float(p["min"]))
+    if p.get("max") is not None:
+        out += _enc_field(13, 1) + struct.pack("<d", float(p["max"]))
+    if p.get("zero_threshold") is not None:
+        out += _enc_field(14, 1) + struct.pack("<d", float(p["zero_threshold"]))
+    return bytes(out)
+
+
 def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
     """Fixture/test encoder. Shape::
 
@@ -169,6 +223,15 @@ def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
                         m.get("temporality", 2)
                     )
                     m_msg += _enc_len(9, bytes(h_msg))
+                elif mtype == "exponential_histogram":
+                    pts = b"".join(
+                        _enc_len(1, _enc_exp_hist_point(p)) for p in m["points"]
+                    )
+                    h_msg = bytearray(pts)
+                    h_msg += _enc_field(2, 0) + _enc_uvarint(
+                        m.get("temporality", 2)
+                    )
+                    m_msg += _enc_len(10, bytes(h_msg))
                 elif mtype == "gauge":
                     pts = b"".join(_enc_len(1, _enc_point(p)) for p in m["points"])
                     m_msg += _enc_len(5, pts)
@@ -348,12 +411,124 @@ def _parse_hist_point(data: bytes) -> dict:
             pos += 8
         else:
             pos = _skip(data, pos, wire)
-    if len(p["bucket_counts"]) and p["explicit_bounds"] and \
+    # Arity holds whenever ANY buckets are present — including the
+    # empty-bounds case (a lone +Inf bucket is exactly one count; r8
+    # seam pass: multi-count/zero-bound payloads used to slip through
+    # and downstream le-zipping would silently mis-pair them).
+    if len(p["bucket_counts"]) and \
             len(p["bucket_counts"]) != len(p["explicit_bounds"]) + 1:
         raise ValueError(
             "otlp: bucket_counts must have exactly one more entry than "
             f"explicit_bounds ({len(p['bucket_counts'])} vs "
             f"{len(p['explicit_bounds'])})"
+        )
+    return p
+
+
+def _parse_exp_buckets(data: bytes) -> tuple[int, list[int]]:
+    """Buckets: offset = 1 (sint32 zigzag), bucket_counts = 2
+    (repeated uint64 — accepted PACKED and unpacked per proto3)."""
+    pos, n = 0, len(data)
+    offset, counts = 0, []
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            offset = _zigzag_dec(raw)
+        elif num == 2 and wire == 2:  # packed varints
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exp bucket_counts")
+            end = pos + ln
+            while pos < end:
+                c, pos = _uvarint(data, pos)
+                counts.append(c)
+            if pos != end:
+                raise ValueError("otlp: packed varint run overruns its length")
+        elif num == 2 and wire == 0:  # unpacked entry
+            c, pos = _uvarint(data, pos)
+            counts.append(c)
+        else:
+            pos = _skip(data, pos, wire)
+    return offset, counts
+
+
+def _parse_exp_hist_point(data: bytes) -> dict:
+    """ExponentialHistogramDataPoint (opentelemetry-proto metrics.proto):
+    the FORMULA-defined native-histogram shape — base = 2^(2^-scale),
+    bucket i covers (base^i, base^(i+1)]. Scale rides a ZIGZAG varint
+    (negative scales are legal: base 4, 16, ... for wide-range data)."""
+    pos, n = 0, len(data)
+    p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
+               "count": 0, "sum": None, "scale": 0, "zero_count": 0,
+               "zero_threshold": 0.0, "pos_offset": 0, "pos_counts": [],
+               "neg_offset": 0, "neg_counts": [], "min": None, "max": None}
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exp hist attribute")
+            k, v = _parse_attrs(data[pos : pos + ln])
+            p["attrs"][k] = v
+            pos += ln
+        elif num == 2 and wire == 1:
+            _check(pos, 8, n, "exp hist start_time")
+            p["start_time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 3 and wire == 1:
+            _check(pos, 8, n, "exp hist time")
+            p["time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 4 and wire == 1:
+            _check(pos, 8, n, "exp hist count")
+            p["count"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 5 and wire == 1:
+            _check(pos, 8, n, "exp hist sum")
+            p["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 6 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            p["scale"] = _zigzag_dec(raw)
+        elif num == 7 and wire == 1:
+            _check(pos, 8, n, "exp hist zero_count")
+            p["zero_count"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 8 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exp hist positive buckets")
+            p["pos_offset"], p["pos_counts"] = _parse_exp_buckets(
+                data[pos : pos + ln])
+            pos += ln
+        elif num == 9 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exp hist negative buckets")
+            p["neg_offset"], p["neg_counts"] = _parse_exp_buckets(
+                data[pos : pos + ln])
+            pos += ln
+        elif num == 12 and wire == 1:
+            _check(pos, 8, n, "exp hist min")
+            p["min"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 13 and wire == 1:
+            _check(pos, 8, n, "exp hist max")
+            p["max"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 14 and wire == 1:
+            _check(pos, 8, n, "exp hist zero_threshold")
+            p["zero_threshold"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        else:
+            pos = _skip(data, pos, wire)
+    # OpenTelemetry spec: scale is bounded to [-10, 20] (base must stay
+    # representable); out-of-range scales are sender bugs — refuse.
+    if not -10 <= p["scale"] <= 20:
+        raise ValueError(f"otlp: exp histogram scale {p['scale']} outside [-10, 20]")
+    if p["count"] < p["zero_count"] + sum(p["pos_counts"]) + sum(p["neg_counts"]):
+        raise ValueError(
+            "otlp: exp histogram count below the sum of its buckets "
+            f"({p['count']} < {p['zero_count']} + buckets)"
         )
     return p
 
@@ -380,15 +555,19 @@ def _parse_metric(data: bytes) -> dict:
             if kind in _REFUSED_DATA:
                 raise ValueError(
                     f"otlp: {kind} data points not implemented "
-                    f"(metric {m['name']!r}); gauge/sum only — "
-                    "DIVERGENCES.md documents the subset"
+                    f"(metric {m['name']!r}); gauge/sum/histogram/"
+                    "exponential_histogram only — DIVERGENCES.md "
+                    "documents the subset"
                 )
             m["data_type"] = kind
             ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, f"{kind} data")
             body, bp = data[pos : pos + ln], 0
             pos += ln
-            point_parser = _parse_hist_point if kind == "histogram" else _parse_point
+            point_parser = {
+                "histogram": _parse_hist_point,
+                "exponential_histogram": _parse_exp_hist_point,
+            }.get(kind, _parse_point)
             while bp < len(body):
                 bh, bp = _uvarint(body, bp)
                 bnum, bwire = bh >> 3, bh & 7
@@ -397,7 +576,8 @@ def _parse_metric(data: bytes) -> dict:
                     _check(bp, l2, len(body), "data point")
                     m["points"].append(point_parser(body[bp : bp + l2]))
                     bp += l2
-                elif kind in ("sum", "histogram") and bnum == 2 and bwire == 0:
+                elif kind in ("sum", "histogram", "exponential_histogram") \
+                        and bnum == 2 and bwire == 0:
                     raw, bp = _uvarint(body, bp)
                     m["temporality"] = raw
                 elif kind == "sum" and bnum == 3 and bwire == 0:
@@ -513,6 +693,13 @@ def decode_export_metrics(data: bytes) -> list[dict]:
                             "explicit_bounds": p.get("explicit_bounds"),
                             "hist_min": p.get("min"),
                             "hist_max": p.get("max"),
+                            "scale": p.get("scale"),
+                            "zero_count": p.get("zero_count"),
+                            "zero_threshold": p.get("zero_threshold"),
+                            "pos_offset": p.get("pos_offset"),
+                            "pos_counts": p.get("pos_counts"),
+                            "neg_offset": p.get("neg_offset"),
+                            "neg_counts": p.get("neg_counts"),
                         }
                     )
     return out
@@ -537,6 +724,13 @@ OTLP_SCHEMA = T.StructType(
         T.StructField("explicit_bounds", T.ArrayType(T.DoubleType())),
         T.StructField("hist_min", T.DoubleType()),
         T.StructField("hist_max", T.DoubleType()),
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("zero_count", T.LongType()),
+        T.StructField("zero_threshold", T.DoubleType()),
+        T.StructField("pos_offset", T.IntegerType()),
+        T.StructField("pos_counts", T.ArrayType(T.LongType())),
+        T.StructField("neg_offset", T.IntegerType()),
+        T.StructField("neg_counts", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -613,6 +807,13 @@ def otlp_samples(
                             "explicit_bounds": r["explicit_bounds"],
                             "hist_min": r["hist_min"],
                             "hist_max": r["hist_max"],
+                            "scale": r["scale"],
+                            "zero_count": r["zero_count"],
+                            "zero_threshold": r["zero_threshold"],
+                            "pos_offset": r["pos_offset"],
+                            "pos_counts": r["pos_counts"],
+                            "neg_offset": r["neg_offset"],
+                            "neg_counts": r["neg_counts"],
                         }
                     )
             yield pd.DataFrame(

@@ -294,6 +294,165 @@ def decode_write_request(data: bytes) -> list[dict]:
     return series
 
 
+# --- protobuf: io.prometheus.write.v2.Request (remote-write 2.0) -------------
+#
+# The ecosystem's CURRENT wire format (prometheus.io/docs/specs/
+# remote_write_spec_2_0; prompb/io/prometheus/write/v2/types.proto):
+# all strings are INTERNED in one symbols table and labels ride as
+# uint32 ref PAIRS — Request.symbols = 4 (repeated string, symbols[0]
+# MUST be the empty string), Request.timeseries = 5;
+# TimeSeries.labels_refs = 1 (repeated uint32, packed varints, even
+# count: (name_ref, value_ref) pairs), .samples = 2 (the SAME Sample
+# message as v1: value = 1 fixed64 double, timestamp = 2 varint int64
+# ms), .histograms = 3 (native histograms — REFUSED loudly: primary
+# data this engine would otherwise silently drop; DIVERGENCES.md),
+# .exemplars = 4 / .metadata = 5 / .created_timestamp = 6 (auxiliary —
+# skipped per proto3). Out-of-range symbol refs and odd labels_refs
+# counts refuse loudly: a wrong ref silently binds a sample to the
+# wrong series, the worst failure class for a metrics store.
+
+
+def encode_write_request_v2(series: list[dict]) -> bytes:
+    """series: [{"labels": {name: value}, "samples": [(value, ts_ms)]}]
+    → uncompressed io.prometheus.write.v2.Request bytes (fixture/test
+    encoder). Strings are interned first-seen-first-numbered after the
+    mandatory leading empty symbol."""
+    symbols: list[str] = [""]
+    interned: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in interned:
+            interned[s] = len(symbols)
+            symbols.append(s)
+        return interned[s]
+
+    ts_msgs = []
+    for s in series:
+        refs: list[int] = []
+        for name, value in s["labels"].items():
+            refs.append(ref(name))
+            refs.append(ref(value))
+        ts_msg = bytearray()
+        if refs:
+            ts_msg += _enc_len(1, b"".join(_enc_uvarint(r) for r in refs))
+        for value, ts_ms in s["samples"]:
+            sm = (
+                _enc_field(1, 1)
+                + struct.pack("<d", value)
+                + _enc_field(2, 0)
+                + _enc_uvarint(ts_ms)
+            )
+            ts_msg += _enc_len(2, sm)
+        ts_msgs.append(bytes(ts_msg))
+    out = bytearray()
+    for sym in symbols:
+        out += _enc_len(4, sym.encode())
+    for m in ts_msgs:
+        out += _enc_len(5, m)
+    return bytes(out)
+
+
+def _parse_sample(sm: bytes) -> tuple[float, int]:
+    sp, val, ts_ms = 0, 0.0, 0
+    while sp < len(sm):
+        sh, sp = _uvarint(sm, sp)
+        snum, swire = sh >> 3, sh & 7
+        if snum == 1 and swire == 1:
+            if sp + 8 > len(sm):
+                raise ValueError(f"proto: fixed64 overruns sample at {sp}")
+            val = struct.unpack("<d", sm[sp : sp + 8])[0]
+            sp += 8
+        elif snum == 2 and swire == 0:
+            raw, sp = _uvarint(sm, sp)
+            ts_ms = raw - (1 << 64) if raw >= 1 << 63 else raw
+        else:
+            sp = _skip(sm, sp, swire)
+    return val, ts_ms
+
+
+def decode_write_request_v2(data: bytes) -> list[dict]:
+    """Uncompressed v2 Request bytes → the v1 decoder's dict shape
+    (labels materialized from the symbols table) — so BOTH remote-write
+    generations land in one downstream operator set. Unknown fields
+    skip per proto3; ref violations, native-histogram series and
+    framing violations raise ValueError."""
+    symbols: list[str] = []
+    ts_blobs: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 4 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            if pos + ln > n:
+                raise ValueError(f"proto: symbol overruns buffer at {pos}")
+            symbols.append(data[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif num == 5 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            if pos + ln > n:
+                raise ValueError(f"proto: timeseries overruns buffer at {pos}")
+            ts_blobs.append(data[pos : pos + ln])
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    if ts_blobs and (not symbols or symbols[0] != ""):
+        raise ValueError(
+            "remote-write v2: symbols[0] must be the empty string (spec)"
+        )
+    series = []
+    for ts_msg in ts_blobs:
+        refs: list[int] = []
+        samples: list[tuple[float, int]] = []
+        p, ln = 0, len(ts_msg)
+        while p < ln:
+            h, p = _uvarint(ts_msg, p)
+            fnum, fwire = h >> 3, h & 7
+            if fnum == 1 and fwire == 2:  # packed uint32 labels_refs
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: labels_refs overruns at {p}")
+                end = p + l2
+                while p < end:
+                    r, p = _uvarint(ts_msg, p)
+                    refs.append(r)
+                if p != end:
+                    raise ValueError("proto: packed varint run overruns its length")
+            elif fnum == 1 and fwire == 0:  # unpacked entry (proto3 rule)
+                r, p = _uvarint(ts_msg, p)
+                refs.append(r)
+            elif fnum == 2 and fwire == 2:
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: sample overruns timeseries at {p}")
+                samples.append(_parse_sample(ts_msg[p : p + l2]))
+                p += l2
+            elif fnum == 3 and fwire == 2:
+                raise ValueError(
+                    "remote-write v2: native-histogram series not implemented "
+                    "— refusing rather than silently dropping primary data "
+                    "(DIVERGENCES.md)"
+                )
+            else:  # exemplars / metadata / created_timestamp / unknown
+                p = _skip(ts_msg, p, fwire)
+        if len(refs) % 2:
+            raise ValueError(
+                f"remote-write v2: labels_refs count {len(refs)} is odd "
+                "(must be (name, value) pairs)"
+            )
+        labels: dict[str, str] = {}
+        for i in range(0, len(refs), 2):
+            nr, vr = refs[i], refs[i + 1]
+            if nr >= len(symbols) or vr >= len(symbols):
+                raise ValueError(
+                    f"remote-write v2: symbol ref {max(nr, vr)} out of range "
+                    f"(symbols table has {len(symbols)} entries)"
+                )
+            labels[symbols[nr]] = symbols[vr]
+        series.append({"labels": labels, "samples": samples})
+    return series
+
+
 REMOTE_WRITE_SCHEMA = T.StructType(
     [
         T.StructField("metric_name", T.StringType()),
@@ -319,6 +478,40 @@ def remote_write_samples(
             rows = []
             for pid, blob in zip(pdf[id_col], pdf[payload_col]):
                 for s in decode_write_request(snappy_decompress(bytes(blob))):
+                    labels = dict(s["labels"])
+                    name = labels.pop("__name__", "")
+                    for value, ts_ms in s["samples"]:
+                        rows.append(
+                            {
+                                id_col: pid,
+                                "metric_name": name,
+                                "labels": labels,
+                                "value": value,
+                                "timestamp_ms": ts_ms,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
+
+
+def remote_write_v2_samples(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, snappy-compressed v2 Request) → the SAME sample shape as
+    ``remote_write_samples`` — three wire formats (remote-write 1.0,
+    2.0, OTLP), one downstream operator set."""
+    schema = T.StructType([payloads.schema[id_col]] + list(REMOTE_WRITE_SCHEMA.fields))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for s in decode_write_request_v2(snappy_decompress(bytes(blob))):
                     labels = dict(s["labels"])
                     name = labels.pop("__name__", "")
                     for value, ts_ms in s["samples"]:

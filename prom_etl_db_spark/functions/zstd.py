@@ -759,6 +759,256 @@ def zstd_compress_raw(data: bytes, *, checksum: bool = True) -> bytes:
     return bytes(out)
 
 
+# --- compressing encoder (r8, VERDICT r7 #7) --------------------------------
+#
+# A genuinely size-reducing encoder over the format subset whose tables
+# are fixed by the RFC: greedy LZ77 matches emitted as PREDEFINED-FSE
+# sequences (the three default distributions — no table headers to
+# write) over RAW literals. Valid-not-maximal: libzstd compresses
+# better (entropy-coded literals, optimal parsing, repeat offsets);
+# this encoder's contract is byte-exact roundtrip AND acceptance by
+# REAL libzstd — the mirror of the r7 decoder gate. Every block falls
+# back to raw when sequences don't pay (the spec admits any mix).
+
+
+def _fse_enc_ranges(norm: list[int], al: int):
+    """Per-symbol encode view of the decode table: symbol → sorted
+    [(baseline, nbits, cell)] whose ranges tile the state space."""
+    table = _fse_build(norm, al)
+    by_sym: dict[int, list[tuple[int, int, int]]] = {}
+    for idx, (sym, nbits, baseline) in enumerate(table):
+        by_sym.setdefault(sym, []).append((baseline, nbits, idx))
+    for v in by_sym.values():
+        v.sort()
+    return by_sym
+
+
+_LL_ENC = _fse_enc_ranges(_LL_DEFAULT, _LL_DEFAULT_AL)
+_OF_ENC = _fse_enc_ranges(_OF_DEFAULT, _OF_DEFAULT_AL)
+_ML_ENC = _fse_enc_ranges(_ML_DEFAULT, _ML_DEFAULT_AL)
+
+
+def _fse_encode_chain(enc, syms: list[int]):
+    """FSE encoding runs BACKWARD: choose a cell for the last symbol,
+    then for each earlier symbol pick the cell whose decode range
+    contains the next state, emitting (state - baseline) in nbits.
+    Returns (init_state_cell, bits) where bits[i] = the (value, nbits)
+    the DECODER reads after outputting symbol i (producing i+1's
+    state)."""
+    import bisect
+
+    st = enc[syms[-1]][0][2]
+    rev: list[tuple[int, int]] = []
+    for i in range(len(syms) - 2, -1, -1):
+        lst = enc[syms[i]]
+        j = bisect.bisect_right([e[0] for e in lst], st) - 1
+        baseline, nbits, cell = lst[j]
+        if not baseline <= st < baseline + (1 << nbits):  # pragma: no cover
+            raise AssertionError("zstd: FSE encode range walk broken")
+        rev.append((st - baseline, nbits))
+        st = cell
+    rev.reverse()
+    return st, rev
+
+
+def _pack_backward(items: list[tuple[int, int]]) -> bytes:
+    """Pack (value, nbits) in DECODER-read order into the backward
+    bitstream layout: first item = top bits under the sentinel."""
+    acc = 1  # the sentinel bit
+    total = 0
+    for v, nb in items:
+        acc = (acc << nb) | (v & ((1 << nb) - 1))
+        total += nb
+    return acc.to_bytes((total + 1 + 7) // 8, "little")
+
+
+def _lit_section_raw(lits: bytes) -> bytes:
+    n = len(lits)
+    if n <= 31:
+        return bytes([n << 3]) + lits  # ltype 0, 1-bit size format
+    if n <= 0xFFF:
+        return bytes([0x04 | ((n & 0xF) << 4), n >> 4]) + lits
+    return bytes([0x0C | ((n & 0xF) << 4), (n >> 4) & 0xFF, n >> 12]) + lits
+
+
+def _ll_code(v: int) -> int:
+    import bisect
+
+    if v < 16:
+        return v
+    return bisect.bisect_right(_LL_BASE, v) - 1
+
+
+def _ml_code(v: int) -> int:
+    import bisect
+
+    if v <= 34:
+        return v - 3
+    return bisect.bisect_right(_ML_BASE, v) - 1
+
+
+def _seq_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences → header + predefined-mode byte + the interleaved
+    three-state backward bitstream (RFC 8878 §3.1.1.3.2.1.2)."""
+    n = len(seqs)
+    if n < 128:
+        hdr = bytes([n])
+    elif n < 0x7F00:
+        hdr = bytes([128 + (n >> 8), n & 0xFF])
+    else:
+        rem = n - 0x7F00
+        hdr = bytes([255, rem & 0xFF, rem >> 8])
+    ll_syms, of_syms, ml_syms = [], [], []
+    extras: list[list[tuple[int, int]]] = []
+    for lit_len, offset, match_len in seqs:
+        offset_val = offset + 3  # never a repeat-offset code
+        of_code = offset_val.bit_length() - 1
+        llc, mlc = _ll_code(lit_len), _ml_code(match_len)
+        ll_syms.append(llc)
+        of_syms.append(of_code)
+        ml_syms.append(mlc)
+        extras.append(
+            [
+                (offset_val - (1 << of_code), of_code),
+                (match_len - _ML_BASE[mlc], _ML_BITS[mlc]),
+                (lit_len - _LL_BASE[llc], _LL_BITS[llc]),
+            ]
+        )
+    ll0, ll_bits = _fse_encode_chain(_LL_ENC, ll_syms)
+    of0, of_bits = _fse_encode_chain(_OF_ENC, of_syms)
+    ml0, ml_bits = _fse_encode_chain(_ML_ENC, ml_syms)
+    items: list[tuple[int, int]] = [
+        (ll0, _LL_DEFAULT_AL), (of0, _OF_DEFAULT_AL), (ml0, _ML_DEFAULT_AL)
+    ]
+    for i in range(n):
+        items += extras[i]
+        if i != n - 1:
+            items.append(ll_bits[i])
+            items.append(ml_bits[i])
+            items.append(of_bits[i])
+    return hdr + b"\x00" + _pack_backward(items)  # modes: predefined ×3
+
+
+def _lz_block(data: bytes, start: int, end: int, table: dict):
+    """Greedy 4-byte-hash matcher over [start, end); match sources may
+    reach anywhere earlier in the FRAME (single-segment window).
+    Returns (literals, seqs)."""
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    anchor = pos = start
+    while pos + 4 <= end:
+        key = data[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and data[cand : cand + 4] == key:
+            ml = 4
+            limit = min(end - pos, 131074)
+            while ml < limit and data[cand + ml] == data[pos + ml]:
+                ml += 1
+            lits += data[anchor:pos]
+            seqs.append((pos - anchor, pos - cand, ml))
+            pos += ml
+            anchor = pos
+        else:
+            pos += 1
+    lits += data[anchor:end]
+    return bytes(lits), seqs
+
+
+def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
+    """Compressing encoder: single-segment frame, per-128KiB blocks of
+    predefined-FSE sequences over raw literals, raw-block fallback
+    whenever sequences don't pay, XXH64 checksum. Gated by REAL libzstd
+    DECODING its frames (tests/test_zstd_encoder.py) — the mirror of
+    the r7 decoder-vs-libzstd gate."""
+    out = bytearray(struct.pack("<I", _MAGIC))
+    n = len(data)
+    if n < 256:
+        out.append(0x20 | (0x04 if checksum else 0))
+        out.append(n)
+    elif n < 1 << 32:
+        out.append(0x20 | (0x04 if checksum else 0) | 0x80)
+        out += struct.pack("<I", n)
+    else:
+        out.append(0x20 | (0x04 if checksum else 0) | 0xC0)
+        out += struct.pack("<Q", n)
+    max_block = 1 << 17
+    table: dict[bytes, int] = {}
+    starts = list(range(0, n, max_block)) or [0]
+    for i, s in enumerate(starts):
+        e = min(s + max_block, n)
+        last = 1 if i == len(starts) - 1 else 0
+        block = None
+        lits, seqs = _lz_block(data, s, e, table)
+        if seqs:
+            body = _lit_section_raw(lits) + _seq_section(seqs)
+            if len(body) < e - s:
+                block = body
+        if block is None:
+            out += (((e - s) << 3) | last).to_bytes(3, "little")  # raw
+            out += data[s:e]
+        else:
+            out += ((len(block) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += block
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def zstd_encode_features(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """The r8 encoder mirror of ``zstd_roundtrip_features``: per
+    document, UTF-8 bytes → THIS module's COMPRESSING encoder
+    (predefined-FSE sequences + raw literals) → decoded by REAL libzstd
+    (pyarrow) AND by the from-scratch decoder → assert both recover the
+    bytes AND that repetitive text actually shrank → emit (id, n_bytes,
+    payload_md5) from the libzstd-decoded bytes, so the oracle's closed
+    forms over the original text hash-check the encoder's output as
+    accepted by the reference implementation. mapInPandas, zero
+    shuffle."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyarrow import Codec
+
+        codec = Codec("zstd")
+        for pdf in batches:
+            rows = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                # doubled text guarantees matches exist, so the frame
+                # MUST come out smaller — a silent raw-only fallback
+                # would fail the assertion, not just under-compress
+                raw = str(txt).encode("utf-8") * 2
+                enc = zstd_compress(raw)
+                if zstd_decompress(enc, max_out=1 << 24) != raw:  # pragma: no cover
+                    raise ValueError(f"zstd: encoder self-roundtrip broke id {mid}")
+                if bytes(codec.decompress(enc, len(raw))) != raw:  # pragma: no cover
+                    raise ValueError(f"zstd: libzstd rejected encoder frame id {mid}")
+                if len(raw) > 64 and len(enc) >= len(raw):  # pragma: no cover
+                    raise ValueError(f"zstd: encoder failed to compress id {mid}")
+                rows.append(
+                    {
+                        id_col: int(mid),
+                        "n_bytes": len(raw),
+                        "payload_md5": hashlib.md5(raw).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.select(id_col, text_col).mapInPandas(walk, schema)
+
+
 def zstd_roundtrip_features(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per document: UTF-8 bytes → REAL libzstd compression (pyarrow's
     zstd codec — genuine Huffman/FSE compressed blocks, not this

@@ -2529,6 +2529,7 @@ def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") ->
         "__cum",
         F.lag("__cum").over(w).alias("__prev_cum"),
         F.lag("__le").over(w).alias("__prev_le"),
+        F.max("__cum").over(w_all).alias("__total"),
         (F.max("__cum").over(w_all) * F.lit(q)).alias("__target"),
     )
     crossing = df.where(
@@ -2537,12 +2538,19 @@ def histogram_quantile(buckets: DataFrame, q: float, *, le_label: str = "le") ->
     )
     lower = F.coalesce(F.col("__prev_le"), F.lit(0.0))
     prev_cum = F.coalesce(F.col("__prev_cum"), F.lit(0.0))
-    interpolated = lower + (F.col("__le") - lower) * (
-        F.col("__target") - prev_cum
-    ) / (F.col("__cum") - prev_cum)
+    # try_divide, not /: an EMPTY histogram (total 0 → target 0 crossing
+    # its own all-zero first bucket) divides 0/0, and under ANSI mode a
+    # single empty histogram in the input would abort the WHOLE query
+    # (r8 adversarial seam pass). Prometheus returns NaN for it.
+    interpolated = lower + (F.col("__le") - lower) * F.try_divide(
+        F.col("__target") - prev_cum, F.col("__cum") - prev_cum
+    )
     return crossing.select(
         F.map_from_entries("__grp").alias("labels"),
-        F.when(F.col("__le") == float("inf"), F.col("__prev_le"))
+        # Prometheus (promql/quantile.go): a histogram with zero
+        # observations has no quantile — NaN
+        F.when(F.col("__total") == 0.0, F.lit(float("nan")))
+        .when(F.col("__le") == float("inf"), F.col("__prev_le"))
         # Prometheus (promql/quantile.go): the first bucket interpolates
         # from 0 only when its upper bound is POSITIVE; a first bucket at
         # le <= 0 returns the bound itself — interpolating toward 0 from
@@ -2605,11 +2613,19 @@ def histogram_fraction(
     )
     lower = F.coalesce(F.col("__prev_le"), F.lit(0.0))
     prev_cum = F.coalesce(F.col("__prev_cum"), F.lit(0.0))
+    # try_divide: a FIRST bucket at le == 0 (lower coalesces to 0) with a
+    # probe landing in it divides by zero — under ANSI one such bucket
+    # aborts the whole query (r8 seam pass). The bucket is degenerate
+    # (zero width, all its mass AT le): a probe at le takes the full
+    # count, a probe below it none.
     ic = F.when(F.col("__le") == float("inf"), prev_cum).otherwise(
         prev_cum
-        + (F.col("__cum") - prev_cum)
-        * (F.col("__x") - lower)
-        / (F.col("__le") - lower)
+        + F.coalesce(
+            (F.col("__cum") - prev_cum)
+            * F.try_divide(F.col("__x") - lower, F.col("__le") - lower),
+            F.when(F.col("__x") >= F.col("__le"), F.col("__cum") - prev_cum)
+            .otherwise(F.lit(0.0)),
+        )
     )
     # clamp to the bucket's count range: a probe BELOW the first bucket's
     # implicit 0 lower bound would extrapolate a negative cumulative
@@ -2620,12 +2636,15 @@ def histogram_fraction(
         covering.select("__grp", "__x", ic.alias("__ic"), "__total")
         .groupBy("__grp")
         .agg(
-            (
-                (
+            # try_divide + NaN: an empty histogram (total 0) has no
+            # fraction — Prometheus returns NaN; ANSI would abort
+            F.coalesce(
+                F.try_divide(
                     F.max(F.when(F.col("__x") == float(hi), F.col("__ic")))
-                    - F.max(F.when(F.col("__x") == float(lo), F.col("__ic")))
-                )
-                / F.max("__total")
+                    - F.max(F.when(F.col("__x") == float(lo), F.col("__ic"))),
+                    F.max("__total"),
+                ),
+                F.lit(float("nan")),
             ).alias("value")
         )
         .select(F.map_from_entries("__grp").alias("labels"), "value")

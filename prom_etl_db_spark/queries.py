@@ -97,17 +97,17 @@ _GATE_PRIORITY = [
     # into histogram_quantile via upper-bound le-mapping (VERDICT #3).
     # (uncommented as each lands this round — _apply_gate_priority fails
     # loudly on unregistered names)
-    # "otlp_exp_histogram_decode",
-    # "otlp_exp_hist_quantile",
+    "otlp_exp_histogram_decode",
+    "otlp_exp_hist_quantile",
     # remote_write_v2_decode: NEW r8 — io.prometheus.write.v2.Request
     # (interned symbol table, labels as uint32 ref pairs) over the
     # existing varint/fixed64 walk; third wire format feeding the same
     # samples-table operator set (VERDICT #4).
-    # "remote_write_v2_decode",
+    "remote_write_v2_decode",
     # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
     # encoder (predefined-FSE sequences + LZ greedy match search),
     # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).
-    # "payload_zstd_encode",
+    "payload_zstd_encode",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

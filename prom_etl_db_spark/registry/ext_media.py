@@ -1291,3 +1291,34 @@ def payload_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return zstd.zstd_roundtrip_features(docs)
+
+
+@register(
+    "payload_zstd_encode",
+    oracle="""
+SELECT doc_id,
+       CAST(2 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text || text) AS payload_md5
+FROM documents
+""",
+)
+def payload_zstd_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 codec (r8, VERDICT r7 #7 stretch): the zstd COMPRESSING
+    encoder — predefined-FSE sequences (the RFC's three default
+    distributions, encoded by inverting the verified decode tables)
+    over raw literals from a greedy LZ parse, raw-block fallback when
+    sequences don't pay. Closes the valid-not-compressing asymmetry
+    DIVERGENCES.md carried since r7. Each document's DOUBLED UTF-8
+    bytes (doubling guarantees matches, so a silent raw-only fallback
+    FAILS in-UDF rather than under-compressing quietly) are compressed
+    by this encoder and decoded by REAL libzstd (pyarrow) AND the
+    from-scratch decoder with bit-identity asserted; emitted
+    length+md5 are encode→libzstd-decode-derived so the closed-form
+    oracle hash-checks acceptance by the reference implementation.
+    Gate: tests/test_zstd_encoder.py (ratio spread, cross-block
+    matches, CLI double-check, generative sweep). mapInPandas, zero
+    shuffle."""
+    from prom_etl_db_spark.functions import zstd
+
+    docs = _t(spark, sf_dir, "documents")
+    return zstd.zstd_encode_features(docs)

@@ -914,3 +914,329 @@ def otlp_hist_quantile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels")["user"].alias("user"),
         F.round("value", 6).alias("p90"),
     )
+
+
+@register(
+    "otlp_exp_histogram_decode",
+    oracle="""
+SELECT event_id AS push_id,
+  event_type AS metric_name,
+  CAST(2 AS INT) AS temporality,
+  CAST(user_id % 4 - 1 AS INT) AS scale,
+  CAST(user_id % 3 AS BIGINT) AS zero_count,
+  CAST(1e-8 AS DOUBLE) AS zero_threshold,
+  CAST(user_id % 5 - 2 AS INT) AS pos_offset,
+  CAST(user_id % 3 + 1 AS VARCHAR) || ',' || CAST(user_id % 4 AS VARCHAR)
+    || ',' || CAST(user_id % 2 + 1 AS VARCHAR) AS pos_counts_csv,
+  CAST(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS neg_offset,
+  CASE WHEN user_id % 3 = 0 THEN CAST(user_id % 4 + 1 AS VARCHAR)
+       ELSE '' END AS neg_counts_csv,
+  CAST(user_id % 3 AS BIGINT) + CAST(user_id % 3 + 1 AS BIGINT)
+    + CAST(user_id % 4 AS BIGINT) + CAST(user_id % 2 + 1 AS BIGINT)
+    + CASE WHEN user_id % 3 = 0 THEN CAST(user_id % 4 + 1 AS BIGINT)
+      ELSE 0 END AS count,
+  CAST(user_id AS DOUBLE) * 1.25 AS sum_value
+FROM events
+""",
+)
+def otlp_exp_histogram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r8, VERDICT r7 next-round #3): OTLP EXPONENTIAL
+    HISTOGRAMS — the wire twin of Prometheus native histograms and the
+    one loud refusal a real OTLP user hit in r7. Every event becomes
+    one ExponentialHistogramDataPoint with closed-form fields of
+    user_id: ZIGZAG sint32 scale (negative values exercised) and
+    bucket offsets, packed-varint uint64 bucket runs, fixed64
+    count/zero_count, double sum/zero_threshold — all bit-exact on the
+    wire; negative-direction buckets present on the user_id%3==0 slice
+    so both present and absent shapes hash. Arrays ride as csv strings
+    (the proven driver type envelope). Reference tie-in: the push
+    ingestion surface the reference delegates to Prometheus
+    (internal/prometheus/client.go pulls what agents pushed); spec:
+    opentelemetry-proto metrics.proto ExponentialHistogramDataPoint.
+    Plan: one pandas_udf encode + one mapInPandas decode, zero shuffle.
+    Fuzz + roundtrip gates in tests/test_otlp.py."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for e, n, u in zip(eid, name, user):
+            u = int(u)
+            pc = [u % 3 + 1, u % 4, u % 2 + 1]
+            nc = [u % 4 + 1] if u % 3 == 0 else []
+            point = {
+                "attrs": {"user": str(u)},
+                "time_unix_nano": 1706572800_000000000,
+                "count": (u % 3) + sum(pc) + sum(nc),
+                "sum": u * 1.25,
+                "scale": u % 4 - 1,
+                "zero_count": u % 3,
+                "zero_threshold": 1e-8,
+                "pos_offset": u % 5 - 2,
+                "pos_counts": pc,
+            }
+            if nc:
+                point["neg_offset"] = 1
+                point["neg_counts"] = nc
+            metric = {"name": n, "type": "exponential_histogram",
+                      "temporality": 2, "points": [point]}
+            out.append(OT.encode_export_metrics(
+                [{"resource": {}, "scopes": [{"name": "app",
+                                              "metrics": [metric]}]}]
+            ))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id").alias("body"),
+    )
+    out = OT.otlp_samples(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        "temporality",
+        "scale",
+        "zero_count",
+        "zero_threshold",
+        "pos_offset",
+        F.array_join(
+            F.transform(F.col("pos_counts"), lambda c: c.cast("string")), ","
+        ).alias("pos_counts_csv"),
+        "neg_offset",
+        F.array_join(
+            F.transform(F.col("neg_counts"), lambda c: c.cast("string")), ","
+        ).alias("neg_counts_csv"),
+        "count",
+        F.col("sum").alias("sum_value"),
+    )
+
+
+@register(
+    "otlp_exp_hist_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS s,
+    CAST(user_id % 5 - 2 AS INT) AS o,
+    CAST(user_id % 2 AS BIGINT) AS z,
+    [CAST(user_id % 3 + 1 AS BIGINT), CAST(user_id % 5 AS BIGINT),
+     CAST(user_id % 7 AS BIGINT), CAST(user_id % 2 AS BIGINT)] AS c
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id,
+    unnest([power(2.0, o * power(2.0, -s)),
+            power(2.0, (o + 1) * power(2.0, -s)),
+            power(2.0, (o + 2) * power(2.0, -s)),
+            power(2.0, (o + 3) * power(2.0, -s)),
+            power(2.0, (o + 4) * power(2.0, -s)),
+            'inf'::DOUBLE]) AS le,
+    unnest([z, z + c[1], z + c[1] + c[2], z + c[1] + c[2] + c[3],
+            z + c[1] + c[2] + c[3] + c[4],
+            z + c[1] + c[2] + c[3] + c[4]]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.9 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  CAST(user_id AS VARCHAR) AS user,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90
+FROM crossing
+""",
+)
+def otlp_exp_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B composition (r8): OTLP EXPONENTIAL histogram push → classic
+    le-bucket series via the FORMULA-defined boundary algebra (base =
+    2^(2^-scale); bucket at index i upper-bounds at base^(i+1); the
+    zero bucket maps to le = base^offset, the first positive bucket's
+    lower bound; '+Inf' carries the total) → the EXISTING PromQL
+    ``histogram_quantile`` at q=0.9 — the same operator-reuse proof as
+    ``otlp_hist_quantile_pipeline``, now for the native-histogram wire
+    twin. Positive-direction + zero observations only (latency-shaped
+    data; negative buckets decode but are out of quantile scope by
+    construction here). The oracle replays the scale/index algebra in
+    SQL (power(2, (o+i)*2^-s)) plus the operator's exact interpolation.
+    Plan: encode (pandas_udf) → decode (mapInPandas) → pure-Column
+    le/cum arrays → posexplode → one window + one max per histogram —
+    single shuffle on the histogram key."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for e, n, u in zip(eid, name, user):
+            u = int(u)
+            pc = [u % 3 + 1, u % 5, u % 7, u % 2]
+            point = {
+                "attrs": {"user": str(u)},
+                "time_unix_nano": 1706572800_000000000,
+                "count": (u % 2) + sum(pc),
+                "scale": u % 4 - 1,
+                "zero_count": u % 2,
+                "pos_offset": u % 5 - 2,
+                "pos_counts": pc,
+            }
+            metric = {"name": n, "type": "exponential_histogram",
+                      "temporality": 2, "points": [point]}
+            out.append(OT.encode_export_metrics(
+                [{"resource": {}, "scopes": [{"name": "app",
+                                              "metrics": [metric]}]}]
+            ))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id").alias("body"),
+    )
+    pts = OT.otlp_samples(payloads)
+    # exponential → classic le-buckets: le_i = 2^((offset+i) * 2^-scale)
+    # for i=0 (the zero bucket's bound = first bucket's LOWER bound)
+    # through i=4 (each bucket's upper bound), then '+Inf' = total.
+    inv = F.pow(F.lit(2.0), -F.col("scale").cast("double"))
+    les = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double") + i.cast("double")) * inv,
+            ).cast("string"),
+        ),
+        F.array(F.lit("+Inf")),
+    )
+    cums = F.concat(
+        F.aggregate(
+            F.col("pos_counts"),
+            F.array(F.col("zero_count")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)
+            ),
+        ),
+        F.array(F.col("count")),
+    )
+    buckets = pts.select(
+        "metric_name",
+        F.col("push_id").cast("string").alias("eid"),
+        F.col("attrs")["user"].alias("user"),
+        F.posexplode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user"), F.lit("eid"), F.lit("le")),
+            F.array(
+                F.concat(F.col("metric_name"), F.lit("_bucket")),
+                F.col("user"),
+                F.col("eid"),
+                F.col("z.le"),
+            ),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace(
+            F.col("labels")["__name__"], "_bucket$", ""
+        ).alias("metric_name"),
+        F.col("labels")["user"].alias("user"),
+        F.round("value", 6).alias("p90"),
+    )
+
+
+@register(
+    "remote_write_v2_decode",
+    oracle="""
+SELECT event_id AS push_id,
+       event_type AS metric_name,
+       CAST(user_id AS VARCHAR) AS user_label,
+       'api-' || CAST(user_id % 4 AS VARCHAR) AS job_label,
+       value,
+       CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000 AS BIGINT) AS timestamp_ms
+FROM events
+""",
+)
+def remote_write_v2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r8, VERDICT r7 next-round #4): REMOTE-WRITE 2.0 —
+    the reference ecosystem's CURRENT push wire format
+    (io.prometheus.write.v2.Request): one interned-symbols table per
+    request, labels as packed uint32 ref PAIRS, the same
+    fixed64-double/varint-ms Sample message. Each event becomes one
+    snappy-compressed v2 Request (a shared 'job' label exercises
+    interning across label pairs), decoded by the from-scratch walk
+    back to the v1 sample shape — THREE wire formats (remote-write
+    1.0/2.0, OTLP) now land in ONE downstream operator set (the same
+    samples-table fill as A1-A14; reference:
+    internal/executor/executor.go:230-363). Doubles bit-exact via
+    fixed64; ref-out-of-range / odd-pair / missing-empty-symbol /
+    native-histogram refusals gated in tests/test_remote_write.py.
+    Plan: two Arrow-batched stages, zero shuffle, per-payload parallel."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    t = F.col("ts")
+    epoch_s = (
+        F.datediff(t.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(t).cast("long") * 3600
+        + F.minute(t).cast("long") * 60
+        + F.second(t).cast("long")
+    )
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "value",
+        (epoch_s * 1000).cast("long").alias("ts_ms"),
+    )
+
+    def build(name: pd.Series, user: pd.Series, val: pd.Series, ts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                RW.snappy_compress(
+                    RW.encode_write_request_v2(
+                        [
+                            {
+                                "labels": {
+                                    "__name__": n,
+                                    "user": str(u),
+                                    "job": f"api-{int(u) % 4}",
+                                },
+                                "samples": [(float(v), int(t))],
+                            }
+                        ]
+                    )
+                )
+                for n, u, v, t in zip(name, user, val, ts)
+            ]
+        )
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id", "value", "ts_ms").alias("body"),
+    )
+    out = RW.remote_write_v2_samples(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        F.col("labels")["user"].alias("user_label"),
+        F.col("labels")["job"].alias("job_label"),
+        "value",
+        "timestamp_ms",
+    )

@@ -84,16 +84,17 @@ def test_unknown_fields_skipped():
     assert len(got) == 1 and got[0]["value_double"] == 1.5
 
 
-def test_exp_histogram_and_summary_refused_loudly():
+def test_summary_refused_loudly():
+    """summary (field 11) still refuses; exponential histograms (field
+    10) decode as of r8 — see test_exp_histogram_* below."""
     from prom_etl_db_spark.functions.remote_write import _enc_len
 
-    for field in (10, 11):  # exponential histogram / summary
-        metric = _enc_len(1, b"h") + _enc_len(field, b"")
-        sm = _enc_len(2, metric)
-        rm = _enc_len(2, sm)
-        req = _enc_len(1, rm)
-        with pytest.raises(ValueError, match="not implemented"):
-            O.decode_export_metrics(req)
+    metric = _enc_len(1, b"h") + _enc_len(11, b"")
+    sm = _enc_len(2, metric)
+    rm = _enc_len(2, sm)
+    req = _enc_len(1, rm)
+    with pytest.raises(ValueError, match="not implemented"):
+        O.decode_export_metrics(req)
 
 
 def test_histogram_roundtrip():
@@ -270,3 +271,106 @@ def test_property_roundtrip_random_metric_trees():
                 assert g["value_int"] == val
 
     roundtrip()
+
+
+def test_exp_histogram_roundtrip_bit_exact():
+    """r8: ExponentialHistogramDataPoint — zigzag scale/offsets
+    (negative values exercise the encoding), packed-varint bucket runs,
+    fixed64 count/zero_count, double sum/min/max/zero_threshold."""
+    pts = [{
+        "attrs": {"route": "/api"},
+        "time_unix_nano": 88,
+        "count": 13,
+        "sum": 41.5,
+        "scale": -1,              # base 4 — negative scale is legal
+        "zero_count": 2,
+        "zero_threshold": 1e-9,
+        "pos_offset": -3,         # zigzag negative offset
+        "pos_counts": [4, 0, 5],
+        "neg_offset": 1,
+        "neg_counts": [2],
+        "min": -8.25,
+        "max": 97.0,
+    }]
+    got = O.decode_export_metrics(
+        O.encode_export_metrics(
+            _req(pts, mtype="exponential_histogram", temporality=1))
+    )
+    (r,) = got
+    assert r["data_type"] == "exponential_histogram"
+    assert r["temporality"] == 1
+    assert r["count"] == 13 and r["zero_count"] == 2
+    assert r["scale"] == -1
+    assert r["zero_threshold"] == 1e-9
+    assert (r["pos_offset"], r["pos_counts"]) == (-3, [4, 0, 5])
+    assert (r["neg_offset"], r["neg_counts"]) == (1, [2])
+    assert (r["hist_min"], r["hist_max"]) == (-8.25, 97.0)
+    assert r["sum"] == 41.5
+    assert r["attrs"] == {"route": "/api"}
+
+
+def test_exp_histogram_unpacked_bucket_counts():
+    """Unpacked repeated uint64 in Buckets (wire 0 entries) must parse
+    — the same proto3 rule the classic histogram fix pinned."""
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len, _enc_uvarint)
+
+    buckets = _enc_field(1, 0) + _enc_uvarint(O._zigzag_enc(2))
+    for c in (5, 6):
+        buckets += _enc_field(2, 0) + _enc_uvarint(c)
+    hp = _enc_field(3, 1) + struct.pack("<Q", 9)
+    hp += _enc_field(4, 1) + struct.pack("<Q", 11)
+    hp += _enc_field(6, 0) + _enc_uvarint(O._zigzag_enc(3))
+    hp += _enc_len(8, buckets)
+    metric = _enc_len(1, b"h") + _enc_len(10, _enc_len(1, hp))
+    req = _enc_len(1, _enc_len(2, _enc_len(2, metric)))
+    (r,) = O.decode_export_metrics(req)
+    assert (r["pos_offset"], r["pos_counts"]) == (2, [5, 6])
+    assert r["scale"] == 3
+
+
+def test_exp_histogram_scale_out_of_range_refused():
+    pts = [{"attrs": {}, "time_unix_nano": 1, "count": 1,
+            "scale": 21, "pos_counts": [1]}]
+    with pytest.raises(ValueError, match="outside"):
+        O.decode_export_metrics(
+            O.encode_export_metrics(_req(pts, mtype="exponential_histogram")))
+
+
+def test_exp_histogram_count_below_buckets_refused():
+    pts = [{"attrs": {}, "time_unix_nano": 1, "count": 2,
+            "scale": 0, "zero_count": 1, "pos_counts": [3]}]
+    with pytest.raises(ValueError, match="below the sum"):
+        O.decode_export_metrics(
+            O.encode_export_metrics(_req(pts, mtype="exponential_histogram")))
+
+
+def test_exp_histogram_corrupt_fuzz_refuses_loudly():
+    """Truncations and bit flips refuse with ValueError (or decode to a
+    structurally valid tree) — never crash, never hang."""
+    pts = [{"attrs": {"k": "v"}, "time_unix_nano": 5, "count": 9,
+            "scale": 2, "zero_count": 1, "pos_offset": -4,
+            "pos_counts": [3, 5], "sum": 1.5}]
+    good = O.encode_export_metrics(
+        _req(pts, mtype="exponential_histogram", temporality=2))
+    for cut in range(1, len(good)):
+        try:
+            O.decode_export_metrics(good[:cut])
+        except ValueError:
+            pass
+    import random
+
+    rng = random.Random(88)
+    for _ in range(300):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            O.decode_export_metrics(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_zigzag_codec():
+    for n in (0, -1, 1, -2, 2, 2**31 - 1, -(2**31), 12345, -98765):
+        assert O._zigzag_dec(O._zigzag_enc(n)) == n
+    assert [O._zigzag_enc(n) for n in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]

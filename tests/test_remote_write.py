@@ -160,3 +160,131 @@ def test_spark_ingestion_shape(spark):
     assert rows[0]["labels"] == {"job": "api"}  # __name__ lifted out
     plan = RW.remote_write_samples(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# --- remote-write 2.0 (io.prometheus.write.v2.Request) — r8 -----------------
+
+
+def _v2_series():
+    return [
+        {"labels": {"__name__": "http_requests_total", "job": "api",
+                    "instance": "i-1"},
+         "samples": [(1.5, 1706572800000), (2.5, 1706572815000)]},
+        {"labels": {"__name__": "http_requests_total", "job": "api",
+                    "instance": "i-2"},
+         "samples": [(-0.25, 1706572800000)]},
+    ]
+
+
+def test_v2_roundtrip_and_interning():
+    enc = RW.encode_write_request_v2(_v2_series())
+    got = RW.decode_write_request_v2(enc)
+    assert got == _v2_series()
+    # interning: repeated strings (metric name, 'job', 'api') appear once
+    # in the symbols table — the v2 payload is SMALLER than v1's despite
+    # the table, which is the format's point
+    v1 = RW.encode_write_request(_v2_series())
+    assert len(enc) < len(v1)
+
+
+def test_v2_symbol_ref_out_of_range_refused():
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len, _enc_uvarint)
+
+    # symbols: ["", "a", "b"]; labels_refs (1, 9) — 9 out of range
+    req = _enc_len(4, b"") + _enc_len(4, b"a") + _enc_len(4, b"b")
+    ts = _enc_len(1, _enc_uvarint(1) + _enc_uvarint(9))
+    req += _enc_len(5, ts)
+    with pytest.raises(ValueError, match="out of range"):
+        RW.decode_write_request_v2(req)
+
+
+def test_v2_odd_labels_refs_refused():
+    from prom_etl_db_spark.functions.remote_write import _enc_len, _enc_uvarint
+
+    req = _enc_len(4, b"") + _enc_len(4, b"a")
+    ts = _enc_len(1, _enc_uvarint(1))  # one ref: no value partner
+    req += _enc_len(5, ts)
+    with pytest.raises(ValueError, match="odd"):
+        RW.decode_write_request_v2(req)
+
+
+def test_v2_missing_leading_empty_symbol_refused():
+    from prom_etl_db_spark.functions.remote_write import _enc_len
+
+    req = _enc_len(4, b"notempty") + _enc_len(5, b"")
+    with pytest.raises(ValueError, match="empty string"):
+        RW.decode_write_request_v2(req)
+
+
+def test_v2_native_histogram_series_refused():
+    from prom_etl_db_spark.functions.remote_write import _enc_len
+
+    req = _enc_len(4, b"") + _enc_len(5, _enc_len(3, b""))
+    with pytest.raises(ValueError, match="native-histogram"):
+        RW.decode_write_request_v2(req)
+
+
+def test_v2_unpacked_labels_refs_accepted():
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len, _enc_uvarint)
+    import struct as _st
+
+    req = _enc_len(4, b"") + _enc_len(4, b"__name__") + _enc_len(4, b"m")
+    sm = _enc_field(1, 1) + _st.pack("<d", 7.5) + _enc_field(2, 0) + _enc_uvarint(5)
+    ts = (_enc_field(1, 0) + _enc_uvarint(1)      # unpacked ref entries
+          + _enc_field(1, 0) + _enc_uvarint(2)
+          + _enc_len(2, sm))
+    req += _enc_len(5, ts)
+    (s,) = RW.decode_write_request_v2(req)
+    assert s == {"labels": {"__name__": "m"}, "samples": [(7.5, 5)]}
+
+
+def test_v2_auxiliary_fields_skipped():
+    """exemplars (4) / metadata (5) / created_timestamp (6) skip per
+    proto3 — auxiliary, not sample data."""
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len, _enc_uvarint)
+    import struct as _st
+
+    req = _enc_len(4, b"") + _enc_len(4, b"__name__") + _enc_len(4, b"m")
+    sm = _enc_field(1, 1) + _st.pack("<d", 1.0) + _enc_field(2, 0) + _enc_uvarint(9)
+    ts = (_enc_len(1, _enc_uvarint(1) + _enc_uvarint(2))
+          + _enc_len(2, sm)
+          + _enc_len(4, b"\x08\x01")              # exemplar-ish blob
+          + _enc_len(5, b"\x08\x02")              # metadata blob
+          + _enc_field(6, 0) + _enc_uvarint(123)) # created_timestamp
+    req += _enc_len(5, ts)
+    (s,) = RW.decode_write_request_v2(req)
+    assert s["samples"] == [(1.0, 9)]
+
+
+def test_v2_corrupt_fuzz_refuses_loudly():
+    enc = RW.encode_write_request_v2(_v2_series())
+    for cut in range(len(enc)):
+        try:
+            RW.decode_write_request_v2(enc[:cut])
+        except (ValueError, UnicodeDecodeError):
+            continue
+    import random
+
+    rng = random.Random(42)
+    for _ in range(400):
+        b = bytearray(enc)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            RW.decode_write_request_v2(bytes(b))
+        except (ValueError, UnicodeDecodeError):
+            continue
+
+
+def test_v2_samples_spark_path(spark):
+    enc = RW.snappy_compress(RW.encode_write_request_v2(_v2_series()))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    rows = RW.remote_write_v2_samples(df).collect()
+    assert len(rows) == 3
+    by_inst = {(r["labels"]["instance"], r["timestamp_ms"]): r["value"]
+               for r in rows}
+    assert by_inst[("i-1", 1706572800000)] == 1.5
+    assert by_inst[("i-2", 1706572800000)] == -0.25
+    assert all(r["metric_name"] == "http_requests_total" for r in rows)

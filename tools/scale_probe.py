@@ -239,6 +239,62 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
             f"  {k}x suffix_array_lcp: {best:.2f}s ({n_rows} rows)",
             file=sys.stderr,
         )
+    # r8 (VERDICT r7 #6): the COMPOSED curation flagship at scale — the
+    # registry's most expensive query. Stages: substring_dedup_rewrite
+    # (SA + marking + rewrite; iterative, runs actions during
+    # construction) → Gopher word/stopword audit → DSIR logweights over
+    # the rewritten text, joined back. Replicas: the fixture-text half
+    # is Caesar-disjoint; the injected English stratum is IDENTICAL
+    # across replicas (a realistic cross-shard mirror — the SA dedup
+    # collapses it to ONE global survivor, so removal work grows with
+    # input while survivor output stays k-linear).
+    if not only or any(s in "curation_pipeline_v2" for s in only):
+        from prom_etl_db_spark.functions.scratch import release_scratch as _rel
+        from prom_etl_db_spark.functions.suffix import substring_dedup_rewrite
+        from prom_etl_db_spark.functions import text as _tx
+
+        best, n_rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sliced = docs.where(F.col("doc_id") % 23 == 3)
+            eng = F.repeat(
+                F.lit("the words of that land have been with them and "
+                      "they stay true. "),
+                (F.lit(4) + F.col("doc_id") % 4).cast("int"),
+            )
+            bimodal = sliced.select(
+                "doc_id",
+                F.when(F.col("doc_id") % 2 == 0, eng)
+                .otherwise(F.col("text")).alias("text"),
+            )
+            rw = substring_dedup_rewrite(bimodal, min_len=2)
+            words = F.filter(
+                F.split(F.lower(F.col("kept_text")), r"\s+"), lambda x: x != ""
+            )
+            stop_hits = F.size(
+                F.array_intersect(
+                    F.array_distinct(words),
+                    F.array(*[F.lit(s) for s in _tx.GOPHER_STOPWORDS]),
+                )
+            )
+            audited = rw.select(
+                "doc_id", "n_tokens", "n_removed", "kept_text",
+                F.size(words).alias("n_words"), stop_hits.alias("stop_hits"),
+            )
+            dsir = sampling.dsir_logweights(
+                rw, target=F.col("doc_id") % 2 == 0, text_col="kept_text"
+            ).select("doc_id", "n_feats", "dsir_logw")
+            n_rows = audited.join(dsir, "doc_id", "left").count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+            spark.catalog.clearCache()
+            _rel()
+        times["curation_pipeline_v2"] = (round(best, 2), n_rows)
+        print(
+            f"  {k}x curation_pipeline_v2: {best:.2f}s ({n_rows} rows)",
+            file=sys.stderr,
+        )
+
     # Caesar-rotated replicas keep within-copy chunk/span dup structure
     # exact and disjoint across copies -> dup counts grow k-linearly
     run("paragraph_dedup", dedup.paragraph_dedup_stats(docs, 20))
@@ -624,6 +680,73 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         _obudf("event_type", "user_id", "value").alias("body"),
     )
     run("otlp_decode", _ot.otlp_samples(otlp_payloads))
+
+    # OTLP exponential histograms (r8): decode + the base=2^(2^-scale)
+    # le-mapping + histogram_quantile — one mapInPandas walk, then one
+    # shuffle keyed per histogram (eid), so work tracks payload count.
+    def _build_exp(name, user):
+        import pandas as _pd
+        return _pd.Series([
+            _ot.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "metrics": [{
+                    "name": n, "type": "exponential_histogram",
+                    "temporality": 2,
+                    "points": [{
+                        "attrs": {"user": str(int(u))},
+                        "time_unix_nano": 1706572800_000000000,
+                        "count": (int(u) % 2) + (int(u) % 3 + 1)
+                                 + (int(u) % 5) + (int(u) % 7) + (int(u) % 2),
+                        "scale": int(u) % 4 - 1,
+                        "zero_count": int(u) % 2,
+                        "pos_offset": int(u) % 5 - 2,
+                        "pos_counts": [int(u) % 3 + 1, int(u) % 5,
+                                       int(u) % 7, int(u) % 2],
+                    }],
+                }]}],
+            }])
+            for n, u in zip(name, user)
+        ])
+
+    _ebudf = F.pandas_udf(_build_exp, returnType=_Bin())
+    exp_payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _ebudf("event_type", "user_id").alias("body"),
+    )
+    _exp_pts = _ot.otlp_samples(exp_payloads)
+    _inv = F.pow(F.lit(2.0), -F.col("scale").cast("double"))
+    _les = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double") + i.cast("double")) * _inv,
+            ).cast("string"),
+        ),
+        F.array(F.lit("+Inf")),
+    )
+    _cums = F.concat(
+        F.aggregate(
+            F.col("pos_counts"),
+            F.array(F.col("zero_count")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)
+            ),
+        ),
+        F.array(F.col("count")),
+    )
+    _z = _exp_pts.select(
+        "metric_name",
+        F.col("push_id").cast("string").alias("eid"),
+        F.explode(F.arrays_zip(_les.alias("le"), _cums.alias("cum"))).alias("z"),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+            F.array("metric_name", "eid", F.col("z.le")),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    run("otlp_exp_quantile", promql.histogram_quantile(_z, 0.9))
     wet_pages = docs.select(
         "doc_id",
         F.concat(F.lit("http://h/"), F.col("doc_id").cast("string")).alias("target_uri"),
