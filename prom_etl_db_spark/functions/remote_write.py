@@ -304,8 +304,10 @@ def decode_write_request(data: bytes) -> list[dict]:
 # TimeSeries.labels_refs = 1 (repeated uint32, packed varints, even
 # count: (name_ref, value_ref) pairs), .samples = 2 (the SAME Sample
 # message as v1: value = 1 fixed64 double, timestamp = 2 varint int64
-# ms), .histograms = 3 (native histograms — REFUSED loudly: primary
-# data this engine would otherwise silently drop; DIVERGENCES.md),
+# ms), .histograms = 3 (prompb.Histogram NATIVE histograms — r8:
+# INTEGER flavor decoded in full, sparse spans/zigzag deltas expanded
+# to the dense shape the OTLP exponential path uses; FLOAT flavor and
+# custom-bucket schema 127 refuse loudly, DIVERGENCES.md),
 # .exemplars = 4 / .metadata = 5 / .created_timestamp = 6 (auxiliary —
 # skipped per proto3). Out-of-range symbol refs and odd labels_refs
 # counts refuse loudly: a wrong ref silently binds a sample to the
@@ -343,6 +345,8 @@ def encode_write_request_v2(series: list[dict]) -> bytes:
                 + _enc_uvarint(ts_ms)
             )
             ts_msg += _enc_len(2, sm)
+        for h in s.get("histograms", []):
+            ts_msg += _enc_len(3, _enc_native_histogram(h))
         ts_msgs.append(bytes(ts_msg))
     out = bytearray()
     for sym in symbols:
@@ -350,6 +354,206 @@ def encode_write_request_v2(series: list[dict]) -> bytes:
     for m in ts_msgs:
         out += _enc_len(5, m)
     return bytes(out)
+
+
+def _zigzag_enc(n: int) -> int:
+    """sint32/sint64 zigzag (also defined in otlp.py — that module
+    imports from this one, so the four lines live here too)."""
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_dec(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+#: dense-expansion guard: hostile span offsets could demand billions of
+#: buckets; Prometheus's own default bucket limit is 160.
+_MAX_DENSE_BUCKETS = 4096
+
+
+def _enc_native_histogram(h: dict) -> bytes:
+    """prompb.Histogram (INTEGER flavor) fixture encoder: count_int=1,
+    sum=3, schema=4 (sint32 zigzag), zero_threshold=5,
+    zero_count_int=6, negative_spans=8 / positive_spans=11 (BucketSpan:
+    offset=1 sint32 zigzag, length=2 uint32), negative_deltas=9 /
+    positive_deltas=12 (packed sint64 zigzag, DELTA-encoded bucket
+    counts), timestamp=15 (varint ms). Spans/deltas express SPARSE
+    buckets; this encoder takes them verbatim."""
+    out = bytearray()
+    out += _enc_field(1, 0) + _enc_uvarint(int(h["count"]))
+    if h.get("sum") is not None:
+        out += _enc_field(3, 1) + struct.pack("<d", float(h["sum"]))
+    out += _enc_field(4, 0) + _enc_uvarint(_zigzag_enc(int(h.get("schema", 0))))
+    if h.get("zero_threshold") is not None:
+        out += _enc_field(5, 1) + struct.pack("<d", float(h["zero_threshold"]))
+    out += _enc_field(6, 0) + _enc_uvarint(int(h.get("zero_count", 0)))
+
+    def spans(field: int, sp: list[tuple[int, int]]) -> bytes:
+        b = bytearray()
+        for off, ln in sp:
+            msg = _enc_field(1, 0) + _enc_uvarint(_zigzag_enc(off))
+            msg += _enc_field(2, 0) + _enc_uvarint(ln)
+            b += _enc_len(field, bytes(msg))
+        return bytes(b)
+
+    def deltas(field: int, ds: list[int]) -> bytes:
+        if not ds:
+            return b""
+        return _enc_len(
+            field, b"".join(_enc_uvarint(_zigzag_enc(d)) for d in ds)
+        )
+
+    out += spans(8, h.get("negative_spans", []))
+    out += deltas(9, h.get("negative_deltas", []))
+    out += spans(11, h.get("positive_spans", []))
+    out += deltas(12, h.get("positive_deltas", []))
+    if h.get("timestamp") is not None:
+        out += _enc_field(15, 0) + _enc_uvarint(int(h["timestamp"]))
+    return bytes(out)
+
+
+def _parse_bucket_span(data: bytes) -> tuple[int, int]:
+    pos, off, ln = 0, 0, 0
+    while pos < len(data):
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            off = _zigzag_dec(raw)
+        elif num == 2 and wire == 0:
+            ln, pos = _uvarint(data, pos)
+        else:
+            pos = _skip(data, pos, wire)
+    return off, ln
+
+
+def _dense_buckets(spans: list[tuple[int, int]], deltas: list[int],
+                   side: str) -> tuple[int, list[int]]:
+    """(spans, delta-encoded counts) → (first index, DENSE count array)
+    — absent buckets filled with 0, so downstream le-mapping is the
+    same contiguous shape the OTLP exponential path uses. First span's
+    offset is absolute; later offsets are gaps after the previous span
+    (negative gaps would overlap — refused)."""
+    if not spans:
+        if deltas:
+            raise ValueError(
+                f"remote-write: {side} deltas without spans")
+        return 0, []
+    if sum(ln for _, ln in spans) != len(deltas):
+        raise ValueError(
+            f"remote-write: {side} span lengths sum to "
+            f"{sum(ln for _, ln in spans)} but {len(deltas)} deltas given")
+    indices: list[int] = []
+    idx = 0
+    for si, (off, ln) in enumerate(spans):
+        if si and off < 0:
+            raise ValueError(
+                f"remote-write: {side} span {si} has negative gap {off}")
+        idx = off if si == 0 else idx + off
+        indices.extend(range(idx, idx + ln))
+        idx += ln
+    counts: list[int] = []
+    running = 0
+    for d in deltas:
+        running += d
+        if running < 0:
+            raise ValueError(
+                f"remote-write: {side} bucket count went negative")
+        counts.append(running)
+    lo, hi = indices[0], indices[-1]
+    if hi - lo + 1 > _MAX_DENSE_BUCKETS:
+        raise ValueError(
+            f"remote-write: {side} span range {hi - lo + 1} exceeds "
+            f"{_MAX_DENSE_BUCKETS} buckets")
+    dense = [0] * (hi - lo + 1)
+    for i, c in zip(indices, counts):
+        dense[i - lo] = c
+    return lo, dense
+
+
+def _parse_native_histogram(data: bytes) -> dict:
+    """prompb.Histogram → dict. INTEGER histograms decode; FLOAT
+    histograms (count_float / zero_count_float / *_counts) and the
+    custom-bucket schema 127 refuse loudly (DIVERGENCES.md). Bucket
+    algebra: base = 2^(2^-schema), Prometheus bucket index i covers
+    (base^(i-1), base^i] — the OTLP exponential convention shifted by
+    one."""
+    pos, n = 0, len(data)
+    h: dict = {"count": 0, "sum": None, "schema": 0, "zero_threshold": 0.0,
+               "zero_count": 0, "timestamp": 0}
+    pos_spans: list[tuple[int, int]] = []
+    neg_spans: list[tuple[int, int]] = []
+    pos_deltas: list[int] = []
+    neg_deltas: list[int] = []
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 1 and wire == 0:
+            h["count"], pos = _uvarint(data, pos)
+        elif num == 3 and wire == 1:
+            if pos + 8 > n:
+                raise ValueError("remote-write: histogram sum truncated")
+            h["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 4 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            h["schema"] = _zigzag_dec(raw)
+        elif num == 5 and wire == 1:
+            if pos + 8 > n:
+                raise ValueError("remote-write: zero_threshold truncated")
+            h["zero_threshold"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 6 and wire == 0:
+            h["zero_count"], pos = _uvarint(data, pos)
+        elif num in (2, 7) and wire == 1:
+            raise ValueError(
+                "remote-write: FLOAT native histograms not implemented "
+                "(count_float/zero_count_float) — DIVERGENCES.md")
+        elif num in (10, 13) and wire in (1, 2):
+            raise ValueError(
+                "remote-write: FLOAT native histograms not implemented "
+                "(negative_counts/positive_counts) — DIVERGENCES.md")
+        elif num in (8, 11) and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            if pos + ln > n:
+                raise ValueError("remote-write: bucket span overruns buffer")
+            span = _parse_bucket_span(data[pos : pos + ln])
+            (neg_spans if num == 8 else pos_spans).append(span)
+            pos += ln
+        elif num in (9, 12) and wire == 2:  # packed sint64 deltas
+            ln, pos = _uvarint(data, pos)
+            if pos + ln > n:
+                raise ValueError("remote-write: histogram deltas overrun buffer")
+            end = pos + ln
+            tgt = neg_deltas if num == 9 else pos_deltas
+            while pos < end:
+                raw, pos = _uvarint(data, pos)
+                tgt.append(_zigzag_dec(raw))
+            if pos != end:
+                raise ValueError("remote-write: packed delta run overruns")
+        elif num in (9, 12) and wire == 0:  # unpacked entry (proto3)
+            raw, pos = _uvarint(data, pos)
+            (neg_deltas if num == 9 else pos_deltas).append(_zigzag_dec(raw))
+        elif num == 15 and wire == 0:
+            raw, pos = _uvarint(data, pos)
+            h["timestamp"] = raw - (1 << 64) if raw >= 1 << 63 else raw
+        else:
+            pos = _skip(data, pos, wire)
+    if h["schema"] == 127:
+        raise ValueError(
+            "remote-write: custom-bucket histograms (schema 127) not "
+            "implemented — their boundaries are data, not formula")
+    if not -4 <= h["schema"] <= 8:
+        raise ValueError(
+            f"remote-write: histogram schema {h['schema']} outside [-4, 8]")
+    h["pos_offset"], h["pos_counts"] = _dense_buckets(
+        pos_spans, pos_deltas, "positive")
+    h["neg_offset"], h["neg_counts"] = _dense_buckets(
+        neg_spans, neg_deltas, "negative")
+    if h["count"] < h["zero_count"] + sum(h["pos_counts"]) + sum(h["neg_counts"]):
+        raise ValueError(
+            "remote-write: histogram count below the sum of its buckets")
+    return h
 
 
 def _parse_sample(sm: bytes) -> tuple[float, int]:
@@ -404,6 +608,7 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
     for ts_msg in ts_blobs:
         refs: list[int] = []
         samples: list[tuple[float, int]] = []
+        histograms: list[dict] = []
         p, ln = 0, len(ts_msg)
         while p < ln:
             h, p = _uvarint(ts_msg, p)
@@ -427,12 +632,12 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
                     raise ValueError(f"proto: sample overruns timeseries at {p}")
                 samples.append(_parse_sample(ts_msg[p : p + l2]))
                 p += l2
-            elif fnum == 3 and fwire == 2:
-                raise ValueError(
-                    "remote-write v2: native-histogram series not implemented "
-                    "— refusing rather than silently dropping primary data "
-                    "(DIVERGENCES.md)"
-                )
+            elif fnum == 3 and fwire == 2:  # native histograms (r8)
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: histogram overruns timeseries at {p}")
+                histograms.append(_parse_native_histogram(ts_msg[p : p + l2]))
+                p += l2
             else:  # exemplars / metadata / created_timestamp / unknown
                 p = _skip(ts_msg, p, fwire)
         if len(refs) % 2:
@@ -449,7 +654,10 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
                     f"(symbols table has {len(symbols)} entries)"
                 )
             labels[symbols[nr]] = symbols[vr]
-        series.append({"labels": labels, "samples": samples})
+        s: dict = {"labels": labels, "samples": samples}
+        if histograms:  # key present only when the series carries them
+            s["histograms"] = histograms
+        series.append(s)
     return series
 
 
@@ -488,6 +696,68 @@ def remote_write_samples(
                                 "labels": labels,
                                 "value": value,
                                 "timestamp_ms": ts_ms,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
+
+
+NATIVE_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("timestamp_ms", T.LongType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("schema", T.IntegerType()),
+        T.StructField("zero_threshold", T.DoubleType()),
+        T.StructField("zero_count", T.LongType()),
+        T.StructField("pos_offset", T.IntegerType()),
+        T.StructField("pos_counts", T.ArrayType(T.LongType())),
+        T.StructField("neg_offset", T.IntegerType()),
+        T.StructField("neg_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def remote_write_v2_native_histograms(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, snappy-compressed v2 Request) → one row per NATIVE
+    histogram: sparse spans/deltas already expanded to the dense
+    (offset, counts) shape the OTLP exponential path uses, so ONE
+    le-mapping serves both native-histogram wire formats. mapInPandas,
+    zero shuffle."""
+    schema = T.StructType([payloads.schema[id_col]] + list(NATIVE_HIST_SCHEMA.fields))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for s in decode_write_request_v2(snappy_decompress(bytes(blob))):
+                    labels = dict(s["labels"])
+                    name = labels.pop("__name__", "")
+                    for h in s.get("histograms", []):
+                        rows.append(
+                            {
+                                id_col: pid,
+                                "metric_name": name,
+                                "labels": labels,
+                                "timestamp_ms": h["timestamp"],
+                                "count": h["count"],
+                                "sum": h["sum"],
+                                "schema": h["schema"],
+                                "zero_threshold": h["zero_threshold"],
+                                "zero_count": h["zero_count"],
+                                "pos_offset": h["pos_offset"],
+                                "pos_counts": h["pos_counts"],
+                                "neg_offset": h["neg_offset"],
+                                "neg_counts": h["neg_counts"],
                             }
                         )
             yield pd.DataFrame(

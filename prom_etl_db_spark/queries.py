@@ -104,6 +104,13 @@ _GATE_PRIORITY = [
     # existing varint/fixed64 walk; third wire format feeding the same
     # samples-table operator set (VERDICT #4).
     "remote_write_v2_decode",
+    # remote_write_v2_hist_decode / remote_write_v2_hist_quantile: NEW
+    # r8 — Prometheus NATIVE histograms (prompb.Histogram integer
+    # flavor: zigzag span/delta wire encoding, sparse spans expanded
+    # dense) + their composition into histogram_quantile via the
+    # base^(i) upper-bound convention.
+    "remote_write_v2_hist_decode",
+    "remote_write_v2_hist_quantile",
     # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
     # encoder (predefined-FSE sequences + LZ greedy match search),
     # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).

@@ -1240,3 +1240,233 @@ def remote_write_v2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "timestamp_ms",
     )
+
+
+@register(
+    "remote_write_v2_hist_decode",
+    oracle="""
+SELECT event_id AS push_id,
+  event_type AS metric_name,
+  CAST(user_id % 5 - 2 AS INT) AS schema,
+  CAST(user_id % 2 AS BIGINT) AS zero_count,
+  CAST(1e-9 AS DOUBLE) AS zero_threshold,
+  CAST(user_id % 3 - 1 AS INT) AS pos_offset,
+  CAST(user_id % 3 + 1 AS VARCHAR) || ',' || CAST(user_id % 4 AS VARCHAR)
+    || ',0,0,' || CAST(user_id % 2 + 1 AS VARCHAR) AS pos_counts_csv,
+  CAST(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS neg_offset,
+  CASE WHEN user_id % 3 = 0 THEN CAST(user_id % 5 + 1 AS VARCHAR)
+       ELSE '' END AS neg_counts_csv,
+  CAST(user_id % 2 AS BIGINT) + CAST(user_id % 3 + 1 AS BIGINT)
+    + CAST(user_id % 4 AS BIGINT) + CAST(user_id % 2 + 1 AS BIGINT)
+    + CASE WHEN user_id % 3 = 0 THEN CAST(user_id % 5 + 1 AS BIGINT)
+      ELSE 0 END AS count,
+  CAST(user_id AS DOUBLE) * 0.75 AS sum_value,
+  CAST(1706572800000 AS BIGINT) AS timestamp_ms
+FROM events
+""",
+)
+def remote_write_v2_hist_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r8): Prometheus NATIVE HISTOGRAMS over remote-write
+    2.0 — prompb.Histogram's integer flavor: zigzag sint32 schema and
+    span offsets, packed zigzag sint64 DELTA-encoded bucket counts,
+    SPARSE BucketSpans (two positive spans with a 2-bucket gap here)
+    expanded to the dense (offset, counts) shape the OTLP exponential
+    path shares. Negative-direction buckets ride the user_id%3==0
+    slice. All closed forms of user_id; arrays as csv. Refusals (float
+    flavor, schema 127, span/delta arity, dense bomb, negative runs)
+    gated in tests/test_remote_write.py. Plan: encode (pandas_udf) +
+    decode (mapInPandas), zero shuffle."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c1, c2, c3 = u % 3 + 1, u % 4, u % 2 + 1
+            h = {
+                "count": (u % 2) + c1 + c2 + c3
+                         + ((u % 5 + 1) if u % 3 == 0 else 0),
+                "sum": u * 0.75,
+                "schema": u % 5 - 2,
+                "zero_threshold": 1e-9,
+                "zero_count": u % 2,
+                "positive_spans": [(u % 3 - 1, 2), (2, 1)],
+                "positive_deltas": [c1, c2 - c1, c3 - c2],
+                "timestamp": 1706572800000,
+            }
+            if u % 3 == 0:
+                h["negative_spans"] = [(1, 1)]
+                h["negative_deltas"] = [u % 5 + 1]
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    out = RW.remote_write_v2_native_histograms(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        "schema",
+        "zero_count",
+        "zero_threshold",
+        "pos_offset",
+        F.array_join(
+            F.transform(F.col("pos_counts"), lambda c: c.cast("string")), ","
+        ).alias("pos_counts_csv"),
+        "neg_offset",
+        F.array_join(
+            F.transform(F.col("neg_counts"), lambda c: c.cast("string")), ","
+        ).alias("neg_counts_csv"),
+        "count",
+        F.col("sum").alias("sum_value"),
+        "timestamp_ms",
+    )
+
+
+@register(
+    "remote_write_v2_hist_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 5 - 2 AS INT) AS s,
+    CAST(user_id % 3 - 1 AS INT) AS o,
+    CAST(user_id % 2 AS BIGINT) AS z,
+    [CAST(user_id % 3 + 1 AS BIGINT), CAST(user_id % 4 AS BIGINT),
+     CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+     CAST(user_id % 2 + 1 AS BIGINT)] AS c
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id,
+    unnest([power(2.0, (o - 1) * power(2.0, -s)),
+            power(2.0, (o + 0) * power(2.0, -s)),
+            power(2.0, (o + 1) * power(2.0, -s)),
+            power(2.0, (o + 2) * power(2.0, -s)),
+            power(2.0, (o + 3) * power(2.0, -s)),
+            power(2.0, (o + 4) * power(2.0, -s)),
+            'inf'::DOUBLE]) AS le,
+    unnest([z, z + c[1], z + c[1] + c[2], z + c[1] + c[2] + c[3],
+            z + c[1] + c[2] + c[3] + c[4],
+            z + c[1] + c[2] + c[3] + c[4] + c[5],
+            z + c[1] + c[2] + c[3] + c[4] + c[5]]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.9 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  CAST(user_id AS VARCHAR) AS user,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90
+FROM crossing
+""",
+)
+def remote_write_v2_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B composition (r8): native-histogram push → classic le-buckets
+    via Prometheus's OWN index convention (bucket i covers
+    (base^(i-1), base^i], base = 2^(2^-schema) — the OTLP exponential
+    algebra shifted by one; the zero bucket maps to the first dense
+    bucket's lower bound base^(offset-1)) → the EXISTING
+    ``histogram_quantile`` at q=0.9. The dense expansion's zero-count
+    gap buckets ride through as flat cumulative runs, exercising the
+    operator's duplicate-cum crossing rule. Positive-direction + zero
+    observations only by construction (latency-shaped). Oracle replays
+    the power algebra + interpolation. Plan: decode (mapInPandas) →
+    pure-Column le/cum arrays → posexplode → one window per histogram."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c1, c2, c3 = u % 3 + 1, u % 4, u % 2 + 1
+            h = {
+                "count": (u % 2) + c1 + c2 + c3,
+                "schema": u % 5 - 2,
+                "zero_count": u % 2,
+                "positive_spans": [(u % 3 - 1, 2), (2, 1)],
+                "positive_deltas": [c1, c2 - c1, c3 - c2],
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    # le_-1 = base^(offset-1) (zero bucket), le_k = base^(offset+k)
+    les = F.concat(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(4)),
+            lambda i: F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double") + i.cast("double")) * inv,
+            ).cast("string"),
+        ),
+        F.array(F.lit("+Inf")),
+    )
+    cums = F.concat(
+        F.aggregate(
+            F.col("pos_counts"),
+            F.array(F.col("zero_count")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)
+            ),
+        ),
+        F.array(F.col("count")),
+    )
+    buckets = pts.select(
+        "metric_name",
+        F.col("push_id").cast("string").alias("eid"),
+        F.col("labels")["user"].alias("user"),
+        F.posexplode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user"), F.lit("eid"), F.lit("le")),
+            F.array(
+                F.concat(F.col("metric_name"), F.lit("_bucket")),
+                F.col("user"),
+                F.col("eid"),
+                F.col("z.le"),
+            ),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace(
+            F.col("labels")["__name__"], "_bucket$", ""
+        ).alias("metric_name"),
+        F.col("labels")["user"].alias("user"),
+        F.round("value", 6).alias("p90"),
+    )

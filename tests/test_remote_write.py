@@ -217,12 +217,116 @@ def test_v2_missing_leading_empty_symbol_refused():
         RW.decode_write_request_v2(req)
 
 
-def test_v2_native_histogram_series_refused():
-    from prom_etl_db_spark.functions.remote_write import _enc_len
+def _nh(**kw):
+    h = {"count": 0, "schema": 0, "zero_count": 0, "timestamp": 1000}
+    h.update(kw)
+    return h
 
-    req = _enc_len(4, b"") + _enc_len(5, _enc_len(3, b""))
-    with pytest.raises(ValueError, match="native-histogram"):
+
+def test_v2_native_histogram_roundtrip():
+    """r8: prompb.Histogram integer flavor — zigzag schema/span offsets,
+    packed zigzag DELTA-encoded counts, sparse spans expanded dense."""
+    h = _nh(
+        count=12, sum=34.5, schema=2, zero_threshold=1e-9, zero_count=2,
+        # buckets at indices -1,0 (counts 3,1) and 4 (count 2): two spans
+        positive_spans=[(-1, 2), (3, 1)],
+        positive_deltas=[3, -2, 1],
+        negative_spans=[(1, 1)],
+        negative_deltas=[4],
+        timestamp=1706572800000,
+    )
+    enc = RW.encode_write_request_v2(
+        [{"labels": {"__name__": "lat"}, "samples": [], "histograms": [h]}])
+    (s,) = RW.decode_write_request_v2(enc)
+    (g,) = s["histograms"]
+    assert g["count"] == 12 and g["sum"] == 34.5 and g["schema"] == 2
+    assert g["zero_count"] == 2 and g["zero_threshold"] == 1e-9
+    # dense: indices -1..4 -> counts [3,1,0,0,0,2]
+    assert (g["pos_offset"], g["pos_counts"]) == (-1, [3, 1, 0, 0, 0, 2])
+    assert (g["neg_offset"], g["neg_counts"]) == (1, [4])
+    assert g["timestamp"] == 1706572800000
+
+
+def test_v2_native_histogram_float_flavor_refused():
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len)
+    import struct as _st
+
+    body = _enc_field(2, 1) + _st.pack("<d", 5.0)  # count_float
+    req = _enc_len(4, b"") + _enc_len(5, _enc_len(3, body))
+    with pytest.raises(ValueError, match="FLOAT native"):
         RW.decode_write_request_v2(req)
+
+
+def test_v2_native_histogram_custom_schema_refused():
+    req = RW.encode_write_request_v2(
+        [{"labels": {}, "samples": [],
+          "histograms": [_nh(schema=127)]}])
+    with pytest.raises(ValueError, match="custom-bucket"):
+        RW.decode_write_request_v2(req)
+    req2 = RW.encode_write_request_v2(
+        [{"labels": {}, "samples": [], "histograms": [_nh(schema=9)]}])
+    with pytest.raises(ValueError, match="outside"):
+        RW.decode_write_request_v2(req2)
+
+
+def test_v2_native_histogram_span_delta_violations_refused():
+    # arity: 2 deltas for a 1-long span
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=3, positive_spans=[(0, 1)], positive_deltas=[1, 2])]}])
+    with pytest.raises(ValueError, match="span lengths"):
+        RW.decode_write_request_v2(r)
+    # negative running count
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=3, positive_spans=[(0, 2)], positive_deltas=[1, -2])]}])
+    with pytest.raises(ValueError, match="negative"):
+        RW.decode_write_request_v2(r)
+    # negative gap on a later span (overlap)
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=3, positive_spans=[(0, 1), (-1, 1)],
+            positive_deltas=[1, 1])]}])
+    with pytest.raises(ValueError, match="negative gap"):
+        RW.decode_write_request_v2(r)
+    # count below bucket sum
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=1, zero_count=1, positive_spans=[(0, 1)],
+            positive_deltas=[3])]}])
+    with pytest.raises(ValueError, match="below the sum"):
+        RW.decode_write_request_v2(r)
+
+
+def test_v2_native_histogram_dense_bomb_guard():
+    """Hostile span offsets demanding millions of dense buckets refuse
+    (Prometheus's own bucket limit is 160; the guard is 4096)."""
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=2, positive_spans=[(0, 1), (100_000, 1)],
+            positive_deltas=[1, 0])]}])
+    with pytest.raises(ValueError, match="exceeds"):
+        RW.decode_write_request_v2(r)
+
+
+def test_v2_native_histograms_spark_path(spark):
+    h1 = _nh(count=6, schema=1, zero_count=1,
+             positive_spans=[(0, 2)], positive_deltas=[2, 1],
+             timestamp=1000, sum=9.0)
+    h2 = _nh(count=4, schema=0, zero_count=0,
+             positive_spans=[(2, 1)], positive_deltas=[4],
+             timestamp=2000, sum=40.0)
+    enc = RW.snappy_compress(RW.encode_write_request_v2([
+        {"labels": {"__name__": "lat", "job": "x"}, "samples": [(1.0, 999)],
+         "histograms": [h1, h2]},
+    ]))
+    df = spark.createDataFrame([(7, enc)], "push_id long, body binary")
+    rows = {r["timestamp_ms"]: r
+            for r in RW.remote_write_v2_native_histograms(df).collect()}
+    assert len(rows) == 2
+    assert rows[1000]["pos_counts"] == [2, 3]  # deltas 2, +1 -> 2, 3
+    assert rows[2000]["pos_offset"] == 2 and rows[2000]["pos_counts"] == [4]
+    assert rows[1000]["labels"] == {"job": "x"}
+    assert rows[1000]["metric_name"] == "lat"
+    # samples path unaffected by the histograms riding along
+    srows = RW.remote_write_v2_samples(df).collect()
+    assert len(srows) == 1 and srows[0]["value"] == 1.0
 
 
 def test_v2_unpacked_labels_refs_accepted():

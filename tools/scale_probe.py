@@ -747,6 +747,64 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         F.col("z.cum").cast("double").alias("value"),
     )
     run("otlp_exp_quantile", promql.histogram_quantile(_z, 0.9))
+
+    # r8: the native-histogram twin — prompb.Histogram span/delta decode
+    # (incl. dense expansion) + the base^(i) le-mapping + quantile.
+    from prom_etl_db_spark.functions import remote_write as _rw2
+
+    def _build_nh(name, user):
+        import pandas as _pd
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c1, c2, c3 = u % 3 + 1, u % 4, u % 2 + 1
+            h = {"count": (u % 2) + c1 + c2 + c3, "schema": u % 5 - 2,
+                 "zero_count": u % 2,
+                 "positive_spans": [(u % 3 - 1, 2), (2, 1)],
+                 "positive_deltas": [c1, c2 - c1, c3 - c2],
+                 "timestamp": 1706572800000}
+            out.append(_rw2.snappy_compress(_rw2.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return _pd.Series(out)
+
+    _nhudf = F.pandas_udf(_build_nh, returnType=_Bin())
+    nh_payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _nhudf("event_type", "user_id").alias("body"),
+    )
+    _nh_pts = _rw2.remote_write_v2_native_histograms(nh_payloads)
+    _nh_inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    _nh_les = F.concat(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(4)),
+            lambda i: F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double") + i.cast("double")) * _nh_inv,
+            ).cast("string"),
+        ),
+        F.array(F.lit("+Inf")),
+    )
+    _nh_cums = F.concat(
+        F.aggregate(
+            F.col("pos_counts"), F.array(F.col("zero_count")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)),
+        ),
+        F.array(F.col("count")),
+    )
+    _nh_z = _nh_pts.select(
+        "metric_name",
+        F.col("push_id").cast("string").alias("eid"),
+        F.explode(F.arrays_zip(_nh_les.alias("le"), _nh_cums.alias("cum"))).alias("z"),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+            F.array("metric_name", "eid", F.col("z.le")),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    run("rw_native_hist_quantile", promql.histogram_quantile(_nh_z, 0.9))
     wet_pages = docs.select(
         "doc_id",
         F.concat(F.lit("http://h/"), F.col("doc_id").cast("string")).alias("target_uri"),
