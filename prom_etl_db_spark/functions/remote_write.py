@@ -197,6 +197,8 @@ def encode_write_request(series: list[dict]) -> bytes:
                 + _enc_uvarint(ts_ms)
             )
             ts_msg += _enc_len(2, sm)
+        for h in s.get("histograms", []):
+            ts_msg += _enc_len(4, _enc_native_histogram(h))
         out += _enc_len(1, bytes(ts_msg))
     return bytes(out)
 
@@ -254,6 +256,7 @@ def decode_write_request(data: bytes) -> list[dict]:
         ts_msg, pos = data[pos : pos + ln], pos + ln
         labels: dict[str, str] = {}
         samples: list[tuple[float, int]] = []
+        histograms: list[dict] = []
         p = 0
         while p < ln:
             h, p = _uvarint(ts_msg, p)
@@ -264,6 +267,15 @@ def decode_write_request(data: bytes) -> list[dict]:
                     raise ValueError(f"proto: label overruns timeseries at {p}")
                 name, value = _parse_label(ts_msg[p : p + l2])
                 labels[name] = value
+                p += l2
+            elif fnum == 4 and fwire == 2:
+                # native histograms shipped over remote-write 1.0 FIRST
+                # (prompb.TimeSeries.histograms = 4); r8: decode rather
+                # than silently skip primary data
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: histogram overruns timeseries at {p}")
+                histograms.append(_parse_native_histogram(ts_msg[p : p + l2]))
                 p += l2
             elif fnum == 2 and fwire == 2:
                 l2, p = _uvarint(ts_msg, p)
@@ -290,7 +302,10 @@ def decode_write_request(data: bytes) -> list[dict]:
                 samples.append((val, ts_ms))
             else:
                 p = _skip(ts_msg, p, fwire)
-        series.append({"labels": labels, "samples": samples})
+        s: dict = {"labels": labels, "samples": samples}
+        if histograms:
+            s["histograms"] = histograms
+        series.append(s)
     return series
 
 
@@ -726,20 +741,24 @@ NATIVE_HIST_SCHEMA = T.StructType(
 
 
 def remote_write_v2_native_histograms(
-    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id",
+    wire_version: int = 2,
 ) -> DataFrame:
-    """(id, snappy-compressed v2 Request) → one row per NATIVE
-    histogram: sparse spans/deltas already expanded to the dense
-    (offset, counts) shape the OTLP exponential path uses, so ONE
-    le-mapping serves both native-histogram wire formats. mapInPandas,
-    zero shuffle."""
+    """(id, snappy-compressed Request) → one row per NATIVE histogram:
+    sparse spans/deltas already expanded to the dense (offset, counts)
+    shape the OTLP exponential path uses, so ONE le-mapping serves both
+    native-histogram wire formats. ``wire_version=1`` reads the SAME
+    prompb.Histogram message off remote-write 1.0's
+    TimeSeries.histograms = 4 (where native histograms first shipped).
+    mapInPandas, zero shuffle."""
     schema = T.StructType([payloads.schema[id_col]] + list(NATIVE_HIST_SCHEMA.fields))
+    decoder = decode_write_request_v2 if wire_version == 2 else decode_write_request
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for pid, blob in zip(pdf[id_col], pdf[payload_col]):
-                for s in decode_write_request_v2(snappy_decompress(bytes(blob))):
+                for s in decoder(snappy_decompress(bytes(blob))):
                     labels = dict(s["labels"])
                     name = labels.pop("__name__", "")
                     for h in s.get("histograms", []):

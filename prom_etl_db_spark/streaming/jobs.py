@@ -439,6 +439,7 @@ def stream_remote_write_rollup(
     watermark: str = "2 hours",
     shard_modulus: int = 8,
     available_now: bool = True,
+    wire_version: int = 1,
 ) -> StreamingQuery:
     """Push-arc streaming twin (r6): remote-write payloads landing as
     parquet rows drain through the SAME from-scratch wire decode
@@ -447,8 +448,14 @@ def stream_remote_write_rollup(
     then a watermarked per-(metric, shard, window) rollup emits each
     window once final — the sharded-TSDB-router shape, online.
     Checkpointed; a restart re-ingests only newly-landed payload
-    files."""
-    from prom_etl_db_spark.functions.remote_write import remote_write_samples
+    files. ``wire_version=2`` (r8) drains io.prometheus.write.v2
+    payloads through the SAME rollup — all three push protocols
+    (RW 1.0 here, 2.0 via this flag, OTLP via stream_otlp_rollup) hold
+    stream twins over one operator set."""
+    from prom_etl_db_spark.functions.remote_write import (
+        remote_write_samples,
+        remote_write_v2_samples,
+    )
     from prom_etl_db_spark.operators.relabel import hashmod_column
 
     raw = (
@@ -456,7 +463,8 @@ def stream_remote_write_rollup(
         .option("maxFilesPerTrigger", "16")
         .parquet(source_dir)
     )
-    samples = remote_write_samples(raw)
+    decode = remote_write_v2_samples if wire_version == 2 else remote_write_samples
+    samples = decode(raw)
     agg = (
         samples.select(
             "metric_name",

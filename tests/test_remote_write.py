@@ -392,3 +392,30 @@ def test_v2_samples_spark_path(spark):
     assert by_inst[("i-1", 1706572800000)] == 1.5
     assert by_inst[("i-2", 1706572800000)] == -0.25
     assert all(r["metric_name"] == "http_requests_total" for r in rows)
+
+
+def test_v1_native_histograms_decode_and_spark_path(spark):
+    """Native histograms FIRST shipped over remote-write 1.0
+    (prompb.TimeSeries.histograms = 4) — the v1 decoder must surface
+    them (r8; they were silently skipped before), same parser, same
+    dense expansion, via wire_version=1."""
+    h = _nh(count=6, schema=1, zero_count=1,
+            positive_spans=[(0, 2)], positive_deltas=[2, 1],
+            timestamp=5000, sum=9.0)
+    series = [{"labels": {"__name__": "lat", "job": "y"},
+               "samples": [(2.0, 4999)], "histograms": [h]}]
+    (got,) = RW.decode_write_request(RW.encode_write_request(series))
+    assert got["labels"] == series[0]["labels"]
+    assert got["samples"] == series[0]["samples"]
+    (gh,) = got["histograms"]  # decoded to the DENSE shape
+    assert (gh["pos_offset"], gh["pos_counts"]) == (0, [2, 3])
+    assert (gh["count"], gh["sum"], gh["schema"]) == (6, 9.0, 1)
+    enc = RW.snappy_compress(RW.encode_write_request(series))
+    df = spark.createDataFrame([(3, enc)], "push_id long, body binary")
+    rows = RW.remote_write_v2_native_histograms(df, wire_version=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["pos_counts"] == [2, 3] and rows[0]["schema"] == 1
+    assert rows[0]["metric_name"] == "lat"
+    # the v1 samples path unaffected
+    srows = RW.remote_write_samples(df).collect()
+    assert len(srows) == 1 and srows[0]["value"] == 2.0

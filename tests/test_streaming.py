@@ -1380,3 +1380,56 @@ def test_neardup_stream_all_identical_docs_bounded_e2e(spark, tmp_path):
     )
     assert new.count() == 4
     assert {r["id_a"] for r in new.collect()} == {20, 21, 22, 23}
+
+
+def test_streaming_remote_write_v2_rollup_matches_batch(spark, tmp_path):
+    """r8: remote-write 2.0 payloads drain through the SAME streaming
+    rollup via wire_version=2 — third push protocol, one operator set.
+    Stream output over closed windows equals the batch v2 chain."""
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.relabel import hashmod_column
+    from prom_etl_db_spark.streaming.jobs import stream_remote_write_rollup
+
+    base_ms = 1706572800000
+    H = 3_600_000
+
+    def payload(name: str, user: int, value: float, off_ms: int) -> bytes:
+        return RW.snappy_compress(
+            RW.encode_write_request_v2(
+                [{"labels": {"__name__": name, "user": str(user)},
+                  "samples": [(value, base_ms + off_ms)]}]
+            )
+        )
+
+    rows = [(i, payload("purchase" if i % 2 else "click", i % 5, float(i),
+                        i * 1000))
+            for i in range(16)]
+    rows.append((50, payload("pusher", 0, 1.0, 4 * H)))  # closes W0
+    src, sink, ckpt = tmp_path / "v2src", tmp_path / "v2sink", tmp_path / "v2ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows, "push_id long, body binary").write.mode(
+        "append"
+    ).parquet(str(src))
+    stream_remote_write_rollup(
+        spark, str(src), str(sink), str(ckpt), wire_version=2
+    ).awaitTermination(120)
+    got = spark.read.parquet(str(sink))
+    closed = [r for r in rows if r[0] != 50]
+    batch = (
+        RW.remote_write_v2_samples(
+            spark.createDataFrame(closed, "push_id long, body binary"))
+        .select(
+            "metric_name",
+            hashmod_column(F.col("labels")["user"], 8).alias("shard"),
+            "value",
+        )
+        .groupBy("metric_name", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    g = {(r["metric_name"], r["shard"]): (r["n"], r["sum_value"])
+         for r in got.groupBy("metric_name", "shard")
+         .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+         .collect()}
+    b = {(r["metric_name"], r["shard"]): (r["n"], r["sum_value"])
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
