@@ -362,6 +362,14 @@ def encode_write_request_v2(series: list[dict]) -> bytes:
             ts_msg += _enc_len(2, sm)
         for h in s.get("histograms", []):
             ts_msg += _enc_len(3, _enc_native_histogram(h))
+        md = s.get("metadata")
+        if md:
+            m = _enc_field(1, 0) + _enc_uvarint(int(md.get("type", 0)))
+            if md.get("help") is not None:
+                m += _enc_field(3, 0) + _enc_uvarint(ref(md["help"]))
+            if md.get("unit") is not None:
+                m += _enc_field(4, 0) + _enc_uvarint(ref(md["unit"]))
+            ts_msg += _enc_len(5, m)
         ts_msgs.append(bytes(ts_msg))
     out = bytearray()
     for sym in symbols:
@@ -624,6 +632,7 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
         refs: list[int] = []
         samples: list[tuple[float, int]] = []
         histograms: list[dict] = []
+        metadata_raw: tuple | None = None
         p, ln = 0, len(ts_msg)
         while p < ln:
             h, p = _uvarint(ts_msg, p)
@@ -653,7 +662,25 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
                     raise ValueError(f"proto: histogram overruns timeseries at {p}")
                 histograms.append(_parse_native_histogram(ts_msg[p : p + l2]))
                 p += l2
-            else:  # exemplars / metadata / created_timestamp / unknown
+            elif fnum == 5 and fwire == 2:  # Metadata (r8): typed refs
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: metadata overruns timeseries at {p}")
+                md_blob, p = ts_msg[p : p + l2], p + l2
+                mp, mtype, help_ref, unit_ref = 0, 0, None, None
+                while mp < len(md_blob):
+                    mh, mp = _uvarint(md_blob, mp)
+                    mnum, mwire = mh >> 3, mh & 7
+                    if mnum == 1 and mwire == 0:
+                        mtype, mp = _uvarint(md_blob, mp)
+                    elif mnum == 3 and mwire == 0:
+                        help_ref, mp = _uvarint(md_blob, mp)
+                    elif mnum == 4 and mwire == 0:
+                        unit_ref, mp = _uvarint(md_blob, mp)
+                    else:
+                        mp = _skip(md_blob, mp, mwire)
+                metadata_raw = (mtype, help_ref, unit_ref)
+            else:  # exemplars / created_timestamp / unknown
                 p = _skip(ts_msg, p, fwire)
         if len(refs) % 2:
             raise ValueError(
@@ -672,6 +699,18 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
         s: dict = {"labels": labels, "samples": samples}
         if histograms:  # key present only when the series carries them
             s["histograms"] = histograms
+        if metadata_raw is not None:
+            mtype, help_ref, unit_ref = metadata_raw
+            for r in (help_ref, unit_ref):
+                if r is not None and r >= len(symbols):
+                    raise ValueError(
+                        f"remote-write v2: metadata symbol ref {r} out of "
+                        f"range (symbols table has {len(symbols)} entries)")
+            s["metadata"] = {
+                "type": mtype,
+                "help": symbols[help_ref] if help_ref is not None else None,
+                "unit": symbols[unit_ref] if unit_ref is not None else None,
+            }
         series.append(s)
     return series
 
@@ -788,13 +827,26 @@ def remote_write_v2_native_histograms(
     return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
 
 
+#: v2 Metadata.MetricType enum (types.proto)
+_V2_METRIC_TYPES = {0: "unspecified", 1: "counter", 2: "gauge",
+                    3: "histogram", 4: "gaugehistogram", 5: "summary",
+                    6: "info", 7: "stateset"}
+
+
 def remote_write_v2_samples(
     payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
 ) -> DataFrame:
     """(id, snappy-compressed v2 Request) → the SAME sample shape as
     ``remote_write_samples`` — three wire formats (remote-write 1.0,
-    2.0, OTLP), one downstream operator set."""
-    schema = T.StructType([payloads.schema[id_col]] + list(REMOTE_WRITE_SCHEMA.fields))
+    2.0, OTLP), one downstream operator set — plus v2's REQUIRED typed
+    metadata (metric_type / help / unit, interned-ref-resolved; null
+    when the sender omits it)."""
+    schema = T.StructType(
+        [payloads.schema[id_col]] + list(REMOTE_WRITE_SCHEMA.fields)
+        + [T.StructField("metric_type", T.StringType()),
+           T.StructField("help", T.StringType()),
+           T.StructField("unit", T.StringType())]
+    )
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -803,6 +855,8 @@ def remote_write_v2_samples(
                 for s in decode_write_request_v2(snappy_decompress(bytes(blob))):
                     labels = dict(s["labels"])
                     name = labels.pop("__name__", "")
+                    md = s.get("metadata") or {}
+                    mtype = md.get("type")
                     for value, ts_ms in s["samples"]:
                         rows.append(
                             {
@@ -811,6 +865,11 @@ def remote_write_v2_samples(
                                 "labels": labels,
                                 "value": value,
                                 "timestamp_ms": ts_ms,
+                                "metric_type": _V2_METRIC_TYPES.get(
+                                    mtype, f"type_{mtype}"
+                                ) if mtype is not None else None,
+                                "help": md.get("help"),
+                                "unit": md.get("unit"),
                             }
                         )
             yield pd.DataFrame(

@@ -111,6 +111,16 @@ _GATE_PRIORITY = [
     # base^(i) upper-bound convention.
     "remote_write_v2_hist_decode",
     "remote_write_v2_hist_quantile",
+    # native_hist_cross_format_parity: NEW r8 — the same logical
+    # exponential histogram through BOTH wire formats (OTLP +
+    # prompb/remote-write-2.0, offset conventions one apart) must
+    # yield the identical p90; a differential test of both decode
+    # stacks against one closed-form oracle.
+    "native_hist_cross_format_parity",
+    # remote_write_v2_metadata: NEW r8 — v2's first-class typed
+    # metadata (type enum + interned help/unit refs) resolved and
+    # surfaced next to the samples.
+    "remote_write_v2_metadata",
     # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
     # encoder (predefined-FSE sequences + LZ greedy match search),
     # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).

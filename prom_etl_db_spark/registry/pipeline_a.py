@@ -1470,3 +1470,229 @@ def remote_write_v2_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("labels")["user"].alias("user"),
         F.round("value", 6).alias("p90"),
     )
+
+
+@register(
+    "native_hist_cross_format_parity",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS s,
+    CAST(user_id % 5 - 2 AS INT) AS o,
+    CAST(user_id % 2 AS BIGINT) AS z,
+    [CAST(user_id % 3 + 1 AS BIGINT), CAST(user_id % 5 AS BIGINT),
+     CAST(user_id % 7 AS BIGINT), CAST(user_id % 2 AS BIGINT)] AS c
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id,
+    unnest([power(2.0, o * power(2.0, -s)),
+            power(2.0, (o + 1) * power(2.0, -s)),
+            power(2.0, (o + 2) * power(2.0, -s)),
+            power(2.0, (o + 3) * power(2.0, -s)),
+            power(2.0, (o + 4) * power(2.0, -s)),
+            'inf'::DOUBLE]) AS le,
+    unnest([z, z + c[1], z + c[1] + c[2], z + c[1] + c[2] + c[3],
+            z + c[1] + c[2] + c[3] + c[4],
+            z + c[1] + c[2] + c[3] + c[4]]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.9 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90_otlp,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90_native
+FROM crossing
+""",
+)
+def native_hist_cross_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B CROSS-FORMAT IDENTITY (r8): the SAME logical exponential
+    histogram pushed through BOTH native-histogram wire formats — OTLP
+    ExponentialHistogram (bucket index i covers (base^i, base^(i+1)])
+    and Prometheus prompb.Histogram over remote-write 2.0 (index j
+    covers (base^(j-1), base^j], so the SAME buckets carry offset+1) —
+    must yield the IDENTICAL p90 after each format's own le-mapping
+    feeds the one histogram_quantile operator. The two decode paths
+    share NO code above the varint layer (different messages, zigzag
+    placements, packed encodings, span/delta vs offset/run), so
+    equality here is a differential test of both stacks at once; the
+    oracle computes the single closed-form quantile and asserts it
+    twice. Plan: two encode UDFs + two mapInPandas decodes + one
+    equi-join on push_id (both sides pre-partitioned by the same key)."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import otlp as OT
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build_otlp(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            pc = [u % 3 + 1, u % 5, u % 7, u % 2]
+            point = {
+                "attrs": {}, "time_unix_nano": 1,
+                "count": (u % 2) + sum(pc),
+                "scale": u % 4 - 1, "zero_count": u % 2,
+                "pos_offset": u % 5 - 2, "pos_counts": pc,
+            }
+            out.append(OT.encode_export_metrics(
+                [{"resource": {}, "scopes": [{"name": "app", "metrics": [
+                    {"name": n, "type": "exponential_histogram",
+                     "temporality": 2, "points": [point]}]}]}]))
+        return pd.Series(out)
+
+    def build_native(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            pc = [u % 3 + 1, u % 5, u % 7, u % 2]
+            deltas = [pc[0]] + [pc[k] - pc[k - 1] for k in range(1, 4)]
+            h = {
+                "count": (u % 2) + sum(pc),
+                "schema": u % 4 - 1, "zero_count": u % 2,
+                # same buckets, Prometheus indexing: offset shifts by +1
+                "positive_spans": [((u % 5 - 2) + 1, 4)],
+                "positive_deltas": deltas,
+                "timestamp": 1,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n}, "samples": [],
+                  "histograms": [h]}])))
+        return pd.Series(out)
+
+    _b_ot = F.pandas_udf(build_otlp, returnType=BinaryType())
+    _b_nh = F.pandas_udf(build_native, returnType=BinaryType())
+
+    def quantile_from(pts, offset_shift: int):
+        # OTLP (offset o): zero-bucket bound base^o, bucket k's upper
+        # bound base^(o+k+1) → exponents o+i for i in 0..4. Native
+        # (offset o_n = o+1): zero bound base^(o_n-1), bucket k upper
+        # base^(o_n+k) → exponents o_n-1+i. Both are (offset+i+shift)
+        # with shift = 0 (OTLP) / -1 (native).
+        inv = F.pow(F.lit(2.0), -F.col("scale").cast("double"))
+        les = F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(4)),
+                lambda i: F.pow(
+                    F.lit(2.0),
+                    (F.col("pos_offset").cast("double")
+                     + i.cast("double") + F.lit(float(offset_shift))) * inv,
+                ).cast("string"),
+            ),
+            F.array(F.lit("+Inf")),
+        )
+        cums = F.concat(
+            F.aggregate(
+                F.col("pos_counts"), F.array(F.col("zero_count")),
+                lambda acc, x: F.concat(
+                    acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)),
+            ),
+            F.array(F.col("count")),
+        )
+        buckets = pts.select(
+            "metric_name",
+            F.col("push_id").cast("string").alias("eid"),
+            F.posexplode(
+                F.arrays_zip(les.alias("le"), cums.alias("cum"))
+            ).alias("i", "z"),
+        ).select(
+            F.map_from_arrays(
+                F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+                F.array("metric_name", "eid", F.col("z.le")),
+            ).alias("labels"),
+            F.col("z.cum").cast("double").alias("value"),
+        )
+        hq = promql.histogram_quantile(buckets, 0.9)
+        return hq.select(
+            F.col("labels")["eid"].cast("long").alias("push_id"),
+            F.col("labels")["__name__"].alias("metric_name"),
+            F.round("value", 6).alias("p90"),
+        )
+
+    ot_pts = OT.otlp_samples(
+        ev.select(F.col("event_id").alias("push_id"),
+                  _b_ot("event_type", "user_id").alias("body"))
+    ).withColumnRenamed("scale", "scale")
+    nh_pts = RW.remote_write_v2_native_histograms(
+        ev.select(F.col("event_id").alias("push_id"),
+                  _b_nh("event_type", "user_id").alias("body"))
+    ).withColumnRenamed("schema", "scale")
+    q_ot = quantile_from(ot_pts, 0)
+    q_nh = quantile_from(nh_pts, -1)
+    return (
+        q_ot.withColumnRenamed("p90", "p90_otlp")
+        .join(q_nh.select("push_id", F.col("p90").alias("p90_native")),
+              "push_id")
+        .select("push_id", "metric_name", "p90_otlp", "p90_native")
+    )
+
+
+@register(
+    "remote_write_v2_metadata",
+    oracle="""
+SELECT event_id AS push_id,
+  event_type AS metric_name,
+  CASE user_id % 4 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge'
+       WHEN 2 THEN 'histogram' ELSE 'summary' END AS metric_type,
+  'Tracks ' || event_type || ' activity.' AS help,
+  CASE WHEN user_id % 2 = 0 THEN 'bytes' ELSE 'seconds' END AS unit,
+  value
+FROM events
+""",
+)
+def remote_write_v2_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension (r8): remote-write 2.0 METADATA — the spec makes
+    per-series typed metadata a first-class field (Metadata.type enum +
+    help/unit as interned symbol refs; v1 carried it out-of-band).
+    Every event's series carries closed-form metadata; decode resolves
+    the refs through the symbols table (out-of-range refs refuse —
+    gated in tests/test_remote_write.py) and surfaces
+    metric_type/help/unit columns next to the samples. The help string
+    embeds the metric name so the ref-resolution is pinned per row, not
+    just per table. Plan: encode + decode mapInPandas, zero shuffle."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+    types = {0: 1, 1: 2, 2: 3, 3: 5}  # counter, gauge, histogram, summary
+
+    def build(name: pd.Series, user: pd.Series, val: pd.Series) -> pd.Series:
+        out = []
+        for n, u, v in zip(name, user, val):
+            u = int(u)
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(v), 1706572800000)],
+                  "metadata": {
+                      "type": types[u % 4],
+                      "help": f"Tracks {n} activity.",
+                      "unit": "bytes" if u % 2 == 0 else "seconds",
+                  }}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id", "value").alias("body"),
+    )
+    out = RW.remote_write_v2_samples(payloads)
+    return out.select(
+        "push_id", "metric_name", "metric_type", "help", "unit", "value"
+    )

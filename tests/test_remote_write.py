@@ -419,3 +419,62 @@ def test_v1_native_histograms_decode_and_spark_path(spark):
     # the v1 samples path unaffected
     srows = RW.remote_write_samples(df).collect()
     assert len(srows) == 1 and srows[0]["value"] == 2.0
+
+
+def test_v2_metadata_roundtrip_and_spark_columns(spark):
+    """r8: v2's Metadata (type enum + interned help/unit refs) decodes
+    and surfaces as typed columns; senders omitting it yield nulls."""
+    series = [
+        {"labels": {"__name__": "http_total", "job": "a"},
+         "samples": [(1.0, 10)],
+         "metadata": {"type": 1, "help": "Total HTTP requests.",
+                      "unit": "requests"}},
+        {"labels": {"__name__": "temp", "job": "a"},
+         "samples": [(20.5, 10)]},  # no metadata
+    ]
+    got = RW.decode_write_request_v2(RW.encode_write_request_v2(series))
+    assert got[0]["metadata"] == {"type": 1, "help": "Total HTTP requests.",
+                                  "unit": "requests"}
+    assert "metadata" not in got[1]
+    enc = RW.snappy_compress(RW.encode_write_request_v2(series))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    rows = {r["metric_name"]: r for r in RW.remote_write_v2_samples(df).collect()}
+    assert rows["http_total"]["metric_type"] == "counter"
+    assert rows["http_total"]["unit"] == "requests"
+    assert rows["http_total"]["help"] == "Total HTTP requests."
+    assert rows["temp"]["metric_type"] is None and rows["temp"]["unit"] is None
+
+
+def test_v2_metadata_bad_ref_refused():
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len, _enc_uvarint)
+
+    md = _enc_field(1, 0) + _enc_uvarint(2)
+    md += _enc_field(3, 0) + _enc_uvarint(99)  # help_ref out of range
+    req = _enc_len(4, b"") + _enc_len(5, _enc_len(5, md))
+    with pytest.raises(ValueError, match="metadata symbol ref"):
+        RW.decode_write_request_v2(req)
+
+
+def test_snappy_interop_vs_real_libsnappy_both_directions():
+    """r8 verification upgrade: pyarrow wraps REAL snappy — gate the
+    from-scratch block codec against the reference implementation in
+    BOTH directions (the zstd-gate discipline), not just hand vectors
+    and self-roundtrip. Includes a generative sweep."""
+    from pyarrow import Codec
+
+    codec = Codec("snappy")
+    rng = random.Random(17)
+    cases = [
+        b"", b"a", b"ab" * 400, b"x" * 1000,
+        b"The quick brown fox jumps over the lazy dog. " * 50,
+        bytes(range(256)) * 3,
+    ] + [
+        (rng.randbytes(max(1, n // 3)) * 3)[:n]
+        for n in (rng.randrange(0, 4000) for _ in range(60))
+    ]
+    for p in cases:
+        ours = RW.snappy_compress(p)
+        assert bytes(codec.decompress(ours, len(p))) == p  # ours → libsnappy
+        theirs = bytes(codec.compress(p))
+        assert RW.snappy_decompress(theirs) == p           # libsnappy → ours
