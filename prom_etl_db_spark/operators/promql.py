@@ -2837,3 +2837,86 @@ def time_component_columns(v_seconds: Column) -> dict[str, Column]:
         "hour": ((F.floor(v / 3600)) % 24).cast("int"),
         "minute": ((F.floor(v / 60)) % 60).cast("int"),
     }
+
+
+def native_hist_increase(hist: DataFrame) -> DataFrame:
+    """PromQL ``increase()`` over NATIVE-histogram series (r8): per
+    series, the bucket-wise count increase between the earliest and
+    latest sample — Prometheus's counter semantics lifted to whole
+    histograms (promql native-histogram rate/increase):
+
+    - bucket arrays are ALIGNED on absolute bucket indices first (a
+      growing histogram adds buckets on either side, shifting
+      pos_offset — absent buckets count 0);
+    - a COUNTER RESET (any aligned bucket, or the zero bucket,
+      decreasing) makes the increase the LAST sample's histogram
+      verbatim, Prometheus's reset rule;
+    - mixed schemas within one series refuse loudly via raise_error
+      (Prometheus downscales to the coarser schema; this engine
+      documents the boundary in DIVERGENCES.md rather than silently
+      merging buckets).
+
+    Input shape = the wire decoders' output: (labels map, ts timestamp,
+    schema int, zero_count long, pos_offset int, pos_counts
+    array<long>). Output: one row per series with the increase in the
+    same shape plus ``reset`` and ``dt_seconds``.
+
+    Plan: ONE hash aggregation keyed on the series (min_by/max_by keep
+    the endpoint structs — no sort, no window), then pure-Column array
+    algebra; a single shuffle regardless of samples per series.
+    """
+    keyed = _ensure_series(hist)
+    snap = F.struct("ts", "schema", "zero_count", "pos_offset", "pos_counts")
+    g = keyed.groupBy("__series").agg(
+        F.min_by(snap, F.col("ts")).alias("a"),
+        F.max_by(snap, F.col("ts")).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    g = g.withColumn(
+        "schema",
+        F.when(
+            a["schema"] != b["schema"],
+            F.raise_error(F.concat(
+                F.lit("native_hist_increase: schema changed within series "
+                      "(downscale-merge not implemented — DIVERGENCES.md): "),
+                a["schema"].cast("string"), F.lit(" -> "),
+                b["schema"].cast("string"))).cast("int"),
+        ).otherwise(b["schema"]),
+    )
+    lo = F.least(a["pos_offset"], b["pos_offset"])
+    hi = F.greatest(
+        a["pos_offset"] + F.size(a["pos_counts"]),
+        b["pos_offset"] + F.size(b["pos_counts"]),
+    )
+
+    def at(side, i):
+        idx = i - side["pos_offset"] + F.lit(1)
+        return F.when(
+            idx >= 1, F.coalesce(F.try_element_at(side["pos_counts"], idx),
+                                 F.lit(0))
+        ).otherwise(F.lit(0))
+
+    # empty-to-empty series: sequence(lo, hi-1) with lo > hi-1 is
+    # invalid — guard with an empty array
+    aligned_diff = F.when(
+        hi > lo,
+        F.transform(F.sequence(lo, hi - 1), lambda i: at(b, i) - at(a, i)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = g.withColumn("__diff", aligned_diff)
+    reset = F.exists(F.col("__diff"), lambda d: d < 0) | (
+        b["zero_count"] < a["zero_count"]
+    )
+    return g.select(
+        F.map_from_entries("__series").alias("labels"),
+        "schema",
+        reset.alias("reset"),
+        F.when(reset, b["zero_count"])
+        .otherwise(b["zero_count"] - a["zero_count"])
+        .alias("zero_count"),
+        F.when(reset, b["pos_offset"]).otherwise(lo).alias("pos_offset"),
+        F.when(reset, b["pos_counts"]).otherwise(F.col("__diff"))
+        .alias("pos_counts"),
+        (F.unix_timestamp(b["ts"]) - F.unix_timestamp(a["ts"]))
+        .cast("long")
+        .alias("dt_seconds"),
+    )

@@ -121,6 +121,11 @@ _GATE_PRIORITY = [
     # metadata (type enum + interned help/unit refs) resolved and
     # surfaced next to the samples.
     "remote_write_v2_metadata",
+    # native_hist_rate_quantile: NEW r8 — THE native-histogram PromQL
+    # idiom end-to-end: two wire pushes per series → native_hist_increase
+    # (offset-aligned, counter-reset-aware, one hash agg) →
+    # histogram_quantile.
+    "native_hist_rate_quantile",
     # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
     # encoder (predefined-FSE sequences + LZ greedy match search),
     # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).

@@ -1696,3 +1696,177 @@ def remote_write_v2_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "push_id", "metric_name", "metric_type", "help", "unit", "value"
     )
+
+
+@register(
+    "native_hist_rate_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS s,
+    CAST(user_id % 5 - 2 AS INT) AS o,
+    CASE WHEN user_id % 5 = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(user_id % 3 AS BIGINT) END AS zc,
+    CASE WHEN user_id % 5 = 0
+         THEN [CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT)]
+         ELSE [CAST(user_id % 2 AS BIGINT), CAST(user_id % 3 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(user_id % 4 AS BIGINT)] END AS c,
+    (user_id % 5 = 0) AS was_reset
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id, was_reset,
+    unnest([power(2.0, (o - 1) * power(2.0, -s)),
+            power(2.0, (o + 0) * power(2.0, -s)),
+            power(2.0, (o + 1) * power(2.0, -s)),
+            power(2.0, (o + 2) * power(2.0, -s)),
+            power(2.0, (o + 3) * power(2.0, -s)),
+            'inf'::DOUBLE]) AS le,
+    unnest([zc, zc + c[1], zc + c[1] + c[2], zc + c[1] + c[2] + c[3],
+            zc + c[1] + c[2] + c[3] + c[4],
+            zc + c[1] + c[2] + c[3] + c[4]]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.9 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name, was_reset,
+  CAST(60 AS BIGINT) AS dt_seconds,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90
+FROM crossing
+""",
+)
+def native_hist_rate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-extension FLAGSHIP composition (r8): THE native-histogram
+    PromQL idiom — ``histogram_quantile(0.9, increase(h[range]))`` —
+    end-to-end over the wire: each event's series pushes TWO native
+    histograms 60 s apart over remote-write 2.0 (monotone bucket growth
+    on the u%5!=0 slice; a COUNTER RESET on u%5==0 where bucket 0
+    drops to zero), the decode path densifies the spans, then
+    ``native_hist_increase`` (one hash agg per series: offset-aligned
+    bucket subtraction, reset-takes-last) feeds the existing
+    ``histogram_quantile`` via the (base^(i-1), base^i] le-mapping.
+    The oracle replays the closed-form increase (the delta arrays on
+    the growth slice, the last histogram verbatim on the reset slice)
+    plus the quantile algebra. Plan: encode + decode (mapInPandas,
+    zero shuffle) → ONE series hash-agg → pure-Column le/cum arrays →
+    the quantile's one window per histogram."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        t0 = 1706572800000
+        for e, n, u in zip(eid, name, user):
+            u = int(u)
+            c0 = [u % 3 + 1, u % 5, u % 7, u % 2]
+            z0 = u % 2
+            if u % 5 == 0:  # reset: bucket 0 drops below its prior value
+                c1, z1 = [0, 2, 1, 1], 0
+            else:
+                d = [u % 2, u % 3, 1, u % 4]
+                c1 = [a + b for a, b in zip(c0, d)]
+                z1 = z0 + u % 3
+            o = u % 5 - 2
+
+            def hist(counts, z, ts):
+                deltas = [counts[0]] + [
+                    counts[k] - counts[k - 1] for k in range(1, 4)]
+                return {"count": z + sum(counts), "schema": u % 4 - 1,
+                        "zero_count": z, "positive_spans": [(o, 4)],
+                        "positive_deltas": deltas, "timestamp": ts}
+
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(e), "user": str(u)},
+                  "samples": [],
+                  "histograms": [hist(c0, z0, t0),
+                                 hist(c1, z1, t0 + 60000)]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"),
+        "zero_count",
+        "pos_offset",
+        "pos_counts",
+    )
+    inc = promql.native_hist_increase(pts)
+    # native convention: zero bucket at base^(offset-1), bucket k's
+    # upper bound base^(offset+k); '+Inf' carries the total
+    inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    nb = F.size(F.col("pos_counts"))
+    les = F.concat(
+        F.transform(
+            F.sequence(F.lit(-1), nb - 1),
+            lambda i: F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double") + i.cast("double")) * inv,
+            ).cast("string"),
+        ),
+        F.array(F.lit("+Inf")),
+    )
+    total = F.col("zero_count") + F.aggregate(
+        F.col("pos_counts"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    cums = F.concat(
+        F.aggregate(
+            F.col("pos_counts"),
+            F.array(F.col("zero_count")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)
+            ),
+        ),
+        F.array(total),
+    )
+    buckets = inc.select(
+        F.col("labels")["__name__"].alias("metric_name"),
+        F.col("labels")["eid"].alias("eid"),
+        "reset",
+        "dt_seconds",
+        F.posexplode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("reset"),
+                    F.lit("dt"), F.lit("le")),
+            F.array(
+                F.col("metric_name"),
+                F.col("eid"),
+                F.col("reset").cast("string"),
+                F.col("dt_seconds").cast("string"),
+                F.col("z.le"),
+            ),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["__name__"].alias("metric_name"),
+        (F.col("labels")["reset"] == "true").alias("was_reset"),
+        F.col("labels")["dt"].cast("long").alias("dt_seconds"),
+        F.round("value", 6).alias("p90"),
+    )

@@ -1171,3 +1171,77 @@ def test_topk_over_time_tiebreak_is_label_value_order(spark):
         topk_over_time(stepped, 3).collect(), key=lambda r: r["rnk"]
     )
     assert [r["labels"]["k"] for r in out] == ["2", "1", "10"]
+
+
+def test_native_hist_increase_alignment_and_reset(spark):
+    """r8: increase() over native-histogram series — offset-aligned
+    bucket subtraction, Prometheus's reset-takes-last rule, and
+    dt_seconds from the endpoint timestamps."""
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        # series 'grow': offset shifts down 3->2 as a bucket appears
+        ({"__name__": "lat", "s": "grow"}, datetime(2024, 1, 1, 0, 0, 0),
+         1, 1, 3, [5, 7]),
+        ({"__name__": "lat", "s": "grow"}, datetime(2024, 1, 1, 0, 1, 0),
+         1, 2, 2, [4, 6, 9, 1]),   # indices 2..5 vs 3..4
+        # series 'reset': bucket 0 decreases -> increase = last verbatim
+        ({"__name__": "lat", "s": "reset"}, datetime(2024, 1, 1, 0, 0, 0),
+         0, 0, 0, [9, 9]),
+        ({"__name__": "lat", "s": "reset"}, datetime(2024, 1, 1, 0, 2, 0),
+         0, 0, 1, [3]),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts timestamp, schema int, "
+              "zero_count long, pos_offset int, pos_counts array<bigint>")
+    got = {r["labels"]["s"]: r for r in native_hist_increase(df).collect()}
+    gr = got["grow"]
+    # aligned over indices 2..5: last [4,6,9,1] minus first [0,5,7,0]
+    assert gr["pos_offset"] == 2 and gr["pos_counts"] == [4, 1, 2, 1]
+    assert gr["zero_count"] == 1 and gr["reset"] is False
+    assert gr["dt_seconds"] == 60
+    rs = got["reset"]
+    # index 0: 0(last,absent) - 9(first) < 0 -> reset -> last verbatim
+    assert rs["reset"] is True
+    assert rs["pos_offset"] == 1 and rs["pos_counts"] == [3]
+    assert rs["zero_count"] == 0 and rs["dt_seconds"] == 120
+
+
+def test_native_hist_increase_schema_change_refuses(spark):
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        ({"s": "x"}, datetime(2024, 1, 1), 1, 0, 0, [1]),
+        ({"s": "x"}, datetime(2024, 1, 2), 2, 0, 0, [2]),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts timestamp, schema int, "
+              "zero_count long, pos_offset int, pos_counts array<bigint>")
+    with pytest.raises(Exception, match="schema changed"):
+        native_hist_increase(df).collect()
+
+
+def test_native_hist_increase_zero_reset_and_single_sample(spark):
+    """zero_count decrease alone is a reset; a single-sample series
+    (first == last) yields a zero increase, not an error."""
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        ({"s": "z"}, datetime(2024, 1, 1, 0, 0), 0, 5, 0, [1]),
+        ({"s": "z"}, datetime(2024, 1, 1, 0, 5), 0, 2, 0, [4]),  # zero drops
+        ({"s": "one"}, datetime(2024, 1, 1), 0, 3, 1, [2, 2]),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts timestamp, schema int, "
+              "zero_count long, pos_offset int, pos_counts array<bigint>")
+    got = {r["labels"]["s"]: r for r in native_hist_increase(df).collect()}
+    assert got["z"]["reset"] is True and got["z"]["zero_count"] == 2
+    one = got["one"]
+    assert one["reset"] is False and one["dt_seconds"] == 0
+    assert one["pos_counts"] == [0, 0] and one["zero_count"] == 0

@@ -805,6 +805,43 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         F.col("z.cum").cast("double").alias("value"),
     )
     run("rw_native_hist_quantile", promql.histogram_quantile(_nh_z, 0.9))
+
+    # r8: the increase() path — two pushes per series, ONE hash agg
+    # (min_by/max_by endpoint structs) + array algebra + quantile.
+    def _build_nh2(name, user, eid):
+        import pandas as _pd
+        out = []
+        for n, u, e in zip(name, user, eid):
+            u = int(u)
+            c0 = [u % 3 + 1, u % 5, u % 7, u % 2]
+            c1 = [a + b for a, b in zip(c0, [u % 2, u % 3, 1, u % 4])]
+            hs = []
+            for counts, z, ts in ((c0, u % 2, 1706572800000),
+                                  (c1, u % 2 + u % 3, 1706572860000)):
+                deltas = [counts[0]] + [counts[k] - counts[k - 1]
+                                        for k in range(1, 4)]
+                hs.append({"count": z + sum(counts), "schema": u % 4 - 1,
+                           "zero_count": z,
+                           "positive_spans": [(u % 5 - 2, 4)],
+                           "positive_deltas": deltas, "timestamp": ts})
+            out.append(_rw2.snappy_compress(_rw2.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(e)},
+                  "samples": [], "histograms": hs}])))
+        return _pd.Series(out)
+
+    _nh2udf = F.pandas_udf(_build_nh2, returnType=_Bin())
+    _inc_pts = _rw2.remote_write_v2_native_histograms(
+        ev.select(F.col("event_id").alias("push_id"),
+                  _nh2udf("event_type", "user_id", "event_id").alias("body"))
+    ).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"), "zero_count", "pos_offset", "pos_counts",
+    )
+    run("native_hist_increase", promql.native_hist_increase(_inc_pts))
     wet_pages = docs.select(
         "doc_id",
         F.concat(F.lit("http://h/"), F.col("doc_id").cast("string")).alias("target_uri"),
