@@ -2839,6 +2839,46 @@ def time_component_columns(v_seconds: Column) -> dict[str, Column]:
     }
 
 
+def _nh_downscale(offset: Column, counts: Column, d: Column):
+    """Downscale dense native-histogram buckets by ``d`` scale steps
+    (Prometheus's merge before subtracting mismatched-schema samples):
+    fine bucket index i folds into coarse index ⌈i / 2^d⌉ — fine bucket
+    i covers (base^(i-1), base^i] and coarse j covers the union of fine
+    (2^d·(j-1), 2^d·j]. Pure Column; O(n_fine · n_coarse) elementwise,
+    bounded by the decoder's 4096-bucket guard. Returns (coarse_offset,
+    coarse_counts); d == 0 passes through."""
+    # F.shiftleft needs a literal shift; 2^d is exact in double for the
+    # schema range (d <= 12)
+    m = F.pow(F.lit(2.0), d.cast("double")).cast("bigint")
+
+    def ceil_div(a):  # floor-safe ceiling division for negative indices
+        am = a + m - F.lit(1)
+        r = ((am % m) + m) % m
+        return ((am - r) / m).cast("int")
+
+    n = F.size(counts)
+    j_lo = ceil_div(offset.cast("bigint"))
+    j_hi = ceil_div((offset + n - F.lit(1)).cast("bigint"))
+    coarse = F.transform(
+        F.sequence(j_lo, j_hi),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, k: acc
+            + F.when(
+                ceil_div((offset + k).cast("bigint")) == j,
+                F.coalesce(F.try_element_at(counts, k + F.lit(1)), F.lit(0)),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    out_off = F.when(n > 0, j_lo).otherwise(offset)
+    out_counts = F.when(n > 0, coarse).otherwise(counts)
+    return (
+        F.when(d > 0, out_off).otherwise(offset),
+        F.when(d > 0, out_counts).otherwise(counts),
+    )
+
+
 def native_hist_increase(hist: DataFrame) -> DataFrame:
     """PromQL ``increase()`` over NATIVE-histogram series (r8): per
     series, the bucket-wise count increase between the earliest and
@@ -2851,10 +2891,11 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     - a COUNTER RESET (any aligned bucket, or the zero bucket,
       decreasing) makes the increase the LAST sample's histogram
       verbatim, Prometheus's reset rule;
-    - mixed schemas within one series refuse loudly via raise_error
-      (Prometheus downscales to the coarser schema; this engine
-      documents the boundary in DIVERGENCES.md rather than silently
-      merging buckets).
+    - mixed schemas within one series DOWNSCALE the finer sample to
+      the coarser schema before subtracting — Prometheus's own rule
+      (fine bucket i folds into coarse ⌈i/2^d⌉; `_nh_downscale`), so a
+      mid-series scrape-config change degrades resolution instead of
+      erroring or silently mis-pairing buckets.
 
     Input shape = the wire decoders' output: (labels map, ts timestamp,
     schema int, zero_count long, pos_offset int, pos_counts
@@ -2872,35 +2913,41 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
         F.max_by(snap, F.col("ts")).alias("b"),
     )
     a, b = F.col("a"), F.col("b")
-    g = g.withColumn(
-        "schema",
-        F.when(
-            a["schema"] != b["schema"],
-            F.raise_error(F.concat(
-                F.lit("native_hist_increase: schema changed within series "
-                      "(downscale-merge not implemented — DIVERGENCES.md): "),
-                a["schema"].cast("string"), F.lit(" -> "),
-                b["schema"].cast("string"))).cast("int"),
-        ).otherwise(b["schema"]),
+    # schema mismatch: downscale the FINER endpoint to the coarser
+    # schema (d scale steps), then subtract as usual
+    target = F.least(a["schema"], b["schema"])
+    ao, ac = _nh_downscale(
+        a["pos_offset"], a["pos_counts"],
+        (a["schema"] - target).cast("int"))
+    bo, bc = _nh_downscale(
+        b["pos_offset"], b["pos_counts"],
+        (b["schema"] - target).cast("int"))
+    g = (
+        g.withColumn("schema", target.cast("int"))
+        .withColumn("__ao", ao).withColumn("__ac", ac)
+        .withColumn("__bo", bo).withColumn("__bc", bc)
     )
-    lo = F.least(a["pos_offset"], b["pos_offset"])
+    lo = F.least(F.col("__ao"), F.col("__bo"))
     hi = F.greatest(
-        a["pos_offset"] + F.size(a["pos_counts"]),
-        b["pos_offset"] + F.size(b["pos_counts"]),
+        F.col("__ao") + F.size(F.col("__ac")),
+        F.col("__bo") + F.size(F.col("__bc")),
     )
 
-    def at(side, i):
-        idx = i - side["pos_offset"] + F.lit(1)
+    def at(off, arr, i):
+        idx = i - off + F.lit(1)
         return F.when(
-            idx >= 1, F.coalesce(F.try_element_at(side["pos_counts"], idx),
-                                 F.lit(0))
+            idx >= 1, F.coalesce(F.try_element_at(arr, idx), F.lit(0))
         ).otherwise(F.lit(0))
 
     # empty-to-empty series: sequence(lo, hi-1) with lo > hi-1 is
     # invalid — guard with an empty array
     aligned_diff = F.when(
         hi > lo,
-        F.transform(F.sequence(lo, hi - 1), lambda i: at(b, i) - at(a, i)),
+        F.transform(
+            F.sequence(lo, hi - 1),
+            lambda i: at(F.col("__bo"), F.col("__bc"), i)
+            - at(F.col("__ao"), F.col("__ac"), i),
+        ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = g.withColumn("__diff", aligned_diff)
     reset = F.exists(F.col("__diff"), lambda d: d < 0) | (
@@ -2913,8 +2960,10 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
         F.when(reset, b["zero_count"])
         .otherwise(b["zero_count"] - a["zero_count"])
         .alias("zero_count"),
-        F.when(reset, b["pos_offset"]).otherwise(lo).alias("pos_offset"),
-        F.when(reset, b["pos_counts"]).otherwise(F.col("__diff"))
+        # on reset the increase is the LAST sample verbatim — at the
+        # TARGET schema (its own downscaled form)
+        F.when(reset, F.col("__bo")).otherwise(lo).alias("pos_offset"),
+        F.when(reset, F.col("__bc")).otherwise(F.col("__diff"))
         .alias("pos_counts"),
         (F.unix_timestamp(b["ts"]) - F.unix_timestamp(a["ts"]))
         .cast("long")

@@ -126,6 +126,10 @@ _GATE_PRIORITY = [
     # (offset-aligned, counter-reset-aware, one hash agg) →
     # histogram_quantile.
     "native_hist_rate_quantile",
+    # native_hist_downscale_increase: NEW r8 — mid-series schema drop;
+    # increase() downscales the finer endpoint (⌈i/2^d⌉ merge) before
+    # subtracting, Prometheus's rule.
+    "native_hist_downscale_increase",
     # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
     # encoder (predefined-FSE sequences + LZ greedy match search),
     # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).

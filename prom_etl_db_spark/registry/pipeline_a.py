@@ -1870,3 +1870,160 @@ def native_hist_rate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels")["dt"].cast("long").alias("dt_seconds"),
         F.round("value", 6).alias("p90"),
     )
+
+
+@register(
+    "native_hist_downscale_increase",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 - 1 AS INT) AS sc,
+    CAST(user_id % 5 - 2 AS INT) AS oc,
+    [CAST(user_id % 2 AS BIGINT), CAST(user_id % 3 + 1 AS BIGINT),
+     CAST(user_id % 4 AS BIGINT)] AS d
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id,
+    unnest([power(2.0, (oc - 1) * power(2.0, -sc)),
+            power(2.0, (oc + 0) * power(2.0, -sc)),
+            power(2.0, (oc + 1) * power(2.0, -sc)),
+            power(2.0, (oc + 2) * power(2.0, -sc)),
+            'inf'::DOUBLE]) AS le,
+    unnest([CAST(1 AS BIGINT), 1 + d[1], 1 + d[1] + d[2],
+            1 + d[1] + d[2] + d[3], 1 + d[1] + d[2] + d[3]]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.9 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  CAST(user_id % 3 - 1 AS INT) AS schema,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p90
+FROM crossing
+""",
+)
+def native_hist_downscale_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-extension (r8): MID-SERIES SCHEMA CHANGE — a scrape config
+    drops native-histogram resolution one scale step between two
+    pushes (fine schema u%3 at even offset 2·(u%5−2), then coarse
+    schema u%3−1 whose buckets are the fine pairs merged by
+    ⌈i/2⌉ plus a closed-form delta). ``native_hist_increase``
+    downscales the finer endpoint before subtracting (Prometheus's
+    rule), so the increase is EXACTLY the delta at the coarse schema —
+    which the oracle replays with the coarse power algebra. The fine
+    sample's merge [c0, c1+c2, c3] (even offset: lone even bucket,
+    then odd/even pairs) is computed inside the operator, not the
+    fixture, so a merge bug breaks the hash. Plan: same as
+    native_hist_rate_quantile — decode, one series hash-agg, quantile."""
+    from pyspark.sql.types import BinaryType
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        t0 = 1706572800000
+        for e, n, u in zip(eid, name, user):
+            u = int(u)
+            o = 2 * (u % 5 - 2)
+            c0 = [u % 3 + 1, u % 5, u % 7, u % 2]
+            z0 = u % 2
+            merged = [c0[0], c0[1] + c0[2], c0[3]]
+            d = [u % 2, u % 3 + 1, u % 4]
+            c1 = [a + b for a, b in zip(merged, d)]
+            z1 = z0 + 1
+
+            def hist(schema, off, counts, z, ts):
+                deltas = [counts[0]] + [
+                    counts[k] - counts[k - 1] for k in range(1, len(counts))]
+                return {"count": z + sum(counts), "schema": schema,
+                        "zero_count": z, "positive_spans": [(off, len(counts))],
+                        "positive_deltas": deltas, "timestamp": ts}
+
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(e)},
+                  "samples": [],
+                  "histograms": [hist(u % 3, o, c0, z0, t0),
+                                 hist(u % 3 - 1, o // 2, c1, z1,
+                                      t0 + 60000)]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_id", "event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"),
+        "zero_count",
+        "pos_offset",
+        "pos_counts",
+    )
+    inc = promql.native_hist_increase(pts)
+    inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    nb = F.size(F.col("pos_counts"))
+    les = F.concat(
+        F.transform(
+            F.sequence(F.lit(-1), nb - 1),
+            lambda i: F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double") + i.cast("double")) * inv,
+            ).cast("string"),
+        ),
+        F.array(F.lit("+Inf")),
+    )
+    total = F.col("zero_count") + F.aggregate(
+        F.col("pos_counts"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    cums = F.concat(
+        F.aggregate(
+            F.col("pos_counts"),
+            F.array(F.col("zero_count")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)
+            ),
+        ),
+        F.array(total),
+    )
+    buckets = inc.select(
+        F.col("labels")["__name__"].alias("metric_name"),
+        F.col("labels")["eid"].alias("eid"),
+        F.col("schema").alias("out_schema"),
+        F.posexplode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("sch"), F.lit("le")),
+            F.array(
+                F.col("metric_name"),
+                F.col("eid"),
+                F.col("out_schema").cast("string"),
+                F.col("z.le"),
+            ),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.9)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["__name__"].alias("metric_name"),
+        F.col("labels")["sch"].cast("int").alias("schema"),
+        F.round("value", 6).alias("p90"),
+    )

@@ -1209,20 +1209,37 @@ def test_native_hist_increase_alignment_and_reset(spark):
     assert rs["zero_count"] == 0 and rs["dt_seconds"] == 120
 
 
-def test_native_hist_increase_schema_change_refuses(spark):
+def test_native_hist_increase_downscales_mixed_schemas(spark):
+    """r8: a mid-series schema change downscales the FINER endpoint to
+    the coarser schema before subtracting (Prometheus's merge rule:
+    fine bucket i folds into coarse ceil(i/2^d)) — both directions."""
     from datetime import datetime
 
     from prom_etl_db_spark.operators.promql import native_hist_increase
 
     rows = [
-        ({"s": "x"}, datetime(2024, 1, 1), 1, 0, 0, [1]),
-        ({"s": "x"}, datetime(2024, 1, 2), 2, 0, 0, [2]),
+        # fine (schema 2) first, coarse (schema 1) second:
+        # fine idx 4..7 counts [5,7,2,6] -> coarse idx 2..4 [5, 9, 6]
+        ({"s": "f2c"}, datetime(2024, 1, 1, 0, 0), 2, 1, 4, [5, 7, 2, 6]),
+        ({"s": "f2c"}, datetime(2024, 1, 1, 0, 1), 1, 3, 2, [14, 10, 9]),
+        # coarse first, fine second (scrape moved to finer buckets):
+        # second downsizes: fine idx -3..0 [1,2,3,4] at schema 0 ->
+        # coarse schema -1: j = ceil(i/2): -3->-1, -2->-1, -1->0, 0->0
+        # => idx -1..0 counts [3, 7]; first coarse idx -1..0 [1, 2]
+        ({"s": "c2f"}, datetime(2024, 1, 1, 0, 0), -1, 0, -1, [1, 2]),
+        ({"s": "c2f"}, datetime(2024, 1, 1, 0, 1), 0, 0, -3, [1, 2, 3, 4]),
     ]
     df = spark.createDataFrame(
         rows, "labels map<string,string>, ts timestamp, schema int, "
               "zero_count long, pos_offset int, pos_counts array<bigint>")
-    with pytest.raises(Exception, match="schema changed"):
-        native_hist_increase(df).collect()
+    got = {r["labels"]["s"]: r for r in native_hist_increase(df).collect()}
+    f2c = got["f2c"]
+    assert f2c["schema"] == 1 and f2c["pos_offset"] == 2
+    assert f2c["pos_counts"] == [9, 1, 3] and f2c["zero_count"] == 2
+    assert f2c["reset"] is False
+    c2f = got["c2f"]
+    assert c2f["schema"] == -1 and c2f["pos_offset"] == -1
+    assert c2f["pos_counts"] == [2, 5] and c2f["reset"] is False
 
 
 def test_native_hist_increase_zero_reset_and_single_sample(spark):
