@@ -111,6 +111,25 @@ def _enc_attrs(attrs: dict, field_num: int) -> bytes:
     return bytes(out)
 
 
+def _enc_exemplar(ex: dict) -> bytes:
+    """Exemplar (metrics.proto): time_unix_nano=2 fixed64, as_double=3
+    fixed64 double / as_int=6 sfixed64, span_id=4 (8 bytes),
+    trace_id=5 (16 bytes), filtered_attributes=7 (repeated KeyValue)."""
+    out = bytearray()
+    out += _enc_field(2, 1) + struct.pack("<Q", int(ex.get("time_unix_nano", 0)))
+    v = ex["value"]
+    if isinstance(v, float):
+        out += _enc_field(3, 1) + struct.pack("<d", v)
+    else:
+        out += _enc_field(6, 1) + struct.pack("<q", v)
+    if ex.get("span_id") is not None:
+        out += _enc_len(4, bytes.fromhex(ex["span_id"]))
+    if ex.get("trace_id") is not None:
+        out += _enc_len(5, bytes.fromhex(ex["trace_id"]))
+    out += _enc_attrs(ex.get("attrs", {}), 7)
+    return bytes(out)
+
+
 def _enc_point(p: dict) -> bytes:
     out = bytearray()
     if p.get("start_time_unix_nano"):
@@ -121,6 +140,8 @@ def _enc_point(p: dict) -> bytes:
         out += _enc_field(4, 1) + struct.pack("<d", v)
     else:
         out += _enc_field(6, 1) + struct.pack("<q", v)
+    for ex in p.get("exemplars", []):
+        out += _enc_len(5, _enc_exemplar(ex))
     out += _enc_attrs(p.get("attrs", {}), 7)
     return bytes(out)
 
@@ -140,6 +161,8 @@ def _enc_hist_point(p: dict) -> bytes:
     out += _enc_len(6, b"".join(struct.pack("<Q", c) for c in bc))
     eb = p.get("explicit_bounds", [])
     out += _enc_len(7, b"".join(struct.pack("<d", b) for b in eb))
+    for ex in p.get("exemplars", []):
+        out += _enc_len(8, _enc_exemplar(ex))
     out += _enc_attrs(p.get("attrs", {}), 9)
     if p.get("min") is not None:
         out += _enc_field(11, 1) + struct.pack("<d", float(p["min"]))
@@ -178,6 +201,8 @@ def _enc_exp_hist_point(p: dict) -> bytes:
     if p.get("neg_counts"):
         out += _enc_len(9, _enc_exp_buckets(
             int(p.get("neg_offset", 0)), p["neg_counts"]))
+    for ex in p.get("exemplars", []):
+        out += _enc_len(11, _enc_exemplar(ex))
     if p.get("min") is not None:
         out += _enc_field(12, 1) + struct.pack("<d", float(p["min"]))
     if p.get("max") is not None:
@@ -308,10 +333,55 @@ def _parse_attrs(data: bytes) -> tuple[str, object]:
     return key, val
 
 
+def _parse_exemplar(data: bytes) -> dict:
+    """Exemplar → dict. trace_id/span_id surface as lowercase hex
+    (their wire form is raw bytes, 16/8); a wrong-length id refuses —
+    a truncated trace id joins against NOTHING in a trace store, the
+    silent-wrongness failure class."""
+    pos, n = 0, len(data)
+    ex: dict = {"attrs": {}, "time_unix_nano": 0, "value_double": None,
+                "value_int": None, "span_id": None, "trace_id": None}
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 2 and wire == 1:
+            _check(pos, 8, n, "exemplar time")
+            ex["time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 3 and wire == 1:
+            _check(pos, 8, n, "exemplar as_double")
+            ex["value_double"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 6 and wire == 1:
+            _check(pos, 8, n, "exemplar as_int")
+            ex["value_int"] = struct.unpack("<q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num in (4, 5) and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exemplar id")
+            want = 8 if num == 4 else 16
+            if ln != want:
+                raise ValueError(
+                    f"otlp: exemplar {'span' if num == 4 else 'trace'}_id "
+                    f"is {ln} bytes, expected {want}")
+            key = "span_id" if num == 4 else "trace_id"
+            ex[key] = data[pos : pos + ln].hex()
+            pos += ln
+        elif num == 7 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exemplar attribute")
+            k, v = _parse_attrs(data[pos : pos + ln])
+            ex["attrs"][k] = v
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    return ex
+
+
 def _parse_point(data: bytes) -> dict:
     pos, n = 0, len(data)
     p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
-               "value_double": None, "value_int": None}
+               "value_double": None, "value_int": None, "exemplars": []}
     while pos < n:
         hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
@@ -327,6 +397,11 @@ def _parse_point(data: bytes) -> dict:
             _check(pos, 8, n, "as_double")
             p["value_double"] = struct.unpack("<d", data[pos : pos + 8])[0]
             pos += 8
+        elif num == 5 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exemplar")
+            p["exemplars"].append(_parse_exemplar(data[pos : pos + ln]))
+            pos += ln
         elif num == 6 and wire == 1:
             _check(pos, 8, n, "as_int")
             p["value_int"] = struct.unpack("<q", data[pos : pos + 8])[0]
@@ -346,7 +421,8 @@ def _parse_hist_point(data: bytes) -> dict:
     pos, n = 0, len(data)
     p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
                "count": 0, "sum": None, "bucket_counts": [],
-               "explicit_bounds": [], "min": None, "max": None}
+               "explicit_bounds": [], "min": None, "max": None,
+               "exemplars": []}
     while pos < n:
         hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
@@ -395,6 +471,11 @@ def _parse_hist_point(data: bytes) -> dict:
             _check(pos, 8, n, "explicit_bounds entry")
             p["explicit_bounds"].append(struct.unpack_from("<d", data, pos)[0])
             pos += 8
+        elif num == 8 and wire == 2:  # exemplars (later r8)
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "hist exemplar")
+            p["exemplars"].append(_parse_exemplar(data[pos : pos + ln]))
+            pos += ln
         elif num == 9 and wire == 2:
             ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "hist attribute")
@@ -462,7 +543,8 @@ def _parse_exp_hist_point(data: bytes) -> dict:
     p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
                "count": 0, "sum": None, "scale": 0, "zero_count": 0,
                "zero_threshold": 0.0, "pos_offset": 0, "pos_counts": [],
-               "neg_offset": 0, "neg_counts": [], "min": None, "max": None}
+               "neg_offset": 0, "neg_counts": [], "min": None, "max": None,
+               "exemplars": []}
     while pos < n:
         hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
@@ -506,6 +588,11 @@ def _parse_exp_hist_point(data: bytes) -> dict:
             _check(pos, ln, n, "exp hist negative buckets")
             p["neg_offset"], p["neg_counts"] = _parse_exp_buckets(
                 data[pos : pos + ln])
+            pos += ln
+        elif num == 11 and wire == 2:  # exemplars (later r8)
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "exp hist exemplar")
+            p["exemplars"].append(_parse_exemplar(data[pos : pos + ln]))
             pos += ln
         elif num == 12 and wire == 1:
             _check(pos, 8, n, "exp hist min")
@@ -700,6 +787,7 @@ def decode_export_metrics(data: bytes) -> list[dict]:
                             "pos_counts": p.get("pos_counts"),
                             "neg_offset": p.get("neg_offset"),
                             "neg_counts": p.get("neg_counts"),
+                            "exemplars": p.get("exemplars") or [],
                         }
                     )
     return out
@@ -816,6 +904,70 @@ def otlp_samples(
                             "neg_counts": r["neg_counts"],
                         }
                     )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
+
+
+OTLP_EXEMPLAR_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("exemplar_attrs",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+        T.StructField("value_double", T.DoubleType()),
+        T.StructField("value_int", T.LongType()),
+        T.StructField("time_unix_nano", T.LongType()),
+    ]
+)
+
+
+def otlp_exemplars(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, ExportMetricsServiceRequest bytes — plain or gzip) → one
+    row per EXEMPLAR across all three point shapes (number, classic
+    histogram, exponential histogram): the point's identity (metric
+    name + attrs) next to the exemplar's trace_id/span_id (lowercase
+    hex of the 16/8 raw wire bytes — wrong lengths refuse at parse),
+    filtered attributes, typed value, and timestamp. This is the SAME
+    metric→trace link table `remote_write_v2_exemplars` produces from
+    the prompb wire, so one downstream trace-join serves both push
+    protocols. mapInPandas, zero shuffle."""
+    schema = T.StructType(
+        [payloads.schema[id_col]] + list(OTLP_EXEMPLAR_SCHEMA.fields))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gunzip_bounded(raw)
+                for r in decode_export_metrics(raw):
+                    for ex in r["exemplars"]:
+                        rows.append(
+                            {
+                                id_col: pid,
+                                "metric_name": r["metric_name"],
+                                "attrs": {k: str(v)
+                                          for k, v in r["attrs"].items()},
+                                "exemplar_attrs": {
+                                    k: str(v)
+                                    for k, v in ex["attrs"].items()},
+                                "trace_id": ex["trace_id"],
+                                "span_id": ex["span_id"],
+                                "value_double": ex["value_double"],
+                                "value_int": ex["value_int"],
+                                "time_unix_nano": ex["time_unix_nano"],
+                            }
+                        )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
             ) if rows else pd.DataFrame(

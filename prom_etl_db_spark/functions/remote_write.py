@@ -39,6 +39,7 @@ how remote-write shards naturally (one blob per agent push).
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterator
 
@@ -319,12 +320,16 @@ def decode_write_request(data: bytes) -> list[dict]:
 # TimeSeries.labels_refs = 1 (repeated uint32, packed varints, even
 # count: (name_ref, value_ref) pairs), .samples = 2 (the SAME Sample
 # message as v1: value = 1 fixed64 double, timestamp = 2 varint int64
-# ms), .histograms = 3 (prompb.Histogram NATIVE histograms — r8:
-# INTEGER flavor decoded in full, sparse spans/zigzag deltas expanded
-# to the dense shape the OTLP exponential path uses; FLOAT flavor and
-# custom-bucket schema 127 refuse loudly, DIVERGENCES.md),
-# .exemplars = 4 / .metadata = 5 / .created_timestamp = 6 (auxiliary —
-# skipped per proto3). Out-of-range symbol refs and odd labels_refs
+# ms), .histograms = 3 (prompb.Histogram NATIVE histograms — r8: BOTH
+# flavors decoded in full — INTEGER (sparse spans/zigzag deltas) and
+# FLOAT (absolute double counts), expanded to the dense shape the OTLP
+# exponential path uses; custom-bucket schema −53 (NHCB) decodes via
+# custom_values = 16),
+# .exemplars = 4 (later r8: Exemplar{labels_refs=1, value=2 fixed64,
+# timestamp=3} — the metric→trace links, resolved against the same
+# symbols table), .metadata = 5 (typed refs), .created_timestamp = 6
+# (later r8: series birth time in ms — the input to CT-aware
+# increase()). Out-of-range symbol refs and odd labels_refs
 # counts refuse loudly: a wrong ref silently binds a sample to the
 # wrong series, the worst failure class for a metrics store.
 
@@ -362,6 +367,20 @@ def encode_write_request_v2(series: list[dict]) -> bytes:
             ts_msg += _enc_len(2, sm)
         for h in s.get("histograms", []):
             ts_msg += _enc_len(3, _enc_native_histogram(h))
+        for ex in s.get("exemplars", []):
+            e_refs: list[int] = []
+            for name, value in ex.get("labels", {}).items():
+                e_refs.append(ref(name))
+                e_refs.append(ref(value))
+            em = bytearray()
+            if e_refs:
+                em += _enc_len(1, b"".join(_enc_uvarint(r) for r in e_refs))
+            em += _enc_field(2, 1) + struct.pack("<d", float(ex["value"]))
+            em += _enc_field(3, 0) + _enc_uvarint(int(ex["timestamp"]))
+            ts_msg += _enc_len(4, bytes(em))
+        if s.get("created_timestamp") is not None:
+            ts_msg += _enc_field(6, 0) + _enc_uvarint(
+                int(s["created_timestamp"]))
         md = s.get("metadata")
         if md:
             m = _enc_field(1, 0) + _enc_uvarint(int(md.get("type", 0)))
@@ -395,21 +414,32 @@ _MAX_DENSE_BUCKETS = 4096
 
 
 def _enc_native_histogram(h: dict) -> bytes:
-    """prompb.Histogram (INTEGER flavor) fixture encoder: count_int=1,
-    sum=3, schema=4 (sint32 zigzag), zero_threshold=5,
-    zero_count_int=6, negative_spans=8 / positive_spans=11 (BucketSpan:
-    offset=1 sint32 zigzag, length=2 uint32), negative_deltas=9 /
+    """prompb.Histogram fixture encoder, both flavors. INTEGER (the
+    default): count_int=1, zero_count_int=6, negative_deltas=9 /
     positive_deltas=12 (packed sint64 zigzag, DELTA-encoded bucket
-    counts), timestamp=15 (varint ms). Spans/deltas express SPARSE
-    buckets; this encoder takes them verbatim."""
+    counts). FLOAT (``h["flavor"] == "float"``): count_float=2,
+    zero_count_float=7, negative_counts=10 / positive_counts=13
+    (packed doubles, ABSOLUTE counts). Shared: sum=3, schema=4 (sint32
+    zigzag), zero_threshold=5, spans 8/11 (BucketSpan: offset=1 sint32
+    zigzag, length=2 uint32), timestamp=15 (varint ms),
+    custom_values=16 (packed doubles — schema −53 NHCB boundaries).
+    Spans express SPARSE buckets; this encoder takes them verbatim."""
+    flavor = h.get("flavor", "int")
     out = bytearray()
-    out += _enc_field(1, 0) + _enc_uvarint(int(h["count"]))
+    if flavor == "float":
+        out += _enc_field(2, 1) + struct.pack("<d", float(h["count"]))
+    else:
+        out += _enc_field(1, 0) + _enc_uvarint(int(h["count"]))
     if h.get("sum") is not None:
         out += _enc_field(3, 1) + struct.pack("<d", float(h["sum"]))
     out += _enc_field(4, 0) + _enc_uvarint(_zigzag_enc(int(h.get("schema", 0))))
     if h.get("zero_threshold") is not None:
         out += _enc_field(5, 1) + struct.pack("<d", float(h["zero_threshold"]))
-    out += _enc_field(6, 0) + _enc_uvarint(int(h.get("zero_count", 0)))
+    if flavor == "float":
+        out += _enc_field(7, 1) + struct.pack(
+            "<d", float(h.get("zero_count", 0.0)))
+    else:
+        out += _enc_field(6, 0) + _enc_uvarint(int(h.get("zero_count", 0)))
 
     def spans(field: int, sp: list[tuple[int, int]]) -> bytes:
         b = bytearray()
@@ -426,10 +456,20 @@ def _enc_native_histogram(h: dict) -> bytes:
             field, b"".join(_enc_uvarint(_zigzag_enc(d)) for d in ds)
         )
 
+    def doubles(field: int, vs: list[float]) -> bytes:
+        if not vs:
+            return b""
+        return _enc_len(field, b"".join(struct.pack("<d", v) for v in vs))
+
     out += spans(8, h.get("negative_spans", []))
-    out += deltas(9, h.get("negative_deltas", []))
     out += spans(11, h.get("positive_spans", []))
-    out += deltas(12, h.get("positive_deltas", []))
+    if flavor == "float":
+        out += doubles(10, h.get("negative_counts", []))
+        out += doubles(13, h.get("positive_counts", []))
+    else:
+        out += deltas(9, h.get("negative_deltas", []))
+        out += deltas(12, h.get("positive_deltas", []))
+    out += doubles(16, h.get("custom_values", []))
     if h.get("timestamp") is not None:
         out += _enc_field(15, 0) + _enc_uvarint(int(h["timestamp"]))
     return bytes(out)
@@ -450,22 +490,26 @@ def _parse_bucket_span(data: bytes) -> tuple[int, int]:
     return off, ln
 
 
-def _dense_buckets(spans: list[tuple[int, int]], deltas: list[int],
-                   side: str) -> tuple[int, list[int]]:
-    """(spans, delta-encoded counts) → (first index, DENSE count array)
+def _dense_buckets(spans: list[tuple[int, int]], deltas: list,
+                   side: str, *, absolute: bool = False) -> tuple[int, list]:
+    """(spans, bucket counts) → (first index, DENSE count array)
     — absent buckets filled with 0, so downstream le-mapping is the
     same contiguous shape the OTLP exponential path uses. First span's
     offset is absolute; later offsets are gaps after the previous span
-    (negative gaps would overlap — refused)."""
+    (negative gaps would overlap — refused). ``absolute=False`` is the
+    INTEGER flavor (counts are zigzag DELTAS, cumulated here);
+    ``absolute=True`` is the FLOAT flavor (counts are absolute doubles
+    — prompb stores them un-delta'd because float deltas would
+    accumulate rounding error)."""
     if not spans:
         if deltas:
             raise ValueError(
-                f"remote-write: {side} deltas without spans")
+                f"remote-write: {side} counts without spans")
         return 0, []
     if sum(ln for _, ln in spans) != len(deltas):
         raise ValueError(
             f"remote-write: {side} span lengths sum to "
-            f"{sum(ln for _, ln in spans)} but {len(deltas)} deltas given")
+            f"{sum(ln for _, ln in spans)} but {len(deltas)} counts given")
     indices: list[int] = []
     idx = 0
     for si, (off, ln) in enumerate(spans):
@@ -475,67 +519,99 @@ def _dense_buckets(spans: list[tuple[int, int]], deltas: list[int],
         idx = off if si == 0 else idx + off
         indices.extend(range(idx, idx + ln))
         idx += ln
-    counts: list[int] = []
-    running = 0
-    for d in deltas:
-        running += d
-        if running < 0:
-            raise ValueError(
-                f"remote-write: {side} bucket count went negative")
-        counts.append(running)
+    counts: list = []
+    if absolute:
+        for c in deltas:
+            if not math.isfinite(c) or c < 0:
+                raise ValueError(
+                    f"remote-write: {side} float bucket count {c!r} is "
+                    "negative or non-finite")
+            counts.append(float(c))
+    else:
+        running = 0
+        for d in deltas:
+            running += d
+            if running < 0:
+                raise ValueError(
+                    f"remote-write: {side} bucket count went negative")
+            counts.append(running)
     lo, hi = indices[0], indices[-1]
     if hi - lo + 1 > _MAX_DENSE_BUCKETS:
         raise ValueError(
             f"remote-write: {side} span range {hi - lo + 1} exceeds "
             f"{_MAX_DENSE_BUCKETS} buckets")
-    dense = [0] * (hi - lo + 1)
+    zero = 0.0 if absolute else 0
+    dense = [zero] * (hi - lo + 1)
     for i, c in zip(indices, counts):
         dense[i - lo] = c
     return lo, dense
 
 
+#: prompb custom-bucket marker (prometheus/model/histogram/generic.go
+#: CustomBucketsSchema) — the schema value that says "bucket boundaries
+#: are DATA, read them from custom_values" (a classic le-histogram
+#: carried over the native wire, Prometheus's NHCB).
+CUSTOM_BUCKETS_SCHEMA = -53
+
+
 def _parse_native_histogram(data: bytes) -> dict:
-    """prompb.Histogram → dict. INTEGER histograms decode; FLOAT
-    histograms (count_float / zero_count_float / *_counts) and the
-    custom-bucket schema 127 refuse loudly (DIVERGENCES.md). Bucket
-    algebra: base = 2^(2^-schema), Prometheus bucket index i covers
+    """prompb.Histogram → dict — BOTH flavors (r8 extension):
+
+    - INTEGER (count_int=1, zero_count_int=6, *_deltas=9/12 packed
+      zigzag sint64, DELTA-encoded);
+    - FLOAT (count_float=2, zero_count_float=7, *_counts=10/13 packed
+      doubles, ABSOLUTE — the flavor remote-write carries for
+      recording-rule / federation output where counts are fractional).
+
+    A histogram mixing the two flavors refuses (the proto's oneof +
+    deltas-vs-counts split makes a mix a sender bug that would silently
+    double-count). Custom-bucket histograms (schema −53, NHCB) decode:
+    custom_values=16 carries the classic le upper bounds as data and
+    bucket index i maps to le = custom_values[i] (index
+    len(custom_values) = +Inf). Exponential bucket algebra:
+    base = 2^(2^-schema), Prometheus bucket index i covers
     (base^(i-1), base^i] — the OTLP exponential convention shifted by
-    one."""
+    one. NaN counts (TSDB stale markers, not legal push payloads)
+    refuse."""
     pos, n = 0, len(data)
-    h: dict = {"count": 0, "sum": None, "schema": 0, "zero_threshold": 0.0,
-               "zero_count": 0, "timestamp": 0}
+    h: dict = {"count": None, "sum": None, "schema": 0,
+               "zero_threshold": 0.0, "zero_count": None, "timestamp": 0,
+               "custom_values": []}
+    seen_int = seen_float = False
     pos_spans: list[tuple[int, int]] = []
     neg_spans: list[tuple[int, int]] = []
     pos_deltas: list[int] = []
     neg_deltas: list[int] = []
+    pos_fcounts: list[float] = []
+    neg_fcounts: list[float] = []
+
+    def _f64(at: int, what: str) -> tuple[float, int]:
+        if at + 8 > n:
+            raise ValueError(f"remote-write: histogram {what} truncated")
+        return struct.unpack("<d", data[at : at + 8])[0], at + 8
+
     while pos < n:
         hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 0:
             h["count"], pos = _uvarint(data, pos)
+            seen_int = True
+        elif num == 2 and wire == 1:
+            h["count"], pos = _f64(pos, "count_float")
+            seen_float = True
         elif num == 3 and wire == 1:
-            if pos + 8 > n:
-                raise ValueError("remote-write: histogram sum truncated")
-            h["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
-            pos += 8
+            h["sum"], pos = _f64(pos, "sum")
         elif num == 4 and wire == 0:
             raw, pos = _uvarint(data, pos)
             h["schema"] = _zigzag_dec(raw)
         elif num == 5 and wire == 1:
-            if pos + 8 > n:
-                raise ValueError("remote-write: zero_threshold truncated")
-            h["zero_threshold"] = struct.unpack("<d", data[pos : pos + 8])[0]
-            pos += 8
+            h["zero_threshold"], pos = _f64(pos, "zero_threshold")
         elif num == 6 and wire == 0:
             h["zero_count"], pos = _uvarint(data, pos)
-        elif num in (2, 7) and wire == 1:
-            raise ValueError(
-                "remote-write: FLOAT native histograms not implemented "
-                "(count_float/zero_count_float) — DIVERGENCES.md")
-        elif num in (10, 13) and wire in (1, 2):
-            raise ValueError(
-                "remote-write: FLOAT native histograms not implemented "
-                "(negative_counts/positive_counts) — DIVERGENCES.md")
+            seen_int = True
+        elif num == 7 and wire == 1:
+            h["zero_count"], pos = _f64(pos, "zero_count_float")
+            seen_float = True
         elif num in (8, 11) and wire == 2:
             ln, pos = _uvarint(data, pos)
             if pos + ln > n:
@@ -554,29 +630,111 @@ def _parse_native_histogram(data: bytes) -> dict:
                 tgt.append(_zigzag_dec(raw))
             if pos != end:
                 raise ValueError("remote-write: packed delta run overruns")
+            seen_int = True
         elif num in (9, 12) and wire == 0:  # unpacked entry (proto3)
             raw, pos = _uvarint(data, pos)
             (neg_deltas if num == 9 else pos_deltas).append(_zigzag_dec(raw))
+            seen_int = True
+        elif num in (10, 13, 16) and wire == 2:  # packed doubles
+            ln, pos = _uvarint(data, pos)
+            if pos + ln > n or ln % 8:
+                raise ValueError(
+                    "remote-write: packed double run overruns or is not "
+                    "a multiple of 8 bytes")
+            tgt = (neg_fcounts if num == 10
+                   else pos_fcounts if num == 13 else h["custom_values"])
+            for off in range(pos, pos + ln, 8):
+                tgt.append(struct.unpack("<d", data[off : off + 8])[0])
+            pos += ln
+            if num != 16:
+                seen_float = True
+        elif num in (10, 13, 16) and wire == 1:  # unpacked entry (proto3)
+            v, pos = _f64(pos, "float bucket count")
+            (neg_fcounts if num == 10
+             else pos_fcounts if num == 13 else h["custom_values"]).append(v)
+            if num != 16:
+                seen_float = True
         elif num == 15 and wire == 0:
             raw, pos = _uvarint(data, pos)
             h["timestamp"] = raw - (1 << 64) if raw >= 1 << 63 else raw
         else:
             pos = _skip(data, pos, wire)
-    if h["schema"] == 127:
+    if seen_int and seen_float:
         raise ValueError(
-            "remote-write: custom-bucket histograms (schema 127) not "
-            "implemented — their boundaries are data, not formula")
-    if not -4 <= h["schema"] <= 8:
-        raise ValueError(
-            f"remote-write: histogram schema {h['schema']} outside [-4, 8]")
-    h["pos_offset"], h["pos_counts"] = _dense_buckets(
-        pos_spans, pos_deltas, "positive")
-    h["neg_offset"], h["neg_counts"] = _dense_buckets(
-        neg_spans, neg_deltas, "negative")
+            "remote-write: histogram mixes INTEGER fields "
+            "(count_int/zero_count_int/*_deltas) with FLOAT fields "
+            "(count_float/zero_count_float/*_counts) — malformed sender")
+    flavor = "float" if seen_float else "int"
+    h["flavor"] = flavor
+    h["count"] = (0.0 if flavor == "float" else 0) if h["count"] is None else h["count"]
+    h["zero_count"] = ((0.0 if flavor == "float" else 0)
+                       if h["zero_count"] is None else h["zero_count"])
+    if flavor == "float":
+        for what, v in (("count", h["count"]), ("zero_count", h["zero_count"])):
+            if not math.isfinite(v) or v < 0:
+                raise ValueError(
+                    f"remote-write: histogram {what}_float {v!r} is negative "
+                    "or non-finite (NaN counts are TSDB stale markers, not "
+                    "push payloads)")
+        h["pos_offset"], h["pos_counts"] = _dense_buckets(
+            pos_spans, pos_fcounts, "positive", absolute=True)
+        h["neg_offset"], h["neg_counts"] = _dense_buckets(
+            neg_spans, neg_fcounts, "negative", absolute=True)
+    else:
+        h["pos_offset"], h["pos_counts"] = _dense_buckets(
+            pos_spans, pos_deltas, "positive")
+        h["neg_offset"], h["neg_counts"] = _dense_buckets(
+            neg_spans, neg_deltas, "negative")
+    if h["schema"] == CUSTOM_BUCKETS_SCHEMA:
+        _check_custom_buckets(h)
+    else:
+        if h["custom_values"]:
+            raise ValueError(
+                f"remote-write: custom_values given but schema is "
+                f"{h['schema']}, not {CUSTOM_BUCKETS_SCHEMA} (custom buckets)")
+        if not -4 <= h["schema"] <= 8:
+            raise ValueError(
+                f"remote-write: histogram schema {h['schema']} outside "
+                f"[-4, 8] and not {CUSTOM_BUCKETS_SCHEMA} (custom buckets)")
     if h["count"] < h["zero_count"] + sum(h["pos_counts"]) + sum(h["neg_counts"]):
         raise ValueError(
             "remote-write: histogram count below the sum of its buckets")
     return h
+
+
+def _check_custom_buckets(h: dict) -> None:
+    """Schema −53 (NHCB) validity: boundaries strictly increasing and
+    finite; all observations live in POSITIVE buckets indexed into
+    custom_values (index len(custom_values) is the implicit +Inf
+    bucket); the zero bucket and negative buckets are unused by
+    construction — nonzero values there mean a corrupt sender."""
+    cv = h["custom_values"]
+    for v in cv:
+        if not math.isfinite(v):
+            raise ValueError(
+                "remote-write: custom bucket boundary is non-finite "
+                "(+Inf is implicit — senders must not encode it)")
+    for a, b in zip(cv, cv[1:]):
+        if not a < b:
+            raise ValueError(
+                "remote-write: custom bucket boundaries not strictly "
+                f"increasing at {a!r} >= {b!r}")
+    if h["neg_counts"] or h["zero_count"]:
+        raise ValueError(
+            "remote-write: custom-bucket histogram carries negative/zero "
+            "buckets — NHCB stores all counts in positive buckets")
+    if h["zero_threshold"] not in (0, 0.0):
+        raise ValueError(
+            "remote-write: custom-bucket histogram zero_threshold must be 0")
+    if h["pos_counts"]:
+        if h["pos_offset"] < 0:
+            raise ValueError(
+                "remote-write: custom-bucket index below 0")
+        hi = h["pos_offset"] + len(h["pos_counts"]) - 1
+        if hi > len(cv):
+            raise ValueError(
+                f"remote-write: custom-bucket index {hi} beyond the +Inf "
+                f"bucket (len(custom_values) = {len(cv)})")
 
 
 def _parse_sample(sm: bytes) -> tuple[float, int]:
@@ -633,6 +791,8 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
         samples: list[tuple[float, int]] = []
         histograms: list[dict] = []
         metadata_raw: tuple | None = None
+        exemplars_raw: list[tuple[list[int], float, int]] = []
+        created_ts: int | None = None
         p, ln = 0, len(ts_msg)
         while p < ln:
             h, p = _uvarint(ts_msg, p)
@@ -680,7 +840,45 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
                     else:
                         mp = _skip(md_blob, mp, mwire)
                 metadata_raw = (mtype, help_ref, unit_ref)
-            else:  # exemplars / created_timestamp / unknown
+            elif fnum == 4 and fwire == 2:  # Exemplar (later r8)
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(f"proto: exemplar overruns timeseries at {p}")
+                ex_blob, p = ts_msg[p : p + l2], p + l2
+                ep, e_refs, e_val, e_ts = 0, [], 0.0, 0
+                while ep < len(ex_blob):
+                    eh, ep = _uvarint(ex_blob, ep)
+                    enum, ewire = eh >> 3, eh & 7
+                    if enum == 1 and ewire == 2:  # packed labels_refs
+                        el, ep = _uvarint(ex_blob, ep)
+                        if ep + el > len(ex_blob):
+                            raise ValueError(
+                                "proto: exemplar labels_refs overrun")
+                        eend = ep + el
+                        while ep < eend:
+                            r, ep = _uvarint(ex_blob, ep)
+                            e_refs.append(r)
+                        if ep != eend:
+                            raise ValueError(
+                                "proto: packed varint run overruns its length")
+                    elif enum == 1 and ewire == 0:
+                        r, ep = _uvarint(ex_blob, ep)
+                        e_refs.append(r)
+                    elif enum == 2 and ewire == 1:
+                        if ep + 8 > len(ex_blob):
+                            raise ValueError("proto: exemplar value truncated")
+                        e_val = struct.unpack("<d", ex_blob[ep : ep + 8])[0]
+                        ep += 8
+                    elif enum == 3 and ewire == 0:
+                        raw, ep = _uvarint(ex_blob, ep)
+                        e_ts = raw - (1 << 64) if raw >= 1 << 63 else raw
+                    else:
+                        ep = _skip(ex_blob, ep, ewire)
+                exemplars_raw.append((e_refs, e_val, e_ts))
+            elif fnum == 6 and fwire == 0:  # created_timestamp (later r8)
+                raw, p = _uvarint(ts_msg, p)
+                created_ts = raw - (1 << 64) if raw >= 1 << 63 else raw
+            else:  # unknown fields skip per proto3
                 p = _skip(ts_msg, p, fwire)
         if len(refs) % 2:
             raise ValueError(
@@ -711,6 +909,27 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
                 "help": symbols[help_ref] if help_ref is not None else None,
                 "unit": symbols[unit_ref] if unit_ref is not None else None,
             }
+        if exemplars_raw:
+            exemplars = []
+            for e_refs, e_val, e_ts in exemplars_raw:
+                if len(e_refs) % 2:
+                    raise ValueError(
+                        f"remote-write v2: exemplar labels_refs count "
+                        f"{len(e_refs)} is odd (must be (name, value) pairs)")
+                e_labels: dict[str, str] = {}
+                for i in range(0, len(e_refs), 2):
+                    nr, vr = e_refs[i], e_refs[i + 1]
+                    if nr >= len(symbols) or vr >= len(symbols):
+                        raise ValueError(
+                            f"remote-write v2: exemplar symbol ref "
+                            f"{max(nr, vr)} out of range (symbols table has "
+                            f"{len(symbols)} entries)")
+                    e_labels[symbols[nr]] = symbols[vr]
+                exemplars.append(
+                    {"labels": e_labels, "value": e_val, "timestamp": e_ts})
+            s["exemplars"] = exemplars
+        if created_ts is not None:
+            s["created_timestamp"] = created_ts
         series.append(s)
     return series
 
@@ -761,27 +980,36 @@ def remote_write_samples(
     return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
 
 
-NATIVE_HIST_SCHEMA = T.StructType(
-    [
-        T.StructField("metric_name", T.StringType()),
-        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("timestamp_ms", T.LongType()),
-        T.StructField("count", T.LongType()),
-        T.StructField("sum", T.DoubleType()),
-        T.StructField("schema", T.IntegerType()),
-        T.StructField("zero_threshold", T.DoubleType()),
-        T.StructField("zero_count", T.LongType()),
-        T.StructField("pos_offset", T.IntegerType()),
-        T.StructField("pos_counts", T.ArrayType(T.LongType())),
-        T.StructField("neg_offset", T.IntegerType()),
-        T.StructField("neg_counts", T.ArrayType(T.LongType())),
-    ]
-)
+def _native_hist_schema(count_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("metric_name", T.StringType()),
+            T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("timestamp_ms", T.LongType()),
+            T.StructField("count", count_type),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("schema", T.IntegerType()),
+            T.StructField("zero_threshold", T.DoubleType()),
+            T.StructField("zero_count", count_type),
+            T.StructField("pos_offset", T.IntegerType()),
+            T.StructField("pos_counts", T.ArrayType(count_type)),
+            T.StructField("neg_offset", T.IntegerType()),
+            T.StructField("neg_counts", T.ArrayType(count_type)),
+            T.StructField("custom_values", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+#: integer flavor (counts are exact longs — the scrape path)
+NATIVE_HIST_SCHEMA = _native_hist_schema(T.LongType())
+#: float flavor (fractional counts — recording rules / federation);
+#: integer histograms UPCAST losslessly (Prometheus's own ToFloat())
+NATIVE_HIST_FLOAT_SCHEMA = _native_hist_schema(T.DoubleType())
 
 
 def remote_write_v2_native_histograms(
     payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id",
-    wire_version: int = 2,
+    wire_version: int = 2, flavor: str = "int",
 ) -> DataFrame:
     """(id, snappy-compressed Request) → one row per NATIVE histogram:
     sparse spans/deltas already expanded to the dense (offset, counts)
@@ -789,9 +1017,19 @@ def remote_write_v2_native_histograms(
     native-histogram wire formats. ``wire_version=1`` reads the SAME
     prompb.Histogram message off remote-write 1.0's
     TimeSeries.histograms = 4 (where native histograms first shipped).
-    mapInPandas, zero shuffle."""
-    schema = T.StructType([payloads.schema[id_col]] + list(NATIVE_HIST_SCHEMA.fields))
+
+    ``flavor="int"`` (default) is the strict integer surface: a FLOAT
+    histogram on the wire refuses loudly (fractional counts landing in
+    a long column would silently truncate). ``flavor="float"`` is the
+    universal surface: float histograms decode natively and integer
+    ones UPCAST to double (Prometheus's own ToFloat() conversion —
+    exact for counts < 2^53). mapInPandas, zero shuffle."""
+    if flavor not in ("int", "float"):
+        raise ValueError(f"flavor must be 'int' or 'float', got {flavor!r}")
+    base = NATIVE_HIST_SCHEMA if flavor == "int" else NATIVE_HIST_FLOAT_SCHEMA
+    schema = T.StructType([payloads.schema[id_col]] + list(base.fields))
     decoder = decode_write_request_v2 if wire_version == 2 else decode_write_request
+    num = float if flavor == "float" else int
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -801,21 +1039,28 @@ def remote_write_v2_native_histograms(
                     labels = dict(s["labels"])
                     name = labels.pop("__name__", "")
                     for h in s.get("histograms", []):
+                        if flavor == "int" and h["flavor"] == "float":
+                            raise ValueError(
+                                "remote-write: FLOAT native histogram on "
+                                "the integer surface — decode with "
+                                "flavor='float' (fractional counts would "
+                                "truncate in a long column)")
                         rows.append(
                             {
                                 id_col: pid,
                                 "metric_name": name,
                                 "labels": labels,
                                 "timestamp_ms": h["timestamp"],
-                                "count": h["count"],
+                                "count": num(h["count"]),
                                 "sum": h["sum"],
                                 "schema": h["schema"],
                                 "zero_threshold": h["zero_threshold"],
-                                "zero_count": h["zero_count"],
+                                "zero_count": num(h["zero_count"]),
                                 "pos_offset": h["pos_offset"],
-                                "pos_counts": h["pos_counts"],
+                                "pos_counts": [num(c) for c in h["pos_counts"]],
                                 "neg_offset": h["neg_offset"],
-                                "neg_counts": h["neg_counts"],
+                                "neg_counts": [num(c) for c in h["neg_counts"]],
+                                "custom_values": h["custom_values"],
                             }
                         )
             yield pd.DataFrame(
@@ -834,18 +1079,24 @@ _V2_METRIC_TYPES = {0: "unspecified", 1: "counter", 2: "gauge",
 
 
 def remote_write_v2_samples(
-    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id",
+    with_created: bool = False,
 ) -> DataFrame:
     """(id, snappy-compressed v2 Request) → the SAME sample shape as
     ``remote_write_samples`` — three wire formats (remote-write 1.0,
     2.0, OTLP), one downstream operator set — plus v2's REQUIRED typed
     metadata (metric_type / help / unit, interned-ref-resolved; null
-    when the sender omits it)."""
+    when the sender omits it). ``with_created=True`` appends the
+    series' created_timestamp_ms (v2 TimeSeries field 6 — when the
+    counter was born; null when the sender omits it), the input to
+    CT-aware increase()."""
     schema = T.StructType(
         [payloads.schema[id_col]] + list(REMOTE_WRITE_SCHEMA.fields)
         + [T.StructField("metric_type", T.StringType()),
            T.StructField("help", T.StringType()),
            T.StructField("unit", T.StringType())]
+        + ([T.StructField("created_timestamp_ms", T.LongType())]
+           if with_created else [])
     )
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -858,18 +1109,72 @@ def remote_write_v2_samples(
                     md = s.get("metadata") or {}
                     mtype = md.get("type")
                     for value, ts_ms in s["samples"]:
+                        row = {
+                            id_col: pid,
+                            "metric_name": name,
+                            "labels": labels,
+                            "value": value,
+                            "timestamp_ms": ts_ms,
+                            "metric_type": _V2_METRIC_TYPES.get(
+                                mtype, f"type_{mtype}"
+                            ) if mtype is not None else None,
+                            "help": md.get("help"),
+                            "unit": md.get("unit"),
+                        }
+                        if with_created:
+                            row["created_timestamp_ms"] = s.get(
+                                "created_timestamp")
+                        rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
+
+
+EXEMPLAR_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("exemplar_labels",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("timestamp_ms", T.LongType()),
+    ]
+)
+
+
+def remote_write_v2_exemplars(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, snappy-compressed v2 Request) → one row per EXEMPLAR
+    (v2 TimeSeries field 4): the series' identity labels plus the
+    exemplar's own labels (trace_id/span_id — the metric→trace links
+    an observability pipeline joins on), value, and timestamp.
+    Exemplar label refs resolve against the same interned symbols
+    table as series labels; out-of-range refs refuse. mapInPandas,
+    zero shuffle."""
+    schema = T.StructType(
+        [payloads.schema[id_col]] + list(EXEMPLAR_SCHEMA.fields))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for s in decode_write_request_v2(snappy_decompress(bytes(blob))):
+                    labels = dict(s["labels"])
+                    name = labels.pop("__name__", "")
+                    for ex in s.get("exemplars", []):
                         rows.append(
                             {
                                 id_col: pid,
                                 "metric_name": name,
                                 "labels": labels,
-                                "value": value,
-                                "timestamp_ms": ts_ms,
-                                "metric_type": _V2_METRIC_TYPES.get(
-                                    mtype, f"type_{mtype}"
-                                ) if mtype is not None else None,
-                                "help": md.get("help"),
-                                "unit": md.get("unit"),
+                                "exemplar_labels": ex["labels"],
+                                "value": ex["value"],
+                                "timestamp_ms": ex["timestamp"],
                             }
                         )
             yield pd.DataFrame(

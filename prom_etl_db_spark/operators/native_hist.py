@@ -1,0 +1,183 @@
+"""Native-histogram FUNCTION family — histogram_count / histogram_sum /
+histogram_avg / histogram_stddev / histogram_stdvar over decoded
+native-histogram rows (Prometheus promql/functions.go; the reference
+delegates these to its Prometheus backend — /root/reference/README.md
+query section — so the engine implements the same semantics natively).
+
+Input is the dense decoded shape shared by BOTH native-histogram wire
+formats (remote-write prompb and OTLP exponential):
+``remote_write.NATIVE_HIST_SCHEMA`` columns — count, sum, schema,
+zero_count, pos_offset, pos_counts, neg_offset, neg_counts (and
+custom_values for NHCB rows).
+
+Semantics (Prometheus's estimators, promql/functions.go):
+
+- count/sum/avg read the histogram's own count/sum fields;
+  avg = sum / count, NaN for an empty histogram (the same
+  empty-histogram rule as histogram_quantile's r8 seam fix).
+- stddev/stdvar estimate each bucket's observations AT THE GEOMETRIC
+  MEAN of its bounds: exponential bucket index k spans
+  (base^(k-1), base^k], base = 2^(2^-schema), so
+  mid_k = sqrt(lower*upper) = base^(k-0.5) (negated on the negative
+  side); the zero bucket spans zero, so its mid is 0. Variance is the
+  population form around mean = sum/count:
+  var = (Σ c_i·(mid_i − mean)²) / count
+      = (S2 − 2·mean·S1 + mean²·Σc_i) / count
+  where Σ runs over zero + positive + negative buckets and the
+  division uses the histogram's STORED count (Prometheus divides by
+  h.Count even when it exceeds the bucket sum).
+- Custom-bucket (schema −53) rows get NULL stddev/stdvar: their
+  boundary geometry is data, and Prometheus's arithmetic-midpoint
+  variant for NHCB is a different estimator — refusing a number beats
+  emitting one computed with the wrong geometry (count/sum/avg are
+  geometry-free and stay valid).
+
+Plan shape: pure Column expressions (transform-with-index + aggregate
+over the bounded per-row bucket arrays) — whole-stage codegen, zero
+shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions.remote_write import CUSTOM_BUCKETS_SCHEMA
+
+
+def _moments(counts: Column, offset: Column, inv: Column,
+             sign: float) -> tuple[Column, Column, Column]:
+    """(Σc, Σc·mid, Σc·mid²) over one side's dense bucket array.
+    ``inv`` is 2^-schema; dense index i is bucket index offset+i with
+    geometric mid = 2^((offset+i-0.5)·inv), sign-flipped for the
+    negative side."""
+    mids = F.transform(
+        counts,
+        lambda c, i: F.struct(
+            c.cast("double").alias("c"),
+            (
+                F.lit(sign)
+                * F.pow(
+                    F.lit(2.0),
+                    (offset.cast("double") + i.cast("double") - F.lit(0.5))
+                    * inv,
+                )
+            ).alias("m"),
+        ),
+    )
+    zero = F.lit(0.0)
+    s0 = F.aggregate(mids, zero, lambda acc, x: acc + x["c"])
+    s1 = F.aggregate(mids, zero, lambda acc, x: acc + x["c"] * x["m"])
+    s2 = F.aggregate(
+        mids, zero, lambda acc, x: acc + x["c"] * x["m"] * x["m"]
+    )
+    return s0, s1, s2
+
+
+def histogram_stats(nh: DataFrame) -> DataFrame:
+    """Append hist_count / hist_sum / hist_avg / hist_stdvar /
+    hist_stddev columns to a decoded native-histogram DataFrame.
+    Empty histograms (count == 0) yield NaN avg/stdvar/stddev —
+    Prometheus's convention; custom-bucket rows yield NULL
+    stdvar/stddev (see module docstring)."""
+    cnt = F.col("count").cast("double")
+    mean = F.when(cnt == 0, F.lit(float("nan"))).otherwise(
+        F.try_divide(F.col("sum"), cnt)
+    )
+    inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    p0, p1, p2 = _moments(F.col("pos_counts"), F.col("pos_offset"), inv, 1.0)
+    n0, n1, n2 = _moments(F.col("neg_counts"), F.col("neg_offset"), inv, -1.0)
+    zc = F.col("zero_count").cast("double")
+    s0 = p0 + n0 + zc  # zero bucket: mid 0 → contributes to Σc only
+    s1 = p1 + n1
+    s2 = p2 + n2
+    stdvar = F.when(cnt == 0, F.lit(float("nan"))).otherwise(
+        F.try_divide(
+            s2 - F.lit(2.0) * mean * s1 + mean * mean * s0, cnt
+        )
+    )
+    stdvar = F.when(
+        F.col("schema") == CUSTOM_BUCKETS_SCHEMA, F.lit(None).cast("double")
+    ).otherwise(stdvar)
+    return (
+        nh.withColumn("hist_count", F.col("count"))
+        .withColumn("hist_sum", F.col("sum"))
+        .withColumn("hist_avg", mean)
+        .withColumn("hist_stdvar", stdvar)
+        .withColumn("hist_stddev", F.sqrt(F.col("hist_stdvar")))
+    )
+
+
+def nhcb_to_le_buckets(nh: DataFrame) -> DataFrame:
+    """Custom-bucket (schema −53) rows → the classic
+    (le, cumulative count) exploded shape ``histogram_quantile``
+    consumes: dense bucket index i maps to le = custom_values[i], the
+    index len(custom_values) to +Inf, and the +Inf cumulative count is
+    forced to the histogram's total ``count`` (observations the sender
+    kept out of finite buckets still exist). Returns one row per
+    (histogram, bucket) with the input's id columns preserved.
+
+    Pure-Column le/cum array construction + one posexplode — the same
+    plan shape as the exponential le-mapping, so NHCB rides the
+    existing quantile operator unchanged."""
+    empty_s = F.expr("CAST(array() AS array<string>)")
+    empty_d = F.expr("CAST(array() AS array<double>)")
+    # sequence(0, -1) would infer step -1; guard the empty-bucket case
+    les_body = F.when(
+        F.size("pos_counts") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size("pos_counts") - F.lit(1)),
+            lambda i: F.when(
+                F.col("pos_offset") + i < F.size("custom_values"),
+                F.element_at(
+                    F.col("custom_values"),
+                    (F.col("pos_offset") + i + F.lit(1)).cast("int"),
+                ).cast("string"),
+            ).otherwise(F.lit("+Inf")),
+        ),
+    ).otherwise(empty_s)
+    les = F.concat(
+        les_body,
+        # the sender may omit the +Inf bucket entirely; add it so the
+        # quantile operator always sees the total
+        F.when(
+            F.col("pos_offset") + F.size("pos_counts")
+            <= F.size("custom_values"),
+            F.array(F.lit("+Inf")),
+        ).otherwise(empty_s),
+    )
+    cums = F.slice(
+        F.aggregate(
+            F.col("pos_counts"),
+            F.array(F.lit(0).cast("double")),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(F.element_at(acc, -1) + x.cast("double")),
+            ),
+        ),
+        2,
+        F.size("pos_counts").cast("int"),
+    )
+    cums = F.concat(
+        cums,
+        F.when(
+            F.col("pos_offset") + F.size("pos_counts")
+            <= F.size("custom_values"),
+            F.array(F.col("count").cast("double")),
+        ).otherwise(empty_d),
+    )
+    # a sender-encoded +Inf bucket may undercount vs the histogram's
+    # own total; the total is authoritative
+    cums = F.zip_with(
+        les,
+        cums,
+        lambda le, c: F.when(
+            le == "+Inf", F.col("count").cast("double")
+        ).otherwise(c),
+    )
+    return nh.where(F.col("schema") == CUSTOM_BUCKETS_SCHEMA).select(
+        "*",
+        F.posexplode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias(
+            "bucket_i", "le_cum"
+        ),
+    )

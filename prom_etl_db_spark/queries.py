@@ -53,6 +53,8 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     ext_audio_web,
     web,
     tokenizers,
+    native_hist,
+    rw2_aux,
 )
 
 
@@ -134,6 +136,30 @@ _GATE_PRIORITY = [
     # encoder (predefined-FSE sequences + LZ greedy match search),
     # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).
     "payload_zstd_encode",
+    # remote_write_float_hist_decode / nhcb_quantile /
+    # native_hist_stats: LATE r8 — the FLOAT wire flavor (absolute
+    # double counts), custom-bucket NHCB histograms (schema −53,
+    # boundaries as data → le-mapping → the existing quantile), and
+    # the histogram_count/sum/avg/stddev/stdvar function family
+    # (geometric-midpoint estimator) — registry/native_hist.py.
+    "remote_write_float_hist_decode",
+    "nhcb_quantile",
+    "native_hist_stats",
+    # remote_write_v2_exemplars_decode / ct_aware_increase: LATE r8 —
+    # the v2 wire's last two skipped fields become first-class:
+    # exemplars (metric→trace links off TimeSeries field 4, resolved
+    # against the interned symbols table) and created_timestamp
+    # (field 6) driving CT-aware increase() (synthetic zero at the
+    # series' birth — Prometheus's CT feature) — registry/rw2_aux.py.
+    "remote_write_v2_exemplars_decode",
+    "ct_aware_increase",
+    # otlp_exemplars_decode / exemplars_cross_protocol: LATE r8 — the
+    # OTLP side of the exemplar surface (trace/span ids as RAW 16/8
+    # bytes → lowercase hex, wrong lengths refuse) and a differential
+    # gate pushing the SAME logical exemplar through both protocols
+    # (symbol-table labels vs raw bytes) into one trace-keyed agg.
+    "otlp_exemplars_decode",
+    "exemplars_cross_protocol",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

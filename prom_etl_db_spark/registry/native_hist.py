@@ -1,0 +1,297 @@
+"""Registry section: native-histogram LATE-r8 surface — the FLOAT
+wire flavor, custom-bucket (NHCB, schema −53) histograms, and the
+histogram_count/sum/avg/stddev/stdvar function family.
+
+The reference delegates all histogram math to its Prometheus backend
+(/root/reference/internal/prometheus/client.go runs the queries;
+migrate.sql's flagship uses histogram-less gauges); this engine
+implements the full native-histogram surface itself, so each query
+here is a (wire fixture → decode → operator) composition with a
+closed-form DuckDB oracle replaying the same algebra.
+
+Fixture convention (same as pipeline_a's native-histogram block): the
+events table's (event_id, event_type, user_id) rows deterministically
+parameterize one pushed histogram each — every count/bound below is a
+closed form in user_id, so the oracle can rebuild them in SQL without
+seeing any bytes."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from prom_etl_db_spark.operators import native_hist as NH
+from prom_etl_db_spark.operators import promql
+from prom_etl_db_spark.registry.core import _events, register
+
+
+@register(
+    "remote_write_float_hist_decode",
+    oracle="""
+SELECT event_id AS push_id, event_type AS metric_name,
+  CAST(user_id % 4 - 1 AS INT) AS schema,
+  round((user_id % 2) * 0.5e0, 4) AS zero_count,
+  CAST(user_id % 3 AS INT) AS pos_offset,
+  round((user_id % 3 + 1) * 0.5e0, 4) AS bucket1,
+  round((user_id % 4) * 0.25e0, 4) AS bucket2,
+  round((user_id % 2) * 0.5e0 + (user_id % 3 + 1) * 0.5e0
+        + (user_id % 4) * 0.25e0 + (user_id % 5) * 0.125e0, 4) AS count,
+  round(user_id * 0.375e0, 4) AS sum_value
+FROM events
+""",
+)
+def remote_write_float_hist_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOAT-flavor native histograms over remote-write 2.0
+    (prompb.Histogram count_float=2 / zero_count_float=7 /
+    positive_counts=13 packed ABSOLUTE doubles — the flavor recording
+    rules and federation emit, where counts are fractional). The same
+    ``remote_write_v2_native_histograms`` walk decodes both flavors;
+    ``flavor="float"`` selects the double-typed surface. The fixture
+    deliberately leaves count > bucket sum (the (u%5)/8 term) — float
+    histograms routinely carry observations outside the encoded
+    buckets. Plan: one mapInPandas decode, zero shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            h = {
+                "flavor": "float",
+                "count": (u % 2) * 0.5 + (u % 3 + 1) * 0.5
+                         + (u % 4) * 0.25 + (u % 5) * 0.125,
+                "sum": u * 0.375,
+                "schema": u % 4 - 1,
+                "zero_count": (u % 2) * 0.5,
+                "positive_spans": [(u % 3, 2)],
+                "positive_counts": [(u % 3 + 1) * 0.5, (u % 4) * 0.25],
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    out = RW.remote_write_v2_native_histograms(payloads, flavor="float")
+    return out.select(
+        "push_id",
+        "metric_name",
+        "schema",
+        F.round("zero_count", 4).alias("zero_count"),
+        "pos_offset",
+        F.round(F.element_at("pos_counts", 1), 4).alias("bucket1"),
+        F.round(F.element_at("pos_counts", 2), 4).alias("bucket2"),
+        F.round("count", 4).alias("count"),
+        F.round("sum", 4).alias("sum_value"),
+    )
+
+
+@register(
+    "nhcb_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 + 1 AS DOUBLE) * 0.25 AS cv0,
+    2.5 + CAST(user_id % 4 AS DOUBLE) AS cv1,
+    CAST(user_id % 3 + 1 AS BIGINT) AS k0,
+    CAST(user_id % 4 AS BIGINT) AS k1,
+    CAST(user_id % 2 AS BIGINT) AS k2
+  FROM events
+), b AS (
+  SELECT event_id, event_type, user_id,
+    unnest([cv0, cv1, 'inf'::DOUBLE]) AS le,
+    unnest([k0, k0 + k1, k0 + k1 + k2]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.5 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p50
+FROM crossing
+""",
+)
+def nhcb_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-bucket native histograms (NHCB, schema −53): classic
+    le-histograms carried over the native wire with their boundaries
+    as DATA (custom_values). Decode → ``nhcb_to_le_buckets`` (bucket
+    index i ↦ le = custom_values[i], index len(custom_values) ↦ +Inf)
+    → the EXISTING ``histogram_quantile`` at q=0.5. Half the fixture
+    (u%5==0) omits the +Inf bucket from the wire — its count field
+    still carries the total, exercising the operator's appended-+Inf
+    path; the oracle is identical either way because the +Inf
+    cumulative is forced to the total. Plan: decode (mapInPandas) →
+    pure-Column le/cum arrays → posexplode → one window per
+    histogram."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            cv = [(u % 3 + 1) * 0.25, 2.5 + (u % 4)]
+            k0, k1, k2 = u % 3 + 1, u % 4, u % 2
+            if u % 5 == 0:  # +Inf bucket left off the wire
+                spans, deltas = [(0, 2)], [k0, k1 - k0]
+            else:
+                spans, deltas = [(0, 3)], [k0, k1 - k0, k2 - k1]
+            h = {
+                "count": k0 + k1 + k2,
+                "schema": -53,
+                "zero_count": 0,
+                "zero_threshold": 0.0,
+                "positive_spans": spans,
+                "positive_deltas": deltas,
+                "custom_values": cv,
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    exploded = NH.nhcb_to_le_buckets(pts)
+    buckets = exploded.select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+            F.array(
+                F.concat(F.col("metric_name"), F.lit("_bucket")),
+                F.col("push_id").cast("string"),
+                F.col("le_cum.le"),
+            ),
+        ).alias("labels"),
+        F.col("le_cum.cum").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.5)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace(
+            F.col("labels")["__name__"], "_bucket$", ""
+        ).alias("metric_name"),
+        F.round("value", 6).alias("p50"),
+    )
+
+
+@register(
+    "native_hist_stats",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 AS INT) AS s,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 3 + 1 AS DOUBLE) AS c1,
+    CAST(user_id % 4 AS DOUBLE) AS c2,
+    CAST(user_id % 2 AS DOUBLE) AS z,
+    CASE WHEN user_id % 3 = 0
+         THEN CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0.0 END AS nc
+  FROM events
+), m AS (
+  SELECT *,
+    z + c1 + c2 + nc AS cnt,
+    user_id * 0.5e0 AS sm,
+    power(2.0, -CAST(s AS DOUBLE)) AS inv
+  FROM h
+), v AS (
+  SELECT *,
+    sm / cnt AS mean,
+    power(2.0, (o - 0.5) * inv) AS m1,
+    power(2.0, (o + 0.5) * inv) AS m2,
+    -power(2.0, 0.5 * inv) AS mn
+  FROM m
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  CAST(cnt AS BIGINT) AS hist_count,
+  round(sm, 4) AS hist_sum,
+  round(mean, 6) AS hist_avg,
+  round((c1 * m1 * m1 + c2 * m2 * m2 + nc * mn * mn
+         - 2 * mean * (c1 * m1 + c2 * m2 + nc * mn)
+         + mean * mean * (c1 + c2 + nc + z)) / cnt, 6) AS hist_stdvar,
+  round(sqrt((c1 * m1 * m1 + c2 * m2 * m2 + nc * mn * mn
+         - 2 * mean * (c1 * m1 + c2 * m2 + nc * mn)
+         + mean * mean * (c1 + c2 + nc + z)) / cnt), 6) AS hist_stddev
+FROM v
+""",
+)
+def native_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram_count/sum/avg/stddev/stdvar function family
+    (Prometheus promql/functions.go) over decoded native histograms:
+    bucket observations estimated at the GEOMETRIC mean of their
+    bounds (mid_k = base^(k-0.5), negated on the negative side; the
+    zero bucket at 0), variance the population form around
+    mean = sum/count, divided by the STORED count. Fixture: integer
+    exponential histograms, two positive buckets at dense indices
+    o, o+1 plus (u%3==0) one negative bucket at index 1 — the oracle
+    replays the power algebra term by term. Plan: decode
+    (mapInPandas) → pure-Column transform/aggregate moments, zero
+    shuffle, no exploding."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c1, c2, z = u % 3 + 1, u % 4, u % 2
+            nc = (u % 5 + 1) if u % 3 == 0 else 0
+            h = {
+                "count": z + c1 + c2 + nc,
+                "sum": u * 0.5,
+                "schema": u % 3,
+                "zero_threshold": 1e-9,
+                "zero_count": z,
+                "positive_spans": [(u % 4 - 1, 2)],
+                "positive_deltas": [c1, c2 - c1],
+                "timestamp": 1706572800000,
+            }
+            if nc:
+                h["negative_spans"] = [(1, 1)]
+                h["negative_deltas"] = [nc]
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    stats = NH.histogram_stats(pts)
+    return stats.select(
+        "push_id",
+        "metric_name",
+        "hist_count",
+        F.round("hist_sum", 4).alias("hist_sum"),
+        F.round("hist_avg", 6).alias("hist_avg"),
+        F.round("hist_stdvar", 6).alias("hist_stdvar"),
+        F.round("hist_stddev", 6).alias("hist_stddev"),
+    )

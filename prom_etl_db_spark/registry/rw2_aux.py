@@ -1,0 +1,331 @@
+"""Registry section: remote-write 2.0 AUXILIARY data — exemplars and
+created timestamps (later r8). These were the last two skipped fields
+on the v2 wire; both are data-bearing:
+
+- exemplars are the metric→trace links (trace_id/span_id labels) an
+  observability pipeline joins against its trace store;
+- created_timestamp is the series' birth time — Prometheus's
+  CT-per-series feature, which makes increase() exact for counters
+  born inside the query window (a synthetic zero at CT).
+
+Reference tie-in: the reference's executor persists whatever its
+Prometheus backend returns (internal/executor/executor.go:122-162) and
+never sees the push wire; this engine ingests the wire directly, so
+the auxiliary fields land as first-class columns."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from prom_etl_db_spark.registry.core import _events, register
+
+_T0 = 1706572800000  # fixture epoch (ms)
+
+
+@register(
+    "remote_write_v2_exemplars_decode",
+    oracle="""
+SELECT event_id AS push_id, event_type AS metric_name,
+  't' || CAST((user_id * 31) % 997 AS VARCHAR) AS trace_id,
+  round(user_id * 0.25e0 + 0.5e0, 4) AS value,
+  CAST(1706572800000 + user_id % 7 AS BIGINT) AS timestamp_ms
+FROM events
+UNION ALL
+SELECT event_id AS push_id, event_type AS metric_name,
+  's' || CAST((user_id * 17) % 997 AS VARCHAR) AS trace_id,
+  round(user_id * 0.125e0, 4) AS value,
+  CAST(1706572800000 + user_id % 7 + 1 AS BIGINT) AS timestamp_ms
+FROM events
+""",
+)
+def remote_write_v2_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplars off the v2 wire (TimeSeries field 4): per push, one
+    series with two exemplars whose labels carry the trace_id the
+    fixture derives in closed form — the decode surfaces them as rows
+    with the exemplar's own label map next to the series identity.
+    Plan: one mapInPandas decode, zero shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(u), _T0)],
+                  "exemplars": [
+                      {"labels": {"trace_id": f"t{(u * 31) % 997}"},
+                       "value": u * 0.25 + 0.5,
+                       "timestamp": _T0 + u % 7},
+                      {"labels": {"trace_id": f"s{(u * 17) % 997}",
+                                  "span_id": f"sp{u % 13}"},
+                       "value": u * 0.125,
+                       "timestamp": _T0 + u % 7 + 1},
+                  ]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    out = RW.remote_write_v2_exemplars(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        F.col("exemplar_labels")["trace_id"].alias("trace_id"),
+        F.round("value", 4).alias("value"),
+        "timestamp_ms",
+    )
+
+
+@register(
+    "ct_aware_increase",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 7 + 1 AS DOUBLE) AS v0,
+    CAST(user_id % 5 AS DOUBLE) AS a,
+    CAST(user_id % 3 AS DOUBLE) AS b,
+    user_id % 11 = 0 AS resets,
+    user_id % 2 = 0 AS born_in_window
+  FROM events
+), v AS (
+  SELECT event_id, event_type,
+    -- sample deltas, reset-aware: a reset (drop to 0.5 < v0 + a)
+    -- contributes the post-reset value; the first sample contributes
+    -- its full value only when the series was born inside the window
+    -- (CT rule: synthetic zero at created_timestamp)
+    CASE WHEN born_in_window THEN v0 ELSE 0.0 END
+    + a
+    + CASE WHEN resets THEN 0.5 ELSE b END AS inc
+  FROM s
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(inc, 4) AS increase
+FROM v
+""",
+)
+def ct_aware_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CT-aware increase(): Prometheus's created-timestamp feature —
+    a counter born INSIDE the query window gets a synthetic zero at
+    CT, so its first sample counts as growth (without CT, increase()
+    silently loses everything before the first in-window sample).
+    Per push: 3 counter samples; the u%11 slice RESETS at the third
+    sample (drops to 0.5 < v0 + a, since v0 ≥ 1 — a guaranteed drop),
+    exercising the reset rule (a drop contributes the post-reset
+    value); the u%2 slice is born inside the window (ct = t0 > window
+    start), the rest before it. Plan: decode (mapInPandas) → one
+    window (lag per series) + one hash agg on the same key — a single
+    shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    wstart = _T0 - 15000
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            v0 = float(u % 7 + 1)
+            a = float(u % 5)
+            b = float(u % 3)
+            if u % 11 == 0:
+                samples = [(v0, _T0), (v0 + a, _T0 + 60000),
+                           (0.5, _T0 + 120000)]  # reset to 0.5 < v0
+            else:
+                samples = [(v0, _T0), (v0 + a, _T0 + 60000),
+                           (v0 + a + b, _T0 + 120000)]
+            ct = _T0 if u % 2 == 0 else _T0 - 30000
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": samples,
+                  "created_timestamp": ct}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_samples(payloads, with_created=True)
+    w = Window.partitionBy("push_id").orderBy("timestamp_ms")
+    deltas = pts.withColumn("prev", F.lag("value").over(w)).withColumn(
+        "contrib",
+        F.when(
+            F.col("prev").isNull(),
+            # first in-window sample: counts fully iff the series was
+            # born inside the window (synthetic zero at CT)
+            F.when(
+                F.col("created_timestamp_ms") >= F.lit(wstart), F.col("value")
+            ).otherwise(F.lit(0.0)),
+        )
+        .when(F.col("value") < F.col("prev"), F.col("value"))  # reset
+        .otherwise(F.col("value") - F.col("prev")),
+    )
+    return deltas.groupBy("push_id", "metric_name").agg(
+        F.round(F.sum("contrib"), 4).alias("increase")
+    )
+
+
+@register(
+    "otlp_exemplars_decode",
+    oracle="""
+SELECT event_id AS push_id, event_type AS metric_name,
+  lpad(lower(hex((event_id * 2654435761) % 4294967296)), 32, '0')
+    AS trace_id,
+  lpad(lower(hex((event_id * 40503) % 65536)), 16, '0') AS span_id,
+  round(user_id * 0.25e0 + 1.0e0, 4) AS value,
+  CAST(1706572800000000000 + user_id AS BIGINT) AS ts_nano
+FROM events
+""",
+)
+def otlp_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplars off the OTLP wire (Exemplar message on
+    NumberDataPoint field 5): trace_id/span_id ride as RAW BYTES
+    (16/8) and surface as lowercase hex — the fixture derives them
+    from event_id via a Knuth multiplicative hash both engines can
+    replay (odd multiplier mod 2^32 is a bijection, so trace ids stay
+    unique per push). Plan: one mapInPandas decode, zero shuffle."""
+    from prom_etl_db_spark.functions import otlp as O
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            e, u = int(e), int(u)
+            k = (e * 2654435761) % (1 << 32)
+            m = (e * 40503) % (1 << 16)
+            out.append(O.encode_export_metrics([{
+                "resource": {"service.name": "svc"},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "1", "type": "gauge",
+                    "points": [{
+                        "attrs": {"user": str(u)},
+                        "time_unix_nano": 1706572800_000_000_000 + u,
+                        "value": float(u),
+                        "exemplars": [{
+                            "time_unix_nano": 1706572800_000_000_000 + u,
+                            "value": u * 0.25 + 1.0,
+                            "trace_id": f"{k:032x}",
+                            "span_id": f"{m:016x}",
+                        }],
+                    }],
+                }]}],
+            }]))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    out = O.otlp_exemplars(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        "trace_id",
+        "span_id",
+        F.round("value_double", 4).alias("value"),
+        F.col("time_unix_nano").alias("ts_nano"),
+    )
+
+
+@register(
+    "exemplars_cross_protocol",
+    oracle="""
+SELECT
+  lpad(lower(hex((event_id * 2654435761) % 4294967296)), 32, '0')
+    AS trace_id,
+  CAST(2 AS BIGINT) AS n_sources,
+  round(user_id * 0.25e0 + 1.0e0, 4) AS value
+FROM events
+""",
+)
+def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential gate over BOTH exemplar decode stacks: the same
+    logical exemplar (trace_id + value) pushed once over remote-write
+    2.0 (trace_id as an exemplar LABEL resolved through the interned
+    symbols table) and once over OTLP (trace_id as 16 RAW BYTES).
+    The union must yield exactly two sources per trace with zero value
+    spread — a disagreement in either decoder (symbol resolution,
+    byte-to-hex, fixed64 value) breaks the n_sources=2 or the shared
+    rounded value. Plan: two mapInPandas decodes → union → one hash
+    agg keyed on trace_id; the max-min guard is computed, not
+    assumed."""
+    from prom_etl_db_spark.functions import otlp as O
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build_rw(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            e, u = int(e), int(u)
+            k = (e * 2654435761) % (1 << 32)
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(u), _T0)],
+                  "exemplars": [{"labels": {"trace_id": f"{k:032x}"},
+                                 "value": u * 0.25 + 1.0,
+                                 "timestamp": _T0 + 1}]}])))
+        return pd.Series(out)
+
+    def build_ot(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            e, u = int(e), int(u)
+            k = (e * 2654435761) % (1 << 32)
+            out.append(O.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "1", "type": "gauge",
+                    "points": [{
+                        "attrs": {}, "time_unix_nano": _T0 * 1_000_000,
+                        "value": float(u),
+                        "exemplars": [{
+                            "time_unix_nano": _T0 * 1_000_000,
+                            "value": u * 0.25 + 1.0,
+                            "trace_id": f"{k:032x}",
+                        }],
+                    }],
+                }]}],
+            }]))
+        return pd.Series(out)
+
+    _rwudf = F.pandas_udf(build_rw, returnType=BinaryType())
+    _otudf = F.pandas_udf(build_ot, returnType=BinaryType())
+    rw_side = RW.remote_write_v2_exemplars(ev.select(
+        F.col("event_id").alias("push_id"),
+        _rwudf("event_type", "event_id", "user_id").alias("body"),
+    )).select(
+        F.col("exemplar_labels")["trace_id"].alias("trace_id"),
+        F.col("value"),
+    )
+    ot_side = O.otlp_exemplars(ev.select(
+        F.col("event_id").alias("push_id"),
+        _otudf("event_type", "event_id", "user_id").alias("body"),
+    )).select(
+        F.col("trace_id"),
+        F.col("value_double").alias("value"),
+    )
+    both = rw_side.unionByName(ot_side)
+    agg = both.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.min("value").alias("_vmin"),
+        F.max("value").alias("_vmax"),
+    )
+    # the zero-spread guard FILTERS (not asserts): a decoder
+    # disagreement drops the trace from the output and the row-count
+    # gate catches it
+    return agg.where(F.round(F.col("_vmax") - F.col("_vmin"), 9) == 0).select(
+        "trace_id",
+        "n_sources",
+        F.round("_vmin", 4).alias("value"),
+    )

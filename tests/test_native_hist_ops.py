@@ -1,0 +1,102 @@
+"""operators/native_hist.py — the histogram_count/sum/avg/stddev/stdvar
+family and the NHCB le-mapping (Prometheus promql/functions.go
+semantics; see the operator module docstring for the estimator)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from prom_etl_db_spark.operators import native_hist as NH
+from prom_etl_db_spark.functions import remote_write as RW
+
+
+def _nh_df(spark, rows):
+    base = {
+        "metric_name": "m", "labels": {}, "timestamp_ms": 0,
+        "count": 0, "sum": None, "schema": 0, "zero_threshold": 0.0,
+        "zero_count": 0, "pos_offset": 0, "pos_counts": [],
+        "neg_offset": 0, "neg_counts": [], "custom_values": [],
+    }
+    data = []
+    for r in rows:
+        d = dict(base)
+        d.update(r)
+        data.append(Row(**d))
+    return spark.createDataFrame(data, schema=RW.NATIVE_HIST_SCHEMA)
+
+
+def test_histogram_stats_hand_vector(spark):
+    # schema 1 -> base = 2^(1/2); buckets at indices 2,3 (counts 3,1),
+    # one negative bucket at index 1 (count 2), zero bucket 4.
+    # mids: +2^(1.5*0.5)=2^0.75, +2^(2.5*0.5)=2^1.25, -2^(0.5*0.5)=-2^0.25
+    df = _nh_df(spark, [{
+        "count": 10, "sum": 12.0, "schema": 1, "zero_count": 4,
+        "pos_offset": 2, "pos_counts": [3, 1],
+        "neg_offset": 1, "neg_counts": [2],
+    }])
+    (r,) = NH.histogram_stats(df).collect()
+    mean = 12.0 / 10
+    m1, m2, mn = 2 ** 0.75, 2 ** 1.25, -(2 ** 0.25)
+    s0, s1 = 3 + 1 + 2 + 4, 3 * m1 + 1 * m2 + 2 * mn
+    s2 = 3 * m1 * m1 + 1 * m2 * m2 + 2 * mn * mn
+    var = (s2 - 2 * mean * s1 + mean * mean * s0) / 10
+    assert r["hist_count"] == 10 and r["hist_sum"] == 12.0
+    assert r["hist_avg"] == pytest.approx(mean)
+    assert r["hist_stdvar"] == pytest.approx(var)
+    assert r["hist_stddev"] == pytest.approx(math.sqrt(var))
+
+
+def test_histogram_stats_empty_is_nan_and_nhcb_is_null(spark):
+    df = _nh_df(spark, [
+        {"count": 0, "sum": 0.0},
+        {"count": 4, "sum": 2.0, "schema": -53,
+         "pos_offset": 0, "pos_counts": [3, 1],
+         "custom_values": [1.0]},
+    ])
+    rows = NH.histogram_stats(df).collect()
+    empty = next(r for r in rows if r["count"] == 0)
+    assert math.isnan(empty["hist_avg"]) and math.isnan(empty["hist_stdvar"])
+    nhcb = next(r for r in rows if r["schema"] == -53)
+    # count/sum/avg are geometry-free; stddev needs bucket geometry
+    assert nhcb["hist_avg"] == pytest.approx(0.5)
+    assert nhcb["hist_stdvar"] is None and nhcb["hist_stddev"] is None
+
+
+def test_nhcb_le_mapping_appends_inf_and_forces_total(spark):
+    df = _nh_df(spark, [
+        # +Inf bucket omitted on the wire; count carries 2 extra obs
+        {"count": 6, "schema": -53, "pos_offset": 0,
+         "pos_counts": [3, 1], "custom_values": [0.5, 2.0]},
+        # sender-encoded +Inf bucket UNDERCOUNTS vs count -> forced
+        {"count": 9, "schema": -53, "pos_offset": 0,
+         "pos_counts": [3, 1, 2], "custom_values": [0.5, 2.0]},
+        # exponential row: filtered out
+        {"count": 5, "schema": 2, "pos_offset": 0, "pos_counts": [5]},
+    ])
+    out = NH.nhcb_to_le_buckets(df).select(
+        "count", "le_cum.le", "le_cum.cum").collect()
+    by_count = {}
+    for r in out:
+        by_count.setdefault(r["count"], []).append((r["le"], r["cum"]))
+    assert sorted(by_count) == [6, 9]
+    assert sorted(by_count[6]) == [("+Inf", 6.0), ("0.5", 3.0), ("2.0", 4.0)]
+    assert sorted(by_count[9]) == [("+Inf", 9.0), ("0.5", 3.0), ("2.0", 4.0)]
+
+
+def test_nhcb_le_mapping_offset_and_empty(spark):
+    # dense buckets starting past index 0, and a bucketless histogram
+    df = _nh_df(spark, [
+        {"count": 4, "schema": -53, "pos_offset": 1,
+         "pos_counts": [4], "custom_values": [0.5, 2.0]},
+        {"count": 3, "schema": -53, "pos_offset": 0,
+         "pos_counts": [], "custom_values": [0.5]},
+    ])
+    out = NH.nhcb_to_le_buckets(df).select(
+        "count", "le_cum.le", "le_cum.cum").collect()
+    by_count = {}
+    for r in out:
+        by_count.setdefault(r["count"], []).append((r["le"], r["cum"]))
+    assert sorted(by_count[4]) == [("+Inf", 4.0), ("2.0", 4.0)]
+    # no finite buckets -> only the appended +Inf with the total
+    assert by_count[3] == [("+Inf", 3.0)]

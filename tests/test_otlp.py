@@ -374,3 +374,68 @@ def test_zigzag_codec():
     for n in (0, -1, 1, -2, 2, 2**31 - 1, -(2**31), 12345, -98765):
         assert O._zigzag_dec(O._zigzag_enc(n)) == n
     assert [O._zigzag_enc(n) for n in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+
+
+def test_exemplar_roundtrip_all_three_point_shapes():
+    """later r8: Exemplar (time=2, as_double=3/as_int=6, span_id=4,
+    trace_id=5, filtered_attributes=7) decodes off NumberDataPoint(5),
+    HistogramDataPoint(8), ExponentialHistogramDataPoint(11)."""
+    ex1 = {"time_unix_nano": 77, "value": 2.5,
+           "trace_id": "0f" * 16, "span_id": "ab" * 8,
+           "attrs": {"cell": "a"}}
+    ex2 = {"time_unix_nano": 78, "value": 9, "trace_id": "1e" * 16}
+    gauge = _req([{"attrs": {}, "time_unix_nano": 1, "value": 1.0,
+                   "exemplars": [ex1, ex2]}])
+    (g,) = O.decode_export_metrics(O.encode_export_metrics(gauge))
+    assert len(g["exemplars"]) == 2
+    assert g["exemplars"][0]["trace_id"] == "0f" * 16
+    assert g["exemplars"][0]["span_id"] == "ab" * 8
+    assert g["exemplars"][0]["value_double"] == 2.5
+    assert g["exemplars"][0]["attrs"] == {"cell": "a"}
+    assert g["exemplars"][1]["value_int"] == 9
+    assert g["exemplars"][1]["span_id"] is None
+
+    hist = _req([{"attrs": {}, "time_unix_nano": 1, "count": 2,
+                  "bucket_counts": [1, 1], "explicit_bounds": [5.0],
+                  "exemplars": [ex1]}], mtype="histogram")
+    (h,) = O.decode_export_metrics(O.encode_export_metrics(hist))
+    assert h["exemplars"][0]["trace_id"] == "0f" * 16
+
+    exp = _req([{"attrs": {}, "time_unix_nano": 1, "count": 3,
+                 "scale": 1, "zero_count": 1,
+                 "pos_offset": 0, "pos_counts": [1, 1],
+                 "exemplars": [ex2]}], mtype="exponential_histogram")
+    (e,) = O.decode_export_metrics(O.encode_export_metrics(exp))
+    assert e["exemplars"][0]["value_int"] == 9
+
+
+def test_exemplar_wrong_id_length_refused():
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len)
+    import struct as _st
+    # 15-byte trace_id inside a gauge point's exemplar
+    bad_ex = (_enc_field(2, 1) + _st.pack("<Q", 1)
+              + _enc_field(3, 1) + _st.pack("<d", 1.0)
+              + _enc_len(5, b"\x00" * 15))
+    point = (_enc_field(3, 1) + _st.pack("<Q", 1)
+             + _enc_field(4, 1) + _st.pack("<d", 1.0)
+             + _enc_len(5, bad_ex))
+    metric = (_enc_len(1, b"m") + _enc_len(5, _enc_len(1, point)))
+    req = _enc_len(1, _enc_len(2, _enc_len(2, metric)))
+    with pytest.raises(ValueError, match="trace_id is 15 bytes"):
+        O.decode_export_metrics(req)
+
+
+def test_otlp_exemplars_spark_path(spark):
+    enc = O.encode_export_metrics(_req([
+        {"attrs": {"k": "v"}, "time_unix_nano": 5, "value": 1.5,
+         "exemplars": [{"time_unix_nano": 6, "value": 1.25,
+                        "trace_id": "2a" * 16, "span_id": "bc" * 8}]},
+        {"attrs": {"k": "w"}, "time_unix_nano": 7, "value": 2.5},
+    ]))
+    df = spark.createDataFrame([(3, enc)], "push_id long, body binary")
+    rows = O.otlp_exemplars(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["trace_id"] == "2a" * 16 and r["span_id"] == "bc" * 8
+    assert r["value_double"] == 1.25 and r["attrs"] == {"k": "v"}

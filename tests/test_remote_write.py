@@ -247,22 +247,115 @@ def test_v2_native_histogram_roundtrip():
     assert g["timestamp"] == 1706572800000
 
 
-def test_v2_native_histogram_float_flavor_refused():
+def test_v2_native_histogram_float_flavor_roundtrip():
+    """r8 late wave: FLOAT flavor — count_float/zero_count_float
+    fixed64 doubles, *_counts packed ABSOLUTE doubles (no deltas)."""
+    h = _nh(
+        flavor="float", count=7.5, sum=10.25, schema=1, zero_count=0.5,
+        positive_spans=[(0, 2), (1, 1)],
+        positive_counts=[2.5, 1.0, 3.5],
+        timestamp=1706572800000,
+    )
+    enc = RW.encode_write_request_v2(
+        [{"labels": {"__name__": "lat"}, "samples": [], "histograms": [h]}])
+    (s,) = RW.decode_write_request_v2(enc)
+    (g,) = s["histograms"]
+    assert g["flavor"] == "float"
+    assert g["count"] == 7.5 and g["zero_count"] == 0.5
+    # dense: indices 0,1 then gap 1 -> 0-filled, then 3.5 at index 3
+    assert (g["pos_offset"], g["pos_counts"]) == (0, [2.5, 1.0, 0.0, 3.5])
+
+
+def test_v2_native_histogram_flavor_mix_refused():
+    """count_int next to positive_counts (float) is a sender bug."""
     from prom_etl_db_spark.functions.remote_write import (
-        _enc_field, _enc_len)
+        _enc_field, _enc_len, _enc_uvarint)
     import struct as _st
 
-    body = _enc_field(2, 1) + _st.pack("<d", 5.0)  # count_float
+    body = (_enc_field(1, 0) + _enc_uvarint(5)  # count_int
+            + _enc_len(11, _enc_field(1, 0) + _enc_uvarint(0)
+                       + _enc_field(2, 0) + _enc_uvarint(1))
+            + _enc_len(13, _st.pack("<d", 5.0)))  # positive_counts
     req = _enc_len(4, b"") + _enc_len(5, _enc_len(3, body))
-    with pytest.raises(ValueError, match="FLOAT native"):
+    with pytest.raises(ValueError, match="mixes INTEGER"):
         RW.decode_write_request_v2(req)
+
+
+def test_v2_native_histogram_float_nan_and_negative_refused():
+    for bad in (float("nan"), -1.0):
+        req = RW.encode_write_request_v2(
+            [{"labels": {}, "samples": [],
+              "histograms": [_nh(flavor="float", count=bad)]}])
+        with pytest.raises(ValueError, match="negative or non-finite"):
+            RW.decode_write_request_v2(req)
+    req = RW.encode_write_request_v2(
+        [{"labels": {}, "samples": [], "histograms": [_nh(
+            flavor="float", count=5.0, positive_spans=[(0, 1)],
+            positive_counts=[float("inf")])]}])
+    with pytest.raises(ValueError, match="negative or non-finite"):
+        RW.decode_write_request_v2(req)
+
+
+def test_v2_native_histogram_custom_buckets_roundtrip():
+    """Schema −53 (NHCB): classic le-buckets over the native wire —
+    custom_values carries the finite upper bounds, bucket index
+    len(custom_values) is the implicit +Inf bucket."""
+    h = _nh(count=10, sum=99.0, schema=-53, zero_count=0,
+            zero_threshold=0.0,
+            positive_spans=[(0, 4)], positive_deltas=[3, -1, 0, -1],
+            custom_values=[0.1, 0.5, 2.5])
+    req = RW.encode_write_request_v2(
+        [{"labels": {"__name__": "lat"}, "samples": [], "histograms": [h]}])
+    (s,) = RW.decode_write_request_v2(req)
+    (g,) = s["histograms"]
+    assert g["schema"] == -53
+    assert g["custom_values"] == [0.1, 0.5, 2.5]
+    # index 3 == len(custom_values) is the +Inf bucket: counts 3,2,2,1
+    assert (g["pos_offset"], g["pos_counts"]) == (0, [3, 2, 2, 1])
+
+
+def test_v2_native_histogram_custom_bucket_violations_refused():
+    # boundaries not strictly increasing
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=1, schema=-53, zero_threshold=0.0,
+            positive_spans=[(0, 1)], positive_deltas=[1],
+            custom_values=[1.0, 1.0])]}])
+    with pytest.raises(ValueError, match="strictly"):
+        RW.decode_write_request_v2(r)
+    # non-finite boundary
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=1, schema=-53, zero_threshold=0.0,
+            positive_spans=[(0, 1)], positive_deltas=[1],
+            custom_values=[float("inf")])]}])
+    with pytest.raises(ValueError, match="non-finite"):
+        RW.decode_write_request_v2(r)
+    # bucket index beyond the +Inf bucket
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=5, schema=-53, zero_threshold=0.0,
+            positive_spans=[(0, 3)], positive_deltas=[1, 1, 1],
+            custom_values=[1.0])]}])
+    with pytest.raises(ValueError, match="beyond the"):
+        RW.decode_write_request_v2(r)
+    # zero/negative buckets are unused in NHCB
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=5, schema=-53, zero_count=2, zero_threshold=0.0,
+            positive_spans=[(0, 1)], positive_deltas=[1],
+            custom_values=[1.0])]}])
+    with pytest.raises(ValueError, match="NHCB"):
+        RW.decode_write_request_v2(r)
+    # custom_values next to an exponential schema
+    r = RW.encode_write_request_v2([{"labels": {}, "samples": [], "histograms": [
+        _nh(count=1, schema=2, positive_spans=[(0, 1)],
+            positive_deltas=[1], custom_values=[1.0])]}])
+    with pytest.raises(ValueError, match="custom_values given"):
+        RW.decode_write_request_v2(r)
 
 
 def test_v2_native_histogram_custom_schema_refused():
     req = RW.encode_write_request_v2(
         [{"labels": {}, "samples": [],
           "histograms": [_nh(schema=127)]}])
-    with pytest.raises(ValueError, match="custom-bucket"):
+    with pytest.raises(ValueError, match="outside"):
         RW.decode_write_request_v2(req)
     req2 = RW.encode_write_request_v2(
         [{"labels": {}, "samples": [], "histograms": [_nh(schema=9)]}])
@@ -329,6 +422,48 @@ def test_v2_native_histograms_spark_path(spark):
     assert len(srows) == 1 and srows[0]["value"] == 1.0
 
 
+def test_v2_native_histograms_float_surface(spark):
+    """flavor='float': float histograms decode natively, integer ones
+    UPCAST (ToFloat); the strict integer surface refuses the float."""
+    hi = _nh(count=3, schema=0, positive_spans=[(0, 1)],
+             positive_deltas=[3], timestamp=1000)
+    hf = _nh(flavor="float", count=2.5, schema=0, zero_count=0.5,
+             positive_spans=[(0, 1)], positive_counts=[2.0],
+             timestamp=2000)
+    enc = RW.snappy_compress(RW.encode_write_request_v2([
+        {"labels": {"__name__": "lat"}, "samples": [],
+         "histograms": [hi, hf]},
+    ]))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    out = RW.remote_write_v2_native_histograms(df, flavor="float")
+    assert dict(out.dtypes)["count"] == "double"
+    rows = {r["timestamp_ms"]: r for r in out.collect()}
+    assert rows[1000]["count"] == 3.0 and rows[1000]["pos_counts"] == [3.0]
+    assert rows[2000]["count"] == 2.5 and rows[2000]["zero_count"] == 0.5
+    import pytest as _pt
+    with _pt.raises(Exception, match="integer surface"):
+        RW.remote_write_v2_native_histograms(df).collect()
+
+
+def test_v2_native_histograms_custom_values_column(spark):
+    """NHCB rows surface custom_values; exponential rows hold []."""
+    hn = _nh(count=4, schema=-53, zero_threshold=0.0,
+             positive_spans=[(0, 2)], positive_deltas=[3, -2],
+             custom_values=[0.5, 2.0], timestamp=1000)
+    he = _nh(count=2, schema=1, positive_spans=[(0, 1)],
+             positive_deltas=[2], timestamp=2000)
+    enc = RW.snappy_compress(RW.encode_write_request_v2([
+        {"labels": {"__name__": "lat"}, "samples": [],
+         "histograms": [hn, he]},
+    ]))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    rows = {r["timestamp_ms"]: r
+            for r in RW.remote_write_v2_native_histograms(df).collect()}
+    assert rows[1000]["custom_values"] == [0.5, 2.0]
+    assert rows[1000]["pos_counts"] == [3, 1]
+    assert rows[2000]["custom_values"] == []
+
+
 def test_v2_unpacked_labels_refs_accepted():
     from prom_etl_db_spark.functions.remote_write import (
         _enc_field, _enc_len, _enc_uvarint)
@@ -344,23 +479,83 @@ def test_v2_unpacked_labels_refs_accepted():
     assert s == {"labels": {"__name__": "m"}, "samples": [(7.5, 5)]}
 
 
-def test_v2_auxiliary_fields_skipped():
-    """exemplars (4) / metadata (5) / created_timestamp (6) skip per
-    proto3 — auxiliary, not sample data."""
+def test_v2_auxiliary_fields_decode():
+    """exemplars (4) / metadata (5) / created_timestamp (6) DECODE as
+    of later r8 (they are data-bearing); unknown fields still skip."""
     from prom_etl_db_spark.functions.remote_write import (
         _enc_field, _enc_len, _enc_uvarint)
     import struct as _st
 
     req = _enc_len(4, b"") + _enc_len(4, b"__name__") + _enc_len(4, b"m")
     sm = _enc_field(1, 1) + _st.pack("<d", 1.0) + _enc_field(2, 0) + _enc_uvarint(9)
+    ex = (_enc_len(1, _enc_uvarint(1) + _enc_uvarint(2))  # {__name__: m}
+          + _enc_field(2, 1) + _st.pack("<d", 7.5)
+          + _enc_field(3, 0) + _enc_uvarint(42))
     ts = (_enc_len(1, _enc_uvarint(1) + _enc_uvarint(2))
           + _enc_len(2, sm)
-          + _enc_len(4, b"\x08\x01")              # exemplar-ish blob
+          + _enc_len(4, ex)
           + _enc_len(5, b"\x08\x02")              # metadata blob
-          + _enc_field(6, 0) + _enc_uvarint(123)) # created_timestamp
+          + _enc_field(6, 0) + _enc_uvarint(123)  # created_timestamp
+          + _enc_field(99, 0) + _enc_uvarint(1))  # unknown field skips
     req += _enc_len(5, ts)
     (s,) = RW.decode_write_request_v2(req)
     assert s["samples"] == [(1.0, 9)]
+    assert s["exemplars"] == [
+        {"labels": {"__name__": "m"}, "value": 7.5, "timestamp": 42}]
+    assert s["created_timestamp"] == 123
+
+
+def test_v2_exemplar_roundtrip_and_ref_violations():
+    enc = RW.encode_write_request_v2([
+        {"labels": {"__name__": "lat", "job": "x"},
+         "samples": [(2.0, 1000)],
+         "created_timestamp": 500,
+         "exemplars": [
+             {"labels": {"trace_id": "abc123"}, "value": 2.5,
+              "timestamp": 999},
+             {"labels": {}, "value": 1.0, "timestamp": 998},
+         ]},
+    ])
+    (s,) = RW.decode_write_request_v2(enc)
+    assert s["created_timestamp"] == 500
+    assert s["exemplars"][0]["labels"] == {"trace_id": "abc123"}
+    assert s["exemplars"][1]["labels"] == {}
+    # out-of-range exemplar symbol ref refuses
+    from prom_etl_db_spark.functions.remote_write import (
+        _enc_field, _enc_len, _enc_uvarint)
+    import struct as _st
+    ex = (_enc_len(1, _enc_uvarint(7) + _enc_uvarint(8))
+          + _enc_field(2, 1) + _st.pack("<d", 1.0))
+    req = (_enc_len(4, b"")
+           + _enc_len(5, _enc_len(4, ex)))
+    with pytest.raises(ValueError, match="exemplar symbol ref"):
+        RW.decode_write_request_v2(req)
+    # odd exemplar labels_refs refuses
+    ex2 = _enc_len(1, _enc_uvarint(0)) + _enc_field(2, 1) + _st.pack("<d", 1.0)
+    req2 = _enc_len(4, b"") + _enc_len(5, _enc_len(4, ex2))
+    with pytest.raises(ValueError, match="exemplar labels_refs count"):
+        RW.decode_write_request_v2(req2)
+
+
+def test_v2_exemplars_spark_path_and_created_column(spark):
+    enc = RW.snappy_compress(RW.encode_write_request_v2([
+        {"labels": {"__name__": "lat", "job": "x"},
+         "samples": [(2.0, 1000)],
+         "created_timestamp": 500,
+         "exemplars": [{"labels": {"trace_id": "t1"}, "value": 2.5,
+                        "timestamp": 999}]},
+        {"labels": {"__name__": "lat", "job": "y"},
+         "samples": [(3.0, 1000)]},
+    ]))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    ex = RW.remote_write_v2_exemplars(df).collect()
+    assert len(ex) == 1
+    assert ex[0]["exemplar_labels"] == {"trace_id": "t1"}
+    assert ex[0]["labels"] == {"job": "x"} and ex[0]["value"] == 2.5
+    sm = {r["labels"]["job"]: r for r in RW.remote_write_v2_samples(
+        df, with_created=True).collect()}
+    assert sm["x"]["created_timestamp_ms"] == 500
+    assert sm["y"]["created_timestamp_ms"] is None
 
 
 def test_v2_corrupt_fuzz_refuses_loudly():

@@ -842,6 +842,123 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         F.col("schema"), "zero_count", "pos_offset", "pos_counts",
     )
     run("native_hist_increase", promql.native_hist_increase(_inc_pts))
+
+    # later r8: float flavor, NHCB → quantile, stats family, exemplars,
+    # CT-aware increase — all one-decode compositions over the same ev.
+    from prom_etl_db_spark.operators import native_hist as _nhop
+
+    def _build_nh3(name, user):
+        import pandas as _pd
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            hf = {"flavor": "float",
+                  "count": (u % 2) * 0.5 + (u % 3 + 1) * 0.5 + (u % 4) * 0.25,
+                  "sum": u * 0.375, "schema": u % 4 - 1,
+                  "zero_count": (u % 2) * 0.5,
+                  "positive_spans": [(u % 3, 2)],
+                  "positive_counts": [(u % 3 + 1) * 0.5, (u % 4) * 0.25],
+                  "timestamp": 1706572800000}
+            cv = [(u % 3 + 1) * 0.25, 2.5 + (u % 4)]
+            k0, k1, k2 = u % 3 + 1, u % 4, u % 2
+            hn = {"count": k0 + k1 + k2, "schema": -53, "zero_count": 0,
+                  "zero_threshold": 0.0, "positive_spans": [(0, 3)],
+                  "positive_deltas": [k0, k1 - k0, k2 - k1],
+                  "custom_values": cv, "timestamp": 1706572800000}
+            out.append(_rw2.snappy_compress(_rw2.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u), "f": "1"},
+                  "samples": [], "histograms": [hf]},
+                 {"labels": {"__name__": n, "user": str(u), "f": "0"},
+                  "samples": [], "histograms": [hn]}])))
+        return _pd.Series(out)
+
+    _nh3udf = F.pandas_udf(_build_nh3, returnType=_Bin())
+    mixed_payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _nh3udf("event_type", "user_id").alias("body"),
+    )
+    _mix_pts = _rw2.remote_write_v2_native_histograms(
+        mixed_payloads, flavor="float")
+    run("nh_float_decode", _mix_pts.where(F.col("schema") != -53))
+    # NHCB rides the universal (float) surface here because the fixture
+    # packs a float histogram into the same push
+    _nhcb = _nhop.nhcb_to_le_buckets(_mix_pts)
+    _nhcb_z = _nhcb.select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+            F.array("metric_name", F.col("push_id").cast("string"),
+                    F.col("le_cum.le")),
+        ).alias("labels"),
+        F.col("le_cum.cum").alias("value"),
+    )
+    run("nhcb_quantile", promql.histogram_quantile(_nhcb_z, 0.5))
+    run("native_hist_stats",
+        _nhop.histogram_stats(_mix_pts).select("hist_avg", "hist_stddev"))
+
+    def _build_ex(name, user):
+        import pandas as _pd
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            out.append(_rw2.snappy_compress(_rw2.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(u), 1706572800000),
+                              (float(u + 1), 1706572860000),
+                              (float(u % 3), 1706572920000)],
+                  "created_timestamp": 1706572800000 - (u % 2) * 30000,
+                  "exemplars": [
+                      {"labels": {"trace_id": f"t{u % 997}"},
+                       "value": u * 0.25, "timestamp": 1706572800001},
+                      {"labels": {"trace_id": f"s{u % 997}"},
+                       "value": u * 0.5, "timestamp": 1706572800002},
+                  ]}])))
+        return _pd.Series(out)
+
+    _exudf = F.pandas_udf(_build_ex, returnType=_Bin())
+    ex_payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _exudf("event_type", "user_id").alias("body"),
+    )
+    run("rw2_exemplars", _rw2.remote_write_v2_exemplars(ex_payloads))
+
+    def _build_otex(name, user, eid):
+        import pandas as _pd
+        out = []
+        for n, u, e in zip(name, user, eid):
+            u, e = int(u), int(e)
+            k = (e * 2654435761) % (1 << 32)
+            out.append(_ot.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "1", "type": "gauge",
+                    "points": [{
+                        "attrs": {}, "time_unix_nano": 1706572800_000_000_000,
+                        "value": float(u),
+                        "exemplars": [{"time_unix_nano": 1,
+                                       "value": u * 0.25,
+                                       "trace_id": f"{k:032x}",
+                                       "span_id": f"{u % 65536:016x}"}],
+                    }],
+                }]}]}]))
+        return _pd.Series(out)
+
+    _otexudf = F.pandas_udf(_build_otex, returnType=_Bin())
+    run("otlp_exemplars", _ot.otlp_exemplars(ev.select(
+        F.col("event_id").alias("push_id"),
+        _otexudf("event_type", "user_id", "event_id").alias("body"))))
+    from pyspark.sql import Window as _W
+    _ct_pts = _rw2.remote_write_v2_samples(ex_payloads, with_created=True)
+    _ct_w = _W.partitionBy("push_id").orderBy("timestamp_ms")
+    _ct = _ct_pts.withColumn("prev", F.lag("value").over(_ct_w)).withColumn(
+        "contrib",
+        F.when(F.col("prev").isNull(),
+               F.when(F.col("created_timestamp_ms")
+                      >= F.lit(1706572800000 - 15000), F.col("value"))
+               .otherwise(F.lit(0.0)))
+        .when(F.col("value") < F.col("prev"), F.col("value"))
+        .otherwise(F.col("value") - F.col("prev")),
+    ).groupBy("push_id").agg(F.sum("contrib").alias("increase"))
+    run("ct_increase", _ct)
     wet_pages = docs.select(
         "doc_id",
         F.concat(F.lit("http://h/"), F.col("doc_id").cast("string")).alias("target_uri"),
