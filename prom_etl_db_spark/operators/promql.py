@@ -2895,19 +2895,35 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
       the coarser schema before subtracting — Prometheus's own rule
       (fine bucket i folds into coarse ⌈i/2^d⌉; `_nh_downscale`), so a
       mid-series scrape-config change degrades resolution instead of
-      erroring or silently mis-pairing buckets.
+      erroring or silently mis-pairing buckets;
+    - CUSTOM-BUCKET series (NHCB, schema −53; later r8): increase is
+      the same aligned subtraction — bucket index i means
+      custom_values[i] on both endpoints — but ONLY when the
+      boundaries match; a custom_values CHANGE between endpoints
+      refuses loudly (F.raise_error), because index-wise subtraction
+      across different boundaries silently attributes counts to the
+      wrong le, and unlike exponential schemas there is no
+      formula-defined merge. Mixing −53 with an exponential schema in
+      one series refuses for the same reason. The checks only exist
+      when the input CARRIES a custom_values column; exponential-only
+      callers are unaffected.
 
     Input shape = the wire decoders' output: (labels map, ts timestamp,
     schema int, zero_count long, pos_offset int, pos_counts
-    array<long>). Output: one row per series with the increase in the
-    same shape plus ``reset`` and ``dt_seconds``.
+    array<long>[, custom_values array<double>]). Output: one row per
+    series with the increase in the same shape plus ``reset`` and
+    ``dt_seconds`` (and ``custom_values`` when the input carried it).
 
     Plan: ONE hash aggregation keyed on the series (min_by/max_by keep
     the endpoint structs — no sort, no window), then pure-Column array
     algebra; a single shuffle regardless of samples per series.
     """
+    has_cv = "custom_values" in hist.columns
     keyed = _ensure_series(hist)
-    snap = F.struct("ts", "schema", "zero_count", "pos_offset", "pos_counts")
+    snap_cols = ["ts", "schema", "zero_count", "pos_offset", "pos_counts"]
+    if has_cv:
+        snap_cols.append("custom_values")
+    snap = F.struct(*snap_cols)
     g = keyed.groupBy("__series").agg(
         F.min_by(snap, F.col("ts")).alias("a"),
         F.max_by(snap, F.col("ts")).alias("b"),
@@ -2916,6 +2932,27 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     # schema mismatch: downscale the FINER endpoint to the coarser
     # schema (d scale steps), then subtract as usual
     target = F.least(a["schema"], b["schema"])
+    if has_cv:
+        nhcb_a = a["schema"] == F.lit(-53)
+        nhcb_b = b["schema"] == F.lit(-53)
+        target = (
+            F.when(
+                nhcb_a != nhcb_b,
+                F.raise_error(F.lit(
+                    "native_hist_increase: series mixes custom-bucket "
+                    "(schema -53) and exponential samples — no merge "
+                    "exists across bucket families")),
+            )
+            .when(
+                nhcb_a & nhcb_b
+                & (a["custom_values"] != b["custom_values"]),
+                F.raise_error(F.lit(
+                    "native_hist_increase: custom_values changed "
+                    "mid-series — index-wise subtraction across "
+                    "different boundaries would mis-attribute counts")),
+            )
+            .otherwise(target)
+        )
     ao, ac = _nh_downscale(
         a["pos_offset"], a["pos_counts"],
         (a["schema"] - target).cast("int"))
@@ -2968,4 +3005,5 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
         (F.unix_timestamp(b["ts"]) - F.unix_timestamp(a["ts"]))
         .cast("long")
         .alias("dt_seconds"),
+        *([b["custom_values"].alias("custom_values")] if has_cv else []),
     )

@@ -160,6 +160,11 @@ _GATE_PRIORITY = [
     # (symbol-table labels vs raw bytes) into one trace-keyed agg.
     "otlp_exemplars_decode",
     "exemplars_cross_protocol",
+    # nhcb_increase_quantile: LATE r8 — increase() extended to NHCB
+    # series (custom_values-equality guard INSIDE the operator, loud
+    # refusal on boundary changes) composed into histogram_quantile
+    # over the increase histogram.
+    "nhcb_increase_quantile",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

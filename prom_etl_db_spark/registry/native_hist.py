@@ -295,3 +295,121 @@ def native_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hist_stdvar", 6).alias("hist_stdvar"),
         F.round("hist_stddev", 6).alias("hist_stddev"),
     )
+
+
+@register(
+    "nhcb_increase_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 + 1 AS DOUBLE) * 0.25 AS cv0,
+    2.5 + CAST(user_id % 4 AS DOUBLE) AS cv1,
+    CAST(user_id % 2 + 1 AS BIGINT) AS g0,
+    CAST(user_id % 3 AS BIGINT) AS g1
+  FROM events
+), b AS (
+  SELECT event_id, event_type,
+    unnest([cv0, cv1, 'inf'::DOUBLE]) AS le,
+    unnest([g0, g0 + g1, g0 + g1 + 1]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.5 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p50
+FROM crossing
+""",
+)
+def nhcb_increase_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NHCB PromQL idiom end-to-end: two pushes per custom-bucket
+    series → ``native_hist_increase`` (aligned subtraction under the
+    custom_values-equality guard — the operator, not the fixture,
+    verifies the boundaries match) → ``nhcb_to_le_buckets`` →
+    ``histogram_quantile`` at q=0.5 over the INCREASE histogram.
+    Per-bucket growth is closed-form (g0 = u%2+1, g1 = u%3, +Inf
+    bucket +1), so the oracle replays the classic interpolation over
+    the growth cumulatives directly. Plan: decode (mapInPandas) → one
+    series hash agg (increase) → pure-Column le/cum arrays →
+    posexplode → one window per histogram."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            cv = [(u % 3 + 1) * 0.25, 2.5 + (u % 4)]
+            k0, k1, k2 = u % 3 + 1, u % 4, u % 2
+            g0, g1, g2 = u % 2 + 1, u % 3, 1
+            hs = []
+            for counts, ts in (((k0, k1, k2), 1706572800000),
+                               ((k0 + g0, k1 + g1, k2 + g2),
+                                1706572860000)):
+                deltas = [counts[0], counts[1] - counts[0],
+                          counts[2] - counts[1]]
+                hs.append({
+                    "count": sum(counts), "schema": -53, "zero_count": 0,
+                    "zero_threshold": 0.0, "positive_spans": [(0, 3)],
+                    "positive_deltas": deltas, "custom_values": cv,
+                    "timestamp": ts,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(int(e))},
+                  "samples": [], "histograms": hs}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"), "zero_count", "pos_offset", "pos_counts",
+        "custom_values",
+    )
+    inc = promql.native_hist_increase(pts)
+    # the increase histogram's total = zero-bucket growth + bucket sums
+    inc = inc.withColumn(
+        "count",
+        F.col("zero_count")
+        + F.aggregate(
+            F.col("pos_counts"), F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x),
+    ).withColumn("metric_name", F.col("labels")["__name__"])
+    exploded = NH.nhcb_to_le_buckets(inc)
+    buckets = exploded.select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+            F.array(
+                F.concat(F.col("metric_name"), F.lit("_bucket")),
+                F.col("labels")["eid"],
+                F.col("le_cum.le"),
+            ),
+        ).alias("labels"),
+        F.col("le_cum.cum").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.5)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace(
+            F.col("labels")["__name__"], "_bucket$", ""
+        ).alias("metric_name"),
+        F.round("value", 6).alias("p50"),
+    )

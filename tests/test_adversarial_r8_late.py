@@ -1,0 +1,207 @@
+"""Late-r8 adversarial seam pass: the float/NHCB/exemplar/CT surface
+added after the main r8 wave. Pins the seams probed during the pass
+(all clean at probe time — this file keeps them that way)."""
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.functions import otlp as O
+from prom_etl_db_spark.functions import remote_write as RW
+from prom_etl_db_spark.functions.remote_write import (
+    _enc_field,
+    _enc_len,
+    _enc_uvarint,
+)
+from prom_etl_db_spark.operators import native_hist as NH
+
+
+def test_float_histogram_count_below_buckets_refuses():
+    with pytest.raises(ValueError, match="below the sum"):
+        RW.decode_write_request_v2(RW.encode_write_request_v2(
+            [{"labels": {}, "samples": [], "histograms": [{
+                "flavor": "float", "count": 1.0, "zero_count": 0.0,
+                "positive_spans": [(0, 1)], "positive_counts": [2.5]}]}]))
+
+
+def test_bare_exemplar_gets_proto3_defaults():
+    """An exemplar with ONLY a trace_id (v2 labels omitted, value
+    omitted) decodes to the proto3 defaults — not a crash, not a
+    skip."""
+    ex = _enc_len(5, b"\x11" * 16)  # unknown-to-v2 field: otlp trace
+    req = _enc_len(4, b"") + _enc_len(5, _enc_len(4, ex))
+    (s,) = RW.decode_write_request_v2(req)
+    assert s["exemplars"] == [{"labels": {}, "value": 0.0, "timestamp": 0}]
+
+
+def test_otlp_zero_length_ids_refuse():
+    bad = _enc_field(3, 1) + struct.pack("<d", 1.0) + _enc_len(5, b"")
+    point = (_enc_field(3, 1) + struct.pack("<Q", 1)
+             + _enc_field(4, 1) + struct.pack("<d", 1.0)
+             + _enc_len(5, bad))
+    metric = _enc_len(1, b"m") + _enc_len(5, _enc_len(1, point))
+    req = _enc_len(1, _enc_len(2, _enc_len(2, metric)))
+    with pytest.raises(ValueError, match="trace_id is 0 bytes"):
+        O.decode_export_metrics(req)
+
+
+def test_negative_created_timestamp_roundtrips():
+    enc = RW.encode_write_request_v2(
+        [{"labels": {}, "samples": [(1.0, 5)], "created_timestamp": -1}])
+    (s,) = RW.decode_write_request_v2(enc)
+    assert s["created_timestamp"] == -1
+
+
+def test_float_nhcb_decodes_and_le_maps(spark):
+    """NHCB + float flavor together (recording rules over classic-
+    bucket histograms produce exactly this)."""
+    enc = RW.snappy_compress(RW.encode_write_request_v2(
+        [{"labels": {"__name__": "m"}, "samples": [], "histograms": [{
+            "flavor": "float", "count": 3.5, "zero_count": 0.0,
+            "schema": -53, "zero_threshold": 0.0,
+            "positive_spans": [(0, 2)], "positive_counts": [2.0, 1.5],
+            "custom_values": [1.0]}]}]))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    pts = RW.remote_write_v2_native_histograms(df, flavor="float")
+    out = {(r["le"], r["cum"]) for r in NH.nhcb_to_le_buckets(pts).select(
+        "le_cum.le", "le_cum.cum").collect()}
+    # index 0 -> le 1.0 cum 2.0; index 1 == len(cv) -> +Inf forced 3.5
+    assert out == {("1.0", 2.0), ("+Inf", 3.5)}
+
+
+def test_histogram_stats_missing_sum_yields_nulls(spark):
+    """prompb sum is optional; without it avg/stdvar/stddev are NULL
+    (unknown), NOT 0 and NOT NaN (NaN means 'empty histogram')."""
+    base = {
+        "metric_name": "m", "labels": {}, "timestamp_ms": 0,
+        "count": 3, "sum": None, "schema": 0, "zero_threshold": 0.0,
+        "zero_count": 0, "pos_offset": 0, "pos_counts": [3],
+        "neg_offset": 0, "neg_counts": [], "custom_values": [],
+    }
+    df = spark.createDataFrame([Row(**base)], schema=RW.NATIVE_HIST_SCHEMA)
+    (r,) = NH.histogram_stats(df).collect()
+    assert r["hist_count"] == 3
+    assert r["hist_sum"] is None and r["hist_avg"] is None
+    assert r["hist_stdvar"] is None and r["hist_stddev"] is None
+
+
+def test_ct_aware_increase_null_ct_means_no_zero_injection(spark):
+    """A sender without created_timestamp (v1 pushes, old agents) must
+    fall back to plain windowed increase — NULL CT is 'unknown birth',
+    never 'born in window'."""
+    enc = RW.snappy_compress(RW.encode_write_request_v2(
+        [{"labels": {"__name__": "c"},
+          "samples": [(5.0, 1000), (9.0, 2000)]}]))
+    df = spark.createDataFrame([(1, enc)], "push_id long, body binary")
+    pts = RW.remote_write_v2_samples(df, with_created=True)
+    w = Window.partitionBy("push_id").orderBy("timestamp_ms")
+    out = pts.withColumn("prev", F.lag("value").over(w)).withColumn(
+        "contrib",
+        F.when(F.col("prev").isNull(),
+               F.when(F.col("created_timestamp_ms") >= F.lit(0),
+                      F.col("value")).otherwise(F.lit(0.0)))
+        .when(F.col("value") < F.col("prev"), F.col("value"))
+        .otherwise(F.col("value") - F.col("prev")),
+    ).groupBy("push_id").agg(F.sum("contrib").alias("inc")).collect()
+    # NULL >= 0 is NULL -> otherwise(0.0): first sample contributes 0
+    assert out[0]["inc"] == 4.0
+
+
+def test_unpacked_custom_values_accepted():
+    """proto3: repeated doubles must parse in unpacked form too."""
+    body = (_enc_field(1, 0) + _enc_uvarint(2)  # count_int = 2
+            + _enc_field(4, 0) + _enc_uvarint(
+                (abs(-53) << 1) - 1 if -53 < 0 else -53 << 1)  # zigzag -53
+            + _enc_len(11, _enc_field(1, 0) + _enc_uvarint(0)
+                       + _enc_field(2, 0) + _enc_uvarint(1))  # span (0,1)
+            + _enc_len(12, _enc_uvarint(2 << 1))  # delta +2 zigzag
+            + _enc_field(16, 1) + struct.pack("<d", 0.5))  # UNPACKED cv
+    req = _enc_len(4, b"") + _enc_len(5, _enc_len(3, body))
+    (s,) = RW.decode_write_request_v2(req)
+    (h,) = s["histograms"]
+    assert h["schema"] == -53 and h["custom_values"] == [0.5]
+    assert h["pos_counts"] == [2]
+
+
+def test_float_histogram_stats_on_float_surface(spark):
+    """histogram_stats runs unchanged on the double-typed surface —
+    fractional counts flow through the moment sums."""
+    base = {
+        "metric_name": "m", "labels": {}, "timestamp_ms": 0,
+        "count": 2.5, "sum": 5.0, "schema": 0, "zero_threshold": 0.0,
+        "zero_count": 0.5, "pos_offset": 0, "pos_counts": [2.0],
+        "neg_offset": 0, "neg_counts": [], "custom_values": [],
+    }
+    df = spark.createDataFrame(
+        [Row(**base)], schema=RW.NATIVE_HIST_FLOAT_SCHEMA)
+    (r,) = NH.histogram_stats(df).collect()
+    mean = 5.0 / 2.5
+    mid = 2 ** -0.5  # schema 0, bucket 0 -> 2^(0-0.5)
+    var = (2.0 * mid * mid - 2 * mean * 2.0 * mid
+           + mean * mean * 2.5) / 2.5
+    assert r["hist_avg"] == pytest.approx(mean)
+    assert r["hist_stdvar"] == pytest.approx(var)
+    assert r["hist_stddev"] == pytest.approx(math.sqrt(var))
+
+
+def _nh_series_df(spark, rows):
+    from prom_etl_db_spark import session  # noqa: F401
+
+    data = []
+    for r in rows:
+        data.append(Row(
+            labels=r.get("labels", {"__name__": "m"}),
+            ts=r["ts"], schema=r.get("schema", -53),
+            zero_count=r.get("zero_count", 0),
+            pos_offset=r.get("pos_offset", 0),
+            pos_counts=r.get("pos_counts", []),
+            custom_values=r.get("custom_values", []),
+        ))
+    return spark.createDataFrame(
+        data,
+        "labels map<string,string>, ts timestamp, schema int, "
+        "zero_count long, pos_offset int, pos_counts array<long>, "
+        "custom_values array<double>")
+
+
+def test_nhcb_increase_matching_boundaries(spark):
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators import promql
+
+    df = _nh_series_df(spark, [
+        {"ts": datetime(2024, 1, 1, 0, 0), "pos_counts": [2, 1, 0],
+         "custom_values": [0.5, 2.0]},
+        {"ts": datetime(2024, 1, 1, 0, 1), "pos_counts": [5, 1, 2],
+         "custom_values": [0.5, 2.0]},
+    ])
+    (r,) = promql.native_hist_increase(df).collect()
+    assert r["schema"] == -53 and r["reset"] is False
+    assert r["pos_counts"] == [3, 0, 2]
+    assert r["custom_values"] == [0.5, 2.0]
+
+
+def test_nhcb_increase_changed_boundaries_refuses(spark):
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators import promql
+
+    df = _nh_series_df(spark, [
+        {"ts": datetime(2024, 1, 1, 0, 0), "pos_counts": [2],
+         "custom_values": [0.5]},
+        {"ts": datetime(2024, 1, 1, 0, 1), "pos_counts": [5],
+         "custom_values": [0.75]},
+    ])
+    with pytest.raises(Exception, match="custom_values changed"):
+        promql.native_hist_increase(df).collect()
+    mixed = _nh_series_df(spark, [
+        {"ts": datetime(2024, 1, 1, 0, 0), "pos_counts": [2],
+         "custom_values": [0.5]},
+        {"ts": datetime(2024, 1, 1, 0, 1), "schema": 1,
+         "pos_counts": [5], "custom_values": []},
+    ])
+    with pytest.raises(Exception, match="bucket families"):
+        promql.native_hist_increase(mixed).collect()
