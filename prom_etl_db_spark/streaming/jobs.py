@@ -500,6 +500,58 @@ def stream_remote_write_rollup(
     return writer.start()
 
 
+def stream_ct_increase(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    window_start_ms: int,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CT-aware counter-increase streaming twin (later r8): remote-write
+    2.0 payloads drain through the v2 decode WITH created_timestamp,
+    then a per-series stateful fold keeps (last_value, total_increase)
+    with Prometheus's CT rule — the first-ever sample of a series born
+    inside the observation window counts fully (synthetic zero at CT);
+    NULL CT falls back to plain increase. Batch twin: the
+    ``ct_aware_increase`` registry query's window+agg over the same
+    payloads. Parquet sink appends each batch's updated series with the
+    batch id (the _start_parquet_sink protocol — latest batch per
+    series is the current state)."""
+    from prom_etl_db_spark.functions.remote_write import remote_write_v2_samples
+    from prom_etl_db_spark.streaming.stateful import (
+        _start_parquet_sink,
+        streaming_ct_counter_increase,
+    )
+
+    raw = (
+        spark.readStream.schema(REMOTE_WRITE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    samples = remote_write_v2_samples(raw, with_created=True).select(
+        F.to_json(
+            F.array_sort(
+                F.map_entries(
+                    F.map_concat(
+                        F.col("labels"),
+                        F.create_map(
+                            F.lit("__name__"), F.col("metric_name")
+                        ),
+                    )
+                )
+            )
+        ).alias("series"),
+        F.col("timestamp_ms"),
+        F.col("value"),
+        F.col("created_timestamp_ms").alias("created_ms"),
+    )
+    out = streaming_ct_counter_increase(
+        samples, window_start_ms=window_start_ms)
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
 CRAWL_URL_FILES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -119,6 +119,95 @@ def streaming_counter_increase(samples: DataFrame) -> DataFrame:
     )
 
 
+# -- CT-aware streaming counter increase (later r8) ---------------------------
+#
+# The created-timestamp twin of the fold above: remote-write 2.0 carries
+# the series' birth time (TimeSeries.created_timestamp), and Prometheus's
+# CT feature injects a synthetic zero there — a counter born INSIDE the
+# observation window counts its first sample as growth. Incrementally
+# that rule touches exactly ONE decision per series lifetime: what the
+# first-ever sample contributes. A separate fold (not a flag on
+# _fold_counter) so existing counter checkpoints stay restartable —
+# state-schema changes break applyInPandasWithState resume (the r3
+# funnel precedent documented in DIVERGENCES.md).
+
+CT_COUNTER_STATE_SCHEMA = StructType(
+    [
+        StructField("last_value", DoubleType(), True),
+        StructField("total_increase", DoubleType(), True),
+    ]
+)
+
+CT_COUNTER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("last_ts_ms", LongType(), True),
+        StructField("last_value", DoubleType(), True),
+        StructField("total_increase", DoubleType(), True),
+    ]
+)
+
+
+def make_ct_counter_fold(window_start_ms: int):
+    """Per-series fold: running reset-corrected increase where the
+    FIRST sample ever contributes its full value iff the series'
+    created_timestamp is inside the observation window (NULL CT =
+    unknown birth = no zero injection — the v1/old-agent fallback,
+    same rule as the batch twin ``ct_aware_increase``)."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        if state.exists:
+            last_value, total = state.get
+        else:
+            last_value, total = None, 0.0
+        last_ts = None
+        chunks = [pdf[["timestamp_ms", "value", "created_ms"]] for pdf in pdfs]
+        if chunks:
+            allr = pd.concat(chunks).sort_values(
+                ["timestamp_ms", "value"], kind="mergesort"
+            )
+            for ts, v, ct in zip(
+                allr["timestamp_ms"], allr["value"], allr["created_ms"]
+            ):
+                v = float(v)
+                if last_value is None:
+                    if not pd.isna(ct) and int(ct) >= window_start_ms:
+                        total += v
+                else:
+                    total += v if v < last_value else v - last_value
+                last_value = v
+                last_ts = int(ts)
+        state.update((last_value, total))
+        yield pd.DataFrame(
+            {
+                "series": [series],
+                "last_ts_ms": [last_ts],
+                "last_value": [last_value],
+                "total_increase": [total],
+            }
+        )
+
+    return fold
+
+
+def streaming_ct_counter_increase(
+    samples: DataFrame, *, window_start_ms: int
+) -> DataFrame:
+    """Stream-transform: per-series CT-aware running counter increase.
+    ``samples`` is a STREAMING DataFrame shaped (series string,
+    timestamp_ms long, value double, created_ms nullable long)."""
+    return samples.groupBy("series").applyInPandasWithState(
+        make_ct_counter_fold(window_start_ms),
+        outputStructType=CT_COUNTER_OUTPUT_SCHEMA,
+        stateStructType=CT_COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _start_parquet_sink(
     out: DataFrame, sink_dir: str, checkpoint_dir: str, available_now: bool
 ):

@@ -1433,3 +1433,97 @@ def test_streaming_remote_write_v2_rollup_matches_batch(spark, tmp_path):
     b = {(r["metric_name"], r["shard"]): (r["n"], r["sum_value"])
          for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_streaming_ct_increase_matches_batch_across_restart(spark, tmp_path):
+    """Later-r8 twin: the CT-aware counter increase (synthetic zero at
+    the series' birth for counters born inside the window) must equal
+    the batch ct_aware_increase computation over the same pushes, and
+    a restart resumes per-series state from the checkpoint (not from
+    zero)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.streaming.jobs import stream_ct_increase
+
+    T0 = 1706572800000
+    WSTART = T0 - 15000
+
+    def payload(name, user, samples, ct):
+        s = {"labels": {"__name__": name, "user": str(user)},
+             "samples": samples}
+        if ct is not None:
+            s["created_timestamp"] = ct
+        return RW.snappy_compress(RW.encode_write_request_v2([s]))
+
+    # run 1: three series — born-in-window, born-before, unknown CT
+    rows1 = [
+        (1, payload("c", 0, [(5.0, T0), (8.0, T0 + 60000)], T0)),
+        (2, payload("c", 1, [(5.0, T0), (8.0, T0 + 60000)], T0 - 30000)),
+        (3, payload("c", 2, [(5.0, T0), (8.0, T0 + 60000)], None)),
+    ]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_ct_increase(spark, str(src), str(sink), str(ckpt),
+                           window_start_ms=WSTART)
+    q.awaitTermination(120)
+
+    # run 2: later samples for the same series — one with a RESET —
+    # must fold onto checkpointed state (first-sample CT rule must NOT
+    # re-fire for a series the checkpoint already knows)
+    rows2 = [
+        (4, payload("c", 0, [(2.0, T0 + 120000)], T0)),       # reset to 2
+        (5, payload("c", 1, [(11.0, T0 + 120000)], T0 - 30000)),
+        (6, payload("c", 2, [(9.0, T0 + 120000)], None)),
+    ]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_ct_increase(spark, str(src), str(sink), str(ckpt),
+                            window_start_ms=WSTART)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink))
+    latest = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("series").orderBy(F.desc("batch_id"))),
+        ).where(F.col("rn") == 1).select("series", "total_increase")
+    )
+    stream_totals = {
+        r["series"]: r["total_increase"] for r in latest.collect()}
+
+    # batch twin over ALL pushes (the registry query's algebra)
+    pts = RW.remote_write_v2_samples(
+        spark.createDataFrame(rows1 + rows2, "push_id long, body binary"),
+        with_created=True,
+    )
+    w = Window.partitionBy(
+        "metric_name", F.col("labels")["user"]).orderBy("timestamp_ms")
+    batch = (
+        pts.withColumn("prev", F.lag("value").over(w))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.col("prev").isNull(),
+                F.when(F.col("created_timestamp_ms") >= F.lit(WSTART),
+                       F.col("value")).otherwise(F.lit(0.0)),
+            )
+            .when(F.col("value") < F.col("prev"), F.col("value"))
+            .otherwise(F.col("value") - F.col("prev")),
+        )
+        .groupBy(F.col("labels")["user"].alias("user"))
+        .agg(F.sum("contrib").alias("inc"))
+    )
+    batch_by_user = {r["user"]: r["inc"] for r in batch.collect()}
+    # born-in-window: 5 (CT) + 3 + 2 (reset) = 10
+    assert batch_by_user["0"] == 10.0
+    # born-before: 0 + 3 + 3 = 6; unknown CT: 0 + 3 + 1 = 4
+    assert batch_by_user["1"] == 6.0 and batch_by_user["2"] == 4.0
+    for series, total in stream_totals.items():
+        user = [kv["value"] for kv in __import__("json").loads(series)
+                if kv["key"] == "user"][0]
+        assert total == batch_by_user[user], series
