@@ -3007,3 +3007,62 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
         .alias("dt_seconds"),
         *([b["custom_values"].alias("custom_values")] if has_cv else []),
     )
+
+
+def otlp_delta_to_cumulative(
+    points: DataFrame,
+    *,
+    series_cols: Sequence[str] = ("metric_name",),
+    ts_col: str = "time_unix_nano",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """OTLP AggregationTemporality normalization (later r8): convert
+    DELTA sums (temporality = 1 — each point carries only the change
+    since the previous report, the OTLP SDKs' default for counters on
+    some runtimes) into the CUMULATIVE form (temporality = 2) every
+    Prometheus-side operator here expects — Prometheus's own OTLP
+    endpoint does this conversion behind its
+    ``otlp-deltatocumulative`` feature.
+
+    Rules:
+    - delta points accumulate per series in time order (running sum —
+      negative deltas are legal for non-monotonic sums);
+    - cumulative points pass through verbatim;
+    - UNSPECIFIED temporality (0) refuses loudly — guessing silently
+      double-counts or halves rates;
+    - a series MIXING delta and cumulative points refuses loudly — the
+      running sum of a mixed stream is meaningless and there is no
+      spec-defined repair.
+
+    Output: the input columns with ``value_col`` replaced by the
+    cumulative value and ``temporality`` forced to 2. Plan: two window
+    functions over ONE partitioning (a single shuffle keyed on the
+    series).
+    """
+    order_w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span_w = Window.partitionBy(*series_cols)
+    t = F.col("temporality")
+    checked = (
+        F.when(
+            t == 0,
+            F.raise_error(F.lit(
+                "otlp_delta_to_cumulative: UNSPECIFIED aggregation "
+                "temporality — refusing to guess (delta vs cumulative "
+                "changes every downstream rate)")),
+        )
+        .when(
+            F.min("temporality").over(span_w)
+            != F.max("temporality").over(span_w),
+            F.raise_error(F.lit(
+                "otlp_delta_to_cumulative: series mixes DELTA and "
+                "CUMULATIVE points — no spec-defined repair exists")),
+        )
+        .otherwise(t)
+    )
+    cum = F.when(
+        checked == 1, F.sum(value_col).over(run_w)
+    ).otherwise(F.col(value_col))
+    return points.withColumn(value_col, cum).withColumn(
+        "temporality", F.lit(2).cast("int")
+    )

@@ -55,6 +55,7 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     tokenizers,
     native_hist,
     rw2_aux,
+    otlp_temporal,
 )
 
 
@@ -165,6 +166,12 @@ _GATE_PRIORITY = [
     # refusal on boundary changes) composed into histogram_quantile
     # over the increase histogram.
     "nhcb_increase_quantile",
+    # otlp_delta_to_cumulative: LATE r8 — OTLP AggregationTemporality
+    # normalization (delta sums accumulate per series, cumulative pass
+    # through, UNSPECIFIED/mixed refuse) — the conversion Prometheus's
+    # own OTLP endpoint performs; differential fixture (both slices
+    # must read identically after normalization).
+    "otlp_delta_to_cumulative",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

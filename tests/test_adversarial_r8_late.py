@@ -205,3 +205,43 @@ def test_nhcb_increase_changed_boundaries_refuses(spark):
     ])
     with pytest.raises(Exception, match="bucket families"):
         promql.native_hist_increase(mixed).collect()
+
+
+def _otlp_sum_df(spark, series):
+    """series: list of (name, temporality, [(ts, value), ...])."""
+    rows = []
+    for name, temp, pts in series:
+        for ts, v in pts:
+            rows.append(Row(metric_name=name, temporality=temp,
+                            time_unix_nano=ts, value_double=float(v)))
+    return spark.createDataFrame(
+        rows,
+        "metric_name string, temporality int, time_unix_nano long, "
+        "value_double double")
+
+
+def test_delta_to_cumulative_accumulates_and_passes_through(spark):
+    from prom_etl_db_spark.operators import promql
+
+    df = _otlp_sum_df(spark, [
+        ("d", 1, [(1, 5.0), (2, -2.0), (3, 4.0)]),   # negative delta ok
+        ("c", 2, [(1, 5.0), (2, 3.0), (3, 7.0)]),    # passthrough
+    ])
+    out = promql.otlp_delta_to_cumulative(df)
+    got = {(r["metric_name"], r["time_unix_nano"]): r["value_double"]
+           for r in out.collect()}
+    assert [got[("d", t)] for t in (1, 2, 3)] == [5.0, 3.0, 7.0]
+    assert [got[("c", t)] for t in (1, 2, 3)] == [5.0, 3.0, 7.0]
+    assert out.select("temporality").distinct().collect()[0][0] == 2
+
+
+def test_delta_to_cumulative_refuses_unspecified_and_mixed(spark):
+    from prom_etl_db_spark.operators import promql
+
+    df = _otlp_sum_df(spark, [("u", 0, [(1, 5.0)])])
+    with pytest.raises(Exception, match="UNSPECIFIED"):
+        promql.otlp_delta_to_cumulative(df).collect()
+    mixed = _otlp_sum_df(spark, [("m", 1, [(1, 5.0)]),
+                                 ("m", 2, [(2, 6.0)])])
+    with pytest.raises(Exception, match="mixes DELTA"):
+        promql.otlp_delta_to_cumulative(mixed).collect()

@@ -946,6 +946,31 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("otlp_exemplars", _ot.otlp_exemplars(ev.select(
         F.col("event_id").alias("push_id"),
         _otexudf("event_type", "user_id", "event_id").alias("body"))))
+
+    def _build_delta(name, user, eid):
+        import pandas as _pd
+        out = []
+        for n, u, e in zip(name, user, eid):
+            u = int(u)
+            vals = [float(u % 7 + 1), float(u % 3), float(u % 4)]
+            out.append(_ot.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "1", "type": "sum",
+                    "temporality": 1, "is_monotonic": True,
+                    "points": [{"attrs": {"eid": str(int(e))},
+                                "time_unix_nano": 1706572800_000_000_000
+                                + i * 1_000_000_000,
+                                "value": v} for i, v in enumerate(vals)],
+                }]}]}]))
+        return _pd.Series(out)
+
+    _dudf = F.pandas_udf(_build_delta, returnType=_Bin())
+    _dpts = _ot.otlp_samples(ev.select(
+        F.col("event_id").alias("push_id"),
+        _dudf("event_type", "user_id", "event_id").alias("body")))
+    run("otlp_delta_to_cum", promql.otlp_delta_to_cumulative(
+        _dpts, series_cols=("push_id", "metric_name")))
     from pyspark.sql import Window as _W
     _ct_pts = _rw2.remote_write_v2_samples(ex_payloads, with_created=True)
     _ct_w = _W.partitionBy("push_id").orderBy("timestamp_ms")
