@@ -56,6 +56,7 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     native_hist,
     rw2_aux,
     otlp_temporal,
+    openmetrics_q,
 )
 
 
@@ -172,6 +173,13 @@ _GATE_PRIORITY = [
     # own OTLP endpoint performs; differential fixture (both slices
     # must read identically after normalization).
     "otlp_delta_to_cumulative",
+    # openmetrics_parse / openmetrics_exemplars: LATE r8 — the text
+    # exposition format gets oracle-gated (it was unit-only): sample
+    # parse proven exemplar-blind (half the fixture lines carry a
+    # tail), and the exemplar tail parses into the same metric→trace
+    # link shape as the two wire decoders — three formats, one join.
+    "openmetrics_parse",
+    "openmetrics_exemplars",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

@@ -111,3 +111,44 @@ def test_exemplar_stripped_only_outside_quoted_values(spark):
     assert by_first[(("code", "201"),)]["value"] == 7.0
     assert by_first[(("code", "201"),)]["timestamp"] is None
     assert by_first[(("q", "a # {b}"),)]["value"] == 3.0
+
+
+def test_exemplar_parse(spark):
+    """later r8: the exemplar tail (`# {labels} value [ts]`) surfaces
+    as its own row; samples without exemplars drop out; the sample
+    parse is unaffected."""
+    from prom_etl_db_spark.sources.openmetrics import (
+        parse_exposition_exemplars,
+        parse_exposition_lines,
+    )
+
+    text = "\n".join([
+        '# TYPE http_requests_total counter',
+        'http_requests_total{code="200"} 1027 1395066363000 '
+        '# {trace_id="abc",span_id="s1"} 3.5 1395066363.2',
+        'http_requests_total{code="400"} 3 1395066363000',
+        'empty_set_total 9 # {} 1.0',
+        'weird{v="has # {inside}"} 2 # {trace_id="t2"} +Inf',
+    ])
+    df = spark.createDataFrame([(x,) for x in text.splitlines()],
+                               "value string")
+    ex = {r["metric_name"]: r
+          for r in parse_exposition_exemplars(df).collect()}
+    assert len(ex) == 3
+    e = ex["http_requests_total"]
+    assert e["labels"] == {"code": "200"}
+    assert e["exemplar_labels"] == {"trace_id": "abc", "span_id": "s1"}
+    assert e["value"] == 3.5
+    assert e["timestamp"] is not None
+    assert ex["empty_set_total"]["exemplar_labels"] == {}
+    assert ex["empty_set_total"]["value"] == 1.0
+    assert ex["empty_set_total"]["timestamp"] is None
+    w = ex["weird"]
+    assert w["labels"] == {"v": "has # {inside}"}
+    assert w["value"] == float("inf")
+    # the sample parse still sees every sample, exemplar or not
+    samples = parse_exposition_lines(df)
+    assert samples.count() == 4
+    got = {(r["metric_name"], r["labels"].get("code"), r["value"])
+           for r in samples.collect()}
+    assert ("weird", None, 2.0) in got
