@@ -3066,3 +3066,93 @@ def otlp_delta_to_cumulative(
     return points.withColumn(value_col, cum).withColumn(
         "temporality", F.lit(2).cast("int")
     )
+
+
+def info_enrich(
+    samples: DataFrame,
+    info: DataFrame,
+    *,
+    identifying: Sequence[str] = ("instance", "job"),
+    data_labels: Sequence[str] | None = None,
+) -> DataFrame:
+    """PromQL ``info()`` (Prometheus 3.x experimental; previously the
+    ``* on(...) group_left(...) target_info`` join idiom): enrich each
+    sample's labels with the DATA labels of the info series sharing
+    its identifying labels.
+
+    - ``samples`` and ``info`` are sample frames (labels map + value
+      columns); info series are rows of an info METRIC (target_info /
+      build_info — value 1, identity = identifying labels, payload =
+      every other label).
+    - ``identifying`` names the join labels (Prometheus's default
+      identifying set is (instance, job)).
+    - ``data_labels`` optionally restricts which payload labels copy
+      over (the function's data-label-selector argument); None copies
+      all non-identifying info labels.
+    - CONFLICTS refuse loudly (F.raise_error): two info series for the
+      same identifying key with different payloads, or a payload label
+      colliding with a label the sample already carries — Prometheus
+      errors on both, and silently picking one mislabels every
+      downstream aggregate.
+    - samples with NO matching info series pass through unchanged
+      (left join — info enrichment must never drop data).
+
+    Plan: distinct info payloads per key (one small hash agg) →
+    broadcast left join on the identifying values → map_concat. The
+    info side is per-target metadata — broadcast-class by
+    construction."""
+    id_cols = [
+        F.col("labels")[k].alias(f"__id_{k}") for k in identifying
+    ]
+    payload = F.map_filter(
+        F.col("labels"),
+        lambda k, _: ~k.isin([*identifying, "__name__"])
+        if data_labels is None
+        else k.isin(list(data_labels)),
+    )
+    info_keyed = info.select(*id_cols, payload.alias("__payload"))
+    # one payload per identifying key; >1 distinct payload = conflict
+    info_agg = info_keyed.groupBy(
+        *[f"__id_{k}" for k in identifying]
+    ).agg(
+        F.first("__payload").alias("__payload"),
+        F.count_distinct(
+            F.to_json(F.array_sort(F.map_entries("__payload")))
+        ).alias("__n_payloads"),
+    ).withColumn(
+        "__payload",
+        F.when(
+            F.col("__n_payloads") > 1,
+            F.raise_error(F.lit(
+                "info_enrich: conflicting info series for one "
+                "identifying key — refusing to pick one")),
+        ).otherwise(F.col("__payload")),
+    ).drop("__n_payloads")
+    joined = samples.join(
+        F.broadcast(info_agg),
+        on=[
+            samples["labels"][k].eqNullSafe(info_agg[f"__id_{k}"])
+            for k in identifying
+        ],
+        how="left",
+    )
+    collision = F.exists(
+        F.map_keys(F.coalesce(F.col("__payload"),
+                              F.expr("map()"))),
+        lambda k: F.map_contains_key(F.col("labels"), k),
+    )
+    enriched = F.when(
+        collision,
+        F.raise_error(F.lit(
+            "info_enrich: info payload label collides with an "
+            "existing sample label — refusing to overwrite")),
+    ).otherwise(
+        F.map_concat(
+            F.col("labels"),
+            F.coalesce(F.col("__payload"),
+            F.expr("CAST(map() AS map<string,string>)")),
+        )
+    )
+    return joined.withColumn("labels", enriched).drop(
+        "__payload", *[f"__id_{k}" for k in identifying]
+    )

@@ -180,6 +180,11 @@ _GATE_PRIORITY = [
     # link shape as the two wire decoders — three formats, one join.
     "openmetrics_parse",
     "openmetrics_exemplars",
+    # promql_info_enrich: LATE r8 — PromQL info() (the target_info
+    # data-label join, Prometheus 3.x experimental): broadcast left
+    # join on identifying labels, conflicting payloads / label
+    # collisions refuse inside the operator.
+    "promql_info_enrich",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

@@ -225,3 +225,72 @@ def promql_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "promql_info_enrich",
+    oracle="""
+SELECT event_id,
+  round(user_id * 0.5e0, 4) AS value,
+  'i' || CAST(user_id % 50 AS VARCHAR) AS instance,
+  'j' || CAST(user_id % 3 AS VARCHAR) AS job,
+  CASE WHEN (user_id % 50) % 4 <> 3
+       THEN 'c' || CAST((user_id % 50) % 5 AS VARCHAR) END AS cluster,
+  CASE WHEN (user_id % 50) % 4 <> 3
+       THEN 'e' || CAST((user_id % 50) % 2 AS VARCHAR) END AS env
+FROM events
+""",
+)
+def promql_info_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``info()`` (later r8 — Prometheus 3.x experimental,
+    previously the ``* on(instance) group_left(...) target_info``
+    idiom): samples join the info metric's DATA labels (cluster, env)
+    through their identifying label; instances ≡ 3 (mod 4) carry no
+    info series and pass through with NULL payload labels — info
+    enrichment must never drop data. Conflicting info payloads and
+    payload labels colliding with existing sample labels refuse loudly
+    inside the operator (unit-pinned). Plan: one small distinct-agg on
+    the info side → BROADCAST left join (info is per-target metadata,
+    broadcast-class by construction) → map_concat."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    u = F.col("user_id")
+    inst = F.concat(F.lit("i"), (u % 50).cast("string"))
+    samples = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("instance"), F.lit("job")),
+            F.array(
+                F.lit("up"),
+                inst,
+                F.concat(F.lit("j"), (u % 3).cast("string")),
+            ),
+        ).alias("labels"),
+        (u.cast("double") * 0.5).alias("value"),
+    )
+    info = (
+        ev.select((u % 50).alias("i"))
+        .where(F.col("i") % 4 != 3)
+        .distinct()
+        .select(
+            F.map_from_arrays(
+                F.array(F.lit("__name__"), F.lit("instance"),
+                        F.lit("cluster"), F.lit("env")),
+                F.array(
+                    F.lit("target_info"),
+                    F.concat(F.lit("i"), F.col("i").cast("string")),
+                    F.concat(F.lit("c"), (F.col("i") % 5).cast("string")),
+                    F.concat(F.lit("e"), (F.col("i") % 2).cast("string")),
+                ),
+            ).alias("labels"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    out = promql.info_enrich(samples, info, identifying=("instance",))
+    return out.select(
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.col("labels")["instance"].alias("instance"),
+        F.col("labels")["job"].alias("job"),
+        F.col("labels")["cluster"].alias("cluster"),
+        F.col("labels")["env"].alias("env"),
+    )

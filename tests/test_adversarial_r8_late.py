@@ -245,3 +245,47 @@ def test_delta_to_cumulative_refuses_unspecified_and_mixed(spark):
                                  ("m", 2, [(2, 6.0)])])
     with pytest.raises(Exception, match="mixes DELTA"):
         promql.otlp_delta_to_cumulative(mixed).collect()
+
+
+def test_info_enrich_refusals_and_passthrough(spark):
+    from prom_etl_db_spark.operators import promql
+
+    samples = spark.createDataFrame(
+        [Row(labels={"__name__": "up", "instance": "i1"}, value=1.0),
+         Row(labels={"__name__": "up", "instance": "i9"}, value=2.0)],
+        "labels map<string,string>, value double")
+    info = spark.createDataFrame(
+        [Row(labels={"__name__": "target_info", "instance": "i1",
+                     "cluster": "c1"}, value=1.0)],
+        "labels map<string,string>, value double")
+    out = {r["labels"].get("instance"): dict(r["labels"])
+           for r in promql.info_enrich(
+               samples, info, identifying=("instance",)).collect()}
+    assert out["i1"]["cluster"] == "c1"
+    assert "cluster" not in out["i9"]  # unmatched passes through
+
+    conflict = info.union(spark.createDataFrame(
+        [Row(labels={"__name__": "target_info", "instance": "i1",
+                     "cluster": "OTHER"}, value=1.0)], info.schema))
+    with pytest.raises(Exception, match="conflicting info series"):
+        promql.info_enrich(
+            samples, info=conflict, identifying=("instance",)).collect()
+
+    colliding = spark.createDataFrame(
+        [Row(labels={"__name__": "up", "instance": "i1",
+                     "cluster": "mine"}, value=1.0)], samples.schema)
+    with pytest.raises(Exception, match="collides"):
+        promql.info_enrich(
+            colliding, info, identifying=("instance",)).collect()
+
+    # data_labels selector restricts the copied payload
+    info2 = spark.createDataFrame(
+        [Row(labels={"__name__": "target_info", "instance": "i1",
+                     "cluster": "c1", "env": "prod"}, value=1.0)],
+        info.schema)
+    only_env = promql.info_enrich(
+        samples, info2, identifying=("instance",),
+        data_labels=("env",)).collect()
+    lab = next(dict(r["labels"]) for r in only_env
+               if r["labels"]["instance"] == "i1")
+    assert lab.get("env") == "prod" and "cluster" not in lab
