@@ -3156,3 +3156,94 @@ def info_enrich(
     return joined.withColumn("labels", enriched).drop(
         "__payload", *[f"__id_{k}" for k in identifying]
     )
+
+
+def otlp_delta_hist_to_cumulative(
+    points: DataFrame,
+    *,
+    series_cols: Sequence[str] = ("metric_name",),
+    ts_col: str = "time_unix_nano",
+) -> DataFrame:
+    """OTLP temporality normalization for CLASSIC histograms (later
+    r8): DELTA histogram points (each carrying only the bucket counts
+    observed since the previous report) accumulate BUCKET-WISE per
+    series into the cumulative form the le-mapping quantile path
+    expects; cumulative points pass through.
+
+    Refusals (all loud, all at evaluation):
+    - UNSPECIFIED temporality (0) — guessing changes every rate;
+    - a series mixing delta and cumulative points;
+    - explicit_bounds CHANGING mid-series — bucket-wise addition
+      across different boundaries mis-attributes counts (the same
+      rule as NHCB increase; boundaries are data here too);
+    - EXPONENTIAL histograms with delta temporality — their
+      accumulation needs offset-aligned dense-bucket addition (the
+      inverse of native_hist_increase's subtraction); not implemented,
+      refusing beats silently treating deltas as cumulative.
+
+    Plan: one window partitioning per series — running collect_list of
+    the bucket arrays folded element-wise with zip_with (arrays are
+    bounded by the sender's bucket count; window depth by samples per
+    series within the frame), plus running sums for count/sum. A
+    single shuffle."""
+    t = F.col("temporality")
+    is_exp = F.col("data_type") == "exponential_histogram"
+    order_w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span_w = Window.partitionBy(*series_cols)
+    bounds_key = F.to_json(F.col("explicit_bounds"))
+    checked = (
+        F.when(
+            t == 0,
+            F.raise_error(F.lit(
+                "otlp_delta_hist_to_cumulative: UNSPECIFIED aggregation "
+                "temporality — refusing to guess")),
+        )
+        .when(
+            F.min("temporality").over(span_w)
+            != F.max("temporality").over(span_w),
+            F.raise_error(F.lit(
+                "otlp_delta_hist_to_cumulative: series mixes DELTA and "
+                "CUMULATIVE points — no spec-defined repair exists")),
+        )
+        .when(
+            is_exp & (t == 1),
+            F.raise_error(F.lit(
+                "otlp_delta_hist_to_cumulative: delta EXPONENTIAL "
+                "histograms not implemented (offset-aligned dense "
+                "accumulation) — DIVERGENCES.md")),
+        )
+        .when(
+            (t == 1)
+            & (F.min(bounds_key).over(span_w)
+               != F.max(bounds_key).over(span_w)),
+            F.raise_error(F.lit(
+                "otlp_delta_hist_to_cumulative: explicit_bounds changed "
+                "mid-series — bucket-wise addition across different "
+                "boundaries mis-attributes counts")),
+        )
+        .otherwise(t)
+    )
+    arrs = F.collect_list("bucket_counts").over(run_w)
+    cum_buckets = F.when(
+        checked == 1,
+        F.aggregate(
+            arrs,
+            F.transform(
+                F.element_at(arrs, 1), lambda _: F.lit(0).cast("bigint")
+            ),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ),
+    ).otherwise(F.col("bucket_counts"))
+    cum_count = F.when(
+        checked == 1, F.sum("count").over(run_w)
+    ).otherwise(F.col("count"))
+    cum_sum = F.when(
+        checked == 1, F.sum("sum").over(run_w)
+    ).otherwise(F.col("sum"))
+    return (
+        points.withColumn("bucket_counts", cum_buckets)
+        .withColumn("count", cum_count)
+        .withColumn("sum", cum_sum)
+        .withColumn("temporality", F.lit(2).cast("int"))
+    )

@@ -185,6 +185,11 @@ _GATE_PRIORITY = [
     # join on identifying labels, conflicting payloads / label
     # collisions refuse inside the operator.
     "promql_info_enrich",
+    # otlp_delta_hist_quantile: LATE r8 — delta CLASSIC histograms
+    # accumulate bucket-wise (running zip_with fold over one window;
+    # bounds-change/mixed/UNSPECIFIED/delta-exponential refuse) and
+    # the last cumulative point feeds histogram_quantile.
+    "otlp_delta_hist_quantile",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

@@ -91,3 +91,127 @@ def otlp_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("time_unix_nano").alias("ts_nano"),
         F.round("value_double", 4).alias("cum_value"),
     )
+
+
+@register(
+    "otlp_delta_hist_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 + 1 AS DOUBLE) * 0.5 AS le0,
+    5.0 + CAST(user_id % 4 AS DOUBLE) AS le1,
+    CAST(user_id % 3 + 1 AS BIGINT) + CAST(user_id % 2 + 1 AS BIGINT) AS c0,
+    CAST(user_id % 4 AS BIGINT) + CAST(user_id % 3 AS BIGINT) AS c1,
+    CAST(user_id % 2 AS BIGINT) + 1 AS c2
+  FROM events
+), b AS (
+  SELECT event_id, event_type,
+    unnest([le0, le1, 'inf'::DOUBLE]) AS le,
+    unnest([c0, c0 + c1, c0 + c1 + c2]) AS cum
+  FROM h
+), w AS (
+  SELECT *,
+    lag(cum) OVER (PARTITION BY event_id ORDER BY le) AS prev_cum,
+    lag(le)  OVER (PARTITION BY event_id ORDER BY le) AS prev_le,
+    max(cum) OVER (PARTITION BY event_id) * 0.5 AS target
+  FROM b
+), crossing AS (
+  SELECT * FROM w
+  WHERE cum >= target AND (prev_cum IS NULL OR prev_cum < target)
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN prev_le
+        ELSE coalesce(prev_le, 0.0)
+             + (le - coalesce(prev_le, 0.0))
+               * (target - coalesce(prev_cum, 0.0))
+               / (cum - coalesce(prev_cum, 0.0)) END, 6) AS p50
+FROM crossing
+""",
+)
+def otlp_delta_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CLASSIC histograms end-to-end: two delta points per
+    series accumulate bucket-wise (``otlp_delta_hist_to_cumulative``),
+    then the LAST point's cumulative le-buckets feed
+    ``histogram_quantile`` at q=0.5 — the full path a Prometheus-side
+    reader needs for an OTel SDK exporting delta histograms. The
+    oracle replays the summed bucket cumulatives + interpolation.
+    Plan: one mapInPandas decode → one window partitioning (running
+    zip_with fold) → le posexplode → one window per histogram."""
+    from prom_etl_db_spark.functions import otlp as O
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            bounds = [(u % 3 + 1) * 0.5, 5.0 + (u % 4)]
+            p1 = [u % 3 + 1, u % 4, u % 2]
+            p2 = [u % 2 + 1, u % 3, 1]
+            pts = []
+            for i, counts in enumerate((p1, p2)):
+                pts.append({
+                    "attrs": {"eid": str(int(e))},
+                    "time_unix_nano": _T0NS + i * 1_000_000_000,
+                    "count": sum(counts),
+                    "sum": float(sum(counts)) * 2.0,
+                    "bucket_counts": counts,
+                    "explicit_bounds": bounds,
+                })
+            out.append(O.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "s", "type": "histogram",
+                    "temporality": 1,
+                    "points": pts,
+                }]}],
+            }]))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    pts = O.otlp_samples(payloads)
+    cum = promql.otlp_delta_hist_to_cumulative(
+        pts, series_cols=("push_id", "metric_name"))
+    last = cum.where(F.col("time_unix_nano") == _T0NS + 1_000_000_000)
+    les = F.concat(
+        F.transform(
+            F.col("explicit_bounds"), lambda b: b.cast("string")),
+        F.array(F.lit("+Inf")),
+    )
+    cums = F.slice(
+        F.aggregate(
+            F.col("bucket_counts"),
+            F.array(F.lit(0).cast("double")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.element_at(acc, -1) + x.cast("double"))),
+        ),
+        2,
+        F.size("bucket_counts").cast("int"),
+    )
+    buckets = last.select(
+        "metric_name",
+        F.col("push_id").cast("string").alias("eid"),
+        F.explode(F.arrays_zip(les.alias("le"), cums.alias("cum"))).alias("z"),
+    ).select(
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("eid"), F.lit("le")),
+            F.array(
+                F.concat(F.col("metric_name"), F.lit("_bucket")),
+                F.col("eid"),
+                F.col("z.le"),
+            ),
+        ).alias("labels"),
+        F.col("z.cum").cast("double").alias("value"),
+    )
+    hq = promql.histogram_quantile(buckets, 0.5)
+    return hq.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace(
+            F.col("labels")["__name__"], "_bucket$", ""
+        ).alias("metric_name"),
+        F.round("value", 6).alias("p50"),
+    )

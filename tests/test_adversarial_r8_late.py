@@ -289,3 +289,58 @@ def test_info_enrich_refusals_and_passthrough(spark):
     lab = next(dict(r["labels"]) for r in only_env
                if r["labels"]["instance"] == "i1")
     assert lab.get("env") == "prod" and "cluster" not in lab
+
+
+def _otlp_hist_df(spark, series):
+    """series: (name, temporality, data_type, [(ts, counts, bounds)])."""
+    rows = []
+    for name, temp, dtype, pts in series:
+        for ts, counts, bounds in pts:
+            rows.append(Row(metric_name=name, temporality=temp,
+                            data_type=dtype, time_unix_nano=ts,
+                            count=sum(counts), sum=float(sum(counts)),
+                            bucket_counts=counts,
+                            explicit_bounds=bounds))
+    return spark.createDataFrame(
+        rows,
+        "metric_name string, temporality int, data_type string, "
+        "time_unix_nano long, count long, sum double, "
+        "bucket_counts array<long>, explicit_bounds array<double>")
+
+
+def test_delta_hist_to_cumulative_accumulates(spark):
+    from prom_etl_db_spark.operators import promql
+
+    df = _otlp_hist_df(spark, [
+        ("d", 1, "histogram",
+         [(1, [2, 1, 0], [0.5, 2.0]), (2, [1, 0, 3], [0.5, 2.0])]),
+        ("c", 2, "histogram",
+         [(1, [2, 1, 0], [0.5, 2.0]), (2, [3, 1, 3], [0.5, 2.0])]),
+    ])
+    out = promql.otlp_delta_hist_to_cumulative(df)
+    got = {(r["metric_name"], r["time_unix_nano"]):
+           (r["bucket_counts"], r["count"]) for r in out.collect()}
+    assert got[("d", 2)] == ([3, 1, 3], 7)   # accumulated
+    assert got[("c", 2)] == ([3, 1, 3], 7)   # passthrough, same numbers
+    assert got[("d", 1)] == ([2, 1, 0], 3)
+
+
+def test_delta_hist_refusals(spark):
+    from prom_etl_db_spark.operators import promql
+
+    changed = _otlp_hist_df(spark, [
+        ("b", 1, "histogram",
+         [(1, [2], [0.5]), (2, [1], [0.75])]),
+    ])
+    with pytest.raises(Exception, match="explicit_bounds changed"):
+        promql.otlp_delta_hist_to_cumulative(changed).collect()
+    exp_delta = spark.createDataFrame(
+        [Row(metric_name="e", temporality=1,
+             data_type="exponential_histogram", time_unix_nano=1,
+             count=1, sum=1.0, bucket_counts=None,
+             explicit_bounds=None)],
+        "metric_name string, temporality int, data_type string, "
+        "time_unix_nano long, count long, sum double, "
+        "bucket_counts array<long>, explicit_bounds array<double>")
+    with pytest.raises(Exception, match="delta EXPONENTIAL"):
+        promql.otlp_delta_hist_to_cumulative(exp_delta).collect()
