@@ -3176,10 +3176,10 @@ def otlp_delta_hist_to_cumulative(
     - explicit_bounds CHANGING mid-series — bucket-wise addition
       across different boundaries mis-attributes counts (the same
       rule as NHCB increase; boundaries are data here too);
-    - EXPONENTIAL histograms with delta temporality — their
-      accumulation needs offset-aligned dense-bucket addition (the
-      inverse of native_hist_increase's subtraction); not implemented,
-      refusing beats silently treating deltas as cumulative.
+    - EXPONENTIAL histograms with delta temporality — they take the
+      scale-aware path (``otlp_delta_exp_hist_to_cumulative``); this
+      operator redirects loudly rather than mis-summing across
+      scales.
 
     Plan: one window partitioning per series — running collect_list of
     the bucket arrays folded element-wise with zip_with (arrays are
@@ -3210,8 +3210,8 @@ def otlp_delta_hist_to_cumulative(
             is_exp & (t == 1),
             F.raise_error(F.lit(
                 "otlp_delta_hist_to_cumulative: delta EXPONENTIAL "
-                "histograms not implemented (offset-aligned dense "
-                "accumulation) — DIVERGENCES.md")),
+                "histograms take the scale-aware path — use "
+                "otlp_delta_exp_hist_to_cumulative")),
         )
         .when(
             (t == 1)
@@ -3246,4 +3246,136 @@ def otlp_delta_hist_to_cumulative(
         .withColumn("count", cum_count)
         .withColumn("sum", cum_sum)
         .withColumn("temporality", F.lit(2).cast("int"))
+    )
+
+
+def _nh_at(off: Column, arr: Column, i: Column) -> Column:
+    """Dense-bucket lookup by ABSOLUTE index (0 outside the array) —
+    the alignment primitive shared by native_hist_increase and the
+    delta-exponential accumulation."""
+    idx = i - off + F.lit(1)
+    return F.when(
+        idx >= 1, F.coalesce(F.try_element_at(arr, idx), F.lit(0))
+    ).otherwise(F.lit(0))
+
+
+def _nh_align_add(o1: Column, c1: Column, o2: Column, c2: Column):
+    """Offset-aligned element-wise ADDITION of two dense bucket arrays
+    (the + mirror of native_hist_increase's aligned subtraction).
+    Returns (offset, counts); empty+empty stays empty."""
+    e1, e2 = F.size(c1) == 0, F.size(c2) == 0
+    lo = F.when(e1, o2).when(e2, o1).otherwise(F.least(o1, o2))
+    hi = F.when(e1, o2 + F.size(c2)).when(e2, o1 + F.size(c1)).otherwise(
+        F.greatest(o1 + F.size(c1), o2 + F.size(c2))
+    )
+    counts = F.when(
+        hi > lo,
+        F.transform(
+            F.sequence(lo, hi - 1),
+            lambda i: _nh_at(o1, c1, i) + _nh_at(o2, c2, i),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    return lo, counts
+
+
+def otlp_delta_exp_hist_to_cumulative(
+    points: DataFrame,
+    *,
+    series_cols: Sequence[str] = ("metric_name",),
+    ts_col: str = "time_unix_nano",
+) -> DataFrame:
+    """OTLP temporality normalization for EXPONENTIAL histograms
+    (later r8, closing the refusal the classic-histogram operator
+    documents): delta points accumulate per series with the FULL
+    native-histogram merge algebra —
+
+    - points may change SCALE between exports (the OTel SDKs rescale
+      under bucket-count pressure): accumulation downscales both sides
+      to the coarser scale first (fine bucket i folds into coarse
+      ⌈i/2^d⌉ — `_nh_downscale`, the same merge native_hist_increase
+      uses), exactly what Prometheus's deltatocumulative processor
+      does;
+    - bucket arrays then add OFFSET-ALIGNED (absent buckets count 0);
+    - zero_count / count / sum accumulate scalar-wise;
+    - UNSPECIFIED and mixed temporality refuse as in the scalar/
+      classic operators.
+
+    Output: each point replaced by the cumulative-so-far at the
+    COARSEST scale seen so far, temporality forced to 2.
+
+    Plan: one window partitioning per series; the running
+    collect_list folds through ONE reused lambda body (expression size
+    is O(1) in points-per-series — aggregate evaluates iteratively,
+    it does not unroll), so the whole thing is a single shuffle."""
+    t = F.col("temporality")
+    order_w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span_w = Window.partitionBy(*series_cols)
+    checked = (
+        F.when(
+            t == 0,
+            F.raise_error(F.lit(
+                "otlp_delta_exp_hist_to_cumulative: UNSPECIFIED "
+                "aggregation temporality — refusing to guess")),
+        )
+        .when(
+            F.min("temporality").over(span_w)
+            != F.max("temporality").over(span_w),
+            F.raise_error(F.lit(
+                "otlp_delta_exp_hist_to_cumulative: series mixes DELTA "
+                "and CUMULATIVE points — no spec-defined repair exists")),
+        )
+        .otherwise(t)
+    )
+    snap = F.struct(
+        F.col("scale").alias("scale"),
+        F.col("pos_offset").alias("po"),
+        F.col("pos_counts").alias("pc"),
+        F.col("neg_offset").alias("no"),
+        F.col("neg_counts").alias("nc"),
+        F.col("zero_count").alias("z"),
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("sm"),
+    )
+    snaps = F.collect_list(snap).over(run_w)
+
+    def merge(acc, x):
+        target = F.least(acc["scale"], x["scale"])
+        apo, apc = _nh_downscale(
+            acc["po"], acc["pc"], (acc["scale"] - target).cast("int"))
+        ano, anc = _nh_downscale(
+            acc["no"], acc["nc"], (acc["scale"] - target).cast("int"))
+        xpo, xpc = _nh_downscale(
+            x["po"], x["pc"], (x["scale"] - target).cast("int"))
+        xno, xnc = _nh_downscale(
+            x["no"], x["nc"], (x["scale"] - target).cast("int"))
+        po, pc = _nh_align_add(apo, apc, xpo, xpc)
+        no, nc = _nh_align_add(ano, anc, xno, xnc)
+        return F.struct(
+            target.alias("scale"),
+            po.cast("int").alias("po"), pc.alias("pc"),
+            no.cast("int").alias("no"), nc.alias("nc"),
+            (acc["z"] + x["z"]).alias("z"),
+            (acc["cnt"] + x["cnt"]).alias("cnt"),
+            (acc["sm"] + x["sm"]).alias("sm"),
+        )
+
+    folded = F.aggregate(
+        F.slice(snaps, 2, F.greatest(F.size(snaps) - 1, F.lit(0)).cast("int")),
+        F.element_at(snaps, 1),
+        merge,
+    )
+    cum = F.when(checked == 1, folded).otherwise(snap)
+    return (
+        points.withColumn("__cum", cum)
+        .withColumn("scale", F.col("__cum")["scale"])
+        .withColumn("pos_offset", F.col("__cum")["po"])
+        .withColumn("pos_counts", F.col("__cum")["pc"])
+        .withColumn("neg_offset", F.col("__cum")["no"])
+        .withColumn("neg_counts", F.col("__cum")["nc"])
+        .withColumn("zero_count", F.col("__cum")["z"])
+        .withColumn("count", F.col("__cum")["cnt"])
+        .withColumn("sum", F.col("__cum")["sm"])
+        .withColumn("temporality", F.lit(2).cast("int"))
+        .drop("__cum")
     )

@@ -190,6 +190,11 @@ _GATE_PRIORITY = [
     # bounds-change/mixed/UNSPECIFIED/delta-exponential refuse) and
     # the last cumulative point feeds histogram_quantile.
     "otlp_delta_hist_quantile",
+    # otlp_delta_exp_quantile: LATE r8 — delta EXPONENTIAL histograms
+    # accumulate with the scale-aware merge (downscale to the coarser
+    # schema, offset-aligned add — Prometheus's deltatocumulative
+    # behavior) and compose into histogram_quantile.
+    "otlp_delta_exp_quantile",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

@@ -344,3 +344,70 @@ def test_delta_hist_refusals(spark):
         "bucket_counts array<long>, explicit_bounds array<double>")
     with pytest.raises(Exception, match="delta EXPONENTIAL"):
         promql.otlp_delta_hist_to_cumulative(exp_delta).collect()
+
+
+def _exp_hist_df(spark, rows):
+    schema = ("metric_name string, temporality int, time_unix_nano long, "
+              "scale int, pos_offset int, pos_counts array<long>, "
+              "neg_offset int, neg_counts array<long>, zero_count long, "
+              "count long, sum double")
+    return spark.createDataFrame([Row(**r) for r in rows], schema)
+
+
+def test_delta_exp_hist_accumulates_across_scale_change(spark):
+    """Delta exponential histograms accumulate offset-aligned; a point
+    at a COARSER scale downscales the running state first (fine bucket
+    i folds into coarse ceil(i/2^d)) — Prometheus's merge rule."""
+    from prom_etl_db_spark.operators import promql
+
+    rows = [
+        dict(metric_name="d", temporality=1, time_unix_nano=1, scale=2,
+             pos_offset=0, pos_counts=[2, 1], neg_offset=0,
+             neg_counts=[], zero_count=1, count=4, sum=3.0),
+        dict(metric_name="d", temporality=1, time_unix_nano=2, scale=2,
+             pos_offset=1, pos_counts=[1, 3], neg_offset=0,
+             neg_counts=[], zero_count=0, count=4, sum=5.0),
+        dict(metric_name="d", temporality=1, time_unix_nano=3, scale=1,
+             pos_offset=1, pos_counts=[2], neg_offset=0, neg_counts=[],
+             zero_count=0, count=2, sum=2.0),
+    ]
+    out = {r["time_unix_nano"]: r for r in
+           promql.otlp_delta_exp_hist_to_cumulative(
+               _exp_hist_df(spark, rows)).collect()}
+    assert out[2]["pos_counts"] == [2, 2, 3] and out[2]["count"] == 8
+    # t3: cum [2,2,3]@scale2 downscales (ceil(i/2)) to [2,5]@scale1,
+    # then the scale-1 point adds at index 1 -> [2,7]
+    assert out[3]["scale"] == 1
+    assert (out[3]["pos_offset"], out[3]["pos_counts"]) == (0, [2, 7])
+    assert out[3]["count"] == 10 and out[3]["zero_count"] == 1
+    # cumulative series pass through untouched
+    rows_c = [dict(r, temporality=2) for r in rows]
+    out_c = {r["time_unix_nano"]: r for r in
+             promql.otlp_delta_exp_hist_to_cumulative(
+                 _exp_hist_df(spark, rows_c)).collect()}
+    assert out_c[3]["pos_counts"] == [2] and out_c[3]["scale"] == 1
+
+
+def test_delta_exp_hist_refusals_and_classic_redirect(spark):
+    from prom_etl_db_spark.operators import promql
+
+    mixed = _exp_hist_df(spark, [
+        dict(metric_name="m", temporality=1, time_unix_nano=1, scale=0,
+             pos_offset=0, pos_counts=[1], neg_offset=0, neg_counts=[],
+             zero_count=0, count=1, sum=1.0),
+        dict(metric_name="m", temporality=2, time_unix_nano=2, scale=0,
+             pos_offset=0, pos_counts=[1], neg_offset=0, neg_counts=[],
+             zero_count=0, count=1, sum=1.0),
+    ])
+    with pytest.raises(Exception, match="mixes DELTA"):
+        promql.otlp_delta_exp_hist_to_cumulative(mixed).collect()
+    redirect = spark.createDataFrame(
+        [Row(metric_name="e", temporality=1,
+             data_type="exponential_histogram", time_unix_nano=1,
+             count=1, sum=1.0, bucket_counts=None,
+             explicit_bounds=None)],
+        "metric_name string, temporality int, data_type string, "
+        "time_unix_nano long, count long, sum double, "
+        "bucket_counts array<long>, explicit_bounds array<double>")
+    with pytest.raises(Exception, match="scale-aware path"):
+        promql.otlp_delta_hist_to_cumulative(redirect).collect()
