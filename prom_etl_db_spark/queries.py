@@ -81,13 +81,17 @@ _GATE_PRIORITY = [
     # a driver correctness row (r7 late additions, each green at
     # sf0.001+sf0.01 AND under --pandas-canon in the r7 judge's full local
     # run); (b) new r8 queries as implemented (per the r7 verdict they
-    # enter right after the never-gated block); (c) the 48-query block
-    # whose newest driver row is r3, in registry order — the window cutoff
-    # at 50 lands inside (c), the tail leads the r9 rotation. Note: the r8
-    # ADVICE fixes to zstd/otlp are STRICTNESS-only (valid frames decode
-    # identically; fixture outputs unchanged, re-verified green locally),
-    # so payload_zstd_roundtrip / otlp_histogram_decode do NOT need the
-    # changed-semantics re-gate that robots_gate needed in r7.
+    # enter right after the never-gated block) — the r8 waves grew this
+    # to 25 entries (native-histogram flavors/NHCB/stats, exemplars over
+    # all three formats, CT, temporality normalization, openmetrics,
+    # info()), so the window is 5 + 25 + the first 20 of (c); (c) the
+    # 48-query block whose newest driver row is r3, in registry order —
+    # the cutoff at 50 lands inside (c), the tail leads the r9 rotation.
+    # Note: the r8 ADVICE fixes to zstd/otlp are STRICTNESS-only (valid
+    # frames decode identically; fixture outputs unchanged, re-verified
+    # green locally), so payload_zstd_roundtrip / otlp_histogram_decode
+    # do NOT need the changed-semantics re-gate that robots_gate needed
+    # in r7.
     # --- (a) never-driver-gated (5) ---------------------------------------
     "otlp_hist_quantile_pipeline",
     "mime_container_route",

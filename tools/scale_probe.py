@@ -971,6 +971,63 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         _dudf("event_type", "user_id", "event_id").alias("body")))
     run("otlp_delta_to_cum", promql.otlp_delta_to_cumulative(
         _dpts, series_cols=("push_id", "metric_name")))
+
+    def _build_dhist(name, user, eid):
+        import pandas as _pd
+        out = []
+        for n, u, e in zip(name, user, eid):
+            u, e = int(u), int(e)
+            bounds = [(u % 3 + 1) * 0.5, 5.0 + (u % 4)]
+            pts = []
+            for i, counts in enumerate(([u % 3 + 1, u % 4, u % 2],
+                                        [u % 2 + 1, u % 3, 1])):
+                pts.append({"attrs": {"eid": str(e)},
+                            "time_unix_nano": 1706572800_000_000_000
+                            + i * 1_000_000_000,
+                            "count": sum(counts), "sum": 2.0 * sum(counts),
+                            "bucket_counts": counts,
+                            "explicit_bounds": bounds})
+            out.append(_ot.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "s", "type": "histogram",
+                    "temporality": 1, "points": pts}]}]}]))
+        return _pd.Series(out)
+
+    _dhudf = F.pandas_udf(_build_dhist, returnType=_Bin())
+    _dhpts = _ot.otlp_samples(ev.select(
+        F.col("event_id").alias("push_id"),
+        _dhudf("event_type", "user_id", "event_id").alias("body")))
+    run("otlp_delta_hist_to_cum", promql.otlp_delta_hist_to_cumulative(
+        _dhpts, series_cols=("push_id", "metric_name")))
+
+    def _build_dexp(name, user, eid):
+        import pandas as _pd
+        out = []
+        for n, u, e in zip(name, user, eid):
+            u, e = int(u), int(e)
+            pts = []
+            for i, (counts, z) in enumerate((([u % 3 + 1, u % 4], u % 2),
+                                             ([u % 2 + 1, u % 3], 1))):
+                pts.append({"attrs": {"eid": str(e)},
+                            "time_unix_nano": 1706572800_000_000_000
+                            + i * 1_000_000_000,
+                            "count": z + sum(counts), "scale": u % 3,
+                            "zero_count": z, "pos_offset": u % 4 - 1,
+                            "pos_counts": counts})
+            out.append(_ot.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "type": "exponential_histogram",
+                    "temporality": 1, "points": pts}]}]}]))
+        return _pd.Series(out)
+
+    _deudf = F.pandas_udf(_build_dexp, returnType=_Bin())
+    _depts = _ot.otlp_samples(ev.select(
+        F.col("event_id").alias("push_id"),
+        _deudf("event_type", "user_id", "event_id").alias("body")))
+    run("otlp_delta_exp_to_cum", promql.otlp_delta_exp_hist_to_cumulative(
+        _depts, series_cols=("push_id", "metric_name")))
     from pyspark.sql import Window as _W
     _ct_pts = _rw2.remote_write_v2_samples(ex_payloads, with_created=True)
     _ct_w = _W.partitionBy("push_id").orderBy("timestamp_ms")
