@@ -552,6 +552,55 @@ def stream_ct_increase(
     return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
+def stream_otlp_delta_accumulate(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """OTLP delta-temporality streaming twin (later r8): delta-sum
+    payloads landing as parquet drain through the OTLP decode, then a
+    per-series running-sum fold emits each point's cumulative — the
+    stateful form of ``promql.otlp_delta_to_cumulative`` (whose window
+    is frame-scoped; an unbounded stream needs the cumulative-so-far
+    in state). Cumulative-temporality points refuse loudly BEFORE the
+    fold (accumulating an already-cumulative stream double-counts)."""
+    from prom_etl_db_spark.functions.otlp import otlp_samples
+    from prom_etl_db_spark.streaming.stateful import (
+        _start_parquet_sink,
+        streaming_delta_sum,
+    )
+
+    raw = (
+        spark.readStream.schema(REMOTE_WRITE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    pts = otlp_samples(raw)
+    keyed = pts.select(
+        F.concat_ws(
+            "\x1f",
+            F.col("metric_name"),
+            F.col("attrs")["eid"],
+        ).alias("series"),
+        (F.col("time_unix_nano") / 1_000_000).cast("long").alias(
+            "timestamp_ms"),
+        F.when(
+            F.col("temporality") != 1,
+            F.raise_error(F.lit(
+                "stream_otlp_delta_accumulate: non-DELTA point — "
+                "accumulating a cumulative stream double-counts")),
+        ).otherwise(
+            F.coalesce(F.col("value_double"),
+                       F.col("value_int").cast("double"))
+        ).alias("value"),
+    )
+    out = streaming_delta_sum(keyed)
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
 CRAWL_URL_FILES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

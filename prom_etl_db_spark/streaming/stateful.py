@@ -208,6 +208,68 @@ def streaming_ct_counter_increase(
     )
 
 
+# -- streaming OTLP delta accumulation (later r8) ------------------------------
+#
+# The streaming twin of promql.otlp_delta_to_cumulative: the batch
+# operator's running window is FRAME-scoped, so an unbounded delta
+# stream needs per-series state holding the cumulative-so-far. Distinct
+# from the counter folds above: deltas have no reset rule (a negative
+# delta is legal DATA for non-monotonic sums, not a restart) — the fold
+# is a pure running sum, and every arriving point emits ITS cumulative
+# (the per-point shape the batch operator also produces).
+
+DELTA_SUM_STATE_SCHEMA = StructType(
+    [StructField("total", DoubleType(), True)]
+)
+
+DELTA_SUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("timestamp_ms", LongType(), True),
+        StructField("cum_value", DoubleType(), True),
+    ]
+)
+
+
+def _fold_delta_sum(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (series,) = key
+    total = state.get[0] if state.exists else 0.0
+    out_ts, out_cum = [], []
+    chunks = [pdf[["timestamp_ms", "value"]] for pdf in pdfs]
+    if chunks:
+        allr = pd.concat(chunks).sort_values(
+            ["timestamp_ms", "value"], kind="mergesort"
+        )
+        for ts, v in zip(allr["timestamp_ms"], allr["value"]):
+            total += float(v)
+            out_ts.append(int(ts))
+            out_cum.append(total)
+    state.update((total,))
+    yield pd.DataFrame(
+        {
+            "series": [series] * len(out_ts),
+            "timestamp_ms": out_ts,
+            "cum_value": out_cum,
+        }
+    )
+
+
+def streaming_delta_sum(samples: DataFrame) -> DataFrame:
+    """Stream-transform: per-series running sum of DELTA points —
+    every arrival emits its cumulative. ``samples`` is a STREAMING
+    DataFrame shaped (series string, timestamp_ms long, value
+    double)."""
+    return samples.groupBy("series").applyInPandasWithState(
+        _fold_delta_sum,
+        outputStructType=DELTA_SUM_OUTPUT_SCHEMA,
+        stateStructType=DELTA_SUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _start_parquet_sink(
     out: DataFrame, sink_dir: str, checkpoint_dir: str, available_now: bool
 ):

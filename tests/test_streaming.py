@@ -1527,3 +1527,83 @@ def test_streaming_ct_increase_matches_batch_across_restart(spark, tmp_path):
         user = [kv["value"] for kv in __import__("json").loads(series)
                 if kv["key"] == "user"][0]
         assert total == batch_by_user[user], series
+
+
+def test_streaming_otlp_delta_accumulate_matches_batch_across_restart(
+        spark, tmp_path):
+    """Later-r8 twin: per-series delta accumulation must equal the
+    batch otlp_delta_to_cumulative over the same payloads, resume from
+    the checkpoint (run-2 deltas fold onto run-1 totals), and refuse a
+    cumulative-temporality point loudly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import otlp as O
+    from prom_etl_db_spark.operators import promql
+    from prom_etl_db_spark.streaming.jobs import stream_otlp_delta_accumulate
+
+    T0 = 1706572800_000_000_000
+
+    def payload(eid, vals, temporality=1):
+        return O.encode_export_metrics([{
+            "resource": {},
+            "scopes": [{"name": "app", "version": "1", "metrics": [{
+                "name": "req", "unit": "1", "type": "sum",
+                "temporality": temporality, "is_monotonic": True,
+                "points": [{"attrs": {"eid": str(eid)},
+                            "time_unix_nano": T0 + i * 1_000_000_000,
+                            "value": float(v)}
+                           for i, v in enumerate(vals)],
+            }]}],
+        }])
+
+    rows1 = [(1, payload("a", [5.0, 3.0])), (2, payload("b", [2.0, -1.0]))]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_otlp_delta_accumulate(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+
+    # run-2 deltas reuse T0 timestamps — delta ADDITION is
+    # order-independent, so the checkpointed totals absorb them
+    # regardless of arrival order (unlike the reset-corrected counter
+    # folds, which need event order)
+    rows2 = [(3, payload("a", [4.0])), (4, payload("b", [10.0]))]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_otlp_delta_accumulate(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink))
+    # latest cumulative per series = checkpointed total + run-2 delta
+    latest = got.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("series").orderBy(
+                F.desc("batch_id"), F.desc("timestamp_ms")))
+    ).where(F.col("rn") == 1)
+    totals = {r["series"].split("\x1f")[1]: r["cum_value"]
+              for r in latest.collect()}
+    assert totals["a"] == 12.0   # 5 + 3 + 4
+    assert totals["b"] == 11.0   # 2 - 1 + 10
+    # batch twin over all payloads: same final cumulatives
+    pts = O.otlp_samples(spark.createDataFrame(
+        rows1 + rows2, "push_id long, body binary"))
+    # map column isn't orderable as a partition key in a window; use eid
+    cum2 = promql.otlp_delta_to_cumulative(
+        pts.withColumn("eid", F.col("attrs")["eid"]),
+        series_cols=("metric_name", "eid"))
+    batch = {r["eid"]: r["value_double"] for r in cum2.groupBy("eid").agg(
+        F.max_by("value_double", "time_unix_nano").alias("value_double")
+    ).collect()}
+    assert batch == totals
+    # cumulative point refuses
+    bad = [(9, payload("c", [1.0], temporality=2))]
+    spark.createDataFrame(bad, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q3 = stream_otlp_delta_accumulate(spark, str(src), str(sink), str(ckpt))
+    import pytest as _pt
+    with _pt.raises(Exception):
+        q3.awaitTermination(120)
+        if q3.exception() is not None:
+            raise q3.exception()
