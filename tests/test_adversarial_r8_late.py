@@ -411,3 +411,20 @@ def test_delta_exp_hist_refusals_and_classic_redirect(spark):
         "bucket_counts array<long>, explicit_bounds array<double>")
     with pytest.raises(Exception, match="scale-aware path"):
         promql.otlp_delta_hist_to_cumulative(redirect).collect()
+
+
+def test_v1_wire_shares_float_and_nhcb_decode():
+    """remote-write 1.0 carries the SAME prompb.Histogram message
+    (TimeSeries.histograms=4), so the later-r8 float flavor and NHCB
+    decode over v1 too — pinned here so the shared-parser claim in
+    DIVERGENCES stays true."""
+    enc = RW.encode_write_request(
+        [{"labels": {"__name__": "m"}, "samples": [], "histograms": [{
+            "flavor": "float", "count": 3.5, "zero_count": 0.0,
+            "schema": -53, "zero_threshold": 0.0,
+            "positive_spans": [(0, 2)], "positive_counts": [2.0, 1.5],
+            "custom_values": [1.0]}]}])
+    (s,) = RW.decode_write_request(enc)
+    (h,) = s["histograms"]
+    assert h["flavor"] == "float" and h["schema"] == -53
+    assert h["custom_values"] == [1.0] and h["pos_counts"] == [2.0, 1.5]
