@@ -181,3 +181,92 @@ def nhcb_to_le_buckets(nh: DataFrame) -> DataFrame:
             "bucket_i", "le_cum"
         ),
     )
+
+
+def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
+    """histogram_quantile over native histograms computed DIRECTLY on
+    the dense decoded shape — no le-explosion, no shuffle: one pure-
+    Column pass per histogram row (the le-mapping compositions exist
+    for operator-reuse proofs; this is the native evaluator).
+
+    Interpolation is EXPONENTIAL within a bucket (Prometheus 3.x's
+    rule for native buckets — observations are log-uniform within
+    (base^(k-1), base^k], so the quantile is
+    lower·(upper/lower)^frac = 2^((o+i-1+frac)·2^-schema)), which the
+    le-mapping path (linear, the classic-bucket rule) deliberately
+    does NOT apply — this operator closes that documented estimator
+    divergence. Conventions, each pinned by test or fixture:
+
+    - positive-direction + zero observations only (latency shape);
+      histograms carrying negative buckets refuse loudly;
+    - target in the ZERO bucket interpolates linearly within
+      (0, zero_threshold] (the zero bucket is 'around zero'; linear is
+      the only defensible rule where log-uniform is undefined at 0);
+    - target beyond the last bucket (count > bucket sum — legal)
+      returns the last finite upper bound, the engine's +Inf
+      convention;
+    - empty histograms (count == 0) yield NaN (the r8 seam rule);
+    - custom-bucket rows (schema −53) refuse — their quantile is the
+      CLASSIC linear rule via nhcb_to_le_buckets, not this estimator.
+
+    Appends ``quantile_value``."""
+    cnt = F.col("count").cast("double")
+    target = F.lit(float(q)) * cnt
+    zc = F.col("zero_count").cast("double")
+    inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    guarded = F.when(
+        F.size("neg_counts") > 0,
+        F.raise_error(F.lit(
+            "native_hist_quantile: negative buckets present — this "
+            "evaluator is positive-direction only (latency shape)")),
+    ).when(
+        F.col("schema") == CUSTOM_BUCKETS_SCHEMA,
+        F.raise_error(F.lit(
+            "native_hist_quantile: custom-bucket histograms take the "
+            "classic linear rule — use nhcb_to_le_buckets + "
+            "histogram_quantile")),
+    ).otherwise(F.lit(0))
+    # running cumulative over [zero bucket, b0, b1, ...]
+    cums = F.aggregate(
+        F.col("pos_counts"),
+        F.array(zc),
+        lambda acc, x: F.concat(
+            acc, F.array(F.element_at(acc, -1) + x.cast("double"))),
+    )
+    # first index (0-based, 0 = zero bucket) whose cumulative reaches
+    # the target; size(...) == size(cums) means target beyond all
+    crossing = F.size(F.filter(cums, lambda c: c < target))
+    # dense index of the crossing bucket (crossing - 1; 0 = zero bucket)
+    i = crossing - F.lit(1)
+    prev_cum = F.when(crossing == 0, F.lit(0.0)).otherwise(
+        F.coalesce(
+            F.element_at(cums, crossing.cast("int")), F.lit(0.0))
+    )
+    in_bucket = F.coalesce(
+        F.element_at(F.col("pos_counts"), crossing.cast("int")),
+        F.lit(0),
+    ).cast("double")
+    frac = F.try_divide(target - prev_cum, in_bucket)
+    exp_val = F.pow(
+        F.lit(2.0),
+        (F.col("pos_offset").cast("double") + i.cast("double")
+         - F.lit(1.0) + frac) * inv,
+    )
+    zero_val = F.col("zero_threshold") * F.try_divide(target, zc)
+    # upper bound of the LAST dense bucket: index size-1 ↦ bucket
+    # k = offset + size - 1 covering (base^(k-1), base^k]
+    last_upper = F.pow(
+        F.lit(2.0),
+        (F.col("pos_offset").cast("double")
+         + F.size("pos_counts").cast("double") - F.lit(1.0))
+        * inv,
+    )
+    value = (
+        F.when(cnt == 0, F.lit(float("nan")))
+        .when(crossing == 0, zero_val)  # inside the zero bucket
+        .when(crossing >= F.size(cums), last_upper)  # beyond all buckets
+        .otherwise(exp_val)
+    )
+    # the guard column evaluates first (raising on bad rows) and is 0
+    # on every good row
+    return nh.withColumn("quantile_value", F.when(guarded == 0, value))

@@ -199,6 +199,11 @@ _GATE_PRIORITY = [
     # schema, offset-aligned add — Prometheus's deltatocumulative
     # behavior) and compose into histogram_quantile.
     "otlp_delta_exp_quantile",
+    # native_hist_exp_quantile: LATE r8 — the NATIVE quantile
+    # evaluator: exponential within-bucket interpolation (Prometheus
+    # 3.x's native rule) computed directly on the dense shape, zero
+    # shuffle; closes the documented linear-only estimator divergence.
+    "native_hist_exp_quantile",
     # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
     "minhash_signatures",
     "minhash_band_pairs",

@@ -413,3 +413,84 @@ def nhcb_increase_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric_name"),
         F.round("value", 6).alias("p50"),
     )
+
+
+@register(
+    "native_hist_exp_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 AS INT) AS s,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 3 + 1 AS DOUBLE) AS c1,
+    CAST(user_id % 4 AS DOUBLE) AS c2,
+    CAST(user_id % 2 + 1 AS DOUBLE) AS c3,
+    CAST(user_id % 2 AS DOUBLE) AS z
+  FROM events
+), m AS (
+  SELECT *,
+    power(2.0, -CAST(s AS DOUBLE)) AS inv,
+    0.9 * (z + c1 + c2 + c3) AS target
+  FROM h
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(CASE
+    WHEN z + c1 >= target
+      THEN power(2.0, (o - 1 + (target - z) / c1) * inv)
+    WHEN z + c1 + c2 >= target
+      THEN power(2.0, (o + 0 + (target - z - c1) / c2) * inv)
+    ELSE power(2.0, (o + 1 + (target - z - c1 - c2) / c3) * inv)
+  END, 6) AS p90
+FROM m
+""",
+)
+def native_hist_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE quantile evaluator (Prometheus 3.x semantics):
+    ``native_hist_quantile`` computes directly on the dense decoded
+    shape with EXPONENTIAL within-bucket interpolation (observations
+    log-uniform within (base^(k-1), base^k] — value =
+    2^((k-1+frac)·2^-schema)) and ZERO shuffle — no le-explosion, no
+    per-histogram window; contrast with the le-mapping compositions,
+    which apply the classic LINEAR rule. Fixture: count equals the
+    bucket sum and the target always lands past the zero bucket
+    (q=0.9, zc ≤ 1 < target), so the oracle is the three-way crossing
+    CASE over the closed-form cumulatives; the zero-bucket /
+    beyond-buckets / empty conventions are unit-pinned. The c2=0 slice
+    (u%4=0) exercises the flat-cumulative rule: an empty middle bucket
+    can never be the crossing (its cum equals its predecessor's), and
+    both engines fall through identically."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c1, c2, c3, z = u % 3 + 1, u % 4, u % 2 + 1, u % 2
+            h = {
+                "count": z + c1 + c2 + c3,
+                "schema": u % 3,
+                "zero_threshold": 0.001,
+                "zero_count": z,
+                "positive_spans": [(u % 4 - 1, 3)],
+                "positive_deltas": [c1, c2 - c1, c3 - c2],
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    out = NH.native_hist_quantile(pts, 0.9)
+    return out.select(
+        "push_id",
+        "metric_name",
+        F.round("quantile_value", 6).alias("p90"),
+    )

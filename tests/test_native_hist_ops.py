@@ -100,3 +100,62 @@ def test_nhcb_le_mapping_offset_and_empty(spark):
     assert sorted(by_count[4]) == [("+Inf", 4.0), ("2.0", 4.0)]
     # no finite buckets -> only the appended +Inf with the total
     assert by_count[3] == [("+Inf", 3.0)]
+
+
+def _nh_rows_df(spark, rows):
+    base = {
+        "metric_name": "m", "labels": {}, "timestamp_ms": 0,
+        "count": 0, "sum": None, "schema": 0, "zero_threshold": 0.001,
+        "zero_count": 0, "pos_offset": 0, "pos_counts": [],
+        "neg_offset": 0, "neg_counts": [], "custom_values": [],
+    }
+    return spark.createDataFrame(
+        [dict(base, **r) for r in rows], schema=RW.NATIVE_HIST_SCHEMA)
+
+
+def test_native_quantile_exponential_interpolation(spark):
+    """Prometheus-3 native rule: log-uniform within a bucket. schema 0
+    (base 2), bucket k=1 covers (1, 2]: q landing halfway INTO the
+    bucket's count gives sqrt(1*2) = 2^0.5, not the linear 1.5."""
+    df = _nh_rows_df(spark, [
+        {"count": 4, "pos_offset": 1, "pos_counts": [4]},
+    ])
+    (r,) = NH.native_hist_quantile(df, 0.5).collect()
+    assert r["quantile_value"] == pytest.approx(2 ** 0.5)
+    # boundary agreement: q exactly at the bucket's top = upper bound,
+    # where exponential and linear interpolation coincide
+    (r1,) = NH.native_hist_quantile(df, 1.0).collect()
+    assert r1["quantile_value"] == pytest.approx(2.0)
+
+
+def test_native_quantile_conventions(spark):
+    df = _nh_rows_df(spark, [
+        # beyond all buckets (count > bucket sum) -> last upper 2^2
+        {"count": 10, "pos_offset": 1, "pos_counts": [2, 2]},
+        # inside the zero bucket: linear within (0, zero_threshold]
+        {"count": 10, "zero_count": 8, "pos_offset": 1,
+         "pos_counts": [1, 1]},
+        # empty -> NaN
+        {"count": 0},
+    ])
+    vals = [r["quantile_value"]
+            for r in NH.native_hist_quantile(df, 0.5).orderBy(
+                "count", "zero_count").collect()]
+    assert math.isnan(vals[0])
+    assert vals[1] == pytest.approx(4.0)            # count=10,zc=0
+    assert vals[2] == pytest.approx(0.001 * 5 / 8)  # count=10,zc=8
+
+
+def test_native_quantile_refusals(spark):
+    neg = _nh_rows_df(spark, [
+        {"count": 2, "pos_counts": [1], "neg_counts": [1],
+         "neg_offset": 0},
+    ])
+    with pytest.raises(Exception, match="positive-direction only"):
+        NH.native_hist_quantile(neg, 0.5).collect()
+    nhcb = _nh_rows_df(spark, [
+        {"count": 2, "schema": -53, "pos_counts": [2],
+         "custom_values": [1.0]},
+    ])
+    with pytest.raises(Exception, match="classic linear rule"):
+        NH.native_hist_quantile(nhcb, 0.5).collect()
