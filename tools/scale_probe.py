@@ -894,6 +894,9 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     run("nhcb_quantile", promql.histogram_quantile(_nhcb_z, 0.5))
     run("native_hist_stats",
         _nhop.histogram_stats(_mix_pts).select("hist_avg", "hist_stddev"))
+    run("native_exp_quantile", _nhop.native_hist_quantile(
+        _mix_pts.where(F.col("schema") != -53), 0.9).select(
+            "quantile_value"))
 
     def _build_ex(name, user):
         import pandas as _pd
