@@ -37,10 +37,12 @@ ExponentialHistogram — the wire twin of Prometheus NATIVE histograms:
 sint32 ZIGZAG scale, fixed64 zero_count, positive/negative Buckets
 (sint32 zigzag offset + packed-varint uint64 counts), with the
 formula-defined boundary algebra base = 2^(2^-scale), bucket i =
-(base^i, base^(i+1)] (scale clamped to the spec's [-10, 20]); summary
-data REFUSES loudly with ValueError — its quantile sketch has no
-loss-free mapping into this engine's operators, and silently dropping
-points would corrupt rollups. Attribute values
+(base^i, base^(i+1)] (scale clamped to the spec's [-10, 20]); and
+(r9) Summary — SummaryDataPoint's φ-quantile (quantile, value) PAIRS
+decode as typed data rows (they are the sender's sketch output and
+cannot be re-aggregated — quantiles of quantiles are not quantiles;
+the operator layer documents that only count/sum ride counter
+algebra). A φ outside [0, 1] refuses. Attribute values
 decode string/bool/int/double; nested array/kvlist values refuse.
 Unknown FIELDS skip per proto3 forward-compat rules (that is what the
 spec requires of any reader); unknown DATA SHAPES refuse (that is a
@@ -78,7 +80,12 @@ from prom_etl_db_spark.functions.remote_write import (
 
 _DATA_FIELDS = {5: "gauge", 7: "sum", 9: "histogram",
                 10: "exponential_histogram", 11: "summary"}
-_REFUSED_DATA = {"summary"}
+# r9: Summary decodes (the last OTLP point shape — client_golang
+# summaries bridged through an OTLP exporter are ubiquitous in the
+# Prometheus ecosystem the reference inhabits). Its φ-quantile values
+# are DATA, not rate-able series — documented at the operator layer —
+# while count/sum are cumulative counters that ride increase algebra.
+_REFUSED_DATA: set[str] = set()
 
 
 def _zigzag_enc(n: int) -> int:
@@ -171,6 +178,26 @@ def _enc_hist_point(p: dict) -> bytes:
     return bytes(out)
 
 
+def _enc_summary_point(p: dict) -> bytes:
+    """SummaryDataPoint (metrics.proto): start_time=2/time=3 fixed64,
+    count=4 fixed64, sum=5 double, quantile_values=6 (repeated
+    ValueAtQuantile: quantile=1 double, value=2 double),
+    attributes=7."""
+    out = bytearray()
+    if p.get("start_time_unix_nano"):
+        out += _enc_field(2, 1) + struct.pack("<Q", p["start_time_unix_nano"])
+    out += _enc_field(3, 1) + struct.pack("<Q", p["time_unix_nano"])
+    out += _enc_field(4, 1) + struct.pack("<Q", int(p.get("count", 0)))
+    if p.get("sum") is not None:
+        out += _enc_field(5, 1) + struct.pack("<d", float(p["sum"]))
+    for q, v in p.get("quantiles", []):
+        vq = (_enc_field(1, 1) + struct.pack("<d", float(q))
+              + _enc_field(2, 1) + struct.pack("<d", float(v)))
+        out += _enc_len(6, vq)
+    out += _enc_attrs(p.get("attrs", {}), 7)
+    return bytes(out)
+
+
 def _enc_exp_buckets(offset: int, counts: list[int]) -> bytes:
     """ExponentialHistogramDataPoint.Buckets: offset = 1 (sint32,
     zigzag varint), bucket_counts = 2 (repeated uint64, PACKED varint)."""
@@ -257,6 +284,11 @@ def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
                         m.get("temporality", 2)
                     )
                     m_msg += _enc_len(10, bytes(h_msg))
+                elif mtype == "summary":
+                    pts = b"".join(
+                        _enc_len(1, _enc_summary_point(p)) for p in m["points"]
+                    )
+                    m_msg += _enc_len(11, pts)
                 elif mtype == "gauge":
                     pts = b"".join(_enc_len(1, _enc_point(p)) for p in m["points"])
                     m_msg += _enc_len(5, pts)
@@ -620,6 +652,69 @@ def _parse_exp_hist_point(data: bytes) -> dict:
     return p
 
 
+def _parse_summary_point(data: bytes) -> dict:
+    """SummaryDataPoint → dict (r9). The φ-quantile entries decode as
+    (quantile, value) PAIRS — data the sender's sketch computed, not
+    something this engine can re-aggregate (quantiles of quantiles are
+    not quantiles); count/sum are cumulative counters. A quantile
+    outside [0, 1] refuses — it cannot be a φ and poisons any reader
+    keyed on φ."""
+    pos, n = 0, len(data)
+    p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
+               "count": 0, "sum": None, "quantile_values": []}
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num == 2 and wire == 1:
+            _check(pos, 8, n, "summary start_time")
+            p["start_time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 3 and wire == 1:
+            _check(pos, 8, n, "summary time")
+            p["time_unix_nano"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 4 and wire == 1:
+            _check(pos, 8, n, "summary count")
+            p["count"] = struct.unpack("<Q", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 5 and wire == 1:
+            _check(pos, 8, n, "summary sum")
+            p["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
+            pos += 8
+        elif num == 6 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "summary quantile")
+            vq, vp = data[pos : pos + ln], 0
+            pos += ln
+            q, v = 0.0, 0.0  # proto3 defaults
+            while vp < len(vq):
+                vh, vp = _uvarint(vq, vp)
+                vnum, vwire = vh >> 3, vh & 7
+                if vnum == 1 and vwire == 1:
+                    _check(vp, 8, len(vq), "quantile phi")
+                    q = struct.unpack("<d", vq[vp : vp + 8])[0]
+                    vp += 8
+                elif vnum == 2 and vwire == 1:
+                    _check(vp, 8, len(vq), "quantile value")
+                    v = struct.unpack("<d", vq[vp : vp + 8])[0]
+                    vp += 8
+                else:
+                    vp = _skip(vq, vp, vwire)
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(
+                    f"otlp: summary quantile {q} outside [0, 1]")
+            p["quantile_values"].append({"quantile": q, "value": v})
+        elif num == 7 and wire == 2:
+            ln, pos = _uvarint(data, pos)
+            _check(pos, ln, n, "summary attribute")
+            k, v = _parse_attrs(data[pos : pos + ln])
+            p["attrs"][k] = v
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    return p
+
+
 def _parse_metric(data: bytes) -> dict:
     pos, n = 0, len(data)
     m: dict = {"name": "", "unit": "", "data_type": None, "temporality": None,
@@ -654,6 +749,7 @@ def _parse_metric(data: bytes) -> dict:
             point_parser = {
                 "histogram": _parse_hist_point,
                 "exponential_histogram": _parse_exp_hist_point,
+                "summary": _parse_summary_point,
             }.get(kind, _parse_point)
             while bp < len(body):
                 bh, bp = _uvarint(body, bp)
@@ -787,6 +883,7 @@ def decode_export_metrics(data: bytes) -> list[dict]:
                             "pos_counts": p.get("pos_counts"),
                             "neg_offset": p.get("neg_offset"),
                             "neg_counts": p.get("neg_counts"),
+                            "quantile_values": p.get("quantile_values"),
                             "exemplars": p.get("exemplars") or [],
                         }
                     )
@@ -819,6 +916,15 @@ OTLP_SCHEMA = T.StructType(
         T.StructField("pos_counts", T.ArrayType(T.LongType())),
         T.StructField("neg_offset", T.IntegerType()),
         T.StructField("neg_counts", T.ArrayType(T.LongType())),
+        T.StructField(
+            "quantile_values",
+            T.ArrayType(
+                T.StructType([
+                    T.StructField("quantile", T.DoubleType()),
+                    T.StructField("value", T.DoubleType()),
+                ])
+            ),
+        ),
     ]
 )
 
@@ -902,6 +1008,7 @@ def otlp_samples(
                             "pos_counts": r["pos_counts"],
                             "neg_offset": r["neg_offset"],
                             "neg_counts": r["neg_counts"],
+                            "quantile_values": r["quantile_values"],
                         }
                     )
             yield pd.DataFrame(

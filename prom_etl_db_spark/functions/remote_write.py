@@ -183,7 +183,10 @@ def _enc_len(num: int, payload: bytes) -> bytes:
 
 def encode_write_request(series: list[dict]) -> bytes:
     """series: [{"labels": {name: value}, "samples": [(value, ts_ms)]}]
-    → uncompressed WriteRequest bytes (fixture/test encoder)."""
+    → uncompressed WriteRequest bytes (fixture/test encoder). r9:
+    exemplars (prompb.TimeSeries.exemplars = 3; Exemplar{labels = 1
+    FULL Label messages — v1 has no symbol table — value = 2 fixed64,
+    timestamp = 3 varint ms}) encode too."""
     out = bytearray()
     for s in series:
         ts_msg = bytearray()
@@ -198,6 +201,14 @@ def encode_write_request(series: list[dict]) -> bytes:
                 + _enc_uvarint(ts_ms)
             )
             ts_msg += _enc_len(2, sm)
+        for ex in s.get("exemplars", []):
+            em = bytearray()
+            for name, value in ex.get("labels", {}).items():
+                lab = _enc_len(1, name.encode()) + _enc_len(2, value.encode())
+                em += _enc_len(1, lab)
+            em += _enc_field(2, 1) + struct.pack("<d", float(ex["value"]))
+            em += _enc_field(3, 0) + _enc_uvarint(int(ex["timestamp"]))
+            ts_msg += _enc_len(3, bytes(em))
         for h in s.get("histograms", []):
             ts_msg += _enc_len(4, _enc_native_histogram(h))
         out += _enc_len(1, bytes(ts_msg))
@@ -258,6 +269,7 @@ def decode_write_request(data: bytes) -> list[dict]:
         labels: dict[str, str] = {}
         samples: list[tuple[float, int]] = []
         histograms: list[dict] = []
+        exemplars: list[dict] = []
         p = 0
         while p < ln:
             h, p = _uvarint(ts_msg, p)
@@ -301,11 +313,51 @@ def decode_write_request(data: bytes) -> list[dict]:
                     else:
                         sp = _skip(sm, sp, swire)
                 samples.append((val, ts_ms))
+            elif fnum == 3 and fwire == 2:
+                # r9: v1 exemplars (TimeSeries.exemplars = 3) — the
+                # last wire field any push format carried that was
+                # silently skipped. Exemplar labels are FULL Label
+                # messages (no symbol table in v1).
+                l2, p = _uvarint(ts_msg, p)
+                if p + l2 > ln:
+                    raise ValueError(
+                        f"proto: exemplar overruns timeseries at {p}")
+                em = ts_msg[p : p + l2]
+                p += l2
+                ep = 0
+                e_labels: dict[str, str] = {}
+                e_val, e_ts = 0.0, 0
+                while ep < len(em):
+                    eh, ep = _uvarint(em, ep)
+                    enum_, ewire = eh >> 3, eh & 7
+                    if enum_ == 1 and ewire == 2:
+                        l3, ep = _uvarint(em, ep)
+                        if ep + l3 > len(em):
+                            raise ValueError(
+                                "proto: exemplar label overruns")
+                        k, v = _parse_label(em[ep : ep + l3])
+                        e_labels[k] = v
+                        ep += l3
+                    elif enum_ == 2 and ewire == 1:
+                        if ep + 8 > len(em):
+                            raise ValueError(
+                                "proto: exemplar value truncated")
+                        e_val = struct.unpack("<d", em[ep : ep + 8])[0]
+                        ep += 8
+                    elif enum_ == 3 and ewire == 0:
+                        raw, ep = _uvarint(em, ep)
+                        e_ts = raw - (1 << 64) if raw >= 1 << 63 else raw
+                    else:
+                        ep = _skip(em, ep, ewire)
+                exemplars.append(
+                    {"labels": e_labels, "value": e_val, "timestamp": e_ts})
             else:
                 p = _skip(ts_msg, p, fwire)
         s: dict = {"labels": labels, "samples": samples}
         if histograms:
             s["histograms"] = histograms
+        if exemplars:
+            s["exemplars"] = exemplars
         series.append(s)
     return series
 
@@ -1144,6 +1196,45 @@ EXEMPLAR_SCHEMA = T.StructType(
         T.StructField("timestamp_ms", T.LongType()),
     ]
 )
+
+
+def remote_write_v1_exemplars(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, snappy-compressed v1 WriteRequest) → one row per EXEMPLAR
+    (prompb.TimeSeries.exemplars = 3 — r9; this was the last wire
+    field any push format carried that the engine silently skipped).
+    Same output shape as the v2/OTLP exemplar surfaces, so all three
+    formats land in one trace-keyed join. v1 exemplar labels are full
+    strings (no symbol table). mapInPandas, zero shuffle."""
+    schema = T.StructType(
+        [payloads.schema[id_col]] + list(EXEMPLAR_SCHEMA.fields))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for s in decode_write_request(snappy_decompress(bytes(blob))):
+                    labels = dict(s["labels"])
+                    name = labels.pop("__name__", "")
+                    for ex in s.get("exemplars", []):
+                        rows.append(
+                            {
+                                id_col: pid,
+                                "metric_name": name,
+                                "labels": labels,
+                                "exemplar_labels": ex["labels"],
+                                "value": ex["value"],
+                                "timestamp_ms": ex["timestamp"],
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
 
 
 def remote_write_v2_exemplars(

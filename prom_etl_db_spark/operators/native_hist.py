@@ -91,10 +91,17 @@ def histogram_stats(nh: DataFrame) -> DataFrame:
     s0 = p0 + n0 + zc  # zero bucket: mid 0 → contributes to Σc only
     s1 = p1 + n1
     s2 = p2 + n2
+    # r9 ADVICE fix: the expanded form S2-2·mean·S1+mean²·S0 can cancel
+    # to a tiny negative double where the true variance is ~0, making
+    # sqrt() NaN — clamp at 0 (Prometheus's centered Σc·(mid-mean)²
+    # form is non-negative by construction). when(<0) rather than
+    # greatest: NaN < 0 and NULL < 0 are both non-true, so the NaN
+    # (empty histogram) and NULL (null arrays) conventions survive.
+    raw_var = F.try_divide(
+        s2 - F.lit(2.0) * mean * s1 + mean * mean * s0, cnt
+    )
     stdvar = F.when(cnt == 0, F.lit(float("nan"))).otherwise(
-        F.try_divide(
-            s2 - F.lit(2.0) * mean * s1 + mean * mean * s0, cnt
-        )
+        F.when(raw_var < 0, F.lit(0.0)).otherwise(raw_var)
     )
     stdvar = F.when(
         F.col("schema") == CUSTOM_BUCKETS_SCHEMA, F.lit(None).cast("double")
@@ -206,6 +213,9 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
       returns the last finite upper bound, the engine's +Inf
       convention;
     - empty histograms (count == 0) yield NaN (the r8 seam rule);
+    - q == 0 on a non-empty histogram returns 0.0 — the observable
+      infimum of the positive+zero shape (r9 ADVICE fix: with
+      zero_count == 0 it used to NULL via try_divide(0, 0));
     - custom-bucket rows (schema −53) refuse — their quantile is the
       CLASSIC linear rule via nhcb_to_le_buckets, not this estimator.
 
@@ -263,6 +273,12 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
     )
     value = (
         F.when(cnt == 0, F.lit(float("nan")))
+        # r9 ADVICE fix: q == 0 with zero_count == 0 used to land in
+        # the zero-bucket branch and NULL via try_divide(0, 0); the
+        # 0-quantile of a positive-direction+zero histogram is its
+        # observable infimum, 0.0 (consistent with the zc > 0 case,
+        # where zero_val evaluates to exactly 0.0)
+        .when(target == 0, F.lit(0.0))
         .when(crossing == 0, zero_val)  # inside the zero bucket
         .when(crossing >= F.size(cums), last_upper)  # beyond all buckets
         .otherwise(exp_val)

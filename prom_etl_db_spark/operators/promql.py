@@ -3009,6 +3009,28 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     )
 
 
+def _otlp_series_frame(
+    points: DataFrame, series_cols: Sequence[str]
+) -> tuple[DataFrame, list[str], bool]:
+    """Materialize the series partition for the temporality operators.
+
+    OTLP series identity is (metric, point attributes) — r9 ADVICE fix:
+    the bare ``series_cols`` default omitted the attrs map, silently
+    interleaving two attr-distinct series of one metric into a single
+    running sum. Whenever the frame carries an ``attrs`` map column not
+    already named in ``series_cols``, a canonical sorted-JSON attrs key
+    joins the partitioning (maps can't be partition keys directly).
+    Returns (frame, partition column names, added-helper flag)."""
+    cols = list(series_cols)
+    if "attrs" in points.columns and "attrs" not in cols:
+        pts = points.withColumn(
+            "__attrs_key",
+            F.to_json(F.array_sort(F.map_entries(F.col("attrs")))),
+        )
+        return pts, cols + ["__attrs_key"], True
+    return points, cols, False
+
+
 def otlp_delta_to_cumulative(
     points: DataFrame,
     *,
@@ -3034,14 +3056,23 @@ def otlp_delta_to_cumulative(
       running sum of a mixed stream is meaningless and there is no
       spec-defined repair.
 
+    - DELTA points at a DUPLICATE (series, timestamp) refuse loudly
+      (r9 seam fix): the window order is a tie there, so the running
+      sum's intermediates are nondeterministic under replay, and a
+      duplicate-timestamp delta stream is a double-delivery signal —
+      OTLP's single-writer rule makes it producer misbehavior.
+
     Output: the input columns with ``value_col`` replaced by the
     cumulative value and ``temporality`` forced to 2. Plan: two window
     functions over ONE partitioning (a single shuffle keyed on the
-    series).
+    series — metric + canonical attrs key when the frame carries an
+    ``attrs`` map; see ``_otlp_series_frame``).
     """
-    order_w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    pts, scols, added = _otlp_series_frame(points, series_cols)
+    order_w = Window.partitionBy(*scols).orderBy(ts_col)
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    span_w = Window.partitionBy(*series_cols)
+    span_w = Window.partitionBy(*scols)
+    ts_w = Window.partitionBy(*scols, ts_col)
     t = F.col("temporality")
     checked = (
         F.when(
@@ -3058,14 +3089,22 @@ def otlp_delta_to_cumulative(
                 "otlp_delta_to_cumulative: series mixes DELTA and "
                 "CUMULATIVE points — no spec-defined repair exists")),
         )
+        .when(
+            (t == 1) & (F.count(F.lit(1)).over(ts_w) > 1),
+            F.raise_error(F.lit(
+                "otlp_delta_to_cumulative: duplicate timestamp within "
+                "one DELTA series — accumulation order is undefined "
+                "(double delivery?)")),
+        )
         .otherwise(t)
     )
     cum = F.when(
         checked == 1, F.sum(value_col).over(run_w)
     ).otherwise(F.col(value_col))
-    return points.withColumn(value_col, cum).withColumn(
+    out = pts.withColumn(value_col, cum).withColumn(
         "temporality", F.lit(2).cast("int")
     )
+    return out.drop("__attrs_key") if added else out
 
 
 def info_enrich(
@@ -3176,21 +3215,39 @@ def otlp_delta_hist_to_cumulative(
     - explicit_bounds CHANGING mid-series — bucket-wise addition
       across different boundaries mis-attributes counts (the same
       rule as NHCB increase; boundaries are data here too);
+    - bucket_counts LENGTH changing mid-series (r9 ADVICE fix — a
+      mismatched-length array previously made zip_with emit NULL
+      bucket entries silently);
+    - a DUPLICATE (series, timestamp) among delta points (r9 seam
+      fix — ties make the accumulation order nondeterministic under
+      replay, and duplicate-timestamp deltas signal double delivery);
     - EXPONENTIAL histograms with delta temporality — they take the
       scale-aware path (``otlp_delta_exp_hist_to_cumulative``); this
       operator redirects loudly rather than mis-summing across
       scales.
 
-    Plan: one window partitioning per series — running collect_list of
-    the bucket arrays folded element-wise with zip_with (arrays are
-    bounded by the sender's bucket count; window depth by samples per
-    series within the frame), plus running sums for count/sum. A
-    single shuffle."""
+    A delta point with a NULL ``sum`` nulls the cumulative sum from
+    that point on (r9 ADVICE fix — previously the running F.sum
+    silently treated it as a 0 contribution; OTLP's sum field is
+    optional, and a partial sum is a wrong sum).
+
+    Plan (r9 linearization — the r8 form folded a running
+    collect_list prefix, O(points²·buckets) per series, invisible at
+    the fixture's 2 points/series): bounds are constant per delta
+    series (enforced above), so bucket index IS bucket identity —
+    posexplode the bucket array, one running ``sum`` window per
+    (series, bucket_idx), reassemble ordered, join back on the
+    series row number. Linear in points×buckets — exactly the output
+    size — at the cost of two extra exchanges over the r8 shape
+    (probed on the points-per-series axis in tools/scale_probe.py
+    --depth)."""
+    pts, scols, _ = _otlp_series_frame(points, series_cols)
     t = F.col("temporality")
     is_exp = F.col("data_type") == "exponential_histogram"
-    order_w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    order_w = Window.partitionBy(*scols).orderBy(ts_col)
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    span_w = Window.partitionBy(*series_cols)
+    span_w = Window.partitionBy(*scols)
+    ts_w = Window.partitionBy(*scols, ts_col)
     bounds_key = F.to_json(F.col("explicit_bounds"))
     checked = (
         F.when(
@@ -3222,30 +3279,77 @@ def otlp_delta_hist_to_cumulative(
                 "mid-series — bucket-wise addition across different "
                 "boundaries mis-attributes counts")),
         )
+        .when(
+            (t == 1)
+            & (F.min(F.size("bucket_counts")).over(span_w)
+               != F.max(F.size("bucket_counts")).over(span_w)),
+            F.raise_error(F.lit(
+                "otlp_delta_hist_to_cumulative: bucket_counts length "
+                "changed mid-series — bucket-wise addition would "
+                "silently null the tail")),
+        )
+        .when(
+            (t == 1) & (F.count(F.lit(1)).over(ts_w) > 1),
+            F.raise_error(F.lit(
+                "otlp_delta_hist_to_cumulative: duplicate timestamp "
+                "within one DELTA series — accumulation order is "
+                "undefined (double delivery?)")),
+        )
         .otherwise(t)
     )
-    arrs = F.collect_list("bucket_counts").over(run_w)
-    cum_buckets = F.when(
-        checked == 1,
-        F.aggregate(
-            arrs,
+    sum_null_seen = F.max(F.col("sum").isNull().cast("int")).over(run_w) == 1
+    base = (
+        pts.withColumn("__checked", checked)
+        .withColumn("__rn", F.row_number().over(order_w))
+        .withColumn(
+            "__cum_count",
+            F.when(
+                F.col("__checked") == 1, F.sum("count").over(run_w)
+            ).otherwise(F.col("count")),
+        )
+        .withColumn(
+            "__cum_sum",
+            F.when(
+                F.col("__checked") == 1,
+                F.when(sum_null_seen, F.lit(None).cast("double"))
+                .otherwise(F.sum("sum").over(run_w)),
+            ).otherwise(F.col("sum")),
+        )
+    )
+    ex = base.where(F.col("__checked") == 1).select(
+        *scols, "__rn",
+        F.posexplode("bucket_counts").alias("__bi", "__bc"),
+    )
+    bi_w = (
+        Window.partitionBy(*scols, "__bi")
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asm = (
+        ex.withColumn("__bcum", F.sum("__bc").over(bi_w))
+        .groupBy(*scols, "__rn")
+        .agg(
             F.transform(
-                F.element_at(arrs, 1), lambda _: F.lit(0).cast("bigint")
-            ),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__bi"), F.col("__bcum")))
+                ),
+                lambda s: s["__bcum"],
+            ).alias("__cum_buckets")
+        )
+    )
+    out = base.join(asm, on=[*scols, "__rn"], how="left")
+    cum_buckets = F.when(
+        F.col("__checked") == 1,
+        F.coalesce(F.col("__cum_buckets"), F.col("bucket_counts")),
     ).otherwise(F.col("bucket_counts"))
-    cum_count = F.when(
-        checked == 1, F.sum("count").over(run_w)
-    ).otherwise(F.col("count"))
-    cum_sum = F.when(
-        checked == 1, F.sum("sum").over(run_w)
-    ).otherwise(F.col("sum"))
-    return (
-        points.withColumn("bucket_counts", cum_buckets)
-        .withColumn("count", cum_count)
-        .withColumn("sum", cum_sum)
-        .withColumn("temporality", F.lit(2).cast("int"))
+    replaced = {
+        "bucket_counts": cum_buckets,
+        "count": F.col("__cum_count"),
+        "sum": F.col("__cum_sum"),
+        "temporality": F.lit(2).cast("int"),
+    }
+    return out.select(
+        *[replaced.get(c, F.col(c)).alias(c) for c in points.columns]
     )
 
 
@@ -3283,6 +3387,8 @@ def otlp_delta_exp_hist_to_cumulative(
     *,
     series_cols: Sequence[str] = ("metric_name",),
     ts_col: str = "time_unix_nano",
+    scale_change_fold_limit: int = 256,
+    max_index_span: int = 4096,
 ) -> DataFrame:
     """OTLP temporality normalization for EXPONENTIAL histograms
     (later r8, closing the refusal the classic-histogram operator
@@ -3296,21 +3402,62 @@ def otlp_delta_exp_hist_to_cumulative(
       uses), exactly what Prometheus's deltatocumulative processor
       does;
     - bucket arrays then add OFFSET-ALIGNED (absent buckets count 0);
-    - zero_count / count / sum accumulate scalar-wise;
+    - zero_count / count / sum accumulate scalar-wise (a NULL ``sum``
+      nulls the cumulative sum from that point on, matching scalar
+      struct addition — a partial sum is a wrong sum);
     - UNSPECIFIED and mixed temporality refuse as in the scalar/
-      classic operators.
+      classic operators, and so does a duplicate (series, timestamp)
+      among delta points (r9 seam fix — the accumulation order at a
+      timestamp tie is nondeterministic under replay).
 
     Output: each point replaced by the cumulative-so-far at the
     COARSEST scale seen so far, temporality forced to 2.
 
-    Plan: one window partitioning per series; the running
-    collect_list folds through ONE reused lambda body (expression size
-    is O(1) in points-per-series — aggregate evaluates iteratively,
-    it does not unroll), so the whole thing is a single shuffle."""
+    Plan (r9 linearization — the r8 form folded a running
+    collect_list prefix, O(points²·buckets) per series): series split
+    by a per-series flag into
+
+    * the EQUAL-SCALE fast path (the overwhelmingly common case —
+      scale changes are rare SDK rescale events): bucket absolute
+      index is bucket identity when the scale is fixed, so each row
+      explodes over the series' absolute-index range (bounded by
+      ``max_index_span``, the decoder's dense-expansion guard — wider
+      refuses loudly), one running ``sum`` window per (series, index)
+      accumulates, and the dense array reassembles over the RUNNING
+      index span (min/max windows) so the output matches the
+      sequential merge exactly, including offset placement. Linear in
+      points × series index span — the size of the output itself;
+    * the SCALE-CHANGE fold path: the sequential collect_list fold is
+      retained — it is the only order-dependent semantics (each
+      prefix's scale is the running minimum) — but gated per series
+      and BOUNDED: more than ``scale_change_fold_limit`` points in a
+      scale-changing series refuses loudly with re-framing guidance
+      rather than running the quadratic fold unbounded. The
+      collect_list input is NULL for fast-path rows, so fold state
+      stays empty (O(1)/row) outside the rare branch.
+
+    Probed on the points-per-series axis (2→20→200, fixed series
+    count): ``tools/scale_probe.py --depth``."""
+    pts, scols, _ = _otlp_series_frame(points, series_cols)
     t = F.col("temporality")
-    order_w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    order_w = Window.partitionBy(*scols).orderBy(ts_col)
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    span_w = Window.partitionBy(*series_cols)
+    span_w = Window.partitionBy(*scols)
+    ts_w = Window.partitionBy(*scols, ts_col)
+    multi_raw = (
+        F.min("scale").over(span_w) != F.max("scale").over(span_w)
+    )
+    # per-row dense index spans (null for an empty side)
+    p_lo = F.when(F.size("pos_counts") > 0, F.col("pos_offset"))
+    p_hi = F.when(
+        F.size("pos_counts") > 0, F.col("pos_offset") + F.size("pos_counts")
+    )
+    n_lo = F.when(F.size("neg_counts") > 0, F.col("neg_offset"))
+    n_hi = F.when(
+        F.size("neg_counts") > 0, F.col("neg_offset") + F.size("neg_counts")
+    )
+    g_lo = F.least(F.min(p_lo).over(span_w), F.min(n_lo).over(span_w))
+    g_hi = F.greatest(F.max(p_hi).over(span_w), F.max(n_hi).over(span_w))
     checked = (
         F.when(
             t == 0,
@@ -3325,19 +3472,82 @@ def otlp_delta_exp_hist_to_cumulative(
                 "otlp_delta_exp_hist_to_cumulative: series mixes DELTA "
                 "and CUMULATIVE points — no spec-defined repair exists")),
         )
+        .when(
+            (t == 1) & (F.count(F.lit(1)).over(ts_w) > 1),
+            F.raise_error(F.lit(
+                "otlp_delta_exp_hist_to_cumulative: duplicate timestamp "
+                "within one DELTA series — accumulation order is "
+                "undefined (double delivery?)")),
+        )
+        .when(
+            (t == 1) & multi_raw
+            & (F.count(F.lit(1)).over(span_w)
+               > F.lit(int(scale_change_fold_limit))),
+            F.raise_error(F.lit(
+                "otlp_delta_exp_hist_to_cumulative: scale-changing "
+                f"series longer than {int(scale_change_fold_limit)} "
+                "points — the order-dependent downscale fold is "
+                "sequential; normalize in shorter frames")),
+        )
+        .when(
+            (t == 1) & ~multi_raw
+            & ((g_hi - g_lo) > F.lit(int(max_index_span))),
+            F.raise_error(F.lit(
+                "otlp_delta_exp_hist_to_cumulative: series-wide bucket "
+                f"index span exceeds {int(max_index_span)} — "
+                "dense-expansion bomb guard (matches the decoder's "
+                "4096-bucket cap)")),
+        )
         .otherwise(t)
     )
+    sum_null_seen = F.max(F.col("sum").isNull().cast("int")).over(run_w) == 1
+    base = (
+        pts.withColumn("__checked", checked)
+        .withColumn("__multi", (F.col("__checked") == 1) & multi_raw)
+        .withColumn("__rn", F.row_number().over(order_w))
+        .withColumn("__g_lo", g_lo)
+        .withColumn("__g_hi", g_hi)
+        .withColumn("__run_plo", F.min(p_lo).over(run_w))
+        .withColumn("__run_phi", F.max(p_hi).over(run_w))
+        .withColumn("__run_nlo", F.min(n_lo).over(run_w))
+        .withColumn("__run_nhi", F.max(n_hi).over(run_w))
+        .withColumn(
+            "__cum_scale",
+            F.when(
+                F.col("__checked") == 1, F.min("scale").over(run_w)
+            ).otherwise(F.col("scale")),
+        )
+        .withColumn(
+            "__cum_z",
+            F.when(
+                F.col("__checked") == 1, F.sum("zero_count").over(run_w)
+            ).otherwise(F.col("zero_count")),
+        )
+        .withColumn(
+            "__cum_cnt",
+            F.when(
+                F.col("__checked") == 1, F.sum("count").over(run_w)
+            ).otherwise(F.col("count")),
+        )
+        .withColumn(
+            "__cum_sum",
+            F.when(
+                F.col("__checked") == 1,
+                F.when(sum_null_seen, F.lit(None).cast("double"))
+                .otherwise(F.sum("sum").over(run_w)),
+            ).otherwise(F.col("sum")),
+        )
+    )
+    # --- scale-change fold path (rare, bounded): collect only the
+    # flagged series' snapshots, so fast-path rows carry empty state
     snap = F.struct(
         F.col("scale").alias("scale"),
         F.col("pos_offset").alias("po"),
         F.col("pos_counts").alias("pc"),
         F.col("neg_offset").alias("no"),
         F.col("neg_counts").alias("nc"),
-        F.col("zero_count").alias("z"),
-        F.col("count").alias("cnt"),
-        F.col("sum").alias("sm"),
     )
-    snaps = F.collect_list(snap).over(run_w)
+    snaps = F.collect_list(F.when(F.col("__multi"), snap)).over(run_w)
 
     def merge(acc, x):
         target = F.least(acc["scale"], x["scale"])
@@ -3355,9 +3565,6 @@ def otlp_delta_exp_hist_to_cumulative(
             target.alias("scale"),
             po.cast("int").alias("po"), pc.alias("pc"),
             no.cast("int").alias("no"), nc.alias("nc"),
-            (acc["z"] + x["z"]).alias("z"),
-            (acc["cnt"] + x["cnt"]).alias("cnt"),
-            (acc["sm"] + x["sm"]).alias("sm"),
         )
 
     folded = F.aggregate(
@@ -3365,17 +3572,85 @@ def otlp_delta_exp_hist_to_cumulative(
         F.element_at(snaps, 1),
         merge,
     )
-    cum = F.when(checked == 1, folded).otherwise(snap)
-    return (
-        points.withColumn("__cum", cum)
-        .withColumn("scale", F.col("__cum")["scale"])
-        .withColumn("pos_offset", F.col("__cum")["po"])
-        .withColumn("pos_counts", F.col("__cum")["pc"])
-        .withColumn("neg_offset", F.col("__cum")["no"])
-        .withColumn("neg_counts", F.col("__cum")["nc"])
-        .withColumn("zero_count", F.col("__cum")["z"])
-        .withColumn("count", F.col("__cum")["cnt"])
-        .withColumn("sum", F.col("__cum")["sm"])
-        .withColumn("temporality", F.lit(2).cast("int"))
-        .drop("__cum")
+    base = base.withColumn(
+        "__folded", F.when(F.col("__multi"), folded)
+    )
+    # --- equal-scale fast path: absolute-index grid + running sums
+    fast = base.where((F.col("__checked") == 1) & ~F.col("__multi"))
+    grid = fast.select(
+        *scols, "__rn",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+        F.explode(
+            F.sequence(F.col("__g_lo"), F.col("__g_hi") - 1)
+        ).alias("__i"),
+    )
+    gi_w = (
+        Window.partitionBy(*scols, "__i")
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g2 = grid.select(
+        *scols, "__rn", "__i",
+        F.sum(
+            _nh_at(F.col("pos_offset"), F.col("pos_counts"), F.col("__i"))
+        ).over(gi_w).alias("__pcum"),
+        F.sum(
+            _nh_at(F.col("neg_offset"), F.col("neg_counts"), F.col("__i"))
+        ).over(gi_w).alias("__ncum"),
+    )
+    asm = g2.groupBy(*scols, "__rn").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__i", "__pcum"))
+        ).alias("__pmap"),
+        F.map_from_entries(
+            F.collect_list(F.struct("__i", "__ncum"))
+        ).alias("__nmap"),
+    )
+    out = base.join(asm, on=[*scols, "__rn"], how="left")
+
+    def assemble(mp: Column, lo: Column, hi: Column,
+                 fallback_off: Column) -> tuple[Column, Column]:
+        # running span [lo, hi) mirrors the sequential merge's union
+        # span exactly; an all-empty prefix keeps the row's own offset
+        # with an empty array (the merge's empty+empty rule)
+        off = F.when(lo.isNull(), fallback_off).otherwise(lo)
+        counts = F.when(
+            lo.isNull(), F.expr("CAST(array() AS array<bigint>)")
+        ).otherwise(
+            F.transform(
+                F.sequence(lo, hi - 1),
+                lambda i: F.coalesce(
+                    F.element_at(mp, i), F.lit(0).cast("bigint")
+                ),
+            )
+        )
+        return off, counts
+
+    fpo, fpc = assemble(
+        F.col("__pmap"), F.col("__run_plo"), F.col("__run_phi"),
+        F.col("pos_offset"))
+    fno, fnc = assemble(
+        F.col("__nmap"), F.col("__run_nlo"), F.col("__run_nhi"),
+        F.col("neg_offset"))
+
+    def pick(fold_field: str, fast_col: Column, raw: Column) -> Column:
+        return (
+            F.when(F.col("__checked") != 1, raw)
+            .when(F.col("__multi"), F.col("__folded")[fold_field])
+            .otherwise(fast_col)
+        )
+
+    replaced = {
+        "scale": F.col("__cum_scale"),
+        "pos_offset": pick("po", fpo, F.col("pos_offset")),
+        "pos_counts": pick("pc", fpc, F.col("pos_counts")),
+        "neg_offset": pick("no", fno, F.col("neg_offset")),
+        "neg_counts": pick("nc", fnc, F.col("neg_counts")),
+        "zero_count": F.col("__cum_z"),
+        "count": F.col("__cum_cnt"),
+        "sum": F.col("__cum_sum"),
+        "temporality": F.lit(2).cast("int"),
+    }
+    return out.select(
+        *[replaced.get(c, F.col(c)).alias(c) for c in points.columns]
     )

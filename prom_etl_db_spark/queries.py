@@ -41,6 +41,7 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     flagship,
     promql_b,
     pipeline_a,
+    pipeline_rw2,
     sql_c,
     star_sql,
     llm_e,
@@ -56,6 +57,7 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
     native_hist,
     rw2_aux,
     otlp_temporal,
+    otlp_summary,
     openmetrics_q,
 )
 
@@ -75,156 +77,22 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # --- Round-8 window (VERDICT r7 task #1: drain rotation debt to
-    # zero-never-gated) ----------------------------------------------------
-    # Composition: (a) the 5 oracle-carrying queries that have NEVER held
-    # a driver correctness row (r7 late additions, each green at
-    # sf0.001+sf0.01 AND under --pandas-canon in the r7 judge's full local
-    # run); (b) new r8 queries as implemented (per the r7 verdict they
-    # enter right after the never-gated block) — the r8 waves grew this
-    # to 25 entries (native-histogram flavors/NHCB/stats, exemplars over
-    # all three formats, CT, temporality normalization, openmetrics,
-    # info()), so the window is 5 + 25 + the first 20 of (c); (c) the
-    # 48-query block whose newest driver row is r3, in registry order —
-    # the cutoff at 50 lands inside (c), the tail leads the r9 rotation.
-    # Note: the r8 ADVICE fixes to zstd/otlp are STRICTNESS-only (valid
-    # frames decode identically; fixture outputs unchanged, re-verified
-    # green locally), so payload_zstd_roundtrip / otlp_histogram_decode
-    # do NOT need the changed-semantics re-gate that robots_gate needed
-    # in r7.
-    # --- (a) never-driver-gated (5) ---------------------------------------
-    "otlp_hist_quantile_pipeline",
-    "mime_container_route",
-    "sitemap_parse_xml",
-    "warc_zstd_parse",
-    "host_graph_hyperball",
-    # --- (b) new r8 queries (inserted as implemented) ----------------------
-    # otlp_exp_histogram_decode / otlp_exp_hist_quantile: NEW r8 — OTLP
-    # exponential histograms (base = 2^(2^-scale) bucket algebra,
-    # zigzag-varint offsets over the proto3 walk) and their composition
-    # into histogram_quantile via upper-bound le-mapping (VERDICT #3).
-    # (uncommented as each lands this round — _apply_gate_priority fails
-    # loudly on unregistered names)
-    "otlp_exp_histogram_decode",
-    "otlp_exp_hist_quantile",
-    # remote_write_v2_decode: NEW r8 — io.prometheus.write.v2.Request
-    # (interned symbol table, labels as uint32 ref pairs) over the
-    # existing varint/fixed64 walk; third wire format feeding the same
-    # samples-table operator set (VERDICT #4).
-    "remote_write_v2_decode",
-    # remote_write_v2_hist_decode / remote_write_v2_hist_quantile: NEW
-    # r8 — Prometheus NATIVE histograms (prompb.Histogram integer
-    # flavor: zigzag span/delta wire encoding, sparse spans expanded
-    # dense) + their composition into histogram_quantile via the
-    # base^(i) upper-bound convention.
-    "remote_write_v2_hist_decode",
-    "remote_write_v2_hist_quantile",
-    # native_hist_cross_format_parity: NEW r8 — the same logical
-    # exponential histogram through BOTH wire formats (OTLP +
-    # prompb/remote-write-2.0, offset conventions one apart) must
-    # yield the identical p90; a differential test of both decode
-    # stacks against one closed-form oracle.
-    "native_hist_cross_format_parity",
-    # remote_write_v2_metadata: NEW r8 — v2's first-class typed
-    # metadata (type enum + interned help/unit refs) resolved and
-    # surfaced next to the samples.
-    "remote_write_v2_metadata",
-    # native_hist_rate_quantile: NEW r8 — THE native-histogram PromQL
-    # idiom end-to-end: two wire pushes per series → native_hist_increase
-    # (offset-aligned, counter-reset-aware, one hash agg) →
-    # histogram_quantile.
-    "native_hist_rate_quantile",
-    # native_hist_downscale_increase: NEW r8 — mid-series schema drop;
-    # increase() downscales the finer endpoint (⌈i/2^d⌉ merge) before
-    # subtracting, Prometheus's rule.
-    "native_hist_downscale_increase",
-    # payload_zstd_encode: NEW r8 — the from-scratch zstd COMPRESSING
-    # encoder (predefined-FSE sequences + LZ greedy match search),
-    # gated by REAL libzstd decoding its frames (VERDICT #7 stretch).
-    "payload_zstd_encode",
-    # remote_write_float_hist_decode / nhcb_quantile /
-    # native_hist_stats: LATE r8 — the FLOAT wire flavor (absolute
-    # double counts), custom-bucket NHCB histograms (schema −53,
-    # boundaries as data → le-mapping → the existing quantile), and
-    # the histogram_count/sum/avg/stddev/stdvar function family
-    # (geometric-midpoint estimator) — registry/native_hist.py.
-    "remote_write_float_hist_decode",
-    "nhcb_quantile",
-    "native_hist_stats",
-    # remote_write_v2_exemplars_decode / ct_aware_increase: LATE r8 —
-    # the v2 wire's last two skipped fields become first-class:
-    # exemplars (metric→trace links off TimeSeries field 4, resolved
-    # against the interned symbols table) and created_timestamp
-    # (field 6) driving CT-aware increase() (synthetic zero at the
-    # series' birth — Prometheus's CT feature) — registry/rw2_aux.py.
-    "remote_write_v2_exemplars_decode",
-    "ct_aware_increase",
-    # otlp_exemplars_decode / exemplars_cross_protocol: LATE r8 — the
-    # OTLP side of the exemplar surface (trace/span ids as RAW 16/8
-    # bytes → lowercase hex, wrong lengths refuse) and a differential
-    # gate pushing the SAME logical exemplar through both protocols
-    # (symbol-table labels vs raw bytes) into one trace-keyed agg.
-    "otlp_exemplars_decode",
-    "exemplars_cross_protocol",
-    # nhcb_increase_quantile: LATE r8 — increase() extended to NHCB
-    # series (custom_values-equality guard INSIDE the operator, loud
-    # refusal on boundary changes) composed into histogram_quantile
-    # over the increase histogram.
-    "nhcb_increase_quantile",
-    # otlp_delta_to_cumulative: LATE r8 — OTLP AggregationTemporality
-    # normalization (delta sums accumulate per series, cumulative pass
-    # through, UNSPECIFIED/mixed refuse) — the conversion Prometheus's
-    # own OTLP endpoint performs; differential fixture (both slices
-    # must read identically after normalization).
-    "otlp_delta_to_cumulative",
-    # openmetrics_parse / openmetrics_exemplars: LATE r8 — the text
-    # exposition format gets oracle-gated (it was unit-only): sample
-    # parse proven exemplar-blind (half the fixture lines carry a
-    # tail), and the exemplar tail parses into the same metric→trace
-    # link shape as the two wire decoders — three formats, one join.
-    "openmetrics_parse",
-    "openmetrics_exemplars",
-    # promql_info_enrich: LATE r8 — PromQL info() (the target_info
-    # data-label join, Prometheus 3.x experimental): broadcast left
-    # join on identifying labels, conflicting payloads / label
-    # collisions refuse inside the operator.
-    "promql_info_enrich",
-    # otlp_delta_hist_quantile: LATE r8 — delta CLASSIC histograms
-    # accumulate bucket-wise (running zip_with fold over one window;
-    # bounds-change/mixed/UNSPECIFIED/delta-exponential refuse) and
-    # the last cumulative point feeds histogram_quantile.
-    "otlp_delta_hist_quantile",
-    # otlp_delta_exp_quantile: LATE r8 — delta EXPONENTIAL histograms
-    # accumulate with the scale-aware merge (downscale to the coarser
-    # schema, offset-aligned add — Prometheus's deltatocumulative
-    # behavior) and compose into histogram_quantile.
-    "otlp_delta_exp_quantile",
-    # native_hist_exp_quantile: LATE r8 — the NATIVE quantile
-    # evaluator: exponential within-bucket interpolation (Prometheus
-    # 3.x's native rule) computed directly on the dense shape, zero
-    # shuffle; closes the documented linear-only estimator divergence.
-    "native_hist_exp_quantile",
-    # --- (c) newest driver row = r3 (48, registry order; cutoff at 50) ----
-    "minhash_signatures",
-    "minhash_band_pairs",
-    "simhash_signatures",
-    "decontam_bloom_prefilter",
-    "multimodal_png_pixels",
-    "multimodal_gif_pixels",
-    "video_frame_sampling",
-    "audio_signal_features",
-    "promql_rate_range_wide",
-    "promql_delta_range",
-    "promql_histogram_fraction",
-    "promql_topk_over_time",
-    "promql_ts_of_extremes",
-    "promql_absent",
-    "curation_pipeline",
-    "doc_sequence_packing",
-    "hll_cardinality",
-    "quantile_histogram_sketch",
-    "countmin_user_counts",
-    "bloom_purchaser_membership",
+    # --- Round-9 window (VERDICT r8 task #2: drain the r3-stale driver
+    # debt to zero) ---------------------------------------------------------
+    # Composition per the r8 verdict's explicit ordering: (a) the 28
+    # queries whose newest driver row is r3 (every one local-green in the
+    # r8 judge's full 279-query run — this is verification hygiene, not
+    # suspected wrongness); (b) queries whose SEMANTICS or implementation
+    # changed in r9 — the two linearized delta-histogram operators plus
+    # their scalar sibling (posexplode+running-sum / index-grid rewrite,
+    # attrs-aware default partitioning, dup-timestamp refusal, null-sum
+    # poisoning), the three-leg exemplars_cross_protocol (v1 joined), and
+    # native_hist_stats (stdvar cancellation clamp); (c) r9's NEW
+    # queries (OTLP Summary decode + count/sum increase composition,
+    # remote-write v1 exemplars); (d) fill to 50 with the OLDEST
+    # remaining rows (newest = r4), in registry order. After this window
+    # no query's newest driver row is older than r4.
+    # --- (a) newest driver row = r3 (28, registry order) -------------------
     "dq_events_expectations",
     "events_value_psi",
     "promql_parsed_scalar_share",
@@ -253,6 +121,45 @@ _GATE_PRIORITY = [
     "tpch_q18_large_orders",
     "tpch_q4_late_orders",
     "tpch_q14_promo_revenue",
+    # --- (b) changed in r9 (re-gate) ---------------------------------------
+    # the three temporality operators: linearized accumulation (classic:
+    # posexplode + per-(series,bucket) running sums; exponential:
+    # equal-scale index grid + bounded scale-change fold), attrs-aware
+    # default series key, duplicate-delta-timestamp refusal, null-sum
+    # poisoning (ADVICE + VERDICT What's-wrong #1)
+    "otlp_delta_to_cumulative",
+    "otlp_delta_hist_quantile",
+    "otlp_delta_exp_quantile",
+    # exemplars_cross_protocol now counts the remote-write 1.0 leg —
+    # n_sources=3 (VERDICT What's-missing #4)
+    "exemplars_cross_protocol",
+    # hist_stdvar clamps the expanded-moment cancellation at 0 (ADVICE)
+    "native_hist_stats",
+    # native quantile evaluator: q=0 returns 0.0, not NULL (ADVICE)
+    "native_hist_exp_quantile",
+    # --- (c) new in r9 -----------------------------------------------------
+    # OTLP Summary (the last refusing OTLP point shape): φ-quantile
+    # pairs as typed data rows + the count/sum counter-increase
+    # composition (VERDICT What's-missing #2)
+    "otlp_summary_decode",
+    "otlp_summary_count_rate",
+    # remote-write 1.0 exemplars (TimeSeries field 3 — the last silently
+    # skipped push-format wire field)
+    "remote_write_v1_exemplars_decode",
+    # --- (d) fill: newest driver row = r4 (13, registry order) -------------
+    "flagship_gpu_utilization",
+    "promql_instant_vector",
+    "promql_sum_by",
+    "promql_max_without",
+    "promql_avg_by",
+    "promql_sum_over_time",
+    "promql_bool_scalar_arith",
+    "promql_gapfill_locf",
+    "ingest_normalize_events",
+    "collected_at_sameday_range",
+    "latest_n_scan",
+    "metrics_count",
+    "table_stats",
 ]
 
 def _apply_gate_priority() -> None:

@@ -85,6 +85,61 @@ def remote_write_v2_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "remote_write_v1_exemplars_decode",
+    oracle="""
+SELECT event_id AS push_id, event_type AS metric_name,
+  'v' || CAST((user_id * 13) % 997 AS VARCHAR) AS trace_id,
+  'sp' || CAST(user_id % 13 AS VARCHAR) AS span_id,
+  round(user_id * 0.5e0 + 0.25e0, 4) AS value,
+  CAST(1706572800000 + user_id % 5 AS BIGINT) AS timestamp_ms
+FROM events
+""",
+)
+def remote_write_v1_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplars off the remote-write 1.0 wire (r9 —
+    prompb.TimeSeries.exemplars = 3, previously the only push-format
+    wire field the engine silently skipped; reference tie-in:
+    /root/reference/internal/prometheus/client.go pulls from the
+    client_golang ecosystem whose exemplar support predates v2). v1
+    exemplar labels are FULL strings — no symbol table — and land in
+    the same trace-link shape as the v2/OTLP surfaces. Plan: one
+    mapInPandas decode, zero shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            out.append(RW.snappy_compress(RW.encode_write_request(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(u), _T0)],
+                  "exemplars": [
+                      {"labels": {"trace_id": f"v{(u * 13) % 997}",
+                                  "span_id": f"sp{u % 13}"},
+                       "value": u * 0.5 + 0.25,
+                       "timestamp": _T0 + u % 5},
+                  ]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    out = RW.remote_write_v1_exemplars(payloads)
+    return out.select(
+        "push_id",
+        "metric_name",
+        F.col("exemplar_labels")["trace_id"].alias("trace_id"),
+        F.col("exemplar_labels")["span_id"].alias("span_id"),
+        F.round("value", 4).alias("value"),
+        "timestamp_ms",
+    )
+
+
+@register(
     "ct_aware_increase",
     oracle="""
 WITH s AS (
@@ -243,22 +298,23 @@ def otlp_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   lpad(lower(hex((event_id * 2654435761) % 4294967296)), 32, '0')
     AS trace_id,
-  CAST(2 AS BIGINT) AS n_sources,
+  CAST(3 AS BIGINT) AS n_sources,
   round(user_id * 0.25e0 + 1.0e0, 4) AS value
 FROM events
 """,
 )
 def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differential gate over BOTH exemplar decode stacks: the same
-    logical exemplar (trace_id + value) pushed once over remote-write
-    2.0 (trace_id as an exemplar LABEL resolved through the interned
-    symbols table) and once over OTLP (trace_id as 16 RAW BYTES).
-    The union must yield exactly two sources per trace with zero value
-    spread — a disagreement in either decoder (symbol resolution,
-    byte-to-hex, fixed64 value) breaks the n_sources=2 or the shared
-    rounded value. Plan: two mapInPandas decodes → union → one hash
-    agg keyed on trace_id; the max-min guard is computed, not
-    assumed."""
+    """Differential gate over ALL THREE exemplar decode stacks (r9:
+    the v1 leg joins): the same logical exemplar (trace_id + value)
+    pushed over remote-write 1.0 (trace_id as a FULL-string exemplar
+    label), remote-write 2.0 (trace_id as a label resolved through
+    the interned symbols table), and OTLP (trace_id as 16 RAW BYTES).
+    The union must yield exactly three sources per trace with zero
+    value spread — a disagreement in any decoder (label walk, symbol
+    resolution, byte-to-hex, fixed64 value) breaks the n_sources=3 or
+    the shared rounded value. Plan: three mapInPandas decodes → union
+    → one hash agg keyed on trace_id; the max-min guard is computed,
+    not assumed."""
     from prom_etl_db_spark.functions import otlp as O
     from prom_etl_db_spark.functions import remote_write as RW
 
@@ -299,8 +355,22 @@ def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
             }]))
         return pd.Series(out)
 
+    def build_v1(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            e, u = int(e), int(u)
+            k = (e * 2654435761) % (1 << 32)
+            out.append(RW.snappy_compress(RW.encode_write_request(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [(float(u), _T0)],
+                  "exemplars": [{"labels": {"trace_id": f"{k:032x}"},
+                                 "value": u * 0.25 + 1.0,
+                                 "timestamp": _T0 + 1}]}])))
+        return pd.Series(out)
+
     _rwudf = F.pandas_udf(build_rw, returnType=BinaryType())
     _otudf = F.pandas_udf(build_ot, returnType=BinaryType())
+    _v1udf = F.pandas_udf(build_v1, returnType=BinaryType())
     rw_side = RW.remote_write_v2_exemplars(ev.select(
         F.col("event_id").alias("push_id"),
         _rwudf("event_type", "event_id", "user_id").alias("body"),
@@ -315,7 +385,14 @@ def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trace_id"),
         F.col("value_double").alias("value"),
     )
-    both = rw_side.unionByName(ot_side)
+    v1_side = RW.remote_write_v1_exemplars(ev.select(
+        F.col("event_id").alias("push_id"),
+        _v1udf("event_type", "event_id", "user_id").alias("body"),
+    )).select(
+        F.col("exemplar_labels")["trace_id"].alias("trace_id"),
+        F.col("value"),
+    )
+    both = rw_side.unionByName(ot_side).unionByName(v1_side)
     agg = both.groupBy("trace_id").agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.min("value").alias("_vmin"),

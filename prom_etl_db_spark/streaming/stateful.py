@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -265,6 +266,251 @@ def streaming_delta_sum(samples: DataFrame) -> DataFrame:
         _fold_delta_sum,
         outputStructType=DELTA_SUM_OUTPUT_SCHEMA,
         stateStructType=DELTA_SUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DELTA_HIST_STATE_SCHEMA = StructType(
+    [
+        StructField("bounds_key", StringType(), True),
+        StructField("cum_buckets", ArrayType(LongType()), True),
+        StructField("cum_count", LongType(), True),
+        StructField("cum_sum", DoubleType(), True),
+        StructField("sum_poisoned", BooleanType(), True),
+    ]
+)
+
+DELTA_HIST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("timestamp_ms", LongType(), True),
+        StructField("cum_buckets", ArrayType(LongType()), True),
+        StructField("cum_count", LongType(), True),
+        StructField("cum_sum", DoubleType(), True),
+    ]
+)
+
+
+def _fold_delta_hist(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``promql.otlp_delta_hist_to_cumulative`` (r9):
+    per-series state is the running bucket array + count/sum — the
+    same running state the batch operator's per-(series, bucket_idx)
+    windows maintain, held across micro-batches forever. Bucket-wise
+    addition is commutative, so (like ``_fold_delta_sum``) the state
+    converges regardless of arrival order; per-arrival emissions carry
+    the cumulative-so-far. Refusals fire BEFORE the state mutates:
+    explicit_bounds changing against the checkpointed fingerprint, and
+    a bucket_counts length mismatch (the batch operator's r9 ADVICE
+    guard). A NULL sum poisons cum_sum permanently — the batch rule."""
+    (series,) = key
+    if state.exists:
+        bk, cum, cnt, sm, poisoned = state.get
+        cum = list(cum) if cum is not None else None
+    else:
+        bk, cum, cnt, sm, poisoned = None, None, 0, 0.0, False
+    out_ts, out_b, out_c, out_s = [], [], [], []
+    chunks = [
+        pdf[["timestamp_ms", "bucket_counts", "bounds_key", "count", "sum"]]
+        for pdf in pdfs
+    ]
+    if chunks:
+        allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
+        for ts, buckets, bkey, c, s in zip(
+            allr["timestamp_ms"], allr["bucket_counts"], allr["bounds_key"],
+            allr["count"], allr["sum"],
+        ):
+            buckets = [int(b) for b in buckets]
+            if bk is None:
+                bk = bkey
+            elif bkey != bk:
+                raise ValueError(
+                    "stream_otlp_delta_hist: explicit_bounds changed "
+                    f"mid-series ({series}) — bucket-wise addition across "
+                    "different boundaries mis-attributes counts")
+            if cum is None:
+                cum = [0] * len(buckets)
+            elif len(buckets) != len(cum):
+                raise ValueError(
+                    "stream_otlp_delta_hist: bucket_counts length changed "
+                    f"mid-series ({series})")
+            cum = [a + b for a, b in zip(cum, buckets)]
+            cnt += int(c)
+            if s is None or pd.isna(s):
+                poisoned = True
+            else:
+                sm += float(s)
+            out_ts.append(int(ts))
+            out_b.append(list(cum))
+            out_c.append(cnt)
+            out_s.append(None if poisoned else sm)
+    state.update((bk, cum, cnt, sm, bool(poisoned)))
+    yield pd.DataFrame(
+        {
+            "series": [series] * len(out_ts),
+            "timestamp_ms": out_ts,
+            "cum_buckets": out_b,
+            "cum_count": out_c,
+            "cum_sum": out_s,
+        }
+    )
+
+
+def streaming_delta_hist(points: DataFrame) -> DataFrame:
+    """Stream-transform: per-series bucket-wise running accumulation of
+    DELTA classic histograms. ``points`` is a STREAMING DataFrame
+    shaped (series string, timestamp_ms long, bucket_counts
+    array<long>, bounds_key string, count long, sum double)."""
+    return points.groupBy("series").applyInPandasWithState(
+        _fold_delta_hist,
+        outputStructType=DELTA_HIST_OUTPUT_SCHEMA,
+        stateStructType=DELTA_HIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _py_nh_downscale(offset: int, counts: list[int], d: int):
+    """Python twin of ``operators.promql._nh_downscale`` (fine bucket
+    i folds into coarse ⌈i/2^d⌉) — the streaming state fold needs the
+    merge algebra driver-side; semantics pinned equal to the Column
+    form by the restart tests."""
+    if d <= 0 or not counts:
+        return offset, list(counts)
+    m = 1 << d
+    j_lo = -(-offset // m)
+    j_hi = -(-(offset + len(counts) - 1) // m)
+    out = [0] * (j_hi - j_lo + 1)
+    for k, c in enumerate(counts):
+        out[-(-(offset + k) // m) - j_lo] += int(c)
+    return j_lo, out
+
+
+def _py_nh_align_add(o1: int, c1: list[int], o2: int, c2: list[int]):
+    """Python twin of ``operators.promql._nh_align_add`` — offset-
+    aligned element-wise addition with union span; empty+empty keeps
+    the newer offset with an empty array."""
+    if not c1 and not c2:
+        return o2, []
+    if not c1:
+        return o2, list(c2)
+    if not c2:
+        return o1, list(c1)
+    lo, hi = min(o1, o2), max(o1 + len(c1), o2 + len(c2))
+    out = []
+    for i in range(lo, hi):
+        a = c1[i - o1] if 0 <= i - o1 < len(c1) else 0
+        b = c2[i - o2] if 0 <= i - o2 < len(c2) else 0
+        out.append(int(a) + int(b))
+    return lo, out
+
+
+DELTA_EXP_STATE_SCHEMA = StructType(
+    [
+        StructField("scale", IntegerType(), True),
+        StructField("pos_offset", IntegerType(), True),
+        StructField("pos_counts", ArrayType(LongType()), True),
+        StructField("neg_offset", IntegerType(), True),
+        StructField("neg_counts", ArrayType(LongType()), True),
+        StructField("zero_count", LongType(), True),
+        StructField("cum_count", LongType(), True),
+        StructField("cum_sum", DoubleType(), True),
+        StructField("sum_poisoned", BooleanType(), True),
+    ]
+)
+
+DELTA_EXP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("timestamp_ms", LongType(), True),
+        StructField("scale", IntegerType(), True),
+        StructField("pos_offset", IntegerType(), True),
+        StructField("pos_counts", ArrayType(LongType()), True),
+        StructField("neg_offset", IntegerType(), True),
+        StructField("neg_counts", ArrayType(LongType()), True),
+        StructField("zero_count", LongType(), True),
+        StructField("cum_count", LongType(), True),
+        StructField("cum_sum", DoubleType(), True),
+    ]
+)
+
+
+def _fold_delta_exp_hist(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``promql.otlp_delta_exp_hist_to_cumulative``
+    (r9): per-series state is the running native-histogram at the
+    COARSEST scale seen so far. A point at a different scale triggers
+    the downscale-on-scale-change merge (state and/or point fold to
+    the common minimum via ``_py_nh_downscale``, then add offset-
+    aligned) — Prometheus's deltatocumulative rule, held incrementally
+    so the batch operator's bounded sequential fold is never needed on
+    a stream: the stream IS the linear pass."""
+    (series,) = key
+    if state.exists:
+        sc, po, pc, no, nc, z, cnt, sm, poisoned = state.get
+        pc = list(pc) if pc is not None else []
+        nc = list(nc) if nc is not None else []
+    else:
+        sc = None  # None = no point folded yet (scale is data-defined)
+        po = no = 0
+        pc, nc = [], []
+        z, cnt, sm, poisoned = 0, 0, 0.0, False
+    cols = ["timestamp_ms", "scale", "pos_offset", "pos_counts",
+            "neg_offset", "neg_counts", "zero_count", "count", "sum"]
+    out: dict[str, list] = {c: [] for c in DELTA_EXP_OUTPUT_SCHEMA.names}
+    chunks = [pdf[cols] for pdf in pdfs]
+    if chunks:
+        allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
+        for row in allr.itertuples(index=False):
+            r_sc = int(row.scale)
+            r_po, r_pc = int(row.pos_offset), [int(x) for x in row.pos_counts]
+            r_no, r_nc = int(row.neg_offset), [int(x) for x in row.neg_counts]
+            if sc is None:
+                sc, po, pc, no, nc = r_sc, r_po, r_pc, r_no, r_nc
+            else:
+                target = min(sc, r_sc)
+                po, pc = _py_nh_downscale(po, pc, sc - target)
+                no, nc = _py_nh_downscale(no, nc, sc - target)
+                r_po, r_pc = _py_nh_downscale(r_po, r_pc, r_sc - target)
+                r_no, r_nc = _py_nh_downscale(r_no, r_nc, r_sc - target)
+                po, pc = _py_nh_align_add(po, pc, r_po, r_pc)
+                no, nc = _py_nh_align_add(no, nc, r_no, r_nc)
+                sc = target
+            z += int(row.zero_count)
+            cnt += int(row.count)
+            s = row.sum
+            if s is None or pd.isna(s):
+                poisoned = True
+            else:
+                sm += float(s)
+            out["series"].append(series)
+            out["timestamp_ms"].append(int(row.timestamp_ms))
+            out["scale"].append(sc)
+            out["pos_offset"].append(po)
+            out["pos_counts"].append(list(pc))
+            out["neg_offset"].append(no)
+            out["neg_counts"].append(list(nc))
+            out["zero_count"].append(z)
+            out["cum_count"].append(cnt)
+            out["cum_sum"].append(None if poisoned else sm)
+    state.update((sc, po, pc, no, nc, z, cnt, sm, bool(poisoned)))
+    yield pd.DataFrame(out)
+
+
+def streaming_delta_exp_hist(points: DataFrame) -> DataFrame:
+    """Stream-transform: per-series scale-aware running accumulation
+    of DELTA exponential histograms. ``points`` is a STREAMING
+    DataFrame shaped (series string, timestamp_ms long, scale int,
+    pos_offset int, pos_counts array<long>, neg_offset int,
+    neg_counts array<long>, zero_count long, count long,
+    sum double)."""
+    return points.groupBy("series").applyInPandasWithState(
+        _fold_delta_exp_hist,
+        outputStructType=DELTA_EXP_OUTPUT_SCHEMA,
+        stateStructType=DELTA_EXP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

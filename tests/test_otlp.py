@@ -84,17 +84,58 @@ def test_unknown_fields_skipped():
     assert len(got) == 1 and got[0]["value_double"] == 1.5
 
 
-def test_summary_refused_loudly():
-    """summary (field 11) still refuses; exponential histograms (field
-    10) decode as of r8 — see test_exp_histogram_* below."""
-    from prom_etl_db_spark.functions.remote_write import _enc_len
+def test_summary_roundtrip_bit_exact():
+    """r9: summary (field 11) DECODES — SummaryDataPoint count/sum +
+    φ-quantile (quantile, value) pairs, bit-exact doubles; no
+    temporality (the Summary message has none — they are cumulative
+    by definition)."""
+    pts = [{"attrs": {"route": "/q"}, "time_unix_nano": 11,
+            "start_time_unix_nano": 7, "count": 42, "sum": 13.25,
+            "quantiles": [(0.0, -0.5), (0.5, 2.0**-1074),
+                          (0.99, 1e308), (1.0, 9.75)]}]
+    (r,) = O.decode_export_metrics(
+        O.encode_export_metrics(_req(pts, mtype="summary")))
+    assert r["data_type"] == "summary"
+    assert r["temporality"] is None
+    assert r["count"] == 42 and r["sum"] == 13.25
+    assert [(q["quantile"], q["value"]) for q in r["quantile_values"]] == [
+        (0.0, -0.5), (0.5, 2.0**-1074), (0.99, 1e308), (1.0, 9.75)]
+    assert r["attrs"] == {"route": "/q"}
+    # non-summary shapes carry no quantile_values
+    (g,) = O.decode_export_metrics(
+        O.encode_export_metrics(_req([{"time_unix_nano": 1, "value": 1.0}])))
+    assert g["quantile_values"] is None
 
-    metric = _enc_len(1, b"h") + _enc_len(11, b"")
-    sm = _enc_len(2, metric)
-    rm = _enc_len(2, sm)
-    req = _enc_len(1, rm)
-    with pytest.raises(ValueError, match="not implemented"):
-        O.decode_export_metrics(req)
+
+def test_summary_phi_out_of_range_refuses():
+    for bad in (-0.01, 1.5, float("nan")):
+        enc = O.encode_export_metrics(_req(
+            [{"time_unix_nano": 1, "count": 1, "sum": 1.0,
+              "quantiles": [(bad, 0.5)]}], mtype="summary"))
+        with pytest.raises(ValueError, match="outside"):
+            O.decode_export_metrics(enc)
+
+
+def test_summary_corrupt_fuzz_refuses_loudly():
+    good = O.encode_export_metrics(_req(
+        [{"attrs": {"k": "v"}, "time_unix_nano": 9, "count": 7,
+          "sum": 3.5, "quantiles": [(0.5, 1.0), (0.9, 2.0)]}],
+        mtype="summary"))
+    for cut in range(1, len(good)):
+        try:
+            O.decode_export_metrics(good[:cut])
+        except ValueError:
+            pass
+    import random
+
+    rng = random.Random(99)
+    for _ in range(300):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            O.decode_export_metrics(bytes(b))
+        except (ValueError, UnicodeDecodeError):
+            pass
 
 
 def test_histogram_roundtrip():

@@ -74,6 +74,39 @@ def test_write_request_roundtrip_and_negative_timestamp():
     assert RW.decode_write_request(RW.encode_write_request(series)) == series
 
 
+def test_v1_exemplars_roundtrip_and_fuzz():
+    """r9: prompb.TimeSeries.exemplars = 3 decodes (full-string
+    labels, fixed64 value, varint ms timestamp) — previously the only
+    push-format wire field silently skipped."""
+    series = [{
+        "labels": {"__name__": "http_requests", "job": "api"},
+        "samples": [(7.0, 1706572800000)],
+        "exemplars": [
+            {"labels": {"trace_id": "ab" * 16, "span_id": "cd" * 8},
+             "value": 0.125, "timestamp": 1706572800001},
+            {"labels": {}, "value": -2.5, "timestamp": -7},
+        ],
+    }]
+    got = RW.decode_write_request(RW.encode_write_request(series))
+    assert got == series
+    # exemplar-free series round-trip without the key (shape parity)
+    bare = [{"labels": {"__name__": "m"}, "samples": [(1.0, 1)]}]
+    assert RW.decode_write_request(RW.encode_write_request(bare)) == bare
+    enc = RW.encode_write_request(series)
+    for cut in range(len(enc)):
+        try:
+            RW.decode_write_request(enc[:cut])
+        except ValueError:
+            continue
+    for pos in range(len(enc)):
+        mutated = bytearray(enc)
+        mutated[pos] ^= 0xFF
+        try:
+            RW.decode_write_request(bytes(mutated))
+        except (ValueError, UnicodeDecodeError):
+            continue
+
+
 def test_proto_unknown_fields_skipped():
     series = [{"labels": {"__name__": "m"}, "samples": [(1.0, 10)]}]
     enc = bytearray(RW.encode_write_request(series))

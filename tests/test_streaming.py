@@ -1607,3 +1607,185 @@ def test_streaming_otlp_delta_accumulate_matches_batch_across_restart(
         q3.awaitTermination(120)
         if q3.exception() is not None:
             raise q3.exception()
+
+
+def test_streaming_delta_hist_matches_batch_across_restart(spark, tmp_path):
+    """r9 twin: delta CLASSIC histogram accumulation on a stream must
+    equal batch ``otlp_delta_hist_to_cumulative`` over the same
+    payloads, resume from the checkpoint, and refuse a mid-series
+    bounds change loudly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import otlp as O
+    from prom_etl_db_spark.operators import promql
+    from prom_etl_db_spark.streaming.jobs import (
+        stream_otlp_delta_hist_accumulate,
+    )
+
+    T0 = 1706572800_000_000_000
+
+    def payload(eid, pts, bounds=(0.5, 2.0), t0=T0):
+        return O.encode_export_metrics([{
+            "resource": {},
+            "scopes": [{"name": "app", "version": "1", "metrics": [{
+                "name": "lat", "unit": "s", "type": "histogram",
+                "temporality": 1,
+                "points": [{"attrs": {"eid": str(eid)},
+                            "time_unix_nano": t0 + i * 1_000_000_000,
+                            "count": sum(c), "sum": float(sum(c)) * 2.0,
+                            "bucket_counts": list(c),
+                            "explicit_bounds": list(bounds)}
+                           for i, c in enumerate(pts)],
+            }]}],
+        }])
+
+    rows1 = [(1, payload("a", [[2, 1, 0], [1, 0, 3]])),
+             (2, payload("b", [[5, 0, 1]]))]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_otlp_delta_hist_accumulate(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+
+    rows2 = [(3, payload("a", [[0, 4, 1]], t0=T0 + 10_000_000_000)),
+             (4, payload("b", [[1, 1, 1]], t0=T0 + 10_000_000_000))]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_otlp_delta_hist_accumulate(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink))
+    latest = got.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("series").orderBy(
+                F.desc("batch_id"), F.desc("timestamp_ms")))
+    ).where(F.col("rn") == 1)
+    stream_final = {r["series"].split("\x1f")[1]:
+                    (list(r["cum_buckets"]), r["cum_count"], r["cum_sum"])
+                    for r in latest.collect()}
+    assert stream_final["a"] == ([3, 5, 4], 12, 24.0)
+    assert stream_final["b"] == ([6, 1, 2], 9, 18.0)
+    # batch twin over the union of all payloads
+    pts = O.otlp_samples(spark.createDataFrame(
+        rows1 + rows2, "push_id long, body binary"))
+    cum = promql.otlp_delta_hist_to_cumulative(
+        pts.withColumn("eid", F.col("attrs")["eid"]),
+        series_cols=("metric_name", "eid"))
+    batch_final = {
+        r["eid"]: (list(r["bc"]), r["c"], r["s"])
+        for r in cum.groupBy("eid").agg(
+            F.max_by("bucket_counts", "time_unix_nano").alias("bc"),
+            F.max_by("count", "time_unix_nano").alias("c"),
+            F.max_by("sum", "time_unix_nano").alias("s"),
+        ).collect()}
+    assert batch_final == stream_final
+    # bounds change refuses across the checkpoint boundary
+    bad = [(9, payload("a", [[1, 1, 1]], bounds=(0.5, 9.9),
+                       t0=T0 + 20_000_000_000))]
+    spark.createDataFrame(bad, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q3 = stream_otlp_delta_hist_accumulate(spark, str(src), str(sink), str(ckpt))
+    import pytest as _pt
+    with _pt.raises(Exception, match="bounds"):
+        try:
+            q3.awaitTermination(120)
+        finally:
+            if q3.exception() is not None:
+                raise q3.exception()
+
+
+def test_streaming_delta_exp_hist_scale_change_matches_batch(spark, tmp_path):
+    """r9 twin: delta EXPONENTIAL histogram accumulation with a
+    MID-STREAM SCALE CHANGE that lands AFTER a checkpoint restart —
+    the state (folded at scale 2) must downscale-merge with the new
+    scale-1 point exactly as the batch operator's sequential fold
+    does."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import otlp as O
+    from prom_etl_db_spark.operators import promql
+    from prom_etl_db_spark.streaming.jobs import (
+        stream_otlp_delta_exp_accumulate,
+    )
+
+    T0 = 1706572800_000_000_000
+
+    def payload(eid, pts, t0=T0):
+        return O.encode_export_metrics([{
+            "resource": {},
+            "scopes": [{"name": "app", "version": "1", "metrics": [{
+                "name": "lat", "type": "exponential_histogram",
+                "temporality": 1,
+                "points": [{"attrs": {"eid": str(eid)},
+                            "time_unix_nano": t0 + i * 1_000_000_000,
+                            "count": z + sum(c), "scale": s,
+                            "zero_count": z, "pos_offset": o,
+                            "pos_counts": list(c), "sum": float(sum(c))}
+                           for i, (s, o, c, z) in enumerate(pts)],
+            }]}],
+        }])
+
+    # run 1: scale 2 points (the r8 unit fixture's shape)
+    rows1 = [(1, payload("a", [(2, 0, [2, 1], 1), (2, 1, [1, 3], 0)]))]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_otlp_delta_exp_accumulate(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+
+    # run 2 (after restart): a SCALE-1 point — the checkpointed scale-2
+    # state must downscale (ceil(i/2) merge) before adding
+    rows2 = [(2, payload("a", [(1, 1, [2], 0)], t0=T0 + 10_000_000_000))]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_otlp_delta_exp_accumulate(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink))
+    latest = got.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("series").orderBy(
+                F.desc("batch_id"), F.desc("timestamp_ms")))
+    ).where(F.col("rn") == 1).collect()
+    (r,) = latest
+    # same algebra as the r8 batch unit test: [2,2,3]@s2 -> [2,5]@s1,
+    # + [2]@off1 -> [2,7]@off0, zero 1, count 10
+    assert r["scale"] == 1
+    assert (r["pos_offset"], list(r["pos_counts"])) == (0, [2, 7])
+    assert r["zero_count"] == 1 and r["cum_count"] == 10
+    # batch twin (multi-scale fold path) agrees on the final point
+    pts = O.otlp_samples(spark.createDataFrame(
+        rows1 + rows2, "push_id long, body binary"))
+    cum = promql.otlp_delta_exp_hist_to_cumulative(
+        pts.withColumn("eid", F.col("attrs")["eid"]),
+        series_cols=("metric_name", "eid"))
+    b = cum.orderBy(F.desc("time_unix_nano")).first()
+    assert b["scale"] == 1
+    assert (b["pos_offset"], list(b["pos_counts"])) == (0, [2, 7])
+    assert b["zero_count"] == 1 and b["count"] == 10
+    # a cumulative-temporality point refuses pre-fold
+    badp = O.encode_export_metrics([{
+        "resource": {},
+        "scopes": [{"name": "app", "version": "1", "metrics": [{
+            "name": "lat", "type": "exponential_histogram",
+            "temporality": 2,
+            "points": [{"attrs": {"eid": "a"},
+                        "time_unix_nano": T0 + 30_000_000_000,
+                        "count": 1, "scale": 1, "zero_count": 0,
+                        "pos_offset": 0, "pos_counts": [1], "sum": 1.0}],
+        }]}],
+    }])
+    spark.createDataFrame([(9, badp)], "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q3 = stream_otlp_delta_exp_accumulate(spark, str(src), str(sink), str(ckpt))
+    import pytest as _pt
+    with _pt.raises(Exception, match="non-DELTA"):
+        try:
+            q3.awaitTermination(120)
+        finally:
+            if q3.exception() is not None:
+                raise q3.exception()

@@ -1188,7 +1188,127 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     return times
 
 
+def probe_depth(spark, n_series: int, depths: list[int]) -> None:
+    """POINTS-PER-SERIES axis (r9 — VERDICT r8 What's-wrong #1): the
+    main probe scales SERIES COUNT at 2 points/series, which is blind
+    to any per-series-depth term (the r8 delta-histogram fold was
+    O(points²·buckets) per series and probed clean). This axis holds
+    series count fixed and grows points-per-series 2 → 20 → 200;
+    a ~linear time-vs-total-points ratio certifies the r9
+    linearization (posexplode + running sums for classic, the
+    absolute-index grid for equal-scale exponential).
+
+    Fixtures are generated DISTRIBUTED (range + sequence explode, no
+    driver loop): 8-bucket delta histograms, constant bounds/scale per
+    series (the operators' accumulation contract), exponential offsets
+    drifting ±2 across the series to exercise the union-span
+    reassembly."""
+    t0 = 1706572800_000_000_000
+    results: dict[int, dict[str, tuple[float, int]]] = {}
+    for d in depths:
+        times: dict[str, tuple[float, int]] = {}
+        base = spark.range(n_series).select(F.col("id").alias("sid"))
+        pts = base.select(
+            "sid",
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+        ).select(
+            F.concat(F.lit("m"), F.col("sid")).alias("metric_name"),
+            F.lit(1).cast("int").alias("temporality"),
+            (F.lit(t0) + F.col("i").cast("long") * F.lit(1_000_000_000))
+            .cast("long").alias("time_unix_nano"),
+            "sid", "i",
+        )
+        scalar = pts.select(
+            "metric_name", "temporality", "time_unix_nano",
+            ((F.col("sid") % 7 + F.col("i") % 5).cast("double"))
+            .alias("value_double"),
+        )
+        bcounts = F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda b: ((F.col("sid") + F.col("i") * b) % 5).cast("bigint"),
+        )
+        classic = pts.select(
+            "metric_name", "temporality", "time_unix_nano",
+            F.lit("histogram").alias("data_type"),
+            F.aggregate(bcounts, F.lit(0).cast("bigint"),
+                        lambda a, x: a + x).alias("count"),
+            (F.col("i") * F.lit(2.0)).alias("sum"),
+            bcounts.alias("bucket_counts"),
+            F.transform(F.sequence(F.lit(1), F.lit(8)),
+                        lambda b: b.cast("double") * F.lit(0.5))
+            .alias("explicit_bounds"),
+        )
+        expf = pts.select(
+            "metric_name", "temporality", "time_unix_nano",
+            F.lit(2).cast("int").alias("scale"),
+            ((F.col("i") % 5) - F.lit(2)).cast("int").alias("pos_offset"),
+            bcounts.alias("pos_counts"),
+            F.lit(0).cast("int").alias("neg_offset"),
+            F.expr("CAST(array() AS array<bigint>)").alias("neg_counts"),
+            (F.col("sid") % 3).cast("bigint").alias("zero_count"),
+            (F.aggregate(bcounts, F.lit(0).cast("bigint"),
+                         lambda a, x: a + x)
+             + F.col("sid") % 3).alias("count"),
+            (F.col("i") * F.lit(1.5)).alias("sum"),
+        )
+
+        def run(name, df, force):
+            # .count() would let Catalyst PRUNE the cumulative-array
+            # assembly (the very work under test); aggregate over the
+            # computed columns instead so every element materializes
+            best, n = None, 0
+            for _ in range(2):
+                ts = time.perf_counter()
+                row = df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(force).alias("chk"),
+                ).collect()[0]
+                n = row["n"]
+                el = time.perf_counter() - ts
+                best = el if best is None or el < best else best
+                spark.catalog.clearCache()
+            times[name] = (round(best, 2), n)
+            print(f"  depth {d}: {name}: {best:.2f}s ({n} rows)",
+                  file=sys.stderr)
+
+        arr_sum = lambda c: F.aggregate(  # noqa: E731
+            F.col(c), F.lit(0).cast("bigint"), lambda a, x: a + x)
+        run("otlp_delta_to_cum",
+            promql.otlp_delta_to_cumulative(
+                scalar, series_cols=("metric_name",)),
+            F.col("value_double"))
+        run("otlp_delta_hist_to_cum",
+            promql.otlp_delta_hist_to_cumulative(
+                classic, series_cols=("metric_name",)),
+            arr_sum("bucket_counts") + F.col("count")
+            + F.coalesce(F.col("sum"), F.lit(0.0)))
+        run("otlp_delta_exp_to_cum",
+            promql.otlp_delta_exp_hist_to_cumulative(
+                expf, series_cols=("metric_name",)),
+            arr_sum("pos_counts") + F.col("pos_offset") + F.col("count"))
+        results[d] = times
+    d0, dN = depths[0], depths[-1]
+    print(f"\n{'op':24s} " + " ".join(f"d={d:>5d}" for d in depths)
+          + "   time-ratio vs depth growth")
+    for op in results[d0]:
+        row = [results[d][op] for d in depths]
+        t_0, _ = row[0]
+        t_n, _ = row[-1]
+        work = dN / d0
+        ratio = (t_n / t_0) / work if t_0 else float("nan")
+        flag = "OK" if ratio <= 1.5 else "SUPERLINEAR"
+        print(f"{op:24s} " + " ".join(f"{t:7.2f}" for t, _ in row)
+              + f"   {ratio:.2f} {flag} (work {work:.0f}x)")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--depth":
+        depths = [int(x) for x in sys.argv[2:]] or [2, 20, 200]
+        spark = get_spark("scale-probe-depth")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        probe_depth(spark, 2000, depths)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[2:]] or [1, 4, 10]
     spark = get_spark("scale-probe")
