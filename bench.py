@@ -181,6 +181,26 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    # Load sentinel (r9, VERDICT r8 stretch): BENCH_r08.json entered the
+    # record at 3.5x the code's real cost because the driver bench ran
+    # under test load, and nothing in the JSON said so. A fixed
+    # registry-independent canary job (pure JVM aggregation — identical
+    # bytecode every round) runs best-of-3 BEFORE and AFTER the timed
+    # block; its absolute seconds and the pre/post ratio are stamped into
+    # the output, so a contaminated record is self-identifying against
+    # the quiet-host canary value pinned in BENCH_NOTES.md.
+    def canary() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr("sum(id % 7)").collect()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        return round(best, 3)
+
+    canary()  # untimed: pay the canary's own codegen once, not in pre
+    canary_pre = canary()
+
     # Codegen/JIT warmup per query: run the same plan once against the
     # smallest fixture so janino + C2 compilation is NOT charged to the
     # measured run (JMH-style steady-state measurement; the shingle
@@ -224,6 +244,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    canary_post = canary()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -233,6 +254,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-load sentinel: compare against the quiet-host
+                # canary value in BENCH_NOTES.md — an inflated canary
+                # marks the WHOLE record as load-contaminated
+                "canary_pre_sec": canary_pre,
+                "canary_post_sec": canary_post,
+                "canary_spread": round(
+                    max(canary_pre, canary_post)
+                    / max(min(canary_pre, canary_post), 1e-9), 3),
             }
         )
     )

@@ -181,12 +181,17 @@ def _enc_len(num: int, payload: bytes) -> bytes:
     return _enc_field(num, 2) + _enc_uvarint(len(payload)) + payload
 
 
-def encode_write_request(series: list[dict]) -> bytes:
+def encode_write_request(
+    series: list[dict], metadata: list[dict] | None = None
+) -> bytes:
     """series: [{"labels": {name: value}, "samples": [(value, ts_ms)]}]
     → uncompressed WriteRequest bytes (fixture/test encoder). r9:
     exemplars (prompb.TimeSeries.exemplars = 3; Exemplar{labels = 1
     FULL Label messages — v1 has no symbol table — value = 2 fixed64,
-    timestamp = 3 varint ms}) encode too."""
+    timestamp = 3 varint ms}) encode too, and REQUEST-level metadata
+    (WriteRequest.metadata = 3; prompb.MetricMetadata{type = 1 enum,
+    metric_family_name = 2, help = 4, unit = 5} — v1 metadata is
+    out-of-band per family, unlike v2's per-series typed refs)."""
     out = bytearray()
     for s in series:
         ts_msg = bytearray()
@@ -212,7 +217,98 @@ def encode_write_request(series: list[dict]) -> bytes:
         for h in s.get("histograms", []):
             ts_msg += _enc_len(4, _enc_native_histogram(h))
         out += _enc_len(1, bytes(ts_msg))
+    for md in metadata or []:
+        m = _enc_field(1, 0) + _enc_uvarint(int(md.get("type", 0)))
+        m += _enc_len(2, md.get("family", "").encode())
+        if md.get("help") is not None:
+            m += _enc_len(4, md["help"].encode())
+        if md.get("unit") is not None:
+            m += _enc_len(5, md["unit"].encode())
+        out += _enc_len(3, m)
     return bytes(out)
+
+
+def decode_write_request_metadata(data: bytes) -> list[dict]:
+    """Uncompressed v1 WriteRequest bytes → the REQUEST-level metadata
+    entries (WriteRequest.metadata = 3 — r9, the last v1 field that
+    was skipped; v1 ships metadata out-of-band per metric FAMILY,
+    where v2 interns it per series). Returns [{"type": int, "family":
+    str, "help": str|None, "unit": str|None}]; framing violations
+    raise ValueError, unknown fields skip per proto3."""
+    out, pos, n = [], 0, len(data)
+    while pos < n:
+        hdr, pos = _uvarint(data, pos)
+        num, wire = hdr >> 3, hdr & 7
+        if num != 3 or wire != 2:
+            pos = _skip(data, pos, wire)
+            continue
+        ln, pos = _uvarint(data, pos)
+        if pos + ln > n:
+            raise ValueError(f"proto: metadata overruns buffer at {pos}")
+        md, mp = data[pos : pos + ln], 0
+        pos += ln
+        entry: dict = {"type": 0, "family": "", "help": None, "unit": None}
+        while mp < len(md):
+            mh, mp = _uvarint(md, mp)
+            mnum, mwire = mh >> 3, mh & 7
+            if mnum == 1 and mwire == 0:
+                raw, mp = _uvarint(md, mp)
+                entry["type"] = raw
+            elif mnum in (2, 4, 5) and mwire == 2:
+                l2, mp = _uvarint(md, mp)
+                if mp + l2 > len(md):
+                    raise ValueError("proto: metadata field overruns")
+                text = md[mp : mp + l2].decode("utf-8")
+                mp += l2
+                entry[{2: "family", 4: "help", 5: "unit"}[mnum]] = text
+            else:
+                mp = _skip(md, mp, mwire)
+        out.append(entry)
+    return out
+
+
+def remote_write_v1_metadata(
+    payloads: DataFrame, *, payload_col: str = "body", id_col: str = "push_id"
+) -> DataFrame:
+    """(id, snappy-compressed v1 WriteRequest) → one row per metadata
+    entry: (metric_family_name, metric_type, help, unit) — the same
+    typed-metadata shape ``remote_write_v2_samples`` resolves from
+    v2's interned refs, so both wire generations feed one metadata
+    table. mapInPandas, zero shuffle."""
+    schema = T.StructType(
+        [payloads.schema[id_col]]
+        + [
+            T.StructField("metric_family_name", T.StringType()),
+            T.StructField("metric_type", T.StringType()),
+            T.StructField("help", T.StringType()),
+            T.StructField("unit", T.StringType()),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for e in decode_write_request_metadata(
+                    snappy_decompress(bytes(blob))
+                ):
+                    rows.append(
+                        {
+                            id_col: pid,
+                            "metric_family_name": e["family"],
+                            "metric_type": _V2_METRIC_TYPES.get(
+                                e["type"], f"type_{e['type']}"),
+                            "help": e["help"],
+                            "unit": e["unit"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return payloads.select(id_col, payload_col).mapInPandas(walk, schema=schema)
 
 
 def _parse_label(data: bytes) -> tuple[str, str]:

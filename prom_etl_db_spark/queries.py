@@ -143,10 +143,12 @@ _GATE_PRIORITY = [
     # composition (VERDICT What's-missing #2)
     "otlp_summary_decode",
     "otlp_summary_count_rate",
-    # remote-write 1.0 exemplars (TimeSeries field 3 — the last silently
-    # skipped push-format wire field)
+    # remote-write 1.0 exemplars (TimeSeries field 3) and request-level
+    # metadata (WriteRequest field 3) — the last silently skipped
+    # push-format wire fields; v1 now decodes every field it carries
     "remote_write_v1_exemplars_decode",
-    # --- (d) fill: newest driver row = r4 (13, registry order) -------------
+    "remote_write_v1_metadata",
+    # --- (d) fill: newest driver row = r4 (12, registry order) -------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
@@ -159,7 +161,6 @@ _GATE_PRIORITY = [
     "collected_at_sameday_range",
     "latest_n_scan",
     "metrics_count",
-    "table_stats",
 ]
 
 def _apply_gate_priority() -> None:

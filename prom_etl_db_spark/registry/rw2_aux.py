@@ -140,6 +140,54 @@ def remote_write_v1_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "remote_write_v1_metadata",
+    oracle="""
+SELECT event_id AS push_id, event_type AS metric_family_name,
+  CASE user_id % 4 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge'
+       WHEN 2 THEN 'histogram' ELSE 'summary' END AS metric_type,
+  'Tracks ' || event_type AS help,
+  CASE WHEN user_id % 2 = 0 THEN 'seconds' ELSE NULL END AS unit
+FROM events
+""",
+)
+def remote_write_v1_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 REQUEST-level metadata (r9 — WriteRequest.metadata = 3,
+    prompb.MetricMetadata; the last v1 field that was skipped): one
+    typed row per metric family, landing in the SAME
+    (family, type, help, unit) shape the v2 interned-ref metadata
+    resolves into — both wire generations feed one metadata table.
+    The u-odd slice omits ``unit`` to pin the proto3
+    optional-absent → NULL convention. Plan: one mapInPandas decode,
+    zero shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    types = {0: 1, 1: 2, 2: 3, 3: 5}  # counter/gauge/histogram/summary
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            md = {"type": types[u % 4], "family": n,
+                  "help": f"Tracks {n}"}
+            if u % 2 == 0:
+                md["unit"] = "seconds"
+            out.append(RW.snappy_compress(RW.encode_write_request(
+                [{"labels": {"__name__": n}, "samples": [(float(u), _T0)]}],
+                metadata=[md])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    return RW.remote_write_v1_metadata(payloads).select(
+        "push_id", "metric_family_name", "metric_type", "help", "unit"
+    )
+
+
+@register(
     "ct_aware_increase",
     oracle="""
 WITH s AS (
@@ -209,22 +257,42 @@ def ct_aware_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build("event_type", "user_id").alias("body"),
     )
     pts = RW.remote_write_v2_samples(payloads, with_created=True)
-    w = Window.partitionBy("push_id").orderBy("timestamp_ms")
+    return ct_increase(pts, wstart).select(
+        "push_id", "metric_name",
+        F.round("increase", 4).alias("increase"))
+
+
+def ct_increase(
+    pts: DataFrame,
+    window_start_ms: int,
+    *,
+    series_cols: tuple[str, ...] = ("push_id", "metric_name"),
+) -> DataFrame:
+    """CT-aware increase over a decoded samples frame (factored out in
+    r9 so the clock-skew seam is testable on arbitrary fixtures):
+    reset-corrected lag deltas per series; the FIRST in-window sample
+    counts fully iff created_timestamp lands inside the window AND not
+    after the sample itself — a CT newer than the sample it describes
+    is clock skew / a lying producer (Prometheus's CT-zero ingestion
+    only injects the zero when ct < sample ts), so it is ignored
+    rather than trusted. One window + one hash agg on the same key —
+    a single shuffle."""
+    w = Window.partitionBy(*series_cols).orderBy("timestamp_ms")
     deltas = pts.withColumn("prev", F.lag("value").over(w)).withColumn(
         "contrib",
         F.when(
             F.col("prev").isNull(),
-            # first in-window sample: counts fully iff the series was
-            # born inside the window (synthetic zero at CT)
             F.when(
-                F.col("created_timestamp_ms") >= F.lit(wstart), F.col("value")
+                (F.col("created_timestamp_ms") >= F.lit(window_start_ms))
+                & (F.col("created_timestamp_ms") <= F.col("timestamp_ms")),
+                F.col("value"),
             ).otherwise(F.lit(0.0)),
         )
         .when(F.col("value") < F.col("prev"), F.col("value"))  # reset
         .otherwise(F.col("value") - F.col("prev")),
     )
-    return deltas.groupBy("push_id", "metric_name").agg(
-        F.round(F.sum("contrib"), 4).alias("increase")
+    return deltas.groupBy(*series_cols).agg(
+        F.sum("contrib").alias("increase")
     )
 
 

@@ -152,9 +152,12 @@ CT_COUNTER_OUTPUT_SCHEMA = StructType(
 def make_ct_counter_fold(window_start_ms: int):
     """Per-series fold: running reset-corrected increase where the
     FIRST sample ever contributes its full value iff the series'
-    created_timestamp is inside the observation window (NULL CT =
-    unknown birth = no zero injection — the v1/old-agent fallback,
-    same rule as the batch twin ``ct_aware_increase``)."""
+    created_timestamp is inside the observation window AND not after
+    the sample itself (r9 seam fix: a CT newer than the sample it
+    describes is clock skew — Prometheus only injects the CT zero
+    when ct < sample ts; NULL CT = unknown birth = no zero injection
+    — the v1/old-agent fallback, same rule as the batch twin
+    ``ct_aware_increase``)."""
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -175,7 +178,8 @@ def make_ct_counter_fold(window_start_ms: int):
             ):
                 v = float(v)
                 if last_value is None:
-                    if not pd.isna(ct) and int(ct) >= window_start_ms:
+                    if (not pd.isna(ct) and int(ct) >= window_start_ms
+                            and int(ct) <= int(ts)):
                         total += v
                 else:
                     total += v if v < last_value else v - last_value

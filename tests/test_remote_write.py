@@ -107,6 +107,37 @@ def test_v1_exemplars_roundtrip_and_fuzz():
             continue
 
 
+def test_v1_metadata_roundtrip_and_fuzz():
+    """r9: WriteRequest.metadata = 3 (prompb.MetricMetadata) decodes —
+    request-level per-family typed metadata, the last skipped v1
+    field. The series walker is metadata-BLIND (unchanged API) and
+    the metadata walker is series-blind."""
+    series = [{"labels": {"__name__": "m"}, "samples": [(1.0, 10)]}]
+    md = [{"type": 1, "family": "m", "help": "Tracks m", "unit": "s"},
+          {"type": 5, "family": "q", "help": None, "unit": None}]
+    enc = RW.encode_write_request(series, metadata=md)
+    assert RW.decode_write_request(enc) == series  # series walker blind
+    got = RW.decode_write_request_metadata(enc)
+    assert got == [
+        {"type": 1, "family": "m", "help": "Tracks m", "unit": "s"},
+        {"type": 5, "family": "q", "help": None, "unit": None}]
+    # metadata-free request yields no entries
+    assert RW.decode_write_request_metadata(
+        RW.encode_write_request(series)) == []
+    for cut in range(len(enc)):
+        try:
+            RW.decode_write_request_metadata(enc[:cut])
+        except ValueError:
+            continue
+    for pos in range(len(enc)):
+        mutated = bytearray(enc)
+        mutated[pos] ^= 0xFF
+        try:
+            RW.decode_write_request_metadata(bytes(mutated))
+        except (ValueError, UnicodeDecodeError):
+            continue
+
+
 def test_proto_unknown_fields_skipped():
     series = [{"labels": {"__name__": "m"}, "samples": [(1.0, 10)]}]
     enc = bytearray(RW.encode_write_request(series))

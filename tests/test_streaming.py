@@ -1565,11 +1565,25 @@ def test_streaming_otlp_delta_accumulate_matches_batch_across_restart(
     q = stream_otlp_delta_accumulate(spark, str(src), str(sink), str(ckpt))
     q.awaitTermination(120)
 
-    # run-2 deltas reuse T0 timestamps — delta ADDITION is
-    # order-independent, so the checkpointed totals absorb them
-    # regardless of arrival order (unlike the reset-corrected counter
-    # folds, which need event order)
-    rows2 = [(3, payload("a", [4.0])), (4, payload("b", [10.0]))]
+    # run-2 deltas carry fresh timestamps (r9: the BATCH operator now
+    # refuses duplicate delta timestamps — nondeterministic fold order
+    # — so the batch-equality leg below needs distinct ts; the STREAM
+    # fold remains order-independent addition and would absorb any
+    # arrival order)
+    def payload2(eid, vals, temporality=1):
+        return O.encode_export_metrics([{
+            "resource": {},
+            "scopes": [{"name": "app", "version": "1", "metrics": [{
+                "name": "req", "unit": "1", "type": "sum",
+                "temporality": temporality, "is_monotonic": True,
+                "points": [{"attrs": {"eid": str(eid)},
+                            "time_unix_nano": T0 + (10 + i) * 1_000_000_000,
+                            "value": float(v)}
+                           for i, v in enumerate(vals)],
+            }]}],
+        }])
+
+    rows2 = [(3, payload2("a", [4.0])), (4, payload2("b", [10.0]))]
     spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
         "append").parquet(str(src))
     q2 = stream_otlp_delta_accumulate(spark, str(src), str(sink), str(ckpt))
