@@ -900,6 +900,7 @@ OTLP_SCHEMA = T.StructType(
         T.StructField("temporality", T.IntegerType()),
         T.StructField("is_monotonic", T.BooleanType()),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("start_time_unix_nano", T.LongType()),
         T.StructField("time_unix_nano", T.LongType()),
         T.StructField("value_double", T.DoubleType()),
         T.StructField("value_int", T.LongType()),
@@ -992,6 +993,7 @@ def otlp_samples(
                             "temporality": r["temporality"],
                             "is_monotonic": r["is_monotonic"],
                             "attrs": {k: str(v) for k, v in r["attrs"].items()},
+                            "start_time_unix_nano": r["start_time_unix_nano"],
                             "time_unix_nano": r["time_unix_nano"],
                             "value_double": r["value_double"],
                             "value_int": r["value_int"],

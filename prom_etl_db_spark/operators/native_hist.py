@@ -202,20 +202,33 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
     lower·(upper/lower)^frac = 2^((o+i-1+frac)·2^-schema)), which the
     le-mapping path (linear, the classic-bucket rule) deliberately
     does NOT apply — this operator closes that documented estimator
-    divergence. Conventions, each pinned by test or fixture:
+    divergence. r9: NEGATIVE-direction buckets are supported (the
+    r8 form refused them): the cumulative walk runs in ascending
+    VALUE order — negative buckets from the most negative upward
+    (dense neg array REVERSED: neg index i ↦ bucket k = neg_offset+i
+    covering [-base^k, -base^(k-1))), then the zero bucket, then the
+    positive buckets — exactly Prometheus's AllBucketIterator order.
+    Conventions, each pinned by test or fixture:
 
-    - positive-direction + zero observations only (latency shape);
-      histograms carrying negative buckets refuse loudly;
+    - a NEGATIVE crossing bucket interpolates exponentially in
+      |value| from its more-negative end:
+      value = -2^((k - frac)·2^-schema) (frac 0 → -base^k,
+      frac 1 → -base^(k-1) — the sign-mirrored log-uniform rule);
     - target in the ZERO bucket interpolates linearly within
-      (0, zero_threshold] (the zero bucket is 'around zero'; linear is
-      the only defensible rule where log-uniform is undefined at 0);
+      [lower, zero_threshold], lower = -zero_threshold when the
+      histogram carries negative buckets and 0 otherwise —
+      Prometheus's rule (the zero bucket spans 'around zero'; linear
+      is the only defensible rule where log-uniform is undefined
+      at 0);
     - target beyond the last bucket (count > bucket sum — legal)
-      returns the last finite upper bound, the engine's +Inf
-      convention;
+      returns the last finite upper bound in walk order (positive
+      last if present, else zero_threshold, else the negative side's
+      upper -base^(neg_offset-1));
     - empty histograms (count == 0) yield NaN (the r8 seam rule);
-    - q == 0 on a non-empty histogram returns 0.0 — the observable
-      infimum of the positive+zero shape (r9 ADVICE fix: with
-      zero_count == 0 it used to NULL via try_divide(0, 0));
+    - q == 0 on a non-empty histogram returns the observable
+      infimum: -base^(neg_offset+size-1) when negative buckets are
+      present, else 0.0 (r9 ADVICE fix — previously NULL via
+      try_divide(0, 0) when zero_count == 0);
     - custom-bucket rows (schema −53) refuse — their quantile is the
       CLASSIC linear rule via nhcb_to_le_buckets, not this estimator.
 
@@ -225,62 +238,86 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
     zc = F.col("zero_count").cast("double")
     inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
     guarded = F.when(
-        F.size("neg_counts") > 0,
-        F.raise_error(F.lit(
-            "native_hist_quantile: negative buckets present — this "
-            "evaluator is positive-direction only (latency shape)")),
-    ).when(
         F.col("schema") == CUSTOM_BUCKETS_SCHEMA,
         F.raise_error(F.lit(
             "native_hist_quantile: custom-bucket histograms take the "
             "classic linear rule — use nhcb_to_le_buckets + "
             "histogram_quantile")),
     ).otherwise(F.lit(0))
-    # running cumulative over [zero bucket, b0, b1, ...]
-    cums = F.aggregate(
-        F.col("pos_counts"),
+    n_neg = F.size("neg_counts")
+    has_neg = n_neg > 0
+    # ascending-value walk: [reversed neg ..., zero, pos ...]
+    walk = F.concat(
+        F.transform(F.reverse(F.col("neg_counts")),
+                    lambda x: x.cast("double")),
         F.array(zc),
-        lambda acc, x: F.concat(
-            acc, F.array(F.element_at(acc, -1) + x.cast("double"))),
+        F.transform(F.col("pos_counts"), lambda x: x.cast("double")),
     )
-    # first index (0-based, 0 = zero bucket) whose cumulative reaches
-    # the target; size(...) == size(cums) means target beyond all
-    crossing = F.size(F.filter(cums, lambda c: c < target))
-    # dense index of the crossing bucket (crossing - 1; 0 = zero bucket)
-    i = crossing - F.lit(1)
-    prev_cum = F.when(crossing == 0, F.lit(0.0)).otherwise(
-        F.coalesce(
-            F.element_at(cums, crossing.cast("int")), F.lit(0.0))
+    # inclusive prefix sums over the walk
+    cums = F.slice(
+        F.aggregate(
+            walk,
+            F.array(F.lit(0.0)),
+            lambda acc, x: F.concat(
+                acc, F.array(F.element_at(acc, -1) + x)),
+        ),
+        2,
+        F.size(walk).cast("int"),
     )
+    # 0-based walk position of the crossing bucket
+    p = F.size(F.filter(cums, lambda c: c < target))
+    prev_cum = F.when(p == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.element_at(cums, p.cast("int")), F.lit(0.0)))
     in_bucket = F.coalesce(
-        F.element_at(F.col("pos_counts"), crossing.cast("int")),
-        F.lit(0),
-    ).cast("double")
+        F.element_at(walk, (p + 1).cast("int")), F.lit(0.0))
     frac = F.try_divide(target - prev_cum, in_bucket)
+    # negative region: walk pos p ↦ dense neg index n_neg-1-p ↦
+    # bucket k = neg_offset + n_neg - 1 - p covering [-base^k, -base^(k-1))
+    neg_k = (F.col("neg_offset").cast("double")
+             + n_neg.cast("double") - F.lit(1.0) - p.cast("double"))
+    neg_val = -F.pow(F.lit(2.0), (neg_k - frac) * inv)
+    # zero bucket: linear within [lower, zt]
+    zero_lower = F.when(has_neg, -F.col("zero_threshold")).otherwise(
+        F.lit(0.0))
+    zero_val = zero_lower + (F.col("zero_threshold") - zero_lower) * frac
+    # positive region: walk pos p ↦ dense pos index p - n_neg - 1 ↦
+    # bucket k = pos_offset + idx covering (base^(k-1), base^k]
+    pos_i = (p - n_neg - F.lit(1)).cast("double")
     exp_val = F.pow(
         F.lit(2.0),
-        (F.col("pos_offset").cast("double") + i.cast("double")
-         - F.lit(1.0) + frac) * inv,
-    )
-    zero_val = F.col("zero_threshold") * F.try_divide(target, zc)
-    # upper bound of the LAST dense bucket: index size-1 ↦ bucket
-    # k = offset + size - 1 covering (base^(k-1), base^k]
-    last_upper = F.pow(
-        F.lit(2.0),
-        (F.col("pos_offset").cast("double")
-         + F.size("pos_counts").cast("double") - F.lit(1.0))
+        (F.col("pos_offset").cast("double") + pos_i - F.lit(1.0) + frac)
         * inv,
     )
+    # upper bound of the LAST bucket in walk order
+    last_upper = (
+        F.when(
+            F.size("pos_counts") > 0,
+            F.pow(
+                F.lit(2.0),
+                (F.col("pos_offset").cast("double")
+                 + F.size("pos_counts").cast("double") - F.lit(1.0))
+                * inv,
+            ),
+        )
+        .when(zc > 0, F.col("zero_threshold"))
+        .otherwise(
+            -F.pow(F.lit(2.0),
+                   (F.col("neg_offset").cast("double") - F.lit(1.0)) * inv)
+        )
+    )
+    # observable infimum (the q == 0 convention)
+    infimum = F.when(
+        has_neg,
+        -F.pow(F.lit(2.0),
+               (F.col("neg_offset").cast("double")
+                + n_neg.cast("double") - F.lit(1.0)) * inv),
+    ).otherwise(F.lit(0.0))
     value = (
         F.when(cnt == 0, F.lit(float("nan")))
-        # r9 ADVICE fix: q == 0 with zero_count == 0 used to land in
-        # the zero-bucket branch and NULL via try_divide(0, 0); the
-        # 0-quantile of a positive-direction+zero histogram is its
-        # observable infimum, 0.0 (consistent with the zc > 0 case,
-        # where zero_val evaluates to exactly 0.0)
-        .when(target == 0, F.lit(0.0))
-        .when(crossing == 0, zero_val)  # inside the zero bucket
-        .when(crossing >= F.size(cums), last_upper)  # beyond all buckets
+        .when(target == 0, infimum)
+        .when(p >= F.size(walk), last_upper)  # beyond all buckets
+        .when(p < n_neg, neg_val)
+        .when(p == n_neg, zero_val)
         .otherwise(exp_val)
     )
     # the guard column evaluates first (raising on bad rows) and is 0

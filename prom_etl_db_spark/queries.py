@@ -148,7 +148,11 @@ _GATE_PRIORITY = [
     # push-format wire fields; v1 now decodes every field it carries
     "remote_write_v1_exemplars_decode",
     "remote_write_v1_metadata",
-    # --- (d) fill: newest driver row = r4 (12, registry order) -------------
+    # the native quantile evaluator now walks NEGATIVE buckets
+    # (ascending-value order, sign-mirrored exponential interpolation,
+    # Prometheus's zero-bucket lower-bound rule) — previously refused
+    "native_hist_neg_quantile",
+    # --- (d) fill: newest driver row = r4 (11, registry order) -------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
@@ -160,7 +164,6 @@ _GATE_PRIORITY = [
     "ingest_normalize_events",
     "collected_at_sameday_range",
     "latest_n_scan",
-    "metrics_count",
 ]
 
 def _apply_gate_priority() -> None:

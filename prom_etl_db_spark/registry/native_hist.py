@@ -494,3 +494,101 @@ def native_hist_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name",
         F.round("quantile_value", 6).alias("p90"),
     )
+
+
+@register(
+    "native_hist_neg_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 2 AS INT) AS s,
+    user_id % 5 <> 0 AS has_neg,
+    CAST(user_id % 3 AS INT) AS o_n,
+    CAST(CASE WHEN user_id % 5 = 0 THEN 0
+         ELSE user_id % 3 + 1 END AS DOUBLE) AS a,
+    CAST(CASE WHEN user_id % 5 = 0 THEN 0
+         ELSE user_id % 2 + 1 END AS DOUBLE) AS b,
+    CAST(user_id % 2 + 1 AS DOUBLE) AS z,
+    CAST(user_id % 4 - 1 AS INT) AS o_p,
+    CAST(user_id % 4 + 1 AS DOUBLE) AS c,
+    CAST(user_id % 3 + 1 AS DOUBLE) AS d
+  FROM events
+), m AS (
+  SELECT *,
+    power(2.0, -CAST(s AS DOUBLE)) AS inv,
+    0.5 * (a + b + z + c + d) AS t,
+    CASE WHEN has_neg THEN -0.001 ELSE 0.0 END AS zlo
+  FROM h
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(CASE
+    WHEN has_neg AND t <= b
+      THEN -power(2.0, (o_n + 1 - t / b) * inv)
+    WHEN has_neg AND t <= b + a
+      THEN -power(2.0, (o_n - (t - b) / a) * inv)
+    WHEN t <= b + a + z
+      THEN zlo + (0.001 - zlo) * ((t - b - a) / z)
+    WHEN t <= b + a + z + c
+      THEN power(2.0, (o_p - 1 + (t - b - a - z) / c) * inv)
+    ELSE power(2.0, (o_p + (t - b - a - z - c) / d) * inv)
+  END, 6) AS p50
+FROM m
+""",
+)
+def native_hist_neg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native quantile evaluator over histograms WITH NEGATIVE
+    buckets (r9 — the r8 evaluator refused them; Prometheus supports
+    negative observations and its quantile walks negative buckets in
+    ascending VALUE order with the sign-mirrored exponential rule).
+    End-to-end over the wire: negative spans/deltas ride
+    prompb.Histogram fields 8/9 through remote-write 2.0, decode to
+    the dense shape, and ``native_hist_quantile`` computes q=0.5
+    directly — the target lands in a DIFFERENT region per slice
+    (negative bucket / zero bucket / positive bucket, chosen by the
+    u-derived counts), and the u%5==0 slice carries NO negative span,
+    pinning the zero bucket's lower bound rule (-zero_threshold with
+    negatives present, 0 without — Prometheus's convention). The
+    oracle replays the full ascending-value walk as a closed-form
+    CASE. Plan: one mapInPandas decode → pure Column, zero shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            a, b = u % 3 + 1, u % 2 + 1
+            z = u % 2 + 1
+            c, d = u % 4 + 1, u % 3 + 1
+            h = {
+                "schema": u % 2,
+                "zero_threshold": 0.001,
+                "zero_count": z,
+                "positive_spans": [(u % 4 - 1, 2)],
+                "positive_deltas": [c, d - c],
+                "timestamp": 1706572800000,
+            }
+            if u % 5 != 0:
+                h["negative_spans"] = [(u % 3, 2)]
+                h["negative_deltas"] = [a, b - a]
+                h["count"] = a + b + z + c + d
+            else:
+                h["count"] = z + c + d
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    out = NH.native_hist_quantile(pts, 0.5)
+    return out.select(
+        "push_id",
+        "metric_name",
+        F.round("quantile_value", 6).alias("p50"),
+    )

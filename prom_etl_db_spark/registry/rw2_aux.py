@@ -366,23 +366,26 @@ def otlp_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   lpad(lower(hex((event_id * 2654435761) % 4294967296)), 32, '0')
     AS trace_id,
-  CAST(3 AS BIGINT) AS n_sources,
+  CAST(4 AS BIGINT) AS n_sources,
   round(user_id * 0.25e0 + 1.0e0, 4) AS value
 FROM events
 """,
 )
 def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differential gate over ALL THREE exemplar decode stacks (r9:
-    the v1 leg joins): the same logical exemplar (trace_id + value)
-    pushed over remote-write 1.0 (trace_id as a FULL-string exemplar
-    label), remote-write 2.0 (trace_id as a label resolved through
-    the interned symbols table), and OTLP (trace_id as 16 RAW BYTES).
-    The union must yield exactly three sources per trace with zero
-    value spread — a disagreement in any decoder (label walk, symbol
-    resolution, byte-to-hex, fixed64 value) breaks the n_sources=3 or
-    the shared rounded value. Plan: three mapInPandas decodes → union
-    → one hash agg keyed on trace_id; the max-min guard is computed,
-    not assumed."""
+    """Differential gate over ALL FOUR exemplar surfaces (r9: the v1
+    and OpenMetrics legs join): the same logical exemplar (trace_id +
+    value) pushed over remote-write 1.0 (trace_id as a FULL-string
+    exemplar label), remote-write 2.0 (trace_id as a label resolved
+    through the interned symbols table), OTLP (trace_id as 16 RAW
+    BYTES), and the OpenMetrics TEXT exposition (trace_id in the
+    `# {...}` exemplar tail, value as formatted decimal text). The
+    union must yield exactly four sources per trace with zero value
+    spread — a disagreement in any decoder (label walk, symbol
+    resolution, byte-to-hex, fixed64 value, text round-trip) breaks
+    the n_sources=4 or the shared rounded value. Plan: three
+    mapInPandas decodes + one pure-Column text parse → union → one
+    hash agg keyed on trace_id; the max-min guard is computed, not
+    assumed."""
     from prom_etl_db_spark.functions import otlp as O
     from prom_etl_db_spark.functions import remote_write as RW
 
@@ -460,7 +463,32 @@ def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exemplar_labels")["trace_id"].alias("trace_id"),
         F.col("value"),
     )
-    both = rw_side.unionByName(ot_side).unionByName(v1_side)
+    # the text-exposition leg: one line per event with the SAME
+    # trace/value in the OpenMetrics exemplar tail, parsed pure-Column
+    from prom_etl_db_spark.sources.openmetrics import (
+        parse_exposition_exemplars,
+    )
+
+    hex_trace = F.lpad(
+        F.lower(F.hex((F.col("event_id") * F.lit(2654435761))
+                      % F.lit(4294967296))),
+        32, "0")
+    om_lines = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit('{user="'), F.col("user_id").cast("string"),
+            F.lit('"} '),
+            F.col("user_id").cast("double").cast("string"),
+            F.lit(' # {trace_id="'), hex_trace, F.lit('"} '),
+            (F.col("user_id").cast("double") * 0.25 + 1.0).cast("string"),
+        ).alias("value"),
+    )
+    om_side = parse_exposition_exemplars(om_lines).select(
+        F.col("exemplar_labels")["trace_id"].alias("trace_id"),
+        F.col("value"),
+    )
+    both = (rw_side.unionByName(ot_side).unionByName(v1_side)
+            .unionByName(om_side))
     agg = both.groupBy("trace_id").agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.min("value").alias("_vmin"),

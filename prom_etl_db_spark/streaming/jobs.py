@@ -552,6 +552,58 @@ def stream_ct_increase(
     return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
 
 
+def stream_summary_increase(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    window_start_ms: int,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """OTLP Summary streaming twin (r9): summary COUNT is a cumulative
+    monotonic counter, so it rides the SAME CT-aware counter fold as
+    remote-write counters — the point's start_time_unix_nano plays
+    the created-timestamp role (client_golang summaries report the
+    process start, the series' birth), with the r9 clock-skew rule
+    (a start time after the sample is ignored) inherited for free.
+    The φ-quantile values never enter this path (module rule:
+    quantiles are data, not rate-able series). Non-summary point
+    shapes refuse pre-fold."""
+    from prom_etl_db_spark.functions.otlp import otlp_samples
+    from prom_etl_db_spark.streaming.stateful import (
+        _start_parquet_sink,
+        streaming_ct_counter_increase,
+    )
+
+    raw = (
+        spark.readStream.schema(REMOTE_WRITE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    pts = otlp_samples(raw)
+    keyed = pts.select(
+        F.concat_ws(
+            "\x1f", F.col("metric_name"), F.col("attrs")["eid"]
+        ).alias("series"),
+        (F.col("time_unix_nano") / 1_000_000).cast("long").alias(
+            "timestamp_ms"),
+        F.when(
+            F.col("data_type") != "summary",
+            F.raise_error(F.lit(
+                "stream_summary_increase: non-summary point shape — "
+                "this twin folds summary count as a counter")),
+        ).otherwise(F.col("count").cast("double")).alias("value"),
+        F.when(
+            F.col("start_time_unix_nano") > 0,
+            (F.col("start_time_unix_nano") / 1_000_000).cast("long"),
+        ).alias("created_ms"),
+    )
+    out = streaming_ct_counter_increase(
+        keyed, window_start_ms=window_start_ms)
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
 def stream_otlp_delta_accumulate(
     spark: SparkSession,
     source_dir: str,

@@ -146,13 +146,43 @@ def test_native_quantile_conventions(spark):
     assert vals[2] == pytest.approx(0.001 * 5 / 8)  # count=10,zc=8
 
 
-def test_native_quantile_refusals(spark):
-    neg = _nh_rows_df(spark, [
-        {"count": 2, "pos_counts": [1], "neg_counts": [1],
-         "neg_offset": 0},
+def test_native_quantile_negative_direction(spark):
+    """r9: negative buckets supported (previously refused). schema 0
+    (base 2): neg bucket k covers [-2^k, -2^(k-1)); the walk runs in
+    ascending VALUE order (reversed neg dense array → zero → pos) and
+    a negative crossing interpolates exponentially in |value| from
+    the more-negative end: value = -2^(k - frac)."""
+    df = _nh_rows_df(spark, [
+        {"count": 4, "neg_offset": 1, "neg_counts": [4]},
     ])
-    with pytest.raises(Exception, match="positive-direction only"):
-        NH.native_hist_quantile(neg, 0.5).collect()
+    # q=0.5 lands halfway into neg bucket k=1 ([-2,-1)): -2^(1-0.5)
+    (r,) = NH.native_hist_quantile(df, 0.5).collect()
+    assert r["quantile_value"] == pytest.approx(-(2 ** 0.5))
+    # full three-region histogram: neg [k=0,k=1]=2 each, zero 2,
+    # pos [k=1,k=2]=2 each -> walk cums [2,4,6,8,10]
+    full = _nh_rows_df(spark, [
+        {"count": 10, "zero_count": 2, "neg_offset": 0,
+         "neg_counts": [2, 2], "pos_offset": 1, "pos_counts": [2, 2]},
+    ])
+    for q, want in [
+        (0.1, -(2 ** 0.5)),     # neg k=1, frac 0.5
+        (0.3, -(2 ** -0.5)),    # neg k=0, frac 0.5
+        (0.5, 0.0),             # zero bucket midpoint: -zt + 2zt*0.5
+        (0.7, 2 ** 0.5),        # pos k=1, frac 0.5
+        (0.0, -2.0),            # infimum: -base^(neg kmax=1)
+    ]:
+        (r,) = NH.native_hist_quantile(full, q).collect()
+        assert r["quantile_value"] == pytest.approx(want, abs=1e-12), q
+    # beyond-all with ONLY negative buckets: last upper in walk order
+    # is the negative side's top, -base^(neg_offset-1)
+    negonly = _nh_rows_df(spark, [
+        {"count": 5, "neg_offset": 0, "neg_counts": [2, 2]},
+    ])
+    (r2,) = NH.native_hist_quantile(negonly, 1.0).collect()
+    assert r2["quantile_value"] == pytest.approx(-0.5)
+
+
+def test_native_quantile_refusals(spark):
     nhcb = _nh_rows_df(spark, [
         {"count": 2, "schema": -53, "pos_counts": [2],
          "custom_values": [1.0]},

@@ -1803,3 +1803,102 @@ def test_streaming_delta_exp_hist_scale_change_matches_batch(spark, tmp_path):
         finally:
             if q3.exception() is not None:
                 raise q3.exception()
+
+
+def test_streaming_summary_increase_matches_batch_across_restart(
+        spark, tmp_path):
+    """r9 twin: summary COUNT rides the CT-aware counter fold — the
+    start_time plays the CT role. Stream across a restart must equal
+    the batch ct_increase over the same decoded points, including a
+    reset and all three birth classes (in-window / before / skewed)."""
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import otlp as O
+    from prom_etl_db_spark.registry.rw2_aux import ct_increase
+    from prom_etl_db_spark.streaming.jobs import stream_summary_increase
+
+    T0 = 1706572800_000_000_000
+    WSTART = T0 // 1_000_000 - 15_000
+
+    def payload(eid, counts, start_ns):
+        return O.encode_export_metrics([{
+            "resource": {},
+            "scopes": [{"name": "app", "version": "1", "metrics": [{
+                "name": "rpc", "unit": "s", "type": "summary",
+                "points": [{"attrs": {"eid": str(eid)},
+                            "time_unix_nano": T0 + i * 1_000_000_000,
+                            "start_time_unix_nano": start_ns,
+                            "count": c, "sum": float(c) * 1.5,
+                            "quantiles": [(0.5, 0.1)]}
+                           for i, c in enumerate(counts)],
+            }]}],
+        }])
+
+    rows1 = [
+        (1, payload("born", [5, 8], T0 - 1_000_000_000)),     # in-window
+        (2, payload("old", [5, 8], T0 - 3600_000_000_000)),   # before
+        (3, payload("skew", [5, 8], T0 + 500_000_000_000)),   # CT after ts
+    ]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_summary_increase(
+        spark, str(src), str(sink), str(ckpt), window_start_ms=WSTART)
+    q.awaitTermination(120)
+    # restart: a RESET for "born" (count drops), growth for the others
+    rows2 = [
+        (4, payload("born", [2], T0 - 1_000_000_000)),
+        (5, payload("old", [11], T0 - 3600_000_000_000)),
+    ]
+
+    def payload_at(eid, counts, start_ns, t0):
+        return O.encode_export_metrics([{
+            "resource": {},
+            "scopes": [{"name": "app", "version": "1", "metrics": [{
+                "name": "rpc", "unit": "s", "type": "summary",
+                "points": [{"attrs": {"eid": str(eid)},
+                            "time_unix_nano": t0 + i * 1_000_000_000,
+                            "start_time_unix_nano": start_ns,
+                            "count": c, "sum": float(c) * 1.5,
+                            "quantiles": [(0.5, 0.1)]}
+                           for i, c in enumerate(counts)],
+            }]}],
+        }])
+
+    rows2 = [
+        (4, payload_at("born", [2], T0 - 1_000_000_000,
+                       T0 + 10_000_000_000)),
+        (5, payload_at("old", [11], T0 - 3600_000_000_000,
+                       T0 + 10_000_000_000)),
+    ]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_summary_increase(
+        spark, str(src), str(sink), str(ckpt), window_start_ms=WSTART)
+    q2.awaitTermination(120)
+
+    from pyspark.sql import Window
+    got = spark.read.parquet(str(sink))
+    latest = got.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("series").orderBy(F.desc("batch_id")))
+    ).where(F.col("rn") == 1)
+    totals = {r["series"].split("\x1f")[1]: r["total_increase"]
+              for r in latest.collect()}
+    # born: 5 (CT) + 3 + 2 (reset) = 10; old: 0 + 3 + 3 = 6;
+    # skew: CT after first sample ignored -> 0 + 3 = 3
+    assert totals == {"born": 10.0, "old": 6.0, "skew": 3.0}
+    # batch twin over the union (ct_increase on decoded summary count)
+    pts = O.otlp_samples(spark.createDataFrame(
+        rows1 + rows2, "push_id long, body binary"))
+    batch = ct_increase(
+        pts.select(
+            F.col("attrs")["eid"].alias("push_id"), "metric_name",
+            (F.col("time_unix_nano") / 1_000_000).cast("long")
+            .alias("timestamp_ms"),
+            F.col("count").cast("double").alias("value"),
+            (F.col("start_time_unix_nano") / 1_000_000).cast("long")
+            .alias("created_timestamp_ms")),
+        WSTART)
+    assert {r["push_id"]: r["increase"] for r in batch.collect()} == totals

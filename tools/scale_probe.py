@@ -1031,6 +1031,90 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
         _deudf("event_type", "user_id", "event_id").alias("body")))
     run("otlp_delta_exp_to_cum", promql.otlp_delta_exp_hist_to_cumulative(
         _depts, series_cols=("push_id", "metric_name")))
+    # r9 additions: OTLP summary decode+increase, v1 metadata, and the
+    # negative-direction native quantile — all decode-plus-pure-Column
+    # (zero or one exchange); the rows pin them embarrassingly parallel
+    def _build_summary(name, user, eid):
+        import pandas as _pd
+        out = []
+        for n, u, e in zip(name, user, eid):
+            u = int(u)
+            pts = []
+            for i in range(2):
+                pts.append({"attrs": {"eid": str(int(e))},
+                            "time_unix_nano": 1706572800_000_000_000
+                            + i * 1_000_000_000,
+                            "count": u % 9 + 1 + i, "sum": 1.5 * (u % 9 + 1 + i),
+                            "quantiles": [(0.5, u % 7 * 0.25),
+                                          (0.99, u % 7 * 0.25 + i)]})
+            out.append(_ot.encode_export_metrics([{
+                "resource": {},
+                "scopes": [{"name": "app", "version": "1", "metrics": [{
+                    "name": n, "unit": "s", "type": "summary",
+                    "points": pts}]}]}]))
+        return _pd.Series(out)
+
+    _sumudf = F.pandas_udf(_build_summary, returnType=_Bin())
+    _sum_pts = _ot.otlp_samples(ev.select(
+        F.col("event_id").alias("push_id"),
+        _sumudf("event_type", "user_id", "event_id").alias("body")))
+    run("otlp_summary_decode",
+        _sum_pts.where(F.col("data_type") == "summary").select(
+            "push_id", "count", "sum", F.explode("quantile_values")))
+    from prom_etl_db_spark.registry.rw2_aux import ct_increase as _ctinc
+
+    run("otlp_summary_increase", _ctinc(
+        _sum_pts.select(
+            "push_id", "metric_name",
+            (F.col("time_unix_nano") / 1_000_000).cast("long")
+            .alias("timestamp_ms"),
+            F.col("count").cast("double").alias("value"),
+            F.lit(None).cast("long").alias("created_timestamp_ms")),
+        1706572700000))
+
+    def _build_v1md(name, user):
+        import pandas as _pd
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            out.append(_rw2.snappy_compress(_rw2.encode_write_request(
+                [{"labels": {"__name__": n}, "samples": [(float(u), 1)]}],
+                metadata=[{"type": u % 7, "family": n,
+                           "help": f"Tracks {n}", "unit": "s"}])))
+        return _pd.Series(out)
+
+    _mdudf = F.pandas_udf(_build_v1md, returnType=_Bin())
+    run("rw_v1_metadata", _rw2.remote_write_v1_metadata(ev.select(
+        F.col("event_id").alias("push_id"),
+        _mdudf("event_type", "user_id").alias("body"))))
+
+    def _build_neghist(name, user):
+        import pandas as _pd
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            a, b, z = u % 3 + 1, u % 2 + 1, u % 2 + 1
+            c, d = u % 4 + 1, u % 3 + 1
+            out.append(_rw2.snappy_compress(_rw2.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [{
+                      "schema": u % 2, "zero_threshold": 0.001,
+                      "zero_count": z, "count": a + b + z + c + d,
+                      "positive_spans": [(u % 4 - 1, 2)],
+                      "positive_deltas": [c, d - c],
+                      "negative_spans": [(u % 3, 2)],
+                      "negative_deltas": [a, b - a],
+                      "timestamp": 1706572800000}]}])))
+        return _pd.Series(out)
+
+    _nhudf = F.pandas_udf(_build_neghist, returnType=_Bin())
+    from prom_etl_db_spark.operators import native_hist as _NH
+
+    run("native_hist_neg_quantile", _NH.native_hist_quantile(
+        _rw2.remote_write_v2_native_histograms(ev.select(
+            F.col("event_id").alias("push_id"),
+            _nhudf("event_type", "user_id").alias("body"))), 0.5))
+
     from pyspark.sql import Window as _W
     _ct_pts = _rw2.remote_write_v2_samples(ex_payloads, with_created=True)
     _ct_w = _W.partitionBy("push_id").orderBy("timestamp_ms")
