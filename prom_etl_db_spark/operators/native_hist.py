@@ -39,7 +39,7 @@ shuffle, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from prom_etl_db_spark.functions.remote_write import CUSTOM_BUCKETS_SCHEMA
@@ -323,3 +323,249 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
     # the guard column evaluates first (raising on bad rows) and is 0
     # on every good row
     return nh.withColumn("quantile_value", F.when(guarded == 0, value))
+
+
+def native_hist_fraction(
+    nh: DataFrame, lower: float, upper: float
+) -> DataFrame:
+    """histogram_fraction(lower, upper, h) over native histograms
+    (r9), computed directly on the dense decoded shape — the
+    companion to ``native_hist_quantile`` with the same Prometheus-3
+    estimator: observations are log-uniform within an exponential
+    bucket, linear within the zero bucket.
+
+    Evaluation needs NO bucket search: every bucket contributes
+    ``count_i · clamp01(pos_i(b))`` to the CDF at bound b, where
+    pos_i is the bound's interpolated position inside bucket i (0
+    below it, 1 above it) —
+
+    - negative bucket k ([-base^k, -base^(k-1))):
+      pos = (k·2^-schema − log2(−b)) / 2^-schema, 1 for b ≥ 0;
+    - zero bucket [zlo, zt] (zlo = −zt with negative buckets, else
+      0): pos = (b − zlo)/(zt − zlo); a zero-width zero bucket is a
+      point mass at 0 (pos = step at 0);
+    - positive bucket k ((base^(k-1), base^k]):
+      pos = (log2(b) − (k−1)·2^-schema) / 2^-schema, 0 for b ≤ 0.
+
+    fraction = max(F(upper) − F(lower), 0) / count — one pure-Column
+    pass, zero shuffle. Count in excess of the bucket sum (the
+    implicit +Inf mass) is reachable by no finite bound, matching
+    Prometheus. Empty histograms yield NaN; custom-bucket rows
+    (schema −53) refuse (classic linear rule via the le-mapping).
+    Appends ``fraction_value``."""
+    if not lower <= upper:
+        raise ValueError(
+            f"native_hist_fraction: lower {lower} > upper {upper}")
+    cnt = F.col("count").cast("double")
+    zc = F.col("zero_count").cast("double")
+    inv = F.pow(F.lit(2.0), -F.col("schema").cast("double"))
+    guarded = F.when(
+        F.col("schema") == CUSTOM_BUCKETS_SCHEMA,
+        F.raise_error(F.lit(
+            "native_hist_fraction: custom-bucket histograms take the "
+            "classic linear rule — use nhcb_to_le_buckets + "
+            "histogram_fraction")),
+    ).otherwise(F.lit(0))
+    zt = F.col("zero_threshold")
+    has_neg = F.size("neg_counts") > 0
+    zlo = F.when(has_neg, -zt).otherwise(F.lit(0.0))
+
+    def clamp01(x: Column) -> Column:
+        return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
+
+    def cdf(b: float) -> Column:
+        bb = F.lit(float(b))
+        neg = F.aggregate(
+            F.transform(
+                F.col("neg_counts"),
+                lambda c, i: c.cast("double") * clamp01(
+                    F.when(bb >= 0, F.lit(1.0)).otherwise(
+                        (F.col("neg_offset").cast("double")
+                         + i.cast("double")) * inv
+                        - F.log2(-bb)
+                    ) / F.when(bb >= 0, F.lit(1.0)).otherwise(inv)
+                ),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        zero_pos = F.when(
+            zt - zlo > 0, (bb - zlo) / (zt - zlo)
+        ).otherwise(F.when(bb >= 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+        zero = zc * clamp01(zero_pos)
+        pos = F.aggregate(
+            F.transform(
+                F.col("pos_counts"),
+                lambda c, i: c.cast("double") * clamp01(
+                    F.when(bb <= 0, F.lit(0.0)).otherwise(
+                        (F.log2(bb)
+                         - (F.col("pos_offset").cast("double")
+                            + i.cast("double") - F.lit(1.0)) * inv)
+                        / inv
+                    )
+                ),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        return neg + zero + pos
+
+    frac = F.try_divide(
+        F.greatest(cdf(upper) - cdf(lower), F.lit(0.0)), cnt)
+    value = F.when(cnt == 0, F.lit(float("nan"))).otherwise(frac)
+    return nh.withColumn("fraction_value", F.when(guarded == 0, value))
+
+
+def native_hist_sum_by(
+    nh: DataFrame,
+    by: "tuple[str, ...]" = ("metric_name",),
+    *,
+    max_index_span: int = 4096,
+) -> DataFrame:
+    """PromQL ``sum by (...)`` over NATIVE-histogram series (r9) —
+    the aggregation idiom behind
+    ``histogram_quantile(φ, sum by (le-free labels) (h))``: histograms
+    across series merge bucket-wise into one histogram per group,
+    Prometheus's native-histogram addition.
+
+    Semantics:
+    - mixed SCHEMAS within a group merge at the group's COARSEST
+      scale — every row downscales (⌈i/2^d⌉ fold, ``_nh_downscale``)
+      before bucket sums, Prometheus's rule;
+    - bucket arrays add OFFSET-ALIGNED on absolute indices (absent
+      buckets count 0); the merged span is the union span;
+    - zero_count / count accumulate; a missing ``sum`` anywhere in
+      the group nulls the merged sum (a partial sum is a wrong sum);
+    - CUSTOM-BUCKET groups (NHCB, schema −53) sum index-wise when
+      every member's custom_values agree — boundaries are data;
+      differing boundaries refuse loudly, as does mixing −53 with
+      exponential schemas (no cross-family merge exists);
+    - differing zero_thresholds refuse (DIVERGENCES.md: Prometheus
+      widens to the max threshold and re-buckets — a silent
+      resolution change; refusing names it instead);
+    - a group-wide index span beyond ``max_index_span`` refuses (the
+      decoder's dense-expansion guard).
+
+    Plan (scalable by construction — NO per-group fold): one window
+    for the group's min schema → per-row downscale (pure Column) →
+    posexplode to (group, absolute index) → hash-agg sums →
+    per-group dense reassembly → join with the scalar agg. Shuffles
+    are all keyed on the group (+index), so the operator scales with
+    executors like any groupBy; group size never materializes in one
+    task."""
+    from prom_etl_db_spark.operators.promql import _nh_downscale
+
+    gw = Window.partitionBy(*by)
+    has_cv = "custom_values" in nh.columns
+    is_nhcb = F.col("schema") == CUSTOM_BUCKETS_SCHEMA
+    checked = F.when(
+        F.min(is_nhcb.cast("int")).over(gw)
+        != F.max(is_nhcb.cast("int")).over(gw),
+        F.raise_error(F.lit(
+            "native_hist_sum_by: group mixes custom-bucket (schema "
+            "-53) and exponential histograms — no merge exists "
+            "across bucket families")),
+    )
+    if has_cv:
+        cv_key = F.to_json(F.col("custom_values"))
+        checked = checked.when(
+            is_nhcb
+            & (F.min(cv_key).over(gw) != F.max(cv_key).over(gw)),
+            F.raise_error(F.lit(
+                "native_hist_sum_by: custom_values differ within one "
+                "group — index-wise addition across different "
+                "boundaries mis-attributes counts")),
+        )
+    checked = checked.when(
+        F.min("zero_threshold").over(gw)
+        != F.max("zero_threshold").over(gw),
+        F.raise_error(F.lit(
+            "native_hist_sum_by: zero_threshold differs within one "
+            "group — Prometheus re-buckets to the widest; refusing "
+            "beats a silent resolution change")),
+    ).otherwise(F.lit(0))
+    target = F.min("schema").over(gw)
+    d = (F.col("schema") - target).cast("int")
+    po2, pc2 = _nh_downscale(F.col("pos_offset"), F.col("pos_counts"), d)
+    no2, nc2 = _nh_downscale(F.col("neg_offset"), F.col("neg_counts"), d)
+    base = (
+        nh.withColumn("__ok", checked)
+        .withColumn("__schema", target)
+        .withColumn("__po", F.when(F.col("__ok") == 0, po2))
+        .withColumn("__pc", pc2)
+        .withColumn("__no", no2)
+        .withColumn("__nc", nc2)
+    )
+
+    def side(off_col: str, cnt_col: str, tag: str) -> DataFrame:
+        ex = base.select(
+            *by,
+            F.col(off_col).alias("__o"),
+            F.posexplode(cnt_col).alias("__i", "__c"),
+        ).select(*by, (F.col("__o") + F.col("__i")).alias("__idx"), "__c")
+        agg = ex.groupBy(*by, "__idx").agg(F.sum("__c").alias("__c"))
+        span_bad = F.max("__idx") - F.min("__idx") >= F.lit(
+            int(max_index_span))
+        return agg.groupBy(*by).agg(
+            F.when(
+                span_bad,
+                F.raise_error(F.lit(
+                    "native_hist_sum_by: merged bucket index span "
+                    f"exceeds {int(max_index_span)} — dense-expansion "
+                    "bomb guard")),
+            ).otherwise(F.min("__idx")).alias(f"{tag}_off"),
+            F.map_from_entries(
+                F.collect_list(F.struct("__idx", "__c"))
+            ).alias(f"{tag}_map"),
+            F.max("__idx").alias(f"{tag}_hi"),
+        )
+
+    pos = side("__po", "__pc", "p")
+    neg = side("__no", "__nc", "n")
+    scalars = base.groupBy(*by).agg(
+        F.first("__schema").alias("schema"),
+        F.first("zero_threshold").alias("zero_threshold"),
+        F.sum("zero_count").alias("zero_count"),
+        F.sum("count").alias("count"),
+        F.when(
+            F.max(F.col("sum").isNull().cast("int")) == 1,
+            F.lit(None).cast("double"),
+        ).otherwise(F.sum("sum")).alias("sum"),
+        *([F.first("custom_values").alias("custom_values")]
+          if has_cv else []),
+        F.max("__ok").alias("__ok2"),  # forces the refusal checks
+    )
+    out = scalars.join(pos, on=list(by), how="left").join(
+        neg, on=list(by), how="left")
+
+    def assemble(tag: str, fallback: int = 0):
+        off = F.col(f"{tag}_off")
+        counts = F.when(
+            off.isNull(), F.expr("CAST(array() AS array<bigint>)")
+        ).otherwise(
+            F.transform(
+                F.sequence(off, F.col(f"{tag}_hi")),
+                lambda i: F.coalesce(
+                    F.element_at(F.col(f"{tag}_map"), i),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
+        )
+        return (
+            F.coalesce(off, F.lit(fallback)).cast("int"),
+            counts,
+        )
+
+    p_off, p_counts = assemble("p")
+    n_off, n_counts = assemble("n")
+    return out.select(
+        *by,
+        "schema",
+        "zero_threshold",
+        "zero_count",
+        "count",
+        "sum",
+        p_off.alias("pos_offset"),
+        p_counts.alias("pos_counts"),
+        n_off.alias("neg_offset"),
+        n_counts.alias("neg_counts"),
+        *(["custom_values"] if has_cv else []),
+    )

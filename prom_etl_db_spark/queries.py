@@ -152,7 +152,13 @@ _GATE_PRIORITY = [
     # (ascending-value order, sign-mirrored exponential interpolation,
     # Prometheus's zero-bucket lower-bound rule) — previously refused
     "native_hist_neg_quantile",
-    # --- (d) fill: newest driver row = r4 (11, registry order) -------------
+    # histogram_fraction lifted to native histograms (clamp-sum CDF,
+    # both signs, same estimator as the native quantile)
+    "native_hist_fraction_range",
+    # sum by (...) over native-histogram series: offset-aligned
+    # bucket-wise group merge (min-schema downscale), no per-group fold
+    "native_hist_sum_by",
+    # --- (d) fill: newest driver row = r4 (9, registry order) --------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
@@ -162,8 +168,6 @@ _GATE_PRIORITY = [
     "promql_bool_scalar_arith",
     "promql_gapfill_locf",
     "ingest_normalize_events",
-    "collected_at_sameday_range",
-    "latest_n_scan",
 ]
 
 def _apply_gate_priority() -> None:

@@ -592,3 +592,199 @@ def native_hist_neg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name",
         F.round("quantile_value", 6).alias("p50"),
     )
+
+
+@register(
+    "native_hist_fraction_range",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 2 AS INT) AS s,
+    user_id % 5 <> 0 AS has_neg,
+    CAST(user_id % 3 AS INT) AS o_n,
+    CAST(CASE WHEN user_id % 5 = 0 THEN 0
+         ELSE user_id % 3 + 1 END AS DOUBLE) AS a,
+    CAST(CASE WHEN user_id % 5 = 0 THEN 0
+         ELSE user_id % 2 + 1 END AS DOUBLE) AS b,
+    CAST(user_id % 2 + 1 AS DOUBLE) AS z,
+    CAST(user_id % 4 - 1 AS INT) AS o_p,
+    CAST(user_id % 4 + 1 AS DOUBLE) AS c,
+    CAST(user_id % 3 + 1 AS DOUBLE) AS d
+  FROM events
+), m AS (
+  SELECT *, power(2.0, -CAST(s AS DOUBLE)) AS inv,
+    a + b + z + c + d AS total
+  FROM h
+), g AS (
+  SELECT *,
+    -- positive-range fraction [0.75, 3.0]: neg + zero clamp to 1 on
+    -- both bounds and cancel; per pos bucket k the clamp position is
+    -- (log2(bound) - (k-1)*inv)/inv
+    c * (LEAST(GREATEST((log2(3.0) - (o_p - 1) * inv) / inv, 0), 1)
+       - LEAST(GREATEST((log2(0.75) - (o_p - 1) * inv) / inv, 0), 1))
+    + d * (LEAST(GREATEST((log2(3.0) - o_p * inv) / inv, 0), 1)
+         - LEAST(GREATEST((log2(0.75) - o_p * inv) / inv, 0), 1))
+      AS num_mid,
+    -- negative-range fraction [-1.5, -0.8]: zero + pos clamp to 0 on
+    -- both bounds; per neg bucket k the position is
+    -- (k*inv - log2(-bound))/inv
+    a * (LEAST(GREATEST((o_n * inv - log2(0.8)) / inv, 0), 1)
+       - LEAST(GREATEST((o_n * inv - log2(1.5)) / inv, 0), 1))
+    + b * (LEAST(GREATEST(((o_n + 1) * inv - log2(0.8)) / inv, 0), 1)
+         - LEAST(GREATEST(((o_n + 1) * inv - log2(1.5)) / inv, 0), 1))
+      AS num_neg
+  FROM m
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  round(GREATEST(num_mid, 0) / total, 6) AS frac_mid,
+  round(GREATEST(num_neg, 0) / total, 6) AS frac_neg
+FROM g
+""",
+)
+def native_hist_fraction_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction over native histograms (r9 — the companion
+    to the native quantile evaluator, same Prometheus-3 estimator):
+    two ranges per histogram over the SAME wire fixture as
+    ``native_hist_neg_quantile`` — frac_mid = fraction(0.75, 3.0)
+    exercises the positive-side log-position clamps (negative + zero
+    buckets cancel between the bounds), frac_neg =
+    fraction(-1.5, -0.8) exercises the sign-mirrored negative-side
+    clamps (zero + positive contribute 0 at both bounds; 0 exactly on
+    the no-negative-span u%5==0 slice). The oracle replays the
+    clamp-sum CDF per bucket in closed form. Plan: one mapInPandas
+    decode → pure Column, zero shuffle."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            a, b = u % 3 + 1, u % 2 + 1
+            z = u % 2 + 1
+            c, d = u % 4 + 1, u % 3 + 1
+            h = {
+                "schema": u % 2,
+                "zero_threshold": 0.001,
+                "zero_count": z,
+                "positive_spans": [(u % 4 - 1, 2)],
+                "positive_deltas": [c, d - c],
+                "timestamp": 1706572800000,
+            }
+            if u % 5 != 0:
+                h["negative_spans"] = [(u % 3, 2)]
+                h["negative_deltas"] = [a, b - a]
+                h["count"] = a + b + z + c + d
+            else:
+                h["count"] = z + c + d
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    mid = NH.native_hist_fraction(pts, 0.75, 3.0).withColumnRenamed(
+        "fraction_value", "frac_mid")
+    both = NH.native_hist_fraction(mid, -1.5, -0.8).withColumnRenamed(
+        "fraction_value", "frac_neg")
+    return both.select(
+        "push_id",
+        "metric_name",
+        F.round("frac_mid", 6).alias("frac_mid"),
+        F.round("frac_neg", 6).alias("frac_neg"),
+    )
+
+
+@register(
+    "native_hist_sum_by",
+    oracle="""
+WITH h AS (
+  SELECT event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 4 + 1 AS BIGINT) AS c,
+    CAST(user_id % 3 + 1 AS BIGINT) AS d,
+    CAST(user_id % 2 + 1 AS BIGINT) AS z
+  FROM events
+), p AS (
+  SELECT event_type, unnest([o, o + 1]) AS idx, unnest([c, d]) AS cnt
+  FROM h
+), b AS (
+  SELECT event_type, idx, CAST(sum(cnt) AS BIGINT) AS bucket_count
+  FROM p GROUP BY event_type, idx
+), s AS (
+  SELECT event_type,
+    CAST(length(event_type) % 2 AS INT) AS schema,
+    CAST(sum(z) AS BIGINT) AS zero_count,
+    CAST(sum(z + c + d) AS BIGINT) AS scnt
+  FROM h GROUP BY event_type
+)
+SELECT b.event_type AS metric_name, s.schema, s.zero_count, s.scnt,
+  b.idx, b.bucket_count
+FROM b JOIN s ON b.event_type = s.event_type
+WHERE b.bucket_count > 0
+""",
+)
+def native_hist_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum by (__name__)`` over native-histogram series (r9):
+    every event pushes one histogram for its metric over the wire;
+    ``NH.native_hist_sum_by`` merges each metric's hundreds of series
+    offset-ALIGNED into one histogram (the group shares one scale —
+    derived from the metric name so the oracle stays closed-form; the
+    cross-SCALE downscale merge is unit-pinned in
+    test_native_hist_ops), and the merged bucket array explodes to
+    (metric, absolute index, summed count) rows the oracle replays as
+    a GROUP BY over per-event contributions. Zero-count indexes
+    inside the union span are filtered (the oracle enumerates only
+    populated buckets). Plan: decode → min-schema window + explode +
+    two hash aggs + scalar agg join — every shuffle keyed on the
+    group (+index); no per-group fold anywhere."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            z = u % 2 + 1
+            h = {
+                "schema": len(str(n)) % 2,
+                "zero_threshold": 0.001,
+                "zero_count": z,
+                "count": z + c + d,
+                "positive_spans": [(u % 4 - 1, 2)],
+                "positive_deltas": [c, d - c],
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    merged = NH.native_hist_sum_by(pts, ("metric_name",))
+    ex = merged.select(
+        "metric_name",
+        F.col("schema"),
+        "zero_count",
+        F.col("count").alias("scnt"),
+        F.posexplode("pos_counts").alias("__i", "bucket_count"),
+        F.col("pos_offset"),
+    ).select(
+        "metric_name", "schema", "zero_count", "scnt",
+        (F.col("pos_offset") + F.col("__i")).alias("idx"),
+        "bucket_count",
+    )
+    return ex.where(F.col("bucket_count") > 0)

@@ -189,3 +189,107 @@ def test_native_quantile_refusals(spark):
     ])
     with pytest.raises(Exception, match="classic linear rule"):
         NH.native_hist_quantile(nhcb, 0.5).collect()
+
+
+def test_native_fraction_hand_vectors(spark):
+    """r9: histogram_fraction over native histograms — clamp-sum CDF.
+    schema 0 (base 2): neg [k=0,k=1]=2 each, zero 2 (zt=0.001),
+    pos [k=1,k=2]=2 each, count 10."""
+    df = _nh_rows_df(spark, [
+        {"count": 10, "zero_count": 2, "neg_offset": 0,
+         "neg_counts": [2, 2], "pos_offset": 1, "pos_counts": [2, 2]},
+    ])
+
+    def frac(lo, hi):
+        (r,) = NH.native_hist_fraction(df, lo, hi).collect()
+        return r["fraction_value"]
+
+    assert frac(1.0, 2.0) == pytest.approx(0.2)       # whole pos k=1
+    assert frac(-2.0, -1.0) == pytest.approx(0.2)     # whole neg k=1
+    assert frac(0.0, 1e9) == pytest.approx(0.5)       # upper half
+    assert frac(1.0, 2 ** 0.5) == pytest.approx(0.1)  # log-half of k=1
+    assert frac(-1e9, 1e9) == pytest.approx(1.0)
+    assert frac(5.0, 9.0) == pytest.approx(0.0)       # beyond buckets
+    # count above bucket sum: the +Inf mass is unreachable finitely
+    over = _nh_rows_df(spark, [
+        {"count": 8, "pos_offset": 1, "pos_counts": [4]},
+    ])
+    (r,) = NH.native_hist_fraction(over, 0.0, 1e12).collect()
+    assert r["fraction_value"] == pytest.approx(0.5)
+    # empty -> NaN; bad bounds refuse eagerly
+    empty = _nh_rows_df(spark, [{"count": 0}])
+    (r0,) = NH.native_hist_fraction(empty, 0.0, 1.0).collect()
+    assert math.isnan(r0["fraction_value"])
+    with pytest.raises(ValueError, match="lower"):
+        NH.native_hist_fraction(df, 2.0, 1.0)
+
+
+def test_native_sum_by_merges_and_downscales(spark):
+    """r9: sum by over native histograms — two series of one metric,
+    DIFFERENT scales: the scale-2 series downscales (ceil(i/2) merge)
+    to the group's coarsest scale 1 before offset-aligned addition.
+    s1@scale2: pos [2,1,3] @ off 0 (k=0,1,2) -> @scale1: k=ceil(k/2):
+    idx 0<-{0}, 1<-{1,2} => [2,4] @ off 0. s2@scale1: [5] @ off 1.
+    merged: off 0, [2, 9]."""
+    df = _nh_rows_df(spark, [
+        {"metric_name": "m", "count": 7, "sum": 3.0, "schema": 2,
+         "zero_count": 1, "pos_offset": 0, "pos_counts": [2, 1, 3]},
+        {"metric_name": "m", "count": 7, "sum": 4.0, "schema": 1,
+         "zero_count": 2, "pos_offset": 1, "pos_counts": [5]},
+    ])
+    (r,) = NH.native_hist_sum_by(df, ("metric_name",)).collect()
+    assert r["schema"] == 1
+    assert (r["pos_offset"], list(r["pos_counts"])) == (0, [2, 9])
+    assert r["zero_count"] == 3 and r["count"] == 14 and r["sum"] == 7.0
+    assert list(r["neg_counts"]) == []
+    # missing sum anywhere nulls the merged sum
+    df2 = _nh_rows_df(spark, [
+        {"metric_name": "m", "count": 1, "sum": None, "schema": 1,
+         "pos_offset": 0, "pos_counts": [1]},
+        {"metric_name": "m", "count": 1, "sum": 2.0, "schema": 1,
+         "pos_offset": 0, "pos_counts": [1]},
+    ])
+    (r2,) = NH.native_hist_sum_by(df2, ("metric_name",)).collect()
+    assert r2["sum"] is None and list(r2["pos_counts"]) == [2]
+    # the merged histogram feeds the native quantile directly
+    q = NH.native_hist_quantile(
+        NH.native_hist_sum_by(df, ("metric_name",)), 0.9)
+    assert q.first()["quantile_value"] is not None
+
+
+def test_native_sum_by_refusals(spark):
+    df = _nh_rows_df(spark, [
+        {"metric_name": "m", "count": 1, "schema": -53,
+         "pos_offset": 0, "pos_counts": [1], "custom_values": [0.5]},
+        {"metric_name": "m", "count": 1, "schema": 1,
+         "pos_offset": 0, "pos_counts": [1]},
+    ])
+    with pytest.raises(Exception, match="bucket families"):
+        NH.native_hist_sum_by(df, ("metric_name",)).collect()
+    df2 = _nh_rows_df(spark, [
+        {"metric_name": "m", "count": 1, "schema": -53,
+         "pos_offset": 0, "pos_counts": [1], "custom_values": [0.5]},
+        {"metric_name": "m", "count": 1, "schema": -53,
+         "pos_offset": 0, "pos_counts": [1], "custom_values": [0.75]},
+    ])
+    with pytest.raises(Exception, match="custom_values differ"):
+        NH.native_hist_sum_by(df2, ("metric_name",)).collect()
+    df3 = _nh_rows_df(spark, [
+        {"metric_name": "m", "count": 1, "schema": 1,
+         "zero_threshold": 0.001, "pos_offset": 0, "pos_counts": [1]},
+        {"metric_name": "m", "count": 1, "schema": 1,
+         "zero_threshold": 0.01, "pos_offset": 0, "pos_counts": [1]},
+    ])
+    with pytest.raises(Exception, match="zero_threshold differs"):
+        NH.native_hist_sum_by(df3, ("metric_name",)).collect()
+    # NHCB groups with EQUAL boundaries sum index-wise
+    df4 = _nh_rows_df(spark, [
+        {"metric_name": "m", "count": 3, "schema": -53,
+         "pos_offset": 0, "pos_counts": [2, 1], "custom_values": [0.5, 2.0]},
+        {"metric_name": "m", "count": 4, "schema": -53,
+         "pos_offset": 1, "pos_counts": [4], "custom_values": [0.5, 2.0]},
+    ])
+    (r,) = NH.native_hist_sum_by(df4, ("metric_name",)).collect()
+    assert r["schema"] == -53
+    assert (r["pos_offset"], list(r["pos_counts"])) == (0, [2, 5])
+    assert list(r["custom_values"]) == [0.5, 2.0]

@@ -1110,10 +1110,14 @@ def probe(spark, sf_dir: str, k: int) -> dict[str, tuple[float, int]]:
     _nhudf = F.pandas_udf(_build_neghist, returnType=_Bin())
     from prom_etl_db_spark.operators import native_hist as _NH
 
-    run("native_hist_neg_quantile", _NH.native_hist_quantile(
-        _rw2.remote_write_v2_native_histograms(ev.select(
-            F.col("event_id").alias("push_id"),
-            _nhudf("event_type", "user_id").alias("body"))), 0.5))
+    _neg_pts = _rw2.remote_write_v2_native_histograms(ev.select(
+        F.col("event_id").alias("push_id"),
+        _nhudf("event_type", "user_id").alias("body")))
+    run("native_hist_neg_quantile", _NH.native_hist_quantile(_neg_pts, 0.5))
+    run("native_hist_fraction", _NH.native_hist_fraction(
+        _neg_pts, -1.5, 3.0))
+    run("native_hist_sum_by", _NH.native_hist_sum_by(
+        _neg_pts, ("metric_name",)))
 
     from pyspark.sql import Window as _W
     _ct_pts = _rw2.remote_write_v2_samples(ex_payloads, with_created=True)
