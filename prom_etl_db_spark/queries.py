@@ -88,8 +88,9 @@ _GATE_PRIORITY = [
     # attrs-aware default partitioning, dup-timestamp refusal, null-sum
     # poisoning), the three-leg exemplars_cross_protocol (v1 joined), and
     # native_hist_stats (stdvar cancellation clamp); (c) r9's NEW
-    # queries (OTLP Summary decode + count/sum increase composition,
-    # remote-write v1 exemplars); (d) fill to 50 with the OLDEST
+    # queries (OTLP Summary, v1 exemplars/metadata, the negative-
+    # direction native quantile, native fraction, native sum-by and its
+    # quantile composition); (d) fill to 50 with the OLDEST
     # remaining rows (newest = r4), in registry order. After this window
     # no query's newest driver row is older than r4.
     # --- (a) newest driver row = r3 (28, registry order) -------------------
@@ -130,8 +131,8 @@ _GATE_PRIORITY = [
     "otlp_delta_to_cumulative",
     "otlp_delta_hist_quantile",
     "otlp_delta_exp_quantile",
-    # exemplars_cross_protocol now counts the remote-write 1.0 leg —
-    # n_sources=3 (VERDICT What's-missing #4)
+    # exemplars_cross_protocol now counts the remote-write 1.0 AND
+    # OpenMetrics text legs — n_sources=4 (VERDICT What's-missing #4)
     "exemplars_cross_protocol",
     # hist_stdvar clamps the expanded-moment cancellation at 0 (ADVICE)
     "native_hist_stats",
@@ -158,7 +159,8 @@ _GATE_PRIORITY = [
     # sum by (...) over native-histogram series: offset-aligned
     # bucket-wise group merge (min-schema downscale), no per-group fold
     "native_hist_sum_by",
-    # --- (d) fill: newest driver row = r4 (9, registry order) --------------
+    "native_hist_sum_quantile",
+    # --- (d) fill: newest driver row = r4 (8, registry order) --------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
@@ -167,7 +169,6 @@ _GATE_PRIORITY = [
     "promql_sum_over_time",
     "promql_bool_scalar_arith",
     "promql_gapfill_locf",
-    "ingest_normalize_events",
 ]
 
 def _apply_gate_priority() -> None:

@@ -788,3 +788,100 @@ def native_hist_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_count",
     )
     return ex.where(F.col("bucket_count") > 0)
+
+
+@register(
+    "native_hist_sum_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 4 + 1 AS DOUBLE) AS c,
+    CAST(user_id % 3 + 1 AS DOUBLE) AS d,
+    CAST(user_id % 2 + 1 AS DOUBLE) AS z
+  FROM events
+), p AS (
+  SELECT event_type, unnest([o, o + 1]) AS idx, unnest([c, d]) AS cnt
+  FROM h
+), b AS (
+  SELECT event_type,
+    sum(CASE WHEN idx = -1 THEN cnt ELSE 0 END) AS b0,
+    sum(CASE WHEN idx = 0 THEN cnt ELSE 0 END) AS b1,
+    sum(CASE WHEN idx = 1 THEN cnt ELSE 0 END) AS b2,
+    sum(CASE WHEN idx = 2 THEN cnt ELSE 0 END) AS b3,
+    sum(CASE WHEN idx = 3 THEN cnt ELSE 0 END) AS b4
+  FROM p GROUP BY event_type
+), s AS (
+  SELECT event_type,
+    power(2.0, -CAST(length(event_type) % 2 AS DOUBLE)) AS inv,
+    sum(z) AS zc, sum(z + c + d) AS total
+  FROM h GROUP BY event_type
+), m AS (
+  SELECT b.event_type, inv, zc, 0.9 * total AS t,
+    b0, b1, b2, b3, b4
+  FROM b JOIN s ON b.event_type = s.event_type
+)
+SELECT event_type AS metric_name,
+  round(CASE
+    WHEN zc + b0 >= t
+      THEN power(2.0, (-2 + (t - zc) / b0) * inv)
+    WHEN zc + b0 + b1 >= t
+      THEN power(2.0, (-1 + (t - zc - b0) / b1) * inv)
+    WHEN zc + b0 + b1 + b2 >= t
+      THEN power(2.0, (0 + (t - zc - b0 - b1) / b2) * inv)
+    WHEN zc + b0 + b1 + b2 + b3 >= t
+      THEN power(2.0, (1 + (t - zc - b0 - b1 - b2) / b3) * inv)
+    ELSE power(2.0, (2 + (t - zc - b0 - b1 - b2 - b3) / b4) * inv)
+  END, 6) AS p90
+FROM m
+""",
+)
+def native_hist_sum_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE native-histogram aggregation idiom end-to-end:
+    ``histogram_quantile(0.9, sum by (__name__) (h))`` — hundreds of
+    wire-pushed series per metric merge through
+    ``NH.native_hist_sum_by`` and the merged histogram feeds
+    ``NH.native_hist_quantile`` directly (no le-mapping, zero
+    additional shuffle past the merge). The fixture's per-event
+    offsets cover every index in [-1, 3] per group, so the oracle
+    replays the merged cumulative walk as a fixed five-branch
+    crossing CASE with the exponential interpolation per index
+    (q=0.9 always lands past the zero bucket: zc ≤ 2·n while buckets
+    hold ≥ 3·n). Plan: decode → the sum_by merge (group-keyed
+    shuffles) → pure-Column quantile."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            z = u % 2 + 1
+            h = {
+                "schema": len(str(n)) % 2,
+                "zero_threshold": 0.001,
+                "zero_count": z,
+                "count": z + c + d,
+                "positive_spans": [(u % 4 - 1, 2)],
+                "positive_deltas": [c, d - c],
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    merged = NH.native_hist_sum_by(pts, ("metric_name",))
+    out = NH.native_hist_quantile(merged, 0.9)
+    return out.select(
+        "metric_name",
+        F.round("quantile_value", 6).alias("p90"),
+    )
