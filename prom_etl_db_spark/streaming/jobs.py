@@ -895,3 +895,55 @@ def stream_otlp_rollup(
     else:
         writer = writer.trigger(processingTime="1 minute")
     return writer.start()
+
+
+def stream_native_hist_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``native_hist.native_hist_sum_by`` (r9):
+    remote-write 2.0 native-histogram payloads drain through the
+    prompb decode and merge per metric into a running rolled-up
+    histogram (downscale-on-scale-change inherited from the fold).
+    CUSTOM-BUCKET histograms (schema −53) refuse pre-fold — their
+    boundary-equality guard needs the batch operator's group-wide
+    view; an NHCB rollup is a batch concern (DIVERGENCES.md)."""
+    from prom_etl_db_spark.functions.remote_write import (
+        CUSTOM_BUCKETS_SCHEMA,
+        remote_write_v2_native_histograms,
+    )
+    from prom_etl_db_spark.streaming.stateful import (
+        _start_parquet_sink,
+        streaming_native_hist_sum,
+    )
+
+    raw = (
+        spark.readStream.schema(REMOTE_WRITE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    pts = remote_write_v2_native_histograms(raw)
+    keyed = pts.select(
+        F.col("metric_name").alias("series"),
+        F.when(
+            F.col("schema") == CUSTOM_BUCKETS_SCHEMA,
+            F.raise_error(F.lit(
+                "stream_native_hist_rollup: custom-bucket (schema -53) "
+                "histograms take the batch sum_by path — boundary "
+                "equality needs the group-wide view")),
+        ).otherwise(F.col("schema")).alias("schema"),
+        "zero_threshold",
+        "pos_offset",
+        "pos_counts",
+        "neg_offset",
+        "neg_counts",
+        "zero_count",
+        "count",
+        "sum",
+    )
+    out = streaming_native_hist_sum(keyed)
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)

@@ -1851,3 +1851,117 @@ def run_neardup_stream(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+NH_SUM_STATE_SCHEMA = StructType(
+    [
+        StructField("schema", IntegerType(), True),
+        StructField("zero_threshold", DoubleType(), True),
+        StructField("pos_offset", IntegerType(), True),
+        StructField("pos_counts", ArrayType(LongType()), True),
+        StructField("neg_offset", IntegerType(), True),
+        StructField("neg_counts", ArrayType(LongType()), True),
+        StructField("zero_count", LongType(), True),
+        StructField("cum_count", LongType(), True),
+        StructField("cum_sum", DoubleType(), True),
+        StructField("sum_poisoned", BooleanType(), True),
+    ]
+)
+
+NH_SUM_OUTPUT_SCHEMA = StructType(
+    [StructField("series", StringType(), False)]
+    + [f for f in NH_SUM_STATE_SCHEMA.fields if f.name != "sum_poisoned"]
+    + [StructField("n_merged", LongType(), True)]
+)
+
+
+def _fold_native_hist_sum(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``native_hist.native_hist_sum_by`` (r9): the
+    per-group state IS the merged histogram at the coarsest scale seen
+    — each arriving histogram downscale-merges in
+    (``_py_nh_downscale`` + ``_py_nh_align_add``, the same Python
+    twins the delta-exponential stream uses), so an unbounded series
+    stream rolls up without ever materializing the group. One updated
+    merged row emits per touched group per micro-batch. A
+    zero_threshold differing from the checkpointed one refuses
+    (the batch operator's rule); a missing ``sum`` poisons the merged
+    sum permanently."""
+    (series,) = key
+    if state.exists:
+        (sc, zt, po, pc, no, nc, z, cnt, sm, poisoned) = state.get
+        pc = list(pc) if pc is not None else []
+        nc = list(nc) if nc is not None else []
+    else:
+        sc, zt = None, None
+        po = no = 0
+        pc, nc = [], []
+        z, cnt, sm, poisoned = 0, 0, 0.0, False
+    n_merged = 0
+    cols = ["schema", "zero_threshold", "pos_offset", "pos_counts",
+            "neg_offset", "neg_counts", "zero_count", "count", "sum"]
+    for pdf in pdfs:
+        for row in pdf[cols].itertuples(index=False):
+            r_sc = int(row.schema)
+            r_zt = float(row.zero_threshold)
+            if zt is None:
+                zt = r_zt
+            elif r_zt != zt:
+                raise ValueError(
+                    "stream_native_hist_rollup: zero_threshold differs "
+                    f"from the checkpointed group state ({series}) — "
+                    "Prometheus re-buckets to the widest; refusing "
+                    "names the config drift")
+            r_po, r_pc = int(row.pos_offset), [int(x) for x in row.pos_counts]
+            r_no, r_nc = int(row.neg_offset), [int(x) for x in row.neg_counts]
+            if sc is None:
+                sc, po, pc, no, nc = r_sc, r_po, r_pc, r_no, r_nc
+            else:
+                target = min(sc, r_sc)
+                po, pc = _py_nh_downscale(po, pc, sc - target)
+                no, nc = _py_nh_downscale(no, nc, sc - target)
+                r_po, r_pc = _py_nh_downscale(r_po, r_pc, r_sc - target)
+                r_no, r_nc = _py_nh_downscale(r_no, r_nc, r_sc - target)
+                po, pc = _py_nh_align_add(po, pc, r_po, r_pc)
+                no, nc = _py_nh_align_add(no, nc, r_no, r_nc)
+                sc = target
+            z += int(row.zero_count)
+            cnt += int(row.count)
+            s = row.sum
+            if s is None or pd.isna(s):
+                poisoned = True
+            else:
+                sm += float(s)
+            n_merged += 1
+    state.update((sc, zt, po, pc, no, nc, z, cnt, sm, bool(poisoned)))
+    yield pd.DataFrame(
+        {
+            "series": [series],
+            "schema": [sc],
+            "zero_threshold": [zt],
+            "pos_offset": [po],
+            "pos_counts": [list(pc)],
+            "neg_offset": [no],
+            "neg_counts": [list(nc)],
+            "zero_count": [z],
+            "cum_count": [cnt],
+            "cum_sum": [None if poisoned else sm],
+            "n_merged": [n_merged],
+        }
+    )
+
+
+def streaming_native_hist_sum(keyed: DataFrame) -> DataFrame:
+    """Stream-transform: per-group running native-histogram merge.
+    ``keyed`` is a STREAMING DataFrame shaped (series string, schema
+    int, zero_threshold double, pos_offset int, pos_counts
+    array<long>, neg_offset int, neg_counts array<long>, zero_count
+    long, count long, sum double)."""
+    return keyed.groupBy("series").applyInPandasWithState(
+        _fold_native_hist_sum,
+        outputStructType=NH_SUM_OUTPUT_SCHEMA,
+        stateStructType=NH_SUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

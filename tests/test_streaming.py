@@ -1902,3 +1902,78 @@ def test_streaming_summary_increase_matches_batch_across_restart(
             .alias("created_timestamp_ms")),
         WSTART)
     assert {r["push_id"]: r["increase"] for r in batch.collect()} == totals
+
+
+def test_streaming_native_hist_rollup_matches_batch_across_restart(
+        spark, tmp_path):
+    """r9 twin: the per-metric native-histogram rollup stream must
+    equal batch native_hist_sum_by over the same wire payloads,
+    resume from the checkpoint, and downscale-merge a COARSER-scale
+    series arriving after the restart."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators import native_hist as NH
+    from prom_etl_db_spark.streaming.jobs import stream_native_hist_rollup
+
+    def payload(user, scale, off, counts, z=0):
+        return RW.snappy_compress(RW.encode_write_request_v2(
+            [{"labels": {"__name__": "lat", "user": str(user)},
+              "samples": [], "histograms": [{
+                  "schema": scale, "zero_threshold": 0.001,
+                  "zero_count": z, "count": z + sum(counts),
+                  "positive_spans": [(off, len(counts))],
+                  "positive_deltas": [counts[0]] + [
+                      b - a for a, b in zip(counts, counts[1:])],
+                  "timestamp": 1706572800000}]}]))
+
+    # run 1: two scale-2 series (the r8 algebra fixture)
+    rows1 = [(1, payload(1, 2, 0, [2, 1], z=1)),
+             (2, payload(2, 2, 1, [1, 3]))]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_native_hist_rollup(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    # restart: a SCALE-1 series — the checkpointed scale-2 merge
+    # [2,2,3]@off0 downscales (ceil(i/2)) to [2,5]@s1 then adds [2]@1
+    rows2 = [(3, payload(3, 1, 1, [2]))]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_native_hist_rollup(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink))
+    (r,) = got.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("series").orderBy(F.desc("batch_id")))
+    ).where(F.col("rn") == 1).collect()
+    assert r["schema"] == 1
+    assert (r["pos_offset"], list(r["pos_counts"])) == (0, [2, 7])
+    assert r["zero_count"] == 1 and r["cum_count"] == 10
+    # batch twin over the union of payloads
+    pts = RW.remote_write_v2_native_histograms(spark.createDataFrame(
+        rows1 + rows2, "push_id long, body binary"))
+    (b,) = NH.native_hist_sum_by(pts, ("metric_name",)).collect()
+    assert b["schema"] == 1
+    assert (b["pos_offset"], list(b["pos_counts"])) == (0, [2, 7])
+    assert b["zero_count"] == 1 and b["count"] == 10
+    # a zero_threshold change against the checkpoint refuses
+    badp = RW.snappy_compress(RW.encode_write_request_v2(
+        [{"labels": {"__name__": "lat", "user": "9"},
+          "samples": [], "histograms": [{
+              "schema": 1, "zero_threshold": 0.01, "zero_count": 0,
+              "count": 1, "positive_spans": [(0, 1)],
+              "positive_deltas": [1], "timestamp": 1706572800000}]}]))
+    spark.createDataFrame([(9, badp)], "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q3 = stream_native_hist_rollup(spark, str(src), str(sink), str(ckpt))
+    import pytest as _pt
+    with _pt.raises(Exception, match="zero_threshold"):
+        try:
+            q3.awaitTermination(120)
+        finally:
+            if q3.exception() is not None:
+                raise q3.exception()
