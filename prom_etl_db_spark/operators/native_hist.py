@@ -569,3 +569,40 @@ def native_hist_sum_by(
         n_counts.alias("neg_counts"),
         *(["custom_values"] if has_cv else []),
     )
+
+
+def native_hist_rate(hist: DataFrame) -> DataFrame:
+    """PromQL ``rate()`` over native-histogram series (r9): the
+    per-second FLOAT histogram — ``native_hist_increase``'s
+    counter-corrected increase with every component divided by the
+    window span. Prometheus's rate of a native histogram is a float
+    histogram for exactly this reason (fractional per-second counts);
+    the compositions that are SCALE-INVARIANT (histogram_quantile —
+    the /dt cancels) ride increase directly, and this operator is the
+    surface for the ones that are not (alerting thresholds on
+    per-second bucket rates, dashboards).
+
+    Output mirrors the increase shape with ``zero_rate`` (double) and
+    ``pos_rates`` (array<double>) replacing the integer counts, plus
+    the carried schema/offset/reset/dt columns. A zero-length window
+    (dt_seconds == 0 — both endpoints at one timestamp) yields NULL
+    rates, Prometheus's undefined-rate convention. Pure Column over
+    the one hash agg increase already performs — no extra shuffle."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    inc = native_hist_increase(hist)
+    dt = F.col("dt_seconds").cast("double")
+    safe = F.when(dt > 0, dt)
+    return inc.select(
+        "labels",
+        "schema",
+        "reset",
+        F.col("pos_offset"),
+        F.transform(
+            F.col("pos_counts"),
+            lambda c: c.cast("double") / safe,
+        ).alias("pos_rates"),
+        (F.col("zero_count").cast("double") / safe).alias("zero_rate"),
+        "dt_seconds",
+        *(["custom_values"] if "custom_values" in inc.columns else []),
+    )

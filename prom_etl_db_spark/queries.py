@@ -160,7 +160,9 @@ _GATE_PRIORITY = [
     # bucket-wise group merge (min-schema downscale), no per-group fold
     "native_hist_sum_by",
     "native_hist_sum_quantile",
-    # --- (d) fill: newest driver row = r4 (8, registry order) --------------
+    # rate() over native histograms: the per-second FLOAT histogram
+    "native_hist_rate_per_sec",
+    # --- (d) fill: newest driver row = r4 (7, registry order) --------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
@@ -168,7 +170,6 @@ _GATE_PRIORITY = [
     "promql_avg_by",
     "promql_sum_over_time",
     "promql_bool_scalar_arith",
-    "promql_gapfill_locf",
 ]
 
 def _apply_gate_priority() -> None:

@@ -885,3 +885,114 @@ def native_hist_sum_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name",
         F.round("quantile_value", 6).alias("p90"),
     )
+
+
+@register(
+    "native_hist_rate_per_sec",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 3 + 1 AS BIGINT) AS a,
+    CAST(user_id % 2 + 1 AS BIGINT) AS b,
+    CAST(user_id % 2 AS BIGINT) AS z1,
+    CAST(user_id % 5 AS BIGINT) AS ga,
+    CAST(user_id % 3 AS BIGINT) AS gb,
+    user_id % 7 = 0 AS reset_slice
+  FROM events
+), r AS (
+  SELECT *,
+    -- the DETECTION rule: the reset slice is a reset only when some
+    -- aligned component actually drops (1 < a OR 1 < b OR 0 < z1)
+    reset_slice AND (a > 1 OR b > 1 OR z1 > 0) AS detected
+  FROM h
+), v AS (
+  SELECT event_id, event_type, o, detected,
+    CASE WHEN reset_slice THEN
+      CASE WHEN detected THEN CAST(0 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    ELSE z1 + 1 - z1 END AS zinc,
+    CASE WHEN reset_slice THEN
+      CASE WHEN detected THEN CAST(1 AS BIGINT) ELSE 1 - a END
+    ELSE ga END AS i0,
+    CASE WHEN reset_slice THEN
+      CASE WHEN detected THEN CAST(1 AS BIGINT) ELSE 1 - b END
+    ELSE gb END AS i1
+  FROM r
+)
+SELECT event_id AS push_id, event_type AS metric_name, detected AS reset,
+  round(CAST(zinc AS DOUBLE) / 300.0, 6) AS zero_rate,
+  unnest([o, o + 1]) AS idx,
+  unnest([round(CAST(i0 AS DOUBLE) / 300.0, 6),
+          round(CAST(i1 AS DOUBLE) / 300.0, 6)]) AS rate
+FROM v
+""",
+)
+def native_hist_rate_per_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate()`` over native histograms (r9): two wire pushes
+    per series 300 s apart → counter-corrected increase → per-second
+    FLOAT histogram (``NH.native_hist_rate``), exploded to (series,
+    absolute index, rate) rows. The u%7 slice resets mid-window and
+    the oracle replays the DETECTION rule (an aligned drop — the
+    undetectable-reset honesty rule the summary composition also
+    keeps); the growth slices' rates are the closed-form deltas /
+    300. Plan: decode → ONE hash agg (the increase) → pure-Column
+    divide + posexplode."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            a, b = u % 3 + 1, u % 2 + 1
+            z1 = u % 2
+            o = u % 4 - 1
+            if u % 7 == 0:
+                p2, z2 = [1, 1], 0   # reset (detected iff something drops)
+            else:
+                p2, z2 = [a + u % 5, b + u % 3], z1 + 1
+            hs = []
+            for i, (counts, z) in enumerate((([a, b], z1), (p2, z2))):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(counts),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [counts[0], counts[1] - counts[0]],
+                    "timestamp": 1706572800000 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"),
+        "zero_count",
+        "pos_offset",
+        "pos_counts",
+    )
+    rates = NH.native_hist_rate(pts)
+    ex = rates.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["__name__"].alias("metric_name"),
+        "reset",
+        F.round("zero_rate", 6).alias("zero_rate"),
+        F.posexplode("pos_rates").alias("__i", "__r"),
+        F.col("pos_offset"),
+    ).select(
+        "push_id", "metric_name", "reset", "zero_rate",
+        (F.col("pos_offset") + F.col("__i")).alias("idx"),
+        F.round("__r", 6).alias("rate"),
+    )
+    return ex

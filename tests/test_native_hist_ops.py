@@ -293,3 +293,34 @@ def test_native_sum_by_refusals(spark):
     assert r["schema"] == -53
     assert (r["pos_offset"], list(r["pos_counts"])) == (0, [2, 5])
     assert list(r["custom_values"]) == [0.5, 2.0]
+
+
+def test_native_rate_zero_window_is_null(spark):
+    """r9: rate() over a zero-length window (both endpoints at one
+    timestamp is impossible through increase's min_by/max_by — a
+    single-sample series yields dt 0) is NULL, Prometheus's
+    undefined-rate convention."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [{"labels": {"n": "s"}, "ts": datetime(2024, 1, 1),
+          "schema": 0, "zero_count": 2, "pos_offset": 0,
+          "pos_counts": [4]}],
+        "labels map<string,string>, ts timestamp, schema int, "
+        "zero_count long, pos_offset int, pos_counts array<long>")
+    (r,) = NH.native_hist_rate(df).collect()
+    assert r["zero_rate"] is None
+    assert list(r["pos_rates"]) == [None]
+    # a real 2-point window divides by dt
+    df2 = spark.createDataFrame(
+        [{"labels": {"n": "s"}, "ts": datetime(2024, 1, 1, 0, 0),
+          "schema": 0, "zero_count": 1, "pos_offset": 0,
+          "pos_counts": [4]},
+         {"labels": {"n": "s"}, "ts": datetime(2024, 1, 1, 0, 5),
+          "schema": 0, "zero_count": 3, "pos_offset": 0,
+          "pos_counts": [10]}],
+        "labels map<string,string>, ts timestamp, schema int, "
+        "zero_count long, pos_offset int, pos_counts array<long>")
+    (r2,) = NH.native_hist_rate(df2).collect()
+    assert r2["zero_rate"] == pytest.approx(2 / 300)
+    assert list(r2["pos_rates"]) == [pytest.approx(6 / 300)]
