@@ -531,6 +531,7 @@ def native_hist_sum_by(
         ).otherwise(F.sum("sum")).alias("sum"),
         *([F.first("custom_values").alias("custom_values")]
           if has_cv else []),
+        F.count(F.lit(1)).alias("n_series"),
         F.max("__ok").alias("__ok2"),  # forces the refusal checks
     )
     out = scalars.join(pos, on=list(by), how="left").join(
@@ -568,6 +569,7 @@ def native_hist_sum_by(
         n_off.alias("neg_offset"),
         n_counts.alias("neg_counts"),
         *(["custom_values"] if has_cv else []),
+        "n_series",
     )
 
 
@@ -605,4 +607,40 @@ def native_hist_rate(hist: DataFrame) -> DataFrame:
         (F.col("zero_count").cast("double") / safe).alias("zero_rate"),
         "dt_seconds",
         *(["custom_values"] if "custom_values" in inc.columns else []),
+    )
+
+
+def native_hist_avg_by(
+    nh: DataFrame,
+    by: "tuple[str, ...]" = ("metric_name",),
+) -> DataFrame:
+    """PromQL ``avg by (...)`` over native-histogram series (r9):
+    the merged group histogram divided by the series count — a FLOAT
+    histogram (fractional per-series bucket counts), Prometheus's
+    avg-of-histograms. Rides ``native_hist_sum_by`` unchanged (same
+    refusals, same scale merge, same group-keyed plan) with one
+    pure-Column divide on top — no extra shuffle. Output mirrors the
+    merged shape with double-typed ``zero_count``/``count``/
+    ``pos_counts``/``neg_counts``; ``sum`` is already the mean of the
+    per-series sums."""
+    m = native_hist_sum_by(nh, by)
+    n = F.col("n_series").cast("double")
+    has_cv = "custom_values" in m.columns
+    return m.select(
+        *by,
+        "schema",
+        "zero_threshold",
+        (F.col("zero_count").cast("double") / n).alias("zero_count"),
+        (F.col("count").cast("double") / n).alias("count"),
+        (F.col("sum") / n).alias("sum"),
+        "pos_offset",
+        F.transform(
+            F.col("pos_counts"), lambda c: c.cast("double") / n
+        ).alias("pos_counts"),
+        "neg_offset",
+        F.transform(
+            F.col("neg_counts"), lambda c: c.cast("double") / n
+        ).alias("neg_counts"),
+        *(["custom_values"] if has_cv else []),
+        "n_series",
     )

@@ -162,14 +162,15 @@ _GATE_PRIORITY = [
     "native_hist_sum_quantile",
     # rate() over native histograms: the per-second FLOAT histogram
     "native_hist_rate_per_sec",
-    # --- (d) fill: newest driver row = r4 (7, registry order) --------------
+    # avg by (...): the merged histogram / series count (float buckets)
+    "native_hist_avg_by",
+    # --- (d) fill: newest driver row = r4 (6, registry order) --------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
     "promql_max_without",
     "promql_avg_by",
     "promql_sum_over_time",
-    "promql_bool_scalar_arith",
 ]
 
 def _apply_gate_priority() -> None:

@@ -996,3 +996,87 @@ def native_hist_rate_per_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__r", 6).alias("rate"),
     )
     return ex
+
+
+@register(
+    "native_hist_avg_by",
+    oracle="""
+WITH h AS (
+  SELECT event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 4 + 1 AS BIGINT) AS c,
+    CAST(user_id % 3 + 1 AS BIGINT) AS d,
+    CAST(user_id % 2 + 1 AS BIGINT) AS z
+  FROM events
+), p AS (
+  SELECT event_type, unnest([o, o + 1]) AS idx, unnest([c, d]) AS cnt
+  FROM h
+), b AS (
+  SELECT event_type, idx, CAST(sum(cnt) AS DOUBLE) AS sum_cnt
+  FROM p GROUP BY event_type, idx
+), s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_series,
+    CAST(sum(z) AS DOUBLE) AS zsum,
+    CAST(sum(z + c + d) AS DOUBLE) AS csum
+  FROM h GROUP BY event_type
+)
+SELECT b.event_type AS metric_name, s.n_series,
+  round(s.zsum / s.n_series, 6) AS zero_avg,
+  round(s.csum / s.n_series, 6) AS count_avg,
+  b.idx, round(b.sum_cnt / s.n_series, 6) AS bucket_avg
+FROM b JOIN s ON b.event_type = s.event_type
+WHERE b.sum_cnt > 0
+""",
+)
+def native_hist_avg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``avg by (__name__)`` over native-histogram series (r9):
+    the merged group histogram / series count — a FLOAT histogram with
+    fractional per-series bucket counts, exploded to (metric, index,
+    avg) rows the oracle replays as sums/count(*). Same wire fixture
+    and plan as ``native_hist_sum_by`` (one pure-Column divide on
+    top)."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, u in zip(name, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            z = u % 2 + 1
+            h = {
+                "schema": len(str(n)) % 2,
+                "zero_threshold": 0.001,
+                "zero_count": z,
+                "count": z + c + d,
+                "positive_spans": [(u % 4 - 1, 2)],
+                "positive_deltas": [c, d - c],
+                "timestamp": 1706572800000,
+            }
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "user": str(u)},
+                  "samples": [], "histograms": [h]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads)
+    avg = NH.native_hist_avg_by(pts, ("metric_name",))
+    ex = avg.select(
+        "metric_name",
+        "n_series",
+        F.round("zero_count", 6).alias("zero_avg"),
+        F.round("count", 6).alias("count_avg"),
+        F.posexplode("pos_counts").alias("__i", "__c"),
+        F.col("pos_offset"),
+    ).select(
+        "metric_name", "n_series", "zero_avg", "count_avg",
+        (F.col("pos_offset") + F.col("__i")).alias("idx"),
+        F.round("__c", 6).alias("bucket_avg"),
+    )
+    return ex.where(F.col("bucket_avg") > 0)
