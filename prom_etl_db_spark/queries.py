@@ -164,13 +164,15 @@ _GATE_PRIORITY = [
     "native_hist_rate_per_sec",
     # avg by (...): the merged histogram / series count (float buckets)
     "native_hist_avg_by",
-    # --- (d) fill: newest driver row = r4 (6, registry order) --------------
+    # OpenMetrics _created series -> CT-aware increase (the text leg of
+    # the created-timestamp story; clock-skew rule rides along)
+    "openmetrics_created_increase",
+    # --- (d) fill: newest driver row = r4 (5, registry order) --------------
     "flagship_gpu_utilization",
     "promql_instant_vector",
     "promql_sum_by",
     "promql_max_without",
     "promql_avg_by",
-    "promql_sum_over_time",
 ]
 
 def _apply_gate_priority() -> None:

@@ -107,3 +107,81 @@ def openmetrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("ex_value"),
         F.unix_timestamp("timestamp").alias("ex_ts_s"),
     )
+
+
+@register(
+    "openmetrics_created_increase",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 7 + 1 AS DOUBLE) AS v0,
+    CAST(user_id % 5 AS DOUBLE) AS a,
+    user_id % 11 = 0 AS resets,
+    user_id % 2 = 0 AS born_in_window
+  FROM events
+)
+SELECT event_id AS push_id, event_type || '_total' AS metric_name,
+  round(
+    CASE WHEN born_in_window THEN v0 ELSE 0.0 END
+    + CASE WHEN resets THEN 0.5 ELSE a END, 4) AS increase
+FROM s
+""",
+)
+def openmetrics_created_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXT-format leg of the created-timestamp story (r9):
+    OpenMetrics exposes a counter's birth as a sibling ``_created``
+    sample (`foo_created{labels} <unix seconds>`), the text twin of
+    remote-write 2.0's created_timestamp field. The query parses both
+    sample kinds from one exposition stream, pivots each series'
+    ``_created`` value into its CT, and runs the SAME CT-aware
+    increase as the wire formats — synthetic zero iff the series was
+    born inside the window AND not after its first sample (the r9
+    clock-skew rule rides along). Per series: 2 counter samples; the
+    u%11 slice resets (drop to 0.5), the u%2 slice is born in-window.
+    Plan: pure-Column parse → one small agg + join (the _created side
+    is one row per series — broadcast-class) → ct_increase's window +
+    hash agg."""
+    from prom_etl_db_spark.registry.rw2_aux import ct_increase
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    u = F.col("user_id")
+    t0s = _T0S
+    wstart_ms = (t0s - 15) * 1000
+    v0 = (u % 7 + 1).cast("double")
+    a = (u % 5).cast("double")
+    v1 = F.when(u % 11 == 0, F.lit(0.5)).otherwise(v0 + a)
+    ct_s = F.when(u % 2 == 0, F.lit(t0s)).otherwise(F.lit(t0s - 30))
+    base = F.concat(F.col("event_type"), F.lit('_total{eid="'),
+                    F.col("event_id").cast("string"), F.lit('"} '))
+    lines = ev.select(
+        "event_id",
+        F.explode(F.array(
+            F.concat(base, v0.cast("string"), F.lit(" "),
+                     F.lit(t0s).cast("string")),
+            F.concat(base, v1.cast("string"), F.lit(" "),
+                     (F.lit(t0s) + 60).cast("string")),
+            F.concat(F.col("event_type"), F.lit('_created{eid="'),
+                     F.col("event_id").cast("string"), F.lit('"} '),
+                     ct_s.cast("string"), F.lit(" "),
+                     F.lit(t0s).cast("string")),
+        )).alias("value"),
+    )
+    parsed = parse_exposition_lines(lines.select("value"))
+    samples = parsed.where(~F.col("metric_name").endswith("_created")).select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        "metric_name",
+        (F.unix_timestamp("timestamp") * 1000).alias("timestamp_ms"),
+        "value",
+    )
+    created = parsed.where(F.col("metric_name").endswith("_created")).select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.regexp_replace("metric_name", "_created$", "_total")
+        .alias("metric_name"),
+        (F.col("value") * 1000).cast("long").alias("created_timestamp_ms"),
+    )
+    joined = samples.join(
+        F.broadcast(created), on=["push_id", "metric_name"], how="left")
+    out = ct_increase(joined, wstart_ms)
+    return out.select(
+        "push_id", "metric_name",
+        F.round("increase", 4).alias("increase"))
