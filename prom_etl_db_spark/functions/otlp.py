@@ -78,14 +78,11 @@ from prom_etl_db_spark.functions.remote_write import (
     _uvarint,
 )
 
+# Every shape in _DATA_FIELDS decodes as of r9 (Summary was the last
+# holdout — its φ-quantile values are DATA, not rate-able series,
+# documented at the operator layer; count/sum ride increase algebra).
 _DATA_FIELDS = {5: "gauge", 7: "sum", 9: "histogram",
                 10: "exponential_histogram", 11: "summary"}
-# r9: Summary decodes (the last OTLP point shape — client_golang
-# summaries bridged through an OTLP exporter are ubiquitous in the
-# Prometheus ecosystem the reference inhabits). Its φ-quantile values
-# are DATA, not rate-able series — documented at the operator layer —
-# while count/sum are cumulative counters that ride increase algebra.
-_REFUSED_DATA: set[str] = set()
 
 
 def _zigzag_enc(n: int) -> int:
@@ -734,13 +731,6 @@ def _parse_metric(data: bytes) -> dict:
             pos += ln
         elif num in _DATA_FIELDS and wire == 2:
             kind = _DATA_FIELDS[num]
-            if kind in _REFUSED_DATA:
-                raise ValueError(
-                    f"otlp: {kind} data points not implemented "
-                    f"(metric {m['name']!r}); gauge/sum/histogram/"
-                    "exponential_histogram only — DIVERGENCES.md "
-                    "documents the subset"
-                )
             m["data_type"] = kind
             ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, f"{kind} data")

@@ -223,12 +223,15 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
     - target beyond the last bucket (count > bucket sum — legal)
       returns the last finite upper bound in walk order (positive
       last if present, else zero_threshold, else the negative side's
-      upper -base^(neg_offset-1));
+      upper); a histogram with NO buckets at all (all mass in the
+      implicit +Inf region) yields NaN — no finite bound exists and
+      fabricating one from default offsets was wrong (r9 review fix);
     - empty histograms (count == 0) yield NaN (the r8 seam rule);
-    - q == 0 on a non-empty histogram returns the observable
-      infimum: -base^(neg_offset+size-1) when negative buckets are
-      present, else 0.0 (r9 ADVICE fix — previously NULL via
-      try_divide(0, 0) when zero_count == 0);
+    - q == 0 on a non-empty histogram returns the lower bound of the
+      FIRST POPULATED bucket in walk order — Prometheus's rank-0
+      landing spot (r9 review fix: a blanket 0.0 undersold
+      positive-only histograms whose zero bucket is empty; previously
+      NULL via try_divide(0, 0));
     - custom-bucket rows (schema −53) refuse — their quantile is the
       CLASSIC linear rule via nhcb_to_le_buckets, not this estimator.
 
@@ -288,7 +291,10 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
         (F.col("pos_offset").cast("double") + pos_i - F.lit(1.0) + frac)
         * inv,
     )
-    # upper bound of the LAST bucket in walk order
+    # upper bound of the LAST bucket in walk order; a histogram with
+    # count > 0 but NO buckets at all (all mass in the implicit +Inf
+    # region) has no finite upper to return — NaN, not a fabricated
+    # bound from the wrong side (r9 code-review fix)
     last_upper = (
         F.when(
             F.size("pos_counts") > 0,
@@ -300,18 +306,55 @@ def native_hist_quantile(nh: DataFrame, q: float) -> DataFrame:
             ),
         )
         .when(zc > 0, F.col("zero_threshold"))
-        .otherwise(
+        .when(
+            has_neg,
             -F.pow(F.lit(2.0),
-                   (F.col("neg_offset").cast("double") - F.lit(1.0)) * inv)
+                   (F.col("neg_offset").cast("double") - F.lit(1.0)) * inv),
+        )
+        .otherwise(F.lit(float("nan")))
+    )
+    # q == 0 convention: the lower bound of the FIRST POPULATED bucket
+    # in walk order — Prometheus's rank-0 landing spot (r9 code-review
+    # fix: a bare 0.0 is below anything a positive-only histogram with
+    # an empty zero bucket could have observed)
+    def _first_populated_idx(counts: Column) -> Column:
+        # dense index of the first count > 0, NULL if none
+        return F.array_min(
+            F.filter(
+                F.transform(
+                    counts,
+                    lambda c, i: F.when(c > 0, i),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+
+    neg_last_pop = F.array_max(
+        F.filter(
+            F.transform(F.col("neg_counts"), lambda c, i: F.when(c > 0, i)),
+            lambda x: x.isNotNull(),
         )
     )
-    # observable infimum (the q == 0 convention)
-    infimum = F.when(
-        has_neg,
-        -F.pow(F.lit(2.0),
-               (F.col("neg_offset").cast("double")
-                + n_neg.cast("double") - F.lit(1.0)) * inv),
-    ).otherwise(F.lit(0.0))
+    pos_first_pop = _first_populated_idx(F.col("pos_counts"))
+    zero_lower_inf = F.when(
+        has_neg, -F.col("zero_threshold")).otherwise(F.lit(0.0))
+    infimum = (
+        F.when(
+            neg_last_pop.isNotNull(),
+            # most negative populated bucket k: lower bound -base^k
+            -F.pow(F.lit(2.0),
+                   (F.col("neg_offset").cast("double")
+                    + neg_last_pop.cast("double")) * inv),
+        )
+        .when(zc > 0, zero_lower_inf)
+        .when(
+            pos_first_pop.isNotNull(),
+            F.pow(F.lit(2.0),
+                  (F.col("pos_offset").cast("double")
+                   + pos_first_pop.cast("double") - F.lit(1.0)) * inv),
+        )
+        .otherwise(F.lit(float("nan")))  # only the implicit +Inf mass
+    )
     value = (
         F.when(cnt == 0, F.lit(float("nan")))
         .when(target == 0, infimum)
@@ -521,7 +564,12 @@ def native_hist_sum_by(
     pos = side("__po", "__pc", "p")
     neg = side("__no", "__nc", "n")
     scalars = base.groupBy(*by).agg(
-        F.first("__schema").alias("schema"),
+        # the refusal checks ride a SELECTED column so column pruning
+        # can never elide them (r9 review fix: a separate unused
+        # guard column would be pruned from the executed plan)
+        F.when(
+            F.max("__ok") == 0, F.first("__schema")
+        ).alias("schema"),
         F.first("zero_threshold").alias("zero_threshold"),
         F.sum("zero_count").alias("zero_count"),
         F.sum("count").alias("count"),
@@ -532,7 +580,6 @@ def native_hist_sum_by(
         *([F.first("custom_values").alias("custom_values")]
           if has_cv else []),
         F.count(F.lit(1)).alias("n_series"),
-        F.max("__ok").alias("__ok2"),  # forces the refusal checks
     )
     out = scalars.join(pos, on=list(by), how="left").join(
         neg, on=list(by), how="left")

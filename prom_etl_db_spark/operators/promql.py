@@ -3009,6 +3009,26 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     )
 
 
+def _null_safe_join_back(
+    base: DataFrame, asm: DataFrame, keys: list[str]
+) -> DataFrame:
+    """LEFT-join ``asm`` back onto ``base`` on ``keys`` with NULL-SAFE
+    equality (r9 code-review fix: a plain `on=[names]` join misses
+    NULL series keys — e.g. a NULL attrs map canonicalizing to a NULL
+    __attrs_key — so the reassembled arrays silently came back NULL
+    and coalesced to zeros/raw deltas; windows treat NULL as a normal
+    partition value, and the join must agree)."""
+    right = asm
+    for k in keys:
+        right = right.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in keys:
+        c = base[k].eqNullSafe(right[f"__r_{k}"])
+        cond = c if cond is None else (cond & c)
+    return base.join(right, on=cond, how="left").drop(
+        *[f"__r_{k}" for k in keys])
+
+
 def _otlp_series_frame(
     points: DataFrame, series_cols: Sequence[str]
 ) -> tuple[DataFrame, list[str], bool]:
@@ -3337,7 +3357,7 @@ def otlp_delta_hist_to_cumulative(
             ).alias("__cum_buckets")
         )
     )
-    out = base.join(asm, on=[*scols, "__rn"], how="left")
+    out = _null_safe_join_back(base, asm, [*scols, "__rn"])
     cum_buckets = F.when(
         F.col("__checked") == 1,
         F.coalesce(F.col("__cum_buckets"), F.col("bucket_counts")),
@@ -3606,7 +3626,7 @@ def otlp_delta_exp_hist_to_cumulative(
             F.collect_list(F.struct("__i", "__ncum"))
         ).alias("__nmap"),
     )
-    out = base.join(asm, on=[*scols, "__rn"], how="left")
+    out = _null_safe_join_back(base, asm, [*scols, "__rn"])
 
     def assemble(mp: Column, lo: Column, hi: Column,
                  fallback_off: Column) -> tuple[Column, Column]:

@@ -150,7 +150,7 @@ def openmetrics_created_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = (u % 7 + 1).cast("double")
     a = (u % 5).cast("double")
     v1 = F.when(u % 11 == 0, F.lit(0.5)).otherwise(v0 + a)
-    ct_s = F.when(u % 2 == 0, F.lit(t0s)).otherwise(F.lit(t0s - 30))
+    ct_s = F.when(u % 2 == 0, F.lit(t0s - 1)).otherwise(F.lit(t0s - 30))
     base = F.concat(F.col("event_type"), F.lit('_total{eid="'),
                     F.col("event_id").cast("string"), F.lit('"} '))
     lines = ev.select(

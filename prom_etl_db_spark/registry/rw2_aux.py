@@ -244,7 +244,7 @@ def ct_aware_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 samples = [(v0, _T0), (v0 + a, _T0 + 60000),
                            (v0 + a + b, _T0 + 120000)]
-            ct = _T0 if u % 2 == 0 else _T0 - 30000
+            ct = _T0 - 1000 if u % 2 == 0 else _T0 - 30000
             out.append(RW.snappy_compress(RW.encode_write_request_v2(
                 [{"labels": {"__name__": n, "user": str(u)},
                   "samples": samples,
@@ -271,8 +271,9 @@ def ct_increase(
     """CT-aware increase over a decoded samples frame (factored out in
     r9 so the clock-skew seam is testable on arbitrary fixtures):
     reset-corrected lag deltas per series; the FIRST in-window sample
-    counts fully iff created_timestamp lands inside the window AND not
-    after the sample itself — a CT newer than the sample it describes
+    counts fully iff created_timestamp lands inside the window AND
+    STRICTLY before the sample itself (r9 review fix: Prometheus's
+    CT-zero ingestion rejects ct >= t — equality included) — a CT newer than the sample it describes
     is clock skew / a lying producer (Prometheus's CT-zero ingestion
     only injects the zero when ct < sample ts), so it is ignored
     rather than trusted. One window + one hash agg on the same key —
@@ -284,7 +285,7 @@ def ct_increase(
             F.col("prev").isNull(),
             F.when(
                 (F.col("created_timestamp_ms") >= F.lit(window_start_ms))
-                & (F.col("created_timestamp_ms") <= F.col("timestamp_ms")),
+                & (F.col("created_timestamp_ms") < F.col("timestamp_ms")),
                 F.col("value"),
             ).otherwise(F.lit(0.0)),
         )

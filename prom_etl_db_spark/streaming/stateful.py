@@ -152,8 +152,8 @@ CT_COUNTER_OUTPUT_SCHEMA = StructType(
 def make_ct_counter_fold(window_start_ms: int):
     """Per-series fold: running reset-corrected increase where the
     FIRST sample ever contributes its full value iff the series'
-    created_timestamp is inside the observation window AND not after
-    the sample itself (r9 seam fix: a CT newer than the sample it
+    created_timestamp is inside the observation window AND strictly
+    before the sample itself (r9 seam fix: a CT newer than the sample it
     describes is clock skew — Prometheus only injects the CT zero
     when ct < sample ts; NULL CT = unknown birth = no zero injection
     — the v1/old-agent fallback, same rule as the batch twin
@@ -179,7 +179,7 @@ def make_ct_counter_fold(window_start_ms: int):
                 v = float(v)
                 if last_value is None:
                     if (not pd.isna(ct) and int(ct) >= window_start_ms
-                            and int(ct) <= int(ts)):
+                            and int(ct) < int(ts)):
                         total += v
                 else:
                     total += v if v < last_value else v - last_value
@@ -282,6 +282,7 @@ DELTA_HIST_STATE_SCHEMA = StructType(
         StructField("cum_count", LongType(), True),
         StructField("cum_sum", DoubleType(), True),
         StructField("sum_poisoned", BooleanType(), True),
+        StructField("last_ts", LongType(), True),
     ]
 )
 
@@ -311,10 +312,10 @@ def _fold_delta_hist(
     guard). A NULL sum poisons cum_sum permanently — the batch rule."""
     (series,) = key
     if state.exists:
-        bk, cum, cnt, sm, poisoned = state.get
+        bk, cum, cnt, sm, poisoned, last_ts = state.get
         cum = list(cum) if cum is not None else None
     else:
-        bk, cum, cnt, sm, poisoned = None, None, 0, 0.0, False
+        bk, cum, cnt, sm, poisoned, last_ts = None, None, 0, 0.0, False, None
     out_ts, out_b, out_c, out_s = [], [], [], []
     chunks = [
         pdf[["timestamp_ms", "bucket_counts", "bounds_key", "count", "sum"]]
@@ -322,10 +323,26 @@ def _fold_delta_hist(
     ]
     if chunks:
         allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
+        prev_batch_ts = None
         for ts, buckets, bkey, c, s in zip(
             allr["timestamp_ms"], allr["bucket_counts"], allr["bounds_key"],
             allr["count"], allr["sum"],
         ):
+            ts_i = int(ts)
+            # duplicate-delivery guard (r9 review fix — the batch twin
+            # refuses duplicate delta timestamps; the stream detects
+            # them within a batch via sorted adjacency and across
+            # batches against the checkpointed newest timestamp.
+            # Older-but-distinct late arrivals stay legal: addition is
+            # order-independent)
+            if ts_i == prev_batch_ts or (
+                    last_ts is not None and ts_i == last_ts):
+                raise ValueError(
+                    "stream_otlp_delta_hist: duplicate timestamp within "
+                    f"one DELTA series ({series}) — double delivery?")
+            prev_batch_ts = ts_i
+            if last_ts is None or ts_i > last_ts:
+                last_ts = ts_i
             buckets = [int(b) for b in buckets]
             if bk is None:
                 bk = bkey
@@ -350,7 +367,7 @@ def _fold_delta_hist(
             out_b.append(list(cum))
             out_c.append(cnt)
             out_s.append(None if poisoned else sm)
-    state.update((bk, cum, cnt, sm, bool(poisoned)))
+    state.update((bk, cum, cnt, sm, bool(poisoned), last_ts))
     yield pd.DataFrame(
         {
             "series": [series] * len(out_ts),
@@ -422,6 +439,7 @@ DELTA_EXP_STATE_SCHEMA = StructType(
         StructField("cum_count", LongType(), True),
         StructField("cum_sum", DoubleType(), True),
         StructField("sum_poisoned", BooleanType(), True),
+        StructField("last_ts", LongType(), True),
     ]
 )
 
@@ -454,7 +472,7 @@ def _fold_delta_exp_hist(
     a stream: the stream IS the linear pass."""
     (series,) = key
     if state.exists:
-        sc, po, pc, no, nc, z, cnt, sm, poisoned = state.get
+        sc, po, pc, no, nc, z, cnt, sm, poisoned, last_ts = state.get
         pc = list(pc) if pc is not None else []
         nc = list(nc) if nc is not None else []
     else:
@@ -462,13 +480,25 @@ def _fold_delta_exp_hist(
         po = no = 0
         pc, nc = [], []
         z, cnt, sm, poisoned = 0, 0, 0.0, False
+        last_ts = None
     cols = ["timestamp_ms", "scale", "pos_offset", "pos_counts",
             "neg_offset", "neg_counts", "zero_count", "count", "sum"]
     out: dict[str, list] = {c: [] for c in DELTA_EXP_OUTPUT_SCHEMA.names}
     chunks = [pdf[cols] for pdf in pdfs]
     if chunks:
         allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
+        prev_batch_ts = None
         for row in allr.itertuples(index=False):
+            ts_i = int(row.timestamp_ms)
+            # duplicate-delivery guard (see _fold_delta_hist)
+            if ts_i == prev_batch_ts or (
+                    last_ts is not None and ts_i == last_ts):
+                raise ValueError(
+                    "stream_otlp_delta_exp: duplicate timestamp within "
+                    f"one DELTA series ({series}) — double delivery?")
+            prev_batch_ts = ts_i
+            if last_ts is None or ts_i > last_ts:
+                last_ts = ts_i
             r_sc = int(row.scale)
             r_po, r_pc = int(row.pos_offset), [int(x) for x in row.pos_counts]
             r_no, r_nc = int(row.neg_offset), [int(x) for x in row.neg_counts]
@@ -500,7 +530,7 @@ def _fold_delta_exp_hist(
             out["zero_count"].append(z)
             out["cum_count"].append(cnt)
             out["cum_sum"].append(None if poisoned else sm)
-    state.update((sc, po, pc, no, nc, z, cnt, sm, bool(poisoned)))
+    state.update((sc, po, pc, no, nc, z, cnt, sm, bool(poisoned), last_ts))
     yield pd.DataFrame(out)
 
 

@@ -263,7 +263,11 @@ def test_hist_stdvar_clamps_cancellation_to_zero(spark):
     assert not math.isnan(r["hist_stddev"]) and 0.0 <= r["hist_stddev"]
 
 
-def test_native_quantile_q0_returns_zero_not_null(spark):
+def test_native_quantile_q0_returns_infimum_not_null(spark):
+    """q=0 returns the lower bound of the first populated walk bucket
+    (not NULL as in r8, and not a blanket 0.0 — a positive-only
+    histogram with an empty zero bucket observed nothing below its
+    first bucket's lower bound)."""
     df = spark.createDataFrame(
         [Row(count=3, sum=3.0, schema=1, zero_count=0,
              zero_threshold=0.0, pos_offset=1, pos_counts=[3],
@@ -272,9 +276,42 @@ def test_native_quantile_q0_returns_zero_not_null(spark):
         "zero_threshold double, pos_offset int, pos_counts array<long>, "
         "neg_offset int, neg_counts array<long>, "
         "custom_values array<double>")
-    assert NH.native_hist_quantile(df, 0.0).first()["quantile_value"] == 0.0
-    # q=0 with a populated zero bucket also stays 0.0
+    # first populated bucket k=1 (schema 1, base sqrt(2)): lower 2^0=1
+    got = NH.native_hist_quantile(df, 0.0).first()["quantile_value"]
+    assert got == pytest.approx(1.0)
+    # with a populated zero bucket (and no negatives) the infimum is 0
     df_z = df.withColumn("zero_count", F.lit(2).cast("long")).withColumn(
         "zero_threshold", F.lit(0.001)).withColumn(
         "count", F.lit(5).cast("long"))
     assert NH.native_hist_quantile(df_z, 0.0).first()["quantile_value"] == 0.0
+
+
+def test_null_series_key_accumulates(spark):
+    """r9 review fix: a NULL attrs map canonicalizes to a NULL
+    __attrs_key; windows partition NULL keys normally but a plain
+    name-list join misses them (NULL != NULL), which silently zeroed
+    the reassembled bucket arrays. The null-safe join-back must
+    accumulate them like any series."""
+    hist_df = spark.createDataFrame(
+        [Row(metric_name="m", attrs=None, temporality=1,
+             data_type="histogram", time_unix_nano=t, count=sum(d),
+             sum=float(sum(d)), bucket_counts=d, explicit_bounds=[0.5])
+         for t, d in [(1, [2]), (2, [3])]],
+        "metric_name string, attrs map<string,string>, temporality int, "
+        "data_type string, time_unix_nano long, count long, sum double, "
+        "bucket_counts array<long>, explicit_bounds array<double>")
+    out = {r["time_unix_nano"]: list(r["bucket_counts"]) for r in
+           promql.otlp_delta_hist_to_cumulative(hist_df).collect()}
+    assert out == {1: [2], 2: [5]}
+    exp = spark.createDataFrame(
+        [Row(metric_name="m", attrs=None, temporality=1, time_unix_nano=t,
+             scale=1, pos_offset=0, pos_counts=c, neg_offset=0,
+             neg_counts=[], zero_count=0, count=sum(c), sum=1.0)
+         for t, c in [(1, [2, 1]), (2, [1, 1])]],
+        "metric_name string, attrs map<string,string>, temporality int, "
+        "time_unix_nano long, scale int, pos_offset int, "
+        "pos_counts array<long>, neg_offset int, neg_counts array<long>, "
+        "zero_count long, count long, sum double")
+    out2 = {r["time_unix_nano"]: list(r["pos_counts"]) for r in
+            promql.otlp_delta_exp_hist_to_cumulative(exp).collect()}
+    assert out2 == {1: [2, 1], 2: [3, 2]}

@@ -49,16 +49,19 @@ def test_ct_after_first_sample_is_ignored(spark):
     rows = [
         (1, WSTART + 100, 5.0, WSTART + 500),   # skewed CT: ct > ts
         (1, WSTART + 200, 8.0, WSTART + 500),
-        (2, WSTART + 100, 5.0, WSTART + 100),   # ct == first ts: valid
-        (2, WSTART + 200, 8.0, WSTART + 100),
+        (2, WSTART + 100, 5.0, WSTART + 50),    # ct < first ts: valid
+        (2, WSTART + 200, 8.0, WSTART + 50),
         (3, WSTART + 100, 5.0, WSTART - 5000),  # born before window
         (3, WSTART + 200, 8.0, WSTART - 5000),
-    ]
+        (4, WSTART + 100, 5.0, WSTART + 100),   # ct == ts: NOT injected
+        (4, WSTART + 200, 8.0, WSTART + 100),   # (Prometheus: ct >= t
+    ]                                           #  is out-of-order CT)
     got = {r["push_id"]: r["increase"]
            for r in ct_increase(_pts(spark, rows), WSTART).collect()}
     assert got[1] == 3.0   # skewed CT ignored: 0 + (8-5)
     assert got[2] == 8.0   # valid CT: 5 + 3
     assert got[3] == 3.0   # pre-window birth: 0 + 3
+    assert got[4] == 3.0   # equality is skew too: 0 + 3
 
 
 def test_ct_and_reset_in_one_window(spark):
@@ -95,9 +98,13 @@ def test_streaming_ct_fold_ignores_skewed_ct():
     })
     (out,) = fold(("s",), iter([pdf]), FakeState())
     assert out["total_increase"].iloc[0] == 3.0  # skew ignored
-    pdf_ok = pdf.assign(created_ms=[WSTART + 100, WSTART + 100])
+    pdf_ok = pdf.assign(created_ms=[WSTART + 50, WSTART + 50])
     (out2,) = fold(("s",), iter([pdf_ok]), FakeState())
     assert out2["total_increase"].iloc[0] == 8.0  # valid CT counts
+    # equality IS skew: Prometheus rejects ct >= t as out-of-order CT
+    pdf_eq = pdf.assign(created_ms=[WSTART + 100, WSTART + 100])
+    (out3,) = fold(("s",), iter([pdf_eq]), FakeState())
+    assert out3["total_increase"].iloc[0] == 3.0
 
 
 def _nhcb_df(spark, rows):

@@ -1459,7 +1459,7 @@ def test_streaming_ct_increase_matches_batch_across_restart(spark, tmp_path):
 
     # run 1: three series — born-in-window, born-before, unknown CT
     rows1 = [
-        (1, payload("c", 0, [(5.0, T0), (8.0, T0 + 60000)], T0)),
+        (1, payload("c", 0, [(5.0, T0), (8.0, T0 + 60000)], T0 - 1000)),
         (2, payload("c", 1, [(5.0, T0), (8.0, T0 + 60000)], T0 - 30000)),
         (3, payload("c", 2, [(5.0, T0), (8.0, T0 + 60000)], None)),
     ]
@@ -1475,7 +1475,7 @@ def test_streaming_ct_increase_matches_batch_across_restart(spark, tmp_path):
     # must fold onto checkpointed state (first-sample CT rule must NOT
     # re-fire for a series the checkpoint already knows)
     rows2 = [
-        (4, payload("c", 0, [(2.0, T0 + 120000)], T0)),       # reset to 2
+        (4, payload("c", 0, [(2.0, T0 + 120000)], T0 - 1000)),  # reset to 2
         (5, payload("c", 1, [(11.0, T0 + 120000)], T0 - 30000)),
         (6, payload("c", 2, [(9.0, T0 + 120000)], None)),
     ]
