@@ -632,14 +632,18 @@ def native_hist_rate(hist: DataFrame) -> DataFrame:
     per-second bucket rates, dashboards).
 
     Output mirrors the increase shape with ``zero_rate`` (double) and
-    ``pos_rates`` (array<double>) replacing the integer counts, plus
-    the carried schema/offset/reset/dt columns. A zero-length window
+    ``pos_rates`` (array<double>) replacing the integer counts — plus
+    ``neg_rates`` when the input carries a negative side (r10: the
+    increase now align-diffs ``neg_offset``/``neg_counts`` instead of
+    silently dropping them, and rate inherits that) — plus the carried
+    schema/offset/reset/dt columns. A zero-length window
     (dt_seconds == 0 — both endpoints at one timestamp) yields NULL
     rates, Prometheus's undefined-rate convention. Pure Column over
     the one hash agg increase already performs — no extra shuffle."""
     from prom_etl_db_spark.operators.promql import native_hist_increase
 
     inc = native_hist_increase(hist)
+    has_neg = "neg_counts" in inc.columns
     dt = F.col("dt_seconds").cast("double")
     safe = F.when(dt > 0, dt)
     return inc.select(
@@ -651,6 +655,13 @@ def native_hist_rate(hist: DataFrame) -> DataFrame:
             F.col("pos_counts"),
             lambda c: c.cast("double") / safe,
         ).alias("pos_rates"),
+        *([
+            F.col("neg_offset"),
+            F.transform(
+                F.col("neg_counts"),
+                lambda c: c.cast("double") / safe,
+            ).alias("neg_rates"),
+        ] if has_neg else []),
         (F.col("zero_count").cast("double") / safe).alias("zero_rate"),
         "dt_seconds",
         *(["custom_values"] if "custom_values" in inc.columns else []),

@@ -474,14 +474,23 @@ def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex((F.col("event_id") * F.lit(2654435761))
                       % F.lit(4294967296))),
         32, "0")
+    # r10 ADVICE fix: a bare double→string cast renders >=1e7 in
+    # scientific notation (2.500175E7), so at larger fixtures the text
+    # leg's rendered value diverges from the three wire legs and the
+    # n_sources=4 / zero-spread gate breaks. Fixed-decimal formatting
+    # on BOTH the sample and exemplar values keeps the text leg
+    # byte-stable at any fixture scale (the fixture's values are exact
+    # quarter steps, so 4 decimals lose nothing).
     om_lines = ev.select(
         F.concat(
             F.col("event_type"),
             F.lit('{user="'), F.col("user_id").cast("string"),
             F.lit('"} '),
-            F.col("user_id").cast("double").cast("string"),
+            F.format_string("%.4f", F.col("user_id").cast("double")),
             F.lit(' # {trace_id="'), hex_trace, F.lit('"} '),
-            (F.col("user_id").cast("double") * 0.25 + 1.0).cast("string"),
+            F.format_string(
+                "%.4f",
+                F.col("user_id").cast("double") * 0.25 + 1.0),
         ).alias("value"),
     )
     om_side = parse_exposition_exemplars(om_lines).select(

@@ -282,9 +282,54 @@ DELTA_HIST_STATE_SCHEMA = StructType(
         StructField("cum_count", LongType(), True),
         StructField("cum_sum", DoubleType(), True),
         StructField("sum_poisoned", BooleanType(), True),
-        StructField("last_ts", LongType(), True),
+        StructField("recent_ts", ArrayType(LongType()), True),
     ]
 )
+
+# Newest folded timestamps retained per series for cross-batch
+# duplicate detection — bounds the checkpointed state (the alternative,
+# every folded timestamp forever, grows without bound on a stream).
+_DUP_HORIZON = 128
+
+
+class _TsDupGuard:
+    """Cross-batch duplicate-delivery detector for the DELTA folds
+    (r10 ADVICE fix): the r9 guard compared an arrival only against the
+    NEWEST checkpointed timestamp, so a redelivered duplicate of any
+    OLDER already-folded point was indistinguishable from a legal late
+    arrival and silently double-added into cumulative state. This
+    guard checkpoints the newest ``_DUP_HORIZON`` folded timestamps per
+    series (sorted array in state): a duplicate of ANY retained
+    timestamp refuses exactly, and an arrival BELOW the retained
+    horizon refuses loudly too — once the set is full, a point older
+    than its minimum cannot be distinguished from a redelivered
+    duplicate, and silently folding it would reintroduce the hazard.
+    Legal late arrivals WITHIN the horizon still fold (bucket addition
+    is order-independent), matching the batch twin's blanket
+    duplicate-timestamp refusal up to the horizon."""
+
+    def __init__(self, retained, series: str, op: str):
+        self._set = {int(t) for t in retained} if retained is not None \
+            else set()
+        self._floor = (
+            min(self._set) if len(self._set) >= _DUP_HORIZON else None)
+        self._series, self._op = series, op
+
+    def admit(self, ts_i: int) -> None:
+        if ts_i in self._set:
+            raise ValueError(
+                f"{self._op}: duplicate timestamp within one DELTA "
+                f"series ({self._series}) — double delivery?")
+        if self._floor is not None and ts_i < self._floor:
+            raise ValueError(
+                f"{self._op}: arrival below the duplicate-detection "
+                f"horizon (newest {_DUP_HORIZON} folded timestamps) for "
+                f"series ({self._series}) — cannot distinguish a late "
+                "arrival from a redelivered duplicate this old")
+        self._set.add(ts_i)
+
+    def snapshot(self) -> list[int]:
+        return sorted(self._set)[-_DUP_HORIZON:]
 
 DELTA_HIST_OUTPUT_SCHEMA = StructType(
     [
@@ -312,10 +357,11 @@ def _fold_delta_hist(
     guard). A NULL sum poisons cum_sum permanently — the batch rule."""
     (series,) = key
     if state.exists:
-        bk, cum, cnt, sm, poisoned, last_ts = state.get
+        bk, cum, cnt, sm, poisoned, recent = state.get
         cum = list(cum) if cum is not None else None
     else:
-        bk, cum, cnt, sm, poisoned, last_ts = None, None, 0, 0.0, False, None
+        bk, cum, cnt, sm, poisoned, recent = None, None, 0, 0.0, False, None
+    guard = _TsDupGuard(recent, series, "stream_otlp_delta_hist")
     out_ts, out_b, out_c, out_s = [], [], [], []
     chunks = [
         pdf[["timestamp_ms", "bucket_counts", "bounds_key", "count", "sum"]]
@@ -323,26 +369,15 @@ def _fold_delta_hist(
     ]
     if chunks:
         allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
-        prev_batch_ts = None
         for ts, buckets, bkey, c, s in zip(
             allr["timestamp_ms"], allr["bucket_counts"], allr["bounds_key"],
             allr["count"], allr["sum"],
         ):
             ts_i = int(ts)
-            # duplicate-delivery guard (r9 review fix — the batch twin
-            # refuses duplicate delta timestamps; the stream detects
-            # them within a batch via sorted adjacency and across
-            # batches against the checkpointed newest timestamp.
-            # Older-but-distinct late arrivals stay legal: addition is
-            # order-independent)
-            if ts_i == prev_batch_ts or (
-                    last_ts is not None and ts_i == last_ts):
-                raise ValueError(
-                    "stream_otlp_delta_hist: duplicate timestamp within "
-                    f"one DELTA series ({series}) — double delivery?")
-            prev_batch_ts = ts_i
-            if last_ts is None or ts_i > last_ts:
-                last_ts = ts_i
+            # duplicate-delivery guard (r10 ADVICE fix: bounded
+            # retained-set check — see _TsDupGuard; subsumes the r9
+            # within-batch adjacency and newest-timestamp checks)
+            guard.admit(ts_i)
             buckets = [int(b) for b in buckets]
             if bk is None:
                 bk = bkey
@@ -367,7 +402,7 @@ def _fold_delta_hist(
             out_b.append(list(cum))
             out_c.append(cnt)
             out_s.append(None if poisoned else sm)
-    state.update((bk, cum, cnt, sm, bool(poisoned), last_ts))
+    state.update((bk, cum, cnt, sm, bool(poisoned), guard.snapshot()))
     yield pd.DataFrame(
         {
             "series": [series] * len(out_ts),
@@ -439,7 +474,7 @@ DELTA_EXP_STATE_SCHEMA = StructType(
         StructField("cum_count", LongType(), True),
         StructField("cum_sum", DoubleType(), True),
         StructField("sum_poisoned", BooleanType(), True),
-        StructField("last_ts", LongType(), True),
+        StructField("recent_ts", ArrayType(LongType()), True),
     ]
 )
 
@@ -472,7 +507,7 @@ def _fold_delta_exp_hist(
     a stream: the stream IS the linear pass."""
     (series,) = key
     if state.exists:
-        sc, po, pc, no, nc, z, cnt, sm, poisoned, last_ts = state.get
+        sc, po, pc, no, nc, z, cnt, sm, poisoned, recent = state.get
         pc = list(pc) if pc is not None else []
         nc = list(nc) if nc is not None else []
     else:
@@ -480,25 +515,18 @@ def _fold_delta_exp_hist(
         po = no = 0
         pc, nc = [], []
         z, cnt, sm, poisoned = 0, 0, 0.0, False
-        last_ts = None
+        recent = None
+    guard = _TsDupGuard(recent, series, "stream_otlp_delta_exp")
     cols = ["timestamp_ms", "scale", "pos_offset", "pos_counts",
             "neg_offset", "neg_counts", "zero_count", "count", "sum"]
     out: dict[str, list] = {c: [] for c in DELTA_EXP_OUTPUT_SCHEMA.names}
     chunks = [pdf[cols] for pdf in pdfs]
     if chunks:
         allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
-        prev_batch_ts = None
         for row in allr.itertuples(index=False):
             ts_i = int(row.timestamp_ms)
-            # duplicate-delivery guard (see _fold_delta_hist)
-            if ts_i == prev_batch_ts or (
-                    last_ts is not None and ts_i == last_ts):
-                raise ValueError(
-                    "stream_otlp_delta_exp: duplicate timestamp within "
-                    f"one DELTA series ({series}) — double delivery?")
-            prev_batch_ts = ts_i
-            if last_ts is None or ts_i > last_ts:
-                last_ts = ts_i
+            # duplicate-delivery guard (see _TsDupGuard)
+            guard.admit(ts_i)
             r_sc = int(row.scale)
             r_po, r_pc = int(row.pos_offset), [int(x) for x in row.pos_counts]
             r_no, r_nc = int(row.neg_offset), [int(x) for x in row.neg_counts]
@@ -530,7 +558,8 @@ def _fold_delta_exp_hist(
             out["zero_count"].append(z)
             out["cum_count"].append(cnt)
             out["cum_sum"].append(None if poisoned else sm)
-    state.update((sc, po, pc, no, nc, z, cnt, sm, bool(poisoned), last_ts))
+    state.update(
+        (sc, po, pc, no, nc, z, cnt, sm, bool(poisoned), guard.snapshot()))
     yield pd.DataFrame(out)
 
 

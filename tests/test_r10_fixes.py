@@ -1,0 +1,115 @@
+"""Round-10 regression tests: the ADVICE fixes.
+
+1. ``_TsDupGuard`` — cross-batch duplicate-delta detection upgraded
+   from newest-timestamp-only to a bounded retained set + below-horizon
+   refusal (r9 ADVICE: a redelivered duplicate of any OLDER
+   already-folded point silently double-added into cumulative state).
+2. negative-bucket support in ``native_hist_increase``/``rate``
+   (driven via the Spark session — see test_r10_neg_increase.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _hist_pdf(ts_list):
+    return pd.DataFrame({
+        "timestamp_ms": ts_list,
+        "bucket_counts": [[1, 2] for _ in ts_list],
+        "bounds_key": ["0.5,2.0" for _ in ts_list],
+        "count": [3 for _ in ts_list],
+        "sum": [6.0 for _ in ts_list],
+    })
+
+
+def test_dup_guard_catches_older_duplicate_across_batches():
+    """The r9 guard compared only the NEWEST checkpointed timestamp;
+    a redelivered duplicate of an older folded point double-added.
+    Now any retained timestamp refuses."""
+    from prom_etl_db_spark.streaming.stateful import _fold_delta_hist
+
+    state = _FakeState()
+    (out1,) = _fold_delta_hist(
+        ("s",), iter([_hist_pdf([100, 200, 300])]), state)
+    assert list(out1["cum_count"]) == [3, 6, 9]
+    # batch 2 redelivers ts=100 — older than the newest (300)
+    with pytest.raises(ValueError, match="duplicate timestamp"):
+        list(_fold_delta_hist(("s",), iter([_hist_pdf([100])]), state))
+
+
+def test_dup_guard_still_folds_distinct_late_arrival():
+    """A legal DISTINCT late arrival (older than the newest but not a
+    duplicate) must still fold — addition is order-independent."""
+    from prom_etl_db_spark.streaming.stateful import _fold_delta_hist
+
+    state = _FakeState()
+    list(_fold_delta_hist(("s",), iter([_hist_pdf([100, 300])]), state))
+    (out,) = _fold_delta_hist(("s",), iter([_hist_pdf([200])]), state)
+    assert list(out["cum_count"]) == [9]
+    # and the retained set now holds all three
+    assert sorted(state.get[5]) == [100, 200, 300]
+
+
+def test_dup_guard_refuses_below_full_horizon():
+    """Once the retained set is full, an arrival OLDER than its minimum
+    is indistinguishable from a redelivered duplicate — refuse loudly
+    instead of silently folding (the honest bound on the fix)."""
+    from prom_etl_db_spark.streaming.stateful import (
+        _DUP_HORIZON,
+        _fold_delta_hist,
+    )
+
+    state = _FakeState()
+    ts = [1000 + 10 * i for i in range(_DUP_HORIZON)]
+    list(_fold_delta_hist(("s",), iter([_hist_pdf(ts)]), state))
+    assert len(state.get[5]) == _DUP_HORIZON
+    with pytest.raises(ValueError, match="below the duplicate-detection"):
+        list(_fold_delta_hist(("s",), iter([_hist_pdf([500])]), state))
+    # within the horizon (distinct, newer than the floor) still folds
+    (out,) = _fold_delta_hist(("s",), iter([_hist_pdf([1005])]), state)
+    assert len(out) == 1
+    # the retained set stays bounded after trimming
+    assert len(state.get[5]) == _DUP_HORIZON
+
+
+def test_dup_guard_exp_fold_same_contract():
+    """The exponential-histogram fold shares the guard."""
+    from prom_etl_db_spark.streaming.stateful import _fold_delta_exp_hist
+
+    def pdf(ts_list):
+        return pd.DataFrame({
+            "timestamp_ms": ts_list,
+            "scale": [2 for _ in ts_list],
+            "pos_offset": [0 for _ in ts_list],
+            "pos_counts": [[1, 1] for _ in ts_list],
+            "neg_offset": [0 for _ in ts_list],
+            "neg_counts": [[] for _ in ts_list],
+            "zero_count": [0 for _ in ts_list],
+            "count": [2 for _ in ts_list],
+            "sum": [4.0 for _ in ts_list],
+        })
+
+    state = _FakeState()
+    list(_fold_delta_exp_hist(("s",), iter([pdf([100, 300])]), state))
+    with pytest.raises(ValueError, match="duplicate timestamp"):
+        list(_fold_delta_exp_hist(("s",), iter([pdf([100])]), state))
+    (out,) = _fold_delta_exp_hist(("s",), iter([pdf([200])]), state)
+    assert list(out["cum_count"]) == [6]

@@ -1,0 +1,144 @@
+"""Round-10: negative-bucket support in ``native_hist_increase`` /
+``native_hist_rate`` (the r9 verdict's weak finding — the endpoint
+snapshot was positive-side-only, silently dropping the negative mass
+the wire decoders emit and missing resets visible only there)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+
+def _nh_df(spark, rows, with_neg=True):
+    schema = (
+        "labels map<string,string>, ts timestamp, schema int, "
+        "zero_count long, pos_offset int, pos_counts array<long>"
+    )
+    if with_neg:
+        schema += ", neg_offset int, neg_counts array<long>"
+    return spark.createDataFrame(rows, schema)
+
+
+T0 = datetime(2024, 1, 29, 0, 0)
+T1 = datetime(2024, 1, 29, 0, 5)
+
+
+def test_neg_increase_aligned_diff(spark):
+    """Growth on both sides: the increase is the aligned diff on BOTH
+    sides, including a neg offset shift (absent buckets count 0)."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=1,
+            pos_offset=0, pos_counts=[2, 3],
+            neg_offset=1, neg_counts=[4, 5]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=2,
+            pos_offset=0, pos_counts=[3, 5],
+            neg_offset=0, neg_counts=[7, 6, 8]),  # grew a lower bucket
+    ]
+    (r,) = native_hist_increase(_nh_df(spark, rows)).collect()
+    assert r["reset"] is False
+    assert r["zero_count"] == 1
+    assert list(r["pos_counts"]) == [1, 2] and r["pos_offset"] == 0
+    # neg aligned on [0, 3): b=[7,6,8] at 0, a=[4,5] at 1 → [7,2,3]
+    assert r["neg_offset"] == 0
+    assert list(r["neg_counts"]) == [7, 2, 3]
+
+
+def test_neg_only_reset_detected(spark):
+    """A drop visible ONLY in the negative buckets (pos grows, zero
+    holds) is a counter reset: increase = the LAST sample verbatim on
+    both sides. Pre-r10 this went undetected."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=1,
+            pos_offset=0, pos_counts=[2, 3],
+            neg_offset=0, neg_counts=[4, 5]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=1,
+            pos_offset=0, pos_counts=[3, 4],     # grows
+            neg_offset=0, neg_counts=[1, 1]),    # drops → reset
+    ]
+    (r,) = native_hist_increase(_nh_df(spark, rows)).collect()
+    assert r["reset"] is True
+    assert list(r["pos_counts"]) == [3, 4]
+    assert list(r["neg_counts"]) == [1, 1]
+    assert r["zero_count"] == 1
+
+
+def test_neg_increase_downscales_with_schema_change(spark):
+    """A mid-series schema change downscales BOTH sides to the coarser
+    schema before subtracting (fine bucket i folds into ⌈i/2^d⌉)."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        # schema 1 (fine): neg buckets at indices 1..2
+        Row(labels={"n": "s"}, ts=T0, schema=1, zero_count=0,
+            pos_offset=1, pos_counts=[2, 2],
+            neg_offset=1, neg_counts=[3, 3]),
+        # schema 0 (coarse): same absolute coverage, bigger counts
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=0,
+            pos_offset=1, pos_counts=[10],
+            neg_offset=1, neg_counts=[9]),
+    ]
+    (r,) = native_hist_increase(_nh_df(spark, rows)).collect()
+    assert r["schema"] == 0 and r["reset"] is False
+    # fine [2,2]@1 folds into coarse index 1 (⌈1/2⌉=⌈2/2⌉=1) → 4
+    assert r["pos_offset"] == 1 and list(r["pos_counts"]) == [6]
+    assert r["neg_offset"] == 1 and list(r["neg_counts"]) == [3]
+
+
+def test_neg_increase_null_neg_arrays_read_as_empty(spark):
+    """Rows decoded from sources without a negative side may carry
+    NULL neg arrays — they read as empty (count 0), not NULL-poison."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1],
+            neg_offset=None, neg_counts=None),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[2],
+            neg_offset=0, neg_counts=[5]),
+    ]
+    (r,) = native_hist_increase(_nh_df(spark, rows)).collect()
+    assert r["reset"] is False
+    assert list(r["neg_counts"]) == [5]
+
+
+def test_pos_only_input_schema_unchanged(spark):
+    """A frame WITHOUT neg columns keeps the r9 output schema exactly
+    (existing call sites select pos-only columns first)."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[2]),
+    ]
+    out = native_hist_increase(_nh_df(spark, rows, with_neg=False))
+    assert out.columns == [
+        "labels", "schema", "reset", "zero_count",
+        "pos_offset", "pos_counts", "dt_seconds",
+    ]
+
+
+def test_rate_carries_neg_rates(spark):
+    """native_hist_rate propagates the negative side as per-second
+    ``neg_rates`` when the input carries it."""
+    from prom_etl_db_spark.operators.native_hist import native_hist_rate
+
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[2],
+            neg_offset=0, neg_counts=[3]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[5],
+            neg_offset=0, neg_counts=[9]),
+    ]
+    (r,) = native_hist_rate(_nh_df(spark, rows)).collect()
+    assert r["pos_rates"][0] == pytest.approx(3 / 300)
+    assert r["neg_rates"][0] == pytest.approx(6 / 300)
