@@ -527,8 +527,11 @@ def native_hist_sum_by(
     ).otherwise(F.lit(0))
     target = F.min("schema").over(gw)
     d = (F.col("schema") - target).cast("int")
-    po2, pc2 = _nh_downscale(F.col("pos_offset"), F.col("pos_counts"), d)
-    no2, nc2 = _nh_downscale(F.col("neg_offset"), F.col("neg_counts"), d)
+    elem0 = nh.schema["pos_counts"].dataType.elementType.simpleString()
+    po2, pc2 = _nh_downscale(
+        F.col("pos_offset"), F.col("pos_counts"), d, elem=elem0)
+    no2, nc2 = _nh_downscale(
+        F.col("neg_offset"), F.col("neg_counts"), d, elem=elem0)
     base = (
         nh.withColumn("__ok", checked)
         .withColumn("__schema", target)
@@ -584,16 +587,24 @@ def native_hist_sum_by(
     out = scalars.join(pos, on=list(by), how="left").join(
         neg, on=list(by), how="left")
 
+    # counts keep the INPUT's element type: integer histograms (the
+    # scrape path) sum as longs, FLOAT histograms (the wire float
+    # flavor; rate()'s per-second output — r10 parser reachability)
+    # sum as doubles. The only type-pinned spots are the empty-array
+    # fallback and the absent-bucket zero, so both derive from the
+    # input schema instead of hard-coding bigint.
+    elem = nh.schema["pos_counts"].dataType.elementType.simpleString()
+
     def assemble(tag: str, fallback: int = 0):
         off = F.col(f"{tag}_off")
         counts = F.when(
-            off.isNull(), F.expr("CAST(array() AS array<bigint>)")
+            off.isNull(), F.expr(f"CAST(array() AS array<{elem}>)")
         ).otherwise(
             F.transform(
                 F.sequence(off, F.col(f"{tag}_hi")),
                 lambda i: F.coalesce(
                     F.element_at(F.col(f"{tag}_map"), i),
-                    F.lit(0).cast("bigint"),
+                    F.lit(0).cast(elem),
                 ),
             )
         )
@@ -663,6 +674,15 @@ def native_hist_rate(hist: DataFrame) -> DataFrame:
             ).alias("neg_rates"),
         ] if has_neg else []),
         (F.col("zero_count").cast("double") / safe).alias("zero_rate"),
+        # r10 (parser reachability): the scalar components' per-second
+        # rates ride along when the increase carried them
+        *([
+            (F.col("count").cast("double") / safe).alias("count_rate"),
+        ] if "count" in inc.columns else []),
+        *([
+            (F.col("sum") / safe).alias("sum_rate"),
+        ] if "sum" in inc.columns else []),
+        *(["zero_threshold"] if "zero_threshold" in inc.columns else []),
         "dt_seconds",
         *(["custom_values"] if "custom_values" in inc.columns else []),
     )

@@ -2839,14 +2839,20 @@ def time_component_columns(v_seconds: Column) -> dict[str, Column]:
     }
 
 
-def _nh_downscale(offset: Column, counts: Column, d: Column):
+def _nh_downscale(
+    offset: Column, counts: Column, d: Column, *, elem: str = "bigint"
+):
     """Downscale dense native-histogram buckets by ``d`` scale steps
     (Prometheus's merge before subtracting mismatched-schema samples):
     fine bucket index i folds into coarse index ⌈i / 2^d⌉ — fine bucket
     i covers (base^(i-1), base^i] and coarse j covers the union of fine
     (2^d·(j-1), 2^d·j]. Pure Column; O(n_fine · n_coarse) elementwise,
     bounded by the decoder's 4096-bucket guard. Returns (coarse_offset,
-    coarse_counts); d == 0 passes through."""
+    coarse_counts); d == 0 passes through. ``elem`` is the count
+    element type — "bigint" for integer histograms, "double" for the
+    FLOAT flavor (rate()'s per-second output, the wire float flavor) —
+    r10: the fold's zero value must match or the aggregate fails to
+    resolve."""
     # F.shiftleft needs a literal shift; 2^d is exact in double for the
     # schema range (d <= 12)
     m = F.pow(F.lit(2.0), d.cast("double")).cast("bigint")
@@ -2859,16 +2865,17 @@ def _nh_downscale(offset: Column, counts: Column, d: Column):
     n = F.size(counts)
     j_lo = ceil_div(offset.cast("bigint"))
     j_hi = ceil_div((offset + n - F.lit(1)).cast("bigint"))
+    zero = F.lit(0).cast(elem)
     coarse = F.transform(
         F.sequence(j_lo, j_hi),
         lambda j: F.aggregate(
             F.sequence(F.lit(0), n - F.lit(1)),
-            F.lit(0).cast("bigint"),
+            zero,
             lambda acc, k: acc
             + F.when(
                 ceil_div((offset + k).cast("bigint")) == j,
-                F.coalesce(F.try_element_at(counts, k + F.lit(1)), F.lit(0)),
-            ).otherwise(F.lit(0)),
+                F.coalesce(F.try_element_at(counts, k + F.lit(1)), zero),
+            ).otherwise(zero),
         ),
     )
     out_off = F.when(n > 0, j_lo).otherwise(offset)
@@ -2934,10 +2941,23 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     has_cv = "custom_values" in hist.columns
     has_neg = (
         "neg_offset" in hist.columns and "neg_counts" in hist.columns)
+    # r10 (parser reachability): the scalar histogram components ride
+    # along when the frame carries them — count/sum difference with the
+    # same reset rule (Prometheus's DetectReset also fires on a count
+    # or sum decrease), zero_threshold carried from the LATER endpoint
+    # verbatim (a mid-series threshold change is a scrape-config event;
+    # the increase keeps the newer configuration)
+    has_cnt = "count" in hist.columns
+    has_sum = "sum" in hist.columns
+    has_zt = "zero_threshold" in hist.columns
     keyed = _ensure_series(hist)
     snap_cols = ["ts", "schema", "zero_count", "pos_offset", "pos_counts"]
     if has_neg:
         snap_cols += ["neg_offset", "neg_counts"]
+    for c, flag in (("count", has_cnt), ("sum", has_sum),
+                    ("zero_threshold", has_zt)):
+        if flag:
+            snap_cols.append(c)
     if has_cv:
         snap_cols.append("custom_values")
     snap = F.struct(*snap_cols)
@@ -3023,6 +3043,11 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     reset = F.exists(F.col("__diff"), lambda d: d < 0) | (
         b["zero_count"] < a["zero_count"]
     )
+    if has_cnt:
+        reset = reset | (b["count"] < a["count"])
+    if has_sum:
+        # NULL-safe: an unknown sum can't signal a reset
+        reset = reset | F.coalesce(b["sum"] < a["sum"], F.lit(False))
     neg_out: list[Column] = []
     if has_neg:
         n_lo = F.least(F.col("__ano"), F.col("__bno"))
@@ -3061,6 +3086,15 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
         F.when(reset, F.col("__bc")).otherwise(F.col("__diff"))
         .alias("pos_counts"),
         *neg_out,
+        *([
+            F.when(reset, b["count"]).otherwise(b["count"] - a["count"])
+            .alias("count"),
+        ] if has_cnt else []),
+        *([
+            F.when(reset, b["sum"]).otherwise(b["sum"] - a["sum"])
+            .alias("sum"),
+        ] if has_sum else []),
+        *([b["zero_threshold"].alias("zero_threshold")] if has_zt else []),
         (F.unix_timestamp(b["ts"]) - F.unix_timestamp(a["ts"]))
         .cast("long")
         .alias("dt_seconds"),

@@ -495,6 +495,17 @@ class EvalContext:
     # / over-time windows) are half-open [lo, hi) to match _frame's
     # convention everywhere else — those paths set this False.
     frame_right_closed: bool = True
+    # r10: NATIVE-HISTOGRAM reachability from query strings (the
+    # reference's whole interface is query strings stored in config —
+    # /root/reference/scripts/migrate.sql:105, internal/config/
+    # database_config.go:11-91). ``native_hists`` is the wire decoders'
+    # dense frame (metric_name, labels, ts timestamp, schema,
+    # zero_threshold, zero_count, count, sum, pos_offset, pos_counts,
+    # neg_offset, neg_counts); ``native_metrics`` names the metrics
+    # that live there — selectors for those names route to the
+    # native-histogram combinators instead of the scalar sample store.
+    native_hists: "DataFrame | None" = None
+    native_metrics: frozenset = frozenset()
 
 
 def _dur(text: str) -> timedelta:
@@ -763,6 +774,163 @@ class ScalarStream:
         self.df = df
 
 
+class HistVector:
+    """An INSTANT NATIVE-HISTOGRAM vector riding the evaluator (r10):
+    one decoded histogram per row, shaped like the wire decoders'
+    dense frame keyed by a ``labels`` map — (labels, schema,
+    zero_threshold, zero_count, count, sum, pos_offset, pos_counts,
+    neg_offset, neg_counts). Produced by a selector over a native
+    metric (latest-per-series), by ``rate()``/``increase()`` over a
+    native range selector, and by ``sum by`` / ``avg by`` merges;
+    consumed by ``histogram_quantile`` / ``histogram_fraction`` /
+    ``histogram_count`` / ``histogram_sum`` / ``histogram_avg``, which
+    collapse it back to a float vector. Everything else refuses loudly
+    — a histogram vector has no meaningful float value to leak."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+_NH_COLS = [
+    "labels", "schema", "zero_threshold", "zero_count", "count", "sum",
+    "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+]
+
+
+def _native_selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
+    """Matched native-histogram samples: matchers → offset shift →
+    fold metric_name into the labels map (series identity downstream
+    is the labels map alone, the `_selector_stream` convention)."""
+    if ctx.native_hists is None:
+        raise PromQLError(
+            f"selector {sel.name!r} names a native-histogram metric but "
+            "no native_hists frame was provided")
+    df = _apply_matchers(ctx.native_hists, sel)
+    if sel.offset:
+        df = df.withColumn(
+            "ts",
+            F.col("ts") + F.expr(
+                f"INTERVAL {_interval_str(sel.offset, allow_negative=True)}"
+            ),
+        )
+    df = df.withColumn(
+        "labels",
+        F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, _: k != "__name__"),
+            F.create_map(
+                F.lit("__name__"),
+                F.coalesce(F.col("metric_name"), F.lit("")),
+            ),
+        ),
+    )
+    return df.select("ts", *_NH_COLS)
+
+
+def _native_instant_vector(ctx: EvalContext, sel: Selector) -> HistVector:
+    """Instant selector over a native metric: the LATEST sample per
+    series within the staleness window — `promql.instant_selector`'s
+    rule lifted to whole histograms. One window per series, no
+    collect."""
+    from pyspark.sql.window import Window
+
+    at = _at_of(ctx, sel)
+    # ctx.staleness is a SPARK interval string ("5 minutes"), not a
+    # PromQL duration — subtract it SQL-side like instant_selector does
+    lo = F.lit(at) - F.expr(f"INTERVAL {ctx.staleness}")
+    df = _native_selector_stream(ctx, sel).where(
+        (F.col("ts") > lo) & (F.col("ts") <= F.lit(at)))
+    keyed = promql._ensure_series(df)
+    w = Window.partitionBy("__series").orderBy(F.desc("ts"))
+    latest = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return HistVector(latest.select(*_NH_COLS))
+
+
+def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
+    """``rate()`` / ``increase()`` over a native range selector —
+    lowers onto the gated combinators (`promql.native_hist_increase`,
+    `native_hist.native_hist_rate`); the other range functions have no
+    histogram meaning and refuse."""
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    if fn not in ("rate", "increase"):
+        raise PromQLError(
+            f"{fn} is not defined over native-histogram series")
+    lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
+    raw = _native_selector_stream(
+        ctx, Selector(sel.name, sel.matchers, offset=sel.offset)
+    ).where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    if fn == "increase":
+        inc = promql.native_hist_increase(raw)
+        out = inc.select(
+            "labels", "schema", "zero_threshold", "zero_count",
+            "count", "sum",
+            "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+        )
+        return HistVector(out)
+    rates = NH.native_hist_rate(raw)
+    # rename the per-second shape back onto the dense-frame contract so
+    # sum by / quantile compose without knowing they hold a FLOAT
+    # histogram (count arrays are doubles — native_hist_sum_by merges
+    # them type-generically)
+    out = rates.select(
+        "labels", "schema", "zero_threshold",
+        F.col("zero_rate").alias("zero_count"),
+        F.col("count_rate").alias("count"),
+        F.col("sum_rate").alias("sum"),
+        "pos_offset",
+        F.col("pos_rates").alias("pos_counts"),
+        "neg_offset",
+        F.col("neg_rates").alias("neg_counts"),
+    )
+    return HistVector(out)
+
+
+def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
+    """``sum by`` / ``avg by`` over a histogram vector → the r9
+    group-keyed merge combinators. ``without`` needs the full label-key
+    universe (varies per series) — refuse loudly rather than guess."""
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    if node.op not in ("sum", "avg"):
+        raise PromQLError(
+            f"{node.op} is not defined over native-histogram vectors "
+            "(sum/avg merge histograms; others have no histogram rule)")
+    if node.without is not None:
+        raise PromQLError(
+            "without(...) over native-histogram vectors is unsupported — "
+            "use by(...)")
+    by = tuple(node.by or ())
+    df = vec.df
+    for k in by:
+        df = df.withColumn(k, F.coalesce(F.col("labels")[k], F.lit("")))
+    if not by:
+        # sum(h): one global group — constant key, dropped after
+        df = df.withColumn("__all", F.lit(1))
+    keys = by if by else ("__all",)
+    merge = (NH.native_hist_sum_by if node.op == "sum"
+             else NH.native_hist_avg_by)
+    merged = merge(df.select(*keys, *[c for c in _NH_COLS
+                                      if c != "labels"]), tuple(keys))
+    labels = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in by]),
+            F.array(*[F.col(k).cast("string") for k in by]),
+        )
+        if by
+        else F.expr("CAST(map() AS map<string,string>)")
+    )
+    return HistVector(merged.select(
+        labels.alias("labels"), "schema", "zero_threshold", "zero_count",
+        "count", "sum", "pos_offset", "pos_counts",
+        "neg_offset", "neg_counts",
+    ))
+
+
 def _cmp_col(op: str, lhs: Column, rhs: Column) -> Column:
     """IEEE-754 comparison semantics (PromQL/Go): any NaN operand makes
     the comparison false — except ``!=``, which is true. Spark's SQL
@@ -867,6 +1035,13 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
         return node.value
 
     if isinstance(node, Selector):
+        if node.name is not None and node.name in ctx.native_metrics:
+            if node.range_ is not None:
+                raise PromQLError(
+                    f"range selector {node.name}[{node.range_}] needs a "
+                    "range function"
+                )
+            return _native_instant_vector(ctx, node)
         if node.range_ is not None:
             raise PromQLError(
                 f"range selector {node.name}[{node.range_}] needs a range function"
@@ -888,6 +1063,11 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
     if isinstance(node, BinOp):
         lhs = evaluate(ctx, node.lhs)
         rhs = evaluate(ctx, node.rhs)
+        if isinstance(lhs, HistVector) or isinstance(rhs, HistVector):
+            raise PromQLError(
+                f"binary {node.op} over native-histogram vectors is "
+                "unsupported — collapse with histogram_quantile/"
+                "histogram_fraction/histogram_count/histogram_sum first")
         if node.op in _SET_OPS:
             # must precede the scalar branches: `m and 2` is a type error,
             # not scalar arithmetic (and so is `m or scalar(v)`)
@@ -958,7 +1138,24 @@ def _vec_arg(ctx: EvalContext, node: "Node | str", fn: str) -> DataFrame:
     if isinstance(node, str):
         raise PromQLError(f"{fn} needs a vector argument, got a string")
     v = evaluate(ctx, node)
+    if isinstance(v, HistVector):
+        raise PromQLError(
+            f"{fn} is not defined over native-histogram vectors")
     if not isinstance(v, DataFrame):
+        raise PromQLError(f"{fn} needs a vector argument, got a scalar")
+    return v
+
+
+def _vec_or_hist_arg(
+    ctx: EvalContext, node: "Node | str", fn: str
+) -> "DataFrame | HistVector":
+    """Like ``_vec_arg`` but a native-histogram vector is also legal —
+    for the functions with both a classic (le-bucket float vector) and
+    a native form."""
+    if isinstance(node, str):
+        raise PromQLError(f"{fn} needs a vector argument, got a string")
+    v = evaluate(ctx, node)
+    if not isinstance(v, (DataFrame, HistVector)):
         raise PromQLError(f"{fn} needs a vector argument, got a scalar")
     return v
 
@@ -987,6 +1184,8 @@ def _eval_agg(ctx: EvalContext, node: Agg) -> DataFrame:
         return promql.count_values(vec, str(node.param))
 
     vec = evaluate(ctx, node.expr)
+    if isinstance(vec, HistVector):
+        return _native_agg(ctx, node, vec)
     if not isinstance(vec, DataFrame):
         raise PromQLError(f"{node.op} needs a vector argument")
     aggs = {
@@ -1011,6 +1210,9 @@ def _eval_agg(ctx: EvalContext, node: Agg) -> DataFrame:
 _ARITY = {
     "histogram_quantile": (2, 2),
     "histogram_fraction": (3, 3),
+    "histogram_count": (1, 1),
+    "histogram_sum": (1, 1),
+    "histogram_avg": (1, 1),
     "label_replace": (5, 5),
     "label_join": (3, None),  # sep + dst + vector; src labels may be empty
     "clamp": (3, 3),
@@ -1073,6 +1275,16 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
 
     if fn in _RANGE_FNS:
         sel = node.args[0]
+        if (
+            isinstance(sel, Selector)
+            and sel.name is not None
+            and sel.name in ctx.native_metrics
+        ):
+            if sel.range_ is None or sel.step:
+                raise PromQLError(
+                    f"{fn} over native-histogram metric {sel.name!r} "
+                    "needs a plain range selector like h[5m]")
+            return _native_range_fn(ctx, fn, sel)
         if (isinstance(sel, Selector) and sel.range_ is not None and sel.step) or (
             isinstance(sel, Call) and sel.fn == "__subquery__"
         ):
@@ -1131,15 +1343,40 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         return promql.predict_linear(stream, horizon, frame_start=lo, frame_end=hi)
 
     if fn == "histogram_quantile":
-        vec = _vec_arg(ctx, node.args[1], fn)
-        return promql.histogram_quantile(vec, _const(ctx, node.args[0]))
+        v = _vec_or_hist_arg(ctx, node.args[1], fn)
+        if isinstance(v, HistVector):
+            from prom_etl_db_spark.operators import native_hist as NH
+
+            out = NH.native_hist_quantile(v.df, _const(ctx, node.args[0]))
+            return out.select(
+                "labels", F.col("quantile_value").alias("value"))
+        return promql.histogram_quantile(v, _const(ctx, node.args[0]))
     if fn == "histogram_fraction":
         if len(node.args) != 3:
             raise PromQLError("histogram_fraction(lo, hi, vector)")
-        vec = _vec_arg(ctx, node.args[2], fn)
+        v = _vec_or_hist_arg(ctx, node.args[2], fn)
+        if isinstance(v, HistVector):
+            from prom_etl_db_spark.operators import native_hist as NH
+
+            out = NH.native_hist_fraction(
+                v.df, _const(ctx, node.args[0]), _const(ctx, node.args[1]))
+            return out.select(
+                "labels", F.col("fraction_value").alias("value"))
         return promql.histogram_fraction(
-            vec, _const(ctx, node.args[0]), _const(ctx, node.args[1])
+            v, _const(ctx, node.args[0]), _const(ctx, node.args[1])
         )
+    if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+        v = _vec_or_hist_arg(ctx, node.args[0], fn)
+        if not isinstance(v, HistVector):
+            raise PromQLError(
+                f"{fn} needs a native-histogram vector argument")
+        col = {
+            "histogram_count": F.col("count").cast("double"),
+            "histogram_sum": F.col("sum"),
+            "histogram_avg": F.try_divide(
+                F.col("sum"), F.col("count").cast("double")),
+        }[fn]
+        return v.df.select("labels", col.alias("value"))
     if fn == "label_replace":
         vec = _vec_arg(ctx, node.args[0], fn)
         dst, repl, src, regex = (str(a) for a in node.args[1:5])
@@ -1291,14 +1528,49 @@ def eval_promql(
     at: datetime,
     *,
     staleness: str = "5 minutes",
+    native_hists: "DataFrame | None" = None,
+    native_metrics: "frozenset | None" = None,
 ) -> DataFrame | float:
     """Parse and evaluate ``query`` against a stored-samples DataFrame at
     the frozen instant ``at``. Returns (labels, value) — or a float for
     literal scalar expressions. A scalar expression that needs DATA (a
     top-level ``scalar()``) stays lazy and comes back as a 1-row
     ``(value)`` DataFrame instead: collapsing it to a Python float would
-    force a driver action inside what should be a pure plan builder."""
-    out = evaluate(EvalContext(samples, at, staleness), parse(query))
+    force a driver action inside what should be a pure plan builder.
+
+    ``native_hists`` (r10) makes NATIVE-HISTOGRAM series reachable from
+    query strings: the wire decoders' dense frame (metric_name, labels,
+    ts, schema, zero_threshold, zero_count, count, sum,
+    pos_offset/pos_counts, neg_offset/neg_counts). Selectors whose name
+    lives there route to the gated native combinators —
+    ``histogram_quantile(0.9, sum by (job) (rate(h[5m])))`` lowers onto
+    native_hist_increase → native_hist_rate → native_hist_sum_by →
+    native_hist_quantile. ``native_metrics`` (the routing set) defaults
+    to the frame's distinct metric names — ONE tiny driver collect,
+    broadcast-class (metric-name cardinality, not series); pass it
+    explicitly to keep plan building collect-free."""
+    nset = frozenset()
+    if native_hists is not None:
+        if native_metrics is not None:
+            nset = frozenset(native_metrics)
+        else:
+            nset = frozenset(
+                r[0] for r in
+                native_hists.select("metric_name").distinct().collect()
+                if r[0] is not None
+            )
+    out = evaluate(
+        EvalContext(
+            samples, at, staleness,
+            native_hists=native_hists, native_metrics=nset,
+        ),
+        parse(query),
+    )
+    if isinstance(out, HistVector):
+        raise PromQLError(
+            "query returns a native-histogram vector — collapse it with "
+            "histogram_quantile/histogram_fraction/histogram_count/"
+            "histogram_sum/histogram_avg")
     if isinstance(out, ScalarStream):
         return out.df.select(F.col("value").cast("double").alias("value"))
     if isinstance(out, DataFrame) and "__ts" in out.columns:

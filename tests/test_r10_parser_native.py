@@ -1,0 +1,141 @@
+"""Round-10: PromQL-string reachability for NATIVE histograms (the r9
+verdict's What's-missing #2) — `eval_promql(native_hists=...)` routes
+selectors over native metrics to the gated combinators:
+rate/increase → native_hist_increase/rate, sum by/avg by →
+native_hist_sum_by/avg_by, histogram_quantile/fraction/count/sum/avg
+collapse back to float vectors. Refusals are loud everywhere else."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+T0 = datetime(2024, 1, 29, 0, 0)
+T1 = datetime(2024, 1, 29, 0, 5)
+AT = datetime(2024, 1, 29, 0, 6)
+
+_SCHEMA = (
+    "metric_name string, labels map<string,string>, ts timestamp, "
+    "schema int, zero_threshold double, zero_count long, count long, "
+    "sum double, pos_offset int, pos_counts array<long>, "
+    "neg_offset int, neg_counts array<long>"
+)
+
+
+def _h(job, inst, ts, z, pos, neg):
+    return Row(metric_name="h", labels={"job": job, "inst": inst}, ts=ts,
+               schema=0, zero_threshold=0.001, zero_count=z,
+               count=z + sum(pos) + sum(neg), sum=float(sum(pos)) * 1.5,
+               pos_offset=0, pos_counts=pos, neg_offset=0, neg_counts=neg)
+
+
+@pytest.fixture(scope="module")
+def nh(spark):
+    rows = [
+        _h("a", "1", T0, 1, [2, 3], [1, 0]),
+        _h("a", "1", T1, 2, [4, 6], [2, 1]),
+        _h("a", "2", T0, 0, [1, 1], [0, 0]),
+        _h("a", "2", T1, 1, [3, 2], [0, 2]),
+        _h("b", "1", T0, 0, [5, 0], [0, 0]),
+        _h("b", "1", T1, 0, [9, 4], [0, 0]),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    return spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+
+
+def _eval(samples, nh, q):
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    return eval_promql(samples, q, AT, native_hists=nh,
+                       native_metrics=frozenset({"h"}))
+
+
+def test_flagship_idiom_quantile_over_sum_rate(spark, samples, nh):
+    """histogram_quantile(0.5, sum by (job) (rate(h[10m]))) — the full
+    lowering chain. Hand walk for job=a: increases merge to pos [4,4],
+    neg [1,3], zero 2, count 14; target 7 crosses pos bucket 0 at
+    frac 0.25 → 2^(-0.75)."""
+    out = _eval(samples, nh,
+                "histogram_quantile(0.5, sum by (job) (rate(h[10m])))")
+    got = {r["labels"]["job"]: r["value"] for r in out.collect()}
+    assert got["a"] == pytest.approx(2 ** -0.75)
+    assert got["b"] == pytest.approx(1.0)
+
+
+def test_rate_then_quantile_per_series(spark, samples, nh):
+    out = _eval(samples, nh, "histogram_quantile(0.9, rate(h[10m]))")
+    assert out.count() == 3  # one row per series, labels preserved
+    row = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+           for r in out.collect()}
+    # b/1 increase: pos [4,4], count 8 → target 7.2 crosses bucket
+    # k=1 at frac 0.8 → 2^((1-1+0.8)·2^0) = 2^0.8
+    assert row[("b", "1")] == pytest.approx(2 ** 0.8)
+
+
+def test_histogram_count_sum_avg(spark, samples, nh):
+    out = _eval(samples, nh,
+                "histogram_count(sum by (job) (increase(h[10m])))")
+    got = {r["labels"]["job"]: r["value"] for r in out.collect()}
+    assert got == {"a": 14.0, "b": 8.0}
+    out2 = _eval(samples, nh,
+                 "histogram_sum(avg by (job) (increase(h[10m])))")
+    got2 = {r["labels"]["job"]: r["value"] for r in out2.collect()}
+    assert got2["a"] == pytest.approx(6.0)   # (7.5 + 4.5) / 2
+    out3 = _eval(samples, nh,
+                 'histogram_avg(increase(h{job="a"}[10m]))')
+    got3 = {r["labels"]["inst"]: r["value"] for r in out3.collect()}
+    assert got3["1"] == pytest.approx(7.5 / 8)
+
+
+def test_instant_selector_latest_per_series(spark, samples, nh):
+    """histogram_quantile(0.5, h{job="b"}): the latest sample within
+    staleness — z 0, pos [9,4], count 13, target 6.5 → frac 6.5/9 in
+    bucket index 0."""
+    out = _eval(samples, nh, 'histogram_quantile(0.5, h{job="b"})')
+    (r,) = out.collect()
+    assert r["value"] == pytest.approx(2 ** (6.5 / 9 - 1))
+
+
+def test_sum_without_by_merges_all(spark, samples, nh):
+    out = _eval(samples, nh, "histogram_count(sum(increase(h[10m])))")
+    (r,) = out.collect()
+    assert dict(r["labels"]) == {} and r["value"] == 22.0
+
+
+def test_refusals_are_loud(spark, samples, nh):
+    from prom_etl_db_spark.operators.promql_parser import PromQLError
+
+    for q, msg in [
+        ("topk(1, h)", "not defined over native-histogram"),
+        ("rate(h[10m]) + 1", "binary"),
+        ("sum(h)", "returns a native-histogram vector"),
+        ("avg without (inst) (rate(h[10m]))", "without"),
+        ("deriv(h[10m])", "not defined over native-histogram"),
+        ("max by (job) (rate(h[10m]))", "max is not defined"),
+        ("h[10m]", "needs a range function"),
+    ]:
+        with pytest.raises(PromQLError, match=msg):
+            _eval(samples, nh, q)
+
+
+def test_scalar_metrics_unaffected(spark, nh):
+    """A scalar metric keeps the classic path even when native_hists
+    is present."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    samples = spark.createDataFrame(
+        [Row(metric_name="m", labels={"k": "v"}, value=3.0, timestamp=T1)],
+        "metric_name string, labels map<string,string>, value double, "
+        "timestamp timestamp")
+    out = eval_promql(samples, "m", AT, native_hists=nh,
+                      native_metrics=frozenset({"h"}))
+    (r,) = out.collect()
+    assert r["value"] == 3.0
