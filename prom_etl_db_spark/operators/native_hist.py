@@ -485,7 +485,11 @@ def native_hist_sum_by(
       widens to the max threshold and re-buckets — a silent
       resolution change; refusing names it instead);
     - a group-wide index span beyond ``max_index_span`` refuses (the
-      decoder's dense-expansion guard).
+      decoder's dense-expansion guard);
+    - a side EMPTY across the whole group merges to an empty array
+      with offset 0 (r10 seam: the offset of a bucket-less span is
+      meaningless — Prometheus renders no span; 0 is the decoders'
+      own empty-side convention).
 
     Plan (scalable by construction — NO per-group fold): one window
     for the group's min schema → per-row downscale (pure Column) →
@@ -700,7 +704,15 @@ def native_hist_avg_by(
     pure-Column divide on top — no extra shuffle. Output mirrors the
     merged shape with double-typed ``zero_count``/``count``/
     ``pos_counts``/``neg_counts``; ``sum`` is already the mean of the
-    per-series sums."""
+    per-series sums.
+
+    INSTANT-SCOPE contract (r10 seam, the `info_enrich` convention):
+    the input is an instant vector — ONE row per series. ``n_series``
+    is the group's ROW count; feeding a multi-sample-per-series frame
+    averages over samples, not series (the same is true of
+    Prometheus's avg, which only ever sees instant vectors). Reduce
+    time first (``native_hist_increase`` / latest-per-series) — the
+    parser's string path does exactly that."""
     m = native_hist_sum_by(nh, by)
     n = F.col("n_series").cast("double")
     has_cv = "custom_values" in m.columns

@@ -864,15 +864,21 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
     raw = _native_selector_stream(
         ctx, Selector(sel.name, sel.matchers, offset=sel.offset)
     ).where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    # Prometheus rate()/increase() need TWO points in the window — a
+    # single-sample series (dt == 0) drops from the result vector
+    # rather than emitting NULL components (r10 seam: a NULL-rate row
+    # fed to histogram_quantile would surface as a NULL-valued series
+    # Prometheus never shows)
     if fn == "increase":
-        inc = promql.native_hist_increase(raw)
+        inc = promql.native_hist_increase(raw).where(
+            F.col("dt_seconds") > 0)
         out = inc.select(
             "labels", "schema", "zero_threshold", "zero_count",
             "count", "sum",
             "pos_offset", "pos_counts", "neg_offset", "neg_counts",
         )
         return HistVector(out)
-    rates = NH.native_hist_rate(raw)
+    rates = NH.native_hist_rate(raw).where(F.col("dt_seconds") > 0)
     # rename the per-second shape back onto the dense-frame contract so
     # sum by / quantile compose without knowing they hold a FLOAT
     # histogram (count arrays are doubles — native_hist_sum_by merges
