@@ -77,102 +77,85 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # --- Round-9 window (VERDICT r8 task #2: drain the r3-stale driver
-    # debt to zero) ---------------------------------------------------------
-    # Composition per the r8 verdict's explicit ordering: (a) the 28
-    # queries whose newest driver row is r3 (every one local-green in the
-    # r8 judge's full 279-query run — this is verification hygiene, not
-    # suspected wrongness); (b) queries whose SEMANTICS or implementation
-    # changed in r9 — the two linearized delta-histogram operators plus
-    # their scalar sibling (posexplode+running-sum / index-grid rewrite,
-    # attrs-aware default partitioning, dup-timestamp refusal, null-sum
-    # poisoning), the three-leg exemplars_cross_protocol (v1 joined), and
-    # native_hist_stats (stdvar cancellation clamp); (c) r9's NEW
-    # queries (OTLP Summary, v1 exemplars/metadata, the negative-
-    # direction native quantile, native fraction, native sum-by and its
-    # quantile composition); (d) fill to 50 with the OLDEST
-    # remaining rows (newest = r4), in registry order. After this window
-    # no query's newest driver row is older than r4.
-    # --- (a) newest driver row = r3 (28, registry order) -------------------
-    "dq_events_expectations",
-    "events_value_psi",
-    "promql_parsed_scalar_share",
-    "promql_first_last_ts",
-    "promql_parsed_histogram_fraction",
-    "sessionize_events",
-    "events_window_funnel",
-    "doc_paragraph_dedup",
-    "doc_paragraph_dedup_rewrite",
-    "doc_exact_substring_dups",
-    "doc_zipf_token_stats",
-    "doc_ccnet_perplexity_buckets",
-    "doc_minhash_jaccard_est",
-    "embedding_sq8_codes",
-    "embedding_pq_codes",
-    "similarity_topk_pq",
-    "promql_absent_range",
-    "tpch_q10_returned_items",
-    "corpus_temperature_mix",
-    "promql_histquant_range",
-    "similarity_topk_ivfpq",
-    "events_cohort_retention",
-    "heavy_hitters_topk",
-    "events_cdc_latest",
-    "events_rollup_cube",
-    "tpch_q18_large_orders",
-    "tpch_q4_late_orders",
-    "tpch_q14_promo_revenue",
-    # --- (b) changed in r9 (re-gate) ---------------------------------------
-    # the three temporality operators: linearized accumulation (classic:
-    # posexplode + per-(series,bucket) running sums; exponential:
-    # equal-scale index grid + bounded scale-change fold), attrs-aware
-    # default series key, duplicate-delta-timestamp refusal, null-sum
-    # poisoning (ADVICE + VERDICT What's-wrong #1)
-    "otlp_delta_to_cumulative",
-    "otlp_delta_hist_quantile",
-    "otlp_delta_exp_quantile",
-    # exemplars_cross_protocol now counts the remote-write 1.0 AND
-    # OpenMetrics text legs — n_sources=4 (VERDICT What's-missing #4)
+    # --- Round-10 window (VERDICT r9 task #2: drain the r4-stale driver
+    # debt) ------------------------------------------------------------------
+    # Composition per the r9 verdict's explicit ordering: (a) the 45
+    # queries whose newest driver row is r4 (recomputed from
+    # CORRECTNESS_r01..r09; every one local-green in the r9 judge's full
+    # 290-query run — verification hygiene, not suspected wrongness);
+    # (b) queries whose semantics or implementation changed in r10 —
+    # exemplars_cross_protocol (the OpenMetrics text leg now renders
+    # fixed-decimal values; scientific notation broke the zero-spread
+    # gate at larger fixtures) and native_hist_rate_per_sec (rides the
+    # r10-extended increase/rate operators: negative-bucket alignment,
+    # count/sum/zero_threshold carry); (c) r10's NEW queries — the
+    # negative-bucket increase gate, the parsed
+    # histogram_quantile(0.9, sum by (...) (rate(h[5m]))) string form,
+    # and the exemplar -> rate-window join report. 45 + 2 + 3 = 50.
+    # The other operator-touched r9 queries (native_hist_sum_by/
+    # sum_quantile/avg_by, nhcb_increase_quantile, native_hist_rate_
+    # quantile) are r9-fresh, output-identical (local-green re-checked
+    # this round), and rotate on staleness as usual.
+    # After this window no query's newest driver row is older than r5
+    # (except the 3 rows-only by design).
+    # --- (a) newest driver row = r4 (45, registry order) --------------------
+    "promql_sum_over_time",
+    "promql_bool_scalar_arith",
+    "promql_gapfill_locf",
+    "ingest_normalize_events",
+    "collected_at_sameday_range",
+    "latest_n_scan",
+    "metrics_count",
+    "table_stats",
+    "retention_horizon",
+    "backfill_skip_existing",
+    "timeparse_grid",
+    "hourly_rollup",
+    "daily_report",
+    "success_rate",
+    "tpch_q1_pricing_summary",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "audio_g711_expansion",
+    "video_mjpeg_frame_sampling",
+    "multimodal_png_palette_pixels",
+    "multimodal_png_interlaced_pixels",
+    "multimodal_png16_pixels",
+    "multimodal_jpeg_pixels",
+    "embedding_neardup_pairs",
+    "embedding_signlsh_codes",
+    "metric_name_discovery",
+    "promql_rate",
+    "promql_topk",
+    "promql_stddev_by",
+    "promql_sliding_window_aggs",
+    "promql_sliding_extremes",
+    "promql_sliding_quantile",
+    "promql_sliding_changes",
+    "promql_sliding_deriv",
+    "promql_limit_ops",
+    "asof_click_before_purchase",
+    "promql_parsed_numeric_escapes",
+    "bpe_learned_merges",
+    "doc_gopher_quality",
+    "doc_c4_page_filter",
+    "doc_bigram_lm_perplexity",
+    "doc_dsir_logweights",
+    "bpe_encoded_token_counts",
+    # --- (b) changed in r10 (re-gate) ----------------------------------------
     "exemplars_cross_protocol",
-    # hist_stdvar clamps the expanded-moment cancellation at 0 (ADVICE)
-    "native_hist_stats",
-    # native quantile evaluator: q=0 returns 0.0, not NULL (ADVICE)
-    "native_hist_exp_quantile",
-    # --- (c) new in r9 -----------------------------------------------------
-    # OTLP Summary (the last refusing OTLP point shape): φ-quantile
-    # pairs as typed data rows + the count/sum counter-increase
-    # composition (VERDICT What's-missing #2)
-    "otlp_summary_decode",
-    "otlp_summary_count_rate",
-    # remote-write 1.0 exemplars (TimeSeries field 3) and request-level
-    # metadata (WriteRequest field 3) — the last silently skipped
-    # push-format wire fields; v1 now decodes every field it carries
-    "remote_write_v1_exemplars_decode",
-    "remote_write_v1_metadata",
-    # the native quantile evaluator now walks NEGATIVE buckets
-    # (ascending-value order, sign-mirrored exponential interpolation,
-    # Prometheus's zero-bucket lower-bound rule) — previously refused
-    "native_hist_neg_quantile",
-    # histogram_fraction lifted to native histograms (clamp-sum CDF,
-    # both signs, same estimator as the native quantile)
-    "native_hist_fraction_range",
-    # sum by (...) over native-histogram series: offset-aligned
-    # bucket-wise group merge (min-schema downscale), no per-group fold
-    "native_hist_sum_by",
-    "native_hist_sum_quantile",
-    # rate() over native histograms: the per-second FLOAT histogram
     "native_hist_rate_per_sec",
-    # avg by (...): the merged histogram / series count (float buckets)
-    "native_hist_avg_by",
-    # OpenMetrics _created series -> CT-aware increase (the text leg of
-    # the created-timestamp story; clock-skew rule rides along)
-    "openmetrics_created_increase",
-    # --- (d) fill: newest driver row = r4 (5, registry order) --------------
-    "flagship_gpu_utilization",
-    "promql_instant_vector",
-    "promql_sum_by",
-    "promql_max_without",
-    "promql_avg_by",
+    # --- (c) new in r10 -------------------------------------------------------
+    # negative-bucket increase: growth + negative-side-only reset slices
+    # (VERDICT r9 What's-wrong #1)
+    "native_hist_neg_increase",
+    # the parsed string form of the native aggregation idiom
+    # (VERDICT r9 What's-missing #2 / task #3)
+    "promql_parsed_native_quantile",
+    # the exemplar-consuming surface (VERDICT r9 stretch #8)
+    "exemplar_rate_report",
 ]
 
 def _apply_gate_priority() -> None:

@@ -512,3 +512,107 @@ def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         F.round("_vmin", 4).alias("value"),
     )
+
+
+@register(
+    "exemplar_rate_report",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 9 + 3 AS DOUBLE) AS c1,
+    CAST(user_id % 4 + 1 AS DOUBLE) AS g,
+    CAST(user_id % 3 + 1 AS DOUBLE) AS cr,
+    user_id % 7 * 0.5e0 + 1.0e0 AS v1,
+    user_id % 5 * 0.25e0 + 2.0e0 AS v2,
+    user_id % 5 = 0 AS reset_slice
+  FROM events
+), r AS (
+  SELECT *,
+    -- detection is honest: the reset slice reads as a reset only when
+    -- the last value actually DROPS (cr < c1; equality is invisible
+    -- to counter algebra)
+    reset_slice AND cr < c1 AS detected,
+    CASE WHEN reset_slice THEN
+      CASE WHEN cr < c1 THEN cr ELSE cr - c1 END
+    ELSE g END AS inc
+  FROM h
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  detected AS reset,
+  round(inc, 4) AS increase,
+  round(inc / 300.0e0, 6) AS rate_per_sec,
+  CAST(2 AS BIGINT) AS n_exemplars,
+  round(least(v1, v2), 4) AS exemplar_min,
+  round(greatest(v1, v2), 4) AS exemplar_max,
+  round((v1 + v2) / 2.0e0, 6) AS exemplar_mean,
+  CASE WHEN inc > 0 THEN round(2.0e0 / inc, 6) END AS sampling_ratio
+FROM r
+""",
+)
+def exemplar_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exemplar-CONSUMING surface (r10 — VERDICT r9 stretch #8):
+    every ingestion format lands exemplars in one trace-link table;
+    this is the query an observability team runs on it — each series'
+    rate window joined with the exemplars inside it, plus the
+    trace-sampling-bias numbers (``operators/exemplars.py``).
+
+    Wire fixture: one v2 payload per event carrying TWO counter
+    samples 300 s apart and THREE exemplars — two inside the window
+    (closed-form values in user_id) and one 60 s BEFORE it (a stale
+    trace link that must be excluded by the range condition; its
+    survival would skew every stat). The u%5 slice resets mid-window;
+    the oracle replays the detection rule (a drop — an at-or-above
+    restart is invisible, the counter-algebra blind spot kept
+    honestly). Undetected resets can land increase = 0, pinning the
+    sampling_ratio NULL convention (no events → no ratio).
+
+    Plan: decode ×2 (samples + exemplars, both mapInPandas zero
+    shuffle) → one series-keyed endpoint agg, one series-keyed
+    equi-join + stats agg — two shuffles, the operator's contract."""
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.exemplars import exemplar_rate_report
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            c1 = float(u % 9 + 3)
+            c2 = float(u % 3 + 1) if u % 5 == 0 else c1 + (u % 4 + 1)
+            v1 = u % 7 * 0.5 + 1.0
+            v2 = u % 5 * 0.25 + 2.0
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(int(e))},
+                  "samples": [(c1, _T0), (c2, _T0 + 300000)],
+                  "exemplars": [
+                      {"labels": {"trace_id": "in1"}, "value": v1,
+                       "timestamp": _T0 + 100000},
+                      {"labels": {"trace_id": "in2"}, "value": v2,
+                       "timestamp": _T0 + 200000},
+                      {"labels": {"trace_id": "stale"}, "value": 99.0,
+                       "timestamp": _T0 - 60000},
+                  ]}])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    ).cache()
+    samples = RW.remote_write_v2_samples(payloads).select(
+        "push_id", "metric_name", "timestamp_ms", "value")
+    exemplars = RW.remote_write_v2_exemplars(payloads).select(
+        "push_id", "metric_name", "value", "timestamp_ms")
+    rep = exemplar_rate_report(
+        samples, exemplars, series_cols=("push_id", "metric_name"))
+    return rep.select(
+        "push_id", "metric_name", "reset",
+        F.round("increase", 4).alias("increase"),
+        F.round("rate_per_sec", 6).alias("rate_per_sec"),
+        "n_exemplars",
+        F.round("exemplar_min", 4).alias("exemplar_min"),
+        F.round("exemplar_max", 4).alias("exemplar_max"),
+        F.round("exemplar_mean", 6).alias("exemplar_mean"),
+        F.round("sampling_ratio", 6).alias("sampling_ratio"),
+    )

@@ -1374,6 +1374,82 @@ def probe_depth(spark, n_series: int, depths: list[int]) -> None:
             promql.otlp_delta_exp_hist_to_cumulative(
                 expf, series_cols=("metric_name",)),
             arr_sum("pos_counts") + F.col("pos_offset") + F.col("count"))
+
+        # --- r10 additions (VERDICT r9 task #5): the remaining
+        # per-series window operators with a potential hidden
+        # points-per-series term ---------------------------------------
+        from datetime import datetime, timezone
+
+        from prom_etl_db_spark.registry.rw2_aux import ct_increase
+
+        t0_ms = t0 // 1_000_000
+        ct_pts = pts.select(
+            F.col("sid").alias("push_id"),
+            "metric_name",
+            (F.lit(t0_ms) + F.col("i").cast("long") * 60_000)
+            .alias("timestamp_ms"),
+            # (i*7)%97 drops periodically — the reset branch runs too
+            ((F.col("i") * 7 % 97).cast("double")).alias("value"),
+            (F.lit(t0_ms) + F.col("sid") % 3).alias(
+                "created_timestamp_ms"),
+        )
+        run("ct_increase",
+            ct_increase(ct_pts, t0_ms,
+                        series_cols=("push_id", "metric_name")),
+            F.col("increase"))
+
+        # the summary count-rate AGG SHAPE (registry/otlp_summary.py:
+        # otlp_summary_count_rate — one hash agg of min_by/max_by
+        # endpoint structs; inlined here on a synthetic frame so the
+        # probe measures the plan, not the wire decode)
+        summ = pts.select(
+            F.col("sid").alias("push_id"), "metric_name",
+            "time_unix_nano",
+            (F.col("i").cast("bigint") * 3).alias("count"),
+            (F.col("i").cast("double") * 1.5).alias("sum"),
+        )
+        sagg = summ.groupBy("push_id", "metric_name").agg(
+            F.min_by(F.struct("count", "sum"), "time_unix_nano")
+            .alias("first"),
+            F.max_by(F.struct("count", "sum"), "time_unix_nano")
+            .alias("last"),
+        ).select(
+            "push_id", "metric_name",
+            (F.col("last.count") - F.col("first.count"))
+            .alias("inc_count"),
+            (F.col("last.sum") - F.col("first.sum")).alias("inc_sum"),
+        )
+        run("summary_count_rate", sagg,
+            F.col("inc_count") + F.col("inc_sum"))
+
+        # the sliding family: difference-array increase (events
+        # strategy) and the bucket-decomposed extremes — frame/step
+        # fixed, points-per-series grows, output grid grows WITH the
+        # points (work ~ d on both axes; a flat per-point cost is the
+        # claim under test)
+        start = datetime.fromtimestamp(
+            t0 / 1e9, tz=timezone.utc).replace(tzinfo=None)
+        end = datetime.fromtimestamp(
+            t0 / 1e9 + d * 60, tz=timezone.utc).replace(tzinfo=None)
+        sl_pts = pts.select(
+            F.create_map(F.lit("__name__"), F.col("metric_name"))
+            .alias("labels"),
+            F.timestamp_millis(
+                F.lit(t0_ms) + F.col("i").cast("long") * 60_000)
+            .alias("timestamp"),
+            ((F.col("sid") % 7 + F.col("i") % 5).cast("double"))
+            .alias("value"),
+        )
+        run("sliding_increase_events",
+            promql.increase_range(
+                sl_pts, frame="30m", step="1m",
+                start=start, end=end, method="events"),
+            F.col("value"))
+        run("sliding_extrema_buckets",
+            promql.extrema_over_time_range(
+                sl_pts, frame="30m", step="1m",
+                start=start, end=end, method="buckets"),
+            F.col("vmax") + F.col("vmin"))
         results[d] = times
     d0, dN = depths[0], depths[-1]
     print(f"\n{'op':24s} " + " ".join(f"d={d:>5d}" for d in depths)
@@ -1389,7 +1465,94 @@ def probe_depth(spark, n_series: int, depths: list[int]) -> None:
               + f"   {ratio:.2f} {flag} (work {work:.0f}x)")
 
 
+def probe_groupsize(spark, n_groups: int, sizes: list[int]) -> None:
+    """GROUP-SIZE axis for ``native_hist_sum_by`` (r10 — VERDICT r9
+    task #6, the aggregation mirror of the depth axis): group COUNT
+    fixed, series-per-group grows 10× → 100×. The plan's scalability
+    claim is that group size never materializes in one task — the
+    merge is a hash agg keyed on (group, absolute bucket index), with
+    the min-schema window and the dense reassembly both per-group-
+    bounded — so time should track total input rows (~linear in the
+    size factor), not blow up per group.
+
+    Fixture is generated DISTRIBUTED (range, no driver loop): 8-bucket
+    histograms, schemas varying 0..2 WITHIN each group so the
+    downscale-to-coarsest window does real work, offsets drifting ±2
+    to exercise the union span."""
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    results: dict[int, dict[str, tuple[float, int]]] = {}
+    for spg in sizes:
+        times: dict[str, tuple[float, int]] = {}
+        rows = spark.range(n_groups * spg).select(
+            F.concat(F.lit("g"), F.col("id") % n_groups).alias("g"),
+            (F.col("id") % 3).cast("int").alias("schema"),
+            F.lit(0.001).alias("zero_threshold"),
+            (F.col("id") % 4).cast("bigint").alias("zero_count"),
+            ((F.col("id") % 5) - F.lit(2)).cast("int").alias("pos_offset"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda b: ((F.col("id") + b) % 6).cast("bigint"),
+            ).alias("pos_counts"),
+            F.lit(0).cast("int").alias("neg_offset"),
+            F.expr("CAST(array() AS array<bigint>)").alias("neg_counts"),
+            (F.col("id") % 7).cast("double").alias("sum"),
+        ).withColumn(
+            "count",
+            F.col("zero_count") + F.aggregate(
+                F.col("pos_counts"), F.lit(0).cast("bigint"),
+                lambda a, x: a + x),
+        )
+
+        def run(name, df, force):
+            best, n = None, 0
+            for _ in range(2):
+                ts = time.perf_counter()
+                row = df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(force).alias("chk"),
+                ).collect()[0]
+                n = row["n"]
+                el = time.perf_counter() - ts
+                best = el if best is None or el < best else best
+                spark.catalog.clearCache()
+            times[name] = (round(best, 2), n)
+            print(f"  spg {spg}: {name}: {best:.2f}s ({n} rows)",
+                  file=sys.stderr)
+
+        arr_sum = F.aggregate(
+            F.col("pos_counts"), F.lit(0).cast("bigint"),
+            lambda a, x: a + x)
+        run("native_hist_sum_by",
+            NH.native_hist_sum_by(rows, ("g",)),
+            arr_sum + F.col("count") + F.col("zero_count"))
+        run("native_hist_avg_by",
+            NH.native_hist_avg_by(rows, ("g",)),
+            F.aggregate(F.col("pos_counts"), F.lit(0.0),
+                        lambda a, x: a + x) + F.col("count"))
+        results[spg] = times
+    s0, sN = sizes[0], sizes[-1]
+    print(f"\n{'op':24s} " + " ".join(f"spg={s:>5d}" for s in sizes)
+          + "   time-ratio vs size growth")
+    for op in results[s0]:
+        row = [results[s][op] for s in sizes]
+        t_0, _ = row[0]
+        t_n, _ = row[-1]
+        work = sN / s0
+        ratio = (t_n / t_0) / work if t_0 else float("nan")
+        flag = "OK" if ratio <= 1.5 else "SUPERLINEAR"
+        print(f"{op:24s} " + " ".join(f"{t:9.2f}" for t, _ in row)
+              + f"   {ratio:.2f} {flag} (work {work:.0f}x)")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--groupsize":
+        sizes = [int(x) for x in sys.argv[2:]] or [20, 200, 2000]
+        spark = get_spark("scale-probe-groupsize")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        probe_groupsize(spark, 50, sizes)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--depth":
         depths = [int(x) for x in sys.argv[2:]] or [2, 20, 200]
         spark = get_spark("scale-probe-depth")
