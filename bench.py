@@ -215,6 +215,13 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    # per-query monotonic start/end stamps relative to the timed block
+    # (r10 — BENCH_NOTES r9's honest scope note: the canary pair
+    # certifies the ENDPOINTS, not a mid-run transient; with stamps, a
+    # single-query outlier is attributable post-hoc — "which wall-clock
+    # segment was this query measured in?" — without a re-run)
+    spans: dict[str, list[float]] = {}
+    block_t0 = time.perf_counter()
     for name in HEADLINE:
         fn = QUERIES[name]
         # best-of-3: the minimum of repeated materializations is the
@@ -226,6 +233,7 @@ def main() -> None:
         # stability for ~10 s of extra wall time.
         best = None
         n = 0
+        q_start = time.perf_counter() - block_t0
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -242,6 +250,8 @@ def main() -> None:
             release_scratch()
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        spans[name] = [round(q_start, 3),
+                       round(time.perf_counter() - block_t0, 3)]
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     canary_post = canary()
@@ -259,6 +269,10 @@ def main() -> None:
                 # marks the WHOLE record as load-contaminated
                 "canary_pre_sec": canary_pre,
                 "canary_post_sec": canary_post,
+                # [start, end] seconds of each query's best-of-3
+                # measurement segment within the timed block — maps a
+                # per-query outlier to its wall-clock window post-hoc
+                "query_spans_sec": spans,
                 "canary_spread": round(
                     max(canary_pre, canary_post)
                     / max(min(canary_pre, canary_post), 1e-9), 3),
