@@ -896,6 +896,74 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
     return HistVector(out)
 
 
+def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:
+    """``h * k`` / ``h / k`` (k a scalar): every count component scales
+    — Prometheus's FloatHistogram Mul/Div. The result is a FLOAT
+    histogram (double counts); quantiles over it are unchanged (scale
+    invariance), count/sum extractions scale."""
+    kf = F.lit(float(k))
+    df = vec.df.select(
+        "labels", "schema", "zero_threshold",
+        (F.col("zero_count").cast("double") * kf).alias("zero_count"),
+        (F.col("count").cast("double") * kf).alias("count"),
+        (F.col("sum") * kf).alias("sum"),
+        "pos_offset",
+        F.transform(F.col("pos_counts"),
+                    lambda c: c.cast("double") * kf).alias("pos_counts"),
+        "neg_offset",
+        F.transform(F.col("neg_counts"),
+                    lambda c: c.cast("double") * kf).alias("neg_counts"),
+    )
+    return HistVector(df)
+
+
+def _hist_hist_addsub(
+    lhs: HistVector, rhs: HistVector, op: str
+) -> HistVector:
+    """``h1 + h2`` / ``h1 - h2``: histogram addition/subtraction on
+    EXACTLY MATCHING label sets — PromQL's one-to-one vector matching
+    lifted to histograms (Prometheus 3 supports both; Sub can go
+    negative, a legal float histogram used for deltas). Series present
+    on only one side DROP (inner matching, the PromQL rule).
+
+    Plan: canonical label key on both sides → inner semi-filter via
+    the merge itself — the two sides union (the subtrahend scaled by
+    −1) and ride ``native_hist_sum_by`` keyed on the label key, so
+    mixed schemas downscale-merge exactly as in ``sum by``; keys with
+    fewer than two members (one-sided series) are dropped afterward.
+    Shuffles stay label-key-keyed throughout."""
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    key = F.to_json(F.array_sort(F.map_entries(F.col("labels"))))
+    a = lhs.df.withColumn("__k", key)
+    b = (rhs.df if op == "+" else _hist_scalar_scale(rhs, -1.0).df
+         ).withColumn("__k", key)
+    cols = ["__k"] + [c for c in _NH_COLS if c != "labels"]
+    # align count types across sides (a raw long side vs a float side)
+    def norm(df):
+        return df.select(
+            "__k", "schema", "zero_threshold",
+            F.col("zero_count").cast("double").alias("zero_count"),
+            F.col("count").cast("double").alias("count"),
+            F.col("sum").cast("double").alias("sum"),
+            "pos_offset",
+            F.transform(F.col("pos_counts"), lambda c: c.cast("double"))
+            .alias("pos_counts"),
+            "neg_offset",
+            F.transform(F.col("neg_counts"), lambda c: c.cast("double"))
+            .alias("neg_counts"),
+        )
+    both = norm(a.select(*cols)).unionByName(norm(b.select(*cols)))
+    merged = NH.native_hist_sum_by(both, ("__k",))
+    matched = merged.where(F.col("n_series") == 2)
+    labels_back = a.select("__k", "labels").dropDuplicates(["__k"])
+    out = matched.join(labels_back, on="__k", how="inner").select(
+        "labels", "schema", "zero_threshold", "zero_count", "count",
+        "sum", "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    return HistVector(out)
+
+
 def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
     """``sum by`` / ``avg by`` over a histogram vector → the r9
     group-keyed merge combinators. ``without`` needs the full label-key
@@ -1070,10 +1138,30 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
         lhs = evaluate(ctx, node.lhs)
         rhs = evaluate(ctx, node.rhs)
         if isinstance(lhs, HistVector) or isinstance(rhs, HistVector):
+            # the defined histogram algebra (Prometheus 3): h*k, h/k,
+            # k*h, h+h, h-h. Everything else refuses loudly — adding a
+            # scalar to a histogram or comparing histograms has no rule.
+            if (isinstance(lhs, HistVector) and isinstance(rhs, float)
+                    and node.op in ("*", "/")):
+                k = rhs if node.op == "*" else (
+                    1.0 / rhs if rhs != 0 else float("inf"))
+                return _hist_scalar_scale(lhs, k)
+            if (isinstance(rhs, HistVector) and isinstance(lhs, float)
+                    and node.op == "*"):
+                return _hist_scalar_scale(rhs, lhs)
+            if (isinstance(lhs, HistVector) and isinstance(rhs, HistVector)
+                    and node.op in ("+", "-")):
+                if node.on or node.ignoring or node.group:
+                    raise PromQLError(
+                        "histogram +/- supports exact label matching "
+                        "only (no on/ignoring/group modifiers)")
+                return _hist_hist_addsub(lhs, rhs, node.op)
             raise PromQLError(
                 f"binary {node.op} over native-histogram vectors is "
-                "unsupported — collapse with histogram_quantile/"
-                "histogram_fraction/histogram_count/histogram_sum first")
+                "undefined — supported: h*scalar, h/scalar, scalar*h, "
+                "h+h, h-h; collapse with histogram_quantile/"
+                "histogram_fraction/histogram_count/histogram_sum for "
+                "anything else")
         if node.op in _SET_OPS:
             # must precede the scalar branches: `m and 2` is a type error,
             # not scalar arithmetic (and so is `m or scalar(v)`)
@@ -1219,6 +1307,8 @@ _ARITY = {
     "histogram_count": (1, 1),
     "histogram_sum": (1, 1),
     "histogram_avg": (1, 1),
+    "histogram_stddev": (1, 1),
+    "histogram_stdvar": (1, 1),
     "label_replace": (5, 5),
     "label_join": (3, None),  # sep + dst + vector; src labels may be empty
     "clamp": (3, 3),
@@ -1383,6 +1473,17 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
                 F.col("sum"), F.col("count").cast("double")),
         }[fn]
         return v.df.select("labels", col.alias("value"))
+    if fn in ("histogram_stddev", "histogram_stdvar"):
+        v = _vec_or_hist_arg(ctx, node.args[0], fn)
+        if not isinstance(v, HistVector):
+            raise PromQLError(
+                f"{fn} needs a native-histogram vector argument")
+        from prom_etl_db_spark.operators import native_hist as NH
+
+        stats = NH.histogram_stats(v.df)
+        col = ("hist_stddev" if fn == "histogram_stddev"
+               else "hist_stdvar")
+        return stats.select("labels", F.col(col).alias("value"))
     if fn == "label_replace":
         vec = _vec_arg(ctx, node.args[0], fn)
         dst, repl, src, regex = (str(a) for a in node.args[1:5])

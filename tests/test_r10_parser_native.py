@@ -139,3 +139,76 @@ def test_scalar_metrics_unaffected(spark, nh):
                       native_metrics=frozenset({"h"}))
     (r,) = out.collect()
     assert r["value"] == 3.0
+
+
+def test_histogram_scalar_algebra(spark, samples, nh):
+    """h*k / h/k / k*h scale counts; quantiles are scale-invariant."""
+    base = _eval(samples, nh,
+                 "histogram_quantile(0.5, sum by (job) (rate(h[10m])))")
+    scaled = _eval(
+        samples, nh,
+        "histogram_quantile(0.5, sum by (job) (rate(h[10m])) * 300)")
+    b = {r["labels"]["job"]: r["value"] for r in base.collect()}
+    s = {r["labels"]["job"]: r["value"] for r in scaled.collect()}
+    for j in b:
+        assert s[j] == pytest.approx(b[j])
+    cnt = _eval(samples, nh, "histogram_count(increase(h[10m]) * 2)")
+    got = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+           for r in cnt.collect()}
+    assert got[("b", "1")] == pytest.approx(16.0)   # 8 * 2
+    half = _eval(samples, nh, "histogram_count(increase(h[10m]) / 2)")
+    goth = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+            for r in half.collect()}
+    assert goth[("b", "1")] == pytest.approx(4.0)
+    pre = _eval(samples, nh, "histogram_count(2 * increase(h[10m]))")
+    gotp = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+            for r in pre.collect()}
+    assert gotp[("b", "1")] == pytest.approx(16.0)
+
+
+def test_histogram_vector_add_sub(spark, samples, nh):
+    """h+h doubles each series against itself (exact label matching);
+    h-h is the zero histogram; unmatched label sets drop."""
+    dbl = _eval(samples, nh,
+                "histogram_count(increase(h[10m]) + increase(h[10m]))")
+    got = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+           for r in dbl.collect()}
+    assert got[("b", "1")] == pytest.approx(16.0)
+    assert got[("a", "2")] == pytest.approx(12.0)
+    zero = _eval(samples, nh,
+                 "histogram_count(increase(h[10m]) - increase(h[10m]))")
+    for r in zero.collect():
+        assert r["value"] == pytest.approx(0.0)
+    # disjoint label sets (job=a inst=1 vs job=b inst=1) never match
+    disj = _eval(
+        samples, nh,
+        'histogram_count(increase(h{job="a"}[10m]) '
+        '+ increase(h{job="b"}[10m]))')
+    assert disj.count() == 0
+
+
+def test_histogram_stddev_stdvar(spark, samples, nh):
+    """histogram_stdvar over the latest b sample: pos [9,4] schema 0,
+    sum 19.5, count 13 — the geometric-mid moments formula."""
+    import math
+
+    out = _eval(samples, nh, 'histogram_stdvar(h{job="b"})')
+    (r,) = out.collect()
+    mean = 19.5 / 13
+    s1 = 9 * 2 ** -0.5 + 4 * 2 ** 0.5
+    s2 = 9 * 0.5 + 4 * 2.0
+    var = (s2 - 2 * mean * s1 + mean * mean * 13) / 13
+    assert r["value"] == pytest.approx(var)
+    out2 = _eval(samples, nh, 'histogram_stddev(h{job="b"})')
+    (r2,) = out2.collect()
+    assert r2["value"] == pytest.approx(math.sqrt(var))
+
+
+def test_histogram_algebra_refusals(spark, samples, nh):
+    from prom_etl_db_spark.operators.promql_parser import PromQLError
+
+    for q in ["increase(h[10m]) + 1",
+              "increase(h[10m]) > increase(h[10m])",
+              'increase(h[10m]) + on(job) increase(h[10m])']:
+        with pytest.raises(PromQLError):
+            _eval(samples, nh, q)
