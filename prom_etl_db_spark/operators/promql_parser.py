@@ -965,29 +965,48 @@ def _hist_hist_addsub(
 
 
 def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
-    """``sum by`` / ``avg by`` over a histogram vector → the r9
-    group-keyed merge combinators. ``without`` needs the full label-key
-    universe (varies per series) — refuse loudly rather than guess."""
+    """``sum by/without`` / ``avg by/without`` over a histogram vector
+    → the r9 group-keyed merge combinators. ``without(...)`` needs no
+    label-key universe: each series' group identity is its OWN labels
+    map minus the excluded keys (map_filter → canonical sorted-JSON
+    key), exactly PromQL's rule — series whose remaining label sets
+    are equal merge, and the group's output labels ARE that remaining
+    map (recovered from any member, identical by construction)."""
     from prom_etl_db_spark.operators import native_hist as NH
 
     if node.op not in ("sum", "avg"):
         raise PromQLError(
             f"{node.op} is not defined over native-histogram vectors "
             "(sum/avg merge histograms; others have no histogram rule)")
-    if node.without is not None:
-        raise PromQLError(
-            "without(...) over native-histogram vectors is unsupported — "
-            "use by(...)")
-    by = tuple(node.by or ())
+    merge = (NH.native_hist_sum_by if node.op == "sum"
+             else NH.native_hist_avg_by)
     df = vec.df
+    if node.without is not None:
+        drop = set(node.without) | {"__name__"}  # PromQL drops the name
+        kept = F.map_filter(
+            F.col("labels"),
+            lambda k, _: ~k.isin(*[F.lit(x) for x in drop]),
+        )
+        df = df.withColumn("__kept", kept).withColumn(
+            "__k", F.to_json(F.array_sort(F.map_entries(F.col("__kept")))))
+        merged = merge(
+            df.select("__k", *[c for c in _NH_COLS if c != "labels"]),
+            ("__k",))
+        labels_back = df.select(
+            "__k", F.col("__kept").alias("labels")).dropDuplicates(["__k"])
+        out = merged.join(labels_back, on="__k", how="inner").select(
+            "labels", "schema", "zero_threshold", "zero_count",
+            "count", "sum", "pos_offset", "pos_counts",
+            "neg_offset", "neg_counts",
+        )
+        return HistVector(out)
+    by = tuple(node.by or ())
     for k in by:
         df = df.withColumn(k, F.coalesce(F.col("labels")[k], F.lit("")))
     if not by:
         # sum(h): one global group — constant key, dropped after
         df = df.withColumn("__all", F.lit(1))
     keys = by if by else ("__all",)
-    merge = (NH.native_hist_sum_by if node.op == "sum"
-             else NH.native_hist_avg_by)
     merged = merge(df.select(*keys, *[c for c in _NH_COLS
                                       if c != "labels"]), tuple(keys))
     labels = (

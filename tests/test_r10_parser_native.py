@@ -117,13 +117,27 @@ def test_refusals_are_loud(spark, samples, nh):
         ("topk(1, h)", "not defined over native-histogram"),
         ("rate(h[10m]) + 1", "binary"),
         ("sum(h)", "returns a native-histogram vector"),
-        ("avg without (inst) (rate(h[10m]))", "without"),
         ("deriv(h[10m])", "not defined over native-histogram"),
         ("max by (job) (rate(h[10m]))", "max is not defined"),
         ("h[10m]", "needs a range function"),
     ]:
         with pytest.raises(PromQLError, match=msg):
             _eval(samples, nh, q)
+
+
+def test_sum_without_merges_remaining_labels(spark, samples, nh):
+    """sum without (inst): each series groups by its OWN labels minus
+    the excluded keys (and __name__, the PromQL aggregation rule) —
+    a/1 and a/2 merge under {job: a}, b/1 stands alone."""
+    out = _eval(samples, nh,
+                "histogram_count(sum without (inst) (increase(h[10m])))")
+    got = {tuple(sorted(dict(r["labels"]).items())): r["value"]
+           for r in out.collect()}
+    assert got == {(("job", "a"),): 14.0, (("job", "b"),): 8.0}
+    # and without() with NO exclusions still drops only __name__
+    out2 = _eval(samples, nh,
+                 "histogram_count(sum without () (increase(h[10m])))")
+    assert out2.count() == 3
 
 
 def test_scalar_metrics_unaffected(spark, nh):
