@@ -918,29 +918,47 @@ def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:
 
 
 def _hist_hist_addsub(
-    lhs: HistVector, rhs: HistVector, op: str
+    lhs: HistVector,
+    rhs: HistVector,
+    op: str,
+    on: "list[str] | None" = None,
+    ignoring: "list[str] | None" = None,
 ) -> HistVector:
-    """``h1 + h2`` / ``h1 - h2``: histogram addition/subtraction on
-    EXACTLY MATCHING label sets — PromQL's one-to-one vector matching
-    lifted to histograms (Prometheus 3 supports both; Sub can go
-    negative, a legal float histogram used for deltas). Series present
-    on only one side DROP (inner matching, the PromQL rule).
+    """``h1 + h2`` / ``h1 - h2``: histogram addition/subtraction with
+    PromQL's one-to-one vector matching lifted to histograms
+    (Prometheus 3 supports both; Sub can go negative, a legal float
+    histogram used for deltas). Matching follows the scalar binop
+    rules: exact label-set equality by default, ``on(...)`` restricts
+    the key to the named labels, ``ignoring(...)`` removes the named
+    labels (``__name__`` never participates, the binop rule — and the
+    OUTPUT labels are the match key's labels, so the metric name and
+    ignored labels drop, as in PromQL). Series present on only one
+    side DROP (inner matching); a key matched by MORE than one series
+    on either side refuses loudly (PromQL's many-to-many error —
+    silently merging would double-count).
 
-    Plan: canonical label key on both sides → inner semi-filter via
-    the merge itself — the two sides union (the subtrahend scaled by
-    −1) and ride ``native_hist_sum_by`` keyed on the label key, so
-    mixed schemas downscale-merge exactly as in ``sum by``; keys with
-    fewer than two members (one-sided series) are dropped afterward.
-    Shuffles stay label-key-keyed throughout."""
+    Plan: canonical match-key on both sides → the two sides union (the
+    subtrahend scaled by −1) and ride ``native_hist_sum_by`` keyed on
+    the match key, so mixed schemas downscale-merge exactly as in
+    ``sum by``; a per-(key, side) count agg guards one-to-one-ness.
+    Shuffles stay match-key-keyed throughout."""
     from prom_etl_db_spark.operators import native_hist as NH
 
-    key = F.to_json(F.array_sort(F.map_entries(F.col("labels"))))
-    a = lhs.df.withColumn("__k", key)
+    if on:
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: k.isin(*list(on)))
+    else:
+        drop = set(ignoring or ()) | {"__name__"}
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: ~k.isin(*list(drop)))
+    key = F.to_json(F.array_sort(F.map_entries(kept)))
+    a = lhs.df.withColumn("__kept", kept).withColumn("__k", key)
     b = (rhs.df if op == "+" else _hist_scalar_scale(rhs, -1.0).df
          ).withColumn("__k", key)
     cols = ["__k"] + [c for c in _NH_COLS if c != "labels"]
+
     # align count types across sides (a raw long side vs a float side)
-    def norm(df):
+    def norm(df, side):
         return df.select(
             "__k", "schema", "zero_threshold",
             F.col("zero_count").cast("double").alias("zero_count"),
@@ -952,11 +970,31 @@ def _hist_hist_addsub(
             "neg_offset",
             F.transform(F.col("neg_counts"), lambda c: c.cast("double"))
             .alias("neg_counts"),
+            F.lit(side).alias("__s"),
         )
-    both = norm(a.select(*cols)).unionByName(norm(b.select(*cols)))
-    merged = NH.native_hist_sum_by(both, ("__k",))
-    matched = merged.where(F.col("n_series") == 2)
-    labels_back = a.select("__k", "labels").dropDuplicates(["__k"])
+
+    both = norm(a.select(*cols), 0).unionByName(norm(b.select(*cols), 1))
+    # one-to-one guard: PromQL errors on a key matched by >1 series on
+    # either side; the guard rides a per-key max of per-side counts
+    side_max = both.groupBy("__k", "__s").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).groupBy("__k").agg(F.max("__c").alias("__mx"))
+    merged = NH.native_hist_sum_by(both.drop("__s"), ("__k",))
+    # the one-to-one guard rides the FILTER predicate — filters are
+    # never column-pruned, so a downstream projection (histogram_count
+    # keeps only count) cannot elide the refusal (the r9 sum_by
+    # pruning lesson, applied to a where-clause instead)
+    matched = merged.join(side_max, on="__k").where(
+        F.when(
+            F.col("__mx") > 1,
+            F.raise_error(F.lit(
+                f"histogram {op}: a match key is shared by more than "
+                "one series on one side (many-to-many) — narrow the "
+                "matching with on(...)/ignoring(...)")).isNotNull(),
+        ).otherwise(F.col("n_series") == 2)
+    )
+    labels_back = a.select(
+        "__k", F.col("__kept").alias("labels")).dropDuplicates(["__k"])
     out = matched.join(labels_back, on="__k", how="inner").select(
         "labels", "schema", "zero_threshold", "zero_count", "count",
         "sum", "pos_offset", "pos_counts", "neg_offset", "neg_counts",
@@ -1170,11 +1208,13 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
                 return _hist_scalar_scale(rhs, lhs)
             if (isinstance(lhs, HistVector) and isinstance(rhs, HistVector)
                     and node.op in ("+", "-")):
-                if node.on or node.ignoring or node.group:
+                if node.group:
                     raise PromQLError(
-                        "histogram +/- supports exact label matching "
-                        "only (no on/ignoring/group modifiers)")
-                return _hist_hist_addsub(lhs, rhs, node.op)
+                        "histogram +/- is one-to-one only "
+                        "(no group_left/group_right)")
+                return _hist_hist_addsub(
+                    lhs, rhs, node.op,
+                    on=node.on, ignoring=node.ignoring)
             raise PromQLError(
                 f"binary {node.op} over native-histogram vectors is "
                 "undefined — supported: h*scalar, h/scalar, scalar*h, "

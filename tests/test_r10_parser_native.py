@@ -223,6 +223,44 @@ def test_histogram_algebra_refusals(spark, samples, nh):
 
     for q in ["increase(h[10m]) + 1",
               "increase(h[10m]) > increase(h[10m])",
-              'increase(h[10m]) + on(job) increase(h[10m])']:
+              "increase(h[10m]) + group_left increase(h[10m])"]:
         with pytest.raises(PromQLError):
             _eval(samples, nh, q)
+
+
+def test_histogram_add_on_ignoring(spark, samples, nh):
+    """on(...)/ignoring(...) matching for histogram +/-: ignoring(inst)
+    pairs a/1 with a/2 within job=a... no — one-to-one requires the
+    key unique PER SIDE; with both sides the full vector, job=a holds
+    two series and refuses (PromQL's many-to-many error). Narrowed
+    selectors make it one-to-one and the merge works."""
+    ok = _eval(
+        samples, nh,
+        'histogram_count(increase(h{inst="1",job="a"}[10m]) '
+        '+ ignoring(inst) increase(h{inst="2",job="a"}[10m]))')
+    (r,) = ok.collect()
+    assert dict(r["labels"]) == {"job": "a"}
+    assert r["value"] == pytest.approx(14.0)  # 8 + 6
+    ok2 = _eval(
+        samples, nh,
+        'histogram_count(increase(h{inst="1",job="a"}[10m]) '
+        '- on(job) increase(h{inst="2",job="a"}[10m]))')
+    (r2,) = ok2.collect()
+    assert dict(r2["labels"]) == {"job": "a"} and r2["value"] == 2.0
+    # many-to-many refuses loudly at evaluation
+    bad = _eval(samples, nh,
+                "histogram_count(increase(h[10m]) "
+                "+ on(job) increase(h[10m]))")
+    with pytest.raises(Exception, match="many-to-many"):
+        bad.collect()
+
+
+def test_histogram_default_matching_drops_name(spark, samples, nh):
+    """Default (no modifier) matching ignores __name__ and the result
+    labels drop it — the PromQL binop rule."""
+    out = _eval(samples, nh,
+                'histogram_count(increase(h{job="b"}[10m]) '
+                '+ increase(h{job="b"}[10m]))')
+    (r,) = out.collect()
+    assert "__name__" not in dict(r["labels"])
+    assert r["value"] == pytest.approx(16.0)
