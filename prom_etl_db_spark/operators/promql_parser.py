@@ -799,6 +799,14 @@ _NH_COLS = [
 ]
 
 
+def _nh_cols_of(df: DataFrame) -> list:
+    """The HistVector column contract for ``df`` — the dense frame
+    plus ``custom_values`` when the source carries NHCB rows
+    (boundaries are data and must ride every hop)."""
+    return _NH_COLS + (
+        ["custom_values"] if "custom_values" in df.columns else [])
+
+
 def _native_selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
     """Matched native-histogram samples: matchers → offset shift →
     fold metric_name into the labels map (series identity downstream
@@ -825,7 +833,7 @@ def _native_selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
             ),
         ),
     )
-    return df.select("ts", *_NH_COLS)
+    return df.select("ts", *_nh_cols_of(df))
 
 
 def _native_instant_vector(ctx: EvalContext, sel: Selector) -> HistVector:
@@ -847,7 +855,7 @@ def _native_instant_vector(ctx: EvalContext, sel: Selector) -> HistVector:
         keyed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
     )
-    return HistVector(latest.select(*_NH_COLS))
+    return HistVector(latest.select(*_nh_cols_of(latest)))
 
 
 def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
@@ -876,6 +884,8 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
             "labels", "schema", "zero_threshold", "zero_count",
             "count", "sum",
             "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in inc.columns
+              else []),
         )
         return HistVector(out)
     rates = NH.native_hist_rate(raw).where(F.col("dt_seconds") > 0)
@@ -892,6 +902,8 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
         F.col("pos_rates").alias("pos_counts"),
         "neg_offset",
         F.col("neg_rates").alias("neg_counts"),
+        *(["custom_values"] if "custom_values" in rates.columns
+          else []),
     )
     return HistVector(out)
 
@@ -913,6 +925,8 @@ def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:
         "neg_offset",
         F.transform(F.col("neg_counts"),
                     lambda c: c.cast("double") * kf).alias("neg_counts"),
+        *(["custom_values"] if "custom_values" in vec.df.columns
+          else []),
     )
     return HistVector(df)
 
@@ -955,7 +969,8 @@ def _hist_hist_addsub(
     a = lhs.df.withColumn("__kept", kept).withColumn("__k", key)
     b = (rhs.df if op == "+" else _hist_scalar_scale(rhs, -1.0).df
          ).withColumn("__k", key)
-    cols = ["__k"] + [c for c in _NH_COLS if c != "labels"]
+    cols = ["__k"] + [c for c in _nh_cols_of(lhs.df)
+                      if c != "labels"]
 
     # align count types across sides (a raw long side vs a float side)
     def norm(df, side):
@@ -970,6 +985,8 @@ def _hist_hist_addsub(
             "neg_offset",
             F.transform(F.col("neg_counts"), lambda c: c.cast("double"))
             .alias("neg_counts"),
+            *(["custom_values"] if "custom_values" in df.columns
+              else []),
             F.lit(side).alias("__s"),
         )
 
@@ -998,6 +1015,8 @@ def _hist_hist_addsub(
     out = matched.join(labels_back, on="__k", how="inner").select(
         "labels", "schema", "zero_threshold", "zero_count", "count",
         "sum", "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+        *(["custom_values"] if "custom_values" in matched.columns
+          else []),
     )
     return HistVector(out)
 
@@ -1028,7 +1047,8 @@ def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
         df = df.withColumn("__kept", kept).withColumn(
             "__k", F.to_json(F.array_sort(F.map_entries(F.col("__kept")))))
         merged = merge(
-            df.select("__k", *[c for c in _NH_COLS if c != "labels"]),
+            df.select("__k", *[c for c in _nh_cols_of(df)
+                               if c != "labels"]),
             ("__k",))
         labels_back = df.select(
             "__k", F.col("__kept").alias("labels")).dropDuplicates(["__k"])
@@ -1036,6 +1056,8 @@ def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
             "labels", "schema", "zero_threshold", "zero_count",
             "count", "sum", "pos_offset", "pos_counts",
             "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in merged.columns
+              else []),
         )
         return HistVector(out)
     by = tuple(node.by or ())
@@ -1045,7 +1067,7 @@ def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
         # sum(h): one global group — constant key, dropped after
         df = df.withColumn("__all", F.lit(1))
     keys = by if by else ("__all",)
-    merged = merge(df.select(*keys, *[c for c in _NH_COLS
+    merged = merge(df.select(*keys, *[c for c in _nh_cols_of(df)
                                       if c != "labels"]), tuple(keys))
     labels = (
         F.map_from_arrays(
@@ -1059,6 +1081,8 @@ def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
         labels.alias("labels"), "schema", "zero_threshold", "zero_count",
         "count", "sum", "pos_offset", "pos_counts",
         "neg_offset", "neg_counts",
+        *(["custom_values"] if "custom_values" in merged.columns
+          else []),
     ))
 
 
@@ -1502,7 +1526,30 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         if isinstance(v, HistVector):
             from prom_etl_db_spark.operators import native_hist as NH
 
-            out = NH.native_hist_quantile(v.df, _const(ctx, node.args[0]))
+            q = _const(ctx, node.args[0])
+            df = v.df
+            if "custom_values" in df.columns:
+                # NHCB rows (schema −53) take the CLASSIC linear rule
+                # via the le-mapping (their quantile is not the
+                # exponential estimator — the native evaluator refuses
+                # them by design); exponential rows keep the native
+                # walk. Split → evaluate each family with its rule →
+                # union. Both legs emit (labels, value).
+                exp = df.where(F.col("schema") != F.lit(-53))
+                nq = NH.native_hist_quantile(exp, q).select(
+                    "labels", F.col("quantile_value").alias("value"))
+                ble = NH.nhcb_to_le_buckets(
+                    df.where(F.col("schema") == F.lit(-53)))
+                buckets = ble.select(
+                    F.map_concat(
+                        F.col("labels"),
+                        F.create_map(F.lit("le"), F.col("le_cum.le")),
+                    ).alias("labels"),
+                    F.col("le_cum.cum").alias("value"),
+                )
+                cq = promql.histogram_quantile(buckets, q)
+                return nq.unionByName(cq)
+            out = NH.native_hist_quantile(df, q)
             return out.select(
                 "labels", F.col("quantile_value").alias("value"))
         return promql.histogram_quantile(v, _const(ctx, node.args[0]))

@@ -264,3 +264,30 @@ def test_histogram_default_matching_drops_name(spark, samples, nh):
     (r,) = out.collect()
     assert "__name__" not in dict(r["labels"])
     assert r["value"] == pytest.approx(16.0)
+
+
+def test_nhcb_quantile_from_string(spark, samples):
+    """A native_hists frame carrying CUSTOM-BUCKET rows (schema -53):
+    histogram_quantile splits per family — NHCB rows take the classic
+    linear le-rule, exponential rows the native walk — and the string
+    form serves both. NHCB hand walk: cv [1,2,4], counts [2,4,2,2]
+    (+Inf), target 5 crosses le=2 from cum 2 to 6 -> 1.75."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    schema = _SCHEMA + ", custom_values array<double>"
+    rows = [
+        Row(metric_name="h", labels={"kind": "nhcb"}, ts=T1, schema=-53,
+            zero_threshold=0.0, zero_count=0, count=10, sum=20.0,
+            pos_offset=0, pos_counts=[2, 4, 2, 2], neg_offset=0,
+            neg_counts=[], custom_values=[1.0, 2.0, 4.0]),
+        Row(metric_name="h", labels={"kind": "exp"}, ts=T1, schema=0,
+            zero_threshold=0.001, zero_count=0, count=13, sum=19.5,
+            pos_offset=0, pos_counts=[9, 4], neg_offset=0,
+            neg_counts=[], custom_values=None),
+    ]
+    nh = spark.createDataFrame(rows, schema)
+    out = eval_promql(samples, "histogram_quantile(0.5, h)", AT,
+                      native_hists=nh, native_metrics=frozenset({"h"}))
+    got = {r["labels"]["kind"]: r["value"] for r in out.collect()}
+    assert got["nhcb"] == pytest.approx(1.75)
+    assert got["exp"] == pytest.approx(2 ** (6.5 / 9 - 1))
