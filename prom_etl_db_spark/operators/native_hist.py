@@ -734,3 +734,69 @@ def native_hist_avg_by(
         *(["custom_values"] if has_cv else []),
         "n_series",
     )
+
+
+def native_hist_increase_range(
+    hist: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: "datetime",
+    end: "datetime",
+) -> DataFrame:
+    """RANGE-QUERY form of native-histogram ``increase()`` (r10): the
+    bucket-wise counter increase over a sliding ``[t − frame, t]``
+    window evaluated at every grid instant t = start, start+step, …,
+    ≤ end — the Grafana per-step pattern the instant form can't
+    express, completing the native family's parity with the classic
+    ``increase_range``.
+
+    Semantics are the instant operator's, per grid instant: endpoint
+    snapshot (earliest/latest in-window sample), schema downscale,
+    offset-aligned subtraction on BOTH sides, the reset rule, the
+    count/sum/zero_threshold carry — all literally `native_hist_
+    increase` with the grid instant appended to the series key.
+    Windows holding fewer than two samples DROP (Prometheus's
+    two-points rule — a dashboard expects the step absent, not a
+    zero histogram). Window bounds are inclusive on both ends, the
+    instant native convention.
+
+    Plan: the EXPLODE strategy — each sample fans onto the ≤
+    frame/step grid instants whose window contains it (a pure-Column
+    sequence, no driver loop), then ONE hash aggregation keyed on
+    (series, instant). Row amplification is frame/step, the same
+    cost shape `promql.increase_range(method='explode')` documents;
+    the classic family's difference-array rewrite does not port —
+    bucket arrays lack the scalar pair-contribution decomposition —
+    so the amplification bound is the honest contract. Output: the
+    increase shape plus ``bucket_start`` (timestamp)."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_s = int(parse_duration(frame).total_seconds())
+    step_s = int(parse_duration(step).total_seconds())
+    if frame_s < 1 or step_s < 1:
+        raise ValueError("frame and step must be >= 1s")
+    start_s, end_s = int(start.timestamp()), int(end.timestamp())
+    n = (end_s - start_s) // step_s
+    ts_s = F.unix_timestamp(F.col("ts"))
+    k_lo = F.greatest(
+        F.ceil((ts_s - F.lit(start_s)).cast("double") / F.lit(step_s))
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
+    k_hi = F.least(
+        F.floor(
+            (ts_s + F.lit(frame_s) - F.lit(start_s)).cast("double")
+            / F.lit(step_s)
+        ).cast("long"),
+        F.lit(int(n)).cast("long"),
+    )
+    ex = hist.where(k_lo <= k_hi).select(
+        "*", F.explode(F.sequence(k_lo, k_hi)).alias("__k")
+    ).withColumn(
+        "bucket_start",
+        F.timestamp_seconds(F.lit(start_s) + F.col("__k") * F.lit(step_s)),
+    ).drop("__k")
+    out = native_hist_increase(ex, extra_keys=("bucket_start",))
+    return out.where(F.col("dt_seconds") > 0)

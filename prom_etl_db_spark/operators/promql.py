@@ -2886,11 +2886,17 @@ def _nh_downscale(
     )
 
 
-def native_hist_increase(hist: DataFrame) -> DataFrame:
+def native_hist_increase(
+    hist: DataFrame, *, extra_keys: Sequence[str] = ()
+) -> DataFrame:
     """PromQL ``increase()`` over NATIVE-histogram series (r8): per
     series, the bucket-wise count increase between the earliest and
     latest sample — Prometheus's counter semantics lifted to whole
-    histograms (promql native-histogram rate/increase):
+    histograms (promql native-histogram rate/increase).
+    ``extra_keys`` (r10) appends partition columns to the series key —
+    the range-query grid form groups on (series, grid instant) and
+    reuses this exact aggregation; the columns pass through to the
+    output. Semantics:
 
     - bucket arrays are ALIGNED on absolute bucket indices first (a
       growing histogram adds buckets on either side, shifting
@@ -2961,7 +2967,7 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
     if has_cv:
         snap_cols.append("custom_values")
     snap = F.struct(*snap_cols)
-    g = keyed.groupBy("__series").agg(
+    g = keyed.groupBy("__series", *extra_keys).agg(
         F.min_by(snap, F.col("ts")).alias("a"),
         F.max_by(snap, F.col("ts")).alias("b"),
     )
@@ -3075,6 +3081,7 @@ def native_hist_increase(hist: DataFrame) -> DataFrame:
         ]
     return g.select(
         F.map_from_entries("__series").alias("labels"),
+        *extra_keys,
         "schema",
         reset.alias("reset"),
         F.when(reset, b["zero_count"])

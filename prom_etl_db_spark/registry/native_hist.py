@@ -1460,3 +1460,111 @@ def promql_parsed_hist_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels")["etype"].alias("etype"),
         F.round("value", 4).alias("count_2x"),
     )
+
+
+@register(
+    "native_hist_grid_increase",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 5 + 1 AS BIGINT) AS g1x,
+    CAST(user_id % 2 + 1 AS BIGINT) AS g1y,
+    CAST(user_id % 3 + 1 AS BIGINT) AS g2x,
+    CAST(user_id % 4 + 1 AS BIGINT) AS g2y,
+    CAST(user_id % 3 AS BIGINT) AS zg1,
+    CAST(user_id % 2 AS BIGINT) AS zg2
+  FROM events
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  unnest([1, 1, 2, 2]) AS step_i,
+  unnest([zg1, zg1, zg1 + zg2, zg1 + zg2]) AS zero_inc,
+  unnest([o, o + 1, o, o + 1]) AS idx,
+  unnest([g1x, g1y, g1x + g2x, g1y + g2y]) AS inc
+FROM h
+""",
+)
+def native_hist_grid_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-QUERY native-histogram increase (r10 —
+    ``NH.native_hist_increase_range``): three wire pushes per series
+    300 s apart, evaluated on a two-instant grid (step 300 s, frame
+    600 s): instant 1's window holds pushes 1–2 (per-bucket increase =
+    the first growth), instant 2's holds pushes 1–3 (the two growths
+    summed — endpoint semantics, the instant operator's documented
+    convention). Growth-only fixture (reset-on-grid is
+    ``native_hist_neg_increase``'s axis). Plan: pure-Column grid
+    explode (amplification frame/step = 2) → ONE hash agg keyed on
+    (series, instant) — the instant operator's plan with the grid in
+    the key."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            g1 = (u % 5 + 1, u % 2 + 1)
+            g2 = (u % 3 + 1, u % 4 + 1)
+            z1 = u % 2
+            o = u % 4 - 1
+            counts = [
+                ([c, d], z1),
+                ([c + g1[0], d + g1[1]], z1 + u % 3),
+                ([c + g1[0] + g2[0], d + g1[1] + g2[1]],
+                 z1 + u % 3 + u % 2),
+            ]
+            hs = []
+            for i, (cc, z) in enumerate(counts):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"),
+        "zero_count", "pos_offset", "pos_counts",
+    )
+
+    def utc(ms):
+        return datetime.fromtimestamp(
+            ms / 1000, tz=timezone.utc).replace(tzinfo=None)
+
+    grid = NH.native_hist_increase_range(
+        pts, frame="10m", step="5m",
+        start=utc(t0 + 300000), end=utc(t0 + 600000))
+    ex = grid.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["__name__"].alias("metric_name"),
+        ((F.unix_timestamp("bucket_start") - F.lit(t0 // 1000 + 300))
+         / F.lit(300) + 1).cast("bigint").alias("step_i"),
+        F.col("zero_count").alias("zero_inc"),
+        F.col("pos_offset"),
+        F.posexplode("pos_counts").alias("__i", "inc"),
+    )
+    return ex.select(
+        "push_id", "metric_name", "step_i", "zero_inc",
+        (F.col("pos_offset") + F.col("__i")).alias("idx"),
+        "inc",
+    )

@@ -142,3 +142,39 @@ def test_rate_carries_neg_rates(spark):
     (r,) = native_hist_rate(_nh_df(spark, rows)).collect()
     assert r["pos_rates"][0] == pytest.approx(3 / 300)
     assert r["neg_rates"][0] == pytest.approx(6 / 300)
+
+
+def test_increase_range_grid_windows(spark):
+    """The grid form: per instant, the endpoint increase over
+    [t-frame, t] inclusive; single-sample windows drop."""
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators.native_hist import (
+        native_hist_increase_range,
+    )
+
+    t = lambda m: datetime(2024, 1, 29, 0, m)  # noqa: E731
+    rows = [
+        Row(labels={"n": "s"}, ts=t(0), schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1, 1],
+            neg_offset=0, neg_counts=[]),
+        Row(labels={"n": "s"}, ts=t(5), schema=0, zero_count=1,
+            pos_offset=0, pos_counts=[3, 2],
+            neg_offset=0, neg_counts=[]),
+        Row(labels={"n": "s"}, ts=t(10), schema=0, zero_count=1,
+            pos_offset=0, pos_counts=[4, 6],
+            neg_offset=0, neg_counts=[]),
+    ]
+    df = _nh_df(spark, rows)
+    out = native_hist_increase_range(
+        df, frame="10m", step="5m", start=t(5), end=t(15))
+    got = {r["bucket_start"].minute: (list(r["pos_counts"]),
+                                      r["zero_count"])
+           for r in out.collect()}
+    # t=:05 covers samples @0,@5 → [2,1]; t=:10 covers @0..@10 → [3,5];
+    # t=:15 covers @5,@10 → [1,4]
+    assert got == {5: ([2, 1], 1), 10: ([3, 5], 1), 15: ([1, 4], 0)}
+    # a grid whose every window holds <2 samples yields nothing
+    out2 = native_hist_increase_range(
+        df, frame="2m", step="5m", start=t(5), end=t(15))
+    assert out2.count() == 0
