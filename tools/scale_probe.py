@@ -1450,6 +1450,29 @@ def probe_depth(spark, n_series: int, depths: list[int]) -> None:
                 sl_pts, frame="30m", step="1m",
                 start=start, end=end, method="buckets"),
             F.col("vmax") + F.col("vmin"))
+
+        # the r10 grid form of native-histogram increase: explode
+        # amplification is frame/step (30, fixed), so time should track
+        # points-per-series linearly on this axis
+        from prom_etl_db_spark.operators import native_hist as NHx
+
+        nh_pts = pts.select(
+            F.create_map(F.lit("__name__"), F.col("metric_name"))
+            .alias("labels"),
+            F.timestamp_millis(
+                F.lit(t0_ms) + F.col("i").cast("long") * 60_000)
+            .alias("ts"),
+            F.lit(0).cast("int").alias("schema"),
+            (F.col("sid") % 3).cast("bigint").alias("zero_count"),
+            ((F.col("i") % 5) - F.lit(2)).cast("int").alias("pos_offset"),
+            bcounts.alias("pos_counts"),
+        )
+        run("native_hist_grid_increase",
+            NHx.native_hist_increase_range(
+                nh_pts, frame="30m", step="1m",
+                start=start, end=end),
+            F.aggregate(F.col("pos_counts"), F.lit(0).cast("bigint"),
+                        lambda a2, x: a2 + x) + F.col("zero_count"))
         results[d] = times
     d0, dN = depths[0], depths[-1]
     print(f"\n{'op':24s} " + " ".join(f"d={d:>5d}" for d in depths)
