@@ -46,10 +46,48 @@ from prom_etl_db_spark.timeparse import RelativeTimeParser, parse_duration
 __all__ = ["evaluate_config_query", "execute_config_query"]
 
 
+def _names_native_metric(node, nset: frozenset) -> bool:
+    """True iff any selector in the AST names a native-histogram
+    metric — the range-mode guard (stream-mode native evaluation is
+    not built; a native name silently matching nothing in the scalar
+    store would be the worst failure mode)."""
+    from prom_etl_db_spark.operators.promql_parser import Agg, BinOp
+
+    if isinstance(node, Selector):
+        return node.name is not None and node.name in nset
+    if isinstance(node, Agg):
+        kids = [node.expr] + (
+            [node.param] if node.param is not None else [])
+    elif isinstance(node, Call):
+        kids = node.args
+    elif isinstance(node, BinOp):
+        kids = [node.lhs, node.rhs]
+    else:
+        return False
+    return any(
+        _names_native_metric(k, nset)
+        for k in kids if not isinstance(k, (str, float, int)))
+
+
 def evaluate_config_query(
-    samples: DataFrame, cfg: QueryConfig, *, now: datetime
+    samples: DataFrame,
+    cfg: QueryConfig,
+    *,
+    now: datetime,
+    native_hists: "DataFrame | None" = None,
+    native_metrics: "frozenset | None" = None,
 ) -> tuple[DataFrame, str]:
     """Resolve the config's time range and evaluate its PromQL text.
+
+    ``native_hists`` (r10): the wire decoders' dense native-histogram
+    frame — INSTANT configs whose query strings name native metrics
+    evaluate through the parser's native routing (a reference user's
+    ``histogram_quantile(0.9, sum by (job) (rate(h[5m])))`` config row
+    runs unchanged and stores a float vector). Range-mode configs over
+    native metrics refuse loudly (stream-mode native evaluation is not
+    built — run per-step instant executions); so does a config whose
+    result IS a histogram vector (records store floats — collapse with
+    histogram_quantile/count/... in the query).
 
     Returns (result, result_type): instant/scalar → one row per series
     with ``timestamp`` = the resolved evaluation time; range → one row
@@ -69,7 +107,27 @@ def evaluate_config_query(
     parser = RelativeTimeParser(now)
     node = parse(cfg.query)
 
+    nset = frozenset()
+    if native_hists is not None:
+        if native_metrics is not None:
+            nset = frozenset(native_metrics)
+        else:
+            nset = frozenset(
+                r[0] for r in
+                native_hists.select("metric_name").distinct().collect()
+                if r[0] is not None
+            )
+
     if cfg.time_range_type == "range":
+        if nset and _names_native_metric(node, nset):
+            from prom_etl_db_spark.operators.promql_parser import (
+                PromQLError,
+            )
+
+            raise PromQLError(
+                f"config {cfg.query_id!r}: range-mode evaluation over "
+                "native-histogram metrics is unsupported — run per-step "
+                "instant executions")
         if not (cfg.time_range_start and cfg.time_range_end):
             # silently degrading to an instant query would store
             # wrong-shaped data for a misconfigured row — fail loudly
@@ -214,7 +272,22 @@ def evaluate_config_query(
         )
 
     at = parser.parse(cfg.time_range_time or "now")
-    out = evaluate(EvalContext(samples, at), node)
+    out = evaluate(
+        EvalContext(
+            samples, at, native_hists=native_hists, native_metrics=nset
+        ),
+        node,
+    )
+    from prom_etl_db_spark.operators.promql_parser import (
+        HistVector,
+        PromQLError,
+    )
+
+    if isinstance(out, HistVector):
+        raise PromQLError(
+            f"config {cfg.query_id!r}: the query returns a "
+            "native-histogram vector — records store floats; collapse "
+            "with histogram_quantile/histogram_count/... in the query")
     if isinstance(out, ScalarStream):
         # top-level scalar() — a data-dependent scalar result: stored as
         # one label-less record (Prometheus's scalar resultType), still
@@ -252,6 +325,8 @@ def execute_config_query(
     audit_path: str | None = None,
     mode: str = "append",
     audit_clock: Callable[[], datetime] = datetime.utcnow,
+    native_hists: "DataFrame | None" = None,
+    native_metrics: "frozenset | None" = None,
 ) -> DataFrame:
     """Full per-execution lifecycle: evaluate → MetricRecord projection →
     (optionally) day-partitioned append + audit record. Returns the
@@ -274,7 +349,9 @@ def execute_config_query(
         # silently dropping it on a dry-run would hide executions from
         # the A16 trail
         raise ValueError("audit_path requires store_path (audits record writes)")
-    result, result_type = evaluate_config_query(samples, cfg, now=now)
+    result, result_type = evaluate_config_query(
+        samples, cfg, now=now,
+        native_hists=native_hists, native_metrics=native_metrics)
     # A8 metric-name rule (executor.go:232-235): a BARE selector's wire
     # result carries __name__ — store the real metric name, exactly like
     # the ingest path's coalesce(metric['__name__'], query_id). Computed

@@ -291,3 +291,52 @@ def test_nhcb_quantile_from_string(spark, samples):
     got = {r["labels"]["kind"]: r["value"] for r in out.collect()}
     assert got["nhcb"] == pytest.approx(1.75)
     assert got["exp"] == pytest.approx(2 ** (6.5 / 9 - 1))
+
+
+def test_executor_config_over_native_metric(spark, samples, nh):
+    """The reference's config-driven path: an INSTANT config whose
+    PromQL string names a native metric evaluates through the native
+    routing and projects storable float records; range-mode and
+    bare-histogram-result configs refuse loudly."""
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import (
+        evaluate_config_query,
+        execute_config_query,
+    )
+    from prom_etl_db_spark.operators.promql_parser import PromQLError
+
+    cfg = QueryConfig(
+        query_id="nh1", name="p50",
+        query="histogram_quantile(0.5, sum by (job) (rate(h[10m])))",
+        time_range_type="instant", time_range_time="now",
+    )
+    out, rtype = evaluate_config_query(
+        samples, cfg, now=AT,
+        native_hists=nh, native_metrics=frozenset({"h"}))
+    assert rtype == "instant"
+    got = {r["labels"]["job"]: r["value"] for r in out.collect()}
+    assert got["a"] == pytest.approx(2 ** -0.75)
+    # full lifecycle (dry-run): computed vector -> query_id metric name
+    rec = execute_config_query(
+        spark, samples, cfg, now=AT,
+        native_hists=nh, native_metrics=frozenset({"h"}))
+    assert {r["metric_name"] for r in rec.collect()} == {"nh1"}
+    # range mode over a native metric refuses
+    rcfg = QueryConfig(
+        query_id="nh2", name="r", query="rate(h[10m])",
+        time_range_type="range", time_range_start="-1h",
+        time_range_end="now", time_range_step="5m",
+    )
+    with pytest.raises(PromQLError, match="range-mode"):
+        evaluate_config_query(
+            samples, rcfg, now=AT,
+            native_hists=nh, native_metrics=frozenset({"h"}))
+    # a bare histogram-vector result refuses (records store floats)
+    hcfg = QueryConfig(
+        query_id="nh3", name="bare", query="rate(h[10m])",
+        time_range_type="instant", time_range_time="now",
+    )
+    with pytest.raises(PromQLError, match="histogram"):
+        evaluate_config_query(
+            samples, hcfg, now=AT,
+            native_hists=nh, native_metrics=frozenset({"h"}))
