@@ -800,3 +800,44 @@ def native_hist_increase_range(
     ).drop("__k")
     out = native_hist_increase(ex, extra_keys=("bucket_start",))
     return out.where(F.col("dt_seconds") > 0)
+
+
+def native_hist_rate_range(
+    hist: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: "datetime",
+    end: "datetime",
+) -> DataFrame:
+    """RANGE-QUERY ``rate()`` over native histograms: the per-second
+    FLOAT histogram at every grid instant — ``native_hist_increase_
+    range``'s counter-corrected increase with every component divided
+    by the observed window span (the instant ``native_hist_rate``
+    convention, per grid instant; dt is last−first inside each window,
+    exact-over-stored-data like the scalar rate family). Pure Column
+    over the grid increase — no additional shuffle."""
+    inc = native_hist_increase_range(
+        hist, frame=frame, step=step, start=start, end=end)
+    dt = F.col("dt_seconds").cast("double")
+    safe = F.when(dt > 0, dt)
+    has_neg = "neg_counts" in inc.columns
+    return inc.select(
+        "labels",
+        "bucket_start",
+        "schema",
+        "reset",
+        F.col("pos_offset"),
+        F.transform(
+            F.col("pos_counts"), lambda c: c.cast("double") / safe
+        ).alias("pos_rates"),
+        *([
+            F.col("neg_offset"),
+            F.transform(
+                F.col("neg_counts"), lambda c: c.cast("double") / safe
+            ).alias("neg_rates"),
+        ] if has_neg else []),
+        (F.col("zero_count").cast("double") / safe).alias("zero_rate"),
+        "dt_seconds",
+        *(["custom_values"] if "custom_values" in inc.columns else []),
+    )

@@ -178,3 +178,29 @@ def test_increase_range_grid_windows(spark):
     out2 = native_hist_increase_range(
         df, frame="2m", step="5m", start=t(5), end=t(15))
     assert out2.count() == 0
+
+
+def test_rate_range_divides_per_instant(spark):
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators.native_hist import (
+        native_hist_rate_range,
+    )
+
+    t = lambda m: datetime(2024, 1, 29, 0, m)  # noqa: E731
+    rows = [
+        Row(labels={"n": "s"}, ts=t(0), schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1], neg_offset=0, neg_counts=[]),
+        Row(labels={"n": "s"}, ts=t(5), schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[4], neg_offset=0, neg_counts=[]),
+        Row(labels={"n": "s"}, ts=t(10), schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[6], neg_offset=0, neg_counts=[]),
+    ]
+    out = native_hist_rate_range(
+        _nh_df(spark, rows), frame="10m", step="5m",
+        start=t(5), end=t(10))
+    got = {r["bucket_start"].minute: r["pos_rates"][0]
+           for r in out.collect()}
+    # t=:05 → inc 3 over 300 s; t=:10 → inc 5 over 600 s
+    assert got[5] == pytest.approx(3 / 300)
+    assert got[10] == pytest.approx(5 / 600)
