@@ -1560,8 +1560,28 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         if isinstance(v, HistVector):
             from prom_etl_db_spark.operators import native_hist as NH
 
-            out = NH.native_hist_fraction(
-                v.df, _const(ctx, node.args[0]), _const(ctx, node.args[1]))
+            flo = _const(ctx, node.args[0])
+            fhi = _const(ctx, node.args[1])
+            df = v.df
+            if "custom_values" in df.columns:
+                # same per-family split as histogram_quantile (r10):
+                # NHCB rows take the classic linear CDF via the
+                # le-mapping, exponential rows the native clamp-sum
+                exp = df.where(F.col("schema") != F.lit(-53))
+                nf = NH.native_hist_fraction(exp, flo, fhi).select(
+                    "labels", F.col("fraction_value").alias("value"))
+                ble = NH.nhcb_to_le_buckets(
+                    df.where(F.col("schema") == F.lit(-53)))
+                buckets = ble.select(
+                    F.map_concat(
+                        F.col("labels"),
+                        F.create_map(F.lit("le"), F.col("le_cum.le")),
+                    ).alias("labels"),
+                    F.col("le_cum.cum").alias("value"),
+                )
+                cf = promql.histogram_fraction(buckets, flo, fhi)
+                return nf.unionByName(cf)
+            out = NH.native_hist_fraction(df, flo, fhi)
             return out.select(
                 "labels", F.col("fraction_value").alias("value"))
         return promql.histogram_fraction(

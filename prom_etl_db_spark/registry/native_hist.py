@@ -1568,3 +1568,91 @@ def native_hist_grid_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos_offset") + F.col("__i")).alias("idx"),
         "inc",
     )
+
+
+@register(
+    "promql_parsed_hist_matching",
+    oracle="""
+SELECT event_id AS push_id, event_type AS etype,
+  round(CAST(user_id % 3 + user_id % 5 + 1 + user_id % 2 + 1
+        AS DOUBLE), 4) AS cnt
+FROM events
+""",
+)
+def promql_parsed_hist_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ignoring(...) vector matching for histogram arithmetic, from a
+    string (r10):
+
+        histogram_count(increase(gpu_hist[10m]) * 2
+                        - ignoring(user) increase(gpu_hist[10m]))
+
+    — the match key is each series' labels minus ``user`` (and
+    ``__name__``), {etype, eid}: unique per side (eid is the event id),
+    so the one-to-one merge pairs every series with itself across the
+    two arms and 2h − h = h. The many-to-many refusal for non-unique
+    keys is unit-pinned (tests/test_r10_parser_native.py). Same wire
+    fixture as promql_parsed_native_quantile; oracle = the per-event
+    count increase gz + gc + gd in closed form."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        t0 = 1706572800000
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            gc, gd = u % 5 + 1, u % 2 + 1
+            z1 = u % 2 + 1
+            o = u % 4 - 1
+            hs = []
+            for i, (counts, z) in enumerate(
+                    (([c, d], z1), ([c + gc, d + gd], z1 + u % 3))):
+                hs.append({
+                    "schema": len(str(n)) % 2,
+                    "zero_threshold": 0.001,
+                    "zero_count": z,
+                    "count": z + sum(counts),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [counts[0], counts[1] - counts[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "gpu_hist", "etype": n,
+                             "eid": str(int(e)), "user": str(u)},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    at = datetime.fromtimestamp(1706572800 + 360, tz=timezone.utc).replace(
+        tzinfo=None)
+    out = eval_promql(
+        samples,
+        "histogram_count(increase(gpu_hist[10m]) * 2"
+        " - ignoring(user) increase(gpu_hist[10m]))",
+        at,
+        native_hists=nh,
+        native_metrics=frozenset({"gpu_hist"}),
+    )
+    return out.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["etype"].alias("etype"),
+        F.round("value", 4).alias("cnt"),
+    )

@@ -947,3 +947,58 @@ def stream_native_hist_rollup(
     )
     out = streaming_native_hist_sum(keyed)
     return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)
+
+
+def stream_exemplar_report(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exemplar → rate-window report streaming twin (r10): remote-write
+    2.0 payloads drain through BOTH v2 decodes — samples and exemplars
+    — interleaved into one per-series stream (kind 's'/'e'), and the
+    stateful fold keeps the window endpoints + folded exemplar stats +
+    a bounded pending set (`stateful._fold_exemplar_report`). Batch
+    twin: the ``exemplar_rate_report`` registry query over the same
+    payloads. Parquet sink appends each batch's report rows with the
+    batch id (latest batch per series is the current report)."""
+    from prom_etl_db_spark.functions.remote_write import (
+        remote_write_v2_exemplars,
+        remote_write_v2_samples,
+    )
+    from prom_etl_db_spark.streaming.stateful import (
+        _start_parquet_sink,
+        streaming_exemplar_report,
+    )
+
+    raw = (
+        spark.readStream.schema(REMOTE_WRITE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+
+    def keyed():
+        # unbound F.col — resolves against whichever decode output the
+        # select applies to (both carry labels + metric_name)
+        return F.to_json(F.array_sort(F.map_entries(F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ))))
+
+    samples = remote_write_v2_samples(raw).select(
+        keyed().alias("series"),
+        F.lit("s").alias("kind"),
+        F.col("timestamp_ms"),
+        F.col("value"),
+    )
+    exemplars = remote_write_v2_exemplars(raw).select(
+        keyed().alias("series"),
+        F.lit("e").alias("kind"),
+        F.col("timestamp_ms"),
+        F.col("value"),
+    )
+    out = streaming_exemplar_report(samples.unionByName(exemplars))
+    return _start_parquet_sink(out, sink_dir, checkpoint_dir, available_now)

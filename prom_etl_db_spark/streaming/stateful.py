@@ -2024,3 +2024,144 @@ def streaming_native_hist_sum(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming exemplar -> rate-window report (r10) ---------------------------
+
+EXEMPLAR_REPORT_STATE_SCHEMA = StructType(
+    [
+        StructField("first_ts", LongType(), True),
+        StructField("first_value", DoubleType(), True),
+        StructField("last_ts", LongType(), True),
+        StructField("last_value", DoubleType(), True),
+        StructField("n_ex", LongType(), True),
+        StructField("ex_min", DoubleType(), True),
+        StructField("ex_max", DoubleType(), True),
+        StructField("ex_sum", DoubleType(), True),
+        StructField("pend_ts", ArrayType(LongType()), True),
+        StructField("pend_v", ArrayType(DoubleType()), True),
+        StructField("n_stale", LongType(), True),
+    ]
+)
+
+EXEMPLAR_REPORT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("first_ts", LongType(), True),
+        StructField("last_ts", LongType(), True),
+        StructField("reset", BooleanType(), True),
+        StructField("increase", DoubleType(), True),
+        StructField("rate_per_sec", DoubleType(), True),
+        StructField("n_exemplars", LongType(), True),
+        StructField("exemplar_min", DoubleType(), True),
+        StructField("exemplar_max", DoubleType(), True),
+        StructField("exemplar_mean", DoubleType(), True),
+        StructField("sampling_ratio", DoubleType(), True),
+        StructField("n_stale_exemplars", LongType(), True),
+    ]
+)
+
+#: exemplars newer than the window's latest sample held for later
+#: admission — bounded, the _TsDupGuard state-bounding rule
+_EX_PENDING_CAP = 256
+
+
+def _fold_exemplar_report(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``operators.exemplars.exemplar_rate_report``
+    (r10): one interleaved stream per series carrying SAMPLE rows
+    (kind 's') and EXEMPLAR rows (kind 'e'). State holds the window
+    endpoints (earliest/latest sample with values), the folded
+    exemplar stats, and a BOUNDED pending set for exemplars newer
+    than the current latest sample (they enter the window when a
+    later sample extends it; beyond ``_EX_PENDING_CAP`` the fold
+    refuses loudly — unbounded retention is the hazard the delta
+    folds' dup guard also bounds). Exemplars OLDER than the earliest
+    sample are counted ``n_stale`` and excluded permanently — the one
+    documented divergence from the batch operator: a late
+    OUT-OF-ORDER sample that extends the window backward cannot
+    resurrect an already-staled exemplar (bounded state beats exact
+    replay of arbitrary disorder; the batch twin over the full frame
+    is the exact form). Emits the current report once per batch."""
+    (series,) = key
+    if state.exists:
+        (f_ts, f_v, l_ts, l_v, n_ex, ex_min, ex_max, ex_sum,
+         pend_ts, pend_v, n_stale) = state.get
+        pend = list(zip(pend_ts or [], pend_v or []))
+    else:
+        f_ts = f_v = l_ts = l_v = None
+        n_ex, ex_min, ex_max, ex_sum, n_stale = 0, None, None, 0.0, 0
+        pend = []
+    chunks = [pdf[["kind", "timestamp_ms", "value"]] for pdf in pdfs]
+    if chunks:
+        allr = pd.concat(chunks).sort_values("timestamp_ms",
+                                             kind="mergesort")
+        for kind, ts, v in zip(allr["kind"], allr["timestamp_ms"],
+                               allr["value"]):
+            ts_i, v_f = int(ts), float(v)
+            if kind == "s":
+                if f_ts is None or ts_i < f_ts:
+                    f_ts, f_v = ts_i, v_f
+                if l_ts is None or ts_i > l_ts:
+                    l_ts, l_v = ts_i, v_f
+            else:
+                pend.append((ts_i, v_f))
+        # admit pending exemplars against the (possibly grown) window
+        still = []
+        for ts_i, v_f in pend:
+            if f_ts is not None and f_ts <= ts_i <= l_ts:
+                n_ex += 1
+                ex_min = v_f if ex_min is None else min(ex_min, v_f)
+                ex_max = v_f if ex_max is None else max(ex_max, v_f)
+                ex_sum += v_f
+            elif f_ts is not None and ts_i < f_ts:
+                n_stale += 1
+            else:
+                still.append((ts_i, v_f))
+        if len(still) > _EX_PENDING_CAP:
+            raise ValueError(
+                "stream_exemplar_report: more than "
+                f"{_EX_PENDING_CAP} exemplars pending ahead of the "
+                f"latest sample for series ({series}) — the exemplar "
+                "feed is running ahead of the sample feed")
+        pend = still
+    state.update((
+        f_ts, f_v, l_ts, l_v, n_ex, ex_min, ex_max, ex_sum,
+        [t for t, _ in pend], [v for _, v in pend], n_stale,
+    ))
+    if f_ts is None:
+        yield pd.DataFrame(
+            {c.name: pd.Series(dtype="object")
+             for c in EXEMPLAR_REPORT_OUTPUT_SCHEMA.fields})
+        return
+    reset = l_v < f_v
+    inc = l_v if reset else l_v - f_v
+    dt = (l_ts - f_ts) / 1000.0
+    yield pd.DataFrame({
+        "series": [series],
+        "first_ts": [f_ts],
+        "last_ts": [l_ts],
+        "reset": [bool(reset)],
+        "increase": [inc],
+        "rate_per_sec": [inc / dt if dt > 0 else None],
+        "n_exemplars": [n_ex],
+        "exemplar_min": [ex_min],
+        "exemplar_max": [ex_max],
+        "exemplar_mean": [ex_sum / n_ex if n_ex else None],
+        "sampling_ratio": [n_ex / inc if inc > 0 else None],
+        "n_stale_exemplars": [n_stale],
+    })
+
+
+def streaming_exemplar_report(rows: DataFrame) -> DataFrame:
+    """Stream-transform: per-series exemplar -> rate-window report.
+    ``rows`` is a STREAMING DataFrame shaped (series string, kind
+    string 's'|'e', timestamp_ms long, value double)."""
+    return rows.groupBy("series").applyInPandasWithState(
+        _fold_exemplar_report,
+        outputStructType=EXEMPLAR_REPORT_OUTPUT_SCHEMA,
+        stateStructType=EXEMPLAR_REPORT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

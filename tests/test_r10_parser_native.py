@@ -340,3 +340,30 @@ def test_executor_config_over_native_metric(spark, samples, nh):
         evaluate_config_query(
             samples, hcfg, now=AT,
             native_hists=nh, native_metrics=frozenset({"h"}))
+
+
+def test_nhcb_fraction_from_string(spark, samples):
+    """histogram_fraction splits per family too: NHCB rows take the
+    classic linear CDF. cv [1,2,4], counts [2,4,2,2], count 10 →
+    fraction(0, 2) = cum(2)/10 = 6/10."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    schema = _SCHEMA + ", custom_values array<double>"
+    rows = [
+        Row(metric_name="h", labels={"kind": "nhcb"}, ts=T1, schema=-53,
+            zero_threshold=0.0, zero_count=0, count=10, sum=20.0,
+            pos_offset=0, pos_counts=[2, 4, 2, 2], neg_offset=0,
+            neg_counts=[], custom_values=[1.0, 2.0, 4.0]),
+        Row(metric_name="h", labels={"kind": "exp"}, ts=T1, schema=0,
+            zero_threshold=0.001, zero_count=0, count=13, sum=19.5,
+            pos_offset=0, pos_counts=[9, 4], neg_offset=0,
+            neg_counts=[], custom_values=None),
+    ]
+    nh = spark.createDataFrame(rows, schema)
+    out = eval_promql(samples, "histogram_fraction(0, 2, h)", AT,
+                      native_hists=nh, native_metrics=frozenset({"h"}))
+    got = {r["labels"]["kind"]: r["value"] for r in out.collect()}
+    assert got["nhcb"] == pytest.approx(0.6)
+    # exp leg: clamp-sum CDF — bucket 0 (0.5,1] full (9), bucket 1
+    # (1,2] full (4) → 13/13
+    assert got["exp"] == pytest.approx(1.0)

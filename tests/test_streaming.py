@@ -1977,3 +1977,78 @@ def test_streaming_native_hist_rollup_matches_batch_across_restart(
         finally:
             if q3.exception() is not None:
                 raise q3.exception()
+
+
+def test_streaming_exemplar_report_matches_batch_across_restart(
+        spark, tmp_path):
+    """r10 twin: the exemplar → rate-window report on a stream must
+    equal the batch operator over the same payloads, resume from the
+    checkpoint, and ADMIT a pending exemplar (newer than the window
+    at its arrival) once a later sample extends the window past it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.exemplars import exemplar_rate_report
+    from prom_etl_db_spark.streaming.jobs import stream_exemplar_report
+
+    T0 = 1706572800000
+
+    def payload(eid, samples, exemplars):
+        return RW.snappy_compress(RW.encode_write_request_v2(
+            [{"labels": {"__name__": "m", "eid": str(eid)},
+              "samples": samples,
+              "exemplars": [
+                  {"labels": {"trace_id": f"t{i}"}, "value": v,
+                   "timestamp": ts}
+                  for i, (v, ts) in enumerate(exemplars)]}]))
+
+    # batch 1: window [T0, T0+300s]; one in-window exemplar, one
+    # PENDING exemplar at T0+400s (newer than the window), one stale
+    rows1 = [(1, payload("a", [(2.0, T0), (8.0, T0 + 300000)],
+                         [(5.0, T0 + 100000),
+                          (7.0, T0 + 400000),
+                          (9.0, T0 - 60000)]))]
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame(rows1, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q = stream_exemplar_report(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    mid = spark.read.parquet(str(sink)).orderBy(F.desc("batch_id")).first()
+    assert mid["n_exemplars"] == 1          # only the in-window one
+    assert mid["n_stale_exemplars"] == 1
+
+    # batch 2 (after restart): a later sample extends the window past
+    # the pending exemplar — it must fold in now
+    rows2 = [(2, payload("a", [(11.0, T0 + 600000)], []))]
+    spark.createDataFrame(rows2, "push_id long, body binary").write.mode(
+        "append").parquet(str(src))
+    q2 = stream_exemplar_report(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink))
+    w = Window.partitionBy("series").orderBy(
+        F.desc("batch_id"), F.desc("last_ts"))
+    final = got.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1).first()
+    assert final["n_exemplars"] == 2
+    assert final["increase"] == 9.0
+    assert final["exemplar_mean"] == 6.0
+    assert final["sampling_ratio"] == 2 / 9.0
+    assert final["n_stale_exemplars"] == 1
+
+    # batch twin over the union (the stale exemplar sits outside the
+    # final window for BOTH forms, so the reports agree)
+    all_payloads = spark.createDataFrame(
+        rows1 + rows2, "push_id long, body binary")
+    samples = RW.remote_write_v2_samples(all_payloads).select(
+        "metric_name", "timestamp_ms", "value")
+    exemplars = RW.remote_write_v2_exemplars(all_payloads).select(
+        "metric_name", "value", "timestamp_ms")
+    (b,) = exemplar_rate_report(
+        samples, exemplars, series_cols=("metric_name",)).collect()
+    assert (b["n_exemplars"], b["increase"], b["exemplar_mean"],
+            b["sampling_ratio"]) == (
+        final["n_exemplars"], final["increase"],
+        final["exemplar_mean"], final["sampling_ratio"])
