@@ -83,9 +83,12 @@ def evaluate_config_query(
     frame — INSTANT configs whose query strings name native metrics
     evaluate through the parser's native routing (a reference user's
     ``histogram_quantile(0.9, sum by (job) (rate(h[5m])))`` config row
-    runs unchanged and stores a float vector). Range-mode configs over
-    native metrics refuse loudly (stream-mode native evaluation is not
-    built — run per-step instant executions); so does a config whose
+    runs unchanged and stores a float vector). RANGE-mode configs over
+    native metrics lower onto the grid combinators for the supported
+    shapes (``eval_native_range``: histogram_quantile/fraction/count/
+    sum/avg over [sum/avg by/without of] rate/increase of a native
+    range selector — the Grafana panel pattern, one row per (series,
+    step)); unsupported shapes refuse loudly, as does a config whose
     result IS a histogram vector (records store floats — collapse with
     histogram_quantile/count/... in the query).
 
@@ -119,15 +122,7 @@ def evaluate_config_query(
             )
 
     if cfg.time_range_type == "range":
-        if nset and _names_native_metric(node, nset):
-            from prom_etl_db_spark.operators.promql_parser import (
-                PromQLError,
-            )
-
-            raise PromQLError(
-                f"config {cfg.query_id!r}: range-mode evaluation over "
-                "native-histogram metrics is unsupported — run per-step "
-                "instant executions")
+        native_range = nset and _names_native_metric(node, nset)
         if not (cfg.time_range_start and cfg.time_range_end):
             # silently degrading to an instant query would store
             # wrong-shaped data for a misconfigured row — fail loudly
@@ -138,6 +133,24 @@ def evaluate_config_query(
         start, end = parser.resolve_range(cfg.time_range_start, cfg.time_range_end)
         step = cfg.time_range_step or "1m"
         parse_duration(step)  # validate before any Spark work
+        if native_range:
+            # the supported native shapes lower onto the r10 grid
+            # combinators (eval_native_range); unsupported shapes raise
+            # PromQLError there — still loud, never silent-empty
+            from prom_etl_db_spark.operators.promql_parser import (
+                eval_native_range,
+            )
+
+            stream = eval_native_range(
+                native_hists, nset, node, start=start, end=end, step=step)
+            return (
+                stream.select(
+                    "labels",
+                    F.col("bucket_start").alias("timestamp"),
+                    "value",
+                ),
+                "range",
+            )
         # rate(x[5m]) / increase(x[5m]) as a RANGE query: the sliding
         # [t − frame, t) window evaluated at every grid step — the
         # range-function form _eval_stream's stream mode can't express

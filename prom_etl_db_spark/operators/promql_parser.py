@@ -908,6 +908,162 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
     return HistVector(out)
 
 
+def eval_native_range(
+    native_hists: DataFrame,
+    native_metrics: frozenset,
+    node: "Node",
+    *,
+    start: datetime,
+    end: datetime,
+    step: str,
+) -> DataFrame:
+    """RANGE-MODE evaluation of the supported native-histogram query
+    shapes (r10) — the Grafana panel pattern, lowered onto the grid
+    combinators:
+
+        histogram_quantile(q, rate(h[f]))
+        histogram_quantile(q, sum by (...) (rate(h[f])))
+        histogram_fraction(lo, hi, <same inner shapes>)
+        histogram_count/sum/avg(<same inner shapes>)
+
+    with ``increase`` interchangeable with ``rate`` and ``avg by`` /
+    ``without`` with ``sum by``. The inner selector must be a plain
+    native range selector (no subquery step, no @ pin). Lowering:
+    selector stream → ``native_hist_increase_range`` (one hash agg
+    keyed on (series, grid instant); rate = the per-second rename —
+    quantile/fraction are scale-invariant, count/sum divide) →
+    optional per-instant group merge (``native_hist_sum_by`` /
+    ``avg_by`` keyed on (groups…, instant)) → the pure-Column
+    collapse. Returns (labels, bucket_start, value) — the executor's
+    range-matrix shape. Unsupported shapes raise PromQLError."""
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    _COLLAPSE = ("histogram_quantile", "histogram_fraction",
+                 "histogram_count", "histogram_sum", "histogram_avg")
+    if not (isinstance(node, Call) and node.fn in _COLLAPSE):
+        raise PromQLError(
+            "native-histogram range queries must collapse to floats — "
+            f"supported outer functions: {', '.join(_COLLAPSE)}")
+    inner = node.args[-1]
+    agg = None
+    if isinstance(inner, Agg):
+        agg, inner = inner, inner.expr
+        if agg.op not in ("sum", "avg"):
+            raise PromQLError(
+                f"{agg.op} is not defined over native-histogram vectors")
+    if not (isinstance(inner, Call) and inner.fn in ("rate", "increase")
+            and len(inner.args) == 1
+            and isinstance(inner.args[0], Selector)):
+        raise PromQLError(
+            "native-histogram range queries support "
+            "rate(h[f]) / increase(h[f]) inner shapes only")
+    sel = inner.args[0]
+    if (sel.name not in native_metrics or sel.range_ is None
+            or sel.step or sel.at_ is not None):
+        raise PromQLError(
+            "native-histogram range queries need a plain native range "
+            "selector like h[5m] (no subquery step, no @ pin)")
+    ctx = EvalContext(
+        native_hists, end,
+        native_hists=native_hists, native_metrics=native_metrics)
+    raw = _native_selector_stream(
+        ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
+    inc = NH.native_hist_increase_range(
+        raw, frame=sel.range_, step=step, start=start, end=end)
+    is_rate = inner.fn == "rate"
+    dt = F.col("dt_seconds").cast("double")
+    vec = HistVector(inc.select(
+        "labels", "bucket_start", "schema", "zero_threshold",
+        "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+        "dt_seconds",
+        *(["custom_values"] if "custom_values" in inc.columns else []),
+    ))
+    if agg is not None:
+        df = vec.df
+        if agg.without is not None:
+            drop = set(agg.without) | {"__name__"}
+            kept = F.map_filter(
+                F.col("labels"),
+                lambda k, _: ~k.isin(*[F.lit(x) for x in drop]))
+            df = df.withColumn("__kept", kept).withColumn(
+                "__k",
+                F.to_json(F.array_sort(F.map_entries(F.col("__kept")))))
+            keys: tuple = ("__k",)
+            labels_back = df.select(
+                "__k", F.col("__kept").alias("labels")
+            ).dropDuplicates(["__k"])
+        else:
+            by = tuple(agg.by or ())
+            for k in by:
+                df = df.withColumn(
+                    k, F.coalesce(F.col("labels")[k], F.lit("")))
+            if not by:
+                df = df.withColumn("__all", F.lit(1))
+            keys = by if by else ("__all",)
+            labels_back = None
+        merge = (NH.native_hist_sum_by if agg.op == "sum"
+                 else NH.native_hist_avg_by)
+        # per-instant merge: the grid instant joins the group key, and
+        # dt rides as a per-(group, instant) max so rate division
+        # survives the merge (all members share the frame; max is the
+        # window's observed span)
+        mcols = [c for c in _nh_cols_of(df)
+                 if c not in ("labels",)] + ["bucket_start"]
+        merged = merge(
+            df.select(*keys, *mcols, ), tuple(keys) + ("bucket_start",))
+        dts = df.groupBy(*keys, "bucket_start").agg(
+            F.max("dt_seconds").alias("dt_seconds"))
+        merged = merged.join(dts, on=[*keys, "bucket_start"])
+        if labels_back is not None:
+            merged = merged.join(labels_back, on="__k")
+        else:
+            by = tuple(agg.by or ())
+            labels = (
+                F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in by]),
+                    F.array(*[F.col(k).cast("string") for k in by]),
+                )
+                if by else F.expr("CAST(map() AS map<string,string>)")
+            )
+            merged = merged.withColumn("labels", labels)
+        vec = HistVector(merged.select(
+            "labels", "bucket_start", "schema", "zero_threshold",
+            "zero_count", "count", "sum",
+            "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+            "dt_seconds",
+            *(["custom_values"] if "custom_values" in merged.columns
+              else []),
+        ))
+    fn, df = node.fn, vec.df
+    if fn == "histogram_quantile":
+        if not isinstance(node.args[0], Num):
+            raise PromQLError("histogram_quantile needs a literal q")
+        out = NH.native_hist_quantile(df, float(node.args[0].value))
+        val = F.col("quantile_value")
+    elif fn == "histogram_fraction":
+        if not (isinstance(node.args[0], Num)
+                and isinstance(node.args[1], Num)):
+            raise PromQLError("histogram_fraction needs literal bounds")
+        out = NH.native_hist_fraction(
+            df, float(node.args[0].value), float(node.args[1].value))
+        val = F.col("fraction_value")
+    else:
+        out = df
+        base = {
+            "histogram_count": F.col("count").cast("double"),
+            "histogram_sum": F.col("sum").cast("double"),
+            "histogram_avg": F.try_divide(
+                F.col("sum"), F.col("count").cast("double")),
+        }[fn]
+        # rate's per-second division: quantile/fraction are
+        # scale-invariant (skip the divide); count/sum scale
+        val = (base / F.when(F.col("dt_seconds") > 0,
+                             F.col("dt_seconds").cast("double"))
+               if is_rate and fn != "histogram_avg" else base)
+    return out.select("labels", "bucket_start", val.alias("value"))
+
+
 def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:
     """``h * k`` / ``h / k`` (k a scalar): every count component scales
     — Prometheus's FloatHistogram Mul/Div. The result is a FLOAT

@@ -1656,3 +1656,116 @@ def promql_parsed_hist_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels")["etype"].alias("etype"),
         F.round("value", 4).alias("cnt"),
     )
+
+
+@register(
+    "native_hist_range_config",
+    oracle="""
+WITH h AS (
+  SELECT event_type, user_id,
+    CAST(user_id % 5 + 1 AS BIGINT) AS g1x,
+    CAST(user_id % 2 + 1 AS BIGINT) AS g1y,
+    CAST(user_id % 3 + 1 AS BIGINT) AS g2x,
+    CAST(user_id % 4 + 1 AS BIGINT) AS g2y,
+    CAST(user_id % 3 AS BIGINT) AS zg1,
+    CAST(user_id % 2 AS BIGINT) AS zg2
+  FROM events
+), g AS (
+  SELECT event_type,
+    sum(zg1 + g1x + g1y) AS c1,
+    sum(zg1 + zg2 + g1x + g1y + g2x + g2y) AS c2
+  FROM h GROUP BY event_type
+)
+SELECT event_type AS etype,
+  unnest([1, 2]) AS step_i,
+  unnest([round(CAST(c1 AS DOUBLE), 4),
+          round(CAST(c2 AS DOUBLE), 4)]) AS cnt
+FROM g
+""",
+)
+def native_hist_range_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A RANGE-mode query CONFIG over a native-histogram metric (r10 —
+    the reference's config rows are (PromQL text + time grammar),
+    `scripts/migrate.sql:59-83`): the executor resolves the range and
+    lowers ``histogram_count(sum by (etype) (increase(gpu_hist[10m])))``
+    onto the grid combinators (`eval_native_range` →
+    native_hist_increase_range keyed on (series, instant) →
+    per-instant group merge → count extraction), producing the range
+    matrix shape one row per (group, step). Fixture: the grid query's
+    three-push series; per instant the oracle sums the closed-form
+    count increases per group (instant 1's window holds pushes 1–2,
+    instant 2's all three). End-to-end proof that a reference user's
+    Grafana-panel config runs unchanged over native histograms."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import evaluate_config_query
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            g1 = (u % 5 + 1, u % 2 + 1)
+            g2 = (u % 3 + 1, u % 4 + 1)
+            z1 = u % 2
+            o = u % 4 - 1
+            counts = [
+                ([c, d], z1),
+                ([c + g1[0], d + g1[1]], z1 + u % 3),
+                ([c + g1[0] + g2[0], d + g1[1] + g2[1]],
+                 z1 + u % 3 + u % 2),
+            ]
+            hs = []
+            for i, (cc, z) in enumerate(counts):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "gpu_hist", "etype": n,
+                             "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    now = datetime.fromtimestamp(
+        t0 / 1000 + 600, tz=timezone.utc).replace(tzinfo=None)
+    cfg = QueryConfig(
+        query_id="nh_range", name="native grid config",
+        query=("histogram_count(sum by (etype) "
+               "(increase(gpu_hist[10m])))"),
+        time_range_type="range",
+        time_range_start="-5m", time_range_end="now",
+        time_range_step="5m",
+    )
+    out, rtype = evaluate_config_query(
+        samples, cfg, now=now,
+        native_hists=nh, native_metrics=frozenset({"gpu_hist"}))
+    assert rtype == "range"
+    return out.select(
+        F.col("labels")["etype"].alias("etype"),
+        ((F.unix_timestamp("timestamp") - F.lit(t0 // 1000 + 300))
+         / F.lit(300) + 1).cast("bigint").alias("step_i"),
+        F.round("value", 4).alias("cnt"),
+    )

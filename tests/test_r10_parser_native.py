@@ -321,15 +321,31 @@ def test_executor_config_over_native_metric(spark, samples, nh):
         spark, samples, cfg, now=AT,
         native_hists=nh, native_metrics=frozenset({"h"}))
     assert {r["metric_name"] for r in rec.collect()} == {"nh1"}
-    # range mode over a native metric refuses
+    # range mode: the supported collapse shapes evaluate per step
     rcfg = QueryConfig(
-        query_id="nh2", name="r", query="rate(h[10m])",
+        query_id="nh2", name="r",
+        query="histogram_count(sum by (job) (increase(h[10m])))",
+        time_range_type="range", time_range_start="-1m",
+        time_range_end="now", time_range_step="1m",
+    )
+    rout, rt = evaluate_config_query(
+        samples, rcfg, now=AT,
+        native_hists=nh, native_metrics=frozenset({"h"}))
+    assert rt == "range"
+    got_r = {(r["labels"]["job"], r["timestamp"].minute): r["value"]
+             for r in rout.collect()}
+    # both instants' 10m windows hold T0+T1 → the full increases
+    assert got_r[("a", 5)] == 14.0 and got_r[("a", 6)] == 14.0
+    assert got_r[("b", 6)] == 8.0
+    # a range shape that cannot collapse to floats refuses
+    bad = QueryConfig(
+        query_id="nh2b", name="r", query="rate(h[10m])",
         time_range_type="range", time_range_start="-1h",
         time_range_end="now", time_range_step="5m",
     )
-    with pytest.raises(PromQLError, match="range-mode"):
+    with pytest.raises(PromQLError, match="collapse to floats"):
         evaluate_config_query(
-            samples, rcfg, now=AT,
+            samples, bad, now=AT,
             native_hists=nh, native_metrics=frozenset({"h"}))
     # a bare histogram-vector result refuses (records store floats)
     hcfg = QueryConfig(
@@ -367,3 +383,40 @@ def test_nhcb_fraction_from_string(spark, samples):
     # exp leg: clamp-sum CDF — bucket 0 (0.5,1] full (9), bucket 1
     # (1,2] full (4) → 13/13
     assert got["exp"] == pytest.approx(1.0)
+
+
+def test_eval_native_range_shapes(spark, samples, nh):
+    """eval_native_range directly: quantile over sum-by-rate per step,
+    count over rate divides per second, unsupported shapes refuse."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError,
+        eval_native_range,
+        parse,
+    )
+
+    k = dict(start=T1, end=AT, step="1m")
+    q = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_quantile(0.5, sum by (job) (rate(h[10m])))"),
+        **k)
+    got = {(r["labels"]["job"], r["bucket_start"].minute): r["value"]
+           for r in q.collect()}
+    # each instant's window holds both pushes → the instant result
+    assert got[("a", 5)] == pytest.approx(2 ** -0.75)
+    assert got[("a", 6)] == pytest.approx(2 ** -0.75)
+    c = eval_native_range(
+        nh, frozenset({"h"}), parse("histogram_count(rate(h[10m]))"), **k)
+    gc = {(r["labels"]["job"], r["labels"]["inst"],
+           r["bucket_start"].minute): r["value"] for r in c.collect()}
+    assert gc[("b", "1", 6)] == pytest.approx(8 / 300)
+    f = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_fraction(0, 8, sum without (inst) "
+              "(increase(h[10m])))"), **k)
+    assert f.count() == 4  # 2 groups x 2 instants
+    for bad in ["rate(h[10m])",
+                "histogram_quantile(0.9, max by (j) (rate(h[10m])))",
+                "histogram_quantile(0.9, rate(h[10m:1m]))",
+                "histogram_quantile(0.9, h)"]:
+        with pytest.raises(PromQLError):
+            eval_native_range(nh, frozenset({"h"}), parse(bad), **k)
