@@ -971,14 +971,40 @@ def eval_native_range(
     inc = NH.native_hist_increase_range(
         raw, frame=sel.range_, step=step, start=start, end=end)
     is_rate = inner.fn == "rate"
-    dt = F.col("dt_seconds").cast("double")
-    vec = HistVector(inc.select(
-        "labels", "bucket_start", "schema", "zero_threshold",
-        "zero_count", "count", "sum",
-        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
-        "dt_seconds",
-        *(["custom_values"] if "custom_values" in inc.columns else []),
-    ))
+    if is_rate:
+        # per-SERIES division BEFORE any merge (the instant path's
+        # order): each series' dt is its own observed window span, and
+        # summing increases then dividing by a group dt mis-rates any
+        # group whose members were scraped at different instants —
+        # scale invariance only cancels a UNIFORM factor
+        dt = F.col("dt_seconds").cast("double")
+        safe = F.when(dt > 0, dt)
+        comp = inc.select(
+            "labels", "bucket_start", "schema", "zero_threshold",
+            (F.col("zero_count").cast("double") / safe)
+            .alias("zero_count"),
+            (F.col("count").cast("double") / safe).alias("count"),
+            (F.col("sum") / safe).alias("sum"),
+            "pos_offset",
+            F.transform(F.col("pos_counts"),
+                        lambda c: c.cast("double") / safe)
+            .alias("pos_counts"),
+            "neg_offset",
+            F.transform(F.col("neg_counts"),
+                        lambda c: c.cast("double") / safe)
+            .alias("neg_counts"),
+            *(["custom_values"] if "custom_values" in inc.columns
+              else []),
+        )
+    else:
+        comp = inc.select(
+            "labels", "bucket_start", "schema", "zero_threshold",
+            "zero_count", "count", "sum",
+            "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in inc.columns
+              else []),
+        )
+    vec = HistVector(comp)
     if agg is not None:
         df = vec.df
         if agg.without is not None:
@@ -1004,17 +1030,13 @@ def eval_native_range(
             labels_back = None
         merge = (NH.native_hist_sum_by if agg.op == "sum"
                  else NH.native_hist_avg_by)
-        # per-instant merge: the grid instant joins the group key, and
-        # dt rides as a per-(group, instant) max so rate division
-        # survives the merge (all members share the frame; max is the
-        # window's observed span)
+        # per-instant merge: the grid instant joins the group key (the
+        # rate division already happened PER SERIES above, so the merge
+        # sums per-second float histograms directly)
         mcols = [c for c in _nh_cols_of(df)
                  if c not in ("labels",)] + ["bucket_start"]
         merged = merge(
-            df.select(*keys, *mcols, ), tuple(keys) + ("bucket_start",))
-        dts = df.groupBy(*keys, "bucket_start").agg(
-            F.max("dt_seconds").alias("dt_seconds"))
-        merged = merged.join(dts, on=[*keys, "bucket_start"])
+            df.select(*keys, *mcols), tuple(keys) + ("bucket_start",))
         if labels_back is not None:
             merged = merged.join(labels_back, on="__k")
         else:
@@ -1031,7 +1053,6 @@ def eval_native_range(
             "labels", "bucket_start", "schema", "zero_threshold",
             "zero_count", "count", "sum",
             "pos_offset", "pos_counts", "neg_offset", "neg_counts",
-            "dt_seconds",
             *(["custom_values"] if "custom_values" in merged.columns
               else []),
         ))
@@ -1050,17 +1071,14 @@ def eval_native_range(
         val = F.col("fraction_value")
     else:
         out = df
-        base = {
+        # the components are already per-second when is_rate (divided
+        # per series before any merge), so the extractors read directly
+        val = {
             "histogram_count": F.col("count").cast("double"),
             "histogram_sum": F.col("sum").cast("double"),
             "histogram_avg": F.try_divide(
                 F.col("sum"), F.col("count").cast("double")),
         }[fn]
-        # rate's per-second division: quantile/fraction are
-        # scale-invariant (skip the divide); count/sum scale
-        val = (base / F.when(F.col("dt_seconds") > 0,
-                             F.col("dt_seconds").cast("double"))
-               if is_rate and fn != "histogram_avg" else base)
     return out.select("labels", "bucket_start", val.alias("value"))
 
 

@@ -113,3 +113,38 @@ def test_dup_guard_exp_fold_same_contract():
         list(_fold_delta_exp_hist(("s",), iter([pdf([100])]), state))
     (out,) = _fold_delta_exp_hist(("s",), iter([pdf([200])]), state)
     assert list(out["cum_count"]) == [6]
+
+
+def test_exemplar_report_fold_exemplar_only_first_batch():
+    """An exemplar-only first batch (no samples yet) must hold the
+    exemplar PENDING and emit no report row; the window materializes
+    with the first samples and the pending exemplar folds in."""
+    from prom_etl_db_spark.streaming.stateful import _fold_exemplar_report
+
+    state = _FakeState()
+    b1 = pd.DataFrame({"kind": ["e"], "timestamp_ms": [150],
+                       "value": [5.0]})
+    (out1,) = _fold_exemplar_report(("s",), iter([b1]), state)
+    assert len(out1) == 0
+    b2 = pd.DataFrame({"kind": ["s", "s"],
+                       "timestamp_ms": [100, 300],
+                       "value": [1.0, 4.0]})
+    (out2,) = _fold_exemplar_report(("s",), iter([b2]), state)
+    assert out2["n_exemplars"].iloc[0] == 1
+    assert out2["increase"].iloc[0] == 3.0
+    assert out2["n_stale_exemplars"].iloc[0] == 0
+
+
+def test_exemplar_report_fold_pending_overflow_refuses():
+    from prom_etl_db_spark.streaming.stateful import (
+        _EX_PENDING_CAP,
+        _fold_exemplar_report,
+    )
+
+    state = _FakeState()
+    n = _EX_PENDING_CAP + 1
+    b = pd.DataFrame({"kind": ["e"] * n,
+                      "timestamp_ms": list(range(1000, 1000 + n)),
+                      "value": [1.0] * n})
+    with pytest.raises(ValueError, match="pending"):
+        list(_fold_exemplar_report(("s",), iter([b]), state))

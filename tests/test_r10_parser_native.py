@@ -420,3 +420,42 @@ def test_eval_native_range_shapes(spark, samples, nh):
                 "histogram_quantile(0.9, h)"]:
         with pytest.raises(PromQLError):
             eval_native_range(nh, frozenset({"h"}), parse(bad), **k)
+
+
+def test_native_range_rate_divides_per_series(spark, samples):
+    """Two series in one group scraped over DIFFERENT window spans:
+    sum by (job) of rate() must sum each series' increase/ITS dt —
+    summing increases first and dividing once would mis-rate the
+    group (the r10 review fix)."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        eval_native_range,
+        parse,
+    )
+
+    rows = [
+        # series p: dt 300 s, count increase 6
+        Row(metric_name="h", labels={"job": "j", "i": "p"}, ts=T0,
+            schema=0, zero_threshold=0.001, zero_count=0, count=2,
+            sum=1.0, pos_offset=0, pos_counts=[2], neg_offset=0,
+            neg_counts=[]),
+        Row(metric_name="h", labels={"job": "j", "i": "p"}, ts=T1,
+            schema=0, zero_threshold=0.001, zero_count=0, count=8,
+            sum=2.0, pos_offset=0, pos_counts=[8], neg_offset=0,
+            neg_counts=[]),
+        # series q: dt 60 s, count increase 3
+        Row(metric_name="h", labels={"job": "j", "i": "q"},
+            ts=datetime(2024, 1, 29, 0, 4), schema=0,
+            zero_threshold=0.001, zero_count=0, count=1, sum=0.5,
+            pos_offset=0, pos_counts=[1], neg_offset=0, neg_counts=[]),
+        Row(metric_name="h", labels={"job": "j", "i": "q"}, ts=T1,
+            schema=0, zero_threshold=0.001, zero_count=0, count=4,
+            sum=1.5, pos_offset=0, pos_counts=[4], neg_offset=0,
+            neg_counts=[]),
+    ]
+    nh = spark.createDataFrame(rows, _SCHEMA)
+    out = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_count(sum by (job) (rate(h[10m])))"),
+        start=T1, end=T1, step="1m")
+    (r,) = out.collect()
+    assert r["value"] == pytest.approx(6 / 300 + 3 / 60)
