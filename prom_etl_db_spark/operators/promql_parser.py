@@ -1021,12 +1021,13 @@ def eval_native_range(
             ).dropDuplicates(["__k"])
         else:
             by = tuple(agg.by or ())
-            for k in by:
+            gcols = [f"__g_{k}" for k in by]
+            for k, g in zip(by, gcols):
                 df = df.withColumn(
-                    k, F.coalesce(F.col("labels")[k], F.lit("")))
+                    g, F.coalesce(F.col("labels")[k], F.lit("")))
             if not by:
                 df = df.withColumn("__all", F.lit(1))
-            keys = by if by else ("__all",)
+            keys = tuple(gcols) if by else ("__all",)
             labels_back = None
         merge = (NH.native_hist_sum_by if agg.op == "sum"
                  else NH.native_hist_avg_by)
@@ -1044,7 +1045,8 @@ def eval_native_range(
             labels = (
                 F.map_from_arrays(
                     F.array(*[F.lit(k) for k in by]),
-                    F.array(*[F.col(k).cast("string") for k in by]),
+                    F.array(*[F.col(f"__g_{k}").cast("string")
+                              for k in by]),
                 )
                 if by else F.expr("CAST(map() AS map<string,string>)")
             )
@@ -1235,18 +1237,22 @@ def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
         )
         return HistVector(out)
     by = tuple(node.by or ())
-    for k in by:
-        df = df.withColumn(k, F.coalesce(F.col("labels")[k], F.lit("")))
+    # group columns are PREFIXED: a by-label named like a histogram
+    # column ("schema", "count", "sum" are legal PromQL label names)
+    # must not overwrite the component it shadows (r10 review fix)
+    gcols = [f"__g_{k}" for k in by]
+    for k, g in zip(by, gcols):
+        df = df.withColumn(g, F.coalesce(F.col("labels")[k], F.lit("")))
     if not by:
         # sum(h): one global group — constant key, dropped after
         df = df.withColumn("__all", F.lit(1))
-    keys = by if by else ("__all",)
+    keys = tuple(gcols) if by else ("__all",)
     merged = merge(df.select(*keys, *[c for c in _nh_cols_of(df)
                                       if c != "labels"]), tuple(keys))
     labels = (
         F.map_from_arrays(
             F.array(*[F.lit(k) for k in by]),
-            F.array(*[F.col(k).cast("string") for k in by]),
+            F.array(*[F.col(g).cast("string") for g in gcols]),
         )
         if by
         else F.expr("CAST(map() AS map<string,string>)")

@@ -459,3 +459,28 @@ def test_native_range_rate_divides_per_series(spark, samples):
         start=T1, end=T1, step="1m")
     (r,) = out.collect()
     assert r["value"] == pytest.approx(6 / 300 + 3 / 60)
+
+
+def test_sum_by_label_named_like_a_component(spark, samples):
+    """A by-label named "schema"/"count"/"sum" (legal PromQL label
+    names) must group WITHOUT shadowing the histogram component it
+    collides with (r10 review fix: the extracted group column used the
+    bare label name and overwrote the real column)."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    rows = [
+        Row(metric_name="h", labels={"schema": "v1"}, ts=T0, schema=0,
+            zero_threshold=0.001, zero_count=0, count=2, sum=1.0,
+            pos_offset=0, pos_counts=[2], neg_offset=0, neg_counts=[]),
+        Row(metric_name="h", labels={"schema": "v1"}, ts=T1, schema=0,
+            zero_threshold=0.001, zero_count=0, count=8, sum=2.0,
+            pos_offset=0, pos_counts=[8], neg_offset=0, neg_counts=[]),
+    ]
+    nh = spark.createDataFrame(rows, _SCHEMA)
+    out = eval_promql(
+        samples,
+        'histogram_count(sum by (schema) (increase(h[10m])))',
+        AT, native_hists=nh, native_metrics=frozenset({"h"}))
+    (r,) = out.collect()
+    assert dict(r["labels"]) == {"schema": "v1"}
+    assert r["value"] == 6.0
