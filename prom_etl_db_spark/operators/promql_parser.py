@@ -1059,18 +1059,60 @@ def eval_native_range(
               else []),
         ))
     fn, df = node.fn, vec.df
-    if fn == "histogram_quantile":
-        if not isinstance(node.args[0], Num):
-            raise PromQLError("histogram_quantile needs a literal q")
-        out = NH.native_hist_quantile(df, float(node.args[0].value))
-        val = F.col("quantile_value")
-    elif fn == "histogram_fraction":
-        if not (isinstance(node.args[0], Num)
-                and isinstance(node.args[1], Num)):
-            raise PromQLError("histogram_fraction needs literal bounds")
-        out = NH.native_hist_fraction(
-            df, float(node.args[0].value), float(node.args[1].value))
-        val = F.col("fraction_value")
+    if fn in ("histogram_quantile", "histogram_fraction"):
+        if fn == "histogram_quantile":
+            if not isinstance(node.args[0], Num):
+                raise PromQLError("histogram_quantile needs a literal q")
+            args = (float(node.args[0].value),)
+            nfn, cfn, vcol = (NH.native_hist_quantile,
+                              promql.histogram_quantile, "quantile_value")
+        else:
+            if not (isinstance(node.args[0], Num)
+                    and isinstance(node.args[1], Num)):
+                raise PromQLError(
+                    "histogram_fraction needs literal bounds")
+            args = (float(node.args[0].value),
+                    float(node.args[1].value))
+            nfn, cfn, vcol = (NH.native_hist_fraction,
+                              promql.histogram_fraction, "fraction_value")
+        if "custom_values" in df.columns:
+            # NHCB rows on the grid take the CLASSIC rule, like the
+            # instant split (r10): the grid instant rides the labels
+            # as a reserved entry through the le-grouping and is
+            # restored afterward (the classic operators group on
+            # labels-minus-le only)
+            exp = df.where(F.col("schema") != F.lit(-53))
+            ne = nfn(exp, *args).select(
+                "labels", "bucket_start", F.col(vcol).alias("value"))
+            nhcb = df.where(F.col("schema") == F.lit(-53)).withColumn(
+                "labels",
+                F.map_concat(
+                    F.col("labels"),
+                    F.create_map(
+                        F.lit("__bucket_ts"),
+                        F.unix_timestamp("bucket_start").cast("string")),
+                ),
+            )
+            ble = NH.nhcb_to_le_buckets(nhcb)
+            buckets = ble.select(
+                F.map_concat(
+                    F.col("labels"),
+                    F.create_map(F.lit("le"), F.col("le_cum.le")),
+                ).alias("labels"),
+                F.col("le_cum.cum").alias("value"),
+            )
+            ce = cfn(buckets, *args).select(
+                F.map_filter(
+                    F.col("labels"),
+                    lambda k, _: k != "__bucket_ts").alias("labels"),
+                F.timestamp_seconds(
+                    F.element_at(F.col("labels"), "__bucket_ts")
+                    .cast("long")).alias("bucket_start"),
+                "value",
+            )
+            return ne.unionByName(ce)
+        out = nfn(df, *args)
+        val = F.col(vcol)
     else:
         out = df
         # the components are already per-second when is_rate (divided

@@ -484,3 +484,42 @@ def test_sum_by_label_named_like_a_component(spark, samples):
     (r,) = out.collect()
     assert dict(r["labels"]) == {"schema": "v1"}
     assert r["value"] == 6.0
+
+
+def test_nhcb_range_quantile(spark, samples):
+    """NHCB series through the RANGE path: the per-instant split routes
+    schema −53 rows to the classic rule with the grid instant riding
+    the labels. cv [1,2,4]; increases per instant: [2,2] (+Inf 0) at
+    step 1 and [4,4] at step 2 → q=0.5 targets 2 of 4 → le=2 crossing
+    from 2 → 1.5... hand walk below."""
+    from datetime import datetime
+
+    from prom_etl_db_spark.operators.promql_parser import (
+        eval_native_range,
+        parse,
+    )
+
+    t = lambda m: datetime(2024, 1, 29, 0, m)  # noqa: E731
+    schema = _SCHEMA + ", custom_values array<double>"
+
+    def row(ts, counts, cnt):
+        return Row(metric_name="h", labels={"k": "c"}, ts=ts, schema=-53,
+                   zero_threshold=0.0, zero_count=0, count=cnt, sum=1.0,
+                   pos_offset=0, pos_counts=counts, neg_offset=0,
+                   neg_counts=[], custom_values=[1.0, 2.0, 4.0])
+
+    nh = spark.createDataFrame(
+        [row(t(0), [1, 1, 0, 0], 2),
+         row(t(5), [3, 3, 0, 0], 6),
+         row(t(10), [5, 5, 0, 0], 10)], schema)
+    out = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_quantile(0.5, increase(h[10m]))"),
+        start=t(5), end=t(10), step="5m")
+    got = {r["bucket_start"].minute: r["value"] for r in out.collect()}
+    # step :05 window covers @0,@5: inc [2,2,0,0], count 4, target 2 →
+    # cum hits exactly 2 at le=1... classic rule: target 2, cum(1)=2 →
+    # crossing bucket le=1, prev 0, interpolate 0 + 1*(2-0)/(2-0) = 1.0
+    assert got[5] == pytest.approx(1.0)
+    # step :10 covers @0..@10: inc [4,4], count 8, target 4, cum(1)=4
+    assert got[10] == pytest.approx(1.0)
