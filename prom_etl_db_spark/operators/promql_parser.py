@@ -1149,6 +1149,97 @@ def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:
     return HistVector(df)
 
 
+def _hist_vector_scale(
+    hv: HistVector,
+    vec: DataFrame,
+    op: str,
+    node: BinOp,
+    *,
+    hist_is_lhs: bool,
+) -> HistVector:
+    """``h * v`` / ``h / v`` / ``v * h`` — a histogram vector scaled by
+    a matched FLOAT vector (Prometheus 3: FloatHistogram Mul/Div with
+    vector matching; the Grafana normalize-by-gauge pattern). Matching
+    follows the binop rules (exact minus ``__name__``, ``on``,
+    ``ignoring``); the FLOAT side is always the "one" side — a key
+    matched by >1 float rows refuses loudly, and scaling ONE histogram
+    by MANY floats is undefined (refuse a group modifier pointing the
+    many side at the histogram). With ``group_left``/``group_right``
+    pointing at the HISTOGRAM side, many histograms share one float
+    (PromQL many-to-one) and the output keeps each histogram's own
+    labels (minus ``__name__``); without a modifier the match is
+    one-to-one and the output carries the match-key labels.
+    ``v / h`` has no meaning and refuses at the call site.
+
+    Plan: one equi-join on the match key + pure-Column scaling; the
+    float side is broadcast-class (one row per key)."""
+    if node.group is not None:
+        hist_many = (node.group == "left") == hist_is_lhs
+        if not hist_many:
+            raise PromQLError(
+                "histogram vector scaling: the group modifier points "
+                "the many side at the FLOAT vector — scaling one "
+                "histogram by many floats is undefined")
+    if node.on:
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: k.isin(*list(node.on)))
+    else:
+        drop = set(node.ignoring or ()) | {"__name__"}
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: ~k.isin(*list(drop)))
+    key = F.to_json(F.array_sort(F.map_entries(kept)))
+    h = hv.df.withColumn("__kept", kept).withColumn("__k", key)
+    v = vec.select(
+        key.alias("__k"), F.col("value").alias("__v"))
+    # the float side is the "one" side: duplicates refuse (guard rides
+    # the join-side aggregation so pruning can't elide it — the count
+    # IS the joined column)
+    vone = v.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__nv"), F.first("__v").alias("__v"))
+    joined = h.join(vone, on="__k", how="inner").where(
+        F.when(
+            F.col("__nv") > 1,
+            F.raise_error(F.lit(
+                f"histogram {op} vector: a match key is shared by more "
+                "than one float series (the float side must be the "
+                "'one' side) — narrow with on(...)/ignoring(...)")),
+        ).otherwise(F.lit(True))
+    )
+    if node.group is None:
+        # one-to-one also requires the HISTOGRAM side unique per key
+        hcnt = h.groupBy("__k").agg(F.count(F.lit(1)).alias("__nh"))
+        joined = joined.join(hcnt, on="__k").where(
+            F.when(
+                F.col("__nh") > 1,
+                F.raise_error(F.lit(
+                    f"histogram {op} vector: a match key is shared by "
+                    "more than one histogram series (one-to-one) — "
+                    "use group_left/group_right for many-to-one")),
+            ).otherwise(F.lit(True))
+        )
+    k = (F.col("__v") if op == "*"
+         else F.lit(1.0) / F.col("__v"))
+    out_labels = (
+        F.map_filter(F.col("labels"), lambda kk, _: kk != "__name__")
+        if node.group is not None else F.col("__kept")
+    )
+    df = joined.select(
+        out_labels.alias("labels"), "schema", "zero_threshold",
+        (F.col("zero_count").cast("double") * k).alias("zero_count"),
+        (F.col("count").cast("double") * k).alias("count"),
+        (F.col("sum") * k).alias("sum"),
+        "pos_offset",
+        F.transform(F.col("pos_counts"),
+                    lambda c: c.cast("double") * k).alias("pos_counts"),
+        "neg_offset",
+        F.transform(F.col("neg_counts"),
+                    lambda c: c.cast("double") * k).alias("neg_counts"),
+        *(["custom_values"] if "custom_values" in joined.columns
+          else []),
+    )
+    return HistVector(df)
+
+
 def _hist_hist_addsub(
     lhs: HistVector,
     rhs: HistVector,
@@ -1461,6 +1552,16 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
                 return _hist_hist_addsub(
                     lhs, rhs, node.op,
                     on=node.on, ignoring=node.ignoring)
+            # histogram × FLOAT VECTOR (h*v, v*h, h/v): matched
+            # scaling — the normalize-by-gauge pattern; v/h undefined
+            if (isinstance(lhs, HistVector) and isinstance(rhs, DataFrame)
+                    and node.op in ("*", "/")):
+                return _hist_vector_scale(
+                    lhs, rhs, node.op, node, hist_is_lhs=True)
+            if (isinstance(rhs, HistVector) and isinstance(lhs, DataFrame)
+                    and node.op == "*"):
+                return _hist_vector_scale(
+                    rhs, lhs, node.op, node, hist_is_lhs=False)
             raise PromQLError(
                 f"binary {node.op} over native-histogram vectors is "
                 "undefined — supported: h*scalar, h/scalar, scalar*h, "

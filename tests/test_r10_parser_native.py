@@ -523,3 +523,51 @@ def test_nhcb_range_quantile(spark, samples):
     assert got[5] == pytest.approx(1.0)
     # step :10 covers @0..@10: inc [4,4], count 8, target 4, cum(1)=4
     assert got[10] == pytest.approx(1.0)
+
+
+def test_histogram_times_float_vector(spark, nh):
+    """h / on(job) group_left v: many histograms per job scale by one
+    gauge (normalize-by-gauge); one-to-one without a modifier; v/h and
+    a many float side refuse."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError,
+        eval_promql,
+    )
+
+    samples = spark.createDataFrame(
+        [Row(metric_name="g", labels={"job": "a"}, value=2.0,
+             timestamp=T1),
+         Row(metric_name="g", labels={"job": "b"}, value=4.0,
+             timestamp=T1)],
+        "metric_name string, labels map<string,string>, value double, "
+        "timestamp timestamp")
+
+    def ev(q):
+        return eval_promql(samples, q, AT, native_hists=nh,
+                           native_metrics=frozenset({"h"}))
+
+    out = ev("histogram_count(increase(h[10m]) / on(job) group_left g)")
+    got = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+           for r in out.collect()}
+    # a/1 count inc 8 ÷ 2; a/2 6 ÷ 2; b/1 8 ÷ 4
+    assert got == {("a", "1"): 4.0, ("a", "2"): 3.0, ("b", "1"): 2.0}
+    # prefix form v * h
+    out2 = ev("histogram_count(g * on(job) group_right increase(h[10m]))")
+    got2 = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+            for r in out2.collect()}
+    assert got2[("b", "1")] == 32.0
+    # one-to-one without a modifier: job=b is unique → works narrowed
+    out3 = ev('histogram_count(increase(h{job="b"}[10m]) '
+              "* on(job) g)")
+    (r3,) = out3.collect()
+    assert dict(r3["labels"]) == {"job": "b"} and r3["value"] == 32.0
+    # one-to-one with a duplicated histogram key refuses at evaluation
+    bad = ev("histogram_count(increase(h[10m]) * on(job) g)")
+    with pytest.raises(Exception, match="one-to-one"):
+        bad.collect()
+    # the float side can never be the many side
+    with pytest.raises(PromQLError, match="many side at the FLOAT"):
+        ev("histogram_count(increase(h[10m]) * on(job) group_right g)")
+    # v / h is undefined
+    with pytest.raises(PromQLError, match="binary"):
+        ev("histogram_count(g / on(job) increase(h[10m]))")
