@@ -1,0 +1,680 @@
+"""NATIVE-HISTOGRAM routing for the PromQL string evaluator (r10,
+split from ``promql_parser`` at the 2,000-line threshold — the
+``registry/pipeline_a`` precedent; behavior pinned by
+tests/test_r10_parser_native.py and the parsed-form registry oracles).
+
+``HistVector`` is the evaluator's histogram-vector type; the functions
+here lower string shapes onto the gated combinators in
+``operators.promql`` / ``operators.native_hist``:
+
+- selectors (instant latest-per-series; range via rate/increase),
+- sum/avg by/without merges,
+- the collapse functions (quantile/fraction/count/sum/avg/stddev/
+  stdvar) with the per-family NHCB split,
+- the histogram algebra (h*k, h/k, h+h, h-h with one-to-one matching,
+  h x float-vector scaling with group modifiers),
+- ``eval_native_range``: the grid (Grafana panel) shapes.
+
+Imports from ``promql_parser`` are DEFERRED inside each function — the
+two modules are mutually recursive (the evaluator dispatches here; the
+lowering evaluates sub-expressions), and call-time imports break the
+cycle the same way the combinator modules defer theirs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prom_etl_db_spark.operators import promql
+
+class HistVector:
+    """An INSTANT NATIVE-HISTOGRAM vector riding the evaluator (r10):
+    one decoded histogram per row, shaped like the wire decoders'
+    dense frame keyed by a ``labels`` map — (labels, schema,
+    zero_threshold, zero_count, count, sum, pos_offset, pos_counts,
+    neg_offset, neg_counts). Produced by a selector over a native
+    metric (latest-per-series), by ``rate()``/``increase()`` over a
+    native range selector, and by ``sum by`` / ``avg by`` merges;
+    consumed by ``histogram_quantile`` / ``histogram_fraction`` /
+    ``histogram_count`` / ``histogram_sum`` / ``histogram_avg``, which
+    collapse it back to a float vector. Everything else refuses loudly
+    — a histogram vector has no meaningful float value to leak."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+_NH_COLS = [
+    "labels", "schema", "zero_threshold", "zero_count", "count", "sum",
+    "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+]
+
+
+def _nh_cols_of(df: DataFrame) -> list:
+    """The HistVector column contract for ``df`` — the dense frame
+    plus ``custom_values`` when the source carries NHCB rows
+    (boundaries are data and must ride every hop)."""
+    return _NH_COLS + (
+        ["custom_values"] if "custom_values" in df.columns else [])
+
+
+def _native_selector_stream(ctx: EvalContext, sel: Selector) -> DataFrame:
+    """Matched native-histogram samples: matchers → offset shift →
+    fold metric_name into the labels map (series identity downstream
+    is the labels map alone, the `_selector_stream` convention)."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError, _apply_matchers, _interval_str,
+    )
+
+    if ctx.native_hists is None:
+        raise PromQLError(
+            f"selector {sel.name!r} names a native-histogram metric but "
+            "no native_hists frame was provided")
+    df = _apply_matchers(ctx.native_hists, sel)
+    if sel.offset:
+        df = df.withColumn(
+            "ts",
+            F.col("ts") + F.expr(
+                f"INTERVAL {_interval_str(sel.offset, allow_negative=True)}"
+            ),
+        )
+    df = df.withColumn(
+        "labels",
+        F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, _: k != "__name__"),
+            F.create_map(
+                F.lit("__name__"),
+                F.coalesce(F.col("metric_name"), F.lit("")),
+            ),
+        ),
+    )
+    return df.select("ts", *_nh_cols_of(df))
+
+
+def _native_instant_vector(ctx: EvalContext, sel: Selector) -> HistVector:
+    """Instant selector over a native metric: the LATEST sample per
+    series within the staleness window — `promql.instant_selector`'s
+    rule lifted to whole histograms. One window per series, no
+    collect."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        _at_of,
+    )
+
+    from pyspark.sql.window import Window
+
+    at = _at_of(ctx, sel)
+    # ctx.staleness is a SPARK interval string ("5 minutes"), not a
+    # PromQL duration — subtract it SQL-side like instant_selector does
+    lo = F.lit(at) - F.expr(f"INTERVAL {ctx.staleness}")
+    df = _native_selector_stream(ctx, sel).where(
+        (F.col("ts") > lo) & (F.col("ts") <= F.lit(at)))
+    keyed = promql._ensure_series(df)
+    w = Window.partitionBy("__series").orderBy(F.desc("ts"))
+    latest = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return HistVector(latest.select(*_nh_cols_of(latest)))
+
+
+def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
+    """``rate()`` / ``increase()`` over a native range selector —
+    lowers onto the gated combinators (`promql.native_hist_increase`,
+    `native_hist.native_hist_rate`); the other range functions have no
+    histogram meaning and refuse."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError, Selector, _at_of, _frame_bounds,
+    )
+
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    if fn not in ("rate", "increase"):
+        raise PromQLError(
+            f"{fn} is not defined over native-histogram series")
+    lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
+    raw = _native_selector_stream(
+        ctx, Selector(sel.name, sel.matchers, offset=sel.offset)
+    ).where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    # Prometheus rate()/increase() need TWO points in the window — a
+    # single-sample series (dt == 0) drops from the result vector
+    # rather than emitting NULL components (r10 seam: a NULL-rate row
+    # fed to histogram_quantile would surface as a NULL-valued series
+    # Prometheus never shows)
+    if fn == "increase":
+        inc = promql.native_hist_increase(raw).where(
+            F.col("dt_seconds") > 0)
+        out = inc.select(
+            "labels", "schema", "zero_threshold", "zero_count",
+            "count", "sum",
+            "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in inc.columns
+              else []),
+        )
+        return HistVector(out)
+    rates = NH.native_hist_rate(raw).where(F.col("dt_seconds") > 0)
+    # rename the per-second shape back onto the dense-frame contract so
+    # sum by / quantile compose without knowing they hold a FLOAT
+    # histogram (count arrays are doubles — native_hist_sum_by merges
+    # them type-generically)
+    out = rates.select(
+        "labels", "schema", "zero_threshold",
+        F.col("zero_rate").alias("zero_count"),
+        F.col("count_rate").alias("count"),
+        F.col("sum_rate").alias("sum"),
+        "pos_offset",
+        F.col("pos_rates").alias("pos_counts"),
+        "neg_offset",
+        F.col("neg_rates").alias("neg_counts"),
+        *(["custom_values"] if "custom_values" in rates.columns
+          else []),
+    )
+    return HistVector(out)
+
+
+def eval_native_range(
+    native_hists: DataFrame,
+    native_metrics: frozenset,
+    node: "Node",
+    *,
+    start: datetime,
+    end: datetime,
+    step: str,
+) -> DataFrame:
+    """RANGE-MODE evaluation of the supported native-histogram query
+    shapes (r10) — the Grafana panel pattern, lowered onto the grid
+    combinators:
+
+        histogram_quantile(q, rate(h[f]))
+        histogram_quantile(q, sum by (...) (rate(h[f])))
+        histogram_fraction(lo, hi, <same inner shapes>)
+        histogram_count/sum/avg(<same inner shapes>)
+
+    with ``increase`` interchangeable with ``rate`` and ``avg by`` /
+    ``without`` with ``sum by``. The inner selector must be a plain
+    native range selector (no subquery step, no @ pin). Lowering:
+    selector stream → ``native_hist_increase_range`` (one hash agg
+    keyed on (series, grid instant); rate = the per-second rename —
+    quantile/fraction are scale-invariant, count/sum divide) →
+    optional per-instant group merge (``native_hist_sum_by`` /
+    ``avg_by`` keyed on (groups…, instant)) → the pure-Column
+    collapse. Returns (labels, bucket_start, value) — the executor's
+    range-matrix shape. Unsupported shapes raise PromQLError."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        Agg, Call, EvalContext, Num, PromQLError, Selector,
+    )
+
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    _COLLAPSE = ("histogram_quantile", "histogram_fraction",
+                 "histogram_count", "histogram_sum", "histogram_avg")
+    if not (isinstance(node, Call) and node.fn in _COLLAPSE):
+        raise PromQLError(
+            "native-histogram range queries must collapse to floats — "
+            f"supported outer functions: {', '.join(_COLLAPSE)}")
+    inner = node.args[-1]
+    agg = None
+    if isinstance(inner, Agg):
+        agg, inner = inner, inner.expr
+        if agg.op not in ("sum", "avg"):
+            raise PromQLError(
+                f"{agg.op} is not defined over native-histogram vectors")
+    if not (isinstance(inner, Call) and inner.fn in ("rate", "increase")
+            and len(inner.args) == 1
+            and isinstance(inner.args[0], Selector)):
+        raise PromQLError(
+            "native-histogram range queries support "
+            "rate(h[f]) / increase(h[f]) inner shapes only")
+    sel = inner.args[0]
+    if (sel.name not in native_metrics or sel.range_ is None
+            or sel.step or sel.at_ is not None):
+        raise PromQLError(
+            "native-histogram range queries need a plain native range "
+            "selector like h[5m] (no subquery step, no @ pin)")
+    ctx = EvalContext(
+        native_hists, end,
+        native_hists=native_hists, native_metrics=native_metrics)
+    raw = _native_selector_stream(
+        ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
+    inc = NH.native_hist_increase_range(
+        raw, frame=sel.range_, step=step, start=start, end=end)
+    is_rate = inner.fn == "rate"
+    if is_rate:
+        # per-SERIES division BEFORE any merge (the instant path's
+        # order): each series' dt is its own observed window span, and
+        # summing increases then dividing by a group dt mis-rates any
+        # group whose members were scraped at different instants —
+        # scale invariance only cancels a UNIFORM factor
+        dt = F.col("dt_seconds").cast("double")
+        safe = F.when(dt > 0, dt)
+        comp = inc.select(
+            "labels", "bucket_start", "schema", "zero_threshold",
+            (F.col("zero_count").cast("double") / safe)
+            .alias("zero_count"),
+            (F.col("count").cast("double") / safe).alias("count"),
+            (F.col("sum") / safe).alias("sum"),
+            "pos_offset",
+            F.transform(F.col("pos_counts"),
+                        lambda c: c.cast("double") / safe)
+            .alias("pos_counts"),
+            "neg_offset",
+            F.transform(F.col("neg_counts"),
+                        lambda c: c.cast("double") / safe)
+            .alias("neg_counts"),
+            *(["custom_values"] if "custom_values" in inc.columns
+              else []),
+        )
+    else:
+        comp = inc.select(
+            "labels", "bucket_start", "schema", "zero_threshold",
+            "zero_count", "count", "sum",
+            "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in inc.columns
+              else []),
+        )
+    vec = HistVector(comp)
+    if agg is not None:
+        df = vec.df
+        if agg.without is not None:
+            drop = set(agg.without) | {"__name__"}
+            kept = F.map_filter(
+                F.col("labels"),
+                lambda k, _: ~k.isin(*[F.lit(x) for x in drop]))
+            df = df.withColumn("__kept", kept).withColumn(
+                "__k",
+                F.to_json(F.array_sort(F.map_entries(F.col("__kept")))))
+            keys: tuple = ("__k",)
+            labels_back = df.select(
+                "__k", F.col("__kept").alias("labels")
+            ).dropDuplicates(["__k"])
+        else:
+            by = tuple(agg.by or ())
+            gcols = [f"__g_{k}" for k in by]
+            for k, g in zip(by, gcols):
+                df = df.withColumn(
+                    g, F.coalesce(F.col("labels")[k], F.lit("")))
+            if not by:
+                df = df.withColumn("__all", F.lit(1))
+            keys = tuple(gcols) if by else ("__all",)
+            labels_back = None
+        merge = (NH.native_hist_sum_by if agg.op == "sum"
+                 else NH.native_hist_avg_by)
+        # per-instant merge: the grid instant joins the group key (the
+        # rate division already happened PER SERIES above, so the merge
+        # sums per-second float histograms directly)
+        mcols = [c for c in _nh_cols_of(df)
+                 if c not in ("labels",)] + ["bucket_start"]
+        merged = merge(
+            df.select(*keys, *mcols), tuple(keys) + ("bucket_start",))
+        if labels_back is not None:
+            merged = merged.join(labels_back, on="__k")
+        else:
+            by = tuple(agg.by or ())
+            labels = (
+                F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in by]),
+                    F.array(*[F.col(f"__g_{k}").cast("string")
+                              for k in by]),
+                )
+                if by else F.expr("CAST(map() AS map<string,string>)")
+            )
+            merged = merged.withColumn("labels", labels)
+        vec = HistVector(merged.select(
+            "labels", "bucket_start", "schema", "zero_threshold",
+            "zero_count", "count", "sum",
+            "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in merged.columns
+              else []),
+        ))
+    fn, df = node.fn, vec.df
+    if fn in ("histogram_quantile", "histogram_fraction"):
+        if fn == "histogram_quantile":
+            if not isinstance(node.args[0], Num):
+                raise PromQLError("histogram_quantile needs a literal q")
+            args = (float(node.args[0].value),)
+            nfn, cfn, vcol = (NH.native_hist_quantile,
+                              promql.histogram_quantile, "quantile_value")
+        else:
+            if not (isinstance(node.args[0], Num)
+                    and isinstance(node.args[1], Num)):
+                raise PromQLError(
+                    "histogram_fraction needs literal bounds")
+            args = (float(node.args[0].value),
+                    float(node.args[1].value))
+            nfn, cfn, vcol = (NH.native_hist_fraction,
+                              promql.histogram_fraction, "fraction_value")
+        if "custom_values" in df.columns:
+            # NHCB rows on the grid take the CLASSIC rule, like the
+            # instant split (r10): the grid instant rides the labels
+            # as a reserved entry through the le-grouping and is
+            # restored afterward (the classic operators group on
+            # labels-minus-le only)
+            exp = df.where(F.col("schema") != F.lit(-53))
+            ne = nfn(exp, *args).select(
+                "labels", "bucket_start", F.col(vcol).alias("value"))
+            nhcb = df.where(F.col("schema") == F.lit(-53)).withColumn(
+                "labels",
+                F.map_concat(
+                    F.col("labels"),
+                    F.create_map(
+                        F.lit("__bucket_ts"),
+                        F.unix_timestamp("bucket_start").cast("string")),
+                ),
+            )
+            ble = NH.nhcb_to_le_buckets(nhcb)
+            buckets = ble.select(
+                F.map_concat(
+                    F.col("labels"),
+                    F.create_map(F.lit("le"), F.col("le_cum.le")),
+                ).alias("labels"),
+                F.col("le_cum.cum").alias("value"),
+            )
+            ce = cfn(buckets, *args).select(
+                F.map_filter(
+                    F.col("labels"),
+                    lambda k, _: k != "__bucket_ts").alias("labels"),
+                F.timestamp_seconds(
+                    F.element_at(F.col("labels"), "__bucket_ts")
+                    .cast("long")).alias("bucket_start"),
+                "value",
+            )
+            return ne.unionByName(ce)
+        out = nfn(df, *args)
+        val = F.col(vcol)
+    else:
+        out = df
+        # the components are already per-second when is_rate (divided
+        # per series before any merge), so the extractors read directly
+        val = {
+            "histogram_count": F.col("count").cast("double"),
+            "histogram_sum": F.col("sum").cast("double"),
+            "histogram_avg": F.try_divide(
+                F.col("sum"), F.col("count").cast("double")),
+        }[fn]
+    return out.select("labels", "bucket_start", val.alias("value"))
+
+
+def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:
+    """``h * k`` / ``h / k`` (k a scalar): every count component scales
+    — Prometheus's FloatHistogram Mul/Div. The result is a FLOAT
+    histogram (double counts); quantiles over it are unchanged (scale
+    invariance), count/sum extractions scale."""
+    kf = F.lit(float(k))
+    df = vec.df.select(
+        "labels", "schema", "zero_threshold",
+        (F.col("zero_count").cast("double") * kf).alias("zero_count"),
+        (F.col("count").cast("double") * kf).alias("count"),
+        (F.col("sum") * kf).alias("sum"),
+        "pos_offset",
+        F.transform(F.col("pos_counts"),
+                    lambda c: c.cast("double") * kf).alias("pos_counts"),
+        "neg_offset",
+        F.transform(F.col("neg_counts"),
+                    lambda c: c.cast("double") * kf).alias("neg_counts"),
+        *(["custom_values"] if "custom_values" in vec.df.columns
+          else []),
+    )
+    return HistVector(df)
+
+
+def _hist_vector_scale(
+    hv: HistVector,
+    vec: DataFrame,
+    op: str,
+    node: BinOp,
+    *,
+    hist_is_lhs: bool,
+) -> HistVector:
+    """``h * v`` / ``h / v`` / ``v * h`` — a histogram vector scaled by
+    a matched FLOAT vector (Prometheus 3: FloatHistogram Mul/Div with
+    vector matching; the Grafana normalize-by-gauge pattern). Matching
+    follows the binop rules (exact minus ``__name__``, ``on``,
+    ``ignoring``); the FLOAT side is always the "one" side — a key
+    matched by >1 float rows refuses loudly, and scaling ONE histogram
+    by MANY floats is undefined (refuse a group modifier pointing the
+    many side at the histogram). With ``group_left``/``group_right``
+    pointing at the HISTOGRAM side, many histograms share one float
+    (PromQL many-to-one) and the output keeps each histogram's own
+    labels (minus ``__name__``); without a modifier the match is
+    one-to-one and the output carries the match-key labels.
+    ``v / h`` has no meaning and refuses at the call site.
+
+    Plan: one equi-join on the match key + pure-Column scaling; the
+    float side is broadcast-class (one row per key)."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError,
+    )
+
+    if node.group is not None:
+        hist_many = (node.group == "left") == hist_is_lhs
+        if not hist_many:
+            raise PromQLError(
+                "histogram vector scaling: the group modifier points "
+                "the many side at the FLOAT vector — scaling one "
+                "histogram by many floats is undefined")
+    if node.on:
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: k.isin(*list(node.on)))
+    else:
+        drop = set(node.ignoring or ()) | {"__name__"}
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: ~k.isin(*list(drop)))
+    key = F.to_json(F.array_sort(F.map_entries(kept)))
+    h = hv.df.withColumn("__kept", kept).withColumn("__k", key)
+    v = vec.select(
+        key.alias("__k"), F.col("value").alias("__v"))
+    # the float side is the "one" side: duplicates refuse (guard rides
+    # the join-side aggregation so pruning can't elide it — the count
+    # IS the joined column)
+    vone = v.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__nv"), F.first("__v").alias("__v"))
+    joined = h.join(vone, on="__k", how="inner").where(
+        F.when(
+            F.col("__nv") > 1,
+            F.raise_error(F.lit(
+                f"histogram {op} vector: a match key is shared by more "
+                "than one float series (the float side must be the "
+                "'one' side) — narrow with on(...)/ignoring(...)")),
+        ).otherwise(F.lit(True))
+    )
+    if node.group is None:
+        # one-to-one also requires the HISTOGRAM side unique per key
+        hcnt = h.groupBy("__k").agg(F.count(F.lit(1)).alias("__nh"))
+        joined = joined.join(hcnt, on="__k").where(
+            F.when(
+                F.col("__nh") > 1,
+                F.raise_error(F.lit(
+                    f"histogram {op} vector: a match key is shared by "
+                    "more than one histogram series (one-to-one) — "
+                    "use group_left/group_right for many-to-one")),
+            ).otherwise(F.lit(True))
+        )
+    k = (F.col("__v") if op == "*"
+         else F.lit(1.0) / F.col("__v"))
+    out_labels = (
+        F.map_filter(F.col("labels"), lambda kk, _: kk != "__name__")
+        if node.group is not None else F.col("__kept")
+    )
+    df = joined.select(
+        out_labels.alias("labels"), "schema", "zero_threshold",
+        (F.col("zero_count").cast("double") * k).alias("zero_count"),
+        (F.col("count").cast("double") * k).alias("count"),
+        (F.col("sum") * k).alias("sum"),
+        "pos_offset",
+        F.transform(F.col("pos_counts"),
+                    lambda c: c.cast("double") * k).alias("pos_counts"),
+        "neg_offset",
+        F.transform(F.col("neg_counts"),
+                    lambda c: c.cast("double") * k).alias("neg_counts"),
+        *(["custom_values"] if "custom_values" in joined.columns
+          else []),
+    )
+    return HistVector(df)
+
+
+def _hist_hist_addsub(
+    lhs: HistVector,
+    rhs: HistVector,
+    op: str,
+    on: "list[str] | None" = None,
+    ignoring: "list[str] | None" = None,
+) -> HistVector:
+    """``h1 + h2`` / ``h1 - h2``: histogram addition/subtraction with
+    PromQL's one-to-one vector matching lifted to histograms
+    (Prometheus 3 supports both; Sub can go negative, a legal float
+    histogram used for deltas). Matching follows the scalar binop
+    rules: exact label-set equality by default, ``on(...)`` restricts
+    the key to the named labels, ``ignoring(...)`` removes the named
+    labels (``__name__`` never participates, the binop rule — and the
+    OUTPUT labels are the match key's labels, so the metric name and
+    ignored labels drop, as in PromQL). Series present on only one
+    side DROP (inner matching); a key matched by MORE than one series
+    on either side refuses loudly (PromQL's many-to-many error —
+    silently merging would double-count).
+
+    Plan: canonical match-key on both sides → the two sides union (the
+    subtrahend scaled by −1) and ride ``native_hist_sum_by`` keyed on
+    the match key, so mixed schemas downscale-merge exactly as in
+    ``sum by``; a per-(key, side) count agg guards one-to-one-ness.
+    Shuffles stay match-key-keyed throughout."""
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    if on:
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: k.isin(*list(on)))
+    else:
+        drop = set(ignoring or ()) | {"__name__"}
+        kept = F.map_filter(
+            F.col("labels"), lambda k, _: ~k.isin(*list(drop)))
+    key = F.to_json(F.array_sort(F.map_entries(kept)))
+    a = lhs.df.withColumn("__kept", kept).withColumn("__k", key)
+    b = (rhs.df if op == "+" else _hist_scalar_scale(rhs, -1.0).df
+         ).withColumn("__k", key)
+    cols = ["__k"] + [c for c in _nh_cols_of(lhs.df)
+                      if c != "labels"]
+
+    # align count types across sides (a raw long side vs a float side)
+    def norm(df, side):
+        return df.select(
+            "__k", "schema", "zero_threshold",
+            F.col("zero_count").cast("double").alias("zero_count"),
+            F.col("count").cast("double").alias("count"),
+            F.col("sum").cast("double").alias("sum"),
+            "pos_offset",
+            F.transform(F.col("pos_counts"), lambda c: c.cast("double"))
+            .alias("pos_counts"),
+            "neg_offset",
+            F.transform(F.col("neg_counts"), lambda c: c.cast("double"))
+            .alias("neg_counts"),
+            *(["custom_values"] if "custom_values" in df.columns
+              else []),
+            F.lit(side).alias("__s"),
+        )
+
+    both = norm(a.select(*cols), 0).unionByName(norm(b.select(*cols), 1))
+    # one-to-one guard: PromQL errors on a key matched by >1 series on
+    # either side; the guard rides a per-key max of per-side counts
+    side_max = both.groupBy("__k", "__s").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).groupBy("__k").agg(F.max("__c").alias("__mx"))
+    merged = NH.native_hist_sum_by(both.drop("__s"), ("__k",))
+    # the one-to-one guard rides the FILTER predicate — filters are
+    # never column-pruned, so a downstream projection (histogram_count
+    # keeps only count) cannot elide the refusal (the r9 sum_by
+    # pruning lesson, applied to a where-clause instead)
+    matched = merged.join(side_max, on="__k").where(
+        F.when(
+            F.col("__mx") > 1,
+            F.raise_error(F.lit(
+                f"histogram {op}: a match key is shared by more than "
+                "one series on one side (many-to-many) — narrow the "
+                "matching with on(...)/ignoring(...)")).isNotNull(),
+        ).otherwise(F.col("n_series") == 2)
+    )
+    labels_back = a.select(
+        "__k", F.col("__kept").alias("labels")).dropDuplicates(["__k"])
+    out = matched.join(labels_back, on="__k", how="inner").select(
+        "labels", "schema", "zero_threshold", "zero_count", "count",
+        "sum", "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+        *(["custom_values"] if "custom_values" in matched.columns
+          else []),
+    )
+    return HistVector(out)
+
+
+def _native_agg(ctx: EvalContext, node: Agg, vec: HistVector) -> HistVector:
+    """``sum by/without`` / ``avg by/without`` over a histogram vector
+    → the r9 group-keyed merge combinators. ``without(...)`` needs no
+    label-key universe: each series' group identity is its OWN labels
+    map minus the excluded keys (map_filter → canonical sorted-JSON
+    key), exactly PromQL's rule — series whose remaining label sets
+    are equal merge, and the group's output labels ARE that remaining
+    map (recovered from any member, identical by construction)."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError,
+    )
+
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    if node.op not in ("sum", "avg"):
+        raise PromQLError(
+            f"{node.op} is not defined over native-histogram vectors "
+            "(sum/avg merge histograms; others have no histogram rule)")
+    merge = (NH.native_hist_sum_by if node.op == "sum"
+             else NH.native_hist_avg_by)
+    df = vec.df
+    if node.without is not None:
+        drop = set(node.without) | {"__name__"}  # PromQL drops the name
+        kept = F.map_filter(
+            F.col("labels"),
+            lambda k, _: ~k.isin(*[F.lit(x) for x in drop]),
+        )
+        df = df.withColumn("__kept", kept).withColumn(
+            "__k", F.to_json(F.array_sort(F.map_entries(F.col("__kept")))))
+        merged = merge(
+            df.select("__k", *[c for c in _nh_cols_of(df)
+                               if c != "labels"]),
+            ("__k",))
+        labels_back = df.select(
+            "__k", F.col("__kept").alias("labels")).dropDuplicates(["__k"])
+        out = merged.join(labels_back, on="__k", how="inner").select(
+            "labels", "schema", "zero_threshold", "zero_count",
+            "count", "sum", "pos_offset", "pos_counts",
+            "neg_offset", "neg_counts",
+            *(["custom_values"] if "custom_values" in merged.columns
+              else []),
+        )
+        return HistVector(out)
+    by = tuple(node.by or ())
+    # group columns are PREFIXED: a by-label named like a histogram
+    # column ("schema", "count", "sum" are legal PromQL label names)
+    # must not overwrite the component it shadows (r10 review fix)
+    gcols = [f"__g_{k}" for k in by]
+    for k, g in zip(by, gcols):
+        df = df.withColumn(g, F.coalesce(F.col("labels")[k], F.lit("")))
+    if not by:
+        # sum(h): one global group — constant key, dropped after
+        df = df.withColumn("__all", F.lit(1))
+    keys = tuple(gcols) if by else ("__all",)
+    merged = merge(df.select(*keys, *[c for c in _nh_cols_of(df)
+                                      if c != "labels"]), tuple(keys))
+    labels = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in by]),
+            F.array(*[F.col(g).cast("string") for g in gcols]),
+        )
+        if by
+        else F.expr("CAST(map() AS map<string,string>)")
+    )
+    return HistVector(merged.select(
+        labels.alias("labels"), "schema", "zero_threshold", "zero_count",
+        "count", "sum", "pos_offset", "pos_counts",
+        "neg_offset", "neg_counts",
+        *(["custom_values"] if "custom_values" in merged.columns
+          else []),
+    ))
+
