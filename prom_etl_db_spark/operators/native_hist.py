@@ -841,3 +841,17 @@ def native_hist_rate_range(
         "dt_seconds",
         *(["custom_values"] if "custom_values" in inc.columns else []),
     )
+
+
+def native_hist_delta(hist: DataFrame) -> DataFrame:
+    """PromQL ``delta()`` over native GAUGE histograms (r10): the
+    aligned endpoint difference with NO reset rule — negative
+    components are legal gauge movement (a residuals distribution
+    shifting mass between buckets), exactly Prometheus's gauge-only
+    delta. Everything else is ``native_hist_increase``'s machinery:
+    schema downscale, both-side alignment, the count/sum/
+    zero_threshold carry. ``reset`` is a constant False in the shared
+    output shape."""
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    return native_hist_increase(hist, counter=False)

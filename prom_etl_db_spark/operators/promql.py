@@ -2887,12 +2887,19 @@ def _nh_downscale(
 
 
 def native_hist_increase(
-    hist: DataFrame, *, extra_keys: Sequence[str] = ()
+    hist: DataFrame, *, extra_keys: Sequence[str] = (),
+    counter: bool = True,
 ) -> DataFrame:
     """PromQL ``increase()`` over NATIVE-histogram series (r8): per
     series, the bucket-wise count increase between the earliest and
     latest sample — Prometheus's counter semantics lifted to whole
     histograms (promql native-histogram rate/increase).
+    ``counter=False`` is ``delta()`` over GAUGE histograms (r10): the
+    same aligned endpoint difference with NO reset rule — a negative
+    component is legal gauge data, not a restart (Prometheus's delta
+    applies only to gauges for exactly this reason); the ``reset``
+    column is emitted as a constant False so the output shape is
+    shared.
     ``extra_keys`` (r10) appends partition columns to the series key —
     the range-query grid form groups on (series, grid instant) and
     reuses this exact aggregation; the columns pass through to the
@@ -3054,6 +3061,9 @@ def native_hist_increase(
     if has_sum:
         # NULL-safe: an unknown sum can't signal a reset
         reset = reset | F.coalesce(b["sum"] < a["sum"], F.lit(False))
+    if not counter:
+        # gauge delta: a decrease is DATA — no reset rule anywhere
+        reset = F.lit(False)
     neg_out: list[Column] = []
     if has_neg:
         n_lo = F.least(F.col("__ano"), F.col("__bno"))
@@ -3071,8 +3081,10 @@ def native_hist_increase(
         ).otherwise(F.array().cast("array<bigint>"))
         g = g.withColumn("__ndiff", neg_diff)
         # a decrease visible ONLY in the negative buckets is a reset
-        # too (r10 — before, it went undetected)
-        reset = reset | F.exists(F.col("__ndiff"), lambda d: d < 0)
+        # too (r10 — before, it went undetected); gauge delta keeps
+        # the constant-False reset
+        if counter:
+            reset = reset | F.exists(F.col("__ndiff"), lambda d: d < 0)
         neg_out = [
             F.when(reset, F.col("__bno")).otherwise(n_lo)
             .alias("neg_offset"),

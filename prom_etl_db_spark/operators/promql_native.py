@@ -133,7 +133,7 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
 
     from prom_etl_db_spark.operators import native_hist as NH
 
-    if fn not in ("rate", "increase"):
+    if fn not in ("rate", "increase", "delta"):
         raise PromQLError(
             f"{fn} is not defined over native-histogram series")
     lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
@@ -145,8 +145,10 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
     # rather than emitting NULL components (r10 seam: a NULL-rate row
     # fed to histogram_quantile would surface as a NULL-valued series
     # Prometheus never shows)
-    if fn == "increase":
-        inc = promql.native_hist_increase(raw).where(
+    if fn in ("increase", "delta"):
+        # delta = the gauge form: same endpoint machinery, no reset
+        inc = promql.native_hist_increase(
+            raw, counter=(fn == "increase")).where(
             F.col("dt_seconds") > 0)
         out = inc.select(
             "labels", "schema", "zero_threshold", "zero_count",

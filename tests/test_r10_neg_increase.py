@@ -204,3 +204,23 @@ def test_rate_range_divides_per_instant(spark):
     # t=:05 → inc 3 over 300 s; t=:10 → inc 5 over 600 s
     assert got[5] == pytest.approx(3 / 300)
     assert got[10] == pytest.approx(5 / 600)
+
+
+def test_native_hist_delta_no_reset_rule(spark):
+    """Gauge delta: a dropping bucket is a NEGATIVE diff, never a
+    reset-verbatim snapshot."""
+    from prom_etl_db_spark.operators.native_hist import native_hist_delta
+
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=3,
+            pos_offset=0, pos_counts=[5, 2],
+            neg_offset=0, neg_counts=[4]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=1,
+            pos_offset=0, pos_counts=[2, 6],
+            neg_offset=0, neg_counts=[1]),
+    ]
+    (r,) = native_hist_delta(_nh_df(spark, rows)).collect()
+    assert r["reset"] is False
+    assert r["zero_count"] == -2
+    assert list(r["pos_counts"]) == [-3, 4]
+    assert list(r["neg_counts"]) == [-3]

@@ -571,3 +571,14 @@ def test_histogram_times_float_vector(spark, nh):
     # v / h is undefined
     with pytest.raises(PromQLError, match="binary"):
         ev("histogram_count(g / on(job) increase(h[10m]))")
+
+
+def test_delta_string_over_native_gauge_histogram(spark, samples, nh):
+    """delta(h[10m]) from a string: the gauge endpoint difference —
+    a/2's zero bucket moved 0→1 and neg gained [0,2] (all growth in
+    this fixture, so delta == increase here); the semantic difference
+    (no reset rule) is pinned at the operator level."""
+    out = _eval(samples, nh, "histogram_count(delta(h[10m]))")
+    got = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
+           for r in out.collect()}
+    assert got[("b", "1")] == 8.0
