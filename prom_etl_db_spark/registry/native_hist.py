@@ -1769,3 +1769,88 @@ def native_hist_range_config(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(300) + 1).cast("bigint").alias("step_i"),
         F.round("value", 4).alias("cnt"),
     )
+
+
+@register(
+    "native_hist_gauge_delta",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 5 - 2 AS BIGINT) AS d0,
+    CAST(user_id % 2 - 1 AS BIGINT) AS d1,
+    CAST(user_id % 2 - 1 AS BIGINT) AS dz
+  FROM events
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  dz AS zero_delta,
+  unnest([o, o + 1]) AS idx,
+  unnest([d0, d1]) AS delta
+FROM h
+""",
+)
+def native_hist_gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``delta()`` over native GAUGE histograms (r10 —
+    ``NH.native_hist_delta``): two wire pushes per series whose
+    buckets and zero bucket move in BOTH directions (d0 ∈ [−2, 2],
+    d1/dz ∈ {−1, 0}); the delta is the signed aligned endpoint
+    difference with NO reset rule — the u-slices where a bucket drops
+    are exactly where the counter form would have mis-read a gauge
+    movement as a restart and snapshotted the last sample verbatim.
+    Oracle: the closed-form signed diffs. Plan: the increase
+    machinery's single hash agg, reset short-circuited to False."""
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            a, b = u % 4 + 2, u % 3 + 2
+            z1 = u % 3 + 1
+            c2 = [a + u % 5 - 2, b + u % 2 - 1]
+            z2 = z1 + u % 2 - 1
+            o = u % 4 - 1
+            hs = []
+            for i, (cc, z) in enumerate((([a, b], z1), (c2, z2))):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": n, "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    pts = RW.remote_write_v2_native_histograms(payloads).select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"),
+        "zero_count", "pos_offset", "pos_counts",
+    )
+    d = NH.native_hist_delta(pts)
+    ex = d.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["__name__"].alias("metric_name"),
+        F.col("zero_count").alias("zero_delta"),
+        F.col("pos_offset"),
+        F.posexplode("pos_counts").alias("__i", "delta"),
+    )
+    return ex.select(
+        "push_id", "metric_name", "zero_delta",
+        (F.col("pos_offset") + F.col("__i")).alias("idx"),
+        "delta",
+    )
