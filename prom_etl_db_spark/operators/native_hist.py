@@ -855,3 +855,35 @@ def native_hist_delta(hist: DataFrame) -> DataFrame:
     from prom_etl_db_spark.operators.promql import native_hist_increase
 
     return native_hist_increase(hist, counter=False)
+
+
+def _last_two_per_series(hist: DataFrame) -> DataFrame:
+    """The newest TWO samples per series — one window, no collect; the
+    endpoint machinery over this 2-row set IS the instant-rate pair."""
+    from prom_etl_db_spark.operators.promql import _ensure_series
+
+    keyed = _ensure_series(hist)
+    w = Window.partitionBy("__series").orderBy(F.desc("ts"))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 2)
+        .drop("__rn", "__series")
+    )
+
+
+def native_hist_irate(hist: DataFrame) -> DataFrame:
+    """PromQL ``irate()`` over native histograms (r10): the per-second
+    float histogram between each series' LAST TWO samples — the spiky
+    instantaneous form. Rides ``native_hist_rate`` over the
+    newest-two filter (their endpoints ARE the pair), so the reset
+    rule, both-side alignment, and the scalar carries all apply.
+    Single-sample series yield dt_seconds == 0 (NULL rates), the
+    instant-rate convention; parser callers drop them."""
+    return native_hist_rate(_last_two_per_series(hist))
+
+
+def native_hist_idelta(hist: DataFrame) -> DataFrame:
+    """PromQL ``idelta()`` over native GAUGE histograms (r10): the
+    signed difference between each series' last two samples — no
+    reset rule (``native_hist_delta`` over the newest-two filter)."""
+    return native_hist_delta(_last_two_per_series(hist))

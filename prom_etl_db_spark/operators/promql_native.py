@@ -133,7 +133,7 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
 
     from prom_etl_db_spark.operators import native_hist as NH
 
-    if fn not in ("rate", "increase", "delta"):
+    if fn not in ("rate", "increase", "delta", "irate", "idelta"):
         raise PromQLError(
             f"{fn} is not defined over native-histogram series")
     lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
@@ -145,6 +145,11 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
     # rather than emitting NULL components (r10 seam: a NULL-rate row
     # fed to histogram_quantile would surface as a NULL-valued series
     # Prometheus never shows)
+    if fn in ("irate", "idelta"):
+        # instantaneous forms: the newest-two filter first, then the
+        # same endpoint machinery (irate = rate, idelta = delta)
+        raw = NH._last_two_per_series(raw)
+        fn = {"irate": "rate", "idelta": "delta"}[fn]
     if fn in ("increase", "delta"):
         # delta = the gauge form: same endpoint machinery, no reset
         inc = promql.native_hist_increase(

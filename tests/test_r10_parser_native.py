@@ -582,3 +582,32 @@ def test_delta_string_over_native_gauge_histogram(spark, samples, nh):
     got = {(r["labels"]["job"], r["labels"]["inst"]): r["value"]
            for r in out.collect()}
     assert got[("b", "1")] == 8.0
+
+
+def test_irate_idelta_use_last_two_samples(spark, samples):
+    """irate/idelta over THREE samples read only the newest two."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    t = lambda m: datetime(2024, 1, 29, 0, m)  # noqa: E731
+    rows = [
+        Row(metric_name="h", labels={"i": "x"}, ts=t(0), schema=0,
+            zero_threshold=0.001, zero_count=0, count=1, sum=0.5,
+            pos_offset=0, pos_counts=[1], neg_offset=0, neg_counts=[]),
+        Row(metric_name="h", labels={"i": "x"}, ts=t(4), schema=0,
+            zero_threshold=0.001, zero_count=0, count=7, sum=2.0,
+            pos_offset=0, pos_counts=[7], neg_offset=0, neg_counts=[]),
+        Row(metric_name="h", labels={"i": "x"}, ts=t(5), schema=0,
+            zero_threshold=0.001, zero_count=0, count=4, sum=1.0,
+            pos_offset=0, pos_counts=[4], neg_offset=0, neg_counts=[]),
+    ]
+    nh = spark.createDataFrame(rows, _SCHEMA)
+    # idelta: last two = @4 (7) -> @5 (4): signed -3 over 60 s
+    out = eval_promql(samples, "histogram_count(idelta(h[10m]))", AT,
+                      native_hists=nh, native_metrics=frozenset({"h"}))
+    (r,) = out.collect()
+    assert r["value"] == -3.0
+    # irate: the drop IS a counter reset -> last verbatim (4) / 60 s
+    out2 = eval_promql(samples, "histogram_count(irate(h[10m]))", AT,
+                       native_hists=nh, native_metrics=frozenset({"h"}))
+    (r2,) = out2.collect()
+    assert r2["value"] == pytest.approx(4 / 60)
