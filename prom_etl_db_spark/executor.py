@@ -48,9 +48,12 @@ __all__ = ["evaluate_config_query", "execute_config_query"]
 
 def _names_native_metric(node, nset: frozenset) -> bool:
     """True iff any selector in the AST names a native-histogram
-    metric — the range-mode guard (stream-mode native evaluation is
-    not built; a native name silently matching nothing in the scalar
-    store would be the worst failure mode)."""
+    metric — the range-mode ROUTER: range configs over native metrics
+    lower onto the grid combinators via ``eval_native_range`` (the
+    supported collapse shapes evaluate; unsupported shapes refuse
+    there with the shape named). A native name silently matching
+    nothing in the scalar store would be the worst failure mode, so
+    detection happens on the AST, not on empty results."""
     from prom_etl_db_spark.operators.promql_parser import Agg, BinOp
 
     if isinstance(node, Selector):

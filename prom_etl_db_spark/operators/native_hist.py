@@ -887,3 +887,194 @@ def native_hist_idelta(hist: DataFrame) -> DataFrame:
     signed difference between each series' last two samples — no
     reset rule (``native_hist_delta`` over the newest-two filter)."""
     return native_hist_delta(_last_two_per_series(hist))
+
+
+def native_hist_changes_and_resets(hist: DataFrame) -> DataFrame:
+    """PromQL ``resets()`` and ``changes()`` over NATIVE-histogram
+    series (r11, VERDICT r10 stretch #8 — Prometheus 3 evaluates both
+    on native histograms; promql/functions.go funcResets/funcChanges
+    histogram branches): per series, walk CONSECUTIVE sample pairs.
+
+    - ``n_resets`` uses the counter rule ``native_hist_increase``
+      applies to its endpoints, per pair: downscale the finer sample
+      to the coarser schema, align on absolute bucket indices, and a
+      drop in ANY aligned bucket (positive or negative side), the
+      zero bucket, or the count/sum scalars (when the frame carries
+      them) is a reset;
+    - ``n_changes`` counts pairs whose samples DIFFER — semantic
+      equality over the canonical decode (schema, zero_count, the
+      NONZERO (index, count) entries of both sides, count/sum when
+      present), so zero-padding differences from span encodings don't
+      read as changes; NULL sums compare null-safely (both-NULL is
+      equal, the unknown-vs-known pair is a change).
+
+    Custom-bucket rows (NHCB, schema −53): a mid-series
+    ``custom_values`` change (or an NHCB/exponential mix) REFUSES
+    loudly, the `native_hist_increase` rule — index-wise comparison
+    across different boundaries mis-attributes counts, and there is
+    no formula-defined merge. The checks only exist when the frame
+    carries a custom_values column.
+
+    Both counters come from ONE lag window + ONE hash aggregation —
+    the scalar `promql.changes_and_resets` plan shape lifted to
+    histogram rows; the per-pair downscale/align is pure Column over
+    the bounded bucket arrays (no UDF, no extra shuffle: the
+    aggregation reuses the window's series partitioning). Output:
+    (labels, n_changes double, n_resets double), the scalar
+    operator's contract."""
+    from prom_etl_db_spark.operators.promql import (
+        _ensure_series,
+        _nh_downscale,
+    )
+
+    has_neg = (
+        "neg_offset" in hist.columns and "neg_counts" in hist.columns)
+    has_cnt = "count" in hist.columns
+    has_sum = "sum" in hist.columns
+    has_cv = "custom_values" in hist.columns
+    elem = hist.schema["pos_counts"].dataType.elementType.simpleString()
+
+    keyed = _ensure_series(hist)
+    w = Window.partitionBy("__series").orderBy("ts")
+
+    def lagged(c):
+        return F.lag(c).over(w)
+
+    df = keyed.withColumn("__p_schema", lagged(F.col("schema")))
+    pairs = {
+        "zero_count": "__p_zero",
+        "pos_offset": "__p_po", "pos_counts": "__p_pc",
+    }
+    if has_neg:
+        pairs.update({"neg_offset": "__p_no", "neg_counts": "__p_nc"})
+    if has_cnt:
+        pairs["count"] = "__p_count"
+    if has_sum:
+        pairs["sum"] = "__p_sum"
+    if has_cv:
+        pairs["custom_values"] = "__p_cv"
+    for src, dst in pairs.items():
+        df = df.withColumn(dst, lagged(F.col(src)))
+
+    prev_exists = F.col("__p_schema").isNotNull()
+    target = F.least(F.col("schema"), F.col("__p_schema"))
+    if has_cv:
+        nhcb_c = F.col("schema") == F.lit(-53)
+        nhcb_p = F.col("__p_schema") == F.lit(-53)
+        target = (
+            F.when(
+                prev_exists & (nhcb_c != nhcb_p),
+                F.raise_error(F.lit(
+                    "native_hist_changes_and_resets: series mixes "
+                    "custom-bucket (schema -53) and exponential "
+                    "samples — no comparison exists across bucket "
+                    "families")),
+            )
+            .when(
+                prev_exists & nhcb_c & nhcb_p
+                & (F.col("custom_values") != F.col("__p_cv")),
+                F.raise_error(F.lit(
+                    "native_hist_changes_and_resets: custom_values "
+                    "changed mid-series — index-wise comparison "
+                    "across different boundaries would mis-attribute "
+                    "counts")),
+            )
+            .otherwise(target)
+        )
+
+    def at(off, arr, i):
+        idx = i - off + F.lit(1)
+        return F.when(
+            idx >= 1, F.coalesce(F.try_element_at(arr, idx), F.lit(0))
+        ).otherwise(F.lit(0))
+
+    def side_drop(off_c, cnt_c, off_p, cnt_p):
+        co, cc = _nh_downscale(
+            off_c, cnt_c, (F.col("schema") - target).cast("int"),
+            elem=elem)
+        po, pc = _nh_downscale(
+            off_p, cnt_p, (F.col("__p_schema") - target).cast("int"),
+            elem=elem)
+        lo = F.least(co, po)
+        hi = F.greatest(co + F.size(cc), po + F.size(pc))
+        return F.when(
+            hi > lo,
+            F.exists(
+                F.sequence(lo, hi - 1),
+                lambda i: at(co, cc, i) < at(po, pc, i),
+            ),
+        ).otherwise(F.lit(False))
+
+    drop = side_drop(
+        F.col("pos_offset"), F.col("pos_counts"),
+        F.col("__p_po"), F.col("__p_pc"),
+    ) | (F.col("zero_count") < F.col("__p_zero"))
+    if has_neg:
+        empty = F.expr(f"CAST(array() AS array<{elem}>)")
+        drop = drop | side_drop(
+            F.coalesce(F.col("neg_offset"), F.col("__p_no"), F.lit(0)),
+            F.coalesce(F.col("neg_counts"), empty),
+            F.coalesce(F.col("__p_no"), F.col("neg_offset"), F.lit(0)),
+            F.coalesce(F.col("__p_nc"), empty),
+        )
+    if has_cnt:
+        drop = drop | (F.col("count") < F.col("__p_count"))
+    if has_sum:
+        drop = drop | F.coalesce(
+            F.col("sum") < F.col("__p_sum"), F.lit(False))
+    reset = F.when(prev_exists & drop, 1).otherwise(0)
+
+    def nz(off, counts):
+        # nonzero (absolute index, count) entries in index order —
+        # canonical for equality regardless of zero padding
+        return F.filter(
+            F.transform(
+                counts,
+                lambda c, i: F.struct(
+                    (off + i).alias("i"), c.cast("double").alias("c")),
+            ),
+            lambda s: s["c"] != 0,
+        )
+
+    cur_sig = [
+        F.col("schema"), F.col("zero_count").cast("double"),
+        nz(F.col("pos_offset"), F.col("pos_counts")),
+    ]
+    prev_sig = [
+        F.col("__p_schema"), F.col("__p_zero").cast("double"),
+        nz(F.col("__p_po"), F.col("__p_pc")),
+    ]
+    if has_neg:
+        empty = F.expr(f"CAST(array() AS array<{elem}>)")
+        cur_sig.append(nz(
+            F.coalesce(F.col("neg_offset"), F.lit(0)),
+            F.coalesce(F.col("neg_counts"), empty)))
+        prev_sig.append(nz(
+            F.coalesce(F.col("__p_no"), F.lit(0)),
+            F.coalesce(F.col("__p_nc"), empty)))
+    if has_cnt:
+        cur_sig.append(F.col("count").cast("double"))
+        prev_sig.append(F.col("__p_count").cast("double"))
+    if has_sum:
+        cur_sig.append(F.col("sum"))
+        prev_sig.append(F.col("__p_sum"))
+    changed = F.when(
+        prev_exists
+        & ~F.struct(*cur_sig).eqNullSafe(F.struct(*prev_sig)),
+        1,
+    ).otherwise(0)
+
+    return (
+        df.withColumn("__chg", changed)
+        .withColumn("__rst", reset)
+        .groupBy("__series")
+        .agg(
+            F.sum("__chg").cast("double").alias("n_changes"),
+            F.sum("__rst").cast("double").alias("n_resets"),
+        )
+        .select(
+            F.map_from_entries("__series").alias("labels"),
+            "n_changes",
+            "n_resets",
+        )
+    )

@@ -2963,6 +2963,13 @@ def native_hist_increase(
     has_cnt = "count" in hist.columns
     has_sum = "sum" in hist.columns
     has_zt = "zero_threshold" in hist.columns
+    # r11 (ADVICE): the count element type follows the FRAME — bigint
+    # for integer histograms, double for the wire FLOAT flavor
+    # (NATIVE_HIST_FLOAT_SCHEMA) and rate()'s per-second output. Every
+    # typed zero below (downscale folds, empty-array coalesces, the
+    # diff otherwise-branches) must use it, or float frames fail plan
+    # resolution — the native_hist_sum_by pattern.
+    elem = hist.schema["pos_counts"].dataType.elementType.simpleString()
     keyed = _ensure_series(hist)
     snap_cols = ["ts", "schema", "zero_count", "pos_offset", "pos_counts"]
     if has_neg:
@@ -3005,10 +3012,10 @@ def native_hist_increase(
         )
     ao, ac = _nh_downscale(
         a["pos_offset"], a["pos_counts"],
-        (a["schema"] - target).cast("int"))
+        (a["schema"] - target).cast("int"), elem=elem)
     bo, bc = _nh_downscale(
         b["pos_offset"], b["pos_counts"],
-        (b["schema"] - target).cast("int"))
+        (b["schema"] - target).cast("int"), elem=elem)
     g = (
         g.withColumn("schema", target.cast("int"))
         .withColumn("__ao", ao).withColumn("__ac", ac)
@@ -3016,19 +3023,42 @@ def native_hist_increase(
     )
     if has_neg:
         # NULL-tolerant: a frame may carry NULL neg arrays for rows
-        # decoded from sources without a negative side
-        empty = F.expr("CAST(array() AS array<bigint>)")
+        # decoded from sources without a negative side. An absent
+        # side's offset coalesces to the OTHER endpoint's offset (r11
+        # ADVICE) — coalescing to 0 would widen the aligned span to
+        # [min(0, off), hi) and materialize a dense zero-filled diff
+        # for series whose negative mass sits at a far offset.
+        empty = F.expr(f"CAST(array() AS array<{elem}>)")
         ano, anc = _nh_downscale(
-            F.coalesce(a["neg_offset"], F.lit(0)),
+            F.coalesce(a["neg_offset"], b["neg_offset"], F.lit(0)),
             F.coalesce(a["neg_counts"], empty),
-            (a["schema"] - target).cast("int"))
+            (a["schema"] - target).cast("int"), elem=elem)
         bno, bnc = _nh_downscale(
-            F.coalesce(b["neg_offset"], F.lit(0)),
+            F.coalesce(b["neg_offset"], a["neg_offset"], F.lit(0)),
             F.coalesce(b["neg_counts"], empty),
-            (b["schema"] - target).cast("int"))
+            (b["schema"] - target).cast("int"), elem=elem)
         g = (
             g.withColumn("__ano", ano).withColumn("__anc", anc)
             .withColumn("__bno", bno).withColumn("__bnc", bnc)
+        )
+        # an EMPTY side (decoders emit offset 0 + [] for no negative
+        # spans) adopts the other endpoint's offset for alignment —
+        # an empty array contributes zeros anywhere, and keeping its
+        # own offset 0 against a far-offset other side would span
+        # [min(0, off), hi) with dense materialized zeros (r11 ADVICE)
+        g = (
+            g.withColumn(
+                "__ano",
+                F.when(
+                    (F.size("__anc") == 0) & (F.size("__bnc") > 0),
+                    F.col("__bno"),
+                ).otherwise(F.col("__ano")))
+            .withColumn(
+                "__bno",
+                F.when(
+                    (F.size("__bnc") == 0) & (F.size("__anc") > 0),
+                    F.col("__ano"),
+                ).otherwise(F.col("__bno")))
         )
     lo = F.least(F.col("__ao"), F.col("__bo"))
     hi = F.greatest(
@@ -3051,7 +3081,7 @@ def native_hist_increase(
             lambda i: at(F.col("__bo"), F.col("__bc"), i)
             - at(F.col("__ao"), F.col("__ac"), i),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast(f"array<{elem}>"))
     g = g.withColumn("__diff", aligned_diff)
     reset = F.exists(F.col("__diff"), lambda d: d < 0) | (
         b["zero_count"] < a["zero_count"]
@@ -3078,7 +3108,7 @@ def native_hist_increase(
                 lambda i: at(F.col("__bno"), F.col("__bnc"), i)
                 - at(F.col("__ano"), F.col("__anc"), i),
             ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        ).otherwise(F.array().cast(f"array<{elem}>"))
         g = g.withColumn("__ndiff", neg_diff)
         # a decrease visible ONLY in the negative buckets is a reset
         # too (r10 — before, it went undetected); gauge delta keeps

@@ -122,10 +122,13 @@ def _native_instant_vector(ctx: EvalContext, sel: Selector) -> HistVector:
     return HistVector(latest.select(*_nh_cols_of(latest)))
 
 
-def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
-    """``rate()`` / ``increase()`` over a native range selector —
-    lowers onto the gated combinators (`promql.native_hist_increase`,
-    `native_hist.native_hist_rate`); the other range functions have no
+def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector):
+    """``rate()`` / ``increase()`` / ``delta()`` / ``irate()`` /
+    ``idelta()`` over a native range selector — lowers onto the gated
+    combinators (`promql.native_hist_increase`,
+    `native_hist.native_hist_rate`) and returns a HistVector;
+    ``resets()`` / ``changes()`` (r11) return a FLOAT vector from the
+    consecutive-pair counters. The other range functions have no
     histogram meaning and refuse."""
     from prom_etl_db_spark.operators.promql_parser import (
         PromQLError, Selector, _at_of, _frame_bounds,
@@ -133,13 +136,21 @@ def _native_range_fn(ctx: EvalContext, fn: str, sel: Selector) -> HistVector:
 
     from prom_etl_db_spark.operators import native_hist as NH
 
-    if fn not in ("rate", "increase", "delta", "irate", "idelta"):
+    if fn not in ("rate", "increase", "delta", "irate", "idelta",
+                  "resets", "changes"):
         raise PromQLError(
             f"{fn} is not defined over native-histogram series")
     lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
     raw = _native_selector_stream(
         ctx, Selector(sel.name, sel.matchers, offset=sel.offset)
     ).where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    if fn in ("resets", "changes"):
+        # float-vector results (consecutive-pair counters) — Prometheus
+        # 3 evaluates both on native histograms; a single-sample series
+        # legally counts 0
+        out = NH.native_hist_changes_and_resets(raw)
+        col = "n_resets" if fn == "resets" else "n_changes"
+        return out.select("labels", F.col(col).alias("value"))
     # Prometheus rate()/increase() need TWO points in the window — a
     # single-sample series (dt == 0) drops from the result vector
     # rather than emitting NULL components (r10 seam: a NULL-rate row
@@ -202,7 +213,12 @@ def eval_native_range(
         histogram_count/sum/avg(<same inner shapes>)
 
     with ``increase`` interchangeable with ``rate`` and ``avg by`` /
-    ``without`` with ``sum by``. The inner selector must be a plain
+    ``without`` with ``sum by`` — optionally wrapped in LITERAL-scalar
+    arithmetic (r11: ``histogram_count(rate(h[10m])) * 60 / 3600``,
+    the flagship's own tail shape, scripts/migrate.sql:105 — the
+    collapse yields a float vector, so the scalars replay on the value
+    column as a pure-Column tail; non-literal operands refuse). The
+    inner selector must be a plain
     native range selector (no subquery step, no @ pin). Lowering:
     selector stream → ``native_hist_increase_range`` (one hash agg
     keyed on (series, grid instant); rate = the per-second rename —
@@ -212,17 +228,52 @@ def eval_native_range(
     collapse. Returns (labels, bucket_start, value) — the executor's
     range-matrix shape. Unsupported shapes raise PromQLError."""
     from prom_etl_db_spark.operators.promql_parser import (
-        Agg, Call, EvalContext, Num, PromQLError, Selector,
+        Agg, BinOp, Call, EvalContext, Num, PromQLError, Selector,
     )
 
     from prom_etl_db_spark.operators import native_hist as NH
+
+    # Scalar tail (r11, VERDICT r10 task #3): the reference's flagship
+    # pattern multiplies the collapsed result by literal scalars
+    # (`... * 60 / 3600`, scripts/migrate.sql:105). The collapse
+    # yields a plain float vector, so the scalars apply AFTER it as a
+    # pure-Column tail — peel BinOp-with-Num layers (either side, any
+    # +-*/^ chain) down to the collapse Call, then replay them on the
+    # value column. Non-literal operands keep the named refusal.
+    _SCALAR_OPS = {"+", "-", "*", "/", "^"}
+    tail: list = []  # (op, k, scalar_on_left) outermost-first
+    while (isinstance(node, BinOp) and node.op in _SCALAR_OPS
+           and (isinstance(node.lhs, Num) or isinstance(node.rhs, Num))):
+        if isinstance(node.rhs, Num):
+            tail.append((node.op, float(node.rhs.value), False))
+            node = node.lhs
+        else:
+            tail.append((node.op, float(node.lhs.value), True))
+            node = node.rhs
+    tail.reverse()  # apply innermost-first
+
+    def _apply_tail(val):
+        for op, k, left in tail:
+            a, b = (F.lit(k), val) if left else (val, F.lit(k))
+            if op == "^":
+                val = F.pow(a, b)
+            elif op == "+":
+                val = a + b
+            elif op == "-":
+                val = a - b
+            elif op == "*":
+                val = a * b
+            else:
+                val = a / b
+        return val
 
     _COLLAPSE = ("histogram_quantile", "histogram_fraction",
                  "histogram_count", "histogram_sum", "histogram_avg")
     if not (isinstance(node, Call) and node.fn in _COLLAPSE):
         raise PromQLError(
             "native-histogram range queries must collapse to floats — "
-            f"supported outer functions: {', '.join(_COLLAPSE)}")
+            f"supported outer functions: {', '.join(_COLLAPSE)} "
+            "(optionally wrapped in literal-scalar arithmetic)")
     inner = node.args[-1]
     agg = None
     if isinstance(inner, Agg):
@@ -389,7 +440,10 @@ def eval_native_range(
                     .cast("long")).alias("bucket_start"),
                 "value",
             )
-            return ne.unionByName(ce)
+            u = ne.unionByName(ce)
+            return u.select(
+                "labels", "bucket_start",
+                _apply_tail(F.col("value")).alias("value"))
         out = nfn(df, *args)
         val = F.col(vcol)
     else:
@@ -402,7 +456,48 @@ def eval_native_range(
             "histogram_avg": F.try_divide(
                 F.col("sum"), F.col("count").cast("double")),
         }[fn]
-    return out.select("labels", "bucket_start", val.alias("value"))
+    return out.select(
+        "labels", "bucket_start", _apply_tail(val).alias("value"))
+
+
+def mixed_classic_leg(ctx: EvalContext, inner: "Node") -> "DataFrame | None":
+    """The CLASSIC side of a MIXED metric family (r11, VERDICT r10
+    stretch #8): real fleets migrate to native histograms gradually,
+    leaving one metric name with some series stored as native
+    histograms and others as classic cumulative ``le``-bucket float
+    series. When ``histogram_quantile``/``histogram_fraction`` wraps a
+    bare ``rate()``/``increase()`` over a native-metric selector, this
+    returns the same range function evaluated over the SCALAR sample
+    stream for that selector, restricted to rows carrying an ``le``
+    label — ready for the classic collapse; the caller unions it with
+    the native leg. The per-family split is `nhcb_to_le_buckets`'
+    rule generalized: each family evaluates under its own estimator,
+    and the union is the full result vector.
+
+    Returns None when the shape doesn't apply (aggregated inner —
+    the classic idiom would need ``le`` added to the by-set, a
+    different grouping per family; documented boundary in
+    DIVERGENCES.md — or a non-rate/increase inner). A family with no
+    classic rows yields an EMPTY leg from a metric-name-pruned scan —
+    no behavioral change for pure-native metrics."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        Call, Selector, _at_of, _frame_bounds, _selector_stream,
+    )
+
+    if not (isinstance(inner, Call) and inner.fn in ("rate", "increase")
+            and len(inner.args) == 1
+            and isinstance(inner.args[0], Selector)):
+        return None
+    sel = inner.args[0]
+    if (sel.name is None or sel.name not in ctx.native_metrics
+            or sel.range_ is None or sel.step):
+        return None
+    lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
+    stream = _selector_stream(
+        ctx, Selector(sel.name, sel.matchers, offset=sel.offset)
+    ).where(F.element_at(F.col("labels"), "le").isNotNull())
+    fn = promql.rate if inner.fn == "rate" else promql.increase
+    return fn(stream, frame_start=lo, frame_end=hi)
 
 
 def _hist_scalar_scale(vec: HistVector, k: float) -> HistVector:

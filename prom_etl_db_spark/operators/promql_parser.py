@@ -788,6 +788,7 @@ from prom_etl_db_spark.operators.promql_native import (  # noqa: E402
     _native_instant_vector,
     _native_range_fn,
     eval_native_range,
+    mixed_classic_leg,
 )
 
 
@@ -1263,10 +1264,18 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
                     F.col("le_cum.cum").alias("value"),
                 )
                 cq = promql.histogram_quantile(buckets, q)
-                return nq.unionByName(cq)
-            out = NH.native_hist_quantile(df, q)
-            return out.select(
-                "labels", F.col("quantile_value").alias("value"))
+                res = nq.unionByName(cq)
+            else:
+                res = NH.native_hist_quantile(df, q).select(
+                    "labels", F.col("quantile_value").alias("value"))
+            # MIXED family (r11): classic le-bucket series stored
+            # under the SAME metric name evaluate with the classic
+            # rule and union in — the migration-in-progress fleet
+            classic = mixed_classic_leg(ctx, node.args[1])
+            if classic is not None:
+                res = res.unionByName(
+                    promql.histogram_quantile(classic, q))
+            return res
         return promql.histogram_quantile(v, _const(ctx, node.args[0]))
     if fn == "histogram_fraction":
         if len(node.args) != 3:
@@ -1295,10 +1304,16 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
                     F.col("le_cum.cum").alias("value"),
                 )
                 cf = promql.histogram_fraction(buckets, flo, fhi)
-                return nf.unionByName(cf)
-            out = NH.native_hist_fraction(df, flo, fhi)
-            return out.select(
-                "labels", F.col("fraction_value").alias("value"))
+                res = nf.unionByName(cf)
+            else:
+                res = NH.native_hist_fraction(df, flo, fhi).select(
+                    "labels", F.col("fraction_value").alias("value"))
+            # MIXED family (r11) — same split as histogram_quantile
+            classic = mixed_classic_leg(ctx, node.args[2])
+            if classic is not None:
+                res = res.unionByName(
+                    promql.histogram_fraction(classic, flo, fhi))
+            return res
         return promql.histogram_fraction(
             v, _const(ctx, node.args[0]), _const(ctx, node.args[1])
         )

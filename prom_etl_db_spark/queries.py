@@ -77,85 +77,77 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
-    # --- Round-10 window (VERDICT r9 task #2: drain the r4-stale driver
-    # debt) ------------------------------------------------------------------
-    # Composition per the r9 verdict's explicit ordering: (a) the 45
-    # queries whose newest driver row is r4 (recomputed from
-    # CORRECTNESS_r01..r09; every one local-green in the r9 judge's full
-    # 290-query run — verification hygiene, not suspected wrongness);
-    # (b) queries whose semantics or implementation changed in r10 —
-    # exemplars_cross_protocol (the OpenMetrics text leg now renders
-    # fixed-decimal values; scientific notation broke the zero-spread
-    # gate at larger fixtures) and native_hist_rate_per_sec (rides the
-    # r10-extended increase/rate operators: negative-bucket alignment,
-    # count/sum/zero_threshold carry); (c) r10's NEW queries — the
-    # negative-bucket increase gate, the parsed
-    # histogram_quantile(0.9, sum by (...) (rate(h[5m]))) string form,
-    # and the exemplar -> rate-window join report. 45 + 2 + 3 = 50.
-    # The other operator-touched r9 queries (native_hist_sum_by/
-    # sum_quantile/avg_by, nhcb_increase_quantile, native_hist_rate_
-    # quantile) are r9-fresh, output-identical (local-green re-checked
-    # this round), and rotate on staleness as usual.
-    # After this window no query's newest driver row is older than r5
-    # (except the 3 rows-only by design).
-    # --- (a) newest driver row = r4 (45, registry order) --------------------
-    "promql_sum_over_time",
-    "promql_bool_scalar_arith",
-    "promql_gapfill_locf",
-    "ingest_normalize_events",
-    "collected_at_sameday_range",
-    "latest_n_scan",
-    "metrics_count",
-    "table_stats",
-    "retention_horizon",
-    "backfill_skip_existing",
-    "timeparse_grid",
-    "hourly_rollup",
-    "daily_report",
-    "success_rate",
-    "tpch_q1_pricing_summary",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "similarity_topk",
-    "similarity_topk_ivf",
-    "audio_g711_expansion",
-    "video_mjpeg_frame_sampling",
-    "multimodal_png_palette_pixels",
-    "multimodal_png_interlaced_pixels",
-    "multimodal_png16_pixels",
-    "multimodal_jpeg_pixels",
-    "embedding_neardup_pairs",
-    "embedding_signlsh_codes",
-    "metric_name_discovery",
-    "promql_rate",
-    "promql_topk",
-    "promql_stddev_by",
-    "promql_sliding_window_aggs",
-    "promql_sliding_extremes",
-    "promql_sliding_quantile",
-    "promql_sliding_changes",
-    "promql_sliding_deriv",
-    "promql_limit_ops",
-    "asof_click_before_purchase",
-    "promql_parsed_numeric_escapes",
-    "bpe_learned_merges",
-    "doc_gopher_quality",
-    "doc_c4_page_filter",
-    "doc_bigram_lm_perplexity",
-    "doc_dsir_logweights",
-    "bpe_encoded_token_counts",
-    # --- (b) changed in r10 (re-gate) ----------------------------------------
-    "exemplars_cross_protocol",
-    "native_hist_rate_per_sec",
-    # --- (c) new in r10 -------------------------------------------------------
-    # negative-bucket increase: growth + negative-side-only reset slices
-    # (VERDICT r9 What's-wrong #1)
-    "native_hist_neg_increase",
-    # the parsed string form of the native aggregation idiom
-    # (VERDICT r9 What's-missing #2 / task #3)
-    "promql_parsed_native_quantile",
-    # the exemplar-consuming surface (VERDICT r9 stretch #8)
-    "exemplar_rate_report",
+    # --- Round-11 window (VERDICT r10 task #1: drain the never-gated
+    # debt, then the r5-stale block) -----------------------------------------
+    # Composition, recomputed from CORRECTNESS_r01..r10 (freshness
+    # r5:50 r6:48 r7:50 r8:44 r9:48 r10:50 + 3 rows-only):
+    # (a) the FIVE late-r10 queries registered past window slot 50
+    #     after the r10 gate ran — local-green both fetch paths but
+    #     never driver-gated; never-gated outranks stale;
+    # (b) r11's FOUR new queries (irate/idelta gate — VERDICT task #2;
+    #     resets()/changes() and the mixed classic+native family
+    #     quantile — stretch #8; the range-mode scalar tail — task #3);
+    # (c) the first 41 of the 50-query r5-stale block, registry order
+    #     (all local-green in the r10 judge's full 298-query run —
+    #     verification hygiene, not suspected wrongness). The other 9
+    #     (url_canonicalize, audio_fingerprint_neardup,
+    #     doc_mojibake_repair, linkage_jaro_winkler_blocks,
+    #     image_rotate_flip, audio_resample_q15, doc_fold_accents,
+    #     doc_char_entropy, speech_pipeline_v1) spill to the r12
+    #     window, per the r10 verdict's arithmetic. 5 + 4 + 41 = 50.
+    # --- (a) never driver-gated (late r10) ----------------------------------
+    "promql_parsed_hist_algebra",
+    "native_hist_grid_increase",
+    "promql_parsed_hist_matching",
+    "native_hist_range_config",
+    "native_hist_gauge_delta",
+    # --- (b) new in r11 ------------------------------------------------------
+    "native_hist_irate_idelta",
+    "native_hist_resets_changes",
+    "native_hist_range_scalar_tail",
+    "mixed_family_quantile",
+    # --- (c) r5-stale fill (41 of 50; 9 spill to r12) ------------------------
+    "label_extract",
+    "label_filter_slice",
+    "substring_prefix",
+    "time_window_scan",
+    "per_key_stats",
+    "top_customers",
+    "order_priority_count",
+    "regional_revenue",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "doc_fingerprint",
+    "text_repetition_signals",
+    "pii_redaction",
+    "decontam_ngram_overlap",
+    "decontam_clean_corpus",
+    "multimodal_decode",
+    "media_frame_counts",
+    "multimodal_bmp_pixels",
+    "audio_mpeg_decode",
+    "multimodal_resize_roundtrip",
+    "promql_avg_over_time",
+    "promql_sliding_sum",
+    "promql_vector_ratio",
+    "promql_quantile_by",
+    "bpe_pair_counts",
+    "doc_gopher_split",
+    "doc_suffix_array_repeats",
+    "doc_substring_dedup_rewrite",
+    "audio_flac_decode",
+    "neardup_edit_verified",
+    "audio_au_aiff_decode",
+    "curation_pipeline_v2",
+    "audio_spectrogram_power",
+    "audio_spectrogram_frames",
+    "audio_vad_segments",
+    "metrics_lttb_downsample",
+    "doc_html_extract",
+    "tsdb_gorilla_compress",
+    "promql_time_components",
+    "hybrid_rrf_search",
 ]
 
 def _apply_gate_priority() -> None:

@@ -1854,3 +1854,550 @@ def native_hist_gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos_offset") + F.col("__i")).alias("idx"),
         "delta",
     )
+
+
+@register(
+    "native_hist_irate_idelta",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 4 - 1 AS INT) AS o,
+    CAST(user_id % 4 + 1 AS BIGINT) AS a,
+    CAST(user_id % 3 + 1 AS BIGINT) AS b,
+    CAST(user_id % 5 + 2 AS BIGINT) AS d1a,
+    CAST(user_id % 3 + 1 AS BIGINT) AS d1b,
+    CAST(user_id % 2 AS BIGINT) AS d2a,
+    CAST(user_id % 4 AS BIGINT) AS d2b,
+    CAST(user_id % 2 AS BIGINT) AS z,
+    user_id % 5 = 0 AS rs
+  FROM events
+), v AS (
+  SELECT event_id, event_type, o, rs,
+    CASE WHEN rs THEN 1.0e0 / 60 ELSE d2a / 60.0e0 END AS ir0,
+    CASE WHEN rs THEN 1.0e0 / 60 ELSE d2b / 60.0e0 END AS ir1,
+    CASE WHEN rs THEN z / 60.0e0 ELSE 0.0e0 END AS irz,
+    CASE WHEN rs THEN (z + 2) / 60.0e0
+         ELSE (d2a + d2b) / 60.0e0 END AS irc,
+    CASE WHEN rs THEN CAST(1 - (a + d1a) AS DOUBLE)
+         ELSE CAST(d2a AS DOUBLE) END AS id0,
+    CASE WHEN rs THEN CAST(1 - (b + d1b) AS DOUBLE)
+         ELSE CAST(d2b AS DOUBLE) END AS id1,
+    CASE WHEN rs THEN CAST(2 - (a + d1a + b + d1b) AS DOUBLE)
+         ELSE CAST(d2a + d2b AS DOUBLE) END AS idc
+  FROM h
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  unnest(['irate', 'irate', 'irate', 'irate',
+          'idelta', 'idelta', 'idelta', 'idelta', 'irate_str']) AS op,
+  unnest([rs, rs, rs, rs,
+          false, false, false, false, false]) AS reset,
+  unnest(['pos', 'pos', 'zero', 'count',
+          'pos', 'pos', 'zero', 'count', 'count']) AS side,
+  unnest([o, o + 1, 0, 0, o, o + 1, 0, 0, 0]) AS idx,
+  unnest([round(ir0, 6), round(ir1, 6), round(irz, 6), round(irc, 6),
+          round(id0, 6), round(id1, 6), 0.0e0, round(idc, 6),
+          round(irc, 6)]) AS val
+FROM v
+""",
+)
+def native_hist_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``irate()`` / ``idelta()`` over native histograms (r11 —
+    VERDICT r10 task #2: the only r10 surface without an oracle-checked
+    registry entry; ``operators/native_hist.py`` irate/idelta were
+    string-routed and unit-tested only). THREE wire pushes per series
+    60 s apart through the real v2 wire, deliberately shaped so the
+    newest-two pair DIFFERS from the full-window endpoint pair — the
+    first step grows by (d1a, d1b) = (u%5+2, u%3+1), the second by
+    (d2a, d2b) = (u%2, u%4) — so an implementation that ignored the
+    newest-two filter and rated over the whole window would
+    hash-mismatch on every series where d1 ≠ d2.
+
+    - the RESET slice (u%5 == 0) drops the third sample's buckets to
+      [1, 1]; the second sample's first bucket is ≥ 3, so irate's
+      counter rule detects the drop unconditionally and the rate is
+      the LAST sample verbatim / 60 (zero/count carried verbatim);
+    - ``idelta`` reads the SAME pair as a gauge: the drop is signed
+      DATA (1 − (a + d1a) < 0), never a reset;
+    - ``irate_str`` pins STRING reachability:
+      ``histogram_count(irate(nh_ii[10m]))`` through ``eval_promql``
+      (the `_native_range_fn` irate branch: newest-two filter, then
+      the rate machinery; the flagship-style operator-reuse proof).
+
+    Plan: the newest-two filter is ONE window (row_number ≤ 2, no
+    collect), then the increase machinery's single hash agg; the
+    string leg lowers onto the identical combinators. Reference: the
+    backend delegates all histogram math
+    (/root/reference/internal/prometheus/client.go)."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            a, b = u % 4 + 1, u % 3 + 1
+            d1a, d1b = u % 5 + 2, u % 3 + 1
+            d2a, d2b = u % 2, u % 4
+            z = u % 2
+            o = u % 4 - 1
+            s1 = [a, b]
+            s2 = [a + d1a, b + d1b]
+            s3 = [1, 1] if u % 5 == 0 else [s2[0] + d2a, s2[1] + d2b]
+            hs = []
+            for i, cc in enumerate((s1, s2, s3)):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 60000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "nh_ii", "etype": n,
+                             "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    raw = RW.remote_write_v2_native_histograms(payloads)
+    pts = raw.select(
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(F.lit("__name__"), F.col("metric_name")),
+        ).alias("labels"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        F.col("schema"), "zero_threshold",
+        "zero_count", "count", "sum", "pos_offset", "pos_counts",
+    )
+
+    def explode_rows(df, op, reset_col, p0, p1, zv, cv):
+        r = F.explode(F.array(
+            F.struct(
+                F.lit("pos").alias("side"),
+                F.col("pos_offset").cast("int").alias("idx"),
+                F.round(p0, 6).alias("val")),
+            F.struct(
+                F.lit("pos").alias("side"),
+                (F.col("pos_offset") + 1).cast("int").alias("idx"),
+                F.round(p1, 6).alias("val")),
+            F.struct(
+                F.lit("zero").alias("side"),
+                F.lit(0).alias("idx"), F.round(zv, 6).alias("val")),
+            F.struct(
+                F.lit("count").alias("side"),
+                F.lit(0).alias("idx"), F.round(cv, 6).alias("val")),
+        )).alias("r")
+        return df.select(
+            F.col("labels")["eid"].cast("long").alias("push_id"),
+            F.col("labels")["etype"].alias("metric_name"),
+            F.lit(op).alias("op"),
+            reset_col.alias("reset"),
+            r,
+        ).select("push_id", "metric_name", "op", "reset",
+                 "r.side", "r.idx", "r.val")
+
+    ir = NH.native_hist_irate(pts)
+    ir_rows = explode_rows(
+        ir, "irate", F.col("reset"),
+        F.element_at("pos_rates", 1), F.element_at("pos_rates", 2),
+        F.col("zero_rate"), F.col("count_rate"))
+    idl = NH.native_hist_idelta(pts)
+    idl_rows = explode_rows(
+        idl, "idelta", F.lit(False),
+        F.element_at("pos_counts", 1).cast("double"),
+        F.element_at("pos_counts", 2).cast("double"),
+        F.col("zero_count").cast("double"), F.col("count").cast("double"))
+
+    nh_str = raw.select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    at = datetime.fromtimestamp(
+        t0 / 1000 + 180, tz=timezone.utc).replace(tzinfo=None)
+    s_out = eval_promql(
+        samples, "histogram_count(irate(nh_ii[10m]))", at,
+        native_hists=nh_str, native_metrics=frozenset({"nh_ii"}))
+    str_rows = s_out.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["etype"].alias("metric_name"),
+        F.lit("irate_str").alias("op"),
+        F.lit(False).alias("reset"),
+        F.lit("count").alias("side"),
+        F.lit(0).alias("idx"),
+        F.round("value", 6).alias("val"),
+    )
+    return ir_rows.unionByName(idl_rows).unionByName(str_rows)
+
+
+@register(
+    "native_hist_resets_changes",
+    oracle="""
+SELECT event_id AS push_id, event_type AS metric_name,
+  unnest(['resets', 'changes']) AS op,
+  unnest([CASE WHEN user_id % 3 = 0 THEN 1.0e0 ELSE 0.0e0 END,
+          CASE WHEN user_id % 2 = 0 THEN 2.0e0 ELSE 3.0e0 END]) AS val
+FROM events
+""",
+)
+def native_hist_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``resets()`` / ``changes()`` over native histograms AS
+    QUERY STRINGS (r11, VERDICT r10 stretch #8 — Prometheus 3
+    evaluates both on native histograms; promql/functions.go
+    funcResets/funcChanges histogram branches). FOUR wire pushes per
+    series 60 s apart:
+
+    - pair 1 is IDENTICAL on the even-user slice (no change — the
+      nonzero-entry signature must read byte-different span encodings
+      of the same distribution as equal) and grows otherwise;
+    - pair 2 DROPS the first bucket by exactly 1 on the u%3 slice
+      (reset + change; count drops in lockstep) and grows otherwise;
+    - pair 3 always grows (change, never reset).
+
+    So n_resets = [u%3 == 0] and n_changes = 2 + [u%2 != 0], evaluated
+    end-to-end from the wire through ``eval_promql`` —
+    `native_hist_changes_and_resets` is ONE lag window + ONE hash agg
+    per series (the scalar `changes_and_resets` plan shape lifted to
+    histogram rows; per-pair downscale/align compare is pure
+    Column)."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            a, b = u % 4 + 1, u % 3 + 1
+            z = u % 2
+            o = u % 4 - 1
+            s1 = [a, b]
+            s2 = s1 if u % 2 == 0 else [a + 1, b + 2]
+            s3 = ([s2[0] - 1, s2[1]] if u % 3 == 0
+                  else [s2[0] + 2, s2[1] + 1])
+            s4 = [s3[0], s3[1] + 3]
+            hs = []
+            for i, cc in enumerate((s1, s2, s3, s4)):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 60000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "nh_rc", "etype": n,
+                             "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    at = datetime.fromtimestamp(
+        t0 / 1000 + 240, tz=timezone.utc).replace(tzinfo=None)
+
+    def leg(expr, op):
+        out = eval_promql(
+            samples, expr, at,
+            native_hists=nh, native_metrics=frozenset({"nh_rc"}))
+        return out.select(
+            F.col("labels")["eid"].cast("long").alias("push_id"),
+            F.col("labels")["etype"].alias("metric_name"),
+            F.lit(op).alias("op"),
+            F.round("value", 6).alias("val"),
+        )
+
+    return leg("resets(nh_rc[10m])", "resets").unionByName(
+        leg("changes(nh_rc[10m])", "changes"))
+
+
+@register(
+    "native_hist_range_scalar_tail",
+    oracle="""
+WITH h AS (
+  SELECT event_type, user_id,
+    CAST(user_id % 5 + 1 AS BIGINT) AS g1x,
+    CAST(user_id % 2 + 1 AS BIGINT) AS g1y,
+    CAST(user_id % 3 + 1 AS BIGINT) AS g2x,
+    CAST(user_id % 4 + 1 AS BIGINT) AS g2y,
+    CAST(user_id % 3 AS BIGINT) AS zg1,
+    CAST(user_id % 2 AS BIGINT) AS zg2
+  FROM events
+), g AS (
+  SELECT event_type,
+    sum(zg1 + g1x + g1y) AS c1,
+    sum(zg1 + zg2 + g1x + g1y + g2x + g2y) AS c2
+  FROM h GROUP BY event_type
+)
+SELECT event_type AS etype,
+  unnest([1, 2]) AS step_i,
+  unnest([round(c1 / 300.0e0 * 60, 4),
+          round(c2 / 600.0e0 * 60, 4)]) AS per_min
+FROM g
+""",
+)
+def native_hist_range_scalar_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR algebra around the range-mode collapse (r11, VERDICT r10
+    task #3 / What's-missing #3): the reference's flagship pattern
+    multiplies collapsed results by literal scalars
+    (``* 60 / 3600``, scripts/migrate.sql:105) — before r11 a range
+    config like that over a native metric refused. The executor now
+    evaluates
+
+        histogram_count(sum by (etype) (rate(gpu_hist[10m]))) * 60
+
+    in a RANGE config: ``eval_native_range`` peels the literal-scalar
+    BinOp tail, lowers the collapse onto the grid combinators
+    (increase_range keyed on (series, instant) → per-series /dt →
+    per-instant group merge → count extraction), and replays the
+    scalars on the collapsed value column — a pure-Column tail, zero
+    added plan surface. Fixture: `native_hist_range_config`'s exact
+    three-push series; the oracle is that query's count sums divided
+    by each instant's window span (300 s / 600 s) times 60 — the
+    per-minute rate a reference dashboard would chart."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import evaluate_config_query
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            c, d = u % 4 + 1, u % 3 + 1
+            g1 = (u % 5 + 1, u % 2 + 1)
+            g2 = (u % 3 + 1, u % 4 + 1)
+            z1 = u % 2
+            o = u % 4 - 1
+            counts = [
+                ([c, d], z1),
+                ([c + g1[0], d + g1[1]], z1 + u % 3),
+                ([c + g1[0] + g2[0], d + g1[1] + g2[1]],
+                 z1 + u % 3 + u % 2),
+            ]
+            hs = []
+            for i, (cc, z) in enumerate(counts):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "gpu_hist", "etype": n,
+                             "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    now = datetime.fromtimestamp(
+        t0 / 1000 + 600, tz=timezone.utc).replace(tzinfo=None)
+    cfg = QueryConfig(
+        query_id="nh_range_tail", name="native grid config, scalar tail",
+        query=("histogram_count(sum by (etype) "
+               "(rate(gpu_hist[10m]))) * 60"),
+        time_range_type="range",
+        time_range_start="-5m", time_range_end="now",
+        time_range_step="5m",
+    )
+    out, rtype = evaluate_config_query(
+        samples, cfg, now=now,
+        native_hists=nh, native_metrics=frozenset({"gpu_hist"}))
+    assert rtype == "range"
+    return out.select(
+        F.col("labels")["etype"].alias("etype"),
+        ((F.unix_timestamp("timestamp") - F.lit(t0 // 1000 + 300))
+         / F.lit(300) + 1).cast("bigint").alias("step_i"),
+        F.round("value", 4).alias("per_min"),
+    )
+
+
+@register(
+    "mixed_family_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id AS u FROM events
+), n AS (
+  SELECT event_id, event_type, u,
+    CAST(u % 4 - 1 AS INT) AS o,
+    power(2.0, -CAST(CAST(floor(u / 2) AS BIGINT) % 2 AS DOUBLE)) AS inv,
+    CAST(u % 5 + 1 AS DOUBLE) AS gc,
+    CAST(u % 3 + 3 AS DOUBLE) AS gd
+  FROM h WHERE u % 2 = 0
+), c AS (
+  SELECT event_id, event_type, u,
+    CAST(u % 5 + 1 AS DOUBLE) AS i1,
+    CAST(u % 3 + 2 AS DOUBLE) AS i2g,
+    CAST(u % 4 + 1 AS DOUBLE) AS iinfg
+  FROM h WHERE u % 2 = 1
+)
+SELECT event_id AS push_id, event_type AS metric_name, 'n' AS fam,
+  round(power(2.0, (o + (0.9e0 * (gc + gd) - gc) / gd) * inv), 6) AS p90
+FROM n
+UNION ALL
+SELECT event_id AS push_id, event_type AS metric_name, 'c' AS fam,
+  round(CASE
+    WHEN 0.9e0 * (i1 + i2g + iinfg) <= i1
+      THEN 0.9e0 * (i1 + i2g + iinfg) / i1
+    WHEN 0.9e0 * (i1 + i2g + iinfg) <= i1 + i2g
+      THEN 1 + (0.9e0 * (i1 + i2g + iinfg) - i1) / i2g
+    ELSE 2.0e0 END, 6) AS p90
+FROM c
+""",
+)
+def mixed_family_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_quantile`` over a MIXED classic+native metric
+    family (r11, VERDICT r10 stretch #8): real fleets migrate to
+    native histograms gradually, so ONE metric name carries native
+    series (new scrapes, via the v2 wire) AND classic cumulative
+    ``le``-bucket float series (old scrapes, in the sample store).
+
+        histogram_quantile(0.9, rate(mix_h[10m]))
+
+    must see BOTH: the parser's mixed-family split (r11,
+    `promql_native.mixed_classic_leg` — the NHCB per-family rule
+    generalized to classic rows) evaluates native series with the
+    exponential estimator and le-series with the classic linear rule,
+    unioning one float vector. Fixture: even-user events push two
+    native histograms (growth (gc, gd) = (u%5+1, u%3+3) pins the 0.9
+    rank inside the TOP bucket — the oracle replays the exponent
+    interpolation 2^((o + (t−gc)/gd)·2^−schema)); odd-user events
+    store classic le ∈ {1, 2, +Inf} counters whose increases replay
+    the three-branch classic CASE (first-bucket-from-0 interpolation,
+    +Inf → highest finite bound). rate()'s /dt is uniform per series
+    on both legs, so the quantile's scale invariance cancels it —
+    the oracle works in increases. Plan: the native leg is the gated
+    single-hash-agg increase; the classic leg is one window over the
+    name-pruned le rows; the union adds no shuffle."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            if u % 2 != 0:
+                out.append(None)
+                continue
+            c0, d0 = u % 4 + 1, u % 3 + 1
+            gc, gd = u % 5 + 1, u % 3 + 3
+            z = u % 3
+            o = u % 4 - 1
+            hs = []
+            for i, cc in enumerate(([c0, d0], [c0 + gc, d0 + gd])):
+                hs.append({
+                    "schema": (u // 2) % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "mix_h", "etype": n,
+                             "eid": str(int(e)), "fam": "n"},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.where(F.col("user_id") % 2 == 0).select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    # classic slice: cumulative le counters as stored float samples
+    odd = ev.where(F.col("user_id") % 2 == 1)
+    u = F.col("user_id")
+    i1, i2g, iinfg = u % 5 + 1, u % 3 + 2, u % 4 + 1
+    c1, c2 = u % 3 + 1, (u % 3 + 1) + (u % 4 + 1)
+    cinf = c2 + (u % 5 + 1)
+    legs = []
+    for le, base, inc in (
+        ("1", c1, i1),
+        ("2", c2, i1 + i2g),
+        ("+Inf", cinf, i1 + i2g + iinfg),
+    ):
+        for ti, val in ((0, base), (300, base + inc)):
+            legs.append(odd.select(
+                F.lit("mix_h").alias("metric_name"),
+                F.map_from_arrays(
+                    F.array(F.lit("etype"), F.lit("eid"),
+                            F.lit("fam"), F.lit("le")),
+                    F.array(F.col("event_type"),
+                            F.col("event_id").cast("string"),
+                            F.lit("c"), F.lit(le)),
+                ).alias("labels"),
+                val.cast("double").alias("value"),
+                F.timestamp_millis(
+                    F.lit(t0 + ti * 1000)).alias("timestamp"),
+            ))
+    samples = legs[0]
+    for df in legs[1:]:
+        samples = samples.unionByName(df)
+    at = datetime.fromtimestamp(
+        t0 / 1000 + 360, tz=timezone.utc).replace(tzinfo=None)
+    out = eval_promql(
+        samples, "histogram_quantile(0.9, rate(mix_h[10m]))", at,
+        native_hists=nh, native_metrics=frozenset({"mix_h"}))
+    return out.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["etype"].alias("metric_name"),
+        F.col("labels")["fam"].alias("fam"),
+        F.round("value", 6).alias("p90"),
+    )

@@ -283,6 +283,7 @@ DELTA_HIST_STATE_SCHEMA = StructType(
         StructField("cum_sum", DoubleType(), True),
         StructField("sum_poisoned", BooleanType(), True),
         StructField("recent_ts", ArrayType(LongType()), True),
+        StructField("n_dropped", LongType(), True),
     ]
 )
 
@@ -300,33 +301,42 @@ class _TsDupGuard:
     arrival and silently double-added into cumulative state. This
     guard checkpoints the newest ``_DUP_HORIZON`` folded timestamps per
     series (sorted array in state): a duplicate of ANY retained
-    timestamp refuses exactly, and an arrival BELOW the retained
-    horizon refuses loudly too — once the set is full, a point older
+    timestamp is rejected exactly, and an arrival BELOW the retained
+    horizon is rejected too — once the set is full, a point older
     than its minimum cannot be distinguished from a redelivered
     duplicate, and silently folding it would reintroduce the hazard.
     Legal late arrivals WITHIN the horizon still fold (bucket addition
-    is order-independent), matching the batch twin's blanket
-    duplicate-timestamp refusal up to the horizon."""
+    is order-independent).
 
-    def __init__(self, retained, series: str, op: str):
+    Rejection is VISIBLE-NOT-FATAL (r11 ADVICE fix): the r10 guard
+    RAISED, which on a stream is a poison pill — a checkpoint restart
+    replays the same micro-batch and dies again, with no skip path; a
+    single redelivered point wedged the query permanently. Now a
+    rejected arrival is EXCLUDED from the fold (state never
+    double-adds) and counted in the checkpointed ``n_dropped``
+    cumulative, which every emitted row carries — the
+    ``n_stale_exemplars`` visible-not-fatal pattern. The batch twins
+    keep their blanket duplicate-timestamp refusal: a batch replays
+    deterministically, so raising there is diagnosis, not a wedge."""
+
+    def __init__(self, retained, series: str, op: str, dropped: int = 0):
         self._set = {int(t) for t in retained} if retained is not None \
             else set()
         self._floor = (
             min(self._set) if len(self._set) >= _DUP_HORIZON else None)
         self._series, self._op = series, op
+        self.n_dropped = int(dropped or 0)
 
-    def admit(self, ts_i: int) -> None:
-        if ts_i in self._set:
-            raise ValueError(
-                f"{self._op}: duplicate timestamp within one DELTA "
-                f"series ({self._series}) — double delivery?")
-        if self._floor is not None and ts_i < self._floor:
-            raise ValueError(
-                f"{self._op}: arrival below the duplicate-detection "
-                f"horizon (newest {_DUP_HORIZON} folded timestamps) for "
-                f"series ({self._series}) — cannot distinguish a late "
-                "arrival from a redelivered duplicate this old")
+    def admit(self, ts_i: int) -> bool:
+        """True = fold this arrival; False = exclude it (duplicate of a
+        retained timestamp, or below the full retained horizon) and
+        count it in ``n_dropped``."""
+        if ts_i in self._set or (
+                self._floor is not None and ts_i < self._floor):
+            self.n_dropped += 1
+            return False
         self._set.add(ts_i)
+        return True
 
     def snapshot(self) -> list[int]:
         return sorted(self._set)[-_DUP_HORIZON:]
@@ -338,6 +348,9 @@ DELTA_HIST_OUTPUT_SCHEMA = StructType(
         StructField("cum_buckets", ArrayType(LongType()), True),
         StructField("cum_count", LongType(), True),
         StructField("cum_sum", DoubleType(), True),
+        # cumulative count of arrivals excluded by the duplicate-
+        # delivery guard (see _TsDupGuard) — visible, never fatal
+        StructField("n_dropped", LongType(), True),
     ]
 )
 
@@ -357,12 +370,14 @@ def _fold_delta_hist(
     guard). A NULL sum poisons cum_sum permanently — the batch rule."""
     (series,) = key
     if state.exists:
-        bk, cum, cnt, sm, poisoned, recent = state.get
+        bk, cum, cnt, sm, poisoned, recent, ndrop = state.get
         cum = list(cum) if cum is not None else None
     else:
-        bk, cum, cnt, sm, poisoned, recent = None, None, 0, 0.0, False, None
-    guard = _TsDupGuard(recent, series, "stream_otlp_delta_hist")
-    out_ts, out_b, out_c, out_s = [], [], [], []
+        bk, cum, cnt, sm, poisoned, recent, ndrop = (
+            None, None, 0, 0.0, False, None, 0)
+    guard = _TsDupGuard(recent, series, "stream_otlp_delta_hist",
+                        dropped=ndrop)
+    out_ts, out_b, out_c, out_s, out_d = [], [], [], [], []
     chunks = [
         pdf[["timestamp_ms", "bucket_counts", "bounds_key", "count", "sum"]]
         for pdf in pdfs
@@ -376,8 +391,11 @@ def _fold_delta_hist(
             ts_i = int(ts)
             # duplicate-delivery guard (r10 ADVICE fix: bounded
             # retained-set check — see _TsDupGuard; subsumes the r9
-            # within-batch adjacency and newest-timestamp checks)
-            guard.admit(ts_i)
+            # within-batch adjacency and newest-timestamp checks).
+            # r11: rejected arrivals are EXCLUDED and counted, never
+            # raised — a raise here is a streaming poison pill
+            if not guard.admit(ts_i):
+                continue
             buckets = [int(b) for b in buckets]
             if bk is None:
                 bk = bkey
@@ -402,7 +420,9 @@ def _fold_delta_hist(
             out_b.append(list(cum))
             out_c.append(cnt)
             out_s.append(None if poisoned else sm)
-    state.update((bk, cum, cnt, sm, bool(poisoned), guard.snapshot()))
+            out_d.append(guard.n_dropped)
+    state.update((bk, cum, cnt, sm, bool(poisoned), guard.snapshot(),
+                  guard.n_dropped))
     yield pd.DataFrame(
         {
             "series": [series] * len(out_ts),
@@ -410,6 +430,7 @@ def _fold_delta_hist(
             "cum_buckets": out_b,
             "cum_count": out_c,
             "cum_sum": out_s,
+            "n_dropped": out_d,
         }
     )
 
@@ -475,6 +496,7 @@ DELTA_EXP_STATE_SCHEMA = StructType(
         StructField("cum_sum", DoubleType(), True),
         StructField("sum_poisoned", BooleanType(), True),
         StructField("recent_ts", ArrayType(LongType()), True),
+        StructField("n_dropped", LongType(), True),
     ]
 )
 
@@ -490,6 +512,8 @@ DELTA_EXP_OUTPUT_SCHEMA = StructType(
         StructField("zero_count", LongType(), True),
         StructField("cum_count", LongType(), True),
         StructField("cum_sum", DoubleType(), True),
+        # cumulative dup-guard exclusions (see _TsDupGuard)
+        StructField("n_dropped", LongType(), True),
     ]
 )
 
@@ -507,7 +531,7 @@ def _fold_delta_exp_hist(
     a stream: the stream IS the linear pass."""
     (series,) = key
     if state.exists:
-        sc, po, pc, no, nc, z, cnt, sm, poisoned, recent = state.get
+        sc, po, pc, no, nc, z, cnt, sm, poisoned, recent, ndrop = state.get
         pc = list(pc) if pc is not None else []
         nc = list(nc) if nc is not None else []
     else:
@@ -515,8 +539,9 @@ def _fold_delta_exp_hist(
         po = no = 0
         pc, nc = [], []
         z, cnt, sm, poisoned = 0, 0, 0.0, False
-        recent = None
-    guard = _TsDupGuard(recent, series, "stream_otlp_delta_exp")
+        recent, ndrop = None, 0
+    guard = _TsDupGuard(recent, series, "stream_otlp_delta_exp",
+                        dropped=ndrop)
     cols = ["timestamp_ms", "scale", "pos_offset", "pos_counts",
             "neg_offset", "neg_counts", "zero_count", "count", "sum"]
     out: dict[str, list] = {c: [] for c in DELTA_EXP_OUTPUT_SCHEMA.names}
@@ -525,8 +550,10 @@ def _fold_delta_exp_hist(
         allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
         for row in allr.itertuples(index=False):
             ts_i = int(row.timestamp_ms)
-            # duplicate-delivery guard (see _TsDupGuard)
-            guard.admit(ts_i)
+            # duplicate-delivery guard (see _TsDupGuard) — r11:
+            # exclude-and-count, never raise (poison-pill fix)
+            if not guard.admit(ts_i):
+                continue
             r_sc = int(row.scale)
             r_po, r_pc = int(row.pos_offset), [int(x) for x in row.pos_counts]
             r_no, r_nc = int(row.neg_offset), [int(x) for x in row.neg_counts]
@@ -558,8 +585,10 @@ def _fold_delta_exp_hist(
             out["zero_count"].append(z)
             out["cum_count"].append(cnt)
             out["cum_sum"].append(None if poisoned else sm)
+            out["n_dropped"].append(guard.n_dropped)
     state.update(
-        (sc, po, pc, no, nc, z, cnt, sm, bool(poisoned), guard.snapshot()))
+        (sc, po, pc, no, nc, z, cnt, sm, bool(poisoned), guard.snapshot(),
+         guard.n_dropped))
     yield pd.DataFrame(out)
 
 

@@ -43,16 +43,26 @@ def _hist_pdf(ts_list):
 def test_dup_guard_catches_older_duplicate_across_batches():
     """The r9 guard compared only the NEWEST checkpointed timestamp;
     a redelivered duplicate of an older folded point double-added.
-    Now any retained timestamp refuses."""
+    Any retained timestamp is caught — and (r11, the poison-pill fix)
+    the duplicate is EXCLUDED and counted, never raised: a raise on a
+    stream replays the same batch after restart and dies again."""
     from prom_etl_db_spark.streaming.stateful import _fold_delta_hist
 
     state = _FakeState()
     (out1,) = _fold_delta_hist(
         ("s",), iter([_hist_pdf([100, 200, 300])]), state)
     assert list(out1["cum_count"]) == [3, 6, 9]
-    # batch 2 redelivers ts=100 — older than the newest (300)
-    with pytest.raises(ValueError, match="duplicate timestamp"):
-        list(_fold_delta_hist(("s",), iter([_hist_pdf([100])]), state))
+    assert list(out1["n_dropped"]) == [0, 0, 0]
+    # batch 2 redelivers ts=100 — older than the newest (300):
+    # excluded (no row emitted for it), counted, state unchanged
+    (out2,) = _fold_delta_hist(("s",), iter([_hist_pdf([100])]), state)
+    assert len(out2) == 0
+    assert state.get[2] == 9          # cum_count did NOT double-add
+    assert state.get[6] == 1          # the drop is visible in state
+    # ...and the next legal arrival's row carries the cumulative count
+    (out3,) = _fold_delta_hist(("s",), iter([_hist_pdf([400])]), state)
+    assert list(out3["cum_count"]) == [12]
+    assert list(out3["n_dropped"]) == [1]
 
 
 def test_dup_guard_still_folds_distinct_late_arrival():
@@ -68,10 +78,12 @@ def test_dup_guard_still_folds_distinct_late_arrival():
     assert sorted(state.get[5]) == [100, 200, 300]
 
 
-def test_dup_guard_refuses_below_full_horizon():
+def test_dup_guard_excludes_below_full_horizon():
     """Once the retained set is full, an arrival OLDER than its minimum
-    is indistinguishable from a redelivered duplicate — refuse loudly
-    instead of silently folding (the honest bound on the fix)."""
+    is indistinguishable from a redelivered duplicate — excluded and
+    counted (r11: visible-not-fatal; silently folding it would
+    reintroduce the double-add hazard, raising would wedge the
+    stream)."""
     from prom_etl_db_spark.streaming.stateful import (
         _DUP_HORIZON,
         _fold_delta_hist,
@@ -81,11 +93,11 @@ def test_dup_guard_refuses_below_full_horizon():
     ts = [1000 + 10 * i for i in range(_DUP_HORIZON)]
     list(_fold_delta_hist(("s",), iter([_hist_pdf(ts)]), state))
     assert len(state.get[5]) == _DUP_HORIZON
-    with pytest.raises(ValueError, match="below the duplicate-detection"):
-        list(_fold_delta_hist(("s",), iter([_hist_pdf([500])]), state))
+    (out,) = _fold_delta_hist(("s",), iter([_hist_pdf([500])]), state)
+    assert len(out) == 0 and state.get[6] == 1
     # within the horizon (distinct, newer than the floor) still folds
     (out,) = _fold_delta_hist(("s",), iter([_hist_pdf([1005])]), state)
-    assert len(out) == 1
+    assert len(out) == 1 and list(out["n_dropped"]) == [1]
     # the retained set stays bounded after trimming
     assert len(state.get[5]) == _DUP_HORIZON
 
@@ -109,10 +121,12 @@ def test_dup_guard_exp_fold_same_contract():
 
     state = _FakeState()
     list(_fold_delta_exp_hist(("s",), iter([pdf([100, 300])]), state))
-    with pytest.raises(ValueError, match="duplicate timestamp"):
-        list(_fold_delta_exp_hist(("s",), iter([pdf([100])]), state))
+    # redelivered ts=100: excluded-and-counted, no raise (r11)
+    (out_dup,) = _fold_delta_exp_hist(("s",), iter([pdf([100])]), state)
+    assert len(out_dup) == 0 and state.get[10] == 1
     (out,) = _fold_delta_exp_hist(("s",), iter([pdf([200])]), state)
     assert list(out["cum_count"]) == [6]
+    assert list(out["n_dropped"]) == [1]
 
 
 def test_exemplar_report_fold_exemplar_only_first_batch():
