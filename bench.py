@@ -56,6 +56,12 @@ HEADLINE = [
     "host_graph_pagerank",
     "crawl_pipeline_v1",
     "warc_record_parse",
+    # --- r11 addition (VERDICT r10 task #6): the native-histogram
+    # surface is ~4,400 lines of modern code none of the 22 legacy
+    # headliners touch — the parsed sum-by quantile idiom exercises
+    # wire decode, the endpoint-snapshot increase, the group merge,
+    # and the pure-Column quantile in one query
+    "promql_parsed_native_quantile",
 ]
 
 

@@ -89,8 +89,10 @@ def evaluate_config_query(
     runs unchanged and stores a float vector). RANGE-mode configs over
     native metrics lower onto the grid combinators for the supported
     shapes (``eval_native_range``: histogram_quantile/fraction/count/
-    sum/avg over [sum/avg by/without of] rate/increase of a native
-    range selector — the Grafana panel pattern, one row per (series,
+    sum/avg over [sum/avg by/without of] rate/increase/delta/irate/
+    idelta of a native range selector, top-level resets/changes, and
+    literal-scalar tails like ``... * 60`` (r11) — the Grafana panel
+    pattern, one row per (series,
     step)); unsupported shapes refuse loudly, as does a config whose
     result IS a histogram vector (records store floats — collapse with
     histogram_quantile/count/... in the query).

@@ -736,6 +736,48 @@ def native_hist_avg_by(
     )
 
 
+def _grid_explode(
+    hist: DataFrame,
+    *,
+    frame: str,
+    step: str,
+    start: "datetime",
+    end: "datetime",
+) -> DataFrame:
+    """Fan each sample onto the grid instants whose sliding
+    ``[t − frame, t]`` window contains it (pure-Column sequence, no
+    driver loop) and stamp ``bucket_start`` — the shared front half of
+    every native grid operator. Row amplification is frame/step (the
+    documented explode-strategy contract)."""
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    frame_s = int(parse_duration(frame).total_seconds())
+    step_s = int(parse_duration(step).total_seconds())
+    if frame_s < 1 or step_s < 1:
+        raise ValueError("frame and step must be >= 1s")
+    start_s, end_s = int(start.timestamp()), int(end.timestamp())
+    n = (end_s - start_s) // step_s
+    ts_s = F.unix_timestamp(F.col("ts"))
+    k_lo = F.greatest(
+        F.ceil((ts_s - F.lit(start_s)).cast("double") / F.lit(step_s))
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
+    k_hi = F.least(
+        F.floor(
+            (ts_s + F.lit(frame_s) - F.lit(start_s)).cast("double")
+            / F.lit(step_s)
+        ).cast("long"),
+        F.lit(int(n)).cast("long"),
+    )
+    return hist.where(k_lo <= k_hi).select(
+        "*", F.explode(F.sequence(k_lo, k_hi)).alias("__k")
+    ).withColumn(
+        "bucket_start",
+        F.timestamp_seconds(F.lit(start_s) + F.col("__k") * F.lit(step_s)),
+    ).drop("__k")
+
+
 def native_hist_increase_range(
     hist: DataFrame,
     *,
@@ -743,6 +785,8 @@ def native_hist_increase_range(
     step: str,
     start: "datetime",
     end: "datetime",
+    counter: bool = True,
+    last_two: bool = False,
 ) -> DataFrame:
     """RANGE-QUERY form of native-histogram ``increase()`` (r10): the
     bucket-wise counter increase over a sliding ``[t − frame, t]``
@@ -769,36 +813,33 @@ def native_hist_increase_range(
     the classic family's difference-array rewrite does not port —
     bucket arrays lack the scalar pair-contribution decomposition —
     so the amplification bound is the honest contract. Output: the
-    increase shape plus ``bucket_start`` (timestamp)."""
-    from prom_etl_db_spark.operators.promql import native_hist_increase
-    from prom_etl_db_spark.timeparse import parse_duration
+    increase shape plus ``bucket_start`` (timestamp).
 
-    frame_s = int(parse_duration(frame).total_seconds())
-    step_s = int(parse_duration(step).total_seconds())
-    if frame_s < 1 or step_s < 1:
-        raise ValueError("frame and step must be >= 1s")
-    start_s, end_s = int(start.timestamp()), int(end.timestamp())
-    n = (end_s - start_s) // step_s
-    ts_s = F.unix_timestamp(F.col("ts"))
-    k_lo = F.greatest(
-        F.ceil((ts_s - F.lit(start_s)).cast("double") / F.lit(step_s))
-        .cast("long"),
-        F.lit(0).cast("long"),
+    r11 options: ``counter=False`` is the gauge ``delta()`` grid form
+    (no reset rule — `native_hist_delta` per instant); ``last_two``
+    keeps only each window's NEWEST TWO samples before the endpoint
+    snapshot (one extra window over the exploded (series, instant)
+    partitioning, no added shuffle) — `irate()`/`idelta()` on the
+    grid, closing the r11 seam-pass asymmetry where the SCALAR range
+    path supported both but the native path refused."""
+    from prom_etl_db_spark.operators.promql import (
+        _ensure_series,
+        native_hist_increase,
     )
-    k_hi = F.least(
-        F.floor(
-            (ts_s + F.lit(frame_s) - F.lit(start_s)).cast("double")
-            / F.lit(step_s)
-        ).cast("long"),
-        F.lit(int(n)).cast("long"),
-    )
-    ex = hist.where(k_lo <= k_hi).select(
-        "*", F.explode(F.sequence(k_lo, k_hi)).alias("__k")
-    ).withColumn(
-        "bucket_start",
-        F.timestamp_seconds(F.lit(start_s) + F.col("__k") * F.lit(step_s)),
-    ).drop("__k")
-    out = native_hist_increase(ex, extra_keys=("bucket_start",))
+
+    ex = _grid_explode(
+        hist, frame=frame, step=step, start=start, end=end)
+    if last_two:
+        keyed = _ensure_series(ex)
+        w = Window.partitionBy("__series", "bucket_start").orderBy(
+            F.desc("ts"))
+        ex = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 2)
+            .drop("__rn", "__series")
+        )
+    out = native_hist_increase(
+        ex, extra_keys=("bucket_start",), counter=counter)
     return out.where(F.col("dt_seconds") > 0)
 
 
@@ -809,6 +850,7 @@ def native_hist_rate_range(
     step: str,
     start: "datetime",
     end: "datetime",
+    last_two: bool = False,
 ) -> DataFrame:
     """RANGE-QUERY ``rate()`` over native histograms: the per-second
     FLOAT histogram at every grid instant — ``native_hist_increase_
@@ -816,9 +858,11 @@ def native_hist_rate_range(
     by the observed window span (the instant ``native_hist_rate``
     convention, per grid instant; dt is last−first inside each window,
     exact-over-stored-data like the scalar rate family). Pure Column
-    over the grid increase — no additional shuffle."""
+    over the grid increase — no additional shuffle. ``last_two`` is
+    the ``irate()`` grid form (r11)."""
     inc = native_hist_increase_range(
-        hist, frame=frame, step=step, start=start, end=end)
+        hist, frame=frame, step=step, start=start, end=end,
+        last_two=last_two)
     dt = F.col("dt_seconds").cast("double")
     safe = F.when(dt > 0, dt)
     has_neg = "neg_counts" in inc.columns
@@ -889,7 +933,9 @@ def native_hist_idelta(hist: DataFrame) -> DataFrame:
     return native_hist_delta(_last_two_per_series(hist))
 
 
-def native_hist_changes_and_resets(hist: DataFrame) -> DataFrame:
+def native_hist_changes_and_resets(
+    hist: DataFrame, *, extra_keys: "tuple[str, ...]" = ()
+) -> DataFrame:
     """PromQL ``resets()`` and ``changes()`` over NATIVE-histogram
     series (r11, VERDICT r10 stretch #8 — Prometheus 3 evaluates both
     on native histograms; promql/functions.go funcResets/funcChanges
@@ -921,7 +967,9 @@ def native_hist_changes_and_resets(hist: DataFrame) -> DataFrame:
     the bounded bucket arrays (no UDF, no extra shuffle: the
     aggregation reuses the window's series partitioning). Output:
     (labels, n_changes double, n_resets double), the scalar
-    operator's contract."""
+    operator's contract. ``extra_keys`` (r11) appends partition
+    columns to the series key — the grid form walks pairs per
+    (series, grid instant) and passes the columns through."""
     from prom_etl_db_spark.operators.promql import (
         _ensure_series,
         _nh_downscale,
@@ -935,7 +983,7 @@ def native_hist_changes_and_resets(hist: DataFrame) -> DataFrame:
     elem = hist.schema["pos_counts"].dataType.elementType.simpleString()
 
     keyed = _ensure_series(hist)
-    w = Window.partitionBy("__series").orderBy("ts")
+    w = Window.partitionBy("__series", *extra_keys).orderBy("ts")
 
     def lagged(c):
         return F.lag(c).over(w)
@@ -1067,13 +1115,14 @@ def native_hist_changes_and_resets(hist: DataFrame) -> DataFrame:
     return (
         df.withColumn("__chg", changed)
         .withColumn("__rst", reset)
-        .groupBy("__series")
+        .groupBy("__series", *extra_keys)
         .agg(
             F.sum("__chg").cast("double").alias("n_changes"),
             F.sum("__rst").cast("double").alias("n_resets"),
         )
         .select(
             F.map_from_entries("__series").alias("labels"),
+            *extra_keys,
             "n_changes",
             "n_resets",
         )

@@ -212,8 +212,12 @@ def eval_native_range(
         histogram_fraction(lo, hi, <same inner shapes>)
         histogram_count/sum/avg(<same inner shapes>)
 
-    with ``increase`` interchangeable with ``rate`` and ``avg by`` /
-    ``without`` with ``sum by`` — optionally wrapped in LITERAL-scalar
+    with ``increase``/``delta``/``irate``/``idelta`` interchangeable
+    with ``rate`` (r11: gauge and newest-two-per-window grid forms —
+    parity with the scalar range path's sliding-fn list), ``avg by`` /
+    ``without`` with ``sum by``, plus the collapse-free float forms
+    ``resets(h[f])`` / ``changes(h[f])`` — optionally wrapped in
+    LITERAL-scalar
     arithmetic (r11: ``histogram_count(rate(h[10m])) * 60 / 3600``,
     the flagship's own tail shape, scripts/migrate.sql:105 — the
     collapse yields a float vector, so the scalars replay on the value
@@ -267,13 +271,44 @@ def eval_native_range(
                 val = a / b
         return val
 
+    def _check_sel(sel):
+        if (sel.name not in native_metrics or sel.range_ is None
+                or sel.step or sel.at_ is not None):
+            raise PromQLError(
+                "native-histogram range queries need a plain native "
+                "range selector like h[5m] (no subquery step, no @ "
+                "pin)")
+
+    # resets()/changes() collapse to floats by nature — top-level grid
+    # forms (r11, the seam-pass asymmetry: the SCALAR range path
+    # supported both; pairs are walked per (series, grid instant))
+    if (isinstance(node, Call) and node.fn in ("resets", "changes")
+            and len(node.args) == 1
+            and isinstance(node.args[0], Selector)):
+        sel = node.args[0]
+        _check_sel(sel)
+        ctx = EvalContext(
+            native_hists, end,
+            native_hists=native_hists, native_metrics=native_metrics)
+        raw = _native_selector_stream(
+            ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
+        ex = NH._grid_explode(
+            raw, frame=sel.range_, step=step, start=start, end=end)
+        out = NH.native_hist_changes_and_resets(
+            ex, extra_keys=("bucket_start",))
+        col = "n_resets" if node.fn == "resets" else "n_changes"
+        return out.select(
+            "labels", "bucket_start",
+            _apply_tail(F.col(col)).alias("value"))
+
     _COLLAPSE = ("histogram_quantile", "histogram_fraction",
                  "histogram_count", "histogram_sum", "histogram_avg")
     if not (isinstance(node, Call) and node.fn in _COLLAPSE):
         raise PromQLError(
             "native-histogram range queries must collapse to floats — "
-            f"supported outer functions: {', '.join(_COLLAPSE)} "
-            "(optionally wrapped in literal-scalar arithmetic)")
+            f"supported outer functions: {', '.join(_COLLAPSE)}, "
+            "resets, changes (optionally wrapped in literal-scalar "
+            "arithmetic)")
     inner = node.args[-1]
     agg = None
     if isinstance(inner, Agg):
@@ -281,26 +316,28 @@ def eval_native_range(
         if agg.op not in ("sum", "avg"):
             raise PromQLError(
                 f"{agg.op} is not defined over native-histogram vectors")
-    if not (isinstance(inner, Call) and inner.fn in ("rate", "increase")
+    _INNER = ("rate", "increase", "delta", "irate", "idelta")
+    if not (isinstance(inner, Call) and inner.fn in _INNER
             and len(inner.args) == 1
             and isinstance(inner.args[0], Selector)):
         raise PromQLError(
             "native-histogram range queries support "
-            "rate(h[f]) / increase(h[f]) inner shapes only")
+            "rate/increase/delta/irate/idelta(h[f]) inner shapes only")
     sel = inner.args[0]
-    if (sel.name not in native_metrics or sel.range_ is None
-            or sel.step or sel.at_ is not None):
-        raise PromQLError(
-            "native-histogram range queries need a plain native range "
-            "selector like h[5m] (no subquery step, no @ pin)")
+    _check_sel(sel)
     ctx = EvalContext(
         native_hists, end,
         native_hists=native_hists, native_metrics=native_metrics)
     raw = _native_selector_stream(
         ctx, Selector(sel.name, sel.matchers, offset=sel.offset))
+    # irate/idelta = the newest-two-per-window filter; delta/idelta =
+    # the gauge form (no reset rule) — r11, grid parity with the
+    # scalar range path's sliding-fn list
     inc = NH.native_hist_increase_range(
-        raw, frame=sel.range_, step=step, start=start, end=end)
-    is_rate = inner.fn == "rate"
+        raw, frame=sel.range_, step=step, start=start, end=end,
+        counter=inner.fn in ("rate", "increase", "irate"),
+        last_two=inner.fn in ("irate", "idelta"))
+    is_rate = inner.fn in ("rate", "irate")
     if is_rate:
         # per-SERIES division BEFORE any merge (the instant path's
         # order): each series' dt is its own observed window span, and

@@ -1488,6 +1488,76 @@ def probe_depth(spark, n_series: int, depths: list[int]) -> None:
               + f"   {ratio:.2f} {flag} (work {work:.0f}x)")
 
 
+def probe_amplification(spark, n_series: int, frames: list[str]) -> None:
+    """AMPLIFICATION axis for the native grid family (r11 — VERDICT
+    r10 task #5): the depth probe ran the explode strategy at
+    frame/step = 30, but the reference's own flagship panel shape is
+    ``[24h:1m]`` = 1440×. This axis holds the input FIXED (n_series
+    series × one day of 1-minute samples, a realistic Grafana panel
+    source) and grows the frame — 30m / 6h / 12h at a 1-minute step →
+    amplification 30 / 360 / 720. The documented contract is
+    LINEAR-IN-AMPLIFICATION cost (each sample fans onto frame/step
+    grid instants; the fan-out distributes through the
+    (series, instant)-keyed hash agg, no driver involvement) — a
+    time ratio tracking the amplification growth certifies the bound
+    is a cost shape, not a scale-killer."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.operators import native_hist as NHx
+    from prom_etl_db_spark.timeparse import parse_duration
+
+    t0_ms = 1706572800_000
+    d = 1441  # one day at 1m + endpoint
+    base = spark.range(n_series).selectExpr("id AS sid")
+    pts = base.select(
+        "sid",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+    )
+    bcounts = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda b: ((F.col("sid") + F.col("i") * b) % 5).cast("bigint"),
+    )
+    nh_pts = pts.select(
+        F.create_map(F.lit("__name__"),
+                     F.concat(F.lit("m"), F.col("sid"))).alias("labels"),
+        F.timestamp_millis(
+            F.lit(t0_ms) + F.col("i").cast("long") * 60_000).alias("ts"),
+        F.lit(0).cast("int").alias("schema"),
+        (F.col("sid") % 3).cast("bigint").alias("zero_count"),
+        ((F.col("i") % 5) - F.lit(2)).cast("int").alias("pos_offset"),
+        bcounts.alias("pos_counts"),
+    )
+    start = datetime.fromtimestamp(
+        t0_ms / 1e3, tz=timezone.utc).replace(tzinfo=None)
+    end = datetime.fromtimestamp(
+        t0_ms / 1e3 + (d - 1) * 60, tz=timezone.utc).replace(tzinfo=None)
+    rows = []
+    for frame in frames:
+        amp = int(parse_duration(frame).total_seconds()) // 60
+        out = NHx.native_hist_increase_range(
+            nh_pts, frame=frame, step="1m", start=start, end=end)
+        forced = out.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.aggregate(F.col("pos_counts"), F.lit(0).cast("bigint"),
+                            lambda a2, x: a2 + x)
+                + F.col("zero_count")).alias("s"),
+        )
+        t_start = time.time()
+        (r,) = forced.collect()
+        dt = time.time() - t_start
+        rows.append((frame, amp, dt, r["n"]))
+        print(f"frame={frame:>4s} amp={amp:>5d}  {dt:7.2f} s  "
+              f"({r['n']} output rows)")
+    (f0, a0, t0s, _), (fN, aN, tNs, _) = rows[0], rows[-1]
+    work = aN / a0
+    ratio = (tNs / t0s) / work if t0s else float("nan")
+    flag = "OK" if ratio <= 1.5 else "SUPERLINEAR"
+    print(f"\nnative_hist_grid_increase amplification {a0} -> {aN}: "
+          f"time ratio {tNs / t0s:.2f} / work {work:.0f}x = "
+          f"{ratio:.2f} {flag}")
+
+
 def probe_groupsize(spark, n_groups: int, sizes: list[int]) -> None:
     """GROUP-SIZE axis for ``native_hist_sum_by`` (r10 — VERDICT r9
     task #6, the aggregation mirror of the depth axis): group COUNT
@@ -1575,6 +1645,13 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).selectExpr("sum(id)").collect()
         probe_groupsize(spark, 50, sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--amplification":
+        frames = sys.argv[2:] or ["30m", "6h", "12h"]
+        spark = get_spark("scale-probe-amplification")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        probe_amplification(spark, 10, frames)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--depth":
         depths = [int(x) for x in sys.argv[2:]] or [2, 20, 200]
