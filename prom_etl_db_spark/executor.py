@@ -147,7 +147,10 @@ def evaluate_config_query(
             )
 
             stream = eval_native_range(
-                native_hists, nset, node, start=start, end=end, step=step)
+                native_hists, nset, node, start=start, end=end, step=step,
+                # the scalar store rides along so a MIXED family's
+                # classic le-series union into the panel (r11)
+                samples=samples)
             return (
                 stream.select(
                     "labels",

@@ -202,6 +202,7 @@ def eval_native_range(
     start: datetime,
     end: datetime,
     step: str,
+    samples: "DataFrame | None" = None,
 ) -> DataFrame:
     """RANGE-MODE evaluation of the supported native-histogram query
     shapes (r10) — the Grafana panel pattern, lowered onto the grid
@@ -233,6 +234,7 @@ def eval_native_range(
     range-matrix shape. Unsupported shapes raise PromQLError."""
     from prom_etl_db_spark.operators.promql_parser import (
         Agg, BinOp, Call, EvalContext, Num, PromQLError, Selector,
+        _selector_stream,
     )
 
     from prom_etl_db_spark.operators import native_hist as NH
@@ -302,7 +304,8 @@ def eval_native_range(
             _apply_tail(F.col(col)).alias("value"))
 
     _COLLAPSE = ("histogram_quantile", "histogram_fraction",
-                 "histogram_count", "histogram_sum", "histogram_avg")
+                 "histogram_count", "histogram_sum", "histogram_avg",
+                 "histogram_stddev", "histogram_stdvar")
     if not (isinstance(node, Call) and node.fn in _COLLAPSE):
         raise PromQLError(
             "native-histogram range queries must collapse to floats — "
@@ -477,12 +480,61 @@ def eval_native_range(
                     .cast("long")).alias("bucket_start"),
                 "value",
             )
-            u = ne.unionByName(ce)
-            return u.select(
-                "labels", "bucket_start",
-                _apply_tail(F.col("value")).alias("value"))
-        out = nfn(df, *args)
-        val = F.col(vcol)
+            res = ne.unionByName(ce)
+        else:
+            res = nfn(df, *args).select(
+                "labels", "bucket_start", F.col(vcol).alias("value"))
+        # MIXED family on the GRID (r11): classic le-bucket series
+        # stored under the same metric name evaluate with the classic
+        # per-instant rule and union — the instant `mixed_classic_leg`
+        # lifted onto the range path. Scoped like the instant form:
+        # bare rate/increase inner only (the agg form would need `le`
+        # in the by-set — the named DIVERGENCES boundary); quantile/
+        # fraction only (both scale-invariant, so the classic grid's
+        # /frame vs the native /observed-dt rate convention cancels
+        # per series). The classic window is [t−frame, t) (the scalar
+        # family's half-open bound) vs the native inclusive bound —
+        # each family keeps its own documented convention.
+        if (samples is not None and agg is None
+                and inner.fn in ("rate", "increase")):
+            ctx2 = EvalContext(samples, end)
+            stream = _selector_stream(
+                ctx2, Selector(sel.name, sel.matchers, offset=sel.offset)
+            ).where(F.element_at(F.col("labels"), "le").isNotNull())
+            gridfn = (promql.rate_range if is_rate
+                      else promql.increase_range)
+            grid = gridfn(
+                stream, frame=sel.range_, step=step,
+                start=start, end=end)
+            buckets = grid.select(
+                F.map_concat(
+                    F.col("labels"),
+                    F.create_map(
+                        F.lit("__bucket_ts"),
+                        F.unix_timestamp("bucket_start").cast("string")),
+                ).alias("labels"),
+                "value",
+            )
+            cg = cfn(buckets, *args).select(
+                F.map_filter(
+                    F.col("labels"),
+                    lambda k, _: k != "__bucket_ts").alias("labels"),
+                F.timestamp_seconds(
+                    F.element_at(F.col("labels"), "__bucket_ts")
+                    .cast("long")).alias("bucket_start"),
+                "value",
+            )
+            res = res.unionByName(cg)
+        return res.select(
+            "labels", "bucket_start",
+            _apply_tail(F.col("value")).alias("value"))
+    elif fn in ("histogram_stddev", "histogram_stdvar"):
+        # r11: the instant path collapsed these since r8; the range
+        # path refused — same estimator per (series, instant) row
+        # (histogram_stats appends columns, bucket_start rides along)
+        out = NH.histogram_stats(df)
+        val = F.col("hist_stddev" if fn == "histogram_stddev"
+                    else "hist_stdvar")
     else:
         out = df
         # the components are already per-second when is_rate (divided
@@ -495,6 +547,78 @@ def eval_native_range(
         }[fn]
     return out.select(
         "labels", "bucket_start", _apply_tail(val).alias("value"))
+
+
+def _native_over_time(ctx: EvalContext, fn: str, sel: Selector):
+    """The ``*_over_time`` family over NATIVE-histogram range selectors
+    (r11): Prometheus 3 defines sum/avg/count/last/present/absent_
+    over_time on histogram samples — before r11 these silently
+    evaluated over the (empty) SCALAR store for a native name, so
+    ``absent_over_time(h[5m])`` reported a live metric as absent, the
+    misleading-alert failure mode. Lowering:
+
+    - ``sum_over_time`` / ``avg_over_time`` → the gated r9 merges
+      (`native_hist_sum_by` / `avg_by`) keyed on the canonical series
+      key — merging a series' own samples across TIME is the same
+      offset-aligned min-schema merge as merging series (HistVector);
+    - ``last_over_time`` / ``first_over_time`` → newest/oldest sample
+      per series, one window (HistVector);
+    - ``count_over_time`` / ``present_over_time`` → per-series float
+      vectors (sample count; presence 1.0);
+    - ``absent_over_time`` → one ``{}``-labeled 1.0 row iff NO sample
+      matched in the window (`promql.absent` over the windowed
+      stream — a 1-row count aggregate, no collect).
+
+    The estimator-dependent forms (min/max/stddev/quantile/mad…)
+    REFUSE loudly — Prometheus skips histogram samples there with a
+    warning annotation; a loud refusal beats a silent empty. Window
+    bounds are inclusive on both ends, the native family's
+    convention."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError, Selector as Sel, _at_of, _frame_bounds,
+    )
+    from pyspark.sql.window import Window
+
+    from prom_etl_db_spark.operators import native_hist as NH
+
+    supported = ("sum_over_time", "avg_over_time", "count_over_time",
+                 "last_over_time", "first_over_time",
+                 "present_over_time", "absent_over_time")
+    if fn not in supported:
+        raise PromQLError(
+            f"{fn} is not defined over native-histogram series "
+            f"(supported: {', '.join(supported)})")
+    lo, hi = _frame_bounds(_at_of(ctx, sel), sel.range_)
+    raw = _native_selector_stream(
+        ctx, Sel(sel.name, sel.matchers, offset=sel.offset)
+    ).where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    if fn == "absent_over_time":
+        return promql.absent(raw)
+    keyed = promql._ensure_series(raw)
+    if fn in ("count_over_time", "present_over_time"):
+        agg = (F.count(F.lit(1)).cast("double")
+               if fn == "count_over_time" else F.lit(1.0))
+        return keyed.groupBy("__series").agg(agg.alias("value")).select(
+            F.map_from_entries("__series").alias("labels"), "value")
+    if fn in ("last_over_time", "first_over_time"):
+        order = (F.desc("ts") if fn == "last_over_time"
+                 else F.asc("ts"))
+        w = Window.partitionBy("__series").orderBy(order)
+        picked = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+        )
+        return HistVector(picked.select(*_nh_cols_of(picked)))
+    # sum/avg over time: the r9 series-merge machinery keyed on the
+    # canonical series key — a series' samples across time merge with
+    # the same offset-aligned min-schema rules as series across space
+    merge = (NH.native_hist_sum_by if fn == "sum_over_time"
+             else NH.native_hist_avg_by)
+    cols = [c for c in _nh_cols_of(keyed) if c != "labels"]
+    merged = merge(keyed.select("__series", *cols), ("__series",))
+    out_cols = [c for c in _nh_cols_of(merged) if c != "labels"]
+    return HistVector(merged.select(
+        F.map_from_entries("__series").alias("labels"), *out_cols))
 
 
 def mixed_classic_leg(ctx: EvalContext, inner: "Node") -> "DataFrame | None":

@@ -786,6 +786,7 @@ from prom_etl_db_spark.operators.promql_native import (  # noqa: E402
     _hist_vector_scale,
     _native_agg,
     _native_instant_vector,
+    _native_over_time,
     _native_range_fn,
     eval_native_range,
     mixed_classic_leg,
@@ -1134,6 +1135,18 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
 
     if fn in _OVER_TIME or fn == "quantile_over_time":
         arg = node.args[-1]
+        if (isinstance(arg, Selector) and arg.name is not None
+                and arg.name in ctx.native_metrics):
+            # r11: *_over_time over a NATIVE metric routes to the
+            # histogram forms (sum/avg/count/last/first/present/
+            # absent_over_time; the rest refuse loudly) — before, the
+            # scalar stream silently matched nothing, so
+            # absent_over_time(h[5m]) reported a live metric absent
+            if not arg.range_ or arg.step:
+                raise PromQLError(
+                    f"{fn} over native-histogram metric {arg.name!r} "
+                    "needs a plain range selector like h[5m]")
+            return _native_over_time(ctx, fn, arg)
         if isinstance(arg, Selector) and arg.range_ and not arg.step:
             # RANGE-VECTOR form (x[1h], no step): aggregate the raw
             # samples in the window — Prometheus's common spelling; the
@@ -1357,7 +1370,11 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
     if fn == "clamp_max":
         return promql.clamp_max(_vec_arg(ctx, node.args[0], fn), _const(ctx, node.args[1]))
     if fn == "absent":
-        return promql.absent(_vec_arg(ctx, node.args[0], fn))
+        # r11: absent() is defined over native-histogram vectors too
+        # (alerting on a histogram that stopped being scraped) — it
+        # only counts rows, so the HistVector's frame serves directly
+        v = _vec_or_hist_arg(ctx, node.args[0], fn)
+        return promql.absent(v.df if isinstance(v, HistVector) else v)
     if fn == "round":
         # PromQL round(v, to_nearest=1): nearest MULTIPLE of to_nearest,
         # ties rounding up — floor(v/to + 0.5) * to, not decimal places
@@ -1453,6 +1470,10 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         arg = node.args[0]
         if not isinstance(arg, Selector) or not arg.range_ or arg.step:
             raise PromQLError("absent_over_time needs a range selector")
+        if arg.name is not None and arg.name in ctx.native_metrics:
+            # r11: count the NATIVE samples — the scalar stream
+            # matching nothing reported a live histogram absent
+            return _native_over_time(ctx, fn, arg)
         lo, hi = _frame_bounds(_at_of(ctx, arg), arg.range_)
         raw = _selector_stream(
             ctx, Selector(arg.name, arg.matchers, offset=arg.offset)

@@ -84,17 +84,20 @@ _GATE_PRIORITY = [
     # (a) the FIVE late-r10 queries registered past window slot 50
     #     after the r10 gate ran — local-green both fetch paths but
     #     never driver-gated; never-gated outranks stale;
-    # (b) r11's FOUR new queries (irate/idelta gate — VERDICT task #2;
-    #     resets()/changes() and the mixed classic+native family
-    #     quantile — stretch #8; the range-mode scalar tail — task #3);
-    # (c) the first 41 of the 50-query r5-stale block, registry order
+    # (b) r11's SIX new queries (irate/idelta gate — VERDICT task #2;
+    #     resets()/changes(), the mixed classic+native family quantile
+    #     in BOTH instant and range/config form — stretch #8; the
+    #     range-mode scalar tail — task #3; the *_over_time family
+    #     over native selectors — the r11 silent-empty fix);
+    # (c) the first 39 of the 50-query r5-stale block, registry order
     #     (all local-green in the r10 judge's full 298-query run —
-    #     verification hygiene, not suspected wrongness). The other 9
-    #     (url_canonicalize, audio_fingerprint_neardup,
+    #     verification hygiene, not suspected wrongness). The other 11
+    #     (promql_time_components, hybrid_rrf_search,
+    #     url_canonicalize, audio_fingerprint_neardup,
     #     doc_mojibake_repair, linkage_jaro_winkler_blocks,
     #     image_rotate_flip, audio_resample_q15, doc_fold_accents,
     #     doc_char_entropy, speech_pipeline_v1) spill to the r12
-    #     window, per the r10 verdict's arithmetic. 5 + 4 + 41 = 50.
+    #     window, per the r10 verdict's arithmetic. 5 + 6 + 39 = 50.
     # --- (a) never driver-gated (late r10) ----------------------------------
     "promql_parsed_hist_algebra",
     "native_hist_grid_increase",
@@ -106,7 +109,9 @@ _GATE_PRIORITY = [
     "native_hist_resets_changes",
     "native_hist_range_scalar_tail",
     "mixed_family_quantile",
-    # --- (c) r5-stale fill (41 of 50; 9 spill to r12) ------------------------
+    "mixed_family_grid_quantile",
+    "native_hist_over_time",
+    # --- (c) r5-stale fill (39 of 50; 11 spill to r12) -----------------------
     "label_extract",
     "label_filter_slice",
     "substring_prefix",
@@ -146,8 +151,6 @@ _GATE_PRIORITY = [
     "metrics_lttb_downsample",
     "doc_html_extract",
     "tsdb_gorilla_compress",
-    "promql_time_components",
-    "hybrid_rrf_search",
 ]
 
 def _apply_gate_priority() -> None:

@@ -2401,3 +2401,279 @@ def mixed_family_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels")["fam"].alias("fam"),
         F.round("value", 6).alias("p90"),
     )
+
+
+@register(
+    "mixed_family_grid_quantile",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id AS u FROM events
+), n AS (
+  SELECT event_id, event_type, u,
+    CAST(u % 4 - 1 AS INT) AS o,
+    power(2.0, -CAST(CAST(floor(u / 2) AS BIGINT) % 2 AS DOUBLE)) AS inv,
+    CAST(u % 5 + 1 AS DOUBLE) AS gc,
+    CAST(u % 3 + 3 AS DOUBLE) AS gd
+  FROM h WHERE u % 2 = 0
+), c AS (
+  SELECT event_id, event_type, u,
+    CAST(u % 5 + 1 AS DOUBLE) AS i1,
+    CAST(u % 3 + 2 AS DOUBLE) AS i2g,
+    CAST(u % 4 + 1 AS DOUBLE) AS iinfg
+  FROM h WHERE u % 2 = 1
+)
+SELECT event_id AS push_id, event_type AS metric_name, 'n' AS fam,
+  CAST(1 AS BIGINT) AS step_i,
+  round(power(2.0, (o + (0.9e0 * (gc + gd) - gc) / gd) * inv), 6) AS p90
+FROM n
+UNION ALL
+SELECT event_id AS push_id, event_type AS metric_name, 'c' AS fam,
+  CAST(1 AS BIGINT) AS step_i,
+  round(CASE
+    WHEN 0.9e0 * (i1 + i2g + iinfg) <= i1
+      THEN 0.9e0 * (i1 + i2g + iinfg) / i1
+    WHEN 0.9e0 * (i1 + i2g + iinfg) <= i1 + i2g
+      THEN 1 + (0.9e0 * (i1 + i2g + iinfg) - i1) / i2g
+    ELSE 2.0e0 END, 6) AS p90
+FROM c
+""",
+)
+def mixed_family_grid_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXED classic+native family on the RANGE path (r11): a
+    Grafana panel during migration — a range-mode CONFIG evaluates
+
+        histogram_quantile(0.9, rate(mix_h[10m]))
+
+    over a metric whose even-user series are native (v2 wire) and
+    odd-user series are classic cumulative ``le``-bucket float samples
+    in the scalar store. `eval_native_range` computes the native leg
+    on the grid and unions the classic leg (scalar grid increase →
+    per-instant classic quantile via the reserved ``__bucket_ts``
+    label, the NHCB range trick reused); the executor passes the
+    scalar store through (`executor.py` samples=). Fixture and closed
+    forms are EXACTLY `mixed_family_quantile`'s — one grid instant
+    whose window covers both pushes on both legs, so the per-family
+    estimators replay unchanged (rate's differing per-leg divisors —
+    classic /frame, native /observed-dt — cancel in the quantile's
+    scale invariance); the added ``step_i`` column pins the range
+    shape. Windows: classic half-open [t−frame, t), native inclusive
+    — each family's own documented convention (DIVERGENCES.md)."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.config import QueryConfig
+    from prom_etl_db_spark.executor import evaluate_config_query
+    from prom_etl_db_spark.functions import remote_write as RW
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            c0, d0 = u % 4 + 1, u % 3 + 1
+            gc, gd = u % 5 + 1, u % 3 + 3
+            z = u % 3
+            o = u % 4 - 1
+            hs = []
+            for i, cc in enumerate(([c0, d0], [c0 + gc, d0 + gd])):
+                hs.append({
+                    "schema": (u // 2) % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 300000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "mix_h", "etype": n,
+                             "eid": str(int(e)), "fam": "n"},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.where(F.col("user_id") % 2 == 0).select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    odd = ev.where(F.col("user_id") % 2 == 1)
+    u = F.col("user_id")
+    i1, i2g, iinfg = u % 5 + 1, u % 3 + 2, u % 4 + 1
+    c1, c2 = u % 3 + 1, (u % 3 + 1) + (u % 4 + 1)
+    cinf = c2 + (u % 5 + 1)
+    legs = []
+    for le, base, inc in (
+        ("1", c1, i1),
+        ("2", c2, i1 + i2g),
+        ("+Inf", cinf, i1 + i2g + iinfg),
+    ):
+        for ti, val in ((0, base), (300, base + inc)):
+            legs.append(odd.select(
+                F.lit("mix_h").alias("metric_name"),
+                F.map_from_arrays(
+                    F.array(F.lit("etype"), F.lit("eid"),
+                            F.lit("fam"), F.lit("le")),
+                    F.array(F.col("event_type"),
+                            F.col("event_id").cast("string"),
+                            F.lit("c"), F.lit(le)),
+                ).alias("labels"),
+                val.cast("double").alias("value"),
+                F.timestamp_millis(
+                    F.lit(t0 + ti * 1000)).alias("timestamp"),
+            ))
+    samples = legs[0]
+    for df in legs[1:]:
+        samples = samples.unionByName(df)
+    now = datetime.fromtimestamp(
+        t0 / 1000 + 360, tz=timezone.utc).replace(tzinfo=None)
+    cfg = QueryConfig(
+        query_id="mix_grid", name="mixed family panel",
+        query="histogram_quantile(0.9, rate(mix_h[10m]))",
+        time_range_type="range",
+        time_range_start="now", time_range_end="now",
+        time_range_step="5m",
+    )
+    out, rtype = evaluate_config_query(
+        samples, cfg, now=now,
+        native_hists=nh, native_metrics=frozenset({"mix_h"}))
+    assert rtype == "range"
+    return out.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["etype"].alias("metric_name"),
+        F.col("labels")["fam"].alias("fam"),
+        F.lit(1).cast("bigint").alias("step_i"),
+        F.round("value", 6).alias("p90"),
+    )
+
+
+@register(
+    "native_hist_over_time",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 2 AS BIGINT) AS z,
+    CAST(user_id % 4 + 1 AS BIGINT) AS a,
+    CAST(user_id % 3 + 1 AS BIGINT) AS b,
+    CAST(user_id % 5 + 1 AS BIGINT) AS g1,
+    CAST(user_id % 2 + 1 AS BIGINT) AS g2,
+    CAST(user_id % 3 AS BIGINT) AS g3,
+    CAST(user_id % 4 AS BIGINT) AS g4
+  FROM events
+), v AS (
+  SELECT event_id, event_type,
+    z + a + b AS c1,
+    z + a + b + g1 + g2 AS c2,
+    z + a + b + g1 + g2 + g3 + g4 AS c3
+  FROM h
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  unnest(['count', 'present', 'sum_count', 'last_count', 'first_count',
+          'avg_count']) AS op,
+  unnest([3.0e0, 1.0e0,
+          round(CAST(c1 + c2 + c3 AS DOUBLE), 6),
+          round(CAST(c3 AS DOUBLE), 6),
+          round(CAST(c1 AS DOUBLE), 6),
+          round((c1 + c2 + c3) / 3.0e0, 6)]) AS val
+FROM v
+""",
+)
+def native_hist_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``*_over_time`` family over NATIVE-histogram range selectors
+    AS QUERY STRINGS (r11): Prometheus 3 defines sum/avg/count/last/
+    first/present/absent_over_time on histogram samples; before r11
+    these fell through to the SCALAR stream and silently matched
+    nothing — ``absent_over_time`` over a live native metric fired
+    (the misleading-alert failure mode, now routed via
+    `promql_native._native_over_time`). Three wire pushes per series;
+    six string forms per series:
+
+    - ``count_over_time`` = 3, ``present_over_time`` = 1 (float
+      vectors, one hash agg per);
+    - ``histogram_count(sum_over_time(h[10m]))`` — the r9 series
+      merge keyed on the canonical series key: a series' samples
+      across TIME merge with the same offset-aligned min-schema rules
+      as series across space (sum of the three carried counts);
+    - ``last_over_time`` / ``first_over_time`` — newest/oldest sample
+      per series, one window;
+    - ``avg_over_time`` — the merged mean (total/3).
+
+    Estimator forms (min/max/stddev/quantile) refuse loudly — unit-
+    pinned; absent_over_time's live-vs-empty duality likewise."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            z = u % 2
+            a, b = u % 4 + 1, u % 3 + 1
+            g1, g2 = u % 5 + 1, u % 2 + 1
+            g3, g4 = u % 3, u % 4
+            s1 = [a, b]
+            s2 = [a + g1, b + g2]
+            s3 = [a + g1 + g3, b + g2 + g4]
+            o = u % 4 - 1
+            hs = []
+            for i, cc in enumerate((s1, s2, s3)):
+                hs.append({
+                    "schema": u % 2, "zero_threshold": 0.001,
+                    "zero_count": z, "count": z + sum(cc),
+                    "positive_spans": [(o, 2)],
+                    "positive_deltas": [cc[0], cc[1] - cc[0]],
+                    "timestamp": t0 + i * 60000,
+                })
+            out.append(RW.snappy_compress(RW.encode_write_request_v2(
+                [{"labels": {"__name__": "nh_ot", "etype": n,
+                             "eid": str(int(e))},
+                  "samples": [], "histograms": [h]} for h in hs])))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    at = datetime.fromtimestamp(
+        t0 / 1000 + 180, tz=timezone.utc).replace(tzinfo=None)
+
+    def leg(expr, op):
+        out = eval_promql(
+            samples, expr, at,
+            native_hists=nh, native_metrics=frozenset({"nh_ot"}))
+        return out.select(
+            F.col("labels")["eid"].cast("long").alias("push_id"),
+            F.col("labels")["etype"].alias("metric_name"),
+            F.lit(op).alias("op"),
+            F.round("value", 6).alias("val"),
+        )
+
+    res = leg("count_over_time(nh_ot[10m])", "count")
+    for expr, op in (
+        ("present_over_time(nh_ot[10m])", "present"),
+        ("histogram_count(sum_over_time(nh_ot[10m]))", "sum_count"),
+        ("histogram_count(last_over_time(nh_ot[10m]))", "last_count"),
+        ("histogram_count(first_over_time(nh_ot[10m]))", "first_count"),
+        ("histogram_count(avg_over_time(nh_ot[10m]))", "avg_count"),
+    ):
+        res = res.unionByName(leg(expr, op))
+    return res

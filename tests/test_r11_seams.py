@@ -301,3 +301,85 @@ def test_grid_resets_changes_per_instant(spark):
         nh, frozenset({"h"}), parse("resets(h[10m])"),
         start=_ts(10), end=_ts(10), step="5m").collect()}
     assert r2[10] == 1.0
+
+
+def test_grid_stddev_collapse(spark):
+    """r11: histogram_stddev/stdvar in RANGE mode (the instant path
+    collapsed these since r8; the range path refused). Increase of 8
+    observations in bucket index 0 (schema 0 → covers (0.5, 1],
+    geometric mid 2^-0.5) with carried count/sum increases 8/8.0
+    (mean 1): stdvar = (8·(2^-0.5)² − 2·1·8·2^-0.5 + 1²·8) / 8
+    = 1.5 − √2 ≈ 0.085786 — the estimator centers on the STORED
+    sum/count mean, Prometheus's rule."""
+    import math
+
+    from prom_etl_db_spark.operators.promql_native import (
+        eval_native_range,
+    )
+    from prom_etl_db_spark.operators.promql_parser import parse
+
+    nh = _nh(spark, [
+        _row("a", 0, [2]),
+        _row("a", 5, [10]),
+    ])
+    expected = 1.5 - math.sqrt(2)
+    out = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_stdvar(increase(h[10m]))"),
+        start=_ts(10), end=_ts(10), step="5m").collect()
+    assert len(out) == 1
+    assert round(out[0]["value"], 9) == round(expected, 9)
+    out2 = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_stddev(increase(h[10m]))"),
+        start=_ts(10), end=_ts(10), step="5m").collect()
+    assert round(out2[0]["value"], 9) == round(math.sqrt(expected), 9)
+
+
+def test_mixed_family_quantile_on_grid(spark):
+    """r11: the mixed classic+native split on the RANGE path — a
+    Grafana panel during migration. Native series via the grid
+    combinators; classic le-series under the same name via the scalar
+    grid increase + per-instant classic quantile; one result."""
+    from prom_etl_db_spark.operators.promql_native import (
+        eval_native_range,
+    )
+    from prom_etl_db_spark.operators.promql_parser import parse
+
+    nh = _nh(spark, [
+        # native: growth [0, 4] at idx 1..2 → q=0.5 → 2^1.5
+        Row(metric_name="h", labels={"fam": "n"}, ts=_ts(0), schema=0,
+            zero_threshold=0.001, zero_count=0, count=2, sum=2.0,
+            pos_offset=1, pos_counts=[1, 1], neg_offset=0,
+            neg_counts=[]),
+        Row(metric_name="h", labels={"fam": "n"}, ts=_ts(5), schema=0,
+            zero_threshold=0.001, zero_count=0, count=6, sum=10.0,
+            pos_offset=1, pos_counts=[1, 5], neg_offset=0,
+            neg_counts=[]),
+    ])
+    srows = []
+    for le, c0, c1 in (("1", 1, 3), ("2", 1, 5), ("+Inf", 1, 5)):
+        srows += [
+            Row(metric_name="h", labels={"fam": "c", "le": le},
+                value=float(c0), timestamp=_ts(0)),
+            Row(metric_name="h", labels={"fam": "c", "le": le},
+                value=float(c1), timestamp=_ts(5)),
+        ]
+    samples = spark.createDataFrame(
+        srows, "metric_name string, labels map<string,string>, "
+               "value double, timestamp timestamp")
+    out = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_quantile(0.5, rate(h[10m]))"),
+        start=_ts(6), end=_ts(6), step="1m", samples=samples)
+    got = {r["labels"]["fam"]: round(r["value"], 6)
+           for r in out.collect()}
+    assert got["n"] == round(2 ** 1.5, 6)
+    # classic increases 2/4/4 → rank 2 ≤ r1 → 2/2*1 = 1.0
+    assert got["c"] == 1.0
+    # without a samples frame: native leg only (backward compatible)
+    out2 = eval_native_range(
+        nh, frozenset({"h"}),
+        parse("histogram_quantile(0.5, rate(h[10m]))"),
+        start=_ts(6), end=_ts(6), step="1m")
+    assert {r["labels"]["fam"] for r in out2.collect()} == {"n"}
