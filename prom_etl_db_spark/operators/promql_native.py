@@ -785,6 +785,7 @@ def _hist_hist_addsub(
     op: str,
     on: "list[str] | None" = None,
     ignoring: "list[str] | None" = None,
+    group: "str | None" = None,
 ) -> HistVector:
     """``h1 + h2`` / ``h1 - h2``: histogram addition/subtraction with
     PromQL's one-to-one vector matching lifted to histograms
@@ -799,10 +800,22 @@ def _hist_hist_addsub(
     on either side refuses loudly (PromQL's many-to-many error —
     silently merging would double-count).
 
+    ``group`` (r11, closing the last named string-surface boundary):
+    ``"left"``/``"right"`` is PromQL's many-to-one — the named side is
+    the MANY side, each of its series pairs with exactly ONE series on
+    the other side by match key (duplicates on the one side refuse
+    loudly), and the output keeps each many-side series' OWN labels
+    (minus ``__name__``, the binop rule). Unmatched many rows drop
+    (inner matching). Label-carry modifiers (``group_left(lbl)``)
+    refuse at the call site — the same scope as histogram × vector
+    scaling.
+
     Plan: canonical match-key on both sides → the two sides union (the
     subtrahend scaled by −1) and ride ``native_hist_sum_by`` keyed on
-    the match key, so mixed schemas downscale-merge exactly as in
-    ``sum by``; a per-(key, side) count agg guards one-to-one-ness.
+    the match key (grouped mode: the MANY side's full-series key, the
+    one side replicated onto it via one key-equi join), so mixed
+    schemas downscale-merge exactly as in ``sum by``; a per-(key,
+    side) count agg guards the cardinality contract.
     Shuffles stay match-key-keyed throughout."""
     from prom_etl_db_spark.operators import native_hist as NH
 
@@ -821,9 +834,9 @@ def _hist_hist_addsub(
                       if c != "labels"]
 
     # align count types across sides (a raw long side vs a float side)
-    def norm(df, side):
+    def norm(df, side, extra=()):
         return df.select(
-            "__k", "schema", "zero_threshold",
+            *extra, "__k", "schema", "zero_threshold",
             F.col("zero_count").cast("double").alias("zero_count"),
             F.col("count").cast("double").alias("count"),
             F.col("sum").cast("double").alias("sum"),
@@ -838,6 +851,56 @@ def _hist_hist_addsub(
             F.lit(side).alias("__s"),
         )
 
+    if group is not None:
+        # many-to-one: the group-named side is MANY; re-key the merge
+        # on the many side's full-series identity and replicate the
+        # one side onto it with a single key-equi join
+        many_raw = (a if group == "left" else b)
+        one_raw = (b if group == "left" else a)
+        full = F.map_filter(
+            F.col("labels"), lambda k, _: k != "__name__")
+        many = norm(
+            many_raw.withColumn("__full", full).withColumn(
+                "__mk",
+                F.to_json(F.array_sort(F.map_entries(F.col("__full")))))
+            .select(*cols, "__mk"), 0, extra=("__mk",))
+        one = norm(one_raw.select(*cols), 1)
+        # the ONE side must be unique per match key — guard rides the
+        # joined count column
+        one_g = one.groupBy("__k").agg(
+            F.count(F.lit(1)).alias("__nv"))
+        keymap = many_raw.withColumn("__full", full).select(
+            "__k",
+            F.to_json(F.array_sort(F.map_entries(F.col("__full"))))
+            .alias("__mk"),
+            F.col("__full").alias("__many_labels"),
+        )
+        one_exp = one.join(one_g, on="__k").where(
+            F.when(
+                F.col("__nv") > 1,
+                F.raise_error(F.lit(
+                    f"histogram {op} group_{group}: a match key is "
+                    "shared by more than one series on the ONE side — "
+                    "narrow the matching with on(...)/ignoring(...)")),
+            ).otherwise(F.lit(True))
+        ).drop("__nv").join(keymap.select("__k", "__mk"), on="__k")
+        both = many.unionByName(one_exp)
+        merged = NH.native_hist_sum_by(
+            both.drop("__s", "__k"), ("__mk",))
+        # unmatched many rows merge alone (n_series == 1) and DROP —
+        # PromQL's inner matching; the filter predicate carries it
+        matched = merged.where(F.col("n_series") == 2)
+        labels_back = keymap.select(
+            "__mk", F.col("__many_labels").alias("labels")
+        ).dropDuplicates(["__mk"])
+        out = matched.join(labels_back, on="__mk", how="inner").select(
+            "labels", "schema", "zero_threshold", "zero_count", "count",
+            "sum", "pos_offset", "pos_counts", "neg_offset",
+            "neg_counts",
+            *(["custom_values"] if "custom_values" in matched.columns
+              else []),
+        )
+        return HistVector(out)
     both = norm(a.select(*cols), 0).unionByName(norm(b.select(*cols), 1))
     # one-to-one guard: PromQL errors on a key matched by >1 series on
     # either side; the guard rides a per-key max of per-side counts

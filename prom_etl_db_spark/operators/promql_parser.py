@@ -939,13 +939,16 @@ def evaluate(ctx: EvalContext, node: Node) -> DataFrame | float:
                 return _hist_scalar_scale(rhs, lhs)
             if (isinstance(lhs, HistVector) and isinstance(rhs, HistVector)
                     and node.op in ("+", "-")):
-                if node.group:
+                if node.carry:
+                    # label-carry modifiers stay out of scope, the
+                    # histogram × vector scaling rule
                     raise PromQLError(
-                        "histogram +/- is one-to-one only "
-                        "(no group_left/group_right)")
+                        "histogram +/- group modifiers do not support "
+                        "label carry (group_left(lbl, ...))")
                 return _hist_hist_addsub(
                     lhs, rhs, node.op,
-                    on=node.on, ignoring=node.ignoring)
+                    on=node.on, ignoring=node.ignoring,
+                    group=node.group)
             # histogram × FLOAT VECTOR (h*v, v*h, h/v): matched
             # scaling — the normalize-by-gauge pattern; v/h undefined
             if (isinstance(lhs, HistVector) and isinstance(rhs, DataFrame)

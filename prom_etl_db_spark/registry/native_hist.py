@@ -2677,3 +2677,106 @@ def native_hist_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         res = res.unionByName(leg(expr, op))
     return res
+
+
+@register(
+    "promql_parsed_hist_group_matching",
+    oracle="""
+WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(user_id % 3 + 1 AS BIGINT) AS m1,
+    CAST(user_id % 4 + 1 AS BIGINT) AS m2,
+    CAST(user_id % 2 + 2 AS BIGINT) AS n1,
+    CAST(user_id % 5 + 1 AS BIGINT) AS n2
+  FROM events
+)
+SELECT event_id AS push_id, event_type AS metric_name,
+  unnest(['a', 'b']) AS ep,
+  unnest([round(CAST(m1 + m2 AS DOUBLE), 6),
+          round(CAST(n1 + n2 AS DOUBLE), 6)]) AS cnt
+FROM h
+""",
+)
+def promql_parsed_hist_group_matching(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANY-TO-ONE histogram subtraction from a string (r11 — the last
+    named string-surface boundary closed):
+
+        histogram_count(nhm - on(eid) group_left nhb)
+
+    Per event, TWO per-endpoint series of ``nhm`` (ep = a / b) each
+    subtract the ONE shared ``nhb`` baseline matched on ``eid`` —
+    PromQL's group_left many-to-one lifted to histogram vectors
+    (`_hist_hist_addsub(group=...)`: the merge re-keys on the MANY
+    side's full-series identity, the one side replicates via a single
+    key-equi join, mixed schemas downscale-merge as in sum by;
+    duplicates on the one side refuse loudly; unmatched many rows
+    drop; label-carry modifiers stay a named refusal). The output
+    keeps each many series' own labels, so ``ep`` survives. Oracle:
+    the closed-form count differences (m1+m2, n1+n2) per endpoint."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.functions import remote_write as RW
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    t0 = 1706572800000
+
+    def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
+        out = []
+        for n, e, u in zip(name, eid, user):
+            u = int(u)
+            p, q = u % 4 + 1, u % 3 + 1
+            m1, m2 = u % 3 + 1, u % 4 + 1
+            n1, n2 = u % 2 + 2, u % 5 + 1
+            o = u % 4 - 1
+            series = [
+                ("nhb", {}, [p, q]),
+                ("nhm", {"ep": "a"}, [p + m1, q + m2]),
+                ("nhm", {"ep": "b"}, [p + n1, q + n2]),
+            ]
+            ts_list = []
+            for mname, extra, cc in series:
+                ts_list.append({
+                    "labels": {"__name__": mname, "etype": n,
+                               "eid": str(int(e)), **extra},
+                    "samples": [],
+                    "histograms": [{
+                        "schema": u % 2, "zero_threshold": 0.001,
+                        "zero_count": 0, "count": sum(cc),
+                        "positive_spans": [(o, 2)],
+                        "positive_deltas": [cc[0], cc[1] - cc[0]],
+                        "timestamp": t0 + 300000,
+                    }],
+                })
+            out.append(RW.snappy_compress(
+                RW.encode_write_request_v2(ts_list)))
+        return pd.Series(out)
+
+    _build = F.pandas_udf(build, returnType=BinaryType())
+    payloads = ev.select(
+        F.col("event_id").alias("push_id"),
+        _build("event_type", "event_id", "user_id").alias("body"),
+    )
+    nh = RW.remote_write_v2_native_histograms(payloads).select(
+        "metric_name", "labels",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("ts"),
+        "schema", "zero_threshold", "zero_count", "count", "sum",
+        "pos_offset", "pos_counts", "neg_offset", "neg_counts",
+    )
+    samples = spark.createDataFrame(
+        [], "metric_name string, labels map<string,string>, "
+            "value double, timestamp timestamp")
+    at = datetime.fromtimestamp(
+        t0 / 1000 + 360, tz=timezone.utc).replace(tzinfo=None)
+    out = eval_promql(
+        samples,
+        "histogram_count(nhm - on(eid) group_left nhb)",
+        at, native_hists=nh,
+        native_metrics=frozenset({"nhm", "nhb"}))
+    return out.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["etype"].alias("metric_name"),
+        F.col("labels")["ep"].alias("ep"),
+        F.round("value", 6).alias("cnt"),
+    )

@@ -119,3 +119,87 @@ def test_estimator_forms_refuse(spark):
         _eval(spark, nh, "max_over_time(h[10m])")
     with pytest.raises(PromQLError, match="not defined over native"):
         _eval(spark, nh, "quantile_over_time(0.5, h[10m])")
+
+
+def test_hist_addsub_group_left_many_to_one(spark):
+    """r11: group_left over h − h (the last named string-surface
+    boundary) — many per-endpoint error histograms each subtract ONE
+    shared baseline by match key; output keeps each many series' own
+    labels."""
+    from prom_etl_db_spark.operators.promql_parser import (
+        PromQLError, eval_promql,
+    )
+
+    rows = []
+    # many side h: two endpoints under job=j
+    for ep, c in (("e1", [5, 5]), ("e2", [9, 9])):
+        rows.append(Row(metric_name="h", labels={"job": "j", "ep": ep},
+                        ts=_ts(5), schema=0, zero_threshold=0.001,
+                        zero_count=0, count=sum(c), sum=float(sum(c)),
+                        pos_offset=0, pos_counts=c, neg_offset=0,
+                        neg_counts=[]))
+    # one side base: one series keyed by job
+    rows.append(Row(metric_name="base", labels={"job": "j"},
+                    ts=_ts(5), schema=0, zero_threshold=0.001,
+                    zero_count=0, count=4, sum=4.0,
+                    pos_offset=0, pos_counts=[2, 2], neg_offset=0,
+                    neg_counts=[]))
+    nh = spark.createDataFrame(rows, NH_SCHEMA)
+    out = eval_promql(
+        _samples(spark),
+        "histogram_count(h - on(job) group_left base)",
+        _ts(6), native_hists=nh,
+        native_metrics=frozenset({"h", "base"}))
+    got = {r["labels"]["ep"]: r["value"] for r in out.collect()}
+    assert got == {"e1": 6.0, "e2": 14.0}
+    # duplicate ONE side refuses
+    rows_dup = rows + [Row(
+        metric_name="base", labels={"job": "j", "x": "2"}, ts=_ts(5),
+        schema=0, zero_threshold=0.001, zero_count=0, count=1,
+        sum=1.0, pos_offset=0, pos_counts=[1], neg_offset=0,
+        neg_counts=[])]
+    nh2 = spark.createDataFrame(rows_dup, NH_SCHEMA)
+    bad = eval_promql(
+        _samples(spark),
+        "histogram_count(h - on(job) group_left base)",
+        _ts(6), native_hists=nh2,
+        native_metrics=frozenset({"h", "base"}))
+    with pytest.raises(Exception, match="ONE side"):
+        bad.collect()
+    # label carry stays a named refusal
+    with pytest.raises(PromQLError, match="label carry"):
+        eval_promql(
+            _samples(spark),
+            "histogram_count(h - on(job) group_left(ep) base)",
+            _ts(6), native_hists=nh,
+            native_metrics=frozenset({"h", "base"}))
+
+
+def test_hist_addsub_group_right_and_unmatched_drop(spark):
+    """group_right mirrors (many side on the right); unmatched many
+    rows drop (inner matching)."""
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    rows = [
+        Row(metric_name="base", labels={"job": "j"}, ts=_ts(5),
+            schema=0, zero_threshold=0.001, zero_count=0, count=4,
+            sum=4.0, pos_offset=0, pos_counts=[2, 2], neg_offset=0,
+            neg_counts=[]),
+        Row(metric_name="h", labels={"job": "j", "ep": "e1"}, ts=_ts(5),
+            schema=0, zero_threshold=0.001, zero_count=0, count=10,
+            sum=10.0, pos_offset=0, pos_counts=[5, 5], neg_offset=0,
+            neg_counts=[]),
+        # unmatched many row (different job) must DROP
+        Row(metric_name="h", labels={"job": "other", "ep": "e9"},
+            ts=_ts(5), schema=0, zero_threshold=0.001, zero_count=0,
+            count=3, sum=3.0, pos_offset=0, pos_counts=[3],
+            neg_offset=0, neg_counts=[]),
+    ]
+    nh = spark.createDataFrame(rows, NH_SCHEMA)
+    out = eval_promql(
+        _samples(spark),
+        "histogram_count(base + on(job) group_right h)",
+        _ts(6), native_hists=nh,
+        native_metrics=frozenset({"h", "base"}))
+    got = {r["labels"].get("ep"): r["value"] for r in out.collect()}
+    assert got == {"e1": 14.0}
