@@ -57,6 +57,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events")
 
 
+def _events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_events`` repartitioned to the session's default parallelism —
+    for the WIRE-FIXTURE queries whose next step is a per-row Python
+    protobuf encode inside a pandas UDF. The sf parquet arrives as ONE
+    partition (a single file under maxPartitionBytes), which pins that
+    encode to one core (r11 bench finding: ~16 s single-core at sf0.1
+    for 100k payloads vs sub-second wide). The repartition is a few-MB
+    shuffle of a 3-column frame — negligible next to the encode it
+    parallelizes. Analytics queries keep plain ``_events`` (their
+    plans are driver-gated; a blanket shuffle would cost, not help)."""
+    return _events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _event_samples(spark: SparkSession, sf_dir: str, keys=("name", "k", "user_id")) -> DataFrame:
     """events → PromQL-shaped samples: (metric_name, labels, value,
     timestamp, event_id). Label map contents are chosen per query — 'name'

@@ -24,7 +24,7 @@ from pyspark.sql.types import BinaryType
 
 from prom_etl_db_spark.operators import native_hist as NH
 from prom_etl_db_spark.operators import promql
-from prom_etl_db_spark.registry.core import _events, register
+from prom_etl_db_spark.registry.core import _events_wide, register
 
 
 @register(
@@ -54,7 +54,7 @@ def remote_write_float_hist_decode(spark: SparkSession, sf_dir: str) -> DataFram
     buckets. Plan: one mapInPandas decode, zero shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -144,7 +144,7 @@ def nhcb_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -253,7 +253,7 @@ def native_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no exploding."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -344,7 +344,7 @@ def nhcb_increase_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode → one window per histogram."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -461,7 +461,7 @@ def native_hist_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines fall through identically."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -552,7 +552,7 @@ def native_hist_neg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE. Plan: one mapInPandas decode → pure Column, zero shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -655,7 +655,7 @@ def native_hist_fraction_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → pure Column, zero shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -746,7 +746,7 @@ def native_hist_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     group (+index); no per-group fold anywhere."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -851,7 +851,7 @@ def native_hist_sum_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles) → pure-Column quantile."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -939,7 +939,7 @@ def native_hist_rate_per_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide + posexplode."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1038,7 +1038,7 @@ def native_hist_avg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     top)."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1165,7 +1165,7 @@ def native_hist_neg_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/internal/prometheus/client.go)."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1313,7 +1313,7 @@ def promql_parsed_native_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1403,7 +1403,7 @@ def promql_parsed_hist_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1500,7 +1500,7 @@ def native_hist_grid_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -1598,7 +1598,7 @@ def promql_parsed_hist_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1702,7 +1702,7 @@ def native_hist_range_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.executor import evaluate_config_query
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -1801,7 +1801,7 @@ def native_hist_gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery's single hash agg, reset short-circuited to False."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -1933,7 +1933,7 @@ def native_hist_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -2078,7 +2078,7 @@ def native_hist_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -2190,7 +2190,7 @@ def native_hist_range_scalar_tail(spark: SparkSession, sf_dir: str) -> DataFrame
     from prom_etl_db_spark.executor import evaluate_config_query
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -2321,7 +2321,7 @@ def mixed_family_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -2464,7 +2464,7 @@ def mixed_family_grid_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.executor import evaluate_config_query
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -2609,7 +2609,7 @@ def native_hist_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
@@ -2719,7 +2719,7 @@ def promql_parsed_hist_group_matching(
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.promql_parser import eval_promql
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     t0 = 1706572800000
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:

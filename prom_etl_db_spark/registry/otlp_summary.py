@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from prom_etl_db_spark.registry.core import _events, register
+from prom_etl_db_spark.registry.core import _events_wide, register
 
 _T0NS = 1706572800_000_000_000
 
@@ -36,7 +36,7 @@ def _summary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays them exactly."""
     from prom_etl_db_spark.functions import otlp as O
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []

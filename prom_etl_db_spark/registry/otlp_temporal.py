@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from prom_etl_db_spark.operators import promql
-from prom_etl_db_spark.registry.core import _events, register
+from prom_etl_db_spark.registry.core import _events_wide, register
 
 _T0NS = 1706572800_000_000_000
 
@@ -51,7 +51,7 @@ def otlp_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (a single shuffle)."""
     from prom_etl_db_spark.functions import otlp as O
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -139,7 +139,7 @@ def otlp_delta_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with fold) → le posexplode → one window per histogram."""
     from prom_etl_db_spark.functions import otlp as O
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -268,7 +268,7 @@ def otlp_delta_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram."""
     from prom_etl_db_spark.functions import otlp as O
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []

@@ -26,6 +26,7 @@ from prom_etl_db_spark.registry.core import (  # noqa: F401
     NOW,
     _event_samples,
     _events,
+    _events_wide,
     _t,
     register,
 )
@@ -283,7 +284,7 @@ def remote_write_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.minute(t).cast("long") * 60
         + F.second(t).cast("long")
     )
-    ev = _events(spark, sf_dir).select(
+    ev = _events_wide(spark, sf_dir).select(
         "event_id", "event_type", "user_id", "value",
         (epoch_s * 1000).cast("long").alias("ts_ms"),
     )
@@ -424,7 +425,7 @@ def metrics_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.operators.relabel import RelabelConfig as C
     from prom_etl_db_spark.operators.relabel import apply_relabel
 
-    ev = _events(spark, sf_dir).select(
+    ev = _events_wide(spark, sf_dir).select(
         "event_id", "event_type", "user_id", "value"
     )
 
@@ -562,7 +563,7 @@ def otlp_metrics_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.minute(t).cast("long") * 60
         + F.second(t).cast("long")
     )
-    ev = _events(spark, sf_dir).select(
+    ev = _events_wide(spark, sf_dir).select(
         "event_id", "event_type", "user_id", "value",
         (epoch_s * 1_000_000_000).cast("long").alias("ts_ns"),
     )
@@ -650,7 +651,7 @@ def metrics_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.operators.relabel import RelabelConfig as C
     from prom_etl_db_spark.operators.relabel import apply_relabel
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
 
     def build(name: pd.Series, user: pd.Series, val: pd.Series) -> pd.Series:
         return pd.Series(
@@ -740,7 +741,7 @@ def otlp_histogram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import otlp as OT
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -840,7 +841,7 @@ def otlp_hist_quantile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import otlp as OT
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -959,7 +960,7 @@ def otlp_exp_histogram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import otlp as OT
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -1077,7 +1078,7 @@ def otlp_exp_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import otlp as OT
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
         out = []

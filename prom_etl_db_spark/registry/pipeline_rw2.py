@@ -27,6 +27,7 @@ from prom_etl_db_spark.registry.core import (  # noqa: F401
     NOW,
     _event_samples,
     _events,
+    _events_wide,
     _t,
     register,
 )
@@ -70,7 +71,7 @@ def remote_write_v2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.minute(t).cast("long") * 60
         + F.second(t).cast("long")
     )
-    ev = _events(spark, sf_dir).select(
+    ev = _events_wide(spark, sf_dir).select(
         "event_id", "event_type", "user_id", "value",
         (epoch_s * 1000).cast("long").alias("ts_ms"),
     )
@@ -150,7 +151,7 @@ def remote_write_v2_hist_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -264,7 +265,7 @@ def remote_write_v2_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -408,7 +409,7 @@ def native_hist_cross_format_parity(spark: SparkSession, sf_dir: str) -> DataFra
     from prom_etl_db_spark.functions import otlp as OT
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build_otlp(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -540,7 +541,7 @@ def remote_write_v2_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
     types = {0: 1, 1: 2, 2: 3, 3: 5}  # counter, gauge, histogram, summary
 
     def build(name: pd.Series, user: pd.Series, val: pd.Series) -> pd.Series:
@@ -635,7 +636,7 @@ def native_hist_rate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -799,7 +800,7 @@ def native_hist_downscale_increase(spark: SparkSession, sf_dir: str) -> DataFram
 
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(eid: pd.Series, name: pd.Series, user: pd.Series) -> pd.Series:
         out = []

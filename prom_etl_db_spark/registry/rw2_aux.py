@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from prom_etl_db_spark.registry.core import _events, register
+from prom_etl_db_spark.registry.core import _events_wide, register
 
 _T0 = 1706572800000  # fixture epoch (ms)
 
@@ -49,7 +49,7 @@ def remote_write_v2_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFr
     Plan: one mapInPandas decode, zero shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -106,7 +106,7 @@ def remote_write_v1_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFr
     mapInPandas decode, zero shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -161,7 +161,7 @@ def remote_write_v1_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     types = {0: 1, 1: 2, 2: 3, 3: 5}  # counter/gauge/histogram/summary
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
@@ -228,7 +228,7 @@ def ct_aware_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
     wstart = _T0 - 15000
 
     def build(name: pd.Series, user: pd.Series) -> pd.Series:
@@ -318,7 +318,7 @@ def otlp_exemplars_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique per push). Plan: one mapInPandas decode, zero shuffle."""
     from prom_etl_db_spark.functions import otlp as O
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -390,7 +390,7 @@ def exemplars_cross_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import otlp as O
     from prom_etl_db_spark.functions import remote_write as RW
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build_rw(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
@@ -572,7 +572,7 @@ def exemplar_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prom_etl_db_spark.functions import remote_write as RW
     from prom_etl_db_spark.operators.exemplars import exemplar_rate_report
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    ev = _events_wide(spark, sf_dir).select("event_id", "event_type", "user_id")
 
     def build(name: pd.Series, eid: pd.Series, user: pd.Series) -> pd.Series:
         out = []
