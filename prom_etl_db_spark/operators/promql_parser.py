@@ -1112,6 +1112,7 @@ _ARITY = {
     "histogram_avg": (1, 1),
     "histogram_stddev": (1, 1),
     "histogram_stdvar": (1, 1),
+    "info": (1, 2),
     "label_replace": (5, 5),
     "label_join": (3, None),  # sep + dst + vector; src labels may be empty
     "clamp": (3, 3),
@@ -1356,6 +1357,61 @@ def _eval_call(ctx: EvalContext, node: Call) -> DataFrame:
         col = ("hist_stddev" if fn == "histogram_stddev"
                else "hist_stdvar")
         return stats.select("labels", F.col(col).alias("value"))
+    if fn == "info":
+        # Prometheus 3 experimental info(): enrich each sample's
+        # labels with the DATA labels of the info series (default
+        # target_info) sharing its identifying labels (instance, job)
+        # — promql.info_enrich string-routed (r11). The optional
+        # second argument is the data-label selector: a brace-only
+        # matcher set; {__name__="build_info"} picks the info metric,
+        # any other matcher both NAMES a data label to copy and
+        # CONSTRAINS its value (non-matching labels simply don't
+        # copy, Prometheus's rule).
+        vec = _vec_arg(ctx, node.args[0], fn)
+        info_name = "target_info"
+        data_matchers: list = []
+        if len(node.args) == 2:
+            dls = node.args[1]
+            if (not isinstance(dls, Selector) or dls.range_
+                    or dls.name is not None):
+                raise PromQLError(
+                    "info() data-label selector must be a brace-only "
+                    'matcher set like {k8s_cluster_name=~".+"}')
+            for lbl, mop, val in dls.matchers:
+                if lbl == "__name__":
+                    if mop != "=":
+                        raise PromQLError(
+                            "info(): the __name__ matcher must be an "
+                            "equality (it picks the info metric)")
+                    info_name = val
+                else:
+                    data_matchers.append((lbl, mop, val))
+        info_vec = evaluate(ctx, Selector(info_name, []))
+        if not isinstance(info_vec, DataFrame):
+            raise PromQLError("info(): info metric is not a vector")
+        if data_matchers:
+            names = [lbl for lbl, _, _ in data_matchers]
+
+            def _entry_ok(k, v):
+                keep = F.lit(False)
+                for lbl, mop, val in data_matchers:
+                    if mop == "=":
+                        p = v == F.lit(val)
+                    elif mop == "!=":
+                        p = v != F.lit(val)
+                    elif mop == "=~":
+                        p = v.rlike(f"^(?:{val})$")
+                    else:
+                        p = ~v.rlike(f"^(?:{val})$")
+                    keep = keep | ((k == F.lit(lbl)) & p)
+                # identifying labels always survive for the join
+                return keep | k.isin("instance", "job")
+
+            info_vec = info_vec.withColumn(
+                "labels", F.map_filter(F.col("labels"), _entry_ok))
+            return promql.info_enrich(
+                vec, info_vec, data_labels=names)
+        return promql.info_enrich(vec, info_vec)
     if fn == "label_replace":
         vec = _vec_arg(ctx, node.args[0], fn)
         dst, repl, src, regex = (str(a) for a in node.args[1:5])

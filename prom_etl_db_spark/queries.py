@@ -84,23 +84,23 @@ _GATE_PRIORITY = [
     # (a) the FIVE late-r10 queries registered past window slot 50
     #     after the r10 gate ran — local-green both fetch paths but
     #     never driver-gated; never-gated outranks stale;
-    # (b) r11's SEVEN new queries (irate/idelta gate — VERDICT task
+    # (b) r11's EIGHT new queries (irate/idelta gate — VERDICT task
     #     #2; resets()/changes(), the mixed classic+native family
     #     quantile in BOTH instant and range/config form — stretch #8;
     #     the range-mode scalar tail — task #3; the *_over_time family
     #     over native selectors — the r11 silent-empty fix; group_left
     #     many-to-one histogram subtraction — the last named
-    #     string-surface boundary);
-    # (c) the first 38 of the 50-query r5-stale block, registry order
+    #     string-surface boundary; info() string-routed);
+    # (c) the first 37 of the 50-query r5-stale block, registry order
     #     (all local-green in the r10 judge's full 298-query run —
-    #     verification hygiene, not suspected wrongness). The other 12
-    #     (tsdb_gorilla_compress, promql_time_components,
-    #     hybrid_rrf_search, url_canonicalize,
-    #     audio_fingerprint_neardup, doc_mojibake_repair,
-    #     linkage_jaro_winkler_blocks, image_rotate_flip,
-    #     audio_resample_q15, doc_fold_accents, doc_char_entropy,
-    #     speech_pipeline_v1) spill to the r12 window, per the r10
-    #     verdict's arithmetic. 5 + 7 + 38 = 50.
+    #     verification hygiene, not suspected wrongness). The other 13
+    #     (doc_html_extract, tsdb_gorilla_compress,
+    #     promql_time_components, hybrid_rrf_search,
+    #     url_canonicalize, audio_fingerprint_neardup,
+    #     doc_mojibake_repair, linkage_jaro_winkler_blocks,
+    #     image_rotate_flip, audio_resample_q15, doc_fold_accents,
+    #     doc_char_entropy, speech_pipeline_v1) spill to the r12
+    #     window, per the r10 verdict's arithmetic. 5 + 8 + 37 = 50.
     # --- (a) never driver-gated (late r10) ----------------------------------
     "promql_parsed_hist_algebra",
     "native_hist_grid_increase",
@@ -115,7 +115,8 @@ _GATE_PRIORITY = [
     "mixed_family_grid_quantile",
     "native_hist_over_time",
     "promql_parsed_hist_group_matching",
-    # --- (c) r5-stale fill (38 of 50; 12 spill to r12) -----------------------
+    "promql_parsed_info_join",
+    # --- (c) r5-stale fill (37 of 50; 13 spill to r12) -----------------------
     "label_extract",
     "label_filter_slice",
     "substring_prefix",
@@ -153,7 +154,6 @@ _GATE_PRIORITY = [
     "audio_spectrogram_frames",
     "audio_vad_segments",
     "metrics_lttb_downsample",
-    "doc_html_extract",
 ]
 
 def _apply_gate_priority() -> None:

@@ -2780,3 +2780,70 @@ def promql_parsed_hist_group_matching(
         F.col("labels")["ep"].alias("ep"),
         F.round("value", 6).alias("cnt"),
     )
+
+
+@register(
+    "promql_parsed_info_join",
+    oracle="""
+SELECT event_id AS push_id,
+  'i' || CAST(user_id % 20 AS VARCHAR) AS instance,
+  'c' || CAST(user_id % 20 % 3 AS VARCHAR) AS cluster,
+  round(CAST(user_id % 7 AS DOUBLE), 4) AS val
+FROM events
+""",
+)
+def promql_parsed_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus 3's experimental ``info()`` AS A STRING (r11 —
+    previously `promql.info_enrich` was Python-API-only while the
+    reference's whole interface is query strings): ``info(svc_q)``
+    enriches every sample's labels with the ``target_info`` data
+    labels sharing its (instance, job) identifying set — the
+    ``* on(...) group_left(...) target_info`` idiom as one function.
+    Fixture: one sample per event on instance i(u%20); twenty
+    target_info series (one per instance, cluster = c(instance%3)).
+    Plan: `info_enrich`'s distinct-payload hash agg + BROADCAST left
+    join — the info side is per-target metadata, broadcast-class by
+    construction; conflicts and label collisions refuse loudly
+    (unit-pinned)."""
+    from datetime import datetime, timezone
+
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    ev = _events_wide(spark, sf_dir).select(
+        "event_id", "user_id")
+    t0 = 1706572800000
+    inst = F.concat(F.lit("i"), (F.col("user_id") % 20).cast("string"))
+    sample_leg = ev.select(
+        F.lit("svc_q").alias("metric_name"),
+        F.map_from_arrays(
+            F.array(F.lit("instance"), F.lit("job"), F.lit("eid")),
+            F.array(inst, F.lit("j"), F.col("event_id").cast("string")),
+        ).alias("labels"),
+        (F.col("user_id") % 7).cast("double").alias("value"),
+        F.timestamp_millis(F.lit(t0)).alias("timestamp"),
+    )
+    info_leg = ev.select(
+        (F.col("user_id") % 20).alias("k")
+    ).distinct().select(
+        F.lit("target_info").alias("metric_name"),
+        F.map_from_arrays(
+            F.array(F.lit("instance"), F.lit("job"), F.lit("cluster")),
+            F.array(
+                F.concat(F.lit("i"), F.col("k").cast("string")),
+                F.lit("j"),
+                F.concat(F.lit("c"), (F.col("k") % 3).cast("string")),
+            ),
+        ).alias("labels"),
+        F.lit(1.0).alias("value"),
+        F.timestamp_millis(F.lit(t0)).alias("timestamp"),
+    )
+    samples = sample_leg.unionByName(info_leg)
+    at = datetime.fromtimestamp(
+        t0 / 1000 + 60, tz=timezone.utc).replace(tzinfo=None)
+    out = eval_promql(samples, "info(svc_q)", at)
+    return out.select(
+        F.col("labels")["eid"].cast("long").alias("push_id"),
+        F.col("labels")["instance"].alias("instance"),
+        F.col("labels")["cluster"].alias("cluster"),
+        F.round("value", 4).alias("val"),
+    )

@@ -203,3 +203,46 @@ def test_hist_addsub_group_right_and_unmatched_drop(spark):
         native_metrics=frozenset({"h", "base"}))
     got = {r["labels"].get("ep"): r["value"] for r in out.collect()}
     assert got == {"e1": 14.0}
+
+
+def test_info_string_routed(spark):
+    """r11: Prometheus 3's experimental info() as a STRING — enrich
+    sample labels with target_info data labels; the data-label
+    selector names, constrains, and can pick another info metric."""
+    from pyspark.sql import Row as R
+
+    from prom_etl_db_spark.operators.promql_parser import eval_promql
+
+    rows = [
+        R(metric_name="svc_up", labels={"instance": "i1", "job": "j"},
+          value=1.0, timestamp=_ts(5)),
+        R(metric_name="svc_up", labels={"instance": "i2", "job": "j"},
+          value=2.0, timestamp=_ts(5)),
+        R(metric_name="target_info",
+          labels={"instance": "i1", "job": "j",
+                  "cluster": "us", "owner": "core"},
+          value=1.0, timestamp=_ts(5)),
+        R(metric_name="build_info",
+          labels={"instance": "i1", "job": "j", "version": "2.1"},
+          value=1.0, timestamp=_ts(5)),
+    ]
+    samples = spark.createDataFrame(
+        rows, "metric_name string, labels map<string,string>, "
+              "value double, timestamp timestamp")
+    out = eval_promql(samples, "info(svc_up)", _ts(6))
+    got = {r["labels"]["instance"]: dict(r["labels"])
+           for r in out.collect()}
+    assert got["i1"]["cluster"] == "us" and got["i1"]["owner"] == "core"
+    assert "cluster" not in got["i2"]       # no info series → unchanged
+    # data-label selector: name + constrain (owner not named → dropped)
+    out2 = eval_promql(
+        samples, 'info(svc_up, {cluster=~"u.*"})', _ts(6))
+    g2 = {r["labels"]["instance"]: dict(r["labels"])
+          for r in out2.collect()}
+    assert g2["i1"]["cluster"] == "us" and "owner" not in g2["i1"]
+    # __name__ matcher picks another info metric
+    out3 = eval_promql(
+        samples, 'info(svc_up, {__name__="build_info"})', _ts(6))
+    g3 = {r["labels"]["instance"]: dict(r["labels"])
+          for r in out3.collect()}
+    assert g3["i1"]["version"] == "2.1"
