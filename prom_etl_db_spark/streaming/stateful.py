@@ -2194,3 +2194,161 @@ def streaming_exemplar_report(rows: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming native-histogram resets/changes (r11) --------------------------
+
+NH_RC_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("schema", IntegerType(), True),
+        StructField("zero_count", LongType(), True),
+        StructField("pos_offset", IntegerType(), True),
+        StructField("pos_counts", ArrayType(LongType()), True),
+        StructField("neg_offset", IntegerType(), True),
+        StructField("neg_counts", ArrayType(LongType()), True),
+        StructField("count", LongType(), True),
+        StructField("sum", DoubleType(), True),
+        StructField("sum_known", BooleanType(), True),
+        StructField("n_changes", LongType(), True),
+        StructField("n_resets", LongType(), True),
+        StructField("n_late", LongType(), True),
+    ]
+)
+
+NH_RC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("timestamp_ms", LongType(), True),
+        StructField("n_changes", LongType(), True),
+        StructField("n_resets", LongType(), True),
+        # arrivals at-or-before the newest folded timestamp, excluded
+        # and counted (the pair walk is order-dependent — a late point
+        # cannot be re-inserted between already-walked neighbours);
+        # visible-not-fatal, the r11 _TsDupGuard rule
+        StructField("n_late", LongType(), True),
+    ]
+)
+
+
+def _py_nh_pair_reset(prev, cur):
+    """(schema, zero, po, pc, no, nc, count, sum_or_None) pair →
+    counter reset? — the batch `native_hist_changes_and_resets` rule:
+    downscale the finer side to the coarser schema, align on absolute
+    indices, any aligned bucket drop on either side; zero/count drop;
+    sum drop when both known."""
+    target = min(prev[0], cur[0])
+    if cur[1] < prev[1] or cur[6] < prev[6]:
+        return True
+    if prev[7] is not None and cur[7] is not None and cur[7] < prev[7]:
+        return True
+    for (o_p, c_p, o_c, c_c) in (
+        (prev[2], prev[3], cur[2], cur[3]),
+        (prev[4], prev[5], cur[4], cur[5]),
+    ):
+        po, pc = _py_nh_downscale(o_p, list(c_p), prev[0] - target)
+        co, cc = _py_nh_downscale(o_c, list(c_c), cur[0] - target)
+        if not pc and not cc:
+            continue
+        lo = min(po, co)
+        hi = max(po + len(pc), co + len(cc))
+        for i in range(lo, hi):
+            p = pc[i - po] if 0 <= i - po < len(pc) else 0
+            c = cc[i - co] if 0 <= i - co < len(cc) else 0
+            if c < p:
+                return True
+    return False
+
+
+def _py_nh_changed(prev, cur):
+    """Semantic inequality over the canonical decode — the batch
+    operator's nonzero-entry signature (zero-padding differences from
+    span encodings are not changes)."""
+
+    def sig(s):
+        return (
+            s[0], s[1],
+            tuple((s[2] + i, c) for i, c in enumerate(s[3]) if c),
+            tuple((s[4] + i, c) for i, c in enumerate(s[5]) if c),
+            s[6], s[7],
+        )
+
+    return sig(prev) != sig(cur)
+
+
+def _fold_nh_resets_changes(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``native_hist.native_hist_changes_and_resets``
+    (r11): per-series state is the LAST folded sample plus the running
+    counters — each arriving sample walks exactly one pair against it,
+    so an unbounded series accumulates resets()/changes() with O(1)
+    state and no window. Within a batch arrivals sort by timestamp;
+    an arrival at-or-before the newest folded timestamp is EXCLUDED
+    and counted in ``n_late`` (the pair walk is order-dependent; a
+    raise would be a restart poison pill — the `_TsDupGuard` r11
+    rule). A NULL sum compares null-safely (unknown-vs-known is a
+    change, never a reset signal)."""
+    (series,) = key
+    if state.exists:
+        (last_ts, sc, z, po, pc, no, nc, cnt, sm, sum_known,
+         n_chg, n_rst, n_late) = state.get
+        prev = (sc, z, po, list(pc), no, list(nc), cnt,
+                (sm if sum_known else None))
+    else:
+        last_ts, prev = None, None
+        n_chg = n_rst = n_late = 0
+    cols = ["timestamp_ms", "schema", "zero_count", "pos_offset",
+            "pos_counts", "neg_offset", "neg_counts", "count", "sum"]
+    chunks = [pdf[cols] for pdf in pdfs]
+    if chunks:
+        allr = pd.concat(chunks).sort_values("timestamp_ms", kind="mergesort")
+        for row in allr.itertuples(index=False):
+            ts_i = int(row.timestamp_ms)
+            if last_ts is not None and ts_i <= last_ts:
+                n_late += 1
+                continue
+            s = row.sum
+            cur = (
+                int(row.schema), int(row.zero_count),
+                int(row.pos_offset), [int(x) for x in row.pos_counts],
+                int(row.neg_offset), [int(x) for x in row.neg_counts],
+                int(row.count),
+                None if (s is None or pd.isna(s)) else float(s),
+            )
+            if prev is not None:
+                if _py_nh_changed(prev, cur):
+                    n_chg += 1
+                if _py_nh_pair_reset(prev, cur):
+                    n_rst += 1
+            prev, last_ts = cur, ts_i
+    if prev is None:
+        yield pd.DataFrame({c: [] for c in NH_RC_OUTPUT_SCHEMA.names})
+        return
+    state.update((
+        last_ts, prev[0], prev[1], prev[2], prev[3], prev[4], prev[5],
+        prev[6], prev[7] if prev[7] is not None else 0.0,
+        prev[7] is not None, n_chg, n_rst, n_late,
+    ))
+    yield pd.DataFrame({
+        "series": [series],
+        "timestamp_ms": [last_ts],
+        "n_changes": [n_chg],
+        "n_resets": [n_rst],
+        "n_late": [n_late],
+    })
+
+
+def streaming_nh_resets_changes(keyed: DataFrame) -> DataFrame:
+    """Stream-transform: per-series running ``resets()``/``changes()``
+    counters over native-histogram samples. ``keyed`` is a STREAMING
+    DataFrame shaped (series string, timestamp_ms long, schema int,
+    zero_count long, pos_offset int, pos_counts array<long>,
+    neg_offset int, neg_counts array<long>, count long, sum double)."""
+    return keyed.groupBy("series").applyInPandasWithState(
+        _fold_nh_resets_changes,
+        outputStructType=NH_RC_OUTPUT_SCHEMA,
+        stateStructType=NH_RC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -210,3 +210,90 @@ def test_mixed_family_quantile_unions_both(spark):
     assert set(got) == {"n", "c"}
     assert got["n"] == round(2 ** 1.5, 6)
     assert got["c"] == 1.0
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _nh_pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "timestamp_ms": [r[0] for r in rows],
+        "schema": [r[1] for r in rows],
+        "zero_count": [r[2] for r in rows],
+        "pos_offset": [r[3] for r in rows],
+        "pos_counts": [r[4] for r in rows],
+        "neg_offset": [0 for _ in rows],
+        "neg_counts": [[] for _ in rows],
+        "count": [r[2] + sum(r[4]) for r in rows],
+        "sum": [float(r[2] + sum(r[4])) for r in rows],
+    })
+
+
+def test_streaming_rc_matches_batch_across_restart(spark):
+    """The streaming fold's counters across two 'micro-batches' must
+    equal the batch operator over the union — including a drop pair
+    that STRADDLES the checkpoint boundary."""
+    from prom_etl_db_spark.operators.native_hist import (
+        native_hist_changes_and_resets,
+    )
+    from prom_etl_db_spark.streaming.stateful import (
+        _fold_nh_resets_changes,
+    )
+
+    b1 = [(1000, 0, 1, 0, [2, 3]), (2000, 0, 1, 0, [2, 3]),
+          (3000, 0, 1, 0, [4, 5])]
+    b2 = [(4000, 0, 1, 0, [1, 1]),      # drop vs 3000 → reset
+          (5000, 0, 1, 0, [6, 6])]
+    state = _FakeState()
+    list(_fold_nh_resets_changes(("s",), iter([_nh_pdf(b1)]), state))
+    (out,) = _fold_nh_resets_changes(("s",), iter([_nh_pdf(b2)]), state)
+    stream = (int(out["n_changes"][0]), int(out["n_resets"][0]))
+
+    rows = [Row(labels={"s": "x"},
+                ts=datetime(2024, 1, 29) + timedelta(milliseconds=r[0]),
+                schema=r[1], zero_count=r[2], pos_offset=r[3],
+                pos_counts=r[4], neg_offset=0, neg_counts=[],
+                count=r[2] + sum(r[4]),
+                sum=float(r[2] + sum(r[4])))
+            for r in b1 + b2]
+    schema = (SCHEMA + ", neg_offset int, neg_counts array<long>, "
+                       "count long, sum double")
+    (batch,) = native_hist_changes_and_resets(
+        spark.createDataFrame(rows, schema)).collect()
+    assert stream == (int(batch["n_changes"]), int(batch["n_resets"]))
+    # the straddling pair was counted: identical pair 1 no change,
+    # growth, drop (change+reset), growth → 3 changes 1 reset
+    assert stream == (3, 1)
+
+
+def test_streaming_rc_late_arrival_visible_not_fatal():
+    from prom_etl_db_spark.streaming.stateful import (
+        _fold_nh_resets_changes,
+    )
+
+    state = _FakeState()
+    list(_fold_nh_resets_changes(
+        ("s",), iter([_nh_pdf([(1000, 0, 0, 0, [1]),
+                               (3000, 0, 0, 0, [2])])]), state))
+    # a late arrival (ts 2000 < newest 3000) and an exact dup (3000):
+    # both excluded-and-counted, no raise, counters unchanged
+    (out,) = _fold_nh_resets_changes(
+        ("s",), iter([_nh_pdf([(2000, 0, 0, 0, [9]),
+                               (3000, 0, 0, 0, [2])])]), state)
+    assert int(out["n_late"][0]) == 2
+    assert int(out["n_changes"][0]) == 1 and int(out["n_resets"][0]) == 0
