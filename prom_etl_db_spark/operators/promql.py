@@ -3073,8 +3073,17 @@ def native_hist_increase(
         ).otherwise(F.lit(0))
 
     # empty-to-empty series: sequence(lo, hi-1) with lo > hi-1 is
-    # invalid — guard with an empty array
+    # invalid — guard with an empty array. A union span beyond 4096
+    # indices refuses (r11 — `native_hist_sum_by`'s dense-expansion
+    # bomb guard applied to the endpoint diff: two far-apart offsets
+    # from a buggy producer would otherwise materialize a dense array
+    # spanning the gap; real distributions' endpoint ranges overlap)
     aligned_diff = F.when(
+        hi - lo > F.lit(4096),
+        F.raise_error(F.lit(
+            "native_hist_increase: aligned bucket index span exceeds "
+            "4096 — dense-expansion bomb guard")),
+    ).when(
         hi > lo,
         F.transform(
             F.sequence(lo, hi - 1),
@@ -3102,6 +3111,11 @@ def native_hist_increase(
             F.col("__bno") + F.size(F.col("__bnc")),
         )
         neg_diff = F.when(
+            n_hi - n_lo > F.lit(4096),
+            F.raise_error(F.lit(
+                "native_hist_increase: aligned NEGATIVE bucket index "
+                "span exceeds 4096 — dense-expansion bomb guard")),
+        ).when(
             n_hi > n_lo,
             F.transform(
                 F.sequence(n_lo, n_hi - 1),

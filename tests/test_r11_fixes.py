@@ -130,3 +130,39 @@ def test_empty_neg_side_adopts_other_offset(spark):
         spark.createDataFrame(rows_null, schema)).collect()
     assert r2["neg_offset"] == 500
     assert list(r2["neg_counts"]) == [3, 4]
+
+
+def test_increase_span_bomb_guard(spark):
+    """r11: the endpoint diff refuses a union index span > 4096 (the
+    sum_by dense-expansion bomb guard applied to increase) — two
+    far-apart offsets from a buggy producer must not materialize a
+    dense array spanning the gap."""
+    import pytest as _pt
+
+    from prom_etl_db_spark.operators.promql import native_hist_increase
+
+    schema = (
+        "labels map<string,string>, ts timestamp, schema int, "
+        "zero_count long, pos_offset int, pos_counts array<long>"
+    )
+    rows = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=0,
+            pos_offset=10_000, pos_counts=[2]),
+    ]
+    with _pt.raises(Exception, match="bomb guard"):
+        native_hist_increase(
+            spark.createDataFrame(rows, schema)).collect()
+    # a legal far-but-bounded span still evaluates (growth across a
+    # wide occupied range — no drop, no reset)
+    ok = [
+        Row(labels={"n": "s"}, ts=T0, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1]),
+        Row(labels={"n": "s"}, ts=T1, schema=0, zero_count=0,
+            pos_offset=0, pos_counts=[1] + [0] * 99 + [2]),
+    ]
+    (r,) = native_hist_increase(
+        spark.createDataFrame(ok, schema)).collect()
+    assert r["reset"] is False
+    assert len(r["pos_counts"]) == 101 and r["pos_counts"][100] == 2
