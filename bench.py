@@ -65,7 +65,7 @@ HEADLINE = [
 ]
 
 
-def bench_against(ref: str) -> None:
+def bench_against(ref: str, only: "list[str] | None" = None) -> None:
     """Paired same-host A/B vs the prior round's CODE (VERDICT r5 task #2).
 
     Checks ``ref`` into a temp ``git worktree``, spawns one
@@ -115,7 +115,7 @@ def bench_against(ref: str) -> None:
         pri = spawn(wt)
         # Codegen warmup both builds first (same order), then paired reps.
         common = []
-        for name in HEADLINE:
+        for name in (only or HEADLINE):
             a = ask(cur, "WARM", name)
             b = ask(pri, "WARM", name)
             if "error" in a or "error" in b:
@@ -165,7 +165,9 @@ def bench_against(ref: str) -> None:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--against":
-        bench_against(sys.argv[2])
+        # optional trailing query names restrict the A/B to a subset
+        # (iteration aid; the official per-round A/B passes none)
+        bench_against(sys.argv[2], only=sys.argv[3:] or None)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -66,14 +66,30 @@ def pagerank_integer(
 
     Output: (node long, pr_q9 long) — pr_q9 is the rank in 1/scale.
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
-    nodes = (
+    # Loop invariants: e / nodes / deg are referenced by EVERY power
+    # iteration below — un-materialized, each round's plan re-runs the
+    # edge scan + distinct (and the union-distinct for nodes) and the
+    # per-round plans keep the whole subtree for the analyzer to chew
+    # on. localCheckpoint materializes each ONCE and replaces it with an
+    # RDD-scan leaf (the same lineage-truncation discipline as the rank
+    # vector below). Measured r12 at sf0.1, interleaved best-of-4:
+    # ckpt 2.25 s vs 3.87 s unmaterialized vs 3.68 s persist() — the
+    # columnar cache write makes persist() strictly worse than the
+    # checkpoint here. On a real cluster use reliable checkpoint()
+    # (module docstring).
+    e = scratch(
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = scratch(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one scalar — broadcast-class driver state
     if n == 0:
@@ -84,7 +100,11 @@ def pagerank_integer(
             f"pagerank_integer: {n} nodes underflows the rank quantum at "
             f"scale={scale} (teleport base floors to 0); raise `scale`"
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    deg = scratch(
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .localCheckpoint(eager=True)
+    )
     ranks = scratch(
         nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q9"))
         .localCheckpoint(eager=True)
@@ -141,14 +161,22 @@ def harmonic_centrality_integer(
 
     Output: (node long, harmonic_q6 long).
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
-    nodes = (
+    # e is joined by every BFS round and nodes by the final right-join —
+    # materialized once via localCheckpoint (the pagerank_integer
+    # loop-invariant fix, r12; checkpoint measured faster than persist)
+    e = scratch(
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = scratch(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     visited = scratch(
         nodes.select(
@@ -212,10 +240,18 @@ def hyperball_harmonic(
     bits = 32 - p
     mask = (1 << bits) - 1
     m = 1 << p
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    # e is joined by every HyperBall round — materialized once (the
+    # pagerank_integer loop-invariant fix, r12; checkpoint measured
+    # faster than persist); nodes feeds only the initial register
+    # build, no reuse to materialize
+    e = scratch(
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -178,36 +178,51 @@ def robots_allowed(
     then lexicographically-greatest pattern as a deterministic final
     tiebreak (RFC leaves equal-length-equal-verdict ties unspecified).
     """
+    # r12 single-pass shape: the old plan joined urls against the
+    # per-rule frame (fan-out: one row per url × matching-host rule),
+    # aggregated the winner per (host, url), and LEFT-JOINED BACK to
+    # urls — so the urls subtree (in crawl_pipeline_v1: the whole WARC
+    # byte-walk MapInPandas) executed twice and the verdict cost three
+    # shuffles. A robots.txt is small (rules per host are bounded by
+    # the file the server publishes), so the rules COLLAPSE to one
+    # array row per host; one broadcast-class left join attaches them
+    # and the RFC's longest-match/allow-ties winner is the array_max
+    # of the LIKE-matching rules — same struct ordering as the old
+    # max(struct(l, a, p)), zero extra scans of urls, zero fan-out.
     selected = select_group(
         parse_robots(robots, key_col=key_col, text_col=text_col), agent,
         key_col=key_col,
     ).withColumn("lp", like_pattern(F.col("pattern")))
-    hits = (
-        urls.join(selected, key_col)
-        .where(F.like(F.col(url_col), F.col("lp"), F.lit("\\")))
-        .groupBy(key_col, url_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("pattern_len").alias("l"),
-                    F.col("is_allow").alias("a"),
-                    F.col("pattern").alias("p"),
-                )
-            ).alias("win")
-        )
-        .select(
-            key_col,
-            url_col,
-            F.col("win.a").alias("allowed"),
-            F.col("win.p").alias("matched_pattern"),
-            F.col("win.l").alias("matched_len"),
+    rules_by_key = selected.groupBy(key_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("pattern_len").alias("l"),
+                F.col("is_allow").alias("a"),
+                F.col("pattern").alias("p"),
+                F.col("lp").alias("lp"),
+            )
+        ).alias("__rules")
+    )
+    win = F.array_max(
+        F.filter(
+            F.col("__rules"),
+            lambda r: F.like(F.col(url_col), r["lp"], F.lit("\\")),
         )
     )
     return (
-        urls.join(hits, [key_col, url_col], "left")
-        .withColumn("allowed", F.coalesce("allowed", F.lit(True)))
-        .withColumn("matched_pattern", F.coalesce("matched_pattern", F.lit("")))
-        .withColumn("matched_len", F.coalesce("matched_len", F.lit(0)))
+        # no broadcast hint: one array row per host is broadcast-class
+        # for any real fleet's config slice, but a web-scale host list
+        # is not — AQE picks the strategy from the measured size
+        urls.join(rules_by_key, key_col, "left")
+        .withColumn("__win", win)
+        .withColumn("allowed", F.coalesce(F.col("__win")["a"], F.lit(True)))
+        .withColumn(
+            "matched_pattern", F.coalesce(F.col("__win")["p"], F.lit(""))
+        )
+        .withColumn(
+            "matched_len", F.coalesce(F.col("__win")["l"], F.lit(0))
+        )
+        .drop("__rules", "__win")
     )
 
 

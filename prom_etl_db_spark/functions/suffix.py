@@ -59,6 +59,36 @@ __all__ = [
 
 SENTINEL = "\x02"  # + doc_id: unique per document, below any real token
 
+# Initial prefix-doubling span (r12): round 0 ranks every suffix by its
+# first SA_INIT_SPAN tokens directly instead of a single token, skipping
+# log2(SA_INIT_SPAN) doubling rounds (each one equi-join + one global
+# dense rank + a checkpoint barrier) and the same number of LCP-lifting
+# levels (two joins each). Legal because the WITHIN-DOCUMENT token
+# window decides the global suffix order: any two distinct suffixes
+# differ at or before the earlier of their documents' sentinels (a
+# sentinel is unique per document and below every real token), so the
+# per-document K-token slice — truncated at the document end, sentinel
+# included — orders and ties exactly like the true K-token global
+# prefix. The LCP remainder below SA_INIT_SPAN is resolved by comparing
+# the same slices element-wise (one join pair instead of
+# log2(SA_INIT_SPAN) lifting levels).
+SA_INIT_SPAN = 8
+
+
+def _with_pref(stream: DataFrame, k: int) -> DataFrame:
+    """stream + ``pref``: the suffix's first ≤k tokens WITHIN its
+    document (lead window per doc, nulls past the sentinel filtered) —
+    the round-0 rank key and the LCP remainder comparator."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, k)
+    ]
+    return stream.withColumn(
+        "pref", F.filter(F.array(*cols), lambda x: x.isNotNull())
+    )
+
 
 def token_stream(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
@@ -115,42 +145,44 @@ def token_stream(
 
 
 def _dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Distributed global dense rank, entirely JVM-side (r5 rev 2 —
-    the first revision pushed every row through Python RDD
-    sortBy/zipWithIndex, a serialization tax on the hot path of every
-    doubling round): distinct keys → repartitionByRange(key) (the
-    distributed sort) → row_number windowed PER RANGE PARTITION
-    (partitioned by spark_partition_id — never a global window) →
-    global rank = partition offset + local ordinal, offsets from a
-    prefix sum over the #partitions-row count frame. Output is
+    """Distributed global dense rank, entirely JVM-side (r5 rev 2; r12
+    rev 3 — the r5 revision ran distinct → range-sort → row_number →
+    join-back, i.e. TWO extra shuffles of the full frame per doubling
+    round; this revision ranks in place): repartitionByRange(key) (the
+    distributed sort) → dense_rank windowed PER RANGE PARTITION
+    (partitioned by spark_partition_id — never a global window; the
+    range partitioner puts equal keys in one partition, so a local
+    dense rank is globally consistent) → global rank = partition
+    offset + local rank, offsets from a prefix sum over the
+    #partitions-row distinct-count frame (the range exchange is shared
+    by both branches — AQE exchange reuse executes it once). Output is
     deterministic regardless of where the sampled range boundaries
     fall: offset+local always reconstructs the one global order.
     Returns df + `rank` (long, 0-based, equal keys share a rank)."""
     from pyspark.sql.window import Window
 
-    distinct = df.select(*key_cols).distinct()
-    parts = (
-        distinct.repartitionByRange(*key_cols)
-        .withColumn("_pid", F.spark_partition_id())
+    parts = df.repartitionByRange(*key_cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
     local = parts.withColumn(
         "_local",
-        F.row_number().over(
+        F.dense_rank().over(
             Window.partitionBy("_pid").orderBy(*key_cols)
         ),
     )
     # offsets: one row per partition — bounded by the partition count,
     # so the ordering window here is over a tiny frame
-    sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    sizes = parts.groupBy("_pid").agg(
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("_n")
+    )
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
         "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
     )
-    rank_df = local.join(F.broadcast(offs), "_pid").select(
-        *key_cols,
+    return local.join(F.broadcast(offs), "_pid").select(
+        *df.columns,
         (F.col("_off") + F.col("_local") - 1).cast("long").alias("rank"),
     )
-    return df.join(rank_df, key_cols)
 
 
 def suffix_array_with_lcp(
@@ -165,17 +197,30 @@ def suffix_array_with_lcp(
     (0 for sa_rank 0). Any repeated substring of any length ℓ appears
     as an SA-adjacent pair with lcp_prev ≥ ℓ — the arbitrary-length
     upgrade of duplicated_span_stats' fixed-L spans."""
+    out, _stream = _sa_lcp_and_stream(docs, id_col=id_col, text_col=text_col)
+    return out
+
+
+def _sa_lcp_and_stream(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> "tuple[DataFrame, DataFrame]":
+    """``suffix_array_with_lcp`` + the persisted token stream it was
+    built from, so callers that also need the stream (the rewrite)
+    reuse the cached frame instead of re-tokenizing the corpus (r12)."""
     stream = scratch(
         token_stream(docs, id_col=id_col, text_col=text_col).persist()
     )
     n = stream.count()
 
-    # round 0: rank by single token (prefix length 1 = 2^0)
-    ranks = _dense_rank(stream.select("gpos", "token"), ["token"]).select(
+    # round 0 (r12): rank by the first SA_INIT_SPAN tokens directly —
+    # see the SA_INIT_SPAN comment for why the within-doc slice is a
+    # legal stand-in for the global prefix
+    pstream = _with_pref(stream, SA_INIT_SPAN)
+    ranks = _dense_rank(pstream.select("gpos", "pref"), ["pref"]).select(
         "gpos", "rank"
     )
     rank_tables = []  # (span, ranks_df) — span = prefix length compared
-    span = 1
+    span = SA_INIT_SPAN
     while True:
         # Lineage MUST be truncated every round, not merely cached:
         # round k's pairing self-joins round k-1's frame, so the
@@ -188,7 +233,10 @@ def suffix_array_with_lcp(
         # boundary releases the round caches (scratch.py contract).
         ranks = scratch(ranks.localCheckpoint(eager=True))
         rank_tables.append((span, ranks))
-        n_ranks = ranks.agg(F.count_distinct("rank")).first()[0]
+        # ranks are dense 0-based → distinct count = max + 1 (a plain
+        # max is a cheaper action than count_distinct; r12)
+        mx = ranks.agg(F.max("rank")).first()[0]
+        n_ranks = (mx + 1) if mx is not None else 0
         if n_ranks == n or span >= n:
             break
         # pair (rank[i], rank[i+span]); absent tail -> -1 (sorts first,
@@ -245,6 +293,33 @@ def suffix_array_with_lcp(
             .select("sa_rank", "p", "q", "acc")
         )
 
+    # remainder < SA_INIT_SPAN (r12): the lifting tables stop at span
+    # SA_INIT_SPAN, so the last ≤ SA_INIT_SPAN−1 matching tokens are
+    # counted by comparing the two within-doc prefix slices directly —
+    # the mismatch is guaranteed inside the slices (remainder < K and
+    # the slices carry the sentinel fence). One join pair + one
+    # element-wise expression replaces log2(K) lifting levels.
+    pp = pstream.select(
+        F.col("gpos").alias("p_at"), F.col("pref").alias("p_pref")
+    )
+    qq = pstream.select(
+        F.col("gpos").alias("q_at"), F.col("pref").alias("q_pref")
+    )
+    empty_arr = F.expr("CAST(array() AS array<string>)")
+    eqs = F.zip_with(
+        F.coalesce(F.col("p_pref"), empty_arr),
+        F.coalesce(F.col("q_pref"), empty_arr),
+        lambda x, y: x.eqNullSafe(y),
+    )
+    first_false = F.array_position(eqs, F.lit(False))  # 1-based, 0=none
+    rem = F.when(first_false > 0, first_false - 1).otherwise(F.size(eqs))
+    pairs = (
+        pairs.join(pp, F.col("p") + F.col("acc") == F.col("p_at"), "left")
+        .join(qq, F.col("q") + F.col("acc") == F.col("q_at"), "left")
+        .withColumn("acc", F.col("acc") + rem.cast("long"))
+        .select("sa_rank", "p", "q", "acc")
+    )
+
     out = (
         sa.join(stream, "gpos")
         .join(
@@ -262,7 +337,7 @@ def suffix_array_with_lcp(
             F.coalesce("lcp_prev", F.lit(0)).alias("lcp_prev"),
         )
     )
-    return out
+    return out, stream
 
 
 def mark_repeated_spans(sa_lcp: DataFrame, min_len: int) -> DataFrame:
@@ -305,10 +380,12 @@ def substring_dedup_rewrite(
     with no tokens at all (empty/whitespace-only text) have nothing to
     rewrite and are ABSENT from the output — callers wanting them back
     left-join against the source (pinned by test, r6)."""
-    sa = suffix_array_with_lcp(docs, id_col=id_col, text_col=text_col)
-    stream = token_stream(docs, id_col=id_col, text_col=text_col).where(
-        ~F.col("token").startswith(SENTINEL)
+    sa, full_stream = _sa_lcp_and_stream(
+        docs, id_col=id_col, text_col=text_col
     )
+    # the SA build already tokenized and PERSISTED the stream — filter
+    # the cached frame instead of re-tokenizing the corpus (r12)
+    stream = full_stream.where(~F.col("token").startswith(SENTINEL))
     marked = mark_repeated_spans(sa, min_len).withColumn(
         "removed", F.lit(True)
     )

@@ -544,6 +544,16 @@ def native_hist_sum_by(
         .withColumn("__no", no2)
         .withColumn("__nc", nc2)
     )
+    # NOTE (r12 optimization round, measured and deliberately NOT
+    # persisted): ``base`` feeds three aggregation branches below (pos
+    # side, neg side, scalars) that re-join at the end, and the initial
+    # plan shows the upstream subtree (for wire queries: the Python
+    # protobuf encode + decode) three times. An explicit persist() here
+    # measured ~1.3× SLOWER on the native headline at sf0.1 — AQE's
+    # runtime exchange reuse already dedupes the identical Exchange each
+    # branch sits on (the increase aggregation's shuffle), so the decode
+    # executes once either way and the persist only added columnar
+    # cache-write overhead. See OPTIMIZATION_r12.md.
 
     def side(off_col: str, cnt_col: str, tag: str) -> DataFrame:
         ex = base.select(

@@ -451,6 +451,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely, the SA-first survivor keeps the 13-token sentence, scores
     six stopword hits and the slice's only POSITIVE DSIR weight), while
     every raw-text doc keeps a unique remainder and scores negative."""
+    from prom_etl_db_spark.functions.scratch import scratch
     from prom_etl_db_spark.functions.suffix import substring_dedup_rewrite
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)
@@ -466,6 +467,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # r12 note: rw feeds both the audit and the DSIR branch; persist/
+    # localCheckpoint were both measured here and neither beat the plain
+    # plan (AQE exchange reuse dedupes the shared SA tail at runtime) —
+    # left unpersisted deliberately, see OPTIMIZATION_r12.md
     rw = substring_dedup_rewrite(bimodal, min_len=2)
     words = F.filter(
         F.split(F.lower(F.col("kept_text")), r"\s+"), lambda x: x != ""
