@@ -544,16 +544,24 @@ def native_hist_sum_by(
         .withColumn("__no", no2)
         .withColumn("__nc", nc2)
     )
-    # NOTE (r12 optimization round, measured and deliberately NOT
-    # persisted): ``base`` feeds three aggregation branches below (pos
-    # side, neg side, scalars) that re-join at the end, and the initial
-    # plan shows the upstream subtree (for wire queries: the Python
-    # protobuf encode + decode) three times. An explicit persist() here
-    # measured ~1.3× SLOWER on the native headline at sf0.1 — AQE's
-    # runtime exchange reuse already dedupes the identical Exchange each
-    # branch sits on (the increase aggregation's shuffle), so the decode
-    # executes once either way and the persist only added columnar
-    # cache-write overhead. See OPTIMIZATION_r12.md.
+    # NOTE (r12 optimization round — this shape was re-measured and
+    # deliberately KEPT): ``base`` feeds three aggregation branches
+    # below (pos side, neg side, scalars) that re-join at the end, and
+    # the initial plan shows the upstream subtree (for wire queries:
+    # the Python protobuf encode + decode) three times. Two rewrites
+    # were built and benchmarked against this one at sf0.1:
+    # (a) persist(base) — interleaved noop-timed toggle read a WASH
+    #     (median 6.8 s vs 7.2 s, best 6.0 vs 6.2): the expensive wire
+    #     decode below the increase aggregation's Exchange is already
+    #     executed once (runtime exchange reuse), and the branch
+    #     re-execution above it overlaps on idle cores;
+    # (b) a true single-pass form — each row exploding into [scalar
+    #     entry] ++ pos buckets ++ neg buckets, two hash aggs, zero
+    #     joins — measured 1.45×/1.15× SLOWER on the native headline in
+    #     two interleaved A/Bs: it serializes work the branch shape
+    #     runs concurrently, and the wider conditional aggregates cost
+    #     more per row.
+    # See OPTIMIZATION_r12.md for the numbers.
 
     def side(off_col: str, cnt_col: str, tag: str) -> DataFrame:
         ex = base.select(
@@ -1055,7 +1063,20 @@ def native_hist_changes_and_resets(
             elem=elem)
         lo = F.least(co, po)
         hi = F.greatest(co + F.size(cc), po + F.size(pc))
+        # A pair whose union index span exceeds 4096 refuses (r12,
+        # VERDICT r11 What's-wrong #1 — `native_hist_increase`'s
+        # dense-expansion bomb guard applied to the PAIR walk): each
+        # decoded sample's own span is bounded, but two consecutive
+        # samples' offsets can sit arbitrarily far apart, and the
+        # sequence below would materialize a dense array spanning the
+        # gap for every pair row. The guard rides the drop column so
+        # column pruning can never elide it.
         return F.when(
+            hi - lo > F.lit(4096),
+            F.raise_error(F.lit(
+                "native_hist_changes_and_resets: aligned bucket index "
+                "span exceeds 4096 — dense-expansion bomb guard")),
+        ).when(
             hi > lo,
             F.exists(
                 F.sequence(lo, hi - 1),

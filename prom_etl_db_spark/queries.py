@@ -77,8 +77,83 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
+    # --- Round-12 window (VERDICT r11 task #1; r12 is an OPTIMIZATION
+    # round, so "new/changed" means internals-rewritten-for-speed) ----------
+    # Composition, recomputed from CORRECTNESS_r01..r11 (freshness
+    # r5:13 r6:48 r7:50 r8:44 r9:48 r10:50 r11:50 + rows-only):
+    # (a) the 13 r5-stale queries that spilled out of the r11 window
+    #     (all independently local-green in the r11 judge's review;
+    #     rotation hygiene — r5 was six rounds stale);
+    # (b) the 9 queries whose INTERNALS changed this round and must
+    #     re-gate: the three graph queries (loop invariants now
+    #     localCheckpoint once), the three suffix-array consumers
+    #     (SA_INIT_SPAN=8 initial rank + in-place dense rank + LCP
+    #     remainder compare), the two robots consumers (single-pass
+    #     verdict), and native_hist_resets_changes (the 4096
+    #     dense-expansion bomb guard, VERDICT r11 What's-wrong #1);
+    #     host_graph_pagerank/harmonic and crawl_pipeline_v1 are also
+    #     r6-stale, so they count for both (a-adjacent) and (b);
+    # (c) the first 28 of the 48-query r6-stale block, registry order.
+    # 13 + 9 + 28 = 50; remaining r6-stale after this window: 17 (≤ 20,
+    # the r11 verdict's done-bar).
+    # --- (a) r5-stale spill ---------------------------------------------------
+    "doc_html_extract",
+    "tsdb_gorilla_compress",
+    "promql_time_components",
+    "hybrid_rrf_search",
+    "url_canonicalize",
+    "audio_fingerprint_neardup",
+    "doc_mojibake_repair",
+    "linkage_jaro_winkler_blocks",
+    "image_rotate_flip",
+    "audio_resample_q15",
+    "doc_fold_accents",
+    "doc_char_entropy",
+    "speech_pipeline_v1",
+    # --- (b) r12 internals-changed re-gates ------------------------------------
+    "host_graph_pagerank",
+    "host_graph_harmonic",
+    "host_graph_hyperball",
+    "doc_suffix_array_repeats",
+    "doc_substring_dedup_rewrite",
+    "curation_pipeline_v2",
+    "robots_gate",
+    "crawl_pipeline_v1",
+    "native_hist_resets_changes",
+    # --- (c) r6-stale fill (28 of 48; 17 remain for r13) ------------------------
+    "remote_write_decode",
+    "metrics_pipeline_v2",
+    "sessions_incident_overlap",
+    "events_scd2_intervals",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q12_priority_shipping",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q21_suppliers_kept_waiting",
+    "events_zorder_skipping",
+    "doc_main_content",
+    "events_salted_type_join",
+    "events_skew_split_join",
+    "wordpiece_learned_merges",
+    "wordpiece_encoded_token_counts",
+    "unigram_lm_vocab",
+    "unigram_encoded_token_counts",
+    "doc_kneser_ney_perplexity",
+]
+
+_GATE_PRIORITY_R11 = [
     # --- Round-11 window (VERDICT r10 task #1: drain the never-gated
-    # debt, then the r5-stale block) -----------------------------------------
+    # debt, then the r5-stale block) — kept for the record ---------------------
     # Composition, recomputed from CORRECTNESS_r01..r10 (freshness
     # r5:50 r6:48 r7:50 r8:44 r9:48 r10:50 + 3 rows-only):
     # (a) the FIVE late-r10 queries registered past window slot 50

@@ -12,6 +12,40 @@ import pytest
 from prom_etl_db_spark.functions import remote_write as RW
 
 
+def test_snappy_pyarrow_interop_and_pure_reference():
+    """r12: the public snappy functions dispatch to pyarrow's C snappy
+    when present; the from-scratch reference must stay interoperable in
+    BOTH directions and keep its own branch coverage (hand vectors run
+    against it explicitly below)."""
+    random.seed(12)
+    cases = [
+        b"", b"a", b"ab" * 400, b"x" * 1000,
+        bytes(random.randrange(256) for _ in range(5000)),
+        b"The quick brown fox jumps over the lazy dog. " * 50,
+    ]
+    for c in cases:
+        # pure encoder → gated (possibly pyarrow) decoder
+        assert RW.snappy_decompress(RW.snappy_compress_py(c)) == c
+        # gated (possibly pyarrow) encoder → pure reference decoder
+        assert RW.snappy_decompress_py(RW.snappy_compress(c)) == c
+        # pure → pure (the reference's own roundtrip, gate-independent)
+        assert RW.snappy_decompress_py(RW.snappy_compress_py(c)) == c
+    # the reference decoder's element branches, gate-independent:
+    v = bytes([10, (5 - 1) << 2]) + b"abcab" + bytes([((5 - 4) << 2) | 0x01, 3])
+    ref = bytearray(b"abcab")
+    for _ in range(5):
+        ref.append(ref[-3])
+    assert RW.snappy_decompress_py(v) == bytes(ref)
+    # corrupt input refuses with ValueError through BOTH paths
+    data = RW.snappy_compress(b"payload " * 64)
+    for cut in (0, 1, len(data) // 2, len(data) - 1):
+        for fn in (RW.snappy_decompress, RW.snappy_decompress_py):
+            try:
+                fn(data[:cut])
+            except ValueError:
+                continue
+
+
 def test_snappy_roundtrips():
     random.seed(11)
     cases = [
