@@ -36,9 +36,16 @@ def get_spark(app_name: str = "prom-etl-db-spark", master: str | None = None) ->
         # expression-heavy queries in one session, the JIT silently turns
         # itself off, and every later query runs interpreted (measured 6×
         # on the shingling pipeline: 3.5 s → 22 s). A long-lived serve
-        # daemon hits this within its first few ticks. 1 GB + flushing
-        # keeps steady-state compiled; both knobs are no-ops for short
-        # sessions. CAVEAT: driver.memory and extraJavaOptions only take
+        # daemon hits this within its first few ticks. r12: 1 GB turned
+        # out to fill too under the 23-query bench (with flushing the
+        # failure mode softens to eviction/recompile storms instead of
+        # JIT-off, but the expression-heavy tail still measured 2-3×:
+        # same session, 1 GB vs 2 GB — suffix-array rewrite 2.57 s vs
+        # 1.74 s, pagerank 5.28 s vs 2.35 s, curation 14.25 s vs
+        # 6.94 s). 2 GB + flushing keeps steady-state compiled; reserved
+        # ≠ committed, so the bump costs address space, not RSS; both
+        # knobs are no-ops for short sessions. CAVEAT: driver.memory and
+        # extraJavaOptions only take
         # effect when getOrCreate itself SPAWNS the JVM (the plain
         # `python -m` launch); under spark-submit/client mode the driver
         # JVM already exists and Spark silently ignores them — pass
@@ -47,7 +54,7 @@ def get_spark(app_name: str = "prom-etl-db-spark", master: str | None = None) ->
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_DRIVER_JAVA_OPTIONS",
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
             ),
         )
     )
