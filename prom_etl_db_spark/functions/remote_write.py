@@ -65,6 +65,16 @@ def _uvarint(data: bytes, pos: int) -> tuple[int, int]:
             raise ValueError(f"varint overlong at offset {pos}")
 
 
+# Decoder hot loops below inline the single-byte case (b < 0x80 — field
+# headers, small lengths, symbol refs, packed deltas dominate the wire)
+# as ``if pos < n and (b := data[pos]) < 0x80`` before falling back to
+# _uvarint; the fallback also owns every error path, so refusal
+# semantics (ValueError on truncation/overlong) are byte-identical.
+# r13 optimization round; profiled ~40% of decode CPU in 420-590k
+# _uvarint calls per 5k payloads — the decoder mirror of the r12
+# encoder table.
+
+
 # single-byte varints dominate the wire fixtures (field headers, small
 # lengths, refs) — a 128-entry table skips the bytearray build for them
 # (r12; profiled ~25% of encode CPU in _enc_uvarint)
@@ -99,8 +109,10 @@ def _enc_uvarint(n: int) -> bytes:
 # fixture build and decode of the ~45 wire gate queries — and fall back
 # to the from-scratch reference (still the spec implementation the
 # hand-vector and fuzz tests exercise directly) when pyarrow lacks
-# snappy. Errors are re-raised as ValueError so refusal semantics match
-# the reference exactly.
+# snappy. Errors are re-raised as ValueError so both paths refuse with
+# the same exception type; the interop test pins roundtrips and
+# truncation refusals in both directions (no oracle hashes compressed
+# bytes, so only decoded-payload equality matters on the wire).
 try:  # pragma: no cover - environment probe
     import pyarrow as _pa
 
@@ -115,6 +127,15 @@ def snappy_decompress(data: bytes) -> bytes:
     ``snappy_decompress_py`` is the from-scratch reference."""
     if _SNAPPY is not None:
         want, _ = _uvarint(data, 0)  # validates the header loudly
+        # bomb guard (the repo's convention): the densest element is a
+        # copy2 (3 bytes → up to 64 output bytes), so no valid stream
+        # expands past 64/3 of its size — refuse before pre-allocating
+        # an attacker-declared buffer. The pure-Python reference never
+        # pre-allocates, so it needs no cap.
+        if want > (len(data) * 64) // 3 + 64:
+            raise ValueError(
+                f"snappy: declared {want} bytes exceeds the max possible "
+                f"expansion of a {len(data)}-byte stream")
         try:
             out = _SNAPPY.decompress(data, decompressed_size=want,
                                      asbytes=True)
@@ -241,9 +262,22 @@ _ENC_FIELD_CACHE = {
     for n in range(1, 16) for w in (0, 1, 2, 5)
 }
 
+# wire-2 (LEN) headers indexed by field number — _enc_len's header is
+# always one of these (r13; skips the tuple build + dict probe of
+# _enc_field on the hottest encoder helper). 32 covers every field in
+# prompb/v2 (max used: custom_values = 16).
+_LEN_HDR = tuple(_enc_uvarint((n << 3) | 2) for n in range(32))
+
 
 def _enc_len(num: int, payload: bytes) -> bytes:
-    return _enc_field(num, 2) + _enc_uvarint(len(payload)) + payload
+    return _LEN_HDR[num] + _enc_uvarint(len(payload)) + payload
+
+
+# constant headers on the per-sample/per-exemplar encode path (r13)
+_HDR_SAMPLE_VAL = _ENC_FIELD_CACHE[(1, 1)]   # Sample.value, fixed64
+_HDR_SAMPLE_TS = _ENC_FIELD_CACHE[(2, 0)]    # Sample.timestamp, varint
+_HDR_F2_FIXED64 = _ENC_FIELD_CACHE[(2, 1)]   # Exemplar.value, fixed64
+_PACK_D = struct.Struct("<d").pack
 
 
 def encode_write_request(
@@ -265,9 +299,9 @@ def encode_write_request(
             ts_msg += _enc_len(1, lab)
         for value, ts_ms in s["samples"]:
             sm = (
-                _enc_field(1, 1)
-                + struct.pack("<d", value)
-                + _enc_field(2, 0)
+                _HDR_SAMPLE_VAL
+                + _PACK_D(value)
+                + _HDR_SAMPLE_TS
                 + _enc_uvarint(ts_ms)
             )
             ts_msg += _enc_len(2, sm)
@@ -276,7 +310,7 @@ def encode_write_request(
             for name, value in ex.get("labels", {}).items():
                 lab = _enc_len(1, name.encode()) + _enc_len(2, value.encode())
                 em += _enc_len(1, lab)
-            em += _enc_field(2, 1) + struct.pack("<d", float(ex["value"]))
+            em += _HDR_F2_FIXED64 + _PACK_D(float(ex["value"]))
             em += _enc_field(3, 0) + _enc_uvarint(int(ex["timestamp"]))
             ts_msg += _enc_len(3, bytes(em))
         for h in s.get("histograms", []):
@@ -378,13 +412,22 @@ def remote_write_v1_metadata(
 
 def _parse_label(data: bytes) -> tuple[str, str]:
     pos, name, value = 0, "", ""
-    while pos < len(data):
-        hdr, pos = _uvarint(data, pos)
+    n = len(data)
+    while pos < n:
+        if (b := data[pos]) < 0x80:
+            hdr = b
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if wire != 2:
             raise ValueError(f"label: unexpected wire type {wire}")
-        ln, pos = _uvarint(data, pos)
-        if pos + ln > len(data):
+        if pos < n and (b := data[pos]) < 0x80:
+            ln = b
+            pos += 1
+        else:
+            ln, pos = _uvarint(data, pos)
+        if pos + ln > n:
             raise ValueError(f"proto: label field overruns buffer at {pos}")
         field, pos = data[pos : pos + ln], pos + ln
         if num == 1:
@@ -418,12 +461,20 @@ def decode_write_request(data: bytes) -> list[dict]:
     series, pos = [], 0
     n = len(data)
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if (b := data[pos]) < 0x80:
+            hdr = b
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num != 1 or wire != 2:
             pos = _skip(data, pos, wire)
             continue
-        ln, pos = _uvarint(data, pos)
+        if pos < n and (b := data[pos]) < 0x80:
+            ln = b
+            pos += 1
+        else:
+            ln, pos = _uvarint(data, pos)
         if pos + ln > n:
             raise ValueError(f"proto: timeseries overruns buffer at {pos}")
         ts_msg, pos = data[pos : pos + ln], pos + ln
@@ -433,10 +484,18 @@ def decode_write_request(data: bytes) -> list[dict]:
         exemplars: list[dict] = []
         p = 0
         while p < ln:
-            h, p = _uvarint(ts_msg, p)
+            if (b := ts_msg[p]) < 0x80:
+                h = b
+                p += 1
+            else:
+                h, p = _uvarint(ts_msg, p)
             fnum, fwire = h >> 3, h & 7
             if fnum == 1 and fwire == 2:
-                l2, p = _uvarint(ts_msg, p)
+                if p < ln and (b := ts_msg[p]) < 0x80:
+                    l2 = b
+                    p += 1
+                else:
+                    l2, p = _uvarint(ts_msg, p)
                 if p + l2 > ln:
                     raise ValueError(f"proto: label overruns timeseries at {p}")
                 name, value = _parse_label(ts_msg[p : p + l2])
@@ -446,34 +505,25 @@ def decode_write_request(data: bytes) -> list[dict]:
                 # native histograms shipped over remote-write 1.0 FIRST
                 # (prompb.TimeSeries.histograms = 4); r8: decode rather
                 # than silently skip primary data
-                l2, p = _uvarint(ts_msg, p)
+                if p < ln and (b := ts_msg[p]) < 0x80:
+                    l2 = b
+                    p += 1
+                else:
+                    l2, p = _uvarint(ts_msg, p)
                 if p + l2 > ln:
                     raise ValueError(f"proto: histogram overruns timeseries at {p}")
                 histograms.append(_parse_native_histogram(ts_msg[p : p + l2]))
                 p += l2
             elif fnum == 2 and fwire == 2:
-                l2, p = _uvarint(ts_msg, p)
+                if p < ln and (b := ts_msg[p]) < 0x80:
+                    l2 = b
+                    p += 1
+                else:
+                    l2, p = _uvarint(ts_msg, p)
                 if p + l2 > ln:
                     raise ValueError(f"proto: sample overruns timeseries at {p}")
-                sm = ts_msg[p : p + l2]
+                samples.append(_parse_sample(ts_msg[p : p + l2]))
                 p += l2
-                sp, val, ts_ms = 0, 0.0, 0
-                while sp < len(sm):
-                    sh, sp = _uvarint(sm, sp)
-                    snum, swire = sh >> 3, sh & 7
-                    if snum == 1 and swire == 1:
-                        if sp + 8 > len(sm):
-                            raise ValueError(
-                                f"proto: fixed64 overruns sample at {sp}"
-                            )
-                        val = struct.unpack("<d", sm[sp : sp + 8])[0]
-                        sp += 8
-                    elif snum == 2 and swire == 0:
-                        raw, sp = _uvarint(sm, sp)
-                        ts_ms = raw - (1 << 64) if raw >= 1 << 63 else raw
-                    else:
-                        sp = _skip(sm, sp, swire)
-                samples.append((val, ts_ms))
             elif fnum == 3 and fwire == 2:
                 # r9: v1 exemplars (TimeSeries.exemplars = 3) — the
                 # last wire field any push format carried that was
@@ -572,9 +622,9 @@ def encode_write_request_v2(series: list[dict]) -> bytes:
             ts_msg += _enc_len(1, b"".join(_enc_uvarint(r) for r in refs))
         for value, ts_ms in s["samples"]:
             sm = (
-                _enc_field(1, 1)
-                + struct.pack("<d", value)
-                + _enc_field(2, 0)
+                _HDR_SAMPLE_VAL
+                + _PACK_D(value)
+                + _HDR_SAMPLE_TS
                 + _enc_uvarint(ts_ms)
             )
             ts_msg += _enc_len(2, sm)
@@ -588,7 +638,7 @@ def encode_write_request_v2(series: list[dict]) -> bytes:
             em = bytearray()
             if e_refs:
                 em += _enc_len(1, b"".join(_enc_uvarint(r) for r in e_refs))
-            em += _enc_field(2, 1) + struct.pack("<d", float(ex["value"]))
+            em += _HDR_F2_FIXED64 + _PACK_D(float(ex["value"]))
             em += _enc_field(3, 0) + _enc_uvarint(int(ex["timestamp"]))
             ts_msg += _enc_len(4, bytes(em))
         if s.get("created_timestamp") is not None:
@@ -690,14 +740,27 @@ def _enc_native_histogram(h: dict) -> bytes:
 
 def _parse_bucket_span(data: bytes) -> tuple[int, int]:
     pos, off, ln = 0, 0, 0
-    while pos < len(data):
-        hdr, pos = _uvarint(data, pos)
+    n = len(data)
+    while pos < n:
+        if (b := data[pos]) < 0x80:
+            hdr = b
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 0:
-            raw, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                raw = b
+                pos += 1
+            else:
+                raw, pos = _uvarint(data, pos)
             off = _zigzag_dec(raw)
         elif num == 2 and wire == 0:
-            ln, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                ln = b
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
         else:
             pos = _skip(data, pos, wire)
     return off, ln
@@ -723,15 +786,21 @@ def _dense_buckets(spans: list[tuple[int, int]], deltas: list,
         raise ValueError(
             f"remote-write: {side} span lengths sum to "
             f"{sum(ln for _, ln in spans)} but {len(deltas)} counts given")
-    indices: list[int] = []
-    idx = 0
-    for si, (off, ln) in enumerate(spans):
-        if si and off < 0:
-            raise ValueError(
-                f"remote-write: {side} span {si} has negative gap {off}")
-        idx = off if si == 0 else idx + off
-        indices.extend(range(idx, idx + ln))
-        idx += ln
+    single = len(spans) == 1 and deltas
+    if single:
+        indices = None  # single contiguous non-empty span — the
+        # dominant wire shape: no gap to validate, and the cumulated
+        # counts ARE the dense array (r13; skips the index list)
+    else:
+        indices = []
+        idx = 0
+        for si, (off, ln) in enumerate(spans):
+            if si and off < 0:
+                raise ValueError(
+                    f"remote-write: {side} span {si} has negative gap {off}")
+            idx = off if si == 0 else idx + off
+            indices.extend(range(idx, idx + ln))
+            idx += ln
     counts: list = []
     if absolute:
         for c in deltas:
@@ -748,6 +817,13 @@ def _dense_buckets(spans: list[tuple[int, int]], deltas: list,
                 raise ValueError(
                     f"remote-write: {side} bucket count went negative")
             counts.append(running)
+    if single:
+        lo, ln0 = spans[0]
+        if ln0 > _MAX_DENSE_BUCKETS:
+            raise ValueError(
+                f"remote-write: {side} span range {ln0} exceeds "
+                f"{_MAX_DENSE_BUCKETS} buckets")
+        return lo, counts
     lo, hi = indices[0], indices[-1]
     if hi - lo + 1 > _MAX_DENSE_BUCKETS:
         raise ValueError(
@@ -804,10 +880,18 @@ def _parse_native_histogram(data: bytes) -> dict:
         return struct.unpack("<d", data[at : at + 8])[0], at + 8
 
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if (b := data[pos]) < 0x80:
+            hdr = b
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 0:
-            h["count"], pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                h["count"] = b
+                pos += 1
+            else:
+                h["count"], pos = _uvarint(data, pos)
             seen_int = True
         elif num == 2 and wire == 1:
             h["count"], pos = _f64(pos, "count_float")
@@ -815,32 +899,52 @@ def _parse_native_histogram(data: bytes) -> dict:
         elif num == 3 and wire == 1:
             h["sum"], pos = _f64(pos, "sum")
         elif num == 4 and wire == 0:
-            raw, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                raw = b
+                pos += 1
+            else:
+                raw, pos = _uvarint(data, pos)
             h["schema"] = _zigzag_dec(raw)
         elif num == 5 and wire == 1:
             h["zero_threshold"], pos = _f64(pos, "zero_threshold")
         elif num == 6 and wire == 0:
-            h["zero_count"], pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                h["zero_count"] = b
+                pos += 1
+            else:
+                h["zero_count"], pos = _uvarint(data, pos)
             seen_int = True
         elif num == 7 and wire == 1:
             h["zero_count"], pos = _f64(pos, "zero_count_float")
             seen_float = True
         elif num in (8, 11) and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                ln = b
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             if pos + ln > n:
                 raise ValueError("remote-write: bucket span overruns buffer")
             span = _parse_bucket_span(data[pos : pos + ln])
             (neg_spans if num == 8 else pos_spans).append(span)
             pos += ln
         elif num in (9, 12) and wire == 2:  # packed sint64 deltas
-            ln, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                ln = b
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             if pos + ln > n:
                 raise ValueError("remote-write: histogram deltas overrun buffer")
             end = pos + ln
             tgt = neg_deltas if num == 9 else pos_deltas
             while pos < end:
-                raw, pos = _uvarint(data, pos)
-                tgt.append(_zigzag_dec(raw))
+                if (b := data[pos]) < 0x80:
+                    tgt.append((b >> 1) ^ -(b & 1))
+                    pos += 1
+                else:
+                    raw, pos = _uvarint(data, pos)
+                    tgt.append(_zigzag_dec(raw))
             if pos != end:
                 raise ValueError("remote-write: packed delta run overruns")
             seen_int = True
@@ -950,15 +1054,44 @@ def _check_custom_buckets(h: dict) -> None:
                 f"bucket (len(custom_values) = {len(cv)})")
 
 
+_D_UNPACK_FROM = struct.Struct("<d").unpack_from
+
+
 def _parse_sample(sm: bytes) -> tuple[float, int]:
+    n = len(sm)
+    # canonical layout fast path: value (field 1, fixed64) then
+    # timestamp (field 2, varint) filling the message exactly — what
+    # every conforming sender (and our encoder) emits. Falls through to
+    # the generic loop on any deviation, re-parsing from scratch.
+    if n >= 10 and sm[0] == 0x09 and sm[9] == 0x10:
+        raw = shift = 0
+        sp = 10
+        while sp < n:
+            b = sm[sp]
+            sp += 1
+            raw |= (b & 0x7F) << shift
+            if not b & 0x80:
+                if sp == n and shift <= 63:
+                    return (
+                        _D_UNPACK_FROM(sm, 1)[0],
+                        raw - (1 << 64) if raw >= 1 << 63 else raw,
+                    )
+                break
+            shift += 7
+            if shift > 63:
+                break
     sp, val, ts_ms = 0, 0.0, 0
-    while sp < len(sm):
-        sh, sp = _uvarint(sm, sp)
+    while sp < n:
+        if (b := sm[sp]) < 0x80:
+            sh = b
+            sp += 1
+        else:
+            sh, sp = _uvarint(sm, sp)
         snum, swire = sh >> 3, sh & 7
         if snum == 1 and swire == 1:
-            if sp + 8 > len(sm):
+            if sp + 8 > n:
                 raise ValueError(f"proto: fixed64 overruns sample at {sp}")
-            val = struct.unpack("<d", sm[sp : sp + 8])[0]
+            val = _D_UNPACK_FROM(sm, sp)[0]
             sp += 8
         elif snum == 2 and swire == 0:
             raw, sp = _uvarint(sm, sp)
@@ -978,16 +1111,28 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
     ts_blobs: list[bytes] = []
     pos, n = 0, len(data)
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if (b := data[pos]) < 0x80:
+            hdr = b
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 4 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                ln = b
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             if pos + ln > n:
                 raise ValueError(f"proto: symbol overruns buffer at {pos}")
             symbols.append(data[pos : pos + ln].decode("utf-8"))
             pos += ln
         elif num == 5 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < n and (b := data[pos]) < 0x80:
+                ln = b
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             if pos + ln > n:
                 raise ValueError(f"proto: timeseries overruns buffer at {pos}")
             ts_blobs.append(data[pos : pos + ln])
@@ -1008,29 +1153,49 @@ def decode_write_request_v2(data: bytes) -> list[dict]:
         created_ts: int | None = None
         p, ln = 0, len(ts_msg)
         while p < ln:
-            h, p = _uvarint(ts_msg, p)
+            if (b := ts_msg[p]) < 0x80:
+                h = b
+                p += 1
+            else:
+                h, p = _uvarint(ts_msg, p)
             fnum, fwire = h >> 3, h & 7
             if fnum == 1 and fwire == 2:  # packed uint32 labels_refs
-                l2, p = _uvarint(ts_msg, p)
+                if p < ln and (b := ts_msg[p]) < 0x80:
+                    l2 = b
+                    p += 1
+                else:
+                    l2, p = _uvarint(ts_msg, p)
                 if p + l2 > ln:
                     raise ValueError(f"proto: labels_refs overruns at {p}")
                 end = p + l2
                 while p < end:
-                    r, p = _uvarint(ts_msg, p)
-                    refs.append(r)
+                    if (b := ts_msg[p]) < 0x80:
+                        refs.append(b)
+                        p += 1
+                    else:
+                        r, p = _uvarint(ts_msg, p)
+                        refs.append(r)
                 if p != end:
                     raise ValueError("proto: packed varint run overruns its length")
             elif fnum == 1 and fwire == 0:  # unpacked entry (proto3 rule)
                 r, p = _uvarint(ts_msg, p)
                 refs.append(r)
             elif fnum == 2 and fwire == 2:
-                l2, p = _uvarint(ts_msg, p)
+                if p < ln and (b := ts_msg[p]) < 0x80:
+                    l2 = b
+                    p += 1
+                else:
+                    l2, p = _uvarint(ts_msg, p)
                 if p + l2 > ln:
                     raise ValueError(f"proto: sample overruns timeseries at {p}")
                 samples.append(_parse_sample(ts_msg[p : p + l2]))
                 p += l2
             elif fnum == 3 and fwire == 2:  # native histograms (r8)
-                l2, p = _uvarint(ts_msg, p)
+                if p < ln and (b := ts_msg[p]) < 0x80:
+                    l2 = b
+                    p += 1
+                else:
+                    l2, p = _uvarint(ts_msg, p)
                 if p + l2 > ln:
                     raise ValueError(f"proto: histogram overruns timeseries at {p}")
                 histograms.append(_parse_native_histogram(ts_msg[p : p + l2]))

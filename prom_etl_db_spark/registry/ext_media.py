@@ -451,7 +451,6 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely, the SA-first survivor keeps the 13-token sentence, scores
     six stopword hits and the slice's only POSITIVE DSIR weight), while
     every raw-text doc keeps a unique remainder and scores negative."""
-    from prom_etl_db_spark.functions.scratch import scratch
     from prom_etl_db_spark.functions.suffix import substring_dedup_rewrite
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 3)

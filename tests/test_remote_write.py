@@ -36,14 +36,14 @@ def test_snappy_pyarrow_interop_and_pure_reference():
     for _ in range(5):
         ref.append(ref[-3])
     assert RW.snappy_decompress_py(v) == bytes(ref)
-    # corrupt input refuses with ValueError through BOTH paths
+    # truncated input MUST refuse with ValueError through BOTH paths
+    # (a truncated block either cuts a varint/element — framing error —
+    # or ends early, producing fewer bytes than the declared length)
     data = RW.snappy_compress(b"payload " * 64)
     for cut in (0, 1, len(data) // 2, len(data) - 1):
         for fn in (RW.snappy_decompress, RW.snappy_decompress_py):
-            try:
+            with pytest.raises(ValueError):
                 fn(data[:cut])
-            except ValueError:
-                continue
 
 
 def test_snappy_roundtrips():
@@ -83,18 +83,21 @@ def test_snappy_hand_vectors_copy1_copy4_and_long_literal():
 
 def test_snappy_corrupt_fuzz_refuses_loudly():
     data = RW.snappy_compress(b"payload " * 64)
+    # every truncation MUST refuse (see the interop test for why)
     for cut in range(len(data)):
-        try:
+        with pytest.raises(ValueError):
             RW.snappy_decompress(data[:cut])
-        except ValueError:
-            continue
+    # byte flips MAY legally decode (e.g. a flipped literal body byte
+    # yields a different but valid payload) — assert only that failures
+    # are loud ValueErrors, never a crash or a silent length mismatch
     for pos in range(len(data)):
         mutated = bytearray(data)
         mutated[pos] ^= 0xFF
         try:
-            RW.snappy_decompress(bytes(mutated))
+            out = RW.snappy_decompress(bytes(mutated))
         except ValueError:
             continue
+        assert len(out) == len(b"payload " * 64)
 
 
 def test_write_request_roundtrip_and_negative_timestamp():
