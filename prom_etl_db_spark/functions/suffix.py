@@ -45,6 +45,8 @@ rewritten document.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -154,15 +156,31 @@ def _dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     range partitioner puts equal keys in one partition, so a local
     dense rank is globally consistent) → global rank = partition
     offset + local rank, offsets from a prefix sum over the
-    #partitions-row distinct-count frame (the range exchange is shared
-    by both branches — AQE exchange reuse executes it once). Output is
-    deterministic regardless of where the sampled range boundaries
-    fall: offset+local always reconstructs the one global order.
-    Returns df + `rank` (long, 0-based, equal keys share a rank)."""
+    #partitions-row distinct-count frame. The ``_pid`` frame is
+    MATERIALIZED (localCheckpoint) before fanning out to the two
+    branches — r13 correctness fix: spark_partition_id() downstream of
+    an AQE-coalescible exchange is evaluated independently per
+    consumer branch, and the two reads can coalesce to DIFFERENT
+    layouts (measured at 271k rows / 32 shuffle partitions: the rank
+    branch and the offsets branch disagreed on _pid, the inner join
+    dropped 2/3 of the rows, and prefix doubling silently stopped
+    converging — invisible at gate-fixture scale where both branches
+    coalesce to one partition). Materializing pins _pid as DATA, so
+    any layout disagreement is impossible by construction (and the
+    ADVICE r12 exchange-reuse hazard is gone with it — pinned by
+    tests/test_r13_fixes_spark.py with exchange reuse disabled).
+    Precondition: key_cols must be non-null (count_distinct drops
+    null-containing tuples; every caller's keys — pref / r1 / r2 — are
+    provably non-null). Output is deterministic regardless of where
+    the sampled range boundaries fall: offset+local always
+    reconstructs the one global order. Returns df + `rank` (long,
+    0-based, equal keys share a rank)."""
     from pyspark.sql.window import Window
 
-    parts = df.repartitionByRange(*key_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    parts = scratch(
+        df.repartitionByRange(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = parts.withColumn(
         "_local",
@@ -174,6 +192,73 @@ def _dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     # so the ordering window here is over a tiny frame
     sizes = parts.groupBy("_pid").agg(
         F.count_distinct(*[F.col(k) for k in key_cols]).alias("_n")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    return local.join(F.broadcast(offs), "_pid").select(
+        *df.columns,
+        (F.col("_off") + F.col("_local") - 1).cast("long").alias("rank"),
+    )
+
+
+#: bucket count for the doubling rounds' deterministic partitioner —
+#: scale-parameterised (64 buckets per core locally = 2048 at 32 cpus;
+#: production sets SA_RANK_BUCKETS to ~64× the executor core count,
+#: capped so the offsets frame stays broadcast-class)
+SA_RANK_BUCKETS = int(os.environ.get("SA_RANK_BUCKETS", "0")) or None
+
+
+def _dense_rank_pairs(df: DataFrame, n_ranks: int) -> DataFrame:
+    """Doubling-round dense rank over the integer pair (r1, r2) — the
+    same offset+local construction as ``_dense_rank`` but with a
+    DETERMINISTIC bucket id computed from the key values instead of
+    spark_partition_id() after a range exchange (r13, VERDICT r12 task
+    #6). r1 ∈ [0, n_ranks) and r2 ∈ [-1, n_ranks) scalarize
+    order-preservingly as s = r1·(m+1) + (r2+1) < (m+1)²; fixed-width
+    buckets over that space (pid = s div ⌈(m+1)²/P⌉) are monotone in
+    key order and keep equal keys together, which is all the
+    offset-reconstruction needs. Wins per round vs the range form:
+    ONE full-frame exchange instead of two (the range exchange AND the
+    window's hash(_pid) exchange collapse into one hash exchange), no
+    range-boundary sampling job, and no dependence on both branches
+    seeing one physical exchange (ADVICE r12).
+
+    Skew: when n_ranks+1 < P the bucket width is below one r1 group's
+    scalar span, so hot first-key groups split across buckets by r2
+    exactly like the range form. Above that cardinality the expected
+    group is n/m rows (tiny); a residual boilerplate-hot (r1, *) group
+    lands in one bucket where range could split it — corpora with
+    single 2^k-token contexts hot enough to rival n/P rows should set
+    SA_RANK_BUCKETS high or fall back to ``_dense_rank``. Keys must be
+    non-null (callers' r1/r2 are coalesced).
+
+    Falls back to the range form when (m+1)² would overflow a long
+    (n_ranks ≥ 3·10⁹ — never at fixture scale; a 100 TB run reaches it
+    only in late rounds where ranks are nearly distinct and the range
+    form's sampling cost is amortized anyway)."""
+    from pyspark.sql.window import Window
+
+    m1 = n_ranks + 1  # r2 + 1 ∈ [0, m1); scalar space is m1²
+    if m1 > 3_000_000_000:
+        return _dense_rank(df, ["r1", "r2"])
+    spark = df.sparkSession
+    buckets = SA_RANK_BUCKETS or min(
+        65536, max(256, 64 * spark.sparkContext.defaultParallelism))
+    width = (m1 * m1) // buckets + 1
+    parts = df.withColumn(
+        "_pid",
+        F.expr(f"(r1 * {m1}L + r2 + 1L) div {width}L"),
+    )
+    local = parts.withColumn(
+        "_local",
+        F.dense_rank().over(
+            Window.partitionBy("_pid").orderBy("r1", "r2")
+        ),
+    )
+    sizes = parts.groupBy("_pid").agg(
+        F.count_distinct("r1", "r2").alias("_n")
     )
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
@@ -254,7 +339,7 @@ def _sa_lcp_and_stream(
                 F.coalesce(F.col("b.rank"), F.lit(-1)).alias("r2"),
             )
         )
-        ranks = _dense_rank(paired, ["r1", "r2"]).select("gpos", "rank")
+        ranks = _dense_rank_pairs(paired, n_ranks).select("gpos", "rank")
         span *= 2
 
     sa = ranks  # all ranks distinct: rank == SA position

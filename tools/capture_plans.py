@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for headline queries to plans/r12/.
+"""Dump .explain("formatted") for headline queries to plans/<round>/.
 
 Usage: python tools/capture_plans.py before|after [query ...]
-Writes plans/r12/<query>_<tag>.txt. Defaults to the full headline list.
+Writes plans/$PLANS_ROUND/<query>_<tag>.txt (PLANS_ROUND defaults to
+r13). Defaults to the full headline list.
 """
 
 from __future__ import annotations
@@ -23,9 +24,11 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
     sf_dir = "/root/testdata/sf0.01"
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r12"
+    import os
+    rnd = os.environ.get("PLANS_ROUND", "r13")
+    out_dir = Path(__file__).resolve().parents[1] / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
-    spark = get_spark("plan-capture-r12")
+    spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = QUERIES[name](spark, sf_dir)
