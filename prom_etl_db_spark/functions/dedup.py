@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions.scratch import scratch
+from prom_etl_db_spark.functions.scratch import materialize, scratch
 from prom_etl_db_spark.parallel import balance
 
 __all__ = [
@@ -555,7 +555,7 @@ def connected_components(
                 # cut lineage each round: without this, round k's plan
                 # replays rounds 1..k-1 and the convergence count goes
                 # quadratic
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
             changed = (
                 new_labels.join(

@@ -23,9 +23,12 @@ Scale shape: per round, one equi-join of the edge list against the rank
 vector on src (both hash-partitioned on their keys) + one hash
 aggregation on dst — the textbook distributed PageRank round (the same
 shape GraphX's Pregel emits). The rank vector is node-sized, never
-edge-sized; lineage is truncated every round with localCheckpoint
-(reliable checkpoint() on a cluster), exactly like the suffix array's
-doubling rounds and connected components.
+edge-sized; lineage is truncated every round with
+``scratch.materialize`` — localCheckpoint locally, RELIABLE
+checkpoint() whenever the session has a checkpoint dir configured
+(``sc.setCheckpointDir``; a lost executor otherwise loses its
+localCheckpoint blocks and fails the query) — exactly like the suffix
+array's doubling rounds and connected components.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions.scratch import scratch
+from prom_etl_db_spark.functions.scratch import materialize, scratch
 
 SCALE = 1_000_000_000  # ranks in integer billionths
 D_NUM, D_DEN = 17, 20  # damping 0.85 as an exact rational
@@ -75,21 +78,21 @@ def pagerank_integer(
     # vector below). Measured r12 at sf0.1, interleaved best-of-4:
     # ckpt 2.25 s vs 3.87 s unmaterialized vs 3.68 s persist() — the
     # columnar cache write makes persist() strictly worse than the
-    # checkpoint here. On a real cluster use reliable checkpoint()
-    # (module docstring).
+    # checkpoint here. materialize() upgrades to reliable checkpoint()
+    # automatically when a checkpoint dir is configured (r13).
     e = scratch(
         edges.select(
             F.col(src_col).cast("long").alias("src"),
             F.col(dst_col).cast("long").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = scratch(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = nodes.count()  # one scalar — broadcast-class driver state
     if n == 0:
@@ -103,11 +106,11 @@ def pagerank_integer(
     deg = scratch(
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("od"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ranks = scratch(
         nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q9"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(n_iter):
         contrib = (
@@ -128,7 +131,7 @@ def pagerank_integer(
                     F.lit(base) + F.coalesce(F.col("incoming"), F.lit(0))
                 ).cast("long").alias("pr_q9"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return ranks
 
@@ -170,18 +173,18 @@ def harmonic_centrality_integer(
             F.col(dst_col).cast("long").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = scratch(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     visited = scratch(
         nodes.select(
             F.col("node").alias("root"), "node", F.lit(0).alias("dist")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     )
     frontier = visited
     for r in range(1, radius + 1):
@@ -192,10 +195,10 @@ def harmonic_centrality_integer(
             .join(visited, ["root", "node"], "left_anti")
             .select("root", "node", F.lit(r).alias("dist"))
         )
-        nxt = scratch(nxt.localCheckpoint(eager=True))
+        nxt = scratch(nxt.transform(materialize))
         if nxt.isEmpty():
             break
-        visited = scratch(visited.union(nxt).localCheckpoint(eager=True))
+        visited = scratch(visited.union(nxt).transform(materialize))
         frontier = nxt
     return (
         visited.where(F.col("dist") > 0)
@@ -250,7 +253,7 @@ def hyperball_harmonic(
             F.col(dst_col).cast("long").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -269,7 +272,7 @@ def hyperball_harmonic(
     regs = scratch(
         nodes.select(
             "node", F.shiftright(h32, bits).alias("idx"), rank.alias("r")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     )
 
     def ball_stats(reg: DataFrame, radius_val: int) -> DataFrame:
@@ -290,7 +293,7 @@ def hyperball_harmonic(
             regs.unionByName(pulled)
             .groupBy("node", "idx")
             .agg(F.max("r").alias("r"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         per_radius.append(ball_stats(regs, rad))
     stats = per_radius[0]

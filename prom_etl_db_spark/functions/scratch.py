@@ -75,3 +75,21 @@ def release_scratch(*, all_threads: bool = False) -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage by materializing the frame — the per-round
+    discipline of the iterative operators (graph rounds, suffix-array
+    doubling): RELIABLE ``checkpoint()`` when the session has a
+    checkpoint directory configured (the cluster posture —
+    localCheckpoint blocks live on executors and die with them, so a
+    lost executor fails the whole iterative query; a checkpoint dir on
+    shared storage survives), else ``localCheckpoint`` (the local
+    single-process posture, where executor loss is process death
+    anyway and the local form skips the filesystem round-trip).
+    Production wiring is one line at session build:
+    ``spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")``."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -50,7 +50,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from prom_etl_db_spark.functions.scratch import scratch
+from prom_etl_db_spark.functions.scratch import materialize, scratch
 
 __all__ = [
     "token_stream",
@@ -180,7 +180,7 @@ def _dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     parts = scratch(
         df.repartitionByRange(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     local = parts.withColumn(
         "_local",
@@ -316,7 +316,7 @@ def _sa_lcp_and_stream(
         # real cluster use reliable checkpoint() for fault tolerance
         # (module docstring). scratch-registered so the caller's job
         # boundary releases the round caches (scratch.py contract).
-        ranks = scratch(ranks.localCheckpoint(eager=True))
+        ranks = scratch(ranks.transform(materialize))
         rank_tables.append((span, ranks))
         # ranks are dense 0-based → distinct count = max + 1 (a plain
         # max is a cheaper action than count_distinct; r12)

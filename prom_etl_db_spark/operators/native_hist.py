@@ -462,6 +462,7 @@ def native_hist_sum_by(
     by: "tuple[str, ...]" = ("metric_name",),
     *,
     max_index_span: int = 4096,
+    group_stats: str = "window",
 ) -> DataFrame:
     """PromQL ``sum by (...)`` over NATIVE-histogram series (r9) —
     the aggregation idiom behind
@@ -497,39 +498,84 @@ def native_hist_sum_by(
     per-group dense reassembly → join with the scalar agg. Shuffles
     are all keyed on the group (+index), so the operator scales with
     executors like any groupBy; group size never materializes in one
-    task."""
+    task.
+
+    ``group_stats`` picks how the per-group refusal stats (family mix,
+    custom_values / zero_threshold agreement, min schema) are
+    computed: ``"window"`` (default) evaluates them with a plain
+    group-partitioned window — fastest at bench group sizes (the r12
+    window→join A/B read the join 1.26–1.35× slower at sf0.1);
+    ``"join"`` computes one tiny aggregate per group and equi-joins it
+    back (AQE broadcasts it), which is the 100 TB shape when ``by``
+    has single-digit cardinality over billions of rows — a
+    low-cardinality window puts a whole group in ONE task (guide
+    §2.5; AQE skew handling does not apply to windows), while the
+    aggregate is map-side partial and the join-back is broadcast.
+    Both shapes are oracle-verified identical; see SCALE.md r13 for
+    the skew-probe numbers."""
     from prom_etl_db_spark.operators.promql import _nh_downscale
 
-    gw = Window.partitionBy(*by)
+    if group_stats not in ("window", "join"):
+        raise ValueError(
+            f"group_stats must be 'window' or 'join', got {group_stats!r}")
     has_cv = "custom_values" in nh.columns
     is_nhcb = F.col("schema") == CUSTOM_BUCKETS_SCHEMA
+    cv_key = F.to_json(F.col("custom_values")) if has_cv else None
+    if group_stats == "join":
+        gs = nh.groupBy(*by).agg(
+            F.min(is_nhcb.cast("int")).alias("__nhcb_min"),
+            F.max(is_nhcb.cast("int")).alias("__nhcb_max"),
+            *([F.min(cv_key).alias("__cv_min"),
+               F.max(cv_key).alias("__cv_max")] if has_cv else []),
+            F.min("zero_threshold").alias("__zt_min"),
+            F.max("zero_threshold").alias("__zt_max"),
+            F.min("schema").alias("__schema_min"),
+        )
+        nh = nh.join(gs, on=list(by))
+        stat = {
+            "nhcb_min": F.col("__nhcb_min"),
+            "nhcb_max": F.col("__nhcb_max"),
+            "cv_min": F.col("__cv_min") if has_cv else None,
+            "cv_max": F.col("__cv_max") if has_cv else None,
+            "zt_min": F.col("__zt_min"),
+            "zt_max": F.col("__zt_max"),
+            "schema_min": F.col("__schema_min"),
+        }
+    else:
+        gw = Window.partitionBy(*by)
+        stat = {
+            "nhcb_min": F.min(is_nhcb.cast("int")).over(gw),
+            "nhcb_max": F.max(is_nhcb.cast("int")).over(gw),
+            "cv_min": F.min(cv_key).over(gw) if has_cv else None,
+            "cv_max": F.max(cv_key).over(gw) if has_cv else None,
+            "zt_min": F.min("zero_threshold").over(gw),
+            "zt_max": F.max("zero_threshold").over(gw),
+            "schema_min": F.min("schema").over(gw),
+        }
     checked = F.when(
-        F.min(is_nhcb.cast("int")).over(gw)
-        != F.max(is_nhcb.cast("int")).over(gw),
+        stat["nhcb_min"] != stat["nhcb_max"],
         F.raise_error(F.lit(
             "native_hist_sum_by: group mixes custom-bucket (schema "
             "-53) and exponential histograms — no merge exists "
             "across bucket families")),
     )
     if has_cv:
-        cv_key = F.to_json(F.col("custom_values"))
         checked = checked.when(
             is_nhcb
-            & (F.min(cv_key).over(gw) != F.max(cv_key).over(gw)),
+            & (stat["cv_min"] != stat["cv_max"]),
             F.raise_error(F.lit(
                 "native_hist_sum_by: custom_values differ within one "
                 "group — index-wise addition across different "
                 "boundaries mis-attributes counts")),
         )
     checked = checked.when(
-        F.min("zero_threshold").over(gw)
-        != F.max("zero_threshold").over(gw),
+        stat["zt_min"] != stat["zt_max"],
         F.raise_error(F.lit(
             "native_hist_sum_by: zero_threshold differs within one "
             "group — Prometheus re-buckets to the widest; refusing "
             "beats a silent resolution change")),
     ).otherwise(F.lit(0))
-    target = F.min("schema").over(gw)
+    target = stat["schema_min"]
     d = (F.col("schema") - target).cast("int")
     elem0 = nh.schema["pos_counts"].dataType.elementType.simpleString()
     po2, pc2 = _nh_downscale(
@@ -544,6 +590,10 @@ def native_hist_sum_by(
         .withColumn("__no", no2)
         .withColumn("__nc", nc2)
     )
+    if group_stats == "join":
+        base = base.drop(
+            "__nhcb_min", "__nhcb_max", "__cv_min", "__cv_max",
+            "__zt_min", "__zt_max", "__schema_min")
     # NOTE (r12 optimization round — this shape was re-measured and
     # deliberately KEPT): ``base`` feeds three aggregation branches
     # below (pos side, neg side, scalars) that re-join at the end, and

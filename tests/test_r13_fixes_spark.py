@@ -109,3 +109,86 @@ def test_sa_lcp_bruteforce_with_new_partitioner(spark):
                 lcp += 1
         want.append((rank, p, lcp))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# native_hist_sum_by group_stats="join" (the 100 TB low-cardinality-window
+# skew shape, VERDICT r12 task #3) must be result-identical to the default
+# window shape, refusals included.
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from prom_etl_db_spark.functions import remote_write as RW
+from prom_etl_db_spark.operators import native_hist as NH
+
+
+def _nh_df(spark, rows):
+    base = {
+        "metric_name": "m", "labels": {}, "timestamp_ms": 0,
+        "count": 0, "sum": None, "schema": 0, "zero_threshold": 0.001,
+        "zero_count": 0, "pos_offset": 0, "pos_counts": [],
+        "neg_offset": 0, "neg_counts": [], "custom_values": [],
+    }
+    return spark.createDataFrame(
+        [dict(base, **r) for r in rows], schema=RW.NATIVE_HIST_SCHEMA)
+
+
+def test_sum_by_join_stats_matches_window(spark):
+    rows = []
+    for g in range(3):
+        for i in range(8):
+            rows.append({
+                "metric_name": f"m{g}",
+                "count": 10 + i, "sum": float(i), "schema": (i % 3),
+                "zero_count": i % 2,
+                "pos_offset": (i % 4) - 1, "pos_counts": [2, 1 + i, 3],
+                "neg_offset": i % 2, "neg_counts": [1, i],
+            })
+    # one NHCB-only group (same custom_values throughout)
+    for i in range(4):
+        rows.append({
+            "metric_name": "nhcb", "schema": -53, "count": 5 + i,
+            "zero_threshold": 0.0,
+            "pos_offset": 0, "pos_counts": [1, i], "custom_values": [0.5, 2.0],
+        })
+    df = _nh_df(spark, rows)
+
+    def canon(frame):
+        return sorted(
+            (r["metric_name"], r["schema"], r["zero_threshold"],
+             r["zero_count"], r["count"], r["sum"],
+             r["pos_offset"], tuple(r["pos_counts"]),
+             r["neg_offset"], tuple(r["neg_counts"]),
+             tuple(r["custom_values"]), r["n_series"])
+            for r in frame.collect())
+
+    w = canon(NH.native_hist_sum_by(df, ("metric_name",)))
+    j = canon(NH.native_hist_sum_by(df, ("metric_name",),
+                                    group_stats="join"))
+    assert w == j and len(w) == 4
+
+
+def test_sum_by_join_stats_refusals_match_window(spark):
+    cases = [
+        ([{"metric_name": "m", "count": 1, "schema": -53,
+           "pos_offset": 0, "pos_counts": [1], "custom_values": [0.5]},
+          {"metric_name": "m", "count": 1, "schema": 1,
+           "pos_offset": 0, "pos_counts": [1]}], "bucket families"),
+        ([{"metric_name": "m", "count": 1, "schema": -53,
+           "pos_offset": 0, "pos_counts": [1], "custom_values": [0.5]},
+          {"metric_name": "m", "count": 1, "schema": -53,
+           "pos_offset": 0, "pos_counts": [1], "custom_values": [0.75]}],
+         "custom_values differ"),
+        ([{"metric_name": "m", "count": 1, "schema": 1,
+           "zero_threshold": 0.001, "pos_offset": 0, "pos_counts": [1]},
+          {"metric_name": "m", "count": 1, "schema": 1,
+           "zero_threshold": 0.01, "pos_offset": 0, "pos_counts": [1]}],
+         "zero_threshold differs"),
+    ]
+    for rows, msg in cases:
+        df = _nh_df(spark, rows)
+        for gs in ("window", "join"):
+            with _pytest.raises(Exception, match=msg):
+                NH.native_hist_sum_by(
+                    df, ("metric_name",), group_stats=gs).collect()
