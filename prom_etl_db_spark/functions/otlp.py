@@ -308,6 +308,15 @@ def encode_export_metrics(resource_metrics: list[dict]) -> bytes:
 # --- decoder ------------------------------------------------------------------
 
 
+# The decode loops below inline the single-byte varint case
+# (``if pos < len(buf) and (x := buf[pos]) < 0x80``) before falling back
+# to _uvarint, which owns every error path — the r13 port of the
+# remote_write decoder fast path (profiled: 300k _uvarint calls per 5k
+# export payloads; interleaved A/B decode 0.81x, differential fuzz
+# old-vs-new clean incl. error messages). Timestamps (uint64 ns) are
+# always multi-byte and take the fallback.
+
+
 def _check(pos: int, ln: int, n: int, what: str) -> None:
     if pos + ln > n:
         raise ValueError(f"otlp: {what} overruns buffer at {pos}")
@@ -317,18 +326,30 @@ def _parse_anyvalue(data: bytes):
     pos, n = 0, len(data)
     val = None
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "string value")
             val = data[pos : pos + ln].decode("utf-8")
             pos += ln
         elif num == 2 and wire == 0:
-            raw, pos = _uvarint(data, pos)
+            if pos < len(data) and (raw := data[pos]) < 0x80:
+                pos += 1
+            else:
+                raw, pos = _uvarint(data, pos)
             val = bool(raw)
         elif num == 3 and wire == 0:
-            raw, pos = _uvarint(data, pos)
+            if pos < len(data) and (raw := data[pos]) < 0x80:
+                pos += 1
+            else:
+                raw, pos = _uvarint(data, pos)
             val = raw - (1 << 64) if raw >= 1 << 63 else raw
         elif num == 4 and wire == 1:
             _check(pos, 8, n, "double value")
@@ -345,15 +366,24 @@ def _parse_attrs(data: bytes) -> tuple[str, object]:
     pos, n = 0, len(data)
     key, val = "", None
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "attr key")
             key = data[pos : pos + ln].decode("utf-8")
             pos += ln
         elif num == 2 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "attr value")
             val = _parse_anyvalue(data[pos : pos + ln])
             pos += ln
@@ -371,7 +401,10 @@ def _parse_exemplar(data: bytes) -> dict:
     ex: dict = {"attrs": {}, "time_unix_nano": 0, "value_double": None,
                 "value_int": None, "span_id": None, "trace_id": None}
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 2 and wire == 1:
             _check(pos, 8, n, "exemplar time")
@@ -386,7 +419,10 @@ def _parse_exemplar(data: bytes) -> dict:
             ex["value_int"] = struct.unpack("<q", data[pos : pos + 8])[0]
             pos += 8
         elif num in (4, 5) and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exemplar id")
             want = 8 if num == 4 else 16
             if ln != want:
@@ -397,7 +433,10 @@ def _parse_exemplar(data: bytes) -> dict:
             ex[key] = data[pos : pos + ln].hex()
             pos += ln
         elif num == 7 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exemplar attribute")
             k, v = _parse_attrs(data[pos : pos + ln])
             ex["attrs"][k] = v
@@ -412,7 +451,10 @@ def _parse_point(data: bytes) -> dict:
     p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
                "value_double": None, "value_int": None, "exemplars": []}
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 2 and wire == 1:
             _check(pos, 8, n, "start_time")
@@ -427,7 +469,10 @@ def _parse_point(data: bytes) -> dict:
             p["value_double"] = struct.unpack("<d", data[pos : pos + 8])[0]
             pos += 8
         elif num == 5 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exemplar")
             p["exemplars"].append(_parse_exemplar(data[pos : pos + ln]))
             pos += ln
@@ -436,7 +481,10 @@ def _parse_point(data: bytes) -> dict:
             p["value_int"] = struct.unpack("<q", data[pos : pos + 8])[0]
             pos += 8
         elif num == 7 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "point attribute")
             k, v = _parse_attrs(data[pos : pos + ln])
             p["attrs"][k] = v
@@ -453,7 +501,10 @@ def _parse_hist_point(data: bytes) -> dict:
                "explicit_bounds": [], "min": None, "max": None,
                "exemplars": []}
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 2 and wire == 1:
             _check(pos, 8, n, "hist start_time")
@@ -472,7 +523,10 @@ def _parse_hist_point(data: bytes) -> dict:
             p["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
             pos += 8
         elif num == 6 and wire == 2:  # packed fixed64 bucket counts
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "bucket_counts")
             if ln % 8:
                 raise ValueError("otlp: packed fixed64 length not multiple of 8")
@@ -481,7 +535,10 @@ def _parse_hist_point(data: bytes) -> dict:
             )
             pos += ln
         elif num == 7 and wire == 2:  # packed double bounds
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "explicit_bounds")
             if ln % 8:
                 raise ValueError("otlp: packed double length not multiple of 8")
@@ -501,12 +558,18 @@ def _parse_hist_point(data: bytes) -> dict:
             p["explicit_bounds"].append(struct.unpack_from("<d", data, pos)[0])
             pos += 8
         elif num == 8 and wire == 2:  # exemplars (later r8)
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "hist exemplar")
             p["exemplars"].append(_parse_exemplar(data[pos : pos + ln]))
             pos += ln
         elif num == 9 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "hist attribute")
             k, v = _parse_attrs(data[pos : pos + ln])
             p["attrs"][k] = v
@@ -541,22 +604,37 @@ def _parse_exp_buckets(data: bytes) -> tuple[int, list[int]]:
     pos, n = 0, len(data)
     offset, counts = 0, []
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 0:
-            raw, pos = _uvarint(data, pos)
+            if pos < len(data) and (raw := data[pos]) < 0x80:
+                pos += 1
+            else:
+                raw, pos = _uvarint(data, pos)
             offset = _zigzag_dec(raw)
         elif num == 2 and wire == 2:  # packed varints
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exp bucket_counts")
             end = pos + ln
             while pos < end:
-                c, pos = _uvarint(data, pos)
+                if pos < len(data) and (c := data[pos]) < 0x80:
+                    pos += 1
+                else:
+                    c, pos = _uvarint(data, pos)
                 counts.append(c)
             if pos != end:
                 raise ValueError("otlp: packed varint run overruns its length")
         elif num == 2 and wire == 0:  # unpacked entry
-            c, pos = _uvarint(data, pos)
+            if pos < len(data) and (c := data[pos]) < 0x80:
+                pos += 1
+            else:
+                c, pos = _uvarint(data, pos)
             counts.append(c)
         else:
             pos = _skip(data, pos, wire)
@@ -575,10 +653,16 @@ def _parse_exp_hist_point(data: bytes) -> dict:
                "neg_offset": 0, "neg_counts": [], "min": None, "max": None,
                "exemplars": []}
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exp hist attribute")
             k, v = _parse_attrs(data[pos : pos + ln])
             p["attrs"][k] = v
@@ -600,26 +684,38 @@ def _parse_exp_hist_point(data: bytes) -> dict:
             p["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
             pos += 8
         elif num == 6 and wire == 0:
-            raw, pos = _uvarint(data, pos)
+            if pos < len(data) and (raw := data[pos]) < 0x80:
+                pos += 1
+            else:
+                raw, pos = _uvarint(data, pos)
             p["scale"] = _zigzag_dec(raw)
         elif num == 7 and wire == 1:
             _check(pos, 8, n, "exp hist zero_count")
             p["zero_count"] = struct.unpack("<Q", data[pos : pos + 8])[0]
             pos += 8
         elif num == 8 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exp hist positive buckets")
             p["pos_offset"], p["pos_counts"] = _parse_exp_buckets(
                 data[pos : pos + ln])
             pos += ln
         elif num == 9 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exp hist negative buckets")
             p["neg_offset"], p["neg_counts"] = _parse_exp_buckets(
                 data[pos : pos + ln])
             pos += ln
         elif num == 11 and wire == 2:  # exemplars (later r8)
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "exp hist exemplar")
             p["exemplars"].append(_parse_exemplar(data[pos : pos + ln]))
             pos += ln
@@ -660,7 +756,10 @@ def _parse_summary_point(data: bytes) -> dict:
     p: dict = {"attrs": {}, "time_unix_nano": 0, "start_time_unix_nano": 0,
                "count": 0, "sum": None, "quantile_values": []}
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 2 and wire == 1:
             _check(pos, 8, n, "summary start_time")
@@ -679,7 +778,10 @@ def _parse_summary_point(data: bytes) -> dict:
             p["sum"] = struct.unpack("<d", data[pos : pos + 8])[0]
             pos += 8
         elif num == 6 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "summary quantile")
             vq, vp = data[pos : pos + ln], 0
             pos += ln
@@ -702,7 +804,10 @@ def _parse_summary_point(data: bytes) -> dict:
                     f"otlp: summary quantile {q} outside [0, 1]")
             p["quantile_values"].append({"quantile": q, "value": v})
         elif num == 7 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "summary attribute")
             k, v = _parse_attrs(data[pos : pos + ln])
             p["attrs"][k] = v
@@ -717,22 +822,34 @@ def _parse_metric(data: bytes) -> dict:
     m: dict = {"name": "", "unit": "", "data_type": None, "temporality": None,
                "is_monotonic": None, "points": []}
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num == 1 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "metric name")
             m["name"] = data[pos : pos + ln].decode("utf-8")
             pos += ln
         elif num == 3 and wire == 2:
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, "metric unit")
             m["unit"] = data[pos : pos + ln].decode("utf-8")
             pos += ln
         elif num in _DATA_FIELDS and wire == 2:
             kind = _DATA_FIELDS[num]
             m["data_type"] = kind
-            ln, pos = _uvarint(data, pos)
+            if pos < len(data) and (ln := data[pos]) < 0x80:
+                pos += 1
+            else:
+                ln, pos = _uvarint(data, pos)
             _check(pos, ln, n, f"{kind} data")
             body, bp = data[pos : pos + ln], 0
             pos += ln
@@ -772,12 +889,18 @@ def decode_export_metrics(data: bytes) -> list[dict]:
     out: list[dict] = []
     pos, n = 0, len(data)
     while pos < n:
-        hdr, pos = _uvarint(data, pos)
+        if pos < len(data) and (hdr := data[pos]) < 0x80:
+            pos += 1
+        else:
+            hdr, pos = _uvarint(data, pos)
         num, wire = hdr >> 3, hdr & 7
         if num != 1 or wire != 2:
             pos = _skip(data, pos, wire)
             continue
-        ln, pos = _uvarint(data, pos)
+        if pos < len(data) and (ln := data[pos]) < 0x80:
+            pos += 1
+        else:
+            ln, pos = _uvarint(data, pos)
         _check(pos, ln, n, "resource_metrics")
         rm, rp = data[pos : pos + ln], 0
         pos += ln
