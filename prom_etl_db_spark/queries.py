@@ -77,6 +77,87 @@ from prom_etl_db_spark.registry import (  # noqa: F401,E402  (order matters)
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
+    # --- Round-13 window (VERDICT r12 task #7; r13 is the second
+    # OPTIMIZATION round, so "changed" means internals-rewritten-for-
+    # speed/scale-safety this round) --------------------------------------
+    # Composition, recomputed from CORRECTNESS_r01..r12 (freshness
+    # r6:17 r7:49 r8:43 r9:48 r10:50 r11:46 r12:50 + the three
+    # rows-only-by-design entries kept past slot 50):
+    # (a) the LAST 17 r6-stale queries — finishes the block the r12
+    #     window left (task #7 done-bar);
+    # (b) 14 r13 internals-changed re-gates: the three suffix-array
+    #     consumers (dense-rank _pid materialization + deterministic
+    #     pair buckets), the three graph queries (materialize() —
+    #     checkpoint-dir-aware lineage truncation), neardup_clusters
+    #     (connected_components rides materialize too),
+    #     promql_parsed_native_quantile (decoder fast path + snappy
+    #     want-cap + encoder headers + the sum_by group-stats
+    #     restructure), and six wire-surface representatives covering
+    #     every decode path the r13 fast-path rewrite touched:
+    #     remote_write_decode (v1 samples), exemplars_cross_protocol
+    #     (all four exemplar surfaces differentially),
+    #     remote_write_v1_metadata / remote_write_v2_metadata,
+    #     remote_write_float_hist_decode (float flavor),
+    #     nhcb_quantile (custom buckets / _dense_buckets single-span);
+    # (c) the first 19 of the 48 remaining r7-stale queries, registry
+    #     order (29 r7-stale remain for the r14 window).
+    # 17 + 14 + 19 = 50.
+    # --- (a) r6-stale tail ------------------------------------------------
+    "image_dhash_codes",
+    "image_phash_neardup_pairs",
+    "video_y4m_bt601_decode",
+    "doc_nfc_normalize",
+    "url_dedup",
+    "url_host_neardup_pairs",
+    "mime_sniff_route",
+    "warc_record_parse",
+    "cdx_surt_keys",
+    "html_link_graph",
+    "sitemap_parse",
+    "crawl_frontier_schedule",
+    "wet_generate_roundtrip",
+    "wat_link_metadata",
+    "robots_sitemap_directives",
+    "bytebpe_learned_merges",
+    "bytebpe_encoded_token_counts",
+    # --- (b) r13 internals-changed re-gates --------------------------------
+    "doc_suffix_array_repeats",
+    "doc_substring_dedup_rewrite",
+    "curation_pipeline_v2",
+    "host_graph_pagerank",
+    "host_graph_harmonic",
+    "host_graph_hyperball",
+    "neardup_clusters",
+    "promql_parsed_native_quantile",
+    "remote_write_decode",
+    "exemplars_cross_protocol",
+    "remote_write_v1_metadata",
+    "remote_write_v2_metadata",
+    "remote_write_float_hist_decode",
+    "nhcb_quantile",
+    # --- (c) r7-stale fill (19 of 48; 29 remain for r14) --------------------
+    "relabel_pipeline",
+    "scrape_target_rendezvous",
+    "otlp_metrics_decode",
+    "metrics_pipeline_v3",
+    "otlp_histogram_decode",
+    "multimodal_wav_samples",
+    "embedding_kmeans_assign",
+    "semantic_neardup_pairs",
+    "image_netpbm_decode",
+    "image_tiff_decode",
+    "promql_count_values",
+    "promql_over_time_stats",
+    "promql_rate_range",
+    "promql_mad_over_time",
+    "promql_label_replace",
+    "promql_label_join",
+    "promql_offset",
+    "promql_delta",
+    "promql_deriv",
+]
+
+_GATE_PRIORITY_R12 = [
     # --- Round-12 window (VERDICT r11 task #1; r12 is an OPTIMIZATION
     # round, so "new/changed" means internals-rewritten-for-speed) ----------
     # Composition, recomputed from CORRECTNESS_r01..r11 (freshness
