@@ -74,7 +74,18 @@ SENTINEL = "\x02"  # + doc_id: unique per document, below any real token
 # prefix. The LCP remainder below SA_INIT_SPAN is resolved by comparing
 # the same slices element-wise (one join pair instead of
 # log2(SA_INIT_SPAN) lifting levels).
-SA_INIT_SPAN = 8
+#
+# K = 16 (r13, raised from 8 on measurement): each doubling round a
+# wider round-0 window removes costs one equi-join + one global dense
+# rank + a checkpoint barrier + two LCP-lift joins, while the window
+# itself only adds lead() columns to one per-document pass. Interleaved
+# best-of-4 at sf0.1: the deep-tie curation corpus (ties ~100 tokens)
+# reads 5.93 s vs 6.77 s (0.876) and the shallow-tie substring corpus
+# (ties < 8, round-0-only either way) pays 2.35 s vs 2.21 s (1.065) for
+# the wider sort keys — and at web scale ties beyond 8 tokens are
+# guaranteed (boilerplate), so the deep-tie case is the 100 TB shape.
+# K = 12 and K = 32 both measured worse than 16 on the deep corpus.
+SA_INIT_SPAN = 16
 
 
 def _with_pref(stream: DataFrame, k: int) -> DataFrame:

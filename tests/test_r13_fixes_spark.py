@@ -76,9 +76,11 @@ def test_sa_lcp_bruteforce_with_new_partitioner(spark):
     sort on a corpus with ties deeper than SA_INIT_SPAN (forces the
     doubling rounds through _dense_rank_pairs)."""
     texts = [
-        "a b c d e f g h i j a b c d e f g h i j k",   # 10-token repeat
-        "a b c d e f g h i j x y z",
-        "z z z z z z z z z z z z",                      # deep self-ties
+        # 20-token repeat -> ties deeper than SA_INIT_SPAN=16
+        "a b c d e f g h i j k l m n o p q r s t "
+        "a b c d e f g h i j k l m n o p q r s t u",
+        "a b c d e f g h i j k l m n o p q r s t x y z",
+        "z " * 40,                                      # deep self-ties
         "",
         "q",
     ]
