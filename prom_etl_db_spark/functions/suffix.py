@@ -366,7 +366,16 @@ def _sa_lcp_and_stream(
         )
         .withColumn("acc", F.lit(0).cast("long"))
     )
-    for sp, rk in reversed(rank_tables):
+    # The FINAL rank table never lifts (r13): at loop exit every rank is
+    # distinct, so rank_Sf[p+acc] == rank_Sf[q+acc] is impossible for
+    # distinct positions — its level is two full-frame joins that can
+    # never match. Coverage is unharmed: all-distinct at span Sf means
+    # any two suffixes differ within Sf tokens (LCP ≤ Sf−1), and the
+    # remaining spans {K..Sf/2} sum to Sf−K with the < K tail counted by
+    # the remainder slice compare below — together exactly Sf−1. For a
+    # corpus whose ties resolve in round 0 this removes the ONLY lifting
+    # level, i.e. two joins from every shallow SA build.
+    for sp, rk in reversed(rank_tables[:-1]):
         rp = rk.select(
             F.col("gpos").alias("p_at"), F.col("rank").alias("p_rank")
         )
