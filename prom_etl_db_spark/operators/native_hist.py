@@ -44,6 +44,16 @@ from pyspark.sql import functions as F
 
 from prom_etl_db_spark.functions.remote_write import CUSTOM_BUCKETS_SCHEMA
 
+#: sum_by's pos/neg bucket pipelines fused into one explode + one
+#: (group, side, idx) agg + one side-conditional per-group agg (r13) —
+#: halves the side pipeline's exchanges. Measured winner in interleaved
+#: best-of-4 A/Bs: 0.910 on a 4M-row synthetic frame, 0.942 on the real
+#: wire headline — where r12's FULL single-pass rewrite (which also
+#: folded the scalar branch in) measured 1.15–1.45× SLOWER; fusing only
+#: the two symmetric sides halves their work instead of serializing
+#: unlike work. The per-side form is kept one flag away for the record.
+_FUSED_SIDES = True
+
 
 def _moments(counts: Column, offset: Column, inv: Column,
              sign: float) -> tuple[Column, Column, Column]:
@@ -636,8 +646,58 @@ def native_hist_sum_by(
             F.max("__idx").alias(f"{tag}_hi"),
         )
 
-    pos = side("__po", "__pc", "p")
-    neg = side("__no", "__nc", "n")
+    def fused_sides() -> DataFrame:
+        # both sides through ONE explode + ONE (group, side, idx) agg +
+        # ONE per-group agg with side-conditional outputs — halves the
+        # side pipeline's exchanges. A null/empty side contributes no
+        # rows (coalesce before concat: concat propagates null), so a
+        # group with an all-empty side gets NULL off/hi exactly like
+        # the per-side form (collect_list skips the nulls the when()
+        # produces, leaving an empty map the assembler never reads).
+        elem = nh.schema["pos_counts"].dataType.elementType.simpleString()
+        empty = F.expr(f"CAST(array() AS array<{elem}>)")
+
+        def tagged(off_col: str, cnt_col: str, s: int):
+            return F.transform(
+                F.coalesce(F.col(cnt_col), empty),
+                lambda c, i: F.struct(
+                    F.lit(s).alias("s"),
+                    (F.col(off_col) + i).alias("idx"),
+                    c.alias("c"),
+                ),
+            )
+
+        ex = base.select(
+            *by,
+            F.explode(
+                F.concat(tagged("__po", "__pc", 0), tagged("__no", "__nc", 1))
+            ).alias("__e"),
+        ).select(*by, "__e.s", "__e.idx", "__e.c")
+        agg = ex.groupBy(*by, "s", "idx").agg(F.sum("c").alias("c"))
+
+        def one(s: int, tag: str):
+            i = F.when(F.col("s") == s, F.col("idx"))
+            span_bad = F.max(i) - F.min(i) >= F.lit(int(max_index_span))
+            return [
+                F.when(
+                    span_bad,
+                    F.raise_error(F.lit(
+                        "native_hist_sum_by: merged bucket index span "
+                        f"exceeds {int(max_index_span)} — dense-"
+                        "expansion bomb guard")),
+                ).otherwise(F.min(i)).alias(f"{tag}_off"),
+                F.map_from_entries(
+                    F.collect_list(
+                        F.when(F.col("s") == s, F.struct("idx", "c")))
+                ).alias(f"{tag}_map"),
+                F.max(i).alias(f"{tag}_hi"),
+            ]
+
+        return agg.groupBy(*by).agg(*one(0, "p"), *one(1, "n"))
+
+    if not _FUSED_SIDES:
+        pos = side("__po", "__pc", "p")
+        neg = side("__no", "__nc", "n")
     scalars = base.groupBy(*by).agg(
         # the refusal checks ride a SELECTED column so column pruning
         # can never elide them (r9 review fix: a separate unused
@@ -656,8 +716,11 @@ def native_hist_sum_by(
           if has_cv else []),
         F.count(F.lit(1)).alias("n_series"),
     )
-    out = scalars.join(pos, on=list(by), how="left").join(
-        neg, on=list(by), how="left")
+    if _FUSED_SIDES:
+        out = scalars.join(fused_sides(), on=list(by), how="left")
+    else:
+        out = scalars.join(pos, on=list(by), how="left").join(
+            neg, on=list(by), how="left")
 
     # counts keep the INPUT's element type: integer histograms (the
     # scrape path) sum as longs, FLOAT histograms (the wire float

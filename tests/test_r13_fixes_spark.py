@@ -194,3 +194,48 @@ def test_sum_by_join_stats_refusals_match_window(spark):
             with _pytest.raises(Exception, match=msg):
                 NH.native_hist_sum_by(
                     df, ("metric_name",), group_stats=gs).collect()
+
+
+def test_sum_by_fused_sides_matches_per_side_all_combos(spark):
+    """The r13 fused side pipeline must be result-identical to the
+    per-side form across group_stats shapes, empty sides, NHCB groups,
+    and the float flavor."""
+    rows = []
+    for g in range(4):
+        for i in range(6):
+            rows.append({
+                "metric_name": f"m{g}", "count": 10 + i, "sum": float(i),
+                "schema": i % 3, "zero_count": i % 2,
+                "pos_offset": (i % 4) - 1, "pos_counts": [2, 1 + i, 3],
+                "neg_offset": i % 2,
+                # one group with an ENTIRELY empty neg side
+                "neg_counts": [] if g == 2 else [1, i],
+            })
+    for i in range(3):
+        rows.append({
+            "metric_name": "nhcb", "schema": -53, "count": 5 + i,
+            "zero_threshold": 0.0, "pos_offset": 0, "pos_counts": [1, i],
+            "custom_values": [0.5, 2.0],
+        })
+    df = _nh_df(spark, rows)
+
+    def canon(frame):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in frame.collect())
+
+    orig = NH._FUSED_SIDES
+    try:
+        outs = {}
+        for fused in (False, True):
+            NH._FUSED_SIDES = fused
+            for gs in ("window", "join"):
+                outs[(fused, gs)] = canon(
+                    NH.native_hist_sum_by(df, ("metric_name",),
+                                          group_stats=gs))
+        ref = outs[(False, "window")]
+        assert len(ref) == 5
+        for k, v in outs.items():
+            assert v == ref, k
+    finally:
+        NH._FUSED_SIDES = orig
